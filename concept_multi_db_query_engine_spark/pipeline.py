@@ -1,0 +1,433 @@
+"""Pipeline orchestration — the engine's only query entry point.
+
+Stage order mirrors the reference (README.md:36-82): snapshot → validation →
+access control → planning → name resolution → build (SQL generation analog)
+→ execution → result mapping. Each stage appends a DebugLogEntry when
+``debug: true`` (QUERY.md:185-191); meta carries strategy/tables/columns/
+timing (QUERY.md:161-183).
+
+Lifecycle mirrors METADATA.md:174-199: ``reload_metadata``/``reload_roles``
+validate first and swap atomically (old config preserved on failure),
+``health_check`` pings every source, ``close`` makes subsequent queries fail
+with EXECUTOR_MISSING.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .access import EffectiveAccess, resolve_access
+from .builder import DataFrameBuilder
+from .cache import CacheProvider, build_key
+from .config_validation import validate_config
+from .errors import (
+    EXECUTOR_MISSING,
+    ConnectionError,
+    ErrorItem,
+    ExecutionError,
+    ValidationError,
+)
+from .masking import mask_value
+from .metadata import Metadata, MetadataIndex, RoleMeta
+from .planner import PlanDecision, cache_eligible, collect_tables, plan_query
+from .plans import ResolvedPlan, TableUsed
+from .query_validation import QueryValidator
+from .resolver import Resolver
+from .sources import Source, SourceRegistry
+from .sqlgen import SqlRenderer
+
+
+class MultiDb:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata: Metadata | dict[str, Any],
+        roles: list[RoleMeta] | list[dict[str, Any]],
+        sources: dict[str, Source] | SourceRegistry,
+        caches: dict[str, CacheProvider] | None = None,
+        *,
+        strict_api_names: bool = True,
+    ):
+        if isinstance(metadata, dict):
+            metadata = Metadata.from_dict(metadata)
+        roles = [
+            r if isinstance(r, RoleMeta) else RoleMeta.from_dict(r) for r in roles
+        ]
+        validate_config(metadata, roles, strict_api_names=strict_api_names)
+        self.spark = spark
+        self._strict = strict_api_names
+        self._index = MetadataIndex(metadata, roles)
+        self.registry = (
+            sources if isinstance(sources, SourceRegistry) else SourceRegistry(sources)
+        )
+        self.caches = caches or {}
+        self._builder = DataFrameBuilder(spark, self.registry)
+        self._closed = False
+
+    # -- lifecycle (METADATA.md:174-199) ---------------------------------------
+
+    def reload_metadata(self, metadata: Metadata | dict[str, Any]) -> None:
+        if isinstance(metadata, dict):
+            metadata = Metadata.from_dict(metadata)
+        validate_config(
+            metadata, self._index.roles, strict_api_names=self._strict
+        )  # raises → old snapshot preserved
+        self._index = MetadataIndex(metadata, self._index.roles)
+
+    def reload_roles(self, roles: list[RoleMeta] | list[dict[str, Any]]) -> None:
+        roles = [
+            r if isinstance(r, RoleMeta) else RoleMeta.from_dict(r) for r in roles
+        ]
+        validate_config(self._index.metadata, roles, strict_api_names=self._strict)
+        self._index = MetadataIndex(self._index.metadata, roles)
+
+    def health_check(self) -> dict[str, Any]:
+        out: dict[str, Any] = {"healthy": True, "providers": {}}
+        for db, ok in self.registry.ping_all().items():
+            start = time.perf_counter()
+            out["providers"][db] = {
+                "ok": ok,
+                "latencyMs": (time.perf_counter() - start) * 1000,
+            }
+            out["healthy"] &= ok
+        for cid, cache in self.caches.items():
+            out["providers"][cid] = {"ok": cache.ping(), "latencyMs": 0.0}
+            out["healthy"] &= cache.ping()
+        return out
+
+    def close(self) -> None:
+        self._closed = True
+        for cache in self.caches.values():
+            cache.close()
+        self.registry.close()
+
+    # -- queries -----------------------------------------------------------------
+
+    def query(
+        self, definition: dict[str, Any], context: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Run one typed query. Returns the discriminated-union result dicts of
+        QUERY.md:128-159 (kind: 'data' | 'sql' | 'count')."""
+        if self._closed:
+            raise ConnectionError(
+                "engine closed",
+                [ErrorItem(EXECUTOR_MISSING, "close() was called")],
+            )
+        debug = bool(isinstance(definition, dict) and definition.get("debug"))
+        log: list[dict[str, Any]] = []
+
+        def entry(phase: str, message: str, details: Any = None) -> None:
+            if debug:
+                e: dict[str, Any] = {
+                    "timestamp": time.time(), "phase": phase, "message": message,
+                }
+                if details is not None:
+                    e["details"] = details
+                log.append(e)
+
+        index = self._index  # snapshot: reloads swap atomically (README.md:524)
+
+        t_plan_start = time.perf_counter()
+        access, validated = self._validate(index, definition, context, entry)
+        mode = definition.get("executeMode", "execute")
+
+        # P0 cache fast-path (execute mode only)
+        if mode == "execute":
+            cached = self._try_cache(index, definition, access, entry, t_plan_start)
+            if cached is not None:
+                if debug:
+                    cached["debugLog"] = log
+                return cached
+
+        decision = plan_query(index, self.registry, definition)
+        entry(
+            "planning",
+            f"strategy={decision.strategy} target={decision.target_database}",
+        )
+        plan = Resolver(index, access, decision.routes).resolve(definition)
+        planning_ms = (time.perf_counter() - t_plan_start) * 1000
+        entry("name-resolution", "resolved plan built")
+
+        t_gen = time.perf_counter()
+        meta = self._meta(index, decision, plan, definition)
+        if mode == "sql-only":
+            sql, params = SqlRenderer().render(plan)
+            meta["timing"] = {
+                "planningMs": planning_ms,
+                "generationMs": (time.perf_counter() - t_gen) * 1000,
+            }
+            entry("sql-generation", "rendered spark-sql text")
+            result: dict[str, Any] = {
+                "kind": "sql", "sql": sql, "params": params, "meta": meta,
+            }
+            if debug:
+                result["debugLog"] = log
+            return result
+
+        if mode == "count":
+            gen_ms = (time.perf_counter() - t_gen) * 1000
+            t_exec = time.perf_counter()
+            try:
+                count = self._builder.build_count(plan)
+            except Exception as exc:
+                raise ExecutionError(f"execution failed: {exc}") from exc
+            meta["columns"] = []  # QUERY.md:193
+            meta["timing"] = {
+                "planningMs": planning_ms,
+                "generationMs": gen_ms,
+                "executionMs": (time.perf_counter() - t_exec) * 1000,
+            }
+            entry("execution", f"count={count}")
+            result = {"kind": "count", "count": count, "meta": meta}
+            if debug:
+                result["debugLog"] = log
+            return result
+
+        # execute / dataframe
+        df = self._builder.build(plan)
+        gen_ms = (time.perf_counter() - t_gen) * 1000
+        entry("sql-generation", "dataframe plan built")
+        if mode == "dataframe":
+            meta["timing"] = {"planningMs": planning_ms, "generationMs": gen_ms}
+            return {"kind": "dataframe", "dataframe": df, "meta": meta}
+        t_exec = time.perf_counter()
+        try:
+            rows = [r.asDict() for r in df.collect()]
+        except Exception as exc:
+            raise ExecutionError(f"execution failed: {exc}") from exc
+        meta["timing"] = {
+            "planningMs": planning_ms,
+            "generationMs": gen_ms,
+            "executionMs": (time.perf_counter() - t_exec) * 1000,
+        }
+        entry("execution", f"{len(rows)} row(s)")
+        result = {"kind": "data", "data": rows, "meta": meta}
+        if debug:
+            result["debugLog"] = log
+        return result
+
+    def dataframe(
+        self, definition: dict[str, Any], context: dict[str, Any] | None = None
+    ) -> DataFrame:
+        """Engine extension: the validated/planned/masked result as a LAZY
+        DataFrame — the scalable entry point (no collect)."""
+        definition = dict(definition)
+        definition["executeMode"] = "dataframe"
+        return self.query(definition, context)["dataframe"]
+
+    def validate_query(
+        self, definition: dict[str, Any], context: dict[str, Any] | None = None
+    ) -> list[dict[str, Any]]:
+        """Zero-I/O validation endpoint (HTTP_CLIENT.md:9-14): returns the
+        collected issues without executing."""
+        index = self._index
+        access, errors = resolve_access(index, context)
+        errors = list(errors)
+        errors.extend(QueryValidator(index, access).validate(definition))
+        return [e.to_json() for e in errors]
+
+    # -- internals -----------------------------------------------------------------
+
+    def _validate(
+        self,
+        index: MetadataIndex,
+        definition: dict[str, Any],
+        context: dict[str, Any] | None,
+        entry: Any,
+    ) -> tuple[EffectiveAccess, None]:
+        access, errors = resolve_access(index, context)
+        entry("access-control", "scopes resolved")
+        errors = list(errors)
+        errors.extend(QueryValidator(index, access).validate(definition))
+        if errors:
+            raise ValidationError(
+                f"query invalid: {len(errors)} issue(s)", errors=errors
+            )
+        entry("validation", "14 rules passed")
+        return access, None
+
+    def _requested_columns(
+        self, index: MetadataIndex, definition: dict[str, Any],
+        access: EffectiveAccess,
+    ) -> list[str]:
+        table = index.table(definition["from"])
+        assert table is not None
+        cols = definition.get("columns")
+        if cols is None:
+            return access.allowed_columns(
+                table.id, [c.api_name for c in table.columns]
+            )
+        return list(cols)
+
+    def _try_cache(
+        self,
+        index: MetadataIndex,
+        definition: dict[str, Any],
+        access: EffectiveAccess,
+        entry: Any,
+        t_start: float,
+    ) -> dict[str, Any] | None:
+        requested = self._requested_columns(index, definition, access)
+        eligible = cache_eligible(index, definition, requested)
+        if eligible is None:
+            return None
+        cache_id, cached_table = eligible
+        provider = self.caches.get(cache_id)
+        if provider is None:
+            return None  # no provider registered → fall through to direct
+        table = index.table(definition["from"])
+        assert table is not None
+        pk = table.primary_key[0]
+        ids = definition["byIds"]
+        keys = [build_key(cached_table.key_pattern, {pk: i}) for i in ids]
+        hits = provider.get_many(keys)
+        entry("cache", f"{sum(1 for v in hits.values() if v)} / {len(keys)} hit")
+
+        rows_by_id: dict[Any, dict[str, Any]] = {}
+        missing: list[Any] = []
+        for i, key in zip(ids, keys):
+            row = hits.get(key)
+            if row is None:
+                missing.append(i)
+            else:
+                rows_by_id[i] = {c: row.get(c) for c in requested}
+
+        sources = [
+            TableUsed(table.id, "cache", cache_id, cached_table.key_pattern)
+        ]
+        if missing:
+            # partial hit: fetch the misses through the normal path and merge
+            # (README.md:241)
+            sub = dict(definition)
+            sub["byIds"] = missing
+            sub["executeMode"] = "execute"
+            sub.pop("debug", None)
+            # run unrestricted: access was already validated above, and masking
+            # is applied uniformly to cache + DB rows below (avoids double-mask)
+            sub_result = self.query(sub, None)
+            for row in sub_result["data"]:
+                rid = row.get(pk)
+                rows_by_id[rid] = row
+            sources.append(
+                TableUsed(table.id, "original", table.database, table.physical_name)
+            )
+
+        # masking applied identically to cache rows (README.md:241)
+        masked_cols: dict[str, str] = {}
+        for c in requested:
+            if access.is_masked(table.id, c):
+                col = index.column(table.id, c)
+                masked_cols[c] = (col.masking_fn if col else None) or "full"
+        data = []
+        for i in ids:
+            row = rows_by_id.get(i)
+            if row is None:
+                continue
+            out = dict(row)
+            for c, fn in masked_cols.items():
+                col = index.column(table.id, c)
+                out[c] = mask_value(out[c], fn, col.type if col else "string")
+            data.append(out)
+
+        meta = {
+            "strategy": "cache",
+            "targetDatabase": cache_id,
+            "tablesUsed": [s.__dict__ for s in sources],
+            "columns": [
+                {
+                    "apiName": c,
+                    "type": (index.column(table.id, c).type
+                             if index.column(table.id, c) else "string"),
+                    "nullable": bool(
+                        index.column(table.id, c)
+                        and index.column(table.id, c).nullable
+                    ),
+                    "fromTable": table.api_name,
+                    "masked": c in masked_cols,
+                }
+                for c in requested
+            ],
+            "timing": {
+                "planningMs": (time.perf_counter() - t_start) * 1000,
+                "generationMs": 0.0,
+                "executionMs": 0.0,
+            },
+        }
+        return {"kind": "data", "data": data, "meta": meta}
+
+    def _meta(
+        self,
+        index: MetadataIndex,
+        decision: PlanDecision,
+        plan: ResolvedPlan,
+        definition: dict[str, Any],
+    ) -> dict[str, Any]:
+        tables_used = []
+        for t in collect_tables(index, definition):
+            route = decision.routes.get(t.id)
+            tables_used.append(
+                {
+                    "tableId": t.id,
+                    "source": route.source if route else "original",
+                    "database": route.database if route else t.database,
+                    "physicalName": route.physical_name if route else t.physical_name,
+                }
+            )
+        columns = []
+        for s in plan.select_items:
+            columns.append(
+                {
+                    "apiName": s.out_name,
+                    "type": s.col_type,
+                    "nullable": s.nullable,
+                    "fromTable": s.from_table_api,
+                    "masked": s.masked,
+                }
+            )
+        for a in plan.aggregations:
+            columns.append(
+                {
+                    "apiName": a.alias,
+                    "type": a.result_type,
+                    "nullable": a.nullable,
+                    "fromTable": a.from_table_api,
+                    "masked": False,  # aliases never masked (QUERY.md:197)
+                }
+            )
+        return {
+            "strategy": decision.strategy,
+            "targetDatabase": decision.target_database,
+            "dialect": decision.dialect,
+            "tablesUsed": tables_used,
+            "columns": columns,
+        }
+
+
+def create_multi_db(
+    spark: SparkSession,
+    metadata: Metadata | dict[str, Any],
+    roles: list[RoleMeta] | list[dict[str, Any]],
+    sources: dict[str, Source] | SourceRegistry,
+    caches: dict[str, CacheProvider] | None = None,
+    *,
+    validate_connections: bool = True,
+    strict_api_names: bool = True,
+) -> MultiDb:
+    """Ordered init (README.md:149-161): load+validate config, build indexes,
+    ping all sources (skippable via validate_connections=False)."""
+    db = MultiDb(
+        spark, metadata, roles, sources, caches,
+        strict_api_names=strict_api_names,
+    )
+    if validate_connections:
+        bad = [name for name, ok in db.registry.ping_all().items() if not ok]
+        if bad:
+            raise ConnectionError(
+                "unreachable sources",
+                [ErrorItem(EXECUTOR_MISSING, f"source '{b}' unreachable")
+                 for b in bad],
+            )
+    return db

@@ -1,0 +1,198 @@
+"""Query planner: strategy selection P0-P4 (reference README.md:232-266).
+
+Preference order (rule-based, topology-driven, no cost model):
+
+- P0 ``cache``      — byIds point-lookup served from a cache provider.
+- P1 ``direct``     — every table lives in one database (originals).
+- P2 ``materialized`` — replicas (CDC-synced copies) let all tables co-locate
+  in one database, and every replica's estimated lag satisfies the query's
+  freshness requirement (``realtime`` bans replicas outright).
+- P3 ``trino-cross-db`` — federation. In the reference, Trino; here Spark
+  reads every source natively, so federation is simply "use the originals".
+- P4 — typed PlannerError (unreachable source).
+
+The strategy label is kept honest in ``meta.strategy`` even though Spark
+executes all of them the same way (the reference's enum, QUERY.md:162).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .errors import NO_STRATEGY, ErrorItem, PlannerError
+from .metadata import LAG_ORDER, MetadataIndex, TableMeta
+from .resolver import TableRoute
+from .sources import SourceRegistry
+
+
+@dataclass
+class PlanDecision:
+    strategy: str  # 'cache' | 'direct' | 'materialized' | 'trino-cross-db'
+    target_database: str
+    dialect: str | None  # always 'spark' except cache-only hits (None)
+    routes: dict[str, TableRoute] = field(default_factory=dict)
+    cache_id: str | None = None
+
+
+def collect_tables(index: MetadataIndex, defn: dict[str, Any]) -> list[TableMeta]:
+    """All tables a query touches: from + joins + EXISTS tables, recursively
+    through filter groups and nested EXISTS."""
+    out: list[TableMeta] = []
+    seen: set[str] = set()
+
+    def add(api: str | None) -> None:
+        if not api:
+            return
+        t = index.table(api)
+        if t is not None and t.id not in seen:
+            seen.add(t.id)
+            out.append(t)
+
+    def walk_filters(filters: list[Any]) -> None:
+        for f in filters or []:
+            if not isinstance(f, dict):
+                continue
+            if "logic" in f:
+                walk_filters(f.get("conditions") or [])
+            elif "exists" in f or ("table" in f and "column" not in f):
+                add(f.get("table"))
+                walk_filters(f.get("filters") or [])
+
+    add(defn.get("from"))
+    for j in defn.get("joins") or []:
+        if isinstance(j, dict):
+            add(j.get("table"))
+            walk_filters(j.get("filters") or [])
+    walk_filters(defn.get("filters") or [])
+    return out
+
+
+def cache_eligible(
+    index: MetadataIndex, defn: dict[str, Any], requested_columns: list[str]
+) -> tuple[str, Any] | None:
+    """P0 conditions (README.md:234-241): byIds only, no filters/joins/
+    groupBy/aggregations, single-column PK, table cached, cache covers the
+    requested columns, freshness is not 'realtime' (the cache is CDC-kept,
+    lag ≈ seconds)."""
+    if not defn.get("byIds"):
+        return None
+    if any(
+        defn.get(k)
+        for k in ("filters", "joins", "groupBy", "aggregations", "having")
+    ):
+        return None
+    if defn.get("freshness") == "realtime":
+        return None
+    table = index.table(defn["from"])
+    if table is None or len(table.primary_key) != 1:
+        return None
+    entry = index.cache_by_table.get(table.id)
+    if entry is None:
+        return None
+    cache_meta, cached_table = entry
+    if cached_table.columns is not None:
+        covered = set(cached_table.columns)
+        if not set(requested_columns) <= covered:
+            return None
+    return cache_meta.id, cached_table
+
+
+def plan_query(
+    index: MetadataIndex,
+    registry: SourceRegistry,
+    defn: dict[str, Any],
+) -> PlanDecision:
+    tables = collect_tables(index, defn)
+    freshness = defn.get("freshness")
+    max_lag = LAG_ORDER.get(freshness, 99) if freshness else 99
+
+    # P1: all originals in one database
+    dbs = {t.database for t in tables}
+    if len(dbs) == 1:
+        db = next(iter(dbs))
+        _require_source(registry, db, tables)
+        return PlanDecision(
+            strategy="direct",
+            target_database=db,
+            dialect="spark",
+            routes={t.id: TableRoute(t.database, t.physical_name) for t in tables},
+        )
+
+    # P2: replicas co-locate everything in one database, within freshness.
+    # Prefer the database already holding the most originals
+    # (README.md:253-255).
+    candidates: dict[str, int] = {}
+    for t in tables:
+        candidates[t.database] = candidates.get(t.database, 0) + 1
+    best: tuple[int, str, dict[str, TableRoute]] | None = None
+    for db, originals in sorted(candidates.items(), key=lambda kv: -kv[1]):
+        routes: dict[str, TableRoute] = {}
+        ok = True
+        for t in tables:
+            if t.database == db:
+                routes[t.id] = TableRoute(db, t.physical_name)
+                continue
+            replica = next(
+                (
+                    s
+                    for s in index.replicas_of(t.id)
+                    if s.target_database == db
+                    and LAG_ORDER[s.estimated_lag] <= max_lag
+                ),
+                None,
+            )
+            if replica is None:
+                ok = False
+                break
+            routes[t.id] = TableRoute(
+                db, replica.target_physical_name, source="materialized"
+            )
+        if ok and (best is None or originals > best[0]):
+            best = (originals, db, routes)
+    if best is not None:
+        _require_source(registry, best[1], tables)
+        return PlanDecision(
+            strategy="materialized",
+            target_database=best[1],
+            dialect="spark",
+            routes=best[2],
+        )
+
+    # P3: federation — Spark reads every source natively
+    missing = [t for t in tables if not registry.has(t.database)]
+    if missing:
+        raise PlannerError(
+            "no strategy can serve this query",
+            [
+                ErrorItem(
+                    NO_STRATEGY,
+                    f"table '{t.api_name}' lives in database '{t.database}' "
+                    "which has no registered source",
+                    {"table": t.api_name, "database": t.database},
+                )
+                for t in missing
+            ],
+        )
+    return PlanDecision(
+        strategy="trino-cross-db",
+        target_database="spark",
+        dialect="spark",
+        routes={t.id: TableRoute(t.database, t.physical_name) for t in tables},
+    )
+
+
+def _require_source(
+    registry: SourceRegistry, db: str, tables: list[TableMeta]
+) -> None:
+    if not registry.has(db):
+        raise PlannerError(
+            "no strategy can serve this query",
+            [
+                ErrorItem(
+                    NO_STRATEGY,
+                    f"database '{db}' has no registered source",
+                    {"database": db},
+                )
+            ],
+        )
