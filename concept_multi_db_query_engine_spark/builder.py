@@ -51,9 +51,19 @@ class DataFrameBuilder:
         base = self._relation(plan)
 
         if plan.aggregations:
-            frame = self._aggregate(base, plan)
-            frame = self._order_limit(frame, plan, output_names_only=True)
-            return frame
+            return self._aggregate(base, plan)
+
+        if plan.group_by and not plan.aggregations:
+            # groupBy without aggregations ≡ SELECT DISTINCT of the group keys
+            exprs = []
+            seen: set[str] = set()
+            for s in plan.group_by:
+                if s.out_name in seen:
+                    continue
+                seen.add(s.out_name)
+                exprs.append(F.col(f"{s.table_alias}.{s.physical}").alias(s.out_name))
+            frame = base.select(*exprs).distinct()
+            return self._order_limit(frame, plan, output_names_only=True)
 
         if plan.distinct:
             frame = base.select(*self._projection(plan))
@@ -203,11 +213,14 @@ class DataFrameBuilder:
             cond = self._having_tree(plan.having)
             if cond is not None:
                 frame = frame.filter(cond)
+        # ordering/pagination over grouped output names (which may include
+        # unselected grouping keys), then the final projection drops them
+        frame = self._order_limit(frame, plan, output_names_only=True)
         # masking on grouped output columns (aggregation aliases never masked
         # — QUERY.md:197)
         out_cols: list[Column] = []
         emitted: set[str] = set()
-        for s in plan.group_by:
+        for s in plan.select_items:
             if s.out_name in emitted:
                 continue
             emitted.add(s.out_name)

@@ -92,10 +92,11 @@ class Resolver:
         for join in defn.get("joins") or []:
             jt = self.index.table(join["table"])
             assert jt is not None
-            edge = self.index.find_relation_to_any(
+            found = self.index.find_relation_to_any(
                 jt.id, [t.id for _, t in aliases.values()]
             )
-            assert edge is not None
+            assert found is not None
+            edge = found[0]
             # which side of the edge is the new table?
             if edge.fk_table == jt.id:
                 right_col = self.index.column(jt.id, edge.fk_column)
@@ -156,13 +157,15 @@ class Resolver:
         aggregations = defn.get("aggregations") or []
         group_by = defn.get("groupBy") or []
 
-        # selected regular columns
-        select_items = self._select_items(defn, from_table, aliases, aggregations,
-                                          group_by)
+        # selected regular columns + grouping keys (grouping may use
+        # unselected columns — rule 7 only requires selected ⊆ grouped)
+        select_items, group_items = self._select_and_group(
+            defn, from_table, aliases, aggregations, group_by
+        )
         plan.select_items = select_items
 
-        if aggregations:
-            plan.group_by = list(select_items)  # grouped output columns
+        if aggregations or group_by:
+            plan.group_by = group_items
             for agg in aggregations:
                 fn = agg["fn"]
                 if agg.get("column") == "*":
@@ -201,8 +204,10 @@ class Resolver:
             )
 
         # orderBy
-        out_names = {s.out_name for s in select_items}
-        out_by_col = {(s.table_alias, s.api_name): s.out_name for s in select_items}
+        out_by_col = {
+            (s.table_alias, s.api_name): s.out_name
+            for s in select_items + group_items
+        }
         agg_aliases = {a.alias for a in plan.aggregations}
         for o in defn.get("orderBy") or []:
             col_name = o["column"]
@@ -237,85 +242,78 @@ class Resolver:
 
     # -- select list ---------------------------------------------------------
 
-    def _select_items(
+    def _select_and_group(
         self,
         defn: dict[str, Any],
         from_table: TableMeta,
         aliases: dict[str, tuple[str, TableMeta]],
         aggregations: list[dict[str, Any]],
         group_by: list[dict[str, Any]],
-    ) -> list[SelectItem]:
-        """Compute the ordered select list with collision-qualified output
-        names (README.md:522, C206: BOTH colliding sides get qualified)."""
-        picked: list[tuple[str, TableMeta, str]] = []  # (alias, table, colApi)
+    ) -> tuple[list[SelectItem], list[SelectItem]]:
+        """Ordered select list + grouping keys, with collision-qualified output
+        names shared between them (README.md:522, C206: BOTH colliding sides
+        get qualified).
 
-        if aggregations:
-            # only grouped columns are selectable (README.md:272);
-            # explicit `columns` (validated ⊆ groupBy) narrows the from-table
-            # part, otherwise select every groupBy column in groupBy order
-            explicit = defn.get("columns")
-            if explicit is not None or any(
-                (j.get("columns") is not None) for j in defn.get("joins") or []
-            ):
-                for c in explicit or []:
-                    picked.append((aliases[from_table.api_name][0], from_table, c))
-                for j in defn.get("joins") or []:
-                    jt = self.index.table(j["table"])
-                    assert jt is not None
-                    for c in j.get("columns") or []:
-                        picked.append((aliases[jt.api_name][0], jt, c))
-            else:
-                for g in group_by:
-                    gt = from_table
-                    if g.get("table") is not None:
-                        gt = self.index.table(g["table"])  # type: ignore[assignment]
-                    picked.append((aliases[gt.api_name][0], gt, g["column"]))
-        else:
-            explicit = defn.get("columns")
-            if explicit is None:
-                cols = self.access.allowed_columns(
-                    from_table.id, [c.api_name for c in from_table.columns]
-                )
-            else:
-                cols = list(explicit)
-            for c in cols:
-                picked.append((aliases[from_table.api_name][0], from_table, c))
-            for j in defn.get("joins") or []:
-                jt = self.index.table(j["table"])
-                assert jt is not None
-                jcols = j.get("columns")
-                if jcols is None:
-                    jcols = self.access.allowed_columns(
-                        jt.id, [c.api_name for c in jt.columns]
-                    )
-                for c in jcols:
-                    picked.append((aliases[jt.api_name][0], jt, c))
+        Per-table selection semantics (QUERY.md:10, README.md:272): an explicit
+        ``columns`` list wins; ``undefined`` means all role-allowed columns,
+        narrowed to that table's groupBy columns when aggregations are present.
+        """
+        group_picked: list[tuple[str, TableMeta, str]] = []
+        for g in group_by:
+            gt = from_table
+            if g.get("table") is not None:
+                gt = self.index.table(g["table"])  # type: ignore[assignment]
+            group_picked.append((aliases[gt.api_name][0], gt, g["column"]))
 
-        # collision qualification: any api_name appearing under >1 table
-        counts: dict[str, int] = {}
-        for _, t, c in picked:
-            counts[c] = counts.get(c, 0) + 1
+        def default_cols(t: TableMeta, alias: str) -> list[str]:
+            if aggregations or group_by:
+                return [c for a, gt, c in group_picked if a == alias]
+            return self.access.allowed_columns(
+                t.id, [c.api_name for c in t.columns]
+            )
 
-        items: list[SelectItem] = []
-        for alias, t, c in picked:
+        picked: list[tuple[str, TableMeta, str]] = []
+        from_alias = aliases[from_table.api_name][0]
+        explicit = defn.get("columns")
+        for c in explicit if explicit is not None else default_cols(
+            from_table, from_alias
+        ):
+            picked.append((from_alias, from_table, c))
+        for j in defn.get("joins") or []:
+            jt = self.index.table(j["table"])
+            assert jt is not None
+            jalias = aliases[jt.api_name][0]
+            jcols = j.get("columns")
+            for c in jcols if jcols is not None else default_cols(jt, jalias):
+                picked.append((jalias, jt, c))
+
+        # collision qualification over the union of selected + grouped names:
+        # a col apiName used by more than one table gets table-qualified
+        tables_per_name: dict[str, set[str]] = {}
+        for _, t, c in picked + group_picked:
+            tables_per_name.setdefault(c, set()).add(t.api_name)
+
+        def item(alias: str, t: TableMeta, c: str) -> SelectItem:
             col = self.index.column(t.id, c)
             assert col is not None
-            out = f"{t.api_name}.{c}" if counts[c] > 1 else c
+            out = f"{t.api_name}.{c}" if len(tables_per_name[c]) > 1 else c
             masked = self.access.is_masked(t.id, c)
-            items.append(
-                SelectItem(
-                    out_name=out,
-                    table_alias=alias,
-                    physical=col.physical_name,
-                    api_name=c,
-                    from_table_api=t.api_name,
-                    col_type=col.type,
-                    nullable=col.nullable,
-                    masked=masked,
-                    masking_fn=(col.masking_fn or "full") if masked else None,
-                )
+            return SelectItem(
+                out_name=out,
+                table_alias=alias,
+                physical=col.physical_name,
+                api_name=c,
+                from_table_api=t.api_name,
+                col_type=col.type,
+                nullable=col.nullable,
+                masked=masked,
+                masking_fn=(col.masking_fn or "full") if masked else None,
             )
-        return items
+
+        return (
+            [item(*p) for p in picked],
+            [item(*p) for p in group_picked],
+        )
 
     # -- filter trees ----------------------------------------------------------
 
@@ -390,10 +388,11 @@ class Resolver:
     ) -> ExistsPlan:
         et = self.index.table(f["table"])
         assert et is not None
-        edge = self.index.find_relation_to_any(
+        found = self.index.find_relation_to_any(
             et.id, [t.id for _, t in aliases.values()]
         )
-        assert edge is not None
+        assert found is not None
+        edge = found[0]
         # locate the outer side of the correlation
         if edge.fk_table == et.id:
             child_col_name, outer_table_id, outer_col_name = (

@@ -38,7 +38,7 @@ class SqlRenderer:
         else:
             cols: list[str] = []
             if plan.aggregations:
-                for s in plan.group_by:
+                for s in plan.select_items:
                     cols.append(self._col(s.table_alias, s.physical)
                                 + f" AS {quote_ident(s.out_name)}")
                 for a in plan.aggregations:
