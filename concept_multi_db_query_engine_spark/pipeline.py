@@ -107,7 +107,11 @@ class MultiDb:
     # -- queries -----------------------------------------------------------------
 
     def query(
-        self, definition: dict[str, Any], context: dict[str, Any] | None = None
+        self,
+        definition: dict[str, Any],
+        context: dict[str, Any] | None = None,
+        *,
+        _skip_cache: bool = False,
     ) -> dict[str, Any]:
         """Run one typed query. Returns the discriminated-union result dicts of
         QUERY.md:128-159 (kind: 'data' | 'sql' | 'count')."""
@@ -135,7 +139,7 @@ class MultiDb:
         mode = definition.get("executeMode", "execute")
 
         # P0 cache fast-path (execute mode only)
-        if mode == "execute":
+        if mode == "execute" and not _skip_cache:
             cached = self._try_cache(index, definition, access, entry, t_plan_start)
             if cached is not None:
                 if debug:
@@ -307,7 +311,7 @@ class MultiDb:
             sub.pop("debug", None)
             # run unrestricted: access was already validated above, and masking
             # is applied uniformly to cache + DB rows below (avoids double-mask)
-            sub_result = self.query(sub, None)
+            sub_result = self.query(sub, None, _skip_cache=True)
             for row in sub_result["data"]:
                 rid = row.get(pk)
                 rows_by_id[rid] = row

@@ -117,8 +117,10 @@ class SqlRenderer:
             if not parts:
                 return ""
             joiner = " AND " if node.logic == "and" else " OR "
-            body = "(" + joiner.join(parts) + ")"
-            return f"NOT {body}" if node.negate else body
+            body = parts[0] if len(parts) == 1 else "(" + joiner.join(parts) + ")"
+            if node.negate:
+                return f"NOT ({parts[0]})" if len(parts) == 1 else f"NOT {body}"
+            return body
         if isinstance(node, ExistsPlan):
             return self._exists(node)
         if isinstance(node, ColumnFilter):

@@ -1,0 +1,193 @@
+"""Planner strategies P0-P3 + freshness (C1200-C1254 analogs), execute modes
+(sql-only / count / dataframe), debug log, lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+from concept_multi_db_query_engine_spark import ConnectionError as CmeConnectionError
+
+
+def run(engine, defn, context=None):
+    return engine.query(defn, context)
+
+
+class TestPlannerStrategies:
+    def test_p1_direct_single_db(self, engine):
+        res = run(engine, {"from": "orders", "columns": ["id"]})
+        assert res["meta"]["strategy"] == "direct"
+        assert res["meta"]["targetDatabase"] == "pg-main"
+        assert res["meta"]["dialect"] == "spark"
+
+    def test_p0_cache_by_ids(self, engine):
+        res = run(engine, {"from": "users", "byIds": ["uuid-c1", "uuid-c2"]})
+        assert res["meta"]["strategy"] == "cache"
+        assert res["meta"]["targetDatabase"] == "redis-main"
+        assert len(res["data"]) == 2
+        assert res["data"][0]["id"] == "uuid-c1"
+
+    def test_cache_partial_hit_merges_db_rows(self, engine):
+        res = run(engine, {"from": "users", "byIds": ["uuid-c1", "uuid-missing"]})
+        assert res["meta"]["strategy"] == "cache"
+        assert [r["id"] for r in res["data"]] == ["uuid-c1"]
+
+    def test_cache_skipped_with_filters(self, engine):
+        res = run(
+            engine,
+            {"from": "users", "byIds": ["uuid-c1"],
+             "filters": [{"column": "role", "operator": "=", "value": "admin"}]},
+        )
+        assert res["meta"]["strategy"] == "direct"
+
+    def test_cache_skipped_on_realtime(self, engine):
+        res = run(
+            engine,
+            {"from": "users", "byIds": ["uuid-c1"], "freshness": "realtime"},
+        )
+        assert res["meta"]["strategy"] == "direct"
+
+    def test_p2_materialized_replica(self, engine):
+        # orders (pg-main) + events (ch-analytics): orders has a ch replica
+        # with lag 'seconds' → co-locate in ch-analytics when freshness allows
+        res = run(
+            engine,
+            {"from": "events", "columns": ["id"],
+             "joins": [{"table": "orders", "type": "inner", "columns": ["id"]}],
+             "freshness": "minutes"},
+        )
+        assert res["meta"]["strategy"] == "materialized"
+        assert res["meta"]["targetDatabase"] == "ch-analytics"
+        used = {t["tableId"]: t for t in res["meta"]["tablesUsed"]}
+        assert used["orders"]["source"] == "materialized"
+        assert used["orders"]["physicalName"] == "orders_replica"
+        assert len(res["data"]) == 2  # events e1 (order 1), e3 (order 3)
+
+    def test_p3_federation_on_realtime(self, engine):
+        # realtime bans replicas → cross-db federation over originals
+        res = run(
+            engine,
+            {"from": "events", "columns": ["id"],
+             "joins": [{"table": "orders", "type": "inner", "columns": ["id"]}],
+             "freshness": "realtime"},
+        )
+        assert res["meta"]["strategy"] == "trino-cross-db"
+        used = {t["tableId"]: t for t in res["meta"]["tablesUsed"]}
+        assert used["orders"]["source"] == "original"
+        assert len(res["data"]) == 2
+
+
+class TestExecuteModes:
+    def test_sql_only(self, engine):
+        res = run(
+            engine,
+            {"from": "samples", "columns": ["id", "name"],
+             "filters": [{"column": "status", "operator": "=",
+                          "value": "active"}],
+             "orderBy": [{"column": "id", "direction": "asc"}],
+             "limit": 10, "executeMode": "sql-only"},
+        )
+        assert res["kind"] == "sql"
+        assert "data" not in res
+        sql, params = res["sql"], res["params"]
+        assert "SELECT" in sql and "FROM `samples` AS t0" in sql
+        assert "WHERE t0.`status` = ?" in sql
+        assert "ORDER BY t0.`id` ASC" in sql and "LIMIT 10" in sql
+        assert params == ["active"]
+
+    def test_sql_only_runs_on_spark(self, engine, spark):
+        """The rendered text is valid Spark SQL: execute it and compare."""
+        defn = {
+            "from": "samples", "columns": ["id", "category"],
+            "filters": [{"column": "amount", "operator": ">", "value": 99}],
+            "orderBy": [{"column": "id", "direction": "asc"}],
+        }
+        res = run(engine, {**defn, "executeMode": "sql-only"})
+        sql = res["sql"]
+        for p in res["params"]:
+            lit = f"'{p}'" if isinstance(p, str) else str(p)
+            sql = sql.replace("?", lit, 1)
+        from tests.fixtures import build_registry  # registered memory tables
+
+        reg = build_registry(spark)
+        reg.df(spark, "pg-main", "samples").createOrReplaceTempView("samples")
+        sql = sql.replace("FROM `samples`", "FROM samples")
+        rows = [r.asDict() for r in spark.sql(sql).collect()]
+        direct = run(engine, defn)["data"]
+        assert rows == direct
+
+    def test_sql_only_reports_masking_intent(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": ["id", "total"],
+             "executeMode": "sql-only"},
+            {"roles": {"user": ["tenant-user"]}},
+        )
+        cols = {c["apiName"]: c for c in res["meta"]["columns"]}
+        assert cols["total"]["masked"] is True
+
+    def test_dataframe_mode_is_lazy(self, engine):
+        df = engine.dataframe(
+            {"from": "samples", "columns": ["id", "name"],
+             "filters": [{"column": "status", "operator": "=",
+                          "value": "active"}]}
+        )
+        assert df.columns == ["id", "name"]
+        assert df.count() == 2
+
+    def test_debug_log_phases(self, engine):
+        res = run(
+            engine,
+            {"from": "samples", "columns": ["id"], "debug": True},
+        )
+        phases = [e["phase"] for e in res["debugLog"]]
+        for expected in ("access-control", "validation", "planning",
+                         "name-resolution", "execution"):
+            assert expected in phases
+
+    def test_no_debug_log_by_default(self, engine):
+        res = run(engine, {"from": "samples", "columns": ["id"]})
+        assert "debugLog" not in res
+
+    def test_timing_present(self, engine):
+        res = run(engine, {"from": "samples", "columns": ["id"]})
+        t = res["meta"]["timing"]
+        assert t["planningMs"] >= 0
+        assert t["executionMs"] >= 0
+
+
+class TestValidateEndpoint:
+    def test_validate_query_zero_io(self, engine):
+        issues = engine.validate_query(
+            {"from": "samples",
+             "filters": [{"column": "nope", "operator": "=", "value": 1}]}
+        )
+        assert any(i["code"] == "UNKNOWN_COLUMN" for i in issues)
+
+    def test_validate_query_ok(self, engine):
+        assert engine.validate_query({"from": "samples"}) == []
+
+
+class TestLifecycle:
+    def test_health_check(self, engine):
+        h = engine.health_check()
+        assert h["healthy"] is True
+        assert "pg-main" in h["providers"]
+
+    def test_reload_and_close(self, spark):
+        from tests import fixtures
+        from concept_multi_db_query_engine_spark import MultiDb, ConfigError
+
+        registry = fixtures.build_registry(spark)
+        db = MultiDb(spark, fixtures.METADATA, fixtures.ROLES, registry)
+        assert db.query({"from": "samples", "executeMode": "count"})["count"] == 5
+
+        # invalid reload preserves the old snapshot (TESTS.md:382 #228)
+        bad = {"databases": [], "tables": [{"apiName": "x", "database": "ghost",
+                                            "columns": []}]}
+        with pytest.raises(ConfigError):
+            db.reload_metadata(bad)
+        assert db.query({"from": "samples", "executeMode": "count"})["count"] == 5
+
+        db.close()
+        with pytest.raises(CmeConnectionError):
+            db.query({"from": "samples"})
