@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+plus the LLM-data-pipeline extensions; ``oracle_sql()`` gives the equivalent
+DuckDB SQL over the same parquet tables. Engine-DSL entries run through the
+full MultiDb pipeline (validation → ACL → planner → resolver → DataFrame
+builder); operator entries call the operators package directly.
+
+Numeric convention: money aggregates are computed over DECIMAL(12,4)-cast
+columns on BOTH sides (exact, associative — immune to partition-order float
+drift) and cast to DOUBLE at the end; similarity scores are rounded with
+deterministic vec_id tiebreaks.
 """
 
 from __future__ import annotations
@@ -13,26 +18,768 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark import testdata
+from concept_multi_db_query_engine_spark.operators import multimodal
+
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = testdata.build_engine(spark, sf_dir)
+    return _ENGINES[key]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return testdata.load_table(spark, sf_dir, name)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1 pricing summary through the operators layer
+    at sf0.001."""
+    return ops.tpch_q1(_t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# engine-DSL query definitions (run via MultiDb.dataframe)
+# --------------------------------------------------------------------------
+
+_DSL: dict[str, dict] = {
+    "filter_eq": {
+        "from": "lineitem",
+        "columns": ["l_orderkey", "l_linenumber", "l_returnflag",
+                    "l_quantity"],
+        "filters": [{"column": "l_returnflag", "operator": "=", "value": "A"}],
+    },
+    "filter_range_in": {
+        "from": "orders",
+        "columns": ["o_orderkey", "o_totalprice", "o_orderpriority"],
+        "filters": [
+            {"column": "o_totalprice", "operator": "between",
+             "value": {"from": 1000.0, "to": 50000.0}},
+            {"column": "o_orderpriority", "operator": "in",
+             "value": ["1-URGENT", "2-HIGH"]},
+            {"column": "o_orderdate", "operator": ">",
+             "value": "1997-01-01T00:00:00"},
+        ],
+    },
+    "filter_pattern_group": {
+        "from": "part",
+        "columns": ["p_partkey", "p_name", "p_brand", "p_type"],
+        "filters": [{
+            "logic": "and",
+            "conditions": [
+                {"logic": "or", "conditions": [
+                    {"column": "p_name", "operator": "contains",
+                     "value": "widget"},
+                    {"column": "p_type", "operator": "startsWith",
+                     "value": "SMALL"},
+                ]},
+                {"logic": "or", "not": True, "conditions": [
+                    {"column": "p_brand", "operator": "=",
+                     "value": "Brand#1"},
+                ]},
+            ],
+        }],
+    },
+    "filter_levenshtein": {
+        "from": "nation",
+        "columns": ["n_nationkey", "n_name"],
+        "filters": [{"column": "n_name", "operator": "levenshteinLte",
+                     "value": {"text": "NATION_1", "maxDistance": 1}}],
+    },
+    "filter_column_cmp": {
+        "from": "lineitem",
+        "columns": ["l_orderkey", "l_linenumber", "l_discount", "l_tax"],
+        "filters": [{"column": "l_discount", "operator": ">",
+                     "refColumn": "l_tax"}],
+    },
+    "filter_ilike_endswith": {
+        "from": "customer",
+        "columns": ["c_custkey", "c_name", "c_mktsegment"],
+        "filters": [
+            {"column": "c_mktsegment", "operator": "ilike",
+             "value": "build%"},
+            {"column": "c_name", "operator": "endsWith", "value": "1"},
+        ],
+    },
+    "join_inner": {
+        "from": "orders",
+        "columns": ["o_orderkey", "o_totalprice"],
+        "joins": [{"table": "customer", "type": "inner",
+                   "columns": ["c_custkey", "c_mktsegment"],
+                   "filters": [{"column": "c_mktsegment", "operator": "=",
+                                "value": "BUILDING"}]}],
+    },
+    "join_left": {
+        "from": "customer",
+        "columns": ["c_custkey", "c_mktsegment"],
+        "joins": [{"table": "orders", "columns": ["o_orderkey",
+                                                  "o_totalprice"],
+                   }],
+        "filters": [{"column": "c_custkey", "operator": "<", "value": 50}],
+    },
+    "join_transitive": {
+        "from": "lineitem",
+        "columns": ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        "joins": [
+            {"table": "orders", "columns": []},
+            {"table": "customer", "type": "inner",
+             "columns": ["c_mktsegment"],
+             "filters": [{"column": "c_mktsegment", "operator": "=",
+                          "value": "MACHINERY"}]},
+        ],
+        "filters": [{"column": "l_quantity", "operator": ">", "value": 48.0}],
+    },
+    "agg_group_count": {
+        "from": "orders",
+        "groupBy": [{"column": "o_orderpriority"},
+                    {"column": "o_orderstatus"}],
+        "aggregations": [
+            {"column": "*", "fn": "count", "alias": "n"},
+            {"column": "o_totalprice", "fn": "min", "alias": "min_price"},
+            {"column": "o_totalprice", "fn": "max", "alias": "max_price"},
+        ],
+    },
+    "agg_int_sum_avg": {
+        "from": "part",
+        "groupBy": [{"column": "p_brand"}],
+        "aggregations": [
+            {"column": "p_size", "fn": "sum", "alias": "sum_size"},
+            {"column": "p_size", "fn": "avg", "alias": "avg_size"},
+            {"column": "*", "fn": "count", "alias": "n"},
+        ],
+    },
+    "agg_having": {
+        "from": "orders",
+        "groupBy": [{"column": "o_custkey"}],
+        "aggregations": [{"column": "*", "fn": "count",
+                          "alias": "n_orders"}],
+        "having": [{"column": "n_orders", "operator": ">=", "value": 15}],
+    },
+    "agg_joined_column": {
+        "from": "orders",
+        "joins": [{"table": "customer", "type": "inner",
+                   "columns": ["c_mktsegment"]}],
+        "groupBy": [{"column": "c_mktsegment", "table": "customer"}],
+        "aggregations": [
+            {"column": "o_totalprice", "fn": "max", "alias": "max_price"},
+            {"column": "*", "fn": "count", "alias": "n"},
+        ],
+    },
+    "exists_filter": {
+        "from": "customer",
+        "columns": ["c_custkey", "c_name"],
+        "filters": [{"table": "orders", "exists": True,
+                     "filters": [{"column": "o_totalprice", "operator": ">",
+                                  "value": 450000.0}]}],
+    },
+    "not_exists_filter": {
+        "from": "customer",
+        "columns": ["c_custkey"],
+        "filters": [{"table": "orders", "exists": False,
+                     "filters": [{"column": "o_totalprice", "operator": ">",
+                                  "value": 450000.0}]}],
+    },
+    "counted_exists_gte": {
+        "from": "customer",
+        "columns": ["c_custkey"],
+        "filters": [{"table": "orders",
+                     "count": {"operator": ">=", "value": 15}}],
+    },
+    "counted_exists_lt": {
+        "from": "customer",
+        "columns": ["c_custkey"],
+        "filters": [{"table": "orders",
+                     "count": {"operator": "<", "value": 8}}],
+    },
+    "exists_in_or_group": {
+        "from": "customer",
+        "columns": ["c_custkey", "c_acctbal"],
+        "filters": [{
+            "logic": "or",
+            "conditions": [
+                {"table": "orders", "exists": True,
+                 "filters": [{"column": "o_totalprice", "operator": ">",
+                              "value": 480000.0}]},
+                {"column": "c_acctbal", "operator": "<", "value": -900.0},
+            ],
+        }],
+    },
+    "nested_exists": {
+        "from": "customer",
+        "columns": ["c_custkey"],
+        "filters": [{
+            "table": "orders", "exists": True,
+            "filters": [{
+                "table": "lineitem", "exists": True,
+                "filters": [{"column": "l_quantity", "operator": ">",
+                             "value": 49.8}],
+            }],
+        }],
+    },
+    "distinct_cols": {
+        "from": "orders",
+        "columns": ["o_orderstatus", "o_orderpriority"],
+        "distinct": True,
+    },
+    "order_limit_offset": {
+        "from": "orders",
+        "columns": ["o_orderkey", "o_totalprice"],
+        "orderBy": [{"column": "o_totalprice", "direction": "desc"},
+                    {"column": "o_orderkey", "direction": "asc"}],
+        "limit": 20, "offset": 5,
+    },
+    "by_ids": {
+        "from": "orders",
+        "columns": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "byIds": [1, 2, 3, 5, 8, 13, 21, 34],
+    },
+    "group_by_no_agg": {
+        "from": "lineitem",
+        "groupBy": [{"column": "l_returnflag"}, {"column": "l_linestatus"}],
+    },
+    "federated_join": {
+        # events (lake) ⋈ customer (warehouse) — cross-database federation
+        "from": "events",
+        "columns": ["event_id", "event_type"],
+        "joins": [{"table": "customer", "type": "inner",
+                   "columns": ["c_mktsegment"]}],
+        "filters": [{"column": "event_type", "operator": "=",
+                     "value": "purchase"},
+                    {"column": "event_id", "operator": "<", "value": 2000}],
+    },
+    "replica_routing": {
+        # freshness 'hours' lets the planner substitute the lake replica of
+        # customer → single-database 'materialized' plan
+        "from": "events",
+        "columns": ["event_id", "event_type"],
+        "joins": [{"table": "customer", "type": "inner",
+                   "columns": ["c_mktsegment"]}],
+        "filters": [{"column": "event_type", "operator": "=",
+                     "value": "signup"},
+                    {"column": "event_id", "operator": "<", "value": 2000}],
+        "freshness": "hours",
+    },
+}
+
+_DSL_CONTEXT: dict[str, dict] = {
+    "masking_role": {"roles": {"user": ["restricted"]}},
+}
+
+_DSL["masking_role"] = {
+    "from": "customer",
+    "columns": ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    "filters": [{"column": "c_custkey", "operator": "<=", "value": 25}],
+}
+
+
+def _dsl_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        return eng.dataframe(_DSL[name], _DSL_CONTEXT.get(name))
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# operator queries (direct DataFrame plans)
+# --------------------------------------------------------------------------
+
+
+def _q_tpch_q1(spark, sf):
+    return ops.tpch_q1(_t(spark, sf, "lineitem"))
+
+
+def _q_tpch_q3(spark, sf):
+    return ops.tpch_q3(_t(spark, sf, "customer"), _t(spark, sf, "orders"),
+                       _t(spark, sf, "lineitem"))
+
+
+def _q_tpch_q5(spark, sf):
+    return ops.tpch_q5(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+    )
+
+
+def _q_window_topk(spark, sf):
+    return ops.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
+
+
+def _q_events_hourly(spark, sf):
+    return ops.events_hourly(_t(spark, sf, "events"))
+
+
+def _q_token_stats(spark, sf):
+    return ops.token_stats(_t(spark, sf, "documents"))
+
+
+def _q_quality(spark, sf):
+    return ops.quality_score(_t(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    return ops.language_id(_t(spark, sf, "documents"))
+
+
+def _q_fingerprint(spark, sf):
+    return ops.document_fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_dedup_exact(spark, sf):
+    return ops.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def _q_dedup_jaccard(spark, sf):
+    return ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=5,
+                                   threshold=0.5)
+
+
+def _q_dedup_minhash(spark, sf):
+    return ops.minhash_lsh_pairs(_t(spark, sf, "documents"), k=5,
+                                 num_hashes=16, bands=4, threshold=0.5)
+
+
+def _q_dedup_embedding(spark, sf):
+    return ops.embedding_cosine_pairs(_t(spark, sf, "embeddings"),
+                                      threshold=0.35)
+
+
+def _q_sim_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.topk_cosine_bruteforce(emb, queries, k=10)
+
+
+def _q_sim_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
+
+
+def _q_simhash(spark, sf):
+    return ops.simhash_near_pairs(_t(spark, sf, "documents"), k=2,
+                                  max_hamming=3)
+
+
+def _q_multimodal(spark, sf):
+    media = multimodal.as_media_table(_t(spark, sf, "documents"))
+    return multimodal.fake_decode_stats(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _dsl_query(name) for name in _DSL
+    }
+    out.update(
+        {
+            "tpch_q1": _q_tpch_q1,
+            "tpch_q3": _q_tpch_q3,
+            "tpch_q5": _q_tpch_q5,
+            "window_topk_per_group": _q_window_topk,
+            "events_hourly_rollup": _q_events_hourly,
+            "text_token_stats": _q_token_stats,
+            "text_quality_score": _q_quality,
+            "text_language_id": _q_lang_id,
+            "text_fingerprint": _q_fingerprint,
+            "dedup_exact": _q_dedup_exact,
+            "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_embedding_cosine": _q_dedup_embedding,
+            "sim_topk_bruteforce": _q_sim_bruteforce,
+            "sim_topk_lsh": _q_sim_lsh,
+            "dedup_simhash": _q_simhash,          # no SQL oracle (xxhash64)
+            "multimodal_decode_stats": _q_multimodal,  # no SQL oracle (UDF)
+        }
+    )
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_NAME_MASK = (
+    "concat(substr(c_name, 1, 1), "
+    "repeat('*', greatest(length(c_name) - 2, 1)), "
+    "substr(c_name, length(c_name), 1))"
+)
+
+_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(w, i.i, i.i + 4), 'string_agg', ' ')
+           AS shingle
+  FROM words CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) i
+  WHERE len(w) >= 5 AND i.i <= len(w) - 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2,
+         round(common::DOUBLE / (s1.n + s2.n - common), 4) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+)
+"""
+
+_COS_NORM_CTE = """
+e AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS norm2
+  FROM embeddings
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # ---- engine DSL ----
+    o["filter_eq"] = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+        "FROM lineitem WHERE l_returnflag = 'A'"
+    )
+    o["filter_range_in"] = (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_totalprice BETWEEN 1000.0 AND 50000.0 "
+        "AND o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "AND o_orderdate > TIMESTAMP '1997-01-01'"
+    )
+    o["filter_pattern_group"] = (
+        "SELECT p_partkey, p_name, p_brand, p_type FROM part "
+        "WHERE (p_name LIKE '%widget%' OR p_type LIKE 'SMALL%') "
+        "AND NOT (p_brand = 'Brand#1')"
+    )
+    o["filter_levenshtein"] = (
+        "SELECT n_nationkey, n_name FROM nation "
+        "WHERE levenshtein(n_name, 'NATION_1') <= 1"
+    )
+    o["filter_column_cmp"] = (
+        "SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem "
+        "WHERE l_discount > l_tax"
+    )
+    o["filter_ilike_endswith"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_mktsegment ILIKE 'build%' AND c_name LIKE '%1'"
+    )
+    o["join_inner"] = (
+        "SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_mktsegment "
+        "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING'"
+    )
+    o["join_left"] = (
+        "SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 50"
+    )
+    o["join_transitive"] = (
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, "
+        "c.c_mktsegment "
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'MACHINERY' AND l.l_quantity > 48.0"
+    )
+    o["agg_group_count"] = (
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+        "FROM orders GROUP BY 1, 2"
+    )
+    o["agg_int_sum_avg"] = (
+        "SELECT p_brand, sum(p_size) AS sum_size, avg(p_size) AS avg_size, "
+        "count(*) AS n FROM part GROUP BY 1"
+    )
+    o["agg_having"] = (
+        "SELECT o_custkey, count(*) AS n_orders FROM orders "
+        "GROUP BY 1 HAVING count(*) >= 15"
+    )
+    o["agg_joined_column"] = (
+        "SELECT c.c_mktsegment, max(o.o_totalprice) AS max_price, "
+        "count(*) AS n "
+        "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY 1"
+    )
+    o["exists_filter"] = (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 450000.0)"
+    )
+    o["not_exists_filter"] = (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 450000.0)"
+    )
+    o["counted_exists_gte"] = (
+        "SELECT c_custkey FROM customer c WHERE ("
+        "SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey"
+        ") >= 15"
+    )
+    o["counted_exists_lt"] = (
+        "SELECT c_custkey FROM customer c WHERE ("
+        "SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey"
+        ") < 8"
+    )
+    o["exists_in_or_group"] = (
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 480000.0) OR c_acctbal < -900.0"
+    )
+    o["nested_exists"] = (
+        "SELECT c_custkey FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_quantity > 49.8))"
+    )
+    o["distinct_cols"] = (
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+    )
+    o["order_limit_offset"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 5"
+    )
+    o["by_ids"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34)"
+    )
+    o["group_by_no_agg"] = (
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    )
+    o["federated_join"] = (
+        "SELECT e.event_id, e.event_type, c.c_mktsegment "
+        "FROM events e INNER JOIN customer c ON e.user_id = c.c_custkey "
+        "WHERE e.event_type = 'purchase' AND e.event_id < 2000"
+    )
+    o["replica_routing"] = (
+        "SELECT e.event_id, e.event_type, c.c_mktsegment "
+        "FROM events e INNER JOIN customer c ON e.user_id = c.c_custkey "
+        "WHERE e.event_type = 'signup' AND e.event_id < 2000"
+    )
+    o["masking_role"] = (
+        f"SELECT c_custkey, {_NAME_MASK} AS c_name, "
+        "CAST(0 AS DOUBLE) AS c_acctbal, c_mktsegment "
+        "FROM customer WHERE c_custkey <= 25"
+    )
+
+    # ---- analytics ----
+    dec = "DECIMAL(12,4)"
+    disc = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
+    charge = f"{disc} * (CAST(1 AS {dec}) + CAST(l_tax AS {dec}))"
+    o["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
+  CAST(sum({disc}) AS DOUBLE) AS sum_disc_price,
+  CAST(sum({charge}) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS {dec})) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    o["tpch_q3"] = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+  CAST(sum({disc}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+"""
+    o["tpch_q5"] = f"""
+SELECT n.n_name,
+  CAST(sum({disc}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n.n_name ASC
+"""
+    o["window_topk_per_group"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+    o["events_hourly_rollup"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+    # ---- text analysis ----
+    o["text_token_stats"] = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round((length(text) -
+              (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+"""
+    stop_hits = " + ".join(
+        f"(length(concat(' ', text, ' ')) - "
+        f"length(replace(concat(' ', text, ' '), ' {w} ', ''))) // {len(w) + 2}"
+        for w in ("the", "a", "is", "of", "and")
+    )
+    o["text_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens,
+         ({stop_hits})::DOUBLE AS stop_hits,
+         (length(text) - length(regexp_replace(text,
+            '[0-9!#$%^&*()_+=,.;:?]', '', 'g')))::DOUBLE AS digit_punct
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       round(stop_hits / n_tokens, 4) AS stop_ratio,
+       round(digit_punct / length(text), 4) AS noise_ratio,
+       round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0
+              END)
+             + least(round(stop_hits / n_tokens, 4) * 2.0, 0.4)
+             + (0.2 - least(round(digit_punct / length(text), 4), 0.2)),
+             4) AS quality
+FROM t
+"""
+    en_hits = " + ".join(
+        f"(length(concat(' ', lower(text), ' ')) - "
+        f"length(replace(concat(' ', lower(text), ' '), ' {w} ', ''))) "
+        f"// {len(w) + 2}"
+        for w in ("the", "a", "is", "of", "and")
+    )
+    o["text_language_id"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         ({en_hits})::DOUBLE AS hits,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN round(hits / n_tokens, 4) >= 0.05 THEN 'en' ELSE 'und' END
+         AS lang_pred,
+       round(hits / n_tokens, 4) AS lang_conf
+FROM t
+"""
+    o["text_fingerprint"] = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_len
+FROM documents
+"""
+
+    # ---- dedup ----
+    o["dedup_exact"] = """
+SELECT doc_id, canonical_id, fingerprint FROM (
+  SELECT doc_id, md5(text) AS fingerprint,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+) WHERE doc_id != canonical_id
+"""
+    o["dedup_ngram_jaccard"] = (
+        "WITH " + _SHINGLES_CTE
+        + "SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"
+    )
+    o["dedup_minhash_lsh"] = (
+        "WITH " + _SHINGLES_CTE + """,
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT cand.d1, cand.d2, jac.jaccard
+FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
+WHERE jac.jaccard >= 0.5
+"""
+    )
+    o["dedup_embedding_cosine"] = (
+        "WITH " + _COS_NORM_CTE + """
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 4)
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 4) >= 0.35
+"""
+    )
+
+    # ---- similarity search ----
+    o["sim_topk_bruteforce"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.norm2 * c.norm2), 6)
+           AS cosine
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    )
+    o["sim_topk_lsh"] = (
+        "WITH " + _COS_NORM_CTE + """
+, b AS (
+  SELECT *,
+    ((CASE WHEN v[1] > 0.0 THEN 1 ELSE 0 END) * 8 +
+     (CASE WHEN v[2] > 0.0 THEN 1 ELSE 0 END) * 4 +
+     (CASE WHEN v[3] > 0.0 THEN 1 ELSE 0 END) * 2 +
+     (CASE WHEN v[4] > 0.0 THEN 1 ELSE 0 END)) AS bucket
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.norm2 * c.norm2), 6)
+           AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
+    return o

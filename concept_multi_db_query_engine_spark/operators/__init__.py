@@ -1,0 +1,47 @@
+"""Extended operators beyond the reference's query surface — the
+LLM-training-data-pipeline toolkit (dedup, similarity search, text analysis,
+multimodal plumbing, analytic windows).
+
+The reference's surface is a closed query DSL (SURVEY.md §2.14: no UDFs); the
+driver's north star adds these as first-class PySpark-native operators. All
+hot paths use built-in JVM-side expressions; Python appears only inside
+Arrow-batched ``mapInPandas`` for the multimodal stubs.
+"""
+
+from .analytics import (
+    events_hourly,
+    top_orders_per_priority,
+    tpch_q1,
+    tpch_q3,
+    tpch_q5,
+)
+from .dedup import (
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from .similarity import topk_cosine_bruteforce, topk_cosine_lsh
+from .text import document_fingerprint, language_id, quality_score, token_stats
+
+__all__ = [
+    "document_fingerprint",
+    "events_hourly",
+    "embedding_cosine_pairs",
+    "exact_duplicates",
+    "language_id",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "token_stats",
+    "top_orders_per_priority",
+    "topk_cosine_bruteforce",
+    "topk_cosine_lsh",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+]

@@ -1,0 +1,294 @@
+"""Deduplication operators for large text/embedding corpora.
+
+Five families, mirroring standard pretraining-data pipelines:
+
+- exact:      md5 fingerprint → groupBy (one shuffle on a 32-byte key)
+- n-gram Jaccard: word-k-shingles → inverted-index self-join → set overlap
+- MinHash+LSH: md5-based minhash signatures → banded buckets → candidate
+  pairs → exact-Jaccard verification (the scale path: candidates only,
+  never all-pairs)
+- SimHash:    64-bit xxhash64-vote fingerprint → hamming-distance pairs
+- embedding cosine: all-pairs above a threshold (brute force; the LSH-bucketed
+  variant lives in similarity.py)
+
+Everything is built-in expressions (no Python UDFs). The md5/minhash hash
+family is chosen deliberately: DuckDB computes the identical md5 hex, so the
+oracle can replay the whole pipeline value-for-value.
+
+Scale notes: the shingle inverted index is the classic skew trap — a stop-
+shingle shared by every document creates a quadratic bucket. ``max_doc_freq``
+drops shingles that occur in more than N documents (standard practice: they
+carry no discriminating signal); AQE skew-join handles the residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingles(docs: DataFrame, k: int = 5, max_doc_freq: int | None = None
+              ) -> DataFrame:
+    """(doc_id, shingle) distinct word-k-shingles."""
+    out = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}), "
+                    f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        out = (
+            out.join(freq, "shingle")
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    return out
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: rows whose md5(text) appeared before (lowest doc_id is
+    the canonical survivor). Returns (doc_id, canonical_id, fingerprint) for
+    every NON-canonical duplicate."""
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id", "fingerprint")
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise Jaccard over a (doc_id, shingle) set via inverted-index
+    self-join; only pairs sharing ≥1 shingle are ever materialized."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1", "d2",
+            F.round(
+                F.col("common")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 5, threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-k-gram Jaccard ≥ threshold.
+    Output: (d1, d2, jaccard) with d1 < d2."""
+    return _jaccard_pairs(_shingles(docs, k, max_doc_freq), threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, seed, sig): minhash signature rows. Hash family
+    h_s(x) = md5(s || ':' || x); the minimum md5 hex string per seed is an
+    order-preserving stand-in for the minimum 128-bit integer."""
+    sh = _shingles(docs, k)
+    seeds = docs.sparkSession.range(num_hashes).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id", "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"),
+                         F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
+
+    num_hashes/bands = rows-per-band r; candidate probability for a pair with
+    true Jaccard j is 1-(1-j^r)^bands — with 16/4 the curve crosses 50% around
+    j≈0.47, matching the 0.5 verification threshold.
+
+    At scale this is the only shape that works: signatures are
+    O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
+    runs only on candidates.
+    """
+    sigs = minhash_signatures(docs, k, num_hashes)
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(seed, sig)))"
+                        ", x -> x.sig)"
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = _jaccard_pairs(_shingles(docs, k), threshold)
+    return candidates.join(verified, ["d1", "d2"]).select("d1", "d2", "jaccard")
+
+
+def simhash_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
+    """64-bit SimHash per document: per-shingle xxhash64, bit-majority vote.
+
+    Built entirely from array expressions: for each of 64 bit positions, sum
+    the ±1 votes of all shingle hashes, emit bit = vote > 0. Returns
+    (doc_id, simhash) with simhash as a signed 64-bit long.
+    """
+    sh = _shingles(docs, k)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    # vote per bit: shiftright + AND 1 → {0,1} → 2x-1 ∈ {-1,1}
+    votes = hashed.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63), "
+            "b -> CAST(2 * (shiftright(h, b) & 1) - 1 AS LONG))"
+        ).alias("v"),
+    )
+    agg = votes.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(collect_list(v), "
+            "transform(sequence(0, 63), b -> CAST(0 AS LONG)), "
+            "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))"
+        ).alias("votes")
+    )
+    return agg.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), CAST(0 AS LONG), "
+            "(acc, b) -> acc | shiftleft(CAST(CASE WHEN votes[b] > 0 THEN 1 ELSE 0 END "
+            "AS LONG), b))"
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, k: int = 2, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 × 16-bit sub-keys — two fingerprints within
+    hamming 3 must agree exactly on at least one 16-bit quarter (pigeonhole),
+    so the self-join runs on quarter-key buckets, never all-pairs.
+    """
+    fp = simhash_fingerprints(docs, k)
+    quarters = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "q -> struct(q AS q, CAST(shiftright(simhash, q * 16) & 65535 AS INT)"
+                " AS qk))"
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.q", "blk.qk")
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q")) & (F.col("a.qk") == F.col("b.qk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup). Brute force —
+    correct baseline and the verification stage for any ANN blocking. Uses
+    double-precision sequential fold so the oracle reproduces values exactly.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.expr(
+            f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("norm2"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("v1"),
+            F.col("b.vid").alias("v2"),
+            F.round(
+                dot / F.sqrt(F.col("a.norm2") * F.col("b.norm2")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (PIL/ffmpeg are not in this container):
+``fake_decode_stats`` computes deterministic per-blob statistics so the
+pipeline shape — schema, partitioning, batch iteration, UDF signature — is
+real and testable. Swapping in a real decoder changes ONE inner function.
+
+Scale notes: binary blobs ride in parquet pages like any column; Arrow moves
+them to Python in batches (spark.sql.execution.arrow.maxRecordsPerBatch
+bounds peak memory); per-partition iteration means decode parallelism equals
+input partitions — repartition upstream to match cluster cores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, width int, height int, format string"
+)
+STATS_SCHEMA = (
+    "doc_id long, width int, height int, format string, "
+    "n_bytes long, brightness double, is_valid boolean"
+)
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: text bytes stand
+    in for image blobs; metadata columns are real. (At 100 TB the blobs come
+    from parquet/webdataset; this function is fixture-only.)"""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        (F.pmod(F.col("doc_id"), F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(48)) + 24).cast("int").alias("height"),
+        F.lit("fake/raw8").alias("format"),
+    )
+
+
+def fake_decode_stats(media: DataFrame) -> DataFrame:
+    """'Decode' each blob and emit per-media statistics.
+
+    Real implementation would replace `_decode_one` with e.g.
+    PIL.Image.open(io.BytesIO(blob)) → np.asarray; everything around it
+    (Arrow batching, schema, null handling) stays identical.
+    """
+
+    def _decode_one(blob: bytes | None) -> tuple[int, float, bool]:
+        if blob is None:
+            return 0, 0.0, False
+        if not isinstance(blob, (bytes, bytearray)):  # pragma: no cover
+            raise NotImplementedError(
+                "real decoders (PIL/ffmpeg) are not available in this "
+                "container; fake_decode_stats only handles bytes"
+            )
+        n = len(blob)
+        # deterministic 'brightness': mean byte value
+        brightness = (sum(blob) / n) if n else 0.0
+        return n, round(brightness, 4), n > 0
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = pdf["media"].map(_decode_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "format": pdf["format"],
+                    "n_bytes": stats.map(lambda s: s[0]),
+                    "brightness": stats.map(lambda s: s[1]),
+                    "is_valid": stats.map(lambda s: s[2]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=STATS_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling plan: one output row per sampled frame
+    index, computed JVM-side (explode over a sequence). The downstream decode
+    of each frame would ride the same mapInPandas path as above."""
+    n_frames = (F.length(F.col("media")) / F.lit(every_n)).cast("int")
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        (F.col("frame_idx") * every_n).alias("byte_offset"),
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``topk_cosine_bruteforce``: exact top-k per query — the correctness
+  baseline, and perfectly adequate whenever |queries| × |corpus| pairs fit a
+  shuffle (queries side is broadcast).
+- ``topk_cosine_lsh``: sign-random-projection bucketing — the scale path.
+  Hyperplanes here are the first ``bits`` coordinate axes (deterministic, so
+  the oracle can replay it); swap in seeded random hyperplanes for production
+  by broadcasting a hyperplane matrix.
+
+All math is double-precision built-in array expressions; ranking ties are
+broken by vec_id so results are fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with(q.v, c.v, (x, y) -> CAST(x AS DOUBLE) * "
+    "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+
+
+def _with_norm(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.expr(
+            f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("norm2"),
+    )
+
+
+def topk_cosine_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (queries is a small
+    DataFrame with the same id/vec columns; broadcast to every executor).
+    Output: (query_id, vec_id, cosine, rank)."""
+    corpus = _with_norm(embeddings, id_col, vec_col).alias("c")
+    q = _with_norm(queries, id_col, vec_col).alias("q")
+    scored = (
+        corpus.join(F.broadcast(q), F.col("q.vid") != F.col("c.vid"))
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("vec_id"),
+            F.round(
+                F.expr(_DOT) / F.sqrt(F.col("q.norm2") * F.col("c.norm2")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-bucket (first
+    ``bits`` coordinates' signs), ranked exactly within the bucket.
+
+    2^bits buckets → the pair join shrinks by ~2^bits; recall is tunable via
+    bits (fewer bits = more candidates = higher recall). Output:
+    (query_id, vec_id, cosine, rank)."""
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.expr(
+                f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> "
+                "acc * 2 + CASE WHEN CAST(v[i] AS DOUBLE) > 0.0 THEN 1 "
+                "ELSE 0 END)"
+            ),
+        )
+
+    corpus = bucketed(_with_norm(embeddings, id_col, vec_col)).alias("c")
+    q = bucketed(_with_norm(queries, id_col, vec_col)).alias("q")
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vid") != F.col("c.vid")),
+        )
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("vec_id"),
+            F.round(
+                F.expr(_DOT) / F.sqrt(F.col("q.norm2") * F.col("c.norm2")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

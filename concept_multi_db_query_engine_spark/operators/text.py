@@ -1,0 +1,105 @@
+"""Text analysis operators over a documents table (doc_id, text, ...).
+
+All pure built-in Column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the row path. Each operator is deliberately expressible in ANSI SQL
+too (the DuckDB oracle runs the same formulas), so correctness is
+cross-checked value-for-value.
+
+Scale notes: every operator here is a narrow map over the scan — no shuffle,
+no skew risk; at 100 TB these run at parquet-read speed with full column
+pruning (only doc_id + text are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny English stopword set used by the heuristics (shared with the oracle)
+STOPWORDS = ("the", "a", "is", "of", "and")
+
+
+def _occurrences(col, needle: str):
+    """Number of occurrences of `needle` via length-difference — the one
+    string-count formula that renders identically in Spark SQL and DuckDB."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_chars, n_tokens (single-space separated), avg_token_len."""
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " "))
+    n_spaces = _occurrences(text, " ")
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round((F.length(text) - n_spaces) / n_tokens, 4)
+        .cast("double")
+        .alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, digit/punct ratio,
+    and a composite [0,1] score. Mirrors the usual pretraining-data quality
+    filters (length + stopword density + symbol noise)."""
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " ")).cast("double")
+    stop_hits = None
+    for w in STOPWORDS:
+        occ = _occurrences(F.concat(F.lit(" "), text, F.lit(" ")), f" {w} ")
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    digit_punct = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, "[0-9!#$%^&*()_+=,.;:?]", ""))
+    ).cast("double")
+    stop_ratio = F.round(stop_hits / n_tokens, 4)
+    noise_ratio = F.round(digit_punct / F.length(text).cast("double"), 4)
+    length_ok = (F.length(text) >= 50) & (F.length(text) <= 10000)
+    score = F.round(
+        (F.when(length_ok, 0.4).otherwise(0.0))
+        + F.least(stop_ratio * F.lit(2.0), F.lit(0.4))
+        + (F.lit(0.2) - F.least(noise_ratio, F.lit(0.2))),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        stop_ratio.cast("double").alias("stop_ratio"),
+        noise_ratio.cast("double").alias("noise_ratio"),
+        score.cast("double").alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword language heuristic: en vs unknown, with a confidence
+    ratio. (A real model would be a broadcast n-gram table; the shape —
+    narrow map, no shuffle — is identical.)"""
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    en_hits = None
+    for w in STOPWORDS:
+        occ = _occurrences(padded, f" {w} ")
+        en_hits = occ if en_hits is None else en_hits + occ
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
+    conf = F.round(en_hits / n_tokens, 4)
+    return docs.select(
+        "doc_id",
+        F.when(conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
+        conf.cast("double").alias("lang_conf"),
+    )
+
+
+def document_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 over case-folded,
+    whitespace-collapsed text. The dedup-join key for exact dedup at scale
+    (hash first, compare 32-byte keys instead of full documents)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("long").alias("norm_len"),
+    )

@@ -36,11 +36,23 @@ class ParquetSource(Source):
     stand-in for a database. Scans support predicate pushdown + column
     pruning natively."""
 
-    def __init__(self, directory: str):
+    def __init__(
+        self,
+        directory: str,
+        aliases: dict[str, str] | None = None,
+        post: Callable[[str, DataFrame], DataFrame] | None = None,
+    ):
         self.directory = directory.rstrip("/")
+        # physical name → actual file stem (e.g. a CDC replica registered as
+        # 'orders_replica' reading the synced copy)
+        self.aliases = aliases or {}
+        # optional per-table normalization (e.g. nano-timestamp conversion)
+        self.post = post
 
     def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
-        return spark.read.parquet(f"{self.directory}/{physical_name}.parquet")
+        stem = self.aliases.get(physical_name, physical_name)
+        df = spark.read.parquet(f"{self.directory}/{stem}.parquet")
+        return self.post(stem, df) if self.post else df
 
     def ping(self) -> bool:
         import os

@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` twin on DuckDB over the same sf parquet, then
+compare row counts + order-insensitive values EXACTLY (doubles included — the
+decimal-cast convention makes aggregates bit-identical)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    if hasattr(value, "isoformat"):
+        return value.isoformat()
+    return value
+
+
+def rows_of_spark(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(canon(r[c]) for c in cols) for r in df.collect()
+    ), cols
+
+
+def rows_of_duck(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    return sorted(
+        tuple(canon(r[i]) for i in idx) for r in rel.fetchall()
+    ), cols
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    got, got_cols = rows_of_spark(df)
+    want, want_cols = rows_of_duck(duck, ORACLES[name])
+    assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
+    assert len(got) == len(want), (
+        f"{name}: row count {len(got)} != {len(want)}"
+    )
+    mismatches = [
+        (i, g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: "
+        f"{mismatches[:3]}"
+    )
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    no_oracle = set(QUERIES) - set(ORACLES)
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert no_oracle <= {"dedup_simhash", "multimodal_decode_stats"}
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash", "multimodal_decode_stats"])
+def test_no_oracle_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
