@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink — full plan execution
+(scan → shuffle → aggregate) without driver-collect overhead distorting the
+measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from concept_multi_db_query_engine_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # engine-DSL pipeline (validation → ACL → plan → build → execute)
+    "filter_eq",
+    "filter_pattern_group",
+    "join_inner",
+    "join_transitive",
+    "agg_group_count",
+    "agg_having",
+    "counted_exists_gte",
+    "exists_in_or_group",
+    "nested_exists",
+    "order_limit_offset",
+    "federated_join",
+    "masking_role",
+    # analytics
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_topk_per_group",
+    "events_hourly_rollup",
+    # LLM-data-pipeline operators
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "multimodal_decode_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="cmdbqe-bench", cpus=cpus)
+
+    queries = entry_mod.queries()
+    # JVM/codegen warmup on the smallest table
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

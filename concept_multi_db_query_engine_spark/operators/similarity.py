@@ -41,20 +41,64 @@ def topk_cosine_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector (queries is a small
-    DataFrame with the same id/vec columns; broadcast to every executor).
-    Output: (query_id, vec_id, cosine, rank)."""
-    corpus = _with_norm(embeddings, id_col, vec_col).alias("c")
-    q = _with_norm(queries, id_col, vec_col).alias("q")
-    scored = (
-        corpus.join(F.broadcast(q), F.col("q.vid") != F.col("c.vid"))
-        .select(
-            F.col("q.vid").alias("query_id"),
-            F.col("c.vid").alias("vec_id"),
-            F.round(
-                F.expr(_DOT) / F.sqrt(F.col("q.norm2") * F.col("c.norm2")), 6
-            ).alias("cosine"),
-        )
+    """Exact top-k neighbors for each query vector.
+
+    Scale shape: the (small) query matrix is broadcast; every corpus
+    partition computes partition-rows × queries with one BLAS matmul and
+    prunes to its LOCAL top-k per query (partition-side top-k bounds shuffle
+    output at k × partitions × |queries| rows); a final window merge yields
+    the exact global top-k. Output: (query_id, vec_id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).collect()
+    q_ids = np.array([r["vid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+
+    def part(batches):
+        ids_q, mat_q, norms_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+            # queries × partition-rows similarity block
+            sims = (mat_q @ c_mat.T) / np.outer(norms_q, c_norms)
+            sims = np.round(sims, 6)
+            out = []
+            for qi in range(len(ids_q)):
+                s = sims[qi]
+                valid = c_ids != ids_q[qi]
+                idx = np.nonzero(valid)[0]
+                if len(idx) == 0:
+                    continue
+                # local top-k (sorted by -sim, then vec_id for determinism)
+                order = np.lexsort((c_ids[idx], -s[idx]))[:k]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "vec_id": c_ids[sel],
+                            "cosine": s[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = src.mapInPandas(
+        part, schema="query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
