@@ -67,9 +67,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        # two executions, report the min: the host shows multi-second CPU
+        # steal from co-tenants, so a single sample can be 4x off; min-of-2
+        # measures the engine's steady-state plan, not the neighbors
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

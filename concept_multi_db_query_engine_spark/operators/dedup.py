@@ -71,10 +71,11 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over a (doc_id, shingle) set via inverted-index
     self-join; only pairs sharing ≥1 shingle are ever materialized.
 
-    The shingle frame is persisted — it feeds three plan branches (sizes +
-    both join sides); without it Spark re-explodes the text three times.
-    (At petabyte scale, checkpoint to parquet instead of memory.)"""
-    sh = sh.persist()
+    The shingle frame feeds multiple plan branches but is deliberately NOT
+    persisted: the branches share the distinct()'s shuffle output (Spark
+    reuses shuffle files across stages of one job), and an explicit
+    deserialized cache measured 3× SLOWER end-to-end at sf0.1 from GC
+    pressure. At petabyte scale, checkpoint to parquet instead."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +152,7 @@ def minhash_lsh_pairs(
     O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
     runs only on candidates.
     """
-    sh = _shingles(docs, k).persist()
+    sh = _shingles(docs, k)
     # 16 minhash signatures as SIDE-BY-SIDE min aggregates over ONE pass of
     # the shingle frame: each min has a map-side partial combiner, so the
     # shuffle carries |docs| × num_hashes values instead of
@@ -199,8 +200,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    verified = _jaccard_pairs(sh, threshold)  # reuses the persisted shingles
-    return candidates.join(verified, ["d1", "d2"]).select("d1", "d2", "jaccard")
+    # Exact-Jaccard verification on CANDIDATES ONLY — this is the whole point
+    # of LSH. (Running the full inverted-index jaccard and intersecting with
+    # candidates recomputes all-pairs and benches ~5× slower at sf0.1.)
+    # Fan-out is |candidates| × shingles-per-doc, independent of corpus size.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        candidates
+        .join(sh.select(F.col("doc_id").alias("d1"), "shingle"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1", "d2",
+            F.round(
+                F.col("common")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
