@@ -220,6 +220,31 @@ _DSL: dict[str, dict] = {
             }],
         }],
     },
+    "filter_not_variants": {
+        "from": "part",
+        "columns": ["p_partkey", "p_brand", "p_size", "p_type"],
+        "filters": [
+            {"column": "p_brand", "operator": "notIn",
+             "value": ["Brand#1", "Brand#2"]},
+            {"column": "p_size", "operator": "notBetween",
+             "value": {"from": 10, "to": 40}},
+            {"column": "p_type", "operator": "notContains", "value": "ECO"},
+        ],
+    },
+    "filter_array_notempty": {
+        "from": "embeddings",
+        "columns": ["vec_id", "label"],
+        "filters": [
+            {"column": "embedding", "operator": "arrayIsNotEmpty"},
+            {"column": "label", "operator": ">=", "value": 5},
+        ],
+    },
+    "counted_exists_eq": {
+        "from": "customer",
+        "columns": ["c_custkey"],
+        "filters": [{"table": "orders",
+                     "count": {"operator": "=", "value": 12}}],
+    },
     "distinct_cols": {
         "from": "orders",
         "columns": ["o_orderstatus", "o_orderpriority"],
@@ -306,6 +331,22 @@ def _q_tpch_q5(spark, sf):
     )
 
 
+def _q_tpch_q6(spark, sf):
+    return ops.tpch_q6(_t(spark, sf, "lineitem"))
+
+
+def _q_sessionize(spark, sf):
+    return ops.sessionize(_t(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_asof(spark, sf):
+    return ops.purchases_with_last_view(_t(spark, sf, "events"))
+
+
+def _q_props_rollup(spark, sf):
+    return ops.props_rollup(_t(spark, sf, "events"))
+
+
 def _q_window_topk(spark, sf):
     return ops.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
 
@@ -380,6 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q1": _q_tpch_q1,
             "tpch_q3": _q_tpch_q3,
             "tpch_q5": _q_tpch_q5,
+            "tpch_q6": _q_tpch_q6,
+            "events_sessionize": _q_sessionize,
+            "events_asof_attribution": _q_asof,
+            "events_props_rollup": _q_props_rollup,
             "window_topk_per_group": _q_window_topk,
             "events_hourly_rollup": _q_events_hourly,
             "text_token_stats": _q_token_stats,
@@ -544,6 +589,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
         "AND l.l_quantity > 49.8))"
     )
+    o["filter_not_variants"] = (
+        "SELECT p_partkey, p_brand, p_size, p_type FROM part "
+        "WHERE p_brand NOT IN ('Brand#1', 'Brand#2') "
+        "AND p_size NOT BETWEEN 10 AND 40 "
+        "AND p_type NOT LIKE '%ECO%'"
+    )
+    o["filter_array_notempty"] = (
+        "SELECT vec_id, label FROM embeddings "
+        "WHERE len(embedding) > 0 AND label >= 5"
+    )
+    o["counted_exists_eq"] = (
+        "SELECT c_custkey FROM customer c WHERE ("
+        "SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey"
+        ") = 12"
+    )
     o["distinct_cols"] = (
         "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
     )
@@ -617,6 +677,53 @@ WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1 ORDER BY revenue DESC, n.n_name ASC
+"""
+    o["tpch_q6"] = f"""
+SELECT CAST(sum(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec}))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+    o["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY 1, 2
+"""
+    o["events_asof_attribution"] = """
+SELECT p.event_id, p.user_id, p.ts,
+       v.event_id AS view_event_id, v.ts AS view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS micros_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+    o["events_props_rollup"] = """
+SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
 """
     o["window_topk_per_group"] = """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (

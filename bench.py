@@ -38,8 +38,12 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "window_topk_per_group",
     "events_hourly_rollup",
+    "events_sessionize",
+    "events_asof_attribution",
+    "events_props_rollup",
     # LLM-data-pipeline operators
     "text_token_stats",
     "text_quality_score",

@@ -9,11 +9,16 @@ Arrow-batched ``mapInPandas`` for the multimodal stubs.
 """
 
 from .analytics import (
+    asof_join,
     events_hourly,
+    props_rollup,
+    purchases_with_last_view,
+    sessionize,
     top_orders_per_priority,
     tpch_q1,
     tpch_q3,
     tpch_q5,
+    tpch_q6,
 )
 from .dedup import (
     embedding_cosine_pairs,
@@ -27,14 +32,18 @@ from .similarity import topk_cosine_bruteforce, topk_cosine_lsh
 from .text import document_fingerprint, language_id, quality_score, token_stats
 
 __all__ = [
+    "asof_join",
     "document_fingerprint",
-    "events_hourly",
     "embedding_cosine_pairs",
+    "events_hourly",
     "exact_duplicates",
     "language_id",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "props_rollup",
+    "purchases_with_last_view",
     "quality_score",
+    "sessionize",
     "simhash_fingerprints",
     "simhash_near_pairs",
     "token_stats",
@@ -44,4 +53,5 @@ __all__ = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
 ]

@@ -126,6 +126,176 @@ def top_orders_per_priority(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def tpch_q6(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+    disc_lo: float = 0.05, disc_hi: float = 0.07, qty_lt: float = 24.0,
+) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): single filtered scan +
+    one global aggregate — the canonical predicate-pushdown / map-side
+    partial-agg query. No shuffle of data rows at all: each partition emits
+    one partial sum."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_lt)
+        )
+        .agg(
+            F.sum(_d("l_extendedprice") * _d("l_discount"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame,
+    partition_col: str, ts_col: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right.ts <= left.ts`` within its partition key (NULLs when no prior
+    right row exists).
+
+    Spark-first formulation: tag the two sides, union them, and carry the
+    right side's values forward with ``last(..., ignorenulls=True)`` over a
+    (partition, ts)-ordered running window. ONE shuffle on the partition key
+    — no range explosion, no per-key collect, skew-safe under AQE. This is
+    the scalable shape for 100 TB event streams; a range-join would shuffle
+    |left| x |right matches in window|.
+
+    Ties: right rows sort before left rows at equal ts (inclusive as-of);
+    among right rows with identical ts the highest ``_asof_seq`` (row id)
+    wins deterministically.
+    """
+    l_types = dict(left.dtypes)
+    r_types = dict(right.dtypes)
+    r = right.select(
+        F.col(partition_col).alias("__pk"), F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.monotonically_increasing_id().alias("__seq"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(partition_col).alias("__pk"), F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"), F.lit(None).cast("long").alias("__seq"),
+        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}")
+          for c in right_value_cols],
+        *left.columns,
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy("__pk")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                 F.col("__seq").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+            .alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")
+
+
+def purchases_with_last_view(events: DataFrame) -> DataFrame:
+    """Attribution as-of join over the events table: each purchase event
+    picks the user's most recent view event at-or-before the purchase.
+    Returns (event_id, user_id, ts, view_event_id, view_ts,
+    micros_since_view nullable)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join(
+        purchases, views, "user_id", "ts",
+        ["view_event_id", "view_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.col("asof_view_ts").alias("view_ts"),
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.col("asof_view_ts"))).alias("micros_since_view"),
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30,
+    user_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap_minutes``. Returns one row per session:
+    (user_id, session_id, session_start, session_end, n_events, n_types,
+    sum_value).
+
+    Classic two-window formulation — lag to flag boundaries, running sum to
+    number sessions — then a groupBy rollup. Both windows and the rollup
+    share ONE shuffle on user_id (same partitioning), so the whole operator
+    is a single exchange; at scale that is the floor for this semantics.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1
+        ).otherwise(
+            F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(
+            F.col(user_col).alias("user_id"), F.col("session_seq")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def props_rollup(events: DataFrame) -> DataFrame:
+    """JSON-string property extraction + rollup: parse ``props`` (JSON kept
+    as a string column, per the reference's data model) with
+    ``get_json_object`` and aggregate per event_type. JSON parsing stays
+    JVM-side (no Python UDF)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling-hour event rollup: the batch twin of the streaming windowed
     aggregation in streaming/windows.py (same grouping, same aggregates)."""
