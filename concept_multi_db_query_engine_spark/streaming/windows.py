@@ -50,6 +50,110 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation per user: Spark's native
+    ``session_window`` merges events whose gaps are below ``gap`` — the
+    streaming twin of operators.analytics.sessionize (same 30-minute-gap
+    semantics; the batch version numbers sessions explicitly, this one
+    returns the merged window bounds)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.session_window(F.col("ts"), gap).alias("win"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        .alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "user_id", "n_events", "sum_value",
+    )
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours"):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    keeps one running (n_events, sum_value) accumulator per user across
+    micro-batches — the shape Spark's built-in windows can't express
+    (unbounded per-key state with custom merge logic).
+
+    Returns the transformed streaming DataFrame; caller attaches a sink.
+    Output: one row per user per micro-batch with the updated totals.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "sum_value": [round(total, 4)]}
+        )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _bounded_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a DIRECTORY; when given a single
+    # parquet file, expose it through a temp dir of symlinks
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream-src-")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream_to_memory(
+    plan: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive any streaming plan to completion into a memory sink table."""
+    query = (
+        plan.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
 def run_windowed_aggregation_batch(
     spark: SparkSession, events_path: str, window: str = "1 hour"
 ) -> DataFrame:
@@ -57,21 +161,7 @@ def run_windowed_aggregation_batch(
     (memory sink, processAllAvailable) and return the result as a DataFrame.
     Proves the watermark/window plan is a valid *streaming* plan, not just a
     batch one."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _bounded_event_stream(spark, events_path)
     agg = windowed_event_counts(stream, window=window)
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("windowed_event_counts")
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    run_stream_to_memory(agg, "windowed_event_counts")
     return spark.sql("SELECT * FROM windowed_event_counts")

@@ -1,0 +1,105 @@
+"""Structured Streaming operators: every streaming plan is checked against
+its BATCH TWIN over the same bounded events parquet — Spark's unified
+semantics make the batch result the oracle (no hand-computed fixtures).
+
+sf0.001 keeps the file-source micro-batching fast; processAllAvailable
+drains the bounded stream to a memory sink.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import testdata
+from concept_multi_db_query_engine_spark.streaming import windows as sw
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_stream_matches_batch(spark):
+    got = sw.run_windowed_aggregation_batch(spark, EVENTS)
+    batch = sw.windowed_event_counts(
+        testdata.load_table(spark, SF_DIR, "events")
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events",
+            "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got.collect()) > 0
+
+
+def test_session_window_stream_matches_batch(spark):
+    stream_plan = sw.session_window_counts(
+        sw._bounded_event_stream(spark, EVENTS)
+    )
+    sw.run_stream_to_memory(stream_plan, "session_counts")
+    got = spark.sql("SELECT * FROM session_counts")
+    batch = sw.session_window_counts(
+        testdata.load_table(spark, SF_DIR, "events")
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events",
+            "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got.collect()) > 0
+
+
+def test_session_window_agrees_with_batch_sessionize(spark):
+    """The native session_window and the explicit lag/cumsum sessionize must
+    find the same session boundaries (same 30-min gap rule)."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    events = testdata.load_table(spark, SF_DIR, "events")
+    a = sw.session_window_counts(events, gap="30 minutes")
+    b = ops.sessionize(events, gap_minutes=30)
+    rows_a = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in b.collect()
+    )
+    assert rows_a == rows_b
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState keeps per-user accumulators; after draining the
+    bounded stream the final state per user must equal the batch groupBy."""
+    stream_plan = sw.running_user_totals(
+        sw._bounded_event_stream(spark, EVENTS)
+    )
+    sw.run_stream_to_memory(
+        stream_plan, "running_totals", output_mode="update"
+    )
+    got = spark.sql(
+        # the memory sink in update mode appends one row per user per
+        # micro-batch; the final row per user carries the final totals
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM running_totals
+        ) WHERE rn = 1
+        """
+    )
+    batch = (
+        testdata.load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    cols = ["user_id", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # sums agree to rounding (state accumulates in float64 sequentially)
+    got_sums = {r["user_id"]: r["sum_value"] for r in got.collect()}
+    for r in batch.collect():
+        assert got_sums[r["user_id"]] == pytest.approx(
+            r["sum_value"], abs=1e-3
+        )
