@@ -402,6 +402,12 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_sim_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.topk_cosine_ivf(emb, queries, k=5, n_probe=2)
+
+
 def _q_simhash(spark, sf):
     return ops.simhash_near_pairs(_t(spark, sf, "documents"), k=2,
                                   max_hamming=3)
@@ -437,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": _q_dedup_embedding,
             "sim_topk_bruteforce": _q_sim_bruteforce,
             "sim_topk_lsh": _q_sim_lsh,
+            "sim_topk_ivf": _q_sim_ivf,
             "dedup_simhash": _q_simhash,          # no SQL oracle (xxhash64)
             "multimodal_decode_stats": _q_multimodal,  # no SQL oracle (UDF)
         }
@@ -880,6 +887,53 @@ SELECT query_id, vec_id, cosine, rank FROM (
            AS cosine
   FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
   WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
+    o["sim_topk_ivf"] = (
+        "WITH " + _COS_NORM_CTE + """
+, el AS (
+  SELECT e.vec_id, e.v, e.norm2, emb.label
+  FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+),
+cent AS (
+  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+           CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS cx
+    FROM (SELECT label AS cid,
+                 generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cscore AS (
+  SELECT el.vec_id, el.v, el.norm2, c.cid,
+         row_number() OVER (
+           PARTITION BY el.vec_id
+           ORDER BY list_dot_product(el.v, c.cv)
+                    / sqrt(el.norm2 * list_dot_product(c.cv, c.cv)) DESC,
+                    c.cid ASC) AS crank
+  FROM el CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, v, norm2, cid FROM cscore WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm2 AS qnorm2, cid
+  FROM cscore WHERE vec_id < 5 AND crank <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v) / sqrt(p.qnorm2 * a.norm2), 6)
+           AS cosine
+  FROM probes p JOIN assign a ON p.cid = a.cid AND a.vec_id != p.query_id
 )
 SELECT query_id, vec_id, cosine, rank FROM (
   SELECT query_id, vec_id, cosine,

@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "multimodal_decode_stats",
 ]
 

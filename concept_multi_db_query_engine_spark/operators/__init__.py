@@ -28,7 +28,11 @@ from .dedup import (
     simhash_fingerprints,
     simhash_near_pairs,
 )
-from .similarity import topk_cosine_bruteforce, topk_cosine_lsh
+from .similarity import (
+    topk_cosine_bruteforce,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+)
 from .text import document_fingerprint, language_id, quality_score, token_stats
 
 __all__ = [
@@ -49,6 +53,7 @@ __all__ = [
     "token_stats",
     "top_orders_per_priority",
     "topk_cosine_bruteforce",
+    "topk_cosine_ivf",
     "topk_cosine_lsh",
     "tpch_q1",
     "tpch_q3",

@@ -109,6 +109,107 @@ def topk_cosine_bruteforce(
     )
 
 
+def topk_cosine_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into cells; each query probes only the ``n_probe`` nearest
+    cells and ranks exactly within them.
+
+    The quantizer here is one k-means step seeded by ``cluster_col``: cell
+    centroids are the element-wise means of each cluster's vectors, then
+    every vector is re-assigned to its nearest centroid by cosine. Centroid
+    components are computed as exact decimal sums / count, so the quantizer
+    is bit-identical under any partitioning (and in the DuckDB oracle).
+
+    Scale shape: centroids are tiny (|cells| × dim) and broadcast; corpus
+    assignment is one narrow map over the vectors; the probe join touches
+    n_probe/|cells| of the corpus per query instead of all of it. This is
+    the standard ANN layout for billion-vector corpora (IVF-Flat).
+    Output: (query_id, vec_id, cosine, rank).
+    """
+    dot_cv = (
+        "aggregate(zip_with(v, cv, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    norm_cv = (
+        "aggregate(cv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    )
+
+    centroids = (
+        embeddings.select(
+            F.col(cluster_col).alias("cid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cx")
+        )
+        .groupBy("cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc")
+        )
+        .select("cid", F.expr("transform(pc, p -> p.cx)").alias("cv"))
+    )
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        """(vid, v, norm2, cid, rank) for the n nearest centroids."""
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            "vid", "v", "norm2", "cid",
+            (
+                F.expr(dot_cv)
+                / F.sqrt(F.col("norm2") * F.expr(norm_cv))
+            ).alias("ccos"),
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+        )
+
+    corpus = nearest_cells(_with_norm(embeddings, id_col, vec_col), 1).select(
+        F.col("vid").alias("c_vid"), F.col("v").alias("c_v"),
+        F.col("norm2").alias("c_norm2"), "cid",
+    )
+    probes = nearest_cells(_with_norm(queries, id_col, vec_col), n_probe)
+
+    scored = (
+        corpus.join(F.broadcast(probes), "cid")
+        .where(F.col("vid") != F.col("c_vid"))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("c_vid").alias("vec_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, c_v, (x, y) -> "
+                    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+                )
+                / F.sqrt(F.col("norm2") * F.col("c_norm2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
