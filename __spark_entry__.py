@@ -371,6 +371,16 @@ def _q_fingerprint(spark, sf):
     return ops.document_fingerprint(_t(spark, sf, "documents"))
 
 
+def _q_bpe_tokens(spark, sf):
+    return ops.bpe_token_stats(_t(spark, sf, "documents"))
+
+
+def _q_dedup_clusters(spark, sf):
+    pairs = ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=5,
+                                    threshold=0.5)
+    return ops.duplicate_clusters(pairs)
+
+
 def _q_dedup_exact(spark, sf):
     return ops.exact_duplicates(_t(spark, sf, "documents"))
 
@@ -437,7 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality_score": _q_quality,
             "text_language_id": _q_lang_id,
             "text_fingerprint": _q_fingerprint,
+            "text_bpe_token_stats": _q_bpe_tokens,
             "dedup_exact": _q_dedup_exact,
+            "dedup_clusters": _q_dedup_clusters,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_embedding_cosine": _q_dedup_embedding,
@@ -808,6 +820,36 @@ SELECT doc_id,
        length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS norm_len
 FROM documents
 """
+
+    from concept_multi_db_query_engine_spark.operators.text import (
+        BPE_ISH_PATTERN,
+    )
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
+    o["text_bpe_token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe_tokens,
+         len(string_split(text, ' ')) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS bpe_per_ws
+FROM t
+"""
+    o["dedup_clusters"] = (
+        "WITH RECURSIVE " + _SHINGLES_CTE + """,
+pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+"""
+    )
 
     # ---- dedup ----
     o["dedup_exact"] = """

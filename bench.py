@@ -48,7 +48,9 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
+    "text_bpe_token_stats",
     "dedup_exact",
+    "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

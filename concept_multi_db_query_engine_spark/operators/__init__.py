@@ -21,6 +21,7 @@ from .analytics import (
     tpch_q6,
 )
 from .dedup import (
+    duplicate_clusters,
     embedding_cosine_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -33,11 +34,19 @@ from .similarity import (
     topk_cosine_ivf,
     topk_cosine_lsh,
 )
-from .text import document_fingerprint, language_id, quality_score, token_stats
+from .text import (
+    bpe_token_stats,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
 
 __all__ = [
     "asof_join",
+    "bpe_token_stats",
     "document_fingerprint",
+    "duplicate_clusters",
     "embedding_cosine_pairs",
     "events_hourly",
     "exact_duplicates",

@@ -306,6 +306,61 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation; cluster_id = smallest doc_id in the
+    component (the canonical survivor under keep-lowest-id policy).
+
+    Input: (d1, d2[, ...]) undirected edges. Output: (doc_id, cluster_id)
+    for every node that appears in an edge (singletons never enter pairs).
+
+    The loop is the standard large-scale connected-components shape
+    (GraphX/GraphFrames use the same): each round, every node takes the min
+    label among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are shallow — a handful). Each round is one shuffle
+    on node id; at petabyte scale, localCheckpoint every few rounds truncates
+    the growing lineage.
+    """
+    edges = pairs.select("d1", "d2")
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels = (
+        sym.select(F.col("d1").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["d2"] == labels["node"])
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label"))
+                .alias("label"),
+            )
+        )
+        if i % 3 == 2:
+            # truncate lineage: the plan doubles in depth every round
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -42,6 +42,29 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, simplified to constructs RE2 (DuckDB) and Java
+# regex both support with identical leftmost-first alternation: contraction
+# suffixes, letter runs, digit runs, symbol runs, whitespace runs.
+BPE_ISH_PATTERN = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-style token counting: the GPT-2 pretokenizer split (letter runs /
+    digit runs / punctuation runs / contractions), which upper-bounds real
+    BPE token counts and is the standard cheap budget estimator for
+    pretraining pipelines. Returns (doc_id, n_bpe_tokens, n_ws_tokens,
+    bpe_per_ws ratio)."""
+    text = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    n_ws = F.size(F.split(text, " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(n_bpe / n_ws, 4).cast("double").alias("bpe_per_ws"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality signals: length, stopword ratio, digit/punct ratio,
     and a composite [0,1] score. Mirrors the usual pretraining-data quality
