@@ -81,6 +81,40 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=STATS_SCHEMA)
 
 
+def fake_resize(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """'Resize' each blob to target dimensions. Real implementation swaps
+    the inner lambda for PIL `Image.resize`; here the blob is deterministic-
+    resampled by byte striding so output sizes/shape semantics are exact.
+    Output keeps MEDIA_SCHEMA (same table shape in → out, the property a
+    multi-step media pipeline relies on)."""
+
+    target_bytes = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(blob):
+            if blob is None:
+                return None
+            if len(blob) >= target_bytes:
+                step = len(blob) // target_bytes
+                return bytes(blob[::step][:target_bytes])
+            return bytes(blob) + b"\x00" * (target_bytes - len(blob))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["media"].map(one),
+                    "width": target_w,
+                    "height": target_h,
+                    "format": pdf["format"],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plan: one output row per sampled frame
     index, computed JVM-side (explode over a sequence). The downstream decode
