@@ -133,6 +133,17 @@ class QueryValidator:
 
     # -- entry -------------------------------------------------------------
 
+    def _as_list(self, value: Any, code: str, label: str) -> list:
+        """Raw-JSON type guard (SECURITY.md:7-23): a field that must be a
+        list but isn't yields one structured error and is treated as empty,
+        so validation always completes and never raises."""
+        if value is None:
+            return []
+        if not isinstance(value, list):
+            self._err(code, f"{label} must be a list")
+            return []
+        return value
+
     def validate(self, defn: dict[str, Any]) -> list[ErrorItem]:
         if not isinstance(defn, dict):
             self._err(INVALID_VALUE, "query definition must be an object")
@@ -145,7 +156,9 @@ class QueryValidator:
         # join tables first: filters may qualify them
         joined: dict[str, TableMeta] = {}  # apiName → table
         query_tables: dict[str, TableMeta] = {from_table.api_name: from_table}
-        for i, join in enumerate(defn.get("joins") or []):
+        for i, join in enumerate(
+            self._as_list(defn.get("joins"), INVALID_JOIN, "'joins'")
+        ):
             if not isinstance(join, dict):
                 self._err(INVALID_JOIN, f"join #{i} must be an object", joinIndex=i)
                 continue
@@ -178,7 +191,9 @@ class QueryValidator:
                 )
             query_tables[jt.api_name] = jt
             joined[jt.api_name] = jt
-            for c in join.get("columns") or []:
+            for c in self._as_list(
+                join.get("columns"), INVALID_JOIN, f"join #{i} 'columns'"
+            ):
                 self._column(jt, c, f"join #{i} columns")
 
         # explicit selected columns
@@ -186,15 +201,22 @@ class QueryValidator:
         if explicit_cols is not None:
             if not isinstance(explicit_cols, list):
                 self._err(INVALID_VALUE, "'columns' must be a list")
+                explicit_cols = None
             else:
                 for c in explicit_cols:
                     self._column(from_table, c, "'columns'")
 
-        aggregations = defn.get("aggregations") or []
-        group_by = defn.get("groupBy") or []
+        aggregations = self._as_list(
+            defn.get("aggregations"), INVALID_AGGREGATION, "'aggregations'"
+        )
+        group_by = self._as_list(
+            defn.get("groupBy"), INVALID_GROUP_BY, "'groupBy'"
+        )
 
         # filters
-        for i, f in enumerate(defn.get("filters") or []):
+        for i, f in enumerate(
+            self._as_list(defn.get("filters"), INVALID_FILTER, "'filters'")
+        ):
             self._validate_condition(
                 f, from_table, query_tables, f"filters[{i}]", exists_depth=0
             )
@@ -206,20 +228,24 @@ class QueryValidator:
             jt = joined.get(join.get("table"))
             if jt is None:
                 continue
-            for k, f in enumerate(join.get("filters") or []):
+            for k, f in enumerate(self._as_list(
+                join.get("filters"), INVALID_FILTER, f"joins[{i}].filters"
+            )):
                 self._validate_condition(
                     f, jt, query_tables, f"joins[{i}].filters[{k}]", exists_depth=0
                 )
 
         # aggregations (rule 14)
         agg_aliases: dict[str, str] = {}  # alias → result type
-        selected_names = set(explicit_cols or [])
+        selected_names = {
+            c for c in (explicit_cols or []) if isinstance(c, str)
+        }
         for i, agg in enumerate(aggregations):
             if not isinstance(agg, dict):
                 self._err(INVALID_AGGREGATION, f"aggregation #{i} must be an object")
                 continue
             fn = agg.get("fn")
-            if fn not in AGG_FNS:
+            if not isinstance(fn, str) or fn not in AGG_FNS:
                 self._err(
                     INVALID_AGGREGATION,
                     f"aggregation #{i}: invalid fn '{fn}'", fn=str(fn),
@@ -341,7 +367,7 @@ class QueryValidator:
                         )
 
         # having (rule 8)
-        having = defn.get("having") or []
+        having = self._as_list(defn.get("having"), INVALID_HAVING, "'having'")
         if having and not aggregations:
             self._err(
                 INVALID_HAVING, "'having' requires aggregations", havingCount=len(having)
@@ -350,7 +376,9 @@ class QueryValidator:
             self._validate_having(h, agg_aliases, f"having[{i}]")
 
         # orderBy (rule 9)
-        for i, o in enumerate(defn.get("orderBy") or []):
+        for i, o in enumerate(
+            self._as_list(defn.get("orderBy"), INVALID_ORDER_BY, "'orderBy'")
+        ):
             if not isinstance(o, dict):
                 self._err(INVALID_ORDER_BY, f"orderBy #{i} must be an object")
                 continue
@@ -434,12 +462,15 @@ class QueryValidator:
             elif limit is None:
                 self._err(INVALID_LIMIT, "'offset' requires 'limit'")
 
-        # enum re-validation (security layer 1)
+        # enum re-validation (security layer 1); guard isinstance first —
+        # unhashable raw-JSON values (lists/dicts) cannot hit `in set`
         mode = defn.get("executeMode", "execute")
-        if mode not in EXECUTE_MODES:
+        if not isinstance(mode, str) or mode not in EXECUTE_MODES:
             self._err(INVALID_VALUE, f"invalid executeMode '{mode}'")
         freshness = defn.get("freshness")
-        if freshness is not None and freshness not in FRESHNESS:
+        if freshness is not None and (
+            not isinstance(freshness, str) or freshness not in FRESHNESS
+        ):
             self._err(INVALID_VALUE, f"invalid freshness '{freshness}'")
         if not isinstance(defn.get("distinct", False), bool):
             self._err(INVALID_VALUE, "'distinct' must be a boolean")
@@ -486,7 +517,7 @@ class QueryValidator:
 
         if "refColumn" in f:  # QueryColumnFilter
             op = f.get("operator")
-            if op not in COLUMN_FILTER_OPERATORS:
+            if not isinstance(op, str) or op not in COLUMN_FILTER_OPERATORS:
                 self._err(
                     INVALID_FILTER,
                     f"{where}: invalid column-filter operator '{op}'",
@@ -518,7 +549,7 @@ class QueryValidator:
 
         # QueryFilter (value filter)
         op = f.get("operator")
-        if op not in FILTER_OPERATORS:
+        if not isinstance(op, str) or op not in FILTER_OPERATORS:
             self._err(INVALID_FILTER, f"{where}: invalid operator '{op}'")
             return
         ft = self._filter_table(f.get("table"), default_table, query_tables, where)
@@ -773,6 +804,7 @@ class QueryValidator:
         if count is not None:
             if (
                 not isinstance(count, dict)
+                or not isinstance(count.get("operator"), str)
                 or count.get("operator") not in COLUMN_FILTER_OPERATORS
                 or not isinstance(count.get("value"), int)
                 or isinstance(count.get("value"), bool)
@@ -832,7 +864,7 @@ class QueryValidator:
             )
             return
         op = h.get("operator")
-        if op not in HAVING_OPERATORS:
+        if not isinstance(op, str) or op not in HAVING_OPERATORS:
             self._err(
                 INVALID_HAVING,
                 f"{where}: operator '{op}' is not allowed in having",
