@@ -1,0 +1,147 @@
+"""Property-based compile-robustness: any definition that PASSES validation
+must compile to a DataFrame plan (lazy — no execution) AND render sql-only
+text without raising. Catches resolver/builder gaps the example-based suites
+miss (odd operator+type+join+group combinations)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from concept_multi_db_query_engine_spark import testdata
+from concept_multi_db_query_engine_spark.errors import ValidationError
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return testdata.build_engine(spark, SF_DIR)
+
+
+# -- generators constrained to the registered orders/customer metadata -------
+
+_num_col = st.sampled_from(["o_orderkey", "o_custkey", "o_totalprice"])
+_str_col = st.sampled_from(["o_orderstatus", "o_orderpriority"])
+
+_value_filter = st.one_of(
+    st.builds(
+        lambda c, v: {"column": c, "operator": ">", "value": v},
+        _num_col, st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    st.builds(
+        lambda c, v: {"column": c, "operator": "=", "value": v},
+        _str_col, st.text(max_size=8),
+    ),
+    st.builds(
+        lambda c, vs: {"column": c, "operator": "in", "value": vs},
+        _str_col, st.lists(st.text(max_size=5), min_size=1, max_size=3),
+    ),
+    st.builds(
+        lambda c, a, b: {"column": c, "operator": "between",
+                         "value": {"from": min(a, b), "to": max(a, b)}},
+        _num_col,
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    st.builds(
+        lambda c, p: {"column": c, "operator": "startsWith", "value": p},
+        _str_col, st.text(max_size=4),
+    ),
+    st.builds(
+        lambda c: {"column": c, "operator": "isNotNull"}, _num_col
+    ),
+    st.builds(
+        lambda: {"table": "customer",
+                 "filters": [{"column": "c_acctbal", "operator": "<",
+                              "value": 0.0}]}
+    ),
+    st.builds(
+        lambda n: {"table": "customer", "count": {"operator": ">=",
+                                                  "value": n}},
+        st.integers(min_value=0, max_value=5),
+    ),
+)
+
+_group = st.builds(
+    lambda logic, neg, conds: {"logic": logic, "not": neg,
+                               "conditions": conds},
+    st.sampled_from(["and", "or"]),
+    st.booleans(),
+    st.lists(_value_filter, min_size=1, max_size=3),
+)
+
+_filters = st.lists(st.one_of(_value_filter, _group), max_size=3)
+
+_plain_defn = st.builds(
+    lambda cols, filters, order_desc, limit, distinct: {
+        "from": "orders",
+        "columns": cols,
+        "filters": filters,
+        "orderBy": [{"column": "o_orderkey",
+                     "direction": "desc" if order_desc else "asc"}],
+        "limit": limit,
+        "distinct": distinct,
+    },
+    st.sampled_from([
+        ["o_orderkey", "o_totalprice"],
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        None,
+    ]).map(lambda x: x if x is not None else ["o_orderkey"]),
+    _filters,
+    st.booleans(),
+    st.integers(min_value=0, max_value=50),
+    st.booleans(),
+)
+
+_agg_defn = st.builds(
+    lambda filters, having_n: {
+        "from": "orders",
+        "groupBy": [{"column": "o_orderpriority"}],
+        "aggregations": [
+            {"column": "*", "fn": "count", "alias": "n"},
+            {"column": "o_totalprice", "fn": "avg", "alias": "avg_price"},
+        ],
+        "filters": filters,
+        "having": [{"column": "n", "operator": ">=", "value": having_n}],
+        "orderBy": [{"column": "n", "direction": "desc"}],
+    },
+    _filters,
+    st.integers(min_value=0, max_value=10),
+)
+
+_join_defn = st.builds(
+    lambda jtype, filters: {
+        "from": "orders",
+        "columns": ["o_orderkey"],
+        "joins": [{"table": "customer", "type": jtype,
+                   "columns": ["c_custkey", "c_mktsegment"]}],
+        "filters": filters,
+    },
+    st.sampled_from(["inner", "left"]),
+    _filters,
+)
+
+_any_defn = st.one_of(_plain_defn, _agg_defn, _join_defn)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(defn=_any_defn)
+def test_valid_definitions_always_compile(engine, defn):
+    issues = engine.validate_query(defn)
+    if issues:
+        # generator occasionally produces validation-rejected shapes (e.g.
+        # empty 'in' list is impossible here, but keep the invariant honest):
+        # rejection must be structured, and query() must raise ValidationError
+        with pytest.raises(ValidationError):
+            engine.query({**defn, "executeMode": "sql-only"})
+        return
+    df = engine.dataframe(defn)
+    assert df.columns  # plan built, schema resolved
+    sql_result = engine.query({**defn, "executeMode": "sql-only"})
+    assert sql_result["kind"] == "sql" and "SELECT" in sql_result["sql"]
