@@ -50,6 +50,7 @@ class MultiDb:
         caches: dict[str, CacheProvider] | None = None,
         *,
         strict_api_names: bool = True,
+        timeout_ms: int | None = None,
     ):
         if isinstance(metadata, dict):
             metadata = Metadata.from_dict(metadata)
@@ -65,7 +66,42 @@ class MultiDb:
         )
         self.caches = caches or {}
         self._builder = DataFrameBuilder(spark, self.registry)
+        self._timeout_ms = timeout_ms
         self._closed = False
+
+    def _run_with_timeout(self, fn):
+        """Executor-timeout analog (reference: per-executor timeoutMs driving
+        statement_timeout / max_execution_time, METADATA.md:222-228,
+        README.md:523). Spark form: run the action under a job group and
+        cancel the group when the deadline passes — tasks stop cluster-wide,
+        not just driver-side."""
+        if not self._timeout_ms:
+            return fn()
+        import threading
+        import uuid
+
+        group = f"mdb-timeout-{uuid.uuid4().hex[:12]}"
+        sc = self.spark.sparkContext
+        done = threading.Event()
+
+        def reaper() -> None:
+            if not done.wait(self._timeout_ms / 1000.0):
+                sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, "MultiDb query", interruptOnCancel=True)
+        t = threading.Thread(target=reaper, daemon=True)
+        t.start()
+        try:
+            return fn()
+        except Exception as exc:
+            if not done.is_set() and "cancelled" in str(exc).lower():
+                raise ExecutionError(
+                    f"query exceeded timeoutMs={self._timeout_ms}"
+                ) from exc
+            raise
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
 
     # -- lifecycle (METADATA.md:174-199) ---------------------------------------
 
@@ -175,7 +211,11 @@ class MultiDb:
             gen_ms = (time.perf_counter() - t_gen) * 1000
             t_exec = time.perf_counter()
             try:
-                count = self._builder.build_count(plan)
+                count = self._run_with_timeout(
+                    lambda: self._builder.build_count(plan)
+                )
+            except ExecutionError:
+                raise
             except Exception as exc:
                 raise ExecutionError(f"execution failed: {exc}") from exc
             meta["columns"] = []  # QUERY.md:193
@@ -199,7 +239,11 @@ class MultiDb:
             return {"kind": "dataframe", "dataframe": df, "meta": meta}
         t_exec = time.perf_counter()
         try:
-            rows = [r.asDict() for r in df.collect()]
+            rows = self._run_with_timeout(
+                lambda: [r.asDict() for r in df.collect()]
+            )
+        except ExecutionError:
+            raise
         except Exception as exc:
             raise ExecutionError(f"execution failed: {exc}") from exc
         meta["timing"] = {
