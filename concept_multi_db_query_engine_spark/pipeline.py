@@ -80,28 +80,35 @@ class MultiDb:
         import threading
         import uuid
 
-        group = f"mdb-timeout-{uuid.uuid4().hex[:12]}"
+        tag = f"mdb-timeout-{uuid.uuid4().hex[:12]}"
         sc = self.spark.sparkContext
         done = threading.Event()
+        expired = threading.Event()
 
         def reaper() -> None:
-            if not done.wait(self._timeout_ms / 1000.0):
-                sc.cancelJobGroup(group)
+            if done.wait(self._timeout_ms / 1000.0):
+                return
+            expired.set()
+            # cancel REPEATEDLY until the action returns: a single cancel
+            # fired before the job is submitted (plan compile, codegen) is
+            # a no-op, and the late-submitted job would run to completion
+            while not done.wait(0.25):
+                sc.cancelJobsWithTag(tag)
 
-        sc.setJobGroup(group, "MultiDb query", interruptOnCancel=True)
+        sc.addJobTag(tag)
         t = threading.Thread(target=reaper, daemon=True)
         t.start()
         try:
             return fn()
         except Exception as exc:
-            if not done.is_set() and "cancelled" in str(exc).lower():
+            if expired.is_set():
                 raise ExecutionError(
                     f"query exceeded timeoutMs={self._timeout_ms}"
                 ) from exc
             raise
         finally:
             done.set()
-            sc.setJobGroup("", "")
+            sc.removeJobTag(tag)
 
     # -- lifecycle (METADATA.md:174-199) ---------------------------------------
 
