@@ -220,6 +220,18 @@ _DSL: dict[str, dict] = {
             }],
         }],
     },
+    "filter_case_ops": {
+        "from": "customer",
+        "columns": ["c_custkey", "c_name", "c_mktsegment"],
+        "filters": [
+            {"column": "c_name", "operator": "istartsWith",
+             "value": "CUSTOMER#0000001"},
+            {"column": "c_mktsegment", "operator": "notIlike",
+             "value": "%ware%"},
+            {"column": "c_name", "operator": "icontains", "value": "13"},
+            {"column": "c_name", "operator": "iendsWith", "value": "7"},
+        ],
+    },
     "filter_not_variants": {
         "from": "part",
         "columns": ["p_partkey", "p_brand", "p_size", "p_type"],
@@ -607,6 +619,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND EXISTS ("
         "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
         "AND l.l_quantity > 49.8))"
+    )
+    o["filter_case_ops"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE lower(c_name) LIKE lower('CUSTOMER#0000001%') "
+        "AND c_mktsegment NOT ILIKE '%ware%' "
+        "AND lower(c_name) LIKE '%13%' "
+        "AND lower(c_name) LIKE '%7'"
     )
     o["filter_not_variants"] = (
         "SELECT p_partkey, p_brand, p_size, p_type FROM part "
