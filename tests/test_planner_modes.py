@@ -191,3 +191,22 @@ class TestLifecycle:
         db.close()
         with pytest.raises(CmeConnectionError):
             db.query({"from": "samples"})
+
+
+def test_jdbc_source_option_plumbing():
+    from concept_multi_db_query_engine_spark.sources import JdbcSource
+
+    src = JdbcSource(
+        "jdbc:postgresql://db:5432/app",
+        properties={"user": "svc"},
+        schema="public",
+        partition_column="id",
+        num_partitions=16,
+        timeout_s=30,
+    )
+    opts = src.reader_options("orders")
+    assert opts["dbtable"] == "public.orders"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["queryTimeout"] == "30"
+    assert src.ping() is True
