@@ -71,7 +71,10 @@ class SqlRenderer:
             if w:
                 parts.append(f"WHERE {w}")
         if plan.mode != "count":
-            if plan.aggregations and plan.group_by:
+            # GROUP BY renders whenever grouping keys exist — also with NO
+            # aggregations, where it de-duplicates the keys exactly like the
+            # builder's groupBy().agg() with an empty agg list (QUERY.md:40-43)
+            if plan.group_by:
                 seen: set[str] = set()
                 gb = []
                 for s in plan.group_by:
