@@ -343,8 +343,16 @@ def _q_tpch_q5(spark, sf):
     )
 
 
+def _q_tpch_q4(spark, sf):
+    return ops.tpch_q4(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
 def _q_tpch_q6(spark, sf):
     return ops.tpch_q6(_t(spark, sf, "lineitem"))
+
+
+def _q_tpch_q12(spark, sf):
+    return ops.tpch_q12(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
 
 def _q_sessionize(spark, sf):
@@ -449,7 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q1": _q_tpch_q1,
             "tpch_q3": _q_tpch_q3,
             "tpch_q5": _q_tpch_q5,
+            "tpch_q4": _q_tpch_q4,
             "tpch_q6": _q_tpch_q6,
+            "tpch_q12": _q_tpch_q12,
             "events_sessionize": _q_sessionize,
             "events_asof_attribution": _q_asof,
             "events_props_rollup": _q_props_rollup,
@@ -715,6 +725,27 @@ WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1 ORDER BY revenue DESC, n.n_name ASC
+"""
+    o["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49.0)
+GROUP BY 1 ORDER BY 1
+"""
+    o["tpch_q12"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count,
+       count(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
 """
     o["tpch_q6"] = f"""
 SELECT CAST(sum(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec}))

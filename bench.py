@@ -38,7 +38,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q4",
     "tpch_q6",
+    "tpch_q12",
     "window_topk_per_group",
     "events_hourly_rollup",
     "events_sessionize",

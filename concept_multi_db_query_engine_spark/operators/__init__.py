@@ -17,8 +17,10 @@ from .analytics import (
     top_orders_per_priority,
     tpch_q1,
     tpch_q3,
+    tpch_q4,
     tpch_q5,
     tpch_q6,
+    tpch_q12,
 )
 from .dedup import (
     duplicate_clusters,
@@ -66,6 +68,8 @@ __all__ = [
     "topk_cosine_lsh",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q12",
 ]

@@ -151,6 +151,58 @@ def tpch_q6(
     )
 
 
+def tpch_q4(
+    orders: DataFrame, lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+    qty_gt: float = 49.0,
+) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): count orders in a date range
+    having at least one qualifying lineitem — EXISTS folded into a left-semi
+    join (the decorrelated form), then a small aggregate."""
+    qualifying = (
+        lineitem.where(F.col("l_quantity") > qty_gt)
+        .select("l_orderkey").distinct()
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(qualifying, F.col("o_orderkey") == F.col("l_orderkey"),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q12(
+    orders: DataFrame, lineitem: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Shipping-mode priority classes (TPC-H Q12 shape): one pass with
+    CONDITIONAL aggregation — SUM(CASE WHEN ...) pivots the priority split
+    without a second scan or join. The high/low split keys on urgent
+    priorities; grouping keys on the lineitem's return flag."""
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def asof_join(
     left: DataFrame, right: DataFrame,
     partition_col: str, ts_col: str,
