@@ -367,6 +367,14 @@ def _q_props_rollup(spark, sf):
     return ops.props_rollup(_t(spark, sf, "events"))
 
 
+def _q_quantiles(spark, sf):
+    return ops.order_value_quantiles(_t(spark, sf, "orders"))
+
+
+def _q_funnel(spark, sf):
+    return ops.signup_purchase_funnel(_t(spark, sf, "events"))
+
+
 def _q_window_topk(spark, sf):
     return ops.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
 
@@ -460,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q4": _q_tpch_q4,
             "tpch_q6": _q_tpch_q6,
             "tpch_q12": _q_tpch_q12,
+            "order_value_quantiles": _q_quantiles,
+            "events_funnel": _q_funnel,
             "events_sessionize": _q_sessionize,
             "events_asof_attribution": _q_asof,
             "events_props_rollup": _q_props_rollup,
@@ -755,6 +765,37 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+    o["order_value_quantiles"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+    o["events_funnel"] = """
+WITH s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+  FROM events GROUP BY 1
+), v AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'view' AND e.ts >= s.signup_ts
+                  THEN e.ts END) AS view_ts
+  FROM events e JOIN s ON e.user_id = s.user_id GROUP BY 1
+), p AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= v.view_ts
+                  THEN e.ts END) AS purchase_ts
+  FROM events e JOIN v ON e.user_id = v.user_id GROUP BY 1
+)
+SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts,
+       CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+            WHEN v.view_ts IS NOT NULL THEN 2
+            WHEN s.signup_ts IS NOT NULL THEN 1
+            ELSE 0 END AS reached_step
+FROM s JOIN v ON s.user_id = v.user_id JOIN p ON v.user_id = p.user_id
 """
     o["events_sessionize"] = """
 WITH flagged AS (

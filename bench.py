@@ -43,6 +43,8 @@ HEADLINE = [
     "tpch_q12",
     "window_topk_per_group",
     "events_hourly_rollup",
+    "order_value_quantiles",
+    "events_funnel",
     "events_sessionize",
     "events_asof_attribution",
     "events_props_rollup",

@@ -11,6 +11,8 @@ Arrow-batched ``mapInPandas`` for the multimodal stubs.
 from .analytics import (
     asof_join,
     events_hourly,
+    order_value_quantiles,
+    signup_purchase_funnel,
     props_rollup,
     purchases_with_last_view,
     sessionize,
@@ -51,6 +53,8 @@ __all__ = [
     "duplicate_clusters",
     "embedding_cosine_pairs",
     "events_hourly",
+    "order_value_quantiles",
+    "signup_purchase_funnel",
     "exact_duplicates",
     "language_id",
     "minhash_lsh_pairs",

@@ -348,6 +348,88 @@ def props_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def order_value_quantiles(orders: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of order value per priority class via the exact
+    `percentile` aggregate (linear interpolation — matches SQL-standard
+    quantile_cont). At 100 TB swap to `percentile_approx` (t-digest sketch,
+    mergeable map-side, bounded memory) — the call-site is the only change;
+    exact percentile needs the full group sorted."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def signup_purchase_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel: first signup → first view after signup → first
+    purchase after that view. One aggregation pass with conditional min
+    aggregates, then step flags — no self-joins, one shuffle on user_id.
+    Returns (user_id, signup_ts, view_ts, purchase_ts, reached_step)."""
+    firsts = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .alias("signup_ts"),
+            *[
+                F.min(
+                    F.when(F.col("event_type") == t, F.col("ts"))
+                ).alias(f"_first_{t}")
+                for t in ("view", "purchase")
+            ],
+        )
+    )
+    # step semantics: each stage must strictly follow the previous one;
+    # re-find "first view AFTER signup" via a second conditional pass
+    with_signup = events.join(
+        firsts.select("user_id", "signup_ts"), "user_id"
+    )
+    staged = (
+        with_signup.groupBy("user_id")
+        .agg(
+            F.first("signup_ts").alias("signup_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts") >= F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("view_ts"),
+        )
+    )
+    with_view = events.join(
+        staged.select("user_id", "signup_ts", "view_ts"), "user_id"
+    )
+    final = (
+        with_view.groupBy("user_id")
+        .agg(
+            F.first("signup_ts").alias("signup_ts"),
+            F.first("view_ts").alias("view_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).alias("purchase_ts"),
+        )
+    )
+    return final.select(
+        "user_id", "signup_ts", "view_ts", "purchase_ts",
+        (
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("view_ts").isNotNull(), 2)
+            .when(F.col("signup_ts").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("reached_step"),
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling-hour event rollup: the batch twin of the streaming windowed
     aggregation in streaming/windows.py (same grouping, same aggregates)."""
