@@ -399,6 +399,16 @@ def _q_fingerprint(spark, sf):
     return ops.document_fingerprint(_t(spark, sf, "documents"))
 
 
+def _q_stratified(spark, sf):
+    return ops.stratified_sample(_t(spark, sf, "documents"), key="lang",
+                                 n_per_key=20)
+
+
+def _q_pack(spark, sf):
+    return ops.pack_sequences(_t(spark, sf, "documents"),
+                              budget_tokens=512)
+
+
 def _q_bpe_tokens(spark, sf):
     return ops.bpe_token_stats(_t(spark, sf, "documents"))
 
@@ -480,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_language_id": _q_lang_id,
             "text_fingerprint": _q_fingerprint,
             "text_bpe_token_stats": _q_bpe_tokens,
+            "docs_stratified_sample": _q_stratified,
+            "docs_pack_sequences": _q_pack,
             "dedup_exact": _q_dedup_exact,
             "dedup_clusters": _q_dedup_clusters,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -927,6 +939,28 @@ WITH t AS (
 SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS bpe_per_ws
 FROM t
+"""
+    o["docs_stratified_sample"] = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+    o["docs_pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS start_pos,
+       (cum - n_tokens) // 512 AS first_bin,
+       (cum - 1) // 512 AS last_bin
+FROM c
 """
     o["dedup_clusters"] = (
         "WITH RECURSIVE " + _SHINGLES_CTE + """,

@@ -53,6 +53,8 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_bpe_token_stats",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
     "dedup_exact",
     "dedup_clusters",
     "dedup_ngram_jaccard",

@@ -40,6 +40,8 @@ from .similarity import (
 )
 from .text import (
     bpe_token_stats,
+    pack_sequences,
+    stratified_sample,
     document_fingerprint,
     language_id,
     quality_score,
@@ -61,8 +63,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "props_rollup",
     "purchases_with_last_view",
+    "pack_sequences",
     "quality_score",
     "sessionize",
+    "stratified_sample",
     "simhash_fingerprints",
     "simhash_near_pairs",
     "token_stats",

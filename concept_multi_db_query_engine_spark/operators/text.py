@@ -12,7 +12,7 @@ pruning (only doc_id + text are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny English stopword set used by the heuristics (shared with the oracle)
 STOPWORDS = ("the", "a", "is", "of", "and")
@@ -113,6 +113,56 @@ def language_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.when(conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
         conf.cast("double").alias("lang_conf"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, key: str = "lang", n_per_key: int = 50,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic balanced sampling: the first ``n_per_key`` rows per
+    key in ``order_col`` order — the standard shape for balancing a corpus
+    across languages/sources before training. (Swap the order column for a
+    salted hash to make it a uniform random sample with the same plan.)
+    Catalyst turns the row_number window into a per-partition partial
+    top-k before the shuffle, so the exchange carries ≤ n_per_key rows per
+    key per partition."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_key)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget_tokens: int = 512,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents are laid out
+    as one token stream in ``order_col`` order and cut every
+    ``budget_tokens`` tokens. Returns (doc_id, n_tokens, start_pos,
+    first_bin, last_bin) — a document spans bins first_bin..last_bin.
+
+    Single global ordering = single-partition window: correct but serial at
+    the tail. At 100 TB, pack per shard — add ``partitionBy(shard)`` to the
+    window; chunks never cross shards so the windows parallelize, which is
+    exactly how packing jobs shard in practice.
+    """
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = docs.select(order_col, n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        order_col,
+        "n_tokens",
+        start.alias("start_pos"),
+        (start / budget_tokens).cast("long").alias("first_bin"),
+        ((F.col("cum") - 1) / budget_tokens).cast("long").alias("last_bin"),
     )
 
 
