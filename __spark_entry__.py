@@ -419,6 +419,11 @@ def _q_dedup_clusters(spark, sf):
     return ops.duplicate_clusters(pairs)
 
 
+def _q_clean_corpus(spark, sf):
+    return ops.clean_corpus(_t(spark, sf, "documents"), min_quality=0.5,
+                            lang="en")
+
+
 def _q_dedup_exact(spark, sf):
     return ops.exact_duplicates(_t(spark, sf, "documents"))
 
@@ -491,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_fingerprint": _q_fingerprint,
             "text_bpe_token_stats": _q_bpe_tokens,
             "docs_stratified_sample": _q_stratified,
+            "docs_clean_corpus": _q_clean_corpus,
             "docs_pack_sequences": _q_pack,
             "dedup_exact": _q_dedup_exact,
             "dedup_clusters": _q_dedup_clusters,
@@ -916,6 +922,36 @@ SELECT doc_id,
          AS lang_pred,
        round(hits / n_tokens, 4) AS lang_conf
 FROM t
+"""
+    o["docs_clean_corpus"] = f"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents
+  ) WHERE doc_id = canon
+), t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens,
+         ({stop_hits})::DOUBLE AS stop_hits,
+         ({en_hits})::DOUBLE AS en_hits,
+         (length(text) - length(regexp_replace(text,
+            '[0-9!#$%^&*()_+=,.;:?]', '', 'g')))::DOUBLE AS digit_punct
+  FROM dd
+), scored AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4
+                ELSE 0.0 END)
+               + least(round(stop_hits / n_tokens, 4) * 2.0, 0.4)
+               + (0.2 - least(round(digit_punct / length(text), 4), 0.2)),
+               4) AS quality,
+         CASE WHEN round(en_hits / n_tokens, 4) >= 0.05 THEN 'en'
+              ELSE 'und' END AS lang_pred
+  FROM t
+)
+SELECT doc_id, n_chars, quality, lang_pred
+FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
 """
     o["text_fingerprint"] = """
 SELECT doc_id,

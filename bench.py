@@ -55,6 +55,7 @@ HEADLINE = [
     "text_bpe_token_stats",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "docs_clean_corpus",
     "dedup_exact",
     "dedup_clusters",
     "dedup_ngram_jaccard",

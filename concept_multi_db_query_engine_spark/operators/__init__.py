@@ -40,6 +40,7 @@ from .similarity import (
 )
 from .text import (
     bpe_token_stats,
+    clean_corpus,
     pack_sequences,
     stratified_sample,
     document_fingerprint,
@@ -51,6 +52,7 @@ from .text import (
 __all__ = [
     "asof_join",
     "bpe_token_stats",
+    "clean_corpus",
     "document_fingerprint",
     "duplicate_clusters",
     "embedding_cosine_pairs",

@@ -166,6 +166,36 @@ def pack_sequences(
     )
 
 
+def clean_corpus(
+    docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
+) -> DataFrame:
+    """The composed pretraining-prep pipeline in one lazy plan:
+    exact-dedup removal (keep lowest doc_id per md5) → quality gate →
+    language gate. Returns (doc_id, n_chars, quality, lang_pred).
+
+    Every stage is a narrow map except the dedup window (one shuffle on the
+    32-byte fingerprint); Catalyst fuses the quality/language expressions
+    into the same codegen stage, so the whole pipeline is scan + one
+    exchange — the shape that matters when the input is 100 TB of text.
+    """
+    w = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        docs.withColumn("__canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    scored = quality_score(deduped).join(
+        language_id(deduped), "doc_id"
+    )
+    return (
+        scored.where(
+            (F.col("quality") >= min_quality)
+            & (F.col("lang_pred") == lang)
+        )
+        .select("doc_id", "n_chars", "quality", "lang_pred")
+    )
+
+
 def document_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 over case-folded,
     whitespace-collapsed text. The dedup-join key for exact dedup at scale
