@@ -379,6 +379,10 @@ def _q_window_topk(spark, sf):
     return ops.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
 
 
+def _q_retention(spark, sf):
+    return ops.cohort_retention(_t(spark, sf, "events"))
+
+
 def _q_events_hourly(spark, sf):
     return ops.events_hourly(_t(spark, sf, "events"))
 
@@ -485,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q12": _q_tpch_q12,
             "order_value_quantiles": _q_quantiles,
             "events_funnel": _q_funnel,
+            "events_cohort_retention": _q_retention,
             "events_sessionize": _q_sessionize,
             "events_asof_attribution": _q_asof,
             "events_props_rollup": _q_props_rollup,
@@ -814,6 +819,26 @@ SELECT s.user_id, s.signup_ts, v.view_ts, p.purchase_ts,
             WHEN s.signup_ts IS NOT NULL THEN 1
             ELSE 0 END AS reached_step
 FROM s JOIN v ON s.user_id = v.user_id JOIN p ON v.user_id = p.user_id
+"""
+    o["events_cohort_retention"] = """
+WITH fs AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+  FROM events
+), j AS (
+  SELECT a.user_id, f.cohort_week,
+         (CAST(a.activity_week AS DATE) - CAST(f.cohort_week AS DATE)) // 7
+           AS weeks_since
+  FROM act a JOIN fs f ON a.user_id = f.user_id
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM fs GROUP BY 1
+)
+SELECT j.cohort_week, j.weeks_since,
+       count(DISTINCT j.user_id) AS n_active, s.cohort_size
+FROM j JOIN sizes s ON j.cohort_week = s.cohort_week
+GROUP BY 1, 2, 4
 """
     o["events_sessionize"] = """
 WITH flagged AS (

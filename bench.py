@@ -45,6 +45,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "order_value_quantiles",
     "events_funnel",
+    "events_cohort_retention",
     "events_sessionize",
     "events_asof_attribution",
     "events_props_rollup",

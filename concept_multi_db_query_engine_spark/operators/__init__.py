@@ -10,6 +10,7 @@ Arrow-batched ``mapInPandas`` for the multimodal stubs.
 
 from .analytics import (
     asof_join,
+    cohort_retention,
     events_hourly,
     order_value_quantiles,
     signup_purchase_funnel,
@@ -53,6 +54,7 @@ __all__ = [
     "asof_join",
     "bpe_token_stats",
     "clean_corpus",
+    "cohort_retention",
     "document_fingerprint",
     "duplicate_clusters",
     "embedding_cosine_pairs",

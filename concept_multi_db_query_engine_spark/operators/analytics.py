@@ -430,6 +430,37 @@ def signup_purchase_funnel(events: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; for each
+    (cohort_week, weeks_since) cell, how many of the cohort were active.
+    Two aggregations sharing the user_id exchange, then a small rollup —
+    the standard retention-matrix shape. Returns (cohort_week, weeks_since,
+    n_active, cohort_size)."""
+    first_seen = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("activity_week"),
+    ).distinct()
+    joined = activity.join(first_seen, "user_id").withColumn(
+        "weeks_since",
+        (
+            (F.unix_date(F.col("activity_week"))
+             - F.unix_date(F.col("cohort_week"))) / 7
+        ).cast("long"),
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select("cohort_week", "weeks_since", "n_active", "cohort_size")
+    )
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Tumbling-hour event rollup: the batch twin of the streaming windowed
     aggregation in streaming/windows.py (same grouping, same aggregates)."""
