@@ -346,6 +346,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if i % 3 == 2:
             # truncate lineage: the plan doubles in depth every round
             new_labels = new_labels.localCheckpoint()
+        if i == 0:
+            # any non-trivial component needs >=2 rounds; skip the first
+            # convergence check (each check is a driver-side job)
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
