@@ -355,6 +355,72 @@ def _q_tpch_q12(spark, sf):
     return ops.tpch_q12(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
 
+def _q_tpch_q7(spark, sf):
+    return ops.tpch_q7(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q8(spark, sf):
+    return ops.tpch_q8(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+        _t(spark, sf, "part"),
+    )
+
+
+def _q_tpch_q9(spark, sf):
+    return ops.tpch_q9(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "part"),
+    )
+
+
+def _q_tpch_q10(spark, sf):
+    return ops.tpch_q10(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q13(spark, sf):
+    return ops.tpch_q13(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+def _q_tpch_q14(spark, sf):
+    return ops.tpch_q14(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_tpch_q15(spark, sf):
+    return ops.tpch_q15(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"))
+
+
+def _q_tpch_q16(spark, sf):
+    return ops.tpch_q16(_t(spark, sf, "lineitem"), _t(spark, sf, "part"),
+                        _t(spark, sf, "supplier"))
+
+
+def _q_tpch_q17(spark, sf):
+    return ops.tpch_q17(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_tpch_q18(spark, sf):
+    return ops.tpch_q18(_t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+                        _t(spark, sf, "customer"))
+
+
+def _q_tpch_q19(spark, sf):
+    return ops.tpch_q19(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_tpch_q22(spark, sf):
+    return ops.tpch_q22(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
 def _q_sessionize(spark, sf):
     return ops.sessionize(_t(spark, sf, "events"), gap_minutes=30)
 
@@ -487,6 +553,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q4": _q_tpch_q4,
             "tpch_q6": _q_tpch_q6,
             "tpch_q12": _q_tpch_q12,
+            "tpch_q7": _q_tpch_q7,
+            "tpch_q8": _q_tpch_q8,
+            "tpch_q9": _q_tpch_q9,
+            "tpch_q10": _q_tpch_q10,
+            "tpch_q13": _q_tpch_q13,
+            "tpch_q14": _q_tpch_q14,
+            "tpch_q15": _q_tpch_q15,
+            "tpch_q16": _q_tpch_q16,
+            "tpch_q17": _q_tpch_q17,
+            "tpch_q18": _q_tpch_q18,
+            "tpch_q19": _q_tpch_q19,
+            "tpch_q22": _q_tpch_q22,
             "order_value_quantiles": _q_quantiles,
             "events_funnel": _q_funnel,
             "events_cohort_retention": _q_retention,
@@ -788,6 +866,162 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+    o["tpch_q7"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum({disc}) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    o["tpch_q8"] = f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN {disc}
+                     ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+         / CAST(sum({disc}) AS DOUBLE) AS mkt_share,
+       CAST(sum({disc}) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+    cost = (f"CAST(0.8 AS {dec}) * CAST(p_retailprice AS {dec}) "
+            f"* CAST(l_quantity AS {dec})")
+    o["tpch_q9"] = f"""
+SELECT n.n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum({disc}) AS DOUBLE) - CAST(sum({cost}) AS DOUBLE)
+         AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+"""
+    o["tpch_q10"] = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+       CAST(sum({disc}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+"""
+    o["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority != '5-LOW'
+  GROUP BY 1
+) GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+    o["tpch_q14"] = f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {disc}
+                             ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+         / CAST(sum({disc}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+    o["tpch_q15"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({disc}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+    o["tpch_q16"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand != 'Brand#1' AND p.p_type != 'PROMO'
+  AND p.p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    o["tpch_q17"] = f"""
+WITH li_b AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3'
+), avg_q AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) / count(*)
+           AS avg_qty
+  FROM li_b GROUP BY 1
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS {dec})) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM li_b l JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+    o["tpch_q18"] = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) > 150.0
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+"""
+    o["tpch_q19"] = f"""
+SELECT CAST(sum({disc}) AS DOUBLE) AS revenue, count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+    o["tpch_q22"] = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS {dec})) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS {dec})) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1 ORDER BY 1
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

@@ -25,6 +25,20 @@ from .analytics import (
     tpch_q6,
     tpch_q12,
 )
+from .tpch_ext import (
+    tpch_q7,
+    tpch_q8,
+    tpch_q9,
+    tpch_q10,
+    tpch_q13,
+    tpch_q14,
+    tpch_q15,
+    tpch_q16,
+    tpch_q17,
+    tpch_q18,
+    tpch_q19,
+    tpch_q22,
+)
 from .dedup import (
     duplicate_clusters,
     embedding_cosine_pairs,
@@ -84,4 +98,16 @@ __all__ = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q12",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
 ]

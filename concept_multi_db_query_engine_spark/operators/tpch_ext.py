@@ -1,0 +1,393 @@
+"""Extended TPC-H-shaped analytics (Q7-Q10, Q13-Q19, Q22 adapted to the
+driver testdata schema — no ``partsupp`` table, so Q2/Q11/Q20/Q21 are not
+expressible; Q9/Q16/Q17 substitute the lineitem part-supplier link or
+``p_retailprice`` where the original uses ``partsupp`` columns).
+
+Same numeric convention as analytics.py: money aggregates run over
+DECIMAL(12,4)-cast columns (exact + associative → partition-order-immune),
+cast to DOUBLE only at the end. Ratios divide two such exact doubles, which
+is a single deterministic IEEE754 operation on both engines.
+
+Scale notes (100 TB posture): in every query below the fact table
+(``lineitem``) is joined only against pre-filtered dimension frames that are
+explicitly ``broadcast()`` — lineitem itself never shuffles except for its
+own groupBy. Two-level aggregations (Q13) aggregate the narrow side first.
+At real cluster scale the broadcast hints on ``orders``-derived frames
+(Q7-Q10) become AQE decisions instead — the hint is correct while
+|filtered orders| ≪ |lineitem|, which holds for these selective filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analytics import DEC, _d
+
+
+def _rev():
+    return _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+
+
+def tpch_q7(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue shipped between two nations
+    in either direction, by (supp_nation, cust_nation, year)."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    return (
+        lineitem
+        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(
+            ((F.col("supp_nation") == nation_a)
+             & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b)
+               & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame, region: DataFrame,
+    part: DataFrame,
+    region_name: str = "AMERICA", supp_nation: str = "NATION_1",
+    part_type: str = "ECONOMY",
+    date_from: str = "1995-01-01", date_to: str = "1997-01-01",
+) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the share of one supplier
+    nation in the revenue of one part type sold to one region, per year.
+    ``sum(CASE)/sum`` over exact decimal sums → one deterministic double
+    division per group."""
+    nat_r = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nat_r), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    parts = part.where(F.col("p_type") == part_type).select("p_partkey")
+    ords = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    zero = F.lit(0).cast(DEC)
+    nation_rev = F.when(F.col("supp_nation") == supp_nation, _rev()) \
+        .otherwise(zero)
+    return (
+        lineitem
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            (F.sum(nation_rev).cast("double")
+             / F.sum(_rev()).cast("double")).alias("mkt_share"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+    nation: DataFrame, part: DataFrame,
+    name_fragment: str = "widget", cost_factor: str = "0.8",
+) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape, adapted: no ``ps_supplycost`` →
+    cost modeled as ``cost_factor * p_retailprice * l_quantity``). Profit is
+    the difference of two exact decimal sums, each cast to double first."""
+    supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    parts = part.where(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey", "p_retailprice"
+    )
+    cost = (F.lit(cost_factor).cast(DEC) * _d("p_retailprice")
+            * _d("l_quantity"))
+    return (
+        lineitem
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(_rev()).cast("double") - F.sum(cost).cast("double"))
+            .alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q10(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-k customers by revenue
+    lost to returns in a half-year window."""
+    cust = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal",
+             F.col("n_name").alias("nation"))
+    ords = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        ).select("o_orderkey", "o_custkey")
+    )
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def tpch_q13(
+    customer: DataFrame, orders: DataFrame,
+    exclude_priority: str = "5-LOW",
+) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    zero-order customers land in the c_count=0 bucket; two-level aggregation
+    — the second groupBy runs on |customers| rows, not |orders|."""
+    ords = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q14(
+    lineitem: DataFrame, part: DataFrame,
+    promo_type: str = "PROMO",
+    date_from: str = "1996-03-01", date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): percent of one month's revenue
+    from promo parts — single filtered scan + broadcast part join, one
+    global conditional aggregate."""
+    zero = F.lit(0).cast(DEC)
+    promo = F.when(F.col("p_type") == promo_type, _rev()).otherwise(zero)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(_rev()).cast("double")).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q15(
+    lineitem: DataFrame, supplier: DataFrame,
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): supplier(s) with max revenue over a
+    quarter. The global-max window runs on the aggregated frame (|suppliers|
+    rows, single partition — fine at any scale since it is post-aggregation;
+    at 100 TB this frame is ~1e6 rows max)."""
+    rev_per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    top = rev_per_supp.withColumn(
+        "max_revenue", F.max("total_revenue").over(w)
+    ).where(F.col("total_revenue") == F.col("max_revenue"))
+    return (
+        top.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q16(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+    exclude_brand: str = "Brand#1", exclude_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 5, 9, 14, 23, 36, 45, 49),
+    supplier_name_not_endswith: str = "7",
+) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape, adapted: the
+    part↔supplier link comes from distinct lineitem pairs instead of
+    ``partsupp``). Distinct-count of suppliers per part attribute triple,
+    excluding one brand, one type, and a supplier name pattern."""
+    link = lineitem.select("l_partkey", "l_suppkey").distinct()
+    parts = part.where(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_type") != exclude_type)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.where(
+        F.col("s_name").endswith(supplier_name_not_endswith)
+    ).select("s_suppkey")
+    return (
+        link.join(F.broadcast(parts),
+                  F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q17(
+    lineitem: DataFrame, part: DataFrame,
+    brand: str = "Brand#3", qty_factor: float = 0.2,
+) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems of one
+    brand whose quantity is below ``qty_factor ×`` that part's average
+    quantity. The correlated AVG subquery decorrelates to a per-part
+    aggregate joined back — two passes over the brand's lineitems (both
+    after a broadcast part-filter), no correlated execution."""
+    parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li_b = lineitem.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(_d("l_quantity")).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_b.join(F.broadcast(avg_qty),
+                  F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.lit(qty_factor) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_d("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q18(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    qty_threshold: float = 150.0, k: int = 100,
+) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total quantity
+    exceeds the threshold — the HAVING-subquery folds to a pre-aggregated
+    semi-join frame (aggregate lineitem once, filter, then join)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > qty_threshold)
+    )
+    return (
+        orders.join(F.broadcast(big),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def tpch_q19(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): disjunction of three
+    (brand, size-range, quantity-range) branches — the OR-of-ANDs predicate
+    is a single JVM-side expression evaluated after one broadcast join; the
+    part-side conjuncts (brand/size) could be pre-pushed per branch, but the
+    union-of-three-joins alternative triples the probe cost for no gain at
+    this selectivity."""
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    brands = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#24")
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem
+        .join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def tpch_q22(
+    customer: DataFrame, orders: DataFrame,
+    inactive_since: str = "2001-01-01",
+) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape, adapted: every testdata
+    customer has orders, so "never ordered" → "no order since the cutoff"):
+    customers with above-average positive balance and no recent orders,
+    grouped by nation. The scalar AVG subquery becomes a one-row broadcast
+    cross join; "no recent orders" is a left-anti join against the filtered
+    orders frame."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_d("c_acctbal")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(inactive_since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_d("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
