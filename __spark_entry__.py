@@ -421,6 +421,41 @@ def _q_tpch_q22(spark, sf):
     return ops.tpch_q22(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
 
 
+def _q_rolling_revenue(spark, sf):
+    return ops.rolling_revenue_7d(_t(spark, sf, "orders"))
+
+
+def _q_order_gaps(spark, sf):
+    return ops.customer_order_gaps(_t(spark, sf, "orders"))
+
+
+def _q_nation_pivot(spark, sf):
+    return ops.nation_revenue_pivot(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+        _t(spark, sf, "nation"),
+    )
+
+
+def _q_revenue_deciles(spark, sf):
+    return ops.customer_revenue_deciles(_t(spark, sf, "orders"))
+
+
+def _q_segments_setops(spark, sf):
+    return ops.customer_segments_setops(_t(spark, sf, "orders"))
+
+
+def _q_click_attribution(spark, sf):
+    return ops.purchase_click_attribution(_t(spark, sf, "events"))
+
+
+def _q_tfidf(spark, sf):
+    return ops.tfidf_top_terms(_t(spark, sf, "documents"))
+
+
+def _q_bigrams(spark, sf):
+    return ops.top_bigrams(_t(spark, sf, "documents"))
+
+
 def _q_sessionize(spark, sf):
     return ops.sessionize(_t(spark, sf, "events"), gap_minutes=30)
 
@@ -565,6 +600,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q18": _q_tpch_q18,
             "tpch_q19": _q_tpch_q19,
             "tpch_q22": _q_tpch_q22,
+            "rolling_revenue_7d": _q_rolling_revenue,
+            "customer_order_gaps": _q_order_gaps,
+            "nation_revenue_pivot": _q_nation_pivot,
+            "customer_revenue_deciles": _q_revenue_deciles,
+            "customer_segments_setops": _q_segments_setops,
+            "purchase_click_attribution": _q_click_attribution,
+            "text_tfidf_top_terms": _q_tfidf,
+            "text_top_bigrams": _q_bigrams,
             "order_value_quantiles": _q_quantiles,
             "events_funnel": _q_funnel,
             "events_cohort_retention": _q_retention,
@@ -1022,6 +1065,124 @@ WHERE c.c_acctbal > (
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY 1 ORDER BY 1
+"""
+    o["rolling_revenue_7d"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS day_n,
+         CAST(sum(CAST(o_totalprice AS {dec})) AS DECIMAL(18,4))
+           AS daily_rev_d,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT order_day, CAST(daily_rev_d AS DOUBLE) AS daily_revenue, n_orders,
+       CAST(sum(daily_rev_d) OVER (
+         ORDER BY day_n RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS revenue_7d
+FROM daily ORDER BY order_day
+"""
+    o["customer_order_gaps"] = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+           CAST(lag(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(gap_days) AS DOUBLE) / count(gap_days) AS avg_gap_days,
+       max(gap_days) AS max_gap_days
+FROM gaps GROUP BY 1 ORDER BY 1
+"""
+    pivot_cells = ",\n".join(
+        f"       CAST(sum(CASE WHEN year(o_orderdate) = {y} "
+        f"THEN CAST(o_totalprice AS {dec}) END) AS DOUBLE) AS y{y}"
+        for y in (1995, 1996, 1997, 1998, 1999, 2000, 2001)
+    )
+    o["nation_revenue_pivot"] = f"""
+SELECT n.n_name AS nation,
+{pivot_cells}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+    o["customer_revenue_deciles"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS {dec})) AS DECIMAL(18,4))
+           AS revenue_d
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT *, ntile(10) OVER (ORDER BY revenue_d DESC, o_custkey ASC)
+       AS decile
+  FROM per_cust
+)
+SELECT decile, count(*) AS numcust,
+       CAST(sum(revenue_d) AS DOUBLE) AS total_revenue,
+       CAST(min(revenue_d) AS DOUBLE) AS min_revenue
+FROM t GROUP BY 1 ORDER BY 1
+"""
+    o["customer_segments_setops"] = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1996)
+SELECT 'retained' AS segment, count(*) AS numcust
+  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'lapsed', count(*)
+  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'acquired', count(*)
+  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+ORDER BY segment
+"""
+    o["purchase_click_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts AS ts, count(c.ts) AS n_clicks_before
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 60 MINUTES
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+    o["text_tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk
+"""
+    o["text_top_bigrams"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+)
+SELECT bigram, count(*) AS n FROM (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i+1])) AS bigram
+  FROM toks
+) GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

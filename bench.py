@@ -53,6 +53,14 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "rolling_revenue_7d",
+    "customer_order_gaps",
+    "nation_revenue_pivot",
+    "customer_revenue_deciles",
+    "customer_segments_setops",
+    "purchase_click_attribution",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
     "window_topk_per_group",
     "events_hourly_rollup",
     "order_value_quantiles",

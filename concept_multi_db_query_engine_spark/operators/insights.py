@@ -1,0 +1,206 @@
+"""Window/pivot/set-op/range-join analytics over the driver testdata.
+
+These extend the engine beyond the reference's closed query surface
+(reference README.md:768 lists computed columns/expressions as future scope;
+windowed analytics have no reference equivalent) with the shapes a
+warehouse user expects: rolling time windows, lag-based gap analysis,
+pivot, ntile bucketing, INTERSECT/EXCEPT cohorts, and a time-range join.
+
+Numeric convention matches analytics.py: money sums run over
+DECIMAL-cast columns (exact, associative, partition-order-immune), cast to
+DOUBLE only at the very end.
+
+Scale notes (100 TB posture), per operator:
+- rolling_revenue_7d: aggregates the fact table FIRST (one shuffle on the
+  day key), then runs the unpartitioned window over the tiny |days| frame —
+  never a window over raw facts.
+- customer_order_gaps: the lag window partitions by customer, so it
+  shuffles once on the same key as the final groupBy — Catalyst reuses the
+  partitioning and the whole operator is a single exchange.
+- nation_revenue_pivot: pivot with an EXPLICIT value list compiles to one
+  hash aggregate (no second pass to discover pivot values).
+- customer_revenue_deciles: the global ntile runs on the post-aggregation
+  |customers| frame in a single partition — fine while |customers| fits one
+  task (~1e8 rows); beyond that switch to approx percentile cutpoints.
+- customer_segments_setops: EXCEPT/INTERSECT on distinct key sets —
+  shuffles on the key; each input is pre-filtered and pre-projected so the
+  exchange carries 8-byte keys only.
+- purchase_click_attribution: equi-join on user_id carries the time-range
+  predicate as a post-join filter — the shuffle key is the user, so the
+  range condition never degenerates into a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analytics import DEC, _d
+
+DEC18 = "decimal(18,4)"
+
+
+def rolling_revenue_7d(orders: DataFrame, epoch: str = "1995-01-01") -> DataFrame:
+    """Daily order revenue plus its 7-day trailing rolling sum.
+
+    Two-level plan: exact-decimal daily aggregate (shuffle on day), then a
+    rangeBetween(-6, 0) window over the integer day number on the ~|days|
+    aggregated frame."""
+    daily = (
+        orders
+        .groupBy(
+            F.to_date("o_orderdate").alias("order_day"),
+            F.datediff(F.to_date("o_orderdate"),
+                       F.lit(epoch).cast("date")).alias("day_n"),
+        )
+        .agg(F.sum(_d("o_totalprice")).cast(DEC18).alias("daily_rev_d"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("day_n").rangeBetween(-6, 0)
+    return (
+        daily
+        .select(
+            "order_day",
+            F.col("daily_rev_d").cast("double").alias("daily_revenue"),
+            "n_orders",
+            F.sum("daily_rev_d").over(w).cast("double").alias("revenue_7d"),
+        )
+        .orderBy("order_day")
+    )
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Per-customer inter-order gap statistics via LAG.
+
+    Consecutive-date diffs over a per-customer window; gaps are exact ints,
+    so avg = sum/count is one deterministic double division per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("gap_days").cast("double")
+             / F.count("gap_days")).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+PIVOT_YEARS = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
+
+
+def nation_revenue_pivot(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+) -> DataFrame:
+    """Nation × order-year revenue matrix via pivot with an explicit year
+    list (single hash aggregate; empty cells stay NULL like conditional
+    SUM over an empty set)."""
+    cust = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    piv = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("nation")
+        .pivot("o_year", PIVOT_YEARS)
+        .agg(F.sum(_d("o_totalprice")).cast("double"))
+    )
+    return piv.select(
+        "nation",
+        *[F.col(str(y)).alias(f"y{y}") for y in PIVOT_YEARS],
+    ).orderBy("nation")
+
+
+def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
+    """Customers bucketed into revenue deciles (NTILE over the aggregated
+    per-customer frame), with per-decile counts and exact-decimal totals."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice")).cast(DEC18).alias("revenue_d")
+    )
+    w = Window.orderBy(F.col("revenue_d").desc(), F.col("o_custkey").asc())
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("revenue_d").cast("double").alias("total_revenue"),
+            F.min("revenue_d").cast("double").alias("min_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+def customer_segments_setops(
+    orders: DataFrame, year_a: int = 1995, year_b: int = 1996,
+) -> DataFrame:
+    """Year-over-year customer movement via set operations: retained
+    (INTERSECT), lapsed (year A EXCEPT year B), acquired (B EXCEPT A).
+    Inputs are distinct key sets, so the exchanges carry bare keys."""
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select("o_custkey").distinct()
+        )
+
+    a, b = keys(year_a), keys(year_b)
+    segs = [
+        ("retained", a.intersect(b)),
+        ("lapsed", a.subtract(b)),
+        ("acquired", b.subtract(a)),
+    ]
+    counted = [
+        df.agg(F.count(F.lit(1)).alias("numcust"))
+          .select(F.lit(name).alias("segment"), "numcust")
+        for name, df in segs
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("segment")
+
+
+def purchase_click_attribution(
+    events: DataFrame, window_minutes: int = 60,
+) -> DataFrame:
+    """Time-range join: for every purchase, count same-user clicks in the
+    preceding ``window_minutes``. LEFT join keeps zero-click purchases.
+
+    The join key is user_id (equi), the time range is a join-side filter —
+    at scale this is one shuffle on user_id, and the per-user group is small
+    enough that the range scan inside it is cheap."""
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    lo = F.col("p_ts") - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+    joined = purch.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= lo),
+        "left",
+    )
+    return (
+        joined.groupBy("p_event_id", "p_user_id", "p_ts")
+        .agg(F.count("c_ts").alias("n_clicks_before"))
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            F.col("p_user_id").alias("user_id"),
+            F.col("p_ts").alias("ts"),
+            "n_clicks_before",
+        )
+        .orderBy("event_id")
+    )

@@ -206,3 +206,70 @@ def document_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).cast("long").alias("norm_len"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, min_len: int = 3) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf × ln(N/df)).
+
+    Tokenization is lowercase alpha runs (``[^a-z]+`` split) of length ≥
+    ``min_len`` — identical in Spark and the ANSI oracle. Plan shape at
+    scale: one explode over the scan, one shuffle for (doc, term) tf, one
+    for term df; the df frame (|vocabulary| rows) broadcasts back onto tf.
+    The corpus size N is a one-row broadcast cross join, not a collect.
+    TF-IDF is rounded to 6dp BEFORE ranking so the rank-k cut is stable
+    across engines' ln() ulp differences."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= min_len)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word bigrams (lowercase alpha tokenization).
+
+    Adjacent pairs come from an index-sequence transform over the token
+    array — pure JVM array ops, no self-join on position. One explode + one
+    count shuffle; counts are exact ints so the top-k cut (count desc,
+    bigram asc) is deterministic."""
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    pairs = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> concat(__toks[i-1], ' ', __toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(arr.alias("__toks"))
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
