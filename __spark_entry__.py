@@ -421,6 +421,16 @@ def _q_tpch_q22(spark, sf):
     return ops.tpch_q22(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
 
 
+def _q_kmv_distinct(spark, sf):
+    return ops.approx_distinct_kmv(_t(spark, sf, "events"), "user_id", k=256)
+
+
+def _q_sketch_comparison(spark, sf):
+    return ops.distinct_sketch_comparison(
+        _t(spark, sf, "events"), "user_id", k=256
+    )
+
+
 def _q_rolling_revenue(spark, sf):
     return ops.rolling_revenue_7d(_t(spark, sf, "orders"))
 
@@ -632,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_bruteforce": _q_sim_bruteforce,
             "sim_topk_lsh": _q_sim_lsh,
             "sim_topk_ivf": _q_sim_ivf,
+            "events_approx_distinct_kmv": _q_kmv_distinct,
+            "sketch_distinct_comparison": _q_sketch_comparison,  # no oracle (HLL++)
             "dedup_simhash": _q_simhash,          # no SQL oracle (xxhash64)
             "multimodal_decode_stats": _q_multimodal,  # no SQL oracle (UDF)
         }
@@ -1184,6 +1196,9 @@ SELECT bigram, count(*) AS n FROM (
   FROM toks
 ) GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20
 """
+    o["events_approx_distinct_kmv"] = ops.kmv_oracle_sql(
+        "events", "user_id", k=256
+    )
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

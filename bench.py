@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "events_approx_distinct_kmv",
     "rolling_revenue_7d",
     "customer_order_gaps",
     "nation_revenue_pivot",

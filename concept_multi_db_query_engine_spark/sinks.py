@@ -1,0 +1,90 @@
+"""Sinks: sharded, partitioned output writers.
+
+The reference engine is strictly read-only — INSERT/UPDATE/DELETE are
+explicitly future scope (reference README.md:754) and it defines no sinks.
+A 100 TB training-data pipeline, however, has to write its outputs back out
+(deduped corpora, packed sequences, feature tables), so the Spark rebuild
+adds a first-class write path.
+
+Scale design:
+- **Shard count is explicit.** ``repartition(n)`` (hash) or
+  ``repartitionByRange`` (for globally range-clustered output) decides the
+  file count; never rely on whatever partitioning the upstream plan left.
+- **Hive-style ``partitionBy``** for the columns consumers filter on
+  (e.g. ``lang``, ``source``) → downstream partition pruning is free.
+- **``sortWithinPartitions``** before write gives per-file clustering
+  (parquet min/max row-group pruning) without a global sort's extra
+  exchange.
+- **``maxRecordsPerFile``** bounds file size regardless of skew, so one hot
+  hive-partition can't produce a 100 GB file.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ParquetSink:
+    """Configurable parquet writer: shard count, hive partitioning,
+    within-file clustering, file-size cap, compression."""
+
+    path: str
+    mode: str = "overwrite"
+    partition_by: tuple[str, ...] = ()
+    sort_within_by: tuple[str, ...] = ()
+    n_shards: int | None = None
+    range_shard_by: tuple[str, ...] = ()
+    max_records_per_file: int | None = None
+    compression: str = "snappy"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def _shape(self, df: DataFrame) -> DataFrame:
+        if self.n_shards:
+            if self.range_shard_by:
+                df = df.repartitionByRange(self.n_shards, *self.range_shard_by)
+            elif self.partition_by:
+                # co-locate each hive partition's rows so every (hive
+                # partition × shard) pair yields at most one file instead of
+                # n_shards tiny files per partition
+                df = df.repartition(self.n_shards, *self.partition_by)
+            else:
+                df = df.repartition(self.n_shards)
+        if self.sort_within_by:
+            df = df.sortWithinPartitions(*self.sort_within_by)
+        return df
+
+    def write(self, df: DataFrame) -> None:
+        writer = self._shape(df).write.mode(self.mode)
+        writer = writer.option("compression", self.compression)
+        if self.max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self.max_records_per_file)
+            )
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+
+def write_corpus_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    partition_by: tuple[str, ...] = ("lang",),
+    order_within: tuple[str, ...] = ("doc_id",),
+    max_records_per_file: int | None = 1_000_000,
+) -> None:
+    """Write a documents table as a sharded, hive-partitioned parquet corpus
+    — the standard layout for feeding a distributed training job (each
+    worker claims whole files; ``lang`` pruning is a directory skip)."""
+    ParquetSink(
+        path=path,
+        partition_by=partition_by,
+        sort_within_by=order_within,
+        n_shards=n_shards,
+        max_records_per_file=max_records_per_file,
+    ).write(docs)

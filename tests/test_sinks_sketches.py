@@ -1,0 +1,90 @@
+"""Write-path (sinks) and sketch-operator tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark.sinks import (
+    ParquetSink,
+    write_corpus_shards,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_corpus_shards_roundtrip_and_hive_layout(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = _docs(spark)
+    write_corpus_shards(docs, out, n_shards=4)
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{out}/lang=*")) \
+        == ["lang=de", "lang=en"]
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert {r["lang"] for r in back.select("lang").distinct().collect()} \
+        == {"en", "de"}
+    # partition pruning: reading one lang dir touches only that subtree
+    assert spark.read.parquet(out).where(F.col("lang") == "en").count() == 67
+
+
+def test_sink_shard_count_and_file_cap(spark, tmp_path):
+    out = str(tmp_path / "sharded")
+    ParquetSink(path=out, n_shards=3, max_records_per_file=40).write(
+        _docs(spark, 150).drop("lang")
+    )
+    files = glob.glob(f"{out}/*.parquet")
+    # 3 shards of ~50 rows, capped at 40 rows/file → >3 files, none over cap
+    assert len(files) > 3
+    for f in files:
+        assert spark.read.parquet(f).count() <= 40
+    assert spark.read.parquet(out).count() == 150
+
+
+def test_range_sharding_orders_files(spark, tmp_path):
+    out = str(tmp_path / "ranged")
+    ParquetSink(
+        path=out, n_shards=4, range_shard_by=("doc_id",),
+        sort_within_by=("doc_id",),
+    ).write(_docs(spark, 100).drop("lang"))
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # each physical file holds a contiguous doc_id range (range clustering)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        rows = spark.read.parquet(f).agg(
+            F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+        ).collect()[0]
+        spans.append((rows[0], rows[1], rows[2]))
+    spans.sort()
+    for (_, hi_prev, _), (lo_next, _, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
+
+
+def test_kmv_estimate_close_to_exact(spark):
+    df = spark.range(5000).select((F.col("id") % 1000).alias("v"))
+    row = ops.approx_distinct_kmv(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 256
+    assert abs(row["approx_distinct"] - 1000) / 1000 < 0.15
+
+
+def test_kmv_small_domain_uses_k_used(spark):
+    df = spark.range(1000).select((F.col("id") % 7).alias("v"))
+    row = ops.approx_distinct_kmv(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 7  # exact distinct count, below k
+
+
+def test_sketch_comparison_shapes(spark):
+    df = spark.range(2000).select((F.col("id") % 300).alias("v"))
+    row = ops.distinct_sketch_comparison(df, "v", k=128).collect()[0]
+    assert row["exact"] == 300
+    assert abs(row["hll_estimate"] - 300) / 300 < 0.25
+    assert abs(row["kmv_estimate"] - 300) / 300 < 0.25
