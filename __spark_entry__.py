@@ -752,8 +752,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders GROUP BY 1, 2"
     )
     o["agg_int_sum_avg"] = (
-        "SELECT p_brand, sum(p_size) AS sum_size, avg(p_size) AS avg_size, "
-        "count(*) AS n FROM part GROUP BY 1"
+        # avg mirrored as decimal-sum / count — the engine's avg convention
+        # (exact associative sum, one double division; QUERY.md:173 types
+        # avg as decimal)
+        "SELECT p_brand, sum(p_size) AS sum_size, "
+        "CAST(sum(CAST(p_size AS DECIMAL(25,6))) AS DOUBLE) / count(p_size) "
+        "AS avg_size, count(*) AS n FROM part GROUP BY 1"
     )
     o["agg_having"] = (
         "SELECT o_custkey, count(*) AS n_orders FROM orders "
@@ -903,10 +907,10 @@ GROUP BY 1 ORDER BY 1
 """
     o["tpch_q12"] = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
        count(*) AS n_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'

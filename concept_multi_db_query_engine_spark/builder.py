@@ -202,7 +202,19 @@ class DataFrameBuilder:
                 agg_exprs.append(F.count(F.lit(1)).alias(a.alias))
                 continue
             col = F.col(f"{a.table_alias}.{a.physical}")
-            fn = {"count": F.count, "sum": F.sum, "avg": F.avg,
+            if a.fn == "avg":
+                # avg result type is 'decimal' per the spec (QUERY.md:173);
+                # compute sum over a decimal-cast column so the parallel
+                # partial aggregation is exact and associative (matches any
+                # sequential engine bit-for-bit), then one deterministic
+                # double division per group. F.avg(int) would divide in
+                # engine-specific order and diverge at the ulp level.
+                agg_exprs.append(
+                    (F.sum(col.cast("decimal(25,6)")).cast("double")
+                     / F.count(col)).alias(a.alias)
+                )
+                continue
+            fn = {"count": F.count, "sum": F.sum,
                   "min": F.min, "max": F.max}[a.fn]
             agg_exprs.append(fn(col).alias(a.alias))
         if group_exprs:

@@ -44,6 +44,15 @@ class SqlRenderer:
                 for a in plan.aggregations:
                     if a.physical is None:
                         cols.append(f"COUNT(*) AS {quote_ident(a.alias)}")
+                    elif a.fn == "avg":
+                        # mirror the builder's decimal-avg convention
+                        # (QUERY.md:173: avg types as decimal) so sql-only
+                        # text and the executed plan agree numerically
+                        c = self._col(a.table_alias, a.physical)
+                        cols.append(
+                            f"CAST(SUM(CAST({c} AS DECIMAL(25,6))) AS DOUBLE)"
+                            f" / COUNT({c}) AS {quote_ident(a.alias)}"
+                        )
                     else:
                         cols.append(
                             f"{a.fn.upper()}({self._col(a.table_alias, a.physical)})"

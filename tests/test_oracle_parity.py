@@ -43,8 +43,10 @@ def canon(value):
 
 def rows_of_spark(df):
     cols = sorted(df.columns)
+    # key=repr gives a total order even when tuples contain None/mixed
+    # types (None < int comparisons raise TypeError under the default key)
     return sorted(
-        tuple(canon(r[c]) for c in cols) for r in df.collect()
+        (tuple(canon(r[c]) for c in cols) for r in df.collect()), key=repr
     ), cols
 
 
@@ -53,7 +55,7 @@ def rows_of_duck(con, sql):
     cols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in cols]
     return sorted(
-        tuple(canon(r[i]) for i in idx) for r in rel.fetchall()
+        (tuple(canon(r[i]) for i in idx) for r in rel.fetchall()), key=repr
     ), cols
 
 
@@ -79,13 +81,24 @@ def test_parity(name, spark, duck):
     )
 
 
+# Genuinely non-SQL-expressible ops that may omit the oracle:
+# - dedup_simhash: xxhash64 bit-mixing has no DuckDB equivalent
+# - multimodal_decode_stats: decode path is an honest stub (no codecs here)
+# - sketch_distinct_comparison: HLL++ estimate is Spark-internal (KMV half
+#   is oracle-checked separately via events_approx_distinct_kmv)
+NO_ORACLE_ALLOWED = {
+    "dedup_simhash",
+    "multimodal_decode_stats",
+    "sketch_distinct_comparison",
+}
+
+
 def test_every_query_has_oracle_or_is_flagged():
     no_oracle = set(QUERIES) - set(ORACLES)
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert no_oracle <= {"dedup_simhash", "multimodal_decode_stats"}
+    assert no_oracle <= NO_ORACLE_ALLOWED
 
 
-@pytest.mark.parametrize("name", ["dedup_simhash", "multimodal_decode_stats"])
+@pytest.mark.parametrize("name", sorted(NO_ORACLE_ALLOWED))
 def test_no_oracle_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
