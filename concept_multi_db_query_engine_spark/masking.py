@@ -15,6 +15,7 @@ NULL values pass through unmasked (contract C815). A masked column with no
 from __future__ import annotations
 
 import datetime
+import decimal
 from typing import Any
 
 from pyspark.sql import Column
@@ -80,6 +81,12 @@ def mask_value(value: Any, fn: str, col_type: str) -> Any:
     if fn == "uuid":
         return f"{str(value)[:4]}****"
     if fn == "number":
+        # type-matched zero so cache-served and Spark-served rows are
+        # byte-identical: mask_column casts to double/decimal(38,10)/long
+        if col_type == "float":
+            return 0.0
+        if col_type == "decimal":
+            return decimal.Decimal(0).scaleb(-10)  # Decimal('0E-10') ≙ (38,10)
         return 0
     if fn == "date":
         if isinstance(value, datetime.datetime):

@@ -129,16 +129,23 @@ class MultiDb:
 
     def health_check(self) -> dict[str, Any]:
         out: dict[str, Any] = {"healthy": True, "providers": {}}
-        for db, ok in self.registry.ping_all().items():
+        # time each ping individually; one ping per provider per check
+        for db, src in self.registry.sources.items():
             start = time.perf_counter()
+            ok = src.ping()
             out["providers"][db] = {
                 "ok": ok,
                 "latencyMs": (time.perf_counter() - start) * 1000,
             }
             out["healthy"] &= ok
         for cid, cache in self.caches.items():
-            out["providers"][cid] = {"ok": cache.ping(), "latencyMs": 0.0}
-            out["healthy"] &= cache.ping()
+            start = time.perf_counter()
+            ok = cache.ping()
+            out["providers"][cid] = {
+                "ok": ok,
+                "latencyMs": (time.perf_counter() - start) * 1000,
+            }
+            out["healthy"] &= ok
         return out
 
     def close(self) -> None:
@@ -360,12 +367,16 @@ class MultiDb:
             sub["byIds"] = missing
             sub["executeMode"] = "execute"
             sub.pop("debug", None)
-            # run unrestricted: access was already validated above, and masking
-            # is applied uniformly to cache + DB rows below (avoids double-mask)
+            # The sub-query runs unmasked (masking is applied uniformly to
+            # cache + DB rows below), so it MUST be limited to the columns
+            # the caller may see: `requested` is already ACL-trimmed. The pk
+            # rides along for merge keying and is projected back out unless
+            # requested (README.md:241 — trim/mask DB rows identically).
+            sub["columns"] = list(dict.fromkeys([*requested, pk]))
             sub_result = self.query(sub, None, _skip_cache=True)
             for row in sub_result["data"]:
                 rid = row.get(pk)
-                rows_by_id[rid] = row
+                rows_by_id[rid] = {c: row.get(c) for c in requested}
             sources.append(
                 TableUsed(table.id, "original", table.database, table.physical_name)
             )

@@ -85,6 +85,8 @@ class JdbcSource(Source):
         schema: str | None = None,
         partition_column: str | None = None,
         num_partitions: int = 8,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
         timeout_s: int | None = None,
         fetchsize: int = 10_000,
     ):
@@ -94,24 +96,61 @@ class JdbcSource(Source):
         self.schema = schema
         self.partition_column = partition_column
         self.num_partitions = num_partitions
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
         if timeout_s is not None:
             self.properties.setdefault("queryTimeout", str(timeout_s))
 
-    def reader_options(self, physical_name: str) -> dict[str, str]:
+    def _bounds(self, spark: SparkSession, dbtable: str) -> tuple[int, int]:
+        """Spark's JDBC reader requires partitionColumn, lowerBound,
+        upperBound and numPartitions TOGETHER; when the caller gave no
+        bounds, probe min/max with a one-row remote query (cheap — the
+        remote engine answers from the index/zone map)."""
+        if self.lower_bound is not None and self.upper_bound is not None:
+            return self.lower_bound, self.upper_bound
+        probe = (
+            f"(SELECT MIN({self.partition_column}) AS lo, "
+            f"MAX({self.partition_column}) AS hi FROM {dbtable}) bounds"
+        )
+        reader = spark.read.format("jdbc").option("url", self.url).option(
+            "dbtable", probe
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        row = reader.load().collect()[0]
+        lo = row["lo"] if row["lo"] is not None else 0
+        hi = row["hi"] if row["hi"] is not None else lo + 1
+        return int(lo), int(hi)
+
+    def reader_options(
+        self, physical_name: str,
+        bounds: tuple[int, int] | None = None,
+    ) -> dict[str, str]:
         dbtable = (
             f"{self.schema}.{physical_name}" if self.schema else physical_name
         )
         opts = {"url": self.url, "dbtable": dbtable, **self.properties}
         if self.partition_column:
+            if bounds is None:
+                bounds = (self.lower_bound or 0, self.upper_bound or 1)
             opts.update(
                 partitionColumn=self.partition_column,
                 numPartitions=str(self.num_partitions),
+                lowerBound=str(bounds[0]),
+                upperBound=str(bounds[1]),
             )
         return opts
 
     def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
+        bounds = None
+        if self.partition_column:
+            dbtable = (
+                f"{self.schema}.{physical_name}" if self.schema
+                else physical_name
+            )
+            bounds = self._bounds(spark, dbtable)
         reader = spark.read.format("jdbc")
-        for k, v in self.reader_options(physical_name).items():
+        for k, v in self.reader_options(physical_name, bounds).items():
             reader = reader.option(k, v)
         return reader.load()
 

@@ -31,6 +31,56 @@ class TestPlannerStrategies:
         assert res["meta"]["strategy"] == "cache"
         assert [r["id"] for r in res["data"]] == ["uuid-c1"]
 
+    @pytest.fixture()
+    def partial_engine(self, spark):
+        """Engine whose users cache holds ONLY uuid-c1, so uuid-c2 byIds
+        lookups exercise the partial-hit DB merge path."""
+        from concept_multi_db_query_engine_spark import MultiDb
+        from concept_multi_db_query_engine_spark.cache import MemoryCache
+
+        from tests import fixtures
+
+        r = fixtures.USERS_ROWS[0]
+        cache = MemoryCache({
+            f"users:{r[0]}": {
+                "id": r[0], "email": r[1], "phone": r[2], "firstName": r[3],
+                "lastName": r[4], "role": r[5], "age": r[6],
+                "managerId": r[7], "createdAt": r[8],
+            }
+        })
+        return MultiDb(
+            spark, fixtures.METADATA, fixtures.ROLES,
+            fixtures.build_registry(spark), caches={"redis-main": cache},
+        )
+
+    def test_partial_hit_db_rows_acl_trimmed_and_masked(self, partial_engine):
+        # restricted role + columns omitted: DB-fetched rows must be trimmed
+        # and masked identically to cache-served rows (README.md:241)
+        ctx = {"roles": {"user": ["tenant-user"]}}
+        res = run(
+            partial_engine,
+            {"from": "users", "byIds": ["uuid-c1", "uuid-c2"]},
+            ctx,
+        )
+        assert res["meta"]["strategy"] == "cache"
+        assert [r["id"] for r in res["data"]] == ["uuid-c1", "uuid-c2"]
+        allowed = {"id", "firstName", "lastName", "email"}
+        for row in res["data"]:
+            assert set(row) == allowed, row  # no phone/role/age/... leak
+            assert "***@***." in row["email"]  # masked on both paths
+
+    def test_partial_hit_merge_without_pk_in_columns(self, partial_engine):
+        # explicit columns excluding the pk: missed rows must still merge
+        # (the pk rides along internally for keying, then is dropped)
+        res = run(
+            partial_engine,
+            {"from": "users", "byIds": ["uuid-c1", "uuid-c2"],
+             "columns": ["firstName"]},
+        )
+        assert res["meta"]["strategy"] == "cache"
+        assert sorted(r["firstName"] for r in res["data"]) == ["Alice", "Bob"]
+        assert all(set(r) == {"firstName"} for r in res["data"])
+
     def test_cache_skipped_with_filters(self, engine):
         res = run(
             engine,
@@ -204,9 +254,25 @@ def test_jdbc_source_option_plumbing():
         num_partitions=16,
         timeout_s=30,
     )
-    opts = src.reader_options("orders")
+    opts = src.reader_options("orders", bounds=(1, 5000))
     assert opts["dbtable"] == "public.orders"
     assert opts["partitionColumn"] == "id"
     assert opts["numPartitions"] == "16"
+    # Spark requires all four partition options together
+    assert opts["lowerBound"] == "1"
+    assert opts["upperBound"] == "5000"
     assert opts["queryTimeout"] == "30"
     assert src.ping() is True
+
+
+def test_jdbc_source_explicit_bounds():
+    from concept_multi_db_query_engine_spark.sources import JdbcSource
+
+    src = JdbcSource(
+        "jdbc:postgresql://db:5432/app",
+        partition_column="id",
+        lower_bound=10,
+        upper_bound=99,
+    )
+    opts = src.reader_options("orders")
+    assert (opts["lowerBound"], opts["upperBound"]) == ("10", "99")
