@@ -52,7 +52,9 @@ class ParquetSource(Source):
     def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
         stem = self.aliases.get(physical_name, physical_name)
         df = spark.read.parquet(f"{self.directory}/{stem}.parquet")
-        return self.post(stem, df) if self.post else df
+        # post sees the REQUESTED name (not the aliased stem) so derived
+        # views (e.g. doc_terms over documents) can attach their projection
+        return self.post(physical_name, df) if self.post else df
 
     def ping(self) -> bool:
         import os

@@ -29,6 +29,19 @@ def normalize_table(name: str, df: DataFrame) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"{c} div 1000"))
             )
+    if name == "doc_terms":
+        # derived view over documents giving the gate real array + NULL
+        # semantics (the raw testdata has neither): terms = whitespace
+        # tokens, rare_terms = tokens longer than 7 chars (empty array for
+        # ~20% of docs), lang_alt = NULL for 'en' docs. DuckDB twin:
+        # string_split / list_filter / nullif.
+        df = df.select(
+            "doc_id",
+            F.expr("nullif(lang, 'en')").alias("lang_alt"),
+            F.split("text", " ").alias("terms"),
+            F.filter(F.split("text", " "),
+                     lambda x: F.length(x) > 7).alias("rare_terms"),
+        )
     return df
 
 
@@ -146,6 +159,20 @@ METADATA = {
             ),
         },
         {
+            "id": "doc_terms", "apiName": "doc_terms", "database": "lake",
+            "physicalName": "doc_terms", "primaryKey": ["doc_id"],
+            "columns": [
+                {"apiName": "doc_id", "physicalName": "doc_id",
+                 "type": "int"},
+                {"apiName": "lang_alt", "physicalName": "lang_alt",
+                 "type": "string", "nullable": True},
+                {"apiName": "terms", "physicalName": "terms",
+                 "type": "string[]"},
+                {"apiName": "rare_terms", "physicalName": "rare_terms",
+                 "type": "string[]"},
+            ],
+        },
+        {
             "id": "embeddings", "apiName": "embeddings", "database": "lake",
             "physicalName": "embeddings", "primaryKey": ["vec_id"],
             "columns": _cols(
@@ -193,6 +220,7 @@ def build_engine(spark: SparkSession, sf_dir: str) -> MultiDb:
                 aliases={
                     "orders_replica": "orders",
                     "customer_replica": "customer",
+                    "doc_terms": "documents",
                 },
                 post=normalize_table,
             ),
