@@ -371,47 +371,95 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup).
+    """All-pairs cosine ≥ threshold (embedding near-dup), fully distributed.
 
-    Vectorized numpy path: the corpus matrix is broadcast (fits executor
-    memory up to ~10M × 64 dims; beyond that, LSH-block first — see
-    similarity.topk_cosine_lsh) and each partition computes its rows × corpus
-    block with one BLAS matmul inside Arrow-batched mapInPandas. This is the
-    documented exception to 'built-ins first': a 64-element lambda fold per
-    pair runs interpreted and benches ~50× slower than BLAS.
+    Blocked self-join: vectors are hashed into ``n_blocks`` blocks; each of
+    the B(B+1)/2 unordered block pairs becomes one applyInPandas group that
+    computes its cross-block similarities with chunked BLAS matmuls. Every
+    pair of vectors meets in exactly one group, so the result is EXACT (the
+    DuckDB all-pairs oracle hash-matches) — nothing is collected onto the
+    driver and per-task memory is bounded by (n/B)·chunk sims at a time.
 
-    Results match the SQL oracle after round(·, 4): float32 inputs are
-    exactly representable in float64, and reassociated BLAS sums differ from
-    sequential sums by ≪ the rounding quantum.
+    Replication factor is B per vector (each block participates in B pairs),
+    so shuffle volume is O(n·B) while compute stays the inherent O(n²) of
+    the exact semantics. At 100 TB, scale B with the corpus so a block fits
+    an executor (n/B ≲ 1M 64-dim vectors ≈ 512 MB), or switch to the
+    candidates-only variants (minhash_lsh / simhash / similarity.topk_*) —
+    this operator is the exact baseline, not the billion-doc path.
+
+    BLAS inside Arrow-batched applyInPandas is the documented exception to
+    'built-ins first': a 64-element lambda fold per pair runs interpreted
+    and benches ~50× slower. Results match the SQL oracle after
+    round(·, 4): float32 inputs are exactly representable in float64, and
+    reassociated BLAS sums differ from sequential sums by ≪ the rounding
+    quantum.
     """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
     src = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    rows = src.collect()
-    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = n_blocks
+    # block id from a hash of the id (stable, skew-free for any id pattern)
+    blk = F.pmod(F.xxhash64(F.col("vid")), F.lit(B))
+    # each vector goes to every block-pair its block belongs to, tagged with
+    # the side it plays there; the diagonal pair gets one copy (side 'a')
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda x: F.struct(
+                (F.least(blk, x) * B + F.greatest(blk, x)).alias("bp"),
+                F.when(blk <= x, F.lit("a")).otherwise(F.lit("b"))
+                .alias("side"),
+                x.alias("other"),
+            ),
+        ),
+        # keep one copy for the diagonal (when other == own block, side='a')
+        lambda s: (s["other"] != blk) | (s["side"] == F.lit("a")),
+    )
+    tagged = (
+        src.select("vid", "v", F.explode(pairs).alias("p"))
+        .select("vid", "v", F.col("p.bp").alias("bp"),
+                F.col("p.side").alias("side"))
+    )
 
-    def part(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf["vid"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["v"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            sims = np.round(sims, 4)
-            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            i, j = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"v1": a_ids[i], "v2": b_ids[j], "cosine": sims[i, j]}
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        diagonal = not len(b)
+        if diagonal:  # self-comparison: keep id-ordered pairs only
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b_ids = b["vid"].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(b["v"]), dtype=np.float64)
+        if not len(a_ids) or not len(b_ids):
+            return pd.DataFrame({"v1": [], "v2": [], "cosine": []}).astype(
+                {"v1": "int64", "v2": "int64", "cosine": "float64"}
             )
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        out = []
+        chunk = max(1, 16_000_000 // max(len(b_ids), 1))  # ≤ ~128 MB sims
+        for s in range(0, len(a_ids), chunk):
+            e = s + chunk
+            sims = (a_mat[s:e] @ b_mat.T) / np.outer(a_norms[s:e], b_norms)
+            sims = np.round(sims, 4)
+            keep = sims >= threshold
+            if diagonal:
+                keep &= a_ids[s:e, None] < b_ids[None, :]
+            i, j = np.nonzero(keep)
+            lo = np.minimum(a_ids[s:e][i], b_ids[j])
+            hi = np.maximum(a_ids[s:e][i], b_ids[j])
+            out.append(pd.DataFrame(
+                {"v1": lo, "v2": hi, "cosine": sims[i, j]}
+            ))
+        return pd.concat(out, ignore_index=True)
 
-    return src.mapInPandas(part, schema="v1 long, v2 long, cosine double")
+    return tagged.groupBy("bp").applyInPandas(
+        block_pair, schema="v1 long, v2 long, cosine double"
+    )
