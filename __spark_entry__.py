@@ -532,6 +532,14 @@ def _q_quantiles(spark, sf):
     return ops.order_value_quantiles(_t(spark, sf, "orders"))
 
 
+def _q_quantiles_approx(spark, sf):
+    return ops.order_value_quantiles_approx(_t(spark, sf, "orders"))
+
+
+def _q_revenue_deciles_approx(spark, sf):
+    return ops.customer_revenue_deciles_approx(_t(spark, sf, "orders"))
+
+
 def _q_funnel(spark, sf):
     return ops.signup_purchase_funnel(_t(spark, sf, "events"))
 
@@ -664,11 +672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer_order_gaps": _q_order_gaps,
             "nation_revenue_pivot": _q_nation_pivot,
             "customer_revenue_deciles": _q_revenue_deciles,
+            "customer_revenue_deciles_approx": _q_revenue_deciles_approx,
             "customer_segments_setops": _q_segments_setops,
             "purchase_click_attribution": _q_click_attribution,
             "text_tfidf_top_terms": _q_tfidf,
             "text_top_bigrams": _q_bigrams,
             "order_value_quantiles": _q_quantiles,
+            "order_value_quantiles_approx": _q_quantiles_approx,
             "events_funnel": _q_funnel,
             "events_cohort_retention": _q_retention,
             "events_sessionize": _q_sessionize,
@@ -1259,6 +1269,23 @@ SELECT decile, count(*) AS numcust,
        CAST(min(revenue_d) AS DOUBLE) AS min_revenue
 FROM t GROUP BY 1 ORDER BY 1
 """
+    o["customer_revenue_deciles_approx"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS {dec})) AS DECIMAL(18,4))
+           AS revenue_d
+  FROM orders GROUP BY 1
+), cuts AS (
+  SELECT quantile_disc(revenue_d,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+  FROM per_cust
+)
+SELECT 1 + len(list_filter(cuts, c -> c >= revenue_d)) AS decile,
+       count(*) AS numcust,
+       CAST(sum(revenue_d) AS DOUBLE) AS total_revenue,
+       CAST(min(revenue_d) AS DOUBLE) AS min_revenue
+FROM per_cust, cuts GROUP BY 1 ORDER BY 1
+"""
     o["customer_segments_setops"] = """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders
            WHERE year(o_orderdate) = 1995),
@@ -1325,6 +1352,17 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+    # percentile_approx (Greenwald-Khanna) is EXACT while the group has
+    # <= accuracy rows and returns a discrete element — quantile_disc is
+    # the DuckDB twin at gate scale (verified hash-identical at sf0.01)
+    o["order_value_quantiles_approx"] = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_disc(o_totalprice, 0.99) AS DOUBLE) AS p99,
        count(*) AS n
 FROM orders GROUP BY 1 ORDER BY 1
 """
@@ -1540,15 +1578,16 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 """
     o["docs_pack_sequences"] = """
 WITH t AS (
-  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  SELECT doc_id, doc_id % 32 AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id ASC
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, shard, n_tokens,
        cum - n_tokens AS start_pos,
        (cum - n_tokens) // 512 AS first_bin,
        (cum - 1) // 512 AS last_bin

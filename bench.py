@@ -65,6 +65,8 @@ HEADLINE = [
     "window_topk_per_group",
     "events_hourly_rollup",
     "order_value_quantiles",
+    "order_value_quantiles_approx",
+    "customer_revenue_deciles_approx",
     "events_funnel",
     "events_cohort_retention",
     "events_sessionize",

@@ -36,6 +36,12 @@ from .metadata import (
     TableRoleAccess,
 )
 from .pipeline import MultiDb, create_multi_db
+from .providers import (
+    MetadataProvider,
+    RoleProvider,
+    static_metadata,
+    static_roles,
+)
 from .sources import MemorySource, ParquetSource, SourceRegistry
 
 __all__ = [
@@ -51,17 +57,21 @@ __all__ = [
     "Metadata",
     "MetadataIndex",
     "MultiDb",
+    "MetadataProvider",
     "MultiDbError",
     "ParquetSource",
     "PlannerError",
     "ProviderError",
     "RelationMeta",
     "RoleMeta",
+    "RoleProvider",
     "SourceRegistry",
     "TableMeta",
     "TableRoleAccess",
     "ValidationError",
     "create_multi_db",
+    "static_metadata",
+    "static_roles",
 ]
 
 __version__ = "0.1.0"

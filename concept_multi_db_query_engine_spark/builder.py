@@ -337,7 +337,10 @@ def _value_condition(col: Column, op: str, value: Any) -> Column:
     if op == "=":
         return col == F.lit(value)
     if op == "!=":
-        return col != F.lit(value)
+        # Null-inclusive inequality (IS DISTINCT FROM): a NULL value is "not
+        # equal" to any literal — contract C107 asserts `isActive != true`
+        # returns both false AND null rows (CONTRACT_TESTS.md:465).
+        return ~col.eqNullSafe(F.lit(value))
     if op in (">", "<", ">=", "<="):
         return _compare(col, op, F.lit(value))
     if op == "in":

@@ -118,3 +118,4 @@ INVALID_CACHE = "INVALID_CACHE"
 # Planner / lifecycle codes
 NO_STRATEGY = "NO_STRATEGY"
 EXECUTOR_MISSING = "EXECUTOR_MISSING"
+PROVIDER_LOAD_FAILED = "PROVIDER_LOAD_FAILED"

@@ -366,6 +366,29 @@ def order_value_quantiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def order_value_quantiles_approx(
+    orders: DataFrame, accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB path for `order_value_quantiles`: `percentile_approx`
+    (Greenwald-Khanna sketch) instead of exact `percentile`. The sketch is
+    mergeable map-side with bounded memory (O(accuracy) per group), so no
+    group ever needs its full value set sorted in one task — the property
+    that makes this shape survive arbitrarily large groups. Returns discrete
+    quantiles (an actual element of the group, no interpolation), exact
+    whenever the group has <= `accuracy` rows."""
+    qa = "percentile_approx(o_totalprice, {p}, " + str(accuracy) + ")"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(qa.format(p=0.5)).cast("double").alias("p50"),
+            F.expr(qa.format(p=0.9)).cast("double").alias("p90"),
+            F.expr(qa.format(p=0.99)).cast("double").alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def signup_purchase_funnel(events: DataFrame) -> DataFrame:
     """Per-user funnel: first signup → first view after signup → first
     purchase after that view. One aggregation pass with conditional min

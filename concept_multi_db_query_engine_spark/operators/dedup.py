@@ -346,9 +346,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if i % 3 == 2:
             # truncate lineage: the plan doubles in depth every round
             new_labels = new_labels.localCheckpoint()
-        if i == 0:
-            # any non-trivial component needs >=2 rounds; skip the first
-            # convergence check (each check is a driver-side job)
+        if i == 0 or i % 2 == 1:
+            # any non-trivial component needs >=2 rounds, and each probe is
+            # a driver-side job — check convergence only every other round
+            # (worst case: one extra no-op propagation round, which is
+            # cheaper than a probe per round)
             labels = new_labels
             continue
         changed = (

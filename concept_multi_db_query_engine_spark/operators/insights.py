@@ -107,7 +107,8 @@ def nation_revenue_pivot(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("nation"))
     piv = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # cust grows with scale — no hint; AQE decides broadcast vs shuffle
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("nation")
         .pivot("o_year", PIVOT_YEARS)
@@ -128,6 +129,44 @@ def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
     w = Window.orderBy(F.col("revenue_d").desc(), F.col("o_custkey").asc())
     return (
         per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("revenue_d").cast("double").alias("total_revenue"),
+            F.min("revenue_d").cast("double").alias("min_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+def customer_revenue_deciles_approx(
+    orders: DataFrame, accuracy: int = 100000,
+) -> DataFrame:
+    """The 100 TB path for `customer_revenue_deciles`: instead of a global
+    NTILE window (single-partition sort tail), compute 9 approx decile
+    cutpoints of per-customer revenue with `percentile_approx` (mergeable
+    sketch, one tiny 1-row frame), broadcast them, and bucket every customer
+    with a JVM-side array scan — decile 1 = top revenue. Fully parallel:
+    one shuffle for the per-customer aggregate, then narrow maps.
+    Cutpoints are exact while distinct customers <= `accuracy`."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice")).cast(DEC18).alias("revenue_d")
+    )
+    probs = [round(0.1 * i, 1) for i in range(1, 10)]
+    cuts = per_cust.agg(
+        F.expr(
+            "percentile_approx(revenue_d, "
+            f"array({', '.join(str(p) for p in probs)}), {accuracy})"
+        ).alias("cuts")
+    )
+    # decile = 1 + number of cutpoints >= revenue (cuts ascending p10..p90)
+    decile = (
+        F.lit(1)
+        + F.size(F.filter("cuts", lambda c: c >= F.col("revenue_d")))
+    ).cast("int")
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -137,28 +137,37 @@ def stratified_sample(
 
 def pack_sequences(
     docs: DataFrame, budget_tokens: int = 512,
-    order_col: str = "doc_id",
+    order_col: str = "doc_id", n_shards: int = 32,
 ) -> DataFrame:
-    """Concat-and-chunk sequence packing (GPT-style): documents are laid out
-    as one token stream in ``order_col`` order and cut every
-    ``budget_tokens`` tokens. Returns (doc_id, n_tokens, start_pos,
-    first_bin, last_bin) — a document spans bins first_bin..last_bin.
+    """Concat-and-chunk sequence packing (GPT-style), sharded: documents are
+    assigned to ``n_shards`` shards by ``order_col % n_shards``, laid out as
+    one token stream per shard in ``order_col`` order, and cut every
+    ``budget_tokens`` tokens. Returns (doc_id, shard, n_tokens, start_pos,
+    first_bin, last_bin) — positions and bins are shard-local; a document
+    spans bins first_bin..last_bin of its shard.
 
-    Single global ordering = single-partition window: correct but serial at
-    the tail. At 100 TB, pack per shard — add ``partitionBy(shard)`` to the
-    window; chunks never cross shards so the windows parallelize, which is
-    exactly how packing jobs shard in practice.
+    Scale shape: the cumulative-sum window is ``partitionBy(shard)`` so the
+    n_shards windows run in parallel — no single-partition global-window
+    tail. Chunks never cross shards, which is exactly how packing jobs shard
+    in practice (each shard is an independent token stream feeding its own
+    writer). ``n_shards=1`` recovers the single-global-stream layout.
     """
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    shard = (F.col(order_col) % n_shards).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = docs.select(order_col, n_tokens.alias("n_tokens")).withColumn(
-        "cum", F.sum("n_tokens").over(w)
+    cum = (
+        docs.select(order_col, shard.alias("shard"),
+                    n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
     )
     start = F.col("cum") - F.col("n_tokens")
     return cum.select(
         order_col,
+        "shard",
         "n_tokens",
         start.alias("start_pos"),
         (start / budget_tokens).cast("long").alias("first_bin"),

@@ -8,13 +8,15 @@ DECIMAL(12,4)-cast columns (exact + associative → partition-order-immune),
 cast to DOUBLE only at the end. Ratios divide two such exact doubles, which
 is a single deterministic IEEE754 operation on both engines.
 
-Scale notes (100 TB posture): in every query below the fact table
-(``lineitem``) is joined only against pre-filtered dimension frames that are
-explicitly ``broadcast()`` — lineitem itself never shuffles except for its
-own groupBy. Two-level aggregations (Q13) aggregate the narrow side first.
-At real cluster scale the broadcast hints on ``orders``-derived frames
-(Q7-Q10) become AQE decisions instead — the hint is correct while
-|filtered orders| ≪ |lineitem|, which holds for these selective filters.
+Scale notes (100 TB posture): explicit ``broadcast()`` hints are used ONLY
+on frames whose size does not scale with the data — nation/region and
+selective filters over them. Frames derived from ``orders``/``customer``
+(and part-type filters) grow linearly with scale, so they carry no hint:
+AQE (``spark.sql.adaptive.enabled``) converts those joins to broadcast at
+runtime when the filtered side is small, and keeps a shuffle join when it
+is not — the plan stays valid at any scale factor instead of blowing the
+broadcast threshold at 100×. Two-level aggregations (Q13) aggregate the
+narrow side first.
 """
 
 from __future__ import annotations
@@ -43,12 +45,13 @@ def tpch_q7(
     cust = customer.join(
         F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    # cust/ords grow with scale — no hint; AQE picks the join side at runtime
     ords = orders.join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "cust_nation")
     return (
         lineitem
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(
             ((F.col("supp_nation") == nation_a)
@@ -92,7 +95,7 @@ def tpch_q8(
             (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     zero = F.lit(0).cast(DEC)
@@ -101,7 +104,7 @@ def tpch_q8(
     return (
         lineitem
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
         .agg(
@@ -132,7 +135,7 @@ def tpch_q9(
     return (
         lineitem
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+        .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
@@ -165,8 +168,8 @@ def tpch_q10(
     )
     return (
         lineitem.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -323,9 +326,8 @@ def tpch_q18(
         .where(F.col("sum_qty") > qty_threshold)
     )
     return (
-        orders.join(F.broadcast(big),
-                    F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                 "o_totalprice", "sum_qty")

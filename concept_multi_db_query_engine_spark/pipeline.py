@@ -15,6 +15,7 @@ with EXECUTOR_MISSING.
 from __future__ import annotations
 
 import time
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,13 @@ from .masking import mask_value
 from .metadata import Metadata, MetadataIndex, RoleMeta
 from .planner import PlanDecision, cache_eligible, collect_tables, plan_query
 from .plans import ResolvedPlan, TableUsed
+from .providers import (
+    MetadataProvider,
+    RoleProvider,
+    load_via,
+    static_metadata,
+    static_roles,
+)
 from .query_validation import QueryValidator
 from .resolver import Resolver
 from .sources import Source, SourceRegistry
@@ -51,6 +59,8 @@ class MultiDb:
         *,
         strict_api_names: bool = True,
         timeout_ms: int | None = None,
+        metadata_provider: "MetadataProvider | None" = None,
+        role_provider: "RoleProvider | None" = None,
     ):
         if isinstance(metadata, dict):
             metadata = Metadata.from_dict(metadata)
@@ -60,6 +70,10 @@ class MultiDb:
         validate_config(metadata, roles, strict_api_names=strict_api_names)
         self.spark = spark
         self._strict = strict_api_names
+        # providers back the no-arg reload path (METADATA.md:150-161);
+        # passing explicit config is equivalent to a static provider
+        self._metadata_provider = metadata_provider or static_metadata(metadata)
+        self._role_provider = role_provider or static_roles(roles)
         self._index = MetadataIndex(metadata, roles)
         self.registry = (
             sources if isinstance(sources, SourceRegistry) else SourceRegistry(sources)
@@ -112,7 +126,17 @@ class MultiDb:
 
     # -- lifecycle (METADATA.md:174-199) ---------------------------------------
 
-    def reload_metadata(self, metadata: Metadata | dict[str, Any]) -> None:
+    def reload_metadata(
+        self, metadata: Metadata | dict[str, Any] | None = None
+    ) -> None:
+        """Re-call ``MetadataProvider.load()`` (no-arg form, METADATA.md:176)
+        or install an explicit config. Provider/validation failure raises and
+        preserves the old snapshot (TESTS.md:382 #228); success swaps the
+        index atomically — in-flight queries keep their snapshot."""
+        if metadata is None:
+            metadata = load_via(self._metadata_provider, "metadata")
+        else:
+            self._metadata_provider = static_metadata(metadata)
         if isinstance(metadata, dict):
             metadata = Metadata.from_dict(metadata)
         validate_config(
@@ -120,7 +144,15 @@ class MultiDb:
         )  # raises → old snapshot preserved
         self._index = MetadataIndex(metadata, self._index.roles)
 
-    def reload_roles(self, roles: list[RoleMeta] | list[dict[str, Any]]) -> None:
+    def reload_roles(
+        self, roles: list[RoleMeta] | list[dict[str, Any]] | None = None
+    ) -> None:
+        """Re-call ``RoleProvider.load()`` (no-arg form) or install an
+        explicit role list; same old-snapshot-on-failure semantics."""
+        if roles is None:
+            roles = load_via(self._role_provider, "roles")
+        else:
+            self._role_provider = static_roles(roles)
         roles = [
             r if isinstance(r, RoleMeta) else RoleMeta.from_dict(r) for r in roles
         ]
@@ -260,6 +292,17 @@ class MultiDb:
             raise
         except Exception as exc:
             raise ExecutionError(f"execution failed: {exc}") from exc
+        # avg results are typed 'decimal' (QUERY.md:173, contract C302/C1104).
+        # The DataFrame computes them as double (exact decimal partial sums,
+        # one double division — deterministic across partitionings); surface
+        # them as Decimal in the row API to honor the declared type.
+        avg_aliases = [a.alias for a in plan.aggregations if a.fn == "avg"]
+        if avg_aliases:
+            for r in rows:
+                for alias in avg_aliases:
+                    v = r.get(alias)
+                    if isinstance(v, float):
+                        r[alias] = Decimal(str(v))
         meta["timing"] = {
             "planningMs": planning_ms,
             "generationMs": gen_ms,
@@ -474,19 +517,37 @@ class MultiDb:
 
 def create_multi_db(
     spark: SparkSession,
-    metadata: Metadata | dict[str, Any],
-    roles: list[RoleMeta] | list[dict[str, Any]],
-    sources: dict[str, Source] | SourceRegistry,
+    metadata: Metadata | dict[str, Any] | None = None,
+    roles: list[RoleMeta] | list[dict[str, Any]] | None = None,
+    sources: dict[str, Source] | SourceRegistry | None = None,
     caches: dict[str, CacheProvider] | None = None,
     *,
     validate_connections: bool = True,
     strict_api_names: bool = True,
+    metadata_provider: MetadataProvider | None = None,
+    role_provider: RoleProvider | None = None,
 ) -> MultiDb:
-    """Ordered init (README.md:149-161): load+validate config, build indexes,
-    ping all sources (skippable via validate_connections=False)."""
+    """Ordered init (README.md:149-161): ① provider load (→ ProviderError)
+    ② validate config (→ ConfigError, all issues collected) ③ build indexes
+    ④ ping all sources (→ ConnectionError; skippable via
+    validate_connections=False). Config comes either from explicit
+    ``metadata``/``roles`` or from ``metadata_provider``/``role_provider``
+    (METADATA.md:150-161)."""
+    if metadata is None:
+        if metadata_provider is None:
+            raise ValueError("metadata or metadata_provider is required")
+        metadata = load_via(metadata_provider, "metadata")
+    if roles is None:
+        if role_provider is None:
+            raise ValueError("roles or role_provider is required")
+        roles = load_via(role_provider, "roles")
+    if sources is None:
+        raise ValueError("sources is required")
     db = MultiDb(
         spark, metadata, roles, sources, caches,
         strict_api_names=strict_api_names,
+        metadata_provider=metadata_provider,
+        role_provider=role_provider,
     )
     if validate_connections:
         bad = [name for name, ok in db.registry.ping_all().items() if not ok]

@@ -107,6 +107,21 @@ def plan_query(
     freshness = defn.get("freshness")
     max_lag = LAG_ORDER.get(freshness, 99) if freshness else 99
 
+    # Explicit non-realtime freshness opts into replica offload even when a
+    # direct plan exists: contract C1711/C1716 assert `freshness: 'seconds'`
+    # (lag allows) routes a single-table query to its CDC replica, while
+    # C1715 asserts 'realtime' never does (CONTRACT_TESTS.md:1182-1187).
+    if freshness is not None and freshness != "realtime":
+        offload = _replica_plan(index, tables, max_lag, require_replica=True)
+        if offload is not None:
+            _require_source(registry, offload[0], tables)
+            return PlanDecision(
+                strategy="materialized",
+                target_database=offload[0],
+                dialect="spark",
+                routes=offload[1],
+            )
+
     # P1: all originals in one database
     dbs = {t.database for t in tables}
     if len(dbs) == 1:
@@ -120,43 +135,14 @@ def plan_query(
         )
 
     # P2: replicas co-locate everything in one database, within freshness.
-    # Prefer the database already holding the most originals
-    # (README.md:253-255).
-    candidates: dict[str, int] = {}
-    for t in tables:
-        candidates[t.database] = candidates.get(t.database, 0) + 1
-    best: tuple[int, str, dict[str, TableRoute]] | None = None
-    for db, originals in sorted(candidates.items(), key=lambda kv: -kv[1]):
-        routes: dict[str, TableRoute] = {}
-        ok = True
-        for t in tables:
-            if t.database == db:
-                routes[t.id] = TableRoute(db, t.physical_name)
-                continue
-            replica = next(
-                (
-                    s
-                    for s in index.replicas_of(t.id)
-                    if s.target_database == db
-                    and LAG_ORDER[s.estimated_lag] <= max_lag
-                ),
-                None,
-            )
-            if replica is None:
-                ok = False
-                break
-            routes[t.id] = TableRoute(
-                db, replica.target_physical_name, source="materialized"
-            )
-        if ok and (best is None or originals > best[0]):
-            best = (originals, db, routes)
-    if best is not None:
-        _require_source(registry, best[1], tables)
+    found = _replica_plan(index, tables, max_lag, require_replica=False)
+    if found is not None:
+        _require_source(registry, found[0], tables)
         return PlanDecision(
             strategy="materialized",
-            target_database=best[1],
+            target_database=found[0],
             dialect="spark",
-            routes=best[2],
+            routes=found[1],
         )
 
     # P3: federation — Spark reads every source natively
@@ -180,6 +166,63 @@ def plan_query(
         dialect="spark",
         routes={t.id: TableRoute(t.database, t.physical_name) for t in tables},
     )
+
+
+def _replica_plan(
+    index: MetadataIndex,
+    tables: list[TableMeta],
+    max_lag: int,
+    *,
+    require_replica: bool,
+) -> tuple[str, dict[str, TableRoute]] | None:
+    """Find a database that can serve every table (original or CDC replica
+    within ``max_lag``). Prefer the database already holding the most
+    originals (README.md:253-255). With ``require_replica`` the plan must
+    actually use >=1 replica route — the explicit-freshness offload path
+    (C1711) — so a pure-originals plan falls through to P1 direct instead."""
+    candidates: dict[str, int] = {}
+    for t in tables:
+        candidates[t.database] = candidates.get(t.database, 0) + 1
+    for t in tables:  # replica target DBs are candidates too (0 originals)
+        for s in index.replicas_of(t.id):
+            if LAG_ORDER[s.estimated_lag] <= max_lag:
+                candidates.setdefault(s.target_database, 0)
+    best: tuple[int, str, dict[str, TableRoute]] | None = None
+    for db, originals in sorted(candidates.items(), key=lambda kv: -kv[1]):
+        routes: dict[str, TableRoute] = {}
+        n_replicas = 0
+        ok = True
+        for t in tables:
+            if t.database == db:
+                routes[t.id] = TableRoute(db, t.physical_name)
+                continue
+            replica = next(
+                (
+                    s
+                    for s in index.replicas_of(t.id)
+                    if s.target_database == db
+                    and LAG_ORDER[s.estimated_lag] <= max_lag
+                ),
+                None,
+            )
+            if replica is None:
+                ok = False
+                break
+            # tablesUsed[].source is 'replica' per the contract (C1711,
+            # CONTRACT_TESTS.md:1182) — QUERY.md:167's 'materialized' enum
+            # value is contradicted by the contract's own assertion; the
+            # behavioral suite wins.
+            routes[t.id] = TableRoute(
+                db, replica.target_physical_name, source="replica"
+            )
+            n_replicas += 1
+        if not ok or (require_replica and n_replicas == 0):
+            continue
+        if best is None or originals > best[0]:
+            best = (originals, db, routes)
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
 def _require_source(

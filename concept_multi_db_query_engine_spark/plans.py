@@ -136,7 +136,7 @@ class TableUsed:
     """meta.tablesUsed entry (QUERY.md:165-170)."""
 
     table_id: str
-    source: Literal["original", "materialized", "cache"]
+    source: Literal["original", "replica", "cache"]
     database: str
     physical_name: str
 

@@ -75,8 +75,10 @@ class JdbcSource(Source):
     becomes the bottleneck at any real scale. ``timeout_s`` maps to the
     driver's queryTimeout (the reference's statement_timeout analog).
 
-    No JDBC-reachable database exists in the test container, so tests cover
-    option plumbing; the read path is exercised on a real cluster.
+    E2E-tested against the embedded Derby engine bundled with Spark
+    (tests/test_jdbc_derby.py): write via Spark's JDBC writer, read back
+    through this source with probed bounds and 4-way parallel range
+    partitioning, full pipeline on top.
     """
 
     def __init__(
@@ -119,9 +121,11 @@ class JdbcSource(Source):
         )
         for k, v in self.properties.items():
             reader = reader.option(k, v)
+        # positional access: engines disagree on label casing (Derby/Oracle
+        # uppercase unquoted aliases, Postgres lowercases them)
         row = reader.load().collect()[0]
-        lo = row["lo"] if row["lo"] is not None else 0
-        hi = row["hi"] if row["hi"] is not None else lo + 1
+        lo = row[0] if row[0] is not None else 0
+        hi = row[1] if row[1] is not None else lo + 1
         return int(lo), int(hi)
 
     def reader_options(

@@ -174,8 +174,11 @@ class SqlRenderer:
 
     def _value(self, ref: str, op: str, value: Any) -> str:
         if op in ("=", "!=", ">", "<", ">=", "<="):
-            sql_op = "<>" if op == "!=" else op
-            return f"{ref} {sql_op} {self._p(value)}"
+            if op == "!=":
+                # null-inclusive, matching the builder's eqNullSafe negation
+                # (contract C107, CONTRACT_TESTS.md:465)
+                return f"{ref} IS DISTINCT FROM {self._p(value)}"
+            return f"{ref} {op} {self._p(value)}"
         if op in ("in", "notIn"):
             ph = ", ".join(self._p(v) for v in value)
             kw = "IN" if op == "in" else "NOT IN"

@@ -90,3 +90,45 @@ def test_props_rollup_null_and_malformed_json(spark):
     assert row["n"] == 4
     assert row["sum_k"] == 12
     assert row["avg_k"] == 6.0
+
+
+def test_quantiles_approx_within_band_of_exact(spark):
+    """Verdict item: the approx (100 TB) quantile variant must track the
+    exact one — discrete GK quantiles sit within one element of the
+    interpolated exact quantile, so a 5% relative band is generous."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"{i % 3}-PRI", float(rng.randint(1, 100000)))
+            for i in range(3000)]
+    orders = spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    )
+    exact = {r["o_orderpriority"]: r
+             for r in ops.order_value_quantiles(orders).collect()}
+    approx = {r["o_orderpriority"]: r
+              for r in ops.order_value_quantiles_approx(orders).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert exact[k]["n"] == approx[k]["n"]
+        for p in ("p50", "p90", "p99"):
+            assert abs(approx[k][p] - exact[k][p]) <= 0.05 * exact[k][p] + 1
+
+
+def test_deciles_approx_matches_exact_shape(spark):
+    """Approx decile buckets: every decile present, counts within 2% of
+    n/10 each (exact NTILE gives ceil/floor(n/10)), totals conserved."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, float(rng.randint(1, 500000)) / 100) for i in range(5000)]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    out = ops.customer_revenue_deciles_approx(orders).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    n = sum(r["numcust"] for r in out)
+    assert n == 5000
+    for r in out:
+        assert abs(r["numcust"] - n / 10) <= 0.02 * n / 10 + 2
+    # decile 1 holds the top revenues: min of decile 1 >= min of decile 2
+    mins = [r["min_revenue"] for r in out]
+    assert all(mins[i] >= mins[i + 1] for i in range(9))

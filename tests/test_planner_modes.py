@@ -108,7 +108,7 @@ class TestPlannerStrategies:
         assert res["meta"]["strategy"] == "materialized"
         assert res["meta"]["targetDatabase"] == "ch-analytics"
         used = {t["tableId"]: t for t in res["meta"]["tablesUsed"]}
-        assert used["orders"]["source"] == "materialized"
+        assert used["orders"]["source"] == "replica"  # C1711 enum value
         assert used["orders"]["physicalName"] == "orders_replica"
         assert len(res["data"]) == 2  # events e1 (order 1), e3 (order 3)
 

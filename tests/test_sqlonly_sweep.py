@@ -49,6 +49,10 @@ def env(spark):
         .createOrReplaceTempView("orders_replica")
     testdata.load_table(spark, SF_DIR, "customer") \
         .createOrReplaceTempView("customer_replica")
+    # doc_terms is the derived view over documents (testdata.normalize_table)
+    testdata.normalize_table(
+        "doc_terms", testdata.load_table(spark, SF_DIR, "documents")
+    ).createOrReplaceTempView("doc_terms")
     return engine
 
 
@@ -56,11 +60,18 @@ def env(spark):
 def test_rendered_sql_matches_builder(name, spark, env):
     engine = env
     defn = entry_mod._DSL[name]
+    import decimal
+
+    def canon(v):
+        # the row API surfaces avg as Decimal (QUERY.md:173) while raw SQL
+        # returns double; collapse both to float for the drift comparison
+        return float(v) if isinstance(v, decimal.Decimal) else v
+
     res = engine.query({**defn, "executeMode": "sql-only"})
     sql = _substitute(res["sql"], res["params"])
-    via_sql = [tuple(r) for r in spark.sql(sql).collect()]
+    via_sql = [tuple(canon(v) for v in r) for r in spark.sql(sql).collect()]
     via_builder = [
-        tuple(r.values()) for r in engine.query(defn)["data"]
+        tuple(canon(v) for v in r.values()) for r in engine.query(defn)["data"]
     ]
     assert sorted(map(repr, via_sql)) == sorted(map(repr, via_builder)), (
         f"{name}: sql-text path diverges from builder path\nSQL: {sql}"
