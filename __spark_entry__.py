@@ -739,10 +739,13 @@ _GATE_PRIORITY = [
     "window_topk_per_group", "nation_revenue_pivot",
     "customer_revenue_deciles", "customer_segments_setops",
     "purchase_click_attribution", "order_value_quantiles",
+    # new round-2 approx (100 TB path) variants — no row yet
+    "order_value_quantiles_approx", "customer_revenue_deciles_approx",
     # representative round-1-green core rows fill the remaining gate slots
-    "filter_eq", "filter_pattern_group", "join_inner", "join_left",
-    "exists_filter", "counted_exists_gte", "federated_join",
-    "replica_routing", "masking_role",
+    # (replica_routing re-verifies the round-2 planner freshness change)
+    "filter_eq", "filter_pattern_group", "exists_filter",
+    "counted_exists_gte", "federated_join", "replica_routing",
+    "masking_role",
 ]
 
 

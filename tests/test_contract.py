@@ -1838,3 +1838,472 @@ class TestMaskingContract:
                   ctx(user=["analyst"]))
         by = {r["id"]: r["customerId"] for r in res["data"]}
         assert by[1] == "uuid****"
+
+
+# ---------------------------------------------------------------------------
+# 12. Validation Errors (C900-C1030) — via the zero-I/O endpoint
+# ---------------------------------------------------------------------------
+
+
+def codes(engine, defn, context=ADMIN):
+    return {i["code"] for i in engine.validate_query(defn, context)}
+
+
+def f(column, operator, value=None, **extra):
+    flt = {"column": column, "operator": operator, **extra}
+    if value is not None:
+        flt["value"] = value
+    return flt
+
+
+class TestValidationTableColumn:
+    @pytest.mark.parametrize(
+        "cid,defn,code",
+        [
+            ("C900", {"from": "nonExistentTable"}, "UNKNOWN_TABLE"),
+            ("C901", {"from": "orders", "columns": ["nonexistent"]},
+             "UNKNOWN_COLUMN"),
+            ("C902", {"from": "orders",
+                      "filters": [f("nonexistent", "=", "x")]},
+             "UNKNOWN_COLUMN"),
+            ("C903", {"from": "orders", "joins": [{"table": "products"}],
+                      "filters": [f("nonexistent", "=", "x",
+                                    table="products")]},
+             "UNKNOWN_COLUMN"),
+        ],
+    )
+    def test_codes(self, engine, cid, defn, code):
+        assert code in codes(engine, defn)
+
+
+class TestValidationFilters:
+    @pytest.mark.parametrize(
+        "cid,flt,code",
+        [
+            ("C910", f("customerId", ">", "x"), "INVALID_FILTER"),
+            ("C911", f("isPaid", ">", True), "INVALID_FILTER"),
+            ("C912", f("isPaid", "in", [True]), "INVALID_FILTER"),
+            ("C913", {"column": "createdAt", "operator": "in",
+                      "value": ["2024-01-01T00:00:00Z"]}, "INVALID_FILTER"),
+            ("C915", {"column": "createdAt", "operator": "notIn",
+                      "value": ["2024-01-01T00:00:00Z"]}, "INVALID_FILTER"),
+            ("C916", f("isPaid", "notIn", [True]), "INVALID_FILTER"),
+            ("C917", f("quantity", "like", "%1%"), "INVALID_FILTER"),
+            ("C918", f("total", "contains", "1"), "INVALID_FILTER"),
+            ("C919", f("total", "levenshteinLte",
+                       {"text": "x", "maxDistance": 1}), "INVALID_FILTER"),
+            ("C920", f("isPaid", "between", {"from": False, "to": True}),
+             "INVALID_FILTER"),
+            ("C921", f("customerId", "between",
+                       {"from": "a", "to": "b"}), "INVALID_FILTER"),
+            ("C922", f("isPaid", "notBetween", {"from": False, "to": True}),
+             "INVALID_FILTER"),
+            ("C923", f("customerId", "notBetween",
+                       {"from": "a", "to": "b"}), "INVALID_FILTER"),
+            ("C924", f("id", "isNull"), "INVALID_FILTER"),
+            ("C925", f("status", "isNotNull"), "INVALID_FILTER"),
+            ("C926", f("status", "arrayContains", "x"), "INVALID_FILTER"),
+            ("C927", f("priorities", "=", "x"), "INVALID_FILTER"),
+            # C930-C947: malformed compound values
+            ("C930", f("total", "between", {"from": 1}), "INVALID_VALUE"),
+            ("C931", f("total", "notBetween", {"from": 1}), "INVALID_VALUE"),
+            ("C932", f("status", "levenshteinLte",
+                       {"text": "x", "maxDistance": -1}), "INVALID_VALUE"),
+            ("C933", f("status", "levenshteinLte",
+                       {"text": "x", "maxDistance": 1.5}), "INVALID_VALUE"),
+            ("C934", {"column": "status", "operator": "in", "value": []},
+             "INVALID_VALUE"),
+            ("C935", f("status", "in", ["a", 1]), "INVALID_VALUE"),
+            ("C936", f("status", "in", ["a", None]), "INVALID_VALUE"),
+            ("C937", f("total", "between", {"from": None, "to": 1}),
+             "INVALID_VALUE"),
+            ("C938", f("total", "between", {"from": 1, "to": None}),
+             "INVALID_VALUE"),
+            ("C939", f("total", "between", {"from": 1, "to": "x"}),
+             "INVALID_VALUE"),
+            ("C940", f("priorities", "arrayContains", "notAnInt"),
+             "INVALID_VALUE"),
+            ("C941", {"column": "priorities", "operator": "arrayContainsAll",
+                      "value": []}, "INVALID_VALUE"),
+            ("C942", f("priorities", "arrayContainsAny", ["x"]),
+             "INVALID_VALUE"),
+            ("C943", f("priorities", "arrayContainsAll", [1, None]),
+             "INVALID_VALUE"),
+            ("C944", {"column": "status", "operator": "notIn", "value": []},
+             "INVALID_VALUE"),
+            ("C945", f("status", "notIn", ["a", 1]), "INVALID_VALUE"),
+            ("C946", f("total", "between", {"to": 1}), "INVALID_VALUE"),
+            ("C947", f("status", "levenshteinLte", {"maxDistance": 1}),
+             "INVALID_VALUE"),
+        ],
+    )
+    def test_filter_codes(self, engine, cid, flt, code):
+        assert code in codes(engine, {"from": "orders", "filters": [flt]})
+
+    def test_c914_in_on_timestamp(self, engine):
+        assert "INVALID_FILTER" in codes(
+            engine,
+            {"from": "orders",
+             "filters": [{"column": "createdAt", "operator": "in",
+                          "value": ["2024-01-01T00:00:00Z"]}]},
+        )
+
+    def test_c928_filter_table_not_joined(self, engine):
+        assert "INVALID_FILTER" in codes(
+            engine,
+            {"from": "orders",
+             "filters": [f("name", "=", "x", table="products")]},
+        )
+
+    def test_c929_filter_on_denied_column(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": ["id"],
+             "filters": [f("internalNote", "=", "x")]},
+            {"roles": {"user": ["tenant-user"]}},
+        )
+        assert "ACCESS_DENIED" in got
+
+
+class TestValidationColumnFilters:
+    def test_c950_cross_family_mismatch(self, engine):
+        assert "INVALID_FILTER" in codes(
+            engine,
+            {"from": "orders",
+             "filters": [{"column": "total", "operator": ">",
+                          "refColumn": "status"}]},
+        )
+
+    def test_c954_numeric_family_compatible(self, engine):
+        assert codes(
+            engine,
+            {"from": "orders",
+             "filters": [{"column": "quantity", "operator": ">",
+                          "refColumn": "total"}]},
+        ) == set()
+
+    def test_c955_temporal_family_compatible(self, engine):
+        assert codes(
+            engine,
+            {"from": "invoices",
+             "filters": [{"column": "dueDate", "operator": "<",
+                          "refColumn": "issuedAt"}]},
+        ) == set()
+
+    def test_c951_column_filter_denied_column(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": ["id"],
+             "filters": [{"column": "total", "operator": ">",
+                          "refColumn": "discount"}]},
+            {"roles": {"user": ["tenant-user"]}},
+        )
+        assert "ACCESS_DENIED" in got
+
+    def test_c952_unknown_ref_column(self, engine):
+        assert "UNKNOWN_COLUMN" in codes(
+            engine,
+            {"from": "orders",
+             "filters": [{"column": "total", "operator": ">",
+                          "refColumn": "ghost"}]},
+        )
+
+    def test_c953_column_filter_on_array(self, engine):
+        assert "INVALID_FILTER" in codes(
+            engine,
+            {"from": "orders",
+             "filters": [{"column": "priorities", "operator": "=",
+                          "refColumn": "priorities"}]},
+        )
+
+
+class TestValidationJoinGroupHaving:
+    def test_c960_join_without_relation(self, engine):
+        assert "INVALID_JOIN" in codes(
+            engine, {"from": "products", "joins": [{"table": "users"}]}
+        )
+
+    def test_c961_join_to_denied_table(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "joins": [{"table": "users"}]},
+            {"roles": {"user": ["viewer"], "service": ["reporting-service"]}},
+        )
+        assert "ACCESS_DENIED" in got
+
+    def test_c962_transitive_join_no_path(self, engine):
+        # samples has no relation to orders or products
+        assert "INVALID_JOIN" in codes(
+            engine,
+            {"from": "orders", "joins": [{"table": "products"},
+                                         {"table": "samples"}]},
+        )
+
+    def test_c970_selected_not_grouped(self, engine):
+        assert "INVALID_GROUP_BY" in codes(
+            engine,
+            {"from": "orders", "columns": ["id", "status"],
+             "groupBy": [{"column": "status"}],
+             "aggregations": [{"column": "*", "fn": "count", "alias": "n"}]},
+        )
+
+    def test_c971_array_column_in_group_by(self, engine):
+        assert "INVALID_GROUP_BY" in codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "priorities"}],
+             "aggregations": [{"column": "*", "fn": "count", "alias": "n"}]},
+        )
+
+    def test_c972_group_by_non_joined_table(self, engine):
+        assert "INVALID_GROUP_BY" in codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "category", "table": "products"}],
+             "aggregations": [{"column": "*", "fn": "count", "alias": "n"}]},
+        )
+
+    @pytest.mark.parametrize(
+        "cid,having",
+        [
+            ("C975", [f("ghostAlias", ">", 1)]),
+            ("C976", [f("n", ">", 1, table="orders")]),
+            ("C977", [{"logic": "and",
+                       "conditions": [{"column": "n", "operator": ">",
+                                       "refColumn": "n"}]}]),
+            ("C978", [{"logic": "and",
+                       "conditions": [{"table": "products",
+                                       "exists": True}]}]),
+            ("C979", [f("n", "contains", "1")]),
+            ("C980", [f("n", "levenshteinLte",
+                        {"text": "x", "maxDistance": 1})]),
+            ("C981", [f("n", "arrayContains", 1)]),
+            ("C982", [{"column": "n", "operator": ">", "refColumn": "n"}]),
+            ("C983", [{"table": "products", "exists": True}]),
+        ],
+    )
+    def test_having_codes(self, engine, cid, having):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "status"}],
+             "aggregations": [{"column": "*", "fn": "count", "alias": "n"}],
+             "having": having},
+        )
+        assert "INVALID_HAVING" in got
+
+
+class TestValidationOrderByIdsLimitAgg:
+    @pytest.mark.parametrize(
+        "cid,defn,code",
+        [
+            ("C985", {"from": "orders",
+                      "orderBy": [{"column": "name", "table": "products",
+                                   "direction": "asc"}]},
+             "INVALID_ORDER_BY"),
+            ("C986", {"from": "orders",
+                      "orderBy": [{"column": "priorities",
+                                   "direction": "asc"}]},
+             "INVALID_ORDER_BY"),
+            ("C990", {"from": "orders", "byIds": []}, "INVALID_BY_IDS"),
+            ("C991", {"from": "orders", "byIds": [1], "columns": [],
+                      "aggregations": [{"column": "*", "fn": "count",
+                                        "alias": "n"}]},
+             "INVALID_BY_IDS"),
+            ("C992", {"from": "orderItems", "byIds": [1, 2]},
+             "INVALID_BY_IDS"),
+            ("C994", {"from": "orders", "byIds": [1],
+                      "groupBy": [{"column": "status"}]},
+             "INVALID_BY_IDS"),
+            ("C995", {"from": "orders", "limit": -1}, "INVALID_LIMIT"),
+            ("C996", {"from": "orders", "offset": 5}, "INVALID_LIMIT"),
+            ("C997", {"from": "orders", "limit": 5, "offset": -2},
+             "INVALID_LIMIT"),
+            ("C998", {"from": "orders", "limit": 2.5}, "INVALID_LIMIT"),
+            ("C1000", {"from": "orders", "columns": [],
+                       "aggregations": [
+                           {"column": "*", "fn": "count", "alias": "x"},
+                           {"column": "total", "fn": "sum", "alias": "x"}]},
+             "INVALID_AGGREGATION"),
+            ("C1001", {"from": "orders", "columns": ["status"],
+                       "groupBy": [{"column": "status"}],
+                       "aggregations": [{"column": "total", "fn": "sum",
+                                         "alias": "status"}]},
+             "INVALID_AGGREGATION"),
+            ("C1002", {"from": "orders", "columns": []},
+             "INVALID_AGGREGATION"),
+            ("C1003", {"from": "orders", "columns": [],
+                       "aggregations": [{"column": "priorities", "fn": "sum",
+                                         "alias": "s"}]},
+             "INVALID_AGGREGATION"),
+            ("C1004", {"from": "orders", "columns": [],
+                       "aggregations": [{"column": "price", "fn": "sum",
+                                         "alias": "s", "table": "products"}]},
+             "INVALID_AGGREGATION"),
+            ("C1005", {"from": "orders", "columns": [],
+                       "aggregations": [{"column": "ghost", "fn": "sum",
+                                         "alias": "s"}]},
+             "UNKNOWN_COLUMN"),
+        ],
+    )
+    def test_codes(self, engine, cid, defn, code):
+        assert code in codes(engine, defn)
+
+    def test_c987_order_by_table_not_joined(self, engine):
+        assert "INVALID_ORDER_BY" in codes(
+            engine,
+            {"from": "orders",
+             "orderBy": [{"column": "name", "table": "products",
+                          "direction": "asc"}]},
+        )
+
+
+class TestValidationExistsRolesMulti:
+    @pytest.mark.parametrize(
+        "cid,flt",
+        [
+            ("C1010", {"table": "samples", "exists": True}),
+            ("C1011", {"table": "invoices",
+                       "count": {"operator": ">=", "value": -1}}),
+            ("C1012", {"table": "invoices",
+                       "count": {"operator": ">=", "value": 1.5}}),
+            ("C1013", {"table": "invoices", "exists": True,
+                       "filters": [{"table": "events", "exists": True}]}),
+        ],
+    )
+    def test_exists_codes(self, engine, cid, flt):
+        got = codes(engine, {"from": "orders", "filters": [flt]})
+        assert "INVALID_EXISTS" in got
+
+    def test_c1020_unknown_role(self, engine):
+        assert "UNKNOWN_ROLE" in codes(
+            engine, {"from": "orders"}, {"roles": {"user": ["ghost-role"]}}
+        )
+
+    def test_c1030_multi_error_collection(self, engine):
+        issues = engine.validate_query(
+            {"from": "orders", "columns": ["bad"],
+             "filters": [f("missing", "=", "x")],
+             "limit": -1},
+            ADMIN,
+        )
+        assert len(issues) >= 3
+
+
+# ---------------------------------------------------------------------------
+# 13. Query Result Meta Verification (C1100-C1113)
+# ---------------------------------------------------------------------------
+
+
+class TestMetaVerification:
+    def test_c1100_column_types(self, engine):
+        res = run(engine,
+                  {"from": "orders", "columns": ["id", "total", "status"]},
+                  ADMIN)
+        by = {c["apiName"]: c["type"] for c in res["meta"]["columns"]}
+        assert by == {"id": "int", "total": "decimal", "status": "string"}
+
+    def test_c1101_nullable(self, engine):
+        res = run(engine, {"from": "orders", "columns": ["id", "productId"]},
+                  ADMIN)
+        by = {c["apiName"]: c["nullable"] for c in res["meta"]["columns"]}
+        assert by == {"id": False, "productId": True}
+
+    def test_c1102_from_table(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": ["status"],
+             "joins": [{"table": "products", "columns": ["category"]}]},
+            ADMIN,
+        )
+        by = {c["apiName"]: c["fromTable"] for c in res["meta"]["columns"]}
+        assert by == {"status": "orders", "category": "products"}
+
+    def test_c1103_aggregation_meta(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": [],
+             "aggregations": [
+                 {"column": "total", "fn": "sum", "alias": "totalSum"},
+                 {"column": "*", "fn": "count", "alias": "cnt"},
+             ]},
+            ADMIN,
+        )
+        by = {c["apiName"]: c for c in res["meta"]["columns"]}
+        assert by["totalSum"]["type"] == "decimal"
+        assert by["totalSum"]["fromTable"] == "orders"
+        assert by["totalSum"]["masked"] is False
+        assert by["cnt"]["type"] == "int"
+
+    def test_c1104_avg_always_decimal(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": [],
+             "aggregations": [{"column": "quantity", "fn": "avg",
+                               "alias": "avgQty"}]},
+            ADMIN,
+        )
+        col = next(c for c in res["meta"]["columns"]
+                   if c["apiName"] == "avgQty")
+        assert col["type"] == "decimal"
+
+    def test_c1105_tables_used_single(self, engine):
+        res = run(engine, {"from": "orders", "columns": ["id"]}, ADMIN)
+        used = res["meta"]["tablesUsed"]
+        assert len(used) == 1
+        assert used[0]["tableId"] == "orders"
+        assert used[0]["source"] == "original"
+        assert used[0]["database"] == "pg-main"
+
+    def test_c1106_tables_used_join(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": ["id"],
+             "joins": [{"table": "products", "columns": []}]},
+            ADMIN,
+        )
+        assert len(res["meta"]["tablesUsed"]) == 2
+
+    def test_c1107_count_mode_empty_columns(self, engine):
+        res = run(engine, {"from": "orders", "executeMode": "count"}, ADMIN)
+        assert res["meta"]["columns"] == []
+
+    def test_c1108_dialect_data_mode(self, engine):
+        # single-dialect engine: 'spark' replaces pg/ch/trino (SURVEY §declared)
+        res = run(engine, {"from": "orders", "columns": ["id"]}, ADMIN)
+        assert res["meta"]["dialect"] == "spark"
+
+    def test_c1109_target_database_direct(self, engine):
+        res = run(engine, {"from": "orders", "columns": ["id"]}, ADMIN)
+        assert res["meta"]["targetDatabase"] == "pg-main"
+
+    def test_c1110_target_database_cross_db(self, engine):
+        res = run(
+            engine,
+            {"from": "events", "columns": ["id"],
+             "joins": [{"table": "users", "columns": []}]},
+            ADMIN,
+        )
+        # the federating executor (reference: Trino) is Spark itself
+        assert res["meta"]["targetDatabase"] == "spark"
+
+    def test_c1111_dialect_sql_only(self, engine):
+        res = run(engine,
+                  {"from": "orders", "executeMode": "sql-only"}, ADMIN)
+        assert res["meta"]["dialect"] == "spark"
+
+    def test_c1112_dialect_count_mode(self, engine):
+        res = run(engine, {"from": "orders", "executeMode": "count"}, ADMIN)
+        assert res["meta"]["dialect"] == "spark"
+
+    def test_c1113_aggregation_nullable_inference(self, engine):
+        res = run(
+            engine,
+            {"from": "orders", "columns": [],
+             "aggregations": [{"column": "discount", "fn": "sum",
+                               "alias": "discountSum"}]},
+            ADMIN,
+        )
+        col = next(c for c in res["meta"]["columns"]
+                   if c["apiName"] == "discountSum")
+        assert col["nullable"] is True
