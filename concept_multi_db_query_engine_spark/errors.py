@@ -115,7 +115,11 @@ INVALID_RELATION = "INVALID_RELATION"
 INVALID_SYNC = "INVALID_SYNC"
 INVALID_CACHE = "INVALID_CACHE"
 
-# Planner / lifecycle codes
+# Planner / lifecycle / execution codes (README.md:393)
 NO_STRATEGY = "NO_STRATEGY"
+FRESHNESS_UNMET = "FRESHNESS_UNMET"
 EXECUTOR_MISSING = "EXECUTOR_MISSING"
+CACHE_PROVIDER_MISSING = "CACHE_PROVIDER_MISSING"
+QUERY_FAILED = "QUERY_FAILED"
+QUERY_TIMEOUT = "QUERY_TIMEOUT"
 PROVIDER_LOAD_FAILED = "PROVIDER_LOAD_FAILED"

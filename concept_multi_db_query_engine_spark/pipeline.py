@@ -25,7 +25,10 @@ from .builder import DataFrameBuilder
 from .cache import CacheProvider, build_key
 from .config_validation import validate_config
 from .errors import (
+    CACHE_PROVIDER_MISSING,
     EXECUTOR_MISSING,
+    QUERY_FAILED,
+    QUERY_TIMEOUT,
     ConnectionError,
     ErrorItem,
     ExecutionError,
@@ -117,7 +120,10 @@ class MultiDb:
         except Exception as exc:
             if expired.is_set():
                 raise ExecutionError(
-                    f"query exceeded timeoutMs={self._timeout_ms}"
+                    f"query exceeded timeoutMs={self._timeout_ms}",
+                    [ErrorItem(QUERY_TIMEOUT,
+                               f"timeoutMs={self._timeout_ms} exceeded",
+                               {"timeoutMs": self._timeout_ms})],
                 ) from exc
             raise
         finally:
@@ -160,24 +166,37 @@ class MultiDb:
         self._index = MetadataIndex(self._index.metadata, roles)
 
     def health_check(self) -> dict[str, Any]:
-        out: dict[str, Any] = {"healthy": True, "providers": {}}
-        # time each ping individually; one ping per provider per check
+        """HealthCheckResult (METADATA.md:195-199, contract C1300-C1304):
+        ``executors`` keyed by database id, ``cacheProviders`` by cache id,
+        each with ``healthy``/``latencyMs`` (+ ``error`` string on failure);
+        top-level ``healthy`` true only if ALL checks pass. Each ping is
+        timed individually and issued exactly once per check."""
+        out: dict[str, Any] = {
+            "healthy": True, "executors": {}, "cacheProviders": {},
+        }
+
+        def probe(target) -> dict[str, Any]:
+            start = time.perf_counter()
+            try:
+                ok = bool(target.ping())
+                err = None
+            except Exception as exc:
+                ok, err = False, str(exc)
+            entry: dict[str, Any] = {
+                "healthy": ok,
+                "latencyMs": (time.perf_counter() - start) * 1000,
+            }
+            if err is not None:
+                entry["error"] = err
+            elif not ok:
+                entry["error"] = "ping returned false"
+            out["healthy"] &= ok
+            return entry
+
         for db, src in self.registry.sources.items():
-            start = time.perf_counter()
-            ok = src.ping()
-            out["providers"][db] = {
-                "ok": ok,
-                "latencyMs": (time.perf_counter() - start) * 1000,
-            }
-            out["healthy"] &= ok
+            out["executors"][db] = probe(src)
         for cid, cache in self.caches.items():
-            start = time.perf_counter()
-            ok = cache.ping()
-            out["providers"][cid] = {
-                "ok": ok,
-                "latencyMs": (time.perf_counter() - start) * 1000,
-            }
-            out["healthy"] &= ok
+            out["cacheProviders"][cid] = probe(cache)
         return out
 
     def close(self) -> None:
@@ -198,7 +217,9 @@ class MultiDb:
         """Run one typed query. Returns the discriminated-union result dicts of
         QUERY.md:128-159 (kind: 'data' | 'sql' | 'count')."""
         if self._closed:
-            raise ConnectionError(
+            # contract C1313: queries after close() fail with ExecutionError
+            # EXECUTOR_MISSING (CONTRACT_TESTS.md:981)
+            raise ExecutionError(
                 "engine closed",
                 [ErrorItem(EXECUTOR_MISSING, "close() was called")],
             )
@@ -263,7 +284,10 @@ class MultiDb:
             except ExecutionError:
                 raise
             except Exception as exc:
-                raise ExecutionError(f"execution failed: {exc}") from exc
+                raise ExecutionError(
+                    f"execution failed: {exc}",
+                    [ErrorItem(QUERY_FAILED, str(exc))],
+                ) from exc
             meta["columns"] = []  # QUERY.md:193
             meta["timing"] = {
                 "planningMs": planning_ms,
@@ -291,7 +315,10 @@ class MultiDb:
         except ExecutionError:
             raise
         except Exception as exc:
-            raise ExecutionError(f"execution failed: {exc}") from exc
+            raise ExecutionError(
+                    f"execution failed: {exc}",
+                    [ErrorItem(QUERY_FAILED, str(exc))],
+                ) from exc
         # avg results are typed 'decimal' (QUERY.md:173, contract C302/C1104).
         # The DataFrame computes them as double (exact decimal partial sums,
         # one double division — deterministic across partitionings); surface
@@ -382,7 +409,15 @@ class MultiDb:
         cache_id, cached_table = eligible
         provider = self.caches.get(cache_id)
         if provider is None:
-            return None  # no provider registered → fall through to direct
+            # metadata declares this cache but no provider is registered —
+            # the reference raises rather than silently bypassing (C1261,
+            # CONTRACT_TESTS.md:943)
+            raise ExecutionError(
+                f"cache provider '{cache_id}' not configured",
+                [ErrorItem(CACHE_PROVIDER_MISSING,
+                           f"cache '{cache_id}' has no provider",
+                           {"cacheId": cache_id})],
+            )
         table = index.table(definition["from"])
         assert table is not None
         pk = table.primary_key[0]

@@ -20,7 +20,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from .errors import NO_STRATEGY, ErrorItem, PlannerError
+from .errors import (
+    EXECUTOR_MISSING,
+    FRESHNESS_UNMET,
+    NO_STRATEGY,
+    ErrorItem,
+    ExecutionError,
+    PlannerError,
+)
 from .metadata import LAG_ORDER, MetadataIndex, TableMeta
 from .resolver import TableRoute
 from .sources import SourceRegistry
@@ -126,7 +133,38 @@ def plan_query(
     dbs = {t.database for t in tables}
     if len(dbs) == 1:
         db = next(iter(dbs))
-        _require_source(registry, db, tables)
+        try:
+            _require_source(registry, db, tables)
+        except ExecutionError:
+            # the original source is gone; if a replica COULD serve but the
+            # query's freshness rejects it (e.g. 'realtime' vs any lag),
+            # that is a planning conflict, not a missing executor —
+            # FRESHNESS_UNMET (C1253, CONTRACT_TESTS.md:931)
+            relaxed = _replica_plan(index, tables, 99, require_replica=True)
+            if relaxed is not None and registry.has(relaxed[0]):
+                usable = _replica_plan(
+                    index, tables, max_lag, require_replica=True
+                )
+                if usable is not None and registry.has(usable[0]):
+                    return PlanDecision(
+                        strategy="materialized",
+                        target_database=usable[0],
+                        dialect="spark",
+                        routes=usable[1],
+                    )
+                raise PlannerError(
+                    "replica exists but query freshness rejects its lag "
+                    "and the original source is unavailable",
+                    [
+                        ErrorItem(
+                            FRESHNESS_UNMET,
+                            f"freshness '{freshness}' rejects the only "
+                            f"available replica of database '{db}'",
+                            {"database": db, "freshness": freshness},
+                        )
+                    ],
+                ) from None
+            raise
         return PlanDecision(
             strategy="direct",
             target_database=db,
@@ -228,13 +266,17 @@ def _replica_plan(
 def _require_source(
     registry: SourceRegistry, db: str, tables: list[TableMeta]
 ) -> None:
+    """A strategy was selected but its target database has no registered
+    source — the reference's EXECUTOR_MISSING ExecutionError (C1260,
+    CONTRACT_TESTS.md:942), distinct from P4's no-topological-strategy
+    PlannerError."""
     if not registry.has(db):
-        raise PlannerError(
-            "no strategy can serve this query",
+        raise ExecutionError(
+            f"database '{db}' has no registered source",
             [
                 ErrorItem(
-                    NO_STRATEGY,
-                    f"database '{db}' has no registered source",
+                    EXECUTOR_MISSING,
+                    f"no executor/source for database '{db}'",
                     {"database": db},
                 )
             ],

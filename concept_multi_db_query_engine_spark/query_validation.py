@@ -404,6 +404,17 @@ class QueryValidator:
                     )
                     continue
                 ot = ott
+            # rule 9 owns orderBy column problems: a nonexistent orderBy
+            # column is INVALID_ORDER_BY, not UNKNOWN_COLUMN (contract
+            # C1467, CONTRACT_TESTS.md:1009)
+            if isinstance(col_name, str) and \
+                    self.index.column(ot.id, col_name) is None:
+                self._err(
+                    INVALID_ORDER_BY,
+                    f"orderBy #{i}: unknown column "
+                    f"'{ot.api_name}.{col_name}'",
+                )
+                continue
             col = self._column(ot, col_name, f"orderBy #{i}")
             if col is None:
                 continue

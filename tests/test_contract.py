@@ -2307,3 +2307,345 @@ class TestMetaVerification:
         col = next(c for c in res["meta"]["columns"]
                    if c["apiName"] == "discountSum")
         assert col["nullable"] is True
+
+
+# ---------------------------------------------------------------------------
+# 14b-14d. Planner / Execution / Provider errors (C1250-C1271)
+# C1250/C1251 (Trino toggle / trinoCatalog) are inapplicable by design:
+# Spark IS the federation layer, there is no Trino process to disable.
+# ---------------------------------------------------------------------------
+
+
+from concept_multi_db_query_engine_spark import (  # noqa: E402
+    ExecutionError,
+    MultiDb,
+    PlannerError,
+    SourceRegistry,
+)
+from concept_multi_db_query_engine_spark.sources import MemorySource  # noqa: E402
+
+
+def _registry_without(spark, *drop_dbs):
+    full = fixtures.build_registry(spark)
+    return SourceRegistry(
+        {db: src for db, src in full.sources.items() if db not in drop_dbs}
+    )
+
+
+class TestPlannerExecutionErrors:
+    def test_c1252_cross_db_unreachable(self, spark):
+        # ch-analytics source removed; events ⋈ users has no replica path
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      _registry_without(spark, "ch-analytics"))
+        with pytest.raises(PlannerError) as err:
+            eng.query({"from": "events", "columns": ["id"],
+                       "joins": [{"table": "users", "columns": []}]})
+        assert "NO_STRATEGY" in err.value.error_codes
+
+    def test_c1253_freshness_unmet(self, spark):
+        # pg-main source removed: only the ch replica could serve orders,
+        # but freshness 'realtime' bans replicas → FRESHNESS_UNMET
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      _registry_without(spark, "pg-main"))
+        with pytest.raises(PlannerError) as err:
+            eng.query({"from": "orders", "columns": ["id"],
+                       "freshness": "realtime"})
+        assert "FRESHNESS_UNMET" in err.value.error_codes
+
+    def test_c1254_freshness_seconds_accepts_seconds_lag(self, spark):
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      _registry_without(spark, "pg-main"))
+        res = eng.query({"from": "orders", "columns": ["id"],
+                         "freshness": "seconds"})
+        assert res["meta"]["strategy"] == "materialized"
+        assert len(res["data"]) == 5
+
+    def test_c1260_missing_executor(self, spark):
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      _registry_without(spark, "pg-main"))
+        with pytest.raises(ExecutionError) as err:
+            eng.query({"from": "products", "columns": ["id"]})
+        assert "EXECUTOR_MISSING" in err.value.error_codes
+
+    def test_c1261_missing_cache_provider(self, spark):
+        # metadata declares redis-main over users but no provider registered
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      fixtures.build_registry(spark), caches={})
+        with pytest.raises(ExecutionError) as err:
+            eng.query({"from": "users", "byIds": ["uuid-c1"]})
+        assert "CACHE_PROVIDER_MISSING" in err.value.error_codes
+
+    def test_c1262_query_failed(self, spark, tmp_path):
+        # table backed by a parquet file deleted after registration: the
+        # plan builds, execution fails → ExecutionError QUERY_FAILED
+        import shutil
+
+        pdir = str(tmp_path / "doomed.parquet")
+        spark.createDataFrame([(1, "x")], "id bigint, name string") \
+            .write.parquet(pdir)
+        lazy = spark.read.parquet(pdir)
+        meta = {
+            "databases": [{"id": "db1", "engine": "postgres"}],
+            "tables": [{
+                "id": "doomed", "apiName": "doomed", "database": "db1",
+                "physicalName": "doomed", "primaryKey": ["id"],
+                "columns": [
+                    {"apiName": "id", "physicalName": "id", "type": "int"},
+                    {"apiName": "name", "physicalName": "name",
+                     "type": "string"},
+                ],
+            }],
+        }
+        eng = MultiDb(spark, meta, [{"id": "admin", "tables": "*"}],
+                      SourceRegistry({"db1": MemorySource({"doomed": lazy})}))
+        shutil.rmtree(pdir)
+        with pytest.raises(ExecutionError) as err:
+            eng.query({"from": "doomed"})
+        assert "QUERY_FAILED" in err.value.error_codes
+
+
+# ---------------------------------------------------------------------------
+# 15. Health Check (C1300-C1304)
+# ---------------------------------------------------------------------------
+
+
+class TestHealthContract:
+    def test_c1300_c1301_c1302_healthy_shape(self, engine):
+        h = engine.health_check()
+        assert h["healthy"] is True
+        assert set(h["executors"].keys()) == {"pg-main", "ch-analytics"}
+        for e in h["executors"].values():
+            assert isinstance(e["healthy"], bool)
+            assert isinstance(e["latencyMs"], float)
+
+    def test_c1304_cache_provider_in_health(self, engine):
+        h = engine.health_check()
+        assert "redis-main" in h["cacheProviders"]
+        entry = h["cacheProviders"]["redis-main"]
+        assert entry["healthy"] is True
+        assert isinstance(entry["latencyMs"], float)
+
+    def test_c1303_unhealthy_executor(self, spark):
+        class DeadSource(MemorySource):
+            def ping(self):
+                raise RuntimeError("connection refused")
+
+        full = fixtures.build_registry(spark)
+        sources = dict(full.sources)
+        sources["ch-analytics"] = DeadSource({})
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      SourceRegistry(sources))
+        h = eng.health_check()
+        assert h["healthy"] is False
+        assert h["executors"]["ch-analytics"]["healthy"] is False
+        assert "connection refused" in h["executors"]["ch-analytics"]["error"]
+        assert h["executors"]["pg-main"]["healthy"] is True
+
+
+# ---------------------------------------------------------------------------
+# 15b. Lifecycle (C1310-C1313) — C1311/C1312 also in tests/test_providers.py
+# ---------------------------------------------------------------------------
+
+
+class TestLifecycleContract:
+    def test_c1310_reload_makes_new_table_visible(self, spark):
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      fixtures.build_registry(spark))
+        with pytest.raises(ValidationError):
+            eng.query({"from": "widgets"})
+        new_meta = {
+            **fixtures.METADATA,
+            "tables": fixtures.METADATA["tables"] + [{
+                "id": "widgets", "apiName": "widgets", "database": "pg-main",
+                "physicalName": "samples",  # reuse existing physical data
+                "primaryKey": ["id"],
+                "columns": [{"apiName": "id", "physicalName": "id",
+                             "type": "int"}],
+            }],
+        }
+        eng.reload_metadata(new_meta)
+        assert len(eng.query({"from": "widgets"})["data"]) == 5
+
+    def test_c1312_reload_roles_updates_permissions(self, spark):
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      fixtures.build_registry(spark))
+        with pytest.raises(ValidationError):
+            eng.query({"from": "samples"}, {"roles": {"user": ["newbie"]}})
+        eng.reload_roles(fixtures.ROLES + [
+            {"id": "newbie",
+             "tables": [{"tableId": "samples", "allowedColumns": ["id"]}]},
+        ])
+        res = eng.query({"from": "samples"}, {"roles": {"user": ["newbie"]}})
+        assert len(res["data"]) == 5
+
+    def test_c1313_close_prevents_queries(self, spark):
+        eng = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                      fixtures.build_registry(spark))
+        eng.close()
+        with pytest.raises(ExecutionError) as err:
+            eng.query({"from": "samples"})
+        assert "EXECUTOR_MISSING" in err.value.error_codes
+
+
+# ---------------------------------------------------------------------------
+# 16. SQL Injection Resistance (C1404-C1473, C1412-C1419)
+# Identifier/enum payloads are rejected by the zero-I/O validation layer
+# before any plan or SQL text exists (SECURITY.md:7-23).
+# ---------------------------------------------------------------------------
+
+
+class TestInjectionContract:
+    @pytest.mark.parametrize(
+        "cid,defn,code",
+        [
+            ("C1404", {"from": "orders",
+                       "columns": ['id"; DROP TABLE orders; --']},
+             "UNKNOWN_COLUMN"),
+            ("C1418", {"from": "events",
+                       "columns": ["id`; DROP TABLE events; --"]},
+             "UNKNOWN_COLUMN"),
+            ("C1405", {"from": "orders; DROP TABLE orders"}, "UNKNOWN_TABLE"),
+            ("C1411", {"from": "orders",
+                       "filters": [{"table": "users; DROP TABLE users",
+                                    "exists": True}]},
+             "UNKNOWN_TABLE"),
+            ("C1460", {"from": "orders",
+                       "orderBy": [{"column": "id",
+                                    "direction": "asc; DROP TABLE orders;--"}]},
+             "INVALID_ORDER_BY"),
+            ("C1461", {"from": "orders", "columns": [],
+                       "aggregations": [{"column": "total",
+                                         "fn": "sum); DROP TABLE orders;--",
+                                         "alias": "x"}]},
+             "INVALID_AGGREGATION"),
+            ("C1462", {"from": "orders",
+                       "filters": [{"column": "id",
+                                    "operator": ") OR 1=1 --",
+                                    "refColumn": "quantity"}]},
+             "INVALID_FILTER"),
+            ("C1463", {"from": "orders",
+                       "filters": [{"logic": "and 1=1);--",
+                                    "conditions": [{"column": "status",
+                                                    "operator": "=",
+                                                    "value": "active"}]}]},
+             "INVALID_FILTER"),
+            ("C1464", {"from": "orders",
+                       "filters": [{"table": "users",
+                                    "count": {"operator":
+                                              ") UNION SELECT 1;--",
+                                              "value": 1}}]},
+             "INVALID_EXISTS"),
+            ("C1466", {"from": "orders",
+                       "joins": [{"table": "users; DROP TABLE users"}]},
+             "UNKNOWN_TABLE"),
+            ("C1467", {"from": "orders",
+                       "orderBy": [{"column": 'id"; DROP TABLE orders;--',
+                                    "direction": "asc"}]},
+             "INVALID_ORDER_BY"),
+            ("C1468", {"from": "orders", "columns": [],
+                       "aggregations": [{"column": "total", "fn": "sum",
+                                         "alias": "x"}],
+                       "groupBy": [{"column":
+                                    'status"; DROP TABLE orders;--'}]},
+             "UNKNOWN_COLUMN"),
+            ("C1469", {"from": "orders", "columns": [],
+                       "aggregations": [{"column":
+                                         'total"; DROP TABLE orders;--',
+                                         "fn": "sum", "alias": "x"}]},
+             "UNKNOWN_COLUMN"),
+            ("C1472", {"from": "orders",
+                       "filters": [{"column": "status",
+                                    "operator": "= 1); DROP TABLE orders;--",
+                                    "value": "active"}]},
+             "INVALID_FILTER"),
+            ("C1473", {"from": "orders",
+                       "filters": [{"column":
+                                    'status"; DROP TABLE orders;--',
+                                    "operator": "=", "value": "active"}]},
+             "UNKNOWN_COLUMN"),
+        ],
+    )
+    def test_identifier_enum_injection(self, engine, cid, defn, code):
+        assert code in codes(engine, defn)
+
+    def test_c1465_having_logic_injection(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "status"}],
+             "aggregations": [{"column": "total", "fn": "sum",
+                               "alias": "x"}],
+             "having": [{"logic": "or 1=1);--",
+                         "conditions": [{"column": "x", "operator": ">",
+                                         "value": 0}]}]},
+        )
+        assert "INVALID_HAVING" in got
+
+    def test_c1470_having_non_alias_injection(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "status"}],
+             "aggregations": [{"column": "total", "fn": "sum",
+                               "alias": "x"}],
+             "having": [{"column": 'x"; DROP TABLE orders;--',
+                         "operator": ">", "value": 0}]},
+        )
+        assert "INVALID_HAVING" in got
+
+    def test_c1471_having_operator_injection(self, engine):
+        got = codes(
+            engine,
+            {"from": "orders", "columns": [],
+             "groupBy": [{"column": "status"}],
+             "aggregations": [{"column": "total", "fn": "sum",
+                               "alias": "x"}],
+             "having": [{"column": "x",
+                         "operator": "> 0); DROP TABLE orders;--",
+                         "value": 0}]},
+        )
+        assert "INVALID_HAVING" in got
+
+    def test_c1412_alias_quote_payload_safe(self, engine):
+        # alias with quoting metacharacters: either rejected at validation
+        # or treated purely as data. In DataFrame mode there is no SQL text
+        # at all — the alias becomes a column name verbatim.
+        alias = 'x"; DROP TABLE orders;--'
+        defn = {"from": "samples", "columns": [],
+                "aggregations": [{"column": "amount", "fn": "sum",
+                                  "alias": alias}]}
+        issues = engine.validate_query(defn, ADMIN)
+        if issues:
+            assert any(i["code"] == "INVALID_AGGREGATION" for i in issues)
+        else:
+            res = run(engine, defn, ADMIN)
+            assert list(res["data"][0].keys()) == [alias]
+
+    def test_c1419_alias_backtick_escaped_in_sql_text(self, engine):
+        # sql-only mode quotes identifiers with backticks; a backtick in the
+        # alias must be doubled so it cannot break out of the identifier
+        alias = "x`; DROP TABLE events;--"
+        defn = {"from": "samples", "columns": [],
+                "aggregations": [{"column": "amount", "fn": "sum",
+                                  "alias": alias}],
+                "executeMode": "sql-only"}
+        issues = engine.validate_query(defn, ADMIN)
+        if issues:
+            assert any(i["code"] == "INVALID_AGGREGATION" for i in issues)
+        else:
+            res = run(engine, defn, ADMIN)
+            assert "x``; DROP TABLE events;--" in res["sql"]
+            assert "; DROP TABLE events;--`" in res["sql"]
+
+    def test_value_injection_is_data(self, engine):
+        # C1400-family value payloads: parameterized, never concatenated —
+        # the malicious string simply matches nothing
+        res = run(
+            engine,
+            {"from": "samples", "columns": ["id"],
+             "filters": [{"column": "name", "operator": "=",
+                          "value": "'; DROP TABLE samples; --"}]},
+            ADMIN,
+        )
+        assert res["data"] == []
+        assert len(run(engine, {"from": "samples"}, ADMIN)["data"]) == 5

@@ -118,7 +118,7 @@ def test_validate_config_endpoint(server):
 def test_health(server):
     status, body = _get(server, "/health")
     assert status == 200 and body["healthy"] is True
-    assert body["providers"]
+    assert body["executors"]  # HealthCheckResult shape (C1300)
 
 
 def test_unknown_path_404(server):

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import pytest
 
-from concept_multi_db_query_engine_spark import ConnectionError as CmeConnectionError
 
 
 def run(engine, defn, context=None):
@@ -221,7 +220,7 @@ class TestLifecycle:
     def test_health_check(self, engine):
         h = engine.health_check()
         assert h["healthy"] is True
-        assert "pg-main" in h["providers"]
+        assert "pg-main" in h["executors"]
 
     def test_reload_and_close(self, spark):
         from tests import fixtures
@@ -239,8 +238,11 @@ class TestLifecycle:
         assert db.query({"from": "samples", "executeMode": "count"})["count"] == 5
 
         db.close()
-        with pytest.raises(CmeConnectionError):
+        # C1313: post-close queries raise ExecutionError EXECUTOR_MISSING
+        from concept_multi_db_query_engine_spark import ExecutionError
+        with pytest.raises(ExecutionError) as err:
             db.query({"from": "samples"})
+        assert "EXECUTOR_MISSING" in err.value.error_codes
 
 
 def test_jdbc_source_option_plumbing():
