@@ -35,6 +35,7 @@ from .metadata import (
     TableMeta,
     TableRoleAccess,
 )
+from .http_client import MultiDbClient
 from .pipeline import MultiDb, create_multi_db
 from .providers import (
     MetadataProvider,
@@ -58,6 +59,7 @@ __all__ = [
     "MetadataIndex",
     "MultiDb",
     "MetadataProvider",
+    "MultiDbClient",
     "MultiDbError",
     "ParquetSource",
     "PlannerError",
