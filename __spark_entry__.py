@@ -586,6 +586,19 @@ def _q_bpe_tokens(spark, sf):
     return ops.bpe_token_stats(_t(spark, sf, "documents"))
 
 
+def _q_contamination(spark, sf):
+    return ops.benchmark_contamination(_t(spark, sf, "documents"),
+                                       eval_source="src0", n=8)
+
+
+def _q_repetition(spark, sf):
+    return ops.repetition_score(_t(spark, sf, "documents"), n=3)
+
+
+def _q_gopher_rules(spark, sf):
+    return ops.gopher_quality_rules(_t(spark, sf, "documents"))
+
+
 def _q_dedup_clusters(spark, sf):
     pairs = ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=5,
                                     threshold=0.5)
@@ -691,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_language_id": _q_lang_id,
             "text_fingerprint": _q_fingerprint,
             "text_bpe_token_stats": _q_bpe_tokens,
+            "text_contamination_check": _q_contamination,
+            "text_repetition_score": _q_repetition,
+            "text_gopher_rules": _q_gopher_rules,
             "docs_stratified_sample": _q_stratified,
             "docs_clean_corpus": _q_clean_corpus,
             "docs_pack_sequences": _q_pack,
@@ -739,13 +755,13 @@ _GATE_PRIORITY = [
     "window_topk_per_group", "nation_revenue_pivot",
     "customer_revenue_deciles", "customer_segments_setops",
     "purchase_click_attribution", "order_value_quantiles",
-    # new round-2 approx (100 TB path) variants — no row yet
+    # new round-2 operators (100 TB path / pipeline hygiene) — no row yet
     "order_value_quantiles_approx", "customer_revenue_deciles_approx",
+    "text_contamination_check", "text_repetition_score",
+    "text_gopher_rules",
     # representative round-1-green core rows fill the remaining gate slots
     # (replica_routing re-verifies the round-2 planner freshness change)
-    "filter_eq", "filter_pattern_group", "exists_filter",
-    "counted_exists_gte", "federated_join", "replica_routing",
-    "masking_role",
+    "filter_eq", "federated_join", "replica_routing", "masking_role",
 ]
 
 
@@ -1571,6 +1587,53 @@ WITH t AS (
 )
 SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS bpe_per_ws
+FROM t
+"""
+    o["text_contamination_check"] = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, len(w) - 7),
+                               i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+  FROM toks WHERE len(w) >= 8
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+)
+SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS shared_grams
+FROM grams g JOIN eval_grams e USING (gram)
+WHERE g.source <> 'src0'
+GROUP BY 1 ORDER BY 1
+"""
+    o["text_repetition_score"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - 2),
+                               i -> array_to_string(w[i+1:i+3], ' '))) AS gram
+  FROM toks WHERE len(w) >= 3
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       round((sum(c) - count(*)) / sum(c), 4)::DOUBLE AS dup_frac
+FROM per_gram GROUP BY 1 ORDER BY 1
+"""
+    o["text_gopher_rules"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         round(list_sum(list_transform(w, x -> len(x))) / len(w), 4)::DOUBLE
+           AS mean_word_len,
+         round(len(list_filter(w, x -> x IN ('the','a','is','of','and')))
+               / len(w), 4)::DOUBLE AS stopword_frac,
+         round((len(w) - len(list_distinct(w))) / len(w), 4)::DOUBLE
+           AS dup_word_frac
+  FROM toks
+)
+SELECT doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
+       (n_tokens >= 20 AND mean_word_len <= 10.0
+        AND stopword_frac >= 0.02 AND dup_word_frac <= 0.6) AS passes
 FROM t
 """
     o["docs_stratified_sample"] = """

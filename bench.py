@@ -77,6 +77,9 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_bpe_token_stats",
+    "text_contamination_check",
+    "text_repetition_score",
+    "text_gopher_rules",
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_clean_corpus",

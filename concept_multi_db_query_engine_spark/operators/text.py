@@ -282,3 +282,120 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame, eval_source: str = "wiki", n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination check (benchmark decontamination): which
+    training documents share at least one ``n``-gram with the held-out
+    ``eval_source`` slice? The standard pretraining hygiene step — eval
+    n-grams leak into the training corpus → inflated benchmark scores.
+
+    Shape: tokenize once, generate n-grams with a JVM-side
+    ``transform(sequence(...))`` (no explode until the gram stream), take
+    the DISTINCT gram set of the (small) eval side, and semi-aggregate the
+    train side against it. At 100 TB the eval-gram frame is tiny relative
+    to the corpus — AQE broadcasts it, so the train side never shuffles;
+    gram generation itself is a narrow map of ~|tokens| rows per doc.
+
+    Returns (doc_id, shared_grams) for contaminated train docs only,
+    shared_grams = number of DISTINCT eval n-grams the doc contains.
+    """
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    with_grams = (
+        docs.where(F.size(w) >= n)
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    )
+    eval_grams = (
+        with_grams.where(F.col("source") == eval_source)
+        .select("gram").distinct()
+    )
+    train = with_grams.where(F.col("source") != eval_source)
+    return (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): the fraction
+    of ``n``-gram occurrences that are duplicates of an earlier occurrence
+    in the same document. High values flag boilerplate / degenerate loops —
+    a standard pretraining filter.
+
+    One shuffle on (doc_id, gram); per-doc totals come back on the same
+    doc_id partitioning. Returns (doc_id, n_grams, dup_frac).
+    """
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    per_gram = (
+        docs.where(F.size(w) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4
+            ).cast("double").alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_mean_word_len: float = 10.0,
+    min_stopword_frac: float = 0.02,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher-style document quality rule bundle: token count bounds, mean
+    word length, stopword fraction, duplicate-word fraction — each rule a
+    pure JVM expression over one tokenization, plus the conjunction flag.
+    The canonical cheap pre-filter before model-based quality scoring.
+
+    Returns (doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
+    passes). Narrow map — no shuffle, full column pruning.
+    """
+    w = F.split(F.col("text"), " ")
+    n_tokens = F.size(w).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ) / F.size(w),
+        4,
+    ).cast("double")
+    stop_frac = F.round(
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / F.size(w), 4
+    ).cast("double")
+    dup_frac = F.round(
+        (F.size(w) - F.size(F.array_distinct(w))) / F.size(w), 4
+    ).cast("double")
+    passes = (
+        (n_tokens >= min_tokens)
+        & (mean_len <= max_mean_word_len)
+        & (stop_frac >= min_stopword_frac)
+        & (dup_frac <= max_dup_word_frac)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"),
+        dup_frac.alias("dup_word_frac"),
+        passes.alias("passes"),
+    )
