@@ -165,3 +165,34 @@ def run_windowed_aggregation_batch(
     agg = windowed_event_counts(stream, window=window)
     run_stream_to_memory(agg, "windowed_event_counts")
     return spark.sql("SELECT * FROM windowed_event_counts")
+
+
+def stream_dedup_events(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` — duplicate
+    keys arriving within the watermark window are dropped, and key state is
+    evicted once the watermark passes, so state never grows unboundedly).
+    The streaming analog of the batch ``dedup_exact`` operator: the same
+    keep-one-per-key semantics applied to an infinite stream — the shape a
+    CDC-fed ingestion pipeline uses to suppress replays."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def run_stream_dedup_batch(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Drive the streaming dedup over a bounded parquet source to completion
+    (memory sink, append mode) and return the deduplicated rows."""
+    stream = _bounded_event_stream(spark, events_path)
+    dedup = stream_dedup_events(stream, keys=keys)
+    run_stream_to_memory(dedup, "stream_dedup_events", output_mode="append")
+    return spark.sql("SELECT * FROM stream_dedup_events")

@@ -103,3 +103,25 @@ def test_stateful_running_totals(spark):
         assert got_sums[r["user_id"]] == pytest.approx(
             r["sum_value"], abs=1e-3
         )
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark keeps exactly one row per
+    (user_id, event_type): the emitted KEY SET must equal batch DISTINCT
+    (which row survives is arrival-order-dependent, so keys — not payloads —
+    are the deterministic contract)."""
+    from concept_multi_db_query_engine_spark.streaming.windows import (
+        run_stream_dedup_batch,
+    )
+    from concept_multi_db_query_engine_spark import testdata
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = run_stream_dedup_batch(spark, path)
+    stream_keys = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    assert len(stream_keys) == out.count()  # exactly one row per key
+    batch = testdata.load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert stream_keys == batch_keys
