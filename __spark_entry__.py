@@ -635,6 +635,16 @@ def _q_sim_bruteforce(spark, sf):
     return ops.topk_cosine_bruteforce(emb, queries, k=10)
 
 
+def _q_knn_label_vote(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 20")
+    return ops.knn_label_vote(emb, queries, k=10)
+
+
+def _q_quantize_int8(spark, sf):
+    return ops.quantize_embeddings_int8(_t(spark, sf, "embeddings"))
+
+
 def _q_sim_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 5")
@@ -716,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "sim_topk_bruteforce": _q_sim_bruteforce,
+            "sim_knn_label_vote": _q_knn_label_vote,
+            "embeddings_quantize_int8": _q_quantize_int8,
             "sim_topk_lsh": _q_sim_lsh,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
@@ -758,10 +770,10 @@ _GATE_PRIORITY = [
     # new round-2 operators (100 TB path / pipeline hygiene) — no row yet
     "order_value_quantiles_approx", "customer_revenue_deciles_approx",
     "text_contamination_check", "text_repetition_score",
-    "text_gopher_rules",
-    # representative round-1-green core rows fill the remaining gate slots
-    # (replica_routing re-verifies the round-2 planner freshness change)
-    "filter_eq", "federated_join", "replica_routing", "masking_role",
+    "text_gopher_rules", "sim_knn_label_vote", "embeddings_quantize_int8",
+    # round-1-green rows whose code paths changed in round 2 re-verify:
+    # replica_routing (planner freshness offload), masking_role (mask fns)
+    "replica_routing", "masking_role",
 ]
 
 
@@ -1736,6 +1748,48 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 """
     )
+    o["sim_knn_label_vote"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.norm2 * c.norm2), 6)
+           AS cosine
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+), topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), votes AS (
+  SELECT t.query_id, emb.label, count(*)::BIGINT AS votes
+  FROM topk t JOIN embeddings emb ON t.vec_id = emb.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1 ORDER BY query_id
+"""
+    )
+    o["embeddings_quantize_int8"] = """
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+         END AS scale
+  FROM t
+)
+SELECT vec_id, round(scale, 9)::DOUBLE AS scale,
+       list_transform(v, x -> round(x / scale)::INT) AS qvec
+FROM s
+"""
     o["sim_topk_lsh"] = (
         "WITH " + _COS_NORM_CTE + """
 , b AS (

@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_knn_label_vote",
+    "embeddings_quantize_int8",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "multimodal_decode_stats",

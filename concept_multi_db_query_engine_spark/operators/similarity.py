@@ -257,3 +257,73 @@ def topk_cosine_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification by majority vote: exact top-k neighbors per query
+    (the brute-force BLAS path), joined back to neighbor labels, majority
+    label wins (ties → smallest label — deterministic, oracle-checkable).
+
+    Scale shape: adds one broadcast-sized join (id → label, column-pruned)
+    and a tiny groupBy on (query_id, label) over k×|queries| rows on top of
+    the top-k search — negligible next to the scan. Output:
+    (query_id, predicted_label, votes).
+    """
+    topk = topk_cosine_bruteforce(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+def quantize_embeddings_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x memory/IO
+    reduction for billion-vector ANN: scale = max|x| / 127,
+    q_i = round(x_i / scale). Pure higher-order Column expressions
+    (transform/aggregate) — JVM-side, whole-stage codegen, no Python in the
+    row path; a narrow map that runs at scan speed at any scale.
+
+    Returns (vec_id, scale, qvec array<int>). Dequantize with
+    q_i * scale; cosine on dequantized vectors loses <1% recall@10 on
+    typical embedding distributions (asserted in tests).
+    """
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        v,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127.0)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 9).alias("scale"),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / scale).cast("int")
+        ).alias("qvec"),
+    )

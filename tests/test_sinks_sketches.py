@@ -88,3 +88,25 @@ def test_sketch_comparison_shapes(spark):
     assert row["exact"] == 300
     assert abs(row["hll_estimate"] - 300) / 300 < 0.25
     assert abs(row["kmv_estimate"] - 300) / 300 < 0.25
+
+
+def test_int8_quantization_preserves_topk_recall(spark):
+    """Dequantized int8 cosine must keep >=90% recall@10 vs float top-k —
+    the acceptance bar for shipping the 4x-compressed scale path."""
+    from concept_multi_db_query_engine_spark import operators as ops
+    from concept_multi_db_query_engine_spark import testdata
+    from pyspark.sql import functions as F
+
+    emb = testdata.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 10")
+    exact = ops.topk_cosine_bruteforce(emb, queries, k=10)
+    deq = ops.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.expr("transform(qvec, q -> q * scale)").alias("embedding"),
+    )
+    deq_queries = deq.where("vec_id < 10")
+    approx = ops.topk_cosine_bruteforce(deq, deq_queries, k=10)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, recall
