@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the PLANS.md claims as regression tests:
+filters reach the parquet scan, projections prune the read schema, dimension
+joins broadcast, counted EXISTS decorrelates, window top-k gets a partial
+group-limit, and the DSL builder stays inside whole-stage codegen (no Python
+in the row path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark import testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tengine(spark):
+    return testdata.build_engine(spark, SF_DIR)
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def executed(df) -> str:
+    df.collect()  # AQE finalizes the physical plan on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestScanShapes:
+    def test_filter_pushed_to_parquet_scan(self, tengine):
+        df = tengine.dataframe({
+            "from": "lineitem",
+            "columns": ["l_orderkey", "l_quantity"],
+            "filters": [{"column": "l_returnflag", "operator": "=",
+                         "value": "A"}],
+        })
+        full = executed(df)
+        assert "PushedFilters" in full
+        assert "l_returnflag" in full
+
+    def test_projection_prunes_read_schema(self, tengine):
+        df = tengine.dataframe({
+            "from": "lineitem", "columns": ["l_orderkey", "l_quantity"],
+        })
+        full = executed(df)
+        read = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+        assert read and "l_comment" not in read[0]
+        assert "l_orderkey" in read[0] and "l_quantity" in read[0]
+
+    def test_dsl_filter_runs_in_codegen(self, tengine):
+        df = tengine.dataframe({
+            "from": "part", "columns": ["p_partkey", "p_name"],
+            "filters": [{"column": "p_name", "operator": "contains",
+                         "value": "small"}],
+        })
+        full = executed(df)
+        # '*(n)' prefixes mark whole-stage-codegen'd operators in toString
+        assert "*(1)" in full
+        assert "BatchEvalPython" not in full  # no row-at-a-time Python
+        assert "ArrowEvalPython" not in full
+
+
+class TestJoinShapes:
+    def test_dimension_join_broadcasts(self, tengine):
+        df = tengine.dataframe({
+            "from": "orders", "columns": ["o_orderkey"],
+            "joins": [{"table": "customer", "type": "inner",
+                       "columns": ["c_mktsegment"]}],
+            "filters": [{"column": "c_mktsegment", "table": "customer",
+                         "operator": "=", "value": "BUILDING"}],
+        })
+        assert "BroadcastHashJoin" in executed(df)
+
+    def test_counted_exists_is_decorrelated_aggregate(self, tengine):
+        df = tengine.dataframe({
+            "from": "customer", "columns": ["c_custkey"],
+            "filters": [{"table": "orders",
+                         "count": {"operator": ">=", "value": 10}}],
+        })
+        plan = optimized(df)
+        # the normalized shape: an Aggregate over orders feeding a join —
+        # never a correlated per-row subquery
+        assert "Aggregate" in plan
+        assert "count(" in plan
+
+
+class TestWindowShapes:
+    def test_topk_window_gets_group_limit(self, spark):
+        # WindowGroupLimit: partial per-partition top-k before the shuffle
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = ops.top_orders_per_priority(orders, k=5)
+        assert "WindowGroupLimit" in executed(df)
+
+    def test_pack_sequences_window_is_sharded(self, spark):
+        # the cumulative-sum window must hash-partition on shard — never
+        # a SinglePartition global sort tail
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        df = ops.pack_sequences(docs)
+        full = executed(df)
+        assert "SinglePartition" not in full
+        assert "hashpartitioning(shard" in full
