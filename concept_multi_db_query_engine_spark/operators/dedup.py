@@ -164,7 +164,11 @@ def minhash_lsh_pairs(
         ).alias(f"sig{s}")
         for s in range(num_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    # shingle-set size rides along in the SAME aggregation pass (one fewer
+    # full shingle recompute + shuffle than a separate sizes groupBy)
+    sigs = sh.groupBy("doc_id").agg(
+        *sig_cols, F.count(F.lit(1)).alias("__n")
+    )
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -204,7 +208,7 @@ def minhash_lsh_pairs(
     # of LSH. (Running the full inverted-index jaccard and intersecting with
     # candidates recomputes all-pairs and benches ~5× slower at sf0.1.)
     # Fan-out is |candidates| × shingles-per-doc, independent of corpus size.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sigs.select("doc_id", F.col("__n").alias("n"))
     common = (
         candidates
         .join(sh.select(F.col("doc_id").alias("d1"), "shingle"), "d1")
