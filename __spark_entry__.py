@@ -667,6 +667,11 @@ def _q_multimodal(spark, sf):
     return multimodal.fake_decode_stats(media)
 
 
+def _q_frame_sample(spark, sf):
+    media = multimodal.as_media_table(_t(spark, sf, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(name) for name in _DSL
@@ -734,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_distinct_comparison": _q_sketch_comparison,  # no oracle (HLL++)
             "dedup_simhash": _q_simhash,          # no SQL oracle (xxhash64)
             "multimodal_decode_stats": _q_multimodal,  # no SQL oracle (UDF)
+            "multimodal_frame_sample": _q_frame_sample,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -771,6 +777,7 @@ _GATE_PRIORITY = [
     "order_value_quantiles_approx", "customer_revenue_deciles_approx",
     "text_contamination_check", "text_repetition_score",
     "text_gopher_rules", "sim_knn_label_vote", "embeddings_quantize_int8",
+    "multimodal_frame_sample",
     # round-1-green rows whose code paths changed in round 2 re-verify:
     # replica_routing (planner freshness offload), masking_role (mask fns)
     "replica_routing", "masking_role",
@@ -1646,6 +1653,17 @@ t AS (
 SELECT doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
        (n_tokens >= 20 AND mean_word_len <= 10.0
         AND stopword_frac >= 0.02 AND dup_word_frac <= 0.6) AS passes
+FROM t
+"""
+    # frame sampling over the synthesized media table: blob = UTF-8 text
+    # bytes, so len(media) = length(text); one row per sampled frame index
+    o["multimodal_frame_sample"] = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(length(text) // 10 - 1, 0)::INT AS maxf
+  FROM documents
+)
+SELECT doc_id, (unnest(range(0, maxf + 1)) * 10)::INT AS byte_offset
 FROM t
 """
     o["docs_stratified_sample"] = """
