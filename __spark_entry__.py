@@ -889,7 +889,7 @@ def oracle_sql() -> dict[str, str]:
         # (exact associative sum, one double division; QUERY.md:173 types
         # avg as decimal)
         "SELECT p_brand, sum(p_size) AS sum_size, "
-        "CAST(sum(CAST(p_size AS DECIMAL(25,6))) AS DOUBLE) / count(p_size) "
+        "CAST(sum(CAST(p_size AS DECIMAL(28,10))) AS DOUBLE) / count(p_size) "
         "AS avg_size, count(*) AS n FROM part GROUP BY 1"
     )
     o["agg_having"] = (

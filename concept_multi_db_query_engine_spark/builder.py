@@ -209,8 +209,11 @@ class DataFrameBuilder:
                 # sequential engine bit-for-bit), then one deterministic
                 # double division per group. F.avg(int) would divide in
                 # engine-specific order and diverge at the ulp level.
+                # decimal(28,10) covers the declared 'decimal' scale (10)
+                # exactly — no per-element rounding — with 18 integer digits;
+                # Spark widens the sum itself to decimal(38,10).
                 agg_exprs.append(
-                    (F.sum(col.cast("decimal(25,6)")).cast("double")
+                    (F.sum(col.cast("decimal(28,10)")).cast("double")
                      / F.count(col)).alias(a.alias)
                 )
                 continue
@@ -330,10 +333,11 @@ def _compare(left: Column, op: str, right: Column) -> Column:
 
 def _value_condition(col: Column, op: str, value: Any) -> Column:
     """One of the 31 filter operators (README.md:290-318) as a built-in
-    Column expression. 3VL notes: notIn/!= on NULL columns yield NULL →
-    row excluded (matches SQL); size(NULL array) is NULL in Spark 4 (legacy
-    sizeOfNull off) so arrayIsEmpty on a NULL array excludes the row
-    (README.md:318)."""
+    Column expression. 3VL notes: `!=` is NULL-INCLUSIVE (IS DISTINCT FROM
+    — a NULL value counts as "not equal", contract C107), while notIn /
+    notLike / notBetween keep standard SQL 3VL (NULL column → row
+    excluded); size(NULL array) is NULL in Spark 4 (legacy sizeOfNull off)
+    so arrayIsEmpty on a NULL array excludes the row (README.md:318)."""
     if op == "=":
         return col == F.lit(value)
     if op == "!=":

@@ -432,12 +432,18 @@ def embedding_cosine_pairs(
                 F.col("p.side").alias("side"))
     )
 
-    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # diagonality comes from the GROUP KEY, never from side emptiness:
+        # an off-diagonal pair (i,j) whose block j holds no vectors still
+        # forms a group (side-'a' rows only) and must emit nothing — treating
+        # it as a self-comparison would re-emit block i's internal pairs
+        # once per empty partner block
+        bp = int(key[0])
+        diagonal = (bp // B) == (bp % B)
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
         a_ids = a["vid"].to_numpy(dtype=np.int64)
         a_mat = np.array(list(a["v"]), dtype=np.float64)
-        diagonal = not len(b)
         if diagonal:  # self-comparison: keep id-ordered pairs only
             b_ids, b_mat = a_ids, a_mat
         else:

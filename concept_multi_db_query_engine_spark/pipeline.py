@@ -139,15 +139,18 @@ class MultiDb:
         or install an explicit config. Provider/validation failure raises and
         preserves the old snapshot (TESTS.md:382 #228); success swaps the
         index atomically — in-flight queries keep their snapshot."""
+        explicit = metadata is not None
         if metadata is None:
             metadata = load_via(self._metadata_provider, "metadata")
-        else:
-            self._metadata_provider = static_metadata(metadata)
         if isinstance(metadata, dict):
             metadata = Metadata.from_dict(metadata)
         validate_config(
             metadata, self._index.roles, strict_api_names=self._strict
-        )  # raises → old snapshot preserved
+        )  # raises → old snapshot AND old provider preserved
+        if explicit:
+            # only a VALID explicit config replaces the provider — a failed
+            # reload must not poison subsequent no-arg provider reloads
+            self._metadata_provider = static_metadata(metadata)
         self._index = MetadataIndex(metadata, self._index.roles)
 
     def reload_roles(
@@ -155,14 +158,15 @@ class MultiDb:
     ) -> None:
         """Re-call ``RoleProvider.load()`` (no-arg form) or install an
         explicit role list; same old-snapshot-on-failure semantics."""
+        explicit = roles is not None
         if roles is None:
             roles = load_via(self._role_provider, "roles")
-        else:
-            self._role_provider = static_roles(roles)
         roles = [
             r if isinstance(r, RoleMeta) else RoleMeta.from_dict(r) for r in roles
         ]
         validate_config(self._index.metadata, roles, strict_api_names=self._strict)
+        if explicit:  # only a valid explicit list replaces the provider
+            self._role_provider = static_roles(roles)
         self._index = MetadataIndex(self._index.metadata, roles)
 
     def health_check(self) -> dict[str, Any]:

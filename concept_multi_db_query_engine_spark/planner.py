@@ -119,9 +119,13 @@ def plan_query(
     # (lag allows) routes a single-table query to its CDC replica, while
     # C1715 asserts 'realtime' never does (CONTRACT_TESTS.md:1182-1187).
     if freshness is not None and freshness != "realtime":
-        offload = _replica_plan(index, tables, max_lag, require_replica=True)
+        # candidates without a registered source are skipped inside
+        # _replica_plan, so an unregistered replica target falls through to
+        # P1 direct (the original still satisfies any freshness: zero lag)
+        offload = _replica_plan(
+            index, registry, tables, max_lag, require_replica=True
+        )
         if offload is not None:
-            _require_source(registry, offload[0], tables)
             return PlanDecision(
                 strategy="materialized",
                 target_database=offload[0],
@@ -140,12 +144,14 @@ def plan_query(
             # query's freshness rejects it (e.g. 'realtime' vs any lag),
             # that is a planning conflict, not a missing executor —
             # FRESHNESS_UNMET (C1253, CONTRACT_TESTS.md:931)
-            relaxed = _replica_plan(index, tables, 99, require_replica=True)
-            if relaxed is not None and registry.has(relaxed[0]):
+            relaxed = _replica_plan(
+                index, registry, tables, 99, require_replica=True
+            )
+            if relaxed is not None:
                 usable = _replica_plan(
-                    index, tables, max_lag, require_replica=True
+                    index, registry, tables, max_lag, require_replica=True
                 )
-                if usable is not None and registry.has(usable[0]):
+                if usable is not None:
                     return PlanDecision(
                         strategy="materialized",
                         target_database=usable[0],
@@ -173,9 +179,10 @@ def plan_query(
         )
 
     # P2: replicas co-locate everything in one database, within freshness.
-    found = _replica_plan(index, tables, max_lag, require_replica=False)
+    found = _replica_plan(
+        index, registry, tables, max_lag, require_replica=False
+    )
     if found is not None:
-        _require_source(registry, found[0], tables)
         return PlanDecision(
             strategy="materialized",
             target_database=found[0],
@@ -208,16 +215,19 @@ def plan_query(
 
 def _replica_plan(
     index: MetadataIndex,
+    registry: SourceRegistry,
     tables: list[TableMeta],
     max_lag: int,
     *,
     require_replica: bool,
 ) -> tuple[str, dict[str, TableRoute]] | None:
-    """Find a database that can serve every table (original or CDC replica
-    within ``max_lag``). Prefer the database already holding the most
-    originals (README.md:253-255). With ``require_replica`` the plan must
-    actually use >=1 replica route — the explicit-freshness offload path
-    (C1711) — so a pure-originals plan falls through to P1 direct instead."""
+    """Find a REGISTERED database that can serve every table (original or
+    CDC replica within ``max_lag``). Prefer the database already holding the
+    most originals (README.md:253-255); unregistered candidates are skipped
+    (not selected then failed post-hoc, which could shadow a registered
+    alternative). With ``require_replica`` the plan must actually use >=1
+    replica route — the explicit-freshness offload path (C1711) — so a
+    pure-originals plan falls through to P1 direct instead."""
     candidates: dict[str, int] = {}
     for t in tables:
         candidates[t.database] = candidates.get(t.database, 0) + 1
@@ -227,6 +237,8 @@ def _replica_plan(
                 candidates.setdefault(s.target_database, 0)
     best: tuple[int, str, dict[str, TableRoute]] | None = None
     for db, originals in sorted(candidates.items(), key=lambda kv: -kv[1]):
+        if not registry.has(db):
+            continue
         routes: dict[str, TableRoute] = {}
         n_replicas = 0
         ok = True

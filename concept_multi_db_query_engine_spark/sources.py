@@ -104,14 +104,20 @@ class JdbcSource(Source):
         self.upper_bound = upper_bound
         if timeout_s is not None:
             self.properties.setdefault("queryTimeout", str(timeout_s))
+        self._bounds_cache: dict[str, tuple[int, int]] = {}
 
     def _bounds(self, spark: SparkSession, dbtable: str) -> tuple[int, int]:
         """Spark's JDBC reader requires partitionColumn, lowerBound,
         upperBound and numPartitions TOGETHER; when the caller gave no
         bounds, probe min/max with a one-row remote query (cheap — the
-        remote engine answers from the index/zone map)."""
+        remote engine answers from the index/zone map). Probed bounds are
+        memoized per dbtable so repeated reads of a hot table don't re-issue
+        the remote MIN/MAX scan every call."""
         if self.lower_bound is not None and self.upper_bound is not None:
             return self.lower_bound, self.upper_bound
+        cached = self._bounds_cache.get(dbtable)
+        if cached is not None:
+            return cached
         probe = (
             f"(SELECT MIN({self.partition_column}) AS lo, "
             f"MAX({self.partition_column}) AS hi FROM {dbtable}) bounds"
@@ -126,7 +132,8 @@ class JdbcSource(Source):
         row = reader.load().collect()[0]
         lo = row[0] if row[0] is not None else 0
         hi = row[1] if row[1] is not None else lo + 1
-        return int(lo), int(hi)
+        self._bounds_cache[dbtable] = (int(lo), int(hi))
+        return self._bounds_cache[dbtable]
 
     def reader_options(
         self, physical_name: str,

@@ -50,7 +50,7 @@ class SqlRenderer:
                         # text and the executed plan agree numerically
                         c = self._col(a.table_alias, a.physical)
                         cols.append(
-                            f"CAST(SUM(CAST({c} AS DECIMAL(25,6))) AS DOUBLE)"
+                            f"CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DOUBLE)"
                             f" / COUNT({c}) AS {quote_ident(a.alias)}"
                         )
                     else:

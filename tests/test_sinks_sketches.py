@@ -110,3 +110,37 @@ def test_int8_quantization_preserves_topk_recall(spark):
     approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.9, recall
+
+
+def test_blocked_cosine_no_duplicate_pairs_when_blocks_outnumber_vectors(
+    spark,
+):
+    """Regression: with more blocks than vectors, off-diagonal block pairs
+    whose partner block is empty must emit NOTHING — deriving diagonality
+    from side-emptiness re-emitted within-block pairs once per empty
+    partner block."""
+    from concept_multi_db_query_engine_spark.operators import dedup
+
+    rows = [(i, [float(i % 3 == 0), 1.0, 0.5]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_cosine_pairs(
+        emb, threshold=0.5, n_blocks=16
+    ).collect()
+    pairs = [(r["v1"], r["v2"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate pairs emitted"
+    # cross-check against the trivial all-pairs computation
+    import itertools
+    import math
+
+    vecs = dict(rows)
+    expected = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = round(
+            sum(x * y for x, y in zip(va, vb))
+            / math.sqrt(sum(x * x for x in va) * sum(y * y for y in vb)),
+            4,
+        )
+        if cos >= 0.5:
+            expected.add((a, b))
+    assert set(pairs) == expected
