@@ -137,3 +137,80 @@ class TestExecutorContract:
         reg.close()  # attempt-all semantics, no raise
         assert reg.ping_all()  # stateless sources may still answer (C1804
         # note: acceptable for stateless executors like Trino REST)
+
+
+@pytest.fixture(scope="module")
+def fixture_client(spark):
+    """The CONTRACT fixture engine behind HTTP — the reference runs the same
+    query-contract suite against 'direct' and 'http-client' factories to
+    catch serialization drift (CONTRACT_TESTS.md:33-49)."""
+    from concept_multi_db_query_engine_spark import MultiDb
+    from tests import fixtures
+
+    engine = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                     fixtures.build_registry(spark))
+    srv = http_server.serve_background(engine)
+    yield MultiDbClient(f"http://127.0.0.1:{srv.server_address[1]}")
+    srv.shutdown()
+
+
+class TestHttpQueryContract:
+    """Spot checks of the shared query contract through the HTTP transport:
+    same row sets as direct mode, with JSON-safe value encodings."""
+
+    def test_c100_same_rowset_over_http(self, fixture_client):
+        res = fixture_client.query({
+            "from": "samples", "columns": ["id"],
+            "filters": [{"column": "status", "operator": "=",
+                         "value": "active"}],
+        })
+        assert sorted(r["id"] for r in res["data"]) == [1, 4]
+
+    def test_booleans_stay_json_booleans(self, fixture_client):
+        # C1704 over the wire: true/false/null, never 0/1
+        res = fixture_client.query(
+            {"from": "samples", "columns": ["id", "isActive"]}
+        )
+        vals = {r["id"]: r["isActive"] for r in res["data"]}
+        assert vals[1] is True and vals[3] is False and vals[4] is None
+
+    def test_timestamps_serialize_iso8601(self, fixture_client):
+        # C1705: timestamps cross the JSON boundary as ISO 8601 strings
+        res = fixture_client.query(
+            {"from": "samples", "columns": ["id", "createdAt"]}
+        )
+        vals = {r["id"]: r["createdAt"] for r in res["data"]}
+        assert vals[1] == "2024-01-15T10:00:00"
+
+    def test_arrays_stay_json_arrays(self, fixture_client):
+        res = fixture_client.query(
+            {"from": "samples", "columns": ["id", "tags"]}
+        )
+        vals = {r["id"]: r["tags"] for r in res["data"]}
+        assert vals[1] == ["fast", "new"]
+        assert vals[4] is None
+
+    def test_masking_applied_over_http(self, fixture_client):
+        res = fixture_client.query(
+            {"from": "users", "columns": ["id", "email"]},
+            {"roles": {"user": ["tenant-user"]}},
+        )
+        vals = {r["id"]: r["email"] for r in res["data"]}
+        assert vals["uuid-c1"] == "a***@***.com"
+
+    def test_counted_exists_over_http(self, fixture_client):
+        res = fixture_client.query({
+            "from": "samples", "columns": ["id"],
+            "filters": [{"table": "sampleItems",
+                         "count": {"operator": ">=", "value": 2}}],
+        })
+        assert sorted(r["id"] for r in res["data"]) == [1, 5]
+
+    def test_meta_shape_survives_transport(self, fixture_client):
+        res = fixture_client.query(
+            {"from": "samples", "columns": ["id", "amount"]}
+        )
+        cols = {c["apiName"]: c for c in res["meta"]["columns"]}
+        assert cols["amount"]["type"] == "decimal"
+        assert cols["id"]["nullable"] is False
+        assert res["meta"]["strategy"] == "direct"
