@@ -605,6 +605,12 @@ def _q_dedup_clusters(spark, sf):
     return ops.duplicate_clusters(pairs)
 
 
+def _q_dedup_survivors(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = ops.ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+    return ops.dedup_survivors(docs, pairs)
+
+
 def _q_clean_corpus(spark, sf):
     return ops.clean_corpus(_t(spark, sf, "documents"), min_quality=0.5,
                             lang="en")
@@ -727,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_pack_sequences": _q_pack,
             "dedup_exact": _q_dedup_exact,
             "dedup_clusters": _q_dedup_clusters,
+            "dedup_survivors": _q_dedup_survivors,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_embedding_cosine": _q_dedup_embedding,
@@ -777,7 +784,7 @@ _GATE_PRIORITY = [
     "order_value_quantiles_approx", "customer_revenue_deciles_approx",
     "text_contamination_check", "text_repetition_score",
     "text_gopher_rules", "sim_knn_label_vote", "embeddings_quantize_int8",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "dedup_survivors",
     # round-1-green rows whose code paths changed in round 2 re-verify:
     # replica_routing (planner freshness offload), masking_role (mask fns)
     "replica_routing", "masking_role",
@@ -1700,6 +1707,25 @@ reach(node, label) AS (
   SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+"""
+    )
+    o["dedup_survivors"] = (
+        "WITH RECURSIVE " + _SHINGLES_CTE + """,
+pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN dropped x USING (doc_id)
+WHERE x.doc_id IS NULL ORDER BY d.doc_id
 """
     )
 

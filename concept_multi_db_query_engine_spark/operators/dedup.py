@@ -475,3 +475,30 @@ def embedding_cosine_pairs(
     return tagged.groupBy("bp").applyInPandas(
         block_pair, schema="v1 long, v2 long, cosine double"
     )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-user dedup operation: the corpus with near-duplicates REMOVED.
+    Near-dup pairs are resolved into connected components; within each
+    component the smallest id survives (keep-lowest canonical policy) and
+    every other member is dropped. Documents appearing in no pair survive
+    untouched.
+
+    Composition: ``duplicate_clusters`` (min-label propagation) → anti-join
+    of the non-canonical members against the corpus. One extra broadcast-
+    sized anti-join on top of clustering — the dropped-member frame is
+    |duplicates|, tiny relative to the corpus at real dup rates.
+
+    Returns (doc_id, lang, source, n_chars) of surviving documents.
+    """
+    clusters = duplicate_clusters(pairs)
+    dropped = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return (
+        docs.join(dropped, id_col, "left_anti")
+        .select(id_col, "lang", "source", "n_chars")
+        .orderBy(id_col)
+    )
