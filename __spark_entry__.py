@@ -599,6 +599,10 @@ def _q_gopher_rules(spark, sf):
     return ops.gopher_quality_rules(_t(spark, sf, "documents"))
 
 
+def _q_corpus_report(spark, sf):
+    return ops.corpus_report(_t(spark, sf, "documents"))
+
+
 def _q_dedup_clusters(spark, sf):
     pairs = ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), k=5,
                                     threshold=0.5)
@@ -728,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_contamination_check": _q_contamination,
             "text_repetition_score": _q_repetition,
             "text_gopher_rules": _q_gopher_rules,
+            "corpus_report": _q_corpus_report,
             "docs_stratified_sample": _q_stratified,
             "docs_clean_corpus": _q_clean_corpus,
             "docs_pack_sequences": _q_pack,
@@ -1542,6 +1547,42 @@ SELECT doc_id,
              + (0.2 - least(round(digit_punct / length(text), 4), 0.2)),
              4) AS quality
 FROM t
+"""
+    o["corpus_report"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4
+                ELSE 0.0 END)
+               + least(round(({stop_hits})::DOUBLE
+                             / len(string_split(text, ' ')), 4) * 2.0, 0.4)
+               + (0.2 - least(round((length(text)
+                  - length(regexp_replace(text, '[0-9!#$%^&*()_+=,.;:?]',
+                                          '', 'g')))::DOUBLE
+                  / length(text), 4), 0.2)),
+               4) AS quality
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         (len(w) >= 20
+          AND round(list_sum(list_transform(w, x -> len(x))) / len(w), 4)
+              <= 10.0
+          AND round(len(list_filter(w, x -> x IN
+                        ('the','a','is','of','and'))) / len(w), 4) >= 0.02
+          AND round((len(w) - len(list_distinct(w))) / len(w), 4) <= 0.6)
+           AS passes
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), d AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok,
+         doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM documents
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(d.n_tok)::BIGINT AS total_tokens,
+       round(avg(q.quality), 4)::DOUBLE AS mean_quality,
+       round(sum(g.passes::INT) / count(*), 4)::DOUBLE AS gopher_pass_rate,
+       round(sum(d.is_dup::INT) / count(*), 4)::DOUBLE AS dup_rate
+FROM d JOIN q USING (doc_id) JOIN g USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """
     en_hits = " + ".join(
         f"(length(concat(' ', lower(text), ' ')) - "

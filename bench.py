@@ -80,6 +80,7 @@ HEADLINE = [
     "text_contamination_check",
     "text_repetition_score",
     "text_gopher_rules",
+    "corpus_report",
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_clean_corpus",

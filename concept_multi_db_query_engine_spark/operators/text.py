@@ -399,3 +399,47 @@ def gopher_quality_rules(
         dup_frac.alias("dup_word_frac"),
         passes.alias("passes"),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-source dataset card — the summary table a training-data pipeline
+    publishes with every corpus snapshot: document count, token volume,
+    mean quality, Gopher pass rate, and exact-duplicate rate, grouped by
+    source.
+
+    One aggregation pass over pre-joined narrow maps (quality + rules are
+    pure expressions; the dup flag is a window over md5 — the same single
+    shuffle exact dedup costs). Returns (source, n_docs, total_tokens,
+    mean_quality, gopher_pass_rate, dup_rate) ordered by source.
+    """
+    w = F.split(F.col("text"), " ")
+    dup_w = Window.partitionBy(F.md5(F.col("text")))
+    enriched = (
+        quality_score(docs)
+        .join(gopher_quality_rules(docs).select("doc_id", "passes"), "doc_id")
+        .join(
+            docs.select(
+                "doc_id", "source",
+                F.size(w).cast("long").alias("n_tok"),
+                (F.col("doc_id")
+                 != F.min("doc_id").over(dup_w)).alias("is_dup"),
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).cast("double")
+            .alias("mean_quality"),
+            F.round(
+                F.sum(F.col("passes").cast("int")) / F.count(F.lit(1)), 4
+            ).cast("double").alias("gopher_pass_rate"),
+            F.round(
+                F.sum(F.col("is_dup").cast("int")) / F.count(F.lit(1)), 4
+            ).cast("double").alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
