@@ -65,10 +65,9 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality signals: length, stopword ratio, digit/punct ratio,
-    and a composite [0,1] score. Mirrors the usual pretraining-data quality
-    filters (length + stopword density + symbol noise)."""
+def _quality_exprs():
+    """(stop_ratio, noise_ratio, quality) expressions over `text` — shared
+    by quality_score and the single-pass corpus_report."""
     text = F.col("text")
     n_tokens = F.size(F.split(text, " ")).cast("double")
     stop_hits = None
@@ -88,9 +87,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + (F.lit(0.2) - F.least(noise_ratio, F.lit(0.2))),
         4,
     )
+    return stop_ratio, noise_ratio, score
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, digit/punct ratio,
+    and a composite [0,1] score. Mirrors the usual pretraining-data quality
+    filters (length + stopword density + symbol noise)."""
+    stop_ratio, noise_ratio, score = _quality_exprs()
     return docs.select(
         "doc_id",
-        F.length(text).cast("long").alias("n_chars"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
         stop_ratio.cast("double").alias("stop_ratio"),
         noise_ratio.cast("double").alias("noise_ratio"),
         score.cast("double").alias("quality"),
@@ -356,21 +363,15 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def gopher_quality_rules(
-    docs: DataFrame,
+def _gopher_exprs(
     min_tokens: int = 20,
     max_mean_word_len: float = 10.0,
     min_stopword_frac: float = 0.02,
     max_dup_word_frac: float = 0.6,
-) -> DataFrame:
-    """Gopher-style document quality rule bundle: token count bounds, mean
-    word length, stopword fraction, duplicate-word fraction — each rule a
-    pure JVM expression over one tokenization, plus the conjunction flag.
-    The canonical cheap pre-filter before model-based quality scoring.
-
-    Returns (doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
-    passes). Narrow map — no shuffle, full column pruning.
-    """
+):
+    """(n_tokens, mean_word_len, stopword_frac, dup_word_frac, passes)
+    expressions over `text` — shared by gopher_quality_rules and the
+    single-pass corpus_report."""
     w = F.split(F.col("text"), " ")
     n_tokens = F.size(w).cast("long")
     mean_len = F.round(
@@ -391,6 +392,27 @@ def gopher_quality_rules(
         & (stop_frac >= min_stopword_frac)
         & (dup_frac <= max_dup_word_frac)
     )
+    return n_tokens, mean_len, stop_frac, dup_frac, passes
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_mean_word_len: float = 10.0,
+    min_stopword_frac: float = 0.02,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher-style document quality rule bundle: token count bounds, mean
+    word length, stopword fraction, duplicate-word fraction — each rule a
+    pure JVM expression over one tokenization, plus the conjunction flag.
+    The canonical cheap pre-filter before model-based quality scoring.
+
+    Returns (doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
+    passes). Narrow map — no shuffle, full column pruning.
+    """
+    n_tokens, mean_len, stop_frac, dup_frac, passes = _gopher_exprs(
+        min_tokens, max_mean_word_len, min_stopword_frac, max_dup_word_frac
+    )
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -407,25 +429,21 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     mean quality, Gopher pass rate, and exact-duplicate rate, grouped by
     source.
 
-    One aggregation pass over pre-joined narrow maps (quality + rules are
-    pure expressions; the dup flag is a window over md5 — the same single
-    shuffle exact dedup costs). Returns (source, n_docs, total_tokens,
-    mean_quality, gopher_pass_rate, dup_rate) ordered by source.
+    SINGLE-PASS shape: quality and rule flags are pure expressions, so all
+    per-doc signals ride in one projection over one scan — no self-joins.
+    The only wide ops are the md5 dedup window (the same single shuffle
+    exact dedup costs) and the final groupBy. Returns (source, n_docs,
+    total_tokens, mean_quality, gopher_pass_rate, dup_rate) by source.
     """
-    w = F.split(F.col("text"), " ")
+    _, _, quality = _quality_exprs()
+    n_tokens, _, _, _, passes = _gopher_exprs()
     dup_w = Window.partitionBy(F.md5(F.col("text")))
-    enriched = (
-        quality_score(docs)
-        .join(gopher_quality_rules(docs).select("doc_id", "passes"), "doc_id")
-        .join(
-            docs.select(
-                "doc_id", "source",
-                F.size(w).cast("long").alias("n_tok"),
-                (F.col("doc_id")
-                 != F.min("doc_id").over(dup_w)).alias("is_dup"),
-            ),
-            "doc_id",
-        )
+    enriched = docs.select(
+        "source",
+        n_tokens.alias("n_tok"),
+        quality.cast("double").alias("quality"),
+        passes.alias("passes"),
+        (F.col("doc_id") != F.min("doc_id").over(dup_w)).alias("is_dup"),
     )
     return (
         enriched.groupBy("source")
