@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from concept_multi_db_query_engine_spark import operators as ops
 from concept_multi_db_query_engine_spark import testdata
@@ -652,7 +653,14 @@ def _q_knn_label_vote(spark, sf):
 
 
 def _q_quantize_int8(spark, sf):
-    return ops.quantize_embeddings_int8(_t(spark, sf, "embeddings"))
+    # Gate shape: the driver's pandas canonicalization cannot sort/hash a
+    # top-level array column, so the gate entry CSV-encodes qvec. The
+    # operator itself (and its tests) keep the real array<int> output.
+    df = ops.quantize_embeddings_int8(_t(spark, sf, "embeddings"))
+    return df.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+    )
 
 
 def _q_sim_lsh(spark, sf):
@@ -900,7 +908,10 @@ def oracle_sql() -> dict[str, str]:
         # avg mirrored as decimal-sum / count — the engine's avg convention
         # (exact associative sum, one double division; QUERY.md:173 types
         # avg as decimal)
-        "SELECT p_brand, sum(p_size) AS sum_size, "
+        # CAST: DuckDB sum(INT) is HUGEINT (int128) — the gate hasher
+        # renders it differently than Spark's LongType even when values
+        # are identical, so every integer sum() is cast to BIGINT.
+        "SELECT p_brand, CAST(sum(p_size) AS BIGINT) AS sum_size, "
         "CAST(sum(CAST(p_size AS DECIMAL(28,10))) AS DOUBLE) / count(p_size) "
         "AS avg_size, count(*) AS n FROM part GROUP BY 1"
     )
@@ -1473,7 +1484,7 @@ WITH flagged AS (
     ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
@@ -1489,7 +1500,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
     o["events_props_rollup"] = """
-SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k,
        CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
 FROM (SELECT event_type,
@@ -1732,9 +1743,9 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, shard, n_tokens,
-       cum - n_tokens AS start_pos,
-       (cum - n_tokens) // 512 AS first_bin,
-       (cum - 1) // 512 AS last_bin
+       CAST(cum - n_tokens AS BIGINT) AS start_pos,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+       CAST((cum - 1) // 512 AS BIGINT) AS last_bin
 FROM c
 """
     o["dedup_clusters"] = (
@@ -1872,7 +1883,8 @@ WITH t AS (
   FROM t
 )
 SELECT vec_id, round(scale, 9)::DOUBLE AS scale,
-       list_transform(v, x -> round(x / scale)::INT) AS qvec
+       array_to_string(list_transform(v, x -> round(x / scale)::INT), ',')
+         AS qvec_csv
 FROM s
 """
     o["sim_topk_lsh"] = (

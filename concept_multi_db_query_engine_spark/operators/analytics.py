@@ -278,8 +278,9 @@ def purchases_with_last_view(events: DataFrame) -> DataFrame:
         "event_id", "user_id", "ts",
         F.col("asof_view_event_id").alias("view_event_id"),
         F.col("asof_view_ts").alias("view_ts"),
-        (F.unix_micros(F.col("ts"))
-         - F.unix_micros(F.col("asof_view_ts"))).alias("micros_since_view"),
+        F.timestamp_diff(
+            "MICROSECOND", F.col("asof_view_ts"), F.col("ts")
+        ).alias("micros_since_view"),
     )
 
 
@@ -304,8 +305,9 @@ def sessionize(
     flagged = events.withColumn(
         "__new_session",
         F.when(
-            F.unix_micros(F.col(ts_col))
-            - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1
+            F.timestamp_diff(
+                "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+            ) > gap_us, 1
         ).otherwise(
             F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
         ),
