@@ -477,9 +477,11 @@ def _q_kmv_distinct(spark, sf):
 
 
 def _q_sketch_comparison(spark, sf):
-    return ops.distinct_sketch_comparison(
-        _t(spark, sf, "events"), "user_id", k=256
-    )
+    # Gate entry: KMV vs exact only — deterministic on both engines. The
+    # HLL++ column (Spark-specific internals) is tolerance-tested in
+    # tests/test_sketches.py via distinct_sketch_comparison.
+    return ops.distinct_kmv_vs_exact(_t(spark, sf, "events"), "user_id",
+                                     k=256)
 
 
 def _q_rolling_revenue(spark, sf):
@@ -676,8 +678,11 @@ def _q_sim_ivf(spark, sf):
 
 
 def _q_simhash(spark, sf):
+    # md5 mode: 60-bit md5-derived term hash that DuckDB reproduces
+    # exactly, making this gate entry fully oracle-checkable (the library
+    # default stays xxhash64 — the fast JVM path).
     return ops.simhash_near_pairs(_t(spark, sf, "documents"), k=2,
-                                  max_hamming=3)
+                                  max_hamming=3, hash_fn="md5")
 
 
 def _q_multimodal(spark, sf):
@@ -756,9 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_lsh": _q_sim_lsh,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
-            "sketch_distinct_comparison": _q_sketch_comparison,  # no oracle (HLL++)
-            "dedup_simhash": _q_simhash,          # no SQL oracle (xxhash64)
-            "multimodal_decode_stats": _q_multimodal,  # no SQL oracle (UDF)
+            "sketch_distinct_comparison": _q_sketch_comparison,
+            "dedup_simhash": _q_simhash,
+            "multimodal_decode_stats": _q_multimodal,
             "multimodal_frame_sample": _q_frame_sample,
         }
     )
@@ -774,33 +779,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _GATE_PRIORITY = [
-    # round-1 hash-mismatch fixes — must re-verify
-    "agg_int_sum_avg", "tpch_q12",
-    # new filter-operator matrix queries
-    "filter_like", "filter_noticontains", "filter_null_ops",
-    "filter_array_contains", "filter_array_all_empty",
-    # LLM-pipeline + window/pivot/set-op surface (no r01 row)
-    "dedup_exact", "dedup_clusters", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
-    "text_token_stats", "text_quality_score", "text_language_id",
-    "text_fingerprint", "text_bpe_token_stats", "text_tfidf_top_terms",
-    "text_top_bigrams", "docs_stratified_sample", "docs_clean_corpus",
-    "docs_pack_sequences", "multimodal_decode_stats",
-    "events_funnel", "events_cohort_retention", "events_sessionize",
-    "events_asof_attribution", "events_props_rollup", "events_hourly_rollup",
-    "events_approx_distinct_kmv", "sketch_distinct_comparison",
-    "window_topk_per_group", "nation_revenue_pivot",
-    "customer_revenue_deciles", "customer_segments_setops",
-    "purchase_click_attribution", "order_value_quantiles",
-    # new round-2 operators (100 TB path / pipeline hygiene) — no row yet
-    "order_value_quantiles_approx", "customer_revenue_deciles_approx",
-    "text_contamination_check", "text_repetition_score",
-    "text_gopher_rules", "sim_knn_label_vote", "embeddings_quantize_int8",
-    "multimodal_frame_sample", "dedup_survivors",
-    # round-1-green rows whose code paths changed in round 2 re-verify:
-    # replica_routing (planner freshness offload), masking_role (mask fns)
-    "replica_routing", "masking_role",
+    # --- round-4 changes: must re-verify this round ---
+    # TIMESTAMP_NTZ fix (unix_micros -> timestamp_diff)
+    "events_sessionize", "events_asof_attribution",
+    # HUGEINT oracle-width casts
+    "agg_int_sum_avg", "events_props_rollup", "docs_pack_sequences",
+    # gate-shape fix (array -> CSV)
+    "embeddings_quantize_int8",
+    # newly oracle-backed (md5 simhash / deterministic stub stats / KMV core)
+    "dedup_simhash", "multimodal_decode_stats", "sketch_distinct_comparison",
+    # registered in r2 after the window filled — never graded
+    "corpus_report",
+    # stale r1-green rows queued for re-verify since r2 (code paths changed)
+    "masking_role", "replica_routing",
+    # --- not graded since round 1 (outside r3's 50-row window) ---
+    "filter_eq", "filter_range_in", "filter_pattern_group",
+    "filter_levenshtein", "filter_column_cmp", "filter_ilike_endswith",
+    "join_inner", "join_left", "join_transitive",
+    "agg_group_count", "agg_having", "agg_joined_column",
+    "exists_filter", "not_exists_filter", "counted_exists_gte",
+    "counted_exists_lt", "exists_in_or_group", "nested_exists",
+    "filter_case_ops", "filter_not_variants", "filter_array_notempty",
+    "counted_exists_eq", "distinct_cols", "order_limit_offset",
+    "by_ids", "group_by_no_agg", "federated_join",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q4", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    "rolling_revenue_7d", "customer_order_gaps",
+    # --- green in r3's window: graded most recently, rotate last ---
 ]
 
 
@@ -1408,6 +1414,31 @@ SELECT bigram, count(*) AS n FROM (
     o["events_approx_distinct_kmv"] = ops.kmv_oracle_sql(
         "events", "user_id", k=256
     )
+    o["sketch_distinct_comparison"] = ops.kmv_vs_exact_oracle_sql(
+        "events", "user_id", k=256
+    )
+    # Mirrors as_media_table + fake_decode_stats: the stub's statistics are
+    # deterministic functions of the blob (octet_length + mean byte value),
+    # so the whole mapInPandas decode path is value-checked end to end.
+    # Byte values come from the hex dump: pairs of hex digits -> 0..255.
+    o["multimodal_decode_stats"] = """
+WITH m AS (
+  SELECT doc_id, encode(text) AS b,
+         CAST(doc_id % 64 + 32 AS INT) AS width,
+         CAST(doc_id % 48 + 24 AS INT) AS height,
+         'fake/raw8' AS format
+  FROM documents
+), h AS (
+  SELECT *, hex(b) AS hx, CAST(octet_length(b) AS BIGINT) AS n FROM m
+)
+SELECT doc_id, width, height, format, n AS n_bytes,
+       CASE WHEN n = 0 THEN 0.0 ELSE
+         list_sum(list_transform(range(0, CAST(n AS INT)),
+           i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT))::DOUBLE / n
+       END AS brightness,
+       n > 0 AS is_valid
+FROM h
+"""
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -1747,6 +1778,34 @@ SELECT doc_id, shard, n_tokens,
        CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
        CAST((cum - 1) // 512 AS BIGINT) AS last_bin
 FROM c
+"""
+    # Mirrors simhash_near_pairs(k=2, hash_fn='md5'): 60-bit md5-derived
+    # term hash, per-bit majority vote, hamming <= 3. DuckDB can afford the
+    # all-pairs join at gate scale; the Spark side blocks on quarter keys.
+    o["dedup_simhash"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+votes AS (
+  SELECT doc_id, b.b,
+         CASE WHEN 2 * sum((h >> b.b) & 1) > count(*)
+              THEN (1::BIGINT << b.b) ELSE 0::BIGINT END AS bitval
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+fp AS (SELECT doc_id, bit_or(bitval) AS simhash FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
     o["dedup_clusters"] = (
         "WITH RECURSIVE " + _SHINGLES_CTE + """,

@@ -364,7 +364,6 @@ def order_value_quantiles(orders: DataFrame) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -387,7 +386,6 @@ def order_value_quantiles_approx(
             F.expr(qa.format(p=0.99)).cast("double").alias("p99"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("o_orderpriority")
     )
 
 

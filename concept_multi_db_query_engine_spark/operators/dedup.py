@@ -234,21 +234,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
-    """64-bit SimHash per document: per-shingle xxhash64, bit-majority vote.
+def _simhash_nbits(hash_fn: str) -> int:
+    return 60 if hash_fn == "md5" else 64
 
-    Compiled as 64 plain SUM aggregates (one per bit) + a bitwise-OR fold in
+
+def simhash_fingerprints(
+    docs: DataFrame, k: int = 2, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document: per-shingle hash, bit-majority vote.
+
+    ``hash_fn='xxhash64'`` (default) is the fast path: 64-bit JVM hash, no
+    string math. ``hash_fn='md5'`` derives a 60-bit hash from the md5 hex
+    digest (``conv(substr(md5(s),1,15),16,10)``) — slower, but exactly
+    reproducible in other engines (DuckDB:
+    ``('0x'||substr(md5(s),1,15))::BIGINT``), which makes the operator
+    oracle-checkable end to end.
+
+    Compiled as N plain SUM aggregates (one per bit) + a bitwise-OR fold in
     the projection — every expression is whole-stage-codegen'd. (The obvious
-    alternative, a 64-element array fold with lambda functions, runs
+    alternative, an N-element array fold with lambda functions, runs
     interpreted and benches ~10× slower.) A bit is set when strictly more
     than half the shingle hashes have it set: 2·Σbit > n.
     Returns (doc_id, simhash) as a signed 64-bit long.
     """
+    nbits = _simhash_nbits(hash_fn)
     sh = _shingles(docs, k)
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64("shingle")
+    hashed = sh.select("doc_id", h.alias("h"))
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"), *bit_sums
@@ -261,28 +281,32 @@ def simhash_fingerprints(docs: DataFrame, k: int = 2) -> DataFrame:
             .otherwise(F.lit(0).cast("long")),
             b,
         )
-        for b in range(64)
+        for b in range(nbits)
     ]
     simhash = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
-    docs: DataFrame, k: int = 2, max_hamming: int = 3
+    docs: DataFrame, k: int = 2, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Scale path: block on 4 × 16-bit sub-keys — two fingerprints within
-    hamming 3 must agree exactly on at least one 16-bit quarter (pigeonhole),
-    so the self-join runs on quarter-key buckets, never all-pairs.
+    Scale path: block on 4 quarter-keys (16 bits each for xxhash64, 15 for
+    the 60-bit md5 mode) — two fingerprints within hamming 3 must agree
+    exactly on at least one quarter (pigeonhole), so the self-join runs on
+    quarter-key buckets, never all-pairs.
     """
-    fp = simhash_fingerprints(docs, k)
+    qw = _simhash_nbits(hash_fn) // 4
+    mask = (1 << qw) - 1
+    fp = simhash_fingerprints(docs, k, hash_fn=hash_fn)
     quarters = fp.select(
         "doc_id", "simhash",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
-                "q -> struct(q AS q, CAST(shiftright(simhash, q * 16) & 65535 AS INT)"
+                f"q -> struct(q AS q, CAST(shiftright(simhash, q * {qw}) & {mask} AS INT)"
                 " AS qk))"
             )
         ).alias("blk"),
@@ -500,5 +524,4 @@ def dedup_survivors(
     return (
         docs.join(dropped, id_col, "left_anti")
         .select(id_col, "lang", "source", "n_chars")
-        .orderBy(id_col)
     )

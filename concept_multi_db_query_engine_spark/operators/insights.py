@@ -90,7 +90,6 @@ def customer_order_gaps(orders: DataFrame) -> DataFrame:
              / F.count("gap_days")).alias("avg_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -241,5 +240,4 @@ def purchase_click_attribution(
             F.col("p_ts").alias("ts"),
             "n_clicks_before",
         )
-        .orderBy("event_id")
     )

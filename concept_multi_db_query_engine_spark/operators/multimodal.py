@@ -59,9 +59,11 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
                 "container; fake_decode_stats only handles bytes"
             )
         n = len(blob)
-        # deterministic 'brightness': mean byte value
+        # deterministic 'brightness': mean byte value. Left unrounded —
+        # int-sum / int-count is one correctly-rounded IEEE division, so
+        # any engine computing the same stats matches bit-for-bit.
         brightness = (sum(blob) / n) if n else 0.0
-        return n, round(brightness, 4), n > 0
+        return n, brightness, n > 0
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -88,3 +88,32 @@ def distinct_sketch_comparison(
     return native.crossJoin(F.broadcast(kmv)).select(
         "exact", "hll_estimate", "kmv_estimate"
     )
+
+
+def distinct_kmv_vs_exact(
+    df: DataFrame, column: str, k: int = 256,
+) -> DataFrame:
+    """The oracle-checkable core of :func:`distinct_sketch_comparison`:
+    KMV estimate next to the exact distinct count (no HLL++ column — HLL++
+    internals are Spark-specific, so that column lives only in the
+    tolerance-tested full comparison). Both sides of the value check are
+    deterministic md5-derived arithmetic."""
+    kmv = approx_distinct_kmv(df, column, k).select(
+        F.col("approx_distinct").alias("kmv_estimate")
+    )
+    exact = df.agg(F.countDistinct(column).alias("exact"))
+    return exact.crossJoin(F.broadcast(kmv)).select("exact", "kmv_estimate")
+
+
+def kmv_vs_exact_oracle_sql(table: str, column: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`distinct_kmv_vs_exact`."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT) / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    return f"""
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
+kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
+SELECT (SELECT count(DISTINCT {column}) FROM {table}) AS exact,
+       (SELECT round({k - 1} / max(h), 4) FROM kmin) AS kmv_estimate
+"""

@@ -259,7 +259,6 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, min_len: int = 3) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
-        .orderBy("doc_id", "rnk")
     )
 
 
@@ -327,7 +326,6 @@ def benchmark_contamination(
         train.join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("shared_grams"))
-        .orderBy("doc_id")
     )
 
 
@@ -359,7 +357,6 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
                 (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4
             ).cast("double").alias("dup_frac"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -13,12 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# the testdata events parquet stores ts as TIMESTAMP(NANOS): read as long,
-# convert to micros after (integer div, no rounding)
+# the testdata events parquet stores ts as TIMESTAMP(MICROS) without a
+# timezone — declared NTZ here so the stream reads the same type the batch
+# path infers (stream/batch twins must agree on the column type)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -121,7 +122,6 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours"):
 
 
 def _bounded_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a DIRECTORY; when given a single
     # parquet file, expose it through a temp dir of symlinks
     import os
@@ -131,10 +131,13 @@ def _bounded_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="stream-src-")
         os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
         events_path = d
+    # watermarks require TIMESTAMP (LTZ); the session runs UTC so the
+    # NTZ -> LTZ cast is value-preserving and the batch twin (which keeps
+    # NTZ) collects identical wall-clock datetimes
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

@@ -81,28 +81,16 @@ def test_parity(name, spark, duck):
     )
 
 
-# Genuinely non-SQL-expressible ops that may omit the oracle:
-# - dedup_simhash: xxhash64 bit-mixing has no DuckDB equivalent
-# - multimodal_decode_stats: decode path is an honest stub (no codecs here)
-# - sketch_distinct_comparison: HLL++ estimate is Spark-internal (KMV half
-#   is oracle-checked separately via events_approx_distinct_kmv)
-NO_ORACLE_ALLOWED = {
-    "dedup_simhash",
-    "multimodal_decode_stats",
-    "sketch_distinct_comparison",
-}
+# Since round 4 every registered query has a DuckDB oracle: dedup_simhash
+# gates on the md5-derived 60-bit hash, multimodal_decode_stats' stub stats
+# are deterministic blob functions, and sketch_distinct_comparison gates on
+# its KMV-vs-exact core (the HLL++ column is tolerance-tested separately).
+NO_ORACLE_ALLOWED: set[str] = set()
 
 
-def test_every_query_has_oracle_or_is_flagged():
+def test_every_query_has_oracle():
     no_oracle = set(QUERIES) - set(ORACLES)
     assert no_oracle <= NO_ORACLE_ALLOWED
-
-
-@pytest.mark.parametrize("name", sorted(NO_ORACLE_ALLOWED))
-def test_no_oracle_queries_run(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) >= 2
 
 
 def test_entry_smoke(spark):
