@@ -48,7 +48,7 @@ from .providers import (
 from .query_validation import QueryValidator
 from .resolver import Resolver
 from .sources import Source, SourceRegistry
-from .sqlgen import SqlRenderer
+from .dialects import renderer_for
 
 
 class MultiDb:
@@ -265,12 +265,20 @@ class MultiDb:
         t_gen = time.perf_counter()
         meta = self._meta(index, decision, plan, definition)
         if mode == "sql-only":
-            sql, params = SqlRenderer().render(plan)
+            # catalog qualification map for the Trino dialect
+            # (SQL_DIALECTS.md:203-207): declared trinoCatalog, else the
+            # database id
+            catalogs = {
+                db.id: (db.trino_catalog or db.id)
+                for db in index.databases_by_id.values()
+            } if decision.dialect == "trino" else None
+            sql, params = renderer_for(decision.dialect, catalogs).render(plan)
             meta["timing"] = {
                 "planningMs": planning_ms,
                 "generationMs": (time.perf_counter() - t_gen) * 1000,
             }
-            entry("sql-generation", "rendered spark-sql text")
+            entry("sql-generation",
+                  f"rendered {decision.dialect or 'spark'} sql text")
             result: dict[str, Any] = {
                 "kind": "sql", "sql": sql, "params": params, "meta": meta,
             }

@@ -37,9 +37,36 @@ from .sources import SourceRegistry
 class PlanDecision:
     strategy: str  # 'cache' | 'direct' | 'materialized' | 'trino-cross-db'
     target_database: str
-    dialect: str | None  # always 'spark' except cache-only hits (None)
+    dialect: str | None  # target engine's dialect; None for cache-only hits
     routes: dict[str, TableRoute] = field(default_factory=dict)
     cache_id: str | None = None
+
+
+# DatabaseMeta.engine -> sql-only dialect (SQL_DIALECTS.md:5-28). Spark
+# executes every strategy; a foreign engine declaration makes sql-only text
+# target that engine's syntax instead (dialect selection mirrors the
+# reference: single-DB strategies use the target DB's dialect, cross-DB
+# federation over foreign engines renders Trino, README.md:36-82).
+_ENGINE_DIALECTS = {"postgres": "postgres", "clickhouse": "clickhouse"}
+
+
+def _db_dialect(index: MetadataIndex, db_id: str) -> str:
+    db = index.databases_by_id.get(db_id)
+    return _ENGINE_DIALECTS.get(db.engine if db else "", "spark")
+
+
+def _federation_dialect(index: MetadataIndex, tables: list[TableMeta]) -> str:
+    """Cross-DB: trino when any participating database declares a foreign
+    engine (the reference's P3 always federates through Trino); all-Spark
+    topologies stay honest with 'spark' — Spark IS the federation layer."""
+    engines = {
+        (index.databases_by_id.get(t.database).engine
+         if index.databases_by_id.get(t.database) else "spark")
+        for t in tables
+    }
+    if engines & set(_ENGINE_DIALECTS) or "iceberg" in engines:
+        return "trino"
+    return "spark"
 
 
 def collect_tables(index: MetadataIndex, defn: dict[str, Any]) -> list[TableMeta]:
@@ -129,7 +156,7 @@ def plan_query(
             return PlanDecision(
                 strategy="materialized",
                 target_database=offload[0],
-                dialect="spark",
+                dialect=_db_dialect(index, offload[0]),
                 routes=offload[1],
             )
 
@@ -155,7 +182,7 @@ def plan_query(
                     return PlanDecision(
                         strategy="materialized",
                         target_database=usable[0],
-                        dialect="spark",
+                        dialect=_db_dialect(index, usable[0]),
                         routes=usable[1],
                     )
                 raise PlannerError(
@@ -174,7 +201,7 @@ def plan_query(
         return PlanDecision(
             strategy="direct",
             target_database=db,
-            dialect="spark",
+            dialect=_db_dialect(index, db),
             routes={t.id: TableRoute(t.database, t.physical_name) for t in tables},
         )
 
@@ -186,7 +213,7 @@ def plan_query(
         return PlanDecision(
             strategy="materialized",
             target_database=found[0],
-            dialect="spark",
+            dialect=_db_dialect(index, found[0]),
             routes=found[1],
         )
 
@@ -208,7 +235,7 @@ def plan_query(
     return PlanDecision(
         strategy="trino-cross-db",
         target_database="spark",
-        dialect="spark",
+        dialect=_federation_dialect(index, tables),
         routes={t.id: TableRoute(t.database, t.physical_name) for t in tables},
     )
 

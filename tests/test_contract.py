@@ -150,7 +150,9 @@ class TestSqlOnlyMode:
             ADMIN,
         )
         assert len(res["params"]) >= 1
-        assert "?" in res["sql"] or ":p" in res["sql"]
+        # placeholder style is dialect-specific: trino/spark '?', pg '$1',
+        # clickhouse '{p1:Type}' (SQL_DIALECTS.md:8)
+        assert any(x in res["sql"] for x in ("?", "$1", "{p1"))
 
     def test_c015_sql_only_masking_reported(self, engine):
         res = run(
@@ -2269,9 +2271,11 @@ class TestMetaVerification:
         assert res["meta"]["columns"] == []
 
     def test_c1108_dialect_data_mode(self, engine):
-        # single-dialect engine: 'spark' replaces pg/ch/trino (SURVEY §declared)
+        # CONTRACT_TESTS.md:897: dialect is one of postgres/clickhouse/trino
+        # — since round 4 the dialect mirrors the target database's declared
+        # engine (orders lives in pg-main, engine 'postgres')
         res = run(engine, {"from": "orders", "columns": ["id"]}, ADMIN)
-        assert res["meta"]["dialect"] == "spark"
+        assert res["meta"]["dialect"] == "postgres"
 
     def test_c1109_target_database_direct(self, engine):
         res = run(engine, {"from": "orders", "columns": ["id"]}, ADMIN)
@@ -2288,13 +2292,14 @@ class TestMetaVerification:
         assert res["meta"]["targetDatabase"] == "spark"
 
     def test_c1111_dialect_sql_only(self, engine):
+        # C1111: same dialect as data mode
         res = run(engine,
                   {"from": "orders", "executeMode": "sql-only"}, ADMIN)
-        assert res["meta"]["dialect"] == "spark"
+        assert res["meta"]["dialect"] == "postgres"
 
     def test_c1112_dialect_count_mode(self, engine):
         res = run(engine, {"from": "orders", "executeMode": "count"}, ADMIN)
-        assert res["meta"]["dialect"] == "spark"
+        assert res["meta"]["dialect"] == "postgres"
 
     def test_c1113_aggregation_nullable_inference(self, engine):
         res = run(

@@ -16,7 +16,7 @@ class TestPlannerStrategies:
         res = run(engine, {"from": "orders", "columns": ["id"]})
         assert res["meta"]["strategy"] == "direct"
         assert res["meta"]["targetDatabase"] == "pg-main"
-        assert res["meta"]["dialect"] == "spark"
+        assert res["meta"]["dialect"] == "postgres"
 
     def test_p0_cache_by_ids(self, engine):
         res = run(engine, {"from": "users", "byIds": ["uuid-c1", "uuid-c2"]})
@@ -138,30 +138,45 @@ class TestExecuteModes:
         assert res["kind"] == "sql"
         assert "data" not in res
         sql, params = res["sql"], res["params"]
-        assert "SELECT" in sql and "FROM `samples` AS t0" in sql
-        assert "WHERE t0.`status` = ?" in sql
-        assert "ORDER BY t0.`id` ASC" in sql and "LIMIT 10" in sql
+        # samples lives in pg-main (engine 'postgres') -> postgres dialect:
+        # double-quoted identifiers, $N placeholders (SQL_DIALECTS.md:7-8)
+        assert "SELECT" in sql and 'FROM "samples" AS t0' in sql
+        assert 'WHERE t0."status" = $1' in sql
+        assert 'ORDER BY t0."id" ASC' in sql and "LIMIT 10" in sql
         assert params == ["active"]
 
-    def test_sql_only_runs_on_spark(self, engine, spark):
-        """The rendered text is valid Spark SQL: execute it and compare."""
+    def test_sql_only_runs_on_spark(self, spark):
+        """The SPARK dialect's rendered text is valid Spark SQL: execute it
+        and compare against the builder path. (The contract-fixture engine
+        now renders pg/ch/trino per declared engine — tests/test_dialects.py
+        — so this uses a spark-engine twin of the same metadata; the
+        testdata engine's 31-query sweep in test_sqlonly_sweep.py is the
+        broad version of this check.)"""
+        import copy
+
+        from concept_multi_db_query_engine_spark import MultiDb
+        from tests.fixtures import METADATA, ROLES, build_registry
+
+        meta = copy.deepcopy(METADATA)
+        for db in meta["databases"]:
+            db["engine"] = "spark"
+        spark_engine = MultiDb(spark, meta, ROLES, build_registry(spark))
         defn = {
             "from": "samples", "columns": ["id", "category"],
             "filters": [{"column": "amount", "operator": ">", "value": 99}],
             "orderBy": [{"column": "id", "direction": "asc"}],
         }
-        res = run(engine, {**defn, "executeMode": "sql-only"})
+        res = run(spark_engine, {**defn, "executeMode": "sql-only"})
+        assert res["meta"]["dialect"] == "spark"
         sql = res["sql"]
         for p in res["params"]:
             lit = f"'{p}'" if isinstance(p, str) else str(p)
             sql = sql.replace("?", lit, 1)
-        from tests.fixtures import build_registry  # registered memory tables
-
         reg = build_registry(spark)
         reg.df(spark, "pg-main", "samples").createOrReplaceTempView("samples")
         sql = sql.replace("FROM `samples`", "FROM samples")
         rows = [r.asDict() for r in spark.sql(sql).collect()]
-        direct = run(engine, defn)["data"]
+        direct = run(spark_engine, defn)["data"]
         assert rows == direct
 
     def test_sql_only_reports_masking_intent(self, engine):
