@@ -1180,7 +1180,13 @@ class TestByIds:
         )
         assert res["kind"] == "sql"
         assert "WHERE" in res["sql"]
-        assert 1 in res["params"] and 2 in res["params"]
+        # pg dialect binds the id list as ONE array parameter
+        # (= ANY($1::integer[])); other dialects expand per-element —
+        # either way both ids must ride as parameters, never inline
+        flat = [x for p in res["params"]
+                for x in (p if isinstance(p, list) else [p])]
+        assert 1 in flat and 2 in flat
+        assert "1" not in res["sql"].replace("$1", "")
 
 
 # ---------------------------------------------------------------------------
@@ -2626,10 +2632,12 @@ class TestInjectionContract:
             res = run(engine, defn, ADMIN)
             assert list(res["data"][0].keys()) == [alias]
 
-    def test_c1419_alias_backtick_escaped_in_sql_text(self, engine):
-        # sql-only mode quotes identifiers with backticks; a backtick in the
-        # alias must be doubled so it cannot break out of the identifier
-        alias = "x`; DROP TABLE events;--"
+    def test_c1419_alias_quote_escaped_in_sql_text(self, engine):
+        # sql-only identifier quoting must neutralize the ACTIVE dialect's
+        # quote character (samples -> pg dialect, double quotes): an
+        # embedded quote is doubled so the alias cannot break out of the
+        # identifier (SECURITY.md:27-45)
+        alias = 'x"; DROP TABLE events;--'
         defn = {"from": "samples", "columns": [],
                 "aggregations": [{"column": "amount", "fn": "sum",
                                   "alias": alias}],
@@ -2639,8 +2647,14 @@ class TestInjectionContract:
             assert any(i["code"] == "INVALID_AGGREGATION" for i in issues)
         else:
             res = run(engine, defn, ADMIN)
-            assert "x``; DROP TABLE events;--" in res["sql"]
-            assert "; DROP TABLE events;--`" in res["sql"]
+            assert '"x""; DROP TABLE events;--"' in res["sql"]
+
+    def test_c1419b_alias_backtick_escaped_in_spark_text(self, spark):
+        # same property for the spark/clickhouse backtick quoting rules,
+        # via the spark renderer directly
+        from concept_multi_db_query_engine_spark.sqlgen import SqlRenderer
+
+        assert SqlRenderer().quote("x`; DROP") == "`x``; DROP`"
 
     def test_value_injection_is_data(self, engine):
         # C1400-family value payloads: parameterized, never concatenated —
