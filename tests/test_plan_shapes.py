@@ -101,3 +101,39 @@ class TestWindowShapes:
         full = executed(df)
         assert "SinglePartition" not in full
         assert "hashpartitioning(shard" in full
+
+
+class TestNoPresentationSorts:
+    """Round-4 claim: operators with O(input)-sized outputs carry no
+    trailing global sort (a display-only full-corpus exchange at scale).
+    The final operator tree must not end in a global Sort."""
+
+    def _has_global_sort(self, df) -> bool:
+        full = executed(df)
+        # a global (non-partial) Sort node outside any window/join internals
+        # shows as 'Sort [... ASC ...], true' (global=true) at the plan top;
+        # rangepartitioning exchanges only exist to feed such sorts
+        return "rangepartitioning(" in full
+
+    def test_repetition_score_has_no_global_sort(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        assert not self._has_global_sort(ops.repetition_score(docs))
+
+    def test_contamination_has_no_global_sort(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        assert not self._has_global_sort(ops.benchmark_contamination(docs))
+
+    def test_order_gaps_has_no_global_sort(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        assert not self._has_global_sort(ops.customer_order_gaps(orders))
+
+    def test_attribution_has_no_global_sort(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        assert not self._has_global_sort(
+            ops.purchase_click_attribution(events))
+
+    def test_quantiles_have_no_global_sort(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        assert not self._has_global_sort(ops.order_value_quantiles(orders))
+        assert not self._has_global_sort(
+            ops.order_value_quantiles_approx(orders))
