@@ -671,6 +671,12 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_sim_recall(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.ann_recall_at_k(emb, queries, k=5, bits=4)
+
+
 def _q_sim_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 5")
@@ -759,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_knn_label_vote": _q_knn_label_vote,
             "embeddings_quantize_int8": _q_quantize_int8,
             "sim_topk_lsh": _q_sim_lsh,
+            "sim_recall_at_k": _q_sim_recall,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
             "sketch_distinct_comparison": _q_sketch_comparison,
@@ -790,6 +797,8 @@ _GATE_PRIORITY = [
     "dedup_simhash", "multimodal_decode_stats", "sketch_distinct_comparison",
     # registered in r2 after the window filled — never graded
     "corpus_report",
+    # new in round 4 — ANN recall calibration
+    "sim_recall_at_k",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---
@@ -1968,6 +1977,47 @@ SELECT query_id, vec_id, cosine, rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+    )
+    o["sim_recall_at_k"] = (
+        "WITH " + _COS_NORM_CTE + """
+, ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                            / sqrt(q.norm2 * c.norm2), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM e q JOIN e c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 5
+), b AS (
+  SELECT *,
+    ((CASE WHEN v[1] > 0.0 THEN 1 ELSE 0 END) * 8 +
+     (CASE WHEN v[2] > 0.0 THEN 1 ELSE 0 END) * 4 +
+     (CASE WHEN v[3] > 0.0 THEN 1 ELSE 0 END) * 2 +
+     (CASE WHEN v[4] > 0.0 THEN 1 ELSE 0 END)) AS bucket
+  FROM e
+), ap AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                            / sqrt(q.norm2 * c.norm2), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 5
+), ne AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+nh AS (
+  SELECT ex.query_id, count(*)::BIGINT AS n_hits
+  FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+  GROUP BY 1
+)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(nh.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(nh.n_hits, 0) / ne.n_exact, 6)::DOUBLE AS recall
+FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
 """
     )
     o["sim_topk_ivf"] = (

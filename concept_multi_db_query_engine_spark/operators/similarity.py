@@ -259,6 +259,48 @@ def topk_cosine_lsh(
     )
 
 
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-LSH index against the exact brute-force
+    baseline — the standard calibration step before committing an ANN
+    layout at scale (tune ``bits`` until recall meets target; fewer bits =
+    bigger buckets = higher recall and cost). Returns one row per query:
+    (query_id, n_exact, n_hits, recall).
+
+    Both sides are deterministic (exact cosine ranking, axis-sign buckets),
+    so the whole metric is value-checkable against a SQL oracle. The
+    brute-force side is the expensive leg — at billion-vector scale run
+    this on a sampled query set, which is exactly how recall is measured
+    in practice."""
+    exact = topk_cosine_bruteforce(
+        embeddings, queries, k, id_col, vec_col
+    ).select("query_id", "vec_id")
+    approx = topk_cosine_lsh(
+        embeddings, queries, k, bits, id_col, vec_col
+    ).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return n_exact.join(n_hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        hits.cast("long").alias("n_hits"),
+        F.round(hits / F.col("n_exact"), 6).cast("double").alias("recall"),
+    )
+
+
 def knn_label_vote(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -112,6 +112,27 @@ def test_int8_quantization_preserves_topk_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_ann_recall_at_k_bounds_and_monotonicity(spark):
+    """recall in [0,1]; fewer LSH bits → bigger buckets → recall can only
+    improve or stay equal on average (the calibration property the operator
+    exists to measure)."""
+    from concept_multi_db_query_engine_spark import operators as ops
+    from concept_multi_db_query_engine_spark import testdata
+
+    emb = testdata.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 8")
+
+    def mean_recall(bits):
+        rows = ops.ann_recall_at_k(emb, queries, k=5, bits=bits).collect()
+        assert rows, "no per-query rows"
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_hits"] <= r["n_exact"] <= 5
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    assert mean_recall(2) >= mean_recall(4)
+
+
 def test_blocked_cosine_no_duplicate_pairs_when_blocks_outnumber_vectors(
     spark,
 ):
