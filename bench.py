@@ -95,7 +95,11 @@ HEADLINE = [
     "embeddings_quantize_int8",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_recall_at_k",
+    "multimodal_frame_sample",
     "multimodal_decode_stats",
+    "dedup_survivors",
+    "sketch_distinct_comparison",
 ]
 
 
