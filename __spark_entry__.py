@@ -671,6 +671,11 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_docs_chunk(spark, sf):
+    return ops.chunk_documents(_t(spark, sf, "documents"),
+                               chunk_tokens=128, overlap=16)
+
+
 def _q_sim_recall(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 5")
@@ -766,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_quantize_int8": _q_quantize_int8,
             "sim_topk_lsh": _q_sim_lsh,
             "sim_recall_at_k": _q_sim_recall,
+            "docs_chunk": _q_docs_chunk,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
             "sketch_distinct_comparison": _q_sketch_comparison,
@@ -797,8 +803,8 @@ _GATE_PRIORITY = [
     "dedup_simhash", "multimodal_decode_stats", "sketch_distinct_comparison",
     # registered in r2 after the window filled — never graded
     "corpus_report",
-    # new in round 4 — ANN recall calibration
-    "sim_recall_at_k",
+    # new in round 4 — ANN recall calibration + RAG/pretraining chunking
+    "sim_recall_at_k", "docs_chunk",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---
@@ -1815,6 +1821,23 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+    # Mirrors chunk_documents(chunk_tokens=128, overlap=16): stride 112,
+    # 0-based half-open token offsets, trailing partial window kept, starts
+    # whose previous chunk already covered the doc dropped.
+    o["docs_chunk"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (
+  SELECT doc_id, w, gs.s
+  FROM w, unnest(generate_series(0, greatest(len(w) - 1, 0), 112)) AS gs(s)
+)
+SELECT doc_id,
+       (s // 112)::BIGINT AS chunk_id,
+       s::BIGINT AS start_tok,
+       least(s + 128, len(w))::BIGINT AS end_tok,
+       (least(s + 128, len(w)) - s)::BIGINT AS n_tok,
+       array_to_string(list_slice(w, s + 1, s + 128), ' ') AS chunk_text
+FROM st WHERE s = 0 OR s + 16 < len(w)
 """
     o["dedup_clusters"] = (
         "WITH RECURSIVE " + _SHINGLES_CTE + """,

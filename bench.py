@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_report",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "docs_chunk",
     "docs_clean_corpus",
     "dedup_exact",
     "dedup_clusters",

@@ -182,6 +182,49 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap — the
+    standard preprocessing step for RAG indexing and context-window-bounded
+    pretraining. Returns one row per chunk:
+    (doc_id, chunk_id, start_tok, end_tok, n_tok, chunk_text) with
+    ``chunk_id`` 0-based, ``start_tok``/``end_tok`` 0-based half-open token
+    offsets, stride ``chunk_tokens - overlap``.
+
+    Pure JVM array expressions (split → sequence of starts → explode →
+    slice/concat): a narrow map per document, no shuffle at all — chunking
+    100 TB is scan-bound. The trailing partial window is kept (standard
+    practice; drop it downstream with ``n_tok`` if a model needs full
+    windows only).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.col("text"), " ")
+    # start offsets 0, stride, 2*stride, ... covering every token; a start
+    # is emitted only while it is < n (sequence upper bound n-1)
+    starts = F.expr(f"sequence(0, greatest(size(w) - 1, 0), {stride})")
+    exploded = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", F.posexplode(starts).alias("chunk_id", "s"))
+        # a start whose previous chunk already reached the end of the doc
+        # (prev end = s + overlap >= n) adds no new tokens — drop it
+        .where((F.col("s") == 0) | (F.col("s") + overlap < F.size("w")))
+    )
+    end = F.least(F.col("s") + chunk_tokens, F.size("w"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("s").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("s")).cast("long").alias("n_tok"),
+        F.concat_ws(
+            " ", F.slice(F.col("w"), F.col("s") + 1, F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )
+
+
 def clean_corpus(
     docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
 ) -> DataFrame:

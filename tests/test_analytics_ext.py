@@ -132,3 +132,51 @@ def test_deciles_approx_matches_exact_shape(spark):
     # decile 1 holds the top revenues: min of decile 1 >= min of decile 2
     mins = [r["min_revenue"] for r in out]
     assert all(mins[i] >= mins[i + 1] for i in range(9))
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = ops.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["chunk_id"], r["start_tok"], r["end_tok"], r["n_tok"]) == (
+        0, 0, 3, 3)
+    assert r["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(7, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        ops.chunk_documents(docs, chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 6: starts 0, 6, 12, 18, 24; start 24 has prev end 24+4=28 >= 25
+    # -> dropped? prev end = s + overlap = 24 + 4 = 28 >= 25 -> dropped
+    assert [r["start_tok"] for r in rows] == [0, 6, 12, 18]
+    # consecutive chunks overlap by exactly `overlap` tokens until the tail
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_tok"] == a["start_tok"] + 6
+        assert a["end_tok"] - b["start_tok"] == 4  # exactly `overlap` shared
+    # every token is covered
+    covered = set()
+    for r in rows:
+        covered.update(range(r["start_tok"], r["end_tok"]))
+    assert covered == set(range(25))
+    # chunk text round-trips the token slice
+    assert rows[1]["chunk_text"] == " ".join(words[6:16])
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        ops.chunk_documents(docs, chunk_tokens=4, overlap=4)
