@@ -136,3 +136,33 @@ def test_malformed_json_400(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_query_sql_only_reports_engine_dialect(spark):
+    """Transport drift check for the multi-dialect surface: a pg-engine
+    database's sql-only response carries dialect 'postgres' and the
+    pg-rendered text ($N placeholders) across the HTTP boundary."""
+    from tests import fixtures
+
+    from concept_multi_db_query_engine_spark import MultiDb
+
+    engine = MultiDb(spark, fixtures.METADATA, fixtures.ROLES,
+                     fixtures.build_registry(spark))
+    srv = http_server.serve_background(engine)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        status, body = _post(base, "/query", {
+            "definition": {
+                "from": "orders", "columns": ["id"],
+                "filters": [{"column": "status", "operator": "=",
+                             "value": "active"}],
+                "executeMode": "sql-only",
+            },
+            "context": {"roles": {"user": ["admin"]}},
+        })
+        assert status == 200 and body["kind"] == "sql"
+        assert body["meta"]["dialect"] == "postgres"
+        assert "$1" in body["sql"]
+        assert body["params"] == ["active"]
+    finally:
+        srv.shutdown()
