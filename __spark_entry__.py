@@ -671,6 +671,10 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_hourly_anomaly(spark, sf):
+    return ops.hourly_anomaly(_t(spark, sf, "events"))
+
+
 def _q_docs_chunk(spark, sf):
     return ops.chunk_documents(_t(spark, sf, "documents"),
                                chunk_tokens=128, overlap=16)
@@ -772,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_lsh": _q_sim_lsh,
             "sim_recall_at_k": _q_sim_recall,
             "docs_chunk": _q_docs_chunk,
+            "events_hourly_anomaly": _q_hourly_anomaly,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
             "sketch_distinct_comparison": _q_sketch_comparison,
@@ -804,7 +809,7 @@ _GATE_PRIORITY = [
     # registered in r2 after the window filled — never graded
     "corpus_report",
     # new in round 4 — ANN recall calibration + RAG/pretraining chunking
-    "sim_recall_at_k", "docs_chunk",
+    "sim_recall_at_k", "docs_chunk", "events_hourly_anomaly",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---
@@ -1568,6 +1573,37 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
+"""
+
+    # Mirrors hourly_anomaly(trail=24, min_hours=8): exact integer window
+    # sums (CAST to BIGINT — DuckDB windowed sum(BIGINT) is HUGEINT), one
+    # fixed IEEE expression for mean/var/z, NULL z on cold start or zero
+    # variance.
+    o["events_hourly_anomaly"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT hour, event_type, n,
+         CAST(sum(n) OVER w AS BIGINT) AS s,
+         CAST(sum(n * n) OVER w AS BIGINT) AS sq,
+         CAST(count(n) OVER w AS BIGINT) AS c
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, n,
+       c AS trail_hours,
+       round(CASE WHEN c > 0 THEN CAST(s AS DOUBLE) / c END, 6)
+         AS trail_mean,
+       round(CASE WHEN c >= 8
+                   AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c)
+                       / (c - 1) > 0
+             THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                  / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c)
+                         / (c - 1))
+             END, 6) AS z
+FROM t
 """
 
     # ---- text analysis ----

@@ -64,6 +64,7 @@ HEADLINE = [
     "text_top_bigrams",
     "window_topk_per_group",
     "events_hourly_rollup",
+    "events_hourly_anomaly",
     "order_value_quantiles",
     "order_value_quantiles_approx",
     "customer_revenue_deciles_approx",

@@ -350,6 +350,62 @@ def props_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_anomaly(
+    events: DataFrame, trail: int = 24, min_hours: int = 8,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window anomaly scores over hourly event volumes — the
+    classic monitoring query: for each (hour, event_type), the z-score of
+    that hour's count against the previous ``trail`` hours' counts.
+
+    Every statistic derives from EXACT integer window sums (Σn, Σn², count
+    — BIGINT, associative), with one fixed double expression on top:
+    mean = Σn/c, var = (Σn² − Σn·Σn/c)/(c−1), z = (n − mean)/√var. Both
+    engines evaluate the identical IEEE expression over identical integers,
+    so the operator is hash-checkable against a SQL oracle — unlike a
+    built-in ``stddev`` aggregate, whose internal accumulation order is
+    engine-specific. Rows with fewer than ``min_hours`` trailing points or
+    zero variance get a NULL z (cold start / constant traffic).
+
+    Plan shape: one aggregation on (hour, type), then windows partitioned
+    by event_type — per-type series are independent, so the window stage
+    parallelizes across types and the state per task is ``trail`` rows.
+    """
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(-trail, -1)
+    )
+    s = F.sum("n").over(w).cast("long")
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("long")
+    c = F.count("n").over(w).cast("long")
+    scored = hourly.select(
+        "hour", "event_type", "n",
+        s.alias("s"), sq.alias("sq"), c.alias("c"),
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    var = (
+        (F.col("sq").cast("double")
+         - F.col("s").cast("double") * F.col("s") / F.col("c"))
+        / (F.col("c") - 1)
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    ok = (F.col("c") >= min_hours) & (var > 0)
+    return scored.select(
+        "hour", "event_type", "n",
+        F.col("c").alias("trail_hours"),
+        F.round(F.when(F.col("c") > 0, mean), 6).alias("trail_mean"),
+        F.round(F.when(ok, z), 6).alias("z"),
+    )
+
+
 def order_value_quantiles(orders: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of order value per priority class via the exact
     `percentile` aggregate (linear interpolation — matches SQL-standard

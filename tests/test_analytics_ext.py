@@ -180,3 +180,39 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         ops.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_hourly_anomaly_flags_spike_and_cold_start(spark):
+    import datetime as dt
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 constant hours (10/h), 20 alternating hours (9/11), then a
+    # 100-event spike hour
+    for h in range(31):
+        if h == 30:
+            n = 100
+        elif h < 10:
+            n = 10
+        else:
+            n = 9 if h % 2 else 11
+        for i in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "click",
+                         1.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["hour"].hour + 24 * (r["hour"].day - 1): r
+           for r in ops.hourly_anomaly(events).collect()}
+    # cold start: fewer than min_hours trailing points -> NULL z
+    assert out[0]["z"] is None and out[3]["z"] is None
+    # constant trail: zero variance -> NULL z (not a division blow-up)
+    assert out[9]["z"] is None
+    # the spike hour scores against a ~10-per-hour trail with real variance
+    spike = out[30]
+    assert spike["n"] == 100 and abs(spike["trail_mean"] - 10.0) < 0.2
+    assert spike["z"] is not None and spike["z"] > 5
