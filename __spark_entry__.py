@@ -671,6 +671,10 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_hash_split(spark, sf):
+    return ops.hash_split(_t(spark, sf, "documents"))
+
+
 def _q_hourly_anomaly(spark, sf):
     return ops.hourly_anomaly(_t(spark, sf, "events"))
 
@@ -777,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_recall_at_k": _q_sim_recall,
             "docs_chunk": _q_docs_chunk,
             "events_hourly_anomaly": _q_hourly_anomaly,
+            "docs_hash_split": _q_hash_split,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
             "sketch_distinct_comparison": _q_sketch_comparison,
@@ -810,6 +815,7 @@ _GATE_PRIORITY = [
     "corpus_report",
     # new in round 4 — ANN recall calibration + RAG/pretraining chunking
     "sim_recall_at_k", "docs_chunk", "events_hourly_anomaly",
+    "docs_hash_split",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---
@@ -1605,6 +1611,8 @@ SELECT hour, event_type, n,
              END, 6) AS z
 FROM t
 """
+
+    o["docs_hash_split"] = ops.hash_split_oracle_sql("documents")
 
     # ---- text analysis ----
     o["text_token_stats"] = """

@@ -85,6 +85,7 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_chunk",
+    "docs_hash_split",
     "docs_clean_corpus",
     "dedup_exact",
     "dedup_clusters",

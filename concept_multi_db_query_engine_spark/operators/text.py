@@ -225,6 +225,73 @@ def chunk_documents(
     )
 
 
+_SPLIT_BITS = 60  # 15 md5 hex digits -> fits a signed long exactly
+
+
+def hash_split(
+    docs: DataFrame,
+    train: float = 0.9,
+    val: float = 0.05,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the reproducible-split primitive every large pipeline needs: the
+    same (id, salt) lands in the same split on any cluster, any engine, any
+    day, and changing ``salt`` re-rolls the split without touching data.
+
+    The md5-derived 60-bit hash is compared against EXACT integer
+    thresholds (``floor(frac * 2^60)``), so the assignment is
+    bit-reproducible cross-engine (DuckDB oracle twin) — no RNG, no float
+    thresholds. A narrow map: no shuffle, scan-bound at any scale.
+    Returns (id, bucket ∈ 0..2^60-1, split ∈ 'train'|'val'|'test').
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    scale = 1 << _SPLIT_BITS
+    t_train = int(train * scale)
+    t_val = t_train + int(val * scale)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.select(
+        id_col,
+        h.alias("bucket"),
+        F.when(h < t_train, "train")
+        .when(h < t_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def hash_split_oracle_sql(
+    table: str = "documents",
+    train: float = 0.9,
+    val: float = 0.05,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of :func:`hash_split` (identical hash + thresholds)."""
+    scale = 1 << _SPLIT_BITS
+    t_train = int(train * scale)
+    t_val = t_train + int(val * scale)
+    h = (
+        f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), "
+        "1, 15))::BIGINT"
+    )
+    return f"""
+SELECT {id_col}, {h} AS bucket,
+       CASE WHEN {h} < {t_train} THEN 'train'
+            WHEN {h} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM {table}
+"""
+
+
 def clean_corpus(
     docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
 ) -> DataFrame:

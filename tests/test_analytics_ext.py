@@ -216,3 +216,34 @@ def test_hourly_anomaly_flags_spike_and_cold_start(spark):
     spike = out[30]
     assert spike["n"] == 100 and abs(spike["trail_mean"] - 10.0) < 0.2
     assert spike["z"] is not None and spike["z"] > 5
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = ops.hash_split(docs, train=0.9, val=0.05).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20000 - 0.05) < 0.005
+    # re-running yields the identical assignment (no RNG anywhere)
+    again = {r["doc_id"]: r["split"]
+             for r in ops.hash_split(docs, train=0.9, val=0.05).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+    # a different salt re-rolls the split
+    other = {r["doc_id"]: r["split"]
+             for r in ops.hash_split(docs, salt="v2").collect()}
+    assert any(other[r["doc_id"]] != r["split"] for r in out)
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        ops.hash_split(docs, train=0.99, val=0.05)
