@@ -292,3 +292,47 @@ class TestRendererRegistry:
 
     def test_ch_quote_doubles_backticks(self):
         assert ClickHouseRenderer().quote("a`b") == "`a``b`"
+
+
+class TestParamOrdering:
+    """Placeholder numbering must match params order exactly — the bug
+    class a decorrelating dialect can introduce by re-walking the inner
+    filter tree (double-registering its parameters)."""
+
+    def _counted_with_inner_filter(self, op):
+        from concept_multi_db_query_engine_spark.plans import (
+            ExistsPlan,
+            GroupNode,
+            ValueFilter,
+        )
+
+        inner = GroupNode("and", [
+            ValueFilter("s2", "status", "string", "=", "shipped"),
+        ])
+        return ExistsPlan(
+            alias="s2", table_id="items", database="db",
+            physical_name="items", outer_alias="t0", outer_physical="id",
+            child_physical="parent_id", child_is_fk_side=True,
+            where=inner, count_op=op, count_value=3,
+        )
+
+    def test_clickhouse_decorrelated_params_register_once(self):
+        r = ClickHouseRenderer()
+        sql = r._tree(self._counted_with_inner_filter(">="))
+        assert r.params == ["shipped", 3]
+        assert "{p1:String}" in sql and "{p2:Int32}" in sql
+        assert "{p3" not in sql
+
+    def test_postgres_limit_form_params_register_once(self):
+        r = PostgresRenderer()
+        sql = r._tree(self._counted_with_inner_filter(">"))
+        assert r.params == ["shipped", 3]
+        assert "$1" in sql and "$2" in sql and "$3" not in sql
+        assert "LIMIT 4" in sql  # strict > N short-circuits at N+1
+
+    def test_trino_not_in_inversion_params_register_once(self):
+        r = TrinoRenderer()
+        sql = r._tree(self._counted_with_inner_filter("<="))
+        assert r.params == ["shipped", 3]
+        assert sql.count("?") == 2
+        assert "NOT IN (SELECT" in sql and "HAVING COUNT(*) >" in sql
