@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",

@@ -135,40 +135,29 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    k: int = 5,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
-
-    num_hashes/bands = rows-per-band r; candidate probability for a pair with
-    true Jaccard j is 1-(1-j^r)^bands — with 16/4 the curve crosses 50% around
-    j≈0.47, matching the 0.5 verification threshold.
-
-    At scale this is the only shape that works: signatures are
-    O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
-    runs only on candidates.
-    """
-    sh = _shingles(docs, k)
-    # 16 minhash signatures as SIDE-BY-SIDE min aggregates over ONE pass of
-    # the shingle frame: each min has a map-side partial combiner, so the
-    # shuffle carries |docs| × num_hashes values instead of
-    # |shingles| × num_hashes exploded rows (the crossJoin formulation
-    # shuffles ~16× the shingle set and benches ~4× slower).
+def _minhash_sigs(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, sig0..sigN-1, __n): minhash signatures as SIDE-BY-SIDE min
+    aggregates over ONE pass of the shingle frame — each min has a map-side
+    partial combiner, so the shuffle carries |docs| × num_hashes values
+    instead of |shingles| × num_hashes exploded rows (the crossJoin
+    formulation shuffles ~16× the shingle set and benches ~4× slower). The
+    shingle-set size rides along in the same aggregation pass."""
     sig_cols = [
         F.min(
             F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
         ).alias(f"sig{s}")
         for s in range(num_hashes)
     ]
-    # shingle-set size rides along in the SAME aggregation pass (one fewer
-    # full shingle recompute + shuffle than a separate sizes groupBy)
-    sigs = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *sig_cols, F.count(F.lit(1)).alias("__n")
     )
+
+
+def _lsh_candidates(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-bucket candidate pairs (d1 < d2) from a wide signature
+    frame: equal band-bucket md5 ⇒ candidate."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -194,7 +183,7 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -204,6 +193,61 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_estimate: float = 0.5,
+) -> DataFrame:
+    """LSH candidates scored by SIGNATURE AGREEMENT instead of exact
+    Jaccard: est = (#matching minhash slots) / num_hashes, an unbiased
+    estimator of the true Jaccard. This is the skip-the-verify-join path
+    for corpora where even candidates-only exact Jaccard (re-joining the
+    shingle frame) is too expensive — per-pair work is O(num_hashes),
+    independent of document length. num_hashes is a power of two, so the
+    division is exact in binary and the estimate is bit-reproducible
+    cross-engine. Returns (d1, d2, est_jaccard ≥ min_estimate)."""
+    sh = _shingles(docs, k)
+    sigs = _minhash_sigs(sh, num_hashes)
+    candidates = _lsh_candidates(sigs, num_hashes, bands)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        (F.col(f"a.sig{s}") == F.col(f"b.sig{s}")).cast("int")
+        for s in range(num_hashes)
+    )
+    est = F.round(agree / float(num_hashes), 4)
+    return (
+        candidates.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, F.col("d2") == F.col("b.doc_id"))
+        .select("d1", "d2", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_estimate)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
+
+    num_hashes/bands = rows-per-band r; candidate probability for a pair with
+    true Jaccard j is 1-(1-j^r)^bands — with 16/4 the curve crosses 50% around
+    j≈0.47, matching the 0.5 verification threshold.
+
+    At scale this is the only shape that works: signatures are
+    O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
+    runs only on candidates.
+    """
+    sh = _shingles(docs, k)
+    sigs = _minhash_sigs(sh, num_hashes)
+    candidates = _lsh_candidates(sigs, num_hashes, bands)
     # Exact-Jaccard verification on CANDIDATES ONLY — this is the whole point
     # of LSH. (Running the full inverted-index jaccard and intersecting with
     # candidates recomputes all-pairs and benches ~5× slower at sf0.1.)

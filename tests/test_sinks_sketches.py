@@ -165,3 +165,25 @@ def test_blocked_cosine_no_duplicate_pairs_when_blocks_outnumber_vectors(
         if cos >= 0.5:
             expected.add((a, b))
     assert set(pairs) == expected
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Signature-agreement estimate: exact duplicates score 1.0, and on a
+    near-dup pair the 16-slot estimate lands within the standard-error band
+    of the exact Jaccard (the property that lets the estimate replace the
+    exact verify join at scale)."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(55)) + " x1 x2 x3 x4 x5"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)], "doc_id long, text string")
+    est = {(r["d1"], r["d2"]): r["est_jaccard"]
+           for r in ops.minhash_estimate_pairs(
+               docs, k=5, min_estimate=0.0).collect()}
+    exact = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in ops.minhash_lsh_pairs(
+                 docs, k=5, threshold=0.0).collect()}
+    assert est[(1, 2)] == 1.0 and exact[(1, 2)] == 1.0
+    # 16 hashes -> se ~ sqrt(j(1-j)/16) ~ 0.12; allow 3 se
+    assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.36
