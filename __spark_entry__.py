@@ -823,6 +823,12 @@ _GATE_PRIORITY = [
     # new in round 4 — ANN recall calibration + RAG/pretraining chunking
     "sim_recall_at_k", "docs_chunk", "events_hourly_anomaly",
     "docs_hash_split", "dedup_minhash_estimate",
+    # code paths changed in round 4: minhash sig/candidate refactor and
+    # the presentation-sort removals — re-verify even though r3 was green
+    "dedup_minhash_lsh", "text_contamination_check",
+    "text_repetition_score", "text_tfidf_top_terms", "customer_order_gaps",
+    "purchase_click_attribution", "dedup_survivors",
+    "order_value_quantiles", "order_value_quantiles_approx",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---
