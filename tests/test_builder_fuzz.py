@@ -145,3 +145,52 @@ def test_valid_definitions_always_compile(engine, defn):
     assert df.columns  # plan built, schema resolved
     sql_result = engine.query({**defn, "executeMode": "sql-only"})
     assert sql_result["kind"] == "sql" and "SELECT" in sql_result["sql"]
+
+
+# -- dialect-renderer consistency fuzz ---------------------------------------
+# Every valid plan must render in ALL FOUR dialects with placeholder
+# numbering that exactly matches the params list — the invariant a
+# decorrelating/array-binding dialect can silently break.
+
+def _resolved_plan(engine, defn):
+    from concept_multi_db_query_engine_spark.access import resolve_access
+    from concept_multi_db_query_engine_spark.planner import plan_query
+    from concept_multi_db_query_engine_spark.resolver import Resolver
+
+    index = engine._index
+    access, errs = resolve_access(index, None)
+    assert not errs
+    decision = plan_query(index, engine.registry, defn)
+    return Resolver(index, access, decision.routes).resolve(defn)
+
+
+def _check_placeholders(dialect, sql, params):
+    import re
+
+    if dialect in ("spark", "trino"):
+        assert sql.count("?") == len(params), sql
+    elif dialect == "postgres":
+        ns = sorted({int(m) for m in re.findall(r"\$(\d+)", sql)})
+        assert ns == list(range(1, len(params) + 1)), (sql, params)
+    elif dialect == "clickhouse":
+        ns = sorted({int(m) for m in re.findall(r"\{p(\d+):", sql)})
+        assert ns == list(range(1, len(params) + 1)), (sql, params)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(defn=_any_defn)
+def test_all_dialects_render_with_consistent_params(engine, defn):
+    from concept_multi_db_query_engine_spark.dialects import DIALECTS
+
+    if engine.validate_query(defn):
+        return
+    plan = _resolved_plan(engine, defn)
+    for name, cls in DIALECTS.items():
+        r = cls()
+        sql, params = r.render(plan)
+        assert "SELECT" in sql
+        _check_placeholders(name, sql, params)
