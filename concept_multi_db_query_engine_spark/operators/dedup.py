@@ -7,7 +7,8 @@ Five families, mirroring standard pretraining-data pipelines:
 - MinHash+LSH: md5-based minhash signatures → banded buckets → candidate
   pairs → exact-Jaccard verification (the scale path: candidates only,
   never all-pairs)
-- SimHash:    64-bit xxhash64-vote fingerprint → hamming-distance pairs
+- SimHash:    bit-vote fingerprint (xxhash64 fast path, or a 60-bit
+  md5-derived hash any engine can replay) → hamming-distance pairs
 - embedding cosine: all-pairs above a threshold (brute force; the LSH-bucketed
   variant lives in similarity.py)
 
