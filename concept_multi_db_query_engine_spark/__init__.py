@@ -35,6 +35,13 @@ from .metadata import (
     TableMeta,
     TableRoleAccess,
 )
+from .dialects import (
+    DIALECTS,
+    ClickHouseRenderer,
+    PostgresRenderer,
+    TrinoRenderer,
+    renderer_for,
+)
 from .http_client import MultiDbClient
 from .pipeline import MultiDb, create_multi_db
 from .providers import (
@@ -47,6 +54,8 @@ from .sources import MemorySource, ParquetSource, SourceRegistry
 
 __all__ = [
     "CacheMeta",
+    "ClickHouseRenderer",
+    "DIALECTS",
     "CachedTableMeta",
     "ColumnMeta",
     "ConfigError",
@@ -63,6 +72,7 @@ __all__ = [
     "MultiDbError",
     "ParquetSource",
     "PlannerError",
+    "PostgresRenderer",
     "ProviderError",
     "RelationMeta",
     "RoleMeta",
@@ -70,8 +80,10 @@ __all__ = [
     "SourceRegistry",
     "TableMeta",
     "TableRoleAccess",
+    "TrinoRenderer",
     "ValidationError",
     "create_multi_db",
+    "renderer_for",
     "static_metadata",
     "static_roles",
 ]
