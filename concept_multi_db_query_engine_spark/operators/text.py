@@ -445,28 +445,27 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
     in the same document. High values flag boilerplate / degenerate loops —
     a standard pretraining filter.
 
-    One shuffle on (doc_id, gram); per-doc totals come back on the same
-    doc_id partitioning. Returns (doc_id, n_grams, dup_frac).
+    ZERO-shuffle formulation: the statistic is purely per-document
+    (total n-grams vs distinct n-grams), so it's computed with array
+    expressions on each row — ``size(grams)`` and
+    ``size(array_distinct(grams))`` — a narrow map that runs at scan speed
+    at any corpus size. (The previous explode → groupBy(doc_id, gram)
+    shape shuffled every gram occurrence: same answer, one full exchange
+    of the expanded corpus for nothing.)
+    Returns (doc_id, n_grams, dup_frac).
     """
     w = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
     )
-    per_gram = (
-        docs.where(F.size(w) >= n)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return (
-        per_gram.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.round(
-                (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4
-            ).cast("double").alias("dup_frac"),
-        )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.where(F.size(w) >= n).select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        F.round((total - distinct) / total, 4)
+        .cast("double").alias("dup_frac"),
     )
 
 

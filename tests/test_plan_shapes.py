@@ -115,9 +115,12 @@ class TestNoPresentationSorts:
         # rangepartitioning exchanges only exist to feed such sorts
         return "rangepartitioning(" in full
 
-    def test_repetition_score_has_no_global_sort(self, spark):
+    def test_repetition_score_is_shuffle_free(self, spark):
+        # round-4: the per-doc statistic is pure array math — the executed
+        # plan must contain NO exchange of any kind (narrow map only)
         docs = testdata.load_table(spark, SF_DIR, "documents")
-        assert not self._has_global_sort(ops.repetition_score(docs))
+        full = executed(ops.repetition_score(docs))
+        assert "Exchange" not in full
 
     def test_contamination_has_no_global_sort(self, spark):
         docs = testdata.load_table(spark, SF_DIR, "documents")
