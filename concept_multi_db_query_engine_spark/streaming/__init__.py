@@ -6,11 +6,20 @@ we provide the two streaming shapes the Spark rebuild actually needs:
 
 - windowed event aggregation with watermarks (windows.py) — the streaming
   twin of operators.analytics.events_hourly;
+- streaming corpus ingestion (corpus.py) — quality gate + fingerprint
+  dedup over an arriving document stream, the streaming twin of the batch
+  clean-corpus path;
 - a CDC-replica emulator (cdc.py) that keeps a replica directory in sync from
   an append-only source, which is exactly the topology the planner's P2
   'materialized' strategy routes to.
 """
 
+from .corpus import clean_document_stream, run_clean_documents_batch
 from .windows import run_windowed_aggregation_batch, windowed_event_counts
 
-__all__ = ["run_windowed_aggregation_batch", "windowed_event_counts"]
+__all__ = [
+    "clean_document_stream",
+    "run_clean_documents_batch",
+    "run_windowed_aggregation_batch",
+    "windowed_event_counts",
+]
