@@ -829,6 +829,7 @@ _GATE_PRIORITY = [
     "text_repetition_score", "text_tfidf_top_terms", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles", "order_value_quantiles_approx",
+    "customer_revenue_deciles",
     # stale r1-green rows queued for re-verify since r2 (code paths changed)
     "masking_role", "replica_routing",
     # --- not graded since round 1 (outside r3's 50-row window) ---

@@ -119,16 +119,89 @@ def nation_revenue_pivot(
     ).orderBy("nation")
 
 
+def distributed_ntile(
+    df: DataFrame, sort_exprs: list, n_buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """EXACT NTILE without the single-partition global window: range-
+    repartition on the sort key, sort within partitions, compute the tiny
+    per-partition row counts in one job (the range shuffle is reused), and
+    assign each row its global rank as broadcast-offset + local position
+    inside ``mapInPandas``. Bucket sizes follow SQL NTILE exactly (the
+    first ``n % k`` buckets take one extra row), so results are identical
+    to ``ntile(k) OVER (ORDER BY ...)`` — but every stage is parallel and
+    per-task memory is one partition, which is what makes exact ranking
+    work on a 1000-executor corpus. The sort key must be a TOTAL order
+    (include a unique tiebreaker) so ranks are partitioning-independent.
+    """
+    from pyspark.sql import types as T
+
+    tagged = (
+        df.repartitionByRange(*sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["count"]
+        for r in tagged.groupBy("__pid").count().collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    r = n_total % n_buckets
+    q = n_total // n_buckets
+    bc = df.sparkSession.sparkContext.broadcast((offsets, r, q))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        offs, r_, q_ = bc.value
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = offs[pid] + local
+            local += len(pdf)
+            import numpy as np
+
+            ranks = np.arange(start + 1, start + len(pdf) + 1)
+            if q_ == 0:  # fewer rows than buckets: bucket = rank
+                buckets = ranks
+            else:
+                head = r_ * (q_ + 1)
+                buckets = np.where(
+                    ranks <= head,
+                    (ranks - 1) // (q_ + 1) + 1,
+                    r_ + (ranks - head - 1) // q_ + 1,
+                )
+            out = pdf.drop(columns="__pid")
+            out[out_col] = buckets.astype("int32")
+            yield out
+
+    return tagged.mapInPandas(assign, schema=out_schema)
+
+
 def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
-    """Customers bucketed into revenue deciles (NTILE over the aggregated
-    per-customer frame), with per-decile counts and exact-decimal totals."""
+    """Customers bucketed into revenue deciles with per-decile counts and
+    exact-decimal totals. NTILE semantics, computed with
+    :func:`distributed_ntile` — exact at any |customers|, no
+    single-partition sort tail (the round-2/3 'weak at 100×' finding on
+    the plain global-window form)."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_d("o_totalprice")).cast(DEC18).alias("revenue_d")
     )
-    w = Window.orderBy(F.col("revenue_d").desc(), F.col("o_custkey").asc())
+    bucketed = distributed_ntile(
+        per_cust,
+        [F.col("revenue_d").desc(), F.col("o_custkey").asc()],
+        10,
+        out_col="decile",
+    )
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        bucketed.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum("revenue_d").cast("double").alias("total_revenue"),

@@ -92,3 +92,28 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r["doc_id"]: r["term"]
            for r in ops.tfidf_top_terms(docs, k=1).collect()}
     assert top[1] == "rare"   # df=1 beats the everywhere-term (idf 0)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile must reproduce ntile(k) OVER (ORDER BY ...) exactly
+    — including the uneven-bucket rule (first n%k buckets one row larger)
+    and the n<k edge — while keeping every stage parallel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n, k in [(97, 10), (100, 10), (5, 10), (1, 3), (23, 4)]:
+        df = spark.range(n).select(
+            F.col("id").alias("key"),
+            (F.col("id") * 37 % 101).alias("v"),
+        )
+        sort = [F.col("v").desc(), F.col("key").asc()]
+        got = {
+            r["key"]: r["b"]
+            for r in ops.distributed_ntile(df, sort, k, "b").collect()
+        }
+        w = Window.orderBy(*sort)
+        want = {
+            r["key"]: r["b"]
+            for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, (n, k)

@@ -135,6 +135,15 @@ class TestNoPresentationSorts:
         assert not self._has_global_sort(
             ops.purchase_click_attribution(events))
 
+    def test_exact_deciles_have_no_single_partition_stage(self, spark):
+        # round-4: distributed_ntile replaced the global NTILE window — the
+        # executed plan must not funnel the customer frame through a
+        # SinglePartition exchange
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        full = executed(ops.customer_revenue_deciles(orders))
+        assert "SinglePartition" not in full
+        assert "rangepartitioning" in full  # the distributed sort stage
+
     def test_quantiles_have_no_global_sort(self, spark):
         orders = testdata.load_table(spark, SF_DIR, "orders")
         assert not self._has_global_sort(ops.order_value_quantiles(orders))
