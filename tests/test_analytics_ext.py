@@ -247,3 +247,29 @@ def test_hash_split_rejects_bad_fractions(spark):
     docs = spark.range(5).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError):
         ops.hash_split(docs, train=0.99, val=0.05)
+
+
+def test_distributed_quantiles_match_percentile_aggregate(spark):
+    """distributed_group_quantiles must reproduce the exact `percentile`
+    aggregate (linear interpolation) to the rounded digit — including
+    single-row groups, frac=0 positions, and uneven group sizes."""
+    import random
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    rng = random.Random(3)
+    rows = [("g%d" % (i % 4), float(rng.randint(1, 99999)) / 10)
+            for i in range(1001)]
+    rows.append(("solo", 42.5))  # single-row group: every quantile = value
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in ops.distributed_group_quantiles(
+        df, "grp", "v", [0.5, 0.9, 0.99]).collect()}
+    want = {r["grp"]: r for r in df.groupBy("grp").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("q0"),
+        F.round(F.expr("percentile(v, 0.9)"), 4).alias("q1"),
+        F.round(F.expr("percentile(v, 0.99)"), 4).alias("q2"),
+    ).collect()}
+    assert got.keys() == want.keys()
+    for g in want:
+        for q in ("q0", "q1", "q2"):
+            assert got[g][q] == want[g][q], (g, q, got[g][q], want[g][q])

@@ -144,8 +144,17 @@ class TestNoPresentationSorts:
         assert "SinglePartition" not in full
         assert "rangepartitioning" in full  # the distributed sort stage
 
-    def test_quantiles_have_no_global_sort(self, spark):
+    def test_exact_quantiles_distributed_no_single_partition(self, spark):
+        # round-4: exact quantiles ride distributed_group_quantiles — a
+        # range-partitioned sort (useful work), never a SinglePartition
+        # stage or a whole-group `percentile` sort in one task
         orders = testdata.load_table(spark, SF_DIR, "orders")
-        assert not self._has_global_sort(ops.order_value_quantiles(orders))
+        full = executed(ops.order_value_quantiles(orders))
+        assert "SinglePartition" not in full
+        assert "percentile(" not in full
+        assert "rangepartitioning" in full
+
+    def test_approx_quantiles_have_no_global_sort(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
         assert not self._has_global_sort(
             ops.order_value_quantiles_approx(orders))
