@@ -408,6 +408,7 @@ def hourly_anomaly(
 
 def distributed_group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float],
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """EXACT per-group linear-interpolation quantiles (SQL
     ``percentile_cont`` semantics) without ever sorting a whole group in
@@ -421,6 +422,22 @@ def distributed_group_quantiles(
     DuckDB's ``quantile_cont`` use, so values are bit-compatible with
     both. Every stage is parallel; per-task memory is one partition.
     Returns one row per group: (group, q_<i> …, n).
+
+    Determinism: the tagged frame is pinned with
+    ``localCheckpoint(eager=True)`` before the counts job.
+    ``repartitionByRange`` samples range boundaries with a per-execution
+    seed, so WITHOUT the checkpoint a recompute between the counts job and
+    the pick job could land rows in different partitions than the counts
+    measured — silently wrong quantiles. The checkpoint stores the
+    partitions once (MEMORY_AND_DISK on executors) and both jobs read the
+    same physical data. Trade-off: a lost executor fails the query loudly
+    (no lineage to rebuild from) instead of risking silent re-bucketing.
+
+    Driver-side state is O(partitions × |groups|) count rows; ``max_groups``
+    bounds it (raises ``ValueError`` beyond the ceiling). For
+    high-cardinality groupings use the sketch-based ``*_approx``
+    formulations instead — this operator targets few-groups/huge-rows
+    shapes (priority classes, status codes, shards).
     """
     from pyspark.sql import types as T
 
@@ -430,8 +447,17 @@ def distributed_group_quantiles(
         .repartitionByRange(*sort_exprs)
         .sortWithinPartitions(*sort_exprs)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = tagged.groupBy("__pid", group_col).count().collect()
+    n_groups = len({r[group_col] for r in counts})
+    if n_groups > max_groups:
+        raise ValueError(
+            f"distributed_group_quantiles: {n_groups} distinct groups "
+            f"exceeds max_groups={max_groups}; driver-side offset state is "
+            "O(partitions × groups) — use the *_approx sketch path for "
+            "high-cardinality groupings, or raise max_groups explicitly"
+        )
     n_by_group: dict = {}
     for r in counts:
         n_by_group[r[group_col]] = n_by_group.get(r[group_col], 0) + r["count"]

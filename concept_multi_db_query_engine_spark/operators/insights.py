@@ -133,6 +133,16 @@ def distributed_ntile(
     per-task memory is one partition, which is what makes exact ranking
     work on a 1000-executor corpus. The sort key must be a TOTAL order
     (include a unique tiebreaker) so ranks are partitioning-independent.
+
+    Determinism: the tagged frame is pinned with
+    ``localCheckpoint(eager=True)`` before the counts job —
+    ``repartitionByRange`` samples boundaries with a per-execution seed,
+    so a recompute between the counts job and the assign job could
+    otherwise re-bucket rows and corrupt the broadcast offsets. The
+    checkpoint materializes the partitions once (MEMORY_AND_DISK); an
+    executor loss then fails loudly instead of silently re-sampling.
+    Checkpoint size is the full input frame — rank over a pre-aggregated
+    frame (as `customer_revenue_deciles` does), not the raw corpus.
     """
     from pyspark.sql import types as T
 
@@ -140,6 +150,7 @@ def distributed_ntile(
         df.repartitionByRange(*sort_exprs)
         .sortWithinPartitions(*sort_exprs)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["__pid"]: r["count"]

@@ -273,3 +273,22 @@ def test_distributed_quantiles_match_percentile_aggregate(spark):
     for g in want:
         for q in ("q0", "q1", "q2"):
             assert got[g][q] == want[g][q], (g, q, got[g][q], want[g][q])
+
+
+def test_distributed_quantiles_group_cardinality_guard(spark):
+    """The driver-side offset state is O(partitions x groups); the operator
+    must refuse high-cardinality groupings with a clear error instead of
+    silently building an unbounded dict (round-4 advisory)."""
+    import pytest as _pytest
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    df = spark.range(50).select(
+        F.concat(F.lit("g"), F.col("id")).alias("grp"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        ops.distributed_group_quantiles(df, "grp", "v", [0.5], max_groups=10)
+    # raising the ceiling explicitly keeps the operator usable
+    assert ops.distributed_group_quantiles(
+        df, "grp", "v", [0.5], max_groups=100).count() == 50

@@ -7,6 +7,7 @@ in the row path)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from concept_multi_db_query_engine_spark import operators as ops
 from concept_multi_db_query_engine_spark import testdata
@@ -142,7 +143,12 @@ class TestNoPresentationSorts:
         orders = testdata.load_table(spark, SF_DIR, "orders")
         full = executed(ops.customer_revenue_deciles(orders))
         assert "SinglePartition" not in full
-        assert "rangepartitioning" in full  # the distributed sort stage
+        # round-5: the tagged frame is pinned with localCheckpoint (the
+        # range sample is per-execution-seeded; without the pin a recompute
+        # could re-bucket rows between the counts job and the assign job),
+        # so the final plan scans the checkpointed RDD instead of showing
+        # the upstream rangepartitioning exchange
+        assert "ExistingRDD" in full
 
     def test_exact_quantiles_distributed_no_single_partition(self, spark):
         # round-4: exact quantiles ride distributed_group_quantiles — a
@@ -152,9 +158,42 @@ class TestNoPresentationSorts:
         full = executed(ops.order_value_quantiles(orders))
         assert "SinglePartition" not in full
         assert "percentile(" not in full
-        assert "rangepartitioning" in full
+        # round-5: localCheckpoint pins the tagged partitions; the executed
+        # plan reads the checkpointed RDD (see deciles test above)
+        assert "ExistingRDD" in full
+
+    def test_ranking_tagged_frame_is_range_partitioned(self, spark):
+        # the pre-checkpoint tagged pipeline (what distributed_ntile /
+        # distributed_group_quantiles execute while materializing the pin)
+        # must be a rangepartitioning exchange, never SinglePartition
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        sort = [F.col("o_orderpriority").asc(), F.col("o_totalprice").asc()]
+        tagged = (
+            orders.select("o_orderpriority", "o_totalprice")
+            .repartitionByRange(*sort)
+            .sortWithinPartitions(*sort)
+        )
+        plan = tagged._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan
 
     def test_approx_quantiles_have_no_global_sort(self, spark):
         orders = testdata.load_table(spark, SF_DIR, "orders")
         assert not self._has_global_sort(
             ops.order_value_quantiles_approx(orders))
+
+    def test_sessionize_is_a_single_exchange(self, spark):
+        # round-4's NTZ-safe timestamp_diff rewrite must not have split the
+        # operator: both windows and the rollup share ONE shuffle on
+        # user_id. Pin the exchange count so a future regression to two
+        # exchanges (e.g. a window keyed differently from the rollup) is
+        # caught. AQE may insert AQEShuffleRead stages but the plan still
+        # prints one Exchange per physical shuffle.
+        events = testdata.load_table(spark, SF_DIR, "events")
+        full = executed(ops.sessionize(events))
+        # the AQE toString prints the final plan then repeats the initial
+        # plan — count exchanges in the final section only
+        final = full.split("== Initial Plan ==")[0]
+        n_exchanges = final.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, final
+        assert "SinglePartition" not in final
