@@ -1606,9 +1606,19 @@ FROM events GROUP BY 1, 2
     # fixed IEEE expression for mean/var/z, NULL z on cold start or zero
     # variance.
     o["events_hourly_anomaly"] = """
-WITH hourly AS (
+WITH observed AS (
   SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
   FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+           AS hour
+  FROM observed GROUP BY event_type
+), hourly AS (
+  SELECT g.event_type, g.hour, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+  FROM grid g
+  LEFT JOIN observed o
+    ON g.event_type = o.event_type AND g.hour = o.hour
 ), t AS (
   SELECT hour, event_type, n,
          CAST(sum(n) OVER w AS BIGINT) AS s,

@@ -367,16 +367,41 @@ def hourly_anomaly(
     engine-specific. Rows with fewer than ``min_hours`` trailing points or
     zero variance get a NULL z (cold start / constant traffic).
 
-    Plan shape: one aggregation on (hour, type), then windows partitioned
-    by event_type — per-type series are independent, so the window stage
-    parallelizes across types and the state per task is ``trail`` rows.
+    The trailing window runs over the ZERO-FILLED clock-hour grid of each
+    event_type (``sequence`` from the type's first to last observed hour,
+    left-joined with the observed counts): hours with no events count as
+    n = 0 in the baseline instead of being skipped, so bursty types don't
+    get an inflated trailing mean, and an hour of total silence is itself
+    scored (a negative-z anomaly) — "previous ``trail`` hours" means
+    clock-hours, as a monitoring user expects.
+
+    Plan shape: one aggregation on (hour, type), a tiny per-type bounds
+    aggregate exploded into the hour grid (|types| × |hours| rows — far
+    smaller than the event input), a left join back on (type, hour), then
+    windows partitioned by event_type — per-type series are independent,
+    so the window stage parallelizes across types and the state per task
+    is ``trail`` rows.
     """
-    hourly = (
+    observed = (
         events.groupBy(
             F.date_trunc("hour", F.col(ts_col)).alias("hour"),
             F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        observed.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    hourly = (
+        grid.join(observed, ["event_type", "hour"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
     )
     w = (
         Window.partitionBy("event_type")

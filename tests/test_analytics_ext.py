@@ -292,3 +292,34 @@ def test_distributed_quantiles_group_cardinality_guard(spark):
     # raising the ceiling explicitly keeps the operator usable
     assert ops.distributed_group_quantiles(
         df, "grp", "v", [0.5], max_groups=100).count() == 50
+
+
+def test_hourly_anomaly_zero_fills_hour_gaps(spark):
+    """Round-5 (round-4 advisory): the trailing baseline runs over the
+    clock-hour grid, not only observed hours — silent hours appear as n=0
+    rows, count as zeros in the trailing mean, and can themselves be
+    scored anomalous."""
+    import datetime as dt
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 12 steady hours (10/h with one 9/11 wobble for variance), then a
+    # totally silent hour 12, then hour 13 back at 10/h
+    for h in list(range(12)) + [13]:
+        n = {5: 9, 7: 11}.get(h, 10)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "click",
+                         1.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["hour"].hour: r for r in ops.hourly_anomaly(events).collect()}
+    # the silent hour exists in the output with n=0 and a strong negative z
+    assert 12 in out, "gap hour must be zero-filled into the grid"
+    assert out[12]["n"] == 0
+    assert out[12]["z"] is not None and out[12]["z"] < -5
+    # hour 13's trailing mean counts the silent hour as zero
+    assert out[13]["trail_mean"] < 10.0
