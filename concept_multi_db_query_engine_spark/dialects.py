@@ -141,16 +141,29 @@ class ClickHouseRenderer(SqlRenderer):
     dialect = "clickhouse"
 
     def _p(self, value: Any, col_type: str | None = None) -> str:
-        self.params.append(value)
         base = (col_type or "").removesuffix("[]")
+        if base == "timestamp":
+            # CH's DateTime param type rejects ISO-8601 strings with a
+            # trailing 'Z' ("only 19 of 20 bytes was parsed"); the reference
+            # wraps timestamp params in parseDateTimeBestEffort over a
+            # String param instead (CROSS_DB_NORMALIZATION.md §2, C133)
+            self.params.append(value)
+            return f"parseDateTimeBestEffort({{p{len(self.params)}:String}})"
+        self.params.append(value)
         ch_type = _CH_TYPES.get(base) or _ch_infer(value)
         return f"{{p{len(self.params)}:{ch_type}}}"
 
     def _p_typed(self, value: Any, ch_type: str) -> str:
-        """Hardcoded-type contexts: UInt64 counted-subquery thresholds,
-        UInt32 levenshtein distances (SQL_DIALECTS.md:55)."""
+        """Hardcoded-type contexts: UInt64 counted-subquery thresholds
+        (via :meth:`_count_p`), UInt32 levenshtein distances
+        (SQL_DIALECTS.md:55)."""
         self.params.append(value)
         return f"{{p{len(self.params)}:{ch_type}}}"
+
+    def _count_p(self, value: int) -> str:
+        # counted-subquery comparison values are hardcoded UInt64
+        # (SQL_DIALECTS.md:20-22, :55)
+        return self._p_typed(value, "UInt64")
 
     def _ne(self, ref: str, value: Any, col_type: str | None) -> str:
         # ClickHouse has no IS DISTINCT FROM; expand the null-inclusive !=
@@ -273,27 +286,34 @@ def _decorrelated_counted(r: SqlRenderer, ep: ExistsPlan) -> str:
       (which a plain inner-join COUNT would drop).
     - ``=`` / ``!=``  → exact count needed; stays correlated on all
       dialects.
+
+    The subquery always filters ``fk IS NOT NULL``: a NULL fk never
+    correlates in the COUNT form, but without the guard a NULL entering a
+    ``NOT IN`` list makes the whole predicate return zero rows on
+    ClickHouse/Trino — semantics-preserving for the ``IN`` form too.
     """
+    count_p = getattr(r, "_count_p", None) or (
+        lambda v: r._p(v, "int"))
     if ep.count_op in ("=", "!="):
         op = "<>" if ep.count_op == "!=" else "="
         return (f"(SELECT COUNT(*) {r._exists_inner(ep)}) "
-                f"{op} {r._p(ep.count_value, 'int')}")
+                f"{op} {count_p(ep.count_value)}")
     outer_ref = f"{ep.outer_alias}.{r.quote(ep.outer_physical)}"
     child_ref = f"{ep.alias}.{r.quote(ep.child_physical)}"
     # NOT-IN inversion: count < N ⟺ NOT(count >= N); count <= N ⟺
     # NOT(count > N) — same threshold N, flipped HAVING operator
     having_op = {">=": ">=", ">": ">", "<": ">=", "<=": ">"}[ep.count_op]
     negated = ep.count_op in ("<", "<=")
-    inner_where = ""
+    inner_where = f" WHERE {child_ref} IS NOT NULL"
     if ep.where is not None:
         w = r._tree(ep.where)
         if w:
-            inner_where = f" WHERE {w}"
+            inner_where += f" AND ({w})"
     sub = (
         f"SELECT {child_ref} "
         f"FROM {r._table(ep.physical_name, ep.database)} AS {ep.alias}"
         f"{inner_where} GROUP BY {child_ref} "
-        f"HAVING COUNT(*) {having_op} {r._p(ep.count_value, 'int')}"
+        f"HAVING COUNT(*) {having_op} {count_p(ep.count_value)}"
     )
     kw = "NOT IN" if negated else "IN"
     return f"{outer_ref} {kw} ({sub})"

@@ -242,8 +242,42 @@ class TestClickHouse:
         assert "NOT IN (SELECT" in sql and "HAVING COUNT(*) >" in sql
 
     def test_counted_exists_eq_stays_correlated(self):
+        # the threshold param is hardcoded UInt64 (SQL_DIALECTS.md:20, :55)
         sql = ClickHouseRenderer()._tree(self._counted("="))
-        assert "(SELECT COUNT(*) FROM" in sql and "= {p1:UInt64}" not in sql
+        assert "(SELECT COUNT(*) FROM" in sql and "= {p1:UInt64}" in sql
+
+    def test_decorrelated_guards_null_fk(self):
+        # a NULL fk entering the NOT IN list would empty the result set on
+        # CH/Trino; the subquery must filter it (and a NULL fk never
+        # correlates, so the guard is semantics-preserving for IN too)
+        for op in ("<=", ">="):
+            sql = ClickHouseRenderer()._tree(self._counted(op))
+            assert "IS NOT NULL" in sql, sql
+
+    def test_timestamp_params_wrap_parse_best_effort(self, engine):
+        # CH DateTime params reject ISO-8601 'Z' suffixes — timestamp
+        # params render parseDateTimeBestEffort({pN:String})
+        # (CROSS_DB_NORMALIZATION.md §2, C133)
+        sql, params = _sql(engine, {
+            "from": "events", "columns": ["id"],
+            "filters": [{"column": "timestamp", "operator": "between",
+                         "value": {"from": "2024-01-01T00:00:00Z",
+                                   "to": "2024-03-31T23:59:59Z"}}],
+        })
+        assert "parseDateTimeBestEffort({p1:String})" in sql
+        assert "parseDateTimeBestEffort({p2:String})" in sql
+        assert "{p1:DateTime}" not in sql
+        import datetime as dt
+
+        assert [p.replace(tzinfo=None) if isinstance(p, dt.datetime) else p
+                for p in params] == [dt.datetime(2024, 1, 1, 0, 0, 0),
+                                     dt.datetime(2024, 3, 31, 23, 59, 59)]
+        sql, _ = _sql(engine, {
+            "from": "events", "columns": ["id"],
+            "filters": [{"column": "timestamp", "operator": ">=",
+                         "value": "2024-01-01T00:00:00Z"}],
+        })
+        assert "parseDateTimeBestEffort({p1:String})" in sql
 
 
 class TestTrino:
@@ -320,7 +354,8 @@ class TestParamOrdering:
         r = ClickHouseRenderer()
         sql = r._tree(self._counted_with_inner_filter(">="))
         assert r.params == ["shipped", 3]
-        assert "{p1:String}" in sql and "{p2:Int32}" in sql
+        # threshold is the hardcoded-UInt64 context (SQL_DIALECTS.md:55)
+        assert "{p1:String}" in sql and "{p2:UInt64}" in sql
         assert "{p3" not in sql
 
     def test_postgres_limit_form_params_register_once(self):
