@@ -47,7 +47,16 @@ class PlanDecision:
 # target that engine's syntax instead (dialect selection mirrors the
 # reference: single-DB strategies use the target DB's dialect, cross-DB
 # federation over foreign engines renders Trino, README.md:36-82).
-_ENGINE_DIALECTS = {"postgres": "postgres", "clickhouse": "clickhouse"}
+_ENGINE_DIALECTS = {
+    "postgres": "postgres",
+    "clickhouse": "clickhouse",
+    # a database reached through a Trino coordinator renders Trino SQL;
+    # the reference has no standalone Iceberg executor — Iceberg tables
+    # are accessed via Trino (README.md:246), so an iceberg-engine
+    # database renders the Trino dialect too
+    "trino": "trino",
+    "iceberg": "trino",
+}
 
 
 def _db_dialect(index: MetadataIndex, db_id: str) -> str:

@@ -124,6 +124,36 @@ class TestPlannerStrategies:
         assert used["orders"]["source"] == "original"
         assert len(res["data"]) == 2
 
+    def test_iceberg_engine_routes_through_trino_dialect(self, spark):
+        """The reference has no standalone Iceberg executor — Iceberg
+        tables are reached via Trino (README.md:246). A database declared
+        engine 'iceberg' must render the Trino dialect for single-DB
+        sql-only text, and pull any federation it participates in onto
+        Trino as well."""
+        import copy
+
+        from concept_multi_db_query_engine_spark import MultiDb
+        from tests.fixtures import METADATA, ROLES, build_registry
+
+        meta = copy.deepcopy(METADATA)
+        for db in meta["databases"]:
+            if db["id"] == "ch-analytics":
+                db["engine"] = "iceberg"
+        eng = MultiDb(spark, meta, ROLES, build_registry(spark))
+        ctx = {"roles": {"user": ["admin"]}}
+        # single-DB query on the iceberg-engine database -> trino text
+        res = eng.query({"from": "events", "columns": ["id"],
+                         "executeMode": "sql-only"}, ctx)
+        assert res["meta"]["dialect"] == "trino"
+        assert "?" in res["sql"] or res["params"] == []
+        # cross-db federation touching the iceberg database -> trino
+        res = eng.query(
+            {"from": "events", "columns": ["id"],
+             "joins": [{"table": "orders", "type": "inner",
+                        "columns": ["id"]}],
+             "freshness": "realtime", "executeMode": "sql-only"}, ctx)
+        assert res["meta"]["dialect"] == "trino"
+
 
 class TestExecuteModes:
     def test_sql_only(self, engine):
