@@ -50,10 +50,16 @@ from .providers import (
     static_metadata,
     static_roles,
 )
-from .sources import MemorySource, ParquetSource, SourceRegistry
+from .sources import (
+    CatalogSource,
+    MemorySource,
+    ParquetSource,
+    SourceRegistry,
+)
 
 __all__ = [
     "CacheMeta",
+    "CatalogSource",
     "ClickHouseRenderer",
     "DIALECTS",
     "CachedTableMeta",

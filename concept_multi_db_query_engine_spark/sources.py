@@ -174,6 +174,44 @@ class JdbcSource(Source):
         return True
 
 
+class CatalogSource(Source):
+    """Tables resolved through a Spark catalog — the Iceberg slot.
+
+    The reference has no standalone Iceberg executor: Iceberg tables are
+    reached through Trino (README.md:246), so its planner treats them as
+    a P1 exception routed to the federation engine. On Spark the natural
+    equivalent is a catalog read: with an Iceberg catalog configured
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``)
+    ``spark.read.table("<catalog>.<namespace>.<table>")`` gives Catalyst
+    the table's metadata — partition pruning over Iceberg's partition
+    transforms, min/max file skipping from manifest stats, and snapshot
+    isolation all come from the DataSourceV2 scan, which is why this is a
+    thin mapping and not a custom reader.
+
+    The sandbox ships no Iceberg runtime jar, so tests back this with a
+    plain Spark temp view / warehouse table (same ``read.table`` code
+    path); against a real cluster the catalog name is all that changes.
+    """
+
+    def __init__(self, catalog: str | None = None,
+                 namespace: str | None = None,
+                 aliases: dict[str, str] | None = None):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.aliases = aliases or {}
+
+    def _qualified(self, physical_name: str) -> str:
+        stem = self.aliases.get(physical_name, physical_name)
+        parts = [p for p in (self.catalog, self.namespace, stem) if p]
+        return ".".join(parts)
+
+    def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
+        return spark.read.table(self._qualified(physical_name))
+
+    def ping(self) -> bool:
+        return True
+
+
 class MemorySource(Source):
     """In-memory tables for tests/fixtures: physical name → DataFrame or a
     zero-arg factory returning one."""

@@ -1,0 +1,72 @@
+"""CatalogSource: the Iceberg slot — tables resolved via spark.read.table
+through a configured catalog. The sandbox has no Iceberg runtime jar, so
+these tests back the source with temp views / spark_catalog tables; the
+code path (catalog-qualified read.table) is identical with a real Iceberg
+catalog configured."""
+
+from __future__ import annotations
+
+import copy
+
+from concept_multi_db_query_engine_spark import (
+    CatalogSource,
+    MultiDb,
+    SourceRegistry,
+)
+
+from tests import fixtures
+
+ADMIN = {"roles": {"user": ["admin"]}}
+
+
+def test_catalog_source_reads_view_and_stays_lazy(spark):
+    spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "cat_src_t"
+    )
+    src = CatalogSource()
+    df = src.df(spark, "cat_src_t")
+    assert df.count() == 10
+    # lazy: the returned frame is a plain catalog scan Catalyst can prune
+    assert "cat_src_t" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_catalog_source_qualifies_and_aliases(spark):
+    src = CatalogSource(catalog="ice", namespace="raw",
+                        aliases={"orders_replica": "orders"})
+    assert src._qualified("lineitem") == "ice.raw.lineitem"
+    assert src._qualified("orders_replica") == "ice.raw.orders"
+    assert CatalogSource(namespace="raw")._qualified("t") == "raw.t"
+
+
+def test_iceberg_database_backed_by_catalog_source(spark):
+    """End to end: the ch-analytics database re-declared engine 'iceberg'
+    and backed by a CatalogSource; executed queries run through the
+    catalog read, sql-only renders the Trino dialect (README.md:246 — the
+    reference reaches Iceberg through Trino)."""
+    meta = copy.deepcopy(fixtures.METADATA)
+    for db in meta["databases"]:
+        if db["id"] == "ch-analytics":
+            db["engine"] = "iceberg"
+    base = fixtures.build_registry(spark)
+    # publish the ch-analytics fixture tables as temp views the catalog
+    # source resolves by name
+    for physical in ("events", "orders_replica"):
+        base.df(spark, "ch-analytics", physical).createOrReplaceTempView(
+            f"icetest_{physical}"
+        )
+    registry = SourceRegistry({
+        "pg-main": base.sources["pg-main"],
+        "ch-analytics": CatalogSource(
+            aliases={"events": "icetest_events",
+                     "orders_replica": "icetest_orders_replica"},
+        ),
+    })
+    eng = MultiDb(spark, meta, fixtures.ROLES, registry)
+    res = eng.query({"from": "events", "columns": ["id", "type"],
+                     "filters": [{"column": "type", "operator": "=",
+                                  "value": "purchase"}]}, ADMIN)
+    assert len(res["data"]) >= 1
+    assert all(r["type"] == "purchase" for r in res["data"])
+    sql_res = eng.query({"from": "events", "columns": ["id"],
+                         "executeMode": "sql-only"}, ADMIN)
+    assert sql_res["meta"]["dialect"] == "trino"
