@@ -196,12 +196,28 @@ def _lsh_candidates(
     )
 
 
+def minhash_frames(
+    docs: DataFrame, k: int = 5, num_hashes: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared upstream of both minhash scoring modes: (shingles,
+    signatures). At corpus scale the signature stage dominates both
+    :func:`minhash_lsh_pairs` and :func:`minhash_estimate_pairs`; a caller
+    running more than one scoring mode over the same corpus should build
+    these frames once, ``persist()`` them, and pass them to each call via
+    ``frames=`` — paying the shingle scan and the signature shuffle once
+    instead of per mode. Nothing is persisted here; caching policy belongs
+    to the caller."""
+    sh = _shingles(docs, k)
+    return sh, _minhash_sigs(sh, num_hashes)
+
+
 def minhash_estimate_pairs(
     docs: DataFrame,
     k: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
     min_estimate: float = 0.5,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidates scored by SIGNATURE AGREEMENT instead of exact
     Jaccard: est = (#matching minhash slots) / num_hashes, an unbiased
@@ -210,9 +226,13 @@ def minhash_estimate_pairs(
     shingle frame) is too expensive — per-pair work is O(num_hashes),
     independent of document length. num_hashes is a power of two, so the
     division is exact in binary and the estimate is bit-reproducible
-    cross-engine. Returns (d1, d2, est_jaccard ≥ min_estimate)."""
-    sh = _shingles(docs, k)
-    sigs = _minhash_sigs(sh, num_hashes)
+    cross-engine. Returns (d1, d2, est_jaccard ≥ min_estimate).
+
+    ``frames``: optionally inject precomputed (shingles, signatures) from
+    :func:`minhash_frames` to share the signature stage with other scoring
+    modes in the same session; defaults to computing them here."""
+    _, sigs = frames if frames is not None else minhash_frames(
+        docs, k, num_hashes)
     candidates = _lsh_candidates(sigs, num_hashes, bands)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -235,6 +255,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified with exact Jaccard.
 
@@ -245,9 +266,13 @@ def minhash_lsh_pairs(
     At scale this is the only shape that works: signatures are
     O(docs × num_hashes), buckets bound the join fan-out, and exact Jaccard
     runs only on candidates.
+
+    ``frames``: optionally inject precomputed (shingles, signatures) from
+    :func:`minhash_frames` to share the signature stage with other scoring
+    modes in the same session; defaults to computing them here.
     """
-    sh = _shingles(docs, k)
-    sigs = _minhash_sigs(sh, num_hashes)
+    sh, sigs = frames if frames is not None else minhash_frames(
+        docs, k, num_hashes)
     candidates = _lsh_candidates(sigs, num_hashes, bands)
     # Exact-Jaccard verification on CANDIDATES ONLY — this is the whole point
     # of LSH. (Running the full inverted-index jaccard and intersecting with
