@@ -681,6 +681,13 @@ def _q_hash_split(spark, sf):
     return ops.hash_split(_t(spark, sf, "documents"))
 
 
+_MIX_WEIGHTS = {"en": 0.6, "fr": 0.2, "de": 0.2}
+
+
+def _q_weighted_sample(spark, sf):
+    return ops.weighted_sample(_t(spark, sf, "documents"), _MIX_WEIGHTS)
+
+
 def _q_hourly_anomaly(spark, sf):
     return ops.hourly_anomaly(_t(spark, sf, "events"))
 
@@ -788,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_chunk": _q_docs_chunk,
             "events_hourly_anomaly": _q_hourly_anomaly,
             "docs_hash_split": _q_hash_split,
+            "docs_weighted_sample": _q_weighted_sample,
             "dedup_minhash_estimate": _q_minhash_estimate,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
@@ -820,6 +828,8 @@ _GATE_PRIORITY = [
     "order_value_quantiles", "customer_revenue_deciles",
     # trailing-window zero-fill (clock-hours baseline)
     "events_hourly_anomaly",
+    # NEW round 5: deterministic corpus mixing — grade immediately
+    "docs_weighted_sample",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -836,13 +846,13 @@ _GATE_PRIORITY = [
     "nation_revenue_pivot", "sim_knn_label_vote", "sim_topk_bruteforce",
     "sim_topk_ivf", "sim_topk_lsh", "text_bpe_token_stats",
     "text_fingerprint", "text_gopher_rules", "text_language_id",
-    "text_quality_score", "text_token_stats", "text_top_bigrams",
+    "text_quality_score", "text_token_stats",
     # ===== round-6 queue starts here (entry 51+) =====
     # r3-graded rows that did not fit the round-5 window — grade first
     # next round
-    "filter_like", "filter_noticontains", "filter_null_ops",
-    "filter_array_contains", "filter_array_all_empty", "tpch_q12",
-    "window_topk_per_group",
+    "text_top_bigrams", "filter_like", "filter_noticontains",
+    "filter_null_ops", "filter_array_contains", "filter_array_all_empty",
+    "tpch_q12", "window_topk_per_group",
     # r4-graded rows, oldest-priority order for subsequent rotation
     "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
     "events_props_rollup", "docs_pack_sequences",
@@ -1643,6 +1653,7 @@ FROM t
 """
 
     o["docs_hash_split"] = ops.hash_split_oracle_sql("documents")
+    o["docs_weighted_sample"] = ops.weighted_sample_oracle_sql(_MIX_WEIGHTS)
 
     # ---- text analysis ----
     o["text_token_stats"] = """

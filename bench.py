@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_chunk",
     "docs_hash_split",
+    "docs_weighted_sample",
     "docs_clean_corpus",
     "dedup_exact",
     "dedup_clusters",

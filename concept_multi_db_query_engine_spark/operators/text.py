@@ -292,6 +292,135 @@ FROM {table}
 """
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic corpus mixing: sample each group toward the target
+    proportions ``weights`` at the LARGEST total the available data
+    supports — the data-mixture step of every pretraining pipeline
+    ("60% en / 20% fr / 20% de"), with no RNG anywhere. Per-group kept
+    counts are binomial around the target (hash-threshold sampling is
+    exact in expectation, ±O(√n) realized) — the price of keeping the
+    filter a narrow map; a rank-by-hash top-``need_g`` variant would be
+    count-exact but needs a per-group sort whose parallelism is bounded
+    by the (few) groups.
+
+    The machinery is all exact integer arithmetic until one final,
+    cross-engine-identical double expression: weights become parts-per-
+    million; per-group capacity ``cap_g = n_g·10^6 div ppm_g`` (the total
+    T at which group g runs out); ``T = min(cap_g)``; per-group need
+    ``need_g = T·ppm_g div 10^6``. Membership is the same md5-derived
+    60-bit id hash as :func:`hash_split` compared against
+    ``floor(need_g/n_g · 2^60)`` — the one double expression, written
+    identically in the DuckDB oracle so thresholds are bit-equal. The
+    same (id, salt) is kept or dropped on any engine, any day; changing
+    ``salt`` re-rolls the sample.
+
+    Plan shape: one tiny counts aggregate on the weighted groups, the
+    threshold frame broadcast back, then a narrow hash-filter over the
+    corpus — no corpus shuffle, scan-bound at 100 TB. Groups absent from
+    ``weights`` are excluded; a weighted group with no rows makes the mix
+    unsatisfiable and yields an empty result (T = 0) rather than silently
+    changing proportions. Returns (id, group) of the kept docs.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    ppm = {g: int(round(w * 1_000_000)) for g, w in weights.items()}
+    if any(p <= 0 for p in ppm.values()):
+        raise ValueError("every weight must be > 0")
+    if sum(ppm.values()) > 1_000_000:
+        raise ValueError("weights must sum to <= 1")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        list(ppm.items()), f"{group_col} string, w_ppm long"
+    )
+    counts = (
+        docs.join(F.broadcast(wdf), group_col)
+        .groupBy(group_col, "w_ppm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # a weighted group with zero rows is ABSENT from counts; re-attach it
+    # with n=0 so its cap (0) correctly zeroes T
+    counts = wdf.join(counts.drop("w_ppm"), group_col, "left").select(
+        group_col, "w_ppm", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    t = counts.select(
+        F.min(F.expr("n * 1000000 div w_ppm")).alias("T")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn("need", F.expr("T * w_ppm div 1000000"))
+        .select(
+            group_col,
+            # n = 0 (an empty weighted group) forces T = 0 and need = 0;
+            # guard the 0/0 explicitly — NaN through an ANSI long cast
+            # would error instead of sampling nothing
+            F.when(F.col("n") == 0, F.lit(0)).otherwise(
+                F.floor(
+                    F.col("need").cast("double") / F.col("n").cast("double")
+                    * F.lit(float(1 << _SPLIT_BITS))
+                ).cast("long")
+            ).alias("__thr"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .where(h < F.col("__thr"))
+        .select(id_col, group_col)
+    )
+
+
+def weighted_sample_oracle_sql(
+    weights: dict[str, float],
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — identical integer ppm
+    machinery and the identical double threshold expression."""
+    ppm = {g: int(round(w * 1_000_000)) for g, w in weights.items()}
+    values = ", ".join(f"('{g}', {p})" for g, p in ppm.items())
+    scale = float(1 << _SPLIT_BITS)
+    h = (
+        f"('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR) || ':{salt}'), "
+        "1, 15))::BIGINT"
+    )
+    return f"""
+WITH w({group_col}, w_ppm) AS (VALUES {values}),
+c AS (
+  SELECT w.{group_col}, w.w_ppm,
+         CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+  FROM w LEFT JOIN (
+    SELECT {group_col}, count(*) AS n FROM {table} GROUP BY 1
+  ) cnt ON w.{group_col} = cnt.{group_col}
+),
+t AS (SELECT min(n * 1000000 // w_ppm) AS T FROM c),
+thr AS (
+  SELECT c.{group_col},
+         CASE WHEN c.n = 0 THEN 0
+              ELSE CAST(floor(CAST((t.T * c.w_ppm // 1000000) AS DOUBLE)
+                              / CAST(c.n AS DOUBLE) * {scale!r}) AS BIGINT)
+         END AS th
+  FROM c, t
+)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN thr ON d.{group_col} = thr.{group_col}
+WHERE {h} < thr.th
+"""
+
+
 def clean_corpus(
     docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
 ) -> DataFrame:

@@ -323,3 +323,44 @@ def test_hourly_anomaly_zero_fills_hour_gaps(spark):
     assert out[12]["z"] is not None and out[12]["z"] < -5
     # hour 13's trailing mean counts the silent hour as zero
     assert out[13]["trail_mean"] < 10.0
+
+
+def test_weighted_sample_mix_determinism_and_guards(spark):
+    import pytest as _pytest
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, "en")
+        .when(F.col("id") % 10 < 9, "fr")
+        .otherwise("de").alias("lang"),
+    )
+    W = {"en": 0.5, "fr": 0.3, "de": 0.2}
+    out = ops.weighted_sample(docs, W).collect()
+    counts = {}
+    for r in out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    total = sum(counts.values())
+    # de is the binding group (2986/0.2 ~ 15k total); realized proportions
+    # are binomial around the target
+    for g, w in W.items():
+        assert abs(counts[g] / total - w) < 0.02, counts
+    # every kept row really is from the corpus, and the sample is
+    # deterministic across runs
+    again = ops.weighted_sample(docs, W).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out)
+    # a different salt re-rolls membership
+    other = {r["doc_id"] for r in ops.weighted_sample(docs, W,
+                                                      salt="v2").collect()}
+    assert other != {r["doc_id"] for r in out}
+    # unlisted groups are excluded entirely
+    assert ops.weighted_sample(docs, {"en": 1.0}).where(
+        "lang <> 'en'").count() == 0
+    # a weighted group with no rows makes the mix unsatisfiable -> empty
+    assert ops.weighted_sample(docs, {"en": 0.5, "xx": 0.5}).count() == 0
+    with _pytest.raises(ValueError):
+        ops.weighted_sample(docs, {})
+    with _pytest.raises(ValueError):
+        ops.weighted_sample(docs, {"en": 0.9, "fr": 0.2})
