@@ -364,3 +364,44 @@ def test_weighted_sample_mix_determinism_and_guards(spark):
         ops.weighted_sample(docs, {})
     with _pytest.raises(ValueError):
         ops.weighted_sample(docs, {"en": 0.9, "fr": 0.2})
+
+
+def test_weighted_sample_oracle_parity_random_weights(spark):
+    """The cross-engine determinism claim fuzz-checked: for several weight
+    mixes (including ones that don't sum to 1 and single-group mixes), the
+    Spark kept-set must equal the DuckDB oracle's EXACTLY — same thresholds
+    from the same integer-ppm machinery and the identical double
+    expression."""
+    import random
+
+    import duckdb
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    rng = random.Random(11)
+    langs = ["en", "fr", "es", "zh", "de"]
+    cases = [{"en": 1.0}, {"en": 0.3, "fr": 0.3}]
+    for _ in range(4):
+        picks = rng.sample(langs, rng.randint(2, 5))
+        raw = [rng.random() + 0.05 for _ in picks]
+        s = sum(raw) * (1 + rng.random())  # sums to < 1
+        cases.append({g: w / s for g, w in zip(picks, raw)})
+    for weights in cases:
+        got = sorted(
+            (r["doc_id"], r["lang"])
+            for r in ops.weighted_sample(docs, weights).collect()
+        )
+        want = sorted(
+            map(tuple,
+                con.execute(
+                    ops.weighted_sample_oracle_sql(weights)).fetchall())
+        )
+        assert got == want, weights
+        assert got, weights  # never vacuously empty for satisfiable mixes

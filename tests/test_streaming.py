@@ -160,3 +160,34 @@ def test_clean_documents_stream_matches_batch(spark):
         spark, docs_path, min_quality=0.9
     ).collect()
     assert len(strict) < len(fps)
+
+
+def test_hash_split_runs_unchanged_on_a_stream(spark):
+    """hash_split is a stateless narrow map (md5 threshold on the id), so
+    the SAME operator code must be a valid streaming plan and assign the
+    SAME splits as batch — the property that lets an ingestion stream
+    route documents to train/val/test shards on the fly."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    import os
+    import tempfile
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    # the file stream source requires a directory
+    d = tempfile.mkdtemp(prefix="stream-docs-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(d)
+    sw.run_stream_to_memory(
+        ops.hash_split(stream_docs), "stream_hash_split",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql("SELECT * FROM stream_hash_split").collect()
+    }
+    want = {
+        (r["doc_id"], r["split"])
+        for r in ops.hash_split(batch_docs).collect()
+    }
+    assert got == want and len(got) > 0
