@@ -89,6 +89,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "docs_clean_corpus",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

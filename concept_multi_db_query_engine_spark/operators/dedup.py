@@ -68,6 +68,42 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_new_docs(
+    new_docs: DataFrame, corpus_fingerprints: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup — the daily-crawl shape: from a NEW
+    batch, keep only documents that are (a) not already in the corpus (by
+    exact content fingerprint) and (b) the lowest-id instance of their
+    content within the batch itself. Returns (id, fingerprint) of the
+    admissible docs; append their fingerprints to the corpus set for the
+    next batch.
+
+    Scale shape: one shuffle of the (small) new batch on the 32-byte
+    fingerprint for the within-batch canonical window, then a left-anti
+    join against the corpus fingerprint set — the batch is the streamed
+    side, the (huge) corpus set is hash-partitioned once and never
+    materialized anywhere whole; bucketing the stored fingerprint table on
+    `fingerprint` makes the anti-join co-located across daily runs. No
+    text leaves the batch side: the corpus contributes only fingerprints.
+    """
+    fp = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    batch_canonical = (
+        fp.withColumn("__canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    return batch_canonical.join(
+        corpus_fingerprints.select("fingerprint").distinct(),
+        "fingerprint",
+        "left_anti",
+    ).select("doc_id", "fingerprint")
+
+
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Pairwise Jaccard over a (doc_id, shingle) set via inverted-index
     self-join; only pairs sharing ≥1 shingle are ever materialized.

@@ -405,3 +405,26 @@ def test_weighted_sample_oracle_parity_random_weights(spark):
         )
         assert got == want, weights
         assert got, weights  # never vacuously empty for satisfiable mixes
+
+
+def test_incremental_dedup_admits_only_novel_content(spark):
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    corpus_docs = spark.createDataFrame(
+        [(1, "known text a"), (2, "known text b")], "doc_id long, text string")
+    corpus_fp = corpus_docs.select(F.md5("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [(10, "known text a"),   # already in corpus -> dropped
+         (11, "fresh text x"),   # novel -> admitted
+         (12, "fresh text x"),   # within-batch dup -> dropped (11 wins)
+         (13, "fresh text y")],  # novel -> admitted
+        "doc_id long, text string")
+    got = sorted(r["doc_id"]
+                 for r in ops.incremental_new_docs(batch, corpus_fp).collect())
+    assert got == [11, 13]
+    # admitting the batch and re-running against the grown corpus admits
+    # nothing (idempotent ingestion)
+    grown = corpus_fp.union(
+        batch.where("doc_id in (11, 13)").select(
+            F.md5("text").alias("fingerprint")))
+    assert ops.incremental_new_docs(batch, grown).count() == 0
