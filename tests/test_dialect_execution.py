@@ -305,3 +305,43 @@ def test_dsl_pg_sql_executes_on_duckdb(pg_testdata_engine, duck_testdata,
     assert via_pg == via_builder, (
         f"{name}: pg-dialect execution diverges\nSQL: {sql_res['sql']}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Property-based EXECUTED parity: random valid definitions must return the
+# same rows through the DataFrame builder and through the rendered pg SQL
+# executed on DuckDB. Stronger than the fixed battery — hypothesis explores
+# operator/group/join/agg combinations nobody hand-picked.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+
+from tests.test_builder_fuzz import _any_defn
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(defn=_any_defn)
+def test_random_dsl_pg_execution_parity(pg_testdata_engine, duck_testdata,
+                                        defn):
+    eng = pg_testdata_engine
+    if eng.validate_query(defn):
+        return  # validation-rejected shapes are covered by the compile fuzz
+    sql_res = eng.query({**defn, "executeMode": "sql-only"})
+    assert sql_res["meta"]["dialect"] == "postgres"
+    cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    cols = [d[0] for d in cur.description]
+    via_pg = sorted(
+        tuple(_canon_val(v) for v in row) for row in cur.fetchall()
+    )
+    data = eng.query(defn)["data"]
+    via_builder = sorted(
+        tuple(_canon_val(r[c]) for c in cols) for r in data
+    )
+    assert via_pg == via_builder, (
+        f"random-DSL divergence\ndefn: {defn}\nSQL: {sql_res['sql']}"
+        f"\nparams: {sql_res['params']}"
+    )
