@@ -63,3 +63,37 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         .withColumnRenamed("l_orderkey", "o_orderkey")
     plain = lineitem.join(orders, "o_orderkey")
     assert bucketed.count() == plain.count()
+
+
+def test_incremental_dedup_against_bucketed_fingerprint_store(spark):
+    """Substantiates the incremental_new_docs scale claim: with the corpus
+    fingerprint store bucketed on `fingerprint`, the daily anti-join never
+    re-shuffles the (huge) corpus side — only the (small) incoming batch
+    exchanges, into the store's bucket layout."""
+    from pyspark.sql import functions as F
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = testdata.load_table(spark, SF_DIR, "documents")
+    corpus_fp = docs.where("doc_id % 2 = 0").select(
+        F.md5("text").alias("fingerprint"))
+    bucketing.write_bucketed(corpus_fp, "b_fingerprints", "fingerprint", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ops.incremental_new_docs(
+            docs.where("doc_id % 2 = 1"), spark.table("b_fingerprints"))
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # exactly one exchange: the batch's fingerprint window/join shuffle;
+        # the bucketed store side reads in place
+        assert final.count("Exchange hashpartitioning") == 1, final
+        # parity with the unbucketed formulation
+        want = sorted(
+            r["doc_id"] for r in ops.incremental_new_docs(
+                docs.where("doc_id % 2 = 1"), corpus_fp).collect())
+        assert sorted(r["doc_id"] for r in out.collect()) == want
+        assert want  # non-vacuous
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_fingerprints")
