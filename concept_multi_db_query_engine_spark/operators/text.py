@@ -298,6 +298,7 @@ def weighted_sample(
     group_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "mix-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic corpus mixing: sample each group toward the target
     proportions ``weights`` at the LARGEST total the available data
@@ -308,6 +309,13 @@ def weighted_sample(
     filter a narrow map; a rank-by-hash top-``need_g`` variant would be
     count-exact but needs a per-group sort whose parallelism is bounded
     by the (few) groups.
+
+    ``weight_col``: when given (an integer column, e.g. a token count),
+    proportions target that column's MASS per group instead of document
+    counts — the real pretraining mix ("60% of *tokens* from en"). The
+    machinery is identical with per-group sums in place of counts; the
+    hash threshold keeps each group's expected kept-mass on target
+    because the id hash is independent of document length.
 
     The machinery is all exact integer arithmetic until one final,
     cross-engine-identical double expression: weights become parts-per-
@@ -338,10 +346,12 @@ def weighted_sample(
     wdf = spark.createDataFrame(
         list(ppm.items()), f"{group_col} string, w_ppm long"
     )
+    mass = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(F.col(weight_col).cast("long")))
     counts = (
         docs.join(F.broadcast(wdf), group_col)
         .groupBy(group_col, "w_ppm")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(mass.alias("n"))
     )
     # a weighted group with zero rows is ABSENT from counts; re-attach it
     # with n=0 so its cap (0) correctly zeroes T
@@ -387,12 +397,17 @@ def weighted_sample_oracle_sql(
     group_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "mix-v1",
+    weight_expr: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`weighted_sample` — identical integer ppm
-    machinery and the identical double threshold expression."""
+    machinery and the identical double threshold expression.
+    ``weight_expr`` is the SQL equivalent of the Spark ``weight_col``
+    (e.g. ``len(string_split(text, ' '))`` for a token count)."""
     ppm = {g: int(round(w * 1_000_000)) for g, w in weights.items()}
     values = ", ".join(f"('{g}', {p})" for g, p in ppm.items())
     scale = float(1 << _SPLIT_BITS)
+    mass = ("count(*)" if weight_expr is None
+            else f"sum(CAST({weight_expr} AS BIGINT))")
     h = (
         f"('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR) || ':{salt}'), "
         "1, 15))::BIGINT"
@@ -403,7 +418,7 @@ c AS (
   SELECT w.{group_col}, w.w_ppm,
          CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
   FROM w LEFT JOIN (
-    SELECT {group_col}, count(*) AS n FROM {table} GROUP BY 1
+    SELECT {group_col}, {mass} AS n FROM {table} GROUP BY 1
   ) cnt ON w.{group_col} = cnt.{group_col}
 ),
 t AS (SELECT min(n * 1000000 // w_ppm) AS T FROM c),

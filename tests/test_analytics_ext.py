@@ -428,3 +428,33 @@ def test_incremental_dedup_admits_only_novel_content(spark):
         batch.where("doc_id in (11, 13)").select(
             F.md5("text").alias("fingerprint")))
     assert ops.incremental_new_docs(batch, grown).count() == 0
+
+
+def test_weighted_sample_token_mass_parity_and_proportions(spark):
+    """Token-weighted mixing: proportions target token MASS per group, and
+    the kept-set matches the DuckDB oracle exactly (same sums, same
+    thresholds)."""
+    import duckdb
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")))
+    W = {"en": 0.5, "fr": 0.25, "es": 0.25}
+    out = ops.weighted_sample(docs, W, weight_col="n_tokens")
+    kept = out.join(docs.select("doc_id", "lang", "n_tokens"),
+                    ["doc_id", "lang"]).collect()
+    mass = {}
+    for r in kept:
+        mass[r["lang"]] = mass.get(r["lang"], 0) + r["n_tokens"]
+    total = sum(mass.values())
+    for g, w in W.items():
+        assert abs(mass[g] / total - w) < 0.05, mass
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(ops.weighted_sample_oracle_sql(
+        W, weight_expr="len(string_split(text, ' '))")).fetchall()))
+    assert sorted((r["doc_id"], r["lang"]) for r in kept) == want
