@@ -688,6 +688,10 @@ def _q_weighted_sample(spark, sf):
     return ops.weighted_sample(_t(spark, sf, "documents"), _MIX_WEIGHTS)
 
 
+def _q_repeated_passages(spark, sf):
+    return ops.repeated_passages(_t(spark, sf, "documents"), n=8, min_docs=3)
+
+
 def _q_dedup_incremental(spark, sf):
     # even doc_ids play the existing corpus (fingerprints only), odd ones
     # the incoming batch — a deterministic split any engine reproduces
@@ -807,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_hash_split": _q_hash_split,
             "docs_weighted_sample": _q_weighted_sample,
             "dedup_incremental": _q_dedup_incremental,
+            "dedup_repeated_passages": _q_repeated_passages,
             "dedup_minhash_estimate": _q_minhash_estimate,
             "sim_topk_ivf": _q_sim_ivf,
             "events_approx_distinct_kmv": _q_kmv_distinct,
@@ -839,9 +844,9 @@ _GATE_PRIORITY = [
     "order_value_quantiles", "customer_revenue_deciles",
     # trailing-window zero-fill (clock-hours baseline)
     "events_hourly_anomaly",
-    # NEW round 5: corpus mixing + incremental ingestion dedup — grade
-    # immediately
-    "docs_weighted_sample", "dedup_incremental",
+    # NEW round 5: corpus mixing + incremental ingestion dedup +
+    # repeated-passage mining — grade immediately
+    "docs_weighted_sample", "dedup_incremental", "dedup_repeated_passages",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -858,12 +863,11 @@ _GATE_PRIORITY = [
     "nation_revenue_pivot", "sim_knn_label_vote", "sim_topk_bruteforce",
     "sim_topk_ivf", "sim_topk_lsh", "text_bpe_token_stats",
     "text_fingerprint", "text_gopher_rules", "text_language_id",
-    "text_quality_score",
     # ===== round-6 queue starts here (entry 51+) =====
     # r3-graded rows that did not fit the round-5 window — grade first
     # next round
-    "text_token_stats", "text_top_bigrams", "filter_like",
-    "filter_noticontains",
+    "text_quality_score", "text_token_stats", "text_top_bigrams",
+    "filter_like", "filter_noticontains",
     "filter_null_ops", "filter_array_contains", "filter_array_all_empty",
     "tpch_q12", "window_topk_per_group",
     # r4-graded rows, oldest-priority order for subsequent rotation
@@ -1667,6 +1671,21 @@ FROM t
 
     o["docs_hash_split"] = ops.hash_split_oracle_sql("documents")
     o["docs_weighted_sample"] = ops.weighted_sample_oracle_sql(_MIX_WEIGHTS)
+    o["dedup_repeated_passages"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(w, i.i, i.i + 7), 'string_agg', ' ')
+           AS passage
+  FROM words CROSS JOIN (SELECT unnest(range(1, 3000)) AS i) i
+  WHERE len(w) >= 8 AND i.i <= len(w) - 7
+)
+SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY passage HAVING count(*) >= 3
+"""
+
     o["dedup_incremental"] = """
 WITH corpus AS (
   SELECT DISTINCT md5(text) AS fingerprint

@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_clusters",
     "dedup_ngram_jaccard",
+    "dedup_repeated_passages",
     "dedup_minhash_lsh",
     "dedup_minhash_estimate",
     "dedup_simhash",

@@ -68,6 +68,31 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def repeated_passages(
+    docs: DataFrame, n: int = 8, min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate / repeated-span mining: n-token word grams occurring in
+    at least ``min_docs`` DISTINCT documents — the corpus-wide repeated
+    passages (headers, licenses, navigation chrome, templated sentences)
+    that exact-substring dedup strips from training data because models
+    memorize them out of proportion to their value. Returns
+    (passage, n_docs).
+
+    Same scale shape as the shingle family: JVM ``transform(sequence(...))``
+    gram construction (no Python in the row path), per-doc DISTINCT so a
+    passage repeated within one document counts once, one shuffle on the
+    gram for the count. The gram frame is |tokens|-sized; at corpus scale
+    raise ``n``/``min_docs`` or pre-hash grams to 64-bit before the
+    exchange if passage text isn't needed downstream.
+    """
+    sh = _shingles(docs, k=n)
+    return (
+        sh.groupBy(F.col("shingle").alias("passage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def incremental_new_docs(
     new_docs: DataFrame, corpus_fingerprints: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",

@@ -458,3 +458,21 @@ def test_weighted_sample_token_mass_parity_and_proportions(spark):
     want = sorted(map(tuple, con.execute(ops.weighted_sample_oracle_sql(
         W, weight_expr="len(string_split(text, ' '))")).fetchall()))
     assert sorted((r["doc_id"], r["lang"]) for r in kept) == want
+
+
+def test_repeated_passages_counts_distinct_docs(spark):
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    boiler = "all rights reserved by the example corpus project team"
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} alpha beta gamma"),
+         (2, f"intro words {boiler} tail"),
+         (3, f"{boiler} and {boiler}"),     # twice in one doc: counts once
+         (4, "completely unrelated text with no repeats at all here")],
+        "doc_id long, text string")
+    out = {r["passage"]: r["n_docs"]
+           for r in ops.repeated_passages(docs, n=9, min_docs=3).collect()}
+    assert out[boiler] == 3  # docs 1, 2, 3 — per-doc distinct
+    assert all(n >= 3 for n in out.values())
+    # min_docs raises the bar
+    assert ops.repeated_passages(docs, n=9, min_docs=4).count() == 0
