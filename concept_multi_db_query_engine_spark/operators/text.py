@@ -12,6 +12,8 @@ pruning (only doc_id + text are read).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny English stopword set used by the heuristics (shared with the oracle)
@@ -328,9 +330,11 @@ def weighted_sample(
     same (id, salt) is kept or dropped on any engine, any day; changing
     ``salt`` re-rolls the sample.
 
-    Plan shape: one tiny counts aggregate on the weighted groups, the
-    threshold frame broadcast back, then a narrow hash-filter over the
-    corpus — no corpus shuffle, scan-bound at 100 TB. Groups absent from
+    Plan shape: one narrow counts scan (group column only, collected —
+    the aggregate is <= len(weights) rows by construction), thresholds
+    derived driver-side, then a single narrow hash-filter over the
+    corpus with the tiny threshold frame broadcast — no corpus shuffle,
+    scan-bound at 100 TB. Groups absent from
     ``weights`` are excluded; a weighted group with no rows makes the mix
     unsatisfiable and yields an empty result (T = 0) rather than silently
     changing proportions. Returns (id, group) of the kept docs.
@@ -348,34 +352,34 @@ def weighted_sample(
     )
     mass = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("long")))
-    counts = (
-        docs.join(F.broadcast(wdf), group_col)
-        .groupBy(group_col, "w_ppm")
+    # the per-group mass aggregate is <= len(weights) rows by construction
+    # — collect it and derive T / need / thresholds on the driver with the
+    # SAME integer-div + IEEE-double expressions both engines use (Python
+    # floats are IEEE doubles: identical results). One narrow counts scan
+    # + one filter scan, instead of Catalyst re-scanning the corpus for
+    # the counts, T, and threshold subtrees of a single lazy plan.
+    observed = {
+        r[group_col]: r["n"]
+        for r in docs.join(F.broadcast(wdf), group_col)
+        .groupBy(group_col)
         .agg(mass.alias("n"))
-    )
-    # a weighted group with zero rows is ABSENT from counts; re-attach it
-    # with n=0 so its cap (0) correctly zeroes T
-    counts = wdf.join(counts.drop("w_ppm"), group_col, "left").select(
-        group_col, "w_ppm", F.coalesce(F.col("n"), F.lit(0)).alias("n")
-    )
-    t = counts.select(
-        F.min(F.expr("n * 1000000 div w_ppm")).alias("T")
-    )
-    thr = (
-        counts.crossJoin(F.broadcast(t))
-        .withColumn("need", F.expr("T * w_ppm div 1000000"))
-        .select(
-            group_col,
-            # n = 0 (an empty weighted group) forces T = 0 and need = 0;
-            # guard the 0/0 explicitly — NaN through an ANSI long cast
-            # would error instead of sampling nothing
-            F.when(F.col("n") == 0, F.lit(0)).otherwise(
-                F.floor(
-                    F.col("need").cast("double") / F.col("n").cast("double")
-                    * F.lit(float(1 << _SPLIT_BITS))
-                ).cast("long")
-            ).alias("__thr"),
+        .collect()
+    }
+    n_by = {g: int(observed.get(g, 0)) for g in ppm}
+    big_t = min(n * 1_000_000 // p for g, p in ppm.items()
+                for n in [n_by[g]])
+    thresholds = []
+    for g, p in ppm.items():
+        n = n_by[g]
+        need = big_t * p // 1_000_000
+        # n = 0 (an empty weighted group) forces T = 0 and need = 0;
+        # guard the 0/0 explicitly
+        th = 0 if n == 0 else int(
+            math.floor(need / n * float(1 << _SPLIT_BITS))
         )
+        thresholds.append((g, th))
+    thr = spark.createDataFrame(
+        thresholds, f"{group_col} string, __thr long"
     )
     h = F.conv(
         F.substring(
