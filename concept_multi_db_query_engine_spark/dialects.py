@@ -236,6 +236,15 @@ class TrinoRenderer(SqlRenderer):
     def quote(self, name: str) -> str:
         return '"' + name.replace('"', '""') + '"'
 
+    def _p(self, value: Any, col_type: str | None = None) -> str:
+        ph = super()._p(value, col_type)
+        if (col_type or "").removesuffix("[]") == "timestamp":
+            # the reference's Trino form for timestamp params
+            # (CROSS_DB_NORMALIZATION.md §2, C133 note): an untyped ? with
+            # a string literal doesn't coerce to TIMESTAMP on Trino
+            return f"CAST({ph} AS TIMESTAMP)"
+        return ph
+
     def _table(self, physical: str, database: str) -> str:
         qualified = ".".join(self.quote(p) for p in physical.split("."))
         catalog = self.catalogs.get(database)

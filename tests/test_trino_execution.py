@@ -264,6 +264,17 @@ def test_battery_is_not_vacuous(trino_engine, duck):
     assert nonempty >= len(BATTERY) // 2
 
 
+def test_timestamp_params_render_cast(trino_engine):
+    # C133 note: Trino timestamp params are wrapped CAST(? AS TIMESTAMP)
+    res = trino_engine.query({
+        "from": "samples", "columns": ["id"],
+        "filters": [{"column": "createdAt", "operator": "between",
+                     "value": {"from": "2024-01-01T00:00:00Z",
+                               "to": "2024-12-31T23:59:59Z"}}],
+        "executeMode": "sql-only"}, ADMIN)
+    assert res["sql"].count("CAST(? AS TIMESTAMP)") == 2
+
+
 def test_null_fk_does_not_poison_not_in(duck):
     """Execute the round-5 fk-IS-NOT-NULL guard against data that actually
     contains NULL fks: without the guard, a NULL entering the NOT IN list
