@@ -315,3 +315,85 @@ def test_null_fk_does_not_poison_not_in(duck):
         "HAVING COUNT(*) >= 2)"
     ).fetchall()
     assert bad == []
+
+
+# ---------------------------------------------------------------------------
+# Property-based EXECUTED parity over the driver testdata: random valid
+# definitions through the DataFrame builder vs the rendered Trino SQL on
+# DuckDB (catalog-qualified tables mirrored as a DuckDB schema). The Trino
+# twin of the pg fuzz in test_dialect_execution.py.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+
+from concept_multi_db_query_engine_spark import testdata as td
+from concept_multi_db_query_engine_spark.sources import (
+    ParquetSource,
+    SourceRegistry,
+)
+
+from tests.test_builder_fuzz import _any_defn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def trino_testdata_engine(spark):
+    meta = copy.deepcopy(td.METADATA)
+    for db in meta["databases"]:
+        db["engine"] = "trino"
+    registry = SourceRegistry({
+        "warehouse": ParquetSource(SF_DIR),
+        "lake": ParquetSource(
+            SF_DIR,
+            aliases={"orders_replica": "orders",
+                     "customer_replica": "customer",
+                     "doc_terms": "documents"},
+            post=td.normalize_table,
+        ),
+    })
+    return MultiDb(spark, meta, td.ROLES, registry,
+                   strict_api_names=False)
+
+
+@pytest.fixture(scope="module")
+def duck_testdata():
+    con = duckdb.connect()
+    for m in _TRINO_MACROS:
+        con.execute(m)
+    con.execute('CREATE SCHEMA "warehouse"')
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f'CREATE VIEW "warehouse"."{t}" AS '
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(defn=_any_defn)
+def test_random_dsl_trino_execution_parity(trino_testdata_engine,
+                                           duck_testdata, defn):
+    eng = trino_testdata_engine
+    if eng.validate_query(defn):
+        return
+    sql_res = eng.query({**defn, "executeMode": "sql-only"})
+    assert sql_res["meta"]["dialect"] == "trino"
+    cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    cols = [d[0] for d in cur.description]
+    via_trino = sorted(
+        tuple(_canon_val(v) for v in row) for row in cur.fetchall()
+    )
+    data = eng.query(defn)["data"]
+    via_builder = sorted(
+        tuple(_canon_val(r[c]) for c in cols) for r in data
+    )
+    assert via_trino == via_builder, (
+        f"random-DSL trino divergence\ndefn: {defn}\nSQL: {sql_res['sql']}"
+        f"\nparams: {sql_res['params']}"
+    )
