@@ -253,3 +253,84 @@ def test_battery_is_not_vacuous(ch_engine, duck):
         1 for d in BATTERY if _assert_parity(ch_engine, duck, d)
     )
     assert nonempty >= len(BATTERY) // 2
+
+
+# ---------------------------------------------------------------------------
+# Property-based EXECUTED parity over the driver testdata: random valid
+# definitions through the DataFrame builder vs the translated ClickHouse
+# SQL on DuckDB — the CH twin of the pg/trino random-DSL fuzzes.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+
+from concept_multi_db_query_engine_spark import testdata as td
+from concept_multi_db_query_engine_spark.sources import (
+    ParquetSource,
+    SourceRegistry,
+)
+
+from tests.test_builder_fuzz import _any_defn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ch_testdata_engine(spark):
+    meta = copy.deepcopy(td.METADATA)
+    for db in meta["databases"]:
+        db["engine"] = "clickhouse"
+    registry = SourceRegistry({
+        "warehouse": ParquetSource(SF_DIR),
+        "lake": ParquetSource(
+            SF_DIR,
+            aliases={"orders_replica": "orders",
+                     "customer_replica": "customer",
+                     "doc_terms": "documents"},
+            post=td.normalize_table,
+        ),
+    })
+    return MultiDb(spark, meta, td.ROLES, registry,
+                   strict_api_names=False)
+
+
+@pytest.fixture(scope="module")
+def duck_testdata():
+    con = duckdb.connect()
+    for m in _CH_MACROS:
+        con.execute(m)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f'CREATE VIEW "{t}" AS '
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(defn=_any_defn)
+def test_random_dsl_ch_execution_parity(ch_testdata_engine, duck_testdata,
+                                        defn):
+    eng = ch_testdata_engine
+    if eng.validate_query(defn):
+        return
+    sql_res = eng.query({**defn, "executeMode": "sql-only"})
+    assert sql_res["meta"]["dialect"] == "clickhouse"
+    translated = ch_to_duckdb(sql_res["sql"])
+    cur = duck_testdata.execute(translated, sql_res["params"])
+    cols = [d[0] for d in cur.description]
+    via_ch = sorted(
+        tuple(_canon_val(v) for v in row) for row in cur.fetchall()
+    )
+    data = eng.query(defn)["data"]
+    via_builder = sorted(
+        tuple(_canon_val(r[c]) for c in cols) for r in data
+    )
+    assert via_ch == via_builder, (
+        f"random-DSL ch divergence\ndefn: {defn}\nCH SQL: {sql_res['sql']}"
+        f"\ntranslated: {translated}\nparams: {sql_res['params']}"
+    )
