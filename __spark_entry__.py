@@ -665,6 +665,10 @@ def _q_quantize_int8(spark, sf):
     )
 
 
+def _q_knn_graph(spark, sf):
+    return ops.knn_graph(_t(spark, sf, "embeddings"), k=5)
+
+
 def _q_sim_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 5")
@@ -803,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": _q_dedup_embedding,
             "sim_topk_bruteforce": _q_sim_bruteforce,
             "sim_knn_label_vote": _q_knn_label_vote,
+            "sim_knn_graph": _q_knn_graph,
             "embeddings_quantize_int8": _q_quantize_int8,
             "sim_topk_lsh": _q_sim_lsh,
             "sim_recall_at_k": _q_sim_recall,
@@ -844,9 +849,10 @@ _GATE_PRIORITY = [
     "order_value_quantiles", "customer_revenue_deciles",
     # trailing-window zero-fill (clock-hours baseline)
     "events_hourly_anomaly",
-    # NEW round 5: corpus mixing + incremental ingestion dedup +
-    # repeated-passage mining — grade immediately
+    # NEW round 5: corpus mixing, incremental ingestion dedup,
+    # repeated-passage mining, exact kNN graph — grade immediately
     "docs_weighted_sample", "dedup_incremental", "dedup_repeated_passages",
+    "sim_knn_graph",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -862,12 +868,12 @@ _GATE_PRIORITY = [
     "events_funnel", "events_hourly_rollup", "multimodal_frame_sample",
     "nation_revenue_pivot", "sim_knn_label_vote", "sim_topk_bruteforce",
     "sim_topk_ivf", "sim_topk_lsh", "text_bpe_token_stats",
-    "text_fingerprint", "text_gopher_rules", "text_language_id",
+    "text_fingerprint", "text_gopher_rules",
     # ===== round-6 queue starts here (entry 51+) =====
     # r3-graded rows that did not fit the round-5 window — grade first
     # next round
-    "text_quality_score", "text_token_stats", "text_top_bigrams",
-    "filter_like", "filter_noticontains",
+    "text_language_id", "text_quality_score", "text_token_stats",
+    "text_top_bigrams", "filter_like", "filter_noticontains",
     "filter_null_ops", "filter_array_contains", "filter_array_all_empty",
     "tpch_q12", "window_topk_per_group",
     # r4-graded rows, oldest-priority order for subsequent rotation
@@ -2104,6 +2110,22 @@ SELECT query_id, vec_id, cosine, rank FROM (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
+"""
+    )
+    o["sim_knn_graph"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
     )
     o["sim_knn_label_vote"] = (

@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_knn_label_vote",
+    "sim_knn_graph",
     "embeddings_quantize_int8",
     "sim_topk_lsh",
     "sim_topk_ivf",

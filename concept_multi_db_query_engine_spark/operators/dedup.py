@@ -527,6 +527,35 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+def block_pair_tagged(src: DataFrame, B: int) -> DataFrame:
+    """Blocked-self-join replication: hash each (vid, v) row into one of
+    ``B`` blocks and replicate it into every unordered block pair its block
+    belongs to, tagged with the side it plays there ('a' for the lower
+    block id, 'b' for the higher; the diagonal pair gets one side-'a'
+    copy). Every pair of rows meets in EXACTLY one group keyed by ``bp``,
+    which is what makes blocked all-pairs operators exact. Shared by
+    :func:`embedding_cosine_pairs` and ``similarity.knn_graph``."""
+    blk = F.pmod(F.xxhash64(F.col("vid")), F.lit(B))
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda x: F.struct(
+                (F.least(blk, x) * B + F.greatest(blk, x)).alias("bp"),
+                F.when(blk <= x, F.lit("a")).otherwise(F.lit("b"))
+                .alias("side"),
+                x.alias("other"),
+            ),
+        ),
+        # keep one copy for the diagonal (when other == own block, side='a')
+        lambda s: (s["other"] != blk) | (s["side"] == F.lit("a")),
+    )
+    return (
+        src.select("vid", "v", F.explode(pairs).alias("p"))
+        .select("vid", "v", F.col("p.bp").alias("bp"),
+                F.col("p.side").alias("side"))
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -564,28 +593,7 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     B = n_blocks
-    # block id from a hash of the id (stable, skew-free for any id pattern)
-    blk = F.pmod(F.xxhash64(F.col("vid")), F.lit(B))
-    # each vector goes to every block-pair its block belongs to, tagged with
-    # the side it plays there; the diagonal pair gets one copy (side 'a')
-    pairs = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(B - 1)),
-            lambda x: F.struct(
-                (F.least(blk, x) * B + F.greatest(blk, x)).alias("bp"),
-                F.when(blk <= x, F.lit("a")).otherwise(F.lit("b"))
-                .alias("side"),
-                x.alias("other"),
-            ),
-        ),
-        # keep one copy for the diagonal (when other == own block, side='a')
-        lambda s: (s["other"] != blk) | (s["side"] == F.lit("a")),
-    )
-    tagged = (
-        src.select("vid", "v", F.explode(pairs).alias("p"))
-        .select("vid", "v", F.col("p.bp").alias("bp"),
-                F.col("p.side").alias("side"))
-    )
+    tagged = block_pair_tagged(src, B)
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # diagonality comes from the GROUP KEY, never from side emptiness:

@@ -369,3 +369,96 @@ def quantize_embeddings_int8(
             v, lambda x: F.round(x.cast("double") / scale).cast("int")
         ).alias("qvec"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole corpus: for every
+    vector, its top-``k`` cosine neighbors — the input to graph clustering,
+    label propagation, and graph-based dedup. Output:
+    (vec_id, neighbor_id, cosine, rank).
+
+    Scale shape: the same blocked self-join as
+    :func:`dedup.embedding_cosine_pairs` (every pair of vectors meets in
+    exactly one ``applyInPandas`` group, chunk-free BLAS inside), but each
+    group emits only its LOCAL directed top-k per source vector — so the
+    exchange after the compute carries at most n·B·k candidate edges, not
+    the O(n²) similarity matrix. A final per-vector window (WindowGroupLimit
+    applies the partial limit before the shuffle) merges the B candidate
+    lists into the exact global top-k. Cosines are rounded to 6 decimals
+    BEFORE ranking with a neighbor-id tiebreak, so the selected edge set is
+    deterministic and bit-reproducible against the SQL oracle (same
+    round-then-rank order in both engines). Replication factor is B per
+    vector; scale B so a block fits an executor, exactly as documented on
+    the cosine-pairs baseline.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import block_pair_tagged
+
+    B = n_blocks
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    tagged = block_pair_tagged(src, B)
+    out_schema = "vid long, nid long, cosine double"
+
+    def pair_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bp = int(key[0])
+        diagonal = (bp // B) == (bp % B)
+        a = pdf[pdf["side"] == "a"]
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        if diagonal:
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b = pdf[pdf["side"] == "b"]
+            b_ids = b["vid"].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(b["v"]), dtype=np.float64)
+        if not len(a_ids) or not len(b_ids):
+            return pd.DataFrame({"vid": [], "nid": [], "cosine": []})
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
+
+        rows_v, rows_n, rows_c = [], [], []
+
+        def emit(src_ids, dst_ids, s):
+            # local directed top-k by (cosine desc, neighbor id asc) — the
+            # same round-then-rank order the global window and the SQL
+            # oracle apply, so local pruning never discards a global winner
+            for i in range(len(src_ids)):
+                row = s[i]
+                valid = dst_ids != src_ids[i]
+                idx = np.nonzero(valid)[0]
+                order = np.lexsort((dst_ids[idx], -row[idx]))[:k]
+                sel = idx[order]
+                rows_v.extend([int(src_ids[i])] * len(sel))
+                rows_n.extend(int(x) for x in dst_ids[sel])
+                rows_c.extend(float(x) for x in row[sel])
+
+        emit(a_ids, b_ids, sims)
+        if not diagonal:
+            emit(b_ids, a_ids, sims.T)
+        return pd.DataFrame({"vid": rows_v, "nid": rows_n,
+                             "cosine": rows_c})
+
+    candidates = tagged.groupBy("bp").applyInPandas(pair_topk, out_schema)
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            "cosine", "rank",
+        )
+    )

@@ -476,3 +476,24 @@ def test_repeated_passages_counts_distinct_docs(spark):
     assert all(n >= 3 for n in out.values())
     # min_docs raises the bar
     assert ops.repeated_passages(docs, n=9, min_docs=4).count() == 0
+
+
+def test_knn_graph_matches_bruteforce_for_every_vector(spark):
+    """knn_graph's blocked partial-top-k must select exactly the
+    neighbors the per-query brute force selects, for EVERY vector — the
+    local pruning may never discard a global winner."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    graph = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ops.knn_graph(emb, k=3, n_blocks=4).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ops.topk_cosine_bruteforce(emb, emb, k=3).collect()
+    }
+    assert graph == brute
+    n_vectors = emb.count()
+    assert len(graph) == 3 * n_vectors  # every vector has a full k-list
