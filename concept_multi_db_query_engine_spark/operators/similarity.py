@@ -427,27 +427,41 @@ def knn_graph(
         b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
         sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
 
-        rows_v, rows_n, rows_c = [], [], []
+        frames = []
 
         def emit(src_ids, dst_ids, s):
-            # local directed top-k by (cosine desc, neighbor id asc) — the
+            # Local directed top-k by (cosine desc, neighbor id asc) — the
             # same round-then-rank order the global window and the SQL
-            # oracle apply, so local pruning never discards a global winner
-            for i in range(len(src_ids)):
-                row = s[i]
-                valid = dst_ids != src_ids[i]
-                idx = np.nonzero(valid)[0]
-                order = np.lexsort((dst_ids[idx], -row[idx]))[:k]
-                sel = idx[order]
-                rows_v.extend([int(src_ids[i])] * len(sel))
-                rows_n.extend(int(x) for x in dst_ids[sel])
-                rows_c.extend(float(x) for x in row[sel])
+            # oracle apply, so local pruning never discards a global
+            # winner. Fully vectorized: the rounded cosine sits on a 1e-6
+            # integer grid, so (cos, -nid) packs EXACTLY into one int64
+            # composite key (|cos_int| <= 1e6 ≈ 2^20, shifted by 2^33;
+            # requires ids < 2^33) and per-row selection is one
+            # argpartition + one k-wide sort instead of a Python loop.
+            m, n = s.shape
+            cos_int = np.round(s * 1e6).astype(np.int64)
+            key = cos_int * (1 << 33) - dst_ids[None, :]
+            # self-mask sentinel must survive negation — int64.min wraps to
+            # itself under '-', which would make the self pair the BEST
+            # candidate of the negated key
+            sentinel = -(1 << 62)
+            key[src_ids[:, None] == dst_ids[None, :]] = sentinel
+            kk = min(k, n)
+            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            row_ix = np.arange(m)[:, None]
+            order = np.argsort(-key[row_ix, part], axis=1)
+            sel = part[row_ix, order]
+            keep = key[row_ix, sel] != sentinel
+            frames.append(pd.DataFrame({
+                "vid": np.repeat(src_ids, kk)[keep.ravel()],
+                "nid": dst_ids[sel].ravel()[keep.ravel()],
+                "cosine": s[row_ix, sel].ravel()[keep.ravel()],
+            }))
 
         emit(a_ids, b_ids, sims)
         if not diagonal:
-            emit(b_ids, a_ids, sims.T)
-        return pd.DataFrame({"vid": rows_v, "nid": rows_n,
-                             "cosine": rows_c})
+            emit(b_ids, a_ids, np.ascontiguousarray(sims.T))
+        return pd.concat(frames, ignore_index=True)
 
     candidates = tagged.groupBy("bp").applyInPandas(pair_topk, out_schema)
     w = Window.partitionBy("vid").orderBy(
