@@ -745,6 +745,61 @@ def _q_frame_sample(spark, sf):
     return multimodal.frame_sample_plan(media, every_n=10)
 
 
+def _q_orders_rollup(spark, sf):
+    return ops.grouped_rollup(_t(spark, sf, "orders"), mode="rollup")
+
+
+def _q_orders_cube(spark, sf):
+    return ops.grouped_rollup(_t(spark, sf, "orders"), mode="cube")
+
+
+def _q_event_transitions(spark, sf):
+    return ops.event_transitions(_t(spark, sf, "events"))
+
+
+def _q_revenue_concentration(spark, sf):
+    return ops.revenue_concentration(_t(spark, sf, "orders"))
+
+
+def _q_pii_scrub(spark, sf):
+    # The synthetic corpus carries no PII (lowercase word salad, no
+    # digits), so the gate entry prepends a deterministic doc_id-derived
+    # fixture — an e-mail always, an IPv4 on even ids, a phone on ids
+    # divisible by 3 — and scrubs the result. The oracle performs the
+    # identical injection, so the regex machinery is what is verified.
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("mail user"), did.cast("string"), F.lit("@example.com "),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit("ip 10.0."), (did % 256).cast("string"),
+                         F.lit(".1 ")),
+            ).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit("call +1 555 000 1234 "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return ops.pii_scrub(inj)
+
+
+def _q_line_dedup(spark, sf):
+    # The corpus has no newlines, so lines are derived as fixed 4-word
+    # windows (chunk_documents with zero overlap — the same split the
+    # oracle reproduces); line_dedup then drops every line shared by >= 2
+    # documents and reassembles the survivors.
+    docs = _t(spark, sf, "documents")
+    lines = ops.chunk_documents(docs, chunk_tokens=4, overlap=0).select(
+        "doc_id",
+        F.col("chunk_id").alias("line_no"),
+        F.col("chunk_text").alias("line"),
+    )
+    return ops.line_dedup(lines, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(name) for name in _DSL
@@ -824,6 +879,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_simhash,
             "multimodal_decode_stats": _q_multimodal,
             "multimodal_frame_sample": _q_frame_sample,
+            "orders_rollup": _q_orders_rollup,
+            "orders_cube": _q_orders_cube,
+            "events_transitions": _q_event_transitions,
+            "customer_revenue_concentration": _q_revenue_concentration,
+            "text_pii_scrub": _q_pii_scrub,
+            "docs_line_dedup": _q_line_dedup,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -850,28 +911,31 @@ _GATE_PRIORITY = [
     # trailing-window zero-fill (clock-hours baseline)
     "events_hourly_anomaly",
     # NEW round 5: corpus mixing, incremental ingestion dedup,
-    # repeated-passage mining, exact kNN graph — grade immediately
+    # repeated-passage mining, exact kNN graph, grouping-set rollup/cube,
+    # event transition matrix, revenue concentration, PII scrub, C4 line
+    # dedup — grade immediately
     "docs_weighted_sample", "dedup_incremental", "dedup_repeated_passages",
-    "sim_knn_graph",
+    "sim_knn_graph", "orders_rollup", "orders_cube", "events_transitions",
+    "customer_revenue_concentration", "text_pii_scrub", "docs_line_dedup",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
     "rolling_revenue_7d",
-    # --- latest grade round 3 (25 of 32; the 7 below the fold queue for
-    # round 6) ---
+    # --- latest grade round 3 (19 of 32; the rest below the fold queue
+    # for round 6 — six slots went to the new round-5 operators above) ---
     "customer_revenue_deciles_approx", "customer_segments_setops",
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
     "events_approx_distinct_kmv", "events_cohort_retention",
     "events_funnel", "events_hourly_rollup", "multimodal_frame_sample",
-    "nation_revenue_pivot", "sim_knn_label_vote", "sim_topk_bruteforce",
-    "sim_topk_ivf", "sim_topk_lsh", "text_bpe_token_stats",
-    "text_fingerprint", "text_gopher_rules",
+    "nation_revenue_pivot", "sim_knn_label_vote",
     # ===== round-6 queue starts here (entry 51+) =====
     # r3-graded rows that did not fit the round-5 window — grade first
     # next round
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
+    "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
     "text_language_id", "text_quality_score", "text_token_stats",
     "text_top_bigrams", "filter_like", "filter_noticontains",
     "filter_null_ops", "filter_array_contains", "filter_array_all_empty",
@@ -2283,4 +2347,121 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 5
 """
     )
+
+    # ---- grouping sets / transitions / concentration (round 5) ----
+    for name, form in (("orders_rollup", "ROLLUP"), ("orders_cube", "CUBE")):
+        o[name] = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+FROM orders GROUP BY {form}(o_orderpriority, o_orderstatus)
+"""
+
+    o["events_transitions"] = """
+WITH pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions,
+         count(DISTINCT user_id) AS n_users
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions, n_users,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS share_of_source
+FROM c
+"""
+
+    o["customer_revenue_concentration"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(18,4))
+           AS revenue_d
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT revenue_d,
+         ntile(10) OVER (ORDER BY revenue_d DESC, o_custkey ASC) AS decile
+  FROM per_cust
+), d AS (
+  SELECT decile, count(*) AS numcust,
+         CAST(sum(revenue_d) AS DECIMAL(18,4)) AS rev_d
+  FROM b GROUP BY 1
+)
+SELECT decile, numcust,
+       CAST(rev_d AS DOUBLE) AS decile_revenue,
+       CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE)
+         AS revenue_share,
+       CAST(sum(rev_d) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(sum(rev_d) OVER () AS DOUBLE) AS cumulative_share
+FROM d ORDER BY decile
+"""
+
+    # ---- PII scrub (round 5): identical deterministic injection, then the
+    # same alternation-free regexes DuckDB's RE2 and Spark's Java regex
+    # match identically ----
+    em, em_tok = ops.PII_PATTERNS["email"]
+    ip, ip_tok = ops.PII_PATTERNS["ipv4"]
+    ph, ph_tok = ops.PII_PATTERNS["phone"]
+    o["text_pii_scrub"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         'mail user' || CAST(doc_id AS VARCHAR) || '@example.com ' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 '
+              ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN 'call +1 555 000 1234 '
+              ELSE '' END || text AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{em}', '{em_tok}', 'g'),
+         '{ip}', '{ip_tok}', 'g'),
+         '{ph}', '{ph_tok}', 'g') AS clean_text
+FROM inj
+"""
+
+    # ---- C4-style line dedup (round 5): same 4-word line derivation as
+    # chunk_documents(4, 0), then drop lines in >= 2 docs, reassemble ----
+    o["docs_line_dedup"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id, i.i AS line_no,
+         list_aggregate(list_slice(w, i.i * 4 + 1, i.i * 4 + 4),
+                        'string_agg', ' ') AS line
+  FROM words CROSS JOIN (SELECT unnest(range(0, 3000)) AS i) i
+  WHERE i.i * 4 < len(w)
+),
+dup AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lines l ANTI JOIN dup d ON l.line = d.line
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         string_agg(line, chr(10) ORDER BY line_no) AS t
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_lines_kept,
+       coalesce(a.t, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM lines) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
     return o

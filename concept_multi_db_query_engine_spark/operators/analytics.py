@@ -706,3 +706,76 @@ def events_hourly(events: DataFrame) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def grouped_rollup(orders: DataFrame, mode: str = "rollup") -> DataFrame:
+    """Hierarchical subtotals over (priority, status): ``GROUP BY ROLLUP``
+    (``mode="rollup"``) or the full ``CUBE`` lattice (``mode="cube"``).
+    Emits every grouping-set row with explicit ``grouping()`` flags and the
+    key columns coalesced to the sentinel ``'ALL'`` so the output is a
+    plain, stably-hashable relation (no NULL-vs-subtotal ambiguity).
+
+    Scale shape: Catalyst expands grouping sets by replicating each input
+    row once per grouping set *after* partial aggregation planning — the
+    shuffle carries one pre-aggregated row per (grouping-set, group), not
+    |input| × |sets|, and every aggregate is map-side combined. Revenue is
+    summed as exact decimal (associative under any partitioning) and cast
+    to double only at the end.
+    """
+    if mode not in ("rollup", "cube"):
+        raise ValueError("mode must be 'rollup' or 'cube'")
+    grouped = (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        if mode == "rollup"
+        else orders.cube("o_orderpriority", "o_orderstatus")
+    )
+    return (
+        grouped.agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_pri", "g_status", "n_orders", "revenue",
+        )
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition matrix: for each user's
+    time-ordered event stream, count (previous type -> next type) steps and
+    the share each target takes of its source state's outgoing edges — the
+    standard Markov-chain view of product flows ("after a click, 34% of
+    next actions are purchases").
+
+    One exchange on ``user_id`` for the lag window (ties broken by
+    ``event_id`` so the order is a total order on any engine), then an
+    aggregation whose output is at most |event_types|^2 rows — the
+    per-transition rollup is map-side combined, and the share window runs
+    over that tiny aggregate, not the event stream. Scale cost ~= one
+    shuffle of the events, same as sessionize.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    out_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n_transitions", "n_users",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(out_total).cast("double")
+        ).alias("share_of_source"),
+    )

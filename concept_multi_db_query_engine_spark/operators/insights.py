@@ -325,3 +325,53 @@ def purchase_click_attribution(
             "n_clicks_before",
         )
     )
+
+
+def revenue_concentration(orders: DataFrame) -> DataFrame:
+    """Pareto view of customer-revenue concentration: bucket customers into
+    revenue deciles (exact NTILE via :func:`distributed_ntile` — decile 1 =
+    highest spenders) and report each decile's share of total revenue plus
+    the running cumulative share ("the top 20% of customers carry X% of
+    revenue").
+
+    The ranking stage is the distributed exact NTILE (range shuffle +
+    broadcast offsets — no single-partition sort even at 10^9 customers);
+    everything after it runs on a 10-row aggregate, so the trailing
+    cumulative window is free. Shares are formed by one double division of
+    two exact decimal sums, so both engines divide the identical numbers.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice")).cast(DEC18).alias("revenue_d")
+    )
+    bucketed = distributed_ntile(
+        per_cust,
+        [F.col("revenue_d").desc(), F.col("o_custkey").asc()],
+        10,
+        out_col="decile",
+    )
+    per_dec = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("revenue_d").cast(DEC18).alias("rev_d"),
+    )
+    # 10-row frame from here on: the global total and the running sum are
+    # windows over the aggregate, not the customer set
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy().orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_dec.select(
+            "decile", "numcust",
+            F.col("rev_d").cast("double").alias("decile_revenue"),
+            (
+                F.col("rev_d").cast("double")
+                / F.sum("rev_d").over(w_all).cast("double")
+            ).alias("revenue_share"),
+            (
+                F.sum("rev_d").over(w_cum).cast("double")
+                / F.sum("rev_d").over(w_all).cast("double")
+            ).alias("cumulative_share"),
+        )
+        .orderBy("decile")
+    )

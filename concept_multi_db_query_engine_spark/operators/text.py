@@ -715,3 +715,83 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Redaction patterns kept alternation-free with greedy quantifiers only, so
+# Java regex (Spark, leftmost-first backtracking) and RE2-family engines
+# (DuckDB/ClickHouse, leftmost-longest) find the identical matches — the
+# cross-engine subset that makes the scrub oracle-replayable.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d -]{7,}\d\b", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    docs: DataFrame, patterns: dict | None = None,
+) -> DataFrame:
+    """PII redaction pass for corpus cleaning: replace e-mail addresses,
+    IPv4 addresses, and phone-number shapes with typed placeholder tokens
+    and report a per-document hit count for each category. Returns
+    (doc_id, n_email, n_ipv4, n_phone, ..., clean_text).
+
+    Counts are measured per-pattern on the RAW text (independent of one
+    another); replacements are then applied sequentially in dict order, so
+    an earlier category cannot hide a later category's counts. Pure
+    JVM ``regexp_count``/``regexp_replace`` expressions — a narrow map with
+    no shuffle; scrubbing 100 TB is scan-bound and whole-stage-codegen'd.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, (rx, _) in pats.items()
+    ]
+    clean = F.col("text")
+    for _, (rx, token) in pats.items():
+        clean = F.regexp_replace(clean, rx, token)
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def line_dedup(
+    lines: DataFrame, min_docs: int = 2,
+    doc_col: str = "doc_id", pos_col: str = "line_no", line_col: str = "line",
+) -> DataFrame:
+    """C4-style exact line-level deduplication: drop every line that occurs
+    in at least ``min_docs`` distinct documents (navigation chrome, cookie
+    banners, licence boilerplate), then reassemble each document from its
+    surviving lines in order. Input is an exploded (doc, position, line)
+    frame; output is (doc_id, n_lines_kept, clean_text) — one row per input
+    document, empty text when every line was boilerplate.
+
+    Scale shape: one shuffle of the line frame keyed by line text for the
+    distinct-document count (map-side combined), a left-anti join against
+    the (small — boilerplate is the point) duplicated-line set which AQE
+    broadcasts, and one shuffle on doc_id to reassemble. Nothing driver-side;
+    the duplicated-line frame is the only thing that must fit in one
+    executor's broadcast budget, and at corpus scale it is the head of the
+    line-frequency distribution, not the corpus.
+    """
+    dup_lines = (
+        lines.groupBy(line_col)
+        .agg(F.countDistinct(doc_col).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select(line_col)
+    )
+    kept = lines.join(dup_lines, on=line_col, how="left_anti")
+    rebuilt = kept.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, line_col))),
+                lambda x: x[line_col],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    all_docs = lines.select(doc_col).distinct()
+    return all_docs.join(rebuilt, on=doc_col, how="left").select(
+        doc_col,
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -1,0 +1,204 @@
+"""Edge-case unit tests for the round-5 operators: grouping-set rollup/cube,
+the event transition matrix, revenue concentration, PII scrub, and C4-style
+line-level dedup. The driver's DuckDB oracle gate covers realistic
+distributions; these pin boundary semantics on tiny hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, "HIGH", "F", 100.0),
+            (2, 10, "HIGH", "O", 50.0),
+            (3, 20, "LOW", "F", 25.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double",
+    )
+
+
+# ---- grouped_rollup ----------------------------------------------------
+
+
+def test_rollup_has_subtotals_and_grand_total(spark):
+    rows = {
+        (r["priority"], r["status"]): r
+        for r in ops.grouped_rollup(_orders(spark), "rollup").collect()
+    }
+    # leaf rows + per-priority subtotals + grand total, no status-only rows
+    assert rows[("HIGH", "F")]["n_orders"] == 1
+    assert rows[("HIGH", "ALL")]["n_orders"] == 2
+    assert rows[("HIGH", "ALL")]["revenue"] == 150.0
+    assert rows[("ALL", "ALL")]["n_orders"] == 3
+    assert rows[("ALL", "ALL")]["revenue"] == 175.0
+    assert ("ALL", "F") not in rows
+    # grouping flags disambiguate subtotal rows from data rows
+    assert rows[("HIGH", "ALL")]["g_status"] == 1
+    assert rows[("HIGH", "ALL")]["g_pri"] == 0
+    assert rows[("ALL", "ALL")] ["g_pri"] == 1
+
+
+def test_cube_adds_status_marginals(spark):
+    rows = {
+        (r["priority"], r["status"]): r
+        for r in ops.grouped_rollup(_orders(spark), "cube").collect()
+    }
+    assert rows[("ALL", "F")]["n_orders"] == 2
+    assert rows[("ALL", "F")]["revenue"] == 125.0
+    assert rows[("ALL", "O")]["n_orders"] == 1
+    # full lattice: 3 leaves + 2 pri subtotals + 2 status subtotals + total
+    assert len(rows) == 8
+
+
+def test_rollup_rejects_unknown_mode(spark):
+    with pytest.raises(ValueError):
+        ops.grouped_rollup(_orders(spark), "grouping_sets")
+
+
+# ---- event_transitions -------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 12, m), u, t, 0.0, "{}")
+            for i, (m, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_transitions_counts_and_shares(spark):
+    # user 1: view -> click -> click ; user 2: view -> click
+    ev = _events(
+        spark,
+        [(0, 1, "view"), (1, 1, "click"), (2, 1, "click"),
+         (0, 2, "view"), (1, 2, "click")],
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in ops.event_transitions(ev).collect()
+    }
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "click")]["n_users"] == 2
+    assert out[("view", "click")]["share_of_source"] == 1.0
+    assert out[("click", "click")]["n_transitions"] == 1
+    assert out[("click", "click")]["n_users"] == 1
+    # a single-event user contributes no transitions
+    assert len(out) == 2
+
+
+def test_transitions_tie_broken_by_event_id(spark):
+    # two events at the identical timestamp: order falls back to event_id,
+    # so the walk is view(id 0) -> click(id 1) deterministically
+    ev = _events(spark, [(5, 1, "view"), (5, 1, "click")])
+    out = ops.event_transitions(ev).collect()
+    assert len(out) == 1
+    assert (out[0]["prev_type"], out[0]["next_type"]) == ("view", "click")
+
+
+# ---- revenue_concentration ---------------------------------------------
+
+
+def test_concentration_shares_are_pareto_ordered(spark):
+    orders = spark.createDataFrame(
+        [(i, i % 20, "P", "F", float(1000 - i)) for i in range(200)],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double",
+    )
+    rows = ops.revenue_concentration(orders).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # 20 customers -> 2 per decile; decile 1 holds the biggest spenders
+    assert all(r["numcust"] == 2 for r in rows)
+    shares = [r["revenue_share"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert abs(sum(shares) - 1.0) < 1e-12
+    assert abs(rows[-1]["cumulative_share"] - 1.0) < 1e-12
+    cums = [r["cumulative_share"] for r in rows]
+    assert cums == sorted(cums)
+
+
+# ---- pii_scrub ---------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.example.org or 10.0.0.1 ok"),
+            (2, "call +1 555 123 4567 twice: 555 123 4567 also works"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[1]["clean_text"] == "reach me at <EMAIL> or <IP> ok"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean_text"] == "call <PHONE> twice: <PHONE> also works"
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert out[3]["clean_text"] == "nothing sensitive here"
+
+
+def test_pii_scrub_counts_are_independent_of_replacement_order(spark):
+    # an IP inside an email's domain would be hidden by sequential
+    # replacement; counts are measured on the raw text so both report
+    docs = spark.createDataFrame(
+        [(1, "x@10.0.0.1.example.com")], "doc_id long, text string"
+    )
+    row = ops.pii_scrub(docs).collect()[0]
+    assert row["n_email"] == 1
+    assert row["n_ipv4"] == 1  # counted on raw text even though masked
+    assert row["clean_text"] == "<EMAIL>"
+
+
+# ---- line_dedup --------------------------------------------------------
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, line_no long, line string"
+    )
+
+
+def test_line_dedup_drops_shared_lines_and_keeps_order(spark):
+    lines = _lines(
+        spark,
+        [
+            (1, 0, "unique to one"),
+            (1, 1, "shared banner"),
+            (1, 2, "also unique"),
+            (2, 0, "shared banner"),
+            (2, 1, "second doc text"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ops.line_dedup(lines, 2).collect()}
+    assert out[1]["n_lines_kept"] == 2
+    assert out[1]["clean_text"] == "unique to one\nalso unique"
+    assert out[2]["clean_text"] == "second doc text"
+
+
+def test_line_dedup_within_doc_repeat_survives(spark):
+    # the same line twice in ONE doc is not cross-document boilerplate
+    lines = _lines(spark, [(1, 0, "la la"), (1, 1, "la la")])
+    out = ops.line_dedup(lines, 2).collect()[0]
+    assert out["n_lines_kept"] == 2
+    assert out["clean_text"] == "la la\nla la"
+
+
+def test_line_dedup_doc_losing_all_lines_stays_present(spark):
+    lines = _lines(
+        spark, [(1, 0, "banner"), (2, 0, "banner"), (3, 0, "real content")]
+    )
+    out = {r["doc_id"]: r for r in ops.line_dedup(lines, 2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_lines_kept"] == 0 and out[1]["clean_text"] == ""
+    assert out[3]["clean_text"] == "real content"
