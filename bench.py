@@ -53,11 +53,14 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "orders_rollup",
+    "orders_cube",
     "events_approx_distinct_kmv",
     "rolling_revenue_7d",
     "customer_order_gaps",
     "nation_revenue_pivot",
     "customer_revenue_deciles",
+    "customer_revenue_concentration",
     "customer_segments_setops",
     "purchase_click_attribution",
     "text_tfidf_top_terms",
@@ -73,6 +76,7 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_attribution",
     "events_props_rollup",
+    "events_transitions",
     # LLM-data-pipeline operators
     "text_token_stats",
     "text_quality_score",
@@ -81,6 +85,7 @@ HEADLINE = [
     "text_contamination_check",
     "text_repetition_score",
     "text_gopher_rules",
+    "text_pii_scrub",
     "corpus_report",
     "docs_stratified_sample",
     "docs_pack_sequences",
@@ -88,6 +93,7 @@ HEADLINE = [
     "docs_hash_split",
     "docs_weighted_sample",
     "docs_clean_corpus",
+    "docs_line_dedup",
     "dedup_exact",
     "dedup_incremental",
     "dedup_clusters",

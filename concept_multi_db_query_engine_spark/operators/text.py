@@ -765,33 +765,33 @@ def line_dedup(
     document, empty text when every line was boilerplate.
 
     Scale shape: one shuffle of the line frame keyed by line text for the
-    distinct-document count (map-side combined), a left-anti join against
-    the (small — boilerplate is the point) duplicated-line set which AQE
-    broadcasts, and one shuffle on doc_id to reassemble. Nothing driver-side;
-    the duplicated-line frame is the only thing that must fit in one
-    executor's broadcast budget, and at corpus scale it is the head of the
+    distinct-document count (map-side combined), a left join against the
+    (small — boilerplate is the point) duplicated-line set which AQE
+    broadcasts, and ONE shuffle on doc_id for a conditional reassembly
+    aggregation — dropped lines are excluded inside ``collect_list`` (nulls
+    are skipped), so every document keeps its output row without a second
+    scan or a rejoin of the doc-id universe. Nothing driver-side; the
+    duplicated-line frame is the only thing that must fit an executor's
+    broadcast budget, and at corpus scale it is the head of the
     line-frequency distribution, not the corpus.
     """
     dup_lines = (
         lines.groupBy(line_col)
         .agg(F.countDistinct(doc_col).alias("df"))
         .where(F.col("df") >= min_docs)
-        .select(line_col)
+        .select(line_col, F.lit(True).alias("_dup"))
     )
-    kept = lines.join(dup_lines, on=line_col, how="left_anti")
-    rebuilt = kept.groupBy(doc_col).agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
+    flagged = lines.join(dup_lines, on=line_col, how="left")
+    kept_struct = F.when(
+        F.col("_dup").isNull(), F.struct(pos_col, line_col)
+    )  # null for dropped lines -> collect_list skips them
+    return flagged.groupBy(doc_col).agg(
+        F.count(kept_struct).alias("n_lines_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(pos_col, line_col))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x[line_col],
             ),
             "\n",
         ).alias("clean_text"),
-    )
-    all_docs = lines.select(doc_col).distinct()
-    return all_docs.join(rebuilt, on=doc_col, how="left").select(
-        doc_col,
-        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
