@@ -800,6 +800,14 @@ def _q_line_dedup(spark, sf):
     return ops.line_dedup(lines, min_docs=2)
 
 
+def _q_rolling_active(spark, sf):
+    return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
+
+
+def _q_profile_orders(spark, sf):
+    return ops.profile_table(_t(spark, sf, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(name) for name in _DSL
@@ -885,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer_revenue_concentration": _q_revenue_concentration,
             "text_pii_scrub": _q_pii_scrub,
             "docs_line_dedup": _q_line_dedup,
+            "events_rolling_active_users": _q_rolling_active,
+            "orders_profile": _q_profile_orders,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -917,23 +927,24 @@ _GATE_PRIORITY = [
     "docs_weighted_sample", "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph", "orders_rollup", "orders_cube", "events_transitions",
     "customer_revenue_concentration", "text_pii_scrub", "docs_line_dedup",
+    "events_rolling_active_users", "orders_profile",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
     "rolling_revenue_7d",
-    # --- latest grade round 3 (19 of 32; the rest below the fold queue
-    # for round 6 — six slots went to the new round-5 operators above) ---
+    # --- latest grade round 3 (17 of 32; the rest below the fold queue
+    # for round 6 — eight slots went to the new round-5 operators above) ---
     "customer_revenue_deciles_approx", "customer_segments_setops",
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
     "events_approx_distinct_kmv", "events_cohort_retention",
     "events_funnel", "events_hourly_rollup", "multimodal_frame_sample",
-    "nation_revenue_pivot", "sim_knn_label_vote",
     # ===== round-6 queue starts here (entry 51+) =====
     # r3-graded rows that did not fit the round-5 window — grade first
     # next round
+    "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
     "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
     "text_language_id", "text_quality_score", "text_token_stats",
@@ -2464,4 +2475,45 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM lines) d
 LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+    # ---- rolling active users (round 5): same explode-into-window-days
+    # formulation; DuckDB's day-trunc yields DATE, cast to TIMESTAMP ----
+    o["events_rolling_active_users"] = """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM daily),
+contrib AS (
+  SELECT g.wday, d.user_id
+  FROM daily d CROSS JOIN LATERAL unnest(
+    generate_series(d.day, d.day + INTERVAL 6 DAY, INTERVAL 1 DAY)
+  ) AS g(wday)
+)
+SELECT c.wday AS day, count(DISTINCT c.user_id) AS active_users
+FROM contrib c JOIN days dy ON dy.day = c.wday
+GROUP BY 1
+"""
+
+    # ---- table profile (round 5): one single-row aggregate per column,
+    # UNION ALL — mirrors profile_table's union-of-pruned-scans plan.
+    # Null-count sums are CAST to BIGINT (DuckDB sum(int) -> HUGEINT). ----
+    profile_branches = []
+    for c, is_num, is_str in (
+        ("o_orderkey", True, False), ("o_custkey", True, False),
+        ("o_orderstatus", False, True), ("o_totalprice", True, False),
+        ("o_orderdate", False, False), ("o_orderpriority", False, True),
+    ):
+        mn = (f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)")
+        mx = (f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)")
+        ms = (f"min({c})" if is_str else "CAST(NULL AS VARCHAR)")
+        mxs = (f"max({c})" if is_str else "CAST(NULL AS VARCHAR)")
+        profile_branches.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {mxs} AS max_str
+FROM orders""")
+    o["orders_profile"] = "\nUNION ALL\n".join(profile_branches)
     return o

@@ -779,3 +779,40 @@ def event_transitions(events: DataFrame) -> DataFrame:
             / F.sum("n_transitions").over(out_total).cast("double")
         ).alias("share_of_source"),
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling N-day active users: for every observed activity day ``d``,
+    the count of distinct users with at least one event in
+    ``[d - (N-1), d]`` — the DAU/WAU-style metric every product-analytics
+    stack reports.
+
+    Scale shape: reduce the event stream to distinct (day, user) pairs
+    (one map-side-combined shuffle), then EXPLODE each pair into the N
+    window days it contributes to and count distinct users per window day —
+    the exchange carries N·|daily| rows, all narrow. This deliberately
+    avoids the tempting range join (days × daily with a BETWEEN condition),
+    which Spark can only plan as a broadcast nested loop; the explode form
+    is a plain hash aggregation that survives any corpus size. Window days
+    beyond the last observed activity day are clipped by the inner join
+    with the observed-day set (a tiny frame AQE broadcasts).
+    """
+    daily = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days, "
+                "interval 1 day)"
+            )
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib["wday"] == days["day"], "inner")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(F.col("wday").alias("day"), "active_users")
+    )

@@ -1,0 +1,60 @@
+"""Table profiling: per-column null counts, exact distinct cardinalities,
+and min/max ranges in one union-of-aggregates plan — the "what is in this
+table" first query of any data-engineering engagement.
+
+Reference behavior source: the spec's meta/debug execute modes expose
+schema-level metadata only (EXECUTION_MODES.md); column-level profiling is
+part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "integer", "bigint", "long",
+            "float", "double"}
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per profiled column: (col_name, n_rows, n_null, n_distinct,
+    min_num, max_num, min_str, max_str). Numeric columns fill the ``_num``
+    pair (cast to double); string columns the lexicographic ``_str`` pair;
+    other types profile nulls/distincts only. ``n_distinct`` is exact and
+    excludes NULL (both engines' ``count(DISTINCT c)`` semantics).
+
+    Plan shape: one single-row aggregate per column, unioned. With columnar
+    sources each branch's scan prunes to that one column, so the union of
+    k branches reads ~the same bytes as one k-column scan while keeping
+    every aggregate map-side combined — no Expand-based multi-distinct
+    blow-up (which would multiply the shuffle by k). Exact distincts
+    shuffle one value-keyed row per distinct value per column; swap in
+    ``approx_count_distinct`` upstream if a 100 TB profile only needs
+    cardinality estimates.
+    """
+    types = dict(df.dtypes)
+    cols = columns if columns is not None else df.columns
+    branches = []
+    for c in cols:
+        t = types[c]
+        is_num = t in _NUMERIC or t.startswith("decimal")
+        is_str = t == "string"
+        branches.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                (F.min(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(c).cast("double") if is_num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.min(c) if is_str
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(c) if is_str
+                 else F.lit(None).cast("string")).alias("max_str"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -202,3 +202,72 @@ def test_line_dedup_doc_losing_all_lines_stays_present(spark):
     assert set(out) == {1, 2, 3}
     assert out[1]["n_lines_kept"] == 0 and out[1]["clean_text"] == ""
     assert out[3]["clean_text"] == "real content"
+
+
+# ---- rolling_active_users ----------------------------------------------
+
+
+def test_rolling_active_users_window_semantics(spark):
+    # user 1 active on day 1 and day 9; user 2 on day 2 only.
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 5), 1, "view", 0.0, "{}"),
+            (1, dt.datetime(2024, 1, 2, 5), 2, "view", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 9, 5), 1, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["day"].day: r["active_users"]
+        for r in ops.rolling_active_users(ev, window_days=7).collect()
+    }
+    # only observed activity days are reported
+    assert set(out) == {1, 2, 9}
+    assert out[1] == 1          # day 1: user 1
+    assert out[2] == 2          # day 2: users 1 (day 1 in window) + 2
+    assert out[9] == 1          # day 9: day-2 activity fell out of window
+
+
+def test_rolling_active_users_no_double_count(spark):
+    # the same user active on two days inside one window counts once
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 5), 7, "view", 0.0, "{}"),
+            (1, dt.datetime(2024, 1, 2, 5), 7, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["day"].day: r["active_users"]
+        for r in ops.rolling_active_users(ev, window_days=7).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+# ---- profile_table -----------------------------------------------------
+
+
+def test_profile_table_per_column_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (2, None, 8.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in ops.profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in rows.values())
+    assert rows["k"]["n_null"] == 0 and rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["k"]["min_str"] is None
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["s"]["min_num"] is None
+    assert rows["v"]["n_null"] == 1
+    assert rows["v"]["min_num"] == 2.0 and rows["v"]["max_num"] == 8.0
+
+
+def test_profile_table_column_subset(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    rows = ops.profile_table(df, columns=["s"]).collect()
+    assert len(rows) == 1 and rows[0]["col_name"] == "s"
