@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark.operators.graph import SCALE
 
 
 def _orders(spark):
@@ -271,3 +272,47 @@ def test_profile_table_column_subset(spark):
     df = spark.createDataFrame([(1, "a")], "k long, s string")
     rows = ops.profile_table(df, columns=["s"]).collect()
     assert len(rows) == 1 and rows[0]["col_name"] == "s"
+
+
+# ---- pagerank ----------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_symmetric_cycle_equal_ranks(spark):
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in ops.pagerank(_edges(spark, [(1, 2), (2, 1)]), 8).collect()
+    }
+    assert out[1] == out[2]
+    # two nodes sharing all mass: each stays near SCALE/2 (floor-div leak)
+    assert abs(out[1] - SCALE // 2) < SCALE // 100
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # leaves 2..5 all point at hub 1; hub points back at leaf 2
+    edges = _edges(spark, [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)])
+    out = {r["node"]: r["rank_scaled"] for r in ops.pagerank(edges, 8).collect()}
+    # the 1<->2 two-cycle oscillates with iteration parity, so compare the
+    # cycle members against the in-edge-less leaves, not each other
+    assert out[1] > out[3] and out[2] > out[3]
+    assert out[3] == out[4] == out[5]
+
+
+def test_pagerank_sink_keeps_receiving_without_emitting(spark):
+    # 1 -> 2 and 2 has no out-edges: 2's inflow leaks, 1 decays to base
+    out = {r["node"]: r for r in ops.pagerank(_edges(spark, [(1, 2)]), 8).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["rank_scaled"] > out[1]["rank_scaled"]
+    assert out[1]["rank"] > 0.0
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = _edges(spark, [(i, (i * 7) % 23) for i in range(23)])
+    a = sorted((r["node"], r["rank_scaled"])
+               for r in ops.pagerank(edges, 6).collect())
+    b = sorted((r["node"], r["rank_scaled"])
+               for r in ops.pagerank(edges.repartition(13), 6).collect())
+    assert a == b  # partitioning cannot change integer results
