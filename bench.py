@@ -55,10 +55,14 @@ HEADLINE = [
     "tpch_q22",
     "orders_rollup",
     "orders_cube",
+    "orders_profile",
     "events_approx_distinct_kmv",
     "rolling_revenue_7d",
     "customer_order_gaps",
     "nation_revenue_pivot",
+    "nation_revenue_unpivot",
+    "orders_price_histogram",
+    "orders_monthly_growth",
     "customer_revenue_deciles",
     "customer_revenue_concentration",
     "customer_segments_setops",
@@ -77,6 +81,7 @@ HEADLINE = [
     "events_asof_attribution",
     "events_props_rollup",
     "events_transitions",
+    "events_rolling_active_users",
     # LLM-data-pipeline operators
     "text_token_stats",
     "text_quality_score",
@@ -106,6 +111,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_knn_label_vote",
     "sim_knn_graph",
+    "graph_pagerank",
     "embeddings_quantize_int8",
     "sim_topk_lsh",
     "sim_topk_ivf",

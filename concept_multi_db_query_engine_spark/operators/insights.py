@@ -375,3 +375,81 @@ def revenue_concentration(orders: DataFrame) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def nation_revenue_unpivot(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+) -> DataFrame:
+    """Round-trip of :func:`nation_revenue_pivot` back to long form with
+    ``DataFrame.unpivot`` (SQL UNPIVOT / melt): one row per
+    (nation, year) with the pivoted revenue value, NULL cells dropped —
+    the normalization step that feeds BI tools expecting tidy frames.
+
+    The unpivot itself is a narrow projection (each input row fans out to
+    |years| rows with no exchange), so the plan cost is exactly the pivot's
+    single hash aggregate.
+    """
+    wide = nation_revenue_pivot(orders, customer, nation)
+    return (
+        wide.unpivot(
+            "nation",
+            [f"y{y}" for y in PIVOT_YEARS],
+            "year_label",
+            "revenue",
+        )
+        .where(F.col("revenue").isNotNull())
+        .select(
+            "nation",
+            F.substring("year_label", 2, 4).cast("int").alias("o_year"),
+            "revenue",
+        )
+    )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, bin_width: float, round_to: int = 2,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one row per occupied bin
+    with (bin_start, n, share). Bin assignment is ``floor(value / width) *
+    width`` — identical IEEE arithmetic on every engine — and ``share`` is
+    one double division of two exact longs, so the output is
+    cross-engine hashable. A single map-side-combined aggregation over the
+    scan: profiling a 100 TB column costs one narrow pass plus a
+    |bins|-row exchange.
+    """
+    bin_start = F.round(
+        F.floor(F.col(value_col) / F.lit(bin_width)) * F.lit(bin_width),
+        round_to,
+    )
+    binned = df.where(F.col(value_col).isNotNull()).groupBy(
+        bin_start.alias("bin_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    return binned.select(
+        "bin_start", "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_all).cast("double"))
+        .alias("share"),
+    )
+
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue: per-month exact decimal totals plus the
+    previous month's total and the relative growth rate — the standard
+    period-over-period KPI view. The lag/growth window runs over the
+    month-grain aggregate (at most a few hundred rows for decades of
+    data), so the single-partition window is bounded by construction, the
+    same argument as ``rolling_revenue_7d``'s day grain."""
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_d("o_totalprice")).cast(DEC18).alias("rev_d"))
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("rev_d").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev_d").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (
+            (F.col("rev_d").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("growth"),
+    )

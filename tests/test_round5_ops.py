@@ -316,3 +316,57 @@ def test_pagerank_deterministic_across_runs(spark):
     b = sorted((r["node"], r["rank_scaled"])
                for r in ops.pagerank(edges.repartition(13), 6).collect())
     assert a == b  # partitioning cannot change integer results
+
+
+# ---- unpivot / histogram / monthly growth ------------------------------
+
+
+def test_unpivot_round_trip_drops_empty_cells(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "P", "F", 100.0, dt.datetime(1995, 3, 1)),
+         (2, 10, "P", "F", 50.0, dt.datetime(1997, 6, 1))],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c10", "SEG", 0)],
+        "c_custkey long, c_name string, c_mktsegment string, c_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALGERIA", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    rows = {
+        (r["nation"], r["o_year"]): r["revenue"]
+        for r in ops.nation_revenue_unpivot(orders, customer, nation).collect()
+    }
+    # only the two populated (nation, year) cells survive the melt
+    assert rows == {("ALGERIA", 1995): 100.0, ("ALGERIA", 1997): 50.0}
+
+
+def test_numeric_histogram_bins_and_shares(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (5, 15, 25, 95, None) if v is not None]
+        + [(None,)],
+        "x double",
+    )
+    rows = {r["bin_start"]: r for r in
+            ops.numeric_histogram(df, "x", 10.0).collect()}
+    assert set(rows) == {0.0, 10.0, 20.0, 90.0}
+    assert rows[0.0]["n"] == 1 and rows[0.0]["share"] == 0.25
+    assert rows[90.0]["n"] == 1
+
+
+def test_monthly_growth_lag_and_rate(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "P", "F", 100.0, dt.datetime(1995, 1, 5)),
+         (2, 1, "P", "F", 100.0, dt.datetime(1995, 1, 20)),
+         (3, 1, "P", "F", 300.0, dt.datetime(1995, 2, 3))],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+    )
+    rows = sorted(ops.monthly_revenue_growth(orders).collect(),
+                  key=lambda r: r["month"])
+    assert rows[0]["revenue"] == 200.0 and rows[0]["prev_revenue"] is None
+    assert rows[0]["growth"] is None
+    assert rows[1]["revenue"] == 300.0 and rows[1]["prev_revenue"] == 200.0
+    assert rows[1]["growth"] == 0.5
