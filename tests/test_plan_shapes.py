@@ -197,3 +197,50 @@ class TestNoPresentationSorts:
         n_exchanges = final.count("Exchange hashpartitioning")
         assert n_exchanges == 1, final
         assert "SinglePartition" not in final
+
+
+class TestRound5Shapes:
+    """Round-5 claims: the scrub is a narrow map, grouping sets stay one
+    exchange, line dedup carries no doc-universe rejoin, transitions put
+    the event stream through exactly one exchange."""
+
+    def test_pii_scrub_has_no_exchange(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        assert "Exchange" not in executed(ops.pii_scrub(docs))
+
+    def test_rollup_is_single_exchange(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        for mode in ("rollup", "cube"):
+            full = executed(ops.grouped_rollup(orders, mode))
+            final = full.split("== Initial Plan ==")[0]
+            assert final.count("Exchange hashpartitioning") == 1, final
+            # Expand (grouping-set replication) must sit ABOVE the scan but
+            # below the exchange: partial aggregation runs per grouping set
+            assert "Expand" in final
+
+    def test_event_stream_crosses_one_exchange_for_transitions(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        full = executed(ops.event_transitions(events))
+        final = full.split("== Initial Plan ==")[0]
+        # exchanges on user_id (window), then aggregation exchanges over the
+        # tiny (prev,next) frame; the event-volume shuffle is the first only
+        assert final.count("Exchange hashpartitioning(user_id") == 1, final
+
+    def test_line_dedup_has_no_doc_universe_rejoin(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        lines = ops.chunk_documents(docs, 4, 0).select(
+            "doc_id", F.col("chunk_id").alias("line_no"),
+            F.col("chunk_text").alias("line"),
+        )
+        full = executed(ops.line_dedup(lines, 2))
+        final = full.split("== Initial Plan ==")[0]
+        # one line-keyed count shuffle + one doc_id reassembly shuffle;
+        # the dup-line join side must come in as a broadcast
+        assert final.count("Exchange hashpartitioning") <= 3, final
+        assert "BroadcastHashJoin" in final
+
+    def test_histogram_is_single_aggregation(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        full = executed(ops.numeric_histogram(orders, "o_totalprice", 20000.0))
+        final = full.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, final
