@@ -55,16 +55,24 @@ def pagerank(
     out-degree k by construction (e.g. :func:`similarity.knn_graph`).
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
-        .distinct()
+    # Materialize the edge list EXACTLY ONCE: it may carry an expensive
+    # lineage (e.g. the k-NN graph's blocked self-join), and it is
+    # referenced by the out-degree join of every iteration plus the node
+    # universe. All loop-invariant frames derive from this checkpoint.
+    e0 = edges.select(src.alias("c_src"), dst.alias("c_dst")).localCheckpoint(
+        eager=True
     )
-    n = nodes.count()
+    nodes = (
+        e0.select(F.col("c_src").alias("node"))
+        .union(e0.select(F.col("c_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # materializes the node checkpoint (reads e0 only)
     init = SCALE // n
     base = init * (100 - damping_pct) // 100
-    out_edges = edges.select(src.alias("c_src"), dst.alias("c_dst")).join(
-        edges.groupBy(src.alias("o_src"))
+    out_edges = e0.join(
+        e0.groupBy(F.col("c_src").alias("o_src"))
         .agg(F.count(F.lit(1)).alias("outdeg")),
         F.col("c_src") == F.col("o_src"),
     ).select("c_src", "c_dst", "outdeg")
