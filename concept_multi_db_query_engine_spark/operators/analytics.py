@@ -797,6 +797,8 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     beyond the last observed activity day are clipped by the inner join
     with the observed-day set (a tiny frame AQE broadcasts).
     """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
     daily = events.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()

@@ -54,6 +54,10 @@ def pagerank(
     standard simplification for similarity graphs where every node has
     out-degree k by construction (e.g. :func:`similarity.knn_graph`).
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
     src, dst = F.col(src_col), F.col(dst_col)
     # Materialize the edge list EXACTLY ONCE: it may carry an expensive
     # lineage (e.g. the k-NN graph's blocked self-join), and it is

@@ -417,6 +417,8 @@ def numeric_histogram(
     scan: profiling a 100 TB column costs one narrow pass plus a
     |bins|-row exchange.
     """
+    if not bin_width > 0:
+        raise ValueError("bin_width must be positive")
     bin_start = F.round(
         F.floor(F.col(value_col) / F.lit(bin_width)) * F.lit(bin_width),
         round_to,

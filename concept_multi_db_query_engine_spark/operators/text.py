@@ -775,6 +775,8 @@ def line_dedup(
     broadcast budget, and at corpus scale it is the head of the
     line-frequency distribution, not the corpus.
     """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
     dup_lines = (
         lines.groupBy(line_col)
         .agg(F.countDistinct(doc_col).alias("df"))

@@ -370,3 +370,23 @@ def test_monthly_growth_lag_and_rate(spark):
     assert rows[0]["growth"] is None
     assert rows[1]["revenue"] == 300.0 and rows[1]["prev_revenue"] == 200.0
     assert rows[1]["growth"] == 0.5
+
+
+# ---- input validation --------------------------------------------------
+
+
+def test_operator_input_guards(spark):
+    edges = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        ops.pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        ops.pagerank(edges, damping_pct=101)
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        ops.numeric_histogram(df, "x", 0.0)
+    lines = _lines(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError):
+        ops.line_dedup(lines, min_docs=0)
+    ev = _events(spark, [(0, 1, "view")])
+    with pytest.raises(ValueError):
+        ops.rolling_active_users(ev, window_days=0)
