@@ -808,6 +808,10 @@ def _q_pagerank(spark, sf):
     return ops.pagerank(edges, iterations=8)
 
 
+def _q_cooccurrence(spark, sf):
+    return ops.event_cooccurrence(_t(spark, sf, "events"))
+
+
 def _q_nation_unpivot(spark, sf):
     return ops.nation_revenue_unpivot(
         _t(spark, sf, "orders"), _t(spark, sf, "customer"),
@@ -924,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nation_revenue_unpivot": _q_nation_unpivot,
             "orders_price_histogram": _q_price_histogram,
             "orders_monthly_growth": _q_monthly_growth,
+            "events_cooccurrence": _q_cooccurrence,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -958,7 +963,7 @@ _GATE_PRIORITY = [
     "customer_revenue_concentration", "text_pii_scrub", "docs_line_dedup",
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram",
-    "orders_monthly_growth",
+    "orders_monthly_growth", "events_cooccurrence",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -970,8 +975,8 @@ _GATE_PRIORITY = [
     "customer_revenue_deciles_approx", "customer_segments_setops",
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
-    "events_approx_distinct_kmv",
     # ===== round-6 queue starts here (entry 51+) =====
+    "events_approx_distinct_kmv",
     "events_cohort_retention", "events_funnel", "events_hourly_rollup",
     "multimodal_frame_sample",
     # r3-graded rows that did not fit the round-5 window — grade first
@@ -2612,6 +2617,32 @@ SELECT bin_start, n,
        CAST(n AS DOUBLE)
          / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE) AS share
 FROM b
+"""
+
+    o["events_cooccurrence"] = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
+pc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+tc AS (SELECT event_type, count(*) AS n_type FROM baskets GROUP BY 1)
+SELECT p.type_a, p.type_b, p.n_both,
+       ca.n_type AS n_a, cb.n_type AS n_b,
+       CAST(p.n_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support,
+       CAST(p.n_both AS DOUBLE) / CAST(ca.n_type AS DOUBLE)
+         AS confidence_a_to_b,
+       (CAST(p.n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE))
+         / (CAST(ca.n_type AS DOUBLE) * CAST(cb.n_type AS DOUBLE)) AS lift
+FROM pc p
+JOIN tc ca ON p.type_a = ca.event_type
+JOIN tc cb ON p.type_b = cb.event_type
+CROSS JOIN nu
 """
 
     o["orders_monthly_growth"] = """

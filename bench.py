@@ -81,6 +81,7 @@ HEADLINE = [
     "events_asof_attribution",
     "events_props_rollup",
     "events_transitions",
+    "events_cooccurrence",
     "events_rolling_active_users",
     # LLM-data-pipeline operators
     "text_token_stats",

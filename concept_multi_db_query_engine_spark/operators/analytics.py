@@ -818,3 +818,62 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .select(F.col("wday").alias("day"), "active_users")
     )
+
+
+def event_cooccurrence(events: DataFrame) -> DataFrame:
+    """Association mining over per-user event-type baskets: for every
+    unordered type pair (a < b), the users exhibiting both, plus the
+    classic market-basket measures — support (share of all users),
+    confidence a->b (P(b|a)), and lift (observed co-occurrence over the
+    independence expectation).
+
+    Scale shape: the event stream reduces to distinct (user, type) baskets
+    (one map-side-combined shuffle keyed by user — basket width is bounded
+    by |event_types|, so the self-join per user emits at most
+    |types|·(|types|-1)/2 pairs), the pair/type rollups are tiny, and the
+    one-row user-count frame joins in as a broadcast. Every measure is one
+    fixed-order double expression over exact longs, so both engines
+    compute identical values.
+    """
+    baskets = events.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    type_counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    ca = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    cb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    d = F.col  # shorthand
+    return (
+        pair_counts.join(ca, "type_a").join(cb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (d("n_both").cast("double") / d("n_users").cast("double"))
+            .alias("support"),
+            (d("n_both").cast("double") / d("n_a").cast("double"))
+            .alias("confidence_a_to_b"),
+            (
+                (d("n_both").cast("double") * d("n_users").cast("double"))
+                / (d("n_a").cast("double") * d("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -390,3 +390,23 @@ def test_operator_input_guards(spark):
     ev = _events(spark, [(0, 1, "view")])
     with pytest.raises(ValueError):
         ops.rolling_active_users(ev, window_days=0)
+
+
+# ---- event_cooccurrence ------------------------------------------------
+
+
+def test_cooccurrence_measures(spark):
+    # users: 1={A,B}, 2={A,B}, 3={A}, 4={C}
+    ev = _events(
+        spark,
+        [(0, 1, "A"), (1, 1, "B"), (2, 2, "A"), (3, 2, "B"),
+         (4, 3, "A"), (5, 4, "C"), (6, 1, "A")],  # duplicate A for user 1
+    )
+    rows = {(r["type_a"], r["type_b"]): r
+            for r in ops.event_cooccurrence(ev).collect()}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert r["n_both"] == 2 and r["n_a"] == 3 and r["n_b"] == 2
+    assert r["support"] == 0.5              # 2 of 4 users
+    assert r["confidence_a_to_b"] == 2 / 3  # P(B | A)
+    assert r["lift"] == (2 * 4) / (3 * 2)   # > 1: positively associated
