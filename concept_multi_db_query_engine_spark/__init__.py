@@ -52,6 +52,7 @@ from .providers import (
 )
 from .sources import (
     CatalogSource,
+    FormatSource,
     MemorySource,
     ParquetSource,
     SourceRegistry,
@@ -60,6 +61,7 @@ from .sources import (
 __all__ = [
     "CacheMeta",
     "CatalogSource",
+    "FormatSource",
     "ClickHouseRenderer",
     "DIALECTS",
     "CachedTableMeta",

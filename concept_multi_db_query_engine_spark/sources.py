@@ -212,6 +212,63 @@ class CatalogSource(Source):
         return True
 
 
+class FormatSource(Source):
+    """Directory of ``<physical_name>.<ext>`` files in a non-parquet file
+    format — csv, json, orc, avro, text — behind the same lazy-DataFrame
+    contract as :class:`ParquetSource`, so a "database" can be a landing
+    zone of raw exports without a conversion step.
+
+    ``schemas`` (physical name → DDL string) is REQUIRED for text formats
+    (csv/json): without it Spark would run schema inference, which reads
+    the data once before planning — at 100 TB that is a full extra scan,
+    and inferred types can drift between runs. With an explicit schema the
+    scan stays single-pass and the plan is stable.
+
+    Pushdown posture by format: column pruning works for all of them
+    (csv/json parse only requested fields with the default
+    ``columnPruning`` on); predicate pushdown reaches the scan for
+    orc (row-group statistics) and csv (row-level PushedFilters); json
+    filters evaluate post-parse. Prefer columnar formats for anything
+    queried repeatedly — this source exists for the ingest edge, not the
+    hot path.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        fmt: str = "csv",
+        schemas: dict[str, str] | None = None,
+        options: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        ext: str | None = None,
+    ):
+        self.directory = directory.rstrip("/")
+        self.fmt = fmt
+        self.schemas = schemas or {}
+        self.options = options or {}
+        self.aliases = aliases or {}
+        self.ext = ext or fmt
+
+    def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
+        stem = self.aliases.get(physical_name, physical_name)
+        reader = spark.read.format(self.fmt).options(**self.options)
+        schema = self.schemas.get(physical_name)
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif self.fmt in ("csv", "json"):
+            raise ValueError(
+                f"FormatSource({self.fmt}) requires an explicit schema for "
+                f"'{physical_name}': inference would scan the data before "
+                "planning"
+            )
+        return reader.load(f"{self.directory}/{stem}.{self.ext}")
+
+    def ping(self) -> bool:
+        import os
+
+        return os.path.isdir(self.directory)
+
+
 class MemorySource(Source):
     """In-memory tables for tests/fixtures: physical name → DataFrame or a
     zero-arg factory returning one."""
