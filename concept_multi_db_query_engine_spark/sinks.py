@@ -28,10 +28,14 @@ from pyspark.sql import DataFrame
 
 @dataclass
 class ParquetSink:
-    """Configurable parquet writer: shard count, hive partitioning,
-    within-file clustering, file-size cap, compression."""
+    """Configurable columnar/text writer: shard count, hive partitioning,
+    within-file clustering, file-size cap, compression. ``fmt`` defaults
+    to parquet (the hot-path layout); csv/json/orc cover export edges —
+    set ``compression`` to a codec the chosen format supports (snappy is
+    parquet/orc; use gzip or none for text formats)."""
 
     path: str
+    fmt: str = "parquet"
     mode: str = "overwrite"
     partition_by: tuple[str, ...] = ()
     sort_within_by: tuple[str, ...] = ()
@@ -67,7 +71,7 @@ class ParquetSink:
             writer = writer.option(k, v)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self.path)
+        writer.format(self.fmt).save(self.path)
 
 
 def write_corpus_shards(

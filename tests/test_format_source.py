@@ -97,3 +97,18 @@ def test_text_formats_require_schema(spark, format_fix):
     src = FormatSource(root, "csv")
     with pytest.raises(ValueError, match="explicit schema"):
         src.df(spark, "orders")
+
+
+def test_sink_roundtrip_in_csv(spark, tmp_path):
+    from concept_multi_db_query_engine_spark.sinks import ParquetSink
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "out.csv")
+    ParquetSink(path=path, fmt="csv", compression="none",
+                options={"header": "true"}).write(df)
+    back = FormatSource(str(tmp_path), "csv",
+                        schemas={"out": "id long, s string, v double"},
+                        options={"header": "true"}, ext="csv").df(spark, "out")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
