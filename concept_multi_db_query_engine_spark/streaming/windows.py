@@ -199,3 +199,32 @@ def run_stream_dedup_batch(
     dedup = stream_dedup_events(stream, keys=keys)
     run_stream_to_memory(dedup, "stream_dedup_events", output_mode="append")
     return spark.sql("SELECT * FROM stream_dedup_events")
+
+
+def windowed_active_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Tumbling-window ACTIVE USERS per event type. Streaming state cannot
+    hold exact per-window distinct sets (unbounded memory per key), so this
+    uses ``approx_count_distinct`` — HLL++ registers are mergeable state of
+    fixed size, the canonical streaming-distinct design. Because HLL
+    merging is commutative and idempotent (registers take element-wise
+    max), the streaming result is bit-identical to running the same
+    expression in batch over the same rows — which is exactly what the
+    stream/batch twin test asserts, no tolerance needed.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window(F.col("ts"), window).alias("win"), F.col("event_type")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "event_type", "approx_users", "n_events",
+    )

@@ -191,3 +191,28 @@ def test_hash_split_runs_unchanged_on_a_stream(spark):
         for r in ops.hash_split(batch_docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_active_users_stream_matches_batch_exactly(spark):
+    """HLL++ register merges are commutative/idempotent, so the streaming
+    approx-distinct equals the batch approx-distinct bit-for-bit — no
+    tolerance in this assertion is intentional."""
+    stream = sw._bounded_event_stream(spark, EVENTS)
+    sw.run_stream_to_memory(
+        sw.windowed_active_users(stream), "windowed_active_users"
+    )
+    got = spark.sql("SELECT * FROM windowed_active_users")
+    batch = sw.windowed_active_users(
+        testdata.load_table(spark, SF_DIR, "events")
+    )
+    cols = ["window_start", "event_type", "approx_users", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # sanity: the estimate tracks the exact count at 1% rsd on small data
+    exact = (
+        testdata.load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .agg(F.sum("x")).collect()[0][0]
+    )
+    approx_total = got.agg(F.sum("approx_users")).collect()[0][0]
+    assert abs(approx_total - exact) / exact < 0.05
