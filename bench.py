@@ -178,6 +178,17 @@ def main() -> None:
             continue
         if name == "dedup_minhash_estimate":
             continue  # timed alongside dedup_minhash_lsh above
+        if name == "graph_pagerank":
+            # pagerank materializes its edge list (the k-NN graph) with an
+            # eager checkpoint at CONSTRUCTION time, so a noop write of the
+            # returned frame measures almost nothing. Time construction +
+            # first action together — the honest end-to-end cost.
+            start = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
         df = queries[name](spark, sf_dir)
         timings[name] = _time_noop(df)
         spark.catalog.clearCache()

@@ -28,7 +28,7 @@ def pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list. Returns
     (node, rank_scaled, rank) — ``rank_scaled`` in 1e-9 units (exact
@@ -45,8 +45,10 @@ def pagerank(
     that), one map-side-combined LONG sum keyed by ``dst`` (exact and
     associative — this is why integer units matter), and a left join back
     to the node universe so sink-only nodes keep their base rank. Lineage
-    is cut with ``localCheckpoint`` every ``checkpoint_every`` rounds, the
-    same cadence discipline as ``duplicate_clusters``; per-iteration state
+    is cut with ``localCheckpoint`` every ``checkpoint_every`` rounds
+    (default 2 — the dominant loop cost locally is driver-side Catalyst
+    re-analysis of the growing plan, which the cadence bounds; the same
+    discipline as ``duplicate_clusters``); per-iteration state
     is one row per node, never per edge. The node count is the single
     driver-side scalar (one tiny count job) that seeds the integer base.
 
