@@ -829,6 +829,10 @@ def _q_monthly_growth(spark, sf):
     return ops.monthly_revenue_growth(_t(spark, sf, "orders"))
 
 
+def _q_feature_matrix(spark, sf):
+    return ops.feature_matrix(_t(spark, sf, "documents"))
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -929,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_price_histogram": _q_price_histogram,
             "orders_monthly_growth": _q_monthly_growth,
             "events_cooccurrence": _q_cooccurrence,
+            "docs_feature_matrix": _q_feature_matrix,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -944,10 +949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _GATE_PRIORITY = [
     # Round-5 window (the driver grades the FIRST 50 entries). Composition:
-    # 3 round-5 code changes + the 22 rows whose latest grade is round 1
-    # (their shared module operators/tpch_ext.py changed in round 2 — the
-    # round-4 verdict's top item) + 25 of the 32 rows last graded round 3.
-    # After this round every query's latest green is <= 2 rounds old.
+    # 3 round-5 code changes + 22 NEW round-5 operators (grade on first
+    # appearance) + the 22 rows whose latest grade is round 1 (their shared
+    # module operators/tpch_ext.py changed in round 2 — the round-4
+    # verdict's top item) + the oldest r3 rows that still fit. The
+    # remaining r3 rows head the round-6 queue below the fold.
     # --- round-5 code changes: must re-verify this round ---
     # localCheckpoint partition pin in distributed_group_quantiles /
     # distributed_ntile (recompute-hazard fix)
@@ -964,18 +970,20 @@ _GATE_PRIORITY = [
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram",
     "orders_monthly_growth", "events_cooccurrence",
+    "docs_feature_matrix",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
     "rolling_revenue_7d",
-    # --- latest grade round 3 (17 of 32; the rest below the fold queue
-    # for round 6 — eight slots went to the new round-5 operators above) ---
+    # --- latest grade round 3 (the oldest 4 of 32; the rest queue for
+    # round 6 — the round-5 window's slots went to new operators) ---
     "customer_revenue_deciles_approx", "customer_segments_setops",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
+    "dedup_clusters", "dedup_embedding_cosine",
     # ===== round-6 queue starts here (entry 51+) =====
+    "dedup_exact",
+    "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
     "events_approx_distinct_kmv",
     "events_cohort_retention", "events_funnel", "events_hourly_rollup",
     "multimodal_frame_sample",
@@ -2643,6 +2651,52 @@ FROM pc p
 JOIN tc ca ON p.type_a = ca.event_type
 JOIN tc cb ON p.type_b = cb.event_type
 CROSS JOIN nu
+"""
+
+
+    # ---- one-pass feature matrix (round 5): the per-operator formulas
+    # combined over a single scan of documents ----
+    o["docs_feature_matrix"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         ((length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' the ', ''))) // 5 + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' a ', ''))) // 3 + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' is ', ''))) // 4 + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' of ', ''))) // 4 + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' and ', ''))) // 5)::DOUBLE AS stop_hits,
+         ((length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), ' the ', ''))) // 5 + (length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), ' a ', ''))) // 3 + (length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), ' is ', ''))) // 4 + (length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), ' of ', ''))) // 4 + (length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), ' and ', ''))) // 5)::DOUBLE AS en_hits,
+         (length(text) - length(regexp_replace(text,
+            '[0-9!#$%^&*()_+=,.;:?]', '', 'g')))::DOUBLE AS digit_punct
+  FROM documents
+), g AS (
+  SELECT *,
+         len(w)::DOUBLE AS n_tok_d,
+         round(stop_hits / len(w), 4) AS stop_ratio,
+         round(digit_punct / length(text), 4) AS noise_ratio,
+         round(len(list_filter(w, x -> x IN ('the','a','is','of','and')))
+               / len(w), 4) AS g_stop_frac,
+         round((len(w) - len(list_distinct(w))) / len(w), 4) AS g_dup_frac,
+         round(list_sum(list_transform(w, x -> len(x))) / len(w), 4)
+           AS mean_word_len,
+         list_transform(range(0, greatest(len(w) - 2, 1)),
+                        i -> array_to_string(w[i+1:i+3], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(w)::BIGINT AS n_tokens,
+       mean_word_len::DOUBLE AS mean_word_len,
+       stop_ratio::DOUBLE AS stop_ratio,
+       noise_ratio::DOUBLE AS noise_ratio,
+       round((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4
+              ELSE 0.0 END)
+             + least(stop_ratio * 2.0, 0.4)
+             + (0.2 - least(noise_ratio, 0.2)), 4)::DOUBLE AS quality,
+       (len(w) >= 20 AND mean_word_len <= 10.0
+        AND g_stop_frac >= 0.02 AND g_dup_frac <= 0.6) AS gopher_pass,
+       (CASE WHEN len(w) >= 3 THEN
+          round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                / len(grams), 4) END)::DOUBLE AS rep_dup_frac,
+       CASE WHEN round(en_hits / n_tok_d, 4) >= 0.05 THEN 'en'
+            ELSE 'und' END AS lang_pred,
+       round(en_hits / n_tok_d, 4)::DOUBLE AS lang_conf
+FROM g
 """
 
     o["orders_monthly_growth"] = """

@@ -92,6 +92,7 @@ HEADLINE = [
     "text_repetition_score",
     "text_gopher_rules",
     "text_pii_scrub",
+    "docs_feature_matrix",
     "corpus_report",
     "docs_stratified_sample",
     "docs_pack_sequences",

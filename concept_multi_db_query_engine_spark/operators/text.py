@@ -797,3 +797,53 @@ def line_dedup(
             "\n",
         ).alias("clean_text"),
     )
+
+
+def feature_matrix(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """The wide per-document feature frame a quality-classifier trainer
+    consumes: length, token, stopword, noise, Gopher, repetition, and
+    language signals side by side — ONE narrow pass over the scan, every
+    signal a shared JVM column expression (the same helpers the individual
+    operators use, evaluated together so the corpus is read once instead
+    of once per signal).
+
+    Columns: doc_id, n_chars, n_tokens, mean_word_len, stop_ratio,
+    noise_ratio, quality, gopher_pass, rep_dup_frac (NULL for docs shorter
+    than the n-gram), lang_pred, lang_conf. No shuffle anywhere — at
+    100 TB this runs at parquet-read speed with doc_id+text pruning.
+    """
+    text = F.col("text")
+    w = F.split(text, " ")
+    stop_ratio, noise_ratio, quality = _quality_exprs()
+    n_tokens, mean_len, _stop_frac, _dup_frac, gopher_pass = _gopher_exprs()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, ngram)),
+    )
+    rep = F.when(
+        F.size(w) >= ngram,
+        F.round(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.size(grams),
+            4,
+        ),
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    en_hits = None
+    for sw_ in STOPWORDS:
+        occ = _occurrences(padded, f" {sw_} ")
+        en_hits = occ if en_hits is None else en_hits + occ
+    lang_conf = F.round(en_hits / F.size(w).cast("double"), 4)
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        stop_ratio.cast("double").alias("stop_ratio"),
+        noise_ratio.cast("double").alias("noise_ratio"),
+        quality.cast("double").alias("quality"),
+        gopher_pass.cast("boolean").alias("gopher_pass"),
+        rep.cast("double").alias("rep_dup_frac"),
+        F.when(lang_conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
+        lang_conf.cast("double").alias("lang_conf"),
+    )

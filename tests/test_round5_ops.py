@@ -410,3 +410,29 @@ def test_cooccurrence_measures(spark):
     assert r["support"] == 0.5              # 2 of 4 users
     assert r["confidence_a_to_b"] == 2 / 3  # P(B | A)
     assert r["lift"] == (2 * 4) / (3 * 2)   # > 1: positively associated
+
+
+# ---- feature_matrix ----------------------------------------------------
+
+
+def test_feature_matrix_agrees_with_individual_operators(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the cat sat again"),
+         (2, "xy")],
+        "doc_id long, text string",
+    )
+    fm = {r["doc_id"]: r for r in ops.feature_matrix(docs).collect()}
+    q = {r["doc_id"]: r for r in ops.quality_score(docs).collect()}
+    g = {r["doc_id"]: r for r in ops.gopher_quality_rules(docs).collect()}
+    l = {r["doc_id"]: r for r in ops.language_id(docs).collect()}
+    rep = {r["doc_id"]: r for r in ops.repetition_score(docs).collect()}
+    for d in (1, 2):
+        assert fm[d]["quality"] == q[d]["quality"]
+        assert fm[d]["stop_ratio"] == q[d]["stop_ratio"]
+        assert fm[d]["gopher_pass"] == g[d]["passes"]
+        assert fm[d]["mean_word_len"] == g[d]["mean_word_len"]
+        assert fm[d]["lang_pred"] == l[d]["lang_pred"]
+        assert fm[d]["lang_conf"] == l[d]["lang_conf"]
+    assert fm[1]["rep_dup_frac"] == rep[1]["dup_frac"]
+    assert fm[2]["rep_dup_frac"] is None  # too short for trigrams
+    assert 2 not in rep  # the standalone operator filters short docs out
