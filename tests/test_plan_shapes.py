@@ -244,3 +244,7 @@ class TestRound5Shapes:
         full = executed(ops.numeric_histogram(orders, "o_totalprice", 20000.0))
         final = full.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") == 1, final
+
+    def test_feature_matrix_has_no_exchange(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        assert "Exchange" not in executed(ops.feature_matrix(docs))
