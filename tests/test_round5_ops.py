@@ -1,6 +1,8 @@
-"""Edge-case unit tests for the round-5 operators: grouping-set rollup/cube,
-the event transition matrix, revenue concentration, PII scrub, and C4-style
-line-level dedup. The driver's DuckDB oracle gate covers realistic
+"""Edge-case unit tests for the round-5 operators: grouping-set
+rollup/cube, event transitions, co-occurrence, revenue concentration, PII
+scrub, C4-style line dedup, rolling active users, table profiling,
+integer PageRank, unpivot, histograms, monthly growth, and the one-pass
+feature matrix. The driver's DuckDB oracle gate covers realistic
 distributions; these pin boundary semantics on tiny hand-built frames."""
 
 from __future__ import annotations
