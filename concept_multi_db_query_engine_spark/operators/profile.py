@@ -16,7 +16,9 @@ _NUMERIC = {"tinyint", "smallint", "int", "integer", "bigint", "long",
             "float", "double"}
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True,
+) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_null, n_distinct,
     min_num, max_num, min_str, max_str). Numeric columns fill the ``_num``
     pair (cast to double); string columns the lexicographic ``_str`` pair;
@@ -31,6 +33,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     shuffle one value-keyed row per distinct value per column; swap in
     ``approx_count_distinct`` upstream if a 100 TB profile only needs
     cardinality estimates.
+
+    ``exact=False`` swaps the distinct counts for ``approx_count_distinct``
+    (HLL++, 1% rsd) — the 100 TB profile: every aggregate becomes a
+    fixed-size mergeable sketch, so the per-branch shuffle carries one
+    register set per partition instead of one row per distinct value.
     """
     types = dict(df.dtypes)
     cols = columns if columns is not None else df.columns
@@ -43,7 +50,9 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
+                (F.countDistinct(c) if exact
+                 else F.approx_count_distinct(c, 0.01))
+                .alias("n_distinct"),
                 (F.min(c).cast("double") if is_num
                  else F.lit(None).cast("double")).alias("min_num"),
                 (F.max(c).cast("double") if is_num

@@ -438,3 +438,43 @@ def test_feature_matrix_agrees_with_individual_operators(spark):
     assert fm[1]["rep_dup_frac"] == rep[1]["dup_frac"]
     assert fm[2]["rep_dup_frac"] is None  # too short for trigrams
     assert 2 not in rep  # the standalone operator filters short docs out
+
+
+def test_profile_table_approx_mode_tracks_exact(spark):
+    df = spark.range(0, 2000).selectExpr("id", "id % 37 AS m")
+    exact = {r["col_name"]: r["n_distinct"]
+             for r in ops.profile_table(df).collect()}
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in ops.profile_table(df, exact=False).collect()}
+    assert exact == {"id": 2000, "m": 37}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.05
+
+
+def test_curation_pipeline_composes_lazily(spark):
+    """End-to-end corpus curation as ONE lazy plan: feature gate ->
+    PII scrub -> exact-dedup survivors. Each stage consumes the previous
+    stage's frame; nothing materializes until the final action."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog sat on the rug ok"),
+         (2, "the cat sat on the mat and the dog sat on the rug ok"),
+         (3, "zz zz zz"),
+         (4, "reach admin@example.com for the keys to all of the doors")],
+        "doc_id long, text string",
+    )
+    feats = ops.feature_matrix(docs)
+    keep = feats.where(F.col("quality") >= 0.3).select("doc_id")
+    gated = docs.join(keep, "doc_id")
+    scrubbed = ops.pii_scrub(gated).withColumnRenamed("clean_text", "text")
+    final = scrubbed.select("doc_id", "text").join(
+        ops.exact_duplicates(scrubbed.select("doc_id", "text"))
+        .select("doc_id"),
+        "doc_id", "left_anti",
+    )
+    ids = sorted(r["doc_id"] for r in final.collect())
+    assert 3 not in ids          # failed the quality gate
+    assert 2 not in ids          # exact duplicate of doc 1
+    assert 1 in ids and 4 in ids
+    row4 = {r["doc_id"]: r["text"] for r in
+            scrubbed.select("doc_id", "text").collect()}[4]
+    assert "<EMAIL>" in row4 and "admin@" not in row4
