@@ -228,3 +228,32 @@ def windowed_active_users(
         F.col("win.start").alias("window_start"),
         "event_type", "approx_users", "n_events",
     )
+
+
+def sliding_active_users(
+    events: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "8 days",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Rolling N-day active users as a STREAM: a sliding window (one window
+    per slide step, each event contributing to window/slide overlapping
+    windows) with HLL++ distinct state — the streaming twin of the batch
+    ``operators.rolling_active_users`` explode formulation (Spark's sliding
+    window performs the same event->windows expansion internally). Exact
+    per-window distinct sets would be unbounded state; the HLL registers
+    are fixed-size and merge-order-free, so stream equals batch exactly.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window(F.col("ts"), window, slide).alias("win")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "approx_users",
+    )

@@ -216,3 +216,17 @@ def test_windowed_active_users_stream_matches_batch_exactly(spark):
     )
     approx_total = got.agg(F.sum("approx_users")).collect()[0][0]
     assert abs(approx_total - exact) / exact < 0.05
+
+
+def test_sliding_active_users_stream_matches_batch(spark):
+    stream = sw._bounded_event_stream(spark, EVENTS)
+    sw.run_stream_to_memory(
+        sw.sliding_active_users(stream), "sliding_active_users"
+    )
+    got = spark.sql("SELECT * FROM sliding_active_users")
+    batch = sw.sliding_active_users(
+        testdata.load_table(spark, SF_DIR, "events")
+    )
+    cols = ["window_start", "window_end", "approx_users"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 1
