@@ -833,6 +833,10 @@ def _q_feature_matrix(spark, sf):
     return ops.feature_matrix(_t(spark, sf, "documents"))
 
 
+def _q_rfm(spark, sf):
+    return ops.rfm_segments(_t(spark, sf, "orders"))
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -934,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_monthly_growth": _q_monthly_growth,
             "events_cooccurrence": _q_cooccurrence,
             "docs_feature_matrix": _q_feature_matrix,
+            "customer_rfm_segments": _q_rfm,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -970,7 +975,7 @@ _GATE_PRIORITY = [
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram",
     "orders_monthly_growth", "events_cooccurrence",
-    "docs_feature_matrix",
+    "docs_feature_matrix", "customer_rfm_segments",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -2697,6 +2702,31 @@ SELECT doc_id,
             ELSE 'und' END AS lang_pred,
        round(en_hits / n_tok_d, 4)::DOUBLE AS lang_conf
 FROM g
+"""
+
+    o["customer_rfm_segments"] = """
+WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         min(datediff('day', CAST(o_orderdate AS DATE), CAST(max_d AS DATE)))
+           AS r_days,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(18,4))
+           AS revenue_d
+  FROM orders CROSS JOIN mx GROUP BY 1
+),
+q AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_q,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f_q,
+         ntile(4) OVER (ORDER BY revenue_d DESC, o_custkey ASC) AS m_q
+  FROM per_cust
+)
+SELECT o_custkey, r_days, n_orders, CAST(revenue_d AS DOUBLE) AS revenue,
+       r_q, f_q, m_q,
+       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+         || CAST(m_q AS VARCHAR) AS rfm
+FROM q
 """
 
     o["orders_monthly_growth"] = """

@@ -65,6 +65,7 @@ HEADLINE = [
     "orders_monthly_growth",
     "customer_revenue_deciles",
     "customer_revenue_concentration",
+    "customer_rfm_segments",
     "customer_segments_setops",
     "purchase_click_attribution",
     "text_tfidf_top_terms",

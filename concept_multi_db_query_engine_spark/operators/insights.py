@@ -455,3 +455,57 @@ def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
             / prev.cast("double")
         ).alias("growth"),
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM customer segmentation: per-customer recency (days since
+    last order, measured against the corpus max date so the result is
+    reproducible), frequency (order count), and monetary (exact decimal
+    revenue), each quartiled with :func:`distributed_ntile` (quartile 1 =
+    best: most recent / most frequent / highest spend), plus the combined
+    ``rfm`` code ("111" = champions, "444" = churned).
+
+    Scale shape: one shuffle for the per-customer aggregate, then three
+    exact distributed NTILE passes over that (already reduced) frame —
+    each is the range-shuffle + broadcast-offset machinery, no
+    single-partition sort anywhere. The corpus max date arrives via a
+    broadcast 1-row frame, not a driver collect. Ties are broken by
+    customer key so all three rankings are total orders (identical to the
+    SQL NTILE the oracle runs).
+    """
+    max_d = orders.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(max_d))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.to_date("max_d"), F.to_date("o_orderdate"))
+            ).alias("r_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast(DEC18).alias("revenue_d"),
+        )
+    )
+    cur = distributed_ntile(
+        per_cust,
+        [F.col("r_days").asc(), F.col("o_custkey").asc()],
+        4, out_col="r_q",
+    )
+    cur = distributed_ntile(
+        cur,
+        [F.col("n_orders").desc(), F.col("o_custkey").asc()],
+        4, out_col="f_q",
+    )
+    cur = distributed_ntile(
+        cur,
+        [F.col("revenue_d").desc(), F.col("o_custkey").asc()],
+        4, out_col="m_q",
+    )
+    return cur.select(
+        "o_custkey", "r_days", "n_orders",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        "r_q", "f_q", "m_q",
+        F.concat(
+            F.col("r_q").cast("string"), F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm"),
+    )

@@ -478,3 +478,30 @@ def test_curation_pipeline_composes_lazily(spark):
     row4 = {r["doc_id"]: r["text"] for r in
             scrubbed.select("doc_id", "text").collect()}[4]
     assert "<EMAIL>" in row4 and "admin@" not in row4
+
+
+# ---- rfm_segments ------------------------------------------------------
+
+
+def test_rfm_quartiles_and_code(spark):
+    # 8 customers with clean gradients on every dimension
+    rows = []
+    oid = 0
+    for c in range(8):
+        for k in range(c + 1):  # frequency grows with custkey
+            rows.append((oid, c, "P", "F", float((c + 1) * 100),
+                         dt.datetime(1995, 1, 1 + c)))  # recency grows too
+            oid += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+    )
+    out = {r["o_custkey"]: r for r in ops.rfm_segments(orders).collect()}
+    # customer 7 ordered most recently/most often/most revenue: all q1
+    assert out[7]["r_days"] == 0 and out[7]["rfm"] == "111"
+    # customer 0: oldest single cheap order -> all q4
+    assert out[0]["rfm"] == "444"
+    # quartile sizes are exact NTILE: 8 customers -> 2 per quartile
+    from collections import Counter
+    assert Counter(r["r_q"] for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
