@@ -67,11 +67,14 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _quality_exprs():
+def _quality_exprs(w=None):
     """(stop_ratio, noise_ratio, quality) expressions over `text` — shared
-    by quality_score and the single-pass corpus_report."""
+    by quality_score and the single-pass corpus_report. Pass a pre-staged
+    token-array column as ``w`` to avoid re-splitting the text."""
     text = F.col("text")
-    n_tokens = F.size(F.split(text, " ")).cast("double")
+    n_tokens = (
+        F.size(w) if w is not None else F.size(F.split(text, " "))
+    ).cast("double")
     stop_hits = None
     for w in STOPWORDS:
         occ = _occurrences(F.concat(F.lit(" "), text, F.lit(" ")), f" {w} ")
@@ -599,17 +602,24 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
     ``size(array_distinct(grams))`` — a narrow map that runs at scan speed
     at any corpus size. (The previous explode → groupBy(doc_id, gram)
     shape shuffled every gram occurrence: same answer, one full exchange
-    of the expanded corpus for nothing.)
+    of the expanded corpus for nothing.) The token array and gram array
+    are STAGED projections so each is built once per row — inlining them
+    into every consumer expression re-tokenized the text several times
+    over (no common-subexpression elimination across aliases).
     Returns (doc_id, n_grams, dup_frac).
     """
     w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    staged = docs.select("doc_id", w.alias("w")).where(
+        F.size(F.col("w")) >= n
     )
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return docs.where(F.size(w) >= n).select(
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+    )
+    g = staged.select("doc_id", grams.alias("g"))
+    total = F.size(F.col("g"))
+    distinct = F.size(F.array_distinct(F.col("g")))
+    return g.select(
         "doc_id",
         total.cast("long").alias("n_grams"),
         F.round((total - distinct) / total, 4)
@@ -622,11 +632,14 @@ def _gopher_exprs(
     max_mean_word_len: float = 10.0,
     min_stopword_frac: float = 0.02,
     max_dup_word_frac: float = 0.6,
+    w=None,
 ):
     """(n_tokens, mean_word_len, stopword_frac, dup_word_frac, passes)
     expressions over `text` — shared by gopher_quality_rules and the
-    single-pass corpus_report."""
-    w = F.split(F.col("text"), " ")
+    single-pass corpus_report. Pass a pre-staged token-array column as
+    ``w`` to avoid re-splitting the text."""
+    if w is None:
+        w = F.split(F.col("text"), " ")
     n_tokens = F.size(w).cast("long")
     mean_len = F.round(
         F.aggregate(
@@ -810,23 +823,29 @@ def feature_matrix(docs: DataFrame, ngram: int = 3) -> DataFrame:
     Columns: doc_id, n_chars, n_tokens, mean_word_len, stop_ratio,
     noise_ratio, quality, gopher_pass, rep_dup_frac (NULL for docs shorter
     than the n-gram), lang_pred, lang_conf. No shuffle anywhere — at
-    100 TB this runs at parquet-read speed with doc_id+text pruning.
+    100 TB this runs at parquet-read speed with doc_id+text pruning. The
+    token array and the n-gram array are STAGED projections (built once
+    per row, referenced by every signal) — inlining them would tokenize
+    each document ~20 times, measured 3x slower at sf0.1.
     """
     text = F.col("text")
-    w = F.split(text, " ")
-    stop_ratio, noise_ratio, quality = _quality_exprs()
-    n_tokens, mean_len, _stop_frac, _dup_frac, gopher_pass = _gopher_exprs()
-    grams = F.transform(
+    staged = docs.select(
+        "doc_id", "text", F.split(text, " ").alias("w")
+    )
+    w = F.col("w")
+    grams_expr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - ngram, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, ngram)),
     )
+    staged = staged.select("doc_id", "text", "w", grams_expr.alias("g"))
+    stop_ratio, noise_ratio, quality = _quality_exprs(w)
+    n_tokens, mean_len, _stop_frac, _dup_frac, gopher_pass = _gopher_exprs(
+        w=w
+    )
+    g = F.col("g")
     rep = F.when(
         F.size(w) >= ngram,
-        F.round(
-            (F.size(grams) - F.size(F.array_distinct(grams)))
-            / F.size(grams),
-            4,
-        ),
+        F.round((F.size(g) - F.size(F.array_distinct(g))) / F.size(g), 4),
     )
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     en_hits = None
@@ -834,7 +853,7 @@ def feature_matrix(docs: DataFrame, ngram: int = 3) -> DataFrame:
         occ = _occurrences(padded, f" {sw_} ")
         en_hits = occ if en_hits is None else en_hits + occ
     lang_conf = F.round(en_hits / F.size(w).cast("double"), 4)
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.length(text).cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
