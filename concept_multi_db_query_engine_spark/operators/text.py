@@ -113,15 +113,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword language heuristic: en vs unknown, with a confidence
     ratio. (A real model would be a broadcast n-gram table; the shape —
     narrow map, no shuffle — is identical.)"""
-    text = F.lower(F.col("text"))
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    # stage the padded lowercase text once: the occurrence formula
+    # references it 2x per stopword, and lower() is not CSE'd across
+    # aliases
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+        .alias("p"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tok"),
+    )
     en_hits = None
     for w in STOPWORDS:
-        occ = _occurrences(padded, f" {w} ")
+        occ = _occurrences(F.col("p"), f" {w} ")
         en_hits = occ if en_hits is None else en_hits + occ
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
-    conf = F.round(en_hits / n_tokens, 4)
-    return docs.select(
+    conf = F.round(en_hits / F.col("n_tok"), 4)
+    return staged.select(
         "doc_id",
         F.when(conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
         conf.cast("double").alias("lang_conf"),
@@ -675,12 +681,18 @@ def gopher_quality_rules(
     The canonical cheap pre-filter before model-based quality scoring.
 
     Returns (doc_id, n_tokens, mean_word_len, stopword_frac, dup_word_frac,
-    passes). Narrow map — no shuffle, full column pruning.
+    passes). Narrow map — no shuffle, full column pruning. The token
+    array is a STAGED projection (one tokenization per row; inlined it
+    appeared 16x in the executed plan).
     """
-    n_tokens, mean_len, stop_frac, dup_frac, passes = _gopher_exprs(
-        min_tokens, max_mean_word_len, min_stopword_frac, max_dup_word_frac
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
     )
-    return docs.select(
+    n_tokens, mean_len, stop_frac, dup_frac, passes = _gopher_exprs(
+        min_tokens, max_mean_word_len, min_stopword_frac, max_dup_word_frac,
+        w=F.col("w"),
+    )
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         mean_len.alias("mean_word_len"),
@@ -701,11 +713,16 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     The only wide ops are the md5 dedup window (the same single shuffle
     exact dedup costs) and the final groupBy. Returns (source, n_docs,
     total_tokens, mean_quality, gopher_pass_rate, dup_rate) by source.
+    The token array is staged so the quality and Gopher signals share one
+    tokenization per row.
     """
-    _, _, quality = _quality_exprs()
-    n_tokens, _, _, _, passes = _gopher_exprs()
+    staged = docs.select(
+        "doc_id", "source", "text", F.split(F.col("text"), " ").alias("w")
+    )
+    _, _, quality = _quality_exprs(F.col("w"))
+    n_tokens, _, _, _, passes = _gopher_exprs(w=F.col("w"))
     dup_w = Window.partitionBy(F.md5(F.col("text")))
-    enriched = docs.select(
+    enriched = staged.select(
         "source",
         n_tokens.alias("n_tok"),
         quality.cast("double").alias("quality"),
