@@ -30,16 +30,20 @@ from pyspark.sql import functions as F
 
 def _shingles(docs: DataFrame, k: int = 5, max_doc_freq: int | None = None
               ) -> DataFrame:
-    """(doc_id, shingle) distinct word-k-shingles."""
+    """(doc_id, shingle) distinct word-k-shingles. The tokenization is
+    staged and the short-doc filter is a conditional empty array (explode
+    drops it): a pushable WHERE on size(w) gets substituted back to
+    size(split(text)) by filter pushdown and re-tokenizes every row."""
     out = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-        .where(F.size("w") >= k)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
+                    f"CASE WHEN size(w) >= {k} THEN "
                     f"transform(sequence(0, size(w) - {k}), "
-                    f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
+                    f"i -> concat_ws(' ', slice(w, i + 1, {k}))) "
+                    f"ELSE array() END"
                 )
             ).alias("shingle"),
         )

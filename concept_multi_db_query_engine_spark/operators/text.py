@@ -575,13 +575,21 @@ def benchmark_contamination(
     Returns (doc_id, shared_grams) for contaminated train docs only,
     shared_grams = number of DISTINCT eval n-grams the doc contains.
     """
-    w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
+    # Staged tokenization; the short-doc filter is a conditional empty
+    # array (explode drops it) rather than a WHERE — a pushable predicate
+    # on size(w) would be substituted back to size(split(text)) and
+    # re-tokenize every row a second time.
+    wcol = F.col("w")
+    grams = F.when(
+        F.size(wcol) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - n),
+            lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     with_grams = (
-        docs.where(F.size(w) >= n)
+        docs.select("doc_id", "source", F.split(F.col("text"), " ")
+                    .alias("w"))
         .select("doc_id", "source", F.explode(grams).alias("gram"))
     )
     eval_grams = (
