@@ -95,6 +95,7 @@ HEADLINE = [
     "text_pii_scrub",
     "docs_feature_matrix",
     "corpus_report",
+    "corpus_drift",
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_chunk",

@@ -891,3 +891,46 @@ def feature_matrix(docs: DataFrame, ngram: int = 3) -> DataFrame:
         F.when(lang_conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
         lang_conf.cast("double").alias("lang_conf"),
     )
+
+
+def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Snapshot-over-snapshot dataset-card drift: run :func:`corpus_report`
+    on two corpus snapshots and report per-source deltas — document-count
+    ratio, token-volume ratio, and mean-quality / Gopher-pass-rate /
+    dup-rate changes. The monitoring check a recurring ingestion pipeline
+    runs before promoting a new snapshot ("did quality collapse? did one
+    source triple?").
+
+    A full outer join keyed by source keeps sources that appear or vanish
+    (ratio NULL on the missing side). Both report legs are the single-pass
+    rollup, so the whole comparison costs two corpus scans plus a
+    |sources|-row join. Deltas are fixed-order double expressions over the
+    reports' exact counts.
+    """
+    a = corpus_report(docs_a).select(
+        "source",
+        F.col("n_docs").alias("a_docs"),
+        F.col("total_tokens").alias("a_tokens"),
+        F.col("mean_quality").alias("a_quality"),
+        F.col("gopher_pass_rate").alias("a_pass"),
+        F.col("dup_rate").alias("a_dup"),
+    )
+    b = corpus_report(docs_b).select(
+        "source",
+        F.col("n_docs").alias("b_docs"),
+        F.col("total_tokens").alias("b_tokens"),
+        F.col("mean_quality").alias("b_quality"),
+        F.col("gopher_pass_rate").alias("b_pass"),
+        F.col("dup_rate").alias("b_dup"),
+    )
+    d = F.col
+    return a.join(b, "source", "full_outer").select(
+        "source", "a_docs", "b_docs",
+        (d("b_docs").cast("double") / d("a_docs").cast("double"))
+        .alias("docs_ratio"),
+        (d("b_tokens").cast("double") / d("a_tokens").cast("double"))
+        .alias("tokens_ratio"),
+        (d("b_quality") - d("a_quality")).alias("quality_delta"),
+        (d("b_pass") - d("a_pass")).alias("pass_rate_delta"),
+        (d("b_dup") - d("a_dup")).alias("dup_rate_delta"),
+    )

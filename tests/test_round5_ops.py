@@ -505,3 +505,20 @@ def test_rfm_quartiles_and_code(spark):
     # quartile sizes are exact NTILE: 8 customers -> 2 per quartile
     from collections import Counter
     assert Counter(r["r_q"] for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_corpus_drift_ratios_and_deltas(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    base = "the cat is on the mat and a dog is of the park " * 3
+    a = mk([(1, base, "en", "web", 100), (2, base, "en", "web", 100)])
+    b = mk([(3, base, "en", "web", 100), (4, base, "en", "web", 100),
+            (5, base, "en", "web", 100), (6, base, "en", "books", 100)])
+    out = {r["source"]: r for r in ops.corpus_drift(a, b).collect()}
+    assert out["web"]["a_docs"] == 2 and out["web"]["b_docs"] == 3
+    assert out["web"]["docs_ratio"] == 1.5
+    assert out["web"]["quality_delta"] == 0.0  # identical text
+    # a source present only in snapshot B survives the outer join
+    assert out["books"]["a_docs"] is None
+    assert out["books"]["docs_ratio"] is None
