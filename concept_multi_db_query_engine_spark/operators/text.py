@@ -457,9 +457,11 @@ def clean_corpus(
     language gate. Returns (doc_id, n_chars, quality, lang_pred).
 
     Every stage is a narrow map except the dedup window (one shuffle on the
-    32-byte fingerprint); Catalyst fuses the quality/language expressions
-    into the same codegen stage, so the whole pipeline is scan + one
-    exchange — the shape that matters when the input is 100 TB of text.
+    32-byte fingerprint); the quality and language signals are evaluated
+    in ONE staged projection over the deduped frame (a join of the two
+    standalone operators would run the dedup window twice and add a
+    doc_id exchange), so the whole pipeline is scan + one exchange — the
+    shape that matters when the input is 100 TB of text.
     """
     w = Window.partitionBy(F.md5(F.col("text")))
     deduped = (
@@ -467,15 +469,26 @@ def clean_corpus(
         .where(F.col("doc_id") == F.col("__canon"))
         .drop("__canon")
     )
-    scored = quality_score(deduped).join(
-        language_id(deduped), "doc_id"
+    staged = deduped.select(
+        "doc_id", "text",
+        F.split(F.col("text"), " ").alias("w"),
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+        .alias("__p"),
     )
-    return (
-        scored.where(
-            (F.col("quality") >= min_quality)
-            & (F.col("lang_pred") == lang)
-        )
-        .select("doc_id", "n_chars", "quality", "lang_pred")
+    _stop_ratio, _noise_ratio, quality = _quality_exprs(F.col("w"))
+    en_hits = None
+    for sw_ in STOPWORDS:
+        occ = _occurrences(F.col("__p"), f" {sw_} ")
+        en_hits = occ if en_hits is None else en_hits + occ
+    lang_conf = F.round(en_hits / F.size(F.col("w")).cast("double"), 4)
+    scored = staged.select(
+        "doc_id",
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        quality.cast("double").alias("quality"),
+        F.when(lang_conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
+    )
+    return scored.where(
+        (F.col("quality") >= min_quality) & (F.col("lang_pred") == lang)
     )
 
 
