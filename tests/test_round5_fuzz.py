@@ -91,3 +91,88 @@ def test_line_dedup_matches_python_reference(spark, rows, min_docs):
         assert got[d]["n_lines_kept"] == len(kept)
         assert got[d]["clean_text"] == "\n".join(kept)
     assert set(got) == set(per_doc)
+
+
+@given(
+    steps=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_transitions_match_python_reference(spark, steps):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), u, t, 0.0, "{}")
+        for i, (u, t) in enumerate(steps)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r["prev_type"], r["next_type"]): r
+           for r in ops.event_transitions(ev).collect()}
+
+    per_user = defaultdict(list)
+    for i, (u, t) in enumerate(steps):
+        per_user[u].append((i, t))  # already time-ordered by construction
+    pair_n = Counter()
+    pair_users = defaultdict(set)
+    for u, seq in per_user.items():
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            pair_n[(a, b)] += 1
+            pair_users[(a, b)].add(u)
+    totals = Counter()
+    for (a, _), n in pair_n.items():
+        totals[a] += n
+    assert set(got) == set(pair_n)
+    for k, n in pair_n.items():
+        assert got[k]["n_transitions"] == n
+        assert got[k]["n_users"] == len(pair_users[k])
+        assert got[k]["share_of_source"] == n / totals[k[0]]
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1, max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cooccurrence_matches_python_reference(spark, baskets):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), u, t, 0.0, "{}")
+        for i, (u, t) in enumerate(baskets)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r["type_a"], r["type_b"]): r
+           for r in ops.event_cooccurrence(ev).collect()}
+
+    per_user = defaultdict(set)
+    for u, t in baskets:
+        per_user[u].add(t)
+    n_users = len(per_user)
+    type_n = Counter()
+    pair_n = Counter()
+    for u, ts in per_user.items():
+        for t in ts:
+            type_n[t] += 1
+        ts = sorted(ts)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pair_n[(ts[i], ts[j])] += 1
+    assert set(got) == set(pair_n)
+    for (a, b), n in pair_n.items():
+        r = got[(a, b)]
+        assert r["n_both"] == n
+        assert r["support"] == n / n_users
+        assert r["confidence_a_to_b"] == n / type_n[a]
+        assert r["lift"] == (n * n_users) / (type_n[a] * type_n[b])
