@@ -665,6 +665,23 @@ def _q_quantize_int8(spark, sf):
     )
 
 
+def _q_l2_normalize(spark, sf):
+    # array<double> cannot be hashed by the driver harness, and double ->
+    # string rendering differs between engines (Java E-notation), so the
+    # gate entry encodes components as micro-unit integers.
+    df = ops.l2_normalize_embeddings(_t(spark, sf, "embeddings"))
+    return df.select(
+        "vec_id", "norm",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("unit_vec"),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("unit_q6_csv"),
+    )
+
+
 def _q_knn_graph(spark, sf):
     return ops.knn_graph(_t(spark, sf, "embeddings"), k=5)
 
@@ -916,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_knn_label_vote": _q_knn_label_vote,
             "sim_knn_graph": _q_knn_graph,
             "embeddings_quantize_int8": _q_quantize_int8,
+            "embeddings_l2_normalize": _q_l2_normalize,
             "sim_topk_lsh": _q_sim_lsh,
             "sim_recall_at_k": _q_sim_recall,
             "docs_chunk": _q_docs_chunk,
@@ -984,6 +1002,7 @@ _GATE_PRIORITY = [
     "nation_revenue_unpivot", "orders_price_histogram",
     "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
+    "embeddings_l2_normalize",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -2730,6 +2749,21 @@ SELECT coalesce(ra.source, rb.source) AS source,
        rb.gopher_pass_rate - ra.gopher_pass_rate AS pass_rate_delta,
        rb.dup_rate - ra.dup_rate AS dup_rate_delta
 FROM ra FULL OUTER JOIN rb ON ra.source = rb.source
+"""
+
+    o["embeddings_l2_normalize"] = """
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t
+)
+SELECT vec_id, round(nrm, 6)::DOUBLE AS norm,
+       array_to_string(list_transform(v, x ->
+         CASE WHEN nrm != 0
+              THEN CAST(round(round(x / nrm, 6) * 1000000) AS BIGINT)
+              ELSE CAST(round(round(x, 6) * 1000000) AS BIGINT) END), ',')
+         AS unit_q6_csv
+FROM s
 """
 
     o["customer_rfm_segments"] = """

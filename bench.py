@@ -117,6 +117,7 @@ HEADLINE = [
     "sim_knn_graph",
     "graph_pagerank",
     "embeddings_quantize_int8",
+    "embeddings_l2_normalize",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_recall_at_k",

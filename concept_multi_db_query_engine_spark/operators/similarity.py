@@ -486,3 +486,43 @@ def knn_graph(
             "cosine", "rank",
         )
     )
+
+
+def l2_normalize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unit-normalize vectors so downstream cosine reduces to a dot
+    product — the standard prep before ANN indexing. Returns
+    (vec_id, norm, unit_vec) with components rounded to ``round_to``
+    decimals (the same determinism convention as the cosine operators:
+    both engines round the identical doubles). Zero vectors pass through
+    unchanged with norm 0.
+
+    The squared-norm reduction is STAGED in a projection (same lesson as
+    the int8 quantizer: inlined into the per-element lambda it would be
+    re-evaluated O(d) times per row). Pure narrow map, no shuffle.
+    """
+    v = F.col(vec_col)
+    norm2 = F.aggregate(
+        v, F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("__v"),
+        F.sqrt(norm2).alias("__norm"),
+    )
+    nz = F.col("__norm") != 0
+    return staged.select(
+        "vec_id",
+        F.round(F.col("__norm"), round_to).alias("norm"),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.when(
+                nz, F.round(x.cast("double") / F.col("__norm"), round_to)
+            ).otherwise(F.round(x.cast("double"), round_to)),
+        ).alias("unit_vec"),
+    )

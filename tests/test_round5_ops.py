@@ -522,3 +522,16 @@ def test_corpus_drift_ratios_and_deltas(spark):
     # a source present only in snapshot B survives the outer join
     assert out["books"]["a_docs"] is None
     assert out["books"]["docs_ratio"] is None
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           ops.l2_normalize_embeddings(emb).collect()}
+    assert out[1]["norm"] == 5.0
+    assert out[1]["unit_vec"] == [0.6, 0.8]
+    assert out[2]["norm"] == 0.0
+    assert out[2]["unit_vec"] == [0.0, 0.0]  # zero vector passes through
