@@ -861,6 +861,13 @@ def _q_corpus_drift(spark, sf):
     )
 
 
+def _q_winsorize(spark, sf):
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return ops.winsorize(orders, "o_totalprice")
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -965,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_feature_matrix": _q_feature_matrix,
             "customer_rfm_segments": _q_rfm,
             "corpus_drift": _q_corpus_drift,
+            "orders_winsorize": _q_winsorize,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1002,7 +1010,7 @@ _GATE_PRIORITY = [
     "nation_revenue_unpivot", "orders_price_histogram",
     "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
-    "embeddings_l2_normalize",
+    "embeddings_l2_normalize", "orders_winsorize",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -2764,6 +2772,18 @@ SELECT vec_id, round(nrm, 6)::DOUBLE AS norm,
               ELSE CAST(round(round(x, 6) * 1000000) AS BIGINT) END), ',')
          AS unit_q6_csv
 FROM s
+"""
+
+    o["orders_winsorize"] = """
+WITH cuts AS (
+  SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+         quantile_disc(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       least(greatest(o_totalprice, lo), hi) AS o_totalprice_winsorized,
+       o_totalprice != least(greatest(o_totalprice, lo), hi) AS is_clipped
+FROM orders CROSS JOIN cuts
 """
 
     o["customer_rfm_segments"] = """

@@ -74,6 +74,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_hourly_anomaly",
     "order_value_quantiles",
+    "orders_winsorize",
     "order_value_quantiles_approx",
     "customer_revenue_deciles_approx",
     "events_funnel",

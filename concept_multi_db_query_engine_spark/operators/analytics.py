@@ -877,3 +877,42 @@ def event_cooccurrence(events: DataFrame) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame, value_col: str,
+    lower: float = 0.01, upper: float = 0.99,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Winsorization — clamp a numeric column to its [lower, upper]
+    percentile band, the standard outlier treatment before fitting
+    anything on heavy-tailed money/latency columns. Adds
+    ``<col>_winsorized`` plus an ``is_clipped`` flag.
+
+    The two cutpoints come from one ``percentile_approx`` aggregate
+    (mergeable sketch, exact while distinct values <= ``accuracy`` — the
+    same discrete-percentile convention as the ``*_approx`` quantile
+    operators, so a DuckDB ``quantile_disc`` replays it exactly at test
+    scale) broadcast back as a 1-row frame; the clamp itself is a narrow
+    map. One tiny aggregation plus a scan — no full-column sort at any
+    scale.
+    """
+    cuts = df.agg(
+        F.expr(
+            f"percentile_approx({value_col}, array({lower}, {upper}), "
+            f"{accuracy})"
+        ).alias("__cuts")
+    ).select(
+        F.col("__cuts")[0].alias("__lo"), F.col("__cuts")[1].alias("__hi")
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("__lo")),
+                      F.col("__hi"))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(
+            "*",
+            clamped.alias(f"{value_col}_winsorized"),
+            (F.col(value_col) != clamped).alias("is_clipped"),
+        )
+        .drop("__lo", "__hi")
+    )

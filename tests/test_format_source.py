@@ -112,3 +112,15 @@ def test_sink_roundtrip_in_csv(spark, tmp_path):
                         schemas={"out": "id long, s string, v double"},
                         options={"header": "true"}, ext="csv").df(spark, "out")
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_sink_roundtrip_in_orc(spark, tmp_path):
+    from concept_multi_db_query_engine_spark.sinks import ParquetSink
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "out.orc")
+    ParquetSink(path=path, fmt="orc").write(df)
+    back = FormatSource(str(tmp_path), "orc").df(spark, "out")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]

@@ -535,3 +535,15 @@ def test_l2_normalize_unit_norm_and_zero_vector(spark):
     assert out[1]["unit_vec"] == [0.6, 0.8]
     assert out[2]["norm"] == 0.0
     assert out[2]["unit_vec"] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_winsorize_clamps_tails_only(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k long, v double"
+    )
+    out = {r["k"]: r for r in
+           ops.winsorize(df, "v", lower=0.05, upper=0.95).collect()}
+    assert out[1]["is_clipped"] and out[1]["v_winsorized"] == 5.0
+    assert out[100]["is_clipped"] and out[100]["v_winsorized"] == 95.0
+    assert not out[50]["is_clipped"] and out[50]["v_winsorized"] == 50.0
+    assert sum(r["is_clipped"] for r in out.values()) == 9  # 1-4, 96-100
