@@ -1017,11 +1017,12 @@ _GATE_PRIORITY = [
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
     "rolling_revenue_7d",
-    # --- latest grade round 3 (the oldest 4 of 32; the rest queue for
+    # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
     # round 6 — the round-5 window's slots went to new operators) ---
     "customer_revenue_deciles_approx", "customer_segments_setops",
-    "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_clusters",
     # ===== round-6 queue starts here (entry 51+) =====
+    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
     "events_approx_distinct_kmv",
