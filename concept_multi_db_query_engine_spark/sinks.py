@@ -92,3 +92,60 @@ def write_corpus_shards(
         n_shards=n_shards,
         max_records_per_file=max_records_per_file,
     ).write(docs)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    fmt: str = "parquet",
+    sort_within_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction — the maintenance pass every long-lived table
+    needs: streaming/incremental writers leave thousands of KB-sized files
+    whose per-file open/footer cost eventually dominates scans. Reads the
+    dataset, rewrites it as ``ceil(bytes / target_mb)`` files (optionally
+    re-clustered for row-group pruning), and atomically swaps via a
+    temporary sibling directory. Returns {files_before, files_after,
+    bytes} for the operator log.
+
+    Scale notes: the rewrite is one repartition exchange sized by actual
+    bytes (not file count), so a million-file input becomes
+    ``bytes/target`` balanced tasks; the swap is two renames (atomic on
+    HDFS/local; on S3 point readers at the new prefix instead). Run it
+    per partition directory for hive-layout tables to bound the working
+    set.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    shaped = df.repartition(n_out)
+    if sort_within_by:
+        shaped = shaped.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    shaped.write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

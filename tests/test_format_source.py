@@ -124,3 +124,19 @@ def test_sink_roundtrip_in_orc(spark, tmp_path):
     ParquetSink(path=path, fmt="orc").write(df)
     back = FormatSource(str(tmp_path), "orc").df(spark, "out")
     assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from concept_multi_db_query_engine_spark.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    checksum = before.agg({"id": "sum"}).collect()[0][0]
+    stats = compact_files(spark, path, target_mb=512)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] == 1  # tiny data -> one target file
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert after.agg({"id": "sum"}).collect()[0][0] == checksum
