@@ -547,3 +547,22 @@ def test_winsorize_clamps_tails_only(spark):
     assert out[100]["is_clipped"] and out[100]["v_winsorized"] == 95.0
     assert not out[50]["is_clipped"] and out[50]["v_winsorized"] == 50.0
     assert sum(r["is_clipped"] for r in out.values()) == 9  # 1-4, 96-100
+
+
+def test_rollup_null_data_key_disambiguated_by_grouping_flag(spark):
+    # a DATA row whose priority is NULL coalesces to the same 'ALL' label
+    # as the subtotal rows — the grouping flags are what keep them apart
+    orders = spark.createDataFrame(
+        [(1, 1, None, "F", 10.0), (2, 1, "HIGH", "F", 5.0)],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderstatus string, o_totalprice double",
+    )
+    rows = ops.grouped_rollup(orders, "rollup").collect()
+    all_f = [r for r in rows
+             if r["priority"] == "ALL" and r["status"] == "F"]
+    # one is the NULL-priority data row (g_pri=0), one would be a
+    # status-level subtotal if this were CUBE; under ROLLUP only the data
+    # row exists at (ALL, F)
+    assert len(all_f) == 1 and all_f[0]["g_pri"] == 0
+    grand = [r for r in rows if r["g_pri"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1 and grand[0]["n_orders"] == 2
