@@ -868,6 +868,10 @@ def _q_winsorize(spark, sf):
     return ops.winsorize(orders, "o_totalprice")
 
 
+def _q_vocab_growth(spark, sf):
+    return ops.vocab_growth(_t(spark, sf, "documents"))
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -973,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer_rfm_segments": _q_rfm,
             "corpus_drift": _q_corpus_drift,
             "orders_winsorize": _q_winsorize,
+            "docs_vocab_growth": _q_vocab_growth,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1010,7 +1015,7 @@ _GATE_PRIORITY = [
     "nation_revenue_unpivot", "orders_price_histogram",
     "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
-    "embeddings_l2_normalize", "orders_winsorize",
+    "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -1020,8 +1025,8 @@ _GATE_PRIORITY = [
     # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
     # round 6 — the round-5 window's slots went to new operators) ---
     "customer_revenue_deciles_approx", "customer_segments_setops",
-    "dedup_clusters",
     # ===== round-6 queue starts here (entry 51+) =====
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
@@ -2785,6 +2790,33 @@ SELECT o_orderkey, o_totalprice,
        least(greatest(o_totalprice, lo), hi) AS o_totalprice_winsorized,
        o_totalprice != least(greatest(o_totalprice, lo), hi) AS is_clipped
 FROM orders CROSS JOIN cuts
+"""
+
+    o["docs_vocab_growth"] = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+d AS (
+  SELECT doc_id * 10 // (m + 1) AS bucket, string_split(text, ' ') AS w
+  FROM documents CROSS JOIN mx
+),
+toks AS (
+  SELECT bucket, CAST(sum(len(w)) AS BIGINT) AS toks FROM d GROUP BY 1
+),
+fs AS (
+  SELECT min_bucket AS bucket, count(*) AS new_words FROM (
+    SELECT word, min(bucket) AS min_bucket
+    FROM (SELECT bucket, unnest(w) AS word FROM d)
+    GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT t.bucket,
+       CAST(coalesce(f.new_words, 0) AS BIGINT) AS new_words,
+       CAST(sum(t.toks) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS tokens_cum,
+       CAST(sum(coalesce(f.new_words, 0)) OVER (ORDER BY t.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM toks t LEFT JOIN fs f ON t.bucket = f.bucket
 """
 
     o["customer_rfm_segments"] = """

@@ -97,6 +97,7 @@ HEADLINE = [
     "docs_feature_matrix",
     "corpus_report",
     "corpus_drift",
+    "docs_vocab_growth",
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_chunk",

@@ -947,3 +947,55 @@ def corpus_drift(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
         (d("b_pass") - d("a_pass")).alias("pass_rate_delta"),
         (d("b_dup") - d("a_dup")).alias("dup_rate_delta"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame, n_buckets: int = 10, id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: split the corpus into
+    ``n_buckets`` contiguous doc-id ranges and report, per prefix, the
+    cumulative token volume and cumulative distinct vocabulary — the
+    diversity diagnostic that shows whether new data still contributes new
+    language or the corpus has saturated. Returns
+    (bucket, new_words, tokens_cum, vocab_cum).
+
+    The cumulative-distinct trap is avoided with the min-first-bucket
+    trick: a word's first bucket of appearance is a plain ``min``
+    aggregate, and vocab_cum(k) is then a running sum of first-appearance
+    counts over the ≤ n_buckets-row rollup — one token explode + two
+    map-side-combined aggregations, never a distinct count per prefix
+    (which would rescan the corpus n times). Bucket assignment is integer
+    arithmetic off the broadcast max id, bit-equal on any engine.
+    """
+    mx = docs.agg(F.max(F.col(id_col)).alias("__m"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"{id_col} * {n_buckets} DIV (__m + 1)").alias("bucket"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    toks = d.groupBy("bucket").agg(
+        F.sum(F.size("w")).cast("long").alias("toks")
+    )
+    first_seen = (
+        d.select("bucket", F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_words", F.lit(0)).cast("long")
+            .alias("new_words"),
+            F.sum("toks").over(cum).cast("long").alias("tokens_cum"),
+        )
+        .withColumn(
+            "vocab_cum",
+            F.sum(F.coalesce("new_words", F.lit(0))).over(cum)
+            .cast("long"),
+        )
+    )

@@ -566,3 +566,17 @@ def test_rollup_null_data_key_disambiguated_by_grouping_flag(spark):
     assert len(all_f) == 1 and all_f[0]["g_pri"] == 0
     grand = [r for r in rows if r["g_pri"] == 1 and r["g_status"] == 1]
     assert len(grand) == 1 and grand[0]["n_orders"] == 2
+
+
+def test_vocab_growth_tracks_new_words_per_prefix(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "d d"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket"]: r for r in
+            ops.vocab_growth(docs, n_buckets=4).collect()}
+    assert rows[0]["new_words"] == 2 and rows[0]["vocab_cum"] == 2  # a,b
+    assert rows[1]["new_words"] == 1 and rows[1]["vocab_cum"] == 3  # +c
+    assert rows[2]["new_words"] == 1 and rows[2]["vocab_cum"] == 4  # +d
+    assert rows[3]["new_words"] == 0 and rows[3]["vocab_cum"] == 4
+    assert rows[3]["tokens_cum"] == 2 + 2 + 2 + 4
