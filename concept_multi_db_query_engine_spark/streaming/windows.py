@@ -257,3 +257,17 @@ def sliding_active_users(
         F.col("win.end").alias("window_end"),
         "approx_users",
     )
+
+
+def enrich_stream(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape: each micro-batch of events joins a static (or
+    slowly-refreshed) dimension frame. Spark re-plans the static side per
+    micro-batch, so a broadcastable dimension costs one broadcast per
+    batch and the stream side never shuffles; no watermark is needed
+    because a stream-static inner join is stateless. Works identically on
+    a batch frame (the twin the test asserts against).
+    """
+    return events.join(dims, "user_id", "inner").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment"
+    )

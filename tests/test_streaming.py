@@ -230,3 +230,21 @@ def test_sliding_active_users_stream_matches_batch(spark):
     cols = ["window_start", "window_end", "approx_users"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 1
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    dims = spark.range(0, 2000).selectExpr(
+        "id AS user_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS segment"
+    )
+    stream = sw._bounded_event_stream(spark, EVENTS)
+    sw.run_stream_to_memory(
+        sw.enrich_stream(stream, dims), "enriched_events",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT * FROM enriched_events")
+    batch = sw.enrich_stream(
+        testdata.load_table(spark, SF_DIR, "events"), dims
+    )
+    cols = ["event_id", "user_id", "event_type", "segment"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
