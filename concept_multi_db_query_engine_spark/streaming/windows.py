@@ -271,3 +271,34 @@ def enrich_stream(events: DataFrame, dims: DataFrame) -> DataFrame:
     return events.join(dims, "user_id", "inner").select(
         "event_id", "ts", "user_id", "event_type", "value", "segment"
     )
+
+
+def purchase_click_pairs(
+    purchases: DataFrame, clicks: DataFrame, window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join:each purchase pairs with the same user's
+    clicks from the preceding ``window`` — the streaming form of
+    click-attribution candidate generation. Both sides carry watermarks
+    and the join condition bounds event time on BOTH streams, which is
+    what lets Spark expire buffered state (a stream-stream join without a
+    time bound would buffer forever). Works identically on batch frames.
+    """
+    p = purchases.selectExpr(
+        "event_id AS purchase_id", "ts AS p_ts", "user_id"
+    )
+    c = clicks.selectExpr(
+        "event_id AS click_id", "ts AS c_ts", "user_id AS c_user"
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND "
+            f"c_ts BETWEEN p_ts - INTERVAL {window} AND p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")

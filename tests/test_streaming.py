@@ -248,3 +248,24 @@ def test_stream_static_enrichment_matches_batch(spark):
     cols = ["event_id", "user_id", "event_type", "segment"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    ev = testdata.load_table(spark, SF_DIR, "events")
+    p_stream = sw._bounded_event_stream(spark, EVENTS).where(
+        "event_type = 'purchase'"
+    )
+    c_stream = sw._bounded_event_stream(spark, EVENTS).where(
+        "event_type = 'click'"
+    )
+    sw.run_stream_to_memory(
+        sw.purchase_click_pairs(p_stream, c_stream),
+        "purchase_click_pairs", output_mode="append",
+    )
+    got = spark.sql("SELECT * FROM purchase_click_pairs")
+    batch = sw.purchase_click_pairs(
+        ev.where("event_type = 'purchase'"), ev.where("event_type = 'click'")
+    )
+    cols = ["purchase_id", "click_id", "user_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
