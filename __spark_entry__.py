@@ -872,6 +872,13 @@ def _q_vocab_growth(spark, sf):
     return ops.vocab_growth(_t(spark, sf, "documents"))
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _q_funnel_steps(spark, sf):
+    return ops.funnel_steps(_t(spark, sf, "events"), _FUNNEL_STEPS)
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -978,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_drift": _q_corpus_drift,
             "orders_winsorize": _q_winsorize,
             "docs_vocab_growth": _q_vocab_growth,
+            "events_funnel_steps": _q_funnel_steps,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1016,6 +1024,7 @@ _GATE_PRIORITY = [
     "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
+    "events_funnel_steps",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
@@ -1024,8 +1033,9 @@ _GATE_PRIORITY = [
     "rolling_revenue_7d",
     # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
     # round 6 — the round-5 window's slots went to new operators) ---
-    "customer_revenue_deciles_approx", "customer_segments_setops",
+    "customer_revenue_deciles_approx",
     # ===== round-6 queue starts here (entry 51+) =====
+    "customer_segments_setops",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -2817,6 +2827,21 @@ SELECT t.bucket,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS vocab_cum
 FROM toks t LEFT JOIN fs f ON t.bucket = f.bucket
+"""
+
+    o["events_funnel_steps"] = """
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 p ON e.user_id = p.user_id WHERE e.event_type = 'view' AND e.ts > p.t0 GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 p ON e.user_id = p.user_id WHERE e.event_type = 'click' AND e.ts > p.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 p ON e.user_id = p.user_id WHERE e.event_type = 'purchase' AND e.ts > p.t2 GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_prev FROM c
+UNION ALL
+SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_prev FROM c
+UNION ALL
+SELECT 2 AS step_idx, 'click' AS step, n2 AS n_users, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_of_prev FROM c
+UNION ALL
+SELECT 3 AS step_idx, 'purchase' AS step, n3 AS n_users, CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) AS pct_of_prev FROM c
 """
 
     o["customer_rfm_segments"] = """

@@ -78,6 +78,7 @@ HEADLINE = [
     "order_value_quantiles_approx",
     "customer_revenue_deciles_approx",
     "events_funnel",
+    "events_funnel_steps",
     "events_cohort_retention",
     "events_sessionize",
     "events_asof_attribution",

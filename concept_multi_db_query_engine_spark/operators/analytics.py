@@ -916,3 +916,59 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Generalized N-step funnel: for an ordered list of event types,
+    count the users whose events complete each prefix IN ORDER (each
+    step's first occurrence strictly after the previous step's time).
+    Returns one row per step: (step_idx, step, n_users, pct_of_first,
+    pct_of_prev) — the standard conversion table for arbitrary product
+    flows, generalizing the fixed signup→view→purchase operator.
+
+    Plan shape: step 1 is one conditional-min aggregation on user_id;
+    each later step joins the running per-user frame to that step's
+    events and takes the min ts after the previous step — every stage is
+    keyed by user_id, so Catalyst reuses one hash partitioning across the
+    whole chain (k steps ≈ one event-stream shuffle plus k-1 co-located
+    joins on an already-reduced per-user frame). Percentages divide exact
+    longs, so every engine computes identical doubles.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_0"))
+    )
+    running = cur
+    for i, st in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col("event_type") == st)
+            .join(running.select("user_id", f"t_{i - 1}"), "user_id")
+            .where(F.col("ts") > F.col(f"t_{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+        running = running.join(nxt, "user_id", "left")
+    counts = running.agg(
+        *[
+            F.count(F.col(f"t_{i}")).alias(f"n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = None
+    for i, st in enumerate(steps):
+        base = counts.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(st).alias("step"),
+            F.col(f"n_{i}").alias("n_users"),
+            (F.col(f"n_{i}").cast("double") / F.col("n_0").cast("double"))
+            .alias("pct_of_first"),
+            (
+                F.col(f"n_{i}").cast("double")
+                / F.col(f"n_{max(i - 1, 0)}").cast("double")
+            ).alias("pct_of_prev"),
+        )
+        rows = base if rows is None else rows.unionByName(base)
+    return rows

@@ -580,3 +580,23 @@ def test_vocab_growth_tracks_new_words_per_prefix(spark):
     assert rows[2]["new_words"] == 1 and rows[2]["vocab_cum"] == 4  # +d
     assert rows[3]["new_words"] == 0 and rows[3]["vocab_cum"] == 4
     assert rows[3]["tokens_cum"] == 2 + 2 + 2 + 4
+
+
+def test_funnel_steps_order_matters(spark):
+    # user 1 completes in order; user 2 clicks BEFORE viewing (breaks at
+    # step 2); user 3 never signs up
+    ev = _events(
+        spark,
+        [(0, 1, "signup"), (1, 1, "view"), (2, 1, "click"),
+         (0, 2, "signup"), (1, 2, "click"), (2, 2, "view"),
+         (0, 3, "view"), (1, 3, "click")],
+    )
+    rows = {r["step_idx"]: r for r in
+            ops.funnel_steps(ev, ["signup", "view", "click"]).collect()}
+    assert rows[0]["n_users"] == 2          # users 1 and 2 signed up
+    assert rows[1]["n_users"] == 2          # both viewed after signup
+    assert rows[2]["n_users"] == 1          # only user 1 clicked after view
+    assert rows[2]["pct_of_first"] == 0.5
+    assert rows[2]["pct_of_prev"] == 0.5
+    with pytest.raises(ValueError):
+        ops.funnel_steps(ev, ["signup"])
