@@ -879,6 +879,29 @@ def _q_funnel_steps(spark, sf):
     return ops.funnel_steps(_t(spark, sf, "events"), _FUNNEL_STEPS)
 
 
+def _q_salted_join(spark, sf):
+    # The skew-salting strategy must be RESULT-invisible: the oracle is
+    # the plain SQL join, so the gate proves salting changes the physical
+    # distribution only.
+    from concept_multi_db_query_engine_spark.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").where("l_quantity > 25").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    od = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(li, od, "l_orderkey", n_salts=8)
+
+
+def _q_salted_count(spark, sf):
+    from concept_multi_db_query_engine_spark.skew import salted_count_by_key
+
+    return salted_count_by_key(
+        _t(spark, sf, "lineitem"), "l_orderkey", n_salts=16
+    )
+
+
 def _q_rolling_active(spark, sf):
     return ops.rolling_active_users(_t(spark, sf, "events"), window_days=7)
 
@@ -986,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_winsorize": _q_winsorize,
             "docs_vocab_growth": _q_vocab_growth,
             "events_funnel_steps": _q_funnel_steps,
+            "skew_salted_join": _q_salted_join,
+            "skew_salted_count": _q_salted_count,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1024,17 +1049,16 @@ _GATE_PRIORITY = [
     "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
-    "events_funnel_steps",
+    "events_funnel_steps", "skew_salted_join", "skew_salted_count",
     # --- latest grade round 1; module touched in round 2 — re-prove ---
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
-    "rolling_revenue_7d",
     # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
     # round 6 — the round-5 window's slots went to new operators) ---
-    "customer_revenue_deciles_approx",
     # ===== round-6 queue starts here (entry 51+) =====
+    "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -2842,6 +2866,16 @@ UNION ALL
 SELECT 2 AS step_idx, 'click' AS step, n2 AS n_users, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_of_prev FROM c
 UNION ALL
 SELECT 3 AS step_idx, 'purchase' AS step, n3 AS n_users, CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first, CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) AS pct_of_prev FROM c
+"""
+
+    o["skew_salted_join"] = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 25
+"""
+
+    o["skew_salted_count"] = """
+SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
 """
 
     o["customer_rfm_segments"] = """

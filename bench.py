@@ -26,6 +26,8 @@ HEADLINE = [
     "filter_pattern_group",
     "join_inner",
     "join_transitive",
+    "skew_salted_join",
+    "skew_salted_count",
     "agg_group_count",
     "agg_having",
     "counted_exists_gte",
