@@ -75,6 +75,12 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # materializes the node checkpoint (reads e0 only)
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
     init = SCALE // n
     base = init * (100 - damping_pct) // 100
     out_edges = e0.join(

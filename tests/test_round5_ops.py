@@ -600,3 +600,12 @@ def test_funnel_steps_order_matters(spark):
     assert rows[2]["pct_of_prev"] == 0.5
     with pytest.raises(ValueError):
         ops.funnel_steps(ev, ["signup"])
+
+
+def test_pagerank_empty_edge_list_returns_empty_frame(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = ops.pagerank(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "node", "rank_scaled", "rank"
+    ]
