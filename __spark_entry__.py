@@ -1327,14 +1327,16 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- analytics ----
     dec = "DECIMAL(12,4)"
-    disc = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
-    charge = f"{disc} * (CAST(1 AS {dec}) + CAST(l_tax AS {dec}))"
+    one = "DECIMAL(6,4)"  # unit factors narrowed so products stay <= p38
+    disc = (f"CAST(l_extendedprice AS {dec}) * "
+            f"(CAST(1 AS {one}) - CAST(l_discount AS {one}))")
+    charge = f"{disc} * (CAST(1 AS {one}) + CAST(l_tax AS {one}))"
     o["tpch_q1"] = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
-  CAST(sum({disc}) AS DOUBLE) AS sum_disc_price,
-  CAST(sum({charge}) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum({charge}) AS VARCHAR) AS DOUBLE) AS sum_charge,
   CAST(sum(CAST(l_quantity AS {dec})) AS DOUBLE) / count(*) AS avg_qty,
   CAST(sum(CAST(l_extendedprice AS {dec})) AS DOUBLE) / count(*) AS avg_price,
   CAST(sum(CAST(l_discount AS {dec})) AS DOUBLE) / count(*) AS avg_disc,
@@ -1345,7 +1347,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
     o["tpch_q3"] = f"""
 SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-  CAST(sum({disc}) AS DOUBLE) AS revenue
+  CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1357,7 +1359,7 @@ ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
 """
     o["tpch_q5"] = f"""
 SELECT n.n_name,
-  CAST(sum({disc}) AS DOUBLE) AS revenue
+  CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1402,7 +1404,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     o["tpch_q7"] = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       CAST(sum({disc}) AS DOUBLE) AS revenue,
+       CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1416,10 +1418,10 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
     o["tpch_q8"] = f"""
 SELECT year(o_orderdate) AS o_year,
-       CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN {disc}
-                     ELSE CAST(0 AS {dec}) END) AS DOUBLE)
-         / CAST(sum({disc}) AS DOUBLE) AS mkt_share,
-       CAST(sum({disc}) AS DOUBLE) AS total_revenue
+       CAST(CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN {disc}
+                     ELSE CAST(0 AS {dec}) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS mkt_share,
+       CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1437,7 +1439,7 @@ GROUP BY 1 ORDER BY 1
             f"* CAST(l_quantity AS {dec})")
     o["tpch_q9"] = f"""
 SELECT n.n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(sum({disc}) AS DOUBLE) - CAST(sum({cost}) AS DOUBLE)
+       CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) - CAST(CAST(sum({cost}) AS VARCHAR) AS DOUBLE)
          AS sum_profit,
        count(*) AS n_lines
 FROM lineitem l
@@ -1450,7 +1452,7 @@ GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
 """
     o["tpch_q10"] = f"""
 SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
-       CAST(sum({disc}) AS DOUBLE) AS revenue
+       CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1470,9 +1472,9 @@ SELECT c_count, count(*) AS custdist FROM (
 ) GROUP BY 1 ORDER BY custdist DESC, c_count DESC
 """
     o["tpch_q14"] = f"""
-SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {disc}
-                             ELSE CAST(0 AS {dec}) END) AS DOUBLE)
-         / CAST(sum({disc}) AS DOUBLE) AS promo_revenue_pct,
+SELECT 100.0 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {disc}
+                             ELSE CAST(0 AS {dec}) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
@@ -1480,7 +1482,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
 """
     o["tpch_q15"] = f"""
 WITH rev AS (
-  SELECT l_suppkey, CAST(sum({disc}) AS DOUBLE) AS total_revenue
+  SELECT l_suppkey, CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1535,7 +1537,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
 """
     o["tpch_q19"] = f"""
-SELECT CAST(sum({disc}) AS DOUBLE) AS revenue, count(*) AS n_lines
+SELECT CAST(CAST(sum({disc}) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)

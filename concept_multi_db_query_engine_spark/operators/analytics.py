@@ -12,10 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# decimal(12,4): narrow enough that a three-factor product
-# (price × (1-disc) × (1+tax)) stays within precision 38 EXACTLY in both
-# Spark and DuckDB (no engine-specific rounding of intermediate decimals)
+# decimal(12,4) for money columns; the (1±x) unit factors are cast to the
+# narrower decimal(6,4) (lossless — discount/tax carry 4 decimals) so the
+# three-factor product (price × (1-disc) × (1+tax)) peaks at precision 28
+# — within 38 EXACTLY on both Spark and DuckDB. With (12,4) factors the
+# product precision hit 40 and each engine rounded intermediates by its
+# own rule, producing ULP drift in sum_charge at some data sizes.
 DEC = "decimal(12,4)"
+ONE = "decimal(6,4)"
 
 
 def _d(col: str):
@@ -25,8 +29,10 @@ def _d(col: str):
 def tpch_q1(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape): group lineitems shipped on or
     before the cutoff by returnflag/linestatus; 8 aggregates."""
-    disc_price = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
-    charge = disc_price * (F.lit(1).cast(DEC) + _d("l_tax"))
+    disc_price = _d("l_extendedprice") * (
+        F.lit(1).cast(ONE) - F.col("l_discount").cast(ONE)
+    )
+    charge = disc_price * (F.lit(1).cast(ONE) + F.col("l_tax").cast(ONE))
     return (
         lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
