@@ -1026,11 +1026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _GATE_PRIORITY = [
     # Round-5 window (the driver grades the FIRST 50 entries). Composition:
-    # 3 round-5 code changes + 22 NEW round-5 operators (grade on first
-    # appearance) + the 22 rows whose latest grade is round 1 (their shared
-    # module operators/tpch_ext.py changed in round 2 — the round-4
-    # verdict's top item) + the oldest r3 rows that still fit. The
-    # remaining r3 rows head the round-6 queue below the fold.
+    # 3 round-5 code changes + 26 NEW round-5 operators (grade on first
+    # appearance) + 21 of the 22 rows whose latest grade is round 1 (their
+    # shared module operators/tpch_ext.py changed in round 2 — the round-4
+    # verdict's top item; rolling_revenue_7d heads the round-6 queue). The
+    # r3-graded rows queue below the fold for round 6.
     # --- round-5 code changes: must re-verify this round ---
     # localCheckpoint partition pin in distributed_group_quantiles /
     # distributed_ntile (recompute-hazard fix)
