@@ -872,7 +872,9 @@ def _q_winsorize(spark, sf):
     orders = _t(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    return ops.winsorize(orders, "o_totalprice")
+    # accuracy 2e6: sub-element GK rank error at every test scale (same
+    # reasoning as the approx-quantile gate wrappers)
+    return ops.winsorize(orders, "o_totalprice", accuracy=2_000_000)
 
 
 def _q_vocab_growth(spark, sf):
