@@ -919,6 +919,59 @@ def _q_profile_orders(spark, sf):
     return ops.profile_table(_t(spark, sf, "orders"))
 
 
+# ---- round-5b: statistics / clustering family ----
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_corr_matrix(spark, sf):
+    return ops.column_correlations(_t(spark, sf, "lineitem"), _CORR_COLS)
+
+
+def _q_ols(spark, sf):
+    return ops.ols_fit(
+        _t(spark, sf, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+def _q_ab_test(spark, sf):
+    # value >= 150 keeps per-user conversion ~40-50% at every test scale
+    # (unqualified, every user converts and the z-test is degenerate).
+    return ops.ab_test(_t(spark, sf, "events"), min_value=150.0)
+
+
+def _q_chi_square(spark, sf):
+    return ops.chi_square_independence(
+        _t(spark, sf, "documents"), "source", "lang"
+    )
+
+
+def _q_kmeans(spark, sf):
+    return ops.kmeans_assign(_t(spark, sf, "embeddings"), k=4, iterations=3)
+
+
+def _q_kmeans_centroids(spark, sf):
+    return ops.kmeans_centroids(
+        _t(spark, sf, "embeddings"), k=4, iterations=3
+    )
+
+
+def _q_random_projection(spark, sf):
+    # Same gate encoding as l2_normalize: micro-unit integers, because the
+    # harness can't hash arrays and double rendering is engine-specific.
+    emb = _t(spark, sf, "embeddings")
+    return ops.random_projection(emb, out_dim=8, in_dim=64).select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("proj"),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("proj_q6_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(name) for name in _DSL
@@ -1020,6 +1073,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_funnel_steps": _q_funnel_steps,
             "skew_salted_join": _q_salted_join,
             "skew_salted_count": _q_salted_count,
+            "stats_corr_matrix": _q_corr_matrix,
+            "stats_ols_regression": _q_ols,
+            "events_ab_test": _q_ab_test,
+            "docs_chi_square": _q_chi_square,
+            "embeddings_kmeans": _q_kmeans,
+            "embeddings_kmeans_centroids": _q_kmeans_centroids,
+            "embeddings_random_projection": _q_random_projection,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1067,6 +1127,12 @@ _GATE_PRIORITY = [
     # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
     # round 6 — the round-5 window's slots went to new operators) ---
     # ===== round-6 queue starts here (entry 51+) =====
+    # NEW round-5b (stats/clustering family): grade on first appearance
+    # next round — the round-5 window's 50 slots are already committed to
+    # the stale-r1 rotation.
+    "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
+    "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
+    "embeddings_random_projection",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -1143,6 +1209,68 @@ e AS (
   FROM embeddings
 )
 """
+
+
+def _kmeans_oracle(
+    k: int = 4, iterations: int = 3, dim: int = 64,
+    scale: int = 10**6, final: str = "assign",
+) -> str:
+    """Sequential DuckDB replay of ``operators.clustering.kmeans_assign``:
+    the identical integer recurrence (micro-unit quantization, exact
+    BIGINT distance sums, lowest-(dist2, cid) argmin, truncating-division
+    centroid means, empty-cluster carry), unrolled one CTE pair per
+    Lloyd iteration — the same chained-CTE technique as the pagerank
+    oracle."""
+    sql = f"""WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+eml AS (SELECT vec_id, pos, q[pos] AS val FROM emb CROSS JOIN dims),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+  FROM emb ORDER BY vec_id LIMIT {k}
+),
+c0l AS (SELECT cid, pos, cq[pos] AS cval FROM c0 CROSS JOIN dims)"""
+    assign_body = """
+    SELECT s.vec_id, s.cid, s.dist2,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dist2 ASC, s.cid ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             CAST(sum((e.val - c.cval) * (e.val - c.cval)) AS BIGINT)
+               AS dist2
+      FROM eml e JOIN c{t}l c ON e.pos = c.pos
+      GROUP BY 1, 2
+    ) s"""
+    for t in range(iterations):
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, cid, dist2 FROM ({assign_body.format(t=t)}
+  ) WHERE rn = 1
+),
+c{t + 1}l AS (
+  SELECT c.cid, c.pos, CAST(coalesce(nc.nval, c.cval) AS BIGINT) AS cval
+  FROM c{t}l c LEFT JOIN (
+    SELECT a.cid, e.pos, CAST(sum(e.val) AS BIGINT) // count(*) AS nval
+    FROM a{t} a JOIN eml e ON a.vec_id = e.vec_id
+    GROUP BY 1, 2
+  ) nc ON c.cid = nc.cid AND c.pos = nc.pos
+)"""
+    sql += f""",
+af AS (
+  SELECT vec_id, cid, dist2 FROM ({assign_body.format(t=iterations)}
+  ) WHERE rn = 1
+)"""
+    if final == "assign":
+        return sql + """
+SELECT vec_id, cid AS cluster, dist2 AS dist2_scaled FROM af"""
+    return sql + """
+SELECT cid AS cluster, count(*) AS size,
+       CAST(sum(dist2) AS BIGINT) AS inertia_scaled
+FROM af GROUP BY 1 ORDER BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2928,4 +3056,179 @@ SELECT month, CAST(rev_d AS DOUBLE) AS revenue,
          / CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE) AS growth
 FROM m
 """
+
+    # ---- round-5b: statistics / clustering family ----
+    # The double-precision statistic expressions are the SAME text the
+    # Spark operators evaluate (operators/stats.py) so both engines walk
+    # an identical IEEE-754 operation tree over identical exact-decimal
+    # moments (VARCHAR-routed: DuckDB's direct DECIMAL->DOUBLE divides a
+    # scaled int128 and is lossy past 2^53, see PLANS.md).
+    dc = "DECIMAL(12,4)"
+    cc = _CORR_COLS
+    from itertools import combinations as _comb
+
+    from concept_multi_db_query_engine_spark.operators import (
+        stats as _stats_mod,
+    )
+
+    # products: quantize at (12,4) first (Spark's input rounding), then
+    # widen losslessly to (19,4) so DuckDB's multiply runs in int128 —
+    # (12,4)x(12,4) mantissas overflow its int64 DECIMAL(<=18) path
+    # (width 19 forces int128 storage).
+    def _w(c):
+        return f"CAST(CAST({c} AS {dc}) AS DECIMAL(19,4))"
+
+    moment_parts = ["count(*) AS n"]
+    for c in cc:
+        moment_parts.append(f"sum(CAST({c} AS {dc})) AS s_{c}")
+        moment_parts.append(f"sum({_w(c)} * {_w(c)}) AS s2_{c}")
+    for a, b in _comb(cc, 2):
+        moment_parts.append(f"sum({_w(a)} * {_w(b)}) AS p_{a}_{b}")
+    dbl_parts = ["CAST(n AS DOUBLE) AS n_d", "n"]
+    for c in cc:
+        dbl_parts.append(f"CAST(CAST(s_{c} AS VARCHAR) AS DOUBLE) AS sd_{c}")
+        dbl_parts.append(
+            f"CAST(CAST(s2_{c} AS VARCHAR) AS DOUBLE) AS s2d_{c}"
+        )
+    for a, b in _comb(cc, 2):
+        dbl_parts.append(
+            f"CAST(CAST(p_{a}_{b} AS VARCHAR) AS DOUBLE) AS pd_{a}_{b}"
+        )
+    corr_rows = []
+    for a, b in _comb(cc, 2):
+        ce = _stats_mod._corr_expr(
+            "n_d", f"sd_{a}", f"sd_{b}", f"pd_{a}_{b}", f"s2d_{a}", f"s2d_{b}"
+        ).replace("0.0d", "0.0")
+        corr_rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows, "
+            f"{ce} AS corr FROM d"
+        )
+    o["stats_corr_matrix"] = (
+        "WITH m AS (SELECT "
+        + ", ".join(moment_parts)
+        + " FROM lineitem), d AS (SELECT "
+        + ", ".join(dbl_parts)
+        + " FROM m)\n"
+        + "\nUNION ALL\n".join(corr_rows)
+    )
+
+    o["stats_ols_regression"] = f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS {dc})) AS sx,
+         sum(CAST(l_extendedprice AS {dc})) AS sy,
+         sum({_w('l_quantity')} * {_w('l_quantity')}) AS sxx,
+         sum({_w('l_extendedprice')} * {_w('l_extendedprice')}) AS syy,
+         sum({_w('l_quantity')} * {_w('l_extendedprice')}) AS sxy
+  FROM lineitem
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d
+  FROM m
+)
+SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n AS n_rows,
+  round((n_d * sxy_d - sx_d * sy_d)
+        / nullif(n_d * sxx_d - sx_d * sx_d, 0.0), 6) AS slope,
+  round((sy_d - ((n_d * sxy_d - sx_d * sy_d)
+                 / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)) * sx_d)
+        / n_d, 6) AS intercept,
+  round(((n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d))
+        / nullif((n_d * sxx_d - sx_d * sx_d)
+                 * (n_d * syy_d - sy_d * sy_d), 0.0), 6) AS r2
+FROM d
+"""
+
+    _ab_z = (
+        "((CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)) - "
+        "(CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0))) / "
+        "nullif(sqrt("
+        "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / "
+        "CAST(n_a + n_b AS DOUBLE)) "
+        "* (1.0 / nullif(CAST(n_a AS DOUBLE), 0.0) "
+        "+ 1.0 / nullif(CAST(n_b AS DOUBLE), 0.0))), 0.0)"
+    )
+    o["events_ab_test"] = f"""
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                  THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+), v AS (
+  SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 15))
+            ::BIGINT % 2) = 0 AS is_a,
+         converted
+  FROM pu
+), c AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN NOT is_a THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM v
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  round(CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0), 6)
+    AS rate_a,
+  round(CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6)
+    AS rate_b,
+  round({_ab_z}, 6) AS z_score,
+  abs({_ab_z}) > 1.959964 AS significant
+FROM c
+"""
+
+    o["docs_chi_square"] = """
+WITH obs AS (
+  SELECT source AS a, lang AS b, count(*) AS obs FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra FROM obs GROUP BY 1),
+ct AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb FROM obs GROUP BY 1),
+nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.a, o.b, nt.n,
+         o.obs * nt.n - rt.ra * ct.cb AS d,
+         rt.ra * ct.cb AS rc
+  FROM obs o JOIN rt ON o.a = rt.a JOIN ct ON o.b = ct.b CROSS JOIN nt
+),
+f AS (
+  SELECT max(n) AS n_rows, count(*) AS n_cells,
+         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(a := a, b := b, d := d,
+                                        rc := rc, n := n))),
+             t -> (CAST(t.d AS DOUBLE) * CAST(t.d AS DOUBLE))
+                  / (CAST(t.n AS DOUBLE) * CAST(t.rc AS DOUBLE))),
+           (x, y) -> x + y) AS chi2_raw
+  FROM cells
+)
+SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       round(chi2_raw, 6) AS chi2
+FROM f
+"""
+
+    o["embeddings_kmeans"] = _kmeans_oracle(final="assign")
+    o["embeddings_kmeans_centroids"] = _kmeans_oracle(final="centroids")
+
+    _rp_signs = ops.random_projection_signs(8, 64)
+    _rp_comps = []
+    for _j in range(8):
+        _fold = "CAST(0.0 AS DOUBLE)"
+        for _i in range(64):
+            _s = "1.0" if _rp_signs[_j][_i] > 0 else "-1.0"
+            _fold = f"({_fold} + {_s} * CAST(embedding[{_i + 1}] AS DOUBLE))"
+        _rp_comps.append(
+            f"CAST(round(round({_fold} + 0.0, 6) * 1000000.0) AS BIGINT)"
+        )
+    o["embeddings_random_projection"] = (
+        "SELECT vec_id, array_to_string(["
+        + ", ".join(_rp_comps)
+        + "], ',') AS proj_q6_csv FROM embeddings"
+    )
     return o

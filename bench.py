@@ -130,6 +130,13 @@ HEADLINE = [
     "multimodal_decode_stats",
     "dedup_survivors",
     "sketch_distinct_comparison",
+    # statistics / clustering family (round 5b)
+    "stats_corr_matrix",
+    "stats_ols_regression",
+    "events_ab_test",
+    "docs_chi_square",
+    "embeddings_kmeans",
+    "embeddings_random_projection",
 ]
 
 

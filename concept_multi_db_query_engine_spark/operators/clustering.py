@@ -1,0 +1,164 @@
+"""Integer fixed-point k-means over embedding columns.
+
+The codebook-training step the ANN family was missing: `similarity.ivf_*`
+partitions vectors around externally supplied centroids; this module
+LEARNS those centroids with Lloyd's algorithm, expressed as pure
+DataFrame iterations the same way ``graph.pagerank`` is.
+
+Determinism: float k-means is unusable for exact cross-engine
+verification — both the distance sums and the centroid means depend on
+summation order.  Here every vector is quantized ONCE to integer
+micro-units (``round(x·10⁶)``, exact BIGINT), so
+
+* squared L2 distances are exact integer sums (fixed values, any order);
+* ties in the nearest-centroid argmin break on the lower centroid id
+  via struct ordering — total, reproducible;
+* centroid updates are exact integer sums with truncating division
+  (Spark ``DIV`` ≡ DuckDB ``//`` toward zero), associative and
+  partition-independent.
+
+A sequential DuckDB replay of the same recurrence is bit-identical
+after any number of iterations — the property the driver's oracle gate
+checks.  The ~1e-6 quantization of the input is the price of exactness;
+Lloyd's assignment geometry is unaffected at that resolution.
+
+Scale shape (per iteration):
+* assignment is a NARROW MAP — the k centroids travel as one broadcast
+  row of k packed arrays; the argmin over k is a per-row
+  ``array_min(transform(...))`` expression in whole-stage codegen.  No
+  per-iteration shuffle of the vectors, no crossJoin fan-out of k rows
+  per vector.
+* the update shuffles only per-(cluster, dimension) PARTIAL SUMS
+  (map-side combined): k·d rows cross the wire, not |vectors|.
+* empty clusters keep their previous centroid (k-row left join).
+The quantized vectors are localCheckpoint'ed once (the loop re-reads
+them every iteration); lineage on the k-row centroid frame is cut each
+round.  Nothing touches the driver except the k-row centroid plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_SCALE = 10**6  # micro-units: |x| <= ~1e3 still squares well inside BIGINT
+
+
+def _quantize(vec_col: str):
+    # The float element is widened to DOUBLE BEFORE the multiply: float×int
+    # would stay float in Spark (and DuckDB), and the two engines' float
+    # rounding paths need not agree. double×1e6 is correctly rounded and
+    # identical everywhere; round() is half-away-from-zero on both.
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}.0d) AS BIGINT))"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns the final assignment
+    (id, cluster, dist2_scaled) with ``dist2_scaled`` the exact integer
+    squared distance in 1e-12 units (micro-unit squares).
+
+    Init: the k lowest-id vectors (deterministic, engine-independent —
+    k-means++ needs an RNG stream the oracle could not replay; salt the
+    ids upstream if the low ids are pathological).  ``iterations``
+    counts centroid updates; the returned assignment is under the final
+    centroids.
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError("need k >= 1 and iterations >= 0")
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
+    ).localCheckpoint(eager=True)
+    # k seed centroids: global bottom-k by id (planned as
+    # TakeOrderedAndProject — a TopK, not a full sort), then cid 0..k-1
+    # by id order via a sorted-array posexplode of the k-row frame — the
+    # same ranking a global row_number window would give, without the
+    # single-partition WindowExec.
+    cents = (
+        emb.orderBy("vid")
+        .limit(k)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "q"))).alias("a"))
+        .select(F.posexplode("a").alias("cid", "t"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("t.q").alias("cq"),
+        )
+    )
+
+    def _assign(cent_frame: DataFrame) -> DataFrame:
+        one = cent_frame.groupBy().agg(
+            F.expr("array_sort(collect_list(struct(cid, cq)))").alias("cs")
+        )
+        return (
+            emb.join(F.broadcast(one))
+            .select(
+                "vid",
+                "q",
+                F.expr(
+                    "array_min(transform(cs, c -> struct("
+                    "aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
+                    "c.cid AS cid)))"
+                ).alias("m"),
+            )
+            .select(
+                "vid", "q",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist2").alias("dist2"),
+            )
+        )
+
+    for _ in range(iterations):
+        assigned = _assign(cents)
+        dim_sums = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        new_cents = dim_sums.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s, c))), "
+                "t -> t.s DIV t.c)"
+            ).alias("ncq")
+        )
+        cents = (
+            cents.join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("ncq", "cq").alias("cq"))
+            .localCheckpoint(eager=False)
+        )
+    return _assign(cents).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("dist2").alias("dist2_scaled"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster cardinalities + centroid L2 norms under the final model —
+    the k-row training summary (cluster, size, inertia_scaled, norm2).
+    ``inertia_scaled`` is the exact integer within-cluster squared-error
+    sum; one aggregation over the final assignment."""
+    a = kmeans_assign(embeddings, k, iterations, id_col, vec_col)
+    return (
+        a.groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum("dist2_scaled").alias("inertia_scaled"),
+        )
+        .orderBy("cluster")
+    )

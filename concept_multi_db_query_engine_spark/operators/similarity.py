@@ -526,3 +526,58 @@ def l2_normalize_embeddings(
             ).otherwise(F.round(x.cast("double"), round_to)),
         ).alias("unit_vec"),
     )
+
+
+def random_projection_signs(out_dim: int, in_dim: int,
+                            salt: str = "rp") -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix derived from
+    md5("{salt}:{j}:{i}") parity — no RNG, so any engine (or the DuckDB
+    oracle, via its own md5()) regenerates the identical matrix from the
+    (salt, shape) alone. Rows are output dims."""
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    salt: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by a Rademacher
+    sign matrix: out[j] = Σᵢ sign(j,i)·x[i].
+
+    The sign matrix is model data (like IVF centroids): materialized once
+    driver-side from the deterministic hash — out_dim·in_dim literals, a
+    few KB — and baked into the projection expressions, so the whole map
+    is whole-stage-codegen'd JVM arithmetic with NO shuffle, no Python,
+    and no per-row hashing.  Each output component folds the input
+    left-to-right (``aggregate`` over an index ``sequence``) — a fixed
+    IEEE-754 operation tree both engines evaluate identically; the final
+    ``+ 0.0`` collapses a possible −0.0 so the fold matches DuckDB's
+    init-free ``list_reduce``. Components round to 6 decimals.
+
+    Returns (vec_id, proj: array<double>).
+    """
+    signs = random_projection_signs(out_dim, in_dim, salt)
+    comps = []
+    for j in range(out_dim):
+        lits = ", ".join(
+            f"{s:.1f}d" for s in signs[j]
+        )
+        comps.append(
+            f"round(aggregate(sequence(1, {in_dim}), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + element_at(array({lits}), i) * "
+            f"CAST(element_at({vec_col}, i) AS DOUBLE)) + 0.0d, 6)"
+        )
+    return embeddings.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(comps) + ")").alias("proj"),
+    )

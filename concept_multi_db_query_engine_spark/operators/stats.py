@@ -1,0 +1,283 @@
+"""Exact-sum statistics operators: correlation matrix, OLS regression,
+two-proportion A/B significance, chi-square independence.
+
+The blocker for cross-engine-verifiable statistics is floating-point
+summation order: ``SUM(double)`` depends on partition layout, so a naive
+Pearson correlation differs between runs, let alone engines.  Every
+operator here follows the repo's determinism discipline instead
+(ANALYTICS ``DECIMAL`` money math, ``graph.pagerank`` integer units):
+
+* moments (Σx, Σx², Σxy) accumulate in ``DECIMAL`` — exact and
+  associative, so Spark's parallel partial aggregation and a sequential
+  DuckDB replay agree bit-for-bit;
+* the closed-form statistic is then evaluated ONCE per group in
+  ``double`` with an explicitly parenthesised expression tree, which two
+  IEEE-754 engines round identically;
+* where a final reduction over a *small* set of float terms is
+  unavoidable (chi-square over contingency cells), the terms are
+  collected into a sorted array and folded left-to-right with
+  ``aggregate()`` — a deterministic sequential sum, not ``SUM``.
+
+Scale shape: every operator is a single map-side-combined aggregation
+pass over the fact table (one shuffle carrying O(groups) partial rows);
+the statistic itself is computed on a frame of at most |cells| rows.
+
+Reference behavior parity: the reference exposes no statistics surface
+(its DSL stops at count/min/max/sum/avg, QUERY_SEMANTICS.md); these
+extend the north-star analytics toolkit the way `operators/insights.py`
+does, with the same oracle-replayable contract.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Moment accumulators: DECIMAL(12,4) inputs (exact for the testdata's
+# money/quantity/ratio columns), DECIMAL(25,8) products -> Spark sums at
+# DECIMAL(35,8)/DuckDB DECIMAL(38,8), exact on both within precision 38.
+_DEC = "decimal(12,4)"
+
+
+def _m(col: str):
+    return F.col(col).cast(_DEC)
+
+
+def _corr_expr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    """Pearson r as one fixed-shape double expression over exact sums.
+
+    The same text is emitted into the DuckDB oracle, so both engines
+    evaluate the identical IEEE-754 operation tree.
+    """
+    return (
+        f"round(({n} * {sxy} - {sx} * {sy}) / "
+        f"nullif(sqrt({n} * {sxx} - {sx} * {sx}) * "
+        f"sqrt({n} * {syy} - {sy} * {sy}), 0.0d), 6)"
+    )
+
+
+def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over numeric
+    columns, from exact decimal moments.
+
+    ONE aggregation job computes every moment (count, Σx, Σx², Σxy for
+    all pairs) map-side-combined; the per-pair correlations are then a
+    constant-size projection of the single moment row.  No per-pair
+    passes, no ``corr()`` (whose double accumulation is partition-order
+    dependent).  Scale: the shuffle carries one partial row per task
+    regardless of |df| or the number of columns.
+
+    Returns (col_x, col_y, n_rows, corr) ordered by (col_x, col_y).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(_m(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(_m(c) * _m(c)).alias(f"s2_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum(_m(a) * _m(b)).alias(f"p_{a}_{b}"))
+    moments = df.agg(*aggs).select(
+        F.col("n").cast("double").alias("n_d"),
+        F.col("n").alias("n"),
+        *[F.col(f"s_{c}").cast("double").alias(f"sd_{c}") for c in cols],
+        *[F.col(f"s2_{c}").cast("double").alias(f"s2d_{c}") for c in cols],
+        *[
+            F.col(f"p_{a}_{b}").cast("double").alias(f"pd_{a}_{b}")
+            for a, b in combinations(cols, 2)
+        ],
+    )
+    pair_structs = ", ".join(
+        f"struct('{a}' AS col_x, '{b}' AS col_y, n AS n_rows, "
+        + _corr_expr("n_d", f"sd_{a}", f"sd_{b}", f"pd_{a}_{b}",
+                     f"s2d_{a}", f"s2d_{b}")
+        + " AS corr)"
+        for a, b in combinations(cols, 2)
+    )
+    return (
+        moments.select(
+            F.expr(f"inline(array({pair_structs}))")
+        ).orderBy("col_x", "col_y")
+    )
+
+
+def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Least-squares line y = slope·x + intercept with R², from exact
+    decimal moments — the distributed closed-form normal equations, not
+    an iterative solver.
+
+    Single aggregation pass (same shape as :func:`column_correlations`);
+    the slope/intercept/R² projection runs on one row.  Returns one row
+    (x_col, y_col, n_rows, slope, intercept, r2).
+    """
+    x, y = _m(x_col), _m(y_col)
+    moments = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ).select(
+        F.col("n"),
+        F.col("n").cast("double").alias("n_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxx", "syy", "sxy")],
+    )
+    return moments.select(
+        F.lit(x_col).alias("x_col"),
+        F.lit(y_col).alias("y_col"),
+        F.col("n").alias("n_rows"),
+        F.expr(
+            "round((n_d * sxy_d - sx_d * sy_d) / "
+            "nullif(n_d * sxx_d - sx_d * sx_d, 0.0d), 6)"
+        ).alias("slope"),
+        F.expr(
+            "round((sy_d - ((n_d * sxy_d - sx_d * sy_d) / "
+            "nullif(n_d * sxx_d - sx_d * sx_d, 0.0d)) * sx_d) / n_d, 6)"
+        ).alias("intercept"),
+        F.expr(
+            "round(((n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d))"
+            " / nullif((n_d * sxx_d - sx_d * sx_d) * "
+            "(n_d * syy_d - sy_d * sy_d), 0.0d), 6)"
+        ).alias("r2"),
+    )
+
+
+def ab_test(
+    events: DataFrame,
+    conversion_event: str = "purchase",
+    salt: str = "ab1",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    min_value: float | None = None,
+    value_col: str = "value",
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split.
+
+    Variant assignment reuses the :func:`text.hash_split` discipline —
+    md5(user:salt) parity, no RNG — so the same user lands in the same
+    arm on any engine and re-salting re-rolls the experiment.  Unit of
+    analysis is the USER (not the event): one shuffle keyed by user
+    reduces to per-user (variant, converted) — map-side combined — then
+    a constant-size conditional aggregate yields both arms' exact
+    integer counts in one row.  The z statistic is a fixed-shape double
+    expression over those integers; only it and the rates are floats.
+
+    ``min_value`` optionally requires the conversion event to carry at
+    least that ``value_col`` (e.g. "purchase of >= $150") — without a
+    qualifier, high-traffic corpora convert every user and the test is
+    degenerate.  When a proportion is 0 or 1 (or an arm is empty), the z
+    denominator is NULL-guarded: z_score/significant come back NULL
+    rather than an ANSI divide-by-zero.
+
+    Returns one row: (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score,
+    significant).
+    """
+    parity = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(user_col).cast("string"), F.lit(":" + salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 2
+    hit = F.col(type_col) == conversion_event
+    if min_value is not None:
+        hit = hit & (F.col(value_col) >= F.lit(float(min_value)))
+    per_user = (
+        events.groupBy(F.col(user_col))
+        .agg(F.max(F.when(hit, 1).otherwise(0)).alias("converted"))
+        .select((parity == 0).alias("is_a"), "converted")
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    z = (
+        "((cast(conv_a AS double) / nullif(cast(n_a AS double), 0.0d)) - "
+        "(cast(conv_b AS double) / nullif(cast(n_b AS double), 0.0d))) / "
+        "nullif(sqrt("
+        "(cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double)) "
+        "* (1.0d - cast(conv_a + conv_b AS double) / "
+        "cast(n_a + n_b AS double)) "
+        "* (1.0d / nullif(cast(n_a AS double), 0.0d) "
+        "+ 1.0d / nullif(cast(n_b AS double), 0.0d))), 0.0d)"
+    )
+    return counts.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.expr(
+            "round(cast(conv_a AS double) "
+            "/ nullif(cast(n_a AS double), 0.0d), 6)"
+        ).alias("rate_a"),
+        F.expr(
+            "round(cast(conv_b AS double) "
+            "/ nullif(cast(n_b AS double), 0.0d), 6)"
+        ).alias("rate_b"),
+        F.expr(f"round({z}, 6)").alias("z_score"),
+        F.expr(f"abs({z}) > {z_crit}d").alias("significant"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns.
+
+    Observed counts come from one map-side-combined aggregation; margins
+    join back on the |A|- and |B|-row total frames (AQE broadcasts
+    them).  Each cell's contribution is computed from EXACT integers —
+    ``(obs·n − rowΣ·colΣ)²/(n·rowΣ·colΣ)`` is algebraically
+    ``(obs−exp)²/exp`` with no float expected-count intermediate — and
+    the final reduction folds the sorted cell array left-to-right with
+    ``aggregate()``: a sequential, engine-independent sum over ≤|A|·|B|
+    terms, never a partition-order-dependent ``SUM(double)``.
+
+    Returns one row: (n_rows, n_cells, dof, chi2).
+    """
+    obs = (
+        df.groupBy(
+            F.col(col_a).alias("a"), F.col(col_b).alias("b")
+        ).agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_tot = obs.groupBy("a").agg(F.sum("obs").alias("ra"))
+    col_tot = obs.groupBy("b").agg(F.sum("obs").alias("cb"))
+    n_tot = obs.agg(F.sum("obs").alias("n"))
+    cells = (
+        obs.join(row_tot, "a")
+        .join(col_tot, "b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "a", "b", "n",
+            # d = obs*n - ra*cb fits a long up to ~3e9 rows; d is cast to
+            # double (exact below 2^53) so the squaring never overflows.
+            F.expr("obs * n - ra * cb").alias("d"),
+            F.expr("ra * cb").alias("rc"),
+        )
+    )
+    folded = cells.groupBy().agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr("count(distinct a)").alias("ka"),
+        F.expr("count(distinct b)").alias("kb"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(a, b, d, rc, n))), "
+            "cast(0 AS double), (acc, t) -> acc + "
+            "(cast(t.d AS double) * cast(t.d AS double)) / "
+            "(cast(t.n AS double) * cast(t.rc AS double)))"
+        ).alias("chi2_raw"),
+    )
+    return folded.select(
+        "n_rows",
+        "n_cells",
+        F.expr("(ka - 1) * (kb - 1)").alias("dof"),
+        F.expr("round(chi2_raw, 6)").alias("chi2"),
+    )

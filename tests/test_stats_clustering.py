@@ -1,0 +1,245 @@
+"""Edge-case semantics for the stats/clustering operators (the DuckDB
+parity sweep covers the happy path tri-scale; these pin corners on tiny
+in-memory frames) plus plan-shape guards for their scale posture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "x double, y double")
+
+
+def test_corr_perfect_line_is_one(spark):
+    df = _xy(spark, [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)])
+    out = ops.column_correlations(df, ["x", "y"]).collect()
+    assert len(out) == 1
+    assert out[0]["col_x"] == "x" and out[0]["col_y"] == "y"
+    assert out[0]["n_rows"] == 3
+    assert out[0]["corr"] == 1.0
+
+
+def test_corr_constant_column_is_null_not_error(spark):
+    df = _xy(spark, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])
+    out = ops.column_correlations(df, ["x", "y"]).collect()
+    assert out[0]["corr"] is None  # zero variance -> nullif guard
+
+
+def test_corr_matrix_emits_upper_triangle_sorted(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0)], "a double, b double, c double"
+    )
+    out = ops.column_correlations(df, ["a", "b", "c"]).collect()
+    assert [(r["col_x"], r["col_y"]) for r in out] == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+
+
+def test_corr_requires_two_columns(spark):
+    with pytest.raises(ValueError):
+        ops.column_correlations(spark.range(1), ["id"])
+
+
+def test_ols_recovers_slope_intercept(spark):
+    df = _xy(spark, [(0.0, 1.0), (1.0, 3.0), (2.0, 5.0), (3.0, 7.0)])
+    r = ops.ols_fit(df, "x", "y").collect()[0]
+    assert r["slope"] == 2.0
+    assert r["intercept"] == 1.0
+    assert r["r2"] == 1.0
+    assert r["n_rows"] == 4
+
+
+def test_ols_constant_x_is_null(spark):
+    df = _xy(spark, [(1.0, 1.0), (1.0, 2.0)])
+    r = ops.ols_fit(df, "x", "y").collect()[0]
+    assert r["slope"] is None and r["r2"] is None
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+
+
+def test_ab_test_counts_users_not_events(spark):
+    # user 1 purchases twice -> still one converted user
+    rows = [(u, "view", 1.0) for u in range(1, 9)]
+    rows += [(1, "purchase", 10.0), (1, "purchase", 20.0)]
+    r = ops.ab_test(_events(spark, rows)).collect()[0]
+    assert r["n_a"] + r["n_b"] == 8
+    assert r["conv_a"] + r["conv_b"] == 1
+
+
+def test_ab_test_min_value_filters_conversions(spark):
+    rows = [(1, "purchase", 10.0), (2, "purchase", 500.0)]
+    r = ops.ab_test(_events(spark, rows), min_value=100.0).collect()[0]
+    assert r["conv_a"] + r["conv_b"] == 1
+
+
+def test_ab_test_degenerate_full_conversion_yields_null_z(spark):
+    rows = [(u, "purchase", 10.0) for u in range(1, 7)]
+    r = ops.ab_test(_events(spark, rows)).collect()[0]
+    assert r["z_score"] is None
+    assert r["significant"] is None
+
+
+def test_ab_test_salt_rerolls_assignment(spark):
+    rows = [(u, "view", 1.0) for u in range(1, 200)]
+    a = ops.ab_test(_events(spark, rows), salt="s1").collect()[0]
+    b = ops.ab_test(_events(spark, rows), salt="s2").collect()[0]
+    assert a["n_a"] + a["n_b"] == b["n_a"] + b["n_b"] == 199
+    assert (a["n_a"], a["n_b"]) != (b["n_a"], b["n_b"])  # md5 re-roll
+
+
+def test_chi_square_independent_2x2_is_zero(spark):
+    # perfectly proportional table -> chi2 == 0, dof == 1
+    rows = (
+        [("s1", "en")] * 10 + [("s1", "fr")] * 30
+        + [("s2", "en")] * 20 + [("s2", "fr")] * 60
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = ops.chi_square_independence(df, "source", "lang").collect()[0]
+    assert r["chi2"] == 0.0
+    assert r["dof"] == 1
+    assert r["n_rows"] == 120
+    assert r["n_cells"] == 4
+
+
+def test_chi_square_matches_scipy_free_reference(spark):
+    # hand-computed: cells (10, 20 / 20, 10): chi2 = 20*60*... classic
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = ops.chi_square_independence(df, "source", "lang").collect()[0]
+    # exact: sum over 4 cells of (obs*n - ra*cb)^2 / (n*ra*cb)
+    # d = 10*60 - 30*30 = -300 for diagonal, +300 off; rc = 900
+    # each term = 90000/(60*900) = 1.6666667 -> chi2 = 6.666667
+    assert abs(r["chi2"] - 6.666667) < 1e-6
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    vecs = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1],
+            [5.0, 5.0], [5.1, 5.0], [5.0, 5.1]]
+    out = ops.kmeans_assign(_emb(spark, vecs), k=2, iterations=2)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+
+
+def test_kmeans_zero_iterations_assigns_to_seeds(spark):
+    vecs = [[0.0], [10.0], [0.2]]
+    out = ops.kmeans_assign(_emb(spark, vecs), k=2, iterations=0)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # seeds are vec 0 (cid 0) and vec 1 (cid 1); vec 2 nearer seed 0
+    assert got[0] == 0 and got[1] == 1 and got[2] == 0
+
+
+def test_kmeans_partitioning_invariance(spark):
+    vecs = [[float(i % 7), float((3 * i) % 5)] for i in range(40)]
+    base = ops.kmeans_assign(_emb(spark, vecs), k=3, iterations=3)
+    shuffled = ops.kmeans_assign(
+        _emb(spark, vecs).repartition(7), k=3, iterations=3
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    # k=3 seeds are the first three vectors, all in one tight blob; the
+    # far blob captures one seed and two seeds end up empty — must not
+    # crash, and k distinct clusters may legitimately collapse.
+    vecs = [[0.0], [0.01], [0.02], [100.0], [100.1]]
+    out = ops.kmeans_assign(_emb(spark, vecs), k=3, iterations=3)
+    assert out.count() == 5
+
+
+def test_kmeans_centroids_sizes_sum_to_n(spark):
+    vecs = [[float(i)] for i in range(20)]
+    out = ops.kmeans_centroids(_emb(spark, vecs), k=4, iterations=2)
+    rows = out.collect()
+    assert sum(r["size"] for r in rows) == 20
+    assert all(r["inertia_scaled"] >= 0 for r in rows)
+
+
+def test_kmeans_validates_params(spark):
+    with pytest.raises(ValueError):
+        ops.kmeans_assign(_emb(spark, [[0.0]]), k=0)
+    with pytest.raises(ValueError):
+        ops.kmeans_assign(_emb(spark, [[0.0]]), k=1, iterations=-1)
+
+
+def test_random_projection_signs_deterministic_and_salted():
+    a = ops.random_projection_signs(4, 16)
+    b = ops.random_projection_signs(4, 16)
+    c = ops.random_projection_signs(4, 16, salt="other")
+    assert a == b
+    assert a != c
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+
+
+def test_random_projection_is_linear(spark):
+    # out(2x) == 2*out(x) for every component — pins that the operator is
+    # the advertised linear map, whatever the sign pattern.
+    base = [0.5, -1.0, 2.0, 0.25]
+    df = _emb(spark, [base, [2 * x for x in base]])
+    rows = {r["vec_id"]: r["proj"]
+            for r in ops.random_projection(
+                df, out_dim=3, in_dim=4).collect()}
+    for j in range(3):
+        assert math.isclose(rows[1][j], 2 * rows[0][j], abs_tol=1e-5)
+
+
+def test_random_projection_no_shuffle_plan(spark):
+    df = _emb(spark, [[1.0, 2.0]])
+    plan = ops.random_projection(
+        df, out_dim=2, in_dim=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stats_single_pass_plans(spark):
+    # correlation/OLS must be ONE aggregation over the input — no joins,
+    # no second scan.
+    df = _xy(spark, [(1.0, 2.0), (2.0, 3.0)])
+    for frame in (
+        ops.column_correlations(df, ["x", "y"]),
+        ops.ols_fit(df, "x", "y"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+
+def test_kmeans_assignment_stage_is_narrow(spark):
+    # the per-iteration assignment must NOT shuffle the vector frame:
+    # only broadcast exchanges (centroid row) plus the k·d-row update
+    # aggregations may appear.
+    emb = _emb(spark, [[float(i), float(i % 3)] for i in range(12)])
+    out = ops.kmeans_assign(emb, k=2, iterations=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every non-broadcast exchange must hash on cluster/dimension keys
+    # (the update aggregation), never repartition the vec_id universe
+    for m in re.finditer(r"Exchange (\w+)\(([^)]*)\)", plan):
+        kind, detail = m.group(1), m.group(2)
+        if kind == "SinglePartition":
+            continue  # k-row centroid pack / global agg
+        assert "cid" in detail or "pos" in detail, (kind, detail, plan)
