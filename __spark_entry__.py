@@ -956,6 +956,19 @@ def _q_kmeans_centroids(spark, sf):
     )
 
 
+def _q_pq_encode(spark, sf):
+    # codes array CSV-encoded for the harness (same reason as l2/int8)
+    df = ops.pq_encode(
+        _t(spark, sf, "embeddings"), dim=64, m=4, k=4, iterations=2
+    )
+    return df.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>"))
+        .alias("codes_csv"),
+        "recon_err_scaled",
+    )
+
+
 def _q_random_projection(spark, sf):
     # Same gate encoding as l2_normalize: micro-unit integers, because the
     # harness can't hash arrays and double rendering is engine-specific.
@@ -1080,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_kmeans": _q_kmeans,
             "embeddings_kmeans_centroids": _q_kmeans_centroids,
             "embeddings_random_projection": _q_random_projection,
+            "embeddings_pq_encode": _q_pq_encode,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1132,7 +1146,7 @@ _GATE_PRIORITY = [
     # the stale-r1 rotation.
     "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
     "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
-    "embeddings_random_projection",
+    "embeddings_random_projection", "embeddings_pq_encode",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -1211,30 +1225,34 @@ e AS (
 """
 
 
-def _kmeans_oracle(
-    k: int = 4, iterations: int = 3, dim: int = 64,
-    scale: int = 10**6, final: str = "assign",
+def _kmeans_ctes(
+    p: str = "", vec_expr: str = "embedding", dim: int = 64,
+    k: int = 4, iterations: int = 3, scale: int = 10**6,
 ) -> str:
-    """Sequential DuckDB replay of ``operators.clustering.kmeans_assign``:
-    the identical integer recurrence (micro-unit quantization, exact
-    BIGINT distance sums, lowest-(dist2, cid) argmin, truncating-division
-    centroid means, empty-cluster carry), unrolled one CTE pair per
-    Lloyd iteration — the same chained-CTE technique as the pagerank
-    oracle."""
-    sql = f"""WITH emb AS (
+    """CTE chain (no leading WITH) replaying
+    ``operators.clustering.kmeans_assign`` on ``vec_expr``: the identical
+    integer recurrence (micro-unit quantization, exact BIGINT distance
+    sums, lowest-(dist2, cid) argmin, truncating-division centroid means,
+    empty-cluster carry), unrolled one CTE pair per Lloyd iteration — the
+    chained-CTE technique of the pagerank oracle.  ``p`` prefixes every
+    CTE name so multiple chains (PQ subspaces) compose in one WITH; the
+    final assignment lands in ``{p}af``."""
+    sql = f"""{p}emb AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform({vec_expr},
            x -> CAST(round(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS q
   FROM embeddings
 ),
-dims AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-eml AS (SELECT vec_id, pos, q[pos] AS val FROM emb CROSS JOIN dims),
-c0 AS (
+{p}dims AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+{p}eml AS (SELECT vec_id, pos, q[pos] AS val
+           FROM {p}emb CROSS JOIN {p}dims),
+{p}c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
-  FROM emb ORDER BY vec_id LIMIT {k}
+  FROM {p}emb ORDER BY vec_id LIMIT {k}
 ),
-c0l AS (SELECT cid, pos, cq[pos] AS cval FROM c0 CROSS JOIN dims)"""
-    assign_body = """
+{p}c0l AS (SELECT cid, pos, cq[pos] AS cval
+           FROM {p}c0 CROSS JOIN {p}dims)"""
+    assign_body = f"""
     SELECT s.vec_id, s.cid, s.dist2,
            row_number() OVER (PARTITION BY s.vec_id
                               ORDER BY s.dist2 ASC, s.cid ASC) AS rn
@@ -1242,28 +1260,35 @@ c0l AS (SELECT cid, pos, cq[pos] AS cval FROM c0 CROSS JOIN dims)"""
       SELECT e.vec_id, c.cid,
              CAST(sum((e.val - c.cval) * (e.val - c.cval)) AS BIGINT)
                AS dist2
-      FROM eml e JOIN c{t}l c ON e.pos = c.pos
+      FROM {p}eml e JOIN {p}c{{t}}l c ON e.pos = c.pos
       GROUP BY 1, 2
     ) s"""
     for t in range(iterations):
         sql += f""",
-a{t} AS (
+{p}a{t} AS (
   SELECT vec_id, cid, dist2 FROM ({assign_body.format(t=t)}
   ) WHERE rn = 1
 ),
-c{t + 1}l AS (
+{p}c{t + 1}l AS (
   SELECT c.cid, c.pos, CAST(coalesce(nc.nval, c.cval) AS BIGINT) AS cval
-  FROM c{t}l c LEFT JOIN (
+  FROM {p}c{t}l c LEFT JOIN (
     SELECT a.cid, e.pos, CAST(sum(e.val) AS BIGINT) // count(*) AS nval
-    FROM a{t} a JOIN eml e ON a.vec_id = e.vec_id
+    FROM {p}a{t} a JOIN {p}eml e ON a.vec_id = e.vec_id
     GROUP BY 1, 2
   ) nc ON c.cid = nc.cid AND c.pos = nc.pos
 )"""
     sql += f""",
-af AS (
+{p}af AS (
   SELECT vec_id, cid, dist2 FROM ({assign_body.format(t=iterations)}
   ) WHERE rn = 1
 )"""
+    return sql
+
+
+def _kmeans_oracle(
+    k: int = 4, iterations: int = 3, dim: int = 64, final: str = "assign",
+) -> str:
+    sql = "WITH " + _kmeans_ctes(k=k, iterations=iterations, dim=dim)
     if final == "assign":
         return sql + """
 SELECT vec_id, cid AS cluster, dist2 AS dist2_scaled FROM af"""
@@ -1271,6 +1296,40 @@ SELECT vec_id, cid AS cluster, dist2 AS dist2_scaled FROM af"""
 SELECT cid AS cluster, count(*) AS size,
        CAST(sum(dist2) AS BIGINT) AS inertia_scaled
 FROM af GROUP BY 1 ORDER BY 1"""
+
+
+def _pq_oracle(
+    dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2,
+) -> str:
+    """Replay of ``operators.clustering.pq_encode``: m independent
+    kmeans chains over 1-based inclusive list slices, joined on vec_id
+    into the code word + exact total reconstruction error."""
+    sub = dim // m
+    chains = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(
+            _kmeans_ctes(
+                p=f"s{s}_", vec_expr=f"embedding[{lo}:{hi}]", dim=sub,
+                k=k, iterations=iterations,
+            )
+        )
+    codes = " || ',' || ".join(
+        f"CAST(s{s}_af.cid AS VARCHAR)" for s in range(m)
+    )
+    recon = " + ".join(f"s{s}_af.dist2" for s in range(m))
+    joins = "s0_af" + "".join(
+        f" JOIN s{s}_af ON s0_af.vec_id = s{s}_af.vec_id"
+        for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + f"""
+SELECT s0_af.vec_id AS vec_id, {codes} AS codes_csv,
+       CAST({recon} AS BIGINT) AS recon_err_scaled
+FROM {joins}"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3215,6 +3274,7 @@ FROM f
 
     o["embeddings_kmeans"] = _kmeans_oracle(final="assign")
     o["embeddings_kmeans_centroids"] = _kmeans_oracle(final="centroids")
+    o["embeddings_pq_encode"] = _pq_oracle(dim=64, m=4, k=4, iterations=2)
 
     _rp_signs = ops.random_projection_signs(8, 64)
     _rp_comps = []

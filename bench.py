@@ -137,6 +137,7 @@ HEADLINE = [
     "docs_chi_square",
     "embeddings_kmeans",
     "embeddings_random_projection",
+    "embeddings_pq_encode",
 ]
 
 

@@ -162,3 +162,68 @@ def kmeans_centroids(
         )
         .orderBy("cluster")
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors,
+    train an independent ``k``-code codebook per subspace with
+    :func:`kmeans_assign`, and emit each vector's code word — the
+    compression layout behind billion-vector ANN indexes (an IVF-PQ
+    index stores these m·log2(k)-bit codes instead of the raw floats,
+    a 64-byte 64-dim float vector becoming m bytes).
+
+    Returns (id, codes array<bigint> of length m ordered by subspace,
+    recon_err_scaled) — ``recon_err_scaled`` the exact integer total
+    squared quantization error in micro-unit² (the sum of the m
+    subspace distances, since subspaces are orthogonal coordinates).
+
+    Scale shape: m independent kmeans runs over sliced projections
+    (each inherits kmeans' narrow-map assignment / k·d-row update
+    shuffles), then ONE union + map-side-combined groupBy on the id —
+    not m-1 joins.  Training scans the corpus m·(iterations+1) times;
+    production PQ fits codebooks on a sample and encodes the rest with
+    a frozen model — pass a deterministic sample (e.g. a
+    ``text.hash_split`` bucket) as ``embeddings`` to reproduce that,
+    or keep the full corpus for the exact-replay contract here.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
+        )
+        a = kmeans_assign(
+            sliced, k=k, iterations=iterations,
+            id_col=id_col, vec_col="subv",
+        )
+        parts.append(
+            a.select(
+                F.col(id_col).alias("vid"),
+                F.lit(s).alias("s"),
+                "cluster",
+                "dist2_scaled",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("vid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, cluster))), "
+            "t -> t.cluster)"
+        ).alias("codes"),
+        F.sum("dist2_scaled").alias("recon_err_scaled"),
+    ).select(
+        F.col("vid").alias(id_col), "codes", "recon_err_scaled"
+    )

@@ -243,3 +243,31 @@ def test_kmeans_assignment_stage_is_narrow(spark):
         if kind == "SinglePartition":
             continue  # k-row centroid pack / global agg
         assert "cid" in detail or "pos" in detail, (kind, detail, plan)
+
+
+def test_pq_encode_codes_shape_and_exact_reconstruction(spark):
+    # 4-dim vectors, m=2 subspaces; vectors whose halves form two obvious
+    # blobs each -> codes separate accordingly and a vector equal to a
+    # seed centroid has zero reconstruction error in that subspace.
+    vecs = [
+        [0.0, 0.0, 5.0, 5.0],
+        [0.1, 0.0, 5.1, 5.0],
+        [9.0, 9.0, 0.0, 0.0],
+        [9.1, 9.0, 0.1, 0.0],
+    ]
+    out = ops.pq_encode(_emb(spark, vecs), dim=4, m=2, k=2, iterations=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert all(len(r["codes"]) == 2 for r in rows.values())
+    # same-blob vectors share code words
+    assert rows[0]["codes"] == rows[1]["codes"] or (
+        rows[0]["codes"][0] == rows[1]["codes"][0]
+    )
+    assert rows[2]["codes"][0] == rows[3]["codes"][0]
+    # blobs differ in both subspaces
+    assert rows[0]["codes"] != rows[2]["codes"]
+    assert all(r["recon_err_scaled"] >= 0 for r in rows.values())
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    with pytest.raises(ValueError):
+        ops.pq_encode(_emb(spark, [[1.0, 2.0, 3.0]]), dim=3, m=2)
