@@ -956,6 +956,20 @@ def _q_kmeans_centroids(spark, sf):
     )
 
 
+def _q_ols_by(spark, sf):
+    return ops.ols_fit_by(
+        _t(spark, sf, "lineitem"), "l_quantity", "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+def _q_ks_test(spark, sf):
+    return ops.ks_test(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
 def _q_pq_encode(spark, sf):
     # codes array CSV-encoded for the harness (same reason as l2/int8)
     df = ops.pq_encode(
@@ -1094,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_kmeans_centroids": _q_kmeans_centroids,
             "embeddings_random_projection": _q_random_projection,
             "embeddings_pq_encode": _q_pq_encode,
+            "stats_ols_by_group": _q_ols_by,
+            "stats_ks_test": _q_ks_test,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1147,6 +1163,7 @@ _GATE_PRIORITY = [
     "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
     "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode",
+    "stats_ols_by_group", "stats_ks_test",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3270,6 +3287,74 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    o["stats_ols_by_group"] = f"""
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS {dc})) AS sx,
+         sum(CAST(l_extendedprice AS {dc})) AS sy,
+         sum({_w('l_quantity')} * {_w('l_quantity')}) AS sxx,
+         sum({_w('l_extendedprice')} * {_w('l_extendedprice')}) AS syy,
+         sum({_w('l_quantity')} * {_w('l_extendedprice')}) AS sxy
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d
+  FROM m
+)
+SELECT l_returnflag, n AS n_rows,
+  round((n_d * sxy_d - sx_d * sy_d)
+        / nullif(n_d * sxx_d - sx_d * sx_d, 0.0), 6) AS slope,
+  round((sy_d - ((n_d * sxy_d - sx_d * sy_d)
+                 / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)) * sx_d)
+        / n_d, 6) AS intercept,
+  round(((n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d))
+        / nullif((n_d * sxx_d - sx_d * sx_d)
+                 * (n_d * syy_d - sy_d * sy_d), 0.0), 6) AS r2
+FROM d ORDER BY l_returnflag
+"""
+
+    o["stats_ks_test"] = """
+WITH pts AS (
+  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM pts GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(na) AS BIGINT) AS na_tot,
+         CAST(sum(nb) AS BIGINT) AS nb_tot
+  FROM per_v
+),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY v) AS ca,
+         sum(nb) OVER (ORDER BY v) AS cb
+  FROM per_v
+),
+mx AS (
+  SELECT CAST(max(abs(ca * nb_tot - cb * na_tot)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+)
+SELECT na_tot AS n_a, nb_tot AS n_b, d_num,
+  round(CAST(d_num AS DOUBLE)
+        / (CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)), 6) AS d_stat,
+  CAST(d_num AS DOUBLE)
+    / (CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE))
+    > 1.358 * sqrt((CAST(na_tot AS DOUBLE) + CAST(nb_tot AS DOUBLE))
+                   / (CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)))
+    AS significant
+FROM mx CROSS JOIN tot
 """
 
     o["embeddings_kmeans"] = _kmeans_oracle(final="assign")

@@ -138,6 +138,8 @@ HEADLINE = [
     "embeddings_kmeans",
     "embeddings_random_projection",
     "embeddings_pq_encode",
+    "stats_ols_by_group",
+    "stats_ks_test",
 ]
 
 

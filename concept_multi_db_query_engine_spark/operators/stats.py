@@ -281,3 +281,151 @@ def chi_square_independence(
         F.expr("(ka - 1) * (kb - 1)").alias("dof"),
         F.expr("round(chi2_raw, 6)").alias("chi2"),
     )
+
+
+def ols_fit_by(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group least-squares lines — :func:`ols_fit` generalized to one
+    map-side-combined ``groupBy`` (groups' moments accumulate in the same
+    exact decimals; the closed-form projection runs on |groups| rows).
+    Returns one row per group (group_cols..., n_rows, slope, intercept,
+    r2) ordered by the group columns."""
+    x, y = _m(x_col), _m(y_col)
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ).select(
+        *group_cols,
+        F.col("n"),
+        F.col("n").cast("double").alias("n_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxx", "syy", "sxy")],
+    )
+    return moments.select(
+        *group_cols,
+        F.col("n").alias("n_rows"),
+        F.expr(
+            "round((n_d * sxy_d - sx_d * sy_d) / "
+            "nullif(n_d * sxx_d - sx_d * sx_d, 0.0d), 6)"
+        ).alias("slope"),
+        F.expr(
+            "round((sy_d - ((n_d * sxy_d - sx_d * sy_d) / "
+            "nullif(n_d * sxx_d - sx_d * sx_d, 0.0d)) * sx_d) / n_d, 6)"
+        ).alias("intercept"),
+        F.expr(
+            "round(((n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d))"
+            " / nullif((n_d * sxx_d - sx_d * sx_d) * "
+            "(n_d * syy_d - sy_d * sy_d), 0.0d), 6)"
+        ).alias("r2"),
+    ).orderBy(*group_cols)
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    c_alpha: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test, EXACT and distributed: the D
+    statistic's numerator ``max |cumA·N_B − cumB·N_A|`` is an integer —
+    only the final division and the critical-value comparison are floats
+    — so the result is partitioning- and engine-independent with no
+    rank-sort on a single machine.
+
+    Shape: one shuffle reduces observations to per-distinct-value pair
+    counts; the cumulative counts then use the repo's offset-rank idiom
+    (``distributed_ntile``): range-repartition by value,
+    ``localCheckpoint`` pin (repartitionByRange re-samples boundaries on
+    recompute), O(partitions) count rows to the driver, broadcast-join
+    the partition offsets back, and a WITHIN-PARTITION running-sum
+    window — every stage parallel, no global window, no full sort on one
+    task.  Overflow bound: |N_A·N_B| must fit a signed 64-bit integer
+    (fine through ~3·10⁹ observations per side).
+
+    Returns one row: (n_a, n_b, d_num, d_stat, significant) where
+    ``significant`` applies the large-sample critical value
+    ``c(α)·sqrt((n_a+n_b)/(n_a·n_b))`` (default c = 1.358, α = 0.05).
+    """
+    from pyspark.sql import Window
+
+    pts = (
+        df.where(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(value_col).alias("v"),
+            (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+        )
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long").alias("nb"),
+    )
+    tagged = (
+        per_v.repartitionByRange(F.col("v").asc())
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_tot = tagged.groupBy("__pid").agg(
+        F.sum("na").alias("a"), F.sum("nb").alias("b")
+    ).collect()
+    offs, acc_a, acc_b = [], 0, 0
+    for r in sorted(part_tot, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], acc_a, acc_b))
+        acc_a += r["a"]
+        acc_b += r["b"]
+    n_a, n_b = acc_a, acc_b
+    spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [(n_a, n_b)], "n_a long, n_b long"
+    ).select(
+        "n_a", "n_b",
+        F.lit(None).cast("long").alias("d_num"),
+        F.lit(None).cast("double").alias("d_stat"),
+        F.lit(None).cast("boolean").alias("significant"),
+    )
+    if n_a == 0 or n_b == 0:
+        return empty
+    offsets_df = spark.createDataFrame(
+        offs, "__pid int, offa long, offb long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tagged.join(F.broadcast(offsets_df), "__pid").select(
+        (F.sum("na").over(w) + F.col("offa")).alias("ca"),
+        (F.sum("nb").over(w) + F.col("offb")).alias("cb"),
+    )
+    d_num_frame = cum.agg(
+        F.max(
+            F.abs(F.col("ca") * F.lit(n_b) - F.col("cb") * F.lit(n_a))
+        ).alias("d_num")
+    )
+    d = (
+        f"CAST(d_num AS DOUBLE) / "
+        f"(CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE))"
+    )
+    crit = (
+        f"{c_alpha}d * sqrt((CAST({n_a} AS DOUBLE) + CAST({n_b} AS DOUBLE))"
+        f" / (CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE)))"
+    )
+    return d_num_frame.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        "d_num",
+        F.expr(f"round({d}, 6)").alias("d_stat"),
+        F.expr(f"{d} > {crit}").alias("significant"),
+    )

@@ -271,3 +271,61 @@ def test_pq_encode_codes_shape_and_exact_reconstruction(spark):
 def test_pq_encode_rejects_indivisible_dim(spark):
     with pytest.raises(ValueError):
         ops.pq_encode(_emb(spark, [[1.0, 2.0, 3.0]]), dim=3, m=2)
+
+
+def test_ols_by_group_independent_fits(spark):
+    rows = [("g1", float(x), 2.0 * x + 1.0) for x in range(5)]
+    rows += [("g2", float(x), -3.0 * x + 4.0) for x in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in ops.ols_fit_by(df, "x", "y", ["g"]).collect()}
+    assert out["g1"]["slope"] == 2.0 and out["g1"]["intercept"] == 1.0
+    assert out["g2"]["slope"] == -3.0 and out["g2"]["intercept"] == 4.0
+
+
+def _ks_frame(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v))
+                                                for v in b_vals]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_ks_identical_samples_d_zero(spark):
+    df = _ks_frame(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    r = ops.ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_num"] == 0
+    assert r["d_stat"] == 0.0
+    assert r["significant"] is False
+
+
+def test_ks_disjoint_samples_d_one(spark):
+    df = _ks_frame(spark, [1, 2, 3], [10, 11, 12])
+    r = ops.ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_stat"] == 1.0
+    assert r["n_a"] == 3 and r["n_b"] == 3
+
+
+def test_ks_hand_computed_small_case(spark):
+    # A = {1, 3}, B = {2, 4}: max |F_A - F_B| = 1/2 at v in [1,2) or [3,4)
+    df = _ks_frame(spark, [1, 3], [2, 4])
+    r = ops.ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_num"] == 2  # |1*2 - 0*2| at v=1
+    assert r["d_stat"] == 0.5
+
+
+def test_ks_empty_side_returns_nulls(spark):
+    df = _ks_frame(spark, [1, 2], [])
+    r = ops.ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_b"] == 0
+    assert r["d_num"] is None and r["d_stat"] is None
+
+
+def test_ks_partitioning_invariance(spark):
+    import random
+
+    rng = random.Random(7)
+    a = [rng.gauss(0, 1) for _ in range(300)]
+    b = [rng.gauss(0.5, 1) for _ in range(200)]
+    df = _ks_frame(spark, a, b)
+    r1 = ops.ks_test(df, "v", "g", "a", "b").collect()[0]
+    r2 = ops.ks_test(df.repartition(13), "v", "g", "a", "b").collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["significant"] is True  # shifted mean, n=500
