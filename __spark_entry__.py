@@ -970,6 +970,13 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_welch(spark, sf):
+    return ops.welch_t_test(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
 def _q_pq_encode(spark, sf):
     # codes array CSV-encoded for the harness (same reason as l2/int8)
     df = ops.pq_encode(
@@ -1110,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_pq_encode": _q_pq_encode,
             "stats_ols_by_group": _q_ols_by,
             "stats_ks_test": _q_ks_test,
+            "stats_welch_t_test": _q_welch,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1163,7 +1171,7 @@ _GATE_PRIORITY = [
     "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
     "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode",
-    "stats_ols_by_group", "stats_ks_test",
+    "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3355,6 +3363,52 @@ SELECT na_tot AS n_a, nb_tot AS n_b, d_num,
                    / (CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)))
     AS significant
 FROM mx CROSS JOIN tot
+"""
+
+    _se_a = ("((qa_d - sa_d * sa_d / na_d) / nullif(na_d - 1.0, 0.0) "
+             "/ na_d)")
+    _se_b = ("((qb_d - sb_d * sb_d / nb_d) / nullif(nb_d - 1.0, 0.0) "
+             "/ nb_d)")
+    _wt = (f"(sa_d / na_d - sb_d / nb_d) / "
+           f"nullif(sqrt({_se_a} + {_se_b}), 0.0)")
+    _wdf = (f"(({_se_a} + {_se_b}) * ({_se_a} + {_se_b})) / "
+            f"nullif({_se_a} * {_se_a} / nullif(na_d - 1.0, 0.0) "
+            f"+ {_se_b} * {_se_b} / nullif(nb_d - 1.0, 0.0), 0.0)")
+    o["stats_welch_t_test"] = f"""
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS {dc}) END) AS sa,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS {dc}) END) AS sb,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN {_w('o_totalprice')} * {_w('o_totalprice')} END)
+           AS qa,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN {_w('o_totalprice')} * {_w('o_totalprice')} END)
+           AS qb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), d AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sa_d,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sb_d,
+         CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS qa_d,
+         CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS qb_d
+  FROM m
+)
+SELECT n_a, n_b,
+  round(sa_d / nullif(na_d, 0.0), 6) AS mean_a,
+  round(sb_d / nullif(nb_d, 0.0), 6) AS mean_b,
+  round({_wt}, 6) AS t_stat,
+  round({_wdf}, 6) AS df_welch,
+  abs({_wt}) > 1.959964 AS significant
+FROM d
 """
 
     o["embeddings_kmeans"] = _kmeans_oracle(final="assign")

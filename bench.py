@@ -140,6 +140,7 @@ HEADLINE = [
     "embeddings_pq_encode",
     "stats_ols_by_group",
     "stats_ks_test",
+    "stats_welch_t_test",
 ]
 
 

@@ -429,3 +429,66 @@ def ks_test(
         F.expr(f"round({d}, 6)").alias("d_stat"),
         F.expr(f"{d} > {crit}").alias("significant"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    t_crit: float = 1.959964,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on two groups' means — the
+    parametric sibling of :func:`ks_test` (which compares whole
+    distributions).
+
+    ONE conditional aggregation pass computes both groups' exact decimal
+    moments (n, Σx, Σx²); mean, variance, the t statistic and the
+    Welch–Satterthwaite degrees of freedom are then a fixed-shape double
+    projection over one row, mirrored verbatim in the oracle.
+    ``significant`` applies the large-sample normal critical value; for
+    tiny samples compare the returned ``df_welch`` against a t table.
+    Groups of size < 2 (zero variance denominator) yield NULLs.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, df_welch,
+    significant).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    x = _m(value_col)
+    moments = df.where(
+        (in_a | in_b) & F.col(value_col).isNotNull()
+    ).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(in_a, x)).alias("sa"),
+        F.sum(F.when(in_b, x)).alias("sb"),
+        F.sum(F.when(in_a, x * x)).alias("qa"),
+        F.sum(F.when(in_b, x * x)).alias("qb"),
+    ).select(
+        "n_a", "n_b",
+        F.col("n_a").cast("double").alias("na_d"),
+        F.col("n_b").cast("double").alias("nb_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sa", "sb", "qa", "qb")],
+    )
+    # se2_x = var_x / n_x, written once and inlined textually so both
+    # engines evaluate one identical tree
+    se_a = ("((qa_d - sa_d * sa_d / na_d) / nullif(na_d - 1.0d, 0.0d) "
+            "/ na_d)")
+    se_b = ("((qb_d - sb_d * sb_d / nb_d) / nullif(nb_d - 1.0d, 0.0d) "
+            "/ nb_d)")
+    t = (f"(sa_d / na_d - sb_d / nb_d) / "
+         f"nullif(sqrt({se_a} + {se_b}), 0.0d)")
+    dfw = (f"(({se_a} + {se_b}) * ({se_a} + {se_b})) / "
+           f"nullif({se_a} * {se_a} / nullif(na_d - 1.0d, 0.0d) "
+           f"+ {se_b} * {se_b} / nullif(nb_d - 1.0d, 0.0d), 0.0d)")
+    return moments.select(
+        "n_a", "n_b",
+        F.expr("round(sa_d / nullif(na_d, 0.0d), 6)").alias("mean_a"),
+        F.expr("round(sb_d / nullif(nb_d, 0.0d), 6)").alias("mean_b"),
+        F.expr(f"round({t}, 6)").alias("t_stat"),
+        F.expr(f"round({dfw}, 6)").alias("df_welch"),
+        F.expr(f"abs({t}) > {t_crit}d").alias("significant"),
+    )

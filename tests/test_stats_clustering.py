@@ -329,3 +329,36 @@ def test_ks_partitioning_invariance(spark):
     r2 = ops.ks_test(df.repartition(13), "v", "g", "a", "b").collect()[0]
     assert tuple(r1) == tuple(r2)
     assert r1["significant"] is True  # shifted mean, n=500
+
+
+def test_welch_equal_samples_t_zero(spark):
+    df = _ks_frame(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    r = ops.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["t_stat"] == 0.0
+    assert r["significant"] is False
+    assert r["mean_a"] == r["mean_b"] == 2.5
+
+
+def test_welch_shifted_means_significant(spark):
+    a = [float(x) for x in range(100)]
+    b = [float(x) + 50.0 for x in range(100)]
+    df = _ks_frame(spark, a, b)
+    r = ops.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["significant"] is True
+    assert r["t_stat"] < 0  # mean_a < mean_b
+    # equal variances + equal n -> df approaches n_a + n_b - 2
+    assert abs(r["df_welch"] - 198.0) < 1.0
+
+
+def test_welch_single_element_group_yields_nulls(spark):
+    df = _ks_frame(spark, [1.0], [2.0, 3.0, 4.0])
+    r = ops.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["t_stat"] is None  # n_a - 1 == 0 -> guarded NULL
+    assert r["mean_a"] == 1.0
+
+
+def test_welch_empty_group_yields_nulls(spark):
+    df = _ks_frame(spark, [], [2.0, 3.0])
+    r = ops.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 0
+    assert r["mean_a"] is None and r["t_stat"] is None
