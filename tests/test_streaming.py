@@ -269,3 +269,36 @@ def test_stream_stream_interval_join_matches_batch(spark):
     cols = ["purchase_id", "click_id", "user_id"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_kmeans_encode_stream_matches_batch(spark):
+    """Codebook inference on a stream: kmeans_fit trains the frozen
+    (cid, cq) model on the batch corpus; kmeans_encode is a stateless
+    narrow map (quantize + broadcast stream-static join + per-row
+    argmin), so the SAME operator code encodes the bounded embedding
+    stream to the exact batch assignment — the train-nightly /
+    encode-on-arrival layout."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+    batch_emb = spark.read.parquet(emb_path)
+    model = ops.kmeans_fit(batch_emb, k=4, iterations=2)
+    d = tempfile.mkdtemp(prefix="stream-emb-")
+    os.symlink(emb_path, os.path.join(d, "embeddings.parquet"))
+    stream_emb = spark.readStream.schema(batch_emb.schema).parquet(d)
+    sw.run_stream_to_memory(
+        ops.kmeans_encode(stream_emb, model), "stream_kmeans_encode",
+        output_mode="append",
+    )
+    got = {
+        (r["vec_id"], r["cluster"], r["dist2_scaled"])
+        for r in spark.sql("SELECT * FROM stream_kmeans_encode").collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"], r["dist2_scaled"])
+        for r in ops.kmeans_encode(batch_emb, model).collect()
+    }
+    assert got == want and len(got) > 0
