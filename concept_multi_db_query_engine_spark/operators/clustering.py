@@ -55,28 +55,37 @@ def _quantize(vec_col: str):
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    k: int = 4,
-    iterations: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means; returns the final assignment
-    (id, cluster, dist2_scaled) with ``dist2_scaled`` the exact integer
-    squared distance in 1e-12 units (micro-unit squares).
+def _assign_frame(emb: DataFrame, cent_frame: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a quantized (vid, q) frame under a
+    (cid, cq) centroid frame: centroids pack into ONE broadcast row and
+    the argmin over k is a per-row codegen expression — a stateless
+    narrow map, valid on batch and on streams."""
+    one = cent_frame.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(cid, cq)))").alias("cs")
+    )
+    return (
+        emb.join(F.broadcast(one))
+        .select(
+            "vid",
+            "q",
+            F.expr(
+                "array_min(transform(cs, c -> struct("
+                "aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
+                "c.cid AS cid)))"
+            ).alias("m"),
+        )
+        .select(
+            "vid", "q",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist2").alias("dist2"),
+        )
+    )
 
-    Init: the k lowest-id vectors (deterministic, engine-independent —
-    k-means++ needs an RNG stream the oracle could not replay; salt the
-    ids upstream if the low ids are pathological).  ``iterations``
-    counts centroid updates; the returned assignment is under the final
-    centroids.
-    """
-    if k < 1 or iterations < 0:
-        raise ValueError("need k >= 1 and iterations >= 0")
-    emb = embeddings.select(
-        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
-    ).localCheckpoint(eager=True)
+
+def _fit_loop(emb: DataFrame, k: int, iterations: int) -> DataFrame:
+    """Lloyd training loop over a checkpointed quantized frame; returns
+    the final (cid, cq) centroid frame."""
     # k seed centroids: global bottom-k by id (planned as
     # TakeOrderedAndProject — a TopK, not a full sort), then cid 0..k-1
     # by id order via a sorted-array posexplode of the k-row frame — the
@@ -93,32 +102,8 @@ def kmeans_assign(
             F.col("t.q").alias("cq"),
         )
     )
-
-    def _assign(cent_frame: DataFrame) -> DataFrame:
-        one = cent_frame.groupBy().agg(
-            F.expr("array_sort(collect_list(struct(cid, cq)))").alias("cs")
-        )
-        return (
-            emb.join(F.broadcast(one))
-            .select(
-                "vid",
-                "q",
-                F.expr(
-                    "array_min(transform(cs, c -> struct("
-                    "aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),"
-                    " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
-                    "c.cid AS cid)))"
-                ).alias("m"),
-            )
-            .select(
-                "vid", "q",
-                F.col("m.cid").alias("cid"),
-                F.col("m.dist2").alias("dist2"),
-            )
-        )
-
     for _ in range(iterations):
-        assigned = _assign(cents)
+        assigned = _assign_frame(emb, cents)
         dim_sums = (
             assigned.select("cid", F.posexplode("q").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -135,7 +120,75 @@ def kmeans_assign(
             .select("cid", F.coalesce("ncq", "cq").alias("cq"))
             .localCheckpoint(eager=False)
         )
-    return _assign(cents).select(
+    return cents
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the codebook only: returns the k-row (cid, cq) centroid
+    frame in micro-units, the FROZEN MODEL :func:`kmeans_encode` applies
+    to any other frame (a held-out corpus, or a stream).  Same seeds,
+    recurrence, and determinism contract as :func:`kmeans_assign`."""
+    if k < 1 or iterations < 0:
+        raise ValueError("need k >= 1 and iterations >= 0")
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
+    ).localCheckpoint(eager=True)
+    return _fit_loop(emb, k, iterations)
+
+
+def kmeans_encode(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment under a frozen (cid, cq) centroid frame — model
+    INFERENCE, split from training: a stateless narrow map (quantize +
+    broadcast-join + per-row argmin) with no checkpoint and no
+    aggregation on the vector side, so the same code runs on a batch
+    corpus or as the streaming side of a stream-static join (encode
+    vectors as they arrive, train nightly)."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
+    )
+    return _assign_frame(emb, centroids).select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("dist2").alias("dist2_scaled"),
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns the final assignment
+    (id, cluster, dist2_scaled) with ``dist2_scaled`` the exact integer
+    squared distance in 1e-12 units (micro-unit squares).
+
+    Init: the k lowest-id vectors (deterministic, engine-independent —
+    k-means++ needs an RNG stream the oracle could not replay; salt the
+    ids upstream if the low ids are pathological).  ``iterations``
+    counts centroid updates; the returned assignment is under the final
+    centroids.  (Train-then-apply across different frames:
+    :func:`kmeans_fit` + :func:`kmeans_encode`.)
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError("need k >= 1 and iterations >= 0")
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
+    ).localCheckpoint(eager=True)
+    cents = _fit_loop(emb, k, iterations)
+    return _assign_frame(emb, cents).select(
         F.col("vid").alias(id_col),
         F.col("cid").alias("cluster"),
         F.col("dist2").alias("dist2_scaled"),
