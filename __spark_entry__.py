@@ -990,6 +990,14 @@ def _q_pq_encode(spark, sf):
     )
 
 
+def _q_pq_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.pq_topk(
+        emb, emb.where("vec_id < 3"), dim=64, m=4, k=4, iterations=2,
+        topk=5,
+    )
+
+
 def _q_random_projection(spark, sf):
     # Same gate encoding as l2_normalize: micro-unit integers, because the
     # harness can't hash arrays and double rendering is engine-specific.
@@ -1115,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_kmeans_centroids": _q_kmeans_centroids,
             "embeddings_random_projection": _q_random_projection,
             "embeddings_pq_encode": _q_pq_encode,
+            "sim_topk_pq": _q_pq_topk,
             "stats_ols_by_group": _q_ols_by,
             "stats_ks_test": _q_ks_test,
             "stats_welch_t_test": _q_welch,
@@ -1171,6 +1180,7 @@ _GATE_PRIORITY = [
     "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
     "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode",
+    "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
@@ -1354,6 +1364,59 @@ def _pq_oracle(
 SELECT s0_af.vec_id AS vec_id, {codes} AS codes_csv,
        CAST({recon} AS BIGINT) AS recon_err_scaled
 FROM {joins}"""
+    )
+
+
+def _pq_topk_oracle(
+    dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2,
+    topk: int = 5, max_query_id: int = 3,
+) -> str:
+    """Replay of ``operators.clustering.pq_topk``: per-subspace kmeans
+    chains give the codes (``s{s}_af``) and final codebooks
+    (``s{s}_c{iterations}l``); the ADC tables are exact integer distances
+    from the query subvectors (already long-form in ``s{s}_eml``) to
+    those codebooks, and scores are table-lookup sums."""
+    sub = dim // m
+    chains = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(
+            _kmeans_ctes(
+                p=f"s{s}_", vec_expr=f"embedding[{lo}:{hi}]", dim=sub,
+                k=k, iterations=iterations,
+            )
+        )
+    tables = "\nUNION ALL\n".join(
+        f"""SELECT e.vec_id AS qid, {s} AS ts, c.cid,
+       CAST(sum((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS d
+FROM s{s}_eml e JOIN s{s}_c{iterations}l c ON e.pos = c.pos
+WHERE e.vec_id < {max_query_id} GROUP BY 1, 2, 3"""
+        for s in range(m)
+    )
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS vid, {s} AS s, cid AS code FROM s{s}_af"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + f""",
+t AS (
+{tables}
+),
+cd AS (
+{codes}
+),
+sc AS (
+  SELECT t.qid, cd.vid, CAST(sum(t.d) AS BIGINT) AS adc_dist2
+  FROM cd JOIN t ON cd.s = t.ts AND cd.code = t.cid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS vec_id, adc_dist2, rank FROM (
+  SELECT sc.*, row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist2 ASC, vid ASC) AS rank
+  FROM sc
+) WHERE rank <= {topk}"""
     )
 
 
@@ -3414,6 +3477,9 @@ FROM d
     o["embeddings_kmeans"] = _kmeans_oracle(final="assign")
     o["embeddings_kmeans_centroids"] = _kmeans_oracle(final="centroids")
     o["embeddings_pq_encode"] = _pq_oracle(dim=64, m=4, k=4, iterations=2)
+    o["sim_topk_pq"] = _pq_topk_oracle(
+        dim=64, m=4, k=4, iterations=2, topk=5, max_query_id=3
+    )
 
     _rp_signs = ops.random_projection_signs(8, 64)
     _rp_comps = []

@@ -138,6 +138,7 @@ HEADLINE = [
     "embeddings_kmeans",
     "embeddings_random_projection",
     "embeddings_pq_encode",
+    "sim_topk_pq",
     "stats_ols_by_group",
     "stats_ks_test",
     "stats_welch_t_test",

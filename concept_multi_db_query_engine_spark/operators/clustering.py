@@ -280,3 +280,102 @@ def pq_encode(
     ).select(
         F.col("vid").alias(id_col), "codes", "recon_err_scaled"
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of IVF-PQ: the corpus is represented ONLY by its m-byte code words;
+    each query precomputes an m×k table of exact integer distances from
+    its subvectors to the codebook centroids, and a candidate's score is
+    m table lookups summed.  This is why PQ scales: scoring never touches
+    the original vectors.
+
+    Scale shape: codes come from :func:`kmeans_fit`/:func:`kmeans_encode`
+    per subspace (narrow maps + k·d-row updates); the distance tables are
+    |queries|·m·k rows built by broadcasting the k-row codebooks against
+    the (small, as in ``topk_cosine_bruteforce``) query side; scoring is
+    a broadcast join of the tables onto the exploded (vid, subspace,
+    code) corpus with a map-side-combined sum per (query, vector) — all
+    integers, so the ADC ranking (ties broken by vec_id) is exact and
+    engine-independent.  Returns (query_id, vec_id, adc_dist2, rank);
+    a query matches its own code word at its reconstruction distance
+    (filter ``query_id != vec_id`` downstream for kNN semantics).
+    """
+    from pyspark.sql import Window
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    code_parts, table_parts = [], []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
+        )
+        model = kmeans_fit(
+            sliced, k=k, iterations=iterations,
+            id_col=id_col, vec_col="subv",
+        )
+        enc = kmeans_encode(sliced, model, id_col=id_col, vec_col="subv")
+        code_parts.append(
+            enc.select(
+                F.col(id_col).alias("vid"),
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        qsub = queries.select(
+            F.col(id_col).alias("qid"),
+            _quantize(
+                f"slice({vec_col}, {s * sub + 1}, {sub})"
+            ).alias("qq"),
+        )
+        table_parts.append(
+            qsub.crossJoin(F.broadcast(model)).select(
+                "qid",
+                F.lit(s).alias("ts"),
+                F.col("cid"),
+                F.expr(
+                    "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("d"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    tables = table_parts[0]
+    for p in table_parts[1:]:
+        tables = tables.unionByName(p)
+    scored = (
+        codes.join(
+            F.broadcast(tables),
+            (codes["s"] == tables["ts"]) & (codes["code"] == tables["cid"]),
+        )
+        .groupBy("qid", "vid")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist2").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            "adc_dist2",
+            "rank",
+        )
+    )

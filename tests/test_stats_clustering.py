@@ -362,3 +362,34 @@ def test_welch_empty_group_yields_nulls(spark):
     r = ops.welch_t_test(df, "v", "g", "a", "b").collect()[0]
     assert r["n_a"] == 0
     assert r["mean_a"] is None and r["t_stat"] is None
+
+
+def test_pq_topk_ranks_own_blob_first(spark):
+    # two well-separated blobs; each query's nearest ADC neighbours must
+    # come from its own blob, and self-match (identical code word) ranks
+    # at the query's reconstruction distance
+    vecs = [[0.0, 0.0, 1.0, 1.0], [0.1, 0.0, 1.1, 1.0],
+            [0.0, 0.1, 1.0, 1.1],
+            [9.0, 9.0, 5.0, 5.0], [9.1, 9.0, 5.1, 5.0]]
+    emb = _emb(spark, vecs)
+    out = ops.pq_topk(
+        emb, emb.where("vec_id = 0"), dim=4, m=2, k=2, iterations=2,
+        topk=3,
+    ).collect()
+    assert [r["query_id"] for r in out] == [0, 0, 0]
+    assert {r["vec_id"] for r in out} <= {0, 1, 2}
+    assert all(out[i]["adc_dist2"] <= out[i + 1]["adc_dist2"]
+               for i in range(len(out) - 1))
+
+
+def test_pq_topk_is_deterministic_under_repartition(spark):
+    vecs = [[float(i % 5), float((2 * i) % 7),
+             float((3 * i) % 4), float(i % 3)] for i in range(30)]
+    emb = _emb(spark, vecs)
+    q = emb.where("vec_id < 2")
+    r1 = sorted(map(tuple, ops.pq_topk(
+        emb, q, dim=4, m=2, k=3, iterations=2, topk=4).collect()))
+    r2 = sorted(map(tuple, ops.pq_topk(
+        emb.repartition(11), q, dim=4, m=2, k=3, iterations=2,
+        topk=4).collect()))
+    assert r1 == r2
