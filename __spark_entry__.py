@@ -970,6 +970,13 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_mann_whitney(spark, sf):
+    return ops.mann_whitney_u(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
 def _q_welch(spark, sf):
     return ops.welch_t_test(
         _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
@@ -1127,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stats_ols_by_group": _q_ols_by,
             "stats_ks_test": _q_ks_test,
             "stats_welch_t_test": _q_welch,
+            "stats_mann_whitney": _q_mann_whitney,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1182,6 +1190,7 @@ _GATE_PRIORITY = [
     "embeddings_random_projection", "embeddings_pq_encode",
     "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
+    "stats_mann_whitney",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3426,6 +3435,50 @@ SELECT na_tot AS n_a, nb_tot AS n_b, d_num,
                    / (CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE)))
     AS significant
 FROM mx CROSS JOIN tot
+"""
+
+    _mw_z = (
+        "(CAST(u2_a AS DOUBLE) / 2.0 "
+        "- CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE) / 2.0) / "
+        "nullif(sqrt((CAST(na_tot AS DOUBLE) * CAST(nb_tot AS DOUBLE) "
+        "/ 12.0) * ((CAST(na_tot + nb_tot AS DOUBLE) + 1.0) "
+        "- CAST(ties3 AS DOUBLE) / (CAST(na_tot + nb_tot AS DOUBLE) "
+        "* (CAST(na_tot + nb_tot AS DOUBLE) - 1.0)))), 0.0)"
+    )
+    o["stats_mann_whitney"] = f"""
+WITH pts AS (
+  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS is_a
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM pts GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(na) AS BIGINT) AS na_tot,
+         CAST(sum(nb) AS BIGINT) AS nb_tot
+  FROM per_v
+),
+cum AS (
+  SELECT na, nb,
+         sum(nb) OVER (ORDER BY v) AS cb
+  FROM per_v
+),
+s AS (
+  SELECT CAST(sum(na * (2 * cb - nb)) AS BIGINT) AS u2_a,
+         CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS BIGINT)
+           AS ties3
+  FROM cum
+)
+SELECT na_tot AS n_a, nb_tot AS n_b, u2_a,
+  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+  round({_mw_z}, 6) AS z_score,
+  abs({_mw_z}) > 1.959964 AS significant
+FROM s CROSS JOIN tot
 """
 
     _se_a = ("((qa_d - sa_d * sa_d / na_d) / nullif(na_d - 1.0, 0.0) "

@@ -142,6 +142,7 @@ HEADLINE = [
     "stats_ols_by_group",
     "stats_ks_test",
     "stats_welch_t_test",
+    "stats_mann_whitney",
 ]
 
 

@@ -325,33 +325,20 @@ def ols_fit_by(
     ).orderBy(*group_cols)
 
 
-def ks_test(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    group_a,
-    group_b,
-    c_alpha: float = 1.358,
-) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov test, EXACT and distributed: the D
-    statistic's numerator ``max |cumA·N_B − cumB·N_A|`` is an integer —
-    only the final division and the critical-value comparison are floats
-    — so the result is partitioning- and engine-independent with no
-    rank-sort on a single machine.
+def _cumulative_pair_counts(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+):
+    """Shared machinery for the rank tests (:func:`ks_test`,
+    :func:`mann_whitney_u`): reduce observations to per-distinct-value
+    pair counts, then attach EXACT global cumulative counts with the
+    offset-rank idiom — range-repartition by value, ``localCheckpoint``
+    pin (repartitionByRange re-samples boundaries on recompute),
+    O(partitions) totals to the driver, broadcast-join the partition
+    offsets back, within-partition running-sum window.  Every stage
+    parallel; no global window; no full sort on one task.
 
-    Shape: one shuffle reduces observations to per-distinct-value pair
-    counts; the cumulative counts then use the repo's offset-rank idiom
-    (``distributed_ntile``): range-repartition by value,
-    ``localCheckpoint`` pin (repartitionByRange re-samples boundaries on
-    recompute), O(partitions) count rows to the driver, broadcast-join
-    the partition offsets back, and a WITHIN-PARTITION running-sum
-    window — every stage parallel, no global window, no full sort on one
-    task.  Overflow bound: |N_A·N_B| must fit a signed 64-bit integer
-    (fine through ~3·10⁹ observations per side).
-
-    Returns one row: (n_a, n_b, d_num, d_stat, significant) where
-    ``significant`` applies the large-sample critical value
-    ``c(α)·sqrt((n_a+n_b)/(n_a·n_b))`` (default c = 1.358, α = 0.05).
+    Returns (cum_frame(na, nb, ca, cb), n_a, n_b) — per-value counts and
+    inclusive cumulatives, plus the group totals.
     """
     from pyspark.sql import Window
 
@@ -386,18 +373,9 @@ def ks_test(
         acc_a += r["a"]
         acc_b += r["b"]
     n_a, n_b = acc_a, acc_b
-    spark = df.sparkSession
-    empty = spark.createDataFrame(
-        [(n_a, n_b)], "n_a long, n_b long"
-    ).select(
-        "n_a", "n_b",
-        F.lit(None).cast("long").alias("d_num"),
-        F.lit(None).cast("double").alias("d_stat"),
-        F.lit(None).cast("boolean").alias("significant"),
-    )
     if n_a == 0 or n_b == 0:
-        return empty
-    offsets_df = spark.createDataFrame(
+        return None, n_a, n_b
+    offsets_df = df.sparkSession.createDataFrame(
         offs, "__pid int, offa long, offb long"
     )
     w = (
@@ -406,9 +384,53 @@ def ks_test(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = tagged.join(F.broadcast(offsets_df), "__pid").select(
+        "na", "nb",
         (F.sum("na").over(w) + F.col("offa")).alias("ca"),
         (F.sum("nb").over(w) + F.col("offb")).alias("cb"),
     )
+    return cum, n_a, n_b
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    c_alpha: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test, EXACT and distributed: the D
+    statistic's numerator ``max |cumA·N_B − cumB·N_A|`` is an integer —
+    only the final division and the critical-value comparison are floats
+    — so the result is partitioning- and engine-independent with no
+    rank-sort on a single machine.
+
+    Shape: one shuffle reduces observations to per-distinct-value pair
+    counts; the cumulative counts then use the repo's offset-rank idiom
+    (``distributed_ntile``): range-repartition by value,
+    ``localCheckpoint`` pin (repartitionByRange re-samples boundaries on
+    recompute), O(partitions) count rows to the driver, broadcast-join
+    the partition offsets back, and a WITHIN-PARTITION running-sum
+    window — every stage parallel, no global window, no full sort on one
+    task.  Overflow bound: |N_A·N_B| must fit a signed 64-bit integer
+    (fine through ~3·10⁹ observations per side).
+
+    Returns one row: (n_a, n_b, d_num, d_stat, significant) where
+    ``significant`` applies the large-sample critical value
+    ``c(α)·sqrt((n_a+n_b)/(n_a·n_b))`` (default c = 1.358, α = 0.05).
+    """
+    cum, n_a, n_b = _cumulative_pair_counts(
+        df, value_col, group_col, group_a, group_b
+    )
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("long").alias("d_num"),
+            F.lit(None).cast("double").alias("d_stat"),
+            F.lit(None).cast("boolean").alias("significant"),
+        )
     d_num_frame = cum.agg(
         F.max(
             F.abs(F.col("ca") * F.lit(n_b) - F.col("cb") * F.lit(n_a))
@@ -491,4 +513,69 @@ def welch_t_test(
         F.expr(f"round({t}, 6)").alias("t_stat"),
         F.expr(f"round({dfw}, 6)").alias("df_welch"),
         F.expr(f"abs({t}) > {t_crit}d").alias("significant"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Mann–Whitney U rank test (does one group stochastically dominate
+    the other?), EXACT and distributed: with per-value pair counts and
+    cumulative counts from :func:`_cumulative_pair_counts`,
+
+        2·U_A = Σ_v  na(v) · (2·cumB(v) − nb(v))
+
+    — the doubled statistic is an integer (ties contribute halves), as
+    is the tie-correction term Σ(t³−t).  Only the normal-approximation z
+    (with tie-corrected variance, no continuity correction) is floating
+    point, evaluated as one fixed-shape expression mirrored in the
+    oracle.  Same scale shape and ~3·10⁹-per-side overflow bound as
+    :func:`ks_test`.  All-tied inputs (zero variance) yield NULL z.
+
+    Returns one row: (n_a, n_b, u2_a, u_a, z_score, significant).
+    """
+    cum, n_a, n_b = _cumulative_pair_counts(
+        df, value_col, group_col, group_a, group_b
+    )
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("long").alias("u2_a"),
+            F.lit(None).cast("double").alias("u_a"),
+            F.lit(None).cast("double").alias("z_score"),
+            F.lit(None).cast("boolean").alias("significant"),
+        )
+    sums = cum.agg(
+        F.sum(
+            F.col("na") * (F.lit(2) * F.col("cb") - F.col("nb"))
+        ).alias("u2_a"),
+        F.sum(
+            (F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+            * (F.col("na") + F.col("nb"))
+            - (F.col("na") + F.col("nb"))
+        ).alias("ties3"),
+    )
+    n = n_a + n_b
+    z = (
+        f"(CAST(u2_a AS DOUBLE) / 2.0d "
+        f"- CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE) / 2.0d) / "
+        f"nullif(sqrt((CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE) "
+        f"/ 12.0d) * ((CAST({n} AS DOUBLE) + 1.0d) "
+        f"- CAST(ties3 AS DOUBLE) / (CAST({n} AS DOUBLE) "
+        f"* (CAST({n} AS DOUBLE) - 1.0d)))), 0.0d)"
+    )
+    return sums.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        "u2_a",
+        F.expr("CAST(u2_a AS DOUBLE) / 2.0d").alias("u_a"),
+        F.expr(f"round({z}, 6)").alias("z_score"),
+        F.expr(f"abs({z}) > {z_crit}d").alias("significant"),
     )

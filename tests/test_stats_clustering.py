@@ -393,3 +393,39 @@ def test_pq_topk_is_deterministic_under_repartition(spark):
         emb.repartition(11), q, dim=4, m=2, k=3, iterations=2,
         topk=4).collect()))
     assert r1 == r2
+
+
+def test_mann_whitney_hand_computed(spark):
+    # A = {1, 2}, B = {3, 4}: every B beats every A -> U_A = 0
+    df = _ks_frame(spark, [1, 2], [3, 4])
+    r = ops.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u2_a"] == 0 and r["u_a"] == 0.0
+    # reversed: U_A = n_a * n_b = 4
+    df2 = _ks_frame(spark, [3, 4], [1, 2])
+    r2 = ops.mann_whitney_u(df2, "v", "g", "a", "b").collect()[0]
+    assert r2["u_a"] == 4.0
+
+
+def test_mann_whitney_ties_contribute_half(spark):
+    # A = {1}, B = {1}: a tie -> U_A = 0.5
+    df = _ks_frame(spark, [1], [1])
+    r = ops.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["u2_a"] == 1 and r["u_a"] == 0.5
+    assert r["z_score"] is None  # all tied -> zero variance, guarded
+
+
+def test_mann_whitney_symmetric_samples_z_zero(spark):
+    df = _ks_frame(spark, [1, 3], [2, 4])
+    r = ops.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # U_A = 1 (a=3 beats b=2), mean = 2 -> z < 0 but symmetric swap gives
+    # the mirrored value
+    r2 = ops.mann_whitney_u(
+        _ks_frame(spark, [2, 4], [1, 3]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r["z_score"] == -r2["z_score"]
+
+
+def test_mann_whitney_empty_side_nulls(spark):
+    df = _ks_frame(spark, [], [1.0])
+    r = ops.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 0 and r["u2_a"] is None
