@@ -970,6 +970,15 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_containment(spark, sf):
+    return ops.containment_pairs(_t(spark, sf, "documents"), k=5,
+                                 threshold=0.6)
+
+
+def _q_char_entropy(spark, sf):
+    return ops.char_entropy(_t(spark, sf, "documents"))
+
+
 def _q_mann_whitney(spark, sf):
     return ops.mann_whitney_u(
         _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
@@ -1135,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stats_ks_test": _q_ks_test,
             "stats_welch_t_test": _q_welch,
             "stats_mann_whitney": _q_mann_whitney,
+            "dedup_containment": _q_containment,
+            "text_char_entropy": _q_char_entropy,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1190,7 +1201,7 @@ _GATE_PRIORITY = [
     "embeddings_random_projection", "embeddings_pq_encode",
     "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
-    "stats_mann_whitney",
+    "stats_mann_whitney", "dedup_containment", "text_char_entropy",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3367,6 +3378,43 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    o["dedup_containment"] = (
+        "WITH " + _SHINGLES_CTE
+        + """,
+dir AS (
+  SELECT d1 AS doc_id, d2 AS container_id,
+         round(common::DOUBLE / s1.n, 4) AS containment
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+  UNION ALL
+  SELECT d2 AS doc_id, d1 AS container_id,
+         round(common::DOUBLE / s2.n, 4) AS containment
+  FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT doc_id, container_id, containment FROM dir
+WHERE containment >= 0.6"""
+    )
+
+    o["text_char_entropy"] = """
+WITH cs AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS f FROM cs GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_chars_counted,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         list(CAST(f AS DOUBLE) ORDER BY c) AS fs
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_chars_counted, n_distinct_chars,
+  round(-(list_reduce(
+    list_transform(fs, f -> (f / CAST(n_chars_counted AS DOUBLE))
+                            * log2(f / CAST(n_chars_counted AS DOUBLE))),
+    (x, y) -> x + y)) + 0.0, 6) AS entropy
+FROM agg
 """
 
     o["stats_ols_by_group"] = f"""

@@ -143,6 +143,8 @@ HEADLINE = [
     "stats_ks_test",
     "stats_welch_t_test",
     "stats_mann_whitney",
+    "dedup_containment",
+    "text_char_entropy",
 ]
 
 

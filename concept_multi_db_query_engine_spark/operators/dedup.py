@@ -668,3 +668,50 @@ def dedup_survivors(
         docs.join(dropped, id_col, "left_anti")
         .select(id_col, "lang", "source", "n_chars")
     )
+
+
+def containment_pairs(
+    docs: DataFrame, k: int = 5, threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed near-duplicate CONTAINMENT: C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| — the doc-inside-doc signal symmetric Jaccard misses (a
+    paragraph quoted whole inside a long article scores near-zero Jaccard
+    but containment ≈ 1), which is how training pipelines catch
+    quote-expansions, wrapper pages, and partial mirrors.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` — the inverted-index
+    self-join materializes only co-shingling pairs, one shuffle on the
+    shingle (cap hot shingles with ``max_doc_freq``), one on the pair —
+    then each undirected pair emits its two directed containments.
+    Returns (doc_id, container_id, containment) for directions at or
+    above ``threshold``; containment rounds to 4 like the Jaccard twin.
+    """
+    sh = _shingles(docs, k, max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    joined = (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1", "d2", "common",
+            F.col("s1.n").alias("n1"), F.col("s2.n").alias("n2"),
+        )
+    )
+    fwd = joined.select(
+        F.col("d1").alias("doc_id"),
+        F.col("d2").alias("container_id"),
+        F.round(F.col("common") / F.col("n1"), 4).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("d2").alias("doc_id"),
+        F.col("d1").alias("container_id"),
+        F.round(F.col("common") / F.col("n2"), 4).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

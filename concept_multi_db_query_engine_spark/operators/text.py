@@ -999,3 +999,57 @@ def vocab_growth(
             .cast("long"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish/repetition quality signal: natural prose sits ~4-4.5 bits,
+    base64 blobs and key-mash noise higher, template spam and repeated
+    runs lower.
+
+    Zero-shuffle narrow map: characters, their sorted distinct alphabet,
+    and per-symbol frequencies are STAGED array columns (the expression-
+    staging rule — inlined, the split would re-run per reference), and
+    H = −Σ p·log2 p folds the frequencies in sorted-alphabet order — a
+    deterministic sequential sum both engines evaluate identically, with
+    a trailing ``+ 0.0`` collapsing the −0.0 of single-symbol documents.
+    Per-row cost is O(len·|alphabet|) from the frequency filters — fine
+    for web-scale short documents; for book-length texts switch to the
+    explode + (doc, char) aggregation shape the oracle uses.  Empty
+    documents return entropy 0 with 0 counted characters.
+
+    Returns (doc_id, n_chars_counted, n_distinct_chars, entropy).
+    """
+    staged = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "").alias("__cs"),
+    ).select(
+        id_col,
+        "__cs",
+        F.expr("array_sort(array_distinct(__cs))").alias("__al"),
+        F.size("__cs").cast("long").alias("n_chars_counted"),
+    ).select(
+        id_col,
+        "n_chars_counted",
+        F.size("__al").cast("long").alias("n_distinct_chars"),
+        F.expr(
+            "transform(__al, c -> CAST(size(filter(__cs, x -> x = c)) "
+            "AS DOUBLE))"
+        ).alias("__fs"),
+    )
+    h = (
+        "-(aggregate(__fs, CAST(0.0 AS DOUBLE), (acc, f) -> acc + "
+        "(f / CAST(n_chars_counted AS DOUBLE)) "
+        "* log2(f / CAST(n_chars_counted AS DOUBLE)))) + 0.0d"
+    )
+    return staged.select(
+        id_col,
+        "n_chars_counted",
+        "n_distinct_chars",
+        F.expr(
+            f"CASE WHEN n_chars_counted = 0 THEN 0.0d "
+            f"ELSE round({h}, 6) END"
+        ).alias("entropy"),
+    )

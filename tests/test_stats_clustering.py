@@ -429,3 +429,49 @@ def test_mann_whitney_empty_side_nulls(spark):
     df = _ks_frame(spark, [], [1.0])
     r = ops.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
     assert r["n_a"] == 0 and r["u2_a"] is None
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    quoted = "alpha beta gamma delta epsilon zeta"
+    article = quoted + " and much more commentary follows here now okay"
+    df = _docs(spark, [quoted, article, "totally unrelated words only"])
+    out = ops.containment_pairs(df, k=5, threshold=0.9).collect()
+    got = {(r["doc_id"], r["container_id"]): r["containment"] for r in out}
+    # every 5-shingle of `quoted` appears in `article` -> containment 1.0
+    assert got[(0, 1)] == 1.0
+    # but NOT the reverse (article has many shingles quoted lacks)
+    assert (1, 0) not in got
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    quoted = "one two three four five six"
+    article = quoted + " seven eight nine ten eleven twelve thirteen " \
+                       "fourteen fifteen sixteen"
+    df = _docs(spark, [quoted, article])
+    jac = ops.ngram_jaccard_pairs(df, k=5, threshold=0.0).collect()
+    # symmetric Jaccard is low...
+    assert jac[0]["jaccard"] < 0.5
+    cont = ops.containment_pairs(df, k=5, threshold=0.9).collect()
+    # ...but directed containment flags the subsumption
+    assert any(r["doc_id"] == 0 and r["containment"] == 1.0 for r in cont)
+
+
+def test_char_entropy_known_values(spark):
+    df = _docs(spark, ["aaaa", "abab", "abcd"])
+    got = {r["doc_id"]: r for r in ops.char_entropy(df).collect()}
+    assert got[0]["entropy"] == 0.0 and got[0]["n_distinct_chars"] == 1
+    assert got[1]["entropy"] == 1.0  # two symbols, equal frequency
+    assert got[2]["entropy"] == 2.0  # four equally likely symbols
+    assert got[2]["n_chars_counted"] == 4
+
+
+def test_char_entropy_orders_independent_of_char_order(spark):
+    df = _docs(spark, ["xyzzy", "zyxzy"])  # same multiset of chars
+    got = {r["doc_id"]: r["entropy"] for r in ops.char_entropy(df).collect()}
+    assert got[0] == got[1]
