@@ -970,6 +970,16 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_psi_drift(spark, sf):
+    # snapshot split by order-key parity (the corpus_drift convention)
+    orders = _t(spark, sf, "orders")
+    return ops.psi_drift(
+        orders.where("o_orderkey % 2 = 0"),
+        orders.where("o_orderkey % 2 = 1"),
+        "o_totalprice", bin_width=10000.0,
+    )
+
+
 def _q_containment(spark, sf):
     return ops.containment_pairs(_t(spark, sf, "documents"), k=5,
                                  threshold=0.6)
@@ -1146,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stats_mann_whitney": _q_mann_whitney,
             "dedup_containment": _q_containment,
             "text_char_entropy": _q_char_entropy,
+            "orders_psi_drift": _q_psi_drift,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1202,6 +1213,7 @@ _GATE_PRIORITY = [
     "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
+    "orders_psi_drift",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3378,6 +3390,49 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    _psi_term = (
+        "(CAST(t.ca AS DOUBLE) / CAST(na AS DOUBLE) "
+        "- CAST(t.cb AS DOUBLE) / CAST(nb AS DOUBLE)) "
+        "* ln((CAST(t.ca AS DOUBLE) / CAST(na AS DOUBLE)) "
+        "/ (CAST(t.cb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    )
+    o["orders_psi_drift"] = f"""
+WITH a AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000.0) AS BIGINT)
+           AS bin,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+b AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000.0) AS BIGINT)
+           AS bin,
+         CAST(count(*) AS BIGINT) AS cb
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+cells AS (
+  SELECT coalesce(a.bin, b.bin) AS bin,
+         CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+         CAST(coalesce(cb, 0) AS BIGINT) AS cb
+  FROM a FULL JOIN b ON a.bin = b.bin
+),
+pre AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         count(*) AS n_bins,
+         CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skipped_bins,
+         list(struct_pack(bin := bin, ca := ca, cb := cb) ORDER BY bin)
+           AS ts
+  FROM cells
+)
+SELECT na AS n_a, nb AS n_b, n_bins, n_skipped_bins,
+  round(list_reduce(list_transform(ts,
+    t -> CASE WHEN t.ca = 0 OR t.cb = 0 THEN 0.0 ELSE {_psi_term} END),
+    (x, y) -> x + y) + 0.0, 6) AS psi
+FROM pre
 """
 
     o["dedup_containment"] = (

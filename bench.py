@@ -145,6 +145,7 @@ HEADLINE = [
     "stats_mann_whitney",
     "dedup_containment",
     "text_char_entropy",
+    "orders_psi_drift",
 ]
 
 

@@ -579,3 +579,82 @@ def mann_whitney_u(
         F.expr(f"round({z}, 6)").alias("z_score"),
         F.expr(f"abs({z}) > {z_crit}d").alias("significant"),
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a training corpus and a
+    fresh crawl (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted):
+
+        PSI = Σ_bins (p_A − p_B) · ln(p_A / p_B)
+
+    over fixed-width bins (``floor(v / w)`` — exact integer keys, no
+    quantile estimation, so the binning is engine-independent).  Each
+    side reduces to per-bin integer counts in one map-side-combined
+    aggregation; the |bins|-row outer join and the final SORTED-BIN LEFT
+    FOLD (the chi-square discipline — never ``SUM(double)``) compute the
+    statistic deterministically.  Bins empty on either side have an
+    undefined log term and are EXCLUDED (reported in ``n_skipped_bins``)
+    rather than epsilon-smoothed — smoothing constants change the score
+    silently; at 100 TB pick ``bin_width`` so both snapshots populate
+    the tails.
+
+    Returns one row: (n_a, n_b, n_bins, n_skipped_bins, psi).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _bins(df, side):
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(
+                F.expr(
+                    f"CAST(floor(CAST({value_col} AS DOUBLE) "
+                    f"/ {bin_width!r}d) AS BIGINT)"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(side))
+        )
+
+    cells = (
+        _bins(df_a, "ca").join(_bins(df_b, "cb"), "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    # p_x = c_x / n_x with the totals as exact integers folded in below
+    term = (
+        "(CAST(t.ca AS DOUBLE) / CAST(na AS DOUBLE) "
+        "- CAST(t.cb AS DOUBLE) / CAST(nb AS DOUBLE)) "
+        "* ln((CAST(t.ca AS DOUBLE) / CAST(na AS DOUBLE)) "
+        "/ (CAST(t.cb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    )
+    pre = cells.groupBy().agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(
+            F.when((F.col("ca") == 0) | (F.col("cb") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_skipped_bins"),
+        F.expr("array_sort(collect_list(struct(bin, ca, cb)))").alias("ts"),
+    )
+    return pre.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_bins",
+        "n_skipped_bins",
+        F.expr(
+            "round(aggregate(ts, CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+            "CASE WHEN t.ca = 0 OR t.cb = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE {term} END) + 0.0d, 6)"
+        ).alias("psi"),
+    )

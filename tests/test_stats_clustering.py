@@ -475,3 +475,62 @@ def test_char_entropy_orders_independent_of_char_order(spark):
     df = _docs(spark, ["xyzzy", "zyxzy"])  # same multiset of chars
     got = {r["doc_id"]: r["entropy"] for r in ops.char_entropy(df).collect()}
     assert got[0] == got[1]
+
+
+def test_psi_identical_distributions_zero(spark):
+    df = _ks_frame(spark, [1, 5, 12, 22], [])  # reuse builder for values
+    a = df.select("v")
+    r = ops.psi_drift(a, a, "v", bin_width=10.0).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_skipped_bins"] == 0
+    assert r["n_a"] == r["n_b"] == 4
+
+
+def test_psi_shifted_distribution_positive(spark):
+    a = _ks_frame(spark, [1, 2, 3, 11, 12], []).select("v")
+    b = _ks_frame(spark, [11, 12, 13, 21, 22], []).select("v")
+    r = ops.psi_drift(a, b, "v", bin_width=10.0).collect()[0]
+    assert r["psi"] > 0.0
+    # bins 0 and 2 are one-sided -> skipped
+    assert r["n_skipped_bins"] == 2
+    assert r["n_bins"] == 3
+
+
+def test_psi_hand_computed_two_bins(spark):
+    # A: 80/20 across two bins; B: 20/80 -> psi = 2 * 0.6 * ln(4)
+    import math
+
+    a = _ks_frame(spark, [1] * 8 + [11] * 2, []).select("v")
+    b = _ks_frame(spark, [1] * 2 + [11] * 8, []).select("v")
+    r = ops.psi_drift(a, b, "v", bin_width=10.0).collect()[0]
+    assert abs(r["psi"] - 2 * 0.6 * math.log(4)) < 1e-6
+
+
+def test_psi_rejects_bad_bin_width(spark):
+    a = _ks_frame(spark, [1], []).select("v")
+    with pytest.raises(ValueError):
+        ops.psi_drift(a, a, "v", bin_width=0.0)
+
+
+def test_ivf_accepts_kmeans_trained_cells(spark):
+    """Composition: topk_cosine_ivf's coarse cells can come from the
+    learned kmeans assignment instead of the fixture's label column —
+    the codebook-training + ANN-search pipeline end to end."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = ops.kmeans_assign(emb, k=4, iterations=2).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    emb2 = emb.join(cells, "vec_id")
+    out = ops.topk_cosine_ivf(
+        emb2, emb2.where("vec_id < 2"), k=3, n_probe=2,
+        cluster_col="cell",
+    ).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 3
+        assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+        assert [r["rank"] for r in sorted(
+            rows, key=lambda r: r["rank"])] == list(range(1, len(rows) + 1))

@@ -302,3 +302,32 @@ def test_kmeans_encode_stream_matches_batch(spark):
         for r in ops.kmeans_encode(batch_emb, model).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_char_entropy_runs_unchanged_on_a_stream(spark):
+    """char_entropy is a stateless narrow map (sorted run-length fold per
+    row), so the SAME operator code is a valid append-mode streaming plan
+    with batch-identical output — quality scoring at ingestion time."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    d = tempfile.mkdtemp(prefix="stream-entropy-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(d)
+    sw.run_stream_to_memory(
+        ops.char_entropy(stream_docs), "stream_char_entropy",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["entropy"])
+        for r in spark.sql("SELECT * FROM stream_char_entropy").collect()
+    }
+    want = {
+        (r["doc_id"], r["entropy"])
+        for r in ops.char_entropy(batch_docs).collect()
+    }
+    assert got == want and len(got) > 0
