@@ -970,6 +970,14 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_triangles(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return ops.triangle_counts(edges)
+
+
 def _q_psi_drift(spark, sf):
     # snapshot split by order-key parity (the corpus_drift convention)
     orders = _t(spark, sf, "orders")
@@ -1157,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_containment": _q_containment,
             "text_char_entropy": _q_char_entropy,
             "orders_psi_drift": _q_psi_drift,
+            "graph_triangles": _q_triangles,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1213,7 +1222,7 @@ _GATE_PRIORITY = [
     "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
-    "orders_psi_drift",
+    "orders_psi_drift", "graph_triangles",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3390,6 +3399,48 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    o["graph_triangles"] = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT unnest([a, b]) AS node FROM und) GROUP BY 1
+)
+SELECT d.node, d.degree,
+       CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2 THEN
+         2.0 * CAST(coalesce(tn.triangles, 0) AS DOUBLE)
+         / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+         ELSE CAST(NULL AS DOUBLE) END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tn ON d.node = tn.node
 """
 
     _psi_term = (

@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_containment",
     "text_char_entropy",
     "orders_psi_drift",
+    "graph_triangles",
 ]
 
 

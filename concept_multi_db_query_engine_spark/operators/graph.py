@@ -113,3 +113,70 @@ def pagerank(
         F.col("rank_i").alias("rank_scaled"),
         (F.col("rank_i").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts and local clustering coefficient
+    over an undirected view of the edge list — the community-structure
+    probe that complements :func:`pagerank` (centrality) and
+    ``dedup.duplicate_clusters`` (components): on a similarity graph a
+    high coefficient marks tightly-knit near-duplicate neighborhoods,
+    near-zero marks hub-and-spoke template structure.
+
+    The edge list is canonicalized to (a < b) pairs, and triangles are
+    enumerated by the standard two-join ordered scheme: paths a<b<c from
+    joining the canonical list with itself, closed by a third join on
+    (a, c) — each triangle materializes exactly once.  All three joins
+    shuffle on node keys (AQE handles the skewed high-degree side);
+    counts are exact integers, so results are partitioning- and
+    engine-independent, and the coefficient ``2·t / (deg·(deg−1))`` is a
+    fixed-shape double mirrored in the oracle (NULL for degree < 2).
+
+    Returns (node, degree, triangles, clustering_coeff).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    tri_nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.expr(
+            "round(CASE WHEN degree >= 2 THEN "
+            "2.0d * CAST(coalesce(triangles, 0) AS DOUBLE) "
+            "/ (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0d)) "
+            "ELSE CAST(NULL AS DOUBLE) END, 6)"
+        ).alias("clustering_coeff"),
+    )

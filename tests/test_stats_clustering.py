@@ -534,3 +534,28 @@ def test_ivf_accepts_kmeans_trained_cells(spark):
         assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
         assert [r["rank"] for r in sorted(
             rows, key=lambda r: r["rank"])] == list(range(1, len(rows) + 1))
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_counts_known_graph(spark):
+    # K3 (0,1,2) plus a pendant node 3 attached to 0
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    got = {r["node"]: r for r in ops.triangle_counts(e).collect()}
+    assert got[0]["triangles"] == got[1]["triangles"] == \
+        got[2]["triangles"] == 1
+    assert got[3]["triangles"] == 0
+    assert got[1]["clustering_coeff"] == 1.0
+    # node 0 has degree 3, 1 triangle -> 2/(3*2) = 0.333333
+    assert got[0]["clustering_coeff"] == 0.333333
+    assert got[3]["clustering_coeff"] is None  # degree 1
+
+
+def test_triangles_ignore_direction_and_duplicates(spark):
+    # the same triangle given twice with mixed directions counts once
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)])
+    got = {r["node"]: r for r in ops.triangle_counts(e).collect()}
+    assert all(got[n]["triangles"] == 1 for n in (0, 1, 2))
+    assert all(got[n]["degree"] == 2 for n in (0, 1, 2))
