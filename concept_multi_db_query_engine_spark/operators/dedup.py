@@ -704,14 +704,16 @@ def containment_pairs(
             F.col("s1.n").alias("n1"), F.col("s2.n").alias("n2"),
         )
     )
-    fwd = joined.select(
-        F.col("d1").alias("doc_id"),
-        F.col("d2").alias("container_id"),
-        F.round(F.col("common") / F.col("n1"), 4).alias("containment"),
-    )
-    rev = joined.select(
-        F.col("d2").alias("doc_id"),
-        F.col("d1").alias("container_id"),
-        F.round(F.col("common") / F.col("n2"), 4).alias("containment"),
-    )
-    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+    # both directions from ONE pass: a union of two selects would give
+    # each branch its own copy of the whole shingle-join subtree (Spark
+    # re-executes unshared plan branches) — the inline explode keeps a
+    # single subtree and emits two rows per undirected pair
+    return joined.select(
+        F.expr(
+            "inline(array("
+            "struct(d1 AS doc_id, d2 AS container_id, "
+            "round(common / n1, 4) AS containment), "
+            "struct(d2 AS doc_id, d1 AS container_id, "
+            "round(common / n2, 4) AS containment)))"
+        )
+    ).where(F.col("containment") >= threshold)

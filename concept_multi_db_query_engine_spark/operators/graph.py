@@ -138,6 +138,10 @@ def triangle_counts(
 
     Returns (node, degree, triangles, clustering_coeff).
     """
+    # The canonical edge list feeds FIVE plan branches (e1/e2/e3, the
+    # degree count, and via tri the triangle count) — materialize it once
+    # (same discipline as pagerank's e0), or an expensive upstream lineage
+    # (e.g. the kNN-graph self-join) re-executes per branch.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -145,6 +149,7 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     paths = (
         e.alias("e1")
