@@ -970,6 +970,14 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_token_jsd(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ops.token_jsd_drift(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
+        top_n=100,
+    )
+
+
 def _q_triangles(spark, sf):
     emb = _t(spark, sf, "embeddings")
     edges = ops.knn_graph(emb, k=5).select(
@@ -1166,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_char_entropy": _q_char_entropy,
             "orders_psi_drift": _q_psi_drift,
             "graph_triangles": _q_triangles,
+            "docs_token_jsd_drift": _q_token_jsd,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1222,7 +1231,7 @@ _GATE_PRIORITY = [
     "sim_topk_pq",
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
-    "orders_psi_drift", "graph_triangles",
+    "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3399,6 +3408,57 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    def _jsd_term(a, b):
+        p = f"(CAST({a} AS DOUBLE) / CAST(na AS DOUBLE))"
+        q = f"(CAST({b} AS DOUBLE) / CAST(nb AS DOUBLE))"
+        m = f"(({p} + {q}) / 2.0)"
+        return (
+            f"(CASE WHEN {a} > 0 THEN 0.5 * {p} * ln({p} / {m}) "
+            f"ELSE CAST(0.0 AS DOUBLE) END "
+            f"+ CASE WHEN {b} > 0 THEN 0.5 * {q} * ln({q} / {m}) "
+            f"ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+
+    o["docs_token_jsd_drift"] = f"""
+WITH wa AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS ca
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 2 = 0)
+  WHERE w != '' GROUP BY 1
+),
+wb AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cb
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 2 = 1)
+  WHERE w != '' GROUP BY 1
+),
+comb AS (
+  SELECT coalesce(wa.w, wb.w) AS w,
+         CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+         CAST(coalesce(cb, 0) AS BIGINT) AS cb
+  FROM wa FULL JOIN wb ON wa.w = wb.w
+),
+tots AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM comb
+),
+top AS (
+  SELECT w, ca, cb FROM comb ORDER BY ca + cb DESC, w ASC LIMIT 100
+),
+packed AS (
+  SELECT list(struct_pack(w := w, ca := ca, cb := cb) ORDER BY w) AS ts,
+         CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS vocab_n
+  FROM top
+)
+SELECT na AS n_tokens_a, nb AS n_tokens_b, vocab_n,
+  na - ta AS other_a, nb - tb AS other_b,
+  round(list_reduce(list_transform(ts,
+          t -> {_jsd_term('t.ca', 't.cb')}), (x, y) -> x + y)
+        + {_jsd_term('(na - ta)', '(nb - tb)')} + 0.0, 6) AS jsd
+FROM packed CROSS JOIN tots
 """
 
     o["graph_triangles"] = "WITH " + _COS_NORM_CTE + """

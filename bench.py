@@ -147,6 +147,7 @@ HEADLINE = [
     "text_char_entropy",
     "orders_psi_drift",
     "graph_triangles",
+    "docs_token_jsd_drift",
 ]
 
 

@@ -1060,3 +1060,89 @@ def char_entropy(
             f"ELSE round({h}, 6) END"
         ).alias("entropy"),
     )
+
+
+def token_jsd_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus snapshots' token
+    distributions — the vocabulary-drift gate (0 identical, ln 2 ≈ 0.693
+    disjoint, in nats): the text counterpart of :func:`stats.psi_drift`
+    (numeric columns) and :func:`corpus_drift` (schema/field profiles).
+
+    The distribution support is the ``top_n`` tokens by COMBINED count
+    (ties broken by token text — deterministic), with everything else
+    folded into one OTHER bucket so both distributions live on the same
+    finite alphabet and sum to 1.  Each side's counts are exact integers
+    from one map-side-combined shuffle; top-N selection is a TopK
+    (``TakeOrderedAndProject``), not a full vocabulary sort; and the
+    divergence folds the token-sorted entries (OTHER last) — the
+    chi-square/PSI sorted-fold discipline, mirrored in the oracle.
+
+    Returns one row: (n_tokens_a, n_tokens_b, vocab_n, other_a, other_b,
+    jsd).
+    """
+
+    def _counts(d: DataFrame, side: str) -> DataFrame:
+        return (
+            d.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(side))
+        )
+
+    comb = (
+        _counts(docs_a, "ca").join(_counts(docs_b, "cb"), "w", "full")
+        .select(
+            "w",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tots = comb.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    packed = (
+        comb.orderBy(
+            (F.col("ca") + F.col("cb")).desc(), F.col("w").asc()
+        )
+        .limit(top_n)
+        .groupBy()
+        .agg(
+            F.expr("array_sort(collect_list(struct(w, ca, cb)))")
+            .alias("ts"),
+            F.sum("ca").alias("ta"),
+            F.sum("cb").alias("tb"),
+            F.count(F.lit(1)).alias("vocab_n"),
+        )
+    )
+    # 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p+q)/2; zero-probability
+    # sides contribute 0. The SAME text renders with (t.ca, t.cb) for
+    # vocabulary entries and (na - ta, nb - tb) for the OTHER bucket.
+    def _term(a: str, b: str) -> str:
+        p = f"(CAST({a} AS DOUBLE) / CAST(na AS DOUBLE))"
+        q = f"(CAST({b} AS DOUBLE) / CAST(nb AS DOUBLE))"
+        m = f"(({p} + {q}) / 2.0d)"
+        return (
+            f"(CASE WHEN {a} > 0 THEN 0.5d * {p} * ln({p} / {m}) "
+            f"ELSE CAST(0.0 AS DOUBLE) END "
+            f"+ CASE WHEN {b} > 0 THEN 0.5d * {q} * ln({q} / {m}) "
+            f"ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+
+    jsd = (
+        "round(aggregate(ts, CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+        + _term("t.ca", "t.cb")
+        + ") + " + _term("(na - ta)", "(nb - tb)") + " + 0.0d, 6)"
+    )
+    return packed.crossJoin(tots).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        "vocab_n",
+        F.expr("na - ta").alias("other_a"),
+        F.expr("nb - tb").alias("other_b"),
+        F.expr(jsd).alias("jsd"),
+    )

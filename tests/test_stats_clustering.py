@@ -559,3 +559,29 @@ def test_triangles_ignore_direction_and_duplicates(spark):
     got = {r["node"]: r for r in ops.triangle_counts(e).collect()}
     assert all(got[n]["triangles"] == 1 for n in (0, 1, 2))
     assert all(got[n]["degree"] == 2 for n in (0, 1, 2))
+
+
+def test_jsd_identical_corpora_zero(spark):
+    df = _docs(spark, ["the cat sat", "a dog ran fast"])
+    r = ops.token_jsd_drift(df, df, top_n=10).collect()[0]
+    assert r["jsd"] == 0.0
+    assert r["n_tokens_a"] == r["n_tokens_b"] == 7
+
+
+def test_jsd_disjoint_corpora_ln2(spark):
+    import math
+
+    a = _docs(spark, ["alpha beta gamma delta"])
+    b = _docs(spark, ["one two three four"])
+    r = ops.token_jsd_drift(a, b, top_n=10).collect()[0]
+    assert abs(r["jsd"] - math.log(2)) < 1e-6
+
+
+def test_jsd_other_bucket_absorbs_tail(spark):
+    a = _docs(spark, ["x x x y z w q r s t u v"])
+    b = _docs(spark, ["x x x y m n o p"])
+    r = ops.token_jsd_drift(a, b, top_n=2).collect()[0]
+    assert r["vocab_n"] == 2
+    # everything beyond the top-2 lands in OTHER
+    assert r["other_a"] == r["n_tokens_a"] - 4  # x:3 + y:1
+    assert 0.0 <= r["jsd"] <= 0.6932
