@@ -970,6 +970,10 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_embedding_stats(spark, sf):
+    return ops.embedding_corpus_stats(_t(spark, sf, "embeddings"), dim=64)
+
+
 def _q_token_jsd(spark, sf):
     docs = _t(spark, sf, "documents")
     return ops.token_jsd_drift(
@@ -1175,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_psi_drift": _q_psi_drift,
             "graph_triangles": _q_triangles,
             "docs_token_jsd_drift": _q_token_jsd,
+            "embeddings_corpus_stats": _q_embedding_stats,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1232,6 +1237,7 @@ _GATE_PRIORITY = [
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
+    "embeddings_corpus_stats",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3408,6 +3414,43 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    _ecs_avg = "(CAST(sn AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))"
+    _ecs_mean = (
+        "(sqrt(list_reduce(list_transform(ds, t -> "
+        "(CAST(t.s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(t.s AS DOUBLE) / CAST(n AS DOUBLE))), (x, y) -> x + y)) "
+        "/ 1000000.0)"
+    )
+    o["embeddings_corpus_stats"] = f"""
+WITH v AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q,
+         CAST(round(sqrt(list_dot_product(v, v)) * 1000000.0) AS BIGINT)
+           AS norm_q
+  FROM v
+),
+dim_sums AS (
+  SELECT pos, CAST(sum(q[pos]) AS BIGINT) AS s
+  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY 1
+),
+packed AS (
+  SELECT list(struct_pack(pos := pos, s := s) ORDER BY pos) AS ds
+  FROM dim_sums
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(norm_q) AS BIGINT) AS sn
+  FROM q
+)
+SELECT n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+  round({_ecs_avg}, 6) AS avg_norm,
+  round({_ecs_mean}, 6) AS mean_vector_norm,
+  round({_ecs_mean} / nullif({_ecs_avg}, 0.0), 6) AS anisotropy_ratio
+FROM packed CROSS JOIN tot
 """
 
     def _jsd_term(a, b):

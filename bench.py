@@ -148,6 +148,7 @@ HEADLINE = [
     "orders_psi_drift",
     "graph_triangles",
     "docs_token_jsd_drift",
+    "embeddings_corpus_stats",
 ]
 
 

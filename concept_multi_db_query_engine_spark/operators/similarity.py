@@ -581,3 +581,69 @@ def random_projection(
         F.col(id_col),
         F.expr("array(" + ", ".join(comps) + ")").alias("proj"),
     )
+
+
+def embedding_corpus_stats(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-level embedding-space health check: average vector norm,
+    the norm of the MEAN vector, and their ratio — the standard
+    anisotropy/collapse diagnostic (a centered, isotropic corpus has
+    ratio ≈ 0; embeddings collapsing toward a shared direction push it
+    toward 1, which silently breaks cosine-based dedup and ANN recall).
+
+    Determinism: per-vector norms and per-dimension sums quantize to
+    exact micro-unit integers (the kmeans discipline), so the corpus
+    aggregates are partitioning-independent; the final statistics are
+    fixed-shape doubles folded in dimension order.  Shape: one narrow
+    map + a k·d-style per-dimension sum (map-side combined, ``dim``
+    rows) + a two-value global aggregate — nothing driver-side, no
+    full-vector shuffle.
+
+    Returns one row: (n_vectors, dim, avg_norm, mean_vector_norm,
+    anisotropy_ratio).
+    """
+    q_scale = 10**6
+    staged = embeddings.select(
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {q_scale}.0d) AS BIGINT))"
+        ).alias("q"),
+        F.expr(
+            f"CAST(round(sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) "
+            f"* {q_scale}.0d) AS BIGINT)"
+        ).alias("norm_q"),
+    )
+    dim_sums = (
+        staged.select(F.posexplode("q").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    packed = dim_sums.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(pos, s)))").alias("ds")
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("norm_q").alias("sn")
+    )
+    avg_norm = (
+        f"(CAST(sn AS DOUBLE) / (CAST(n AS DOUBLE) * {q_scale}.0d))"
+    )
+    mean_norm = (
+        "(sqrt(aggregate(ds, CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+        "(CAST(t.s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(t.s AS DOUBLE) / CAST(n AS DOUBLE)))) "
+        f"/ {q_scale}.0d)"
+    )
+    return packed.crossJoin(tot).select(
+        F.col("n").alias("n_vectors"),
+        F.lit(dim).cast("long").alias("dim"),
+        F.expr(f"round({avg_norm}, 6)").alias("avg_norm"),
+        F.expr(f"round({mean_norm}, 6)").alias("mean_vector_norm"),
+        F.expr(
+            f"round({mean_norm} / nullif({avg_norm}, 0.0d), 6)"
+        ).alias("anisotropy_ratio"),
+    )

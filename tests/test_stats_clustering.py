@@ -585,3 +585,22 @@ def test_jsd_other_bucket_absorbs_tail(spark):
     # everything beyond the top-2 lands in OTHER
     assert r["other_a"] == r["n_tokens_a"] - 4  # x:3 + y:1
     assert 0.0 <= r["jsd"] <= 0.6932
+
+
+def test_embedding_stats_collapsed_corpus_ratio_one(spark):
+    # identical vectors: mean vector == every vector -> ratio 1
+    df = _emb(spark, [[3.0, 4.0]] * 5)
+    r = ops.embedding_corpus_stats(df, dim=2).collect()[0]
+    assert r["n_vectors"] == 5
+    assert r["avg_norm"] == 5.0
+    assert r["mean_vector_norm"] == 5.0
+    assert r["anisotropy_ratio"] == 1.0
+
+
+def test_embedding_stats_centered_corpus_ratio_zero(spark):
+    # vectors summing to zero: mean vector vanishes -> ratio 0
+    df = _emb(spark, [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    r = ops.embedding_corpus_stats(df, dim=2).collect()[0]
+    assert r["mean_vector_norm"] == 0.0
+    assert r["anisotropy_ratio"] == 0.0
+    assert r["avg_norm"] == 1.0
