@@ -970,6 +970,15 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_kmv_resemblance(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ops.kmv_set_resemblance(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        "user_id", k=64,
+    )
+
+
 def _q_embedding_stats(spark, sf):
     return ops.embedding_corpus_stats(_t(spark, sf, "embeddings"), dim=64)
 
@@ -1180,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_triangles": _q_triangles,
             "docs_token_jsd_drift": _q_token_jsd,
             "embeddings_corpus_stats": _q_embedding_stats,
+            "events_kmv_resemblance": _q_kmv_resemblance,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1237,7 +1247,7 @@ _GATE_PRIORITY = [
     "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
-    "embeddings_corpus_stats",
+    "embeddings_corpus_stats", "events_kmv_resemblance",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3415,6 +3425,11 @@ SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
 """
+
+    o["events_kmv_resemblance"] = ops.kmv_resemblance_oracle_sql(
+        "event_type = 'view'", "event_type = 'purchase'",
+        "user_id", "events", k=64,
+    )
 
     _ecs_avg = "(CAST(sn AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))"
     _ecs_mean = (

@@ -149,6 +149,7 @@ HEADLINE = [
     "graph_triangles",
     "docs_token_jsd_drift",
     "embeddings_corpus_stats",
+    "events_kmv_resemblance",
 ]
 
 

@@ -117,3 +117,95 @@ kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
 SELECT (SELECT count(DISTINCT {column}) FROM {table}) AS exact,
        (SELECT round({k - 1} / max(h), 4) FROM kmin) AS kmv_estimate
 """
+
+
+def kmv_set_resemblance(
+    df_a: DataFrame, df_b: DataFrame, column: str, k: int = 256,
+) -> DataFrame:
+    """Approximate Jaccard / union / intersection between two sides'
+    value sets from their KMV sketches (Beyer et al.'s set-operation
+    estimators): with M the k smallest hashes of Sa ∪ Sb,
+    ρ = |M ∩ Sa ∩ Sb| / |M| estimates J(A,B), and |A∪B| comes from M's
+    k-th minimum — so corpus-overlap questions ("how much of yesterday's
+    crawl is in today's?") cost two sketch scans instead of a
+    distinct-join, and the sketches are mergeable across partitions and
+    days. Deterministic md5 hashing keeps the estimate value-checkable
+    cross-engine like :func:`approx_distinct_kmv`; when the union has
+    fewer than k distinct values the sketch is the whole set and the
+    union estimate switches to the exact ``k_used``.
+
+    Scale: each side reduces to distinct hashes (map-side partial) and a
+    TakeOrderedAndProject top-k; every frame after that holds ≤ k rows.
+    Returns one row: (k_used, n_both, jaccard_est, union_est,
+    intersect_est).
+    """
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(_uniform_hash(F.col(column)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    sa, sb = _sketch(df_a), _sketch(df_b)
+    m = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    both = m.join(sa, "h", "semi").join(sb, "h", "semi")
+    stats_m = m.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("max_h")
+    )
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    union_est = (
+        f"(CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE {k - 1} / max_h END)"
+    )
+    rho = "(CAST(n_both AS DOUBLE) / nullif(CAST(k_used AS DOUBLE), 0.0d))"
+    return stats_m.crossJoin(n_both).select(
+        "k_used",
+        "n_both",
+        F.expr(f"round({rho}, 4)").alias("jaccard_est"),
+        F.expr(f"round({union_est}, 4)").alias("union_est"),
+        F.expr(f"round({rho} * {union_est}, 4)").alias("intersect_est"),
+    )
+
+
+def kmv_resemblance_oracle_sql(
+    table_a_where: str, table_b_where: str, column: str,
+    table: str, k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_resemblance` for two filtered views
+    of one table (identical hash, selection, and estimator text)."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT) / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    union_est = (
+        f"(CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE {k - 1} / max_h END)"
+    )
+    rho = "(CAST(n_both AS DOUBLE) / nullif(CAST(k_used AS DOUBLE), 0.0))"
+    return f"""
+WITH sa AS (
+  SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
+                 WHERE {table_a_where}) ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
+                 WHERE {table_b_where}) ORDER BY h LIMIT {k}
+),
+m AS (
+  SELECT h FROM (SELECT DISTINCT h FROM (
+    SELECT h FROM sa UNION ALL SELECT h FROM sb))
+  ORDER BY h LIMIT {k}
+),
+st AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS max_h FROM m),
+nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM m
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+)
+SELECT k_used, n_both,
+  round({rho}, 4) AS jaccard_est,
+  round({union_est}, 4) AS union_est,
+  round({rho} * {union_est}, 4) AS intersect_est
+FROM st CROSS JOIN nb
+"""

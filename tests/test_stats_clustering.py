@@ -604,3 +604,37 @@ def test_embedding_stats_centered_corpus_ratio_zero(spark):
     assert r["mean_vector_norm"] == 0.0
     assert r["anisotropy_ratio"] == 0.0
     assert r["avg_norm"] == 1.0
+
+
+def test_kmv_resemblance_identical_sets(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "u long")
+    r = ops.kmv_set_resemblance(df, df, "u", k=32).collect()[0]
+    assert r["jaccard_est"] == 1.0
+    assert r["k_used"] == 32  # 100 distinct > k
+
+
+def test_kmv_resemblance_disjoint_sets(spark):
+    a = spark.createDataFrame([(i,) for i in range(50)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(100, 150)], "u long")
+    r = ops.kmv_set_resemblance(a, b, "u", k=32).collect()[0]
+    assert r["jaccard_est"] == 0.0
+    assert r["intersect_est"] == 0.0
+
+
+def test_kmv_resemblance_small_sets_exact_union(spark):
+    # union below k: the sketch IS the set, union_est is exact
+    a = spark.createDataFrame([(i,) for i in range(10)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "u long")
+    r = ops.kmv_set_resemblance(a, b, "u", k=256).collect()[0]
+    assert r["union_est"] == 15.0
+    assert r["jaccard_est"] == round(5 / 15, 4)
+    assert r["intersect_est"] == round((5 / 15) * 15, 4)
+
+
+def test_kmv_resemblance_estimate_close_on_overlap(spark):
+    # true J = 500/1500 = 1/3; k=256 keeps relative error ~1/sqrt(k)
+    a = spark.createDataFrame([(i,) for i in range(1000)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "u long")
+    r = ops.kmv_set_resemblance(a, b, "u", k=256).collect()[0]
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(r["union_est"] - 1500) / 1500 < 0.25
