@@ -699,6 +699,17 @@ def _q_sim_lsh(spark, sf):
     return ops.topk_cosine_lsh(emb, queries, k=5, bits=4)
 
 
+def _q_sim_rp_lsh(spark, sf):
+    # true sign-random-projection buckets: the md5-seeded Rademacher
+    # hyperplanes the coordinate-sign default only approximates
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.topk_cosine_lsh(
+        emb, queries, k=5, bits=4,
+        hyperplanes=ops.random_projection_signs(4, 64, salt="rp-lsh"),
+    )
+
+
 def _q_minhash_estimate(spark, sf):
     return ops.minhash_estimate_pairs(_t(spark, sf, "documents"), k=5,
                                       num_hashes=16, bands=4,
@@ -1190,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_token_jsd_drift": _q_token_jsd,
             "embeddings_corpus_stats": _q_embedding_stats,
             "events_kmv_resemblance": _q_kmv_resemblance,
+            "sim_topk_rp_lsh": _q_sim_rp_lsh,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1248,6 +1260,7 @@ _GATE_PRIORITY = [
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
     "embeddings_corpus_stats", "events_kmv_resemblance",
+    "sim_topk_rp_lsh",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3425,6 +3438,37 @@ SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
 """
+
+    _rpl_signs = ops.random_projection_signs(4, 64, salt="rp-lsh")
+    _rpl_bits = []
+    for _j in range(4):
+        _fold = "CAST(0.0 AS DOUBLE)"
+        for _i in range(64):
+            _s = "1.0" if _rpl_signs[_j][_i] > 0 else "-1.0"
+            _fold = f"({_fold} + {_s} * CAST(v[{_i + 1}] AS DOUBLE))"
+        _rpl_bits.append(
+            f"(CASE WHEN {_fold} > 0.0 THEN {1 << (3 - _j)} ELSE 0 END)"
+        )
+    o["sim_topk_rp_lsh"] = (
+        "WITH " + _COS_NORM_CTE + """
+, b AS (
+  SELECT *, (""" + " + ".join(_rpl_bits) + """) AS bucket
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.norm2 * c.norm2), 6)
+           AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    )
 
     o["events_kmv_resemblance"] = ops.kmv_resemblance_oracle_sql(
         "event_type = 'view'", "event_type = 'purchase'",

@@ -150,6 +150,7 @@ HEADLINE = [
     "docs_token_jsd_drift",
     "embeddings_corpus_stats",
     "events_kmv_resemblance",
+    "sim_topk_rp_lsh",
 ]
 
 

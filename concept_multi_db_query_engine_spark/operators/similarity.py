@@ -217,22 +217,49 @@ def topk_cosine_lsh(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-bucket (first
-    ``bits`` coordinates' signs), ranked exactly within the bucket.
+    """Approximate top-k: candidates share the query's sign-bucket,
+    ranked exactly within the bucket.
 
-    2^bits buckets → the pair join shrinks by ~2^bits; recall is tunable via
-    bits (fewer bits = more candidates = higher recall). Output:
+    The default bucket hash signs the first ``bits`` coordinates —
+    simplest, but correlated coordinates bucket unevenly.  Pass
+    ``hyperplanes`` (``bits`` rows of ``dim`` coefficients, e.g.
+    :func:`random_projection_signs`) for true sign-random-projection
+    LSH: each bit is the sign of one projection, the coefficient
+    literals are baked into codegen exactly like
+    :func:`random_projection` (no shuffle, no per-row hashing), and the
+    deterministic matrix regenerates from its salt on any engine.
+
+    2^bits buckets → the pair join shrinks by ~2^bits; recall is tunable
+    via bits (fewer bits = more candidates = higher recall). Output:
     (query_id, vec_id, cosine, rank)."""
-    def bucketed(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "bucket",
-            F.expr(
-                f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> "
-                "acc * 2 + CASE WHEN CAST(v[i] AS DOUBLE) > 0.0 THEN 1 "
-                "ELSE 0 END)"
-            ),
+    if hyperplanes is None:
+        bucket_sql = (
+            f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> "
+            "acc * 2 + CASE WHEN CAST(v[i] AS DOUBLE) > 0.0 THEN 1 "
+            "ELSE 0 END)"
         )
+    else:
+        if len(hyperplanes) != bits:
+            raise ValueError("need one hyperplane per bit")
+        in_dim = len(hyperplanes[0])
+        parts = []
+        for j, row in enumerate(hyperplanes):
+            lits = ", ".join(f"{c!r}d" for c in row)
+            proj = (
+                f"aggregate(sequence(1, {in_dim}), CAST(0.0 AS DOUBLE), "
+                f"(acc, i) -> acc + element_at(array({lits}), i) * "
+                f"CAST(element_at(v, i) AS DOUBLE))"
+            )
+            parts.append(
+                f"(CASE WHEN {proj} > 0.0d THEN {1 << (bits - 1 - j)} "
+                f"ELSE 0 END)"
+            )
+        bucket_sql = " + ".join(parts)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn("bucket", F.expr(bucket_sql))
 
     corpus = bucketed(_with_norm(embeddings, id_col, vec_col)).alias("c")
     q = bucketed(_with_norm(queries, id_col, vec_col)).alias("q")

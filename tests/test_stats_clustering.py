@@ -638,3 +638,21 @@ def test_kmv_resemblance_estimate_close_on_overlap(spark):
     r = ops.kmv_set_resemblance(a, b, "u", k=256).collect()[0]
     assert abs(r["jaccard_est"] - 1 / 3) < 0.1
     assert abs(r["union_est"] - 1500) / 1500 < 0.25
+
+
+def test_rp_lsh_hyperplanes_bucket_and_rank(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hp = ops.random_projection_signs(3, 64, salt="t")
+    out = ops.topk_cosine_lsh(
+        emb, emb.where("vec_id < 2"), k=3, bits=3, hyperplanes=hp
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert -1.0 <= r["cosine"] <= 1.0
+    # wrong hyperplane count is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.topk_cosine_lsh(
+            emb, emb.where("vec_id < 2"), k=3, bits=4, hyperplanes=hp
+        )
