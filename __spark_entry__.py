@@ -981,6 +981,10 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_session_stats(spark, sf):
+    return ops.session_stats(_t(spark, sf, "events"))
+
+
 def _q_kmv_resemblance(spark, sf):
     ev = _t(spark, sf, "events")
     return ops.kmv_set_resemblance(
@@ -1202,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_corpus_stats": _q_embedding_stats,
             "events_kmv_resemblance": _q_kmv_resemblance,
             "sim_topk_rp_lsh": _q_sim_rp_lsh,
+            "events_session_stats": _q_session_stats,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1260,7 +1265,7 @@ _GATE_PRIORITY = [
     "stats_mann_whitney", "dedup_containment", "text_char_entropy",
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
     "embeddings_corpus_stats", "events_kmv_resemblance",
-    "sim_topk_rp_lsh",
+    "sim_topk_rp_lsh", "events_session_stats",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3437,6 +3442,44 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    o["events_session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), s AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM numbered GROUP BY 1, 2
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+         CAST(sum(n_events) AS BIGINT) AS se,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb,
+         CAST(sum(dur_us) AS BIGINT) AS sd,
+         CAST(max(dur_us) AS BIGINT) AS maxd
+  FROM s
+)
+SELECT ns AS n_sessions, nu AS n_users,
+  round(CAST(se AS DOUBLE) / CAST(ns AS DOUBLE), 4)
+    AS avg_events_per_session,
+  round(CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE), 4) AS bounce_rate,
+  round(CAST(sd AS DOUBLE) / CAST(ns AS DOUBLE) / 1000000.0, 4)
+    AS avg_duration_s,
+  round(CAST(maxd AS DOUBLE) / 1000000.0, 4) AS max_duration_s
+FROM a
 """
 
     _rpl_signs = ops.random_projection_signs(4, 64, salt="rp-lsh")

@@ -151,6 +151,7 @@ HEADLINE = [
     "embeddings_corpus_stats",
     "events_kmv_resemblance",
     "sim_topk_rp_lsh",
+    "events_session_stats",
 ]
 
 

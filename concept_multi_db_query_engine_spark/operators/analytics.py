@@ -978,3 +978,51 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
         )
         rows = base if rows is None else rows.unionByName(base)
     return rows
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = 30,
+    user_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Corpus-level session summary over :func:`sessionize` — the
+    product-analytics headline row (how many sessions, how long, how
+    deep, how many bounces).  All accumulations are exact integers
+    (event counts, microsecond durations), so the averages are
+    partitioning-independent fixed-shape doubles; adds ONE constant-size
+    aggregation to sessionize's single exchange.
+
+    Returns one row: (n_sessions, n_users, avg_events_per_session,
+    bounce_rate, avg_duration_s, max_duration_s).
+    """
+    s = sessionize(events, gap_minutes, user_col, ts_col).select(
+        "user_id",
+        "n_events",
+        F.timestamp_diff(
+            "MICROSECOND", F.col("session_start"), F.col("session_end")
+        ).alias("dur_us"),
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.countDistinct("user_id").alias("nu"),
+        F.sum("n_events").alias("se"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long").alias("nb"),
+        F.sum("dur_us").alias("sd"),
+        F.max("dur_us").alias("maxd"),
+    )
+    return agg.select(
+        F.col("ns").alias("n_sessions"),
+        F.col("nu").alias("n_users"),
+        F.expr(
+            "round(CAST(se AS DOUBLE) / CAST(ns AS DOUBLE), 4)"
+        ).alias("avg_events_per_session"),
+        F.expr(
+            "round(CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE), 4)"
+        ).alias("bounce_rate"),
+        F.expr(
+            "round(CAST(sd AS DOUBLE) / CAST(ns AS DOUBLE) / 1000000.0d, 4)"
+        ).alias("avg_duration_s"),
+        F.expr(
+            "round(CAST(maxd AS DOUBLE) / 1000000.0d, 4)"
+        ).alias("max_duration_s"),
+    )

@@ -497,3 +497,33 @@ def test_knn_graph_matches_bruteforce_for_every_vector(spark):
     assert graph == brute
     n_vectors = emb.count()
     assert len(graph) == 3 * n_vectors  # every vector has a full k-list
+
+
+def test_session_stats_known_fixture(spark):
+    import datetime as dt
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "view", 1.0,
+                "{}")
+
+    rows = [
+        # user 1: two sessions (gap 40 > 30): [0, 10] and [50]
+        ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50),
+        # user 2: one single-event session (a bounce)
+        ev(4, 2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string",
+    )
+    r = ops.session_stats(df, gap_minutes=30).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_users"] == 2
+    assert r["avg_events_per_session"] == round(4 / 3, 4)
+    assert r["bounce_rate"] == round(2 / 3, 4)  # [50] and user 2 bounce
+    assert r["avg_duration_s"] == round(600 / 3, 4)
+    assert r["max_duration_s"] == 600.0
