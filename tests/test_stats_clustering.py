@@ -656,3 +656,56 @@ def test_rp_lsh_hyperplanes_bucket_and_rank(spark):
         ops.topk_cosine_lsh(
             emb, emb.where("vec_id < 2"), k=3, bits=4, hyperplanes=hp
         )
+
+
+def _exchanges(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(r"Exchange (\w+)\(([^)\n]{0,50})", plan)
+
+
+def test_rank_tests_have_no_single_partition_exchange(spark):
+    """ks/mann-whitney must never fall back to a global-window plan: the
+    only allowed exchanges are the per-value hash shuffle, the __pid
+    repartition, and broadcasts."""
+    rng_rows = [("a" if i % 2 else "b", float(i % 37)) for i in range(500)]
+    df = spark.createDataFrame(rng_rows, "g string, v double")
+    for frame in (
+        ops.ks_test(df, "v", "g", "a", "b"),
+        ops.mann_whitney_u(df, "v", "g", "a", "b"),
+    ):
+        for kind, detail in _exchanges(frame):
+            assert kind != "SinglePartition", (kind, detail)
+
+
+def test_psi_and_jsd_plans_are_bin_keyed(spark):
+    """Drift metrics shuffle only on bin/token keys (map-side combined)
+    plus the constant-size final aggregation — never on the row
+    universe of either snapshot."""
+    a = spark.createDataFrame([(float(i % 50),) for i in range(400)],
+                              "v double")
+    psi = ops.psi_drift(a, a, "v", bin_width=5.0)
+    kinds = [k for k, _ in _exchanges(psi)]
+    # full outer join on bin + one global single-partition agg (1 row in,
+    # 1 row out) are the only shapes
+    assert all(k in ("hashpartitioning", "SinglePartition") for k in kinds)
+    details = [d for k, d in _exchanges(psi) if k == "hashpartitioning"]
+    assert details and all("bin" in d for d in details), details
+
+
+def test_session_stats_single_exchange_plus_rollups(spark):
+    """session_stats must not add a second user-keyed exchange beyond
+    sessionize's single one."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2020, 1, 1) + dt.timedelta(minutes=i), i % 5,
+             "view", 1.0, "{}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string",
+    )
+    ex = _exchanges(ops.session_stats(df))
+    user_keyed = [d for k, d in ex
+                  if k == "hashpartitioning" and "user_id" in d]
+    assert len(user_keyed) <= 2  # sessionize window + distinct-user agg
