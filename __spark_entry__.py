@@ -981,6 +981,17 @@ def _q_ks_test(spark, sf):
     )
 
 
+_PPR_SEEDS = [0, 1, 2]
+
+
+def _q_personalized_pagerank(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return ops.personalized_pagerank(edges, _PPR_SEEDS, iterations=8)
+
+
 def _q_session_stats(spark, sf):
     return ops.session_stats(_t(spark, sf, "events"))
 
@@ -1207,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_kmv_resemblance": _q_kmv_resemblance,
             "sim_topk_rp_lsh": _q_sim_rp_lsh,
             "events_session_stats": _q_session_stats,
+            "graph_personalized_pagerank": _q_personalized_pagerank,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1266,6 +1278,7 @@ _GATE_PRIORITY = [
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
     "embeddings_corpus_stats", "events_kmv_resemblance",
     "sim_topk_rp_lsh", "events_session_stats",
+    "graph_personalized_pagerank",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3052,6 +3065,55 @@ SELECT node, CAST(rank_i AS BIGINT) AS rank_scaled,
        CAST(rank_i AS DOUBLE) / 1e9 AS rank
 FROM r8"""
     o["graph_pagerank"] = pr
+
+    _seeds_in = ", ".join(str(s) for s in _PPR_SEEDS)
+    ppr = "WITH " + _COS_NORM_CTE + f"""
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+params AS (
+  SELECT CAST(1000000000 // {len(_PPR_SEEDS)} AS BIGINT) AS init,
+         CAST(1000000000 // {len(_PPR_SEEDS)} AS BIGINT) * 15 // 100
+           AS base
+),
+r0 AS (
+  SELECT node,
+         CASE WHEN node IN ({_seeds_in})
+              THEN (SELECT init FROM params) ELSE 0 END AS rank_i
+  FROM nodes
+)"""
+    for _i in range(8):
+        ppr += f""",
+r{_i + 1} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN ({_seeds_in})
+              THEN (SELECT base FROM params) ELSE 0 END
+           + 85 * coalesce(s.c, 0) // 100 AS rank_i
+  FROM nodes n LEFT JOIN (
+    SELECT e2.dst AS node, CAST(sum(r.rank_i // o.outdeg) AS BIGINT) AS c
+    FROM edges e2 JOIN outdeg o ON e2.src = o.src
+                  JOIN r{_i} r ON r.node = e2.src
+    GROUP BY 1
+  ) s ON n.node = s.node
+)"""
+    ppr += """
+SELECT node, CAST(rank_i AS BIGINT) AS rank_scaled,
+       CAST(rank_i AS DOUBLE) / 1e9 AS rank
+FROM r8"""
+    o["graph_personalized_pagerank"] = ppr
 
     # ---- unpivot / histogram / month-over-month (round 5) ----
     years_in = ", ".join(str(y) for y in ops.PIVOT_YEARS)

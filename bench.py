@@ -152,6 +152,7 @@ HEADLINE = [
     "events_kmv_resemblance",
     "sim_topk_rp_lsh",
     "events_session_stats",
+    "graph_personalized_pagerank",
 ]
 
 

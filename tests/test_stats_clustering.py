@@ -709,3 +709,25 @@ def test_session_stats_single_exchange_plus_rollups(spark):
     user_keyed = [d for k, d in ex
                   if k == "hashpartitioning" and "user_id" in d]
     assert len(user_keyed) <= 2  # sessionize window + distinct-user agg
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    # two disconnected components: a star around the seed (0 -> 1, 2)
+    # and a far pair (3 -> 4). Teleport mass restarts only on the seed,
+    # so the far component must end at exactly zero rank while the
+    # seed's neighborhood holds everything.
+    e = _edges(spark, [(0, 1), (0, 2), (1, 0), (2, 0), (3, 4), (4, 3)])
+    got = {r["node"]: r["rank_scaled"]
+           for r in ops.personalized_pagerank(e, [0], iterations=8)
+           .collect()}
+    assert got[3] == 0 and got[4] == 0
+    assert got[0] > got[1] > 0
+    assert got[1] == got[2]  # symmetric spokes
+
+
+def test_personalized_pagerank_validates_inputs(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        ops.personalized_pagerank(e, [])
+    with pytest.raises(ValueError):
+        ops.personalized_pagerank(e, [0], iterations=0)
