@@ -981,6 +981,10 @@ def _q_ks_test(spark, sf):
     )
 
 
+def _q_unigram_score(spark, sf):
+    return ops.unigram_logprob_score(_t(spark, sf, "documents"), top_n=200)
+
+
 _PPR_SEEDS = [0, 1, 2]
 
 
@@ -1219,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_rp_lsh": _q_sim_rp_lsh,
             "events_session_stats": _q_session_stats,
             "graph_personalized_pagerank": _q_personalized_pagerank,
+            "text_unigram_logprob": _q_unigram_score,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1278,7 +1283,7 @@ _GATE_PRIORITY = [
     "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
     "embeddings_corpus_stats", "events_kmv_resemblance",
     "sim_topk_rp_lsh", "events_session_stats",
-    "graph_personalized_pagerank",
+    "graph_personalized_pagerank", "text_unigram_logprob",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3504,6 +3509,37 @@ f AS (
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
 FROM f
+"""
+
+    o["text_unigram_logprob"] = """
+WITH cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 200),
+params AS (
+  SELECT CAST((SELECT n FROM tot) - (SELECT sum(c) FROM top) + 1
+              AS BIGINT) AS tail1,
+         CAST((SELECT n FROM tot) + 1 AS DOUBLE) AS denom
+),
+toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w != ''
+),
+terms AS (
+  SELECT t.doc_id, t.w,
+         log2(CAST(coalesce(v.c, (SELECT tail1 FROM params)) AS DOUBLE)
+              / (SELECT denom FROM params)) AS term
+  FROM toks t LEFT JOIN top v ON t.w = v.w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(-(list_reduce(list(term ORDER BY w), (x, y) -> x + y))
+        / CAST(count(*) AS DOUBLE) + 0.0, 4) AS bits_per_token
+FROM terms GROUP BY 1
 """
 
     o["events_session_stats"] = """

@@ -153,6 +153,7 @@ HEADLINE = [
     "sim_topk_rp_lsh",
     "events_session_stats",
     "graph_personalized_pagerank",
+    "text_unigram_logprob",
 ]
 
 

@@ -1146,3 +1146,77 @@ def token_jsd_drift(
         F.expr("nb - tb").alias("other_b"),
         F.expr(jsd).alias("jsd"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    top_n: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus unigram language model —
+    the perplexity-filter shape (CCNet/KenLM pipelines score documents
+    against a reference LM and drop the tails) with the model reduced to
+    its unigram core so the whole pipeline stays inside the engine:
+    documents whose tokens are typical of the corpus score low
+    bits/token, gibberish and off-domain text score high.
+
+    The model is the ``top_n`` corpus tokens by count with a single
+    shared out-of-vocabulary bucket: p(w) = c_w / (N+1) for vocabulary
+    tokens and p(OOV) = (tail_mass + 1) / (N+1) for everything else
+    (probabilities from EXACT integer counts — no float training).  Like
+    IVF centroids and the Rademacher matrix, the fitted model is
+    bounded model DATA: the top-N counts are collected once
+    (2·top_n scalars) and baked into a broadcast map literal, so scoring
+    is a NARROW MAP — per-row sorted-token fold of log2 terms, no join,
+    no shuffle, engine-reproducible (equal tokens contribute equal
+    terms, so the sorted fold's order is total where it matters).
+
+    Pass ``corpus`` to train on a different frame than you score
+    (the held-out layout); default trains on ``docs`` itself.
+    Returns (doc_id, n_tokens, bits_per_token).
+    """
+    train = corpus if corpus is not None else docs
+    counts = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_n)
+    top_rows = top.collect()
+    totals = counts.agg(F.sum("c").alias("n")).collect()[0]
+    n_total = int(totals["n"] or 0)
+    vocab_mass = sum(int(r["c"]) for r in top_rows)
+    tail_plus1 = n_total - vocab_mass + 1
+    denom = float(n_total + 1)
+    map_args: list = []
+    for r in top_rows:
+        map_args.append(F.lit(r["w"]))
+        map_args.append(F.lit(int(r["c"])).cast("long"))
+    vocab_map = (
+        F.create_map(*map_args) if map_args
+        else F.expr("map()").cast("map<string,bigint>")
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"array_sort(filter(split({text_col}, ' '), x -> x != ''))"
+        ).alias("__ts"),
+        vocab_map.alias("__vm"),
+    )
+    fold = (
+        "aggregate(__ts, CAST(0.0 AS DOUBLE), (acc, w) -> acc + "
+        f"log2(CAST(coalesce(element_at(__vm, w), "
+        f"CAST({tail_plus1} AS BIGINT)) AS DOUBLE) / {denom!r}d))"
+    )
+    return staged.select(
+        id_col,
+        F.size("__ts").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(__ts) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round(-({fold}) / CAST(size(__ts) AS DOUBLE) + 0.0d, 4) "
+            f"END"
+        ).alias("bits_per_token"),
+    )

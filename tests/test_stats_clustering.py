@@ -731,3 +731,33 @@ def test_personalized_pagerank_validates_inputs(spark):
         ops.personalized_pagerank(e, [])
     with pytest.raises(ValueError):
         ops.personalized_pagerank(e, [0], iterations=0)
+
+
+def test_unigram_score_typical_beats_gibberish(spark):
+    corpus = _docs(spark, [
+        "the cat sat on the mat", "the dog sat on the rug",
+        "the cat and the dog", "a cat on a mat",
+    ])
+    scored = _docs(spark, ["the cat sat", "zxqv wvut qqzz"])
+    got = {r["doc_id"]: r for r in ops.unigram_logprob_score(
+        scored, corpus=corpus, top_n=10).collect()}
+    # in-domain text costs far fewer bits/token than unseen gibberish
+    assert got[0]["bits_per_token"] < got[1]["bits_per_token"]
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 3
+
+
+def test_unigram_score_empty_doc_is_null(spark):
+    got = ops.unigram_logprob_score(
+        _docs(spark, [""]), corpus=_docs(spark, ["some corpus text"]),
+        top_n=5,
+    ).collect()[0]
+    assert got["n_tokens"] == 0
+    assert got["bits_per_token"] is None
+
+
+def test_unigram_score_self_training_deterministic(spark):
+    docs = _docs(spark, ["a b c a", "b b a", "c c c d"])
+    r1 = sorted(map(tuple, ops.unigram_logprob_score(docs).collect()))
+    r2 = sorted(map(tuple, ops.unigram_logprob_score(
+        docs.repartition(5)).collect()))
+    assert r1 == r2
