@@ -331,3 +331,38 @@ def test_char_entropy_runs_unchanged_on_a_stream(spark):
         for r in ops.char_entropy(batch_docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_unigram_scoring_runs_unchanged_on_a_stream(spark):
+    """The unigram LM trains on the batch corpus (driver-side model
+    collect) and scoring is a stateless narrow map over a broadcast map
+    literal — so the SAME operator scores the bounded document stream to
+    the exact batch bits/token. The perplexity-filter-at-ingestion
+    layout."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    batch_docs = spark.read.parquet(docs_path)
+    d = tempfile.mkdtemp(prefix="stream-unigram-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(d)
+    sw.run_stream_to_memory(
+        ops.unigram_logprob_score(
+            stream_docs, corpus=batch_docs, top_n=100
+        ),
+        "stream_unigram", output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["bits_per_token"])
+        for r in spark.sql("SELECT * FROM stream_unigram").collect()
+    }
+    want = {
+        (r["doc_id"], r["bits_per_token"])
+        for r in ops.unigram_logprob_score(
+            batch_docs, corpus=batch_docs, top_n=100
+        ).collect()
+    }
+    assert got == want and len(got) > 0
