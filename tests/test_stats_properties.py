@@ -240,3 +240,69 @@ def _py_round_half_away(x: float) -> float:
     frac = abs(x) - f
     r = f + 1 if frac >= 0.5 else f
     return r if x >= 0 else -r
+
+
+def test_personalized_pagerank_matches_python_reference_exactly(spark):
+    """Pure-Python replay of the integer PPR recurrence — bit-for-bit,
+    like the kmeans replay."""
+    rng = random.Random(37)
+    edges = sorted({
+        (rng.randrange(15), rng.randrange(15)) for _ in range(40)
+    })
+    seeds = [0, 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in ops.personalized_pagerank(
+            df, seeds, iterations=6).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    scale = 10**9
+    init = scale // len(seeds)
+    base = init * 15 // 100
+    rank = {n: (init if n in seeds else 0) for n in nodes}
+    for _ in range(6):
+        contrib: dict = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
+        rank = {
+            n: (base if n in seeds else 0) + 85 * contrib.get(n, 0) // 100
+            for n in nodes
+        }
+    assert got == rank
+
+
+def test_unigram_score_matches_python_reference(spark):
+    rng = random.Random(41)
+    vocab_pool = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab_pool) for _ in range(rng.randint(3, 12)))
+        for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    top_n = 10
+    got = {r["doc_id"]: r["bits_per_token"]
+           for r in ops.unigram_logprob_score(docs, top_n=top_n).collect()}
+
+    counts: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    n_total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    vocab = dict(top)
+    tail1 = n_total - sum(vocab.values()) + 1
+    denom = float(n_total + 1)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        bits = -sum(
+            math.log2(vocab.get(w, tail1) / denom) for w in sorted(toks)
+        ) / len(toks)
+        assert abs(got[i] - bits) < 1e-3, i
