@@ -38,11 +38,15 @@ from pyspark.sql import functions as F
 # Moment accumulators: DECIMAL(12,4) inputs (exact for the testdata's
 # money/quantity/ratio columns), DECIMAL(25,8) products -> Spark sums at
 # DECIMAL(35,8)/DuckDB DECIMAL(38,8), exact on both within precision 38.
+# Under ANSI mode a value beyond the input precision FAILS the cast
+# loudly (no silent truncation); every moment-based operator takes a
+# ``dec`` override for wider domains — keep products within precision
+# 38 when raising it (p<=19 with scale 4 is safe).
 _DEC = "decimal(12,4)"
 
 
-def _m(col: str):
-    return F.col(col).cast(_DEC)
+def _m(col: str, dec: str = _DEC):
+    return F.col(col).cast(dec)
 
 
 def _corr_expr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
@@ -58,7 +62,9 @@ def _corr_expr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
     )
 
 
-def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+def column_correlations(
+    df: DataFrame, cols: list[str], dec: str = _DEC
+) -> DataFrame:
     """Pairwise Pearson correlation matrix (upper triangle) over numeric
     columns, from exact decimal moments.
 
@@ -75,10 +81,10 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("need at least two columns")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
-        aggs.append(F.sum(_m(c)).alias(f"s_{c}"))
-        aggs.append(F.sum(_m(c) * _m(c)).alias(f"s2_{c}"))
+        aggs.append(F.sum(_m(c, dec)).alias(f"s_{c}"))
+        aggs.append(F.sum(_m(c, dec) * _m(c, dec)).alias(f"s2_{c}"))
     for a, b in combinations(cols, 2):
-        aggs.append(F.sum(_m(a) * _m(b)).alias(f"p_{a}_{b}"))
+        aggs.append(F.sum(_m(a, dec) * _m(b, dec)).alias(f"p_{a}_{b}"))
     moments = df.agg(*aggs).select(
         F.col("n").cast("double").alias("n_d"),
         F.col("n").alias("n"),
@@ -103,7 +109,9 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def ols_fit(
+    df: DataFrame, x_col: str, y_col: str, dec: str = _DEC
+) -> DataFrame:
     """Least-squares line y = slope·x + intercept with R², from exact
     decimal moments — the distributed closed-form normal equations, not
     an iterative solver.
@@ -112,7 +120,7 @@ def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     the slope/intercept/R² projection runs on one row.  Returns one row
     (x_col, y_col, n_rows, slope, intercept, r2).
     """
-    x, y = _m(x_col), _m(y_col)
+    x, y = _m(x_col, dec), _m(y_col, dec)
     moments = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -284,14 +292,15 @@ def chi_square_independence(
 
 
 def ols_fit_by(
-    df: DataFrame, x_col: str, y_col: str, group_cols: list[str]
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str],
+    dec: str = _DEC,
 ) -> DataFrame:
     """Per-group least-squares lines — :func:`ols_fit` generalized to one
     map-side-combined ``groupBy`` (groups' moments accumulate in the same
     exact decimals; the closed-form projection runs on |groups| rows).
     Returns one row per group (group_cols..., n_rows, slope, intercept,
     r2) ordered by the group columns."""
-    x, y = _m(x_col), _m(y_col)
+    x, y = _m(x_col, dec), _m(y_col, dec)
     moments = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -460,6 +469,7 @@ def welch_t_test(
     group_a,
     group_b,
     t_crit: float = 1.959964,
+    dec: str = _DEC,
 ) -> DataFrame:
     """Welch's unequal-variance t-test on two groups' means — the
     parametric sibling of :func:`ks_test` (which compares whole
@@ -478,7 +488,7 @@ def welch_t_test(
     """
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
-    x = _m(value_col)
+    x = _m(value_col, dec)
     moments = df.where(
         (in_a | in_b) & F.col(value_col).isNotNull()
     ).agg(

@@ -761,3 +761,17 @@ def test_unigram_score_self_training_deterministic(spark):
     r2 = sorted(map(tuple, ops.unigram_logprob_score(
         docs.repartition(5)).collect()))
     assert r1 == r2
+
+
+def test_stats_dec_override_for_wide_domains(spark):
+    # values beyond DECIMAL(12,4)'s 1e8 range: the default accumulator
+    # fails LOUDLY under ANSI (no silent truncation); dec= widens it
+    df = _xy(spark, [(2.0e9, 4.0e9), (3.0e9, 6.0e9), (5.0e9, 10.0e9)])
+    with pytest.raises(Exception):
+        ops.ols_fit(df, "x", "y").collect()
+    r = ops.ols_fit(df, "x", "y", dec="decimal(18,2)").collect()[0]
+    assert r["slope"] == 2.0
+    c = ops.column_correlations(
+        df, ["x", "y"], dec="decimal(18,2)"
+    ).collect()[0]
+    assert c["corr"] == 1.0
