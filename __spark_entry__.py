@@ -985,6 +985,12 @@ def _q_unigram_score(spark, sf):
     return ops.unigram_logprob_score(_t(spark, sf, "documents"), top_n=200)
 
 
+def _q_bigram_score(spark, sf):
+    return ops.bigram_logprob_score(
+        _t(spark, sf, "documents"), top_unigrams=200, top_bigrams=400
+    )
+
+
 _PPR_SEEDS = [0, 1, 2]
 
 
@@ -1224,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_session_stats": _q_session_stats,
             "graph_personalized_pagerank": _q_personalized_pagerank,
             "text_unigram_logprob": _q_unigram_score,
+            "text_bigram_logprob": _q_bigram_score,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1284,6 +1291,7 @@ _GATE_PRIORITY = [
     "embeddings_corpus_stats", "events_kmv_resemblance",
     "sim_topk_rp_lsh", "events_session_stats",
     "graph_personalized_pagerank", "text_unigram_logprob",
+    "text_bigram_logprob",
     "rolling_revenue_7d", "customer_revenue_deciles_approx",
     "customer_segments_setops",
     "dedup_clusters",
@@ -3540,6 +3548,66 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   round(-(list_reduce(list(term ORDER BY w), (x, y) -> x + y))
         / CAST(count(*) AS DOUBLE) + 0.0, 4) AS bits_per_token
 FROM terms GROUP BY 1
+"""
+
+    o["text_bigram_logprob"] = """
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+  FROM documents
+),
+cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(l) AS w FROM lt) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+topu AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 200),
+params AS (
+  SELECT CAST((SELECT n FROM tot) - (SELECT sum(c) FROM topu) + 1
+              AS BIGINT) AS tail1,
+         CAST((SELECT n FROM tot) + 1 AS DOUBLE) AS denom
+),
+rng AS (SELECT unnest(range(1, 2000)) AS i),
+pr AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS q
+  FROM lt CROSS JOIN rng WHERE i <= len(l) - 1
+),
+pc AS (SELECT q, CAST(count(*) AS BIGINT) AS c2 FROM pr GROUP BY 1),
+topb AS (
+  SELECT q, c2 FROM pc
+  WHERE split_part(q, ' ', 1) IN (SELECT w FROM topu)
+  ORDER BY c2 DESC, q ASC LIMIT 400
+),
+terms AS (
+  SELECT d.doc_id, d.q,
+    CASE WHEN tb.c2 IS NOT NULL THEN
+      log2(CAST(tb.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+    ELSE
+      log2(0.4 * (CAST(coalesce(u2.c, (SELECT tail1 FROM params))
+                       AS DOUBLE) / (SELECT denom FROM params)))
+    END AS term,
+    CASE WHEN tb.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pr d
+  LEFT JOIN topb tb ON d.q = tb.q
+  LEFT JOIN topu u1 ON split_part(d.q, ' ', 1) = u1.w
+  LEFT JOIN topu u2 ON split_part(d.q, ' ', 2) = u2.w
+),
+pagg AS (
+  SELECT doc_id, CAST(sum(hit) AS BIGINT) AS hits,
+         list_reduce(list(term ORDER BY q), (x, y) -> x + y) AS s
+  FROM terms GROUP BY 1
+),
+firsts AS (
+  SELECT lt.doc_id, len(l) AS nl,
+         log2(CAST(coalesce(u.c, (SELECT tail1 FROM params)) AS DOUBLE)
+              / (SELECT denom FROM params)) AS ft
+  FROM lt LEFT JOIN topu u ON l[1] = u.w
+  WHERE len(l) >= 1
+)
+SELECT f.doc_id, CAST(f.nl AS BIGINT) AS n_tokens,
+  CAST(coalesce(p.hits, 0) AS BIGINT) AS n_bigram_hits,
+  round(-(f.ft + coalesce(p.s, 0.0)) / CAST(f.nl AS DOUBLE) + 0.0, 4)
+    AS bits_per_token
+FROM firsts f LEFT JOIN pagg p ON f.doc_id = p.doc_id
 """
 
     o["events_session_stats"] = """

@@ -154,6 +154,7 @@ HEADLINE = [
     "events_session_stats",
     "graph_personalized_pagerank",
     "text_unigram_logprob",
+    "text_bigram_logprob",
 ]
 
 

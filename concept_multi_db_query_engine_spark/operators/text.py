@@ -1220,3 +1220,124 @@ def unigram_logprob_score(
             f"END"
         ).alias("bits_per_token"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    top_unigrams: int = 200,
+    top_bigrams: int = 400,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring — the web-scale LM design
+    (Brants et al. 2007: unnormalized backoff ``α·p_uni`` instead of
+    discounting, chosen precisely because it suits massive MapReduce/
+    Spark corpora): each document's first token is scored by the
+    unigram model and every adjacent pair by ``c(w1 w2)/c(w1)`` when
+    the bigram is in the model, else ``α·p_uni(w2)``.
+
+    Model = top ``top_unigrams`` token counts (+ shared OOV bucket, as
+    :func:`unigram_logprob_score`) and the top ``top_bigrams`` pair
+    counts whose head is in the vocabulary — both collected once as
+    bounded model data and baked into broadcast map literals; scoring
+    stays a NARROW MAP (adjacent pairs built per row, sorted-pair fold
+    of log2 terms, backoff resolved by map lookups).  Returns
+    (doc_id, n_tokens, n_bigram_hits, bits_per_token).
+    """
+    train = corpus if corpus is not None else docs
+    toks = (
+        train.select(
+            F.expr(
+                f"filter(split({text_col}, ' '), x -> x != '')"
+            ).alias("l")
+        )
+    )
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_u = uni.orderBy(F.col("c").desc(), F.col("w").asc()) \
+        .limit(top_unigrams).collect()
+    n_total = int(toks.select(
+        F.sum(F.size("l")).alias("n")).collect()[0]["n"] or 0)
+    vocab = {r["w"]: int(r["c"]) for r in top_u}
+    tail1 = n_total - sum(vocab.values()) + 1
+    denom = float(n_total + 1)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(l) >= 2 THEN transform("
+                    "sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', "
+                    "element_at(l, i + 1))) ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .groupBy("p").agg(F.count(F.lit(1)).alias("c2"))
+        .where(
+            F.substring_index(F.col("p"), " ", 1).isin(list(vocab))
+            if vocab else F.lit(False)
+        )
+    )
+    top_b = pairs.orderBy(F.col("c2").desc(), F.col("p").asc()) \
+        .limit(top_bigrams).collect()
+    bmap = {r["p"]: int(r["c2"]) for r in top_b}
+
+    def _map_lit(d: dict, vtype: str):
+        if not d:
+            return F.expr(f"map()").cast(f"map<string,{vtype}>")
+        args: list = []
+        for k, v in d.items():
+            args.append(F.lit(k))
+            args.append(F.lit(v).cast(vtype))
+        return F.create_map(*args)
+
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split({text_col}, ' '), x -> x != '')"
+        ).alias("__l"),
+        _map_lit(vocab, "bigint").alias("__um"),
+        _map_lit(bmap, "bigint").alias("__bm"),
+    ).select(
+        id_col, "__l", "__um", "__bm",
+        F.expr(
+            "CASE WHEN size(__l) >= 2 THEN array_sort(transform("
+            "sequence(1, size(__l) - 1), "
+            "i -> concat(element_at(__l, i), ' ', "
+            "element_at(__l, i + 1)))) ELSE array() END"
+        ).alias("__ps"),
+    )
+    uni_term = (
+        "log2(CAST(coalesce(element_at(__um, {w}), "
+        f"CAST({tail1} AS BIGINT)) AS DOUBLE) / {denom!r}d)"
+    )
+    pair_term = (
+        "CASE WHEN element_at(__bm, q) IS NOT NULL THEN "
+        "log2(CAST(element_at(__bm, q) AS DOUBLE) / "
+        "CAST(element_at(__um, substring_index(q, ' ', 1)) AS DOUBLE)) "
+        f"ELSE log2({alpha!r}d * "
+        "(CAST(coalesce(element_at(__um, substring_index(q, ' ', -1)), "
+        f"CAST({tail1} AS BIGINT)) AS DOUBLE) / {denom!r}d)) END"
+    )
+    first = uni_term.format(w="element_at(__l, 1)")
+    fold = (
+        f"({first}) + aggregate(__ps, CAST(0.0 AS DOUBLE), "
+        f"(acc, q) -> acc + {pair_term})"
+    )
+    return staged.select(
+        id_col,
+        F.size("__l").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(filter(__ps, q -> element_at(__bm, q) IS NOT NULL))"
+            " AS BIGINT)"
+        ).alias("n_bigram_hits"),
+        F.expr(
+            f"CASE WHEN size(__l) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round(-({fold}) / CAST(size(__l) AS DOUBLE) + 0.0d, 4) "
+            f"END"
+        ).alias("bits_per_token"),
+    )

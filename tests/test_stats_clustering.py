@@ -775,3 +775,26 @@ def test_stats_dec_override_for_wide_domains(spark):
         df, ["x", "y"], dec="decimal(18,2)"
     ).collect()[0]
     assert c["corr"] == 1.0
+
+
+def test_bigram_score_rewards_seen_sequences(spark):
+    corpus = _docs(spark, [
+        "the cat sat on the mat", "the cat sat on the rug",
+        "the cat sat down", "the dog sat on the mat",
+    ])
+    scored = _docs(spark, ["the cat sat", "sat cat the"])
+    got = {r["doc_id"]: r for r in ops.bigram_logprob_score(
+        scored, corpus=corpus, top_unigrams=20, top_bigrams=20).collect()}
+    # same unigrams, but only doc 0 follows corpus bigram order
+    assert got[0]["n_bigram_hits"] > got[1]["n_bigram_hits"]
+    assert got[0]["bits_per_token"] < got[1]["bits_per_token"]
+
+
+def test_bigram_score_single_token_uses_unigram_only(spark):
+    corpus = _docs(spark, ["a b a b a"])
+    got = ops.bigram_logprob_score(
+        _docs(spark, ["a"]), corpus=corpus, top_unigrams=5, top_bigrams=5
+    ).collect()[0]
+    assert got["n_tokens"] == 1
+    assert got["n_bigram_hits"] == 0
+    assert got["bits_per_token"] is not None
