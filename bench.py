@@ -235,6 +235,24 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
             continue
+        if name == "graph_personalized_pagerank":
+            # same construction-time-iteration shape as graph_pagerank:
+            # time PPR construction + first action over ready edges
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+            from pyspark.sql import functions as SF
+
+            emb = td.load_table(spark, sf_dir, "embeddings")
+            edges = ops.knn_graph(emb, k=5).select(
+                SF.col("vec_id").alias("src"),
+                SF.col("neighbor_id").alias("dst"),
+            ).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            ppr = ops.personalized_pagerank(edges, [0, 1, 2], iterations=8)
+            ppr.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
         df = queries[name](spark, sf_dir)
         timings[name] = _time_noop(df)
         spark.catalog.clearCache()
