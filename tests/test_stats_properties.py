@@ -306,3 +306,78 @@ def test_unigram_score_matches_python_reference(spark):
             math.log2(vocab.get(w, tail1) / denom) for w in sorted(toks)
         ) / len(toks)
         assert abs(got[i] - bits) < 1e-3, i
+
+
+def test_token_jsd_matches_python_reference(spark):
+    rng = random.Random(43)
+    pool = [f"t{i}" for i in range(40)]
+    mk = lambda n, lo: " ".join(  # noqa: E731
+        rng.choice(pool[lo:lo + 25]) for _ in range(n))
+    a_texts = [mk(rng.randint(5, 15), 0) for _ in range(20)]
+    b_texts = [mk(rng.randint(5, 15), 10) for _ in range(20)]
+    fa = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_texts)], "doc_id long, text string")
+    fb = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(b_texts)], "doc_id long, text string")
+    top_n = 15
+    r = ops.token_jsd_drift(fa, fb, top_n=top_n).collect()[0]
+
+    ca: dict = {}
+    cb: dict = {}
+    for t in a_texts:
+        for w in t.split(" "):
+            ca[w] = ca.get(w, 0) + 1
+    for t in b_texts:
+        for w in t.split(" "):
+            cb[w] = cb.get(w, 0) + 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    combined = {w: ca.get(w, 0) + cb.get(w, 0) for w in set(ca) | set(cb)}
+    vocab = [w for w, _ in sorted(
+        combined.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]]
+    rows = [(ca.get(w, 0), cb.get(w, 0)) for w in vocab]
+    rows.append((na - sum(c for c, _ in rows),
+                 nb - sum(c for _, c in rows)))  # OTHER
+
+    def term(c_a, c_b):
+        p, q = c_a / na, c_b / nb
+        m = (p + q) / 2.0
+        out = 0.0
+        if c_a > 0:
+            out += 0.5 * p * math.log(p / m)
+        if c_b > 0:
+            out += 0.5 * q * math.log(q / m)
+        return out
+
+    want = sum(term(x, y) for x, y in rows)
+    assert abs(r["jsd"] - want) < 1e-6
+    assert r["n_tokens_a"] == na and r["n_tokens_b"] == nb
+
+
+def test_kmv_resemblance_matches_python_reference(spark):
+    """Replays the sketch algorithm itself (same md5 hash, k-min merge,
+    rho estimator) — exact equality on the estimates."""
+    import hashlib
+
+    rng = random.Random(47)
+    a_vals = sorted({rng.randrange(10**6) for _ in range(400)})
+    b_vals = sorted({rng.randrange(10**6) for _ in range(350)}
+                    | set(a_vals[:150]))
+    fa = spark.createDataFrame([(v,) for v in a_vals], "u long")
+    fb = spark.createDataFrame([(v,) for v in b_vals], "u long")
+    k = 64
+    r = ops.kmv_set_resemblance(fa, fb, "u", k=k).collect()[0]
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) / (
+            1 << 60)
+
+    sa = sorted({h(v) for v in a_vals})[:k]
+    sb = sorted({h(v) for v in b_vals})[:k]
+    m = sorted(set(sa) | set(sb))[:k]
+    n_both = sum(1 for x in m if x in set(sa) and x in set(sb))
+    k_used = len(m)
+    rho = n_both / k_used
+    union = k_used if k_used < k else (k - 1) / max(m)
+    assert r["k_used"] == k_used and r["n_both"] == n_both
+    assert r["jaccard_est"] == round(rho, 4)
+    assert r["union_est"] == round(union, 4)
