@@ -1245,42 +1245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _GATE_PRIORITY = [
-    # Round-5 window (the driver grades the FIRST 50 entries). Composition:
-    # 3 round-5 code changes + 26 NEW round-5 operators (grade on first
-    # appearance) + 21 of the 22 rows whose latest grade is round 1 (their
-    # shared module operators/tpch_ext.py changed in round 2 — the round-4
-    # verdict's top item; rolling_revenue_7d heads the round-6 queue). The
-    # r3-graded rows queue below the fold for round 6.
-    # --- round-5 code changes: must re-verify this round ---
-    # localCheckpoint partition pin in distributed_group_quantiles /
-    # distributed_ntile (recompute-hazard fix)
-    "order_value_quantiles", "customer_revenue_deciles",
-    # trailing-window zero-fill (clock-hours baseline)
-    "events_hourly_anomaly",
-    # NEW round 5: corpus mixing, incremental ingestion dedup,
-    # repeated-passage mining, exact kNN graph, grouping-set rollup/cube,
-    # event transition matrix, revenue concentration, PII scrub, C4 line
-    # dedup — grade immediately
-    "docs_weighted_sample", "dedup_incremental", "dedup_repeated_passages",
-    "sim_knn_graph", "orders_rollup", "orders_cube", "events_transitions",
-    "customer_revenue_concentration", "text_pii_scrub", "docs_line_dedup",
-    "events_rolling_active_users", "orders_profile", "graph_pagerank",
-    "nation_revenue_unpivot", "orders_price_histogram",
-    "orders_monthly_growth", "events_cooccurrence",
-    "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
-    "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
-    "events_funnel_steps", "skew_salted_join", "skew_salted_count",
-    # --- latest grade round 1; module touched in round 2 — re-prove ---
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
-    # --- latest grade round 3 (the oldest 3 of 32; the rest queue for
-    # round 6 — the round-5 window's slots went to new operators) ---
-    # ===== round-6 queue starts here (entry 51+) =====
-    # NEW round-5b (stats/clustering family): grade on first appearance
-    # next round — the round-5 window's 50 slots are already committed to
-    # the stale-r1 rotation.
+    # Round-6 window (the driver grades the FIRST 50 entries). Composition
+    # follows the round-5 verdict's next-round list exactly:
+    # 25 round-5b/5c operators that have never had a driver row (grade on
+    # first appearance), the two minhash rows whose runtime changed 5-10x
+    # in the round-5 signature-sharing refactor, rolling_revenue_7d (the
+    # last remaining r1-graded row), the two quantile rows whose module
+    # (analytics.py offset computation) changed THIS round, the new
+    # round-6 dangling-mass pagerank entry, and 19 stale-<=r3 re-grades
+    # led by the text.py family (hottest module by churn).
+    # --- round-5b/5c first-appearance rows ---
     "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
     "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode",
@@ -1292,34 +1266,60 @@ _GATE_PRIORITY = [
     "sim_topk_rp_lsh", "events_session_stats",
     "graph_personalized_pagerank", "text_unigram_logprob",
     "text_bigram_logprob",
-    "rolling_revenue_7d", "customer_revenue_deciles_approx",
-    "customer_segments_setops",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard", "docs_clean_corpus", "docs_stratified_sample",
-    "events_approx_distinct_kmv",
-    "events_cohort_retention", "events_funnel", "events_hourly_rollup",
-    "multimodal_frame_sample",
-    # r3-graded rows that did not fit the round-5 window — grade first
-    # next round
+    # --- runtime changed in the r5 signature-sharing refactor ---
+    "dedup_minhash_lsh", "dedup_minhash_estimate",
+    # --- last r1-graded row ---
+    "rolling_revenue_7d",
+    # --- module changed in round 6 (executor-side quantile offsets) ---
+    "order_value_quantiles", "customer_revenue_deciles",
+    # --- NEW round 6: dangling-mass pagerank variant ---
+    "graph_pagerank_dangling",
+    # --- stale <=r3 re-grades: text.py family first (churned 18x in r5
+    #     and again in r6 for the single-pass LM fit) ---
+    "text_token_stats", "text_quality_score", "text_top_bigrams",
+    "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
+    "text_language_id", "text_tfidf_top_terms",
+    "events_funnel", "events_cohort_retention", "events_hourly_rollup",
+    "filter_like", "filter_noticontains", "filter_null_ops",
+    "filter_array_contains", "filter_array_all_empty",
+    "tpch_q12",
+    "dedup_exact", "dedup_clusters",
+    # ===== round-7 queue starts here (entry 51+) =====
+    # NEW round-6 operators: grade on first appearance next round.
+    "dedup_semantic", "docs_importance_weights", "events_heavy_hitters",
+    "orders_mad_outliers", "graph_label_propagation", "stats_bh_correction",
+    "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
+    "events_windowed_funnel", "docs_url_dedup", "stats_bootstrap_ci",
+    # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
-    "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
-    "text_language_id", "text_quality_score", "text_token_stats",
-    "text_top_bigrams", "filter_like", "filter_noticontains",
-    "filter_null_ops", "filter_array_contains", "filter_array_all_empty",
-    "tpch_q12", "window_topk_per_group",
+    "window_topk_per_group", "dedup_ngram_jaccard",
+    "customer_revenue_deciles_approx", "customer_segments_setops",
+    "dedup_embedding_cosine", "docs_clean_corpus", "docs_stratified_sample",
+    "events_approx_distinct_kmv", "multimodal_frame_sample",
     # r4-graded rows, oldest-priority order for subsequent rotation
     "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
     "events_props_rollup", "docs_pack_sequences",
     "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
-    "docs_chunk", "docs_hash_split", "dedup_minhash_estimate",
-    "dedup_minhash_lsh", "text_contamination_check",
-    "text_repetition_score", "text_tfidf_top_terms", "customer_order_gaps",
+    "docs_chunk", "docs_hash_split", "text_contamination_check",
+    "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
+    # r5-graded rows (freshest — rotate last)
+    "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
+    "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
+    "orders_cube", "events_transitions", "customer_revenue_concentration",
+    "text_pii_scrub", "docs_line_dedup", "events_rolling_active_users",
+    "orders_profile", "graph_pagerank", "nation_revenue_unpivot",
+    "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
+    "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
+    "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
+    "events_funnel_steps", "skew_salted_join", "skew_salted_count",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
 ]
 
 

@@ -258,14 +258,18 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver archives only the TAIL of this line, so
+    # the headline total ("value"/"metric") and suite-level facts go LAST —
+    # a truncated head loses individual per-query rows, never the total.
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "unit": "sec",
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 4),
             }
         )
     )

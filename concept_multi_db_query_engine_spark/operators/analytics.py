@@ -439,36 +439,46 @@ def hourly_anomaly(
 
 def distributed_group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float],
-    max_groups: int = 10_000,
 ) -> DataFrame:
     """EXACT per-group linear-interpolation quantiles (SQL
     ``percentile_cont`` semantics) without ever sorting a whole group in
-    one task: range-repartition on (group, value), sort within partitions,
-    collect the tiny per-(partition, group) counts, and derive from them —
-    driver-side, pure arithmetic — exactly which within-group ranks each
-    quantile needs (``pos = p·(n−1)``; its floor/ceil neighbours). The
-    ``mapInPandas`` pass then emits ONLY those rows (≤ 2·|probs| per
-    group), and one tiny aggregation interpolates
-    ``lo + (hi − lo)·frac`` — the same formula Spark's ``percentile`` and
-    DuckDB's ``quantile_cont`` use, so values are bit-compatible with
-    both. Every stage is parallel; per-task memory is one partition.
-    Returns one row per group: (group, q_<i> …, n).
+    one task — and, since round 6, without ANY driver-side offset state:
+    range-repartition on (group, value), sort within partitions, then
+
+    1. per-(partition, group) counts — one distributed aggregation over
+       the pinned frame (tiny: ≤ partitions × groups rows);
+    2. per-(partition, group) START ranks — a window over those counts
+       (``sum(count) OVER (PARTITION BY group ORDER BY pid)``), the
+       executor-side twin of the old driver loop;
+    3. needed ranks per group — from the per-group totals, each quantile's
+       ``pos = p·(n−1)`` and its floor/ceil neighbours, computed in SQL
+       (IEEE doubles, identical arithmetic to the old Python loop);
+    4. rank→(partition, local offset) routing — a join of the needed
+       ranks against the start/count ranges (tiny × tiny);
+    5. a narrow ``mapInPandas`` pass that tags every row with its local
+       rank inside (partition, group) — running cumcount per partition,
+       no shuffle — joined against the routed targets. AQE broadcasts the
+       target side at runtime (it is ≤ 2·|probs| rows per group), so the
+       corpus-sized side never shuffles; with millions of groups AQE
+       falls back to a sort-merge join and the operator still works —
+       that is the point of keeping every stage executor-side.
+
+    One final aggregation interpolates ``lo + (hi − lo)·frac`` — the same
+    formula Spark's ``percentile`` and DuckDB's ``quantile_cont`` use, so
+    values are bit-compatible with both. Every stage is parallel;
+    per-task memory is one partition; driver state is ZERO (the old
+    O(partitions × groups) collect and its ``max_groups`` ceiling are
+    gone). Returns one row per group: (group, q_<i> …).
 
     Determinism: the tagged frame is pinned with
     ``localCheckpoint(eager=True)`` before the counts job.
     ``repartitionByRange`` samples range boundaries with a per-execution
     seed, so WITHOUT the checkpoint a recompute between the counts job and
-    the pick job could land rows in different partitions than the counts
-    measured — silently wrong quantiles. The checkpoint stores the
+    the rank-tag job could land rows in different partitions than the
+    counts measured — silently wrong quantiles. The checkpoint stores the
     partitions once (MEMORY_AND_DISK on executors) and both jobs read the
     same physical data. Trade-off: a lost executor fails the query loudly
     (no lineage to rebuild from) instead of risking silent re-bucketing.
-
-    Driver-side state is O(partitions × |groups|) count rows; ``max_groups``
-    bounds it (raises ``ValueError`` beyond the ceiling). For
-    high-cardinality groupings use the sketch-based ``*_approx``
-    formulations instead — this operator targets few-groups/huge-rows
-    shapes (priority classes, status codes, shards).
     """
     from pyspark.sql import types as T
 
@@ -480,75 +490,108 @@ def distributed_group_quantiles(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = tagged.groupBy("__pid", group_col).count().collect()
-    n_groups = len({r[group_col] for r in counts})
-    if n_groups > max_groups:
-        raise ValueError(
-            f"distributed_group_quantiles: {n_groups} distinct groups "
-            f"exceeds max_groups={max_groups}; driver-side offset state is "
-            "O(partitions × groups) — use the *_approx sketch path for "
-            "high-cardinality groupings, or raise max_groups explicitly"
+    counts = tagged.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # start rank of each (partition, group) chunk: total count of the same
+    # group in all LOWER partitions (range partitioning keeps a group's
+    # rows in pid order, so this is exactly the old driver-side prefix sum)
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = counts.select(
+        group_col, "__pid", "__cnt",
+        F.coalesce(F.sum("__cnt").over(wg), F.lit(0)).alias("__start"),
+    )
+    # needed ranks: side 0 = the floor neighbour, side 1 = the ceil
+    # neighbour of pos = p·(n−1); all arithmetic in doubles, matching the
+    # `percentile` / `quantile_cont` definition exactly
+    probs_arr = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("qi"),
+            F.lit(float(p)).cast("double").alias("p"),
         )
-    n_by_group: dict = {}
-    for r in counts:
-        n_by_group[r[group_col]] = n_by_group.get(r[group_col], 0) + r["count"]
-    offsets: dict = {}  # (pid, group) -> start rank (0-based)
-    acc: dict = {}
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        g = r[group_col]
-        offsets[(r["__pid"], g)] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + r["count"]
-    # needed[group] -> {rank: [(prob_idx, side, frac)]}: side 0 = the floor
-    # neighbour, side 1 = the ceil neighbour of pos = p·(n−1); the final
-    # aggregation interpolates lo + (hi − lo)·frac — the exact expression
-    # Spark's `percentile` and DuckDB's `quantile_cont` evaluate, so no
-    # ulp drift is introduced by the distributed formulation
-    needed: dict = {}
-    for g, n in n_by_group.items():
-        want: dict = {}
-        for i, p in enumerate(probs):
-            pos = p * (n - 1)
-            lo = int(pos)
-            frac = pos - lo
-            want.setdefault(lo, []).append((i, 0, frac))
-            if frac > 0:
-                want.setdefault(lo + 1, []).append((i, 1, frac))
-        needed[g] = want
-    bc = df.sparkSession.sparkContext.broadcast((offsets, needed))
-    out_schema = T.StructType([
+        for i, p in enumerate(probs)
+    ])
+    base = (
+        counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+        .select(group_col, "__n", F.explode(probs_arr).alias("pp"))
+        .select(
+            group_col,
+            F.col("pp.qi").alias("__q"),
+            (F.col("pp.p") * (F.col("__n").cast("double") - 1))
+            .alias("__pos"),
+        )
+        .select(
+            group_col, "__q",
+            F.floor("__pos").cast("long").alias("__lo"),
+            (F.col("__pos") - F.floor("__pos")).alias("__frac"),
+        )
+    )
+    side0 = F.struct(F.col("__lo").alias("r"), F.lit(0).alias("s"))
+    side1 = F.struct((F.col("__lo") + 1).alias("r"), F.lit(1).alias("s"))
+    needed = base.select(
+        group_col, "__q", "__frac",
+        F.explode(
+            F.when(F.col("__frac") > 0, F.array(side0, side1))
+            .otherwise(F.array(side0))
+        ).alias("t"),
+    ).select(
+        group_col, "__q", "__frac",
+        F.col("t.r").alias("__rank"),
+        F.col("t.s").alias("__side"),
+    )
+    # route each needed rank to the (partition, local offset) holding it
+    targets = (
+        needed.alias("n")
+        .join(
+            starts.alias("s"),
+            on=[
+                F.col(f"n.{group_col}") == F.col(f"s.{group_col}"),
+                F.col("n.__rank") >= F.col("s.__start"),
+                F.col("n.__rank") < F.col("s.__start") + F.col("s.__cnt"),
+            ],
+        )
+        .select(
+            F.col(f"n.{group_col}").alias(group_col),
+            F.col("s.__pid").alias("__pid"),
+            (F.col("n.__rank") - F.col("s.__start")).alias("__lr"),
+            F.col("n.__q").alias("__q"),
+            F.col("n.__side").alias("__side"),
+            F.col("n.__frac").alias("__frac"),
+        )
+    )
+    rank_schema = T.StructType([
         df.schema[group_col],
-        T.StructField("__q", T.IntegerType()),
-        T.StructField("__side", T.IntegerType()),
-        T.StructField("__frac", T.DoubleType()),
+        T.StructField("__pid", T.IntegerType()),
+        T.StructField("__lr", T.LongType()),
         T.StructField("__v", T.DoubleType()),
     ])
 
-    def pick(batches):
+    def tag_ranks(batches):
         import pandas as pd
 
-        offs, need = bc.value
-        local: dict = {}
+        local: dict = {}  # group -> rows already seen in this partition
         for pdf in batches:
             if not len(pdf):
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            out = {group_col: [], "__q": [], "__side": [], "__frac": [],
-                   "__v": []}
-            for g, grp in pdf.groupby(group_col, sort=False):
-                start = offs[(pid, g)] + local.get(g, 0)
-                local[g] = local.get(g, 0) + len(grp)
-                want = need[g]
-                for j, v in enumerate(grp[value_col].to_numpy()):
-                    for qi, side, frac in want.get(start + j, ()):
-                        out[group_col].append(g)
-                        out["__q"].append(qi)
-                        out["__side"].append(side)
-                        out["__frac"].append(frac)
-                        out["__v"].append(float(v))
-            if out["__q"]:
-                yield pd.DataFrame(out)
+            cum = pdf.groupby(group_col, sort=False).cumcount().to_numpy()
+            bases = (
+                pdf[group_col].map(lambda g: local.get(g, 0)).to_numpy()
+            )
+            for g, sz in pdf.groupby(group_col, sort=False).size().items():
+                local[g] = local.get(g, 0) + int(sz)
+            yield pd.DataFrame({
+                group_col: pdf[group_col],
+                "__pid": pdf["__pid"].astype("int32"),
+                "__lr": cum + bases,
+                "__v": pdf[value_col].astype("float64"),
+            })
 
-    picked = tagged.mapInPandas(pick, schema=out_schema)
+    ranked = tagged.mapInPandas(tag_ranks, schema=rank_schema)
+    picked = ranked.join(targets, on=[group_col, "__pid", "__lr"])
     lo = F.max(F.when(F.col("__side") == 0, F.col("__v")))
     hi = F.max(F.when(F.col("__side") == 1, F.col("__v")))
     frac = F.max("__frac")

@@ -1183,10 +1183,16 @@ def unigram_logprob_score(
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()
+    # ONE training scan: both model-extraction actions (top-N collect and
+    # the total-count sum) read the persisted token counts, so the corpus
+    # is tokenized exactly once regardless of how many statistics the fit
+    # needs. The cache is dropped as soon as the bounded model data
+    # (2*top_n scalars + one total) is on the driver.
     top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_n)
     top_rows = top.collect()
     totals = counts.agg(F.sum("c").alias("n")).collect()[0]
+    counts.unpersist()
     n_total = int(totals["n"] or 0)
     vocab_mass = sum(int(r["c"]) for r in top_rows)
     tail_plus1 = n_total - vocab_mass + 1
@@ -1247,21 +1253,28 @@ def bigram_logprob_score(
     (doc_id, n_tokens, n_bigram_hits, bits_per_token).
     """
     train = corpus if corpus is not None else docs
+    # ONE training scan: the tokenized corpus is persisted before the first
+    # model-extraction action, so the unigram counts, the total-token sum,
+    # and the bigram pair counts all read the cached token lists instead of
+    # re-tokenizing the corpus (three full scans before this fix). The
+    # unigram counts are additionally persisted — they are both collected
+    # (top-N) and summed (N), and the sum over per-token counts equals the
+    # total token count, so no separate size() pass is needed at all.
     toks = (
         train.select(
             F.expr(
                 f"filter(split({text_col}, ' '), x -> x != '')"
             ).alias("l")
         )
-    )
+    ).persist()
     uni = (
         toks.select(F.explode("l").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()
     top_u = uni.orderBy(F.col("c").desc(), F.col("w").asc()) \
         .limit(top_unigrams).collect()
-    n_total = int(toks.select(
-        F.sum(F.size("l")).alias("n")).collect()[0]["n"] or 0)
+    n_total = int(uni.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0)
+    uni.unpersist()
     vocab = {r["w"]: int(r["c"]) for r in top_u}
     tail1 = n_total - sum(vocab.values()) + 1
     denom = float(n_total + 1)
@@ -1284,6 +1297,7 @@ def bigram_logprob_score(
     )
     top_b = pairs.orderBy(F.col("c2").desc(), F.col("p").asc()) \
         .limit(top_bigrams).collect()
+    toks.unpersist()
     bmap = {r["p"]: int(r["c2"]) for r in top_b}
 
     def _map_lit(d: dict, vtype: str):

@@ -275,23 +275,22 @@ def test_distributed_quantiles_match_percentile_aggregate(spark):
             assert got[g][q] == want[g][q], (g, q, got[g][q], want[g][q])
 
 
-def test_distributed_quantiles_group_cardinality_guard(spark):
-    """The driver-side offset state is O(partitions x groups); the operator
-    must refuse high-cardinality groupings with a clear error instead of
-    silently building an unbounded dict (round-4 advisory)."""
-    import pytest as _pytest
-
+def test_distributed_quantiles_high_cardinality_groups(spark):
+    """Round 6: the offset computation moved fully executor-side (window
+    over per-(partition, group) counts + rank-routing join), so the old
+    O(partitions x groups) driver dict — and its max_groups ceiling — are
+    gone. High-cardinality groupings must now just work, with every
+    single-row group's quantile equal to its one value."""
     from concept_multi_db_query_engine_spark import operators as ops
 
-    df = spark.range(50).select(
+    df = spark.range(500).select(
         F.concat(F.lit("g"), F.col("id")).alias("grp"),
         F.col("id").cast("double").alias("v"),
     )
-    with _pytest.raises(ValueError, match="max_groups"):
-        ops.distributed_group_quantiles(df, "grp", "v", [0.5], max_groups=10)
-    # raising the ceiling explicitly keeps the operator usable
-    assert ops.distributed_group_quantiles(
-        df, "grp", "v", [0.5], max_groups=100).count() == 50
+    rows = ops.distributed_group_quantiles(df, "grp", "v", [0.5]).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["q0"] == float(r["grp"][1:]), r
 
 
 def test_hourly_anomaly_zero_fills_hour_gaps(spark):
