@@ -843,6 +843,18 @@ def _q_pagerank(spark, sf):
     return ops.pagerank(edges, iterations=8)
 
 
+def _q_pagerank_dangling(spark, sf):
+    # Keep only even-numbered sources of the kNN graph: every odd node
+    # that remains as a destination becomes a SINK, so this entry
+    # exercises the dangling-mass redistribution (round-6 variant) on a
+    # graph where leaked mass would visibly distort ranks.
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).where(F.col("src") % 2 == 0)
+    return ops.pagerank(edges, iterations=6, redistribute_dangling=True)
+
+
 def _q_cooccurrence(spark, sf):
     return ops.event_cooccurrence(_t(spark, sf, "events"))
 
@@ -1194,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_rolling_active_users": _q_rolling_active,
             "orders_profile": _q_profile_orders,
             "graph_pagerank": _q_pagerank,
+            "graph_pagerank_dangling": _q_pagerank_dangling,
             "nation_revenue_unpivot": _q_nation_unpivot,
             "orders_price_histogram": _q_price_histogram,
             "orders_monthly_growth": _q_monthly_growth,
@@ -3078,6 +3091,61 @@ SELECT node, CAST(rank_i AS BIGINT) AS rank_scaled,
        CAST(rank_i AS DOUBLE) / 1e9 AS rank
 FROM r8"""
     o["graph_pagerank"] = pr
+
+    # Dangling-mass variant: even-src kNN edges (odd destinations become
+    # sinks); each iteration's leaked mass is summed over the sink set and
+    # shared back to every node before damping — the same integer floor
+    # arithmetic as operators.graph.pagerank(redistribute_dangling=True).
+    prd = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5 AND vec_id % 2 = 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+sinks AS (SELECT node FROM nodes
+          WHERE node NOT IN (SELECT src FROM edges)),
+params AS (
+  SELECT count(*) AS n,
+         1000000000 // count(*) AS init,
+         (1000000000 // count(*)) * 15 // 100 AS base
+  FROM nodes
+),
+r0 AS (SELECT node, (SELECT init FROM params) AS rank_i FROM nodes)"""
+    for _i in range(6):
+        prd += f""",
+d{_i} AS (
+  SELECT CAST(coalesce(sum(r.rank_i), 0) AS BIGINT) AS dm
+  FROM r{_i} r JOIN sinks k ON r.node = k.node
+),
+r{_i + 1} AS (
+  SELECT n.node,
+         (SELECT base FROM params)
+           + 85 * (coalesce(s.c, 0)
+                   + (SELECT dm FROM d{_i}) // (SELECT n FROM params))
+             // 100 AS rank_i
+  FROM nodes n LEFT JOIN (
+    SELECT e2.dst AS node, CAST(sum(r.rank_i // o.outdeg) AS BIGINT) AS c
+    FROM edges e2 JOIN outdeg o ON e2.src = o.src
+                  JOIN r{_i} r ON r.node = e2.src
+    GROUP BY 1
+  ) s ON n.node = s.node
+)"""
+    prd += """
+SELECT node, CAST(rank_i AS BIGINT) AS rank_scaled,
+       CAST(rank_i AS DOUBLE) / 1e9 AS rank
+FROM r6"""
+    o["graph_pagerank_dangling"] = prd
 
     _seeds_in = ", ".join(str(s) for s in _PPR_SEEDS)
     ppr = "WITH " + _COS_NORM_CTE + f"""

@@ -121,6 +121,7 @@ HEADLINE = [
     "sim_knn_label_vote",
     "sim_knn_graph",
     "graph_pagerank",
+    "graph_pagerank_dangling",
     "embeddings_quantize_int8",
     "embeddings_l2_normalize",
     "sim_topk_lsh",
@@ -231,6 +232,25 @@ def main() -> None:
             ).localCheckpoint(eager=True)
             start = time.perf_counter()
             pr = ops.pagerank(edges, iterations=8)
+            pr.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
+        if name == "graph_pagerank_dangling":
+            # same construction-time-iteration shape as graph_pagerank;
+            # even-src edges so the dangling redistribution actually runs
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+            from pyspark.sql import functions as SF
+
+            emb = td.load_table(spark, sf_dir, "embeddings")
+            edges = ops.knn_graph(emb, k=5).select(
+                SF.col("vec_id").alias("src"),
+                SF.col("neighbor_id").alias("dst"),
+            ).where(SF.col("src") % 2 == 0).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            pr = ops.pagerank(edges, iterations=6,
+                              redistribute_dangling=True)
             pr.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()

@@ -29,6 +29,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 2,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge list. Returns
     (node, rank_scaled, rank) — ``rank_scaled`` in 1e-9 units (exact
@@ -52,9 +53,22 @@ def pagerank(
     is one row per node, never per edge. The node count is the single
     driver-side scalar (one tiny count job) that seeds the integer base.
 
-    Dangling mass: nodes without out-edges simply leak their rank, the
-    standard simplification for similarity graphs where every node has
-    out-degree k by construction (e.g. :func:`similarity.knn_graph`).
+    Dangling mass: by default, nodes without out-edges simply leak their
+    rank — the standard simplification for similarity graphs where every
+    node has out-degree k by construction (e.g.
+    :func:`similarity.knn_graph`). With ``redistribute_dangling=True`` the
+    classic correction applies instead: each iteration, the total rank
+    held by sink nodes is shared back to every node before damping ::
+
+        rank'(v) = base + damping_pct
+                   * (contrib(v) + dangling_mass DIV n) DIV 100
+
+    so total mass is conserved (up to floor-division dust) and sink-heavy
+    graphs — web crawls, citation DAGs, truncated edge exports — rank
+    correctly. The per-iteration dangling mass is a ONE-ROW aggregate over
+    the rank vector (map-side-combined LONG sum), joined back with a
+    broadcast nested-loop cross join — no driver-side action, no scalar
+    collect; the loop stays a single pipelined lineage per iteration.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -88,6 +102,14 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("outdeg")),
         F.col("c_src") == F.col("o_src"),
     ).select("c_src", "c_dst", "outdeg")
+    dangling = None
+    if redistribute_dangling:
+        # loop-invariant sink set: nodes that never appear as a source
+        dangling = nodes.join(
+            e0.select(F.col("c_src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_i"))
     for it in range(iterations):
         contrib = (
@@ -99,13 +121,33 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"{damping_pct} * coalesce(contrib, 0) DIV 100")
-            ).cast("long").alias("rank_i"),
-        )
+        if redistribute_dangling:
+            dmass = ranks.join(dangling, "node").agg(
+                F.coalesce(F.sum("rank_i"), F.lit(0))
+                .cast("long").alias("__dm")
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(dmass)  # one-row side: broadcast NLJ
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"{damping_pct} * (coalesce(contrib, 0)"
+                            f" + __dm DIV {n}) DIV 100"
+                        )
+                    ).cast("long").alias("rank_i"),
+                )
+            )
+        else:
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(contrib, 0) DIV 100")
+                ).cast("long").alias("rank_i"),
+            )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(

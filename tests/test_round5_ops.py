@@ -320,6 +320,50 @@ def test_pagerank_deterministic_across_runs(spark):
     assert a == b  # partitioning cannot change integer results
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    # 1 -> 2, 2 is a sink: the default recurrence leaks 2's inflow every
+    # round, the round-6 redistribute_dangling option shares it back, so
+    # total mass stays near SCALE (floor-division dust only) instead of
+    # decaying toward the undamped base
+    edges = _edges(spark, [(1, 2)])
+    leaky = sum(r["rank_scaled"]
+                for r in ops.pagerank(edges, 8).collect())
+    kept = sum(r["rank_scaled"]
+               for r in ops.pagerank(
+                   edges, 8, redistribute_dangling=True).collect())
+    assert kept > leaky
+    assert abs(kept - SCALE) < SCALE // 100
+    assert leaky < SCALE * 60 // 100
+
+
+def test_pagerank_dangling_matches_python_replay_exactly(spark):
+    # integer recurrence with per-round dangling mass, replayed in pure
+    # Python over a graph with two sinks and a cycle
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 5)]
+    nodes = sorted({x for p in pairs for x in p})
+    n = len(nodes)
+    init = SCALE // n
+    base = init * 15 // 100
+    outdeg = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: init for v in nodes}
+    for _ in range(7):
+        dm = sum(rank[v] for v in nodes if v not in outdeg)
+        contrib = {v: 0 for v in nodes}
+        for s, d in pairs:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {
+            v: base + 85 * (contrib[v] + dm // n) // 100 for v in nodes
+        }
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in ops.pagerank(
+            _edges(spark, pairs), 7, redistribute_dangling=True).collect()
+    }
+    assert got == rank
+
+
 # ---- unpivot / histogram / monthly growth ------------------------------
 
 
