@@ -246,6 +246,22 @@ BATTERY = [
                   "count": {"operator": ">=", "value": 1},
                   "filters": [{"column": "status", "operator": "=",
                                "value": "shipped"}]}]},
+    # EXISTS inside an OR group (C603): the SQL form renders a correlated
+    # EXISTS branch inside the OR tree, while the DataFrame path uses the
+    # flag-join form — executed parity proves the two agree in this
+    # dialect too (round-6; previously proven only for the pg renderer)
+    {"from": "samples", "columns": ["id"],
+     "filters": [{"logic": "or", "conditions": [
+         {"table": "sampleItems", "exists": True,
+          "filters": [{"column": "status", "operator": "=",
+                       "value": "shipped"}]},
+         {"column": "amount", "operator": "<", "value": 60},
+     ]}]},
+    {"from": "samples", "columns": ["id"],
+     "filters": [{"logic": "or", "conditions": [
+         {"table": "sampleItems", "exists": False},
+         {"column": "status", "operator": "=", "value": "active"},
+     ]}]},
     # byIds
     {"from": "samples", "byIds": [1, 2, 3], "columns": ["id", "name"],
      "freshness": "realtime"},
@@ -262,6 +278,50 @@ def test_battery_is_not_vacuous(trino_engine, duck):
         1 for d in BATTERY if _assert_parity(trino_engine, duck, d)
     )
     assert nonempty >= len(BATTERY) // 2
+
+
+def test_masked_sql_only_intent_reproduces_builder_masking(trino_engine,
+                                                           duck):
+    """sql-only masking contract, executed in the Trino dialect (round-6):
+    masking is never rendered into SQL text (the reference masks
+    post-query); instead the meta reports per-column masking intent, and a
+    consumer applying ``mask_value`` to the executed rows must land on
+    EXACTLY what the DataFrame path returns with the same context."""
+    from concept_multi_db_query_engine_spark.masking import mask_value
+
+    ctx = {"roles": {"user": ["tenant-user"]}}
+    defn = {"from": "orders",
+            "columns": ["id", "total", "createdAt"],
+            "orderBy": [{"column": "id", "direction": "asc"}]}
+    sql_res = trino_engine.query({**defn, "executeMode": "sql-only"}, ctx)
+    meta_cols = {c["apiName"]: c for c in sql_res["meta"]["columns"]}
+    assert meta_cols["total"]["masked"] is True
+    assert meta_cols["createdAt"]["masked"] is False  # unmasked passthrough
+    # the masking fn comes from table metadata (the consumer owns it)
+    ometa = next(t for t in fixtures.METADATA["tables"]
+                 if t["id"] == "orders")
+    fns = {c["apiName"]: c.get("maskingFn", "full")
+           for c in ometa["columns"]}
+    cur = duck.execute(sql_res["sql"], sql_res["params"])
+    cols = [d[0] for d in cur.description]
+    via_sql = []
+    for row in cur.fetchall():
+        out = dict(zip(cols, row))
+        for c in cols:
+            if meta_cols[c]["masked"]:
+                out[c] = mask_value(
+                    out[c], fns[c], meta_cols[c]["type"])
+        via_sql.append(tuple(_canon_val(out[c]) for c in cols))
+    data = trino_engine.query(defn, ctx)["data"]
+    via_builder = [
+        tuple(_canon_val(r[c]) for c in cols) for r in data
+    ]
+    assert sorted(via_sql) == sorted(via_builder)
+    # non-vacuous: at least one value actually changed under masking
+    raw = [tuple(_canon_val(v) for v in row)
+           for row in duck.execute(sql_res["sql"],
+                                   sql_res["params"]).fetchall()]
+    assert sorted(raw) != sorted(via_sql)
 
 
 def test_timestamp_params_render_cast(trino_engine):
