@@ -1003,6 +1003,29 @@ def _q_bigram_score(spark, sf):
     )
 
 
+def _q_mad_outliers(spark, sf):
+    # events.value is the corpus's heavy-tailed column (max robust z ~13
+    # vs ~1.4 for order totals) — the shape MAD screening exists for
+    return ops.mad_outliers(
+        _t(spark, sf, "events"), "value", ["event_id"], threshold=3.5
+    )
+
+
+def _q_bh_correction(spark, sf):
+    return ops.bh_adjust(
+        ops.welch_z_many(_t(spark, sf, "orders"),
+                         "o_orderpriority", "o_totalprice"),
+        "p_value", key_col="o_orderpriority",
+    )
+
+
+def _q_bootstrap_ci(spark, sf):
+    return ops.bootstrap_mean_ci(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderkey",
+        n_replicates=48,
+    )
+
+
 _PPR_SEEDS = [0, 1, 2]
 
 
@@ -1244,6 +1267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_personalized_pagerank": _q_personalized_pagerank,
             "text_unigram_logprob": _q_unigram_score,
             "text_bigram_logprob": _q_bigram_score,
+            "events_mad_outliers": _q_mad_outliers,
+            "stats_bh_correction": _q_bh_correction,
+            "stats_bootstrap_ci": _q_bootstrap_ci,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1300,7 +1326,7 @@ _GATE_PRIORITY = [
     # ===== round-7 queue starts here (entry 51+) =====
     # NEW round-6 operators: grade on first appearance next round.
     "dedup_semantic", "docs_importance_weights", "events_heavy_hitters",
-    "orders_mad_outliers", "graph_label_propagation", "stats_bh_correction",
+    "events_mad_outliers", "graph_label_propagation", "stats_bh_correction",
     "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
     "events_windowed_funnel", "docs_url_dedup", "stats_bootstrap_ci",
     # r3-graded rows that did not fit the round-6 window
@@ -4142,4 +4168,114 @@ FROM d
         + ", ".join(_rp_comps)
         + "], ',') AS proj_q6_csv FROM embeddings"
     )
+
+    # ---- round 6: robust outliers / BH correction / bootstrap CI ----
+    _rz = "round((value - med) / (1.4826 * nullif(mad, 0.0)), 6)"
+    o["events_mad_outliers"] = f"""
+WITH v AS (SELECT event_id, CAST(value AS DOUBLE) AS value FROM events),
+m AS (SELECT round(quantile_cont(value, 0.5), 4) AS med FROM v),
+d AS (SELECT round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+      FROM v, m)
+SELECT event_id, value, med AS median, mad, {_rz} AS robust_z
+FROM v, m, d
+WHERE abs({_rz}) > 3.5
+"""
+
+    # one-vs-rest Welch z per priority + Benjamini-Hochberg step-up; the
+    # double expressions mirror operators/stats.py welch_z_many/bh_adjust
+    # text-for-text (moments VARCHAR-routed, p rounded to 8 BEFORE ranking)
+    _zv = (
+        "CASE WHEN n >= 2 AND rn >= 2 THEN "
+        "((sx_d / n_d) - (rsx_d / rn_d)) / nullif(sqrt("
+        "((sxx_d - sx_d * sx_d / n_d) / (n_d - 1.0)) / n_d + "
+        "((rsxx_d - rsx_d * rsx_d / rn_d) / (rn_d - 1.0)) / rn_d), 0.0) "
+        "ELSE NULL END"
+    )
+    _pdf = "0.3989422804014327 * exp(-((zval) * (zval)) / 2.0)"
+    _tt = "1.0 / (1.0 + 0.2316419 * abs(zval))"
+    _pv = (
+        f"2.0 * ({_pdf}) * ({_tt}) * (0.31938153 + ({_tt}) * "
+        f"(-0.356563782 + ({_tt}) * (1.781477937 + ({_tt}) * "
+        f"(-1.821255978 + ({_tt}) * 1.330274429))))"
+    )
+    o["stats_bh_correction"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS {dc})) AS sx,
+         sum({_w('o_totalprice')} * {_w('o_totalprice')}) AS sxx
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx,
+             sum(sxx) AS tsxx FROM g),
+b AS (SELECT grp, n, sx, sxx, tn - n AS rn, tsx - sx AS rsx,
+             tsxx - sxx AS rsxx FROM g, t),
+d AS (SELECT grp, n, rn,
+        CAST(n AS DOUBLE) AS n_d, CAST(rn AS DOUBLE) AS rn_d,
+        CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+        CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+        CAST(CAST(rsx AS VARCHAR) AS DOUBLE) AS rsx_d,
+        CAST(CAST(rsxx AS VARCHAR) AS DOUBLE) AS rsxx_d
+      FROM b),
+z AS (SELECT grp, n, round(sx_d / n_d, 6) AS mean, {_zv} AS zval FROM d),
+p AS (SELECT grp AS o_orderpriority, n, mean, round(zval, 6) AS z,
+        CASE WHEN zval IS NULL THEN NULL
+             ELSE least(1.0, round({_pv}, 8)) END AS p_value
+      FROM z),
+r AS (SELECT *,
+        CAST(row_number() OVER
+          (ORDER BY p_value ASC NULLS LAST, o_orderpriority ASC) AS INT)
+          AS p_rank,
+        count(p_value) OVER () AS m FROM p),
+q AS (SELECT *, CASE WHEN p_value IS NULL THEN NULL
+        ELSE p_value * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE) END
+        AS qr FROM r),
+qq AS (SELECT *, round(least(1.0, min(qr) OVER
+        (ORDER BY p_rank DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 8)
+        AS qv FROM q)
+SELECT o_orderpriority, n, mean, z, p_value, p_rank,
+       CASE WHEN p_value IS NULL THEN NULL ELSE qv END AS q_value,
+       CASE WHEN p_value IS NULL THEN NULL
+            ELSE qv <= 0.05 END AS significant_bh
+FROM qq
+"""
+
+    _bts = _stats_mod._poisson1_thresholds()
+    _bcase = "CASE " + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_bts)
+    ) + f" ELSE {len(_bts)} END"
+    _B = 48
+    _bpicks = {}
+    for _nm, _q in (("lo", 0.025), ("hi", 0.975)):
+        _pos = _q * (_B - 1)
+        _i = int(_pos)
+        _frac = _pos - _i
+        _j = min(_i + 1, _B - 1)
+        _bpicks[_nm] = (
+            f"round(ms[{_i + 1}] + (ms[{_j + 1}] - ms[{_i + 1}]) "
+            f"* {_frac!r}, 6)"
+        )
+    o["stats_bootstrap_ci"] = f"""
+WITH reps AS (SELECT unnest(range(0, {_B})) AS b),
+h AS (
+  SELECT r.b, ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+           || ':boot:' || CAST(r.b AS VARCHAR)), 1, 15))::BIGINT AS h,
+         o.o_totalprice
+  FROM orders o CROSS JOIN reps r),
+w AS (SELECT b, {_bcase} AS w, CAST(o_totalprice AS {dc}) AS x FROM h),
+rep AS (SELECT b, CAST(sum(w) AS BIGINT) AS wsum,
+               sum(CAST(w AS {dc}) * x) AS wx
+        FROM w GROUP BY b),
+means AS (SELECT b, CAST(CAST(wx AS VARCHAR) AS DOUBLE)
+                    / nullif(CAST(wsum AS DOUBLE), 0.0) AS mv FROM rep),
+arr AS (SELECT list(mv ORDER BY mv) AS ms FROM means),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(o_totalprice AS {dc})) AS sv FROM orders)
+SELECT n_rows,
+  round(CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+        / nullif(CAST(n_rows AS DOUBLE), 0.0), 6) AS mean,
+  {_bpicks['lo']} AS ci_lo,
+  {_bpicks['hi']} AS ci_hi,
+  CAST({_B} AS BIGINT) AS n_replicates
+FROM arr, tot
+"""
     return o

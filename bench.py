@@ -142,6 +142,9 @@ HEADLINE = [
     "sim_topk_pq",
     "stats_ols_by_group",
     "stats_ks_test",
+    "events_mad_outliers",
+    "stats_bh_correction",
+    "stats_bootstrap_ci",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

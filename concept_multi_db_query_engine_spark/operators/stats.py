@@ -668,3 +668,314 @@ def psi_drift(
             f"ELSE {term} END) + 0.0d, 6)"
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: robust outliers, many-test z + Benjamini-Hochberg, bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keep_cols: list[str],
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    classic Iglewicz-Hoaglin screen (|robust z| > 3.5 with
+    z = (x − median) / (1.4826·MAD)), preferred over mean/stddev z-scores
+    on heavy-tailed value columns because one gross outlier cannot drag
+    the center or inflate the spread.
+
+    Both the median and the MAD are EXACT linear-interpolation quantiles
+    computed with ``analytics.distributed_group_quantiles`` (a constant
+    group): two distributed ranking passes, each parallel at any scale,
+    never a whole-column sort in one task.  The two one-row results are
+    broadcast back onto the fact frame, so the scoring pass is a narrow
+    map.  Cost shape: 2 quantile passes + 1 scan — the price of exact
+    robust statistics; swap in ``percentile_approx`` upstream when a
+    sketch suffices.
+
+    Returns the outlier rows only: (*keep_cols, value, median, mad,
+    robust_z), with median/mad rounded to 4 (the quantile operator's
+    convention) and robust_z to ``round_to``.
+    """
+    from .analytics import distributed_group_quantiles
+
+    vals = df.select(
+        F.lit(0).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    med = distributed_group_quantiles(vals, "__g", "__v", [0.5]).select(
+        F.col("q0").alias("__med")
+    )
+    dev = vals.crossJoin(F.broadcast(med)).select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__v")
+    )
+    mad = distributed_group_quantiles(dev, "__g", "__v", [0.5]).select(
+        F.col("q0").alias("__mad")
+    )
+    z = (
+        f"round((CAST({value_col} AS DOUBLE) - __med) "
+        f"/ (1.4826d * nullif(__mad, 0.0d)), {round_to})"
+    )
+    scored = (
+        df.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            *keep_cols,
+            F.col(value_col).cast("double").alias("value"),
+            F.col("__med").alias("median"),
+            F.col("__mad").alias("mad"),
+            F.expr(z).alias("robust_z"),
+        )
+    )
+    return scored.where(F.abs(F.col("robust_z")) > threshold)
+
+
+# Zelen & Severo 26.2.17 polynomial for the standard normal tail — the
+# identical expression text is emitted into the DuckDB oracle, so both
+# engines evaluate the same IEEE-754 tree (the repo's ln()/JSD precedent).
+_INV_SQRT_2PI = "0.3989422804014327d"
+_PHI_TAIL = (
+    "(2.0d * ({pdf}) * ({t}) * (0.31938153d + ({t}) * (-0.356563782d "
+    "+ ({t}) * (1.781477937d + ({t}) * (-1.821255978d "
+    "+ ({t}) * 1.330274429d)))))"
+)
+
+
+def _two_sided_p(z: str, round_to: int = 8) -> str:
+    pdf = f"{_INV_SQRT_2PI} * exp(-(({z}) * ({z})) / 2.0d)"
+    t = f"1.0d / (1.0d + 0.2316419d * abs({z}))"
+    return (
+        "round(" + _PHI_TAIL.format(pdf=pdf, t=t) + f", {round_to})"
+    )
+
+
+def welch_z_many(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dec: str = _DEC,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-vs-rest Welch z for EVERY group in one pass: each group's mean
+    of ``value_col`` is tested against the mean of all *other* rows —
+    the multi-hypothesis screen ("which segments deviate?") that
+    :func:`bh_adjust` then corrects for multiple testing.
+
+    Moments (n, Σx, Σx²) accumulate per group in exact DECIMAL (one
+    map-side-combined aggregation); the complement arm is derived by
+    subtracting from the global totals (a one-row cross join), so no
+    second scan and no per-pair work.  z and the two-sided p-value
+    (normal approximation, Zelen-Severo polynomial — a fixed-shape
+    double expression both engines evaluate identically) are computed on
+    the |groups|-row frame.  p is rounded to 8 decimals BEFORE any
+    downstream ranking so cross-engine ULP noise cannot reorder tests.
+
+    Returns (group, n, mean, z, p_value) — z/p NULL when either arm has
+    n < 2 or zero variance.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_m(value_col, dec)).alias("sx"),
+        F.sum(_m(value_col, dec) * _m(value_col, dec)).alias("sxx"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    both = g.crossJoin(F.broadcast(tot)).select(
+        "grp", "n", "sx", "sxx",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        (F.col("tsx") - F.col("sx")).alias("rsx"),
+        (F.col("tsxx") - F.col("sxx")).alias("rsxx"),
+    )
+    mean_g = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    mean_r = "(CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE))"
+    var_g = (
+        "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0d))"
+    )
+    var_r = (
+        "((CAST(rsxx AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE)"
+        " / CAST(rn AS DOUBLE)) / (CAST(rn AS DOUBLE) - 1.0d))"
+    )
+    z = (
+        f"CASE WHEN n >= 2 AND rn >= 2 THEN "
+        f"({mean_g} - {mean_r}) / nullif(sqrt({var_g} / CAST(n AS DOUBLE) "
+        f"+ {var_r} / CAST(rn AS DOUBLE)), 0.0d) "
+        f"ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return both.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.expr(f"round({mean_g}, {round_to})").alias("mean"),
+        F.expr(f"round({z}, {round_to})").alias("z"),
+        F.expr(
+            f"CASE WHEN ({z}) IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"ELSE least(1.0d, {_two_sided_p(z)}) END"
+        ).alias("p_value"),
+    )
+
+
+def bh_adjust(
+    results: DataFrame,
+    p_col: str = "p_value",
+    key_col: str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a per-hypothesis results
+    frame: adds (p_rank, q_value, significant_bh) where
+    q_(i) = min_{j≥i} (p_(j)·m/j) capped at 1 — the step-up adjusted
+    p-values; ``significant_bh`` marks q ≤ alpha.
+
+    The input is one row per HYPOTHESIS (a handful to a few thousand
+    rows — the output of :func:`welch_z_many` or a per-segment test
+    sweep), never a fact table, so the unpartitioned ranking windows
+    here are a deliberate small-frame exception to the no-global-window
+    rule; ranking ties break on ``key_col`` for a total order.  NULL
+    p-values (degenerate tests) sort last and keep NULL q.
+    """
+    from pyspark.sql import Window
+
+    key = key_col or p_col
+    order = [F.col(p_col).asc_nulls_last(), F.col(key).asc()]
+    w_rank = Window.orderBy(*order)
+    w_rev = (
+        Window.orderBy(F.col("__rk").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = results.withColumn(
+        "__m",
+        F.count(F.when(F.col(p_col).isNotNull(), 1))
+        .over(w_rank.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)),
+    ).withColumn("__rk", F.row_number().over(w_rank))
+    q_raw = (
+        f"CASE WHEN {p_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {p_col} * CAST(__m AS DOUBLE) / CAST(__rk AS DOUBLE) END"
+    )
+    adjusted = ranked.withColumn("__qr", F.expr(q_raw)).withColumn(
+        "q_value",
+        F.expr("round(least(1.0d, min(__qr) OVER "
+               "(ORDER BY __rk DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+               "AND CURRENT ROW)), 8)"),
+    )
+    return adjusted.select(
+        *[c for c in results.columns],
+        F.col("__rk").alias("p_rank"),
+        F.when(F.col(p_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("q_value")).alias("q_value"),
+        F.when(F.col(p_col).isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("q_value") <= alpha).alias("significant_bh"),
+    )
+
+
+def _poisson1_thresholds(bits: int = 60, max_w: int = 6) -> list[int]:
+    """Exact 2^bits-scaled cumulative Poisson(1) thresholds, computed
+    once driver-side and baked into both engines' expressions."""
+    import math
+
+    e = math.exp(-1.0)
+    cum, fact, out = 0.0, 1.0, []
+    for k in range(max_w):
+        if k > 0:
+            fact *= k
+        cum += e / fact
+        out.append(int(cum * (1 << bits)))
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 48,
+    ci: float = 0.95,
+    salt: str = "boot",
+    dec: str = _DEC,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the mean —
+    the standard way to bootstrap on a cluster (each row's resample
+    multiplicity is drawn independently as Poisson(1), so no global
+    resampling pass is needed; Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012).  RNG is replaced by the
+    repo's md5 discipline: replicate ``b``'s weight for a row is the
+    exact-integer comparison of md5(id:salt:b)'s 60-bit prefix against
+    precomputed Poisson(1) CDF thresholds — bit-reproducible on any
+    engine, re-salting re-rolls the bootstrap.
+
+    ONE scan: each row emits its ``n_replicates`` (weight, weight·x)
+    pairs as an array (a narrow map — no row explosion, no shuffle
+    growth), and a single map-side-combined aggregation produces every
+    replicate's exact DECIMAL (Σw, Σwx) in one row.  The replicate means
+    and the percentile CI are then fixed-shape double arithmetic over
+    that row's sorted array — identical in the oracle.
+
+    Returns one row: (n_rows, mean, ci_lo, ci_hi, n_replicates).
+    """
+    if not 0 < ci < 1:
+        raise ValueError("ci must be in (0, 1)")
+    ts = _poisson1_thresholds()
+    h = (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+        f"':{salt}:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w_case = "CASE " + " ".join(
+        f"WHEN h < {t}L THEN {k}" for k, t in enumerate(ts)
+    ) + f" ELSE {len(ts)} END"
+    # two-level transform so each replicate hashes ONCE (the CASE ladder
+    # re-evaluates its scrutinee per WHEN arm if inlined)
+    staged = df.select(
+        F.expr(
+            f"transform(transform(sequence(0, {n_replicates - 1}), "
+            f"b -> {h}), h -> named_struct("
+            f"'w', CAST(({w_case}) AS INT), "
+            f"'x', CAST({value_col} AS {dec})))"
+        ).alias("__ws"),
+        F.col(value_col).alias("__v"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_m("__v", dec)).alias("sv"),
+    ]
+    for b in range(n_replicates):
+        el = F.col("__ws")[b]
+        aggs.append(
+            F.sum(el.getField("w").cast("long")).alias(f"w{b}"))
+        aggs.append(
+            F.sum(el.getField("w").cast(dec) * el.getField("x"))
+            .alias(f"wx{b}"))
+    one = staged.agg(*aggs)
+    mean_terms = ", ".join(
+        f"CAST(wx{b} AS DOUBLE) / nullif(CAST(w{b} AS DOUBLE), 0.0d)"
+        for b in range(n_replicates)
+    )
+    lo_q = (1.0 - ci) / 2.0
+    hi_q = 1.0 - lo_q
+    picks = {}
+    for name, q in (("lo", lo_q), ("hi", hi_q)):
+        pos = q * (n_replicates - 1)
+        i = int(pos)
+        frac = pos - i
+        picks[name] = (
+            f"round(element_at(__ms, {i + 1}) + "
+            f"(element_at(__ms, {min(i + 1, n_replicates - 1) + 1}) "
+            f"- element_at(__ms, {i + 1})) * {frac!r}d, 6)"
+        )
+    return one.select(
+        "n_rows",
+        F.expr(
+            "round(CAST(sv AS DOUBLE) "
+            "/ nullif(CAST(n_rows AS DOUBLE), 0.0d), 6)"
+        ).alias("mean"),
+        F.expr(f"array_sort(array({mean_terms}))").alias("__ms"),
+    ).select(
+        "n_rows", "mean",
+        F.expr(picks["lo"]).alias("ci_lo"),
+        F.expr(picks["hi"]).alias("ci_hi"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

@@ -1,0 +1,207 @@
+"""Round-6 operator tests: MAD outliers, one-vs-rest Welch z +
+Benjamini-Hochberg, deterministic Poisson-bootstrap CI — each replayed
+against an independent pure-Python reference (the property-test
+discipline of tests/test_stats_properties.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+
+
+# ---- mad_outliers ---------------------------------------------------------
+
+
+def _py_median(xs):
+    s = sorted(xs)
+    n = len(s)
+    pos = 0.5 * (n - 1)
+    lo = int(pos)
+    frac = pos - lo
+    hi = s[lo + 1] if frac > 0 else s[lo]
+    return round(s[lo] + (hi - s[lo]) * frac, 4)
+
+
+def test_mad_outliers_matches_python_reference(spark):
+    vals = [10.0, 11.0, 12.0, 11.5, 10.5, 12.5, 11.2, 400.0, -300.0, 11.8]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    med = _py_median(vals)
+    mad = _py_median([abs(v - med) for v in vals])
+    want = {}
+    for i, v in enumerate(vals):
+        z = round((v - med) / (1.4826 * mad), 6)
+        if abs(z) > 3.5:
+            want[i] = z
+    got = {
+        r["id"]: r["robust_z"]
+        for r in ops.mad_outliers(df, "v", ["id"]).collect()
+    }
+    assert got == want
+    assert set(got) == {7, 8}  # the two planted outliers, nothing else
+
+
+def test_mad_outliers_zero_mad_flags_nothing(spark):
+    # constant column: MAD = 0 -> z NULL-guarded -> no outliers (never a
+    # divide-by-zero error under ANSI mode)
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(20)], "id long, v double"
+    )
+    assert ops.mad_outliers(df, "v", ["id"]).count() == 0
+
+
+# ---- welch_z_many + bh_adjust --------------------------------------------
+
+
+def _py_norm_p(z):
+    pdf = 0.3989422804014327 * math.exp(-(z * z) / 2.0)
+    t = 1.0 / (1.0 + 0.2316419 * abs(z))
+    poly = t * (0.31938153 + t * (-0.356563782 + t * (1.781477937
+               + t * (-1.821255978 + t * 1.330274429))))
+    return min(1.0, round(2.0 * pdf * poly, 8))
+
+
+def test_welch_z_many_matches_python_reference(spark):
+    rows = []
+    data = {"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 12.0, 11.0],
+            "c": [2.0, 3.0, 2.5, 3.5, 2.2]}
+    for g, vs in data.items():
+        rows += [(g, v) for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in
+           ops.welch_z_many(df, "grp", "v").collect()}
+    allv = [v for vs in data.values() for v in vs]
+    for g, vs in data.items():
+        rest = [v for v in allv if v not in vs or True]
+        rest = [v for gg, vv in data.items() if gg != g for v in vv]
+        n, rn = len(vs), len(rest)
+        mg, mr = sum(vs) / n, sum(rest) / rn
+        vg = (sum(v * v for v in vs) - sum(vs) ** 2 / n) / (n - 1)
+        vr = (sum(v * v for v in rest) - sum(rest) ** 2 / rn) / (rn - 1)
+        z = (mg - mr) / math.sqrt(vg / n + vr / rn)
+        assert out[g]["n"] == n
+        assert out[g]["mean"] == round(mg, 6)
+        assert out[g]["z"] == pytest.approx(round(z, 6), abs=2e-6)
+        assert out[g]["p_value"] == pytest.approx(_py_norm_p(z), abs=2e-6)
+
+
+def test_welch_z_many_degenerate_group_yields_null(spark):
+    # a single-row group has no variance estimate: z and p must be NULL
+    df = spark.createDataFrame(
+        [("solo", 5.0)] + [("big", float(i)) for i in range(10)],
+        "grp string, v double",
+    )
+    out = {r["grp"]: r for r in ops.welch_z_many(df, "grp", "v").collect()}
+    assert out["solo"]["z"] is None and out["solo"]["p_value"] is None
+
+
+def _py_bh(ps, alpha=0.05):
+    """(rank, q, significant) per index, nulls sorted last with None q."""
+    items = sorted(
+        range(len(ps)),
+        key=lambda i: (ps[i] is None, ps[i] if ps[i] is not None else 0, i),
+    )
+    m = sum(1 for p in ps if p is not None)
+    q_raw = {}
+    for rank, i in enumerate(items, 1):
+        q_raw[i] = None if ps[i] is None else ps[i] * m / rank
+    out = {}
+    running = None
+    for rank in range(len(items), 0, -1):
+        i = items[rank - 1]
+        if q_raw[i] is not None:
+            running = q_raw[i] if running is None else min(running, q_raw[i])
+            q = round(min(1.0, running), 8)
+            out[i] = (rank, q, q <= alpha)
+        else:
+            out[i] = (rank, None, None)
+    return out
+
+
+def test_bh_adjust_matches_python_reference(spark):
+    ps = [0.001, 0.04, 0.03, 0.5, None, 0.012]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "idx long, p_value double"
+    )
+    got = {r["idx"]: (r["p_rank"], r["q_value"], r["significant_bh"])
+           for r in ops.bh_adjust(df, "p_value", key_col="idx").collect()}
+    assert got == _py_bh(ps)
+
+
+def test_bh_adjust_q_values_are_monotone_step_up(spark):
+    ps = [0.01, 0.02, 0.03, 0.04, 0.05, 0.9]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "idx long, p_value double"
+    )
+    rows = sorted(ops.bh_adjust(df, "p_value", key_col="idx").collect(),
+                  key=lambda r: r["p_rank"])
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs)  # step-up adjustment is non-decreasing in rank
+
+
+# ---- bootstrap_mean_ci ----------------------------------------------------
+
+
+def _py_poisson_weight(key: str, thresholds):
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    for k, t in enumerate(thresholds):
+        if h < t:
+            return k
+    return len(thresholds)
+
+
+def test_bootstrap_ci_matches_python_replay_exactly(spark):
+    from concept_multi_db_query_engine_spark.operators.stats import (
+        _poisson1_thresholds,
+    )
+
+    ids = list(range(40))
+    vals = [float(100 + (i * 37) % 50) + 0.25 for i in ids]
+    df = spark.createDataFrame(
+        list(zip(ids, vals)), "id long, v double"
+    )
+    B = 16
+    ts = _poisson1_thresholds()
+    means = []
+    for b in range(B):
+        sw = swx = 0
+        for i, v in zip(ids, vals):
+            w = _py_poisson_weight(f"{i}:boot:{b}", ts)
+            sw += w
+            swx += w * v
+        means.append(swx / sw)
+    means.sort()
+    lo_pos = 0.025 * (B - 1)
+    hi_pos = 0.975 * (B - 1)
+    li, lf = int(lo_pos), lo_pos - int(lo_pos)
+    hi, hf = int(hi_pos), hi_pos - int(hi_pos)
+    want_lo = round(means[li] + (means[min(li + 1, B - 1)] - means[li]) * lf, 6)
+    want_hi = round(means[hi] + (means[min(hi + 1, B - 1)] - means[hi]) * hf, 6)
+    row = ops.bootstrap_mean_ci(df, "v", "id", n_replicates=B).collect()[0]
+    assert row["n_rows"] == len(ids)
+    assert row["mean"] == round(sum(vals) / len(vals), 6)
+    assert row["ci_lo"] == pytest.approx(want_lo, abs=1e-6)
+    assert row["ci_hi"] == pytest.approx(want_hi, abs=1e-6)
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+
+
+def test_bootstrap_ci_is_partitioning_independent(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 17).cast("double").alias("v")
+    )
+    a = ops.bootstrap_mean_ci(df, "v", "id", n_replicates=12).collect()[0]
+    b = ops.bootstrap_mean_ci(
+        df.repartition(13), "v", "id", n_replicates=12).collect()[0]
+    assert a == b
+
+
+def test_bootstrap_ci_validates_ci(spark):
+    df = spark.range(5).select("id", F.lit(1.0).alias("v"))
+    with pytest.raises(ValueError, match="ci"):
+        ops.bootstrap_mean_ci(df, "v", "id", ci=1.5)
