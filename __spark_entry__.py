@@ -1003,6 +1003,36 @@ def _q_bigram_score(spark, sf):
     )
 
 
+def _q_dedup_semantic(spark, sf):
+    # threshold 0.3: the synthetic embedding corpus's pairwise cosines
+    # top out ~0.5, so 0.3 marks its genuine near-duplicate tail
+    return ops.semantic_dedup_pairs(
+        _t(spark, sf, "embeddings"), k=4, iterations=3, threshold=0.3
+    )
+
+
+def _q_embeddings_whiten(spark, sf):
+    # array<double> cannot be gate-hashed; encode z-scores as micro-unit
+    # integers (the l2_normalize convention)
+    df = ops.standardize_embeddings(_t(spark, sf, "embeddings"), dim=64)
+    return df.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("z_vec"),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("z_q6_csv"),
+    )
+
+
+def _q_cosine_histogram(spark, sf):
+    return ops.cosine_similarity_histogram(
+        _t(spark, sf, "embeddings"), n_bins=20
+    )
+
+
 def _q_mad_outliers(spark, sf):
     # events.value is the corpus's heavy-tailed column (max robust z ~13
     # vs ~1.4 for order totals) — the shape MAD screening exists for
@@ -1270,6 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_mad_outliers": _q_mad_outliers,
             "stats_bh_correction": _q_bh_correction,
             "stats_bootstrap_ci": _q_bootstrap_ci,
+            "dedup_semantic": _q_dedup_semantic,
+            "embeddings_whiten": _q_embeddings_whiten,
+            "sim_cosine_histogram": _q_cosine_histogram,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -4238,6 +4271,75 @@ SELECT o_orderpriority, n, mean, z, p_value, p_rank,
             ELSE qv <= 0.05 END AS significant_bh
 FROM qq
 """
+
+    # SemDeDup: kmeans assignment (chained-CTE integer replay) + within-
+    # cluster cosine pairs above threshold
+    o["dedup_semantic"] = (
+        "WITH " + _kmeans_ctes(k=4, iterations=3)
+        + ",\n" + _COS_NORM_CTE.replace("e AS (", "ne AS (", 1)
+        + """
+SELECT ca.cid AS cluster, a.vec_id AS d1, b.vec_id AS d2,
+       round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+         AS cosine
+FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+JOIN af ca ON ca.vec_id = a.vec_id
+JOIN af cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+WHERE round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+      >= 0.3
+"""
+    )
+
+    # per-dimension standardization: micro-unit integer moments, the
+    # 1e6 scale cancels in (x - mean)/sigma
+    _wm = ("(CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))")
+    _wv = (
+        f"(CAST(st.s2 AS DOUBLE) / CAST(st.n AS DOUBLE) - {_wm} * {_wm})"
+    )
+    o["embeddings_whiten"] = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS pos),
+st AS (
+  SELECT pos, CAST(sum(qv[pos]) AS BIGINT) AS s,
+         CAST(sum(qv[pos] * qv[pos]) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q CROSS JOIN dims GROUP BY pos
+),
+z AS (
+  SELECT q.vec_id, st.pos,
+         CAST(round(round((CAST(qv[st.pos] AS DOUBLE) - {_wm})
+           / nullif(sqrt({_wv}), 0.0), 6) * 1000000.0) AS BIGINT) AS zq
+  FROM q CROSS JOIN st
+)
+SELECT vec_id,
+       string_agg(CAST(zq AS VARCHAR), ',' ORDER BY pos) AS z_q6_csv
+FROM z GROUP BY vec_id
+"""
+
+    # adjacent-pair cosine histogram over [-1, 1]
+    _chcos = (
+        "round(list_dot_product(a.v, b.v) "
+        "/ nullif(sqrt(a.norm2 * b.norm2), 0.0), 6)"
+    )
+    o["sim_cosine_histogram"] = (
+        "WITH " + _COS_NORM_CTE + f"""
+, pairs AS (
+  SELECT least(CAST(floor(({_chcos} + 1.0) / 0.1) AS INT), 19) AS bin
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+)
+SELECT bin,
+       round(CAST(-1.0 AS DOUBLE)
+             + CAST(bin AS DOUBLE) * CAST(0.1 AS DOUBLE), 6) AS lo,
+       round(CAST(-1.0 AS DOUBLE)
+             + CAST(bin + 1 AS DOUBLE) * CAST(0.1 AS DOUBLE), 6) AS hi,
+       count(*) AS n_pairs
+FROM pairs GROUP BY bin
+"""
+    )
 
     _bts = _stats_mod._poisson1_thresholds()
     _bcase = "CASE " + " ".join(

@@ -145,6 +145,9 @@ HEADLINE = [
     "events_mad_outliers",
     "stats_bh_correction",
     "stats_bootstrap_ci",
+    "dedup_semantic",
+    "embeddings_whiten",
+    "sim_cosine_histogram",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

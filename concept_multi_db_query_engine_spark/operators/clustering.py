@@ -379,3 +379,61 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, then compare
+    embeddings ONLY within their cluster and report pairs whose cosine
+    exceeds ``threshold`` — the clustering bounds the pair space to
+    O(n²/k) instead of all-pairs, which is the entire trick that made
+    semantic dedup feasible on LAION/C4 scale corpora.
+
+    Assignment reuses :func:`kmeans_assign` (integer fixed-point,
+    oracle-replayable); the within-cluster join is a plain shuffle join
+    keyed by cluster with an ``id < id`` canonical ordering, and the
+    cosine is a codegen'd ``zip_with``/``aggregate`` fold rounded to 6
+    decimals (the knn_graph determinism convention).  At corpus scale,
+    grow ``k`` with n so the expected cluster size n/k stays bounded —
+    cluster size is the only superlinear term.  Returns
+    (cluster, d1, d2, cosine ≥ threshold).
+    """
+    from .similarity import _with_norm
+
+    assign = kmeans_assign(
+        embeddings, k, iterations, id_col, vec_col
+    ).select(F.col(id_col).alias("vid"), "cluster")
+    src = assign.join(_with_norm(embeddings, id_col, vec_col), "vid")
+    b = src.select(
+        F.col("vid").alias("vid2"),
+        F.col("cluster").alias("cluster2"),
+        F.col("v").alias("v2"),
+        F.col("norm2").alias("n2b"),
+    )
+    dot = (
+        "aggregate(zip_with(v, v2, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    cos = f"round({dot} / sqrt(norm2 * n2b), 6)"
+    return (
+        src.join(
+            b,
+            (F.col("cluster") == F.col("cluster2"))
+            & (F.col("vid") < F.col("vid2")),
+        )
+        .select(
+            "cluster",
+            F.col("vid").alias("d1"),
+            F.col("vid2").alias("d2"),
+            F.expr(cos).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

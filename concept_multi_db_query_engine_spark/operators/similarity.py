@@ -674,3 +674,116 @@ def embedding_corpus_stats(
             f"round({mean_norm} / nullif({avg_norm}, 0.0d), 6)"
         ).alias("anisotropy_ratio"),
     )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension corpus standardization (z-scoring) — the cheap
+    feature-space whitening step before clustering/ANN when dimensions
+    have wildly different scales (full ZCA needs an eigendecomposition;
+    per-dim standardization is the diagonal approximation production
+    pipelines actually run).
+
+    Determinism: components quantize to exact micro-unit BIGINTs (the
+    kmeans/corpus-stats discipline), per-dimension Σx and Σx² are exact
+    integer sums (one posexplode + map-side-combined aggregation → dim
+    rows), and the z-scores are a fixed-shape double expression — the
+    1e6 quantization scale cancels in (x−μ)/σ, so no rescaling is
+    needed.  The dim-row statistics frame is packed into ONE array row
+    and cross-joined back (broadcast NLJ — nothing driver-side), making
+    the scoring pass a narrow map.  Zero-variance dimensions z-score to
+    NULL rather than dividing by zero.  Returns (vec_id, z_vec).
+    """
+    q_scale = 10**6
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {q_scale}.0d) AS BIGINT))"
+        ).alias("q"),
+    )
+    st = (
+        staged.select(F.posexplode("q").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum("val").alias("s"),
+            F.sum(F.col("val") * F.col("val")).alias("s2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    packed = st.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(pos, s, s2, n)))").alias("ds")
+    )
+    mean_j = (
+        "(CAST(element_at(ds, j + 1).s AS DOUBLE) "
+        "/ CAST(element_at(ds, j + 1).n AS DOUBLE))"
+    )
+    var_j = (
+        "(CAST(element_at(ds, j + 1).s2 AS DOUBLE) "
+        "/ CAST(element_at(ds, j + 1).n AS DOUBLE) "
+        f"- {mean_j} * {mean_j})"
+    )
+    z_j = (
+        f"round((CAST(element_at(q, j + 1) AS DOUBLE) - {mean_j}) "
+        f"/ nullif(sqrt({var_j}), 0.0d), {round_to})"
+    )
+    return staged.crossJoin(packed).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> {z_j})"
+        ).alias("z_vec"),
+    )
+
+
+def cosine_similarity_histogram(
+    embeddings: DataFrame,
+    n_bins: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus similarity-structure probe: the distribution of cosine
+    similarity over ADJACENT-id vector pairs, binned over [−1, 1] — the
+    quick diagnostic for embedding collapse (mass piling up near 1) or
+    healthy spread, without the O(n²) full pairwise distribution.
+    Adjacent-id pairing is a deterministic size-n sample with a
+    co-partitioned equi-join (id = id+1) — no blocked self-join, no
+    replication.
+
+    Cosines are rounded to 6 decimals before binning (the knn_graph
+    convention), bin = floor((cos+1)/width) clamped so cos = 1.0 lands
+    in the last bin.  Returns (bin, lo, hi, n_pairs) for non-empty bins.
+    """
+    src = _with_norm(embeddings, id_col, vec_col)
+    b = src.select(
+        F.col("vid").alias("vid2"),
+        F.col("v").alias("v2"),
+        F.col("norm2").alias("n2b"),
+    )
+    dot = (
+        "aggregate(zip_with(v, v2, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    cos = f"round({dot} / nullif(sqrt(norm2 * n2b), 0.0d), 6)"
+    width = 2.0 / n_bins
+    pairs = src.join(b, F.col("vid2") == F.col("vid") + 1).select(
+        F.expr(
+            f"least(CAST(floor(({cos} + 1.0d) / {width!r}d) AS INT), "
+            f"{n_bins - 1})"
+        ).alias("bin")
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.expr(f"round(-1.0d + bin * {width!r}d, 6)").alias("lo"),
+            F.expr(f"round(-1.0d + (bin + 1) * {width!r}d, 6)").alias("hi"),
+            "n_pairs",
+        )
+    )

@@ -205,3 +205,97 @@ def test_bootstrap_ci_validates_ci(spark):
     df = spark.range(5).select("id", F.lit(1.0).alias("v"))
     with pytest.raises(ValueError, match="ci"):
         ops.bootstrap_mean_ci(df, "v", "id", ci=1.5)
+
+
+# ---- semantic dedup / standardize / cosine histogram ----------------------
+
+
+def _vec(*seed, dim=8):
+    import random
+    rng = random.Random(str(seed))
+    return [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+
+
+def test_semantic_dedup_finds_planted_near_duplicates(spark):
+    base_a = _vec(1)
+    base_b = [-x for x in base_a]
+    rows = []
+    # two tight families (copies with a tiny epsilon on one component)
+    for i in range(4):
+        va = list(base_a)
+        va[0] = round(va[0] + i * 1e-3, 6)
+        vb = list(base_b)
+        vb[1] = round(vb[1] + i * 1e-3, 6)
+        rows.append((i, va))
+        rows.append((10 + i, vb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ops.semantic_dedup_pairs(
+        df, k=2, iterations=3, threshold=0.99
+    ).collect()
+    got = {(r["d1"], r["d2"]) for r in pairs}
+    # every within-family pair is found, no cross-family pair sneaks in
+    fam_a = {(i, j) for i in range(4) for j in range(4) if i < j}
+    fam_b = {(10 + i, 10 + j) for i in range(4) for j in range(4) if i < j}
+    assert got == fam_a | fam_b
+    for r in pairs:
+        assert r["cosine"] >= 0.99
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    # opposite vectors land in different k=2 clusters: their (negative)
+    # cosine is never even computed, so no pair can cross clusters
+    rows = [(i, _vec(9, i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ops.semantic_dedup_pairs(df, k=3, iterations=2, threshold=-2.0)
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in ops.kmeans_assign(df, k=3, iterations=2).collect()
+    }
+    for r in pairs.collect():
+        assert assign[r["d1"]] == assign[r["d2"]] == r["cluster"]
+
+
+def test_standardize_embeddings_python_replay(spark):
+    rows = [(i, [float(i), float(10 - i), 5.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["z_vec"]
+           for r in ops.standardize_embeddings(df, dim=3).collect()}
+    cols = list(zip(*[v for _, v in rows]))
+    for vid, vec in rows:
+        for j, x in enumerate(vec):
+            q = [round(c * 1e6) for c in cols[j]]
+            n = len(q)
+            mean = sum(q) / n
+            var = sum(v * v for v in q) / n - mean * mean
+            xq = round(x * 1e6)
+            want = (round((xq - mean) / math.sqrt(var), 6)
+                    if var > 0 else None)
+            assert out[vid][j] == want, (vid, j)
+
+
+def test_standardize_constant_dim_is_null_not_error(spark):
+    rows = [(i, [1.5, float(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in ops.standardize_embeddings(df, dim=2).collect():
+        assert r["z_vec"][0] is None
+        assert r["z_vec"][1] is not None
+
+
+def test_cosine_histogram_bins_partition_all_adjacent_pairs(spark):
+    rows = [(i, _vec(3, i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hist = ops.cosine_similarity_histogram(df, n_bins=10).collect()
+    assert sum(r["n_pairs"] for r in hist) == 39
+    for r in hist:
+        assert 0 <= r["bin"] <= 9
+        assert r["hi"] == pytest.approx(r["lo"] + 0.2, abs=1e-9)
+
+
+def test_cosine_histogram_identical_vectors_land_in_top_bin(spark):
+    v = _vec(7)
+    df = spark.createDataFrame(
+        [(i, v) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    hist = ops.cosine_similarity_histogram(df, n_bins=20).collect()
+    assert len(hist) == 1 and hist[0]["bin"] == 19
+    assert hist[0]["n_pairs"] == 4
