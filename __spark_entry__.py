@@ -1003,6 +1003,38 @@ def _q_bigram_score(spark, sf):
     )
 
 
+_URL_EXPR = (
+    "concat('HTTPS://www.', source, '.Example.com/', lang, '/p', "
+    "CAST(doc_id % 25 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
+)
+
+
+def _q_importance_weights(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ops.importance_weights(
+        docs, docs.where(F.col("lang") == "en"), top_n=200
+    )
+
+
+def _q_url_dedup(spark, sf):
+    # documents carry no URL column; derive a deterministic messy URL
+    # (mixed case, www, query, fragment, trailing slash) so the
+    # normalizer has real work to do
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_EXPR).alias("url")
+    )
+    return ops.url_normalize_dedup(docs, "url")
+
+
+def _q_best_fit_pack(spark, sf):
+    return ops.pack_documents_greedy(
+        _t(spark, sf, "documents"), budget_tokens=256, n_shards=8
+    )
+
+
 def _q_dedup_semantic(spark, sf):
     # threshold 0.3: the synthetic embedding corpus's pairwise cosines
     # top out ~0.5, so 0.3 marks its genuine near-duplicate tail
@@ -1303,6 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_semantic": _q_dedup_semantic,
             "embeddings_whiten": _q_embeddings_whiten,
             "sim_cosine_histogram": _q_cosine_histogram,
+            "docs_importance_weights": _q_importance_weights,
+            "docs_url_dedup": _q_url_dedup,
+            "docs_best_fit_pack": _q_best_fit_pack,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -4270,6 +4305,107 @@ SELECT o_orderpriority, n, mean, z, p_value, p_rank,
        CASE WHEN p_value IS NULL THEN NULL
             ELSE qv <= 0.05 END AS significant_bh
 FROM qq
+"""
+
+    # DSIR importance weights: two unigram models (target = lang 'en',
+    # source = whole corpus), per-doc sorted fold of ln likelihood ratios
+    o["docs_importance_weights"] = """
+WITH cnt_s AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY 1
+),
+tot_s AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt_s),
+top_s AS (SELECT w, c FROM cnt_s ORDER BY c DESC, w ASC LIMIT 200),
+par_s AS (
+  SELECT CAST((SELECT n FROM tot_s) - (SELECT sum(c) FROM top_s) + 1
+              AS BIGINT) AS tail1,
+         CAST((SELECT n FROM tot_s) + 1 AS DOUBLE) AS denom
+),
+cnt_t AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE lang = 'en')
+  WHERE w != '' GROUP BY 1
+),
+tot_t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt_t),
+top_t AS (SELECT w, c FROM cnt_t ORDER BY c DESC, w ASC LIMIT 200),
+par_t AS (
+  SELECT CAST((SELECT n FROM tot_t) - (SELECT sum(c) FROM top_t) + 1
+              AS BIGINT) AS tail1,
+         CAST((SELECT n FROM tot_t) + 1 AS DOUBLE) AS denom
+),
+toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w != ''
+),
+terms AS (
+  SELECT t.doc_id, t.w,
+    ln((CAST(coalesce(vt.c, (SELECT tail1 FROM par_t)) AS DOUBLE)
+        / (SELECT denom FROM par_t))
+       / (CAST(coalesce(vs.c, (SELECT tail1 FROM par_s)) AS DOUBLE)
+          / (SELECT denom FROM par_s))) AS term
+  FROM toks t
+  LEFT JOIN top_t vt ON t.w = vt.w
+  LEFT JOIN top_s vs ON t.w = vs.w
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    round(CAST(CAST(sum(CAST(round(term * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / 1000000.0
+          / CAST(count(*) AS DOUBLE), 4) + 0.0 AS avg_log_ratio
+  FROM terms GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_log_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+    # URL canonicalization dedup over the synthesized messy URLs
+    o["docs_url_dedup"] = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+c AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\\.', ''),
+           '[?#].*$', ''), '/+$', '') AS canonical_url,
+         url, doc_id
+  FROM u
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_id
+FROM c GROUP BY 1
+"""
+
+    # greedy next-fit-decreasing packing, replayed with a recursive CTE
+    # stepping one document per shard per recursion level
+    o["docs_best_fit_pack"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM toks
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256
+              THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, bin, bin_fill
+FROM pack
 """
 
     # SemDeDup: kmeans assignment (chained-CTE integer replay) + within-

@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_semantic",
     "embeddings_whiten",
     "sim_cosine_histogram",
+    "docs_importance_weights",
+    "docs_url_dedup",
+    "docs_best_fit_pack",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

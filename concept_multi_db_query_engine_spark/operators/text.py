@@ -1355,3 +1355,189 @@ def bigram_logprob_score(
             f"END"
         ).alias("bits_per_token"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    top_n: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169, reduced to its unigram core): each document is
+    scored by the average log-likelihood ratio of its tokens under a
+    TARGET-domain unigram model versus the raw-corpus (source) model —
+    documents that look like the target domain score high, and sampling
+    proportional to the weight reweights the corpus toward the target.
+
+    Both models are the :func:`unigram_logprob_score` construction
+    (top-``top_n`` exact counts + shared OOV bucket, fitted in ONE
+    persisted-scan pass each) baked into broadcast map literals, so
+    scoring is a NARROW MAP: a per-row sorted-token fold of
+    ``ln(p_target(w) / p_source(w))`` terms — no join, no shuffle, and
+    bit-reproducible (equal tokens contribute equal terms).  Returns
+    (doc_id, n_tokens, avg_log_ratio) with NULL for token-less docs.
+    """
+    def _model(train: DataFrame):
+        counts = (
+            train.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).persist()
+        top_rows = counts.orderBy(
+            F.col("c").desc(), F.col("w").asc()).limit(top_n).collect()
+        n_total = int(
+            counts.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0)
+        counts.unpersist()
+        tail1 = n_total - sum(int(r["c"]) for r in top_rows) + 1
+        args: list = []
+        for r in top_rows:
+            args.append(F.lit(r["w"]))
+            args.append(F.lit(int(r["c"])).cast("long"))
+        vmap = (
+            F.create_map(*args) if args
+            else F.expr("map()").cast("map<string,bigint>")
+        )
+        return vmap, tail1, float(n_total + 1)
+
+    tmap, t_tail, t_den = _model(target)
+    smap, s_tail, s_den = _model(docs)
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"array_sort(filter(split({text_col}, ' '), x -> x != ''))"
+        ).alias("__ts"),
+        tmap.alias("__tm"),
+        smap.alias("__sm"),
+    )
+    term = (
+        f"ln((CAST(coalesce(element_at(__tm, w), "
+        f"CAST({t_tail} AS BIGINT)) AS DOUBLE) / {t_den!r}d) "
+        f"/ (CAST(coalesce(element_at(__sm, w), "
+        f"CAST({s_tail} AS BIGINT)) AS DOUBLE) / {s_den!r}d))"
+    )
+    # per-token terms quantize to exact micro-unit BIGINTs before the
+    # fold: ratio terms nearly cancel, so a plain double sum lands near
+    # zero where a single ULP flips the 4-decimal rounding — the integer
+    # sum is exact and both engines then round the identical double
+    fold = (
+        f"aggregate(__ts, CAST(0 AS BIGINT), (acc, w) -> acc + "
+        f"CAST(round(({term}) * 1000000.0d) AS BIGINT))"
+    )
+    return staged.select(
+        id_col,
+        F.size("__ts").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(__ts) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE round(CAST({fold} AS DOUBLE) / 1000000.0d "
+            f"/ CAST(size(__ts) AS DOUBLE), 4) + 0.0d "
+            f"END"
+        ).alias("avg_log_ratio"),
+    )
+
+
+def url_normalize_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    crawl pipeline (CCNet/C4 both key on normalized URLs before any
+    content hashing): lowercase, strip the scheme and a leading
+    ``www.``, drop the query string and fragment, and trim trailing
+    slashes; documents sharing a canonical URL are one page fetched many
+    ways.
+
+    All anchored ``regexp_replace`` chains (first-match == global for
+    anchored patterns, so Spark's replace-all and DuckDB's replace-first
+    behave identically) — a narrow map, then ONE groupBy shuffle on the
+    canonical key.  Returns per canonical URL: (canonical_url, n_docs,
+    n_variants, keep_id) with ``keep_id`` the lowest document id (the
+    survivor-pick convention of ``dedup.exact_duplicates``).
+    """
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(url_col)),
+                                 "^https?://", ""),
+                "^www\\.", ""),
+            "[?#].*$", ""),
+        "/+$", "")
+    return (
+        df.select(
+            canon.alias("canonical_url"),
+            F.col(url_col).alias("__raw"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("__raw").cast("long").alias("n_variants"),
+            F.min("__id").alias("keep_id"),
+        )
+    )
+
+
+def pack_documents_greedy(
+    docs: DataFrame,
+    budget_tokens: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-document greedy bin packing (next-fit-decreasing): within
+    each shard, documents sorted by (tokens desc, id asc) are packed
+    sequentially into bins of ``budget_tokens``, opening a new bin when
+    the current one cannot fit the next document — the no-split
+    counterpart of :func:`pack_sequences` for pipelines that must keep
+    documents intact (instruction tuning, eval sets).  A document longer
+    than the budget gets a bin of its own rather than being dropped.
+
+    Packing is inherently sequential, so the corpus is sharded by
+    ``id % n_shards`` and each shard packs independently inside ONE
+    Arrow-batched ``applyInPandas`` group (the documented exception for
+    per-partition imperative logic) — parallelism and per-task memory
+    are both set by ``n_shards``, which should grow with the corpus so a
+    shard's (id, n_tokens) pairs fit an executor; only the two integer
+    columns travel, never text.  Returns (doc_id, shard, n_tokens, bin,
+    bin_fill) — ``bin_fill`` the shard-bin's running fill after placing
+    the document.
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) "
+            "AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, fills = [], []
+        cur_bin, fill = 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            nt = int(nt)
+            if i == 0:
+                fill = nt
+            elif fill + nt <= budget_tokens:
+                fill += nt
+            else:
+                cur_bin += 1
+                fill = nt
+            bins.append(cur_bin)
+            fills.append(fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    schema = ("doc_id long, shard long, n_tokens long, bin long, "
+              "bin_fill long")
+    return toks.groupBy("shard").applyInPandas(pack, schema)

@@ -299,3 +299,77 @@ def test_cosine_histogram_identical_vectors_land_in_top_bin(spark):
     hist = ops.cosine_similarity_histogram(df, n_bins=20).collect()
     assert len(hist) == 1 and hist[0]["bin"] == 19
     assert hist[0]["n_pairs"] == 4
+
+
+# ---- importance weights / url dedup / greedy packing ----------------------
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    target_rows = [(i, "alpha beta gamma delta") for i in range(10)]
+    source_extra = [(100 + i, "omega psi chi phi") for i in range(10)]
+    docs = spark.createDataFrame(
+        target_rows + source_extra, "doc_id long, text string"
+    )
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_log_ratio"]
+           for r in ops.importance_weights(docs, target, top_n=50).collect()}
+    # docs made of target vocabulary outweigh pure-source docs
+    assert out[0] > out[100]
+    assert all(out[i] == out[0] for i in range(10))
+
+
+def test_importance_weights_empty_doc_is_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           ops.importance_weights(docs, docs, top_n=10).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["avg_log_ratio"] is None
+    # target == source: every ratio is 1, every weight exactly 0
+    assert out[1]["avg_log_ratio"] == 0.0
+
+
+def test_url_normalize_dedup_groups_variants(spark):
+    urls = [
+        (1, "https://www.Example.com/Page/1"),
+        (2, "HTTP://example.com/page/1/"),
+        (3, "example.com/page/1?utm=x"),
+        (4, "https://example.com/page/1#section"),
+        (5, "https://other.org/a"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r["canonical_url"]: r
+           for r in ops.url_normalize_dedup(df, "url").collect()}
+    assert set(out) == {"example.com/page/1", "other.org/a"}
+    grp = out["example.com/page/1"]
+    assert grp["n_docs"] == 4 and grp["n_variants"] == 4
+    assert grp["keep_id"] == 1
+    assert out["other.org/a"]["n_docs"] == 1
+
+
+def test_pack_documents_greedy_respects_budget_and_order(spark):
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in enumerate([50, 40, 30, 20, 10, 5, 120])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        ops.pack_documents_greedy(
+            df, budget_tokens=100, n_shards=1).collect(),
+        key=lambda r: (r["bin"], -r["n_tokens"], r["doc_id"]),
+    )
+    # NFD order: 120 | 50 40 | 30 20 10 5 -> oversize doc alone in bin 0
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["n_tokens"])
+    assert by_bin == {0: [120], 1: [50, 40], 2: [30, 20, 10, 5]}
+    for r in out:
+        if r["n_tokens"] <= 100:
+            assert r["bin_fill"] <= 100
+
+
+def test_pack_documents_greedy_shards_are_independent(spark):
+    rows = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.pack_documents_greedy(df, budget_tokens=64, n_shards=4)
+    for r in out.collect():
+        assert r["shard"] == r["doc_id"] % 4
+        assert r["bin_fill"] <= 64  # no doc here exceeds the budget
