@@ -1035,6 +1035,24 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_heavy_hitters(spark, sf):
+    return ops.count_min_estimates(
+        _t(spark, sf, "events"), "user_id", depth=4, width=256
+    )
+
+
+def _q_windowed_funnel(spark, sf):
+    return ops.windowed_funnel(_t(spark, sf, "events"), window_hours=168)
+
+
+def _q_label_propagation(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return ops.label_propagation(edges, iterations=4)
+
+
 def _q_dedup_semantic(spark, sf):
     # threshold 0.3: the synthetic embedding corpus's pairwise cosines
     # top out ~0.5, so 0.3 marks its genuine near-duplicate tail
@@ -1338,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_importance_weights": _q_importance_weights,
             "docs_url_dedup": _q_url_dedup,
             "docs_best_fit_pack": _q_best_fit_pack,
+            "events_heavy_hitters": _q_heavy_hitters,
+            "events_windowed_funnel": _q_windowed_funnel,
+            "graph_label_propagation": _q_label_propagation,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -4306,6 +4327,110 @@ SELECT o_orderpriority, n, mean, z, p_value, p_rank,
             ELSE qv <= 0.05 END AS significant_bh
 FROM qq
 """
+
+    # count-min sketch frequency estimates, md5-hash bucketed
+    _cmsh = (
+        "('0x' || substr(md5(CAST({k} AS VARCHAR) || ':cms:' "
+        "|| CAST({j} AS VARCHAR)), 1, 15))::BIGINT % 256"
+    )
+    o["events_heavy_hitters"] = f"""
+WITH ks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY 1
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cells AS (
+  SELECT js.j, {_cmsh.format(k='user_id', j='js.j')} AS bucket
+  FROM events CROSS JOIN js
+),
+sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT ks.user_id, ks.exact_count, js.j,
+         {_cmsh.format(k='ks.user_id', j='js.j')} AS bucket
+  FROM ks CROSS JOIN js
+),
+est AS (
+  SELECT user_id, exact_count, CAST(min(c) AS BIGINT) AS cms_estimate
+  FROM probes p JOIN sk USING (j, bucket) GROUP BY 1, 2
+)
+SELECT user_id, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overcount
+FROM est
+"""
+
+    # time-constrained funnel: each step's conditional min within the
+    # window of the previous step's timestamp
+    o["events_windowed_funnel"] = """
+WITH f1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS step1_ts
+  FROM events GROUP BY 1
+),
+f2 AS (
+  SELECT e.user_id, f1.step1_ts,
+         min(CASE WHEN e.event_type = 'view' AND e.ts > f1.step1_ts
+                   AND e.ts <= f1.step1_ts + INTERVAL 168 HOURS
+                  THEN e.ts END) AS step2_ts
+  FROM events e JOIN f1 ON e.user_id = f1.user_id GROUP BY 1, 2
+),
+f3 AS (
+  SELECT e.user_id, f2.step1_ts, f2.step2_ts,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > f2.step2_ts
+                   AND e.ts <= f2.step2_ts + INTERVAL 168 HOURS
+                  THEN e.ts END) AS step3_ts
+  FROM events e JOIN f2 ON e.user_id = f2.user_id GROUP BY 1, 2, 3
+)
+SELECT user_id, step1_ts, step2_ts, step3_ts,
+  CAST(CASE WHEN step3_ts IS NOT NULL THEN 3
+            WHEN step2_ts IS NOT NULL THEN 2
+            WHEN step1_ts IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS reached_step
+FROM f3
+"""
+
+    # deterministic synchronous label propagation over the kNN graph,
+    # one CTE pair per iteration (plurality pick = count desc, label asc)
+    _lp = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+kedges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+und AS (
+  SELECT src AS u, dst AS w FROM kedges WHERE src != dst
+  UNION
+  SELECT dst AS u, src AS w FROM kedges WHERE src != dst
+),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    for _i in range(4):
+        _lp += f""",
+l{_i + 1} AS (
+  SELECT n.node, coalesce(p.new_label, l.label) AS label
+  FROM nodes n JOIN l{_i} l ON l.node = n.node
+  LEFT JOIN (
+    SELECT u AS node, label AS new_label FROM (
+      SELECT e2.u, c.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e2.u
+                                ORDER BY count(*) DESC, c.label ASC) AS rk
+      FROM und e2 JOIN l{_i} c ON c.node = e2.w
+      GROUP BY e2.u, c.label
+    ) WHERE rk = 1
+  ) p ON p.node = n.node
+)"""
+    _lp += """
+SELECT node, label FROM l4"""
+    o["graph_label_propagation"] = _lp
 
     # DSIR importance weights: two unigram models (target = lang 'en',
     # source = whole corpus), per-doc sorted fold of ln likelihood ratios

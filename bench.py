@@ -151,6 +151,9 @@ HEADLINE = [
     "docs_importance_weights",
     "docs_url_dedup",
     "docs_best_fit_pack",
+    "events_heavy_hitters",
+    "events_windowed_funnel",
+    "graph_label_propagation",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

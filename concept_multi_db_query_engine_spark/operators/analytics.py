@@ -1069,3 +1069,68 @@ def session_stats(
             "round(CAST(maxd AS DOUBLE) / 1000000.0d, 4)"
         ).alias("max_duration_s"),
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    window_hours: int = 168,
+    steps: tuple = ("signup", "view", "purchase"),
+) -> DataFrame:
+    """Time-constrained funnel: first ``steps[0]``, then the first
+    ``steps[1]`` within ``window_hours`` of it, then the first
+    ``steps[2]`` within ``window_hours`` of THAT — the conversion-window
+    semantics every product funnel actually uses (an unbounded funnel
+    counts a purchase two years after signup as converted;
+    :func:`signup_purchase_funnel` is that unbounded baseline).
+
+    Each step is one conditional-min aggregation keyed by user joined
+    back to the event stream — two join+agg rounds on the same key, so
+    after the first shuffle the frames are co-partitioned and AQE keeps
+    the subsequent exchanges cheap; no windows, no per-user sorting, hot
+    users cost O(their events) in a map-side combine.  Returns
+    (user_id, step1_ts, step2_ts, step3_ts, reached_step).
+    """
+    s1, s2, s3 = steps
+    w = F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    ev = events.select("user_id", "event_type", "ts")
+    first1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts")))
+        .alias("step1_ts")
+    )
+    first2 = (
+        ev.join(first1, "user_id")
+        .groupBy("user_id", "step1_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2)
+                    & (F.col("ts") > F.col("step1_ts"))
+                    & (F.col("ts") <= F.col("step1_ts") + w),
+                    F.col("ts"),
+                )
+            ).alias("step2_ts")
+        )
+    )
+    first3 = (
+        ev.join(first2, "user_id")
+        .groupBy("user_id", "step1_ts", "step2_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3)
+                    & (F.col("ts") > F.col("step2_ts"))
+                    & (F.col("ts") <= F.col("step2_ts") + w),
+                    F.col("ts"),
+                )
+            ).alias("step3_ts")
+        )
+    )
+    return first3.select(
+        "user_id", "step1_ts", "step2_ts", "step3_ts",
+        (
+            F.when(F.col("step3_ts").isNotNull(), 3)
+            .when(F.col("step2_ts").isNotNull(), 2)
+            .when(F.col("step1_ts").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("int").alias("reached_step"),
+    )

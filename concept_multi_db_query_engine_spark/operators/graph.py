@@ -302,3 +302,54 @@ def personalized_pagerank(
         F.col("rank_i").alias("rank_scaled"),
         (F.col("rank_i").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. 2007), made deterministic: labels start as node ids, and each
+    round every node adopts the label held by the PLURALITY of its
+    neighbors with ties broken by (count desc, label asc) — no RNG, no
+    async sweep order, so Spark and a sequential SQL replay converge to
+    bit-identical labelings (the ``pagerank`` determinism contract).
+
+    The edge list is symmetrized once (undirected view) and checkpointed;
+    each iteration is one edge-list join against the label vector plus a
+    two-level aggregation — (node, label) counts map-side combined, then
+    a ``min_by`` plurality pick — with lineage cut every
+    ``checkpoint_every`` rounds.  Per-iteration state is one row per
+    node.  Isolated-from-update nodes keep their current label via the
+    left join.  Returns (node, label) — equal labels mark one community.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    und = edges.select(src.alias("u"), dst.alias("w")).union(
+        edges.select(dst.alias("u"), src.alias("w"))
+    ).where(F.col("u") != F.col("w")).distinct().localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iterations):
+        counts = (
+            und.join(labels, und["w"] == labels["node"])
+            .select(F.col("u"), F.col("label"))
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = counts.groupBy(F.col("u").alias("node")).agg(
+            F.expr("min_by(label, struct(-cnt, label))").alias("new_label")
+        )
+        labels = nodes.join(labels, "node").join(picked, "node", "left") \
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

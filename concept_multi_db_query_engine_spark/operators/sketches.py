@@ -209,3 +209,59 @@ SELECT k_used, n_both,
   round({rho} * {union_est}, 4) AS intersect_est
 FROM st CROSS JOIN nb
 """
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built and probed
+    in one query — the bounded-memory frequency summary for heavy-hitter
+    monitoring: the sketch is ``depth × width`` counters regardless of key
+    cardinality, mergeable across partitions/streams (counter-wise sums),
+    and every estimate is an OVERCOUNT (min over depth rows bounds the
+    collision error at ~2N/width with probability 1−2^−depth).
+
+    Hashing is the repo's md5 discipline (``md5(key:salt:row) % width`` —
+    engine-reproducible, no RNG).  Build: each row emits its ``depth``
+    (row, bucket) cells via one explode, and a map-side-combined groupBy
+    reduces them to the d·w sketch — shuffle volume is d·w per partition,
+    never per row.  Probe: the distinct keys join their cells against the
+    sketch (broadcast: the sketch IS tiny) and take the min.  The exact
+    count rides along, so the result doubles as a sketch-quality report
+    (the ``distinct_sketch_comparison`` convention).  Returns
+    (key, exact_count, cms_estimate, overcount).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("need depth >= 1 and width >= 1")
+    h = (
+        f"CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), "
+        f"':{salt}:', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+        f"% {width}"
+    )
+    cells = df.select(
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
+        F.col(key_col),
+    ).select("j", F.expr(h).alias("bucket"))
+    sketch = cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    keys = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = keys.select(
+        key_col, "exact_count",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
+    ).select(key_col, "exact_count", "j", F.expr(h).alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        key_col, "exact_count", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )

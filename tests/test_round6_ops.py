@@ -373,3 +373,96 @@ def test_pack_documents_greedy_shards_are_independent(spark):
     for r in out.collect():
         assert r["shard"] == r["doc_id"] % 4
         assert r["bin_fill"] <= 64  # no doc here exceeds the budget
+
+
+# ---- count-min / windowed funnel / label propagation ----------------------
+
+
+def test_count_min_estimates_never_undercount(spark):
+    rows = [(f"k{i % 30}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    out = ops.count_min_estimates(df, "k", depth=4, width=16).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_count_min_wide_sketch_is_exact(spark):
+    # width >> keys: collisions vanish and every estimate is exact
+    rows = [(f"k{i % 10}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    for r in ops.count_min_estimates(df, "k", depth=4, width=4096).collect():
+        assert r["cms_estimate"] == r["exact_count"] == 20
+
+
+def test_count_min_matches_python_replay(spark):
+    keys = [f"u{i % 7}" for i in range(60)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    depth, width = 3, 8
+    sketch = {}
+    for k in keys:
+        for j in range(depth):
+            h = int(hashlib.md5(f"{k}:cms:{j}".encode())
+                    .hexdigest()[:15], 16) % width
+            sketch[(j, h)] = sketch.get((j, h), 0) + 1
+    want = {}
+    for k in set(keys):
+        want[k] = min(
+            sketch[(j, int(hashlib.md5(f"{k}:cms:{j}".encode())
+                           .hexdigest()[:15], 16) % width)]
+            for j in range(depth)
+        )
+    got = {r["k"]: r["cms_estimate"]
+           for r in ops.count_min_estimates(
+               df, "k", depth=depth, width=width).collect()}
+    assert got == want
+
+
+def test_windowed_funnel_respects_conversion_window(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def h(hours):
+        return t0 + dt.timedelta(hours=hours)
+
+    rows = [
+        # user 1: full funnel inside the window
+        (1, "signup", h(0)), (1, "view", h(5)), (1, "purchase", h(8)),
+        # user 2: view arrives after the window -> stops at step 1
+        (2, "signup", h(0)), (2, "view", h(200)), (2, "purchase", h(201)),
+        # user 3: purchase before the view doesn't count; none after
+        (3, "signup", h(0)), (3, "purchase", h(1)), (3, "view", h(2)),
+        # user 4: no signup at all
+        (4, "view", h(0)), (4, "purchase", h(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in
+           ops.windowed_funnel(df, window_hours=168).collect()}
+    assert out[1]["reached_step"] == 3
+    assert out[2]["reached_step"] == 1 and out[2]["step2_ts"] is None
+    assert out[3]["reached_step"] == 2 and out[3]["step3_ts"] is None
+    assert out[4]["reached_step"] == 0
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    out = {r["node"]: r["label"]
+           for r in ops.label_propagation(df, iterations=4).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_label_propagation_deterministic_across_partitioning(spark):
+    edges = [(i, (i * 3) % 17) for i in range(17)] + [(i, i + 17) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r["node"], r["label"])
+               for r in ops.label_propagation(df, 4).collect())
+    b = sorted((r["node"], r["label"])
+               for r in ops.label_propagation(df.repartition(7), 4).collect())
+    assert a == b
