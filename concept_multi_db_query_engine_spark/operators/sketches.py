@@ -211,6 +211,39 @@ FROM st CROSS JOIN nb
 """
 
 
+def _cms_hash(key_col: str, depth: int, width: int, salt: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), "
+        f"':{salt}:', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+        f"% {width}"
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Just the ``depth × width`` count-min counter frame
+    (j, bucket, c) for ``df[key_col]`` — the mergeable half of
+    :func:`count_min_estimates`: sketches of disjoint row sets (other
+    partitions, other micro-batches, other days) combine by summing
+    counters on (j, bucket), which is what makes CMS the streaming /
+    incremental frequency summary."""
+    if depth < 1 or width < 1:
+        raise ValueError("need depth >= 1 and width >= 1")
+    h = _cms_hash(key_col, depth, width, salt)
+    cells = df.select(
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
+        F.col(key_col),
+    ).select("j", F.expr(h).alias("bucket"))
+    return cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
 def count_min_estimates(
     df: DataFrame,
     key_col: str,
@@ -237,18 +270,8 @@ def count_min_estimates(
     """
     if depth < 1 or width < 1:
         raise ValueError("need depth >= 1 and width >= 1")
-    h = (
-        f"CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), "
-        f"':{salt}:', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) "
-        f"% {width}"
-    )
-    cells = df.select(
-        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
-        F.col(key_col),
-    ).select("j", F.expr(h).alias("bucket"))
-    sketch = cells.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    h = _cms_hash(key_col, depth, width, salt)
+    sketch = count_min_sketch(df, key_col, depth, width, salt)
     keys = df.groupBy(F.col(key_col)).agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )

@@ -407,3 +407,44 @@ def test_psi_drift_monitoring_via_foreach_batch(spark):
     # it is a subsample; the full-coverage case scores identically zero
     if len(scores) == 1:
         assert scores[0][0] == 0.0
+
+
+def test_count_min_sketch_merges_across_micro_batches(spark):
+    """CMS counters are plain sums, so per-micro-batch sketches merged
+    counter-wise on (j, bucket) must equal the batch sketch over the
+    whole stream — the mergeability that makes count-min the streaming /
+    incremental frequency summary (foreachBatch accumulates the running
+    sketch exactly as a multi-day ingestion job would)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(events_path)
+    d = tempfile.mkdtemp(prefix="stream-cms-")
+    os.symlink(events_path, os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    merged: dict = {}
+
+    def absorb(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        for r in ops.count_min_sketch(
+                batch_df, "user_id", depth=4, width=64).collect():
+            key = (r["j"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["c"]
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in ops.count_min_sketch(
+            batch, "user_id", depth=4, width=64).collect()
+    }
+    assert merged == want
+    assert sum(merged.values()) == 4 * batch.count()
