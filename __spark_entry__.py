@@ -1035,6 +1035,35 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_session_paths(spark, sf):
+    return ops.session_paths(_t(spark, sf, "events"), gap_minutes=30,
+                             top_k=20)
+
+
+def _q_reservoir_sample(spark, sf):
+    return ops.reservoir_sample_per_group(
+        _t(spark, sf, "events"), "event_type", n_per_group=5
+    )
+
+
+def _q_daily_ewma(spark, sf):
+    return ops.daily_ewma(_t(spark, sf, "events"))
+
+
+def _q_zorder(spark, sf):
+    base = _t(spark, sf, "orders").selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') "
+        "AS BIGINT) AS dday",
+    )
+    return ops.zorder_code(base, "o_custkey", "dday", bits=12)
+
+
+def _q_skew_report(spark, sf):
+    return ops.join_skew_report(_t(spark, sf, "events"), "user_id",
+                                top_n=10)
+
+
 def _q_heavy_hitters(spark, sf):
     return ops.count_min_estimates(
         _t(spark, sf, "events"), "user_id", depth=4, width=256
@@ -1359,6 +1388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_heavy_hitters": _q_heavy_hitters,
             "events_windowed_funnel": _q_windowed_funnel,
             "graph_label_propagation": _q_label_propagation,
+            "events_session_paths": _q_session_paths,
+            "events_reservoir_sample": _q_reservoir_sample,
+            "events_daily_ewma": _q_daily_ewma,
+            "orders_zorder_layout": _q_zorder,
+            "events_skew_report": _q_skew_report,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1418,6 +1452,8 @@ _GATE_PRIORITY = [
     "events_mad_outliers", "graph_label_propagation", "stats_bh_correction",
     "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
     "events_windowed_funnel", "docs_url_dedup", "stats_bootstrap_ci",
+    "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
+    "orders_zorder_layout", "events_skew_report",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4326,6 +4362,128 @@ SELECT o_orderpriority, n, mean, z, p_value, p_rank,
        CASE WHEN p_value IS NULL THEN NULL
             ELSE qv <= 0.05 END AS significant_bh
 FROM qq
+"""
+
+    # top-k session paths (gap sessionization + ordered type sequences)
+    o["events_session_paths"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, seq,
+         array_to_string(list_slice(
+           list(event_type ORDER BY ts, event_id), 1, 50), '>') AS path
+  FROM sess GROUP BY 1, 2
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY 1
+),
+top AS (SELECT path, n_sessions FROM counted
+        ORDER BY n_sessions DESC, path ASC LIMIT 20)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS INT) AS rank
+FROM top
+"""
+
+    # deterministic per-group reservoir sample (lowest md5 buckets win)
+    o["events_reservoir_sample"] = """
+WITH h AS (
+  SELECT *, ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rsv'),
+             1, 15))::BIGINT AS sample_bucket
+  FROM events
+),
+r AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY event_type ORDER BY sample_bucket, event_id) AS INT)
+    AS sample_rank
+  FROM h
+)
+SELECT event_id, ts, user_id, event_type, value, props,
+       sample_bucket, sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+    # trailing-30-day EWMA over the zero-filled daily grid; identical
+    # driver-baked weight literals, sorted ascending-day folds
+    _ew = ops.ewma_weights(0.3, 30)
+    _ew_duck = "[" + ", ".join(f"{w!r}" for w in _ew) + "]"
+    o["events_daily_ewma"] = f"""
+WITH obs AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+           FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM bounds
+),
+daily AS (
+  SELECT g.event_type, g.day, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.day = o.day
+),
+pairs AS (
+  SELECT a.event_type, a.day, a.n, b.day AS day2,
+         CAST(b.n AS DOUBLE)
+           * list_extract({_ew_duck}, (a.day - b.day) + 1) AS term,
+         list_extract({_ew_duck}, (a.day - b.day) + 1) AS wgt
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type
+   AND b.day BETWEEN a.day - 29 AND a.day
+)
+SELECT event_type, day, n,
+  round(list_reduce(list(term ORDER BY day2 ASC), (x, y) -> x + y)
+        / list_reduce(list(wgt ORDER BY day2 ASC), (x, y) -> x + y), 6)
+    AS ewma
+FROM pairs GROUP BY event_type, day, n
+"""
+
+    # Morton z-order codes over (custkey, day-number), 12 bits each
+    _zm_terms = []
+    for _i in range(12):
+        _zm_terms.append(
+            f"((((o_custkey & 4095) >> {_i}) & 1) << {2 * _i})")
+        _zm_terms.append(
+            f"((((dday & 4095) >> {_i}) & 1) << {2 * _i + 1})")
+    o["orders_zorder_layout"] = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+           AS dday
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, dday,
+       CAST({" + ".join(_zm_terms)} AS BIGINT) AS zorder
+FROM base
+"""
+
+    # join-skew report: heaviest keys by exact integer ppm share
+    o["events_skew_report"] = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+top AS (SELECT user_id, cnt FROM c
+        ORDER BY cnt DESC, user_id ASC LIMIT 10)
+SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
+       CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
+         AS rank
+FROM top, t
 """
 
     # count-min sketch frequency estimates, md5-hash bucketed

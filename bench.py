@@ -154,6 +154,11 @@ HEADLINE = [
     "events_heavy_hitters",
     "events_windowed_funnel",
     "graph_label_propagation",
+    "events_session_paths",
+    "events_reservoir_sample",
+    "events_daily_ewma",
+    "orders_zorder_layout",
+    "events_skew_report",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

@@ -1134,3 +1134,172 @@ def windowed_funnel(
             .otherwise(0)
         ).cast("int").alias("reached_step"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+    max_path_events: int = 50,
+) -> DataFrame:
+    """Top-k session paths: the most frequent ordered event-type
+    sequences users take within a session (the "signup>view>purchase vs
+    signup>error>..." product-flow report that per-edge transition
+    matrices can't show).
+
+    Session boundaries are :func:`sessionize`'s gap rule on the SAME
+    single user-keyed exchange (lag flag + running sum + rollup share
+    one partitioning); the path string is built deterministically with
+    ``array_sort(collect_list(struct(ts, event_id, type)))`` — the
+    event-id tiebreak makes equal-timestamp orders total — truncated to
+    ``max_path_events`` events so a runaway session bounds the row (the
+    collect is per SESSION, which the gap rule already bounds in time).
+    The final count is a tiny path-keyed aggregate with a
+    TakeOrdered top-k.  Returns (path, n_sessions, rank).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            ) > gap_us, 1
+        ).otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(array_sort("
+                "collect_list(struct(ts, event_id, event_type))), "
+                f"t -> t.event_type), 1, {int(max_path_events)}), '>')"
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(top_k)
+    w_rank = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w_rank))
+
+
+def reservoir_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int = 5,
+    id_col: str = "event_id",
+    salt: str = "rsv",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: the ``n_per_group``
+    rows with the smallest md5(id:salt) hash in each group — equivalent
+    in distribution to a uniform reservoir sample but reproducible on
+    any engine, any day (the :func:`text.hash_split` discipline), and
+    re-salting re-rolls the sample.  The rank window partitions by
+    group, so Spark inserts a partial WindowGroupLimit before the
+    shuffle — each partition forwards at most ``n_per_group`` candidate
+    rows per group, never the full group.  Returns the sampled rows
+    plus (sample_bucket, sample_rank).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":" + salt))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__bucket").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__bucket", h)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
+        .withColumnRenamed("__bucket", "sample_bucket")
+    )
+
+
+def ewma_weights(alpha: float = 0.3, window_days: int = 30) -> list:
+    """The trailing EWMA weight table (1−α)^i for i = 0..window−1,
+    computed ONCE driver-side and baked as identical double literals
+    into both the Spark expression and the oracle — no cross-engine
+    pow() in the data path."""
+    return [(1.0 - alpha) ** i for i in range(window_days)]
+
+
+def daily_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    window_days: int = 30,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted daily event counts per type — the
+    smoothed-trend line ops dashboards overlay on raw dailies, computed
+    over a ZERO-FILLED calendar grid (the hourly-anomaly lesson: silent
+    days must weigh in as zeros, or quiet periods inflate the trend).
+
+    The trailing window's (day, n) pairs are collected per row,
+    array-sorted, and folded oldest-to-newest against the driver-baked
+    weight table (:func:`ewma_weights`) — a deterministic sequential
+    sum of identical doubles on any engine; the normalizer is the fold
+    of the same weights over the days actually inside the window, so
+    the first ``window_days`` days are correctly renormalized rather
+    than biased toward zero.  One shuffle keyed by event_type; the
+    per-type day grid is an in-frame ``sequence()`` explode.  Returns
+    (event_type, day, n, ewma).
+    """
+    ws = ewma_weights(alpha, window_days)
+    warr = "array(" + ", ".join(f"{w!r}d" for w in ws) + ")"
+    observed = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        observed.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    daily = (
+        grid.join(observed, ["event_type", "day"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    collected = daily.withColumn(
+        "__win_raw", F.collect_list(F.struct("day", "n")).over(w)
+    ).withColumn(
+        "__win", F.array_sort("__win_raw")
+    ).withColumn("__day_i", F.expr("datediff(day, DATE '1970-01-01')"))
+    num = (
+        f"aggregate(__win, CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+        f"CAST(t.n AS DOUBLE) * element_at({warr}, "
+        f"__day_i - datediff(t.day, DATE '1970-01-01') + 1))"
+    )
+    den = (
+        f"aggregate(__win, CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+        f"element_at({warr}, "
+        f"__day_i - datediff(t.day, DATE '1970-01-01') + 1))"
+    )
+    return collected.select(
+        "event_type", "day", "n",
+        F.expr(f"round(({num}) / ({den}), {round_to})").alias("ewma"),
+    )

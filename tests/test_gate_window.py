@@ -18,20 +18,29 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_front_50_carries_the_stale_r1_rotation():
+def test_front_50_carries_the_round6_composition():
     front = list(entry_mod.queries())[:50]
-    stale_r1 = {
-        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-        "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14",
-        "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-        "tpch_q22", "by_ids", "federated_join", "group_by_no_agg",
-        "order_limit_offset",
+    # the 25 round-5b/5c rows that have never had a driver row (the
+    # round-5 verdict's top item) grade on first appearance this round
+    first_appearance = {
+        "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
+        "docs_chi_square", "embeddings_kmeans",
+        "embeddings_kmeans_centroids", "embeddings_random_projection",
+        "embeddings_pq_encode", "sim_topk_pq", "stats_ols_by_group",
+        "stats_ks_test", "stats_welch_t_test", "stats_mann_whitney",
+        "dedup_containment", "text_char_entropy", "orders_psi_drift",
+        "graph_triangles", "docs_token_jsd_drift",
+        "embeddings_corpus_stats", "events_kmv_resemblance",
+        "sim_topk_rp_lsh", "events_session_stats",
+        "graph_personalized_pagerank", "text_unigram_logprob",
+        "text_bigram_logprob",
     }
-    missing = stale_r1 - set(front)
-    assert not missing, f"stale-r1 rows fell out of the window: {missing}"
-    # the round-5 code-change re-verifies must also be inside
-    for name in ("order_value_quantiles", "customer_revenue_deciles",
-                 "events_hourly_anomaly"):
+    missing = first_appearance - set(front)
+    assert not missing, f"queued r5b/5c rows fell out: {missing}"
+    # rows whose runtime or module changed this round must re-verify
+    for name in ("dedup_minhash_lsh", "dedup_minhash_estimate",
+                 "rolling_revenue_7d", "order_value_quantiles",
+                 "customer_revenue_deciles", "graph_pagerank_dangling"):
         assert name in front, name
 
 

@@ -248,3 +248,57 @@ class TestRound5Shapes:
     def test_feature_matrix_has_no_exchange(self, spark):
         docs = testdata.load_table(spark, SF_DIR, "documents")
         assert "Exchange" not in executed(ops.feature_matrix(docs))
+
+
+class TestRound6Shapes:
+    def test_cms_probe_joins_broadcast_the_sketch(self, spark):
+        # the d x w sketch side of the probe join is explicitly
+        # broadcast; the key side never shuffles for the join
+        events = testdata.load_table(spark, SF_DIR, "events")
+        full = executed(ops.count_min_estimates(events, "user_id"))
+        assert "BroadcastHashJoin" in full
+
+    def test_windowed_funnel_has_no_global_window(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        full = executed(ops.windowed_funnel(events))
+        assert "SinglePartition" not in full
+        assert "Window" not in full  # conditional-min aggs, not windows
+
+    def test_standardize_embeddings_stats_stay_inframe(self, spark):
+        # the 64-row moment frame is packed into one row and joined back
+        # with a broadcast nested-loop cross join — no driver collect,
+        # no per-row shuffle of the vectors themselves
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        full = executed(ops.standardize_embeddings(emb, dim=64))
+        assert "BroadcastNestedLoopJoin" in full
+
+    def test_semantic_dedup_join_is_hash_not_cartesian(self, spark):
+        # the within-cluster pair join has an equi cluster key: it must
+        # plan as a hash/sort-merge join with the id inequality as a
+        # post-condition, never a cartesian product
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        full = executed(
+            ops.semantic_dedup_pairs(emb, k=4, iterations=1, threshold=0.3)
+        )
+        assert "CartesianProduct" not in full
+
+    def test_mad_outliers_quantiles_pinned_and_parallel(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        full = executed(
+            ops.mad_outliers(events, "value", ["event_id"], threshold=3.5)
+        )
+        assert "SinglePartition" not in full
+        assert "ExistingRDD" in full  # the checkpointed ranking frames
+
+    def test_quantile_rank_routing_join_not_driver_side(self, spark):
+        # round-6: the needed-rank routing is a JOIN against the
+        # executor-side starts frame — the executed plan contains the
+        # rank-tag mapInPandas stage feeding a join, and no collect
+        # happens while building the frame (construction is lazy except
+        # the checkpoint pin itself)
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = ops.distributed_group_quantiles(
+            orders, "o_orderpriority", "o_totalprice", [0.5]
+        )
+        full = executed(df)
+        assert "SinglePartition" not in full

@@ -466,3 +466,133 @@ def test_label_propagation_deterministic_across_partitioning(spark):
     b = sorted((r["node"], r["label"])
                for r in ops.label_propagation(df.repartition(7), 4).collect())
     assert a == b
+
+
+# ---- session paths / reservoir / EWMA / z-order / skew report -------------
+
+
+def test_session_paths_orders_and_splits_on_gap(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "signup"),
+        (2, 1, t0 + dt.timedelta(minutes=5), "view"),
+        # 2h gap -> new session
+        (3, 1, t0 + dt.timedelta(hours=2, minutes=10), "purchase"),
+        (4, 2, t0, "signup"),
+        (5, 2, t0 + dt.timedelta(minutes=1), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["path"]: r["n_sessions"]
+           for r in ops.session_paths(df, gap_minutes=30).collect()}
+    assert out == {"signup>view": 2, "purchase": 1}
+
+
+def test_reservoir_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(90)], "event_id long, grp string"
+    )
+    a = ops.reservoir_sample_per_group(df, "grp", 4, id_col="event_id")
+    rows_a = sorted((r["grp"], r["event_id"]) for r in a.collect())
+    rows_b = sorted(
+        (r["grp"], r["event_id"])
+        for r in ops.reservoir_sample_per_group(
+            df.repartition(7), "grp", 4, id_col="event_id").collect()
+    )
+    assert rows_a == rows_b
+    from collections import Counter
+    sizes = Counter(g for g, _ in rows_a)
+    assert sizes == {"t0": 4, "t1": 4, "t2": 4}
+    # re-salting changes the picks
+    rows_c = sorted(
+        (r["grp"], r["event_id"])
+        for r in ops.reservoir_sample_per_group(
+            df, "grp", 4, id_col="event_id", salt="other").collect()
+    )
+    assert rows_a != rows_c
+
+
+def test_daily_ewma_constant_series_is_flat(spark):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in range(40):
+        for _ in range(7):  # exactly 7 events every day
+            rows.append((eid, dt.datetime(2024, 1, 1 + d % 27, 12)
+                         + dt.timedelta(days=27 * (d // 27)), "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = ops.daily_ewma(df.withColumn("user_id", F.lit(1))).collect()
+    for r in out:
+        # weighted average of a constant is that constant at any window
+        assert r["ewma"] == pytest.approx(7.0, abs=1e-6), r
+
+
+def test_daily_ewma_zero_fills_gap_days(spark):
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2024, 1, 1), "a"),
+            (2, dt.datetime(2024, 1, 5), "a")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).withColumn("user_id", F.lit(1))
+    out = {str(r["day"]): r for r in ops.daily_ewma(df).collect()}
+    assert len(out) == 5  # the 3 silent days appear
+    assert out["2024-01-03"]["n"] == 0
+    assert 0 < out["2024-01-03"]["ewma"] < 1  # decayed day-1 mass
+
+
+def test_zorder_code_matches_python_interleave(spark):
+    df = spark.createDataFrame(
+        [(i, i * 7 % 300, i * 13 % 300) for i in range(100)],
+        "id long, a long, b long",
+    )
+    out = {r["id"]: r["zorder"]
+           for r in ops.zorder_code(df, "a", "b", bits=10).collect()}
+    for i in range(100):
+        a, b = (i * 7 % 300) & 1023, (i * 13 % 300) & 1023
+        want = 0
+        for j in range(10):
+            want |= ((a >> j) & 1) << (2 * j)
+            want |= ((b >> j) & 1) << (2 * j + 1)
+        assert out[i] == want
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    # rows sorted by z-code: consecutive rows must be close in BOTH
+    # dimensions on average — closer than the column-sorted layout is
+    # in its non-sorted dimension
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 64, (i * 11) % 64) for i in range(512)],
+        "id long, a long, b long",
+    )
+    rows = ops.zorder_layout(df, "a", "b", bits=6, num_partitions=4) \
+        .collect()
+    seq = [(r["a"], r["b"]) for r in rows]
+
+    def avg_jump(vals):
+        return sum(abs(x - y) for x, y in zip(vals, vals[1:])) / (
+            len(vals) - 1)
+
+    ja = avg_jump([a for a, _ in seq])
+    jb = avg_jump([b for _, b in seq])
+    # a purely a-sorted layout would give jb ~ uniform-random (~21);
+    # z-order keeps both below half of that
+    assert ja < 11 and jb < 11
+
+
+def test_join_skew_report_shares_and_ranks(spark):
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in
+           ops.join_skew_report(df, "k", top_n=2).collect()}
+    assert out[1]["k"] == "hot" and out[1]["cnt"] == 60
+    assert out[1]["share_ppm"] == 600000
+    assert out[2]["k"] == "warm" and out[2]["share_ppm"] == 300000
+    assert len(out) == 2
