@@ -1086,7 +1086,7 @@ def _q_dedup_semantic(spark, sf):
     # threshold 0.3: the synthetic embedding corpus's pairwise cosines
     # top out ~0.5, so 0.3 marks its genuine near-duplicate tail
     return ops.semantic_dedup_pairs(
-        _t(spark, sf, "embeddings"), k=4, iterations=3, threshold=0.3
+        _t(spark, sf, "embeddings"), k=8, iterations=3, threshold=0.3
     )
 
 
@@ -4694,7 +4694,7 @@ FROM pack
     # SemDeDup: kmeans assignment (chained-CTE integer replay) + within-
     # cluster cosine pairs above threshold
     o["dedup_semantic"] = (
-        "WITH " + _kmeans_ctes(k=4, iterations=3)
+        "WITH " + _kmeans_ctes(k=8, iterations=3)
         + ",\n" + _COS_NORM_CTE.replace("e AS (", "ne AS (", 1)
         + """
 SELECT ca.cid AS cluster, a.vec_id AS d1, b.vec_id AS d2,
@@ -4762,7 +4762,7 @@ FROM pairs GROUP BY bin
 
     _bts = _stats_mod._poisson1_thresholds()
     _bcase = "CASE " + " ".join(
-        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_bts)
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_bts)
     ) + f" ELSE {len(_bts)} END"
     _B = 48
     _bpicks = {}
@@ -4778,8 +4778,10 @@ FROM pairs GROUP BY bin
     o["stats_bootstrap_ci"] = f"""
 WITH reps AS (SELECT unnest(range(0, {_B})) AS b),
 h AS (
-  SELECT r.b, ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
-           || ':boot:' || CAST(r.b AS VARCHAR)), 1, 15))::BIGINT AS h,
+  SELECT r.b,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+             || ':boot:' || CAST(r.b // 8 AS VARCHAR)),
+             (r.b % 8) * 4 + 1, 4))::BIGINT AS u,
          o.o_totalprice
   FROM orders o CROSS JOIN reps r),
 w AS (SELECT b, {_bcase} AS w, CAST(o_totalprice AS {dc}) AS x FROM h),

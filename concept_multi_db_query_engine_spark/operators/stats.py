@@ -874,7 +874,7 @@ def bh_adjust(
     )
 
 
-def _poisson1_thresholds(bits: int = 60, max_w: int = 6) -> list[int]:
+def _poisson1_thresholds(bits: int = 16, max_w: int = 6) -> list[int]:
     """Exact 2^bits-scaled cumulative Poisson(1) thresholds, computed
     once driver-side and baked into both engines' expressions."""
     import math
@@ -903,38 +903,54 @@ def bootstrap_mean_ci(
     multiplicity is drawn independently as Poisson(1), so no global
     resampling pass is needed; Chamandy et al., "Estimating Uncertainty
     for Massive Data Streams", Google 2012).  RNG is replaced by the
-    repo's md5 discipline: replicate ``b``'s weight for a row is the
-    exact-integer comparison of md5(id:salt:b)'s 60-bit prefix against
-    precomputed Poisson(1) CDF thresholds — bit-reproducible on any
-    engine, re-salting re-rolls the bootstrap.
+    repo's md5 discipline, amortized 8 ways: one md5 per (row, replicate
+    BLOCK) yields eight independent 16-bit lanes (the 128-bit digest
+    sliced as 4-hex-char chunks), and replicate ``b`` reads lane
+    ``b % 8`` of block ``b DIV 8``.  Each lane is compared against
+    exact 2^16-scaled Poisson(1) CDF thresholds — bit-reproducible on
+    any engine, re-salting re-rolls the bootstrap, and the md5 count is
+    ⌈B/8⌉ per row instead of B (the hashing was half the operator's
+    cost at B = 48).
 
-    ONE scan: each row emits its ``n_replicates`` (weight, weight·x)
-    pairs as an array (a narrow map — no row explosion, no shuffle
-    growth), and a single map-side-combined aggregation produces every
-    replicate's exact DECIMAL (Σw, Σwx) in one row.  The replicate means
-    and the percentile CI are then fixed-shape double arithmetic over
-    that row's sorted array — identical in the oracle.
+    ONE scan: each row emits its ``n_replicates`` weights as one INT
+    array (a narrow map — no row explosion, no shuffle growth), and a
+    single map-side-combined aggregation produces every replicate's
+    exact (Σw, Σwx) in one row — 2B aggregate columns, LONG counts and
+    DECIMAL weighted sums.  The replicate means and the percentile CI
+    are then fixed-shape double arithmetic over that row's sorted
+    array — identical in the oracle.
 
     Returns one row: (n_rows, mean, ci_lo, ci_hi, n_replicates).
     """
     if not 0 < ci < 1:
         raise ValueError("ci must be in (0, 1)")
     ts = _poisson1_thresholds()
-    h = (
-        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
-        f"':{salt}:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    n_blocks = (n_replicates + 7) // 8
     w_case = "CASE " + " ".join(
-        f"WHEN h < {t}L THEN {k}" for k, t in enumerate(ts)
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts)
     ) + f" ELSE {len(ts)} END"
-    # two-level transform so each replicate hashes ONCE (the CASE ladder
-    # re-evaluates its scrutinee per WHEN arm if inlined)
+    # ONE nested expression, every intermediate bound to a lambda
+    # variable: lambda variables are evaluated once per element, while a
+    # column from a previous projection would be INLINED into the lambda
+    # body by CollapseProject and recomputed per lane (measured 48×
+    # re-hashing — slower than hashing per replicate). Levels: block →
+    # md5 digest (h, hashed once per block) → 8 lane integers (u) →
+    # CASE weight (the ladder re-evaluates its scrutinee per arm, so u
+    # must already be bound).
+    lanes = (
+        "transform(sequence(0, 7), l -> "
+        "CAST(conv(substring(h, l * 4 + 1, 4), 16, 10) AS BIGINT))"
+    )
+    blocks = (
+        f"transform(sequence(0, {n_blocks - 1}), k -> "
+        f"md5(concat(CAST({id_col} AS STRING), ':{salt}:', "
+        f"CAST(k AS STRING))))"
+    )
     staged = df.select(
         F.expr(
-            f"transform(transform(sequence(0, {n_replicates - 1}), "
-            f"b -> {h}), h -> named_struct("
-            f"'w', CAST(({w_case}) AS INT), "
-            f"'x', CAST({value_col} AS {dec})))"
+            f"slice(flatten(transform({blocks}, h -> "
+            f"transform({lanes}, u -> CAST(({w_case}) AS INT)))), "
+            f"1, {n_replicates})"
         ).alias("__ws"),
         F.col(value_col).alias("__v"),
     )
@@ -944,11 +960,9 @@ def bootstrap_mean_ci(
     ]
     for b in range(n_replicates):
         el = F.col("__ws")[b]
+        aggs.append(F.sum(el.cast("long")).alias(f"w{b}"))
         aggs.append(
-            F.sum(el.getField("w").cast("long")).alias(f"w{b}"))
-        aggs.append(
-            F.sum(el.getField("w").cast(dec) * el.getField("x"))
-            .alias(f"wx{b}"))
+            F.sum(el.cast(dec) * _m("__v", dec)).alias(f"wx{b}"))
     one = staged.agg(*aggs)
     mean_terms = ", ".join(
         f"CAST(wx{b} AS DOUBLE) / nullif(CAST(w{b} AS DOUBLE), 0.0d)"

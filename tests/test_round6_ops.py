@@ -148,10 +148,13 @@ def test_bh_adjust_q_values_are_monotone_step_up(spark):
 # ---- bootstrap_mean_ci ----------------------------------------------------
 
 
-def _py_poisson_weight(key: str, thresholds):
-    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+def _py_poisson_weight(rid, salt, b, thresholds):
+    # round-6 lane scheme: one md5 per 8-replicate block, replicate b
+    # reads 16-bit lane b % 8 of block b // 8
+    hexd = hashlib.md5(f"{rid}:{salt}:{b // 8}".encode()).hexdigest()
+    u = int(hexd[(b % 8) * 4:(b % 8) * 4 + 4], 16)
     for k, t in enumerate(thresholds):
-        if h < t:
+        if u < t:
             return k
     return len(thresholds)
 
@@ -172,7 +175,7 @@ def test_bootstrap_ci_matches_python_replay_exactly(spark):
     for b in range(B):
         sw = swx = 0
         for i, v in zip(ids, vals):
-            w = _py_poisson_weight(f"{i}:boot:{b}", ts)
+            w = _py_poisson_weight(i, "boot", b, ts)
             sw += w
             swx += w * v
         means.append(swx / sw)
