@@ -1174,7 +1174,9 @@ def unigram_logprob_score(
     terms, so the sorted fold's order is total where it matters).
 
     Pass ``corpus`` to train on a different frame than you score
-    (the held-out layout); default trains on ``docs`` itself.
+    (the held-out layout); default trains on ``docs`` itself — which
+    also means a STREAM can be scored against a frozen batch-fitted
+    model by passing the batch frame as ``corpus``.
     Returns (doc_id, n_tokens, bits_per_token).
     """
     train = corpus if corpus is not None else docs
@@ -1363,6 +1365,7 @@ def importance_weights(
     top_n: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style data-selection importance weights (Xie et al. 2023,
     arXiv:2302.03169, reduced to its unigram core): each document is
@@ -1376,8 +1379,12 @@ def importance_weights(
     persisted-scan pass each) baked into broadcast map literals, so
     scoring is a NARROW MAP: a per-row sorted-token fold of
     ``ln(p_target(w) / p_source(w))`` terms — no join, no shuffle, and
-    bit-reproducible (equal tokens contribute equal terms).  Returns
-    (doc_id, n_tokens, avg_log_ratio) with NULL for token-less docs.
+    bit-reproducible (equal tokens contribute equal terms).  The source
+    model defaults to fitting on ``docs`` itself; pass ``source``
+    explicitly to freeze both models on batch frames and score a
+    STREAM (model fitting collects, which a streaming frame cannot).
+    Returns (doc_id, n_tokens, avg_log_ratio) with NULL for token-less
+    docs.
     """
     def _model(train: DataFrame):
         counts = (
@@ -1404,7 +1411,7 @@ def importance_weights(
         return vmap, tail1, float(n_total + 1)
 
     tmap, t_tail, t_den = _model(target)
-    smap, s_tail, s_den = _model(docs)
+    smap, s_tail, s_den = _model(source if source is not None else docs)
     staged = docs.select(
         F.col(id_col),
         F.expr(
@@ -1439,6 +1446,21 @@ def importance_weights(
     )
 
 
+def canonicalize_url(url_col: str):
+    """The URL canonicalization Column of :func:`url_normalize_dedup`,
+    exposed separately: a pure narrow map (anchored regexp chain), so a
+    STREAM can canonicalize and dedup with
+    ``dropDuplicatesWithinWatermark`` on the returned key."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(url_col)),
+                                 "^https?://", ""),
+                "^www\\.", ""),
+            "[?#].*$", ""),
+        "/+$", "")
+
+
 def url_normalize_dedup(
     df: DataFrame,
     url_col: str,
@@ -1458,14 +1480,7 @@ def url_normalize_dedup(
     n_variants, keep_id) with ``keep_id`` the lowest document id (the
     survivor-pick convention of ``dedup.exact_duplicates``).
     """
-    canon = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col(url_col)),
-                                 "^https?://", ""),
-                "^www\\.", ""),
-            "[?#].*$", ""),
-        "/+$", "")
+    canon = canonicalize_url(url_col)
     return (
         df.select(
             canon.alias("canonical_url"),

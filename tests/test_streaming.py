@@ -448,3 +448,80 @@ def test_count_min_sketch_merges_across_micro_batches(spark):
     }
     assert merged == want
     assert sum(merged.values()) == 4 * batch.count()
+
+
+def test_importance_weights_score_stream_against_frozen_models(spark):
+    """DSIR scoring at ingestion: both unigram models (target + source)
+    freeze on batch frames, and the narrow scoring map runs unchanged on
+    a stream — every micro-batch row scores to the exact batch value."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    batch = spark.read.parquet(docs_path)
+    target = batch.where("lang = 'en'")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["avg_log_ratio"])
+        for r in ops.importance_weights(
+            batch, target, top_n=50, source=batch).collect()
+    }
+    d = tempfile.mkdtemp(prefix="stream-dsir-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    scored = ops.importance_weights(stream, target, top_n=50, source=batch)
+    q = (
+        scored.writeStream.format("memory").queryName("dsir_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_log_ratio"])
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert got == want
+
+
+def test_url_canonicalization_dedup_on_a_stream(spark):
+    """URL dedup at ingestion: the canonicalization Column is a pure
+    narrow map, so it runs on a stream as-is and
+    dropDuplicatesWithinWatermark on the canonical key keeps exactly
+    one row per page — the batch operator's group count agrees."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (1, "https://www.Example.com/A", dt.datetime(2024, 1, 1, 0, 0)),
+        (2, "http://example.com/a/", dt.datetime(2024, 1, 1, 0, 1)),
+        (3, "example.com/a?utm=x", dt.datetime(2024, 1, 1, 0, 2)),
+        (4, "https://other.org/b#f", dt.datetime(2024, 1, 1, 0, 3)),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, url string, ts timestamp"
+    )
+    d = tempfile.mkdtemp(prefix="stream-url-")
+    batch.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "in"))
+    stream = spark.readStream.schema(batch.schema).parquet(
+        os.path.join(d, "in"))
+    deduped = (
+        stream.withColumn("canonical_url", ops.canonicalize_url("url"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("url_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT canonical_url FROM url_stream").collect()
+    keys = sorted(r["canonical_url"] for r in got)
+    assert keys == ["example.com/a", "other.org/b"]
+    n_batch = ops.url_normalize_dedup(batch, "url").count()
+    assert len(keys) == n_batch
+    shutil.rmtree(d, ignore_errors=True)
