@@ -272,6 +272,26 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
             continue
+        if name == "graph_label_propagation":
+            # iterative op with localCheckpoint state: a min-of-2 noop
+            # timing would measure the cached second run. Same honest
+            # shape as the pagerank rows: ready edges outside the timer,
+            # construction + first action inside, single sample.
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+            from pyspark.sql import functions as SF
+
+            emb = td.load_table(spark, sf_dir, "embeddings")
+            edges = ops.knn_graph(emb, k=5).select(
+                SF.col("vec_id").alias("src"),
+                SF.col("neighbor_id").alias("dst"),
+            ).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            lp = ops.label_propagation(edges, iterations=4)
+            lp.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
         if name == "graph_personalized_pagerank":
             # same construction-time-iteration shape as graph_pagerank:
             # time PPR construction + first action over ready edges
