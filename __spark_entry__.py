@@ -1035,6 +1035,33 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_snapshot_diff(spark, sf):
+    # two snapshots derived deterministically from the corpus: the old
+    # one lacks every 10th doc, the new one lacks every 7th and rewrote
+    # every 5th — exercising all four diff statuses
+    docs = _t(spark, sf, "documents")
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 7 != 0").withColumn(
+        "text",
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') "
+               "ELSE text END"),
+    )
+    return ops.corpus_snapshot_diff(old, new)
+
+
+def _q_truncation_report(spark, sf):
+    return ops.truncation_report(_t(spark, sf, "documents"),
+                                 max_tokens=96)
+
+
+def _q_budget_allocation(spark, sf):
+    # cap at 5% of budget with ~20 roughly-5%-share sources: a mix of
+    # capped and uncapped sources exercises the redistribution pass
+    return ops.budget_allocation(
+        _t(spark, sf, "documents"), budget_tokens=30000, cap_ppm=50000
+    )
+
+
 def _q_session_paths(spark, sf):
     return ops.session_paths(_t(spark, sf, "events"), gap_minutes=30,
                              top_k=20)
@@ -1393,6 +1420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_daily_ewma": _q_daily_ewma,
             "orders_zorder_layout": _q_zorder,
             "events_skew_report": _q_skew_report,
+            "corpus_snapshot_diff": _q_snapshot_diff,
+            "docs_truncation_report": _q_truncation_report,
+            "corpus_budget_allocation": _q_budget_allocation,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1454,6 +1484,8 @@ _GATE_PRIORITY = [
     "events_windowed_funnel", "docs_url_dedup", "stats_bootstrap_ci",
     "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
     "orders_zorder_layout", "events_skew_report",
+    "corpus_snapshot_diff", "docs_truncation_report",
+    "corpus_budget_allocation",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4484,6 +4516,75 @@ SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
        CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
          AS rank
 FROM top, t
+"""
+
+    # snapshot diff / truncation / budget allocation (round-6 wave F)
+    o["corpus_snapshot_diff"] = """
+WITH a AS (SELECT doc_id AS id, source AS src, md5(text) AS fp
+           FROM documents WHERE doc_id % 10 != 0),
+b AS (SELECT doc_id AS id, source AS src,
+        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+          AS fp
+      FROM documents WHERE doc_id % 7 != 0),
+j AS (
+  SELECT coalesce(b.src, a.src) AS source,
+    CASE WHEN a.id IS NULL THEN 'added'
+         WHEN b.id IS NULL THEN 'removed'
+         WHEN a.fp != b.fp THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.id = b.id
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+    o["docs_truncation_report"] = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS nt
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nt > 96 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_truncated,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  CAST(sum(least(nt, 96)) AS BIGINT) AS kept_tokens,
+  (CAST(sum(nt) AS BIGINT) - CAST(sum(least(nt, 96)) AS BIGINT))
+    * 1000000 // nullif(CAST(sum(nt) AS BIGINT), 0) AS lost_ppm
+FROM t GROUP BY 1
+"""
+
+    o["corpus_budget_allocation"] = """
+WITH t AS (
+  SELECT source,
+         CAST(sum(CAST(len(list_filter(string_split(text, ' '),
+                                       x -> x != '')) AS BIGINT))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+s AS (SELECT *, (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS tot
+      FROM t),
+r AS (SELECT source, tokens, 30000 * tokens // nullif(tot, 0) AS raw
+      FROM s),
+c AS (SELECT source, tokens, raw, least(raw, 1500) AS a1,
+             raw > 1500 AS capped FROM r),
+g AS (
+  SELECT CAST(30000 - sum(a1) AS BIGINT) AS leftover,
+         CAST(sum(CASE WHEN NOT capped THEN tokens ELSE 0 END)
+              AS BIGINT) AS unc
+  FROM c
+)
+SELECT source, tokens,
+  CAST(a1 + CASE WHEN capped OR unc = 0 THEN 0
+                 ELSE leftover * tokens // unc END AS BIGINT)
+    AS alloc_tokens,
+  CASE WHEN tokens = 0 THEN CAST(NULL AS BIGINT)
+       ELSE CAST((a1 + CASE WHEN capped OR unc = 0 THEN 0
+                            ELSE leftover * tokens // unc END)
+                 * 1000000 // tokens AS BIGINT) END AS epochs_ppm,
+  capped
+FROM c, g
 """
 
     # count-min sketch frequency estimates, md5-hash bucketed

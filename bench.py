@@ -159,6 +159,9 @@ HEADLINE = [
     "events_daily_ewma",
     "orders_zorder_layout",
     "events_skew_report",
+    "corpus_snapshot_diff",
+    "docs_truncation_report",
+    "corpus_budget_allocation",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

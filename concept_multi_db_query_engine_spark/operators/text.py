@@ -1556,3 +1556,154 @@ def pack_documents_greedy(
     schema = ("doc_id long, shard long, n_tokens long, bin long, "
               "bin_fill long")
     return toks.groupBy("shard").applyInPandas(pack, schema)
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Snapshot-over-snapshot corpus DIFF by content fingerprint — the
+    ingestion-promotion report :func:`corpus_drift` (distribution
+    deltas) cannot give: exactly how many documents were added, removed,
+    changed, or untouched per source between two snapshots.
+
+    md5 fingerprints on both sides, one full outer join on the document
+    id (co-partitioned shuffle), status from null-sides and fingerprint
+    inequality, then a tiny (source, status) count aggregate.  Returns
+    (source, status ∈ added|removed|changed|unchanged, n_docs).
+    """
+    def fp(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+
+    a = fp(old).alias("a")
+    b = fp(new).alias("b")
+    joined = a.join(b, F.col("a.id") == F.col("b.id"), "full_outer")
+    status = (
+        F.when(F.col("a.id").isNull(), "added")
+        .when(F.col("b.id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.src"), F.col("a.src")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def truncation_report(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """What a context-length cap costs, per group: documents over the
+    cap, total vs kept token mass, and the loss in exact integer ppm —
+    the one-aggregate report that decides a pipeline's sequence length
+    (raise the cap vs chunk vs drop).  A single map-side-combined
+    aggregation over per-row token counts; loss_ppm is integer ``DIV``
+    arithmetic, bit-stable cross-engine.  Returns (group, n_docs,
+    n_truncated, total_tokens, kept_tokens, lost_ppm).
+    """
+    nt = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) "
+        "AS BIGINT)"
+    )
+    staged = docs.select(F.col(group_col).alias("grp"), nt.alias("nt"))
+    return (
+        staged.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("nt") > max_tokens, 1).otherwise(0))
+            .cast("long").alias("n_truncated"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.sum(F.least(F.col("nt"), F.lit(max_tokens)))
+            .cast("long").alias("kept_tokens"),
+        )
+        .withColumn(
+            "lost_ppm",
+            F.expr(
+                "(total_tokens - kept_tokens) * 1000000 "
+                "DIV nullif(total_tokens, 0)"
+            ),
+        )
+    )
+
+
+def budget_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    cap_ppm: int = 400_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-budget allocation with a concentration cap —
+    the data-mixing planning step (DoReMi/Pile-style recipes): give
+    each source its proportional share of ``budget_tokens``, cap any
+    single source at ``cap_ppm`` of the budget, and redistribute the
+    capped surplus proportionally among the uncapped sources (one
+    redistribution pass — exact integer arithmetic end to end, so the
+    plan is bit-identical on any engine).  ``epochs_ppm`` is the
+    implied repetition factor (alloc·1e6 DIV available) — above 1e6
+    means the source must repeat to fill its allocation.
+
+    One token-count aggregation over the corpus; everything after runs
+    on the |sources|-row frame (window totals over a tiny frame).
+    Returns (source, tokens, alloc_tokens, epochs_ppm, capped).
+    """
+    if budget_tokens < 1 or not 0 < cap_ppm <= 1_000_000:
+        raise ValueError("need budget >= 1 and 0 < cap_ppm <= 1e6")
+    from pyspark.sql import Window
+
+    nt = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) "
+        "AS BIGINT)"
+    )
+    per_src = docs.select(
+        F.col(source_col).alias("source"), nt.alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("long").alias("tokens"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = budget_tokens * cap_ppm // 1_000_000
+    staged = (
+        per_src.withColumn("__tot", F.sum("tokens").over(wall))
+        .withColumn(
+            "__raw",
+            F.expr(f"{budget_tokens} * tokens DIV nullif(__tot, 0)"),
+        )
+        .withColumn("__a1", F.expr(f"least(__raw, {cap})"))
+        .withColumn("capped", F.col("__raw") > cap)
+        .withColumn(
+            "__leftover",
+            F.lit(budget_tokens) - F.sum("__a1").over(wall),
+        )
+        .withColumn(
+            "__unc_tokens",
+            F.sum(F.when(~F.col("capped"), F.col("tokens"))
+                  .otherwise(0)).over(wall),
+        )
+    )
+    alloc = F.expr(
+        "__a1 + CASE WHEN capped OR __unc_tokens = 0 THEN 0 "
+        "ELSE __leftover * tokens DIV __unc_tokens END"
+    )
+    return staged.withColumn("__alloc", alloc.cast("long")).select(
+        "source", "tokens",
+        F.col("__alloc").alias("alloc_tokens"),
+        F.expr(
+            "CASE WHEN tokens = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE __alloc * 1000000 DIV tokens END"
+        ).alias("epochs_ppm"),
+        "capped",
+    )

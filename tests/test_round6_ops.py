@@ -599,3 +599,69 @@ def test_join_skew_report_shares_and_ranks(spark):
     assert out[1]["share_ppm"] == 600000
     assert out[2]["k"] == "warm" and out[2]["share_ppm"] == 300000
     assert len(out) == 2
+
+
+# ---- snapshot diff / truncation report / budget allocation ----------------
+
+
+def test_corpus_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "s1"),        # unchanged
+         (2, "b CHANGED", "s1"),  # changed
+         (4, "d", "s2")],        # added; doc 3 removed
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["status"]): r["n_docs"]
+           for r in ops.corpus_snapshot_diff(old, new).collect()}
+    assert out == {("s1", "unchanged"): 1, ("s1", "changed"): 1,
+                   ("s2", "added"): 1, ("s2", "removed"): 1}
+
+
+def test_truncation_report_exact_token_accounting(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10), "en"),
+         (2, " ".join(["w"] * 100), "en"),
+         (3, " ".join(["w"] * 50), "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in
+           ops.truncation_report(docs, max_tokens=64).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_truncated"]) == (2, 1)
+    assert (en["total_tokens"], en["kept_tokens"]) == (110, 74)
+    assert en["lost_ppm"] == (110 - 74) * 1_000_000 // 110
+    fr = out["fr"]
+    assert fr["n_truncated"] == 0 and fr["lost_ppm"] == 0
+
+
+def test_budget_allocation_caps_and_redistributes(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), s)
+         for i, (n, s) in enumerate(
+             [(800, "big")] * 1 + [(100, "a")] * 1 + [(100, "b")] * 1)],
+        "doc_id long, text string, source string",
+    )
+    # budget 1000, cap 40% -> big's raw 800 capped at 400; leftover
+    # 1000 - (400+100+100) = 400 redistributed to a and b by tokens
+    out = {r["source"]: r for r in ops.budget_allocation(
+        docs, budget_tokens=1000, cap_ppm=400_000).collect()}
+    assert out["big"]["capped"] is True
+    assert out["big"]["alloc_tokens"] == 400
+    assert out["a"]["alloc_tokens"] == 100 + 400 * 100 // 200 == 300
+    assert out["b"]["alloc_tokens"] == 300
+    # epochs: a must repeat 3x to fill its allocation
+    assert out["a"]["epochs_ppm"] == 3_000_000
+    assert out["big"]["epochs_ppm"] == 500_000
+
+
+def test_budget_allocation_validates_inputs(spark):
+    docs = spark.createDataFrame(
+        [(1, "w", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        ops.budget_allocation(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        ops.budget_allocation(docs, budget_tokens=10, cap_ppm=0)
