@@ -1035,6 +1035,18 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_equidepth(spark, sf):
+    return ops.equidepth_histogram(_t(spark, sf, "orders"),
+                                   "o_totalprice", 10)
+
+
+def _q_frequent_values(spark, sf):
+    return ops.frequent_values(
+        _t(spark, sf, "orders"),
+        ["o_orderpriority", "o_orderstatus"], k=5,
+    )
+
+
 def _q_snapshot_diff(spark, sf):
     # two snapshots derived deterministically from the corpus: the old
     # one lacks every 10th doc, the new one lacks every 7th and rewrote
@@ -1423,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
             "corpus_budget_allocation": _q_budget_allocation,
+            "orders_equidepth_histogram": _q_equidepth,
+            "orders_frequent_values": _q_frequent_values,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1485,7 +1499,8 @@ _GATE_PRIORITY = [
     "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
     "orders_zorder_layout", "events_skew_report",
     "corpus_snapshot_diff", "docs_truncation_report",
-    "corpus_budget_allocation",
+    "corpus_budget_allocation", "orders_equidepth_histogram",
+    "orders_frequent_values",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4516,6 +4531,47 @@ SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
        CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
          AS rank
 FROM top, t
+"""
+
+    # equi-depth histogram: exact rounded quantile edges, strict-> bins
+    _eq_probs = [i / 10 for i in range(1, 10)]
+    _eq_edges = ", ".join(
+        f"round(quantile_cont(v, {p!r}), 4) AS e{i}"
+        for i, p in enumerate(_eq_probs)
+    )
+    _eq_bin = " + ".join(
+        f"(CASE WHEN v > e{i} THEN 1 ELSE 0 END)" for i in range(9)
+    )
+    _eq_lo = "CASE WHEN bin = 0 THEN CAST(NULL AS DOUBLE) " + " ".join(
+        f"WHEN bin = {i + 1} THEN e{i}" for i in range(9)) + " END"
+    _eq_hi = "CASE WHEN bin = 9 THEN CAST(NULL AS DOUBLE) " + " ".join(
+        f"WHEN bin = {i} THEN e{i}" for i in range(9)) + " END"
+    o["orders_equidepth_histogram"] = f"""
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+e AS (SELECT {_eq_edges} FROM v),
+b AS (SELECT CAST({_eq_bin} AS INT) AS bin,
+             {", ".join(f"e{i}" for i in range(9))}
+      FROM v, e)
+SELECT bin, {_eq_lo} AS lo, {_eq_hi} AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin, {", ".join(f"e{i}" for i in range(9))}
+"""
+
+    # per-column frequent-value profile (pruned scans, tiny heads)
+    _fv_branches = []
+    for _c in ("o_orderpriority", "o_orderstatus"):
+        _fv_branches.append(f"""
+(SELECT '{_c}' AS col_name, CAST({_c} AS VARCHAR) AS value,
+        CAST(count(*) AS BIGINT) AS cnt
+ FROM orders GROUP BY 2 ORDER BY cnt DESC, value ASC LIMIT 5)""")
+    o["orders_frequent_values"] = f"""
+WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders),
+u AS ({" UNION ALL ".join(_fv_branches)})
+SELECT col_name, value, cnt, cnt * 1000000 // t AS share_ppm,
+       CAST(row_number() OVER (PARTITION BY col_name
+                               ORDER BY cnt DESC, value ASC) AS INT)
+         AS rank
+FROM u, tot
 """
 
     # snapshot diff / truncation / budget allocation (round-6 wave F)

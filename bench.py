@@ -162,6 +162,8 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "docs_truncation_report",
     "corpus_budget_allocation",
+    "orders_equidepth_histogram",
+    "orders_frequent_values",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

@@ -1303,3 +1303,93 @@ def daily_ewma(
         "event_type", "day", "n",
         F.expr(f"round(({num}) / ({den}), {round_to})").alias("ewma"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin edges are the exact
+    (1/n .. (n−1)/n)-quantiles of the column (via
+    :func:`distributed_group_quantiles` on a constant group — parallel
+    exact ranking, no single-task sort), so bins hold ~equal row counts
+    — the histogram shape optimizers and drift monitors prefer over
+    fixed width when the distribution is skewed.  The one-row edge
+    frame broadcasts back and binning is a narrow strict-inequality
+    count (``bin = #edges < ... >= value``), deterministic at edge ties
+    on any engine.  Returns (bin, lo, hi, n) with NULL open ends.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    vals = df.select(
+        F.lit(0).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    edges = distributed_group_quantiles(vals, "__g", "__v", probs).select(
+        *[F.col(f"q{i}").alias(f"e{i}") for i in range(n_bins - 1)]
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN CAST({value_col} AS DOUBLE) > e{i} THEN 1 ELSE 0 "
+        "END)"
+        for i in range(n_bins - 1)
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.expr(f"CAST({bin_expr} AS INT)").alias("bin"),
+        *[F.col(f"e{i}") for i in range(n_bins - 1)],
+    )
+    lo = "CASE WHEN bin = 0 THEN CAST(NULL AS DOUBLE) " + " ".join(
+        f"WHEN bin = {i + 1} THEN e{i}" for i in range(n_bins - 1)
+    ) + " END"
+    hi = f"CASE WHEN bin = {n_bins - 1} THEN CAST(NULL AS DOUBLE) " + \
+        " ".join(f"WHEN bin = {i} THEN e{i}" for i in range(n_bins - 1)) + \
+        " END"
+    return (
+        binned.groupBy("bin", *[f"e{i}" for i in range(n_bins - 1)])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            F.expr(lo).alias("lo"),
+            F.expr(hi).alias("hi"),
+            "n",
+        )
+    )
+
+
+def frequent_values(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-column categorical profile: the ``k`` most frequent values of
+    each listed column with exact integer ppm shares — the companion to
+    the min/max/null table profile for enum-ish columns (priority
+    classes, statuses, country codes).  One pruned groupBy per column
+    (each scan reads ONLY its column), each followed by a
+    TakeOrderedAndProject top-k — never a global sort — then a union of
+    the tiny heads.  Returns (col_name, value, cnt, share_ppm, rank).
+    """
+    from pyspark.sql import Window
+
+    total = df.count()  # one count job; shared by every branch
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        top = counts.orderBy(
+            F.col("cnt").desc(), F.col("value").asc()
+        ).limit(k)
+        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        parts.append(
+            top.withColumn("rank", F.row_number().over(w)).select(
+                F.lit(c).alias("col_name"), "value", "cnt",
+                F.expr(f"cnt * 1000000 DIV {total}").alias("share_ppm"),
+                "rank",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -665,3 +665,41 @@ def test_budget_allocation_validates_inputs(spark):
         ops.budget_allocation(docs, budget_tokens=0)
     with pytest.raises(ValueError):
         ops.budget_allocation(docs, budget_tokens=10, cap_ppm=0)
+
+
+# ---- equi-depth histogram / frequent values -------------------------------
+
+
+def test_equidepth_histogram_balanced_bins(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).cast("double").alias("v")
+    )
+    out = sorted(ops.equidepth_histogram(df, "v", 10).collect(),
+                 key=lambda r: r["bin"])
+    assert [r["bin"] for r in out] == list(range(10))
+    # equi-depth: every bin within ±1 of n/k on a permutation of 0..999
+    for r in out:
+        assert abs(r["n"] - 100) <= 1, r
+    assert out[0]["lo"] is None and out[-1]["hi"] is None
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] == b["lo"]
+
+
+def test_equidepth_histogram_validates_bins(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        ops.equidepth_histogram(df, "v", 1)
+
+
+def test_frequent_values_per_column_topk(spark):
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "x")] * 3 + [("c", "y")] * 2,
+        "p string, s string",
+    )
+    out = {(r["col_name"], r["rank"]): r for r in
+           ops.frequent_values(df, ["p", "s"], k=2).collect()}
+    assert out[("p", 1)]["value"] == "a" and out[("p", 1)]["cnt"] == 5
+    assert out[("p", 1)]["share_ppm"] == 500000
+    assert out[("p", 2)]["value"] == "b"
+    assert out[("s", 1)]["value"] == "x" and out[("s", 1)]["cnt"] == 8
+    assert len(out) == 4  # k=2 per column, nothing more
