@@ -3301,7 +3301,7 @@ FROM r8"""
            AS cosine
   FROM e a JOIN e b ON a.vec_id != b.vec_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT vec_id AS src, neighbor_id AS dst FROM (
     SELECT vec_id, neighbor_id,
            row_number() OVER (PARTITION BY vec_id
@@ -3319,14 +3319,15 @@ params AS (
          (1000000000 // count(*)) * 15 // 100 AS base
   FROM nodes
 ),
-r0 AS (SELECT node, (SELECT init FROM params) AS rank_i FROM nodes)"""
+r0 AS MATERIALIZED (
+  SELECT node, (SELECT init FROM params) AS rank_i FROM nodes)"""
     for _i in range(6):
         prd += f""",
-d{_i} AS (
+d{_i} AS MATERIALIZED (
   SELECT CAST(coalesce(sum(r.rank_i), 0) AS BIGINT) AS dm
   FROM r{_i} r JOIN sinks k ON r.node = k.node
 ),
-r{_i + 1} AS (
+r{_i + 1} AS MATERIALIZED (
   SELECT n.node,
          (SELECT base FROM params)
            + 85 * (coalesce(s.c, 0)
