@@ -1035,6 +1035,10 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_bpe_train(spark, sf):
+    return ops.bpe_train_merges(_t(spark, sf, "documents"), n_merges=8)
+
+
 def _q_equidepth(spark, sf):
     return ops.equidepth_histogram(_t(spark, sf, "orders"),
                                    "o_totalprice", 10)
@@ -1437,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_budget_allocation": _q_budget_allocation,
             "orders_equidepth_histogram": _q_equidepth,
             "orders_frequent_values": _q_frequent_values,
+            "docs_bpe_train": _q_bpe_train,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1500,7 +1505,7 @@ _GATE_PRIORITY = [
     "orders_zorder_layout", "events_skew_report",
     "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
-    "orders_frequent_values",
+    "orders_frequent_values", "docs_bpe_train",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4533,6 +4538,50 @@ SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
          AS rank
 FROM top, t
 """
+
+    # BPE training replay: the word-frequency vocab as bracket-wrapped
+    # symbol strings, one MATERIALIZED (pairs, best, rewrite) CTE triple
+    # per merge round — replace() is left-to-right non-overlapping in
+    # both engines, which IS BPE's greedy merge semantics
+    _bpe_n = 8
+    _bpe = """
+WITH t0 AS MATERIALIZED (
+  SELECT '⟨' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substr(w, i, 1)), '⟩⟨') || '⟩' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w
+),
+rng AS (SELECT unnest(range(1, 200)) AS j)"""
+    for _i in range(_bpe_n):
+        _bpe += f""",
+p{_i} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS wcnt FROM (
+    SELECT t[j] AS l, t[j + 1] AS r, cnt FROM (
+      SELECT string_split(substr(s, 2, length(s) - 2), '⟩⟨') AS t, cnt
+      FROM t{_i}
+    ) CROSS JOIN rng WHERE j <= len(t) - 1
+  ) GROUP BY 1, 2
+),
+b{_i} AS MATERIALIZED (
+  SELECT l, r, wcnt FROM p{_i}
+  ORDER BY wcnt DESC, l ASC, r ASC LIMIT 1
+),
+t{_i + 1} AS MATERIALIZED (
+  SELECT replace(s,
+           '⟨' || (SELECT l FROM b{_i}) || '⟩⟨'
+               || (SELECT r FROM b{_i}) || '⟩',
+           '⟨' || (SELECT l FROM b{_i})
+               || (SELECT r FROM b{_i}) || '⟩') AS s, cnt
+  FROM t{_i}
+)"""
+    _bpe += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({_i + 1} AS INT) AS rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, wcnt AS weighted_count FROM b{_i}"
+        for _i in range(_bpe_n)
+    )
+    o["docs_bpe_train"] = _bpe
 
     # equi-depth histogram: exact rounded quantile edges, strict-> bins
     _eq_probs = [i / 10 for i in range(1, 10)]

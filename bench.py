@@ -164,6 +164,7 @@ HEADLINE = [
     "corpus_budget_allocation",
     "orders_equidepth_histogram",
     "orders_frequent_values",
+    "docs_bpe_train",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

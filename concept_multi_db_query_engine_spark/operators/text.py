@@ -1707,3 +1707,106 @@ def budget_allocation(
         ).alias("epochs_ppm"),
         "capped",
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL byte-pair-encoding tokenizer training (Sennrich et al. 2016)
+    inside the engine: learn the first ``n_merges`` BPE merge rules from
+    the corpus — the step every LLM data pipeline runs before anything
+    can be tokenized at all.
+
+    The classic algorithm trains on the WORD-FREQUENCY dictionary, not
+    the raw corpus: one corpus scan builds (word, count), and every
+    merge round then works on that far smaller vocab frame — the scale
+    property that makes BPE training feasible at corpus size.  Words are
+    held as ``⟨tok⟩⟨tok⟩…`` bracket-wrapped symbol strings (symbols are
+    concatenations of characters, so the merged symbol is just the
+    concatenation and the brackets carry the split points); each round
+
+    1. explodes adjacent symbol pairs weighted by word count (one
+       map-side-combined aggregation over the vocab frame),
+    2. collects THE single best pair — (max weighted count, then
+       lexicographic) — bounded driver model data, one row per round,
+    3. applies the merge with a literal ``replace`` on the wrapped
+       strings: string replace is left-to-right non-overlapping in both
+       engines, which is exactly BPE's greedy merge semantics
+       (``⟨a⟩⟨a⟩⟨a⟩`` under (a,a) → ``⟨aa⟩⟨a⟩``).
+
+    The vocab frame is re-persisted each round (previous round
+    unpersisted) so the loop never re-tokenizes the corpus. Returns the
+    learned merge table: (rank, lhs, rhs, merged, weighted_count) —
+    ranks 1..n_merges in learning order, the exact artifact a tokenizer
+    loads.  Assumes ``⟨``/``⟩`` do not occur in the corpus tokens
+    (guard upstream for exotic corpora).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr(
+                "concat('⟨', array_join(transform("
+                "sequence(1, length(w)), i -> substring(w, i, 1)), "
+                "'⟩⟨'), '⟩')"
+            ).alias("s"),
+            "cnt",
+        )
+    ).persist()
+    vocab.count()
+    merges = []
+    cur = vocab
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                F.expr(
+                    "filter(split(substring(s, 2, length(s) - 2), "
+                    "'⟩⟨'), x -> x != '')"
+                ).alias("t"),
+                "cnt",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(t) >= 2 THEN transform("
+                        "sequence(1, size(t) - 1), i -> struct("
+                        "element_at(t, i) AS l, "
+                        "element_at(t, CAST(i + 1 AS INT)) AS r)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("wcnt"))
+        )
+        best = pairs.orderBy(
+            F.col("wcnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        l, r, wcnt = best[0]["l"], best[0]["r"], int(best[0]["wcnt"])
+        merges.append((rank, l, r, l + r, wcnt))
+        src = f"⟨{l}⟩⟨{r}⟩"
+        dst = f"⟨{l}{r}⟩"
+        nxt = cur.select(
+            F.replace(F.col("s"), F.lit(src), F.lit(dst)).alias("s"),
+            "cnt",
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, "
+        "weighted_count long",
+    )

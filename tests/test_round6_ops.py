@@ -703,3 +703,70 @@ def test_frequent_values_per_column_topk(spark):
     assert out[("p", 2)]["value"] == "b"
     assert out[("s", 1)]["value"] == "x" and out[("s", 1)]["cnt"] == 8
     assert len(out) == 4  # k=2 per column, nothing more
+
+
+# ---- BPE training ---------------------------------------------------------
+
+
+def _py_bpe(word_counts, n_merges):
+    """Reference Sennrich BPE on a word-frequency dict."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for toks, c in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), wc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, wc))
+        new_vocab = {}
+        for toks, c in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == l
+                        and toks[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    words = {"lower": 5, "low": 7, "newest": 6, "widest": 3, "new": 2}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r["rank"], r["lhs"], r["rhs"], r["merged"],
+            r["weighted_count"])
+           for r in ops.bpe_train_merges(docs, n_merges=6)
+           .orderBy("rank").collect()]
+    assert got == _py_bpe(words, 6)
+
+
+def test_bpe_merge_is_greedy_left_nonoverlapping(spark):
+    # 'aaaa' under merge (a,a) must become (aa, aa) — never (a, aa, a)
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa")], "doc_id long, text string"
+    )
+    m = {r["rank"]: r for r in
+         ops.bpe_train_merges(docs, n_merges=2).collect()}
+    assert (m[1]["lhs"], m[1]["rhs"]) == ("a", "a")
+    # after round 1: aaaa -> (aa)(aa) x2 and aa -> (aa); so (aa, aa)
+    # pairs dominate round 2
+    assert (m[2]["lhs"], m[2]["rhs"]) == ("aa", "aa")
+    assert m[2]["merged"] == "aaaa"
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    rows = ops.bpe_train_merges(docs, n_merges=10).collect()
+    assert len(rows) == 0  # single-char words have no pairs to merge
