@@ -1039,6 +1039,13 @@ def _q_bpe_train(spark, sf):
     return ops.bpe_train_merges(_t(spark, sf, "documents"), n_merges=8)
 
 
+def _q_bpe_encode(spark, sf):
+    docs = _t(spark, sf, "documents")
+    merges = ops.bpe_train_merges(docs, n_merges=8).orderBy("rank") \
+        .collect()
+    return ops.bpe_encode_stats(docs, merges)
+
+
 def _q_equidepth(spark, sf):
     return ops.equidepth_histogram(_t(spark, sf, "orders"),
                                    "o_totalprice", 10)
@@ -1442,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_equidepth_histogram": _q_equidepth,
             "orders_frequent_values": _q_frequent_values,
             "docs_bpe_train": _q_bpe_train,
+            "docs_bpe_encode": _q_bpe_encode,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1505,7 +1513,7 @@ _GATE_PRIORITY = [
     "orders_zorder_layout", "events_skew_report",
     "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
-    "orders_frequent_values", "docs_bpe_train",
+    "orders_frequent_values", "docs_bpe_train", "docs_bpe_encode",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4576,12 +4584,44 @@ t{_i + 1} AS MATERIALIZED (
                || (SELECT r FROM b{_i}) || '⟩') AS s, cnt
   FROM t{_i}
 )"""
-    _bpe += "\n" + "\nUNION ALL\n".join(
+    _bpe_chain = _bpe  # shared WITH chain (t0..b{n-1}, t{n})
+    _bpe = _bpe_chain + "\n" + "\nUNION ALL\n".join(
         f"SELECT CAST({_i + 1} AS INT) AS rank, l AS lhs, r AS rhs, "
         f"l || r AS merged, wcnt AS weighted_count FROM b{_i}"
         for _i in range(_bpe_n)
     )
     o["docs_bpe_train"] = _bpe
+
+    # encode: chain the same learned merges over character-wrapped
+    # documents (spaces stay bare, so merges never cross words)
+    _enc = _bpe_chain + """,
+d0 AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+    array_to_string(list_transform(generate_series(1, length(text)),
+      i -> CASE WHEN substr(text, i, 1) = ' ' THEN ' '
+                ELSE '⟨' || substr(text, i, 1) || '⟩' END), '') AS s
+  FROM documents
+)"""
+    for _i in range(_bpe_n):
+        _enc += f""",
+d{_i + 1} AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+    replace(s, '⟨' || (SELECT l FROM b{_i}) || '⟩⟨'
+                   || (SELECT r FROM b{_i}) || '⟩',
+               '⟨' || (SELECT l FROM b{_i})
+                   || (SELECT r FROM b{_i}) || '⟩') AS s
+  FROM d{_i}
+)"""
+    _enc += f"""
+SELECT doc_id, n_chars,
+  CAST(length(s) - length(replace(s, '⟨', '')) AS BIGINT)
+    AS n_bpe_tokens,
+  (n_chars - CAST(length(s) - length(replace(s, '⟨', '')) AS BIGINT))
+    * 1000000 // nullif(n_chars, 0) AS compression_ppm
+FROM d{_bpe_n}
+"""
+    o["docs_bpe_encode"] = _enc
 
     # equi-depth histogram: exact rounded quantile edges, strict-> bins
     _eq_probs = [i / 10 for i in range(1, 10)]

@@ -165,6 +165,7 @@ HEADLINE = [
     "orders_equidepth_histogram",
     "orders_frequent_values",
     "docs_bpe_train",
+    "docs_bpe_encode",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

@@ -1810,3 +1810,56 @@ def bpe_train_merges(
         "rank int, lhs string, rhs string, merged string, "
         "weighted_count long",
     )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a FROZEN BPE merge table (the output of
+    :func:`bpe_train_merges`, collected) to documents and report the
+    token accounting — the fit/encode split of the tokenizer: training
+    collects bounded model data once, encoding is a pure NARROW MAP
+    (one literal ``replace`` per merge rule, chained in learning order
+    — the exact order-dependent semantics real BPE encoders use), so it
+    runs unchanged on a stream.
+
+    Documents are wrapped character-wise (``⟨c⟩`` per non-space
+    character, spaces left bare so merges never cross word boundaries),
+    the merge chain rewrites symbols in place, and the final token
+    count is just the bracket count.  Returns (doc_id, n_chars,
+    n_bpe_tokens, compression_ppm) — compression in exact integer ppm
+    of symbols eliminated.
+    """
+    wrap = (
+        f"array_join(transform(sequence(1, length({text_col})), i -> "
+        f"CASE WHEN substring({text_col}, i, 1) = ' ' THEN ' ' "
+        f"ELSE concat('⟨', substring({text_col}, i, 1), '⟩') END), '')"
+    )
+    s = F.expr(wrap)
+    for m in merges:
+        try:  # Rows / dicts by field name; plain (lhs, rhs) pairs by slot
+            l, r = m["lhs"], m["rhs"]
+        except (TypeError, KeyError, IndexError):
+            l, r = m[0], m[1]
+        s = F.replace(s, F.lit(f"⟨{l}⟩⟨{r}⟩"), F.lit(f"⟨{l}{r}⟩"))
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"CAST(length(replace({text_col}, ' ', '')) AS BIGINT)"
+        ).alias("n_chars"),
+        s.alias("__s"),
+    )
+    return staged.select(
+        id_col, "n_chars",
+        F.expr(
+            "CAST(length(__s) - length(replace(__s, '⟨', '')) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+    ).withColumn(
+        "compression_ppm",
+        F.expr(
+            "(n_chars - n_bpe_tokens) * 1000000 DIV nullif(n_chars, 0)"
+        ),
+    )

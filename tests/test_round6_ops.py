@@ -770,3 +770,41 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     )
     rows = ops.bpe_train_merges(docs, n_merges=10).collect()
     assert len(rows) == 0  # single-char words have no pairs to merge
+
+
+def test_bpe_encode_applies_frozen_merges_in_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "xy")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ops.bpe_encode_stats(
+        docs, [("a", "b"), ("ab", "ab")]).collect()}
+    # 'abab' -> (ab)(ab) -> (abab): 1 token from 4 chars; 'ab' -> 1
+    assert out[1]["n_chars"] == 6
+    assert out[1]["n_bpe_tokens"] == 2
+    assert out[1]["compression_ppm"] == 4 * 1_000_000 // 6
+    # no merges apply to 'xy'
+    assert out[2]["n_bpe_tokens"] == 2 and out[2]["compression_ppm"] == 0
+
+
+def test_bpe_encode_runs_unchanged_on_a_stream(spark):
+    import os
+    import tempfile
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    batch = spark.read.parquet(docs_path)
+    merges = ops.bpe_train_merges(batch, n_merges=4).orderBy("rank") \
+        .collect()
+    want = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in ops.bpe_encode_stats(batch, merges).collect()}
+    d = tempfile.mkdtemp(prefix="stream-bpe-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        ops.bpe_encode_stats(stream, merges)
+        .writeStream.format("memory").queryName("bpe_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in spark.sql("SELECT * FROM bpe_stream").collect()}
+    assert got == want
