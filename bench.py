@@ -279,6 +279,20 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
             continue
+        if name == "docs_bpe_train":
+            # training runs its per-round collects at CONSTRUCTION time
+            # (the returned frame is just the tiny merge table), so the
+            # honest row times construction + first action, one sample
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+
+            docs = td.load_table(spark, sf_dir, "documents")
+            start = time.perf_counter()
+            m = ops.bpe_train_merges(docs, n_merges=8)
+            m.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
         if name == "graph_label_propagation":
             # iterative op with localCheckpoint state: a min-of-2 noop
             # timing would measure the cached second run. Same honest
