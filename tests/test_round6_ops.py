@@ -17,6 +17,16 @@ from concept_multi_db_query_engine_spark import operators as ops
 # ---- mad_outliers ---------------------------------------------------------
 
 
+def _round_half_up(x, nd):
+    # Spark's round() on doubles goes through BigDecimal.valueOf (the
+    # shortest decimal repr) with HALF_UP; Python's round() is
+    # half-to-even on the binary value — they disagree exactly on the
+    # .5-boundary cases randomized inputs eventually hit
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(
+        Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
+
+
 def _py_median(xs):
     s = sorted(xs)
     n = len(s)
@@ -24,7 +34,7 @@ def _py_median(xs):
     lo = int(pos)
     frac = pos - lo
     hi = s[lo + 1] if frac > 0 else s[lo]
-    return round(s[lo] + (hi - s[lo]) * frac, 4)
+    return _round_half_up(s[lo] + (hi - s[lo]) * frac, 4)
 
 
 def test_mad_outliers_matches_python_reference(spark):
@@ -808,3 +818,86 @@ def test_bpe_encode_runs_unchanged_on_a_stream(spark):
     got = {r["doc_id"]: r["n_bpe_tokens"]
            for r in spark.sql("SELECT * FROM bpe_stream").collect()}
     assert got == want
+
+
+# ---- randomized property replays (seeded, multi-trial) ---------------------
+
+
+def test_bh_adjust_randomized_replay(spark):
+    import random
+    rng = random.Random(11)
+    for trial in range(3):
+        ps = [round(rng.random(), 8) for _ in range(rng.randint(3, 12))]
+        if trial == 2:
+            ps[rng.randrange(len(ps))] = None
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(ps)], "idx long, p_value double"
+        )
+        got = {r["idx"]: (r["p_rank"], r["q_value"], r["significant_bh"])
+               for r in ops.bh_adjust(df, "p_value", key_col="idx")
+               .collect()}
+        assert got == _py_bh(ps), (trial, ps)
+
+
+def test_mad_outliers_randomized_replay(spark):
+    import random
+    rng = random.Random(23)
+    for trial in range(3):
+        vals = [round(rng.gauss(100, 5), 4) for _ in range(150)]
+        vals += [round(rng.choice([-1, 1]) * rng.uniform(300, 900), 4)
+                 for _ in range(4)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double"
+        )
+        med = _py_median(vals)
+        mad = _py_median([abs(v - med) for v in vals])
+        want = {
+            i: _round_half_up((v - med) / (1.4826 * mad), 6)
+            for i, v in enumerate(vals)
+            if abs(_round_half_up((v - med) / (1.4826 * mad), 6)) > 3.5
+        }
+        got = {r["id"]: r["robust_z"]
+               for r in ops.mad_outliers(df, "v", ["id"]).collect()}
+        assert got == want, trial
+        assert len(got) >= 4  # every planted outlier caught
+
+
+def test_count_min_randomized_overcount_invariant(spark):
+    import random
+    rng = random.Random(37)
+    for trial in range(2):
+        keys = [f"k{rng.randint(0, 40)}" for _ in range(400)]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        from collections import Counter
+        exact = Counter(keys)
+        out = ops.count_min_estimates(df, "k", depth=3, width=32,
+                                      salt=f"t{trial}").collect()
+        assert {r["k"] for r in out} == set(exact)
+        for r in out:
+            assert r["exact_count"] == exact[r["k"]]
+            assert r["cms_estimate"] >= r["exact_count"]
+        # total sketch mass conservation: sum over any depth row == n
+        sk = {(r["j"], r["bucket"]): r["c"] for r in ops.count_min_sketch(
+            df, "k", depth=3, width=32, salt=f"t{trial}").collect()}
+        for j in range(3):
+            assert sum(c for (jj, _), c in sk.items() if jj == j) == 400
+
+
+def test_bpe_randomized_reference_replay(spark):
+    import random
+    rng = random.Random(51)
+    for trial in range(2):
+        words = {}
+        for _ in range(rng.randint(5, 12)):
+            w = "".join(rng.choice("abcde")
+                        for _ in range(rng.randint(2, 7)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        text = " ".join(w for w, c in words.items() for _ in range(c))
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        got = [(r["rank"], r["lhs"], r["rhs"], r["merged"],
+                r["weighted_count"])
+               for r in ops.bpe_train_merges(docs, n_merges=5)
+               .orderBy("rank").collect()]
+        assert got == _py_bpe(words, 5), (trial, words)
