@@ -1035,6 +1035,10 @@ def _q_best_fit_pack(spark, sf):
     )
 
 
+def _q_dup_ngram_fraction(spark, sf):
+    return ops.duplicate_ngram_fraction(_t(spark, sf, "documents"), n=8)
+
+
 def _q_bpe_train(spark, sf):
     return ops.bpe_train_merges(_t(spark, sf, "documents"), n_merges=8)
 
@@ -1450,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_frequent_values": _q_frequent_values,
             "docs_bpe_train": _q_bpe_train,
             "docs_bpe_encode": _q_bpe_encode,
+            "docs_dup_ngram_fraction": _q_dup_ngram_fraction,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1514,6 +1519,7 @@ _GATE_PRIORITY = [
     "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
     "orders_frequent_values", "docs_bpe_train", "docs_bpe_encode",
+    "docs_dup_ngram_fraction",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4545,6 +4551,36 @@ SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
        CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
          AS rank
 FROM top, t
+"""
+
+    # duplicated-n-gram fraction (FineWeb-style boilerplate signal)
+    o["docs_dup_ngram_fraction"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+pos AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) r
+  WHERE len(w) >= 8 AND i <= len(w) - 7
+),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+  GROUP BY gram HAVING count(*) >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS dup_grams
+  FROM pos p LEFT JOIN dup d ON p.gram = d.gram
+  GROUP BY 1
+)
+SELECT docs.doc_id,
+  CAST(coalesce(per_doc.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(per_doc.dup_grams, 0) AS BIGINT) AS dup_grams,
+  CASE WHEN coalesce(per_doc.n_grams, 0) = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE round(CAST(per_doc.dup_grams AS DOUBLE)
+                  / CAST(per_doc.n_grams AS DOUBLE), 6) END
+    AS dup_fraction
+FROM documents docs LEFT JOIN per_doc ON docs.doc_id = per_doc.doc_id
 """
 
     # BPE training replay: the word-frequency vocab as bracket-wrapped

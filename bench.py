@@ -166,6 +166,7 @@ HEADLINE = [
     "orders_frequent_values",
     "docs_bpe_train",
     "docs_bpe_encode",
+    "docs_dup_ngram_fraction",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

@@ -717,3 +717,71 @@ def containment_pairs(
             "round(common / n2, 4) AS containment)))"
         )
     ).where(F.col("containment") >= threshold)
+
+
+def duplicate_ngram_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-n-gram FRACTION — the RefinedWeb/FineWeb
+    line of quality filters: what share of a document's n-gram positions
+    is text that also appears in at least ``min_docs`` documents.  High
+    fractions mark boilerplate and templated pages that exact and
+    near-dup passes keep (the document as a whole is unique; its
+    sentences are not).
+
+    Two frames off one tokenization: positional n-grams (every
+    occurrence) and the distinct (doc, gram) pairs that feed the
+    document-frequency count.  Grams occurring in ≥ ``min_docs`` docs
+    form the duplicated set; a gram-keyed join back to the positional
+    frame and one per-doc aggregation yield exact counts.  Everything
+    shuffles on gram keys (the ``repeated_passages`` scale shape — an
+    inverted index, never doc×doc).  Returns (doc_id, n_grams,
+    dup_grams, dup_fraction) — NULL fraction for docs shorter than
+    ``n`` tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    positional = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+                f"ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    dup_grams = (
+        positional.select("doc_id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    flagged = positional.join(
+        dup_grams.withColumn("__dup", F.lit(1)), "gram", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+        .cast("long").alias("dup_grams"),
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+        F.expr(
+            "CASE WHEN coalesce(n_grams, 0) = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE round(CAST(dup_grams AS DOUBLE) "
+            "/ CAST(n_grams AS DOUBLE), 6) END"
+        ).alias("dup_fraction"),
+    )

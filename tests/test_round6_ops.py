@@ -901,3 +901,30 @@ def test_bpe_randomized_reference_replay(spark):
                for r in ops.bpe_train_merges(docs, n_merges=5)
                .orderBy("rank").collect()]
         assert got == _py_bpe(words, 5), (trial, words)
+
+
+def test_duplicate_ngram_fraction_counts_positions(spark):
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, shared + " aaa bbb"),
+         (2, shared + " ccc ddd"),
+         (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ops.duplicate_ngram_fraction(docs, n=5).collect()}
+    # doc 1 has 3 5-gram positions; only position 1 (the shared prefix)
+    # appears in 2 docs
+    assert out[1]["n_grams"] == 3 and out[1]["dup_grams"] == 1
+    assert out[1]["dup_fraction"] == round(1 / 3, 6)
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_duplicate_ngram_fraction_short_docs_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           ops.duplicate_ngram_fraction(docs, n=5).collect()}
+    assert out[1]["n_grams"] == 0 and out[1]["dup_fraction"] is None
+    assert out[2]["n_grams"] == 2
