@@ -1136,6 +1136,21 @@ def _q_label_propagation(spark, sf):
     return ops.label_propagation(edges, iterations=4)
 
 
+def _q_semantic_survivors(spark, sf):
+    # the end-to-end SemDeDup pipeline: cluster-bounded cosine pairs ->
+    # connected components -> keep-lowest-id survivors (the same
+    # composition dedup_survivors runs over text pairs)
+    emb = _t(spark, sf, "embeddings")
+    pairs = ops.semantic_dedup_pairs(
+        emb, k=8, iterations=3, threshold=0.3
+    ).select("d1", "d2")
+    dropped = ops.duplicate_clusters(pairs).where(
+        "doc_id != cluster_id"
+    ).select(F.col("doc_id").alias("vec_id"))
+    return emb.select("vec_id", "label").join(dropped, "vec_id",
+                                              "left_anti")
+
+
 def _q_dedup_semantic(spark, sf):
     # threshold 0.3: the synthetic embedding corpus's pairwise cosines
     # top out ~0.5, so 0.3 marks its genuine near-duplicate tail
@@ -1455,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_bpe_train": _q_bpe_train,
             "docs_bpe_encode": _q_bpe_encode,
             "docs_dup_ngram_fraction": _q_dup_ngram_fraction,
+            "dedup_semantic_survivors": _q_semantic_survivors,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1519,7 +1535,7 @@ _GATE_PRIORITY = [
     "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
     "orders_frequent_values", "docs_bpe_train", "docs_bpe_encode",
-    "docs_dup_ngram_fraction",
+    "docs_dup_ngram_fraction", "dedup_semantic_survivors",
     # r3-graded rows that did not fit the round-6 window
     "nation_revenue_pivot", "sim_knn_label_vote",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
@@ -4988,6 +5004,37 @@ JOIN af ca ON ca.vec_id = a.vec_id
 JOIN af cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
 WHERE round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
       >= 0.3
+"""
+    )
+
+    # SemDeDup end-to-end: pairs -> recursive connected components ->
+    # keep-lowest-id survivors over the embeddings corpus
+    o["dedup_semantic_survivors"] = (
+        "WITH RECURSIVE " + _kmeans_ctes(k=8, iterations=3)
+        + ",\n" + _COS_NORM_CTE.replace("e AS (", "ne AS (", 1)
+        + """,
+spairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+  JOIN af ca ON ca.vec_id = a.vec_id
+  JOIN af cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+  WHERE round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+        >= 0.3
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM spairs
+          UNION SELECT d2, d1 FROM spairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, r.label FROM edges e2 JOIN reach r ON e2.b = r.node
+),
+clusters AS (
+  SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY 1
+),
+dropped AS (SELECT vec_id FROM clusters WHERE vec_id != cluster_id)
+SELECT emb2.vec_id, emb2.label
+FROM embeddings emb2 LEFT JOIN dropped x ON emb2.vec_id = x.vec_id
+WHERE x.vec_id IS NULL
 """
     )
 

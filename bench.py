@@ -167,6 +167,7 @@ HEADLINE = [
     "docs_bpe_train",
     "docs_bpe_encode",
     "docs_dup_ngram_fraction",
+    "dedup_semantic_survivors",
     "stats_welch_t_test",
     "stats_mann_whitney",
     "dedup_containment",

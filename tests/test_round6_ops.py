@@ -928,3 +928,27 @@ def test_duplicate_ngram_fraction_short_docs_null(spark):
            ops.duplicate_ngram_fraction(docs, n=5).collect()}
     assert out[1]["n_grams"] == 0 and out[1]["dup_fraction"] is None
     assert out[2]["n_grams"] == 2
+
+
+def test_semantic_survivors_drop_all_but_lowest_in_family(spark):
+    base = _vec(1)
+    rows = []
+    for i in range(4):  # one tight family 0..3 + four loners
+        v = list(base)
+        v[0] = round(v[0] + i * 1e-3, 6)
+        rows.append((i, v, 0))
+    rows += [(10 + i, _vec(99, i), 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = ops.semantic_dedup_pairs(df, k=2, iterations=3,
+                                     threshold=0.99).select("d1", "d2")
+    dropped = ops.duplicate_clusters(pairs).where(
+        "doc_id != cluster_id"
+    ).selectExpr("doc_id AS vec_id")
+    survivors = sorted(
+        r["vec_id"]
+        for r in df.select("vec_id").join(dropped, "vec_id", "left_anti")
+        .collect()
+    )
+    assert survivors == [0, 10, 11, 12, 13]
