@@ -281,6 +281,28 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
             continue
+        if name == "dedup_semantic_survivors":
+            # pairs are already benched as dedup_semantic; this row
+            # times the part unique to it — connected-components
+            # resolution + the survivor anti-join — over ready pairs
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+            from pyspark.sql import functions as SF
+
+            emb = td.load_table(spark, sf_dir, "embeddings")
+            pairs = ops.semantic_dedup_pairs(
+                emb, k=8, iterations=3, threshold=0.3
+            ).select("d1", "d2").localCheckpoint(eager=True)
+            start = time.perf_counter()
+            dropped = ops.duplicate_clusters(pairs).where(
+                "doc_id != cluster_id"
+            ).select(SF.col("doc_id").alias("vec_id"))
+            emb.select("vec_id", "label").join(
+                dropped, "vec_id", "left_anti"
+            ).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+            continue
         if name == "docs_bpe_train":
             # training runs its per-round collects at CONSTRUCTION time
             # (the returned frame is just the tiny merge table), so the
