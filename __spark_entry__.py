@@ -1485,74 +1485,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _GATE_PRIORITY = [
-    # Round-6 window (the driver grades the FIRST 50 entries). Composition
-    # follows the round-5 verdict's next-round list exactly:
-    # 25 round-5b/5c operators that have never had a driver row (grade on
-    # first appearance), the two minhash rows whose runtime changed 5-10x
-    # in the round-5 signature-sharing refactor, rolling_revenue_7d (the
-    # last remaining r1-graded row), the two quantile rows whose module
-    # (analytics.py offset computation) changed THIS round, the new
-    # round-6 dangling-mass pagerank entry, and 19 stale-<=r3 re-grades
-    # led by the text.py family (hottest module by churn).
-    # --- round-5b/5c first-appearance rows ---
-    "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
-    "docs_chi_square", "embeddings_kmeans", "embeddings_kmeans_centroids",
-    "embeddings_random_projection", "embeddings_pq_encode",
-    "sim_topk_pq",
-    "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
-    "stats_mann_whitney", "dedup_containment", "text_char_entropy",
-    "orders_psi_drift", "graph_triangles", "docs_token_jsd_drift",
-    "embeddings_corpus_stats", "events_kmv_resemblance",
-    "sim_topk_rp_lsh", "events_session_stats",
-    "graph_personalized_pagerank", "text_unigram_logprob",
-    "text_bigram_logprob",
-    # --- runtime changed in the r5 signature-sharing refactor ---
-    "dedup_minhash_lsh", "dedup_minhash_estimate",
-    # --- last r1-graded row ---
-    "rolling_revenue_7d",
-    # --- module changed in round 6 (executor-side quantile offsets) ---
-    "order_value_quantiles", "customer_revenue_deciles",
-    # --- NEW round 6: dangling-mass pagerank variant ---
-    "graph_pagerank_dangling",
-    # --- stale <=r3 re-grades: text.py family first (churned 18x in r5
-    #     and again in r6 for the single-pass LM fit) ---
-    "text_token_stats", "text_quality_score", "text_top_bigrams",
-    "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
-    "text_language_id", "text_tfidf_top_terms",
-    "events_funnel", "events_cohort_retention", "events_hourly_rollup",
-    "filter_like", "filter_noticontains", "filter_null_ops",
-    "filter_array_contains", "filter_array_all_empty",
-    "tpch_q12",
-    "dedup_exact", "dedup_clusters",
-    # ===== round-7 queue starts here (entry 51+) =====
-    # NEW round-6 operators: grade on first appearance next round.
-    "dedup_semantic", "docs_importance_weights", "events_heavy_hitters",
-    "events_mad_outliers", "graph_label_propagation", "stats_bh_correction",
+    # Round-7 window (the driver grades the FIRST 50 entries). Composition
+    # follows the round-6 verdict's next-round list exactly:
+    # the 26 round-6 operators that have never had a driver row (grade on
+    # first appearance — all tri-scale green under the builder's
+    # gate-faithful replica), the two rows whose sf0.1 bench time
+    # regressed >25% in round 6 with no claimed code change
+    # (stats_corr_matrix +42%, dedup_containment +26% — re-grade guards
+    # while the regression is investigated), then the staleness rotation:
+    # all 14 remaining r3-graded rows and the 8 oldest r4-graded rows, so
+    # no green row older than round 4 remains after this window lands.
+    # --- round-6 first-appearance rows (26) ---
+    "dedup_semantic", "dedup_semantic_survivors",
+    "docs_bpe_train", "docs_bpe_encode",
+    "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
+    "graph_label_propagation", "docs_url_dedup", "docs_importance_weights",
+    "events_windowed_funnel", "events_heavy_hitters",
     "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
-    "events_windowed_funnel", "docs_url_dedup", "stats_bootstrap_ci",
     "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
     "orders_zorder_layout", "events_skew_report",
     "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
-    "orders_frequent_values", "docs_bpe_train", "docs_bpe_encode",
-    "docs_dup_ngram_fraction", "dedup_semantic_survivors",
-    # r3-graded rows that did not fit the round-6 window
-    "nation_revenue_pivot", "sim_knn_label_vote",
+    "orders_frequent_values", "docs_dup_ngram_fraction",
+    # --- round-6 bench-regression re-grade guards (2) ---
+    "stats_corr_matrix", "dedup_containment",
+    # --- staleness rotation: the 14 remaining r3-graded rows ---
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "customer_segments_setops", "nation_revenue_pivot",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
-    "window_topk_per_group", "dedup_ngram_jaccard",
-    "customer_revenue_deciles_approx", "customer_segments_setops",
-    "dedup_embedding_cosine", "docs_clean_corpus", "docs_stratified_sample",
-    "events_approx_distinct_kmv", "multimodal_frame_sample",
-    # r4-graded rows, oldest-priority order for subsequent rotation
+    "sim_knn_label_vote", "window_topk_per_group",
+    "customer_revenue_deciles_approx", "docs_clean_corpus",
+    "docs_stratified_sample", "events_approx_distinct_kmv",
+    "multimodal_frame_sample",
+    # --- staleness rotation: the 8 oldest r4-graded rows ---
     "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
     "events_props_rollup", "docs_pack_sequences",
     "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
+    # ===== round-8 queue starts here (entry 51+) =====
+    # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
-    # r5-graded rows (freshest — rotate last)
+    # r5-graded rows
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
     "orders_cube", "events_transitions", "customer_revenue_concentration",
@@ -1562,6 +1538,27 @@ _GATE_PRIORITY = [
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
     "events_funnel_steps", "skew_salted_join", "skew_salted_count",
+    # r6-graded rows (freshest — rotate last): r5b/5c stats/clustering
+    # wave, the minhash pair, quantile rows, dangling pagerank, and the
+    # r6-window text/DSL re-grades.
+    "stats_ols_regression", "events_ab_test", "docs_chi_square",
+    "embeddings_kmeans", "embeddings_kmeans_centroids",
+    "embeddings_random_projection", "embeddings_pq_encode", "sim_topk_pq",
+    "stats_ols_by_group", "stats_ks_test", "stats_welch_t_test",
+    "stats_mann_whitney", "text_char_entropy", "orders_psi_drift",
+    "graph_triangles", "docs_token_jsd_drift", "embeddings_corpus_stats",
+    "events_kmv_resemblance", "sim_topk_rp_lsh", "events_session_stats",
+    "graph_personalized_pagerank", "text_unigram_logprob",
+    "text_bigram_logprob", "dedup_minhash_lsh", "dedup_minhash_estimate",
+    "rolling_revenue_7d", "order_value_quantiles",
+    "customer_revenue_deciles", "graph_pagerank_dangling",
+    "text_token_stats", "text_quality_score", "text_top_bigrams",
+    "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
+    "text_language_id", "text_tfidf_top_terms",
+    "events_funnel", "events_cohort_retention", "events_hourly_rollup",
+    "filter_like", "filter_noticontains", "filter_null_ops",
+    "filter_array_contains", "filter_array_all_empty",
+    "tpch_q12", "dedup_exact", "dedup_clusters",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

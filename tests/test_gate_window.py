@@ -18,29 +18,28 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_front_50_carries_the_round6_composition():
+def test_front_50_carries_the_round7_composition():
     front = list(entry_mod.queries())[:50]
-    # the 25 round-5b/5c rows that have never had a driver row (the
-    # round-5 verdict's top item) grade on first appearance this round
+    # the 26 round-6 rows that have never had a driver row (the round-6
+    # verdict's top item) grade on first appearance this round
     first_appearance = {
-        "stats_corr_matrix", "stats_ols_regression", "events_ab_test",
-        "docs_chi_square", "embeddings_kmeans",
-        "embeddings_kmeans_centroids", "embeddings_random_projection",
-        "embeddings_pq_encode", "sim_topk_pq", "stats_ols_by_group",
-        "stats_ks_test", "stats_welch_t_test", "stats_mann_whitney",
-        "dedup_containment", "text_char_entropy", "orders_psi_drift",
-        "graph_triangles", "docs_token_jsd_drift",
-        "embeddings_corpus_stats", "events_kmv_resemblance",
-        "sim_topk_rp_lsh", "events_session_stats",
-        "graph_personalized_pagerank", "text_unigram_logprob",
-        "text_bigram_logprob",
+        "dedup_semantic", "dedup_semantic_survivors",
+        "docs_bpe_train", "docs_bpe_encode",
+        "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
+        "graph_label_propagation", "docs_url_dedup",
+        "docs_importance_weights", "events_windowed_funnel",
+        "events_heavy_hitters", "docs_best_fit_pack", "embeddings_whiten",
+        "sim_cosine_histogram", "events_session_paths",
+        "events_reservoir_sample", "events_daily_ewma",
+        "orders_zorder_layout", "events_skew_report",
+        "corpus_snapshot_diff", "docs_truncation_report",
+        "corpus_budget_allocation", "orders_equidepth_histogram",
+        "orders_frequent_values", "docs_dup_ngram_fraction",
     }
     missing = first_appearance - set(front)
-    assert not missing, f"queued r5b/5c rows fell out: {missing}"
-    # rows whose runtime or module changed this round must re-verify
-    for name in ("dedup_minhash_lsh", "dedup_minhash_estimate",
-                 "rolling_revenue_7d", "order_value_quantiles",
-                 "customer_revenue_deciles", "graph_pagerank_dangling"):
+    assert not missing, f"queued round-6 rows fell out: {missing}"
+    # rows whose sf0.1 bench regressed in round 6 re-verify as guards
+    for name in ("stats_corr_matrix", "dedup_containment"):
         assert name in front, name
 
 
