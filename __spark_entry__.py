@@ -1584,7 +1584,9 @@ sh AS (
   SELECT DISTINCT doc_id,
          list_aggregate(list_slice(w, i.i, i.i + 4), 'string_agg', ' ')
            AS shingle
-  FROM words CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) i
+  FROM words CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM words) + 1)) AS i) i
   WHERE len(w) >= 5 AND i.i <= len(w) - 4
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3865,7 +3867,8 @@ params AS (
               AS BIGINT) AS tail1,
          CAST((SELECT n FROM tot) + 1 AS DOUBLE) AS denom
 ),
-rng AS (SELECT unnest(range(1, 2000)) AS i),
+rng AS (SELECT unnest(range(1,
+  (SELECT CAST(max(len(l)) AS BIGINT) FROM lt) + 1)) AS i),
 pr AS (
   SELECT doc_id, l[i] || ' ' || l[i + 1] AS q
   FROM lt CROSS JOIN rng WHERE i <= len(l) - 1
@@ -4571,8 +4574,12 @@ FROM top, t
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
               FROM documents),
 pos AS (
+  -- gram-start range derives from the corpus max doc length, so a
+  -- longer-than-expected document can never be silently truncated
   SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
-  FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS i) r
+  FROM toks CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM toks) + 1)) AS i) r
   WHERE len(w) >= 8 AND i <= len(w) - 7
 ),
 dup AS (
@@ -4610,7 +4617,13 @@ WITH t0 AS MATERIALIZED (
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w != '' GROUP BY w
 ),
-rng AS (SELECT unnest(range(1, 200)) AS j)"""
+rng AS (
+  -- pair-slot range derives from the longest word's symbol count
+  -- (length(s)/3: every symbol is one bracketed char); merging only
+  -- shrinks symbol counts, so the t0 bound holds for every round —
+  -- a 200+-char word can never silently drop pairs
+  SELECT unnest(range(1,
+    (SELECT CAST(max(length(s)) // 3 AS BIGINT) FROM t0) + 1)) AS j)"""
     for _i in range(_bpe_n):
         _bpe += f""",
 p{_i} AS MATERIALIZED (
@@ -4686,7 +4699,8 @@ FROM d{_bpe_n}
     _eq_hi = "CASE WHEN bin = 9 THEN CAST(NULL AS DOUBLE) " + " ".join(
         f"WHEN bin = {i} THEN e{i}" for i in range(9)) + " END"
     o["orders_equidepth_histogram"] = f"""
-WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_totalprice IS NOT NULL),
 e AS (SELECT {_eq_edges} FROM v),
 b AS (SELECT CAST({_eq_bin} AS INT) AS bin,
              {", ".join(f"e{i}" for i in range(9))}

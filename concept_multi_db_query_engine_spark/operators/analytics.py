@@ -1319,9 +1319,14 @@ def equidepth_histogram(
     frame broadcasts back and binning is a narrow strict-inequality
     count (``bin = #edges < ... >= value``), deterministic at edge ties
     on any engine.  Returns (bin, lo, hi, n) with NULL open ends.
+
+    NULL values are excluded up front: they would otherwise land in
+    bin 0 (every CASE comparison yields false for NULL) and skew the
+    quantile edges — a misleading histogram on nullable columns.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    df = df.where(F.col(value_col).isNotNull())
     probs = [i / n_bins for i in range(1, n_bins)]
     vals = df.select(
         F.lit(0).alias("__g"),
@@ -1378,10 +1383,15 @@ def frequent_values(
         counts = df.groupBy(F.col(c).cast("string").alias("value")).agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
+        # asc_nulls_last: Spark's ASC default is NULLS FIRST while
+        # DuckDB's (the oracle's) is NULLS LAST — a NULL category would
+        # otherwise diverge in top-k membership/rank cross-engine.
         top = counts.orderBy(
-            F.col("cnt").desc(), F.col("value").asc()
+            F.col("cnt").desc(), F.col("value").asc_nulls_last()
         ).limit(k)
-        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        w = Window.orderBy(
+            F.col("cnt").desc(), F.col("value").asc_nulls_last()
+        )
         parts.append(
             top.withColumn("rank", F.row_number().over(w)).select(
                 F.lit(c).alias("col_name"), "value", "cnt",

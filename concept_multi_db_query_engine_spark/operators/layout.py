@@ -18,16 +18,26 @@ def morton_expr(col_a: str, col_b: str, bits: int = 16) -> str:
     """SQL text interleaving the low ``bits`` bits of two non-negative
     integer expressions into a Morton (Z-order) code — unrolled into a
     flat ``+`` chain of shift/mask terms so Spark and DuckDB evaluate
-    the identical exact-integer expression (no lambda fold, no UDF)."""
+    the identical exact-integer expression (no lambda fold, no UDF).
+
+    Both operands are cast to BIGINT before any shift: Spark's
+    shiftleft/shiftright keep the INPUT column's integer width and take
+    shift amounts mod that width (Java semantics), so a 32-bit INT
+    column with bits=16 would emit shiftleft(..., 31) = -2^31 and
+    bits>16 would silently wrap shift amounts mod 32.  In 64-bit the
+    maximum shift here is 2*30+1 = 61 < 64, so every term is exact for
+    any allowed ``bits`` regardless of the source column type."""
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
     terms = []
     for i in range(bits):
         terms.append(
-            f"shiftleft(shiftright({col_a}, {i}) & 1, {2 * i})"
+            f"shiftleft(shiftright(CAST({col_a} AS BIGINT), {i}) & 1,"
+            f" {2 * i})"
         )
         terms.append(
-            f"shiftleft(shiftright({col_b}, {i}) & 1, {2 * i + 1})"
+            f"shiftleft(shiftright(CAST({col_b} AS BIGINT), {i}) & 1,"
+            f" {2 * i + 1})"
         )
     return "(" + " + ".join(terms) + ")"
 
@@ -102,10 +112,14 @@ def join_skew_report(
     tot = counts.agg(
         F.sum("cnt").cast("long").alias("__tot")
     )
+    # asc_nulls_last matches DuckDB's ASC default (Spark's is NULLS
+    # FIRST) so a NULL key cannot flip top-n membership cross-engine
     top = counts.orderBy(
-        F.col("cnt").desc(), F.col(key_col).asc()
+        F.col("cnt").desc(), F.col(key_col).asc_nulls_last()
     ).limit(top_n)
-    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc_nulls_last()
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(tot))

@@ -844,10 +844,6 @@ def bh_adjust(
     key = key_col or p_col
     order = [F.col(p_col).asc_nulls_last(), F.col(key).asc()]
     w_rank = Window.orderBy(*order)
-    w_rev = (
-        Window.orderBy(F.col("__rk").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     ranked = results.withColumn(
         "__m",
         F.count(F.when(F.col(p_col).isNotNull(), 1))

@@ -577,6 +577,28 @@ def test_zorder_code_matches_python_interleave(spark):
         assert out[i] == want
 
 
+def test_zorder_code_int32_columns_wide_bits(spark):
+    # regression: 32-bit INT input columns used to keep the shift
+    # arithmetic in 32-bit — bits=16 emitted shiftleft(..., 31) which
+    # overflowed to -2^31, and bits>16 wrapped shift amounts mod 32.
+    # The BIGINT cast inside morton_expr makes every term 64-bit.
+    vals = [(0, 65535, 65535), (1, 32768, 32768), (2, 16777215, 1),
+            (3, 12345678, 87654321)]
+    df = spark.createDataFrame(vals, "id int, a int, b int")
+    for bits in (16, 24):
+        out = {r["id"]: r["zorder"]
+               for r in ops.zorder_code(df, "a", "b", bits=bits).collect()}
+        mask = (1 << bits) - 1
+        for i, a, b in vals:
+            a, b = a & mask, b & mask
+            want = 0
+            for j in range(bits):
+                want |= ((a >> j) & 1) << (2 * j)
+                want |= ((b >> j) & 1) << (2 * j + 1)
+            assert out[i] == want, (bits, i)
+            assert out[i] >= 0
+
+
 def test_zorder_layout_clusters_both_dimensions(spark):
     # rows sorted by z-code: consecutive rows must be close in BOTH
     # dimensions on average — closer than the column-sorted layout is
