@@ -4764,6 +4764,10 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY 1
 """
 
+    # water-filling fixpoint via its closed form: the capped set is the
+    # minimal stable prefix in (tokens desc, source asc) order — a
+    # running-AND over the would-be share test (see
+    # operators/text.py:budget_allocation)
     o["corpus_budget_allocation"] = """
 WITH t AS (
   SELECT source,
@@ -4772,28 +4776,52 @@ WITH t AS (
               AS BIGINT) AS tokens
   FROM documents GROUP BY 1
 ),
-s AS (SELECT *, (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS tot
-      FROM t),
-r AS (SELECT source, tokens, 30000 * tokens // nullif(tot, 0) AS raw
-      FROM s),
-c AS (SELECT source, tokens, raw, least(raw, 1500) AS a1,
-             raw > 1500 AS capped FROM r),
+s AS (
+  SELECT source, tokens,
+         (SELECT CAST(sum(tokens) AS BIGINT) FROM t) AS tot,
+         CAST(row_number() OVER
+              (ORDER BY tokens DESC, source ASC) AS BIGINT) AS i,
+         (SELECT CAST(sum(tokens) AS BIGINT) FROM t)
+           - CAST(coalesce(sum(tokens) OVER
+               (ORDER BY tokens DESC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS tail
+  FROM t
+),
+r AS (
+  SELECT source, tokens, i,
+         CAST(coalesce((30000 - 1500 * (i - 1)) * tokens
+                       // nullif(tail, 0), 0) AS BIGINT) AS raw
+  FROM s
+),
+c AS (
+  SELECT source, tokens, raw,
+         CAST(min(CASE WHEN raw > 1500 THEN 1 ELSE 0 END) OVER
+              (ORDER BY tokens DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) = 1 AS capped
+  FROM r
+),
 g AS (
-  SELECT CAST(30000 - sum(a1) AS BIGINT) AS leftover,
+  SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
          CAST(sum(CASE WHEN NOT capped THEN tokens ELSE 0 END)
               AS BIGINT) AS unc
   FROM c
+),
+a AS (
+  SELECT source, tokens, capped,
+         CASE WHEN capped THEN CAST(1500 AS BIGINT)
+              ELSE CAST(coalesce((30000 - 1500 * k) * tokens
+                                 // nullif(unc, 0), 0) AS BIGINT) END
+           AS alloc_tokens
+  FROM c, g
 )
-SELECT source, tokens,
-  CAST(a1 + CASE WHEN capped OR unc = 0 THEN 0
-                 ELSE leftover * tokens // unc END AS BIGINT)
-    AS alloc_tokens,
+SELECT source, tokens, alloc_tokens,
   CASE WHEN tokens = 0 THEN CAST(NULL AS BIGINT)
-       ELSE CAST((a1 + CASE WHEN capped OR unc = 0 THEN 0
-                            ELSE leftover * tokens // unc END)
-                 * 1000000 // tokens AS BIGINT) END AS epochs_ppm,
+       ELSE CAST(alloc_tokens * 1000000 // tokens AS BIGINT) END
+    AS epochs_ppm,
   capped
-FROM c, g
+FROM a
 """
 
     # count-min sketch frequency estimates, md5-hash bucketed

@@ -1650,15 +1650,28 @@ def budget_allocation(
     """Per-source token-budget allocation with a concentration cap —
     the data-mixing planning step (DoReMi/Pile-style recipes): give
     each source its proportional share of ``budget_tokens``, cap any
-    single source at ``cap_ppm`` of the budget, and redistribute the
-    capped surplus proportionally among the uncapped sources (one
-    redistribution pass — exact integer arithmetic end to end, so the
-    plan is bit-identical on any engine).  ``epochs_ppm`` is the
-    implied repetition factor (alloc·1e6 DIV available) — above 1e6
+    single source at ``cap_ppm`` of the budget, and WATER-FILL the
+    capped surplus: capped sources are pinned at exactly the cap and
+    the remaining budget is split proportionally among the uncapped —
+    iterated to the fixpoint where no uncapped source exceeds the cap.
+    (A single redistribution pass can push an uncapped source past the
+    cap when caps bind hard; water-filling cannot.)  ``epochs_ppm`` is
+    the implied repetition factor (alloc·1e6 DIV available) — above 1e6
     means the source must repeat to fill its allocation.
 
+    The fixpoint has a closed form — the per-token water level only
+    RISES as heavy sources are pinned, so the capped set is the minimal
+    stable PREFIX in (tokens desc, source asc) order: source i is
+    capped iff every source before it is capped and its own would-be
+    share of the then-remaining budget,
+    ``(budget − cap·(i−1)) · tokens_i DIV tail_tokens_i``, still
+    exceeds the cap.  A running-AND window finds that prefix in one
+    pass — no recursion, exact integer arithmetic end to end, so the
+    identical expression replays on any engine.
+
     One token-count aggregation over the corpus; everything after runs
-    on the |sources|-row frame (window totals over a tiny frame).
+    on the |sources|-row frame (window totals over a tiny frame — the
+    documented small-frame exception to the no-global-window rule).
     Returns (source, tokens, alloc_tokens, epochs_ppm, capped).
     """
     if budget_tokens < 1 or not 0 < cap_ppm <= 1_000_000:
@@ -1675,18 +1688,37 @@ def budget_allocation(
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    w_ord = Window.orderBy(F.col("tokens").desc(), F.col("source").asc())
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     cap = budget_tokens * cap_ppm // 1_000_000
     staged = (
         per_src.withColumn("__tot", F.sum("tokens").over(wall))
+        .withColumn("__i", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "__tail",
+            F.col("__tot")
+            - F.coalesce(
+                F.sum("tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
         .withColumn(
             "__raw",
-            F.expr(f"{budget_tokens} * tokens DIV nullif(__tot, 0)"),
+            F.expr(
+                f"coalesce(({budget_tokens} - {cap} * (__i - 1)) "
+                "* tokens DIV nullif(__tail, 0), CAST(0 AS BIGINT))"
+            ),
         )
-        .withColumn("__a1", F.expr(f"least(__raw, {cap})"))
-        .withColumn("capped", F.col("__raw") > cap)
         .withColumn(
-            "__leftover",
-            F.lit(budget_tokens) - F.sum("__a1").over(wall),
+            "capped",
+            F.min(F.expr(f"__raw > {cap}")).over(w_run),
+        )
+        .withColumn(
+            "__k",
+            F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall)
+            .cast("long"),
         )
         .withColumn(
             "__unc_tokens",
@@ -1695,8 +1727,9 @@ def budget_allocation(
         )
     )
     alloc = F.expr(
-        "__a1 + CASE WHEN capped OR __unc_tokens = 0 THEN 0 "
-        "ELSE __leftover * tokens DIV __unc_tokens END"
+        f"CASE WHEN capped THEN CAST({cap} AS BIGINT) "
+        f"ELSE coalesce(({budget_tokens} - {cap} * __k) * tokens "
+        "DIV nullif(__unc_tokens, 0), CAST(0 AS BIGINT)) END"
     )
     return staged.withColumn("__alloc", alloc.cast("long")).select(
         "source", "tokens",

@@ -690,6 +690,62 @@ def test_budget_allocation_caps_and_redistributes(spark):
     assert out["big"]["epochs_ppm"] == 500_000
 
 
+def _waterfill_reference(tokens_by_src, budget, cap):
+    """Pure-Python iterative water-filling: pin capped sources at the
+    cap, re-split the remainder proportionally, repeat until no cap
+    binds — the semantics budget_allocation's closed form must match."""
+    capped = set()
+    while True:
+        unc = {s: t for s, t in tokens_by_src.items() if s not in capped}
+        unc_tok = sum(unc.values())
+        rem = budget - cap * len(capped)
+        raw = {s: (rem * t // unc_tok if unc_tok else 0)
+               for s, t in unc.items()}
+        newly = {s for s, v in raw.items() if v > cap}
+        if not newly:
+            return {s: (cap if s in capped else raw[s])
+                    for s in tokens_by_src}, capped
+        capped |= newly
+
+
+def test_budget_allocation_hard_caps_never_overshoot(spark):
+    # Hard-cap fixture: the old single redistribution pass gave
+    # mid = 10 + 680*10//20 = 350 > cap 300 — an overshoot. Water-
+    # filling pins every source at <= cap and matches the iterative
+    # pure-Python fixpoint exactly.
+    toks = {"big": 980, "mid": 10, "small": 10}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), s)
+         for i, (s, n) in enumerate(toks.items())],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in ops.budget_allocation(
+        docs, budget_tokens=1000, cap_ppm=300_000).collect()}
+    want, capped = _waterfill_reference(toks, 1000, 300)
+    for s in toks:
+        assert out[s]["alloc_tokens"] == want[s], s
+        assert out[s]["alloc_tokens"] <= 300, s
+        assert out[s]["capped"] == (s in capped), s
+
+
+def test_budget_allocation_matches_iterative_fixpoint(spark):
+    # broader sweep: several cap regimes against the iterative reference
+    toks = {"s1": 500, "s2": 300, "s3": 120, "s4": 60, "s5": 20}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), s)
+         for i, (s, n) in enumerate(toks.items())],
+        "doc_id long, text string, source string",
+    )
+    for cap_ppm in (150_000, 250_000, 400_000, 900_000):
+        out = {r["source"]: r for r in ops.budget_allocation(
+            docs, budget_tokens=2000, cap_ppm=cap_ppm).collect()}
+        cap = 2000 * cap_ppm // 1_000_000
+        want, capped = _waterfill_reference(toks, 2000, cap)
+        for s in toks:
+            assert out[s]["alloc_tokens"] == want[s], (cap_ppm, s)
+            assert out[s]["capped"] == (s in capped), (cap_ppm, s)
+
+
 def test_budget_allocation_validates_inputs(spark):
     docs = spark.createDataFrame(
         [(1, "w", "s")], "doc_id long, text string, source string")
