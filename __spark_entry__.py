@@ -1040,12 +1040,14 @@ def _q_dup_ngram_fraction(spark, sf):
 
 
 def _q_bpe_train(spark, sf):
-    return ops.bpe_train_merges(_t(spark, sf, "documents"), n_merges=8)
+    # 64 merges via batched learning (~vocab/batch driver rounds, not
+    # one job per merge) — bit-stable vs sequential Sennrich BPE
+    return ops.bpe_train_merges(_t(spark, sf, "documents"), n_merges=64)
 
 
 def _q_bpe_encode(spark, sf):
     docs = _t(spark, sf, "documents")
-    merges = ops.bpe_train_merges(docs, n_merges=8).orderBy("rank") \
+    merges = ops.bpe_train_merges(docs, n_merges=64).orderBy("rank") \
         .collect()
     return ops.bpe_encode_stats(docs, merges)
 
@@ -4607,7 +4609,7 @@ FROM documents docs LEFT JOIN per_doc ON docs.doc_id = per_doc.doc_id
     # symbol strings, one MATERIALIZED (pairs, best, rewrite) CTE triple
     # per merge round — replace() is left-to-right non-overlapping in
     # both engines, which IS BPE's greedy merge semantics
-    _bpe_n = 8
+    _bpe_n = 64
     _bpe = """
 WITH t0 AS MATERIALIZED (
   SELECT '⟨' || array_to_string(

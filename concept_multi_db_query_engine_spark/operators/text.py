@@ -1742,10 +1742,53 @@ def budget_allocation(
     )
 
 
+def _bpe_sequential_local(
+    word_counts: dict, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Plain sequential Sennrich BPE over a collected word-frequency
+    dictionary — the driver-side merge loop used when the dictionary is
+    bounded model data.  Tie-break (weighted count desc, lhs asc,
+    rhs asc) matches the distributed path and the DuckDB oracle."""
+    vocab: dict = {}
+    for w, c in word_counts.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict = {}
+        for toks, c in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), wc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, wc))
+        new_vocab: dict = {}
+        for toks, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == l
+                        and toks[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + c
+        vocab = new_vocab
+    return merges
+
+
 def bpe_train_merges(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_size: int = 16,
+    local_vocab_limit: int = 200_000,
 ) -> DataFrame:
     """REAL byte-pair-encoding tokenizer training (Sennrich et al. 2016)
     inside the engine: learn the first ``n_merges`` BPE merge rules from
@@ -1753,24 +1796,65 @@ def bpe_train_merges(
     can be tokenized at all.
 
     The classic algorithm trains on the WORD-FREQUENCY dictionary, not
-    the raw corpus: one corpus scan builds (word, count), and every
-    merge round then works on that far smaller vocab frame — the scale
-    property that makes BPE training feasible at corpus size.  Words are
-    held as ``⟨tok⟩⟨tok⟩…`` bracket-wrapped symbol strings (symbols are
-    concatenations of characters, so the merged symbol is just the
-    concatenation and the brackets carry the split points); each round
+    the raw corpus: one corpus scan builds (word, count), and merge
+    learning then works on that far smaller dictionary — the scale
+    property that makes BPE training feasible at corpus size.  This is
+    also exactly how published tokenizer trainers split the work: the
+    corpus→dictionary reduction is the data-sized step (distributed,
+    one scan + one shuffle here), while the dictionary itself is
+    MODEL-sized.  So when the dictionary holds ≤ ``local_vocab_limit``
+    distinct words (probed with a count — loud, never a silent
+    truncation), it is collected as bounded model data and the merge
+    loop runs as plain sequential Python on the driver: zero Spark
+    jobs per merge, bit-exact Sennrich semantics by construction, and
+    a 30k-merge vocab costs milliseconds, not 30k jobs.
+
+    Above the limit the loop stays fully distributed over the
+    dictionary frame.  Words are held as ``⟨tok⟩⟨tok⟩…``
+    bracket-wrapped symbol strings (symbols are concatenations of
+    characters, so the merged symbol is just the concatenation and the
+    brackets carry the split points); each round
 
     1. explodes adjacent symbol pairs weighted by word count (one
        map-side-combined aggregation over the vocab frame),
-    2. collects THE single best pair — (max weighted count, then
-       lexicographic) — bounded driver model data, one row per round,
-    3. applies the merge with a literal ``replace`` on the wrapped
-       strings: string replace is left-to-right non-overlapping in both
-       engines, which is exactly BPE's greedy merge semantics
-       (``⟨a⟩⟨a⟩⟨a⟩`` under (a,a) → ``⟨aa⟩⟨a⟩``).
+    2. collects the top candidate pairs — (max weighted count, then
+       lexicographic) — bounded driver model data, ≤ 3·batch_size+1
+       rows per round,
+    3. accepts a BATCH of merges whose sequential equivalence is
+       provable (below), and applies them as chained literal
+       ``replace``s on the wrapped strings: string replace is
+       left-to-right non-overlapping in both engines, which is exactly
+       BPE's greedy merge semantics (``⟨a⟩⟨a⟩⟨a⟩`` under (a,a) →
+       ``⟨aa⟩⟨a⟩``).
 
-    The vocab frame is re-persisted each round (previous round
-    unpersisted) so the loop never re-tokenizes the corpus. Returns the
+    **Batched learning, bit-stable vs sequential BPE.**  One Spark job
+    per merge was the classic scaling flaw here (a 30k-merge vocab =
+    30k sequential jobs); this learns up to ``batch_size`` merges per
+    round while provably producing the SAME merge table sequential BPE
+    would.  The batch is the longest prefix of the (wcnt desc, l, r)
+    candidate order that is (a) mutually symbol-disjoint, truncated at
+    the first candidate sharing a symbol with an earlier acceptance,
+    and (b) restricted to counts STRICTLY above that first conflict's
+    count (and above the collect cut when it may hide pairs).  Why
+    that is sequential-equivalent: accepted pairs are disjoint, so
+    applying any prefix of them leaves the others' counts unchanged;
+    every pair a merge can create or alter contains a merged symbol,
+    i.e. conflicts, and all conflicting or unseen pairs sit at or
+    below the conflict count — strictly below every batch member.  So
+    after each applied prefix, the next batch member is still the
+    global (wcnt, l, r) argmax, which is exactly sequential BPE's next
+    pick.  If truncation empties the batch, the round degrades to the
+    plain single-merge sequential step.  Rounds needed ≈
+    n_merges / batch acceptance rate — the job count now scales with
+    the vocab's conflict structure, not 1:1 with the merge count.
+
+    The vocab frame is re-materialized each round via an eager
+    ``localCheckpoint`` — which both keeps the loop from ever
+    re-tokenizing the corpus AND truncates the logical-plan lineage
+    (nested replace chains otherwise accumulate across rounds until
+    plan stringification itself exhausts driver heap; the same
+    checkpoint-cadence discipline the iterative graph operators use).
+    Returns the
     learned merge table: (rank, lhs, rhs, merged, weighted_count) —
     ranks 1..n_merges in learning order, the exact artifact a tokenizer
     loads.  Assumes ``⟨``/``⟩`` do not occur in the corpus tokens
@@ -1778,26 +1862,41 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     spark = docs.sparkSession
-    vocab = (
+    counts = (
         docs.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select(
-            F.expr(
-                "concat('⟨', array_join(transform("
-                "sequence(1, length(w)), i -> substring(w, i, 1)), "
-                "'⟩⟨'), '⟩')"
-            ).alias("s"),
-            "cnt",
+    ).localCheckpoint(eager=True)
+    n_words = counts.count()
+    if n_words <= local_vocab_limit:
+        merges = _bpe_sequential_local(
+            {r["w"]: int(r["cnt"]) for r in counts.collect()}, n_merges
         )
-    ).persist()
-    vocab.count()
+        bpe_train_merges.last_rounds = 0
+        return spark.createDataFrame(
+            merges,
+            "rank int, lhs string, rhs string, merged string, "
+            "weighted_count long",
+        )
+    vocab = counts.select(
+        F.expr(
+            "concat('⟨', array_join(transform("
+            "sequence(1, length(w)), i -> substring(w, i, 1)), "
+            "'⟩⟨'), '⟩')"
+        ).alias("s"),
+        "cnt",
+    ).localCheckpoint(eager=True)
     merges = []
     cur = vocab
-    for rank in range(1, n_merges + 1):
+    top_c = 3 * batch_size + 1
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
         pairs = (
             cur.select(
                 F.expr(
@@ -1821,23 +1920,49 @@ def bpe_train_merges(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").cast("long").alias("wcnt"))
         )
-        best = pairs.orderBy(
+        cands = pairs.orderBy(
             F.col("wcnt").desc(), F.col("l").asc(), F.col("r").asc()
-        ).limit(1).collect()
-        if not best:
+        ).limit(top_c).collect()
+        if not cands:
             break
-        l, r, wcnt = best[0]["l"], best[0]["r"], int(best[0]["wcnt"])
-        merges.append((rank, l, r, l + r, wcnt))
-        src = f"⟨{l}⟩⟨{r}⟩"
-        dst = f"⟨{l}{r}⟩"
-        nxt = cur.select(
-            F.replace(F.col("s"), F.lit(src), F.lit(dst)).alias("s"),
-            "cnt",
-        ).persist()
-        nxt.count()
-        cur.unpersist()
+        # sequential-equivalent batch (see docstring): disjoint prefix,
+        # cut at the first symbol conflict, counts strictly above it
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        conflict_wcnt = None
+        for row in cands:
+            l, r, w = row["l"], row["r"], int(row["wcnt"])
+            if l in used or r in used:
+                conflict_wcnt = w
+                break
+            accepted.append((l, r, w))
+            used.add(l)
+            used.add(r)
+        else:
+            if len(cands) == top_c:
+                # the collect cut may hide pairs at the tail count —
+                # treat the cut itself as a conflict bound
+                conflict_wcnt = int(cands[-1]["wcnt"])
+        if conflict_wcnt is not None:
+            accepted = [t for t in accepted if t[2] > conflict_wcnt]
+        if not accepted:
+            # degenerate round: plain sequential step — cands[0] IS the
+            # global (wcnt, l, r) argmax, unconditionally correct
+            accepted = [(cands[0]["l"], cands[0]["r"],
+                         int(cands[0]["wcnt"]))]
+        accepted = accepted[: min(batch_size, n_merges - len(merges))]
+        col = F.col("s")
+        for l, r, wcnt in accepted:
+            merges.append((len(merges) + 1, l, r, l + r, wcnt))
+            col = F.replace(
+                col, F.lit(f"⟨{l}⟩⟨{r}⟩"), F.lit(f"⟨{l}{r}⟩")
+            )
+        nxt = cur.select(col.alias("s"), "cnt") \
+            .localCheckpoint(eager=True)
         cur = nxt
-    cur.unpersist()
+    # diagnostics for tests/benchmarks: how many Spark rounds the
+    # batched learner actually needed for this merge table
+    bpe_train_merges.last_rounds = rounds
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, "

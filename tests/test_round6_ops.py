@@ -838,13 +838,53 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == _py_bpe(words, 6)
 
 
+def test_bpe_batched_learning_is_bit_stable_vs_sequential(spark):
+    # the DISTRIBUTED batched learner (top-M disjoint prefix,
+    # conflict-count truncation; forced via local_vocab_limit=0) must
+    # produce EXACTLY the sequential merge table — exercised on a
+    # tie-heavy vocab where naive batching diverges
+    words = {"lower": 5, "low": 7, "newest": 6, "widest": 3, "new": 2,
+             "aaab": 4, "aabb": 4, "abab": 4, "banana": 3, "bandana": 2}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want = _py_bpe(words, 20)
+    for bs in (1, 2, 4, 16):
+        got = [(r["rank"], r["lhs"], r["rhs"], r["merged"],
+                r["weighted_count"])
+               for r in ops.bpe_train_merges(
+                   docs, n_merges=20, batch_size=bs,
+                   local_vocab_limit=0)
+               .orderBy("rank").collect()]
+        assert got == want, f"batch_size={bs} diverged from sequential"
+
+
+def test_bpe_local_and_distributed_paths_agree_on_real_corpus(spark):
+    # 64 merges on the sf0.001 corpus: the driver-local dictionary
+    # path (default — vocab fits) == the distributed batched path
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loc = [(r["rank"], r["lhs"], r["rhs"], r["merged"],
+            r["weighted_count"])
+           for r in ops.bpe_train_merges(docs, n_merges=64)
+           .orderBy("rank").collect()]
+    assert ops.bpe_train_merges.last_rounds == 0  # took the local path
+    bat = [(r["rank"], r["lhs"], r["rhs"], r["merged"],
+            r["weighted_count"])
+           for r in ops.bpe_train_merges(
+               docs, n_merges=64, batch_size=16, local_vocab_limit=0)
+           .orderBy("rank").collect()]
+    assert ops.bpe_train_merges.last_rounds > 0  # took the batched path
+    assert bat == loc
+    assert len(bat) == 64
+
+
 def test_bpe_merge_is_greedy_left_nonoverlapping(spark):
     # 'aaaa' under merge (a,a) must become (aa, aa) — never (a, aa, a)
     docs = spark.createDataFrame(
         [(1, "aaaa aaaa aa")], "doc_id long, text string"
     )
     m = {r["rank"]: r for r in
-         ops.bpe_train_merges(docs, n_merges=2).collect()}
+         ops.bpe_train_merges(docs, n_merges=2,
+                              local_vocab_limit=0).collect()}
     assert (m[1]["lhs"], m[1]["rhs"]) == ("a", "a")
     # after round 1: aaaa -> (aa)(aa) x2 and aa -> (aa); so (aa, aa)
     # pairs dominate round 2
