@@ -1135,6 +1135,9 @@ def _q_label_propagation(spark, sf):
     edges = ops.knn_graph(emb, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
+    # 4 synchronous rounds; the default oscillation resolution takes
+    # least(l4, l3) per node, so any period-2 flip lands on one
+    # deterministic labeling (see operators/graph.py)
     return ops.label_propagation(edges, iterations=4)
 
 
@@ -4888,7 +4891,8 @@ FROM f3
 """
 
     # deterministic synchronous label propagation over the kNN graph,
-    # one CTE pair per iteration (plurality pick = count desc, label asc)
+    # one CTE per iteration (plurality pick = count desc, label asc),
+    # finished by the oscillation-resolving least(l_T, l_{T-1}) merge
     _lp = "WITH " + _COS_NORM_CTE + """
 , scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -4911,9 +4915,10 @@ und AS (
 ),
 nodes AS (SELECT DISTINCT u AS node FROM und),
 l0 AS (SELECT node, node AS label FROM nodes)"""
-    for _i in range(4):
+    _lp_iters = 4
+    for _i in range(_lp_iters):
         _lp += f""",
-l{_i + 1} AS (
+l{_i + 1} AS MATERIALIZED (
   SELECT n.node, coalesce(p.new_label, l.label) AS label
   FROM nodes n JOIN l{_i} l ON l.node = n.node
   LEFT JOIN (
@@ -4926,8 +4931,9 @@ l{_i + 1} AS (
     ) WHERE rk = 1
   ) p ON p.node = n.node
 )"""
-    _lp += """
-SELECT node, label FROM l4"""
+    _lp += f"""
+SELECT a.node, least(a.label, b.label) AS label
+FROM l{_lp_iters} a JOIN l{_lp_iters - 1} b ON a.node = b.node"""
     o["graph_label_propagation"] = _lp
 
     # DSIR importance weights: two unigram models (target = lang 'en',

@@ -310,6 +310,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 2,
+    resolve_oscillation: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation community detection (Raghavan et
     al. 2007), made deterministic: labels start as node ids, and each
@@ -317,6 +318,23 @@ def label_propagation(
     neighbors with ties broken by (count desc, label asc) — no RNG, no
     async sweep order, so Spark and a sequential SQL replay converge to
     bit-identical labelings (the ``pagerank`` determinism contract).
+
+    **Oscillation resolution.**  Synchronous majority-style dynamics
+    settle into short limit cycles rather than diverging — period 2 in
+    the classic case (two sides of a bipartite structure swapping
+    labels forever; cf. Goles & Olivos 1980 for threshold networks).
+    With the default ``resolve_oscillation=True``, after the fixed
+    ``iterations`` rounds the result is the element-wise
+    ``least(label_T, label_{T-1})`` of the LAST TWO rounds: a true
+    fixpoint passes through unchanged (the two rounds agree), while a
+    period-2 flip maps to one deterministic labeling that UNITES the
+    oscillating sides — which is the right community reading of a
+    structure so interconnected it flips in lockstep (a complete
+    bipartite block is one community).  The output is then invariant
+    to adding extra rounds once the dynamics has entered its cycle,
+    which is what "converged" means operationally; one tiny
+    label-frame join, no extra passes over the edges.
+    ``resolve_oscillation=False`` returns the raw round-T labels.
 
     The edge list is symmetrized once (undirected view) and checkpointed;
     each iteration is one edge-list join against the label vector plus a
@@ -335,6 +353,7 @@ def label_propagation(
     nodes = und.select(F.col("u").alias("node")).distinct() \
         .localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
+    prev = labels
     for it in range(iterations):
         counts = (
             und.join(labels, und["w"] == labels["node"])
@@ -345,6 +364,7 @@ def label_propagation(
         picked = counts.groupBy(F.col("u").alias("node")).agg(
             F.expr("min_by(label, struct(-cnt, label))").alias("new_label")
         )
+        prev = labels
         labels = nodes.join(labels, "node").join(picked, "node", "left") \
             .select(
                 "node",
@@ -352,4 +372,8 @@ def label_propagation(
             )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
-    return labels
+    if not resolve_oscillation or iterations < 2:
+        return labels
+    return labels.join(
+        prev.select("node", F.col("label").alias("__prev")), "node"
+    ).select("node", F.least("label", "__prev").alias("label"))

@@ -481,6 +481,29 @@ def test_label_propagation_deterministic_across_partitioning(spark):
     assert a == b
 
 
+def test_label_propagation_resolves_bipartite_oscillation(spark):
+    # synchronous LPA period-2-cycles on a complete bipartite graph
+    # (the two sides swap labels forever); the least(l_T, l_{T-1})
+    # resolution must map the cycle to ONE labeling, invariant to
+    # running extra rounds — and unite the flip-locked sides (K33 is
+    # one community)
+    k33 = [(a, b) for a in (1, 2, 3) for b in (10, 11, 12)]
+    df = spark.createDataFrame(k33, "src long, dst long")
+    outs = [sorted((r["node"], r["label"])
+                   for r in ops.label_propagation(df, t).collect())
+            for t in (4, 5, 6)]
+    assert outs[0] == outs[1] == outs[2]
+    labels = {lab for _, lab in outs[0]}
+    assert len(labels) == 1  # the flip-locked block is one community
+    # the documented raw mode still oscillates on this fixture — the
+    # regression this test pins the resolution against
+    s4 = sorted((r["node"], r["label"]) for r in ops.label_propagation(
+        df, 4, resolve_oscillation=False).collect())
+    s5 = sorted((r["node"], r["label"]) for r in ops.label_propagation(
+        df, 5, resolve_oscillation=False).collect())
+    assert s4 != s5
+
+
 # ---- session paths / reservoir / EWMA / z-order / skew report -------------
 
 
