@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (PIL/ffmpeg are not in this container):
-``fake_decode_stats`` computes deterministic per-blob statistics so the
-pipeline shape — schema, partitioning, batch iteration, UDF signature — is
-real and testable. Swapping in a real decoder changes ONE inner function.
+The decode step is env-gated: :func:`image_decode_stats` uses a REAL codec
+(PIL) when the module import probe finds one, and otherwise falls back to
+``fake_decode_stats`` — deterministic per-blob byte statistics — so the
+pipeline shape (schema, partitioning, batch iteration, UDF signature) is
+real and testable in any container. Video/audio remain stub-only
+(ffmpeg is never present here).
 
 Scale notes: binary blobs ride in parquet pages like any column; Arrow moves
 them to Python in batches (spark.sql.execution.arrow.maxRecordsPerBatch
@@ -19,6 +21,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real-codec path: env-gated, never a hard dependency
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - depends on container
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_SCHEMA = (
     "doc_id long, media binary, width int, height int, format string"
@@ -77,6 +87,60 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
                     "n_bytes": stats.map(lambda s: s[0]),
                     "brightness": stats.map(lambda s: s[1]),
                     "is_valid": stats.map(lambda s: s[2]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=STATS_SCHEMA)
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """Per-image decode statistics through a REAL codec when one is
+    available: if PIL imported at module load (``HAS_PIL``), each blob
+    is opened with ``PIL.Image``, and (width, height, format,
+    brightness = mean grayscale pixel) come from the DECODED image —
+    undecodable or NULL blobs yield ``is_valid = false`` with zeroed
+    stats instead of failing the batch.  Without PIL this falls back
+    to :func:`fake_decode_stats` (deterministic byte statistics,
+    metadata passthrough) so the pipeline is runnable in any
+    container.  Either way the Spark-side shape is identical: one
+    Arrow-batched ``mapInPandas`` narrow map, STATS_SCHEMA out —
+    swapping codecs never changes the plan.
+    """
+    if not HAS_PIL:
+        return fake_decode_stats(media)
+
+    import io
+
+    def _decode_one(blob) -> tuple[int, int, str, int, float, bool]:
+        if blob is None:
+            return 0, 0, None, 0, 0.0, False
+        raw = bytes(blob)
+        try:
+            img = _PILImage.open(io.BytesIO(raw))
+            gray = img.convert("L")
+            data = gray.getdata()
+            n_px = len(data)
+            brightness = (sum(data) / n_px) if n_px else 0.0
+            return (
+                int(img.width), int(img.height),
+                (img.format or "unknown").lower(),
+                len(raw), brightness, True,
+            )
+        except Exception:
+            return 0, 0, None, len(raw), 0.0, False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = pdf["media"].map(_decode_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": stats.map(lambda s: s[0]),
+                    "height": stats.map(lambda s: s[1]),
+                    "format": stats.map(lambda s: s[2]),
+                    "n_bytes": stats.map(lambda s: s[3]),
+                    "brightness": stats.map(lambda s: s[4]),
+                    "is_valid": stats.map(lambda s: s[5]),
                 }
             )
 

@@ -1093,3 +1093,55 @@ def test_semantic_survivors_drop_all_but_lowest_in_family(spark):
         .collect()
     )
     assert survivors == [0, 10, 11, 12, 13]
+
+
+# ---- multimodal: env-gated real codec -------------------------------------
+
+
+def test_image_decode_stats_falls_back_without_pil(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id long, text string")
+    media = multimodal.as_media_table(docs)
+    out = multimodal.image_decode_stats(media)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "width", "height", "format",
+        "n_bytes", "brightness", "is_valid",
+    ]
+    if not multimodal.HAS_PIL:
+        # identical to the stub path byte-for-byte
+        want = sorted(map(tuple, multimodal.fake_decode_stats(media)
+                          .collect()))
+        got = sorted(map(tuple, out.collect()))
+        assert got == want
+
+
+def test_image_decode_stats_with_real_codec(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        import pytest
+        pytest.skip("PIL not available in this container")
+    import io
+
+    from PIL import Image
+
+    def png(color, w, h):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(0, 4, 2), 4, 2, "png"),
+            (2, png(255, 3, 3), 3, 3, "png"),
+            (3, b"not an image", 0, 0, "junk"),
+            (4, None, 0, 0, "null")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["doc_id"]: r
+           for r in multimodal.image_decode_stats(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[1]["format"] == "png" and out[1]["is_valid"]
+    assert out[1]["brightness"] == 0.0
+    assert out[2]["brightness"] == 255.0
+    assert out[3]["is_valid"] is False and out[3]["n_bytes"] > 0
+    assert out[4]["is_valid"] is False and out[4]["n_bytes"] == 0
