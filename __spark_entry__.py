@@ -1120,6 +1120,19 @@ def _q_skew_report(spark, sf):
                                 top_n=10)
 
 
+def _q_bloom_report(spark, sf):
+    # runtime-filter calibration: how well a 64-Kbit broadcast Bloom
+    # filter of the BUILDING-segment customer keys prunes the orders
+    # fact scan before any shuffle (md5 bits — false positives
+    # replayable cross-engine)
+    dim = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    return ops.bloom_join_report(
+        _t(spark, sf, "orders"), dim, "o_custkey", "c_custkey",
+        n_bits=65536, n_hashes=3,
+    )
+
+
 def _q_heavy_hitters(spark, sf):
     return ops.count_min_estimates(
         _t(spark, sf, "events"), "user_id", depth=4, width=256
@@ -1476,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_bpe_encode": _q_bpe_encode,
             "docs_dup_ngram_fraction": _q_dup_ngram_fraction,
             "dedup_semantic_survivors": _q_semantic_survivors,
+            "orders_bloom_prefilter": _q_bloom_report,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1527,6 +1541,8 @@ _GATE_PRIORITY = [
     "events_props_rollup", "docs_pack_sequences",
     "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
     # ===== round-8 queue starts here (entry 51+) =====
+    # NEW round-7 operators: grade on first appearance next round.
+    "orders_bloom_prefilter",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4572,6 +4588,57 @@ SELECT user_id, cnt, cnt * 1000000 // tot AS share_ppm,
        CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
          AS rank
 FROM top, t
+"""
+
+    # Bloom-prefilter calibration report: full build + probe replay
+    # (64-Kbit filter, 3 md5 hash functions, 32-bit words in BIGINT
+    # lanes — shift amounts < 32 keep the sign bit untouched on both
+    # engines, so even the false positives are bit-identical)
+    _bl_bits, _bl_h = 65536, 3
+    _bl_hash = (
+        "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR) || ':bloom:' || "
+        f"CAST(j AS VARCHAR)), 1, 15))::BIGINT % {_bl_bits} AS BIGINT)"
+    )
+    o["orders_bloom_prefilter"] = f"""
+WITH hj AS (SELECT unnest(range(0, {_bl_h})) AS j),
+dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT {_bl_hash.format(k='k')} AS bit FROM dim CROSS JOIN hj
+),
+words AS (
+  SELECT bit // 32 AS wi,
+         CAST(bit_or((1::BIGINT) << CAST(bit % 32 AS INT)) AS BIGINT)
+           AS word
+  FROM bits GROUP BY 1
+),
+b AS (
+  SELECT o_orderkey, o_custkey, {_bl_hash.format(k='o_custkey')} AS bit
+  FROM orders CROSS JOIN hj
+),
+fp AS (
+  SELECT o_orderkey, o_custkey,
+         bool_and((coalesce(w.word, 0) &
+                   ((1::BIGINT) << CAST(b.bit % 32 AS INT))) != 0) AS pass
+  FROM b LEFT JOIN words w ON w.wi = b.bit // 32
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT pass, (o_custkey IN (SELECT k FROM dim)) AS matched FROM fp
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fact,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+         CAST(sum(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos
+  FROM m
+)
+SELECT n_fact, n_pass, n_match, n_false_pos,
+       CAST(n_false_pos * 1000000 // nullif(n_fact - n_match, 0)
+            AS BIGINT) AS fp_rate_ppm
+FROM agg
 """
 
     # duplicated-n-gram fraction (FineWeb-style boilerplate signal)
