@@ -1356,6 +1356,14 @@ def _q_pq_topk(spark, sf):
     )
 
 
+def _q_ivf_pq_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.ivf_pq_topk(
+        emb, emb.where("vec_id < 3"), dim=64, n_cells=4, n_probe=2,
+        m=4, k=4, iterations=2, topk=5,
+    )
+
+
 def _q_random_projection(spark, sf):
     # Same gate encoding as l2_normalize: micro-unit integers, because the
     # harness can't hash arrays and double rendering is engine-specific.
@@ -1528,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_bloom_prefilter": _q_bloom_report,
             "orders_upsert_compaction": _q_upsert,
             "events_sliding_distinct_kmv": _q_sliding_kmv,
+            "sim_topk_ivf_pq": _q_ivf_pq_topk,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1581,7 +1590,7 @@ _GATE_PRIORITY = [
     # ===== round-8 queue starts here (entry 51+) =====
     # NEW round-7 operators: grade on first appearance next round.
     "orders_bloom_prefilter", "orders_upsert_compaction",
-    "events_sliding_distinct_kmv",
+    "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1825,6 +1834,82 @@ cd AS (
 sc AS (
   SELECT t.qid, cd.vid, CAST(sum(t.d) AS BIGINT) AS adc_dist2
   FROM cd JOIN t ON cd.s = t.ts AND cd.code = t.cid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, vid AS vec_id, adc_dist2, rank FROM (
+  SELECT sc.*, row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist2 ASC, vid ASC) AS rank
+  FROM sc
+) WHERE rank <= {topk}"""
+    )
+
+
+def _ivf_pq_topk_oracle(
+    dim: int = 64, n_cells: int = 4, n_probe: int = 2, m: int = 4,
+    k: int = 4, iterations: int = 2, topk: int = 5, max_query_id: int = 3,
+) -> str:
+    """Replay of ``operators.clustering.ivf_pq_topk``: one coarse
+    kmeans chain over the full vectors (``cq_``) gives the inverted
+    lists (``cq_af``) and the probe centroids (``cq_c{it}l``); the m
+    subspace chains give codes and ADC tables exactly as
+    :func:`_pq_topk_oracle`; scoring is restricted to the probed-cell
+    candidate pairs."""
+    sub = dim // m
+    chains = [
+        _kmeans_ctes(p="cq_", vec_expr="embedding", dim=dim,
+                     k=n_cells, iterations=iterations)
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(
+            _kmeans_ctes(
+                p=f"s{s}_", vec_expr=f"embedding[{lo}:{hi}]", dim=sub,
+                k=k, iterations=iterations,
+            )
+        )
+    tables = "\nUNION ALL\n".join(
+        f"""SELECT e.vec_id AS qid, {s} AS ts, c.cid,
+       CAST(sum((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS d
+FROM s{s}_eml e JOIN s{s}_c{iterations}l c ON e.pos = c.pos
+WHERE e.vec_id < {max_query_id} GROUP BY 1, 2, 3"""
+        for s in range(m)
+    )
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS vid, {s} AS s, cid AS code FROM s{s}_af"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(chains)
+        + f""",
+qc AS (
+  SELECT e.vec_id AS qid, c.cid,
+         CAST(sum((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS cd2
+  FROM cq_eml e JOIN cq_c{iterations}l c ON e.pos = c.pos
+  WHERE e.vec_id < {max_query_id} GROUP BY 1, 2
+),
+probed AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT qc.*, row_number() OVER (PARTITION BY qid
+                                    ORDER BY cd2 ASC, cid ASC) AS pr
+    FROM qc
+  ) WHERE pr <= {n_probe}
+),
+cands AS (
+  SELECT p.qid, a.vec_id AS vid
+  FROM probed p JOIN cq_af a ON a.cid = p.cell
+),
+t AS (
+{tables}
+),
+cd AS (
+{codes}
+),
+sc AS (
+  SELECT x.qid, cd.vid, CAST(sum(t.d) AS BIGINT) AS adc_dist2
+  FROM cands x
+  JOIN cd ON cd.vid = x.vid
+  JOIN t ON cd.s = t.ts AND cd.code = t.cid AND t.qid = x.qid
   GROUP BY 1, 2
 )
 SELECT qid AS query_id, vid AS vec_id, adc_dist2, rank FROM (
@@ -4419,6 +4504,10 @@ FROM d
     o["embeddings_pq_encode"] = _pq_oracle(dim=64, m=4, k=4, iterations=2)
     o["sim_topk_pq"] = _pq_topk_oracle(
         dim=64, m=4, k=4, iterations=2, topk=5, max_query_id=3
+    )
+    o["sim_topk_ivf_pq"] = _ivf_pq_topk_oracle(
+        dim=64, n_cells=4, n_probe=2, m=4, k=4, iterations=2, topk=5,
+        max_query_id=3,
     )
 
     _rp_signs = ops.random_projection_signs(8, 64)

@@ -437,3 +437,146 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the full billion-vector
+    index shape (Jégou et al. 2011) composed from this module's frozen
+    models: a COARSE k-means quantizer partitions the corpus into
+    ``n_cells`` inverted lists, each query probes only its ``n_probe``
+    nearest cells, and candidates are scored by asymmetric distance
+    over ``m``-byte PQ codes — the corpus' raw vectors are never
+    touched at search time.
+
+    Scale shape, piece by piece:
+    * coarse training/encoding inherit :func:`kmeans_fit` /
+      :func:`kmeans_encode` (narrow-map assignment, k·d-row update
+      shuffles);
+    * the query→cell probe ranks the ``n_cells``-row centroid frame
+      per query (broadcast; queries are the small side, as in
+      ``topk_cosine_bruteforce``);
+    * the candidate set is ONE hash join of the corpus cell assignment
+      against the probed (query, cell) pairs — candidate volume is
+      ~``n_probe/n_cells`` of |corpus| per query, the IVF contract;
+    * ADC scoring joins candidates to their m code rows and the
+      broadcast |queries|·m·k distance tables, then one
+      map-side-combined sum per (query, vector).
+    Exact integer arithmetic end to end (micro-unit quantization), so
+    ranking ties (broken by vec_id) replay bit-identically in SQL.
+    Returns (query_id, vec_id, adc_dist2, rank).
+    """
+    from pyspark.sql import Window
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError("need 1 <= n_probe <= n_cells")
+    sub = dim // m
+    # coarse quantizer: train on the corpus, encode corpus + probe queries
+    coarse = kmeans_fit(
+        embeddings, k=n_cells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    cells = kmeans_encode(embeddings, coarse, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    )
+    qq = queries.select(
+        F.col(id_col).alias("qid"), _quantize(vec_col).alias("q")
+    )
+    qcell = qq.crossJoin(F.broadcast(coarse)).select(
+        "qid", "cid",
+        F.expr(
+            "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("cd2"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd2").asc(), F.col("cid").asc()
+    )
+    probed = (
+        qcell.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cands = probed.join(cells, "cell").select("qid", "vid")
+    # per-subspace PQ codebooks, codes, and query ADC tables
+    code_parts, table_parts = [], []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
+        )
+        model = kmeans_fit(
+            sliced, k=k, iterations=iterations,
+            id_col=id_col, vec_col="subv",
+        )
+        enc = kmeans_encode(sliced, model, id_col=id_col, vec_col="subv")
+        code_parts.append(
+            enc.select(
+                F.col(id_col).alias("vid"),
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        qsub = queries.select(
+            F.col(id_col).alias("qid"),
+            _quantize(
+                f"slice({vec_col}, {s * sub + 1}, {sub})"
+            ).alias("qq"),
+        )
+        table_parts.append(
+            qsub.crossJoin(F.broadcast(model)).select(
+                "qid",
+                F.lit(s).alias("ts"),
+                F.col("cid"),
+                F.expr(
+                    "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("d"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    tables = table_parts[0]
+    for p in table_parts[1:]:
+        tables = tables.unionByName(p)
+    tables = tables.select(
+        F.col("qid").alias("tqid"), "ts", "cid", "d"
+    )
+    scored = (
+        cands.join(codes, "vid")
+        .join(
+            F.broadcast(tables),
+            (F.col("s") == F.col("ts")) & (F.col("code") == F.col("cid"))
+            & (F.col("qid") == F.col("tqid")),
+        )
+        .groupBy("qid", "vid")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist2").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            "adc_dist2",
+            "rank",
+        )
+    )

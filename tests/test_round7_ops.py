@@ -118,3 +118,58 @@ def test_sliding_kmv_estimate_within_error_bound(spark):
         else:
             assert r["approx_distinct"] == r["k_used"]
             assert r["exact_distinct"] == r["k_used"]
+
+
+# ---- ivf_pq_topk ----------------------------------------------------------
+
+
+def _toy_embeddings(spark, n=40, dim=8):
+    rows = []
+    for i in range(n):
+        # 4 well-separated families in dim-8 space
+        fam = i % 4
+        base = [0.0] * 8
+        base[fam * 2] = 1.0
+        base[fam * 2 + 1] = 0.5
+        vec = [round(v + ((i * 7 + j * 3) % 10) * 0.01, 6)
+               for j, v in enumerate(base)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_pq_equals_pq_when_probing_all_cells(spark):
+    emb = _toy_embeddings(spark)
+    q = emb.where("vec_id < 3")
+    full = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist2"], r["rank"])
+        for r in ops.pq_topk(emb, q, dim=8, m=2, k=4, iterations=2,
+                             topk=4).collect())
+    ivf = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist2"], r["rank"])
+        for r in ops.ivf_pq_topk(emb, q, dim=8, n_cells=4, n_probe=4,
+                                 m=2, k=4, iterations=2, topk=4).collect())
+    assert ivf == full  # probing every cell recovers exhaustive PQ search
+
+
+def test_ivf_pq_candidates_come_from_probed_cells_only(spark):
+    emb = _toy_embeddings(spark)
+    q = emb.where("vec_id < 2")
+    coarse = ops.kmeans_fit(emb, k=4, iterations=2)
+    cells = {r["vec_id"]: r["cluster"]
+             for r in ops.kmeans_encode(emb, coarse).collect()}
+    out = ops.ivf_pq_topk(emb, q, dim=8, n_cells=4, n_probe=1,
+                          m=2, k=4, iterations=2, topk=10).collect()
+    for qid in (0, 1):
+        returned = {r["vec_id"] for r in out if r["query_id"] == qid}
+        # with n_probe=1 every returned vector shares ONE cell
+        assert len({cells[v] for v in returned}) == 1
+        # the query's own nearest cell is its own cell (it is corpus too)
+        assert cells[qid] in {cells[v] for v in returned}
+
+
+def test_ivf_pq_validates_inputs(spark):
+    emb = _toy_embeddings(spark)
+    with pytest.raises(ValueError):
+        ops.ivf_pq_topk(emb, emb, dim=8, m=3)
+    with pytest.raises(ValueError):
+        ops.ivf_pq_topk(emb, emb, dim=8, n_cells=2, n_probe=3)
