@@ -1120,6 +1120,37 @@ def _q_skew_report(spark, sf):
                                 top_n=10)
 
 
+def _q_theil_sen(spark, sf):
+    # robust monthly-revenue trend: decimal-exact monthly sums (order-
+    # independent), then the Theil-Sen median-of-pairwise-slopes line
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr(
+            "CAST(months_between(date_trunc('month', "
+            "CAST(o_orderdate AS DATE)), DATE '1992-01-01') AS BIGINT)"
+        ).alias("month_idx"))
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+             .alias("revenue"))
+    )
+    return ops.theil_sen(monthly, "month_idx", "month_idx", "revenue")
+
+
+def _q_incremental_state(spark, sf):
+    # incremental rollup: yesterday's state (keys % 3 != 0) merged with
+    # today's raw batch (keys % 3 = 0) must equal the one-shot rollup
+    # of everything — the oracle computes the one-shot form directly,
+    # so a green row IS the algebraic-merge equivalence proof
+    orders = _t(spark, sf, "orders")
+    state = ops.reduce_to_state(
+        orders.where("o_orderkey % 3 != 0"), "o_orderpriority",
+        "o_totalprice",
+    )
+    return ops.incremental_state_merge(
+        state, orders.where("o_orderkey % 3 = 0"), "o_orderpriority",
+        "o_totalprice",
+    )
+
+
 def _q_upsert(spark, sf):
     # batch CDC compaction over a deterministic change batch derived
     # from the snapshot itself: every 5th key updated at version 2,
@@ -1537,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_upsert_compaction": _q_upsert,
             "events_sliding_distinct_kmv": _q_sliding_kmv,
             "sim_topk_ivf_pq": _q_ivf_pq_topk,
+            "stats_theil_sen": _q_theil_sen,
+            "orders_incremental_state": _q_incremental_state,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1591,6 +1624,7 @@ _GATE_PRIORITY = [
     # NEW round-7 operators: grade on first appearance next round.
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
+    "stats_theil_sen", "orders_incremental_state",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4767,6 +4801,47 @@ SELECT n_fact, n_pass, n_match, n_false_pos,
        CAST(n_false_pos * 1000000 // nullif(n_fact - n_match, 0)
             AS BIGINT) AS fp_rate_ppm
 FROM agg
+"""
+
+    # Theil-Sen robust trend over decimal-exact monthly revenue; both
+    # medians replay the exact-quantile interpolation (round-4, the
+    # distributed_group_quantiles convention); decimal->double routed
+    # through VARCHAR (DuckDB's direct cast is lossy past 2^53)
+    o["stats_theil_sen"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1992-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT month_idx AS id, CAST(month_idx AS DOUBLE) AS x,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS y
+  FROM monthly
+),
+pairs AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS v
+  FROM pts a JOIN pts b ON a.id < b.id AND a.x != b.x
+),
+sl AS (SELECT round(quantile_cont(v, 0.5), 4) AS slope FROM pairs),
+resid AS (SELECT y - (SELECT slope FROM sl) * x AS v FROM pts),
+ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS intercept FROM resid),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT n_points, n_pairs, slope, intercept FROM np, nr, sl, ic
+"""
+
+    # incremental aggregate-state merge: the oracle is the ONE-SHOT
+    # rollup over everything — a green row proves
+    # merge(state(A), reduce(B)) == reduce(A UNION B) value-for-value
+    o["orders_incremental_state"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS vsum,
+       min(CAST(o_totalprice AS DECIMAL(18,2))) AS vmin,
+       max(CAST(o_totalprice AS DECIMAL(18,2))) AS vmax
+FROM orders GROUP BY 1
 """
 
     # batch CDC upsert compaction: union + per-key latest-wins window,

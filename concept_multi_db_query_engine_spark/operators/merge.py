@@ -69,3 +69,57 @@ def upsert_latest_wins(
     if delete_col is not None:
         drop.append(delete_col)
     return merged.drop(*drop)
+
+
+def incremental_state_merge(
+    state: DataFrame,
+    batch: DataFrame,
+    key_cols: str | list[str],
+    value_col: str,
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """Merges a persisted per-key aggregate STATE with a new RAW batch
+    using only algebraic (mergeable) statistics — cnt, decimal-exact
+    sum, min, max: ``merge(state(A), reduce(B)) == reduce(A ∪ B)``
+    bit-for-bit, because every statistic is associative/commutative and
+    the sum is exact decimal (never an order-dependent float).  This is
+    the pattern that makes daily rollups incremental at 100 TB: the new
+    batch reduces map-side to per-key partials, the two tiny state
+    frames union, and one re-reduce keyed on the same columns yields
+    the next state — the full history is never rescanned.
+
+    ``state`` must carry (key…, cnt, vsum, vmin, vmax) — the output of
+    a previous call or of :func:`reduce_to_state`.  Returns the merged
+    state with the same schema.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    partial = reduce_to_state(batch, keys, value_col, dec)
+    return (
+        state.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("vsum").cast(dec).alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def reduce_to_state(
+    df: DataFrame,
+    key_cols: str | list[str],
+    value_col: str,
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """Reduces raw rows to the per-key algebraic state
+    (key…, cnt, vsum, vmin, vmax) :func:`incremental_state_merge`
+    consumes — one map-side-combined aggregation."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    v = F.col(value_col).cast(dec)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(v).cast(dec).alias("vsum"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )

@@ -989,3 +989,66 @@ def bootstrap_mean_ci(
         F.expr(picks["hi"]).alias("ci_hi"),
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def theil_sen(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust regression: slope = median of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), intercept = median of (y_i − slope·x_i)
+    — the trend estimator with a 29% breakdown point, the right line
+    through metric series where OLS chases single spikes (Sen 1968).
+
+    Pairs come from an id-ordered self-join (``id_i < id_j``, equal-x
+    pairs excluded), so the pair frame is deterministic; both medians
+    are EXACT linear-interpolation quantiles via
+    ``analytics.distributed_group_quantiles`` (constant group — the
+    ``mad_outliers`` machinery; rounded to 4, its convention), never a
+    single-task sort.  O(n²) pairs is the estimator's contract — run it
+    on AGGREGATED series (daily/monthly metrics, thousands of points →
+    millions of distributed pair rows), not raw corpora; for corpus-
+    scale inputs pre-reduce or sample upstream.
+
+    Returns one row: (n_points, n_pairs, slope, intercept).
+    """
+    from .analytics import distributed_group_quantiles
+
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull()) \
+        .localCheckpoint(eager=True)
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .where(F.col("a.__x") != F.col("b.__x"))
+        .select(
+            F.lit(0).alias("__g"),
+            ((F.col("b.__y") - F.col("a.__y"))
+             / (F.col("b.__x") - F.col("a.__x"))).alias("__v"),
+        )
+    )
+    slope = distributed_group_quantiles(pairs, "__g", "__v", [0.5]) \
+        .select(F.col("q0").alias("__slope"))
+    resid = pts.crossJoin(F.broadcast(slope)).select(
+        F.lit(0).alias("__g"),
+        (F.col("__y") - F.col("__slope") * F.col("__x")).alias("__v"),
+    )
+    intercept = distributed_group_quantiles(resid, "__g", "__v", [0.5]) \
+        .select(F.col("q0").alias("__icpt"))
+    n_pts = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    n_prs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        n_pts.crossJoin(F.broadcast(n_prs))
+        .crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(intercept))
+        .select(
+            "n_points", "n_pairs",
+            F.col("__slope").alias("slope"),
+            F.col("__icpt").alias("intercept"),
+        )
+    )

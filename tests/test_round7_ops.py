@@ -173,3 +173,79 @@ def test_ivf_pq_validates_inputs(spark):
         ops.ivf_pq_topk(emb, emb, dim=8, m=3)
     with pytest.raises(ValueError):
         ops.ivf_pq_topk(emb, emb, dim=8, n_cells=2, n_probe=3)
+
+
+# ---- theil_sen ------------------------------------------------------------
+
+
+def test_theil_sen_ignores_gross_outliers(spark):
+    # OLS would be dragged far off by the planted spike; Theil-Sen must
+    # recover the clean line exactly
+    rows = [(i, float(i), 2.5 * i + 7.0 + (1000.0 if i == 5 else 0.0))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = ops.theil_sen(df, "id", "x", "y").collect()[0]
+    assert (r["n_points"], r["n_pairs"]) == (10, 45)
+    assert r["slope"] == 2.5
+    assert r["intercept"] == 7.0
+
+
+def test_theil_sen_matches_python_replay(spark):
+    import statistics
+
+    rows = [(i, float(i % 7), float((i * 13) % 11) + 0.5)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    r = ops.theil_sen(df, "id", "x", "y").collect()[0]
+    slopes = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            xi, yi = rows[i][1], rows[i][2]
+            xj, yj = rows[j][1], rows[j][2]
+            if xi != xj:
+                slopes.append((yj - yi) / (xj - xi))
+    slope = round(statistics.median(slopes), 4)
+    icpt = round(statistics.median(
+        [y - slope * x for _, x, y in rows]), 4)
+    assert r["n_pairs"] == len(slopes)
+    assert r["slope"] == pytest.approx(slope, abs=1e-9)
+    assert r["intercept"] == pytest.approx(icpt, abs=1e-9)
+
+
+def test_theil_sen_skips_null_points(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, None, 9.0), (4, 3.0, None)],
+        "id long, x double, y double")
+    r = ops.theil_sen(df, "id", "x", "y").collect()[0]
+    assert r["n_points"] == 2 and r["slope"] == 2.0
+
+
+# ---- incremental_state_merge ----------------------------------------------
+
+
+def test_incremental_merge_equals_one_shot_reduce(spark):
+    rows = [(i, f"g{i % 3}", float(i) + 0.25) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    one_shot = {tuple(r)[:1][0]: tuple(r)[1:] for r in
+                ops.reduce_to_state(df, "g", "v").collect()}
+    state = ops.reduce_to_state(df.where("id % 4 != 0"), "g", "v")
+    merged = {tuple(r)[:1][0]: tuple(r)[1:] for r in
+              ops.incremental_state_merge(
+                  state, df.where("id % 4 = 0"), "g", "v").collect()}
+    assert merged == one_shot
+
+
+def test_incremental_merge_is_associative_across_batches(spark):
+    rows = [(i, "k", float(i * 7 % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    # fold three batches in two different orders -> same state
+    b = [df.where(f"id % 3 = {k}") for k in range(3)]
+    s1 = ops.incremental_state_merge(
+        ops.incremental_state_merge(
+            ops.reduce_to_state(b[0], "g", "v"), b[1], "g", "v"),
+        b[2], "g", "v").collect()
+    s2 = ops.incremental_state_merge(
+        ops.incremental_state_merge(
+            ops.reduce_to_state(b[2], "g", "v"), b[0], "g", "v"),
+        b[1], "g", "v").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
