@@ -182,6 +182,13 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    # round-7 additions
+    "orders_bloom_prefilter",
+    "orders_upsert_compaction",
+    "events_sliding_distinct_kmv",
+    "sim_topk_ivf_pq",
+    "stats_theil_sen",
+    "orders_incremental_state",
 ]
 
 

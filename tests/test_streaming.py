@@ -525,3 +525,79 @@ def test_url_canonicalization_dedup_on_a_stream(spark):
     n_batch = ops.url_normalize_dedup(batch, "url").count()
     assert len(keys) == n_batch
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_state_merge_across_micro_batches(spark):
+    """The algebraic (cnt, decimal sum, min, max) state folds every
+    micro-batch into the running state via incremental_state_merge;
+    because each statistic is associative and the sum exact decimal,
+    the final state must equal the one-shot batch reduce — the
+    foreachBatch shape of a continuously-maintained rollup."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders_path = "/root/testdata/sf0.001/orders.parquet"
+    batch = spark.read.parquet(orders_path)
+    d = tempfile.mkdtemp(prefix="stream-state-")
+    os.symlink(orders_path, os.path.join(d, "orders.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    holder = {"state": None}
+
+    def absorb(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        if holder["state"] is None:
+            nxt = ops.reduce_to_state(
+                batch_df, "o_orderpriority", "o_totalprice")
+        else:
+            prev = spark.createDataFrame(
+                holder["state"], schema=holder["schema"])
+            nxt = ops.incremental_state_merge(
+                prev, batch_df, "o_orderpriority", "o_totalprice")
+        holder["schema"] = nxt.schema
+        holder["state"] = nxt.collect()
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, holder["state"]))
+    want = sorted(map(tuple, ops.reduce_to_state(
+        batch, "o_orderpriority", "o_totalprice").collect()))
+    assert got == want
+
+
+def test_bloom_prefilter_runs_unchanged_on_a_stream(spark):
+    """The packed Bloom filter is frozen model data and the probe a
+    narrow map, so bloom_prefilter applies to a readStream side
+    unchanged — the stream-static shape of runtime-filter ingestion
+    (drop non-matching rows at the door)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders_path = "/root/testdata/sf0.001/orders.parquet"
+    batch = spark.read.parquet(orders_path)
+    dim = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).where("c_mktsegment = 'BUILDING'")
+    want = {r["o_orderkey"] for r in ops.bloom_prefilter(
+        batch, dim, "o_custkey", "c_custkey", n_bits=4096).collect()}
+    d = tempfile.mkdtemp(prefix="stream-bloom-")
+    os.symlink(orders_path, os.path.join(d, "orders.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        ops.bloom_prefilter(stream, dim, "o_custkey", "c_custkey",
+                            n_bits=4096)
+        .writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["o_orderkey"]
+           for r in spark.sql("SELECT * FROM bloom_stream").collect()}
+    assert got == want
