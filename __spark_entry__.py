@@ -1135,6 +1135,24 @@ def _q_theil_sen(spark, sf):
     return ops.theil_sen(monthly, "month_idx", "month_idx", "revenue")
 
 
+def _q_seasonal(spark, sf):
+    # robust trend + month-of-year profile of monthly revenue
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1992-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr("month(CAST(o_orderdate AS DATE))").alias("moy"),
+        )
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+             .alias("revenue"))
+    )
+    return ops.seasonal_decompose(monthly, "month_idx", "moy", "revenue")
+
+
 def _q_incremental_state(spark, sf):
     # incremental rollup: yesterday's state (keys % 3 != 0) merged with
     # today's raw batch (keys % 3 = 0) must equal the one-shot rollup
@@ -1570,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_ivf_pq": _q_ivf_pq_topk,
             "stats_theil_sen": _q_theil_sen,
             "orders_incremental_state": _q_incremental_state,
+            "orders_seasonal_decompose": _q_seasonal,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1625,6 +1644,7 @@ _GATE_PRIORITY = [
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
     "stats_theil_sen", "orders_incremental_state",
+    "orders_seasonal_decompose",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4830,6 +4850,48 @@ ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS intercept FROM resid),
 np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
 nr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
 SELECT n_points, n_pairs, slope, intercept FROM np, nr, sl, ic
+"""
+
+    # robust seasonal decomposition: Theil-Sen trend (round-4
+    # medians) + per-month-of-year median of detrended values
+    o["orders_seasonal_decompose"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1992-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         month(CAST(o_orderdate AS DATE)) AS moy,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(month_idx AS DOUBLE) AS idx, moy AS season,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS value
+  FROM monthly
+),
+pairs AS (
+  SELECT (b.value - a.value) / (b.idx - a.idx) AS v
+  FROM pts a JOIN pts b ON a.idx < b.idx
+),
+sl AS (SELECT round(quantile_cont(v, 0.5), 4) AS slope FROM pairs),
+resid0 AS (
+  SELECT value - (SELECT slope FROM sl) * idx AS v FROM pts
+),
+ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS icpt FROM resid0),
+det AS (
+  SELECT idx, season, value, slope, icpt,
+         value - (slope * idx + icpt) AS d
+  FROM pts, sl, ic
+),
+seas AS (
+  SELECT season, round(quantile_cont(d, 0.5), 4) AS seasonal
+  FROM det GROUP BY 1
+)
+SELECT det.idx, det.season, det.value,
+       round(slope * idx + icpt, 4) + 0.0 AS trend,
+       seasonal + 0.0 AS seasonal,
+       round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
+         AS residual
+FROM det JOIN seas ON det.season = seas.season
 """
 
     # incremental aggregate-state merge: the oracle is the ONE-SHOT

@@ -1052,3 +1052,57 @@ def theil_sen(
             F.col("__icpt").alias("intercept"),
         )
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    idx_col: str,
+    season_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Robust additive seasonal decomposition of an aggregated metric
+    series: value = trend + seasonal + residual, with the trend the
+    :func:`theil_sen` line over (idx, value) and the seasonal component
+    the MEDIAN detrended value per season bucket (month-of-year, hour-
+    of-day, …) — medians, not means, so one anomalous period cannot
+    bend the seasonal profile (the STL idea with the repo's exact-
+    quantile machinery in place of loess).
+
+    Input is an already-aggregated series (one row per period — the
+    Theil-Sen O(n²)-pairs contract); all quantiles are exact
+    distributed interpolations rounded to 4 (the quantile operator's
+    convention), every other term a fixed-shape double expression, so
+    the full decomposition replays value-for-value in SQL.  Returns
+    (idx, season, value, trend, seasonal, residual) with residual =
+    value − trend − seasonal rounded to 4.
+    """
+    from .analytics import distributed_group_quantiles
+
+    pts = series.select(
+        F.col(idx_col).cast("double").alias("idx"),
+        F.col(season_col).alias("season"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("idx").isNotNull() & F.col("value").isNotNull()) \
+        .localCheckpoint(eager=True)
+    line = theil_sen(pts, "idx", "idx", "value").select(
+        "slope", F.col("intercept").alias("icpt")
+    )
+    det = pts.crossJoin(F.broadcast(line)).select(
+        "idx", "season", "value", "slope", "icpt",
+        (F.col("value") - (F.col("slope") * F.col("idx") + F.col("icpt")))
+        .alias("__det"),
+    )
+    seas = distributed_group_quantiles(
+        det.select(F.col("season").alias("__g"),
+                   F.col("__det").alias("__v")),
+        "__g", "__v", [0.5],
+    ).select(F.col("__g").alias("season"), F.col("q0").alias("seasonal"))
+    # + 0.0 maps -0.0 -> 0.0 so both engines render zero identically
+    return det.join(seas, "season").select(
+        "idx", "season", "value",
+        F.expr("round(slope * idx + icpt, 4) + 0.0d").alias("trend"),
+        (F.col("seasonal") + F.lit(0.0)).alias("seasonal"),
+        F.expr(
+            "round(value - (slope * idx + icpt) - seasonal, 4) + 0.0d"
+        ).alias("residual"),
+    )

@@ -249,3 +249,38 @@ def test_incremental_merge_is_associative_across_batches(spark):
             ops.reduce_to_state(b[2], "g", "v"), b[0], "g", "v"),
         b[1], "g", "v").collect()
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+# ---- seasonal_decompose ---------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    # value = 10*idx + 100 + seasonal_profile[season] (+ one spike);
+    # robust trend + median seasonal must recover both near-exactly
+    profile = {0: 50.0, 1: -30.0, 2: -20.0}
+    rows = []
+    for i in range(24):
+        s = i % 3
+        v = 10.0 * i + 100.0 + profile[s] + (500.0 if i == 7 else 0.0)
+        rows.append((i, s, v))
+    df = spark.createDataFrame(rows, "idx long, season int, value double")
+    out = {r["idx"]: r for r in ops.seasonal_decompose(
+        df, "idx", "season", "value").collect()}
+    assert len(out) == 24
+    # the trend/seasonal split is determined up to a constant: the
+    # Theil-Sen intercept absorbs the MEDIAN seasonal offset (-20
+    # here), and the seasonal medians re-center the profile around it.
+    # The slope itself recovers exactly despite the spike.
+    assert out[12]["trend"] - out[0]["trend"] == pytest.approx(
+        120.0, abs=1e-6)
+    assert out[0]["trend"] == pytest.approx(100.0 - 20.0, abs=0.1)
+    shifted = {s: v + 20.0 for s, v in profile.items()}
+    for i in (3, 4, 5):
+        s = i % 3
+        assert out[i]["seasonal"] == pytest.approx(shifted[s], abs=0.1)
+    # decomposition identity holds per row
+    for i, r in out.items():
+        assert r["value"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["residual"], abs=2e-4)
+    # the spike lands in the residual, nowhere else
+    assert out[7]["residual"] == pytest.approx(500.0, abs=1.0)
