@@ -1135,6 +1135,19 @@ def _q_theil_sen(spark, sf):
     return ops.theil_sen(monthly, "month_idx", "month_idx", "revenue")
 
 
+def _q_changepoint(spark, sf):
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return ops.changepoint_mean_shift(daily, "day", "n")
+
+
+def _q_lang_confusion(spark, sf):
+    return ops.language_confusion(_t(spark, sf, "documents"))
+
+
 def _q_seasonal(spark, sf):
     # robust trend + month-of-year profile of monthly revenue
     monthly = (
@@ -1589,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stats_theil_sen": _q_theil_sen,
             "orders_incremental_state": _q_incremental_state,
             "orders_seasonal_decompose": _q_seasonal,
+            "events_changepoint": _q_changepoint,
+            "docs_lang_confusion": _q_lang_confusion,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1644,7 +1659,8 @@ _GATE_PRIORITY = [
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
     "stats_theil_sen", "orders_incremental_state",
-    "orders_seasonal_decompose",
+    "orders_seasonal_decompose", "events_changepoint",
+    "docs_lang_confusion",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -2844,6 +2860,33 @@ SELECT doc_id,
          AS lang_pred,
        round(hits / n_tokens, 4) AS lang_conf
 FROM t
+"""
+
+    # language-ID confusion matrix vs the declared lang column (same
+    # predictor text as text_language_id; ppm share within declared)
+    o["docs_lang_confusion"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         ({en_hits})::DOUBLE AS hits,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens
+  FROM documents
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN round(hits / n_tokens, 4) >= 0.05
+              THEN 'en' ELSE 'und' END AS predicted
+  FROM t
+),
+cells AS (
+  SELECT d.lang AS declared, p.predicted,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT declared, predicted, n_docs,
+       CAST(n_docs * 1000000 // CAST(sum(n_docs) OVER
+            (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
+FROM cells
 """
     o["docs_clean_corpus"] = f"""
 WITH dd AS (
@@ -4850,6 +4893,39 @@ ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS intercept FROM resid),
 np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
 nr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
 SELECT n_points, n_pairs, slope, intercept FROM np, nr, sl, ic
+"""
+
+    # CUSUM mean-shift changepoint over daily event counts: exact
+    # decimal |n*S_k - k*S_n| split statistic, argmax ties -> earliest
+    o["events_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY 1
+),
+staged AS (
+  SELECT day,
+         sum(v) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s_k,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         (SELECT sum(v) FROM daily) AS s_n,
+         (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+  FROM daily
+),
+cand AS (
+  SELECT day, k, n, s_k, s_n, abs(n * s_k - k * s_n) AS stat
+  FROM staged WHERE k < n
+),
+best AS (
+  SELECT * FROM cand ORDER BY stat DESC, day ASC LIMIT 1
+)
+SELECT day AS change_idx, n AS n_periods,
+       CAST(stat AS DOUBLE) AS stat,
+       round(CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_before,
+       round(CAST(s_n - s_k AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+         AS mean_after
+FROM best
 """
 
     # robust seasonal decomposition: Theil-Sen trend (round-4

@@ -189,6 +189,9 @@ HEADLINE = [
     "sim_topk_ivf_pq",
     "stats_theil_sen",
     "orders_incremental_state",
+    "orders_seasonal_decompose",
+    "events_changepoint",
+    "docs_lang_confusion",
 ]
 
 

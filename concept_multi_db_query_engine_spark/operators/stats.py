@@ -1106,3 +1106,58 @@ def seasonal_decompose(
             "round(value - (slope * idx + icpt) - seasonal, 4) + 0.0d"
         ).alias("residual"),
     )
+
+
+def changepoint_mean_shift(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    dec: str = "decimal(18,4)",
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint of an aggregated
+    series via the exact CUSUM split statistic: for every candidate
+    split k, ``|n·S_k − k·S_n|`` (S = prefix sum) measures how far the
+    prefix mean departs from the global mean — all EXACT decimal
+    arithmetic, so the argmax (ties → earliest index) is deterministic
+    on any engine; only the reported means are floats.
+
+    Input is one row per period (daily counts, hourly rates — the
+    data-quality monitoring shape: "when did this metric's level
+    change?").  The prefix sums ride an ordered window over the
+    aggregated frame (the documented small-frame exception) and the
+    argmax is an ``orderBy().limit(1)`` TakeOrderedAndProject.
+    Returns one row: (change_idx, n_periods, stat, mean_before,
+    mean_after) — the split is BETWEEN change_idx and the next period.
+    """
+    from pyspark.sql import Window
+
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.col(value_col).cast(dec).alias("v"),
+    ).where(F.col("idx").isNotNull() & F.col("v").isNotNull())
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        pts.withColumn("s_k", F.sum("v").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("s_n", F.sum("v").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .where(F.col("k") < F.col("n"))  # a split needs both sides
+        .withColumn("stat", F.expr("abs(n * s_k - k * s_n)"))
+    )
+    best = staged.orderBy(
+        F.col("stat").desc(), F.col("idx").asc()
+    ).limit(1)
+    return best.select(
+        F.col("idx").alias("change_idx"),
+        F.col("n").alias("n_periods"),
+        F.expr("CAST(stat AS DOUBLE)").alias("stat"),
+        F.expr(
+            "round(CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE), 6)"
+        ).alias("mean_before"),
+        F.expr(
+            "round(CAST(s_n - s_k AS DOUBLE) / CAST(n - k AS DOUBLE), 6)"
+        ).alias("mean_after"),
+    )

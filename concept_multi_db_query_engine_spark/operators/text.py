@@ -2021,3 +2021,38 @@ def bpe_encode_stats(
             "(n_chars - n_bpe_tokens) * 1000000 DIV nullif(n_chars, 0)"
         ),
     )
+
+
+def language_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation report: the confusion matrix of
+    :func:`language_id`'s prediction against the corpus' DECLARED
+    ``lang`` column, with each cell's share of its declared row in
+    exact integer ppm — the calibration query run before trusting a
+    language filter on a new corpus (how often does declared-en text
+    fail the heuristic, and what leaks in from other languages?).
+
+    One narrow prediction map + one map-side-combined groupBy on
+    (declared, predicted); the share window runs over the ≤
+    |langs|² cell frame.  Returns (declared, predicted, n_docs,
+    share_ppm) — share of the declared language's documents landing in
+    each predicted bucket.
+    """
+    from pyspark.sql import Window
+
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.withColumn(
+        "share_ppm",
+        F.expr(
+            "n_docs * 1000000 DIV sum(n_docs) OVER "
+            "(PARTITION BY declared)"
+        ),
+    )

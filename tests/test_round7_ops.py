@@ -284,3 +284,53 @@ def test_seasonal_decompose_recovers_planted_components(spark):
             r["trend"] + r["seasonal"] + r["residual"], abs=2e-4)
     # the spike lands in the residual, nowhere else
     assert out[7]["residual"] == pytest.approx(500.0, abs=1.0)
+
+
+# ---- changepoint_mean_shift -----------------------------------------------
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    # level 10 for idx 0..19, level 30 for idx 20..39 -> split at 19
+    rows = [(i, 10.0 if i < 20 else 30.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "idx long, v double")
+    r = ops.changepoint_mean_shift(df, "idx", "v").collect()[0]
+    assert r["change_idx"] == 19
+    assert r["n_periods"] == 40
+    assert r["mean_before"] == 10.0
+    assert r["mean_after"] == 30.0
+
+
+def test_changepoint_stat_matches_python_replay(spark):
+    vals = [float((i * 7) % 5 + (8 if i >= 6 else 0)) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v double")
+    r = ops.changepoint_mean_shift(df, "idx", "v").collect()[0]
+    n = len(vals)
+    total = sum(vals)
+    best = max(
+        ((abs(n * sum(vals[:k]) - k * total), -k) for k in range(1, n)),
+    )
+    stat, k = best[0], -best[1]
+    assert r["change_idx"] == k - 1  # change_idx is the k-th period
+    assert r["stat"] == pytest.approx(stat, abs=1e-6)
+
+
+# ---- language_confusion ---------------------------------------------------
+
+
+def test_language_confusion_cells_and_shares(spark):
+    en = "the of and to in is was for on with that it as at by"
+    zz = "xq zv wk jj qq zz xx vv ww kk"
+    docs = spark.createDataFrame(
+        [(1, en, "en"), (2, en, "en"), (3, zz, "en"),
+         (4, zz, "zz"), (5, en, "zz")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["declared"], r["predicted"]): r
+           for r in ops.language_confusion(docs).collect()}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "und")]["n_docs"] == 1
+    assert out[("zz", "und")]["n_docs"] == 1
+    assert out[("zz", "en")]["n_docs"] == 1
+    assert out[("en", "en")]["share_ppm"] == 2 * 1_000_000 // 3
+    assert out[("zz", "en")]["share_ppm"] == 500_000
