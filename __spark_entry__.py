@@ -1135,6 +1135,10 @@ def _q_theil_sen(spark, sf):
     return ops.theil_sen(monthly, "month_idx", "month_idx", "revenue")
 
 
+def _q_lsh_tuning(spark, sf):
+    return ops.lsh_tuning_curve(spark, num_hashes=16)
+
+
 def _q_changepoint(spark, sf):
     daily = (
         _t(spark, sf, "events")
@@ -1604,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_seasonal_decompose": _q_seasonal,
             "events_changepoint": _q_changepoint,
             "docs_lang_confusion": _q_lang_confusion,
+            "dedup_lsh_tuning": _q_lsh_tuning,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1660,7 +1665,7 @@ _GATE_PRIORITY = [
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
     "stats_theil_sen", "orders_incremental_state",
     "orders_seasonal_decompose", "events_changepoint",
-    "docs_lang_confusion",
+    "docs_lang_confusion", "dedup_lsh_tuning",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4894,6 +4899,27 @@ np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
 nr AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
 SELECT n_points, n_pairs, slope, intercept FROM np, nr, sl, ic
 """
+
+    # LSH banding S-curve: identical unrolled left-associated IEEE
+    # products on both engines; thresholds are shared Python literals
+    _lsh_parts = []
+    for _b in (1, 2, 4, 8, 16):
+        _r = 16 // _b
+        _thr = round((1.0 / _b) ** (1.0 / _r), 4)
+        _sr = "*".join(["similarity"] * _r)
+        _om = f"(1.0 - ({_sr}))"
+        _p = "*".join([_om] * _b)
+        _lsh_parts.append(
+            f"SELECT CAST({_b} AS INT) AS bands, "
+            f"CAST({_r} AS INT) AS rows_per_band, "
+            f"CAST({_thr!r} AS DOUBLE) AS threshold_s, similarity, "
+            f"round(1.0 - {_p}, 6) AS p_candidate FROM sims"
+        )
+    _lsh_sims = ", ".join(repr(round(i / 10, 4)) for i in range(1, 10))
+    o["dedup_lsh_tuning"] = (
+        f"WITH sims AS (SELECT CAST(unnest([{_lsh_sims}]) AS DOUBLE) "
+        "AS similarity)\n" + "\nUNION ALL\n".join(_lsh_parts)
+    )
 
     # CUSUM mean-shift changepoint over daily event counts: exact
     # decimal |n*S_k - k*S_n| split statistic, argmax ties -> earliest

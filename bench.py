@@ -192,6 +192,7 @@ HEADLINE = [
     "orders_seasonal_decompose",
     "events_changepoint",
     "docs_lang_confusion",
+    "dedup_lsh_tuning",
 ]
 
 

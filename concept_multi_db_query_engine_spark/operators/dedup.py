@@ -785,3 +785,51 @@ def duplicate_ngram_fraction(
             "/ CAST(n_grams AS DOUBLE), 6) END"
         ).alias("dup_fraction"),
     )
+
+
+def lsh_tuning_curve(
+    spark,
+    num_hashes: int = 16,
+    similarities: list[float] | None = None,
+) -> DataFrame:
+    """The banding S-curve behind MinHash-LSH parameter choice: for
+    every (bands b, rows-per-band r) factorization of ``num_hashes``
+    and a grid of true Jaccard similarities s, the candidate
+    probability ``P = 1 − (1 − s^r)^b`` — the table a user reads to
+    pick the (b, r) whose threshold ``(1/b)^{1/r}`` sits where their
+    dedup cutoff is (Leskovec/Rajaraman/Ullman ch.3).  Pure model
+    math: a few dozen rows built from literals, no corpus scan — the
+    planning companion to :func:`minhash_lsh_pairs`, emitted by the
+    engine so the exact IEEE expression is reproducible anywhere.
+    Returns (bands, rows_per_band, threshold_s, similarity,
+    p_candidate).
+    """
+    sims = similarities or [i / 10 for i in range(1, 10)]
+    factorizations = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    sims_df = spark.createDataFrame(
+        [(round(s, 4),) for s in sims], "similarity double"
+    )
+    out = None
+    for b, r in factorizations:
+        # threshold needs a real pow — computed once here and baked as
+        # a literal (the oracle bakes the identical literal); the
+        # S-curve itself is UNROLLED left-associated IEEE
+        # multiplication, so both engines evaluate the identical
+        # operation tree with no libm involvement
+        thr = round((1.0 / b) ** (1.0 / r), 4)
+        s_r = "*".join(["similarity"] * r)
+        one_minus = f"(1.0d - ({s_r}))"
+        p = "*".join([one_minus] * b)
+        part = sims_df.selectExpr(
+            f"CAST({b} AS INT) AS bands",
+            f"CAST({r} AS INT) AS rows_per_band",
+            f"CAST({thr!r} AS DOUBLE) AS threshold_s",
+            "similarity",
+            f"round(1.0d - {p}, 6) AS p_candidate",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

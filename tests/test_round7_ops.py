@@ -334,3 +334,27 @@ def test_language_confusion_cells_and_shares(spark):
     assert out[("zz", "en")]["n_docs"] == 1
     assert out[("en", "en")]["share_ppm"] == 2 * 1_000_000 // 3
     assert out[("zz", "en")]["share_ppm"] == 500_000
+
+
+# ---- lsh_tuning_curve -----------------------------------------------------
+
+
+def test_lsh_tuning_curve_matches_formula(spark):
+    out = ops.lsh_tuning_curve(spark, num_hashes=16).collect()
+    # every (b, r) factorization of 16 x 9 similarity grid points
+    assert len(out) == 5 * 9
+    for row in out:
+        b, r, s = row["bands"], row["rows_per_band"], row["similarity"]
+        assert b * r == 16
+        assert row["p_candidate"] == pytest.approx(
+            1.0 - (1.0 - s ** r) ** b, abs=1e-6)
+        assert row["threshold_s"] == pytest.approx(
+            (1.0 / b) ** (1.0 / r), abs=1e-4)
+    # monotone in s for each factorization
+    by_fact = {}
+    for row in out:
+        by_fact.setdefault(row["bands"], []).append(
+            (row["similarity"], row["p_candidate"]))
+    for cells in by_fact.values():
+        ps = [p for _, p in sorted(cells)]
+        assert ps == sorted(ps)
