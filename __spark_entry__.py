@@ -1135,6 +1135,11 @@ def _q_theil_sen(spark, sf):
     return ops.theil_sen(monthly, "month_idx", "month_idx", "revenue")
 
 
+def _q_pca_project(spark, sf):
+    return ops.pca_project_top(_t(spark, sf, "embeddings"), dim=64,
+                               iterations=20)
+
+
 def _q_lsh_tuning(spark, sf):
     return ops.lsh_tuning_curve(spark, num_hashes=16)
 
@@ -1609,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_changepoint": _q_changepoint,
             "docs_lang_confusion": _q_lang_confusion,
             "dedup_lsh_tuning": _q_lsh_tuning,
+            "embeddings_pca_project": _q_pca_project,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1666,6 +1672,7 @@ _GATE_PRIORITY = [
     "stats_theil_sen", "orders_incremental_state",
     "orders_seasonal_decompose", "events_changepoint",
     "docs_lang_confusion", "dedup_lsh_tuning",
+    "embeddings_pca_project",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1993,6 +2000,81 @@ SELECT qid AS query_id, vid AS vec_id, adc_dist2, rank FROM (
   FROM sc
 ) WHERE rank <= {topk}"""
     )
+
+
+def _pca_oracle(dim: int = 64, iterations: int = 20) -> str:
+    """Replay of ``operators.similarity.pca_project_top``: exact
+    decimal Gram/mean sums (precisions sized so every product stays
+    within 38 digits), the exact integer scatter matrix routed to
+    DOUBLE via VARCHAR (DuckDB's direct decimal cast is lossy past
+    2^53), then ``iterations`` unrolled power-iteration CTE pairs whose
+    matvec/norm folds are ``list_reduce`` — the identical
+    fold-from-first, j-ascending operation order the Python model fit
+    uses — and the same largest-|v|/lowest-index sign convention."""
+    d1 = dim + 1
+    sql = f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DECIMAL(9,0)) AS n FROM emb),
+dims AS (SELECT unnest(range(1, {d1})) AS pos),
+eml AS MATERIALIZED (
+  SELECT vec_id, pos, q[pos] AS val FROM emb CROSS JOIN dims
+),
+si AS (
+  SELECT pos AS i, CAST(sum(val) AS DECIMAL(19,0)) AS s
+  FROM eml GROUP BY 1
+),
+sij AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(sum(CAST(a.val AS DECIMAL(19,0)) *
+                  CAST(b.val AS DECIMAL(19,0))) AS DECIMAL(29,0)) AS s
+  FROM eml a JOIN eml b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+cmat AS MATERIALIZED (
+  SELECT i, list(cd ORDER BY j) AS ci FROM (
+    SELECT sij.i, sij.j,
+           CAST(CAST((SELECT n FROM nn) * sij.s - sa.s * sb.s
+                     AS VARCHAR) AS DOUBLE) AS cd
+    FROM sij JOIN si sa ON sa.i = sij.i JOIN si sb ON sb.i = sij.j
+  ) GROUP BY i
+),
+v0 AS (SELECT list_transform(range(1, {d1}), x -> 1.0) AS v)"""
+    for t in range(1, iterations + 1):
+        sql += f""",
+w{t} AS MATERIALIZED (
+  SELECT list(wv ORDER BY i) AS w FROM (
+    SELECT i, list_reduce(
+      list_transform(range(1, {d1}), j -> ci[j] * v[j]),
+      (a, b) -> a + b) AS wv
+    FROM cmat, v{t - 1}
+  )
+),
+v{t} AS MATERIALIZED (
+  SELECT list_transform(w, x -> x / sqrt(list_reduce(
+           list_transform(w, y -> y * y), (a, b) -> a + b))) AS v
+  FROM w{t}
+)"""
+    sql += f""",
+sgn AS (
+  SELECT (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END FROM (
+            SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i
+            FROM v{iterations})
+          ORDER BY abs(x) DESC, i ASC LIMIT 1) AS s
+  FROM v{iterations}
+),
+vf AS (
+  SELECT list_transform(v, x -> x * s) AS v FROM v{iterations}, sgn
+)
+SELECT e.vec_id,
+  round(list_reduce(
+    list_transform(range(1, {d1}), i -> CAST(q[i] AS DOUBLE) * v[i]),
+    (a, b) -> a + b) / 1000000.0 + 0.0, 6) AS pc1_score
+FROM emb e, vf"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5595,6 +5677,8 @@ WHERE x.vec_id IS NULL
     _wv = (
         f"(CAST(st.s2 AS DOUBLE) / CAST(st.n AS DOUBLE) - {_wm} * {_wm})"
     )
+    o["embeddings_pca_project"] = _pca_oracle(dim=64, iterations=20)
+
     o["embeddings_whiten"] = f"""
 WITH q AS (
   SELECT vec_id,

@@ -193,6 +193,7 @@ HEADLINE = [
     "events_changepoint",
     "docs_lang_confusion",
     "dedup_lsh_tuning",
+    "embeddings_pca_project",
 ]
 
 

@@ -787,3 +787,114 @@ def cosine_similarity_histogram(
             "n_pairs",
         )
     )
+
+
+def pca_power_iteration(
+    embeddings: DataFrame,
+    dim: int,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Top principal component of an embedding corpus by power
+    iteration over the EXACT centered scatter matrix — the model half
+    of the "all-but-the-top" treatment (dominant-direction removal,
+    Mu & Viswanath 2018) and of PCA whitening.
+
+    Determinism discipline: vectors quantize once to micro-unit
+    BIGINTs; ONE narrow explode pass (no self-join) accumulates the
+    exact decimal Gram sums Σqᵢqⱼ and means Σqᵢ map-side-combined, so
+    the collected model data (d² + d + 1 values — bounded) is
+    bit-identical under any partitioning.  The scatter matrix
+    C = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is exact integer arithmetic (Python bigint);
+    power iteration then runs driver-side in floats with a FIXED
+    operation order (fold-from-first-element matvec, j ascending —
+    the ``list_reduce`` order a SQL replay evaluates), a fixed
+    iteration count, and a deterministic sign convention (the
+    largest-|v|, lowest-index element is made positive).  Positive
+    scaling never changes the eigenvector, so C stays unnormalized.
+
+    Scale: the explode pass emits d² narrow struct rows per vector into
+    a d²-group hash aggregate — linear in the corpus, one shuffle of
+    d² partials per task; the iteration itself touches only the d×d
+    model matrix.  Returns the component as a d-element Python list
+    (model data for :func:`pca_project_top`).
+    """
+    if dim < 2 or iterations < 1:
+        raise ValueError("need dim >= 2 and iterations >= 1")
+    q = F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT))"
+    )
+    pairs = embeddings.select(q.alias("q")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) -> transform(q, (xj, j) -> "
+                "struct(i AS i, j AS j, "
+                "CAST(xi AS DECIMAL(19,0)) * CAST(xj AS DECIMAL(19,0)) "
+                "AS v))))"
+            )
+        ).alias("p")
+    )
+    gram = pairs.groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j")) \
+        .agg(F.sum("p.v").cast("decimal(38,0)").alias("s"))
+    sums = embeddings.select(q.alias("q")).select(
+        F.posexplode("q").alias("i", "val")
+    ).groupBy("i").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
+    n = embeddings.count()
+    s_ij = {(int(r["i"]), int(r["j"])): int(r["s"])
+            for r in gram.collect()}
+    s_i = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    # exact integer scatter matrix, then one correctly-rounded float
+    # conversion per element
+    c = [[float(n * s_ij[(i, j)] - s_i[i] * s_i[j])
+          for j in range(dim)] for i in range(dim)]
+    v = [1.0] * dim
+    for _ in range(iterations):
+        w = []
+        for i in range(dim):
+            acc = c[i][0] * v[0]  # fold-from-first (list_reduce order)
+            for j in range(1, dim):
+                acc = acc + c[i][j] * v[j]
+            w.append(acc)
+        acc = w[0] * w[0]
+        for i in range(1, dim):
+            acc = acc + w[i] * w[i]
+        norm = acc ** 0.5
+        v = [x / norm for x in w]
+    # deterministic sign: largest-|v| element (ties -> lowest index)
+    # made positive
+    best = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[best] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_project_top(
+    embeddings: DataFrame,
+    dim: int,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Projects every vector onto the corpus' top principal component
+    (:func:`pca_power_iteration`): the per-vector score whose
+    distribution diagnoses anisotropy, and the quantity subtracted in
+    all-but-the-top post-processing.  The learned component bakes into
+    ONE codegen fold expression — projection is a pure narrow map, no
+    shuffle, stream-safe.  Returns (id, pc1_score) with the score an
+    i-ascending fold of vᵢ·qᵢ over micro-unit coordinates, rescaled
+    and rounded to 6.
+    """
+    comp = pca_power_iteration(embeddings, dim, iterations,
+                               id_col, vec_col)
+    vec_lit = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in comp)
+    return embeddings.select(
+        F.col(id_col),
+        F.expr(
+            f"round(aggregate(zip_with(transform({vec_col}, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT)), "
+            f"array({vec_lit}), (a, b) -> CAST(a AS DOUBLE) * b), "
+            "0.0d, (acc, x) -> acc + x) / 1000000.0d + 0.0d, 6)"
+        ).alias("pc1_score"),
+    )

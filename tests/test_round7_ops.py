@@ -358,3 +358,48 @@ def test_lsh_tuning_curve_matches_formula(spark):
     for cells in by_fact.values():
         ps = [p for _, p in sorted(cells)]
         assert ps == sorted(ps)
+
+
+# ---- pca_power_iteration / pca_project_top --------------------------------
+
+
+def test_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d = 8
+    direction = np.zeros(d)
+    direction[2] = 0.8
+    direction[5] = 0.6
+    # strong variance along `direction`, small isotropic noise
+    rows = []
+    for i in range(200):
+        v = float(rng.randn()) * 3.0 * direction + rng.randn(d) * 0.05
+        rows.append((i, [round(float(x), 6) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = ops.pca_power_iteration(df, dim=d, iterations=30)
+    comp = np.array(comp)
+    assert abs(np.linalg.norm(comp) - 1.0) < 1e-9
+    # cosine with the planted direction ~ 1 (sign-fixed)
+    assert abs(abs(float(comp @ direction)) - 1.0) < 1e-3
+    # numpy eigensolver agreement on the empirical covariance
+    x = np.array([r[1] for r in rows], dtype=float)
+    c = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    assert abs(abs(float(comp @ top)) - 1.0) < 1e-6
+
+
+def test_pca_component_is_partitioning_independent(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ops.pca_power_iteration(emb, dim=64, iterations=10)
+    b = ops.pca_power_iteration(emb.repartition(13), dim=64,
+                                iterations=10)
+    assert a == b  # exact integer Gram sums -> bit-identical model
+
+
+def test_pca_projection_is_narrow_map(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ops.pca_project_top(emb, dim=64, iterations=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the projection itself never shuffles
