@@ -1140,6 +1140,11 @@ def _q_pca_project(spark, sf):
                                iterations=20)
 
 
+def _q_abtt(spark, sf):
+    return ops.abtt_transform(_t(spark, sf, "embeddings"), dim=64,
+                              iterations=20)
+
+
 def _q_lsh_tuning(spark, sf):
     return ops.lsh_tuning_curve(spark, num_hashes=16)
 
@@ -1615,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_lang_confusion": _q_lang_confusion,
             "dedup_lsh_tuning": _q_lsh_tuning,
             "embeddings_pca_project": _q_pca_project,
+            "embeddings_abtt": _q_abtt,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1672,7 +1678,7 @@ _GATE_PRIORITY = [
     "stats_theil_sen", "orders_incremental_state",
     "orders_seasonal_decompose", "events_changepoint",
     "docs_lang_confusion", "dedup_lsh_tuning",
-    "embeddings_pca_project",
+    "embeddings_pca_project", "embeddings_abtt",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -2002,7 +2008,9 @@ SELECT qid AS query_id, vid AS vec_id, adc_dist2, rank FROM (
     )
 
 
-def _pca_oracle(dim: int = 64, iterations: int = 20) -> str:
+def _pca_oracle(
+    dim: int = 64, iterations: int = 20, final: str = "project",
+) -> str:
     """Replay of ``operators.similarity.pca_project_top``: exact
     decimal Gram/mean sums (precisions sized so every product stays
     within 38 digits), the exact integer scatter matrix routed to
@@ -2068,13 +2076,41 @@ sgn AS (
 ),
 vf AS (
   SELECT list_transform(v, x -> x * s) AS v FROM v{iterations}, sgn
-)
+)"""
+    if final == "project":
+        return sql + f"""
 SELECT e.vec_id,
   round(list_reduce(
     list_transform(range(1, {d1}), i -> CAST(q[i] AS DOUBLE) * v[i]),
     (a, b) -> a + b) / 1000000.0 + 0.0, 6) AS pc1_score
 FROM emb e, vf"""
-    return sql
+    # all-but-the-top: x' = (x − μ) − ((x − μ)·v)·v, emitted as
+    # integer micro-unit CSV (the quantize_int8 gate convention —
+    # doubles render engine-specifically, integers don't)
+    return sql + f""",
+muv AS (
+  SELECT list(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+              / (SELECT CAST(n AS DOUBLE) FROM nn)
+              ORDER BY i) AS mu
+  FROM si
+),
+cent AS (
+  SELECT vec_id,
+         list_transform(range(1, {d1}),
+                        i -> CAST(q[i] AS DOUBLE) - mu[i]) AS c
+  FROM emb, muv
+),
+pr AS (
+  SELECT vec_id, c,
+         list_reduce(list_transform(range(1, {d1}), i -> c[i] * v[i]),
+                     (a, b) -> a + b) AS p
+  FROM cent, vf
+)
+SELECT vec_id,
+  array_to_string(list_transform(range(1, {d1}), i ->
+    CAST(CAST(round(c[i] - p * v[i], 0) AS BIGINT) AS VARCHAR)), ',')
+    AS abtt_q_csv
+FROM pr, vf"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5678,6 +5714,8 @@ WHERE x.vec_id IS NULL
         f"(CAST(st.s2 AS DOUBLE) / CAST(st.n AS DOUBLE) - {_wm} * {_wm})"
     )
     o["embeddings_pca_project"] = _pca_oracle(dim=64, iterations=20)
+    o["embeddings_abtt"] = _pca_oracle(dim=64, iterations=20,
+                                       final="abtt")
 
     o["embeddings_whiten"] = f"""
 WITH q AS (

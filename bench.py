@@ -194,6 +194,7 @@ HEADLINE = [
     "docs_lang_confusion",
     "dedup_lsh_tuning",
     "embeddings_pca_project",
+    "embeddings_abtt",
 ]
 
 

@@ -898,3 +898,62 @@ def pca_project_top(
             "0.0d, (acc, x) -> acc + x) / 1000000.0d + 0.0d, 6)"
         ).alias("pc1_score"),
     )
+
+
+def abtt_transform(
+    embeddings: DataFrame,
+    dim: int,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    subtract the corpus mean, then remove the projection onto the top
+    principal component — the two-line treatment that measurably
+    de-anisotropizes embedding spaces before cosine retrieval.
+    x′ = (x − μ) − ((x − μ)·v)·v with μ from the same exact integer
+    sums and v from :func:`pca_power_iteration`; both are bounded
+    model data baked into codegen expressions, so the transform is a
+    pure narrow map (no shuffle, stream-safe).
+
+    The result is emitted as integer MICRO-UNIT CSV
+    (``abtt_q_csv``) — the ``quantize_int8`` gate convention, because
+    double rendering is engine-specific while integers are not; parse
+    back with ``split`` + ``CAST`` downstream.  Returns
+    (id, abtt_q_csv).
+    """
+    comp = pca_power_iteration(embeddings, dim, iterations,
+                               id_col, vec_col)
+    q = F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT))"
+    )
+    sums = embeddings.select(q.alias("q")).select(
+        F.posexplode("q").alias("i", "val")
+    ).groupBy("i").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
+    n = embeddings.count()
+    s_i = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    mu = [float(s_i[i]) / n for i in range(dim)]
+    mu_lit = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in mu)
+    v_lit = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in comp)
+    staged = embeddings.select(
+        F.col(id_col),
+        F.expr(
+            f"zip_with(transform({vec_col}, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT)), "
+            f"array({mu_lit}), (a, m) -> CAST(a AS DOUBLE) - m)"
+        ).alias("__c"),
+    ).select(
+        id_col, "__c",
+        F.expr(
+            f"aggregate(zip_with(__c, array({v_lit}), (c, v) -> c * v), "
+            "0.0d, (acc, x) -> acc + x)"
+        ).alias("__p"),
+    )
+    return staged.select(
+        id_col,
+        F.expr(
+            f"array_join(zip_with(__c, array({v_lit}), (c, v) -> "
+            "CAST(CAST(round(c - __p * v) AS BIGINT) AS STRING)), ',')"
+        ).alias("abtt_q_csv"),
+    )

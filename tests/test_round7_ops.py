@@ -403,3 +403,21 @@ def test_pca_projection_is_narrow_map(spark):
     df = ops.pca_project_top(emb, dim=64, iterations=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # the projection itself never shuffles
+
+
+def test_abtt_output_is_centered_and_component_free(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comp = np.array(ops.pca_power_iteration(emb, dim=64, iterations=20))
+    rows = ops.abtt_transform(emb, dim=64, iterations=20).collect()
+    mat = np.array([[float(t) for t in r["abtt_q_csv"].split(",")]
+                    for r in rows])
+    # micro-unit quantization: tolerances in micro-units (rounding 0.5)
+    n, d = mat.shape
+    assert d == 64 and n == emb.count()
+    # column means ~ 0 (mean removed; quantization noise < 1 unit)
+    assert np.abs(mat.mean(axis=0)).max() < 1.0
+    # projections onto the removed component ~ 0
+    proj = mat @ comp
+    assert np.abs(proj).max() < d  # <= d/2 units of rounding noise
