@@ -1140,6 +1140,16 @@ def _q_pca_project(spark, sf):
                                iterations=20)
 
 
+def _q_minhash_incremental(spark, sf):
+    # daily-ingestion fuzzy dedup: the 25% batch (doc_id % 4 = 0)
+    # probed against the 75% corpus LSH index
+    docs = _t(spark, sf, "documents")
+    return ops.minhash_incremental_pairs(
+        docs.where("doc_id % 4 != 0"), docs.where("doc_id % 4 = 0"),
+        k=5, num_hashes=16, bands=4, threshold=0.5,
+    )
+
+
 def _q_abtt(spark, sf):
     return ops.abtt_transform(_t(spark, sf, "embeddings"), dim=64,
                               iterations=20)
@@ -1621,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lsh_tuning": _q_lsh_tuning,
             "embeddings_pca_project": _q_pca_project,
             "embeddings_abtt": _q_abtt,
+            "dedup_minhash_incremental": _q_minhash_incremental,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1679,6 +1690,7 @@ _GATE_PRIORITY = [
     "orders_seasonal_decompose", "events_changepoint",
     "docs_lang_confusion", "dedup_lsh_tuning",
     "embeddings_pca_project", "embeddings_abtt",
+    "dedup_minhash_incremental",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -3258,6 +3270,66 @@ FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
 WHERE jac.jaccard >= 0.5
 """
     )
+    # Incremental fuzzy dedup: the 25% batch's band rows probe the 75%
+    # corpus index; exact Jaccard on candidate (new, corpus) pairs only
+    o["dedup_minhash_incremental"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(w, i.i, i.i + 4), 'string_agg', ' ')
+           AS shingle
+  FROM words CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM words) + 1)) AS i) i
+  WHERE len(w) >= 5 AND i.i <= len(w) - 4
+),
+shc AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
+shn AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigc AS (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM shc CROSS JOIN seeds GROUP BY 1, 2
+),
+sign_ AS (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM shn CROSS JOIN seeds GROUP BY 1, 2
+),
+bandc AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigc GROUP BY 1, 2
+),
+bandn AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sign_ GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bandn a JOIN bandc b
+    ON a.band = b.band AND a.bucket = b.bucket
+),
+common AS (
+  SELECT c.new_id, c.corpus_id, CAST(count(*) AS BIGINT) AS cm
+  FROM cand c
+  JOIN shn sn ON sn.doc_id = c.new_id
+  JOIN shc sc ON sc.doc_id = c.corpus_id AND sc.shingle = sn.shingle
+  GROUP BY 1, 2
+),
+szc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shc GROUP BY 1),
+szn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shn GROUP BY 1)
+SELECT common.new_id, common.corpus_id,
+       round(CAST(cm AS DOUBLE) / (szn.n + szc.n - cm), 4) AS jaccard
+FROM common
+JOIN szn ON szn.doc_id = common.new_id
+JOIN szc ON szc.doc_id = common.corpus_id
+WHERE round(CAST(cm AS DOUBLE) / (szn.n + szc.n - cm), 4) >= 0.5
+"""
+
     # Mirrors minhash_estimate_pairs(16 hashes, 4 bands): signature
     # agreement / 16 (power of two -> exact binary division).
     o["dedup_minhash_estimate"] = (

@@ -195,6 +195,7 @@ HEADLINE = [
     "dedup_lsh_tuning",
     "embeddings_pca_project",
     "embeddings_abtt",
+    "dedup_minhash_incremental",
 ]
 
 

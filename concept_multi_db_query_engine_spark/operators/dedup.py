@@ -219,11 +219,12 @@ def _minhash_sigs(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
-def _lsh_candidates(
+def _banded_buckets(
     sigs: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Banded-bucket candidate pairs (d1 < d2) from a wide signature
-    frame: equal band-bucket md5 ⇒ candidate."""
+    """(doc_id, band, bucket) banding of a wide signature frame — the
+    LSH index rows both the self-join and the incremental batch-vs-
+    corpus probe hash on."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -240,13 +241,21 @@ def _lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = (
+    return (
         sigs.select(
             "doc_id", F.explode(F.array(*band_structs)).alias("bb")
         )
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     )
+
+
+def _lsh_candidates(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-bucket candidate pairs (d1 < d2) from a wide signature
+    frame: equal band-bucket md5 ⇒ candidate."""
+    banded = _banded_buckets(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -833,3 +842,73 @@ def lsh_tuning_curve(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def minhash_incremental_pairs(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental FUZZY dedup: which documents of a NEW batch are
+    near-duplicates of an EXISTING corpus — the daily-ingestion shape
+    of MinHash-LSH, where :func:`minhash_lsh_pairs`' within-corpus
+    self-join is replaced by a batch-vs-index probe so per-day cost
+    scales with the batch, not the corpus².
+
+    Both sides use the identical shingle/signature/banding scheme, so
+    the batch's band rows join the corpus' band rows directly; in a
+    production pipeline the corpus side is a STORED band index
+    (``bucketBy(bucket)`` — see ``bucketing.py`` — making the probe a
+    shuffle-free co-located join), appended to as batches are
+    admitted.  Candidates verify with exact Jaccard on candidate pairs
+    only (the :func:`minhash_lsh_pairs` discipline).  The exact-dedup
+    twin of this operator is ``incremental_new_docs``.
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold) — a new doc may
+    match several corpus docs; anti-join ``new_docs`` against the
+    distinct ``new_id``s to admit only novel content.
+    """
+    sh_c, sig_c = minhash_frames(corpus_docs, k, num_hashes)
+    sh_n, sig_n = minhash_frames(new_docs, k, num_hashes)
+    cands = (
+        _banded_buckets(sig_n, num_hashes, bands).alias("a")
+        .join(
+            _banded_buckets(sig_c, num_hashes, bands).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    common = (
+        cands
+        .join(sh_n.select(F.col("doc_id").alias("new_id"), "shingle"),
+              "new_id")
+        .join(sh_c.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+              ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s_n = sig_n.select(F.col("doc_id").alias("new_id"),
+                       F.col("__n").alias("n_new"))
+    s_c = sig_c.select(F.col("doc_id").alias("corpus_id"),
+                       F.col("__n").alias("n_corpus"))
+    return (
+        common.join(s_n, "new_id")
+        .join(s_c, "corpus_id")
+        .select(
+            "new_id", "corpus_id",
+            F.round(
+                F.col("common")
+                / (F.col("n_new") + F.col("n_corpus") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -421,3 +421,53 @@ def test_abtt_output_is_centered_and_component_free(spark):
     # projections onto the removed component ~ 0
     proj = mat @ comp
     assert np.abs(proj).max() < d  # <= d/2 units of rounding noise
+
+
+# ---- minhash_incremental_pairs --------------------------------------------
+
+
+def test_minhash_incremental_finds_cross_set_near_dups(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = []
+    # corpus docs 1..3; batch docs 100..102
+    docs.append((1, base))                       # corpus
+    docs.append((2, base.replace("pi", "PI")))   # corpus near-dup of 1
+    docs.append((3, "totally different words entirely unrelated "
+                    "content here nothing shared at all with others"))
+    docs.append((100, base))                     # batch: dup of corpus 1
+    docs.append((101, base.replace("tau", "TAU")))  # near-dup
+    docs.append((102, "completely novel text with brand new tokens "
+                      "never seen before in any corpus document ever"))
+    corpus = spark.createDataFrame(
+        [d for d in docs if d[0] < 100], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [d for d in docs if d[0] >= 100], "doc_id long, text string")
+    out = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+           for r in ops.minhash_incremental_pairs(
+               corpus, batch, k=5, num_hashes=16, bands=4,
+               threshold=0.5).collect()}
+    assert out[(100, 1)] == 1.0          # exact dup found
+    assert (101, 1) in out               # near-dup found
+    assert all(n != 102 for n, _ in out)  # novel doc matches nothing
+    # pairs only cross the batch/corpus boundary, never within a side
+    assert all(n >= 100 and c < 100 for n, c in out)
+
+
+def test_minhash_incremental_agrees_with_self_join_on_union(spark):
+    # cross-boundary pairs of the full self-join == incremental output
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    full = {(min(r["d1"], r["d2"]), max(r["d1"], r["d2"])): r["jaccard"]
+            for r in ops.minhash_lsh_pairs(docs, k=5, num_hashes=16,
+                                           bands=4, threshold=0.5)
+            .collect()}
+    cross_full = {p: j for p, j in full.items()
+                  if (p[0] % 4 == 0) != (p[1] % 4 == 0)}
+    inc = {(min(r["new_id"], r["corpus_id"]),
+            max(r["new_id"], r["corpus_id"])): r["jaccard"]
+           for r in ops.minhash_incremental_pairs(
+               docs.where("doc_id % 4 != 0"),
+               docs.where("doc_id % 4 = 0"),
+               k=5, num_hashes=16, bands=4, threshold=0.5).collect()}
+    assert inc == cross_full
