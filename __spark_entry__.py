@@ -1140,6 +1140,10 @@ def _q_pca_project(spark, sf):
                                iterations=20)
 
 
+def _q_perplexity_partition(spark, sf):
+    return ops.perplexity_partition(_t(spark, sf, "documents"))
+
+
 def _q_minhash_incremental(spark, sf):
     # daily-ingestion fuzzy dedup: the 25% batch (doc_id % 4 = 0)
     # probed against the 75% corpus LSH index
@@ -1632,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_pca_project": _q_pca_project,
             "embeddings_abtt": _q_abtt,
             "dedup_minhash_incremental": _q_minhash_incremental,
+            "docs_perplexity_partition": _q_perplexity_partition,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1690,7 +1695,7 @@ _GATE_PRIORITY = [
     "orders_seasonal_decompose", "events_changepoint",
     "docs_lang_confusion", "dedup_lsh_tuning",
     "embeddings_pca_project", "embeddings_abtt",
-    "dedup_minhash_incremental",
+    "dedup_minhash_incremental", "docs_perplexity_partition",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -4348,6 +4353,40 @@ SELECT f.doc_id, CAST(f.nl AS BIGINT) AS n_tokens,
     AS bits_per_token
 FROM firsts f LEFT JOIN pagg p ON f.doc_id = p.doc_id
 """
+
+    # CCNet head/middle/tail: the bigram-LM oracle nested as a CTE,
+    # exact tertile cuts (quantile_cont == the distributed-quantile
+    # interpolation, round-4), narrow bucketing, tiny report
+    o["docs_perplexity_partition"] = (
+        "WITH scored AS (\n"
+        + o["text_bigram_logprob"]
+        + """
+),
+vals AS (SELECT bits_per_token AS v FROM scored
+         WHERE bits_per_token IS NOT NULL),
+edges AS (
+  SELECT round(quantile_cont(v, 1.0/3), 4) AS e0,
+         round(quantile_cont(v, 2.0/3), 4) AS e1
+  FROM vals
+),
+bucketed AS (
+  SELECT CASE WHEN bits_per_token <= e0 THEN 'head'
+              WHEN bits_per_token <= e1 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_tokens, bits_per_token
+  FROM scored, edges
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bucketed)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+         AS share_ppm,
+       min(bits_per_token) AS lo_bits,
+       max(bits_per_token) AS hi_bits
+FROM bucketed GROUP BY 1
+"""
+    )
+
 
     o["events_session_stats"] = """
 WITH flagged AS (

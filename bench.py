@@ -196,6 +196,7 @@ HEADLINE = [
     "embeddings_pca_project",
     "embeddings_abtt",
     "dedup_minhash_incremental",
+    "docs_perplexity_partition",
 ]
 
 

@@ -2056,3 +2056,66 @@ def language_confusion(docs: DataFrame) -> DataFrame:
             "(PARTITION BY declared)"
         ),
     )
+
+
+def perplexity_partition(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    top_unigrams: int = 200,
+    top_bigrams: int = 400,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.
+    2020): score every document with the stupid-backoff bigram LM
+    (:func:`bigram_logprob_score`), cut the corpus at the exact
+    tertiles of bits-per-token, and report each bucket — 'head' is the
+    lowest-perplexity third the pipeline keeps outright, 'tail' the
+    third it drops or down-samples.
+
+    The tertile edges are exact distributed quantiles (round-4, the
+    quantile operator's convention) broadcast back onto the scored
+    frame, so bucketing is a narrow map; the report is one tiny
+    aggregation.  Returns (bucket, n_docs, n_tokens, share_ppm,
+    lo_bits, hi_bits) — per-bucket doc/token mass with the bucket's
+    observed bits-per-token range.
+    """
+    from .analytics import distributed_group_quantiles
+
+    scored = bigram_logprob_score(
+        docs, corpus, top_unigrams, top_bigrams, alpha, id_col, text_col
+    )
+    vals = scored.select(
+        F.lit(0).alias("__g"),
+        F.col("bits_per_token").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    edges = distributed_group_quantiles(
+        vals, "__g", "__v", [1 / 3, 2 / 3]
+    ).select(F.col("q0").alias("e0"), F.col("q1").alias("e1"))
+    bucketed = scored.crossJoin(F.broadcast(edges)).select(
+        F.expr(
+            "CASE WHEN bits_per_token <= e0 THEN 'head' "
+            "WHEN bits_per_token <= e1 THEN 'middle' "
+            "ELSE 'tail' END"
+        ).alias("bucket"),
+        "n_tokens", "bits_per_token",
+    )
+    tot = bucketed.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("bits_per_token").alias("lo_bits"),
+            F.max("bits_per_token").alias("hi_bits"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.expr("n_docs * 1000000 DIV __t").alias("share_ppm"),
+            "lo_bits", "hi_bits",
+        )
+    )

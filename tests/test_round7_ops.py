@@ -471,3 +471,25 @@ def test_minhash_incremental_agrees_with_self_join_on_union(spark):
                docs.where("doc_id % 4 = 0"),
                k=5, num_hashes=16, bands=4, threshold=0.5).collect()}
     assert inc == cross_full
+
+
+# ---- perplexity_partition -------------------------------------------------
+
+
+def test_perplexity_partition_thirds_and_ranges(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    out = {r["bucket"]: r for r in
+           ops.perplexity_partition(docs).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    n = docs.count()
+    total = sum(r["n_docs"] for r in out.values())
+    assert total == n
+    # tertile cut: each bucket holds about a third of the docs
+    for r in out.values():
+        assert abs(r["n_docs"] - n / 3) < n * 0.12
+    # buckets are ordered by perplexity: head's max <= middle's min etc.
+    assert out["head"]["hi_bits"] <= out["middle"]["lo_bits"]
+    assert out["middle"]["hi_bits"] <= out["tail"]["lo_bits"]
+    assert out["head"]["share_ppm"] + out["middle"]["share_ppm"] + \
+        out["tail"]["share_ppm"] >= 999_998

@@ -601,3 +601,46 @@ def test_bloom_prefilter_runs_unchanged_on_a_stream(spark):
     got = {r["o_orderkey"]
            for r in spark.sql("SELECT * FROM bloom_stream").collect()}
     assert got == want
+
+
+def test_minhash_incremental_probe_on_streamed_batches(spark):
+    """Fuzzy ingestion dedup as a stream: each micro-batch probes the
+    frozen corpus LSH index via foreachBatch, and the union of
+    per-batch matches equals the one-shot batch probe — per-batch cost
+    scales with the batch, corpus state is static."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    corpus = docs.where("doc_id % 4 != 0")
+    batch_side = docs.where("doc_id % 4 = 0")
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in ops.minhash_incremental_pairs(
+            corpus, batch_side, k=5, num_hashes=16, bands=4,
+            threshold=0.5).collect())
+    d = tempfile.mkdtemp(prefix="stream-mh-")
+    os.symlink(docs_path, os.path.join(d, "documents.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    got: list = []
+
+    def probe(batch_df, _batch_id):
+        new = batch_df.where("doc_id % 4 = 0")
+        if new.isEmpty():
+            return
+        got.extend(
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in ops.minhash_incremental_pairs(
+                corpus, new, k=5, num_hashes=16, bands=4,
+                threshold=0.5).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == want
