@@ -109,15 +109,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame) -> DataFrame:
+def language_id(
+    docs: DataFrame, keep_cols: list[str] | None = None
+) -> DataFrame:
     """N-gram/stopword language heuristic: en vs unknown, with a confidence
     ratio. (A real model would be a broadcast n-gram table; the shape —
-    narrow map, no shuffle — is identical.)"""
+    narrow map, no shuffle — is identical.)  ``keep_cols`` ride through
+    so downstream consumers (e.g. the confusion report) stay on ONE
+    corpus scan instead of rejoining."""
+    keep = keep_cols or []
     # stage the padded lowercase text once: the occurrence formula
     # references it 2x per stopword, and lower() is not CSE'd across
     # aliases
     staged = docs.select(
         "doc_id",
+        *keep,
         F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
         .alias("p"),
         F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tok"),
@@ -129,6 +135,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     conf = F.round(en_hits / F.col("n_tok"), 4)
     return staged.select(
         "doc_id",
+        *keep,
         F.when(conf >= 0.05, "en").otherwise("und").alias("lang_pred"),
         conf.cast("double").alias("lang_conf"),
     )
@@ -2031,7 +2038,8 @@ def language_confusion(docs: DataFrame) -> DataFrame:
     language filter on a new corpus (how often does declared-en text
     fail the heuristic, and what leaks in from other languages?).
 
-    One narrow prediction map + one map-side-combined groupBy on
+    One narrow prediction map (declared lang riding through — ONE
+    corpus scan, no rejoin) + one map-side-combined groupBy on
     (declared, predicted); the share window runs over the ≤
     |langs|² cell frame.  Returns (declared, predicted, n_docs,
     share_ppm) — share of the declared language's documents landing in
@@ -2039,10 +2047,9 @@ def language_confusion(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    pred = language_id(docs).select("doc_id", "lang_pred")
+    pred = language_id(docs, keep_cols=["lang"])
     cells = (
-        docs.select("doc_id", F.col("lang").alias("declared"))
-        .join(pred, "doc_id")
+        pred.select(F.col("lang").alias("declared"), "lang_pred")
         .groupBy("declared", F.col("lang_pred").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
