@@ -302,3 +302,61 @@ class TestRound6Shapes:
         )
         full = executed(df)
         assert "SinglePartition" not in full
+
+
+class TestRound7Shapes:
+    def test_sliding_kmv_prunes_topk_before_shuffle(self, spark):
+        # the per-day k-minimum selection must plan as WindowGroupLimit
+        # (partition-local top-k heaps), so the exchange carries <= k
+        # hashes per (partition, day) — the mergeable-sketch contract
+        events = testdata.load_table(spark, SF_DIR, "events")
+        df = ops.sliding_distinct_kmv(events, window_days=7, k=64)
+        assert "WindowGroupLimit" in executed(df)
+
+    def test_incremental_minhash_never_self_joins_the_corpus(self, spark):
+        # the batch probes the corpus index: candidate generation is a
+        # hash join of the two band frames, never a cartesian and never
+        # a corpus-band self-join
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        df = ops.minhash_incremental_pairs(
+            docs.where("doc_id % 4 != 0"), docs.where("doc_id % 4 = 0"),
+        )
+        full = executed(df)
+        assert "CartesianProduct" not in full
+
+    def test_bloom_prefilter_fact_side_has_no_exchange(self, spark):
+        # the packed filter broadcasts as ONE row; the fact side must
+        # reach the probe without any exchange (pre-shuffle pruning is
+        # the operator's whole point)
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        cust = testdata.load_table(spark, SF_DIR, "customer").where(
+            "c_mktsegment = 'BUILDING'")
+        df = ops.bloom_prefilter(orders, cust, "o_custkey", "c_custkey",
+                                 n_bits=4096)
+        full = executed(df)
+        fact_section = full.split("BroadcastNestedLoopJoin")[0]
+        assert "Exchange" not in fact_section
+
+    def test_upsert_merge_shuffles_only_on_the_key(self, spark):
+        # ONE logical shuffle: every Exchange in the plan is the keyed
+        # window requirement (Catalyst may push it under each union
+        # branch — still a single pass of the merged data through the
+        # wire), and nothing else ever exchanges
+        orders = testdata.load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_totalprice").withColumn(
+            "version", F.lit(1))
+        chg = orders.where("o_orderkey % 5 = 0").withColumn(
+            "version", F.lit(2))
+        df = ops.upsert_latest_wins(orders, chg, "o_orderkey")
+        full = executed(df)
+        ex_lines = [ln for ln in full.splitlines() if "Exchange" in ln]
+        assert 1 <= len(ex_lines) <= 2
+        assert all("hashpartitioning(o_orderkey" in ln
+                   for ln in ex_lines)
+
+    def test_pca_projection_and_abtt_are_shuffle_free(self, spark):
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        proj = ops.pca_project_top(emb, dim=64, iterations=3)
+        assert "Exchange" not in executed(proj)
+        abtt = ops.abtt_transform(emb, dim=64, iterations=3)
+        assert "Exchange" not in executed(abtt)
