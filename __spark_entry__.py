@@ -1140,6 +1140,26 @@ def _q_pca_project(spark, sf):
                                iterations=20)
 
 
+def _q_seasonal_forecast(spark, sf):
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1992-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr("month(CAST(o_orderdate AS DATE))").alias("moy"),
+        )
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+             .alias("revenue"))
+    )
+    return ops.seasonal_forecast(
+        monthly, "month_idx", "moy", "revenue", horizon=12,
+        season_of_idx="CAST(pmod(idx, 12) AS BIGINT) + 1",
+    )
+
+
 def _q_perplexity_partition(spark, sf):
     return ops.perplexity_partition(_t(spark, sf, "documents"))
 
@@ -1637,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_abtt": _q_abtt,
             "dedup_minhash_incremental": _q_minhash_incremental,
             "docs_perplexity_partition": _q_perplexity_partition,
+            "orders_seasonal_forecast": _q_seasonal_forecast,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1696,6 +1717,7 @@ _GATE_PRIORITY = [
     "docs_lang_confusion", "dedup_lsh_tuning",
     "embeddings_pca_project", "embeddings_abtt",
     "dedup_minhash_incremental", "docs_perplexity_partition",
+    "orders_seasonal_forecast",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -5223,6 +5245,51 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # seasonal-naive forecast: the decomposition chain projected onto
+    # the next 12 month indices (trend line + season-bucket median)
+    o["orders_seasonal_forecast"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1992-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         month(CAST(o_orderdate AS DATE)) AS moy,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(month_idx AS DOUBLE) AS idx, moy AS season,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS value
+  FROM monthly
+),
+pairs AS (
+  SELECT (b.value - a.value) / (b.idx - a.idx) AS v
+  FROM pts a JOIN pts b ON a.idx < b.idx
+),
+sl AS (SELECT round(quantile_cont(v, 0.5), 4) AS slope FROM pairs),
+resid0 AS (
+  SELECT value - (SELECT slope FROM sl) * idx AS v FROM pts
+),
+ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS icpt FROM resid0),
+det AS (
+  SELECT season, value - (slope * idx + icpt) AS d
+  FROM pts, sl, ic
+),
+seas AS (
+  SELECT season, round(quantile_cont(d, 0.5), 4) AS seasonal
+  FROM det GROUP BY 1
+),
+mx AS (SELECT CAST(max(idx) AS BIGINT) AS m FROM pts),
+future AS (
+  SELECT CAST(i AS DOUBLE) AS idx,
+         CAST(i % 12 AS BIGINT) + 1 AS season
+  FROM (SELECT unnest(range((SELECT m FROM mx) + 1,
+                            (SELECT m FROM mx) + 13)) AS i)
+)
+SELECT f.idx, f.season,
+       round(slope * f.idx + icpt + seasonal, 4) + 0.0 AS forecast
+FROM future f JOIN seas ON f.season = seas.season, sl, ic
 """
 
     # incremental aggregate-state merge: the oracle is the ONE-SHOT

@@ -197,6 +197,7 @@ HEADLINE = [
     "embeddings_abtt",
     "dedup_minhash_incremental",
     "docs_perplexity_partition",
+    "orders_seasonal_forecast",
 ]
 
 

@@ -1161,3 +1161,78 @@ def changepoint_mean_shift(
             "round(CAST(s_n - s_k AS DOUBLE) / CAST(n - k AS DOUBLE), 6)"
         ).alias("mean_after"),
     )
+
+
+def seasonal_forecast(
+    series: DataFrame,
+    idx_col: str,
+    season_col: str,
+    value_col: str,
+    horizon: int = 12,
+    season_of_idx: str = "CAST(pmod(idx, 12) AS BIGINT) + 1",
+) -> DataFrame:
+    """Forecast the next ``horizon`` periods as trend + seasonal — the
+    projection of :func:`seasonal_decompose`'s robust fit:
+    ``ŷ(idx) = slope·idx + intercept + seasonal[season(idx)]`` with the
+    Theil-Sen line and the per-season median profile.  The seasonal
+    baseline forecast every capacity-planning dashboard starts from;
+    ``season_of_idx`` is the SQL expression mapping a future ``idx``
+    to its season bucket (default: 12-period calendar cycle).
+
+    Future index rows explode from the observed max index (one-row
+    aggregate — no driver collect); the profile and line are tiny
+    broadcast frames, so the forecast costs nothing beyond the fit.
+    Returns (idx, season, forecast).
+    """
+    pts = series.select(
+        F.col(idx_col).cast("double").alias("idx"),
+        F.col(season_col).alias("season"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("idx").isNotNull() & F.col("value").isNotNull()) \
+        .localCheckpoint(eager=True)
+    line = theil_sen(pts, "idx", "idx", "value").select(
+        "slope", F.col("intercept").alias("icpt")
+    )
+    det = pts.crossJoin(F.broadcast(line)).select(
+        "season",
+        (F.col("value") - (F.col("slope") * F.col("idx") + F.col("icpt")))
+        .alias("__det"),
+    )
+    seas = _group_medians(det, "season", "__det", "seasonal")
+    future = (
+        pts.agg(F.max("idx").cast("long").alias("__mx"))
+        .select(
+            F.explode(
+                F.expr(f"sequence(__mx + 1, __mx + {horizon})")
+            ).alias("idx")
+        )
+        .select(
+            F.col("idx").cast("double").alias("__fidx"),
+            F.expr(season_of_idx).alias("season"),
+        )
+        .select(F.col("__fidx").alias("idx"), "season")
+    )
+    return (
+        future.join(F.broadcast(seas), "season")
+        .crossJoin(F.broadcast(line))
+        .select(
+            "idx", "season",
+            F.expr(
+                "round(slope * idx + icpt + seasonal, 4) + 0.0d"
+            ).alias("forecast"),
+        )
+    )
+
+
+def _group_medians(
+    df: DataFrame, group_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """Per-group exact median (round-4) — the seasonal-profile reduction
+    shared by decompose and forecast."""
+    from .analytics import distributed_group_quantiles
+
+    return distributed_group_quantiles(
+        df.select(F.col(group_col).alias("__g"),
+                  F.col(value_col).alias("__v")),
+        "__g", "__v", [0.5],
+    ).select(F.col("__g").alias(group_col), F.col("q0").alias(out_col))

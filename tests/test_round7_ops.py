@@ -493,3 +493,19 @@ def test_perplexity_partition_thirds_and_ranges(spark):
     assert out["middle"]["hi_bits"] <= out["tail"]["lo_bits"]
     assert out["head"]["share_ppm"] + out["middle"]["share_ppm"] + \
         out["tail"]["share_ppm"] >= 999_998
+
+
+def test_seasonal_forecast_projects_planted_pattern(spark):
+    # value = 10*idx + 100 + profile[idx % 3]; forecast must continue it
+    profile = {0: 50.0, 1: -30.0, 2: -20.0}
+    rows = [(i, i % 3, 10.0 * i + 100.0 + profile[i % 3])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "idx long, season int, value double")
+    out = {int(r["idx"]): r for r in ops.seasonal_forecast(
+        df, "idx", "season", "value", horizon=6,
+        season_of_idx="CAST(pmod(idx, 3) AS BIGINT)").collect()}
+    assert sorted(out) == list(range(24, 30))
+    for i in range(24, 30):
+        want = 10.0 * i + 100.0 + profile[i % 3]
+        assert out[i]["forecast"] == pytest.approx(want, abs=0.2), i
+        assert out[i]["season"] == i % 3
