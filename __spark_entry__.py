@@ -1164,6 +1164,43 @@ def _q_perplexity_partition(spark, sf):
     return ops.perplexity_partition(_t(spark, sf, "documents"))
 
 
+def _q_fuzzy_match(spark, sf):
+    # record linkage: the supplier master vs a "dirty" feed derived
+    # deterministically from it (suffix typos: every 3rd name loses its
+    # last char to an 'X', every 3rd+1 gains a trailing 'Q'); blocking
+    # on the first 8 of the 9 name digits — the corruption never
+    # touches it — keeps blocks ~10x10 and recall exact by design.
+    # Cross-entity near-misses inside a block (...10 vs ...11) surface
+    # too: that's the linkage ambiguity a verify threshold exists for.
+    sup = _t(spark, sf, "supplier")
+    dirty = sup.select(
+        "s_suppkey",
+        F.expr(
+            "CASE WHEN s_suppkey % 3 = 0 THEN "
+            "concat(substr(s_name, 1, length(s_name) - 1), 'X') "
+            "WHEN s_suppkey % 3 = 1 THEN concat(s_name, 'Q') "
+            "ELSE s_name END"
+        ).alias("s_name"),
+    )
+    return ops.fuzzy_join_blocked(
+        sup, dirty, "s_suppkey", "s_suppkey", "s_name", "s_name",
+        "substr({k}, 10, 8)", max_distance=1,
+    )
+
+
+def _q_temperature_mix(spark, sf):
+    # alpha = 0.25 — the aggressive flattening end of the published
+    # multilingual grid (mT5 uses 0.3); quarter-grid alphas evaluate as
+    # exactly-rounded sqrt chains on every engine
+    return ops.temperature_mix(_t(spark, sf, "documents"),
+                               alpha_quarters=1)
+
+
+def _q_naive_bayes(spark, sf):
+    return ops.naive_bayes_language(_t(spark, sf, "documents"),
+                                    vocab_size=128)
+
+
 def _q_minhash_incremental(spark, sf):
     # daily-ingestion fuzzy dedup: the 25% batch (doc_id % 4 = 0)
     # probed against the 75% corpus LSH index
@@ -1658,6 +1695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_incremental": _q_minhash_incremental,
             "docs_perplexity_partition": _q_perplexity_partition,
             "orders_seasonal_forecast": _q_seasonal_forecast,
+            "suppliers_fuzzy_match": _q_fuzzy_match,
+            "docs_temperature_mix": _q_temperature_mix,
+            "docs_nb_language": _q_naive_bayes,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1717,6 +1757,7 @@ _GATE_PRIORITY = [
     "docs_lang_confusion", "dedup_lsh_tuning",
     "embeddings_pca_project", "embeddings_abtt",
     "dedup_minhash_incremental", "docs_perplexity_partition",
+    "suppliers_fuzzy_match", "docs_temperature_mix", "docs_nb_language",
     "orders_seasonal_forecast",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
@@ -5981,5 +6022,129 @@ SELECT n_rows,
   {_bpicks['hi']} AS ci_hi,
   CAST({_B} AS BIGINT) AS n_replicates
 FROM arr, tot
+"""
+
+    # blocked fuzzy record linkage: identical perturbation, blocking and
+    # levenshtein verify (both engines implement the standard DP edit
+    # distance) — the oracle replays the whole candidate+verify pipeline
+    o["suppliers_fuzzy_match"] = """
+WITH l AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS l_id, s_name AS l_key,
+         substr(s_name, 10, 8) AS bk
+  FROM supplier
+),
+r AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS r_id,
+         CASE WHEN s_suppkey % 3 = 0 THEN
+                concat(substr(s_name, 1, length(s_name) - 1), 'X')
+              WHEN s_suppkey % 3 = 1 THEN concat(s_name, 'Q')
+              ELSE s_name END AS r_key
+  FROM supplier
+),
+rb AS (SELECT r_id, r_key, substr(r_key, 10, 8) AS bk FROM r)
+SELECT l_id, r_id, l_key, r_key,
+       CAST(levenshtein(l_key, r_key) AS INT) AS distance
+FROM l JOIN rb USING (bk)
+WHERE levenshtein(l_key, r_key) <= 1
+"""
+
+    # temperature mixing: alpha = 1/4 as sqrt(sqrt(x)) — correctly-
+    # rounded IEEE ops, so the weights are bit-identical cross-engine;
+    # the normalizer is the sorted-by-source left fold both sides use
+    o["docs_temperature_mix"] = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(len(list_filter(string_split(text, ' '),
+                                       x -> x != '')) AS BIGINT))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+w AS (SELECT *, sqrt(sqrt(CAST(tokens AS DOUBLE))) AS wv FROM per),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS t_all,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list(struct_pack(source := source, wv := wv))),
+               s -> s.wv)),
+           (a, b) -> a + b) AS w_all
+  FROM w
+)
+SELECT source, n_docs, tokens,
+       CAST(tokens * 1000000 // t_all AS BIGINT) AS natural_ppm,
+       round(wv / w_all, 6) AS mix_share,
+       round((wv / w_all) * (CAST(t_all AS DOUBLE)
+                             / CAST(tokens AS DOUBLE)), 6) AS boost
+FROM w, tot
+"""
+
+    # multinomial NB language classifier: micro-unit quantized ln terms
+    # over exact integer counts — the per-(token, lang) term, per-lang
+    # normalizer and prior are the identical expressions the Spark
+    # narrow-map fold evaluates, so the BIGINT score sums agree exactly
+    # (one ln ULP absorbed by the 1e-6 quantization); argmax ties break
+    # score desc then lang asc on both sides
+    o["docs_nb_language"] = """
+WITH tk AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w != ''
+),
+vocab AS (
+  SELECT w FROM tk GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 128
+),
+langs AS (SELECT lang, CAST(count(*) AS BIGINT) AS d
+          FROM documents GROUP BY 1),
+dt AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+lc AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM tk WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+),
+cl AS (
+  SELECT l.lang, v.w, CAST(coalesce(lc.c, 0) + 1 AS BIGINT) AS sc
+  FROM langs l CROSS JOIN vocab v
+  LEFT JOIN lc ON lc.lang = l.lang AND lc.w = v.w
+),
+den AS (
+  SELECT lang,
+         CAST(round(ln(CAST(sum(sc) + 1 AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS dmic
+  FROM cl GROUP BY 1
+),
+pri AS (
+  SELECT l.lang,
+         CAST(round(ln(CAST(l.d AS DOUBLE) / CAST(dt.dd AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS pmic
+  FROM langs l CROSS JOIN dt
+),
+terms AS (
+  SELECT t.doc_id, c.lang,
+         CAST(sum(CAST(round(ln(CAST(c.sc AS DOUBLE)) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS sv
+  FROM tk t JOIN cl c ON t.w = c.w GROUP BY 1, 2
+),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+grid AS (
+  SELECT d.doc_id, d.lang AS declared, l.lang,
+         coalesce(t.sv, 0) - coalesce(nt.n, 0) * den.dmic + pri.pmic
+           AS score,
+         coalesce(nt.n, 0) AS n_tokens
+  FROM documents d
+  CROSS JOIN langs l
+  LEFT JOIN terms t ON t.doc_id = d.doc_id AND t.lang = l.lang
+  LEFT JOIN nt ON nt.doc_id = d.doc_id
+  JOIN den ON den.lang = l.lang
+  JOIN pri ON pri.lang = l.lang
+),
+best AS (
+  SELECT doc_id, declared, lang AS predicted,
+         CAST(score AS BIGINT) AS score_micro, n_tokens,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM grid
+)
+SELECT doc_id, declared, predicted, score_micro, n_tokens
+FROM best WHERE rn = 1
 """
     return o

@@ -198,6 +198,9 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "docs_perplexity_partition",
     "orders_seasonal_forecast",
+    "suppliers_fuzzy_match",
+    "docs_temperature_mix",
+    "docs_nb_language",
 ]
 
 

@@ -912,3 +912,57 @@ def minhash_incremental_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_key: str,
+    right_key: str,
+    block_expr: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Blocked record linkage: fuzzy-match two entity tables on a string
+    key with an edit-distance budget, without the all-pairs cartesian.
+
+    ``block_expr`` is a SQL expression over the key column (referenced
+    as ``{k}``) that both sides evaluate to a deterministic BLOCKING key;
+    only pairs sharing a block become candidates, and candidates verify
+    with ``levenshtein(left_key, right_key) <= max_distance``.  This is
+    the standard blocking/verification split of record linkage (Fellegi-
+    Sunter pipelines, Dedoop, etc.): recall is exactly "true matches
+    whose corrupted keys still agree on the block" — choose a block the
+    expected corruption cannot touch (e.g. a prefix when errors are
+    suffix-typos, a phonetic code for spelling noise).  Precision comes
+    from the exact verify.
+
+    Scale shape: ONE equi-join (shuffle or broadcast, Catalyst/AQE's
+    choice) on the block key; per-block candidate volume is
+    |L_b| x |R_b|, bounded by the block design — never corpus².  The
+    levenshtein verify runs in whole-stage codegen on candidates only.
+    Cited parity: the reference's `levenshteinLte` FILTER operator
+    (QUERY_STRUCTURE.md) compares a column against a constant; this is
+    its JOIN-shaped generalization for entity resolution.
+
+    Returns (l_id, r_id, l_key, r_key, distance), distance as INT.
+    """
+    lb = left.select(
+        F.col(left_id).cast("long").alias("l_id"),
+        F.col(left_key).alias("l_key"),
+        F.expr(block_expr.replace("{k}", f"`{left_key}`")).alias("bk"),
+    )
+    rb = right.select(
+        F.col(right_id).cast("long").alias("r_id"),
+        F.col(right_key).alias("r_key"),
+        F.expr(block_expr.replace("{k}", f"`{right_key}`")).alias("bk"),
+    )
+    return (
+        lb.join(rb, "bk")
+        .select(
+            "l_id", "r_id", "l_key", "r_key",
+            F.levenshtein("l_key", "r_key").alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )

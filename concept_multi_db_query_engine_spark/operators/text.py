@@ -2126,3 +2126,218 @@ def perplexity_partition(
             "lo_bits", "hi_bits",
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha_quarters: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based corpus mixing weights: each source's sampling
+    probability is proportional to ``tokens ** alpha`` — the standard
+    multinomial alpha-sampling of multilingual/multi-source pretraining
+    (mBERT/XLM-R/mT5 style): alpha < 1 up-samples small sources and
+    flattens the head without the hard truncation a cap imposes.
+
+    ``alpha`` is restricted to the quarter grid {0.25, 0.5, 0.75}
+    (``alpha_quarters``/4) so the power evaluates as a composition of
+    IEEE-exact operations — ``sqrt`` and multiplication are both
+    correctly rounded, so ``sqrt(sqrt(t))``, ``sqrt(t)`` and
+    ``sqrt(t)*sqrt(sqrt(t))`` are bit-identical on every engine, where
+    a libm ``pow`` is not (the lsh_tuning_curve lesson). The weight
+    normalizer is a SORTED-BY-SOURCE left fold over the |sources|-row
+    frame, so the double sum has one defined evaluation order.
+
+    One exact token-count aggregation over the corpus (map-side
+    combined BIGINT sums); everything after runs on the |sources|-row
+    frame (window totals over a tiny frame — the documented
+    small-frame exception to the no-global-window rule). Returns
+    (source, n_docs, tokens, natural_ppm, mix_share, boost) where
+    ``natural_ppm`` is the exact integer token share, ``mix_share``
+    the alpha-weighted sampling probability, and ``boost`` the
+    up/down-sampling factor versus natural.
+    """
+    if alpha_quarters not in (1, 2, 3):
+        raise ValueError("alpha_quarters must be 1, 2 or 3 "
+                         "(alpha = 0.25 / 0.5 / 0.75)")
+    w_of = {
+        1: "sqrt(sqrt(CAST(tokens AS DOUBLE)))",
+        2: "sqrt(CAST(tokens AS DOUBLE))",
+        3: "sqrt(CAST(tokens AS DOUBLE)) * sqrt(sqrt(CAST(tokens AS DOUBLE)))",
+    }[alpha_quarters]
+    nt = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) "
+        "AS BIGINT)"
+    )
+    per = (
+        docs.select(F.col(source_col).alias("source"), nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+        .withColumn("__w", F.expr(w_of))
+    )
+    # one-row totals frame broadcast back. NOTE: the obvious
+    # window-function form (collect_list().over(whole-frame) + a later
+    # projection folding it) silently mis-resolves the weight column to
+    # the fold result under Spark 4.1's analyzer once column pruning
+    # removes the standalone weight from the Window's input — the
+    # alias-qualified crossJoin below is the shape that resolves
+    # correctly (and is also what budget-bounded model data should be:
+    # an explicit tiny frame, not window state)
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("__T"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, __w))), "
+            "CAST(0.0 AS DOUBLE), (a, s) -> a + s.__w)"
+        ).alias("__W"),
+    )
+    j = per.alias("p").crossJoin(F.broadcast(tot).alias("t"))
+    return j.select(
+        F.col("p.source").alias("source"),
+        F.col("p.n_docs").alias("n_docs"),
+        F.col("p.tokens").alias("tokens"),
+        F.expr("(p.tokens * 1000000) DIV t.__T").cast("long")
+        .alias("natural_ppm"),
+        F.round(F.col("p.__w") / F.col("t.__W"), 6).alias("mix_share"),
+        F.round(
+            (F.col("p.__w") / F.col("t.__W"))
+            * (F.col("t.__T").cast("double")
+               / F.col("p.tokens").cast("double")),
+            6,
+        ).alias("boost"),
+    )
+
+
+def naive_bayes_language(
+    docs: DataFrame,
+    vocab_size: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    score_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train on the
+    labeled corpus, predict per document. The supervised counterpart
+    of the heuristic :func:`language_id`: real class-conditional token
+    statistics instead of hand-picked stopword lists, and the simplest
+    model in the fastText-classifier family used for corpus language
+    routing at scale.
+
+    TRAIN (one tokenize scan + bounded collects): class priors from
+    document counts, a top-``vocab_size`` vocabulary by total token
+    count (ties token-asc), and add-one-smoothed per-class token
+    counts — V x |langs| integers, collected as bounded model data and
+    baked into ONE broadcast map literal (token -> array of smoothed
+    counts, langs sorted asc).
+
+    PREDICT is a pure NARROW MAP (the DSIR discipline — no join, no
+    shuffle, stream-safe): per document one sorted-token fold adds the
+    micro-unit quantized ``round(ln(smoothed_count) * 1e6)`` term
+    arrays elementwise (OOV tokens hit the all-ones array: ln(1) = 0),
+    then the per-class normalizer ``n_tokens * round(ln(N_l+V+1)*1e6)``
+    and prior ``round(ln(d_l/D)*1e6)`` adjust each lane. All sums are
+    exact BIGINTs, so the score is engine-independent up to one ln ULP
+    absorbed by the micro rounding, and the argmax (first-max index =
+    score desc, lang asc) is deterministic.
+
+    Pass ``score_docs`` to freeze the model on ``docs`` and score a
+    different frame (or a stream). Returns
+    (doc_id, declared, predicted, score_micro, n_tokens).
+    """
+    toks = (
+        docs.select(
+            F.col(label_col).alias("lang"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    counts = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    lang_rows = sorted(
+        docs.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .collect(),
+        key=lambda r: r["lang"],
+    )
+    langs = [r["lang"] for r in lang_rows]
+    d_of = {r["lang"]: int(r["d"]) for r in lang_rows}
+    d_total = sum(d_of.values())
+    vocab_rows = (
+        counts.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["w"] for r in vocab_rows]
+    cnt_rows = counts.where(F.col("w").isin(vocab)).collect()
+    counts.unpersist()
+    c_of = {(r["lang"], r["w"]): int(r["c"]) for r in cnt_rows}
+    n_of = {
+        lang: sum(c_of.get((lang, w), 0) for w in vocab) for lang in langs
+    }
+    map_args: list = []
+    for w in vocab:
+        map_args.append(F.lit(w))
+        map_args.append(F.array(*[
+            F.lit(c_of.get((lang, w), 0) + 1).cast("long")
+            for lang in langs
+        ]))
+    model_map = (
+        F.create_map(*map_args) if map_args
+        else F.expr("map()").cast("map<string,array<bigint>>")
+    )
+    n_lang = len(langs)
+    oov = "array(" + ", ".join(["CAST(1 AS BIGINT)"] * n_lang) + ")"
+    den = "array(" + ", ".join(
+        f"CAST(round(ln(CAST({n_of[lang] + len(vocab) + 1} AS DOUBLE)) "
+        "* 1000000.0d) AS BIGINT)"
+        for lang in langs
+    ) + ")"
+    pri = "array(" + ", ".join(
+        f"CAST(round(ln(CAST({d_of[lang]} AS DOUBLE) "
+        f"/ CAST({d_total} AS DOUBLE)) * 1000000.0d) AS BIGINT)"
+        for lang in langs
+    ) + ")"
+    zero = "array(" + ", ".join(["CAST(0 AS BIGINT)"] * n_lang) + ")"
+    target = score_docs if score_docs is not None else docs
+    staged = target.select(
+        F.col(id_col),
+        F.col(label_col).alias("declared"),
+        F.expr(
+            f"array_sort(filter(split({text_col}, ' '), x -> x != ''))"
+        ).alias("__ts"),
+        model_map.alias("__m"),
+    )
+    fold = (
+        f"aggregate(__ts, {zero}, (acc, w) -> "
+        f"zip_with(acc, coalesce(element_at(__m, w), {oov}), "
+        "(a, c) -> a + CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0d) "
+        "AS BIGINT)))"
+    )
+    scores = (
+        f"zip_with(zip_with({fold}, {den}, "
+        "(s, dn) -> s - CAST(size(__ts) AS BIGINT) * dn), "
+        f"{pri}, (s, p) -> s + p)"
+    )
+    lang_arr = "array(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
+    # stage the score array: the argmax references it three times, and
+    # binding it to a column (not re-inlining the fold) is the
+    # CollapseProject lesson — the producer is non-cheap and
+    # multiply-referenced, so Catalyst keeps the projection
+    scored = staged.select(
+        id_col, "declared", "__ts", F.expr(scores).alias("__sc")
+    )
+    return scored.select(
+        id_col, "declared",
+        F.expr(
+            f"element_at({lang_arr}, "
+            f"CAST(array_position(__sc, array_max(__sc)) AS INT))"
+        ).alias("predicted"),
+        F.expr("array_max(__sc)").cast("long").alias("score_micro"),
+        F.size("__ts").cast("long").alias("n_tokens"),
+    )

@@ -509,3 +509,131 @@ def test_seasonal_forecast_projects_planted_pattern(spark):
         want = 10.0 * i + 100.0 + profile[i % 3]
         assert out[i]["forecast"] == pytest.approx(want, abs=0.2), i
         assert out[i]["season"] == i % 3
+
+
+# ---- fuzzy_join_blocked ---------------------------------------------------
+
+
+def test_fuzzy_join_matches_within_block_and_budget(spark):
+    left = spark.createDataFrame(
+        [(1, "AB-0001-x"), (2, "AB-0002-y"), (3, "CD-0003-z")],
+        "id long, name string",
+    )
+    # 1 -> one suffix typo (dist 1); 2 -> two edits (dist 2, over
+    # budget); 3 -> identical (dist 0)
+    right = spark.createDataFrame(
+        [(11, "AB-0001-q"), (12, "AB-0002-qq"), (13, "CD-0003-z")],
+        "id long, name string",
+    )
+    out = {(r["l_id"], r["r_id"]): r["distance"] for r in
+           ops.fuzzy_join_blocked(
+               left, right, "id", "id", "name", "name",
+               "substr({k}, 1, 7)", max_distance=1).collect()}
+    assert out == {(1, 11): 1, (3, 13): 0}
+
+
+def test_fuzzy_join_never_crosses_blocks(spark):
+    # identical strings in DIFFERENT blocks never meet: blocking is a
+    # hard recall contract, not a hint
+    left = spark.createDataFrame([(1, "AAA-x")], "id long, name string")
+    right = spark.createDataFrame([(2, "BBB-x")], "id long, name string")
+    assert ops.fuzzy_join_blocked(
+        left, right, "id", "id", "name", "name",
+        "substr({k}, 1, 3)", max_distance=99).count() == 0
+
+
+def test_fuzzy_join_plan_is_single_equi_join(spark):
+    left = spark.createDataFrame([(1, "AAAA")], "id long, name string")
+    plan = ops.fuzzy_join_blocked(
+        left, left, "id", "id", "name", "name", "substr({k}, 1, 2)"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# ---- temperature_mix ------------------------------------------------------
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (900 if i < 90 else 1), "big" if i < 90 else "small")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           ops.temperature_mix(docs, alpha_quarters=1).collect()}
+    big, small = out["big"], out["small"]
+    # alpha < 1 up-samples the small source, down-samples the big one
+    assert small["boost"] > 1.0 > big["boost"]
+    # shares still sum to 1 and order is preserved
+    assert big["mix_share"] + small["mix_share"] == pytest.approx(1.0)
+    assert big["mix_share"] > small["mix_share"]
+    # natural share is the exact integer ppm
+    assert big["natural_ppm"] == big["tokens"] * 1_000_000 // (
+        big["tokens"] + small["tokens"])
+
+
+def test_temperature_mix_alpha_grid_matches_python(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c d e f", "s2"), (3, "a", "s3")],
+        "doc_id long, text string, source string",
+    )
+    toks = {"s1": 3, "s2": 6, "s3": 1}
+    for q, alpha in ((1, 0.25), (2, 0.5), (3, 0.75)):
+        out = {r["source"]: r["mix_share"] for r in
+               ops.temperature_mix(docs, alpha_quarters=q).collect()}
+        tot = sum(t ** alpha for t in toks.values())
+        for s, t in toks.items():
+            assert out[s] == pytest.approx(t ** alpha / tot, abs=5e-6), (
+                q, s)
+    with pytest.raises(ValueError):
+        ops.temperature_mix(docs, alpha_quarters=4)
+
+
+# ---- naive_bayes_language -------------------------------------------------
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    # two languages with disjoint vocabularies: every doc must be
+    # predicted as its own class
+    rows = []
+    for i in range(30):
+        rows.append((i, "der die das und nicht", "de"))
+        rows.append((100 + i, "the and of to is", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ops.naive_bayes_language(docs, vocab_size=16).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["predicted"] == r["declared"], r
+        assert r["n_tokens"] == 5
+
+
+def test_naive_bayes_oov_falls_back_to_prior(spark):
+    # equal per-class token mass makes the smoothing denominators equal,
+    # so a pure-OOV doc is decided by the document prior alone (with
+    # UNEQUAL mass the smaller class legitimately wins OOV tokens:
+    # its 1/(N_l+V+1) is larger — real multinomial-NB behavior)
+    rows = [(i, "aaa", "en") for i in range(9)] + [
+        (9, "ccc ccc ccc ccc ccc ccc ccc ccc ccc", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    score = spark.createDataFrame(
+        [(99, "zzz qqq xxx", "de")], "doc_id long, text string, lang string")
+    out = ops.naive_bayes_language(
+        docs, vocab_size=4, score_docs=score).collect()
+    assert len(out) == 1
+    assert out[0]["predicted"] == "en"  # prior 9:1 decides
+
+
+def test_naive_bayes_scoring_plan_has_no_exchange(spark):
+    rows = [(i, "a b", "en") for i in range(4)] + [(4, "c d", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    score = spark.createDataFrame(
+        [(99, "a b", "en")], "doc_id long, text string, lang string")
+    plan = ops.naive_bayes_language(
+        docs, vocab_size=4, score_docs=score
+    )._jdf.queryExecution().executedPlan().toString()
+    # inference is a pure narrow map over the scored frame (the DSIR
+    # discipline): the model rides in as literals, never as a join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
