@@ -1201,6 +1201,43 @@ def _q_naive_bayes(spark, sf):
                                     vocab_size=128)
 
 
+def _q_k_anonymity(spark, sf):
+    # the masked-export audit: nation x market-segment as the
+    # quasi-identifier tuple
+    return ops.k_anonymity_report(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+def _q_conversion_lag(spark, sf):
+    return ops.conversion_lag_quantiles(_t(spark, sf, "events"))
+
+
+def _q_seasonal_anomaly(spark, sf):
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1992-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr("month(CAST(o_orderdate AS DATE))").alias("moy"),
+        )
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+             .alias("revenue"))
+    )
+    return ops.seasonal_anomaly(monthly, "month_idx", "moy", "revenue")
+
+
+def _q_centroid_drift(spark, sf):
+    # two deterministic corpus snapshots: even vs odd vector ids
+    emb = _t(spark, sf, "embeddings")
+    return ops.centroid_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    )
+
+
 def _q_minhash_incremental(spark, sf):
     # daily-ingestion fuzzy dedup: the 25% batch (doc_id % 4 = 0)
     # probed against the 75% corpus LSH index
@@ -1698,6 +1735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "suppliers_fuzzy_match": _q_fuzzy_match,
             "docs_temperature_mix": _q_temperature_mix,
             "docs_nb_language": _q_naive_bayes,
+            "customers_k_anonymity": _q_k_anonymity,
+            "events_conversion_lag": _q_conversion_lag,
+            "orders_seasonal_anomaly": _q_seasonal_anomaly,
+            "embeddings_centroid_drift": _q_centroid_drift,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1758,6 +1799,8 @@ _GATE_PRIORITY = [
     "embeddings_pca_project", "embeddings_abtt",
     "dedup_minhash_incremental", "docs_perplexity_partition",
     "suppliers_fuzzy_match", "docs_temperature_mix", "docs_nb_language",
+    "customers_k_anonymity", "events_conversion_lag",
+    "orders_seasonal_anomaly", "embeddings_centroid_drift",
     "orders_seasonal_forecast",
     # Remaining r4-graded rows, oldest-priority for the next rotation.
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
@@ -6146,5 +6189,137 @@ best AS (
 )
 SELECT doc_id, declared, predicted, score_micro, n_tokens
 FROM best WHERE rn = 1
+"""
+
+    o["customers_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < 5 AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+    # conversion lag in exact MICROSECONDS (epoch_us subtraction ==
+    # Spark's timestamp_diff; second-granularity datediff would count
+    # boundary crossings); quantiles over lag-seconds doubles replay
+    # the distributed exact-quantile interpolation
+    o["events_conversion_lag"] = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS f,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+),
+lags AS (
+  SELECT user_id, epoch_us(t) - epoch_us(f) AS lag_us FROM firsts
+),
+conv AS (
+  SELECT CAST(lag_us AS DOUBLE) / 1000000.0 AS v
+  FROM lags WHERE lag_us >= 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lags) AS n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted,
+       round(quantile_cont(v, 0.5), 4) AS p50_s,
+       round(quantile_cont(v, 0.9), 4) AS p90_s,
+       round(quantile_cont(v, 0.99), 4) AS p99_s
+FROM conv
+"""
+
+    # seasonal anomaly = the decompose chain + robust residual z
+    # (median/MAD over the decomposed residuals, 1.4826 consistency)
+    o["orders_seasonal_anomaly"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1992-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         month(CAST(o_orderdate AS DATE)) AS moy,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(month_idx AS DOUBLE) AS idx, moy AS season,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS value
+  FROM monthly
+),
+pairs AS (
+  SELECT (b.value - a.value) / (b.idx - a.idx) AS v
+  FROM pts a JOIN pts b ON a.idx < b.idx
+),
+sl AS (SELECT round(quantile_cont(v, 0.5), 4) AS slope FROM pairs),
+resid0 AS (
+  SELECT value - (SELECT slope FROM sl) * idx AS v FROM pts
+),
+ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS icpt FROM resid0),
+det AS (
+  SELECT idx, season, value, slope, icpt,
+         value - (slope * idx + icpt) AS d
+  FROM pts, sl, ic
+),
+seas AS (
+  SELECT season, round(quantile_cont(d, 0.5), 4) AS seasonal
+  FROM det GROUP BY 1
+),
+dcmp AS (
+  SELECT det.idx, det.season, det.value,
+         round(slope * idx + icpt, 4) + 0.0 AS trend,
+         seasonal + 0.0 AS seasonal,
+         round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
+           AS residual
+  FROM det JOIN seas ON det.season = seas.season
+),
+med AS (SELECT round(quantile_cont(residual, 0.5), 4) AS m FROM dcmp),
+ad AS (
+  SELECT d.*, round(abs(residual - (SELECT m FROM med)), 4) AS adv
+  FROM dcmp d
+),
+mad AS (SELECT round(quantile_cont(adv, 0.5), 4) AS md FROM ad)
+SELECT idx, season, value, trend, seasonal, residual,
+       round((residual - (SELECT m FROM med))
+             / nullif(1.4826 * (SELECT md FROM mad), 0.0), 4)
+         AS robust_z,
+       coalesce(abs(round((residual - (SELECT m FROM med))
+             / nullif(1.4826 * (SELECT md FROM mad), 0.0), 4)) > 3.0,
+         FALSE) AS is_anomaly
+FROM ad
+"""
+
+    # per-label centroid drift between the even/odd snapshots: exact
+    # micro-unit per-dimension sums, fixed-order fold over dimensions
+    o["embeddings_centroid_drift"] = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS pos),
+st AS (
+  SELECT label AS grp, pos,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN qv[pos] END)
+              AS BIGINT) AS s_old,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN qv[pos] END)
+              AS BIGINT) AS s_new,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_new
+  FROM q CROSS JOIN dims GROUP BY 1, 2
+)
+SELECT grp AS label, max(n_old) AS n_old, max(n_new) AS n_new,
+       round(sqrt(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list(struct_pack(pos := pos, s_old := s_old,
+                                        n_old := n_old, s_new := s_new,
+                                        n_new := n_new))),
+             t -> ((CAST(t.s_new AS DOUBLE) / CAST(t.n_new AS DOUBLE))
+                     / 1000000.0
+                   - (CAST(t.s_old AS DOUBLE) / CAST(t.n_old AS DOUBLE))
+                     / 1000000.0)
+                  * ((CAST(t.s_new AS DOUBLE) / CAST(t.n_new AS DOUBLE))
+                       / 1000000.0
+                     - (CAST(t.s_old AS DOUBLE)
+                        / CAST(t.n_old AS DOUBLE)) / 1000000.0))),
+         (a, b) -> a + b) + 0.0), 6) AS drift_l2
+FROM st GROUP BY 1
 """
     return o

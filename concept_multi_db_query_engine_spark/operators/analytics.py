@@ -1403,3 +1403,65 @@ def frequent_values(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def conversion_lag_quantiles(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    probs: list[float] | None = None,
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    ``to_type`` event follows their first ``from_type`` event, the lag
+    in seconds — summarized by EXACT interpolated quantiles (the
+    funnel's "how long does conversion take" companion; medians and
+    tails, because conversion lags are heavy-tailed and a mean is
+    meaningless).
+
+    One shuffle on user_id for the two conditional first-event
+    aggregates (map-side combined MINs), a narrow integer lag
+    projection (``timestamp_diff`` in MICROSECONDS — exact elapsed
+    time, NTZ-safe, and identical to DuckDB's epoch_us subtraction
+    where second-granularity datediff counts boundary CROSSINGS), then
+    the
+    distributed exact-quantile machinery over the per-user lag frame
+    (no global sort, no single-task group). Returns ONE row:
+    (n_users, n_converted, p50_s, p90_s, p99_s), quantiles rounded 4.
+    """
+    probs = probs or [0.5, 0.9, 0.99]
+    firsts = (
+        events.where(F.col("event_type").isin([from_type, to_type]))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == from_type, F.col("ts")))
+            .alias("__from"),
+            F.min(F.when(F.col("event_type") == to_type, F.col("ts")))
+            .alias("__to"),
+        )
+    )
+    lags = firsts.select(
+        "user_id",
+        F.timestamp_diff("MICROSECOND", F.col("__from"), F.col("__to"))
+        .cast("long").alias("__lag_us"),
+    )
+    converted = lags.where(F.col("__lag_us") >= 0)
+    q = distributed_group_quantiles(
+        converted.select(
+            F.lit("all").alias("__g"),
+            (F.col("__lag_us").cast("double") / F.lit(1000000.0))
+            .alias("__v"),
+        ),
+        "__g", "__v", probs,
+    ).select(
+        F.col("q0").alias("p50_s"),
+        F.col("q1").alias("p90_s"),
+        F.col("q2").alias("p99_s"),
+    )
+    n = lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("__lag_us") >= 0, 1).otherwise(0)).cast("long")
+        .alias("n_converted"),
+    )
+    return n.crossJoin(F.broadcast(q)).select(
+        "n_users", "n_converted", "p50_s", "p90_s", "p99_s"
+    )

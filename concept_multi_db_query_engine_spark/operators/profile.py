@@ -67,3 +67,28 @@ def profile_table(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: the
+    size of every equivalence class (rows sharing all quasi values) and
+    whether it violates the k threshold — the data-governance companion
+    to the masking/ACL surface (a masked export is only private if no
+    quasi-identifier combination isolates fewer than k individuals;
+    Sweeney 2002).
+
+    ONE hash aggregation on the quasi tuple (map-side combined counts —
+    the same shape as any GROUP BY, skew handled by AQE); no windows,
+    no driver state. At 100 TB the class count is bounded by the quasi
+    domain product, not the row count. Returns one row per equivalence
+    class: (*quasi_cols, class_size, at_risk).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < F.lit(k))
+    )

@@ -957,3 +957,74 @@ def abtt_transform(
             "CAST(CAST(round(c - __p * v) AS BIGINT) AS STRING)), ',')"
         ).alias("abtt_q_csv"),
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: per group
+    (label, source, shard …) the L2 distance between the old and new
+    centroids — the retraining/reindexing trigger signal (an ANN index
+    or a dedup threshold calibrated on last month's embedding space
+    silently degrades once the encoder or the corpus mix shifts).
+
+    Per-dimension sums quantize to exact micro-unit BIGINTs (the
+    kmeans/corpus-stats discipline) so both snapshots' centroids are
+    partitioning-independent; each side is one posexplode +
+    map-side-combined (group, pos) aggregation — |groups|·dim rows
+    through the exchange, never vectors. The distance is a fixed-shape
+    double fold in dimension order over the joined per-dim means.
+    Returns (group, n_old, n_new, drift_l2) — drift rounded 6, NULL if
+    a group is missing from either snapshot (outer join keeps it).
+    """
+    q_scale = 10**6
+
+    def _dims(df, tag):
+        staged = df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"CAST(round(CAST(x AS DOUBLE) * {q_scale}.0d) AS BIGINT))"
+            ).alias("q"),
+        )
+        return (
+            staged.select("grp", F.posexplode("q").alias("pos", "val"))
+            .groupBy("grp", "pos")
+            .agg(
+                F.sum("val").alias(f"s_{tag}"),
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            )
+        )
+    joined = _dims(old, "old").join(_dims(new, "new"), ["grp", "pos"],
+                                    "full_outer")
+    # per-dim squared mean gap, folded in pos order: mean = (s / n) / 1e6
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.expr(
+                "array_sort(collect_list(struct(pos, s_old, n_old, "
+                "s_new, n_new)))"
+            ).alias("__ds"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_old", "n_new",
+            F.round(
+                F.expr(
+                    "sqrt(aggregate(__ds, CAST(0.0 AS DOUBLE), (acc, t) -> "
+                    "acc + ((CAST(t.s_new AS DOUBLE) / CAST(t.n_new AS "
+                    "DOUBLE)) / 1000000.0d - (CAST(t.s_old AS DOUBLE) / "
+                    "CAST(t.n_old AS DOUBLE)) / 1000000.0d) * "
+                    "((CAST(t.s_new AS DOUBLE) / CAST(t.n_new AS DOUBLE)) "
+                    "/ 1000000.0d - (CAST(t.s_old AS DOUBLE) / "
+                    "CAST(t.n_old AS DOUBLE)) / 1000000.0d)) + 0.0)"
+                ),
+                6,
+            ).alias("drift_l2"),
+        )
+    )

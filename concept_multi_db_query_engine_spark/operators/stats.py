@@ -1236,3 +1236,58 @@ def _group_medians(
                   F.col(value_col).alias("__v")),
         "__g", "__v", [0.5],
     ).select(F.col("__g").alias(group_col), F.col("q0").alias(out_col))
+
+
+def seasonal_anomaly(
+    series: DataFrame,
+    idx_col: str,
+    season_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware robust anomaly detection: decompose the series
+    (:func:`seasonal_decompose` — Theil-Sen trend + median seasonal
+    profile), then score each period's RESIDUAL with the robust z
+    ``(r − median(r)) / (1.4826 · MAD(r))`` — the same
+    median/MAD discipline as ``mad_outliers``, applied after trend and
+    seasonality are removed so "high because it's December" is not an
+    anomaly but "high for a December" is.
+
+    Both medians are exact distributed quantiles over the residual
+    frame (constant group — the series is already aggregated to one
+    row per period); the z is a fixed-shape double expression with a
+    nullif guard for a zero MAD. Returns the decomposition columns
+    plus (robust_z, is_anomaly), z rounded 4.
+    """
+    dec = seasonal_decompose(series, idx_col, season_col, value_col) \
+        .localCheckpoint(eager=True)
+    from .analytics import distributed_group_quantiles
+
+    med = distributed_group_quantiles(
+        dec.select(F.lit("all").alias("__g"),
+                   F.col("residual").alias("__v")),
+        "__g", "__v", [0.5],
+    ).select(F.col("q0").alias("__med"))
+    absdev = dec.crossJoin(F.broadcast(med)).select(
+        "idx", "season", "value", "trend", "seasonal", "residual",
+        "__med",
+        F.round(F.abs(F.col("residual") - F.col("__med")), 4)
+        .alias("__ad"),
+    ).localCheckpoint(eager=True)
+    mad = distributed_group_quantiles(
+        absdev.select(F.lit("all").alias("__g"),
+                      F.col("__ad").alias("__v")),
+        "__g", "__v", [0.5],
+    ).select(F.col("q0").alias("__mad"))
+    return absdev.crossJoin(F.broadcast(mad)).select(
+        "idx", "season", "value", "trend", "seasonal", "residual",
+        F.round(
+            (F.col("residual") - F.col("__med"))
+            / F.expr("nullif(1.4826 * __mad, 0.0)"),
+            4,
+        ).alias("robust_z"),
+    ).withColumn(
+        "is_anomaly",
+        F.when(F.col("robust_z").isNull(), F.lit(False))
+        .otherwise(F.abs(F.col("robust_z")) > F.lit(z_threshold)),
+    )
