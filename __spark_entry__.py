@@ -1753,74 +1753,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _GATE_PRIORITY = [
-    # Round-7 window (the driver grades the FIRST 50 entries). Composition
-    # follows the round-6 verdict's next-round list exactly:
-    # the 26 round-6 operators that have never had a driver row (grade on
-    # first appearance — all tri-scale green under the builder's
-    # gate-faithful replica), the two rows whose sf0.1 bench time
-    # regressed >25% in round 6 with no claimed code change
-    # (stats_corr_matrix +42%, dedup_containment +26% — re-grade guards
-    # while the regression is investigated), then the staleness rotation:
-    # all 14 remaining r3-graded rows and the 8 oldest r4-graded rows, so
-    # no green row older than round 4 remains after this window lands.
-    # --- round-6 first-appearance rows (26) ---
-    "dedup_semantic", "dedup_semantic_survivors",
-    "docs_bpe_train", "docs_bpe_encode",
-    "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
-    "graph_label_propagation", "docs_url_dedup", "docs_importance_weights",
-    "events_windowed_funnel", "events_heavy_hitters",
-    "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
-    "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
-    "orders_zorder_layout", "events_skew_report",
-    "corpus_snapshot_diff", "docs_truncation_report",
-    "corpus_budget_allocation", "orders_equidepth_histogram",
-    "orders_frequent_values", "docs_dup_ngram_fraction",
-    # --- round-6 bench-regression re-grade guards (2) ---
-    "stats_corr_matrix", "dedup_containment",
-    # --- staleness rotation: the 14 remaining r3-graded rows ---
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "customer_segments_setops", "nation_revenue_pivot",
-    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
-    "sim_knn_label_vote", "window_topk_per_group",
-    "customer_revenue_deciles_approx", "docs_clean_corpus",
-    "docs_stratified_sample", "events_approx_distinct_kmv",
-    "multimodal_frame_sample",
-    # --- staleness rotation: the 8 oldest r4-graded rows ---
-    "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
-    "events_props_rollup", "docs_pack_sequences",
-    "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
-    # ===== round-8 queue starts here (entry 51+) =====
-    # NEW round-7 operators: grade on first appearance next round.
+    # Round-8 window (the driver grades the FIRST 50 entries). End-of-round
+    # invariant (round-7 verdict item 1): every registry query that has no
+    # driver CORRECTNESS row in ANY prior round occupies the front of the
+    # window — enforced mechanically by
+    # tests/test_gate_window.py::test_never_graded_queries_lead_the_window,
+    # which recomputes the never-graded set from the CORRECTNESS_r*.json
+    # files on disk. Slots 1-22: the 22 round-7 first-appearance rows.
+    # Slots 23-50: staleness rotation — the 13 remaining r4-graded rows,
+    # then the 15 oldest r5-graded rows.
+    # --- round-7 first-appearance rows (22) ---
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
     "stats_theil_sen", "orders_incremental_state",
-    "orders_seasonal_decompose", "events_changepoint",
+    "orders_seasonal_decompose", "orders_seasonal_forecast",
+    "orders_seasonal_anomaly", "events_changepoint",
     "docs_lang_confusion", "dedup_lsh_tuning",
     "embeddings_pca_project", "embeddings_abtt",
-    "dedup_minhash_incremental", "docs_perplexity_partition",
-    "suppliers_fuzzy_match", "docs_temperature_mix", "docs_nb_language",
+    "embeddings_centroid_drift", "dedup_minhash_incremental",
+    "docs_perplexity_partition", "suppliers_fuzzy_match",
+    "docs_temperature_mix", "docs_nb_language",
     "customers_k_anonymity", "events_conversion_lag",
-    "orders_seasonal_anomaly", "embeddings_centroid_drift",
-    "orders_seasonal_forecast",
-    # Remaining r4-graded rows, oldest-priority for the next rotation.
+    # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
-    # r5-graded rows
+    # --- staleness rotation: the 15 oldest r5-graded rows ---
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
     "orders_cube", "events_transitions", "customer_revenue_concentration",
     "text_pii_scrub", "docs_line_dedup", "events_rolling_active_users",
     "orders_profile", "graph_pagerank", "nation_revenue_unpivot",
+    # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    # remaining r5-graded rows
     "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
     "events_funnel_steps", "skew_salted_join", "skew_salted_count",
-    # r6-graded rows (freshest — rotate last): r5b/5c stats/clustering
-    # wave, the minhash pair, quantile rows, dangling pagerank, and the
-    # r6-window text/DSL re-grades.
+    # r6-graded rows
     "stats_ols_regression", "events_ab_test", "docs_chi_square",
     "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode", "sim_topk_pq",
@@ -1843,6 +1815,29 @@ _GATE_PRIORITY = [
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
+    # r7-graded rows (freshest — rotate last)
+    "dedup_semantic", "dedup_semantic_survivors",
+    "docs_bpe_train", "docs_bpe_encode",
+    "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
+    "graph_label_propagation", "docs_url_dedup", "docs_importance_weights",
+    "events_windowed_funnel", "events_heavy_hitters",
+    "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
+    "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
+    "orders_zorder_layout", "events_skew_report",
+    "corpus_snapshot_diff", "docs_truncation_report",
+    "corpus_budget_allocation", "orders_equidepth_histogram",
+    "orders_frequent_values", "docs_dup_ngram_fraction",
+    "stats_corr_matrix", "dedup_containment",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "customer_segments_setops", "nation_revenue_pivot",
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
+    "sim_knn_label_vote", "window_topk_per_group",
+    "customer_revenue_deciles_approx", "docs_clean_corpus",
+    "docs_stratified_sample", "events_approx_distinct_kmv",
+    "multimodal_frame_sample",
+    "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
+    "events_props_rollup", "docs_pack_sequences",
+    "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
 ]
 
 

@@ -1,12 +1,30 @@
 """Pins the driver-facing gate composition: the correctness gate grades
-the FIRST 50 ``queries()`` entries, and this round's window carries the
-stale-round-1 rotation (the round-4 verdict's top item). An accidental
-reorder before grading would silently waste the window — this test makes
-that a loud failure. Update deliberately when rotating next round."""
+the FIRST 50 ``queries()`` entries. The round-6 and round-7 verdicts both
+flagged the same recurrence — newly-added operators queued *behind* the
+window and went a full round without driver evidence. The fix is the
+mechanical invariant below: every registry query with no driver
+CORRECTNESS row in ANY ``CORRECTNESS_r*.json`` on disk must appear in the
+first 50 entries. Adding an operator without front-loading it now fails
+CI immediately instead of surfacing in next round's verdict."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 import __spark_entry__ as entry_mod
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WINDOW = 50
+
+
+def _ever_graded() -> set[str]:
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            graded |= set(json.load(fh))
+    return graded
 
 
 def test_every_query_has_an_oracle():
@@ -18,28 +36,46 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_front_50_carries_the_round7_composition():
-    front = list(entry_mod.queries())[:50]
-    # the 26 round-6 rows that have never had a driver row (the round-6
+def test_never_graded_queries_lead_the_window():
+    """The end-of-round invariant (round-7 verdict item 1), enforced
+    mechanically: recompute the never-graded set from disk and assert it
+    fits inside — and occupies — the front of the grading window."""
+    q = list(entry_mod.queries())
+    never = [n for n in q if n not in _ever_graded()]
+    assert len(never) <= _WINDOW, (
+        f"{len(never)} never-graded queries exceed the {_WINDOW}-entry "
+        "window; the oldest additions will miss this round's grading"
+    )
+    front = set(q[:_WINDOW])
+    missing = [n for n in never if n not in front]
+    assert not missing, (
+        f"never-driver-graded queries queued behind the {_WINDOW}-entry "
+        f"grading window: {missing} — move them to the front of "
+        "_GATE_PRIORITY before the round ends"
+    )
+
+
+def test_front_50_carries_the_round8_composition():
+    front = list(entry_mod.queries())[:_WINDOW]
+    # the 22 round-7 rows that have never had a driver row (the round-7
     # verdict's top item) grade on first appearance this round
     first_appearance = {
-        "dedup_semantic", "dedup_semantic_survivors",
-        "docs_bpe_train", "docs_bpe_encode",
-        "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
-        "graph_label_propagation", "docs_url_dedup",
-        "docs_importance_weights", "events_windowed_funnel",
-        "events_heavy_hitters", "docs_best_fit_pack", "embeddings_whiten",
-        "sim_cosine_histogram", "events_session_paths",
-        "events_reservoir_sample", "events_daily_ewma",
-        "orders_zorder_layout", "events_skew_report",
-        "corpus_snapshot_diff", "docs_truncation_report",
-        "corpus_budget_allocation", "orders_equidepth_histogram",
-        "orders_frequent_values", "docs_dup_ngram_fraction",
+        "orders_bloom_prefilter", "orders_upsert_compaction",
+        "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
+        "stats_theil_sen", "orders_incremental_state",
+        "orders_seasonal_decompose", "orders_seasonal_forecast",
+        "orders_seasonal_anomaly", "events_changepoint",
+        "docs_lang_confusion", "dedup_lsh_tuning",
+        "embeddings_pca_project", "embeddings_abtt",
+        "embeddings_centroid_drift", "dedup_minhash_incremental",
+        "docs_perplexity_partition", "suppliers_fuzzy_match",
+        "docs_temperature_mix", "docs_nb_language",
+        "customers_k_anonymity", "events_conversion_lag",
     }
     missing = first_appearance - set(front)
-    assert not missing, f"queued round-6 rows fell out: {missing}"
-    # rows whose sf0.1 bench regressed in round 6 re-verify as guards
-    for name in ("stats_corr_matrix", "dedup_containment"):
+    assert not missing, f"queued round-7 rows fell out: {missing}"
+    # staleness rotation: the oldest remaining r4-graded rows re-grade
+    for name in ("masking_role", "replica_routing", "corpus_report"):
         assert name in front, name
 
 
