@@ -5367,8 +5367,9 @@ future AS (
                             (SELECT m FROM mx) + 13)) AS i)
 )
 SELECT f.idx, f.season,
-       round(slope * f.idx + icpt + seasonal, 4) + 0.0 AS forecast
-FROM future f JOIN seas ON f.season = seas.season, sl, ic
+       round(slope * f.idx + icpt + coalesce(seasonal, 0.0), 4) + 0.0
+         AS forecast
+FROM future f LEFT JOIN seas ON f.season = seas.season, sl, ic
 """
 
     # incremental aggregate-state merge: the oracle is the ONE-SHOT

@@ -1426,7 +1426,8 @@ def conversion_lag_quantiles(
     the
     distributed exact-quantile machinery over the per-user lag frame
     (no global sort, no single-task group). Returns ONE row:
-    (n_users, n_converted, p50_s, p90_s, p99_s), quantiles rounded 4.
+    (n_users, n_converted, p{int(p*100)}_s per prob) — default probs
+    [0.5, 0.9, 0.99] → (p50_s, p90_s, p99_s), quantiles rounded 4.
     """
     probs = probs or [0.5, 0.9, 0.99]
     firsts = (
@@ -1452,16 +1453,21 @@ def conversion_lag_quantiles(
             .alias("__v"),
         ),
         "__g", "__v", probs,
-    ).select(
-        F.col("q0").alias("p50_s"),
-        F.col("q1").alias("p90_s"),
-        F.col("q2").alias("p99_s"),
     )
+    # output names derive from probs (p50_s, p90_s, ...) so fewer or
+    # non-default probs stay correctly labeled instead of raising on a
+    # hardcoded q0/q1/q2 selection
+    qcols = [
+        F.col(f"q{i}").alias(f"p{round(p * 100):d}_s")
+        for i, p in enumerate(probs)
+    ]
+    qnames = [f"p{round(p * 100):d}_s" for p in probs]
+    q = q.select(*qcols)
     n = lags.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum(F.when(F.col("__lag_us") >= 0, 1).otherwise(0)).cast("long")
         .alias("n_converted"),
     )
     return n.crossJoin(F.broadcast(q)).select(
-        "n_users", "n_converted", "p50_s", "p90_s", "p99_s"
+        "n_users", "n_converted", *qnames
     )

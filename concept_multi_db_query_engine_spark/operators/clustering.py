@@ -317,6 +317,9 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    # the query frame keys by query_id_col when present (a frame keyed
+    # "query_id" must not be read through the corpus' id_col)
+    q_in = query_id_col if query_id_col in queries.columns else id_col
     code_parts, table_parts = [], []
     for s in range(m):
         sliced = embeddings.select(
@@ -336,7 +339,7 @@ def pq_topk(
             )
         )
         qsub = queries.select(
-            F.col(id_col).alias("qid"),
+            F.col(q_in).alias("qid"),
             _quantize(
                 f"slice({vec_col}, {s * sub + 1}, {sub})"
             ).alias("qq"),
@@ -485,6 +488,9 @@ def ivf_pq_topk(
     if not 1 <= n_probe <= n_cells:
         raise ValueError("need 1 <= n_probe <= n_cells")
     sub = dim // m
+    # the query frame keys by query_id_col when present (a frame keyed
+    # "query_id" must not be read through the corpus' id_col)
+    q_in = query_id_col if query_id_col in queries.columns else id_col
     # coarse quantizer: train on the corpus, encode corpus + probe queries
     coarse = kmeans_fit(
         embeddings, k=n_cells, iterations=iterations,
@@ -494,7 +500,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
     )
     qq = queries.select(
-        F.col(id_col).alias("qid"), _quantize(vec_col).alias("q")
+        F.col(q_in).alias("qid"), _quantize(vec_col).alias("q")
     )
     qcell = qq.crossJoin(F.broadcast(coarse)).select(
         "qid", "cid",
@@ -532,7 +538,7 @@ def ivf_pq_topk(
             )
         )
         qsub = queries.select(
-            F.col(id_col).alias("qid"),
+            F.col(q_in).alias("qid"),
             _quantize(
                 f"slice({vec_col}, {s * sub + 1}, {sub})"
             ).alias("qq"),

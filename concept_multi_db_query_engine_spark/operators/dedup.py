@@ -943,7 +943,8 @@ def fuzzy_join_blocked(
     |L_b| x |R_b|, bounded by the block design — never corpus².  The
     levenshtein verify runs in whole-stage codegen on candidates only.
     Cited parity: the reference's `levenshteinLte` FILTER operator
-    (QUERY_STRUCTURE.md) compares a column against a constant; this is
+    (QUERY.md:76, README.md:305) compares a column against a constant;
+    this is
     its JOIN-shaped generalization for entity resolution.
 
     Returns (l_id, r_id, l_key, r_key, distance), distance as INT.

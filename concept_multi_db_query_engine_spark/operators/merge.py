@@ -56,8 +56,14 @@ def upsert_latest_wins(
     else:
         s = s.withColumn("__del", F.lit(False))
         c = c.withColumn("__del", F.lit(False))
+    # final tiebreaker: two CHANGE rows sharing (key, version) — e.g. a
+    # replayed CDC batch — would otherwise pick a partition-order-dependent
+    # winner; a stable hash of the payload columns keeps the merge
+    # bit-reproducible regardless of input order
+    payload = [c for c in s.columns if c not in (*keys, "__chg", "__del")]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__chg").desc()
+        F.col(version_col).desc(), F.col("__chg").desc(),
+        F.xxhash64(*[F.col(c) for c in payload]).asc(),
     )
     merged = (
         s.unionByName(c.select(*s.columns))

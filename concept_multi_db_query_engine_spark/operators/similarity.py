@@ -842,12 +842,15 @@ def pca_power_iteration(
         F.posexplode("q").alias("i", "val")
     ).groupBy("i").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
     n = embeddings.count()
+    if n == 0:
+        raise ValueError("pca_power_iteration: empty corpus")
     s_ij = {(int(r["i"]), int(r["j"])): int(r["s"])
             for r in gram.collect()}
     s_i = {int(r["i"]): int(r["s"]) for r in sums.collect()}
     # exact integer scatter matrix, then one correctly-rounded float
-    # conversion per element
-    c = [[float(n * s_ij[(i, j)] - s_i[i] * s_i[j])
+    # conversion per element; .get(.., 0) tolerates vectors shorter than
+    # dim (the missing coordinates contribute nothing rather than KeyError)
+    c = [[float(n * s_ij.get((i, j), 0) - s_i.get(i, 0) * s_i.get(j, 0))
           for j in range(dim)] for i in range(dim)]
     v = [1.0] * dim
     for _ in range(iterations):
@@ -861,6 +864,11 @@ def pca_power_iteration(
         for i in range(1, dim):
             acc = acc + w[i] * w[i]
         norm = acc ** 0.5
+        if norm == 0.0:
+            raise ValueError(
+                "pca_power_iteration: zero scatter matrix (all input "
+                "vectors identical) — no principal direction exists"
+            )
         v = [x / norm for x in w]
     # deterministic sign: largest-|v| element (ties -> lowest index)
     # made positive

@@ -996,6 +996,7 @@ def theil_sen(
     id_col: str,
     x_col: str,
     y_col: str,
+    max_points: int = 100_000,
 ) -> DataFrame:
     """Theil–Sen robust regression: slope = median of all pairwise
     slopes (y_j−y_i)/(x_j−x_i), intercept = median of (y_i − slope·x_i)
@@ -1010,7 +1011,13 @@ def theil_sen(
     single-task sort.  O(n²) pairs is the estimator's contract — run it
     on AGGREGATED series (daily/monthly metrics, thousands of points →
     millions of distributed pair rows), not raw corpora; for corpus-
-    scale inputs pre-reduce or sample upstream.
+    scale inputs pre-reduce or sample upstream.  That contract is now
+    ENFORCED: a count probe on the (already-checkpointed) point frame
+    raises before the pair join is even built when the input exceeds
+    ``max_points`` (default 100k → ~5e9 pairs, the practical ceiling) —
+    the same loud-error discipline as the BPE trainer's
+    ``local_vocab_limit`` probe, so a raw corpus fails in milliseconds
+    instead of silently exploding to corpus² rows.
 
     Returns one row: (n_points, n_pairs, slope, intercept).
     """
@@ -1022,6 +1029,15 @@ def theil_sen(
         F.col(y_col).cast("double").alias("__y"),
     ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull()) \
         .localCheckpoint(eager=True)
+    n_probe = pts.count()
+    if n_probe > max_points:
+        raise ValueError(
+            f"theil_sen: {n_probe} points exceed max_points="
+            f"{max_points}; the pairwise-slope frame would hold "
+            f"~{n_probe * (n_probe - 1) // 2} rows. Aggregate the "
+            "series (e.g. to daily/monthly metrics) before fitting, "
+            "or raise max_points deliberately."
+        )
     a, b = pts.alias("a"), pts.alias("b")
     pairs = (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
@@ -1213,12 +1229,16 @@ def seasonal_forecast(
         .select(F.col("__fidx").alias("idx"), "season")
     )
     return (
-        future.join(F.broadcast(seas), "season")
+        # LEFT join: a future season bucket never seen in history keeps
+        # its trend-only forecast (seasonal defaults to 0.0) instead of
+        # silently dropping out and shortening the horizon
+        future.join(F.broadcast(seas), "season", "left")
         .crossJoin(F.broadcast(line))
         .select(
             "idx", "season",
             F.expr(
-                "round(slope * idx + icpt + seasonal, 4) + 0.0d"
+                "round(slope * idx + icpt + coalesce(seasonal, 0.0d), 4)"
+                " + 0.0d"
             ).alias("forecast"),
         )
     )

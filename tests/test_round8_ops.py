@@ -1,0 +1,301 @@
+"""Round-8 tests: dedicated edge-case coverage for the four round-7
+final-snapshot operators (k-anonymity, conversion lag, centroid drift,
+seasonal anomaly — previously covered only by the registry-wide oracle
+sweep) plus regression tests for the round-7 advisor findings
+(query_id_col handling in PQ/IVF-PQ, probs-derived quantile labels,
+deterministic upsert tie-break, PCA edge inputs, unseen-season
+forecast, theil_sen pair-explosion guard)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+
+
+# ---- k_anonymity_report ---------------------------------------------------
+
+
+def test_k_anonymity_classes_and_risk_flags(spark):
+    df = spark.createDataFrame(
+        [("US", 30), ("US", 30), ("US", 30), ("US", 30), ("US", 30),
+         ("DE", 30), ("DE", 30),
+         ("FR", 40)],
+        "country string, age int",
+    )
+    out = {(r["country"], r["age"]): (r["class_size"], r["at_risk"])
+           for r in ops.k_anonymity_report(df, ["country", "age"],
+                                           k=5).collect()}
+    assert out == {
+        ("US", 30): (5, False),
+        ("DE", 30): (2, True),
+        ("FR", 40): (1, True),
+    }
+
+
+def test_k_anonymity_null_quasi_values_form_their_own_class(spark):
+    df = spark.createDataFrame(
+        [("US", None), ("US", None), (None, 30)],
+        "country string, age int",
+    )
+    out = {(r["country"], r["age"]): r["class_size"]
+           for r in ops.k_anonymity_report(df, ["country", "age"]).collect()}
+    # groupBy treats NULL as a key value — NULL quasi rows must not
+    # vanish from the privacy audit
+    assert out == {("US", None): 2, (None, 30): 1}
+
+
+def test_k_anonymity_empty_input_and_bad_k(spark):
+    empty = spark.createDataFrame([], "country string, age int")
+    assert ops.k_anonymity_report(empty, ["country"]).count() == 0
+    with pytest.raises(ValueError):
+        ops.k_anonymity_report(empty, ["country"], k=1)
+
+
+# ---- conversion_lag_quantiles ---------------------------------------------
+
+
+def _lag_events(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp_ntz",
+    )
+
+
+def test_conversion_lag_counts_and_median(spark):
+    ev = _lag_events(spark, [
+        (1, "view", 0), (1, "purchase", 100),
+        (2, "view", 0), (2, "purchase", 200),
+        (3, "view", 0), (3, "purchase", 300),
+        (4, "view", 0),                    # never converts
+        (5, "purchase", 50),               # converts before any view
+    ])
+    row = ops.conversion_lag_quantiles(ev).collect()[0]
+    # user 4 has NULL __to, user 5 NULL __from → lag NULL → not converted
+    assert row["n_users"] == 5
+    assert row["n_converted"] == 3
+    assert row["p50_s"] == 200.0
+    assert row["p99_s"] == pytest.approx(298.0)  # interpolated tail
+
+
+def test_conversion_lag_probs_drive_output_columns(spark):
+    ev = _lag_events(spark, [
+        (1, "view", 0), (1, "purchase", 100),
+        (2, "view", 0), (2, "purchase", 200),
+    ])
+    out = ops.conversion_lag_quantiles(ev, probs=[0.25, 0.75])
+    # fewer-than-3 probs must not raise, and labels derive from probs
+    assert out.columns == ["n_users", "n_converted", "p25_s", "p75_s"]
+    row = out.collect()[0]
+    assert row["p25_s"] == 125.0 and row["p75_s"] == 175.0
+
+
+def test_conversion_lag_same_instant_counts_as_converted(spark):
+    ev = _lag_events(spark, [(1, "view", 10), (1, "purchase", 10)])
+    row = ops.conversion_lag_quantiles(ev).collect()[0]
+    assert row["n_converted"] == 1 and row["p50_s"] == 0.0
+
+
+# ---- centroid_drift --------------------------------------------------------
+
+
+def test_centroid_drift_exact_shift(spark):
+    old = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [2.0, 0.0])],
+        "label string, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [("a", [3.0, 4.0]), ("a", [5.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    row = ops.centroid_drift(old, new).collect()[0]
+    # centroids (1,0) -> (4,4): drift = 5
+    assert row["n_old"] == 2 and row["n_new"] == 2
+    assert row["drift_l2"] == pytest.approx(5.0)
+
+
+def test_centroid_drift_group_missing_from_one_snapshot_is_null(spark):
+    old = spark.createDataFrame(
+        [("only_old", [1.0, 1.0])], "label string, embedding array<double>")
+    new = spark.createDataFrame(
+        [("only_new", [2.0, 2.0])], "label string, embedding array<double>")
+    out = {r["label"]: r for r in ops.centroid_drift(old, new).collect()}
+    assert set(out) == {"only_old", "only_new"}
+    # the full_outer join keeps the group; the distance over a missing
+    # side is NULL, not a crash and not a silent drop
+    assert out["only_old"]["drift_l2"] is None
+    assert out["only_old"]["n_new"] is None
+    assert out["only_new"]["drift_l2"] is None
+    assert out["only_new"]["n_old"] is None
+
+
+def test_centroid_drift_identical_snapshots_zero(spark):
+    df = spark.createDataFrame(
+        [("a", [0.5, -0.5]), ("b", [1.0, 2.0])],
+        "label string, embedding array<double>",
+    )
+    for r in ops.centroid_drift(df, df).collect():
+        assert r["drift_l2"] == 0.0
+
+
+# ---- seasonal_anomaly ------------------------------------------------------
+
+
+def _series(spark, values, period=4):
+    return spark.createDataFrame(
+        [(float(i), (i % period) + 1, float(v))
+         for i, v in enumerate(values)],
+        "idx double, season long, value double",
+    )
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    # deterministic jitter keeps MAD > 0 (an exactly-repeating series
+    # has all-zero residuals → MAD 0 → z NULL by the documented guard)
+    base = [10.0 * ((i % 4) + 1) + (i % 3) * 0.5 for i in range(24)]
+    base[13] += 500.0  # one wild period
+    out = ops.seasonal_anomaly(_series(spark, base), "idx", "season",
+                               "value", z_threshold=3.0)
+    flagged = [r["idx"] for r in out.collect() if r["is_anomaly"]]
+    assert flagged == [13.0]
+
+
+def test_seasonal_anomaly_series_shorter_than_one_season(spark):
+    # 3 points against a 4-bucket season: every bucket has <= 1 sample,
+    # residuals are all ~0 → MAD 0 → z NULL via the nullif guard →
+    # is_anomaly False; must not raise
+    out = ops.seasonal_anomaly(_series(spark, [10.0, 20.0, 30.0]),
+                               "idx", "season", "value").collect()
+    assert len(out) == 3
+    assert all(not r["is_anomaly"] for r in out)
+
+
+def test_seasonal_anomaly_constant_series_mad_zero(spark):
+    out = ops.seasonal_anomaly(_series(spark, [5.0] * 12),
+                               "idx", "season", "value").collect()
+    assert len(out) == 12
+    assert all(r["robust_z"] is None and not r["is_anomaly"] for r in out)
+
+
+# ---- PQ / IVF-PQ query_id_col (advisor medium) ------------------------------
+
+
+def _vecs(spark, ids, id_name="vec_id"):
+    # 8-dim separable vectors: id parity decides the dominant half
+    rows = [(i, [float((i % 2) * 10 + (j % 3)) for j in range(8)])
+            for i in ids]
+    return spark.createDataFrame(
+        rows, f"{id_name} long, embedding array<float>")
+
+
+def test_ivf_pq_reads_query_id_col_when_present(spark):
+    corpus = _vecs(spark, range(24))
+    queries = _vecs(spark, [100, 101], id_name="query_id")
+    out = ops.ivf_pq_topk(corpus, queries, dim=8, n_cells=2, n_probe=2,
+                          m=2, k=2, topk=3)
+    got = {r["query_id"] for r in out.collect()}
+    # query ids must be the frame's own query_id values, not corpus ids
+    assert got == {100, 101}
+
+
+def test_pq_topk_reads_query_id_col_when_present(spark):
+    corpus = _vecs(spark, range(16))
+    queries = _vecs(spark, [7, 8], id_name="query_id")
+    out = ops.pq_topk(corpus, queries, dim=8, m=2, k=2, topk=2)
+    assert {r["query_id"] for r in out.collect()} == {7, 8}
+
+
+def test_ivf_pq_falls_back_to_id_col_without_query_id(spark):
+    corpus = _vecs(spark, range(16))
+    queries = _vecs(spark, [0, 1])  # keyed vec_id, no query_id column
+    out = ops.ivf_pq_topk(corpus, queries, dim=8, n_cells=2, n_probe=2,
+                          m=2, k=2, topk=2)
+    assert {r["query_id"] for r in out.collect()} == {0, 1}
+
+
+# ---- upsert deterministic tie-break (advisor low) ---------------------------
+
+
+def test_upsert_duplicate_change_rows_pick_stable_winner(spark):
+    snap = spark.createDataFrame([(1, "base", 1)],
+                                 "id long, v string, version long")
+    # a replayed CDC batch: two change rows, same (key, version)
+    chg = spark.createDataFrame([(1, "left", 2), (1, "right", 2)],
+                                "id long, v string, version long")
+    first = ops.upsert_latest_wins(snap, chg, "id").collect()[0]["v"]
+    # repartition the change frame every which way — the winner is a
+    # function of the data, not of partition order
+    for n in (1, 3, 7):
+        again = ops.upsert_latest_wins(
+            snap, chg.repartition(n), "id").collect()[0]["v"]
+        assert again == first
+
+
+# ---- pca_power_iteration edge inputs (advisor low) ---------------------------
+
+
+def test_pca_empty_corpus_raises_value_error(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ops.pca_power_iteration(empty, dim=4)
+
+
+def test_pca_identical_corpus_raises_value_error(spark):
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="identical"):
+        ops.pca_power_iteration(same, dim=4)
+
+
+def test_pca_short_vectors_do_not_key_error(spark):
+    # vectors of length 2 against dim=4: missing coordinates contribute 0
+    short = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [2.0, 0.1]),
+         (3, [-2.0, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    comp = ops.pca_power_iteration(short, dim=4)
+    assert len(comp) == 4
+    assert abs(comp[0]) > 0.99  # variance lives on coordinate 0
+
+
+# ---- seasonal_forecast unseen season (advisor low) ---------------------------
+
+
+def test_seasonal_forecast_unseen_season_gets_trend_only(spark):
+    # history covers seasons 1..3 of a 4-cycle; the horizon crosses
+    # season 4, which must appear with a trend-only forecast instead of
+    # being dropped
+    hist = spark.createDataFrame(
+        [(float(i), (i % 4) + 1, 10.0 + i)
+         for i in range(12) if i % 4 != 3],
+        "idx double, season long, value double",
+    )
+    out = ops.seasonal_forecast(
+        hist, "idx", "season", "value", horizon=4,
+        season_of_idx="CAST(pmod(idx, 4) AS BIGINT) + 1",
+    ).collect()
+    assert len(out) == 4  # full horizon, nothing silently dropped
+    by_season = {r["season"]: r["forecast"] for r in out}
+    assert 4 in by_season and by_season[4] is not None
+
+
+# ---- theil_sen guard (verdict item 4) ----------------------------------------
+
+
+def test_theil_sen_guard_trips_loudly_on_oversized_input(spark):
+    big = spark.range(0, 101).select(
+        F.col("id"), F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        ops.theil_sen(big, "id", "x", "y", max_points=100)
+    # raising the limit deliberately still works
+    row = ops.theil_sen(big, "id", "x", "y", max_points=200).collect()[0]
+    assert row["slope"] == pytest.approx(2.0)
