@@ -1982,33 +1982,57 @@ def bpe_encode_stats(
     merges: list,
     id_col: str = "doc_id",
     text_col: str = "text",
+    expr_path_max_merges: int = 100,
 ) -> DataFrame:
     """Apply a FROZEN BPE merge table (the output of
     :func:`bpe_train_merges`, collected) to documents and report the
     token accounting — the fit/encode split of the tokenizer: training
-    collects bounded model data once, encoding is a pure NARROW MAP
-    (one literal ``replace`` per merge rule, chained in learning order
-    — the exact order-dependent semantics real BPE encoders use), so it
-    runs unchanged on a stream.
+    collects bounded model data once, encoding is a pure NARROW MAP,
+    so it runs unchanged on a stream.
+
+    Two physically different, byte-equal narrow-map paths (chosen by
+    ``expr_path_max_merges``):
+
+    * **expression path** (≤ 100 merges by default): one literal
+      ``replace`` per merge rule, chained in learning order — fully
+      SQL-replayable, so the DuckDB oracle can replay it verbatim.
+      Plan SIZE grows linearly with the merge count (the trainer hit
+      plan-stringification OOM near ~1.3k chained nodes), so this path
+      is capped;
+    * **Arrow path** (above the cap): the merge table ships once as a
+      broadcast list and ONE ``mapInPandas`` applies the same
+      sequential-scan semantics per word — rules in learning order,
+      each merging its non-overlapping occurrences left-to-right
+      (exactly what a left-to-right string ``replace`` does), with a
+      symbol-set skip so absent rules cost one set probe.  Plan size
+      is constant in vocab; a 30k-merge real tokenizer compiles to the
+      same single narrow stage as a 64-merge fixture.  Still zero
+      shuffles, still stream-safe.
 
     Documents are wrapped character-wise (``⟨c⟩`` per non-space
-    character, spaces left bare so merges never cross word boundaries),
-    the merge chain rewrites symbols in place, and the final token
-    count is just the bracket count.  Returns (doc_id, n_chars,
-    n_bpe_tokens, compression_ppm) — compression in exact integer ppm
-    of symbols eliminated.
+    character on the expression path, a per-word symbol list on the
+    Arrow path; spaces are word boundaries so merges never cross
+    them).  Returns (doc_id, n_chars, n_bpe_tokens, compression_ppm)
+    — compression in exact integer ppm of symbols eliminated.
     """
-    wrap = (
-        f"array_join(transform(sequence(1, length({text_col})), i -> "
-        f"CASE WHEN substring({text_col}, i, 1) = ' ' THEN ' ' "
-        f"ELSE concat('⟨', substring({text_col}, i, 1), '⟩') END), '')"
-    )
-    s = F.expr(wrap)
+    rules: list[tuple[str, str]] = []
     for m in merges:
         try:  # Rows / dicts by field name; plain (lhs, rhs) pairs by slot
-            l, r = m["lhs"], m["rhs"]
+            rules.append((m["lhs"], m["rhs"]))
         except (TypeError, KeyError, IndexError):
-            l, r = m[0], m[1]
+            rules.append((m[0], m[1]))
+    if len(rules) > expr_path_max_merges:
+        return _bpe_encode_stats_arrow(docs, rules, id_col, text_col)
+    # the empty-text guard matters: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0], not []), which would fabricate two ⟨⟩ symbols
+    wrap = (
+        f"CASE WHEN length({text_col}) = 0 THEN '' ELSE "
+        f"array_join(transform(sequence(1, length({text_col})), i -> "
+        f"CASE WHEN substring({text_col}, i, 1) = ' ' THEN ' ' "
+        f"ELSE concat('⟨', substring({text_col}, i, 1), '⟩') END), '') END"
+    )
+    s = F.expr(wrap)
+    for l, r in rules:
         s = F.replace(s, F.lit(f"⟨{l}⟩⟨{r}⟩"), F.lit(f"⟨{l}{r}⟩"))
     staged = docs.select(
         F.col(id_col),
@@ -2028,6 +2052,86 @@ def bpe_encode_stats(
             "(n_chars - n_bpe_tokens) * 1000000 DIV nullif(n_chars, 0)"
         ),
     )
+
+
+def _bpe_encode_stats_arrow(
+    docs: DataFrame,
+    rules: list,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Large-vocab BPE encode: broadcast merge ranks + ONE Arrow-batched
+    ``mapInPandas`` replaying the expression path's sequential-scan
+    semantics (see :func:`bpe_encode_stats`; the two paths are pinned
+    byte-equal by ``tests/test_round8_ops.py``)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(l, r, l + r) for l, r in rules]
+    )
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type, True),
+        StructField("n_chars", LongType(), True),
+        StructField("n_bpe_tokens", LongType(), True),
+        StructField("compression_ppm", LongType(), True),
+    ])
+
+    def _encode(batches):
+        import pandas as pd
+
+        rl = bc.value
+
+        def _word_tokens(word: str) -> int:
+            syms = list(word)
+            if len(syms) < 2:
+                return len(syms)
+            present = set(syms)
+            for l, r, lr in rl:
+                if l not in present or r not in present:
+                    continue
+                out, i, n, hit = [], 0, len(syms), False
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(lr)
+                        hit = True
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if hit:
+                    syms = out
+                    if len(syms) < 2:
+                        break
+                    present = set(syms)
+            return len(syms)
+
+        for pdf in batches:
+            ids, chars, toks, ppm = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                if text is None:
+                    chars.append(None)
+                    toks.append(None)
+                    ppm.append(None)
+                    continue
+                n_chars = len(text) - text.count(" ")
+                n_tok = sum(_word_tokens(w) for w in text.split(" "))
+                chars.append(n_chars)
+                toks.append(n_tok)
+                ppm.append(
+                    (n_chars - n_tok) * 1_000_000 // n_chars
+                    if n_chars else None
+                )
+            yield pd.DataFrame({
+                id_col: ids,
+                "n_chars": pd.array(chars, dtype="Int64"),
+                "n_bpe_tokens": pd.array(toks, dtype="Int64"),
+                "compression_ppm": pd.array(ppm, dtype="Int64"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(_encode, out_schema)
 
 
 def language_confusion(docs: DataFrame) -> DataFrame:
