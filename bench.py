@@ -201,6 +201,8 @@ HEADLINE = [
     "suppliers_fuzzy_match",
     "docs_temperature_mix",
     "docs_nb_language",
+    # round-8 additions
+    "docs_bpe_encode_large",
 ]
 
 
