@@ -777,21 +777,26 @@ def welch_z_many(
     Returns (group, n, mean, z, p_value) — z/p NULL when either arm has
     n < 2 or zero variance.
     """
+    from pyspark.sql import Window
+
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(_m(value_col, dec)).alias("sx"),
         F.sum(_m(value_col, dec) * _m(value_col, dec)).alias("sxx"),
     )
-    tot = g.agg(
-        F.sum("n").cast("long").alias("tn"),
-        F.sum("sx").alias("tsx"),
-        F.sum("sxx").alias("tsxx"),
+    # global totals via a window over the |groups|-row moment frame: a
+    # separate `g.agg(...)` branch replayed the lineage — TWO full
+    # fact-table scans in the physical plan (measured; exchange reuse
+    # does not kick in across the extra agg). The unpartitioned window
+    # touches only model data (one row per segment), ONE scan total.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    both = g.crossJoin(F.broadcast(tot)).select(
+    both = g.select(
         "grp", "n", "sx", "sxx",
-        (F.col("tn") - F.col("n")).alias("rn"),
-        (F.col("tsx") - F.col("sx")).alias("rsx"),
-        (F.col("tsxx") - F.col("sxx")).alias("rsxx"),
+        (F.sum("n").over(wall) - F.col("n")).cast("long").alias("rn"),
+        (F.sum("sx").over(wall) - F.col("sx")).alias("rsx"),
+        (F.sum("sxx").over(wall) - F.col("sxx")).alias("rsxx"),
     )
     mean_g = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     mean_r = "(CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE))"
