@@ -360,3 +360,25 @@ class TestRound7Shapes:
         assert "Exchange" not in executed(proj)
         abtt = ops.abtt_transform(emb, dim=64, iterations=3)
         assert "Exchange" not in executed(abtt)
+
+
+class TestRound8Shapes:
+    def test_welch_z_many_scans_the_fact_table_once(self, spark):
+        # the global-totals branch used to replay the lineage — a second
+        # FileScan of the fact table in the same plan; totals now come
+        # from an unpartitioned window over the per-group moment frame
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = ops.welch_z_many(orders, "o_orderpriority", "o_totalprice")
+        # pre-execution plan: AQE's finalized string repeats materialized
+        # stage subtrees, which would double-count the single scan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1
+
+    def test_bpe_encode_arrow_path_is_shuffle_free(self, spark):
+        # >100 merges routes through mapInPandas; still a narrow map
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        rules = [(a, b) for a in "etaoinshrdlu" for b in "etaoinshrdlu"]
+        df = ops.bpe_encode_stats(docs, rules[:120])
+        full = executed(df)
+        assert "Exchange" not in full
+        assert "MapInPandas" in full
