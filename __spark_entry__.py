@@ -775,6 +775,17 @@ def _q_multimodal(spark, sf):
     return multimodal.fake_decode_stats(media)
 
 
+_PNG_FIXTURE_N = 48
+
+
+def _q_png_decode(spark, sf):
+    # pixel-exact codec gate: stdlib-generated PNGs with analytic ground
+    # truth; image_decode_stats gates itself on PIL availability and the
+    # oracle (generated from the same parameters) branches identically
+    media = multimodal.synthetic_png_table(spark, _PNG_FIXTURE_N)
+    return multimodal.image_decode_stats(media)
+
+
 def _q_frame_sample(spark, sf):
     media = multimodal.as_media_table(_t(spark, sf, "documents"))
     return multimodal.frame_sample_plan(media, every_n=10)
@@ -1759,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_seasonal_anomaly": _q_seasonal_anomaly,
             "embeddings_centroid_drift": _q_centroid_drift,
             "docs_bpe_encode_large": _q_bpe_encode_large,
+            "multimodal_png_decode": _q_png_decode,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1795,7 +1807,7 @@ _GATE_PRIORITY = [
     "docs_temperature_mix", "docs_nb_language",
     "customers_k_anonymity", "events_conversion_lag",
     # --- round-8 additions (never graded — stay inside the window) ---
-    "docs_bpe_encode_large",
+    "docs_bpe_encode_large", "multimodal_png_decode",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1807,9 +1819,9 @@ _GATE_PRIORITY = [
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
     "orders_cube", "events_transitions", "customer_revenue_concentration",
     "text_pii_scrub", "docs_line_dedup", "events_rolling_active_users",
-    "orders_profile", "graph_pagerank",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
+    "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
@@ -2836,6 +2848,24 @@ SELECT doc_id, width, height, format, n AS n_bytes,
        END AS brightness,
        n > 0 AS is_valid
 FROM h
+"""
+    # PNG codec gate: the oracle is GENERATED from the same analytic
+    # parameters as the stdlib PNG fixture (multimodal.synthetic_png),
+    # branching on HAS_PIL exactly as image_decode_stats does — with a
+    # real codec present the expected values are decode ground truth
+    # (dims + solid gray value), without one the fake path's byte stats.
+    _png_rows = ", ".join(
+        f"({i}, {w}, {h}, '{fmt}', {nb}, {br!r}, TRUE)"
+        for i, w, h, fmt, nb, br, _ in multimodal.png_decode_expected(
+            _PNG_FIXTURE_N)
+    )
+    o["multimodal_png_decode"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, format,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(brightness AS DOUBLE) AS brightness, is_valid
+FROM (VALUES {_png_rows})
+  AS t(doc_id, width, height, format, n_bytes, brightness, is_valid)
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

@@ -147,6 +147,72 @@ def image_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=STATS_SCHEMA)
 
 
+def synthetic_png(i: int) -> bytes:
+    """A deterministic, VALID grayscale PNG built with stdlib only
+    (struct + zlib — no codec dependency): solid value ``v`` at
+    ``w × h`` derived from ``i``.  Ground truth is therefore analytic:
+    a correct decoder must report exactly (w, h) and mean grayscale
+    ``v`` (PIL's L-mode conversion is the identity on gray pixels), so
+    the real-codec path gets ORACLE evidence, not just a unit test.
+    Solid gray dodges luma-coefficient rounding differences entirely.
+    """
+    import struct
+    import zlib
+
+    w, h, v = 8 + (i % 5), 6 + (i % 3), (i * 37) % 256
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes([v]) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_png_params(i: int) -> tuple[int, int, int]:
+    """(width, height, gray value) for :func:`synthetic_png`'s image i —
+    the analytic ground truth the oracle is generated from."""
+    return 8 + (i % 5), 6 + (i % 3), (i * 37) % 256
+
+
+def synthetic_png_table(spark, n: int) -> DataFrame:
+    """MEDIA_SCHEMA fixture of ``n`` :func:`synthetic_png` blobs.  The
+    blobs are generated driver-side (n is a fixture constant, not data
+    volume — at 100 TB blobs arrive in parquet pages; this exists so a
+    codec test has pixel-exact inputs in any container)."""
+    rows = []
+    for i in range(n):
+        w, h, _ = synthetic_png_params(i)
+        rows.append((i, bytearray(synthetic_png(i)), w, h, "image/png"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def png_decode_expected(n: int) -> list[tuple]:
+    """Expected :func:`image_decode_stats` rows over
+    :func:`synthetic_png_table`'s fixture, for WHICHEVER path this
+    container gates to: with PIL, analytic decode truth (dims + gray
+    value from the generator parameters); without, the fake path's
+    documented byte statistics replayed on the same deterministic
+    blobs.  Drives both the pytest assertion and the generated
+    DuckDB VALUES oracle."""
+    out = []
+    for i in range(n):
+        w, h, v = synthetic_png_params(i)
+        blob = synthetic_png(i)
+        if HAS_PIL:
+            out.append((i, w, h, "png", len(blob), float(v), True))
+        else:
+            out.append((i, w, h, "image/png", len(blob),
+                        sum(blob) / len(blob), True))
+    return out
+
+
 def fake_resize(
     media: DataFrame, target_w: int = 32, target_h: int = 32
 ) -> DataFrame:

@@ -370,3 +370,53 @@ def test_bpe_encode_large_vocab_bounded_plan(spark):
     # and it actually runs at 1k merges
     row = {r["doc_id"]: r for r in big.collect()}[8]
     assert row["n_chars"] == 26 and row["n_bpe_tokens"] < 26
+
+
+# ---- synthetic PNG codec fixture (verdict item 6) ----------------------------
+
+
+def test_synthetic_png_is_structurally_valid():
+    import struct
+    import zlib
+
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    for i in (0, 7, 13):
+        blob = multimodal.synthetic_png(i)
+        w, h, v = multimodal.synthetic_png_params(i)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        # IHDR dims match the analytic parameters
+        assert struct.unpack(">II", blob[16:24]) == (w, h)
+        # IDAT inflates to h scanlines of (filter byte + w gray pixels)
+        start = blob.index(b"IDAT") + 4
+        length = struct.unpack(">I", blob[start - 8:start - 4])[0]
+        raw = zlib.decompress(blob[start:start + length])
+        assert raw == b"".join(b"\x00" + bytes([v]) * w for _ in range(h))
+        # chunk CRCs are correct (what a strict decoder checks)
+        crc = struct.unpack(">I", blob[start + length:start + length + 4])[0]
+        assert crc == zlib.crc32(b"IDAT" + blob[start:start + length])
+
+
+def test_png_decode_gate_matches_expected_rows(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    media = multimodal.synthetic_png_table(spark, 16)
+    got = sorted(map(tuple, multimodal.image_decode_stats(media).collect()))
+    assert got == sorted(multimodal.png_decode_expected(16))
+
+
+def test_png_decode_real_codec_reports_analytic_truth(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        pytest.skip("PIL not available in this container")
+    media = multimodal.synthetic_png_table(spark, 8)
+    rows = {r["doc_id"]: r
+            for r in multimodal.image_decode_stats(media).collect()}
+    for i in range(8):
+        w, h, v = multimodal.synthetic_png_params(i)
+        r = rows[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["format"] == "png"
+        assert r["brightness"] == float(v)
+        assert r["is_valid"]
