@@ -786,6 +786,15 @@ def _q_png_decode(spark, sf):
     return multimodal.image_decode_stats(media)
 
 
+def _q_y4m_decode(spark, sf):
+    # real video decode over stdlib-generated YUV4MPEG2 streams: the
+    # pure-Python Y4M parser reports pixel-derived frame/luma stats, no
+    # codec dependency required (ffprobe handles compressed formats
+    # where present)
+    media = multimodal.synthetic_y4m_table(spark, _PNG_FIXTURE_N)
+    return multimodal.video_decode_stats(media)
+
+
 def _q_frame_sample(spark, sf):
     media = multimodal.as_media_table(_t(spark, sf, "documents"))
     return multimodal.frame_sample_plan(media, every_n=10)
@@ -1771,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_centroid_drift": _q_centroid_drift,
             "docs_bpe_encode_large": _q_bpe_encode_large,
             "multimodal_png_decode": _q_png_decode,
+            "multimodal_y4m_decode": _q_y4m_decode,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1808,6 +1818,7 @@ _GATE_PRIORITY = [
     "customers_k_anonymity", "events_conversion_lag",
     # --- round-8 additions (never graded — stay inside the window) ---
     "docs_bpe_encode_large", "multimodal_png_decode",
+    "multimodal_y4m_decode",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1818,10 +1829,10 @@ _GATE_PRIORITY = [
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
     "orders_cube", "events_transitions", "customer_revenue_concentration",
-    "text_pii_scrub", "docs_line_dedup", "events_rolling_active_users",
+    "text_pii_scrub", "docs_line_dedup",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
-    "orders_profile", "graph_pagerank",
+    "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
@@ -2866,6 +2877,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
        CAST(brightness AS DOUBLE) AS brightness, is_valid
 FROM (VALUES {_png_rows})
   AS t(doc_id, width, height, format, n_bytes, brightness, is_valid)
+"""
+    # Y4M video decode: the oracle is generated from the stream
+    # parameters (frames ramp v..v+k-1 of solid luma, so the mean is an
+    # exact integer ratio) — the Spark side must parse the actual YUV
+    # payload to reproduce it
+    _y4m_rows = ", ".join(
+        f"({i}, {w}, {h}, {k}, {fn}, {fd}, {mean!r}, TRUE)"
+        for i, w, h, k, fn, fd, mean, _ in multimodal.y4m_decode_expected(
+            _PNG_FIXTURE_N)
+    )
+    o["multimodal_y4m_decode"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames,
+       CAST(fps_num AS INT) AS fps_num, CAST(fps_den AS INT) AS fps_den,
+       CAST(mean_luma AS DOUBLE) AS mean_luma, is_valid
+FROM (VALUES {_y4m_rows})
+  AS t(doc_id, width, height, n_frames, fps_num, fps_den, mean_luma,
+       is_valid)
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

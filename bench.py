@@ -203,6 +203,8 @@ HEADLINE = [
     "docs_nb_language",
     # round-8 additions
     "docs_bpe_encode_large",
+    "multimodal_png_decode",
+    "multimodal_y4m_decode",
 ]
 
 

@@ -420,3 +420,45 @@ def test_png_decode_real_codec_reports_analytic_truth(spark):
         assert r["format"] == "png"
         assert r["brightness"] == float(v)
         assert r["is_valid"]
+
+
+# ---- Y4M video decode (verdict item 8) ---------------------------------------
+
+
+def test_y4m_parser_rejects_malformed_streams():
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal._parse_y4m(b"not a stream")
+    with pytest.raises(ValueError):
+        multimodal._parse_y4m(b"YUV4MPEG2 F25:1\n")  # no dims
+    good = multimodal.synthetic_y4m(0)
+    with pytest.raises(ValueError):
+        # corrupt the frame marker
+        multimodal._parse_y4m(good.replace(b"FRAME", b"FRAMX", 1))
+
+
+def test_y4m_decode_matches_analytic_truth(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    media = multimodal.synthetic_y4m_table(spark, 12)
+    got = sorted(map(tuple, multimodal.video_decode_stats(media).collect()))
+    assert got == sorted(multimodal.y4m_decode_expected(12))
+
+
+def test_y4m_decode_invalid_blob_is_flagged_not_fatal(spark):
+    from concept_multi_db_query_engine_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, bytearray(multimodal.synthetic_y4m(0)), 16, 8, "video/y4m"),
+         (1, bytearray(b"YUV4MPEG2 W16 H8 F25:1\nFRAMX"), 16, 8, "v"),
+         (2, None, 0, 0, "v"),
+         (3, bytearray(b"\x00\x01\x02"), 0, 0, "bin")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in
+           multimodal.video_decode_stats(media).collect()}
+    assert out[0]["is_valid"] and out[0]["n_frames"] == 3
+    assert not out[1]["is_valid"]
+    assert not out[2]["is_valid"]
+    assert not out[3]["is_valid"]
