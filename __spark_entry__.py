@@ -786,6 +786,48 @@ def _q_png_decode(spark, sf):
     return multimodal.image_decode_stats(media)
 
 
+# Logistic quality classifier: token-frequency features over the shared
+# 30-token pool, en-vs-rest label, 24 exact GD iterations at lr=1.0
+# (chosen by sweep: beats both the base rate and the NB row's en-vs-rest
+# accuracy at sf0.001 and sf0.01 — this corpus' languages are frequency
+# mixtures of one pool, so per-doc linear separability caps near 0.65).
+_LR_POOL = [
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+_LR_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_LR_ITERS = 24
+_LR_RATE = 1.0
+
+
+def _lr_projected(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.where("text IS NOT NULL AND lang IS NOT NULL").select(
+        "doc_id", "lang", F.expr("split(text, ' ')").alias("__toks")
+    ).select(
+        "doc_id", "lang",
+        *[F.expr(
+            f"CAST(size(filter(__toks, x -> x = '{t}')) AS DOUBLE) "
+            "* 10.0d / CAST(size(__toks) AS DOUBLE)"
+        ).alias(f"f{i}") for i, t in enumerate(_LR_POOL)],
+    )
+
+
+def _q_quality_logistic(spark, sf):
+    proj = _lr_projected(spark, sf)
+    feats = [f"f{i}" for i in range(len(_LR_POOL))]
+    w = ops.logistic_train(proj, feats, _LR_LABEL,
+                           lr=_LR_RATE, iterations=_LR_ITERS)
+    return ops.logistic_score(proj, w, feats, _LR_LABEL)
+
+
+def _q_score_calibration(spark, sf):
+    scored = _q_quality_logistic(spark, sf)
+    return ops.calibration_report(scored, n_bins=10)
+
+
 def _q_y4m_decode(spark, sf):
     # real video decode over stdlib-generated YUV4MPEG2 streams: the
     # pure-Python Y4M parser reports pixel-derived frame/luma stats, no
@@ -1781,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_bpe_encode_large": _q_bpe_encode_large,
             "multimodal_png_decode": _q_png_decode,
             "multimodal_y4m_decode": _q_y4m_decode,
+            "docs_quality_logistic": _q_quality_logistic,
+            "docs_score_calibration": _q_score_calibration,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1818,7 +1862,8 @@ _GATE_PRIORITY = [
     "customers_k_anonymity", "events_conversion_lag",
     # --- round-8 additions (never graded — stay inside the window) ---
     "docs_bpe_encode_large", "multimodal_png_decode",
-    "multimodal_y4m_decode",
+    "multimodal_y4m_decode", "docs_quality_logistic",
+    "docs_score_calibration",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1829,9 +1874,9 @@ _GATE_PRIORITY = [
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
     "orders_cube", "events_transitions", "customer_revenue_concentration",
-    "text_pii_scrub", "docs_line_dedup",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
+    "text_pii_scrub", "docs_line_dedup",
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
@@ -2895,6 +2940,93 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
 FROM (VALUES {_y4m_rows})
   AS t(doc_id, width, height, n_frames, fps_num, fps_den, mean_luma,
        is_valid)
+"""
+    # Logistic classifier replay: the full 24-iteration GD recurrence as
+    # CTEs — per-iteration (residual rows, quantized BIGINT gradient
+    # sums, weight update) with the same fixed-order arithmetic the
+    # Python driver applies, so every weight and score is bit-identical.
+    _d = len(_LR_POOL)
+
+    def _lr_z(prefix: str = "wt", feat: str = "f.f") -> str:
+        z = f"{prefix}.w0"
+        for j in range(1, _d + 1):
+            z = f"({z} + {prefix}.w{j} * {feat}{j - 1})"
+        return z
+
+    def _lr_sig(z: str) -> str:
+        return f"(0.5 + ({z}) / (2.0 * (1.0 + abs({z}))))"
+
+    _lr_feats = ", ".join(
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS DOUBLE) * 10.0 "
+        "/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS "
+        f"f{i}"
+        for i, t in enumerate(_LR_POOL)
+    )
+    _lr = f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, {_lr_feats},
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+wt0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(_d + 1))})"""
+    for _i in range(_LR_ITERS):
+        _sig = _lr_sig(_lr_z())
+        _lr += f""",
+r{_i} AS MATERIALIZED (
+  SELECT {", ".join(f"f.f{i}" for i in range(_d))},
+         (CAST(f.y AS DOUBLE) - {_sig}) AS resid
+  FROM f, wt{_i} wt
+),
+g{_i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(resid * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
+    {", ".join(
+        "CAST(sum(CAST(round((resid * f" + str(i)
+        + ") * 1000000.0) AS BIGINT)) AS BIGINT) AS s" + str(i + 1)
+        for i in range(_d))}
+  FROM r{_i}
+),
+wt{_i + 1} AS (
+  SELECT {", ".join(
+        f"wt.w{j} + 1.0 * ((CAST(g.s{j} AS DOUBLE) / 1000000.0) / g.n) "
+        f"AS w{j}" for j in range(_d + 1))}
+  FROM wt{_i} wt, g{_i} g
+)"""
+    _sig_final = _lr_sig(_lr_z())
+    o["docs_quality_logistic"] = _lr + f"""
+SELECT f.doc_id, round({_sig_final}, 6) + 0.0 AS score,
+       {_sig_final} > 0.5 AS predicted, CAST(f.y AS BIGINT) AS label
+FROM f, wt{_LR_ITERS} wt
+"""
+    o["docs_score_calibration"] = _lr + f""",
+sc AS MATERIALIZED (
+  SELECT round({_sig_final}, 6) + 0.0 AS score, f.y AS label
+  FROM f, wt{_LR_ITERS} wt
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         CAST(round(score * 1000000.0) AS BIGINT) AS sq,
+         CAST(label AS BIGINT) AS yy
+  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+),
+pb AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sq) AS BIGINT) AS ssum,
+         CAST(sum(yy) AS BIGINT) AS pos
+  FROM b GROUP BY 1
+),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pb)
+SELECT bin, n,
+  round((CAST(ssum AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE), 6)
+    AS mean_score,
+  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS positive_rate,
+  round(abs((CAST(ssum AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+        - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_gap,
+  round(abs((CAST(ssum AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+        - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
+FROM pb, tt
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

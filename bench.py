@@ -205,6 +205,8 @@ HEADLINE = [
     "docs_bpe_encode_large",
     "multimodal_png_decode",
     "multimodal_y4m_decode",
+    "docs_quality_logistic",
+    "docs_score_calibration",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Supervised quality-classifier training and evaluation over document
+frames — the fastText-style filtering stage of a training-data pipeline
+(CCNet/LLaMA-style "does this look like reference text" gates), built so
+every number is bit-reproducible cross-engine.
+
+Design rules inherited from the package's determinism discipline:
+
+* the per-iteration gradient is quantized to exact micro-unit BIGINTs
+  and SUMMED AS INTEGERS — float summation order never matters;
+* the squashing function is the ALGEBRAIC sigmoid
+  ``0.5 + z / (2 (1 + |z|))`` — one add, one abs, two divides, all
+  correctly-rounded IEEE ops, so Spark, DuckDB and the Python driver
+  produce the SAME double where ``exp``-based logistic would drift by
+  libm ULPs.  It is a proper monotone squash onto (0, 1); swap
+  ``exp`` back in deployment if calibration against true logistic
+  probabilities matters more than replayability;
+* driver state is the (d+1)-element weight vector only — model data,
+  never rows; each iteration is ONE scan with a map-side-combined
+  integer aggregate;
+* scoring is a pure narrow map (weights baked into the expression), so
+  it runs unchanged on a stream.
+
+Reference tie: the reference's closed scalar-function set
+(README.md:320-344) has no UDF hook; classifier training is part of the
+SURVEY.md §2.16 surface the LLM extensions deliberately add on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 1_000_000  # micro-unit quantization scale
+
+
+def _sigmoid_sql(z: str) -> str:
+    """Algebraic sigmoid as a fixed-shape SQL double expression."""
+    return f"(0.5d + ({z}) / (2.0d * (1.0d + abs({z}))))"
+
+
+def _sigmoid_py(z: float) -> float:
+    return 0.5 + z / (2.0 * (1.0 + abs(z)))
+
+
+def _dot_sql(weights: list[float], feature_exprs: list[str]) -> str:
+    """Left-to-right fold ``((w0 + w1*f1) + w2*f2) + …`` — the fixed
+    association order both engines and the Python replay share."""
+    z = f"CAST({weights[0]!r} AS DOUBLE)"
+    for w, fx in zip(weights[1:], feature_exprs):
+        z = f"({z} + CAST({w!r} AS DOUBLE) * ({fx}))"
+    return z
+
+
+def logistic_train(
+    df: DataFrame,
+    feature_exprs: list[str],
+    label_expr: str,
+    lr: float = 4.0,
+    iterations: int = 8,
+) -> list[float]:
+    """Full-batch gradient-descent logistic training, exact and
+    replayable: iteration t scans once, computing per-row
+    ``resid = y − σ(w·x)`` and the micro-unit-quantized per-feature
+    contributions ``round(resid · f_j · 1e6)`` summed as BIGINTs; the
+    driver then applies ``w_j += lr · ((S_j / 1e6) / n)`` — four IEEE
+    ops in a fixed order, so a SQL replay of the same recurrence
+    reproduces every weight bit-for-bit.
+
+    ``feature_exprs`` are SQL expressions over ``df`` (keep them exact:
+    integer-ratio features like ``digits/length`` are one correctly-
+    rounded division); ``label_expr`` must evaluate to 0/1.  Rows where
+    any feature or the label is NULL are excluded (both engines).
+
+    Scale: driver traffic is ``iterations`` × (d+2) integers; each
+    iteration is one scan + one map-side-combined aggregate. Returns
+    [bias, w_1, …, w_d].
+    """
+    base = df.where(
+        " AND ".join(
+            [f"({label_expr}) IS NOT NULL"]
+            + [f"({fx}) IS NOT NULL" for fx in feature_exprs]
+        )
+    ).localCheckpoint(eager=True)
+    w = [0.0] * (len(feature_exprs) + 1)
+    for _ in range(iterations):
+        z = _dot_sql(w, feature_exprs)
+        resid = f"(CAST(({label_expr}) AS DOUBLE) - {_sigmoid_sql(z)})"
+        # residual computed ONCE per row, then short quantized sums —
+        # keeps plan size linear in d instead of d × |fold| (and is the
+        # exact shape the SQL oracle replays)
+        staged = base.select(
+            F.expr(resid).alias("__r"),
+            *[F.expr(fx).alias(f"__f{j}")
+              for j, fx in enumerate(feature_exprs, start=1)],
+        )
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        aggs.append(
+            F.expr(f"sum(CAST(round(__r * {_Q}.0d) AS BIGINT))")
+            .alias("s0")
+        )
+        for j in range(1, len(feature_exprs) + 1):
+            aggs.append(
+                F.expr(
+                    f"sum(CAST(round((__r * __f{j}) * {_Q}.0d) "
+                    f"AS BIGINT))"
+                ).alias(f"s{j}")
+            )
+        row = staged.agg(*aggs).collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            raise ValueError("logistic_train: no usable rows")
+        for j in range(len(w)):
+            s = int(row[f"s{j}"])
+            w[j] = w[j] + lr * ((s / float(_Q)) / n)
+    return w
+
+
+def logistic_score(
+    df: DataFrame,
+    weights: list[float],
+    feature_exprs: list[str],
+    label_expr: str | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score rows with a frozen weight vector: a pure NARROW MAP (the
+    weights are literals in one fixed-shape expression), zero shuffles,
+    stream-safe.  Returns (id, score, predicted[, label]) with the
+    score rounded to 6."""
+    z = _dot_sql(weights, feature_exprs)
+    cols = [
+        F.col(id_col),
+        F.expr(f"round({_sigmoid_sql(z)}, 6) + 0.0d").alias("score"),
+        F.expr(
+            f"CAST({_sigmoid_sql(z)} > CAST({threshold!r} AS DOUBLE) "
+            "AS BOOLEAN)"
+        ).alias("predicted"),
+    ]
+    if label_expr is not None:
+        cols.append(
+            F.expr(f"CAST(({label_expr}) AS BIGINT)").alias("label"))
+    return df.select(*cols)
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error inputs: bucket
+    predictions by score, compare mean predicted probability with the
+    empirical positive rate per bucket — the standard check before a
+    classifier's scores gate a corpus (a miscalibrated 0.9 keeps junk).
+
+    ONE hash aggregation: scores are round-6 by contract, so
+    ``score·1e6`` is an exact integer and the per-bin mean is an exact
+    integer ratio (one correctly-rounded division) — no float-order
+    dependence.  The ECE term is the bin's |gap| · n/N, emitted per bin
+    so the sum is a one-row follow-up.  Returns (bin, n, mean_score,
+    positive_rate, abs_gap, ece_term), doubles rounded 6.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    binned = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.expr(
+            f"least(CAST(floor({score_col} * {n_bins}) AS BIGINT), "
+            f"{n_bins - 1})"
+        ).alias("bin"),
+        F.expr(f"CAST(round({score_col} * {_Q}.0d) AS BIGINT)")
+        .alias("__sq"),
+        F.expr(f"CAST({label_col} AS BIGINT)").alias("__y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__sq").cast("long").alias("__ssum"),
+        F.sum("__y").cast("long").alias("__pos"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bin.withColumn(
+        "__total", F.sum("n").over(wall).cast("long")
+    ).select(
+        "bin", "n",
+        F.expr(
+            f"round((CAST(__ssum AS DOUBLE) / {_Q}.0d) "
+            "/ CAST(n AS DOUBLE), 6)"
+        ).alias("mean_score"),
+        F.expr(
+            "round(CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("positive_rate"),
+        F.expr(
+            f"round(abs((CAST(__ssum AS DOUBLE) / {_Q}.0d) "
+            "/ CAST(n AS DOUBLE) "
+            "- CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+        ).alias("abs_gap"),
+        F.expr(
+            f"round(abs((CAST(__ssum AS DOUBLE) / {_Q}.0d) "
+            "/ CAST(n AS DOUBLE) "
+            "- CAST(__pos AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* CAST(n AS DOUBLE) / CAST(__total AS DOUBLE), 6)"
+        ).alias("ece_term"),
+    )
+
+
+# The document-quality feature set the gate queries train on: exact
+# integer-ratio signals (each ONE correctly-rounded division), cheap at
+# scan speed, and discriminative for language/source routing.
+DOC_FEATURES = [
+    # space density (word-length proxy)
+    "(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) "
+    "/ CAST(length(text) AS DOUBLE))",
+    # vowel density (latin-language signal)
+    "(CAST(length(text) - length(translate(text, 'aeiou', '')) "
+    "AS DOUBLE) / CAST(length(text) AS DOUBLE))",
+    # digit density
+    "(CAST(length(text) - length(translate(text, '0123456789', '')) "
+    "AS DOUBLE) / CAST(length(text) AS DOUBLE))",
+]

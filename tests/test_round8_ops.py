@@ -462,3 +462,102 @@ def test_y4m_decode_invalid_blob_is_flagged_not_fatal(spark):
     assert not out[1]["is_valid"]
     assert not out[2]["is_valid"]
     assert not out[3]["is_valid"]
+
+
+# ---- logistic classifier (round-8 wave) --------------------------------------
+
+
+def _toy_frame(spark):
+    # cleanly separable: y = 1 iff f1 > 0.5; f2 is noise
+    rows = [(i, (i % 10) / 10.0, ((i * 7) % 10) / 10.0,
+             1 if (i % 10) / 10.0 > 0.5 else 0) for i in range(200)]
+    return spark.createDataFrame(rows, "id long, f1 double, f2 double, y int")
+
+
+def test_logistic_learns_separable_toy(spark):
+    df = _toy_frame(spark)
+    w = ops.logistic_train(df, ["f1", "f2"], "y", lr=4.0, iterations=40)
+    scored = ops.logistic_score(df, w, ["f1", "f2"], "y", id_col="id")
+    acc = scored.where(
+        (F.col("predicted").cast("long")) == F.col("label")
+    ).count() / 200.0
+    assert acc >= 0.95
+    assert w[1] > 0  # the signal feature got positive weight
+
+
+def test_logistic_train_matches_python_replay(spark):
+    """The whole point of the quantized-gradient design: the driver-side
+    weight recurrence replays bit-for-bit from the collected features."""
+    df = _toy_frame(spark)
+    w = ops.logistic_train(df, ["f1", "f2"], "y", lr=2.0, iterations=7)
+    rows = [(r["f1"], r["f2"], r["y"]) for r in df.collect()]
+
+    def sig(z):
+        return 0.5 + z / (2.0 * (1.0 + abs(z)))
+
+    wp = [0.0, 0.0, 0.0]
+    n = len(rows)
+    for _ in range(7):
+        s = [0, 0, 0]
+        for f1, f2, y in rows:
+            z = ((wp[0] + wp[1] * f1) + wp[2] * f2)
+            r = y - sig(z)
+            # round() in SQL is half-away-from-zero; Python's is
+            # banker's — replay SQL semantics explicitly
+            import math
+
+            def q(x):
+                return int(math.floor(abs(x) * 1e6 + 0.5)) * (
+                    1 if x >= 0 else -1)
+
+            s[0] += q(r)
+            s[1] += q(r * f1)
+            s[2] += q(r * f2)
+        wp = [wi + 2.0 * ((si / 1e6) / n) for wi, si in zip(wp, s)]
+    assert w == wp  # bit-for-bit, not approx
+
+
+def test_logistic_excludes_null_rows_and_guards_empty(spark):
+    df = spark.createDataFrame(
+        [(0, 0.1, 0), (1, None, 1), (2, 0.9, None)],
+        "id long, f1 double, y int",
+    )
+    # only row 0 is usable — trains without error
+    w = ops.logistic_train(df, ["f1"], "y", lr=1.0, iterations=2)
+    assert len(w) == 2
+    empty = spark.createDataFrame([], "id long, f1 double, y int")
+    with pytest.raises(ValueError, match="no usable rows"):
+        ops.logistic_train(empty, ["f1"], "y")
+
+
+def test_logistic_score_is_narrow_map(spark):
+    df = _toy_frame(spark)
+    scored = ops.logistic_score(df, [0.1, 0.2, -0.3], ["f1", "f2"], "y",
+                                id_col="id")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_calibration_report_exact_bins(spark):
+    scored = spark.createDataFrame(
+        [(0, 0.05, 0), (1, 0.05, 0), (2, 0.15, 0), (3, 0.95, 1),
+         (4, 0.95, 1), (5, 0.85, 0), (6, 1.0, 1)],
+        "id long, score double, label int",
+    )
+    out = {r["bin"]: r for r in
+           ops.calibration_report(scored, n_bins=10).collect()}
+    assert out[0]["n"] == 2 and out[0]["positive_rate"] == 0.0
+    assert out[0]["mean_score"] == pytest.approx(0.05)
+    # score 1.0 clamps into the last bin; 0.85 stays in bin 8
+    assert out[8]["n"] == 1 and out[8]["positive_rate"] == 0.0
+    assert out[9]["n"] == 3
+    assert out[9]["positive_rate"] == 1.0
+    # ece terms weight by bin share
+    assert out[1]["ece_term"] == pytest.approx(0.15 * 1 / 7, abs=1e-6)
+
+
+def test_calibration_report_validates_bins(spark):
+    df = spark.createDataFrame([(0, 0.5, 1)],
+                               "id long, score double, label int")
+    with pytest.raises(ValueError):
+        ops.calibration_report(df, n_bins=1)
