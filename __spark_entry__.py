@@ -828,6 +828,26 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_kaplan_meier(spark, sf):
+    # time-to-first-purchase per user in MICROSECONDS (exact, NTZ-safe —
+    # the conversion_lag discipline), right-censored at the user's last
+    # activity when no purchase happened
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("p"),
+    )
+    subj = per_user.select(
+        F.timestamp_diff(
+            "MICROSECOND", F.col("f"), F.coalesce(F.col("p"), F.col("l"))
+        ).cast("double").alias("t"),
+        F.col("p").isNotNull().alias("ev"),
+    )
+    return ops.kaplan_meier(subj, "t", "ev")
+
+
 def _q_y4m_decode(spark, sf):
     # real video decode over stdlib-generated YUV4MPEG2 streams: the
     # pure-Python Y4M parser reports pixel-derived frame/luma stats, no
@@ -1825,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_y4m_decode": _q_y4m_decode,
             "docs_quality_logistic": _q_quality_logistic,
             "docs_score_calibration": _q_score_calibration,
+            "events_kaplan_meier": _q_kaplan_meier,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1845,9 +1866,11 @@ _GATE_PRIORITY = [
     # window — enforced mechanically by
     # tests/test_gate_window.py::test_never_graded_queries_lead_the_window,
     # which recomputes the never-graded set from the CORRECTNESS_r*.json
-    # files on disk. Slots 1-22: the 22 round-7 first-appearance rows.
-    # Slots 23-50: staleness rotation — the 13 remaining r4-graded rows,
-    # then the 15 oldest r5-graded rows.
+    # files on disk. Front: the 22 round-7 first-appearance rows plus
+    # every round-8 addition. Remainder of the 50: staleness rotation —
+    # the 13 remaining r4-graded rows, then the oldest r5-graded rows
+    # (each round-8 addition pushes one rotation row past slot 50;
+    # never-graded always wins the slot).
     # --- round-7 first-appearance rows (22) ---
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
@@ -1863,7 +1886,7 @@ _GATE_PRIORITY = [
     # --- round-8 additions (never graded — stay inside the window) ---
     "docs_bpe_encode_large", "multimodal_png_decode",
     "multimodal_y4m_decode", "docs_quality_logistic",
-    "docs_score_calibration",
+    "docs_score_calibration", "events_kaplan_meier",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -3027,6 +3050,54 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # Kaplan-Meier replay: same log-space product (nano-unit quantized
+    # ln sums — one ln ULP absorbed by the rounding) and the same exact
+    # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    o["events_kaplan_meier"] = """
+WITH pu AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY 1
+),
+subj AS (
+  SELECT CAST(epoch_us(coalesce(p, l)) - epoch_us(f) AS DOUBLE) AS t,
+         p IS NOT NULL AS ev
+  FROM pu
+),
+cells AS (
+  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS a
+  FROM subj GROUP BY 1
+),
+staged AS (
+  SELECT t, d,
+    CAST(sum(a) OVER ()
+         - coalesce(sum(a) OVER (ORDER BY t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n_risk
+  FROM cells
+),
+lnq AS (
+  SELECT t, d, n_risk,
+    CASE WHEN d = n_risk THEN CAST(0 AS BIGINT)
+         ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)
+    END AS q,
+    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+  FROM staged
+),
+surv AS (
+  SELECT t, d, n_risk,
+    CASE WHEN max(dead) OVER w = 1 THEN 0.0
+         ELSE round(exp(CAST(sum(q) OVER w AS DOUBLE)
+                    / 1000000000.0), 6) + 0.0
+    END AS survival
+  FROM lnq
+  WINDOW w AS (ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, d AS d_events, survival FROM surv WHERE d > 0
 """
     o["order_value_quantiles"] = """
 SELECT o_orderpriority,

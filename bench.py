@@ -207,6 +207,7 @@ HEADLINE = [
     "multimodal_y4m_decode",
     "docs_quality_logistic",
     "docs_score_calibration",
+    "events_kaplan_meier",
 ]
 
 

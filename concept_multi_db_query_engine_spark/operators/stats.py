@@ -1316,3 +1316,83 @@ def seasonal_anomaly(
         F.when(F.col("robust_z").isNull(), F.lit(False))
         .otherwise(F.abs(F.col("robust_z")) > F.lit(z_threshold)),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (the right-censoring-aware
+    survival curve; Kaplan & Meier 1958): at each distinct event time
+    ``t_i``, ``n_i`` subjects are still at risk, ``d_i`` experience the
+    event, and ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)`` — the standard
+    time-to-churn / time-to-conversion curve where naive averages are
+    biased by subjects still alive at the observation cutoff.
+
+    Distributed shape: ONE hash aggregation to (group, duration) cells
+    (events + censored counts, map-side combined — the exchange carries
+    distinct durations, not subjects), then windows partitioned by
+    group in duration order: the risk set is total-minus-exclusive-
+    cumsum (exact integers) and the survival product runs in LOG space
+    — ``ln(1 − d/n)`` quantized to nano-units and summed as exact
+    BIGINTs (the ``text_bigram_logprob`` discipline: one ln ULP is
+    absorbed by the rounding, the SUM itself can never reorder), one
+    ``exp`` at the end.  A time where everyone remaining dies
+    (``d = n``, ln(0) undefined) pins survival to exactly 0.0 from
+    that point on via a cumulative flag instead of producing -inf.
+
+    Returns one row per (group,) EVENT time: (group?, t, n_risk,
+    d_events, survival), survival rounded 6.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    cells = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(*gcols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(F.col(observed_col), 1).otherwise(0))
+            .cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("all_at_t"),
+        )
+    )
+    w_all = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = (
+        Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = cells.select(
+        *gcols, "t", "d",
+        (F.sum("all_at_t").over(w_all)
+         - F.coalesce(F.sum("all_at_t").over(w_prev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+    ).withColumn(
+        "__lnq",
+        F.expr(
+            "CASE WHEN d = n_risk THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(round(ln(1.0d - CAST(d AS DOUBLE) "
+            "/ CAST(n_risk AS DOUBLE)) * 1000000000.0d) AS BIGINT) END"
+        ),
+    ).withColumn(
+        "__dead", F.expr("CAST(d = n_risk AS INT)")
+    )
+    out = staged.select(
+        *gcols, "t", "n_risk", F.col("d").alias("d_events"),
+        F.when(
+            F.max("__dead").over(w_cum) == 1, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.exp(F.sum("__lnq").over(w_cum).cast("double")
+                      / F.lit(1000000000.0)), 6) + F.lit(0.0)
+        ).alias("survival"),
+        F.col("d").alias("__d"),
+    )
+    return out.where(F.col("__d") > 0).drop("__d")

@@ -561,3 +561,75 @@ def test_calibration_report_validates_bins(spark):
                                "id long, score double, label int")
     with pytest.raises(ValueError):
         ops.calibration_report(df, n_bins=1)
+
+
+# ---- kaplan_meier (round-8 wave) ---------------------------------------------
+
+
+def test_kaplan_meier_matches_textbook_example(spark):
+    # classic small example: events at t=1 (n=5), t=3 (n=3, after a
+    # censor at 2); S(1) = 4/5, S(3) = 4/5 * 2/3
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (3.0, True), (4.0, False),
+         (5.0, False)],
+        "t double, ev boolean",
+    )
+    out = {r["t"]: r for r in ops.kaplan_meier(df, "t", "ev").collect()}
+    assert set(out) == {1.0, 3.0}  # event times only
+    assert out[1.0]["n_risk"] == 5 and out[1.0]["d_events"] == 1
+    assert out[1.0]["survival"] == pytest.approx(0.8)
+    assert out[3.0]["n_risk"] == 3
+    assert out[3.0]["survival"] == pytest.approx(0.8 * 2 / 3, abs=1e-6)
+
+
+def test_kaplan_meier_python_replay_with_groups(spark):
+    import math
+
+    rows = [("a", float(1 + (i * 7) % 9), (i % 3) != 0) for i in range(60)]
+    rows += [("b", float(1 + (i * 5) % 7), (i % 2) == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, t double, ev boolean")
+    got = {(r["g"], r["t"]): (r["n_risk"], r["d_events"], r["survival"])
+           for r in ops.kaplan_meier(df, "t", "ev", "g").collect()}
+
+    want = {}
+    for g in ("a", "b"):
+        subj = sorted((t, ev) for gg, t, ev in rows if gg == g)
+        times = sorted({t for t, ev in subj if ev})
+        lnsum, dead = 0, False
+        for t in times:
+            n = sum(1 for tt, _ in subj if tt >= t)
+            d = sum(1 for tt, ev in subj if tt == t and ev)
+            if d == n:
+                dead = True
+            else:
+                lnsum -= int(math.floor(
+                    abs(math.log(1 - d / n)) * 1e9 + 0.5))
+            want[(g, t)] = (
+                n, d, 0.0 if dead else round(math.exp(lnsum / 1e9), 6))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], abs=2e-6)
+
+
+def test_kaplan_meier_everyone_dies_reaches_exact_zero(spark):
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (2.0, True)], "t double, ev boolean")
+    out = {r["t"]: r["survival"]
+           for r in ops.kaplan_meier(df, "t", "ev").collect()}
+    # at t=2 the last 2 of 2 at-risk subjects die: survival exactly 0.0,
+    # not exp(-inf) and not a NULL
+    assert out[2.0] == 0.0
+    assert out[1.0] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_kaplan_meier_single_shuffle_per_group_plan(spark):
+    df = spark.createDataFrame(
+        [(float(i % 13), i % 4 != 0) for i in range(100)],
+        "t double, ev boolean",
+    )
+    plan = ops.kaplan_meier(df, "t", "ev") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the subject->cell agg plus the single-partition window path: no
+    # joins, no extra fact-table exchanges
+    assert "Join" not in plan
