@@ -828,6 +828,11 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_snn_graph(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.snn_graph(ops.knn_graph(emb, k=5), min_shared=2)
+
+
 def _q_kaplan_meier(spark, sf):
     # time-to-first-purchase per user in MICROSECONDS (exact, NTZ-safe —
     # the conversion_lag discipline), right-censored at the user's last
@@ -1846,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_quality_logistic": _q_quality_logistic,
             "docs_score_calibration": _q_score_calibration,
             "events_kaplan_meier": _q_kaplan_meier,
+            "sim_snn_graph": _q_snn_graph,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1886,7 +1892,7 @@ _GATE_PRIORITY = [
     # --- round-8 additions (never graded — stay inside the window) ---
     "docs_bpe_encode_large", "multimodal_png_decode",
     "multimodal_y4m_decode", "docs_quality_logistic",
-    "docs_score_calibration", "events_kaplan_meier",
+    "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1896,9 +1902,10 @@ _GATE_PRIORITY = [
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
-    "orders_cube", "events_transitions", "customer_revenue_concentration",
+    "orders_cube", "events_transitions",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
+    "customer_revenue_concentration",
     "text_pii_scrub", "docs_line_dedup",
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
     "nation_revenue_unpivot", "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
@@ -3794,6 +3801,43 @@ SELECT vec_id, neighbor_id, cosine, rank FROM (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+    )
+    # SNN graph over the k=5 kNN edge set: pair similarity = shared
+    # neighbor count (one equi-join on the neighbor), mutual = both
+    # directed edges present
+    o["sim_snn_graph"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM knn x JOIN knn y
+    ON x.neighbor_id = y.neighbor_id AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+),
+mut AS (
+  SELECT least(vec_id, neighbor_id) AS a,
+         greatest(vec_id, neighbor_id) AS b, count(*) AS c
+  FROM knn WHERE vec_id != neighbor_id GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.shared, coalesce(m.c, 0) >= 2 AS mutual
+FROM pairs p LEFT JOIN mut m ON p.a = m.a AND p.b = m.b
+WHERE p.shared >= 2
 """
     )
     o["sim_knn_label_vote"] = (

@@ -208,6 +208,7 @@ HEADLINE = [
     "docs_quality_logistic",
     "docs_score_calibration",
     "events_kaplan_meier",
+    "sim_snn_graph",
 ]
 
 

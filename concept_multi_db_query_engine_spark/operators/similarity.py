@@ -1036,3 +1036,57 @@ def centroid_drift(
             ).alias("drift_l2"),
         )
     )
+
+
+def snn_graph(
+    edges: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "vec_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Shared-nearest-neighbor graph (Jarvis-Patrick 1973) over a kNN
+    edge frame (:func:`knn_graph`'s output or any (node, neighbor)
+    list): pair similarity = |N(a) ∩ N(b)|, the number of kNN neighbors
+    two nodes share — a density-robust alternative to raw cosine for
+    clustering and near-dup grouping (two points in a sparse region can
+    be each other's nearest neighbors while sharing nothing; SNN
+    catches that).
+
+    Scale shape: ONE equi-join of the edge list with itself ON THE
+    NEIGHBOR (never a corpus self-join) — each neighbor n contributes
+    deg(n)² candidate pairs and deg(n) = k by construction, so the
+    joined volume is exactly n·k² rows regardless of corpus size —
+    then one hash aggregation on the (a, b) pair.  The ``mutual`` flag
+    (a ∈ N(b) and b ∈ N(a)) comes from the same aggregation by
+    counting directed hits of the pair itself in the edge frame via a
+    union trick: no extra join.  Returns (a, b, shared, mutual) for
+    pairs with ``shared >= min_shared``, a < b.
+    """
+    e = edges.select(
+        F.col(id_col).alias("src"), F.col(neighbor_col).alias("nbr")
+    )
+    pairs = (
+        e.alias("x").join(e.alias("y"), "nbr")
+        .where(F.col("x.src") < F.col("y.src"))
+        .select(
+            F.col("x.src").alias("a"), F.col("y.src").alias("b"),
+            F.lit(1).alias("__sh"), F.lit(0).alias("__mu"),
+        )
+    )
+    # directed edges of the pair itself, keyed the same way: a hit with
+    # __mu = 1 per direction present — 2 after the sum means mutual
+    directed = e.where(F.col("src") != F.col("nbr")).select(
+        F.least(F.col("src"), F.col("nbr")).alias("a"),
+        F.greatest(F.col("src"), F.col("nbr")).alias("b"),
+        F.lit(0).alias("__sh"),
+        F.lit(1).alias("__mu"),
+    )
+    return (
+        pairs.unionByName(directed)
+        .groupBy("a", "b")
+        .agg(
+            F.sum("__sh").cast("long").alias("shared"),
+            (F.sum("__mu") >= 2).alias("mutual"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )

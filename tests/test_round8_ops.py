@@ -633,3 +633,64 @@ def test_kaplan_meier_single_shuffle_per_group_plan(spark):
     # the subject->cell agg plus the single-partition window path: no
     # joins, no extra fact-table exchanges
     assert "Join" not in plan
+
+
+# ---- snn_graph (round-8 wave) -------------------------------------------------
+
+
+def test_snn_counts_shared_neighbors_exactly(spark):
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),
+         (2, 10), (2, 11), (2, 13),
+         (3, 13), (3, 14), (3, 15)],
+        "vec_id long, neighbor_id long",
+    )
+    out = {(r["a"], r["b"]): (r["shared"], r["mutual"])
+           for r in ops.snn_graph(edges, min_shared=1).collect()}
+    assert out[(1, 2)] == (2, False)   # share 10, 11
+    assert out[(2, 3)] == (1, False)   # share 13
+    assert (1, 3) not in out           # nothing shared
+
+
+def test_snn_mutual_flag_requires_both_directions(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 9), (2, 1), (2, 9),   # 1<->2 mutual, share 9
+         (3, 4), (3, 9), (4, 9)],          # 3->4 one-way, share 9
+        "vec_id long, neighbor_id long",
+    )
+    out = {(r["a"], r["b"]): r["mutual"]
+           for r in ops.snn_graph(edges, min_shared=1).collect()}
+    assert out[(1, 2)] is True
+    assert out[(3, 4)] is False
+
+
+def test_snn_python_replay_on_knn_edges(spark):
+    import itertools
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(1, 5)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    edges = ops.knn_graph(emb, k=4, n_blocks=2)
+    got = {(r["a"], r["b"]): r["shared"]
+           for r in ops.snn_graph(edges, min_shared=1).collect()}
+    nbrs = {}
+    for r in edges.select("vec_id", "neighbor_id").collect():
+        nbrs.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    want = {}
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        sh = len(nbrs[a] & nbrs[b])
+        if sh >= 1:
+            want[(a, b)] = sh
+    assert got == want
+
+
+def test_snn_plan_joins_on_neighbor_only(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + j) % 50) for i in range(50) for j in range(4)],
+        "vec_id long, neighbor_id long",
+    )
+    plan = ops.snn_graph(edges)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
