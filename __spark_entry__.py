@@ -828,6 +828,17 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_domain_quota(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ops.domain_quota_sample(docs, quota=10).select(
+        "doc_id", "source", "pick_rank")
+
+
+def _q_boilerplate(spark, sf):
+    return ops.boilerplate_prefixes(_t(spark, sf, "documents"),
+                                    n_tokens=2, min_docs=3, top=20)
+
+
 def _q_snn_graph(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ops.snn_graph(ops.knn_graph(emb, k=5), min_shared=2)
@@ -1852,6 +1863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_score_calibration": _q_score_calibration,
             "events_kaplan_meier": _q_kaplan_meier,
             "sim_snn_graph": _q_snn_graph,
+            "docs_domain_quota": _q_domain_quota,
+            "docs_boilerplate_prefixes": _q_boilerplate,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1893,6 +1906,7 @@ _GATE_PRIORITY = [
     "docs_bpe_encode_large", "multimodal_png_decode",
     "multimodal_y4m_decode", "docs_quality_logistic",
     "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
+    "docs_domain_quota", "docs_boilerplate_prefixes",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1902,9 +1916,9 @@ _GATE_PRIORITY = [
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
     "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
-    "orders_cube", "events_transitions",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
+    "orders_cube", "events_transitions",
     "customer_revenue_concentration",
     "text_pii_scrub", "docs_line_dedup",
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
@@ -3057,6 +3071,29 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # domain quota: deterministic md5-ordered per-source picks
+    o["docs_domain_quota"] = """
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+           AS INT) AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 10
+"""
+    o["docs_boilerplate_prefixes"] = """
+SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
+  SELECT prefix, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, prefix ASC) AS rank
+  FROM (
+    SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    GROUP BY 1 HAVING count(*) >= 3
+  )
+) WHERE rank <= 20
 """
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact

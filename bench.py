@@ -209,6 +209,8 @@ HEADLINE = [
     "docs_score_calibration",
     "events_kaplan_meier",
     "sim_snn_graph",
+    "docs_domain_quota",
+    "docs_boilerplate_prefixes",
 ]
 
 

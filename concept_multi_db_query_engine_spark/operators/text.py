@@ -2445,3 +2445,77 @@ def naive_bayes_language(
         F.expr("array_max(__sc)").cast("long").alias("score_micro"),
         F.size("__ts").cast("long").alias("n_tokens"),
     )
+
+
+def domain_quota_sample(
+    docs: DataFrame,
+    domain_col: str = "source",
+    quota: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document caps — the FineWeb-style guard against a
+    handful of giant hosts dominating a crawl-derived corpus: each
+    domain keeps at most ``quota`` documents, chosen by a DETERMINISTIC
+    hash order (md5 of the id — engine-portable, unlike engine-native
+    hash functions) so re-runs and the SQL oracle pick the same
+    survivors; everything about the sample is replayable.
+
+    ONE keyed window shuffle on the domain (WindowGroupLimit prunes to
+    the per-partition top-``quota`` BEFORE the exchange, so the wire
+    carries ≤ quota · partitions rows per domain, not the domain's full
+    payload).  Returns the surviving rows with their ``pick_rank``.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= quota)
+    )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame,
+    n_tokens: int = 2,
+    min_docs: int = 3,
+    top: int = 20,
+    text_col: str = "text",
+    side: str = "head",
+) -> DataFrame:
+    """Boilerplate opener/closer mining: the most common first (or
+    last) ``n_tokens`` across the corpus — repeated document heads and
+    tails are the signature of templated boilerplate (cookie banners,
+    license footers, nav headers) that passage-level dedup misses when
+    the rest of the page differs.
+
+    One narrow prefix projection + ONE hash aggregation; the top cut
+    is (count desc, prefix asc) — deterministic.  Returns
+    (prefix, n_docs, rank) for prefixes shared by ≥ ``min_docs``.
+    """
+    if side not in ("head", "tail"):
+        raise ValueError("side must be 'head' or 'tail'")
+    if side == "head":
+        pfx = f"array_join(slice(split({text_col}, ' '), 1, {n_tokens}), ' ')"
+    else:
+        pfx = (
+            f"array_join(slice(split({text_col}, ' '), -{n_tokens}, "
+            f"{n_tokens}), ' ')"
+        )
+    from pyspark.sql import Window
+
+    counted = (
+        docs.where(F.col(text_col).isNotNull())
+        .where(F.expr(f"size(split({text_col}, ' ')) >= {n_tokens}"))
+        .groupBy(F.expr(pfx).alias("prefix"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+    )

@@ -694,3 +694,65 @@ def test_snn_plan_joins_on_neighbor_only(spark):
         .toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- domain_quota_sample / boilerplate_prefixes (round-8 wave) -----------------
+
+
+def test_domain_quota_caps_each_domain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"t{i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = ops.domain_quota_sample(docs, quota=4)
+    per = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"src0": 4, "src1": 4, "src2": 4}
+    # domains under quota keep everything
+    small = ops.domain_quota_sample(docs.where("doc_id < 5"), quota=4)
+    assert small.count() == 5  # src0:2 src1:2 src2:1, all <= 4
+
+
+def test_domain_quota_pick_is_deterministic_md5_order(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"t{i}") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    got = sorted(r["doc_id"] for r in
+                 ops.domain_quota_sample(docs, quota=5).collect())
+    want = sorted(sorted(
+        range(20),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5])
+    assert got == want
+    # partitioning never changes the picks
+    got2 = sorted(r["doc_id"] for r in ops.domain_quota_sample(
+        docs.repartition(7), quota=5).collect())
+    assert got2 == got
+
+
+def test_domain_quota_validates(spark):
+    docs = spark.createDataFrame([(1, "s", "t")],
+                                 "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        ops.domain_quota_sample(docs, quota=0)
+
+
+def test_boilerplate_prefixes_head_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(0, "cookie banner here a"), (1, "cookie banner there b"),
+         (2, "cookie banner again c"), (3, "unique text one d"),
+         (4, "x y z cookie banner"), (5, "p q r cookie banner"),
+         (6, "m n o cookie banner"), (7, "short")],
+        "doc_id long, text string",
+    )
+    head = ops.boilerplate_prefixes(docs, n_tokens=2, min_docs=3).collect()
+    assert [(r["prefix"], r["n_docs"], r["rank"]) for r in head] == [
+        ("cookie banner", 3, 1)]
+    tail = ops.boilerplate_prefixes(docs, n_tokens=2, min_docs=3,
+                                    side="tail").collect()
+    assert [(r["prefix"], r["n_docs"]) for r in tail] == [
+        ("cookie banner", 3)]
+    with pytest.raises(ValueError):
+        ops.boilerplate_prefixes(docs, side="middle")
