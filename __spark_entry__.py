@@ -828,6 +828,18 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_join_size_estimate(spark, sf):
+    # the planner's question: how many rows would the l_partkey equi-join
+    # of returned vs kept line items produce? Frequency products vary per
+    # part, so the sketch actually has to work
+    li = _t(spark, sf, "lineitem")
+    return ops.cms_join_size(
+        li.where("l_returnflag = 'R'").select(F.col("l_partkey").alias("k")),
+        li.where("l_returnflag != 'R'").select(F.col("l_partkey").alias("k")),
+        "k", depth=4, width=256,
+    )
+
+
 def _q_domain_quota(spark, sf):
     docs = _t(spark, sf, "documents")
     return ops.domain_quota_sample(docs, quota=10).select(
@@ -1865,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_snn_graph": _q_snn_graph,
             "docs_domain_quota": _q_domain_quota,
             "docs_boilerplate_prefixes": _q_boilerplate,
+            "lineitem_join_size_estimate": _q_join_size_estimate,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1907,6 +1920,7 @@ _GATE_PRIORITY = [
     "multimodal_y4m_decode", "docs_quality_logistic",
     "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
     "docs_domain_quota", "docs_boilerplate_prefixes",
+    "lineitem_join_size_estimate",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1915,10 +1929,10 @@ _GATE_PRIORITY = [
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
-    "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
+    "dedup_repeated_passages", "sim_knn_graph",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     # remaining r5-graded rows
-    "orders_cube", "events_transitions",
+    "orders_rollup", "orders_cube", "events_transitions",
     "customer_revenue_concentration",
     "text_pii_scrub", "docs_line_dedup",
     "events_rolling_active_users", "orders_profile", "graph_pagerank",
@@ -3071,6 +3085,42 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # CMS inner-product join-size estimate (AGMS): per-depth-row
+    # Σ a·b over shared buckets, MIN over rows; exact rides along
+    _cmsh256 = (
+        "('0x' || substr(md5(CAST({k} AS VARCHAR) || ':cms:' "
+        "|| CAST({j} AS VARCHAR)), 1, 15))::BIGINT % 256"
+    )
+    o["lineitem_join_size_estimate"] = f"""
+WITH js AS (SELECT unnest(range(0, 4)) AS j),
+sa AS (
+  SELECT js.j, {_cmsh256.format(k='l_partkey', j='js.j')} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem CROSS JOIN js WHERE l_returnflag = 'R' GROUP BY 1, 2
+),
+sb AS (
+  SELECT js.j, {_cmsh256.format(k='l_partkey', j='js.j')} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem CROSS JOIN js WHERE l_returnflag != 'R' GROUP BY 1, 2
+),
+ip AS (
+  SELECT sa.j, CAST(sum(sa.c * sb.c) AS BIGINT) AS ip
+  FROM sa JOIN sb USING (j, bucket) GROUP BY 1
+),
+est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT)
+          AS est_join_size FROM ip),
+fa AS (SELECT l_partkey v, CAST(count(*) AS BIGINT) f
+       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+fb AS (SELECT l_partkey v, CAST(count(*) AS BIGINT) f
+       FROM lineitem WHERE l_returnflag != 'R' GROUP BY 1),
+ex AS (SELECT CAST(coalesce(sum(fa.f * fb.f), 0) AS BIGINT)
+         AS exact_join_size FROM fa JOIN fb USING (v))
+SELECT est_join_size, exact_join_size,
+       round(CAST(est_join_size AS DOUBLE)
+             / nullif(CAST(exact_join_size AS DOUBLE), 0.0), 4)
+         AS overcount_ratio
+FROM est, ex
 """
     # domain quota: deterministic md5-ordered per-source picks
     o["docs_domain_quota"] = """

@@ -211,6 +211,7 @@ HEADLINE = [
     "sim_snn_graph",
     "docs_domain_quota",
     "docs_boilerplate_prefixes",
+    "lineitem_join_size_estimate",
 ]
 
 

@@ -362,3 +362,57 @@ def sliding_distinct_kmv(
             ).alias("approx_distinct"),
         )
     )
+
+
+def cms_join_size(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Sketch-based equi-join CARDINALITY estimate (the AGMS /
+    Cormode-Muthukrishnan inner-product estimator): with per-side
+    count-min sketches A and B, ``Σ_j A[d][j]·B[d][j]`` overestimates
+    ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)`` for every depth row, and the MIN
+    over rows is the classic join-size estimate — the number a planner
+    needs BEFORE deciding broadcast-vs-shuffle or warning about an
+    exploding join, at d·w counters per side instead of a key shuffle.
+
+    Both sketches hash with the repo's md5 discipline, so the estimate
+    is engine-reproducible and the SQL oracle replays it exactly; the
+    arithmetic is exact BIGINT throughout.  The exact join size rides
+    along (computed from per-key counts — two keyed aggregations, still
+    never the join itself), making the row a sketch-quality report like
+    ``distinct_sketch_comparison``.  Returns ONE row: (est_join_size,
+    exact_join_size, overcount_ratio).
+    """
+    sa = count_min_sketch(df_a, column, depth, width, salt)
+    sb = count_min_sketch(df_b, column, depth, width, salt)
+    per_row = (
+        sa.select("j", "bucket", F.col("c").alias("ca"))
+        .join(sb.select("j", "bucket", F.col("c").alias("cb")),
+              ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+    )
+    # empty-overlap guards: no shared buckets → MIN over nothing, no
+    # shared keys → SUM over nothing; both are 0 joins, not NULLs
+    est = per_row.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long")
+        .alias("est_join_size"))
+    fa = df_a.groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("fa"))
+    fb = df_b.groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("fb"))
+    exact = fa.join(fb, "v").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("long").alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size", "exact_join_size",
+        F.expr(
+            "round(CAST(est_join_size AS DOUBLE) "
+            "/ nullif(CAST(exact_join_size AS DOUBLE), 0.0d), 4)"
+        ).alias("overcount_ratio"),
+    )

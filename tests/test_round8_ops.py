@@ -756,3 +756,54 @@ def test_boilerplate_prefixes_head_and_tail(spark):
         ("cookie banner", 3)]
     with pytest.raises(ValueError):
         ops.boilerplate_prefixes(docs, side="middle")
+
+
+# ---- cms_join_size (round-8 wave) ----------------------------------------------
+
+
+def test_cms_join_size_overestimates_and_tracks_exact(spark):
+    a = spark.createDataFrame([(i % 20,) for i in range(400)], "k long")
+    b = spark.createDataFrame([(i % 30,) for i in range(300)], "k long")
+    row = ops.cms_join_size(a, b, "k", depth=4, width=256).collect()[0]
+    exact = sum(
+        (400 // 20 if v < 20 else 0) * (10 if v < 30 else 0)
+        for v in range(20))
+    assert row["exact_join_size"] == exact
+    # CMS inner product NEVER underestimates
+    assert row["est_join_size"] >= row["exact_join_size"]
+    assert row["overcount_ratio"] >= 1.0
+    # with width >> distinct keys the estimate should be tight
+    assert row["overcount_ratio"] < 1.5
+
+
+def test_cms_join_size_disjoint_keys_small_estimate(spark):
+    a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i + 1000,) for i in range(50)], "k long")
+    row = ops.cms_join_size(a, b, "k", depth=4, width=512).collect()[0]
+    assert row["exact_join_size"] == 0
+    assert row["overcount_ratio"] is None  # nullif(0) guard
+    # collisions only: estimate stays near zero, far below |A|x|B|
+    assert row["est_join_size"] < 100
+
+
+def test_cms_join_size_python_replay(spark):
+    import hashlib
+
+    def bucket(v, j, width):
+        hx = hashlib.md5(f"{v}:cms:{j}".encode()).hexdigest()[:15]
+        return int(hx, 16) % width
+
+    avals = [i % 7 for i in range(60)]
+    bvals = [i % 11 for i in range(44)]
+    a = spark.createDataFrame([(v,) for v in avals], "k long")
+    b = spark.createDataFrame([(v,) for v in bvals], "k long")
+    row = ops.cms_join_size(a, b, "k", depth=3, width=64).collect()[0]
+    est = []
+    for j in range(3):
+        ca, cb = {}, {}
+        for v in avals:
+            ca[bucket(v, j, 64)] = ca.get(bucket(v, j, 64), 0) + 1
+        for v in bvals:
+            cb[bucket(v, j, 64)] = cb.get(bucket(v, j, 64), 0) + 1
+        est.append(sum(ca[x] * cb.get(x, 0) for x in ca))
+    assert row["est_join_size"] == min(est)
