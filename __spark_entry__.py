@@ -828,6 +828,16 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_ITERS = 32
+
+
+def _q_markov_attribution(spark, sf):
+    return ops.markov_removal_attribution(
+        _t(spark, sf, "events"), channels=_MK_CHANNELS,
+        iterations=_MK_ITERS)
+
+
 def _q_join_size_estimate(spark, sf):
     # the planner's question: how many rows would the l_partkey equi-join
     # of returned vs kept line items produce? Frequency products vary per
@@ -1878,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_domain_quota": _q_domain_quota,
             "docs_boilerplate_prefixes": _q_boilerplate,
             "lineitem_join_size_estimate": _q_join_size_estimate,
+            "events_markov_attribution": _q_markov_attribution,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1920,7 +1931,7 @@ _GATE_PRIORITY = [
     "multimodal_y4m_decode", "docs_quality_logistic",
     "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
     "docs_domain_quota", "docs_boilerplate_prefixes",
-    "lineitem_join_size_estimate",
+    "lineitem_join_size_estimate", "events_markov_attribution",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1929,8 +1940,9 @@ _GATE_PRIORITY = [
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
-    "dedup_repeated_passages", "sim_knn_graph",
+    "dedup_repeated_passages",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "sim_knn_graph",
     # remaining r5-graded rows
     "orders_rollup", "orders_cube", "events_transitions",
     "customer_revenue_concentration",
@@ -3085,6 +3097,101 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # Markov removal attribution replay: transitions from the same
+    # truncated journeys, then the SAME micro-unit value-iteration
+    # recurrence per variant (full + one removal per channel) — identical
+    # whether or not it converged, because both engines run the exact
+    # same quantized recurrence for the same 32 steps
+    _mk = """
+WITH ev AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         ELSE event_type END AS dst,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+fp AS (SELECT user_id, min(rn) AS prn FROM ev
+       WHERE dst = 'CONV' GROUP BY 1),
+kept AS (
+  SELECT e.user_id, e.dst, e.rn, fp.prn
+  FROM ev e LEFT JOIN fp USING (user_id)
+  WHERE e.rn <= coalesce(fp.prn, 2147483647)
+),
+seq AS (
+  SELECT dst, coalesce(lag(dst) OVER (PARTITION BY user_id
+                                      ORDER BY rn ASC), 'START') AS src
+  FROM kept
+),
+ends AS (
+  SELECT dst AS src, 'NULL' AS dst FROM (
+    SELECT user_id, dst, prn,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY rn DESC) AS rr
+    FROM kept
+  ) WHERE rr = 1 AND prn IS NULL
+),
+tr AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT src, dst FROM seq UNION ALL SELECT src, dst FROM ends
+  ) GROUP BY 1, 2
+),
+tot AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot
+                     FROM tr GROUP BY 1),
+sts AS MATERIALIZED (SELECT DISTINCT src AS s FROM tr),
+pinit AS MATERIALIZED (
+  SELECT s, CAST(0 AS BIGINT) AS p FROM sts
+  UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT)
+  UNION ALL SELECT 'NULL', CAST(0 AS BIGINT)
+)"""
+    _variants = [("f", None)] + [
+        (f"c{i}", ch) for i, ch in enumerate(_MK_CHANNELS)]
+    for _v, _removed in _variants:
+        prev = "pinit"
+        for _k in range(_MK_ITERS):
+            w = f"AND t.dst != '{_removed}'" if _removed else ""
+            _mk += f""",
+p{_v}{_k} AS MATERIALIZED (
+  SELECT st.s, coalesce(nx.p, CAST(0 AS BIGINT)) AS p
+  FROM sts st LEFT JOIN (
+    SELECT t.src AS s,
+      CAST(round(CAST(sum(t.cnt * p.p) AS DOUBLE)
+           / CAST(max(tt.tot) AS DOUBLE)) AS BIGINT) AS p
+    FROM tr t JOIN {prev} p ON p.s = t.dst
+    JOIN tot tt ON tt.src = t.src
+    WHERE 1=1 {w}
+    GROUP BY 1
+  ) nx ON st.s = nx.s
+  UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT)
+  UNION ALL SELECT 'NULL', CAST(0 AS BIGINT)
+)"""
+            prev = f"p{_v}{_k}"
+    _last = _MK_ITERS - 1
+    _eff_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        f"(SELECT p FROM pf{_last} WHERE s = 'START') AS pf, "
+        f"(SELECT p FROM pc{i}{_last} WHERE s = 'START') AS pr"
+        for i, ch in enumerate(_MK_CHANNELS)
+    )
+    o["events_markov_attribution"] = _mk + f""",
+eff AS ({_eff_rows}),
+effm AS (
+  SELECT channel, pf, pr,
+    CAST(CASE WHEN pf = 0 THEN 0
+         ELSE round((1.0 - CAST(pr AS DOUBLE) / CAST(pf AS DOUBLE))
+                    * 1000000.0) END AS BIGINT) AS em
+  FROM eff
+)
+SELECT channel,
+  round(CAST(pf AS DOUBLE) / 1000000.0, 6) AS p_full,
+  round(CAST(pr AS DOUBLE) / 1000000.0, 6) AS p_removed,
+  CAST(em AS DOUBLE) / 1000000.0 AS removal_effect,
+  CASE WHEN (SELECT sum(em) FROM effm) = 0 THEN 0.0
+       ELSE round(CAST(em AS DOUBLE)
+            / CAST((SELECT sum(em) FROM effm) AS DOUBLE), 6)
+  END AS attribution_share
+FROM effm
 """
     # CMS inner-product join-size estimate (AGMS): per-depth-row
     # Σ a·b over shared buckets, MIN over rows; exact rides along

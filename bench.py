@@ -212,6 +212,7 @@ HEADLINE = [
     "docs_domain_quota",
     "docs_boilerplate_prefixes",
     "lineitem_join_size_estimate",
+    "events_markov_attribution",
 ]
 
 

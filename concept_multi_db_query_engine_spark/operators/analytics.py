@@ -1471,3 +1471,124 @@ def conversion_lag_quantiles(
     return n.crossJoin(F.broadcast(q)).select(
         "n_users", "n_converted", *qnames
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    channels: list[str] | None = None,
+    iterations: int = 32,
+) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2014) — the data-driven alternative to last-click: model user
+    journeys as a first-order chain over channel states with absorbing
+    CONV/NULL, and credit each channel by how much the conversion
+    probability DROPS when journeys can no longer pass through it.
+
+    Distributed part: journeys truncate at the first conversion, one
+    window pass derives (src → dst) transitions (START openers, NULL
+    closers for non-converters), ONE hash aggregation counts them —
+    the collect is the (|channels|+3)² transition matrix, bounded
+    model data like the kmeans centroids.  Driver part: value
+    iteration in exact MICRO-UNIT integers — each step rounds
+    ``Σ cnt·p / tot`` back to an integer, so the iteration hits a
+    LITERAL fixed point (increments below half a micro vanish) and a
+    SQL replay of the same recurrence is bit-identical; no epsilon
+    convergence test, no float-order sensitivity.  Removal of channel
+    c = dropping transitions INTO c while keeping row totals (the
+    redirect-to-NULL convention).
+
+    Returns one row per channel: (channel, p_full, p_removed,
+    removal_effect, attribution_share), all rounded 6; shares are
+    normalized over exact micro-unit effects so their sum is
+    order-independent.
+    """
+    from pyspark.sql import Window
+
+    def _rha(x: float, nd: int = 0) -> float:
+        # SQL round(): half away from zero (values here are >= 0)
+        import math
+
+        scale = 10 ** nd
+        return math.floor(x * scale + 0.5) / scale
+
+    ordered = events.select(
+        "user_id",
+        F.when(F.col("event_type") == conversion_type, F.lit("CONV"))
+        .otherwise(F.col("event_type")).alias("dst"),
+        F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ).alias("rn"),
+    )
+    first_conv = ordered.where(F.col("dst") == "CONV").groupBy(
+        "user_id").agg(F.min("rn").alias("prn"))
+    kept = ordered.join(first_conv, "user_id", "left").where(
+        F.col("rn") <= F.coalesce(F.col("prn"), F.lit(2**31 - 1))
+    )
+    seq = kept.select(
+        "user_id", "dst", "rn", "prn",
+        F.coalesce(
+            F.lag("dst").over(
+                Window.partitionBy("user_id").orderBy(F.col("rn").asc())
+            ),
+            F.lit("START"),
+        ).alias("src"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    ends = (
+        kept.withColumn("rr", F.row_number().over(wlast))
+        .where(F.col("rr") == 1).where(F.col("prn").isNull())
+        .select(F.col("dst").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    tr = (
+        seq.select("src", "dst").unionByName(ends)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = tr.collect()  # bounded: (channels + 3)^2 model data
+    cnt: dict[str, dict[str, int]] = {}
+    for r in rows:
+        cnt.setdefault(r["src"], {})[r["dst"]] = int(r["cnt"])
+    tot = {s: sum(d.values()) for s, d in cnt.items()}
+    states = sorted(cnt)
+
+    def converge(removed: str | None) -> int:
+        p = {"CONV": 1_000_000, "NULL": 0}
+        for s in states:
+            p[s] = 0
+        for _ in range(iterations):
+            nxt = {}
+            for s in states:
+                acc = sum(c * p.get(d, 0)
+                          for d, c in cnt[s].items() if d != removed)
+                nxt[s] = int(_rha(acc / tot[s]))
+            p.update(nxt)
+        return p.get("START", 0)
+
+    if channels is None:
+        channels = sorted(
+            s for s in states if s not in ("START", "CONV", "NULL"))
+    pf = converge(None)
+    out = []
+    for c in channels:
+        pr = converge(c)
+        effect_micro = (
+            int(_rha((1.0 - pr / pf) * 1_000_000.0)) if pf else 0)
+        out.append((c, pf, pr, effect_micro))
+    total_eff = sum(e for _, _, _, e in out)
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                _rha(pfv / 1_000_000.0, 6),
+                _rha(prv / 1_000_000.0, 6),
+                em / 1_000_000.0,
+                _rha(em / total_eff, 6) if total_eff else 0.0,
+            )
+            for c, pfv, prv, em in out
+        ],
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    )

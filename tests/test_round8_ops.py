@@ -807,3 +807,64 @@ def test_cms_join_size_python_replay(spark):
             cb[bucket(v, j, 64)] = cb.get(bucket(v, j, 64), 0) + 1
         est.append(sum(ca[x] * cb.get(x, 0) for x in ca))
     assert row["est_join_size"] == min(est)
+
+
+# ---- markov_removal_attribution (round-8 wave) ---------------------------------
+
+
+def _journeys(spark, paths):
+    rows = []
+    for uid, path in enumerate(paths):
+        for i, et in enumerate(path):
+            rows.append((uid * 1000 + i, uid,
+                         dt.datetime(2024, 1, 1, 0, 0, i), et))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, "
+              "event_type string")
+
+
+def test_markov_attribution_single_channel_gets_all_credit(spark):
+    # every conversion flows through 'click'; 'view' never converts
+    ev = _journeys(spark, [
+        ["click", "purchase"], ["click", "purchase"],
+        ["view"], ["view"],
+    ])
+    out = {r["channel"]: r for r in
+           ops.markov_removal_attribution(ev).collect()}
+    assert out["click"]["attribution_share"] == pytest.approx(1.0)
+    assert out["view"]["attribution_share"] == pytest.approx(0.0)
+    # removing click kills all conversion
+    assert out["click"]["p_removed"] == 0.0
+    assert out["click"]["removal_effect"] == pytest.approx(1.0)
+
+
+def test_markov_attribution_matches_hand_computed_chain(spark):
+    # START -> click (p=1); click -> purchase 0.5, click -> NULL 0.5
+    ev = _journeys(spark, [["click", "purchase"], ["click"]])
+    out = {r["channel"]: r for r in
+           ops.markov_removal_attribution(ev).collect()}
+    assert out["click"]["p_full"] == pytest.approx(0.5)
+
+
+def test_markov_attribution_truncates_after_first_conversion(spark):
+    # post-purchase events must not create transitions (the second
+    # 'view' would otherwise leak credit)
+    ev = _journeys(spark, [["click", "purchase", "view", "view"]])
+    out = {r["channel"]: r for r in
+           ops.markov_removal_attribution(ev).collect()}
+    assert "view" not in out  # view never appears pre-conversion
+    assert out["click"]["p_full"] == pytest.approx(1.0)
+
+
+def test_markov_attribution_is_partitioning_independent(spark):
+    ev = _journeys(spark, [
+        ["view", "click", "purchase"], ["view"], ["click", "purchase"],
+        ["view", "view", "purchase"], ["click"], ["view", "click"],
+    ])
+    a = sorted(map(tuple, ops.markov_removal_attribution(ev).collect()))
+    b = sorted(map(tuple, ops.markov_removal_attribution(
+        ev.repartition(7)).collect()))
+    assert a == b
+    shares = {r[0]: r[4] for r in a}
+    # view opens more journeys; click closes more — both positive
+    assert shares["click"] > 0 and shares["view"] > 0
