@@ -14,11 +14,18 @@ we provide the two streaming shapes the Spark rebuild actually needs:
   'materialized' strategy routes to.
 """
 
-from .corpus import clean_document_stream, run_clean_documents_batch
+from .corpus import (
+    clean_document_stream,
+    quota_admission_stream,
+    run_clean_documents_batch,
+    score_document_stream,
+)
 from .windows import run_windowed_aggregation_batch, windowed_event_counts
 
 __all__ = [
     "clean_document_stream",
+    "quota_admission_stream",
+    "score_document_stream",
     "run_clean_documents_batch",
     "run_windowed_aggregation_batch",
     "windowed_event_counts",

@@ -91,3 +91,76 @@ def run_clean_documents_batch(
     run_stream_to_memory(cleaned, "stream_clean_documents",
                          output_mode="append")
     return spark.sql("SELECT * FROM stream_clean_documents")
+
+
+def score_document_stream(
+    stream: DataFrame,
+    weights: list[float],
+    feature_exprs: list[str],
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.classify.logistic_score`:
+    the frozen-weights classifier is a pure narrow map, so the SAME
+    call works on a streaming frame unchanged — this wrapper exists to
+    pin that contract with a batch-equality test (train offline, score
+    the firehose; the standard quality-gate deployment shape)."""
+    from ..operators.classify import logistic_score
+
+    return logistic_score(stream, weights, feature_exprs,
+                          id_col=id_col, threshold=threshold)
+
+
+def quota_admission_stream(
+    stream: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """STATEFUL streaming domain quota: admit the first ``quota``
+    documents per domain across the whole stream, then drop the rest —
+    the online counterpart of the batch
+    :func:`..operators.text.domain_quota_sample` (which picks a
+    deterministic md5-ordered sample from a complete corpus; a stream
+    has no complete corpus, so the online policy is first-arrival,
+    the order micro-batches deliver).
+
+    Implemented with ``applyInPandasWithState``: state is ONE integer
+    per domain (admitted-so-far) — constant memory per key, mergeable
+    across restarts via the checkpoint.  Emits (domain, doc_id,
+    admit_rank) for admitted documents only.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = (
+        f"{domain_col} string, {id_col} long, admit_rank int"
+    )
+    state_schema = "admitted int"
+
+    def admit(key, pdfs, state: GroupState):
+        admitted = state.get[0] if state.exists else 0
+        doms, ids, ranks = [], [], []
+        for pdf in pdfs:
+            for doc in pdf[id_col]:
+                if admitted >= quota:
+                    break
+                admitted += 1
+                doms.append(key[0])
+                ids.append(int(doc))
+                ranks.append(admitted)
+        state.update((admitted,))
+        yield pd.DataFrame({
+            domain_col: doms, id_col: ids, "admit_rank": ranks,
+        })
+
+    return (
+        stream.select(domain_col, id_col)
+        .groupBy(domain_col)
+        .applyInPandasWithState(
+            admit, out_schema, state_schema, "Append", timeout,
+        )
+    )

@@ -644,3 +644,61 @@ def test_minhash_incremental_probe_on_streamed_batches(spark):
     )
     q.awaitTermination(180)
     assert sorted(got) == want
+
+
+def test_stream_classifier_scoring_matches_batch(spark):
+    """logistic_score is a frozen-weights narrow map: scoring a bounded
+    document stream must produce exactly the batch scores."""
+    from concept_multi_db_query_engine_spark.operators.classify import (
+        logistic_score,
+    )
+    from concept_multi_db_query_engine_spark.streaming import corpus as sc
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    feats = [
+        "(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE))",
+    ]
+    w = [0.2, -1.5]
+    stream = sc._bounded_document_stream(spark, docs_path)
+    plan = sc.score_document_stream(stream, w, feats)
+    sc.run_clean_documents_batch  # module import sanity
+    from concept_multi_db_query_engine_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    run_stream_to_memory(plan, "stream_scored", output_mode="append")
+    got = _rows(spark.sql("SELECT * FROM stream_scored"),
+                ["doc_id", "score", "predicted"])
+    batch = logistic_score(
+        testdata.load_table(spark, SF_DIR, "documents"), w, feats)
+    assert got == _rows(batch, ["doc_id", "score", "predicted"])
+
+
+def test_stream_quota_admission_caps_every_domain(spark):
+    """applyInPandasWithState quota: across the whole drained stream no
+    domain exceeds its cap, ranks are 1..n_kept, and under-quota domains
+    keep everything."""
+    from concept_multi_db_query_engine_spark.streaming import corpus as sc
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    stream = sc._bounded_document_stream(spark, docs_path)
+    plan = sc.quota_admission_stream(stream, quota=7)
+    from concept_multi_db_query_engine_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    run_stream_to_memory(plan, "stream_quota", output_mode="append")
+    got = spark.sql("SELECT * FROM stream_quota").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["admit_rank"])
+    totals = {
+        r["source"]: r["n"]
+        for r in testdata.load_table(spark, SF_DIR, "documents")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for dom, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(7, totals[dom])
+    assert set(per) == set(totals)
