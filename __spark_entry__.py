@@ -828,6 +828,25 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+_BM25_TERMS = ["column", "sort", "window"]
+
+
+def _q_bm25(spark, sf):
+    return ops.bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=15)
+
+
+def _q_hybrid_rrf(spark, sf):
+    # the hybrid-retrieval shape: lexical BM25 list fused with a vector
+    # kNN list (embedding ids align with doc ids in the fixture corpus)
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = ops.bm25_topk(docs, _BM25_TERMS, k=10).select("doc_id", "rank")
+    vec = ops.topk_cosine_bruteforce(
+        emb, emb.where("vec_id = 0"), k=10
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return ops.rrf_fuse(lex, vec, k=60, topk=10)
+
+
 _MK_CHANNELS = ["click", "error", "signup", "view"]
 _MK_ITERS = 32
 
@@ -1889,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_boilerplate_prefixes": _q_boilerplate,
             "lineitem_join_size_estimate": _q_join_size_estimate,
             "events_markov_attribution": _q_markov_attribution,
+            "docs_bm25_topk": _q_bm25,
+            "docs_hybrid_rrf": _q_hybrid_rrf,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1932,6 +1953,7 @@ _GATE_PRIORITY = [
     "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
     "docs_domain_quota", "docs_boilerplate_prefixes",
     "lineitem_join_size_estimate", "events_markov_attribution",
+    "docs_bm25_topk", "docs_hybrid_rrf",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1939,9 +1961,9 @@ _GATE_PRIORITY = [
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
-    "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
-    "dedup_repeated_passages",
+    "events_hourly_anomaly", "docs_weighted_sample",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph",
     # remaining r5-graded rows
     "orders_rollup", "orders_cube", "events_transitions",
@@ -3098,6 +3120,79 @@ SELECT bin, n,
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
 """
+    # BM25 replay: same Lucene idf, same round-6-then-micro-sum
+    _bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    _bm25_cte = f"""
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE t != ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM toks GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS tot_len FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term IN ({_bm25_terms_sql}) GROUP BY 1, 2),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(round(round(
+      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+           / CAST(tot_len AS DOUBLE))), 6) * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), st
+),
+sc AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS score
+       FROM contrib GROUP BY 1),
+bm AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM sc
+)"""
+    o["docs_bm25_topk"] = ("WITH " + _bm25_cte
+                           + "\nSELECT doc_id, score, rank FROM bm "
+                             "WHERE rank <= 15\n")
+    o["docs_hybrid_rrf"] = ("WITH " + _bm25_cte + "," + _COS_NORM_CTE
+                            .lstrip().rstrip() + """,
+vk AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+              AS INT) AS rank
+  FROM (
+    SELECT c.vec_id,
+           round(list_dot_product(q.v, c.v)
+                 / sqrt(q.norm2 * c.norm2), 6) AS cosine
+    FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id != 0
+  )
+),
+fused AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS rrf_score FROM (
+    SELECT doc_id,
+           CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                AS BIGINT) AS c
+    FROM bm WHERE rank <= 10
+    UNION ALL
+    SELECT doc_id,
+           CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                AS BIGINT) AS c
+    FROM vk WHERE rank <= 10
+  ) GROUP BY 1
+)
+SELECT doc_id, rrf_score, CAST(fused_rank AS INT) AS fused_rank FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+           AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+""")
     # Markov removal attribution replay: transitions from the same
     # truncated journeys, then the SAME micro-unit value-iteration
     # recurrence per variant (full + one removal per channel) — identical

@@ -213,6 +213,8 @@ HEADLINE = [
     "docs_boilerplate_prefixes",
     "lineitem_join_size_estimate",
     "events_markov_attribution",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
 ]
 
 

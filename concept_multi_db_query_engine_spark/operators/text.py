@@ -2519,3 +2519,116 @@ def boilerplate_prefixes(
         counted.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson-Spärck Jones): the top-``k`` documents
+    for a bag-of-words query — the lexical half of every hybrid
+    retrieval stack, and the scoring function behind benchmark-corpus
+    decontamination lookups.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))``
+    with the Lucene idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Scale shape: one tokenize scan filtered TO THE QUERY TERMS before
+    the (doc, term) aggregation — the exchange carries only matching
+    postings, not the corpus vocabulary; df/avgdl are term-count /
+    one-row broadcast frames; the final per-doc sum is one hash
+    aggregate.  Scores round to 6 BEFORE ranking (ties → doc asc) so
+    the cut is deterministic across engines' ln ULPs — the TF-IDF
+    discipline.  Returns (doc_id, score, rank).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_len"),
+    )
+    qt = toks.where(F.col("term").isin(terms))
+    tf = qt.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "round(ln(1.0d + (CAST(n_docs AS DOUBLE) "
+                "- CAST(df AS DOUBLE) + 0.5d) "
+                "/ (CAST(df AS DOUBLE) + 0.5d)) "
+                f"* (CAST(tf AS DOUBLE) * ({k1!r}d + 1.0d)) "
+                f"/ (CAST(tf AS DOUBLE) + {k1!r}d * (1.0d - {b!r}d "
+                f"+ {b!r}d * CAST(dl AS DOUBLE) "
+                "* CAST(n_docs AS DOUBLE) / CAST(tot_len AS DOUBLE))), 6)"
+            ).alias("__t"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        # per-term contributions are round-6 → micro-unit BIGINTs sum
+        # exactly; one conversion back at the end
+        (F.sum(F.expr("CAST(round(__t * 1000000.0d) AS BIGINT)"))
+         .cast("double") / F.lit(1000000.0)).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    result lists — the standard way to combine lexical (BM25) and
+    vector (ANN) retrieval without score calibration:
+    ``rrf(d) = Σ_lists 1/(k + rank_d)``, missing-from-list contributes
+    nothing.
+
+    One union + one hash aggregation; fused scores are exact integer
+    micro-units of the 1/(k+r) terms so the sum is order-independent
+    and engine-identical.  Returns (doc_id, rrf_score, fused_rank)
+    top-``topk``.
+    """
+    parts = []
+    for side in (results_a, results_b):
+        parts.append(side.select(
+            F.col(id_col),
+            F.expr(
+                f"CAST(round(1000000.0d / ({k}.0d "
+                f"+ CAST({rank_col} AS DOUBLE))) AS BIGINT)"
+            ).alias("__c"),
+        ))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy(id_col)
+        .agg((F.sum("__c").cast("double") / F.lit(1000000.0))
+             .alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+    )

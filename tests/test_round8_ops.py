@@ -868,3 +868,73 @@ def test_markov_attribution_is_partitioning_independent(spark):
     shares = {r[0]: r[4] for r in a}
     # view opens more journeys; click closes more — both positive
     assert shares["click"] > 0 and shares["view"] > 0
+
+
+# ---- bm25_topk / rrf_fuse (round-8 wave 2) --------------------------------------
+
+
+def _retrieval_docs(spark):
+    return spark.createDataFrame(
+        [(0, "spark spark spark engine"),
+         (1, "spark engine"),
+         (2, "engine room"),
+         (3, "nothing relevant here"),
+         (4, "spark")],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_ranks_by_relevance(spark):
+    out = ops.bm25_topk(_retrieval_docs(spark), ["spark"], k=3)
+    rows = [(r["doc_id"], r["rank"]) for r in
+            out.orderBy("rank").collect()]
+    # doc 4 is pure query term (shortest); doc 0 has highest tf
+    ids = [d for d, _ in rows]
+    assert 3 not in ids           # no query term → no score
+    assert ids[0] in (0, 4)       # tf vs length-norm tradeoff
+    assert len(rows) == 3
+
+
+def test_bm25_matches_python_replay(spark):
+    import math
+
+    docs = [(0, "a b a c"), (1, "a d"), (2, "b b b"), (3, "c c a")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           ops.bm25_topk(sdf, ["a", "b"], k=4).collect()}
+    toks = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avg = sum(len(t) for t in toks.values()) / N
+    want = {}
+    for d, t in toks.items():
+        s = 0
+        for term in ("a", "b"):
+            tf = t.count(term)
+            if not tf:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            raw = idf * (tf * 2.2) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avg))
+            s += int(math.floor(round(raw, 6) * 1e6 + 0.5))
+        if s:
+            want[d] = s / 1e6
+    assert got == want
+
+
+def test_bm25_validates_empty_query(spark):
+    with pytest.raises(ValueError):
+        ops.bm25_topk(_retrieval_docs(spark), [])
+
+
+def test_rrf_fusion_prefers_doc_ranked_by_both(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+           for r in ops.rrf_fuse(a, b, k=60).collect()}
+    # doc 2 appears in both lists -> top fused rank
+    assert out[2][1] == 1
+    assert out[2][0] == pytest.approx(
+        round(1e6 / 62) / 1e6 + round(1e6 / 61) / 1e6)
+    assert set(out) == {1, 2, 3, 4}
