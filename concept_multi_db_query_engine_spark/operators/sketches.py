@@ -388,11 +388,30 @@ def cms_join_size(
     ``distinct_sketch_comparison``.  Returns ONE row: (est_join_size,
     exact_join_size, overcount_ratio).
     """
-    sa = count_min_sketch(df_a, column, depth, width, salt)
-    sb = count_min_sketch(df_b, column, depth, width, salt)
+    fa = df_a.groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+    fb = df_b.groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+
+    def _sketch(freqs: DataFrame) -> DataFrame:
+        # identical counters to hashing every raw row, at |distinct
+        # keys| x depth md5 calls instead of |rows| x depth — the keyed
+        # count frame exists anyway for the exact report, and at scale
+        # hashing cost must follow key cardinality, not row count
+        h = _cms_hash("v", depth, width, salt)
+        return (
+            freqs.select(
+                F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
+                "v", "f",
+            )
+            .select("j", F.expr(h).alias("bucket"), "f")
+            .groupBy("j", "bucket")
+            .agg(F.sum("f").cast("long").alias("c"))
+        )
+
     per_row = (
-        sa.select("j", "bucket", F.col("c").alias("ca"))
-        .join(sb.select("j", "bucket", F.col("c").alias("cb")),
+        _sketch(fa).select("j", "bucket", F.col("c").alias("ca"))
+        .join(_sketch(fb).select("j", "bucket", F.col("c").alias("cb")),
               ["j", "bucket"])
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
@@ -402,13 +421,12 @@ def cms_join_size(
     est = per_row.agg(
         F.coalesce(F.min("ip"), F.lit(0)).cast("long")
         .alias("est_join_size"))
-    fa = df_a.groupBy(F.col(column).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("fa"))
-    fb = df_b.groupBy(F.col(column).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("fb"))
-    exact = fa.join(fb, "v").agg(
-        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
-        .cast("long").alias("exact_join_size"))
+    exact = (
+        fa.select("v", F.col("f").alias("fa"))
+        .join(fb.select("v", F.col("f").alias("fb")), "v")
+        .agg(F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+             .cast("long").alias("exact_join_size"))
+    )
     return est.crossJoin(F.broadcast(exact)).select(
         "est_join_size", "exact_join_size",
         F.expr(
