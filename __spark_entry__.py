@@ -828,6 +828,27 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_grouped_split(spark, sf):
+    return ops.grouped_hash_split(
+        _t(spark, sf, "documents"), "source"
+    ).select("doc_id", "source", "bucket", "split")
+
+
+def _q_conformal(spark, sf):
+    # calibrate a trivial per-priority mean model on order totals: the
+    # conformal interval then says how wide "pred ± q" must be for 80%
+    # finite-sample coverage of order values
+    orders = _t(spark, sf, "orders")
+    means = orders.groupBy("o_orderpriority").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double") / F.count(F.lit(1))).alias("pred")
+    )
+    scored = orders.join(F.broadcast(means), "o_orderpriority").select(
+        "pred", F.col("o_totalprice").cast("double").alias("actual")
+    )
+    return ops.conformal_interval(scored, "pred", "actual", alpha=0.2)
+
+
 _BM25_TERMS = ["column", "sort", "window"]
 
 
@@ -1910,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_markov_attribution": _q_markov_attribution,
             "docs_bm25_topk": _q_bm25,
             "docs_hybrid_rrf": _q_hybrid_rrf,
+            "docs_grouped_split": _q_grouped_split,
+            "orders_conformal_interval": _q_conformal,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1954,6 +1977,7 @@ _GATE_PRIORITY = [
     "docs_domain_quota", "docs_boilerplate_prefixes",
     "lineitem_join_size_estimate", "events_markov_attribution",
     "docs_bm25_topk", "docs_hybrid_rrf",
+    "docs_grouped_split", "orders_conformal_interval",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
@@ -1961,8 +1985,8 @@ _GATE_PRIORITY = [
     "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
-    "events_hourly_anomaly", "docs_weighted_sample",
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph",
     # remaining r5-graded rows
@@ -3119,6 +3143,45 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # leakage-safe grouped split: hash over the GROUP value, same exact
+    # 60-bit thresholds as hash_split (train 0.9 / val 0.05)
+    _g_tt = int(0.9 * (1 << 60))
+    _g_tv = _g_tt + int(0.05 * (1 << 60))
+    _g_h = ("('0x' || substr(md5(CAST(source AS VARCHAR) || ':gsplit'), "
+            "1, 15))::BIGINT")
+    o["docs_grouped_split"] = f"""
+SELECT doc_id, source, {_g_h} AS bucket,
+       CASE WHEN {_g_h} < {_g_tt} THEN 'train'
+            WHEN {_g_h} < {_g_tv} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    # split-conformal: exact k-th-order-statistic residual via ranked
+    # selection (k = least(n, ceil((n+1)*(1-alpha))) computed in SQL with
+    # the same double arithmetic the Python driver uses)
+    o["orders_conformal_interval"] = """
+WITH means AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS pred
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT round(abs(CAST(o_totalprice AS DOUBLE) - pred), 6) AS v
+  FROM orders JOIN means USING (o_orderpriority)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+kk AS (SELECT n, CAST(least(CAST(n AS DOUBLE),
+                     ceil((CAST(n AS DOUBLE) + 1.0) * 0.8)) AS BIGINT)
+              AS k FROM nn),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn FROM r),
+qh AS (SELECT v AS q FROM ranked, kk WHERE rn = k)
+SELECT kk.n AS n_calib, kk.k AS k_order, qh.q AS q_hat,
+       round(CAST((SELECT count(*) FROM r, qh WHERE r.v <= qh.q)
+             AS DOUBLE) / CAST(kk.n AS DOUBLE), 6)
+         AS empirical_coverage
+FROM kk, qh
 """
     # BM25 replay: same Lucene idf, same round-6-then-micro-sum
     _bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)

@@ -215,6 +215,8 @@ HEADLINE = [
     "events_markov_attribution",
     "docs_bm25_topk",
     "docs_hybrid_rrf",
+    "docs_grouped_split",
+    "orders_conformal_interval",
 ]
 
 

@@ -1396,3 +1396,60 @@ def kaplan_meier(
         F.col("d").alias("__d"),
     )
     return out.where(F.col("__d") > 0).drop("__d")
+
+
+def conformal_interval(
+    scored: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018):
+    from a CALIBRATION frame of (prediction, actual) pairs, the
+    half-width ``q̂`` = the ⌈(n+1)(1−α)⌉-th smallest absolute residual
+    — then ``pred ± q̂`` covers ≥ 1−α of future points under
+    exchangeability, a finite-sample guarantee no Gaussian interval
+    gives.  The distribution-free calibration every model-gated corpus
+    filter should run before trusting its threshold.
+
+    Exact ORDER STATISTIC, not an interpolated quantile: the k-th
+    smallest is fetched as the MIN of the (n−k+1) LARGEST residuals —
+    a ``TakeOrderedAndProject`` top-(n−k+1) heap, and n−k+1 ≈ α·n is
+    small for the usual α (calibration frames are holdout-sized by
+    design; an α near 1 would invert the heap economics).  One count
+    probe + one heap pass + one coverage scan.  Returns ONE row:
+    (n_calib, k_order, q_hat, empirical_coverage), rounded 6.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    import math
+
+    resid = scored.where(
+        F.col(pred_col).isNotNull() & F.col(actual_col).isNotNull()
+    ).select(
+        F.round(
+            F.abs(F.col(actual_col).cast("double")
+                  - F.col(pred_col).cast("double")), 6
+        ).alias("__r")
+    ).localCheckpoint(eager=True)
+    n = resid.count()
+    if n == 0:
+        raise ValueError("conformal_interval: empty calibration frame")
+    k = min(n, math.ceil((n + 1) * (1.0 - alpha)))
+    top = n - k + 1
+    q_hat = (
+        resid.orderBy(F.col("__r").desc()).limit(top)
+        .agg(F.min("__r").alias("q"))
+    )
+    cov = resid.crossJoin(F.broadcast(q_hat)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        F.expr(
+            "round(CAST(sum(CASE WHEN __r <= q THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)"
+        ).alias("empirical_coverage"),
+        F.min("q").alias("q_hat"),
+    )
+    return cov.select(
+        "n_calib", F.lit(k).cast("long").alias("k_order"),
+        "q_hat", "empirical_coverage",
+    )

@@ -2632,3 +2632,40 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w))
         .where(F.col("fused_rank") <= topk)
     )
+
+
+def grouped_hash_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: the hash is taken over
+    the GROUP (domain, author, dedup-cluster id …), so every document
+    of a group lands in the same split — the split discipline that
+    keeps near-duplicates and same-source boilerplate from straddling
+    the train/test boundary and inflating eval numbers.  Same exact
+    60-bit md5 thresholds as :func:`hash_split`, same narrow-map plan
+    (no shuffle — group membership is already on the row).  Returns
+    the input columns + (bucket, split).
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val < 1):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    scale = 1 << _SPLIT_BITS
+    t_train = int(train * scale)
+    t_val = t_train + int(val * scale)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(group_col).cast("string"),
+                           F.lit(":" + salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return docs.withColumn("bucket", h).withColumn(
+        "split",
+        F.when(F.col("bucket") < t_train, "train")
+        .when(F.col("bucket") < t_val, "val")
+        .otherwise("test"),
+    )

@@ -938,3 +938,65 @@ def test_rrf_fusion_prefers_doc_ranked_by_both(spark):
     assert out[2][0] == pytest.approx(
         round(1e6 / 62) / 1e6 + round(1e6 / 61) / 1e6)
     assert set(out) == {1, 2, 3, 4}
+
+
+# ---- grouped_hash_split / conformal_interval (round-8 wave 2) -------------------
+
+
+def test_grouped_split_keeps_groups_intact(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 40}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = ops.grouped_hash_split(docs, "source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # the whole point: one split per group, never straddling
+    assert all(len(s) == 1 for s in by_group.values())
+    splits = {r["split"] for r in out}
+    assert "train" in splits and len(splits) >= 2
+    with pytest.raises(ValueError):
+        ops.grouped_hash_split(docs, "source", train=0.99, val=0.5)
+
+
+def test_grouped_split_matches_hash_split_on_group_value(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(70)], "doc_id long, source string")
+    grouped = {r["source"]: r["split"] for r in
+               ops.grouped_hash_split(docs, "source", salt="x").collect()}
+    direct = {r["doc_id"]: r["split"] for r in ops.hash_split(
+        docs.select(F.col("source").alias("doc_id")).distinct(),
+        salt="x").collect()}
+    assert grouped == direct
+
+
+def test_conformal_interval_order_statistic_exact(spark):
+    # residuals 1..100; alpha=0.1 → k = ceil(101*0.9) = 91 → q̂ = 91
+    df = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 101)],
+        "actual double, pred double",
+    )
+    row = ops.conformal_interval(df, "pred", "actual", alpha=0.1) \
+        .collect()[0]
+    assert row["n_calib"] == 100 and row["k_order"] == 91
+    assert row["q_hat"] == 91.0
+    assert row["empirical_coverage"] == pytest.approx(0.91)
+
+
+def test_conformal_interval_guards(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "actual double, pred double")
+    with pytest.raises(ValueError):
+        ops.conformal_interval(df, "pred", "actual", alpha=1.5)
+    empty = spark.createDataFrame([], "actual double, pred double")
+    with pytest.raises(ValueError, match="empty calibration"):
+        ops.conformal_interval(empty, "pred", "actual")
+
+
+def test_conformal_small_n_clamps_k(spark):
+    # n=3, alpha=0.05 → ceil(4*0.95)=4 > n → clamp to n (max residual)
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 0.0), (5.0, 0.0)], "actual double, pred double")
+    row = ops.conformal_interval(df, "pred", "actual", alpha=0.05) \
+        .collect()[0]
+    assert row["k_order"] == 3 and row["q_hat"] == 5.0
