@@ -828,6 +828,11 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_span_removal(spark, sf):
+    return ops.dedup_span_removal(_t(spark, sf, "documents"),
+                                  n=8, min_docs=2)
+
+
 def _q_grouped_split(spark, sf):
     return ops.grouped_hash_split(
         _t(spark, sf, "documents"), "source"
@@ -1933,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_hybrid_rrf": _q_hybrid_rrf,
             "docs_grouped_split": _q_grouped_split,
             "orders_conformal_interval": _q_conformal,
+            "dedup_span_removal": _q_span_removal,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1978,14 +1984,16 @@ _GATE_PRIORITY = [
     "lineitem_join_size_estimate", "events_markov_attribution",
     "docs_bm25_topk", "docs_hybrid_rrf",
     "docs_grouped_split", "orders_conformal_interval",
+    "dedup_span_removal",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
-    "order_value_quantiles_approx", "masking_role", "replica_routing",
+    "order_value_quantiles_approx", "masking_role",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph",
@@ -3143,6 +3151,39 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # duplicate-span removal: positions covered by corpus-duplicated
+    # 8-grams are deleted; gram positions 0-based in both engines
+    o["dedup_span_removal"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+pos AS (
+  SELECT doc_id, i.i - 1 AS i, array_to_string(w[i.i:i.i+7], ' ')
+           AS gram
+  FROM toks CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM toks) + 1)) AS i) i
+  WHERE len(w) >= 8 AND i.i <= len(w) - 7
+),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos)
+  GROUP BY gram HAVING count(*) >= 2
+),
+covpos AS (
+  SELECT p.doc_id, unnest(range(p.i, p.i + 8)) AS p
+  FROM pos p JOIN dup d ON p.gram = d.gram
+),
+cov AS (
+  SELECT doc_id, list_sort(list(DISTINCT p)) AS cov
+  FROM covpos GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(cov.cov), 0) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(list_filter(list_transform(w, (tok, idx) ->
+    CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, idx - 1)
+         THEN tok END), x -> x IS NOT NULL), ' '), '') AS cleaned_text
+FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
     # leakage-safe grouped split: hash over the GROUP value, same exact
     # 60-bit thresholds as hash_split (train 0.9 / val 0.05)

@@ -217,6 +217,7 @@ HEADLINE = [
     "docs_hybrid_rrf",
     "docs_grouped_split",
     "orders_conformal_interval",
+    "dedup_span_removal",
 ]
 
 

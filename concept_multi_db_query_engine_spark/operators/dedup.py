@@ -967,3 +967,77 @@ def fuzzy_join_blocked(
         )
         .where(F.col("distance") <= max_distance)
     )
+
+
+def dedup_span_removal(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-SPAN removal (the Lee et al. 2022 "Deduplicating
+    Training Data" rewrite, n-gram-indexed instead of suffix-arrayed):
+    every token covered by an n-gram that also appears in ≥
+    ``min_docs`` documents is DELETED from the text, keeping the
+    unique remainder — the step beyond
+    :func:`duplicate_ngram_fraction`, which only measures what this
+    removes.
+
+    Scale shape: one tokenize scan feeds positional n-grams; the
+    duplicated-gram set comes from a gram-keyed aggregation and joins
+    BACK on the gram key (an inverted index — the dup set is
+    corpus-sized and is never broadcast or collected); matched
+    positions explode to covered token indices, one per-doc
+    aggregation collects them, and the rewrite is a narrow
+    filter-by-position over the token array.  Docs shorter than ``n``
+    tokens pass through untouched (left join keeps them).  Returns
+    (doc_id, n_tokens, n_removed, cleaned_text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    positional = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+                f"ELSE array() END"
+            )
+        ).alias("i", "gram"),
+    )
+    dup_grams = (
+        positional.select("doc_id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        positional.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(coalesce(size(cov), 0) AS BIGINT)"
+            ).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', filter(zip_with(w, "
+                "sequence(0, size(w) - 1), (t, p) -> "
+                "CASE WHEN cov IS NULL OR NOT array_contains(cov, p) "
+                "THEN t END), x -> x IS NOT NULL))"
+            ).alias("cleaned_text"),
+        )
+    )

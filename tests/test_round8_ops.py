@@ -1000,3 +1000,59 @@ def test_conformal_small_n_clamps_k(spark):
     row = ops.conformal_interval(df, "pred", "actual", alpha=0.05) \
         .collect()[0]
     assert row["k_order"] == 3 and row["q_hat"] == 5.0
+
+
+# ---- dedup_span_removal (round-8 wave 2) ----------------------------------------
+
+
+def test_span_removal_deletes_shared_spans_only(spark):
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [(0, f"{shared} alpha beta"),
+         (1, f"gamma {shared} delta"),
+         (2, "totally unrelated text here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ops.dedup_span_removal(docs, n=4).collect()}
+    assert out[0]["cleaned_text"] == "alpha beta"
+    assert out[0]["n_removed"] == 4
+    assert out[1]["cleaned_text"] == "gamma delta"
+    # the unique doc is untouched
+    assert out[2]["cleaned_text"] == "totally unrelated text here now"
+    assert out[2]["n_removed"] == 0
+
+
+def test_span_removal_overlapping_grams_union_coverage(spark):
+    # "a b c d e" shared between docs: with n=4 both grams (0-3, 1-4)
+    # duplicate, covering all 5 positions exactly once
+    docs = spark.createDataFrame(
+        [(0, "a b c d e tail0"), (1, "a b c d e tail1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ops.dedup_span_removal(docs, n=4).collect()}
+    assert out[0]["n_removed"] == 5
+    assert out[0]["cleaned_text"] == "tail0"
+
+
+def test_span_removal_short_docs_pass_through(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc")],  # 2 tokens < n
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ops.dedup_span_removal(docs, n=8).collect()}
+    assert out[0]["cleaned_text"] == "tiny doc"
+    assert out[0]["n_removed"] == 0 and out[0]["n_tokens"] == 2
+
+
+def test_span_removal_plan_never_broadcasts_the_dup_set(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 3 + j) % 40}" for j in range(20)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = ops.dedup_span_removal(docs, n=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
