@@ -828,6 +828,10 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_position_attribution(spark, sf):
+    return ops.position_attribution(_t(spark, sf, "events"))
+
+
 def _q_span_removal(spark, sf):
     return ops.dedup_span_removal(_t(spark, sf, "documents"),
                                   n=8, min_docs=2)
@@ -1939,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_grouped_split": _q_grouped_split,
             "orders_conformal_interval": _q_conformal,
             "dedup_span_removal": _q_span_removal,
+            "events_position_attribution": _q_position_attribution,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1984,16 +1989,16 @@ _GATE_PRIORITY = [
     "lineitem_join_size_estimate", "events_markov_attribution",
     "docs_bm25_topk", "docs_hybrid_rrf",
     "docs_grouped_split", "orders_conformal_interval",
-    "dedup_span_removal",
+    "dedup_span_removal", "events_position_attribution",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
-    "order_value_quantiles_approx", "masking_role",
+    "order_value_quantiles_approx",
     # --- staleness rotation: the 15 oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "replica_routing",
+    "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph",
@@ -3151,6 +3156,59 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # rule-based multi-touch attribution: exact integer micro-credits
+    # (DIV/% remainders make every journey sum to exactly 1e6)
+    o["events_position_attribution"] = """
+WITH ev AS (
+  SELECT user_id, event_type AS ch,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+conv AS (SELECT user_id, min(rn) AS prn FROM ev
+         WHERE ch = 'purchase' GROUP BY 1),
+touches AS (
+  SELECT e.user_id, e.ch, e.rn FROM ev e JOIN conv USING (user_id)
+  WHERE e.rn < prn AND e.ch != 'purchase'
+),
+staged AS (
+  SELECT ch,
+    row_number() OVER (PARTITION BY user_id ORDER BY rn ASC) AS k,
+    count(*) OVER (PARTITION BY user_id) AS m
+  FROM touches
+),
+cr AS (
+  SELECT ch,
+    CASE WHEN k = 1 THEN 1000000 ELSE 0 END AS fc,
+    CASE WHEN k = m THEN 1000000 ELSE 0 END AS lc,
+    1000000 // m + CASE WHEN k = m THEN 1000000 % m ELSE 0 END AS lin,
+    CASE WHEN m = 1 THEN 1000000
+         WHEN m = 2 THEN 500000
+         WHEN k = 1 THEN 400000
+         WHEN k = m THEN 400000
+         ELSE 200000 // (m - 2)
+              + CASE WHEN k = m - 1 THEN 200000 % (m - 2) ELSE 0 END
+    END AS ush
+  FROM staged
+),
+tot AS (
+  SELECT ch, CAST(sum(fc) AS BIGINT) AS fc,
+         CAST(sum(lc) AS BIGINT) AS lc,
+         CAST(sum(lin) AS BIGINT) AS lin,
+         CAST(sum(ush) AS BIGINT) AS ush
+  FROM cr GROUP BY 1
+)
+SELECT ch AS channel,
+  round(CAST(fc AS DOUBLE) / CAST(sum(fc) OVER () AS DOUBLE), 6)
+    AS first_touch,
+  round(CAST(lc AS DOUBLE) / CAST(sum(lc) OVER () AS DOUBLE), 6)
+    AS last_touch,
+  round(CAST(lin AS DOUBLE) / CAST(sum(lin) OVER () AS DOUBLE), 6)
+    AS linear,
+  round(CAST(ush AS DOUBLE) / CAST(sum(ush) OVER () AS DOUBLE), 6)
+    AS u_shaped
+FROM tot
 """
     # duplicate-span removal: positions covered by corpus-duplicated
     # 8-grams are deleted; gram positions 0-based in both engines

@@ -218,6 +218,7 @@ HEADLINE = [
     "docs_grouped_split",
     "orders_conformal_interval",
     "dedup_span_removal",
+    "events_position_attribution",
 ]
 
 

@@ -1592,3 +1592,95 @@ def markov_removal_attribution(
         "channel string, p_full double, p_removed double, "
         "removal_effect double, attribution_share double",
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    u_shape_end: float = 0.4,
+) -> DataFrame:
+    """Rule-based multi-touch attribution — first-touch, last-touch,
+    linear, and U-shaped (``u_shape_end`` to each end, remainder spread
+    over the middle) credit per channel across CONVERTING journeys,
+    the heuristic baselines every Markov/Shapley attribution
+    (:func:`markov_removal_attribution`) is judged against.
+
+    One window pass numbers each converting user's pre-conversion
+    touches; credits are exact micro-unit integers per touch (the
+    U-shape splits 1e6 into integer end shares and an integer-divided
+    middle with the remainder on the LAST middle touch, so every
+    journey's credit sums to exactly 1e6 and channel totals are exact
+    BIGINTs under any partitioning).  One hash aggregation on the
+    channel.  Returns (channel, first_touch, last_touch, linear,
+    u_shaped) — shares of total conversions, rounded 6.
+    """
+    from pyspark.sql import Window
+
+    ordered = events.select(
+        "user_id",
+        F.col("event_type").alias("ch"),
+        F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ).alias("rn"),
+    )
+    conv = ordered.where(F.col("ch") == conversion_type).groupBy(
+        "user_id").agg(F.min("rn").alias("prn"))
+    touches = (
+        ordered.join(conv, "user_id")
+        .where(F.col("rn") < F.col("prn"))
+        .where(F.col("ch") != conversion_type)
+    )
+    w_t = Window.partitionBy("user_id")
+    end = int(u_shape_end * 1_000_000)
+    staged = touches.select(
+        "user_id", "ch",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("rn").asc())
+        ).alias("k"),
+        F.count(F.lit(1)).over(w_t).alias("m"),
+    ).select(
+        "ch",
+        F.expr("CASE WHEN k = 1 THEN 1000000 ELSE 0 END").alias("fc"),
+        F.expr("CASE WHEN k = m THEN 1000000 ELSE 0 END").alias("lc"),
+        # linear: 1e6 DIV m per touch, remainder to the last touch
+        F.expr(
+            "1000000 DIV m + CASE WHEN k = m THEN 1000000 % m "
+            "ELSE 0 END"
+        ).alias("lin"),
+        F.expr(
+            f"""CASE
+              WHEN m = 1 THEN 1000000
+              WHEN m = 2 THEN 500000
+              WHEN k = 1 THEN {end}
+              WHEN k = m THEN {end}
+              ELSE (1000000 - 2 * {end}) DIV (m - 2)
+                   + CASE WHEN k = m - 1 THEN
+                       (1000000 - 2 * {end}) % (m - 2) ELSE 0 END
+            END"""
+        ).alias("ush"),
+    )
+    totals = staged.groupBy("ch").agg(
+        F.sum("fc").cast("long").alias("fc"),
+        F.sum("lc").cast("long").alias("lc"),
+        F.sum("lin").cast("long").alias("lin"),
+        F.sum("ush").cast("long").alias("ush"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return totals.select(
+        F.col("ch").alias("channel"),
+        (F.round(F.col("fc").cast("double")
+                 / F.sum("fc").over(wall).cast("double"), 6))
+        .alias("first_touch"),
+        (F.round(F.col("lc").cast("double")
+                 / F.sum("lc").over(wall).cast("double"), 6))
+        .alias("last_touch"),
+        (F.round(F.col("lin").cast("double")
+                 / F.sum("lin").over(wall).cast("double"), 6))
+        .alias("linear"),
+        (F.round(F.col("ush").cast("double")
+                 / F.sum("ush").over(wall).cast("double"), 6))
+        .alias("u_shaped"),
+    )

@@ -1056,3 +1056,61 @@ def test_span_removal_plan_never_broadcasts_the_dup_set(spark):
     plan = ops.dedup_span_removal(docs, n=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---- position_attribution (round-8 wave 3) --------------------------------------
+
+
+def test_position_attribution_rule_shares(spark):
+    # journeys: [view, click, view2?, purchase]; channels view/click
+    ev = _journeys(spark, [
+        ["view", "click", "purchase"],   # first=view last=click
+        ["click", "purchase"],           # single touch: all to click
+        ["view", "view", "purchase"],    # first & last = view
+        ["view"],                        # never converts: excluded
+    ])
+    out = {r["channel"]: r for r in
+           ops.position_attribution(ev).collect()}
+    # first-touch: view 2/3, click 1/3
+    assert out["view"]["first_touch"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["click"]["first_touch"] == pytest.approx(1 / 3, abs=1e-6)
+    # last-touch: click 2/3 (j1 + j2), view 1/3 (j3)
+    assert out["click"]["last_touch"] == pytest.approx(2 / 3, abs=1e-6)
+    # linear: j1 view .5, click .5; j2 click 1; j3 view 1
+    assert out["view"]["linear"] == pytest.approx(1.5 / 3, abs=1e-6)
+    assert out["click"]["linear"] == pytest.approx(1.5 / 3, abs=1e-6)
+
+
+def test_position_attribution_u_shape_middle_split(spark):
+    ev = _journeys(spark, [
+        ["view", "click", "error", "signup", "purchase"],
+    ])
+    out = {r["channel"]: r for r in
+           ops.position_attribution(ev, u_shape_end=0.4).collect()}
+    assert out["view"]["u_shaped"] == pytest.approx(0.4)
+    assert out["signup"]["u_shaped"] == pytest.approx(0.4)
+    # middle 0.2 split over 2 touches
+    assert out["click"]["u_shaped"] == pytest.approx(0.1)
+    assert out["error"]["u_shaped"] == pytest.approx(0.1)
+
+
+def test_position_attribution_credit_sums_to_one(spark):
+    ev = _journeys(spark, [
+        ["view", "click", "purchase"], ["click", "view", "purchase"],
+        ["error", "purchase"], ["view", "view", "view", "purchase"],
+        ["signup", "click", "error", "purchase"],
+    ])
+    rows = ops.position_attribution(ev).collect()
+    for col in ("first_touch", "last_touch", "linear", "u_shaped"):
+        assert sum(r[col] for r in rows) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_position_attribution_partitioning_independent(spark):
+    ev = _journeys(spark, [
+        ["view", "click", "purchase"], ["click", "purchase"],
+        ["view", "error", "signup", "purchase"], ["view"],
+    ])
+    a = sorted(map(tuple, ops.position_attribution(ev).collect()))
+    b = sorted(map(tuple, ops.position_attribution(
+        ev.repartition(5)).collect()))
+    assert a == b
