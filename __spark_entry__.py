@@ -828,6 +828,11 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+def _q_mutual_information(spark, sf):
+    return ops.mutual_information(_t(spark, sf, "documents"),
+                                  "lang", "source")
+
+
 def _q_position_attribution(spark, sf):
     return ops.position_attribution(_t(spark, sf, "events"))
 
@@ -1944,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_conformal_interval": _q_conformal,
             "dedup_span_removal": _q_span_removal,
             "events_position_attribution": _q_position_attribution,
+            "docs_mutual_information": _q_mutual_information,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1990,15 +1996,15 @@ _GATE_PRIORITY = [
     "docs_bm25_topk", "docs_hybrid_rrf",
     "docs_grouped_split", "orders_conformal_interval",
     "dedup_span_removal", "events_position_attribution",
+    "docs_mutual_information",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
     "purchase_click_attribution", "dedup_survivors",
-    "order_value_quantiles_approx",
-    # --- staleness rotation: the 15 oldest r5-graded rows ---
+    # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "masking_role", "replica_routing",
+    "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
     "sim_knn_graph",
@@ -3156,6 +3162,42 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # mutual information: nano-quantized count-weighted ln terms
+    o["docs_mutual_information"] = """
+WITH joint AS (
+  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS nxy
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT x, y, nxy,
+    CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+    CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+    CAST(sum(nxy) OVER () AS BIGINT) AS n
+  FROM joint
+),
+terms AS (
+  SELECT n,
+    nxy * CAST(round(ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+          * 1000000000.0) AS BIGINT) AS mi,
+    nxy * CAST(round(ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE))
+          * 1000000000.0) AS BIGINT) AS hx,
+    nxy * CAST(round(ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE))
+          * 1000000000.0) AS BIGINT) AS hy
+  FROM cells
+)
+SELECT n,
+  round(CAST(sum(mi) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0), 6)
+    + 0.0 AS mi_nats,
+  round(CAST(sum(hx) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0), 6)
+    + 0.0 AS h_x,
+  round(CAST(sum(hy) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0), 6)
+    + 0.0 AS h_y,
+  round(CAST(sum(mi) AS DOUBLE) / nullif(sqrt(CAST(sum(hx) AS DOUBLE)
+    * CAST(sum(hy) AS DOUBLE)), 0.0), 6) + 0.0 AS nmi
+FROM terms GROUP BY 1
 """
     # rule-based multi-touch attribution: exact integer micro-credits
     # (DIV/% remainders make every journey sum to exactly 1e6)

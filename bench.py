@@ -219,6 +219,7 @@ HEADLINE = [
     "orders_conformal_interval",
     "dedup_span_removal",
     "events_position_attribution",
+    "docs_mutual_information",
 ]
 
 

@@ -1453,3 +1453,82 @@ def conformal_interval(
         "n_calib", F.lit(k).cast("long").alias("k_order"),
         "q_hat", "empirical_coverage",
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns (nats), with
+    the normalized variant ``MI / sqrt(H(X)·H(Y))`` — the
+    dependence screen run before trusting a stratification or blocking
+    key ("does source actually carry language information?"); unlike
+    chi², MI is directly interpretable as shared bits/nats.
+
+    ONE pass for the joint counts (hash aggregate); the marginals
+    derive from the joint frame (|X|·|Y| cells — model-sized, never
+    the fact table again).  Per-cell log terms quantize to nano-unit
+    BIGINTs weighted by exact integer counts (the NB/bigram ln
+    discipline: a ln ULP is absorbed by the rounding, the weighted sum
+    itself is exact), so the statistic is engine-identical.  Returns
+    ONE row: (n, mi_nats, h_x, h_y, nmi), all rounded 6.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = joint.select(
+        "x", "y", "nxy",
+        F.sum("nxy").over(wx).cast("long").alias("nx"),
+        F.sum("nxy").over(wy).cast("long").alias("ny"),
+        F.sum("nxy").over(wall).cast("long").alias("n"),
+    )
+    # per-cell quantized log terms, count-weighted exact integer sums
+    terms = cells.select(
+        "n",
+        F.expr(
+            "nxy * CAST(round(ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)"
+            " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) "
+            "* 1000000000.0d) AS BIGINT)"
+        ).alias("__mi"),
+        # entropy terms once per marginal value: attribute each joint
+        # cell 1/|cells-in-marginal|? No — weight by nxy and divide the
+        # marginal term by its own count so each marginal value counts
+        # once: nxy * ln(n/nx) sums to Σ_x nx·ln(n/nx) exactly
+        F.expr(
+            "nxy * CAST(round(ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE))"
+            " * 1000000000.0d) AS BIGINT)"
+        ).alias("__hx"),
+        F.expr(
+            "nxy * CAST(round(ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE))"
+            " * 1000000000.0d) AS BIGINT)"
+        ).alias("__hy"),
+    )
+    return terms.groupBy("n").agg(
+        F.expr(
+            "round(CAST(sum(__mi) AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * 1000000000.0d), 6) + 0.0d"
+        ).alias("mi_nats"),
+        F.expr(
+            "round(CAST(sum(__hx) AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * 1000000000.0d), 6) + 0.0d"
+        ).alias("h_x"),
+        F.expr(
+            "round(CAST(sum(__hy) AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * 1000000000.0d), 6) + 0.0d"
+        ).alias("h_y"),
+        F.expr(
+            "round(CAST(sum(__mi) AS DOUBLE) / nullif(sqrt("
+            "CAST(sum(__hx) AS DOUBLE) * CAST(sum(__hy) AS DOUBLE)), "
+            "0.0d), 6) + 0.0d"
+        ).alias("nmi"),
+    ).select("n", "mi_nats", "h_x", "h_y", "nmi")

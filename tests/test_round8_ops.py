@@ -1114,3 +1114,51 @@ def test_position_attribution_partitioning_independent(spark):
     b = sorted(map(tuple, ops.position_attribution(
         ev.repartition(5)).collect()))
     assert a == b
+
+
+# ---- mutual_information (round-8 wave 3) ----------------------------------------
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # perfectly independent 2x2 grid
+    df = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(25)],
+        "x string, y string",
+    )
+    row = ops.mutual_information(df, "x", "y").collect()[0]
+    assert row["mi_nats"] == pytest.approx(0.0, abs=1e-6)
+    assert row["h_x"] == pytest.approx(0.693147, abs=1e-5)
+    assert row["nmi"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mutual_information_deterministic_copy_is_entropy(spark):
+    # y = x exactly → MI = H(X) = ln(3), NMI = 1
+    df = spark.createDataFrame(
+        [(c, c) for c in "abc" for _ in range(10)], "x string, y string")
+    row = ops.mutual_information(df, "x", "y").collect()[0]
+    import math
+
+    assert row["mi_nats"] == pytest.approx(math.log(3), abs=1e-5)
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mutual_information_python_replay(spark):
+    import math
+    from collections import Counter
+
+    rows = [(f"x{i % 3}", f"y{(i * 2) % 5}") for i in range(97)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = ops.mutual_information(df, "x", "y").collect()[0]
+    jo, mx, my = Counter(rows), Counter(), Counter()
+    for x, y in rows:
+        mx[x] += 1
+        my[y] += 1
+    n = len(rows)
+
+    def q9(v):
+        return int(math.floor(abs(v) * 1e9 + 0.5)) * (1 if v >= 0 else -1)
+
+    mi = sum(c * q9(math.log(n * c / (mx[x] * my[y])))
+             for (x, y), c in jo.items())
+    assert got["mi_nats"] == pytest.approx(
+        round(mi / (n * 1e9), 6), abs=1e-9)
