@@ -828,6 +828,15 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+_MATRYOSHKA_DIMS = [16, 32, 64]
+
+
+def _q_matryoshka(spark, sf):
+    return ops.matryoshka_recall(_t(spark, sf, "embeddings"),
+                                 dims=_MATRYOSHKA_DIMS, k=10,
+                                 n_queries=20)
+
+
 def _q_mutual_information(spark, sf):
     return ops.mutual_information(_t(spark, sf, "documents"),
                                   "lang", "source")
@@ -1950,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_span_removal": _q_span_removal,
             "events_position_attribution": _q_position_attribution,
             "docs_mutual_information": _q_mutual_information,
+            "embeddings_matryoshka": _q_matryoshka,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -1996,14 +2006,15 @@ _GATE_PRIORITY = [
     "docs_bm25_topk", "docs_hybrid_rrf",
     "docs_grouped_split", "orders_conformal_interval",
     "dedup_span_removal", "events_position_attribution",
-    "docs_mutual_information",
+    "docs_mutual_information", "embeddings_matryoshka",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
-    "purchase_click_attribution", "dedup_survivors",
+    "purchase_click_attribution",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
@@ -3162,6 +3173,44 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # matryoshka truncation recall: per-dim sliced-cosine top-10 vs the
+    # full-dim exact baseline
+    def _mtop(d: int, name: str) -> str:
+        sl = f"[1:{d}]"
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.v{sl}, c.v{sl})
+          / sqrt(list_dot_product(q.v{sl}, q.v{sl})
+               * list_dot_product(c.v{sl}, c.v{sl})), 6) DESC,
+        c.vec_id ASC) AS rank
+    FROM f q JOIN f c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+  ) WHERE rank <= 10
+)"""
+
+    _mk_ctes = (
+        "WITH f AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + _mtop(64, "mtruth").lstrip().rstrip()
+        + "".join("," + _mtop(d, f"m{d}")
+                  for d in _MATRYOSHKA_DIMS if d != 64)
+    )
+    _mk_rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS INT) AS dim, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM mtruth) AS n_pairs, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM mtruth t "
+        f"JOIN {'mtruth' if d == 64 else f'm{d}'} g "
+        "USING (query_id, vec_id)) AS n_hits"
+        for d in sorted(_MATRYOSHKA_DIMS)
+    )
+    o["embeddings_matryoshka"] = _mk_ctes + f"""
+SELECT dim, n_pairs, n_hits,
+       round(CAST(n_hits AS DOUBLE)
+             / nullif(CAST(n_pairs AS DOUBLE), 0.0), 6) AS recall_at_k
+FROM ({_mk_rows})
 """
     # mutual information: nano-quantized count-weighted ln terms
     o["docs_mutual_information"] = """

@@ -220,6 +220,7 @@ HEADLINE = [
     "dedup_span_removal",
     "events_position_attribution",
     "docs_mutual_information",
+    "embeddings_matryoshka",
 ]
 
 

@@ -1090,3 +1090,66 @@ def snn_graph(
         )
         .where(F.col("shared") >= min_shared)
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022): how much
+    nearest-neighbor structure survives when vectors are cut to their
+    first ``d`` coordinates — the measurement behind "store 64 dims,
+    search 16" index-shrinking decisions.  For each ``d`` in ``dims``,
+    exact top-``k`` over the truncated vectors is compared against the
+    full-dimension exact top-``k`` for the first ``n_queries`` query
+    vectors; recall@k is the exact integer overlap ratio.
+
+    Each leg is :func:`topk_cosine_bruteforce` (broadcast queries,
+    partition-local top-k) over a NARROW slice projection — the
+    truncation itself never shuffles.  At billion-vector scale the
+    brute-force legs run on the sampled query set, which is exactly
+    how recall is measured in practice.  Returns one row per dim:
+    (dim, n_pairs, n_hits, recall_at_k).
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    queries = embeddings.where(F.col(id_col) < n_queries)
+    truth = topk_cosine_bruteforce(
+        embeddings, queries, k, id_col, vec_col
+    ).select("query_id", "vec_id")
+    parts = []
+    for d in sorted(set(dims)):
+        t_emb = embeddings.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, 1, {d})").alias(vec_col),
+        )
+        t_q = queries.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, 1, {d})").alias(vec_col),
+        )
+        got = topk_cosine_bruteforce(
+            t_emb, t_q, k, id_col, vec_col
+        ).select("query_id", "vec_id")
+        hits = truth.join(got, ["query_id", "vec_id"], "left_semi")
+        parts.append(
+            truth.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs")
+            ).crossJoin(
+                hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            ).select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_pairs", "n_hits",
+                F.expr(
+                    "round(CAST(n_hits AS DOUBLE) "
+                    "/ nullif(CAST(n_pairs AS DOUBLE), 0.0d), 6)"
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1162,3 +1162,35 @@ def test_mutual_information_python_replay(spark):
              for (x, y), c in jo.items())
     assert got["mi_nats"] == pytest.approx(
         round(mi / (n * 1e9), 6), abs=1e-9)
+
+
+# ---- matryoshka_recall (round-8 wave 3) -----------------------------------------
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * j + j) % 11) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in ops.matryoshka_recall(
+        emb, dims=[8, 2], k=5, n_queries=5).collect()}
+    assert out[8]["recall_at_k"] == 1.0   # truncation to full dim = truth
+    assert out[8]["n_pairs"] == 25
+    assert 0.0 <= out[2]["recall_at_k"] <= 1.0
+
+
+def test_matryoshka_recall_monotone_on_nested_structure(spark):
+    # energy concentrated in the leading dims: recall should not
+    # collapse at half dim
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j) % 13) * (8 - j)) for j in range(8)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r["recall_at_k"] for r in ops.matryoshka_recall(
+        emb, dims=[4, 8], k=5, n_queries=8).collect()}
+    assert out[8] == 1.0
+    assert out[4] >= 0.3
+    with pytest.raises(ValueError):
+        ops.matryoshka_recall(emb, dims=[])
