@@ -828,6 +828,22 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+_QR_FEATS = ["CAST(year(CAST(o_orderdate AS DATE)) - 1992 AS DOUBLE)"]
+_QR_TARGET = "CAST(o_totalprice AS DOUBLE) / 100000.0d"
+_QR_TAU, _QR_LR, _QR_ITERS = 0.9, 0.5, 16
+
+
+def _q_quantile_regression(spark, sf):
+    # p90 of (scaled) order value vs order year — the conditional-
+    # quantile trend line; returns the per-order frozen-line prediction
+    orders = _t(spark, sf, "orders")
+    w = ops.quantile_regression_train(
+        orders, _QR_FEATS, _QR_TARGET,
+        tau=_QR_TAU, lr=_QR_LR, iterations=_QR_ITERS)
+    return ops.linear_predict(orders, w, _QR_FEATS,
+                              id_col="o_orderkey", out_col="p90_pred")
+
+
 _MATRYOSHKA_DIMS = [16, 32, 64]
 
 
@@ -1960,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_position_attribution": _q_position_attribution,
             "docs_mutual_information": _q_mutual_information,
             "embeddings_matryoshka": _q_matryoshka,
+            "orders_quantile_regression": _q_quantile_regression,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2007,14 +2024,14 @@ _GATE_PRIORITY = [
     "docs_grouped_split", "orders_conformal_interval",
     "dedup_span_removal", "events_position_attribution",
     "docs_mutual_information", "embeddings_matryoshka",
+    "orders_quantile_regression",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps",
-    "purchase_click_attribution",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "dedup_survivors",
+    "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
@@ -3173,6 +3190,58 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # quantile-regression replay: the pinball-subgradient recurrence as
+    # MATERIALIZED CTEs (the logistic pattern; piecewise-constant
+    # gradients quantize exactly)
+    _qr_feat_sql = ["CAST(year(CAST(o_orderdate AS DATE)) - 1992 "
+                    "AS DOUBLE)"]
+    _qr_y = "CAST(o_totalprice AS DOUBLE) / 100000.0"
+    _qr_d = len(_qr_feat_sql)
+
+    def _qr_z(prefix: str = "wt", feat: str = "f.f") -> str:
+        z = f"{prefix}.w0"
+        for j in range(1, _qr_d + 1):
+            z = f"({z} + {prefix}.w{j} * {feat}{j - 1})"
+        return z
+
+    _qr = f"""
+WITH f AS MATERIALIZED (
+  SELECT o_orderkey,
+         {", ".join(f"{fx} AS f{i}" for i, fx in enumerate(_qr_feat_sql))},
+         {_qr_y} AS y
+  FROM orders
+  WHERE ({_qr_y}) IS NOT NULL
+    AND {" AND ".join(f"({fx}) IS NOT NULL" for fx in _qr_feat_sql)}
+),
+wt0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(_qr_d + 1))})"""
+    for _i in range(_QR_ITERS):
+        _g = (f"(CAST({_QR_TAU!r} AS DOUBLE) - CASE WHEN f.y < "
+              f"{_qr_z()} THEN 1.0 ELSE 0.0 END)")
+        _qr += f""",
+r{_i} AS MATERIALIZED (
+  SELECT {", ".join(f"f.f{i}" for i in range(_qr_d))},
+         {_g} AS g
+  FROM f, wt{_i} wt
+),
+g{_i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(g * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
+    {", ".join(
+        "CAST(sum(CAST(round((g * f" + str(i)
+        + ") * 1000000.0) AS BIGINT)) AS BIGINT) AS s" + str(i + 1)
+        for i in range(_qr_d))}
+  FROM r{_i}
+),
+wt{_i + 1} AS (
+  SELECT {", ".join(
+        f"wt.w{j} + {_QR_LR!r} * ((CAST(g.s{j} AS DOUBLE) / 1000000.0)"
+        f" / g.n) AS w{j}" for j in range(_qr_d + 1))}
+  FROM wt{_i} wt, g{_i} g
+)"""
+    o["orders_quantile_regression"] = _qr + f"""
+SELECT f.o_orderkey, round({_qr_z()}, 6) + 0.0 AS p90_pred
+FROM f, wt{_QR_ITERS} wt
 """
     # matryoshka truncation recall: per-dim sliced-cosine top-10 vs the
     # full-dim exact baseline

@@ -221,6 +221,7 @@ HEADLINE = [
     "events_position_attribution",
     "docs_mutual_information",
     "embeddings_matryoshka",
+    "orders_quantile_regression",
 ]
 
 

@@ -222,3 +222,82 @@ DOC_FEATURES = [
     "(CAST(length(text) - length(translate(text, '0123456789', '')) "
     "AS DOUBLE) / CAST(length(text) AS DOUBLE))",
 ]
+
+
+def quantile_regression_train(
+    df: DataFrame,
+    feature_exprs: list[str],
+    target_expr: str,
+    tau: float = 0.5,
+    lr: float = 1.0,
+    iterations: int = 16,
+) -> list[float]:
+    """Linear QUANTILE regression by full-batch subgradient descent on
+    the pinball loss — conditional quantiles at corpus scale (p90
+    latency vs load, p10 revenue vs cohort age …), where OLS gives only
+    the conditional MEAN and exact per-group quantiles need discrete
+    groups.
+
+    The pinball subgradient is piecewise CONSTANT in the residual sign
+    — ``τ − 1[y < w·x]`` — so each per-row contribution is one of two
+    exact values times the feature: quantized micro-unit BIGINT sums
+    (the :func:`logistic_train` discipline) make every iteration
+    bit-replayable in SQL; the driver update is the same fixed-order
+    four-op arithmetic.  One scan per iteration, (d+2) integers of
+    driver traffic.  Returns [bias, w_1, …, w_d].
+    """
+    if not 0 < tau < 1:
+        raise ValueError("tau must be in (0, 1)")
+    base = df.where(
+        " AND ".join(
+            [f"({target_expr}) IS NOT NULL"]
+            + [f"({fx}) IS NOT NULL" for fx in feature_exprs]
+        )
+    ).localCheckpoint(eager=True)
+    w = [0.0] * (len(feature_exprs) + 1)
+    for _ in range(iterations):
+        z = _dot_sql(w, feature_exprs)
+        grad = (
+            f"(CAST({tau!r} AS DOUBLE) - CASE WHEN "
+            f"CAST(({target_expr}) AS DOUBLE) < {z} THEN 1.0d "
+            "ELSE 0.0d END)"
+        )
+        staged = base.select(
+            F.expr(grad).alias("__g"),
+            *[F.expr(fx).alias(f"__f{j}")
+              for j, fx in enumerate(feature_exprs, start=1)],
+        )
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        aggs.append(
+            F.expr(f"sum(CAST(round(__g * {_Q}.0d) AS BIGINT))")
+            .alias("s0"))
+        for j in range(1, len(feature_exprs) + 1):
+            aggs.append(
+                F.expr(
+                    f"sum(CAST(round((__g * __f{j}) * {_Q}.0d) "
+                    "AS BIGINT))"
+                ).alias(f"s{j}"))
+        row = staged.agg(*aggs).collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            raise ValueError("quantile_regression_train: no usable rows")
+        for j in range(len(w)):
+            w[j] = w[j] + lr * ((int(row[f"s{j}"]) / float(_Q)) / n)
+    return w
+
+
+def linear_predict(
+    df: DataFrame,
+    weights: list[float],
+    feature_exprs: list[str],
+    id_col: str = "doc_id",
+    out_col: str = "pred",
+) -> DataFrame:
+    """Frozen linear model scoring — a pure narrow map (the
+    :func:`logistic_score` shape without the squash).  Returns
+    (id, out_col) with the prediction rounded 6."""
+    z = _dot_sql(weights, feature_exprs)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"round({z}, 6) + 0.0d").alias(out_col),
+    )

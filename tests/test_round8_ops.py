@@ -1194,3 +1194,70 @@ def test_matryoshka_recall_monotone_on_nested_structure(spark):
     assert out[4] >= 0.3
     with pytest.raises(ValueError):
         ops.matryoshka_recall(emb, dims=[])
+
+
+# ---- quantile_regression_train (round-8 wave 4) ---------------------------------
+
+
+def test_quantile_regression_learns_conditional_median(spark):
+    # y = 10*x + wide symmetric noise → tau=0.5 line ≈ slope 10.
+    # Constant-lr subgradient descent limit-cycles with amplitude
+    # ~lr/2, so the noise band (±5) must dominate the oscillation
+    rows = [(i, i / 100.0, 10.0 * (i / 100.0) + ((i % 21) - 10) * 0.5)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    w = ops.quantile_regression_train(df, ["x"], "y", tau=0.5,
+                                      lr=0.5, iterations=120)
+    pred = ops.linear_predict(df, w, ["x"], id_col="id")
+    joined = df.join(pred, "id")
+    below = joined.where("y < pred").count() / 300.0
+    # the defining property of the tau-quantile fit
+    assert 0.35 <= below <= 0.65
+    assert 5.0 < w[1] < 15.0  # slope near the true 10
+
+
+def test_quantile_regression_tau_shifts_the_line(spark):
+    rows = [(i, 1.0, float(i % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    w10 = ops.quantile_regression_train(df, ["x"], "y", tau=0.1,
+                                        lr=20.0, iterations=80)
+    w90 = ops.quantile_regression_train(df, ["x"], "y", tau=0.9,
+                                        lr=20.0, iterations=80)
+    # constant feature: fit approximates the marginal quantiles
+    p10 = w10[0] + w10[1]
+    p90 = w90[0] + w90[1]
+    assert p90 - p10 > 30.0
+
+
+def test_quantile_regression_python_replay(spark):
+    import math
+
+    rows = [(i, (i % 10) / 10.0, float((i * 3) % 7)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    w = ops.quantile_regression_train(df, ["x"], "y", tau=0.25,
+                                      lr=1.5, iterations=9)
+
+    def q(v):
+        return int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+
+    wp = [0.0, 0.0]
+    n = len(rows)
+    for _ in range(9):
+        s = [0, 0]
+        for _, x, y in rows:
+            z = (wp[0] + wp[1] * x)
+            g = 0.25 - (1.0 if y < z else 0.0)
+            s[0] += q(g)
+            s[1] += q(g * x)
+        wp = [wi + 1.5 * ((si / 1e6) / n) for wi, si in zip(wp, s)]
+    assert w == wp
+
+
+def test_quantile_regression_validates(spark):
+    df = spark.createDataFrame([(1, 1.0, 1.0)],
+                               "id long, x double, y double")
+    with pytest.raises(ValueError):
+        ops.quantile_regression_train(df, ["x"], "y", tau=1.5)
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    with pytest.raises(ValueError, match="no usable rows"):
+        ops.quantile_regression_train(empty, ["x"], "y")
