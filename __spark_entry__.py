@@ -828,6 +828,40 @@ def _q_score_calibration(spark, sf):
     return ops.calibration_report(scored, n_bins=10)
 
 
+_C2_TOKENS = ["column", "sort", "key", "order", "small", "merge"]
+_C2_ITERS, _C2_LR = 12, 1.0
+
+
+def _c2_features(tok_src: str = "__toks") -> list[str]:
+    return [
+        f"CAST(size(filter({tok_src}, x -> x = '{t}')) AS DOUBLE) "
+        f"* 10.0d / CAST(size({tok_src}) AS DOUBLE)"
+        for t in _C2_TOKENS
+    ]
+
+
+def _q_c2st(spark, sf):
+    # drift probe between the two halves of the source space — the
+    # monitoring question "did the crawl mix shift?" as one AUC number
+    docs = _t(spark, sf, "documents").where(
+        "text IS NOT NULL AND source IS NOT NULL"
+    ).select(
+        "doc_id", "source", F.expr("split(text, ' ')").alias("__toks")
+    )
+    proj = docs.select(
+        "doc_id",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("__srcnum"),
+        *[F.expr(fx).alias(f"f{i}")
+          for i, fx in enumerate(_c2_features())],
+    )
+    feats = [f"f{i}" for i in range(len(_C2_TOKENS))]
+    return ops.c2st_drift(
+        proj.where("__srcnum < 10").drop("__srcnum"),
+        proj.where("__srcnum >= 10").drop("__srcnum"),
+        feats, lr=_C2_LR, iterations=_C2_ITERS,
+    )
+
+
 _QR_FEATS = ["CAST(year(CAST(o_orderdate AS DATE)) - 1992 AS DOUBLE)"]
 _QR_TARGET = "CAST(o_totalprice AS DOUBLE) / 100000.0d"
 _QR_TAU, _QR_LR, _QR_ITERS = 0.9, 0.5, 16
@@ -1977,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_mutual_information": _q_mutual_information,
             "embeddings_matryoshka": _q_matryoshka,
             "orders_quantile_regression": _q_quantile_regression,
+            "docs_c2st_drift": _q_c2st,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2024,14 +2059,14 @@ _GATE_PRIORITY = [
     "docs_grouped_split", "orders_conformal_interval",
     "dedup_span_removal", "events_position_attribution",
     "docs_mutual_information", "embeddings_matryoshka",
-    "orders_quantile_regression",
+    "orders_quantile_regression", "docs_c2st_drift",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
-    "text_repetition_score", "customer_order_gaps",
+    "text_repetition_score",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "purchase_click_attribution", "dedup_survivors",
+    "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
@@ -3190,6 +3225,83 @@ SELECT bin, n,
         - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
+"""
+    # C2ST drift replay: the logistic chain over the labeled union plus
+    # the exact tie-aware integer Mann-Whitney AUC
+    _c2_d = len(_C2_TOKENS)
+
+    def _c2_z() -> str:
+        z = "wt.w0"
+        for j in range(1, _c2_d + 1):
+            z = f"({z} + wt.w{j} * f.f{j - 1})"
+        return z
+
+    _c2_feats_sql = ", ".join(
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS DOUBLE) * 10.0 "
+        "/ CAST(len(string_split(text, ' ')) AS DOUBLE) AS "
+        f"f{i}"
+        for i, t in enumerate(_C2_TOKENS)
+    )
+    _c2 = f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, {_c2_feats_sql},
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0 ELSE 1
+         END AS y
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+wt0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(_c2_d + 1))})"""
+    for _i in range(_C2_ITERS):
+        _sig = (f"(0.5 + ({_c2_z()}) / (2.0 * (1.0 + abs({_c2_z()}))))")
+        _c2 += f""",
+r{_i} AS MATERIALIZED (
+  SELECT {", ".join(f"f.f{i}" for i in range(_c2_d))},
+         (CAST(f.y AS DOUBLE) - {_sig}) AS resid
+  FROM f, wt{_i} wt
+),
+g{_i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(resid * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
+    {", ".join(
+        "CAST(sum(CAST(round((resid * f" + str(i)
+        + ") * 1000000.0) AS BIGINT)) AS BIGINT) AS s" + str(i + 1)
+        for i in range(_c2_d))}
+  FROM r{_i}
+),
+wt{_i + 1} AS (
+  SELECT {", ".join(
+        f"wt.w{j} + {_C2_LR!r} * ((CAST(g.s{j} AS DOUBLE) / 1000000.0)"
+        f" / g.n) AS w{j}" for j in range(_c2_d + 1))}
+  FROM wt{_i} wt, g{_i} g
+)"""
+    _c2_sig_final = (f"(0.5 + ({_c2_z()}) / (2.0 * (1.0 "
+                     f"+ abs({_c2_z()}))))")
+    o["docs_c2st_drift"] = _c2 + f""",
+sc AS MATERIALIZED (
+  SELECT CAST(round(round({_c2_sig_final}, 6) * 1000000.0) AS BIGINT)
+           AS s,
+         f.y AS y
+  FROM f, wt{_C2_ITERS} wt
+),
+grp AS (
+  SELECT s,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM sc GROUP BY 1
+),
+staged AS (
+  SELECT n0, n1,
+    CAST(coalesce(sum(n0) OVER (ORDER BY s ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum0
+  FROM grp
+)
+SELECT CAST(sum(n0) AS BIGINT) AS n_old,
+       CAST(sum(n1) AS BIGINT) AS n_new,
+       round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE)
+             / nullif(2.0 * CAST(sum(n0) AS DOUBLE)
+                      * CAST(sum(n1) AS DOUBLE), 0.0), 6) AS auc
+FROM staged
 """
     # quantile-regression replay: the pinball-subgradient recurrence as
     # MATERIALIZED CTEs (the logistic pattern; piecewise-constant

@@ -222,6 +222,7 @@ HEADLINE = [
     "docs_mutual_information",
     "embeddings_matryoshka",
     "orders_quantile_regression",
+    "docs_c2st_drift",
 ]
 
 

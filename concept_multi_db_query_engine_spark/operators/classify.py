@@ -301,3 +301,67 @@ def linear_predict(
         F.col(id_col),
         F.expr(f"round({z}, 6) + 0.0d").alias(out_col),
     )
+
+
+def c2st_drift(
+    old: DataFrame,
+    new: DataFrame,
+    feature_exprs: list[str],
+    lr: float = 1.0,
+    iterations: int = 12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classifier two-sample test (Lopez-Paz & Oquab 2017) — the
+    modern multivariate drift detector: train a classifier to
+    distinguish OLD from NEW corpus rows on the given features; if its
+    AUC is ≈ 0.5 the distributions are indistinguishable, and every
+    point above that quantifies drift in the one number monitoring
+    systems alert on.
+
+    Training is :func:`logistic_train` (exact quantized GD — the whole
+    test replays in SQL).  The AUC is the EXACT tie-aware Mann-Whitney
+    statistic computed from round-6 score groups as pure integers:
+    ``AUC = Σ_g n1_g · (2·cum_n0_before + n0_g) / (2·n0·n1)`` — one
+    aggregation over distinct scores plus one ordered window, no
+    float-order dependence anywhere.  Returns ONE row:
+    (n_old, n_new, auc) — auc rounded 6.
+    """
+    from pyspark.sql import Window
+
+    o = old.withColumn("__is_new", F.lit(0))
+    n = new.withColumn("__is_new", F.lit(1))
+    both = o.unionByName(n).localCheckpoint(eager=True)
+    w = logistic_train(both, feature_exprs, "__is_new",
+                       lr=lr, iterations=iterations)
+    scored = logistic_score(both, w, feature_exprs, "__is_new",
+                            id_col=id_col)
+    groups = (
+        scored.select(
+            F.expr(f"CAST(round(score * {_Q}.0d) AS BIGINT)")
+            .alias("s"),
+            F.col("label").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.expr("CASE WHEN y = 0 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n0"),
+            F.sum(F.expr("CASE WHEN y = 1 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n1"),
+        )
+    )
+    wc = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    staged = groups.select(
+        "n0", "n1",
+        F.coalesce(F.sum("n0").over(wc), F.lit(0)).cast("long")
+        .alias("cum0"),
+    )
+    return staged.agg(
+        F.sum(F.expr("n0")).cast("long").alias("n_old"),
+        F.sum(F.expr("n1")).cast("long").alias("n_new"),
+        F.expr(
+            "round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE) "
+            "/ nullif(2.0d * CAST(sum(n0) AS DOUBLE) "
+            "* CAST(sum(n1) AS DOUBLE), 0.0d), 6)"
+        ).alias("auc"),
+    )

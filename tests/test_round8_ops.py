@@ -1261,3 +1261,57 @@ def test_quantile_regression_validates(spark):
     empty = spark.createDataFrame([], "id long, x double, y double")
     with pytest.raises(ValueError, match="no usable rows"):
         ops.quantile_regression_train(empty, ["x"], "y")
+
+
+# ---- c2st_drift (round-8 wave 4) ------------------------------------------------
+
+
+def test_c2st_identical_distributions_auc_half(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(200)], "doc_id long, f double")
+    # old/new are interleaved halves of the SAME distribution
+    row = ops.c2st_drift(df.where("doc_id % 2 = 0"),
+                         df.where("doc_id % 2 = 1"), ["f"]).collect()[0]
+    assert row["n_old"] == 100 and row["n_new"] == 100
+    assert abs(row["auc"] - 0.5) < 0.1
+
+
+def test_c2st_shifted_distribution_detected(spark):
+    old = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(100)], "doc_id long, f double")
+    new = spark.createDataFrame(
+        [(1000 + i, 2.0 + (i % 10) / 10.0) for i in range(100)],
+        "doc_id long, f double")
+    row = ops.c2st_drift(old, new, ["f"], lr=4.0,
+                         iterations=30).collect()[0]
+    assert row["auc"] > 0.9  # clean separation
+
+
+def test_c2st_auc_matches_python_mannwhitney(spark):
+    old = spark.createDataFrame(
+        [(i, (i % 7) / 7.0) for i in range(50)], "doc_id long, f double")
+    new = spark.createDataFrame(
+        [(100 + i, ((i % 7) + 2) / 7.0) for i in range(50)],
+        "doc_id long, f double")
+    row = ops.c2st_drift(old, new, ["f"], lr=2.0,
+                         iterations=10).collect()[0]
+    # replay: same training (bit-exact), same scores, tie-aware AUC
+    w = ops.logistic_train(
+        old.withColumn("__is_new", F.lit(0)).unionByName(
+            new.withColumn("__is_new", F.lit(1))),
+        ["f"], "__is_new", lr=2.0, iterations=10)
+    scored = ops.logistic_score(
+        old.withColumn("__is_new", F.lit(0)).unionByName(
+            new.withColumn("__is_new", F.lit(1))),
+        w, ["f"], "__is_new").collect()
+    pairs = [(r["score"], r["label"]) for r in scored]
+    num = 0
+    for s1, y1 in pairs:
+        if y1 != 1:
+            continue
+        for s0, y0 in pairs:
+            if y0 != 0:
+                continue
+            num += 2 if s1 > s0 else (1 if s1 == s0 else 0)
+    want = round(num / (2.0 * 50 * 50), 6)
+    assert row["auc"] == pytest.approx(want, abs=1e-9)
