@@ -840,6 +840,16 @@ def _c2_features(tok_src: str = "__toks") -> list[str]:
     ]
 
 
+def _q_feature_auc(spark, sf):
+    docs = _t(spark, sf, "documents").where("text IS NOT NULL").select(
+        "doc_id", "lang", F.expr("split(text, ' ')").alias("__toks")
+    )
+    return ops.feature_auc_report(
+        docs, _c2_features(), "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        names=_C2_TOKENS,
+    )
+
+
 def _q_c2st(spark, sf):
     # drift probe between the two halves of the source space — the
     # monitoring question "did the crawl mix shift?" as one AUC number
@@ -2012,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_matryoshka": _q_matryoshka,
             "orders_quantile_regression": _q_quantile_regression,
             "docs_c2st_drift": _q_c2st,
+            "docs_feature_auc": _q_feature_auc,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2060,13 +2071,13 @@ _GATE_PRIORITY = [
     "dedup_span_removal", "events_position_attribution",
     "docs_mutual_information", "embeddings_matryoshka",
     "orders_quantile_regression", "docs_c2st_drift",
+    "docs_feature_auc",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     "docs_chunk", "docs_hash_split", "text_contamination_check",
-    "text_repetition_score",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
+    "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
     "dedup_incremental", "dedup_repeated_passages",
@@ -3226,6 +3237,45 @@ SELECT bin, n,
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
 """
+    # per-feature exact AUC screening: one integer Mann-Whitney block
+    # per feature, unioned
+    _fa_blocks = []
+    for _t_name in _C2_TOKENS:
+        _fx = ("CAST(len(list_filter(string_split(text, ' '), "
+               f"x -> x = '{_t_name}')) AS DOUBLE) * 10.0 "
+               "/ CAST(len(string_split(text, ' ')) AS DOUBLE)")
+        _fa_blocks.append(f"""
+SELECT '{_t_name}' AS feature,
+       CAST(sum(n0) AS BIGINT) AS n_neg,
+       CAST(sum(n1) AS BIGINT) AS n_pos,
+       round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE)
+             / nullif(2.0 * CAST(sum(n0) AS DOUBLE)
+                      * CAST(sum(n1) AS DOUBLE), 0.0), 6) AS auc
+FROM (
+  SELECT n0, n1,
+    CAST(coalesce(sum(n0) OVER (ORDER BY s ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum0
+  FROM (
+    SELECT CAST(round(round(CAST(({_fx}) AS DOUBLE), 6) * 1000000.0)
+             AS BIGINT) AS s,
+      CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        AS n0,
+      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n1
+    FROM documents WHERE text IS NOT NULL
+      AND ({_fx}) IS NOT NULL
+      AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) IS NOT NULL
+    GROUP BY 1
+  )
+)""")
+        # NOTE: label 0 = "not en" (the CASE yields 0), so n0 counts
+        # CASE=0 rows — expressed via lang directly above
+    o["docs_feature_auc"] = (
+        "SELECT feature, n_neg, n_pos, auc, "
+        "round(abs(auc - 0.5), 6) AS abs_signal FROM ("
+        + " UNION ALL ".join(_fa_blocks) + ")"
+    )
     # C2ST drift replay: the logistic chain over the labeled union plus
     # the exact tie-aware integer Mann-Whitney AUC
     _c2_d = len(_C2_TOKENS)

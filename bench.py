@@ -223,6 +223,7 @@ HEADLINE = [
     "embeddings_matryoshka",
     "orders_quantile_regression",
     "docs_c2st_drift",
+    "docs_feature_auc",
 ]
 
 

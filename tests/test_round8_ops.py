@@ -1315,3 +1315,35 @@ def test_c2st_auc_matches_python_mannwhitney(spark):
             num += 2 if s1 > s0 else (1 if s1 == s0 else 0)
     want = round(num / (2.0 * 50 * 50), 6)
     assert row["auc"] == pytest.approx(want, abs=1e-9)
+
+
+# ---- feature_auc_report (round-8 wave 5) ----------------------------------------
+
+
+def test_feature_auc_separates_signal_from_noise(spark):
+    rows = [(i, float(i), float((i * 7) % 10), 1 if i >= 50 else 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, good double, "
+                                     "noise double, y int")
+    out = {r["feature"]: r for r in ops.feature_auc_report(
+        df, ["good", "noise"], "y").collect()}
+    assert out["good"]["auc"] == 1.0  # perfectly ranks positives above
+    assert abs(out["noise"]["auc"] - 0.5) < 0.1
+    assert out["good"]["abs_signal"] > out["noise"]["abs_signal"]
+    assert out["good"]["n_neg"] == 50 and out["good"]["n_pos"] == 50
+
+
+def test_feature_auc_inverted_feature_symmetry(spark):
+    rows = [(i, float(i), 1 if i >= 30 else 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, f double, y int")
+    up = ops.feature_auc_report(df, ["f"], "y").collect()[0]["auc"]
+    dn = ops.feature_auc_report(df, ["-f"], "y").collect()[0]["auc"]
+    assert up + dn == pytest.approx(1.0, abs=1e-9)
+
+
+def test_feature_auc_validates(spark):
+    df = spark.createDataFrame([(1, 1.0, 1)], "id long, f double, y int")
+    with pytest.raises(ValueError):
+        ops.feature_auc_report(df, [], "y")
+    with pytest.raises(ValueError):
+        ops.feature_auc_report(df, ["f"], "y", names=["a", "b"])
