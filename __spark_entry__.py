@@ -840,6 +840,11 @@ def _c2_features(tok_src: str = "__toks") -> list[str]:
     ]
 
 
+def _q_negative_samples(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.negative_samples(emb, ops.knn_graph(emb, k=5), k_neg=4)
+
+
 def _q_feature_auc(spark, sf):
     docs = _t(spark, sf, "documents").where("text IS NOT NULL").select(
         "doc_id", "lang", F.expr("split(text, ' ')").alias("__toks")
@@ -2023,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_quantile_regression": _q_quantile_regression,
             "docs_c2st_drift": _q_c2st,
             "docs_feature_auc": _q_feature_auc,
+            "embeddings_negative_samples": _q_negative_samples,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2071,12 +2077,13 @@ _GATE_PRIORITY = [
     "dedup_span_removal", "events_position_attribution",
     "docs_mutual_information", "embeddings_matryoshka",
     "orders_quantile_regression", "docs_c2st_drift",
-    "docs_feature_auc",
+    "docs_feature_auc", "embeddings_negative_samples",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
-    "docs_chunk", "docs_hash_split", "text_contamination_check",
+    "docs_chunk", "docs_hash_split",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
+    "text_contamination_check",
     "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
@@ -3237,6 +3244,77 @@ SELECT bin, n,
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
 """
+    # deterministic negative sampling: md5 buckets + md5 ranks, kNN
+    # anti-join, slot-ordered final rank
+    o["embeddings_negative_samples"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id AS cand,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':b:neg-v1'),
+       1, 15))::BIGINT % 16 AS bkt
+  FROM embeddings
+),
+anch AS MATERIALIZED (
+  SELECT vec_id AS anchor, s.slot,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+       || CAST(s.slot AS VARCHAR) || ':neg-v1'), 1, 15))::BIGINT % 16
+      AS bkt
+  FROM embeddings CROSS JOIN
+    (SELECT unnest(range(0, 8)) AS slot) s
+),
+paired AS (
+  SELECT anchor, slot, cand,
+    md5(CAST(anchor AS VARCHAR) || ':' || CAST(slot AS VARCHAR)
+        || ':' || CAST(cand AS VARCHAR) || ':neg-v1') AS h
+  FROM anch JOIN corpus USING (bkt)
+  WHERE cand != anchor
+),
+picked AS (
+  SELECT anchor, slot, cand FROM (
+    SELECT anchor, slot, cand,
+           row_number() OVER (PARTITION BY anchor, slot
+                              ORDER BY h ASC, cand ASC) AS rn
+    FROM paired
+  ) WHERE rn = 1
+),
+surv AS (
+  SELECT p.anchor, p.slot, p.cand
+  FROM picked p ANTI JOIN knn k
+    ON p.anchor = k.vec_id AND p.cand = k.neighbor_id
+),
+dedup AS (
+  SELECT anchor, slot, cand FROM (
+    SELECT anchor, slot, cand,
+           row_number() OVER (PARTITION BY anchor, cand
+                              ORDER BY slot ASC) AS d
+    FROM surv
+  ) WHERE d = 1
+)
+SELECT anchor AS anchor_id, cand AS neg_id,
+       CAST(neg_rank AS INT) AS neg_rank
+FROM (
+  SELECT anchor, cand,
+         row_number() OVER (PARTITION BY anchor ORDER BY slot ASC)
+           AS neg_rank
+  FROM dedup
+) WHERE neg_rank <= 4
+"""
+    )
     # per-feature exact AUC screening: one integer Mann-Whitney block
     # per feature, unioned
     _fa_blocks = []

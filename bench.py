@@ -224,6 +224,7 @@ HEADLINE = [
     "orders_quantile_regression",
     "docs_c2st_drift",
     "docs_feature_auc",
+    "embeddings_negative_samples",
 ]
 
 

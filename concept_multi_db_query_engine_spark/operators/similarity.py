@@ -1153,3 +1153,92 @@ def matryoshka_recall(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def negative_samples(
+    embeddings: DataFrame,
+    knn_edges: DataFrame | None = None,
+    k_neg: int = 4,
+    n_buckets: int = 16,
+    overscan: int = 4,
+    salt: str = "neg-v1",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor gets ``k_neg`` pseudo-random corpus items that are neither
+    itself nor (optionally) any of its kNN neighbors — the in-batch /
+    random-negative mix every embedding trainer consumes, made
+    REPRODUCIBLE (no RNG: md5 buckets + md5 ranks, so re-runs, the SQL
+    oracle and a later backfill pick the same negatives).
+
+    Scale shape: corpus items land in ``n_buckets`` hash buckets; each
+    anchor explodes ``k_neg + overscan`` slots whose md5 picks a
+    bucket, ONE equi-join on the bucket key pairs anchors with
+    candidates (volume = anchors · slots · |bucket| — tune n_buckets
+    so buckets stay small relative to the corpus), a per-(anchor,
+    slot) window keeps the min-hash candidate, the kNN anti-join
+    removes accidental hard positives, and a final per-anchor window
+    ranks the survivors.  Returns (anchor_id, neg_id, neg_rank ≤
+    k_neg).
+    """
+    if k_neg < 1 or overscan < 0:
+        raise ValueError("need k_neg >= 1 and overscan >= 0")
+    n_slots = k_neg + overscan
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+            f"':b:{salt}')), 1, 15), 16, 10) AS BIGINT) % {n_buckets}"
+        ).alias("bkt"),
+    )
+    anchors = embeddings.select(F.col(id_col).alias("anchor")).select(
+        "anchor",
+        F.explode(F.expr(f"sequence(0, {n_slots - 1})")).alias("slot"),
+    ).select(
+        "anchor", "slot",
+        F.expr(
+            f"CAST(conv(substring(md5(concat(CAST(anchor AS STRING), "
+            f"':', CAST(slot AS STRING), ':{salt}')), 1, 15), 16, 10) "
+            f"AS BIGINT) % {n_buckets}"
+        ).alias("bkt"),
+    )
+    paired = (
+        anchors.join(corpus, "bkt")
+        .where(F.col("cand") != F.col("anchor"))
+        .select(
+            "anchor", "slot", "cand",
+            F.expr(
+                f"md5(concat(CAST(anchor AS STRING), ':', "
+                f"CAST(slot AS STRING), ':', CAST(cand AS STRING), "
+                f"':{salt}'))"
+            ).alias("__h"),
+        )
+    )
+    w_slot = Window.partitionBy("anchor", "slot").orderBy(
+        F.col("__h").asc(), F.col("cand").asc())
+    picked = (
+        paired.withColumn("__rn", F.row_number().over(w_slot))
+        .where(F.col("__rn") == 1)
+        .select("anchor", "slot", "cand")
+    )
+    if knn_edges is not None:
+        edges = knn_edges.select(
+            F.col(id_col).alias("anchor"),
+            F.col("neighbor_id").alias("cand"),
+        )
+        picked = picked.join(edges, ["anchor", "cand"], "left_anti")
+    # distinct candidates per anchor, then slot-ordered final rank
+    w_dedup = Window.partitionBy("anchor", "cand").orderBy(
+        F.col("slot").asc())
+    w_rank = Window.partitionBy("anchor").orderBy(F.col("slot").asc())
+    return (
+        picked.withColumn("__d", F.row_number().over(w_dedup))
+        .where(F.col("__d") == 1)
+        .withColumn("neg_rank", F.row_number().over(w_rank))
+        .where(F.col("neg_rank") <= k_neg)
+        .select(
+            F.col("anchor").alias("anchor_id"),
+            F.col("cand").alias("neg_id"),
+            "neg_rank",
+        )
+    )

@@ -1347,3 +1347,45 @@ def test_feature_auc_validates(spark):
         ops.feature_auc_report(df, [], "y")
     with pytest.raises(ValueError):
         ops.feature_auc_report(df, ["f"], "y", names=["a", "b"])
+
+
+# ---- negative_samples (round-8 wave 5) ------------------------------------------
+
+
+def test_negative_samples_shape_and_exclusions(spark):
+    emb = _vecs(spark, range(40))
+    edges = ops.knn_graph(emb, k=3, n_blocks=2)
+    out = ops.negative_samples(emb, edges, k_neg=4).collect()
+    per = {}
+    nbrs = {}
+    for r in edges.select("vec_id", "neighbor_id").collect():
+        nbrs.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    for r in out:
+        per.setdefault(r["anchor_id"], []).append(
+            (r["neg_rank"], r["neg_id"]))
+        assert r["neg_id"] != r["anchor_id"]
+        assert r["neg_id"] not in nbrs.get(r["anchor_id"], set())
+    for a, pairs in per.items():
+        ranks = sorted(k for k, _ in pairs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+        negs = [v for _, v in pairs]
+        assert len(set(negs)) == len(negs)  # no duplicate negatives
+
+
+def test_negative_samples_deterministic_across_partitioning(spark):
+    emb = _vecs(spark, range(30))
+    a = sorted(map(tuple, ops.negative_samples(emb, k_neg=3).collect()))
+    b = sorted(map(tuple, ops.negative_samples(
+        emb.repartition(7), k_neg=3).collect()))
+    assert a == b
+    # a different salt re-rolls the picks
+    c = sorted(map(tuple, ops.negative_samples(
+        emb, k_neg=3, salt="other").collect()))
+    assert c != a
+
+
+def test_negative_samples_validates(spark):
+    emb = _vecs(spark, range(5))
+    with pytest.raises(ValueError):
+        ops.negative_samples(emb, k_neg=0)
