@@ -840,6 +840,14 @@ def _c2_features(tok_src: str = "__toks") -> list[str]:
     ]
 
 
+_IVF_PROBES = [1, 2, 4]
+
+
+def _q_ivf_tuning(spark, sf):
+    return ops.ivf_tuning_curve(_t(spark, sf, "embeddings"),
+                                n_probes=_IVF_PROBES, k=5, n_queries=5)
+
+
 def _q_negative_samples(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ops.negative_samples(emb, ops.knn_graph(emb, k=5), k_neg=4)
@@ -2029,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_c2st_drift": _q_c2st,
             "docs_feature_auc": _q_feature_auc,
             "embeddings_negative_samples": _q_negative_samples,
+            "sim_ivf_tuning": _q_ivf_tuning,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2078,12 +2087,13 @@ _GATE_PRIORITY = [
     "docs_mutual_information", "embeddings_matryoshka",
     "orders_quantile_regression", "docs_c2st_drift",
     "docs_feature_auc", "embeddings_negative_samples",
+    "sim_ivf_tuning",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
-    "docs_chunk", "docs_hash_split",
+    "docs_chunk",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "text_contamination_check",
+    "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
@@ -3244,6 +3254,88 @@ SELECT bin, n,
         * CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ece_term
 FROM pb, tt
 """
+    # IVF tuning curve: shared quantizer CTEs, one probe/top-k leg per
+    # n_probe, exact recall vs the brute-force truth
+    _ivf_legs = ""
+    for _p in _IVF_PROBES:
+        _ivf_legs += f""",
+probes{_p} AS (
+  SELECT vec_id AS query_id, v AS qv, norm2 AS qnorm2, cid
+  FROM cscore WHERE vec_id < 5 AND crank <= {_p}
+),
+topk{_p} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cosine DESC, s.vec_id ASC)
+             AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_dot_product(p.qv, a.v)
+                   / sqrt(p.qnorm2 * a.norm2), 6) AS cosine
+      FROM probes{_p} p JOIN assign a
+        ON p.cid = a.cid AND a.vec_id != p.query_id
+    ) s
+  ) WHERE rank <= 5
+)"""
+    _ivf_rows = " UNION ALL ".join(
+        f"SELECT CAST({_p} AS INT) AS n_probe, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_pairs, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM truth t JOIN topk{_p} g "
+        "USING (query_id, vec_id)) AS n_hits"
+        for _p in _IVF_PROBES
+    )
+    o["sim_ivf_tuning"] = (
+        "WITH " + _COS_NORM_CTE + """
+, el AS (
+  SELECT e.vec_id, e.v, e.norm2, emb.label
+  FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+),
+cent AS MATERIALIZED (
+  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+           CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS cx
+    FROM (SELECT label AS cid,
+                 generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cscore AS MATERIALIZED (
+  SELECT el.vec_id, el.v, el.norm2, c.cid,
+         row_number() OVER (
+           PARTITION BY el.vec_id
+           ORDER BY list_dot_product(el.v, c.cv)
+                    / sqrt(el.norm2 * list_dot_product(c.cv, c.cv)) DESC,
+                    c.cid ASC) AS crank
+  FROM el CROSS JOIN cent c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, v, norm2, cid FROM cscore WHERE crank = 1
+),
+truth AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+               / sqrt(q.norm2 * c.norm2), 6) DESC, c.vec_id ASC)
+             AS rank
+    FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+nc AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_cells
+       FROM embeddings)"""
+        + _ivf_legs + f"""
+SELECT n_probe, n_pairs, n_hits,
+  round(CAST(n_hits AS DOUBLE)
+        / nullif(CAST(n_pairs AS DOUBLE), 0.0), 6) AS recall_at_k,
+  round(least(1.0, CAST(n_probe AS DOUBLE)
+        / CAST((SELECT n_cells FROM nc) AS DOUBLE)), 6)
+    AS nominal_scan_fraction
+FROM ({_ivf_rows})
+"""
+    )
     # deterministic negative sampling: md5 buckets + md5 ranks, kNN
     # anti-join, slot-ordered final rank
     o["embeddings_negative_samples"] = (

@@ -225,6 +225,7 @@ HEADLINE = [
     "docs_c2st_drift",
     "docs_feature_auc",
     "embeddings_negative_samples",
+    "sim_ivf_tuning",
 ]
 
 

@@ -1242,3 +1242,65 @@ def negative_samples(
             "neg_rank",
         )
     )
+
+
+def ivf_tuning_curve(
+    embeddings: DataFrame,
+    n_probes: list[int],
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Recall-vs-cost curve for the IVF index — the planner table read
+    before committing an ``n_probe`` at scale (the ANN twin of the
+    MinHash-LSH banding curve): for each candidate ``n_probe``, exact
+    recall@k of :func:`topk_cosine_ivf` against the brute-force
+    baseline on the sampled query set, with the index's NOMINAL scan
+    fraction ``n_probe / n_cells`` alongside (the IVF cost contract —
+    each probe touches ~1/n_cells of the corpus).
+
+    Every leg is deterministic (decimal-exact centroids, round-6
+    cosine ranks), so the whole curve is SQL-replayable.  Returns one
+    row per n_probe: (n_probe, n_pairs, n_hits, recall_at_k,
+    nominal_scan_fraction).
+    """
+    if not n_probes:
+        raise ValueError("n_probes must be non-empty")
+    queries = embeddings.where(F.col(id_col) < n_queries)
+    truth = topk_cosine_bruteforce(
+        embeddings, queries, k, id_col, vec_col
+    ).select("query_id", "vec_id")
+    n_cells = embeddings.select(
+        F.countDistinct(F.col(cluster_col)).cast("long").alias("nc"))
+    parts = []
+    for p in sorted(set(n_probes)):
+        got = topk_cosine_ivf(
+            embeddings, queries, k, n_probe=p,
+            id_col=id_col, vec_col=vec_col, cluster_col=cluster_col,
+        ).select("query_id", "vec_id")
+        hits = truth.join(got, ["query_id", "vec_id"], "left_semi")
+        parts.append(
+            truth.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(
+                hits.agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_hits")))
+            .crossJoin(F.broadcast(n_cells))
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "n_pairs", "n_hits",
+                F.expr(
+                    "round(CAST(n_hits AS DOUBLE) "
+                    "/ nullif(CAST(n_pairs AS DOUBLE), 0.0d), 6)"
+                ).alias("recall_at_k"),
+                F.expr(
+                    f"round(least(1.0d, CAST({p} AS DOUBLE) "
+                    "/ CAST(nc AS DOUBLE)), 6)"
+                ).alias("nominal_scan_fraction"),
+            )
+        )
+    out = parts[0]
+    for pr in parts[1:]:
+        out = out.unionByName(pr)
+    return out

@@ -1389,3 +1389,24 @@ def test_negative_samples_validates(spark):
     emb = _vecs(spark, range(5))
     with pytest.raises(ValueError):
         ops.negative_samples(emb, k_neg=0)
+
+
+# ---- ivf_tuning_curve (round-8 wave 5) ------------------------------------------
+
+
+def test_ivf_curve_recall_monotone_in_probes(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j * 5) % 17) for j in range(8)], i % 4)
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["n_probe"]: r for r in ops.ivf_tuning_curve(
+        emb, n_probes=[1, 2, 4], k=5, n_queries=5).collect()}
+    assert out[1]["recall_at_k"] <= out[2]["recall_at_k"] + 1e-9
+    assert out[2]["recall_at_k"] <= out[4]["recall_at_k"] + 1e-9
+    # probing every cell recovers the exact baseline
+    assert out[4]["recall_at_k"] == 1.0
+    assert out[4]["nominal_scan_fraction"] == 1.0
+    assert out[1]["nominal_scan_fraction"] == pytest.approx(0.25)
+    with pytest.raises(ValueError):
+        ops.ivf_tuning_curve(emb, n_probes=[])
