@@ -326,8 +326,6 @@ def c2st_drift(
     float-order dependence anywhere.  Returns ONE row:
     (n_old, n_new, auc) — auc rounded 6.
     """
-    from pyspark.sql import Window
-
     o = old.withColumn("__is_new", F.lit(0))
     n = new.withColumn("__is_new", F.lit(1))
     both = o.unionByName(n).localCheckpoint(eager=True)
@@ -335,35 +333,12 @@ def c2st_drift(
                        lr=lr, iterations=iterations)
     scored = logistic_score(both, w, feature_exprs, "__is_new",
                             id_col=id_col)
-    groups = (
-        scored.select(
-            F.expr(f"CAST(round(score * {_Q}.0d) AS BIGINT)")
-            .alias("s"),
-            F.col("label").alias("y"),
-        )
-        .groupBy("s")
-        .agg(
-            F.sum(F.expr("CASE WHEN y = 0 THEN 1 ELSE 0 END"))
-            .cast("long").alias("n0"),
-            F.sum(F.expr("CASE WHEN y = 1 THEN 1 ELSE 0 END"))
-            .cast("long").alias("n1"),
-        )
-    )
-    wc = Window.orderBy(F.col("s").asc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    staged = groups.select(
-        "n0", "n1",
-        F.coalesce(F.sum("n0").over(wc), F.lit(0)).cast("long")
-        .alias("cum0"),
-    )
-    return staged.agg(
-        F.sum(F.expr("n0")).cast("long").alias("n_old"),
-        F.sum(F.expr("n1")).cast("long").alias("n_new"),
-        F.expr(
-            "round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE) "
-            "/ nullif(2.0d * CAST(sum(n0) AS DOUBLE) "
-            "* CAST(sum(n1) AS DOUBLE), 0.0d), 6)"
-        ).alias("auc"),
+    return _exact_auc_frame(
+        scored, f"CAST(round(score * {_Q}.0d) AS BIGINT)", "label"
+    ).select(
+        F.col("n0").alias("n_old"),
+        F.col("n1").alias("n_new"),
+        "auc",
     )
 
 

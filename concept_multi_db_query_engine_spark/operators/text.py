@@ -2082,29 +2082,39 @@ def _bpe_encode_stats_arrow(
         import pandas as pd
 
         rl = bc.value
+        # word-level memoization: encoding is a pure function of the
+        # word, and corpus word frequencies are Zipfian — the cache is
+        # the same trick production BPE encoders use, turning the
+        # per-rule scan into a one-time cost per DISTINCT word
+        cache: dict[str, int] = {}
 
         def _word_tokens(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
             syms = list(word)
             if len(syms) < 2:
+                cache[word] = len(syms)
                 return len(syms)
             present = set(syms)
             for l, r, lr in rl:
                 if l not in present or r not in present:
                     continue
-                out, i, n, hit = [], 0, len(syms), False
+                out, i, n, did = [], 0, len(syms), False
                 while i < n:
                     if i + 1 < n and syms[i] == l and syms[i + 1] == r:
                         out.append(lr)
-                        hit = True
+                        did = True
                         i += 2
                     else:
                         out.append(syms[i])
                         i += 1
-                if hit:
+                if did:
                     syms = out
                     if len(syms) < 2:
                         break
                     present = set(syms)
+            cache[word] = len(syms)
             return len(syms)
 
         for pdf in batches:
