@@ -850,7 +850,8 @@ def _q_ivf_tuning(spark, sf):
 
 def _q_negative_samples(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return ops.negative_samples(emb, ops.knn_graph(emb, k=5), k_neg=4)
+    return ops.negative_samples(emb, ops.knn_graph(emb, k=5), k_neg=4,
+                                n_buckets=64)
 
 
 def _q_feature_auc(spark, sf):
@@ -3358,13 +3359,13 @@ knn AS MATERIALIZED (
 corpus AS MATERIALIZED (
   SELECT vec_id AS cand,
     ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':b:neg-v1'),
-       1, 15))::BIGINT % 16 AS bkt
+       1, 15))::BIGINT % 64 AS bkt
   FROM embeddings
 ),
 anch AS MATERIALIZED (
   SELECT vec_id AS anchor, s.slot,
     ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
-       || CAST(s.slot AS VARCHAR) || ':neg-v1'), 1, 15))::BIGINT % 16
+       || CAST(s.slot AS VARCHAR) || ':neg-v1'), 1, 15))::BIGINT % 64
       AS bkt
   FROM embeddings CROSS JOIN
     (SELECT unnest(range(0, 8)) AS slot) s
