@@ -920,6 +920,12 @@ def _q_position_attribution(spark, sf):
     return ops.position_attribution(_t(spark, sf, "events"))
 
 
+def _q_span_removal_incremental(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ops.dedup_span_removal_incremental(
+        docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0"), n=8)
+
+
 def _q_span_removal(spark, sf):
     return ops.dedup_span_removal(_t(spark, sf, "documents"),
                                   n=8, min_docs=2)
@@ -2039,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_feature_auc": _q_feature_auc,
             "embeddings_negative_samples": _q_negative_samples,
             "sim_ivf_tuning": _q_ivf_tuning,
+            "dedup_span_incremental": _q_span_removal_incremental,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2088,13 +2095,12 @@ _GATE_PRIORITY = [
     "docs_mutual_information", "embeddings_matryoshka",
     "orders_quantile_regression", "docs_c2st_drift",
     "docs_feature_auc", "embeddings_negative_samples",
-    "sim_ivf_tuning",
+    "sim_ivf_tuning", "dedup_span_incremental",
     # --- staleness rotation: the 13 remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
-    "docs_chunk",
     # --- staleness rotation: oldest r5-graded rows ---
     # ===== round-9 queue starts here (entry 51+), oldest grades first =====
-    "docs_hash_split", "text_contamination_check",
+    "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
     "events_hourly_anomaly", "docs_weighted_sample",
@@ -3735,6 +3741,49 @@ SELECT t.doc_id,
     CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, idx - 1)
          THEN tok END), x -> x IS NOT NULL), ' '), '') AS cleaned_text
 FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+    # incremental span removal: batch (odd ids) cleaned against the
+    # frozen corpus (even ids) — dup set = corpus grams ∪ batch dups
+    o["dedup_span_incremental"] = """
+WITH btoks AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id % 2 = 1),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 2 = 0),
+bpos AS (
+  SELECT doc_id, i.i - 1 AS i, array_to_string(w[i.i:i.i+7], ' ')
+           AS gram
+  FROM btoks CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM btoks) + 1)) AS i) i
+  WHERE len(w) >= 8 AND i.i <= len(w) - 7
+),
+cgrams AS (
+  SELECT DISTINCT array_to_string(w[i.i:i.i+7], ' ') AS gram
+  FROM ctoks CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM ctoks) + 1)) AS i) i
+  WHERE len(w) >= 8 AND i.i <= len(w) - 7
+),
+bdups AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM bpos)
+  GROUP BY gram HAVING count(*) >= 2
+),
+dup AS (SELECT gram FROM cgrams UNION SELECT gram FROM bdups),
+covpos AS (
+  SELECT p.doc_id, unnest(range(p.i, p.i + 8)) AS p
+  FROM bpos p JOIN dup d ON p.gram = d.gram
+),
+cov AS (
+  SELECT doc_id, list_sort(list(DISTINCT p)) AS cov
+  FROM covpos GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(cov.cov), 0) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(list_filter(list_transform(w, (tok, idx) ->
+    CASE WHEN cov.cov IS NULL OR NOT list_contains(cov.cov, idx - 1)
+         THEN tok END), x -> x IS NOT NULL), ' '), '') AS cleaned_text
+FROM btoks t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
     # leakage-safe grouped split: hash over the GROUP value, same exact
     # 60-bit thresholds as hash_split (train 0.9 / val 0.05)

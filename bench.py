@@ -226,6 +226,7 @@ HEADLINE = [
     "docs_feature_auc",
     "embeddings_negative_samples",
     "sim_ivf_tuning",
+    "dedup_span_incremental",
 ]
 
 

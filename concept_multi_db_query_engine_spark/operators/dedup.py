@@ -1041,3 +1041,78 @@ def dedup_span_removal(
             ).alias("cleaned_text"),
         )
     )
+
+
+def dedup_span_removal_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 8,
+    min_batch_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental duplicate-span removal — the daily-crawl shape of
+    :func:`dedup_span_removal`: clean a NEW batch against the frozen
+    corpus, deleting batch tokens covered by an n-gram that (a) appears
+    ANYWHERE in the corpus, or (b) is shared by ≥ ``min_batch_docs``
+    batch documents.  Cost scales with the BATCH (its grams drive every
+    join); the corpus contributes only a distinct-gram frame that is
+    hash-partitioned once and never collected — bucket the stored gram
+    table on `gram` and daily runs co-locate, exactly the
+    ``incremental_new_docs`` contract.
+
+    Returns the batch as (doc_id, n_tokens, n_removed, cleaned_text).
+    """
+    def _positional(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("w"),
+        )
+        return toks, toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(0, size(w) - {n}), "
+                    f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+                    f"ELSE array() END"
+                )
+            ).alias("i", "gram"),
+        )
+
+    b_toks, b_pos = _positional(batch)
+    _, c_pos = _positional(corpus)
+    corpus_grams = c_pos.select("gram").distinct()
+    batch_dups = (
+        b_pos.select("doc_id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_batch_docs)
+        .select("gram")
+    )
+    dup_grams = corpus_grams.unionByName(batch_dups).distinct()
+    covered = (
+        b_pos.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
+    )
+    return (
+        b_toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(coalesce(size(cov), 0) AS BIGINT)"
+            ).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', filter(zip_with(w, "
+                "sequence(0, size(w) - 1), (t, p) -> "
+                "CASE WHEN cov IS NULL OR NOT array_contains(cov, p) "
+                "THEN t END), x -> x IS NOT NULL))"
+            ).alias("cleaned_text"),
+        )
+    )

@@ -77,7 +77,7 @@ def test_front_50_carries_the_round8_composition():
     # staleness rotation: the oldest remaining r4-graded rows re-grade
     # (r4 rows displaced past slot 50 by round-8 additions move to the
     # head of the round-9 queue — never-graded wins the slot)
-    for name in ("corpus_report", "docs_chunk"):
+    for name in ("corpus_report", "sim_recall_at_k"):
         assert name in front, name
 
 

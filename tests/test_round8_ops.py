@@ -1410,3 +1410,60 @@ def test_ivf_curve_recall_monotone_in_probes(spark):
     assert out[1]["nominal_scan_fraction"] == pytest.approx(0.25)
     with pytest.raises(ValueError):
         ops.ivf_tuning_curve(emb, n_probes=[])
+
+
+# ---- dedup_span_removal_incremental (round-8 wave 5) ----------------------------
+
+
+def test_incremental_span_removal_cleans_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(100, "license header text goes here always x y z")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(0, "license header text goes here always unique tail"),
+         (1, "completely fresh content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ops.dedup_span_removal_incremental(
+        batch, corpus, n=6).collect()}
+    # grams of len 6 from the corpus cover the first 7 tokens of doc 0
+    assert out[0]["cleaned_text"] == "unique tail"
+    assert out[1]["n_removed"] == 0
+    assert set(out) == {0, 1}  # corpus rows never appear in output
+
+
+def test_incremental_span_removal_also_dedups_within_batch(spark):
+    corpus = spark.createDataFrame([(99, "x y z")],
+                                   "doc_id long, text string")
+    shared = "a b c d e f"
+    batch = spark.createDataFrame(
+        [(0, f"{shared} t0"), (1, f"{shared} t1"), (2, "own words only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cleaned_text"]
+           for r in ops.dedup_span_removal_incremental(
+               batch, corpus, n=6).collect()}
+    assert out[0] == "t0" and out[1] == "t1"
+    assert out[2] == "own words only"
+
+
+def test_incremental_matches_full_pass_on_clean_corpus(spark):
+    """When the corpus itself is span-clean, incremental(batch, corpus)
+    must equal the batch rows of the full pass over corpus ∪ batch."""
+    corpus = spark.createDataFrame(
+        [(100 + i, " ".join(f"c{i}t{j}" for j in range(12)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    shared = " ".join(f"s{j}" for j in range(9))
+    batch = spark.createDataFrame(
+        [(0, f"{shared} b0 b1"), (1, f"b2 {shared}"),
+         (2, "c0t0 c0t1 c0t2 lone")],  # short corpus overlap: < n, kept
+        "doc_id long, text string",
+    )
+    inc = sorted(map(tuple, ops.dedup_span_removal_incremental(
+        batch, corpus, n=8).collect()))
+    full = sorted(map(tuple, ops.dedup_span_removal(
+        corpus.unionByName(batch), n=8).where("doc_id < 100").collect()))
+    assert inc == full

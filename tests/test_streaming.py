@@ -702,3 +702,44 @@ def test_stream_quota_admission_caps_every_domain(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) == min(7, totals[dom])
     assert set(per) == set(totals)
+
+
+def test_incremental_span_cleaning_via_foreach_batch(spark):
+    """Streaming corpus ingestion with span hygiene: each arriving
+    micro-batch is cleaned against the frozen corpus' dup-gram index
+    with the BATCH operator inside foreachBatch (within-batch dup
+    detection needs the completed micro-batch, which append mode can't
+    express) — the drained result must equal one batch pass."""
+    from concept_multi_db_query_engine_spark import operators as ops
+    from concept_multi_db_query_engine_spark.streaming import corpus as sc
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    corpus = testdata.load_table(spark, SF_DIR, "documents") \
+        .where("doc_id % 2 = 0")
+    arriving = testdata.load_table(spark, SF_DIR, "documents") \
+        .where("doc_id % 2 = 1")
+    stream = sc._bounded_document_stream(spark, docs_path)
+    cleaned: list = []
+
+    def clean(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        part = batch_df.where("doc_id % 2 = 1")
+        if part.isEmpty():
+            return
+        cleaned.extend(
+            map(tuple, ops.dedup_span_removal_incremental(
+                part, corpus, n=8).collect()))
+
+    q = (
+        stream.writeStream.foreachBatch(clean)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch_result = sorted(map(tuple, ops.dedup_span_removal_incremental(
+        arriving, corpus, n=8).collect()))
+    # the bounded file source delivers everything in one micro-batch
+    # here; with many micro-batches, within-batch dups would split —
+    # the corpus-side cleaning (the contract) is identical either way
+    assert sorted(cleaned) == batch_result
