@@ -472,6 +472,30 @@ def _q_tpch_q22(spark, sf):
     return ops.tpch_q22(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
 
 
+def _q_tpch_q2(spark, sf):
+    return ops.tpch_q2(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+                       _t(spark, sf, "nation"), _t(spark, sf, "region"),
+                       _t(spark, sf, "part"))
+
+
+def _q_tpch_q11(spark, sf):
+    return ops.tpch_q11(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+                        _t(spark, sf, "nation"), _t(spark, sf, "region"))
+
+
+def _q_tpch_q20(spark, sf):
+    return ops.tpch_q20(_t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+                        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+                        _t(spark, sf, "part"))
+
+
+def _q_tpch_q21(spark, sf):
+    return ops.tpch_q21(_t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+                        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+                        _t(spark, sf, "region"))
+
+
+
 def _q_kmv_distinct(spark, sf):
     return ops.approx_distinct_kmv(_t(spark, sf, "events"), "user_id", k=256)
 
@@ -1870,6 +1894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tpch_q18": _q_tpch_q18,
             "tpch_q19": _q_tpch_q19,
             "tpch_q22": _q_tpch_q22,
+            "tpch_q2": _q_tpch_q2,
+            "tpch_q11": _q_tpch_q11,
+            "tpch_q20": _q_tpch_q20,
+            "tpch_q21": _q_tpch_q21,
             "rolling_revenue_7d": _q_rolling_revenue,
             "customer_order_gaps": _q_order_gaps,
             "nation_revenue_pivot": _q_nation_pivot,
@@ -2096,10 +2124,15 @@ _GATE_PRIORITY = [
     "orders_quantile_regression", "docs_c2st_drift",
     "docs_feature_auc", "embeddings_negative_samples",
     "sim_ivf_tuning", "dedup_span_incremental",
-    # --- staleness rotation: the 13 remaining r4-graded rows ---
+    "tpch_q2", "tpch_q11", "tpch_q21",
+    # ===== round-9 queue starts here (entry 51+) =====
+    # 51 rows are never-driver-graded but the window holds 50; the one
+    # overflow (newest addition, tri-scale parity-proven) leads round 9,
+    # then the r4 staleness rotation displaced by the round-8 additions.
+    "tpch_q20",
+    # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
-    # ===== round-9 queue starts here (entry 51+), oldest grades first =====
     "docs_chunk", "docs_hash_split", "text_contamination_check",
     "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
@@ -2974,6 +3007,92 @@ WHERE c.c_acctbal > (
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY 1 ORDER BY 1
+"""
+    o["tpch_q21"] = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN eu_supp s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+"""
+    o["tpch_q2"] = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+           AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+       round(sp.unit_cost, 4) AS unit_cost
+FROM supply sp
+JOIN eu s ON sp.l_suppkey = s.s_suppkey
+JOIN part p ON sp.l_partkey = p.p_partkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+  AND sp.unit_cost = (
+    SELECT min(sp2.unit_cost) FROM supply sp2
+    JOIN eu s2 ON sp2.l_suppkey = s2.s_suppkey
+    WHERE sp2.l_partkey = sp.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+    o["tpch_q11"] = f"""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS {dec})) AS vd
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(vd) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS n
+  FROM val
+)
+SELECT v.l_partkey AS p_partkey, round(CAST(v.vd AS DOUBLE), 4) AS part_value
+FROM val v, tot
+WHERE CAST(v.vd AS DOUBLE) > 1.5 * tot.t / tot.n
+ORDER BY part_value DESC, p_partkey LIMIT 100
+"""
+    o["tpch_q20"] = f"""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey, sum(CAST(l.l_quantity AS {dec})) AS qd
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'cold%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, sum(qd) AS part_qd FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s.s_name, s.s_acctbal
+FROM shipped sh
+JOIN tot t ON sh.l_partkey = t.l_partkey
+JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND CAST(sh.qd AS DOUBLE) > 0.5 * CAST(t.part_qd AS DOUBLE)
+ORDER BY s_name
 """
     o["rolling_revenue_7d"] = f"""
 WITH daily AS (

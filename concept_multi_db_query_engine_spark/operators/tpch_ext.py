@@ -1,7 +1,9 @@
-"""Extended TPC-H-shaped analytics (Q7-Q10, Q13-Q19, Q22 adapted to the
-driver testdata schema — no ``partsupp`` table, so Q2/Q11/Q20/Q21 are not
-expressible; Q9/Q16/Q17 substitute the lineitem part-supplier link or
-``p_retailprice`` where the original uses ``partsupp`` columns).
+"""Extended TPC-H-shaped analytics (Q2, Q7-Q11, Q13-Q22 adapted to the
+driver testdata schema — no ``partsupp`` table, so Q2/Q9/Q11/Q16/Q17/Q20
+substitute the lineitem part-supplier link or ``p_retailprice`` where the
+original uses ``partsupp`` columns; Q21 keys "late" off the ship/order
+date gap since the lineitem has no commit/receipt dates. With these
+adaptations all 22 TPC-H query shapes are covered).
 
 Same numeric convention as analytics.py: money aggregates run over
 DECIMAL(12,4)-cast columns (exact + associative → partition-order-immune),
@@ -392,4 +394,240 @@ def tpch_q22(
             F.sum(_d("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+def tpch_q21(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+    nation: DataFrame, region: DataFrame,
+    region_name: str = "EUROPE", late_days: int = 90,
+) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted: the
+    testdata lineitem has no commit/receipt dates, so "delivered late"
+    → "shipped more than ``late_days`` after the order date"; the
+    single-nation filter widens to a region so every scale factor has
+    qualifying suppliers): count, per supplier, the late lineitems of
+    finished multi-supplier orders where that supplier was the ONLY
+    late one.
+
+    Spark-first decorrelation (the same normalization the reference
+    applies to EXISTS — CROSS_DB_NORMALIZATION.md:14-44): instead of
+    the correlated EXISTS / NOT EXISTS pair, ONE per-order aggregate
+    derives (distinct suppliers, distinct late suppliers, the max late
+    supplier key, the late-row count). An order qualifies iff it has
+    ≥2 suppliers and exactly 1 late supplier — and because that late
+    supplier is unique, ``max(late supplier)`` IS the culprit and the
+    order's late-row count is entirely theirs, so no join back to the
+    lineitems is needed. The oracle runs the textbook correlated form,
+    so the driver gate proves decorrelated == correlated.
+
+    Scale: ONE scan of lineitem joined to filtered orders on the order
+    key (both fact-sized — shuffle join, AQE-managed), one map-side-
+    combined per-order aggregate, then a broadcast join of the
+    |orders|-keyed result to the supplier dimension. No correlated
+    re-execution and no second fact pass at any scale.
+    """
+    eu_supp = (
+        supplier
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = lineitem.join(
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"))
+        .alias("__late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey")))
+        .alias("__n_late"),
+        F.max(F.when(F.col("__late"), F.col("l_suppkey")))
+        .alias("__late_supp"),
+        F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__late_cnt"),
+    ).where((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    return (
+        per_order
+        .join(F.broadcast(eu_supp),
+              F.col("__late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("__late_cnt").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def tpch_q2(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+    region: DataFrame, part: DataFrame,
+    region_name: str = "EUROPE", part_type: str = "ECONOMY",
+    max_size: int = 10,
+) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape, adapted: no ``partsupp``
+    table in the testdata, so the supply catalog derives from observed
+    trade — per (part, supplier), the minimum unit price ever charged;
+    ``p_type = X AND p_size <= K`` replaces the size/type-suffix pair
+    since the testdata has 6 coarse types): for the selected parts, the
+    region's suppliers whose offer matches the regional minimum.
+
+    The correlated MIN subquery becomes a per-part window minimum over
+    the region-filtered supply frame — one shuffle on the part key, no
+    second scan, all min-ties kept (same semantics as the SQL form).
+    Unit price is computed double/double (one deterministic IEEE754
+    division per row on either engine) so the min-equality filter
+    matches the oracle bit-for-bit.
+
+    Scale: supply is a map-side-combined aggregate over lineitem (one
+    shuffle on (part, supplier)); parts and the region's suppliers
+    broadcast; the window min adds one part-keyed exchange of the
+    aggregated (not raw) frame.
+    """
+    eu = (
+        supplier
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.where(
+        (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name")
+    supply = (
+        lineitem
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice").cast("double")
+             / F.col("l_quantity").cast("double")).alias("__unit"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit").alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        supply
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("__min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("__min_cost"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.round("unit_cost", 4).alias("unit_cost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q11(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE", avg_mult: float = 1.5,
+) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape, adapted: part
+    value = traded value ``sum(l_extendedprice)`` through the region's
+    suppliers instead of ``ps_supplycost * ps_availqty``; the HAVING
+    threshold is ``avg_mult ×`` the mean per-part value rather than
+    TPC-H's scale-factor-dependent fraction, so the filter stays
+    meaningful at every sf): parts whose traded value concentrates.
+
+    The scalar total/average subquery re-aggregates the per-part frame
+    — which would replay the fact lineage and scan lineitem twice (the
+    welch_z_many finding, PLANS.md; a ``rollup`` variant was tried and
+    rejected: Catalyst prunes each grouping-set branch separately, so
+    the exchange is NOT reused and the plan still scans twice, now with
+    Expand overhead on top). The fix is the checkpoint idiom the exact-
+    quantile machinery already uses: ``localCheckpoint`` the AGGREGATED
+    per-part frame (|parts| rows — orders of magnitude below the fact
+    table; at petabyte scale the same cut point would checkpoint to
+    parquet), then both the total row and the threshold filter read the
+    materialized frame — ONE fact scan total. Exact decimal part sums;
+    only the threshold comparison itself is double, identical on both
+    engines.
+    """
+    eu = (
+        supplier
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        lineitem
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_d("l_extendedprice")).alias("__value_d"))
+        .localCheckpoint(eager=True)
+    )
+    # the grand total re-sums the exact DECIMAL per-part partials of the
+    # CHECKPOINTED frame (order-immune, no fact rescan); doubles appear
+    # only in the one threshold comparison below
+    total = val.agg(
+        F.sum("__value_d").cast("double").alias("__tot"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("__value_d").cast("double")
+               > F.lit(avg_mult) * F.col("__tot") / F.col("__n"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.round(F.col("__value_d").cast("double"), 4)
+                .alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q20(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+    region: DataFrame, part: DataFrame,
+    region_name: str = "EUROPE", name_prefix: str = "cold",
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+    share_gt: float = 0.5,
+) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape, adapted: no
+    ``ps_availqty``, so "excess stock" → "dominant supplier" — a
+    supplier qualifies when it shipped more than ``share_gt`` of a
+    prefix-named part's total quantity in the window): the region's
+    suppliers holding a dominant position in some selected part.
+
+    The nested IN subqueries flatten to one aggregation + one per-part
+    window total: shipped quantity per (part, supplier) in the window
+    (exact decimal, map-side combined), the part total as a window sum
+    over that aggregated frame, the share filter, then broadcast joins
+    to the selected parts and the region's suppliers. The part-name
+    filter applies BEFORE aggregation (broadcast semi-join) so the
+    shuffle carries only selected-part rows.
+    """
+    parts = part.where(F.col("p_name").startswith(name_prefix)) \
+        .select("p_partkey")
+    eu = (
+        supplier
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    shipped = (
+        lineitem
+        .where((F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_d("l_quantity")).alias("__qty_d"))
+    )
+    # the per-part window total sums the exact DECIMAL per-supplier
+    # partials (order-immune); the share comparison alone is double
+    w = Window.partitionBy("l_partkey")
+    return (
+        shipped
+        .withColumn("__part_qty", F.sum("__qty_d").over(w))
+        .where(F.col("__qty_d").cast("double")
+               > F.lit(share_gt) * F.col("__part_qty").cast("double"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_acctbal").distinct()
+        .orderBy("s_name")
     )

@@ -416,3 +416,31 @@ class TestRound8Shapes:
         plan = ops.kaplan_meier(subj, "t", "ev") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
+
+    def test_q21_scans_the_lineitem_orders_join_once(self, spark):
+        # the decorrelated Q21 derives the culprit supplier AND its
+        # late-row count inside the single per-order aggregate; a
+        # two-branch form (aggregate + late-rows join-back) would scan
+        # the fact join twice
+        li = testdata.load_table(spark, SF_DIR, "lineitem")
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        supplier = testdata.load_table(spark, SF_DIR, "supplier")
+        nation = testdata.load_table(spark, SF_DIR, "nation")
+        region = testdata.load_table(spark, SF_DIR, "region")
+        plan = ops.tpch_q21(li, orders, supplier, nation, region) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1
+        assert plan.count("orders.parquet") == 1
+
+    def test_q11_total_branch_reads_the_checkpoint_not_the_fact(self, spark):
+        # the grand-total re-aggregate must consume the localCheckpointed
+        # per-part frame; replaying the lineage would put a second
+        # lineitem FileScan in the plan (the welch_z_many failure mode)
+        li = testdata.load_table(spark, SF_DIR, "lineitem")
+        supplier = testdata.load_table(spark, SF_DIR, "supplier")
+        nation = testdata.load_table(spark, SF_DIR, "nation")
+        region = testdata.load_table(spark, SF_DIR, "region")
+        plan = ops.tpch_q11(li, supplier, nation, region) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "lineitem.parquet" not in plan
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
