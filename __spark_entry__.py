@@ -1792,6 +1792,19 @@ def _q_triangles(spark, sf):
     return ops.triangle_counts(edges)
 
 
+def _q_adamic_adar(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return ops.adamic_adar_scores(edges, top_k=100)
+
+
+def _q_market_basket(spark, sf):
+    return ops.market_basket_rules(_t(spark, sf, "lineitem"),
+                                   _t(spark, sf, "part"))
+
+
 def _q_psi_drift(spark, sf):
     # snapshot split by order-key parity (the corpus_drift convention)
     orders = _t(spark, sf, "orders")
@@ -1993,6 +2006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_char_entropy": _q_char_entropy,
             "orders_psi_drift": _q_psi_drift,
             "graph_triangles": _q_triangles,
+            "graph_adamic_adar": _q_adamic_adar,
+            "orders_market_basket": _q_market_basket,
             "docs_token_jsd_drift": _q_token_jsd,
             "embeddings_corpus_stats": _q_embedding_stats,
             "events_kmv_resemblance": _q_kmv_resemblance,
@@ -2129,7 +2144,7 @@ _GATE_PRIORITY = [
     # 51 rows are never-driver-graded but the window holds 50; the one
     # overflow (newest addition, tri-scale parity-proven) leads round 9,
     # then the r4 staleness rotation displaced by the round-8 additions.
-    "tpch_q20",
+    "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6131,6 +6146,83 @@ SELECT d.node, d.degree,
          / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
          ELSE CAST(NULL AS DOUBLE) END, 6) AS clustering_coeff
 FROM deg d LEFT JOIN tn ON d.node = tn.node
+"""
+    o["graph_adamic_adar"] = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst AS a, src AS b FROM edges
+  ) WHERE a != b
+),
+deg AS (
+  SELECT a AS w, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 1024
+),
+adj AS (
+  SELECT u.a AS w, u.b AS nbr,
+         CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)), 0) AS BIGINT)
+           AS aa_micro
+  FROM und u JOIN deg d ON u.a = d.w
+),
+pairs AS (
+  SELECT l.nbr AS u, r.nbr AS v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(l.aa_micro) AS BIGINT) AS sum_micro
+  FROM adj l JOIN adj r ON l.w = r.w AND l.nbr < r.nbr
+  GROUP BY 1, 2
+)
+SELECT p.u, p.v, p.common_neighbors,
+       CAST(p.sum_micro AS DOUBLE) / 1000000.0 AS aa_score
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und x WHERE x.a = p.u AND x.b = p.v)
+ORDER BY aa_score DESC, u, v LIMIT 100
+"""
+    o["orders_market_basket"] = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS item_orders
+  FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_orders
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.pair_orders,
+       round(CAST(p.pair_orders AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+         AS support,
+       round(CAST(p.pair_orders AS DOUBLE) / CAST(ia.item_orders AS DOUBLE),
+             6) AS confidence,
+       round(CAST(p.pair_orders AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / CAST(ia.item_orders AS DOUBLE)
+             / CAST(ib.item_orders AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN item_n ia ON p.item_a = ia.item
+JOIN item_n ib ON p.item_b = ib.item
+CROSS JOIN n
+ORDER BY lift DESC, item_a, item_b LIMIT 100
 """
 
     _psi_term = (

@@ -54,7 +54,11 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
     "orders_rollup",
     "orders_cube",
     "orders_profile",
@@ -174,6 +178,8 @@ HEADLINE = [
     "text_char_entropy",
     "orders_psi_drift",
     "graph_triangles",
+    "graph_adamic_adar",
+    "orders_market_basket",
     "docs_token_jsd_drift",
     "embeddings_corpus_stats",
     "events_kmv_resemblance",

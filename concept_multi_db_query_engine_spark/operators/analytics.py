@@ -1684,3 +1684,75 @@ def position_attribution(
                  / F.sum("ush").over(wall).cast("double"), 6))
         .alias("u_shaped"),
     )
+
+
+def market_basket_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    item_col: str = "p_brand",
+    min_pair_orders: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    item pair (a < b) co-occurring in at least ``min_pair_orders``
+    orders, the classic support / confidence / lift triple (Agrawal &
+    Srikant 1994 metrics; ``item_col`` defaults to the part brand so
+    the pair space stays dense — raw part keys at TPC-H cardinality
+    co-occur almost never). Rules are ranked by lift — how much more
+    often the pair co-occurs than independence predicts.
+
+    Scale: baskets = distinct (order, item) — ONE keyed shuffle whose
+    width is bounded by |orders| × |items-per-order|, localCheckpointed
+    because three branches consume it (pair join, per-item counts,
+    basket total) and replaying the lineage would scan the fact table
+    three times. The pair frame self-joins baskets on the order key —
+    per-order fan-out is C(basket size, 2), bounded by the item
+    vocabulary (brands: ≤ C(25,2)), never corpus². All counts are
+    exact longs; the three ratios are fixed-order double expressions
+    mirrored textually in the oracle.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", item_col)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col(item_col).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("okey").cast("long").alias("n_orders"))
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_orders"))
+    a = baskets.select("okey", F.col("item").alias("item_a"))
+    b = baskets.select("okey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .where(F.col("pair_orders") >= min_pair_orders)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs
+        .join(F.broadcast(
+            item_n.select(F.col("item").alias("item_a"),
+                          F.col("item_orders").alias("a_orders"))),
+            "item_a")
+        .join(F.broadcast(
+            item_n.select(F.col("item").alias("item_b"),
+                          F.col("item_orders").alias("b_orders"))),
+            "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "pair_orders",
+            F.round(d("pair_orders") / d("n_orders"), 6).alias("support"),
+            F.round(d("pair_orders") / d("a_orders"), 6)
+            .alias("confidence"),
+            F.round(d("pair_orders") * d("n_orders")
+                    / d("a_orders") / d("b_orders"), 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(top_k)
+    )

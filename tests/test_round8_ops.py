@@ -1467,3 +1467,63 @@ def test_incremental_matches_full_pass_on_clean_corpus(spark):
     full = sorted(map(tuple, ops.dedup_span_removal(
         corpus.unionByName(batch), n=8).where("doc_id < 100").collect()))
     assert inc == full
+
+
+# ---- adamic_adar_scores ---------------------------------------------------
+
+
+def test_adamic_adar_square_graph_scores_the_missing_diagonals(spark):
+    # square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    # non-adjacent pairs; each has two degree-2 common neighbors, so
+    # AA = 2 * round(1e6/ln 2)/1e6 — and no adjacent pair may appear
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    rows = ops.adamic_adar_scores(edges).collect()
+    import math
+    expected = 2 * round(1000000.0 / math.log(2.0)) / 1000000.0
+    got = {(r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+           for r in rows}
+    assert got == {(1, 3): (2, expected), (2, 4): (2, expected)}
+
+
+def test_adamic_adar_degree_one_neighbor_never_divides_by_zero(spark):
+    # node 3 has degree 1 — ln(1) = 0 must never be evaluated; the
+    # remaining path 1-2-3 gives (1,3) through the deg-2 hub 2
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    rows = ops.adamic_adar_scores(edges).collect()
+    assert [(r["u"], r["v"], r["common_neighbors"]) for r in rows] \
+        == [(1, 3, 1)]
+
+
+def test_adamic_adar_max_degree_drops_hub_wedges(spark):
+    # star center 0 with 4 leaves: all C(4,2) leaf pairs score through
+    # the hub; max_degree=3 excludes the deg-4 center entirely
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src int, dst int"
+    )
+    assert ops.adamic_adar_scores(edges, max_degree=3).count() == 0
+    assert ops.adamic_adar_scores(edges, max_degree=4).count() == 6
+
+
+# ---- market_basket_rules --------------------------------------------------
+
+
+def test_market_basket_support_confidence_lift(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30), (4, 20),
+         (4, 20)],  # order 4 repeats item B — distinct() must dedupe
+        "l_orderkey int, l_partkey int",
+    )
+    part = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (30, "C")], "p_partkey int, p_brand string"
+    )
+    rows = ops.market_basket_rules(li, part).collect()
+    # baskets: {A,B} {A,B} {A,C} {B}; n=4, A=3, B=3, C=1
+    # pair (A,B)=2 survives min_pair_orders; (A,C)=1 filtered
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["item_a"], r["item_b"], r["pair_orders"]) == ("A", "B", 2)
+    assert r["support"] == 0.5
+    assert r["confidence"] == round(2 / 3, 6)
+    assert r["lift"] == round(2 * 4 / 3 / 3, 6)
