@@ -1421,6 +1421,15 @@ def _q_zorder(spark, sf):
     return ops.zorder_code(base, "o_custkey", "dday", bits=12)
 
 
+def _q_hilbert(spark, sf):
+    base = _t(spark, sf, "orders").selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') "
+        "AS BIGINT) AS dday",
+    )
+    return ops.hilbert_code(base, "o_custkey", "dday", bits=12)
+
+
 def _q_skew_report(spark, sf):
     return ops.join_skew_report(_t(spark, sf, "events"), "user_id",
                                 top_n=10)
@@ -2032,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_reservoir_sample": _q_reservoir_sample,
             "events_daily_ewma": _q_daily_ewma,
             "orders_zorder_layout": _q_zorder,
+            "orders_hilbert_layout": _q_hilbert,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2145,6 +2155,7 @@ _GATE_PRIORITY = [
     # overflow (newest addition, tri-scale parity-proven) leads round 9,
     # then the r4 staleness rotation displaced by the round-8 additions.
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
+    "orders_hilbert_layout",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6668,6 +6679,16 @@ SELECT o_orderkey, o_custkey, dday,
        CAST({" + ".join(_zm_terms)} AS BIGINT) AS zorder
 FROM base
 """
+
+    o["orders_hilbert_layout"] = ops.hilbert_sql(
+        base_cte=(
+            "base AS (SELECT o_orderkey, o_custkey, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)"
+            " AS dday FROM orders)"
+        ),
+        keep_cols=["o_orderkey", "o_custkey", "dday"],
+        col_a="o_custkey", col_b="dday", bits=12,
+    )
 
     # join-skew report: heaviest keys by exact integer ppm share
     o["events_skew_report"] = """

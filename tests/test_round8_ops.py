@@ -1527,3 +1527,65 @@ def test_market_basket_support_confidence_lift(spark):
     assert r["support"] == 0.5
     assert r["confidence"] == round(2 / 3, 6)
     assert r["lift"] == round(2 * 4 / 3 / 3, 6)
+
+
+# ---- hilbert_code ---------------------------------------------------------
+
+
+def test_hilbert_matches_reference_walk_and_is_a_bijection(spark):
+    # full 8x8 grid: the unrolled expression chain must reproduce the
+    # canonical xy2d walk exactly and hit every index once
+    def xy2d(bits, x, y):
+        n = 1 << bits
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    import itertools
+    cells = [(x, y) for x, y in itertools.product(range(8), repeat=2)]
+    df = spark.createDataFrame(cells, "x int, y int")
+    got = {(r["x"], r["y"]): r["hilbert"]
+           for r in ops.hilbert_code(df, "x", "y", bits=3).collect()}
+    assert got == {(x, y): xy2d(3, x, y) for x, y in cells}
+    assert sorted(got.values()) == list(range(64))
+
+
+def test_hilbert_sql_twin_replays_the_walk(spark):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT "
+        "range AS o_orderkey, range % 13 AS o_custkey, "
+        "DATE '1992-01-01' + INTERVAL (range % 29) DAY AS o_orderdate "
+        "FROM range(200)"
+    )
+    sql = ops.hilbert_sql(
+        base_cte=("base AS (SELECT o_orderkey, o_custkey, "
+                  "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' "
+                  "AS BIGINT) AS dday FROM orders)"),
+        keep_cols=["o_orderkey", "o_custkey", "dday"],
+        col_a="o_custkey", col_b="dday", bits=12,
+    )
+    want = {r[0]: r[3] for r in con.sql(sql).fetchall()}
+    base = spark.createDataFrame(
+        [(i, i % 13, i % 29) for i in range(200)],
+        "o_orderkey long, o_custkey long, dday long",
+    )
+    got = {r["o_orderkey"]: r["hilbert"]
+           for r in ops.hilbert_code(base, "o_custkey", "dday",
+                                     bits=12).collect()}
+    assert got == want
+
+
+def test_hilbert_rejects_state_column_collisions(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "x int, y int, __hx int")
+    with pytest.raises(ValueError):
+        ops.hilbert_code(df, "x", "y")
