@@ -1430,6 +1430,25 @@ def _q_hilbert(spark, sf):
     return ops.hilbert_code(base, "o_custkey", "dday", bits=12)
 
 
+_PRUNE_PROBES = [
+    ("cust_slice", 100, 200, 0, 3000),
+    ("date_slice", 0, 1000000, 400, 500),
+    ("box", 100, 400, 800, 1200),
+]
+
+
+def _q_pruning_report(spark, sf):
+    base = _t(spark, sf, "orders").selectExpr(
+        "o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') "
+        "AS BIGINT) AS dday",
+    )
+    return ops.pruning_report(
+        base, "o_custkey", "dday", _PRUNE_PROBES,
+        bits=8, n_files=64, a_div=64, b_div=16,
+    )
+
+
 def _q_skew_report(spark, sf):
     return ops.join_skew_report(_t(spark, sf, "events"), "user_id",
                                 top_n=10)
@@ -2042,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_daily_ewma": _q_daily_ewma,
             "orders_zorder_layout": _q_zorder,
             "orders_hilbert_layout": _q_hilbert,
+            "orders_pruning_report": _q_pruning_report,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2155,7 +2175,7 @@ _GATE_PRIORITY = [
     # overflow (newest addition, tri-scale parity-proven) leads round 9,
     # then the r4 staleness rotation displaced by the round-8 additions.
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
-    "orders_hilbert_layout",
+    "orders_hilbert_layout", "orders_pruning_report",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6679,6 +6699,16 @@ SELECT o_orderkey, o_custkey, dday,
        CAST({" + ".join(_zm_terms)} AS BIGINT) AS zorder
 FROM base
 """
+
+    o["orders_pruning_report"] = ops.pruning_report_sql(
+        base_cte=(
+            "base AS (SELECT o_custkey, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)"
+            " AS dday FROM orders)"
+        ),
+        col_a="o_custkey", col_b="dday", probes=_PRUNE_PROBES,
+        bits=8, n_files=64, a_div=64, b_div=16,
+    )
 
     o["orders_hilbert_layout"] = ops.hilbert_sql(
         base_cte=(

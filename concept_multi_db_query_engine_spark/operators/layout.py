@@ -206,6 +206,246 @@ def hilbert_code(
     return cur.select(*keep, F.col("__hd").cast("long").alias(out_col))
 
 
+def _pruning_validate(
+    probes: list[tuple], bits: int, n_files: int, a_div: int, b_div: int
+) -> None:
+    if not 1 <= bits <= 15:
+        raise ValueError("bits must be in [1, 15]")
+    if n_files < 1 or (n_files & (n_files - 1)) or n_files > 4 ** bits:
+        raise ValueError("n_files must be a power of two <= 4^bits")
+    if a_div < 1 or b_div < 1:
+        raise ValueError("cell divisors must be >= 1")
+    if not probes:
+        raise ValueError("need at least one probe rectangle")
+    for p in probes:
+        if len(p) != 5:
+            raise ValueError(
+                "each probe is (name, a_lo, a_hi, b_lo, b_hi)"
+            )
+
+
+def _morton_terms(ca: str, cb: str, bits: int, shl) -> str:
+    """Morton interleave of two ALREADY-masked cell expressions as a flat
+    ``+`` chain, dialect-parametrized: ``shl(expr, k)`` renders a left
+    shift (Spark ``shiftleft``, DuckDB ``<<``)."""
+    terms = []
+    for i in range(bits):
+        terms.append(shl(f"(({ca} >> {i}) & 1)", 2 * i))
+        terms.append(shl(f"(({cb} >> {i}) & 1)", 2 * i + 1))
+    return "(" + " + ".join(terms) + ")"
+
+
+def pruning_report(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    probes: list[tuple],
+    bits: int = 8,
+    n_files: int = 64,
+    a_div: int = 1,
+    b_div: int = 1,
+) -> DataFrame:
+    """Zone-map file-skipping simulator — measures, per layout curve,
+    how many files a rectangular predicate actually has to scan. This is
+    the decision tool behind ``OPTIMIZE ZORDER``-style maintenance: at
+    100 TB the scan cost of a filtered query is (files whose min/max
+    stats overlap the predicate) × (file size), so the layout choice —
+    linear composite sort vs Z-order vs Hilbert — IS the query cost.
+
+    Model: both dimensions are coarsened to a 2^bits × 2^bits cell grid
+    (``a_div``/``b_div`` are fixed cell widths in raw units, chosen by
+    the caller so the domain fits the grid), each row gets three layout
+    codes — ``linear`` (sort by b then a: the classic date-then-key
+    table sort), ``zorder`` (Morton), ``hilbert`` (xy2d walk) — and the
+    code space [0, 4^bits) is cut into ``n_files`` equal code ranges
+    (the write-side range partition). Each non-empty file's zone map is
+    the min/max of the RAW dimension values it holds, exactly what
+    parquet footers store. A probe rectangle scans a file iff the boxes
+    overlap.
+
+    Returns one row per (ordering, probe): ``files_total``,
+    ``files_scanned``, ``rows_scanned`` — all exact BIGINT counts.
+
+    Scale: ONE scan of the fact table (the three codes are narrow maps
+    sharing the Hilbert state chain; the 3× explode is narrow), ONE
+    map-side-combined hash aggregate down to <= 3·n_files zone rows,
+    then broadcast-cross-join against the literal probe list and a tiny
+    final aggregate — no sort, no data-sized shuffle anywhere (unlike
+    ntile-based equi-count splits, equal code ranges need no global
+    sort; real writers split by bytes, but the zone-map overlap math is
+    identical).
+    """
+    _pruning_validate(probes, bits, n_files, a_div, b_div)
+    mask = (1 << bits) - 1
+    step = (4 ** bits) // n_files
+    base = df.select(
+        F.expr(f"CAST({col_a} AS BIGINT)").alias("__a"),
+        F.expr(f"CAST({col_b} AS BIGINT)").alias("__b"),
+    ).select(
+        "__a",
+        "__b",
+        F.expr(f"(__a DIV {a_div}) & {mask}").alias("__ca"),
+        F.expr(f"(__b DIV {b_div}) & {mask}").alias("__cb"),
+    ).select(
+        "__a", "__b", "__ca", "__cb",
+        F.col("__ca").alias("__hx"),
+        F.col("__cb").alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+
+    def shr(e: str, k: int) -> str:
+        return f"shiftright({e}, {k})"
+
+    keep = ["__a", "__b", "__ca", "__cb"]
+    cur = base
+    for k in reversed(range(bits)):
+        d, x_new, y_new = hilbert_step_exprs(k, bits, shr)
+        cur = cur.select(
+            *keep,
+            F.expr(x_new).alias("__hx"),
+            F.expr(y_new).alias("__hy"),
+            F.expr(d).alias("__hd"),
+        )
+
+    def shl(e: str, k: int) -> str:
+        return f"shiftleft({e}, {k})" if k else e
+
+    z = _morton_terms("__ca", "__cb", bits, shl)
+    coded = cur.select(
+        "__a", "__b",
+        F.col("__hd").cast("long").alias("__h"),
+        F.expr(z).cast("long").alias("__z"),
+        F.expr(f"__cb * {1 << bits} + __ca").cast("long").alias("__l"),
+    )
+    per = coded.select(
+        "__a", "__b",
+        F.explode(F.array(
+            F.struct(F.lit("hilbert").alias("ordering"),
+                     F.col("__h").alias("code")),
+            F.struct(F.lit("linear").alias("ordering"),
+                     F.col("__l").alias("code")),
+            F.struct(F.lit("zorder").alias("ordering"),
+                     F.col("__z").alias("code")),
+        )).alias("oc"),
+    ).select(
+        F.col("oc.ordering").alias("ordering"),
+        F.expr(f"oc.code DIV {step}").alias("file_id"),
+        "__a", "__b",
+    )
+    zones = per.groupBy("ordering", "file_id").agg(
+        F.min("__a").alias("mina"), F.max("__a").alias("maxa"),
+        F.min("__b").alias("minb"), F.max("__b").alias("maxb"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(str(n), int(al), int(ah), int(bl), int(bh))
+         for n, al, ah, bl, bh in probes],
+        "probe string, alo long, ahi long, blo long, bhi long",
+    )
+    hit = (
+        (F.col("mina") <= F.col("ahi")) & (F.col("maxa") >= F.col("alo"))
+        & (F.col("minb") <= F.col("bhi")) & (F.col("maxb") >= F.col("blo"))
+    )
+    return (
+        zones.crossJoin(F.broadcast(pdf))
+        .groupBy("ordering", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(hit, F.col("cnt")).otherwise(0)).cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+
+
+def pruning_report_sql(
+    base_cte: str,
+    col_a: str,
+    col_b: str,
+    probes: list[tuple],
+    bits: int = 8,
+    n_files: int = 64,
+    a_div: int = 1,
+    b_div: int = 1,
+) -> str:
+    """The DuckDB twin of :func:`pruning_report`: replays the identical
+    cell grid, the three layout codes (Hilbert via the shared
+    :func:`hilbert_step_exprs` chain), equal-code-range file ids, raw
+    min/max zone maps, and the overlap counts — bit-for-bit. Integer
+    sums are cast to BIGINT (DuckDB sums to int128 otherwise)."""
+    _pruning_validate(probes, bits, n_files, a_div, b_div)
+    mask = (1 << bits) - 1
+    step = (4 ** bits) // n_files
+    parts = [base_cte]
+    parts.append(
+        f"c AS (SELECT CAST({col_a} AS BIGINT) AS __a, "
+        f"CAST({col_b} AS BIGINT) AS __b FROM base)"
+    )
+    parts.append(
+        f"h{bits} AS (SELECT __a, __b, "
+        f"(__a // {a_div}) & {mask} AS __ca, "
+        f"(__b // {b_div}) & {mask} AS __cb, "
+        f"(__a // {a_div}) & {mask} AS __hx, "
+        f"(__b // {b_div}) & {mask} AS __hy, "
+        f"CAST(0 AS BIGINT) AS __hd FROM c)"
+    )
+
+    def shr(e: str, k: int) -> str:
+        return f"({e} >> {k})"
+
+    keep = "__a, __b, __ca, __cb"
+    for k in reversed(range(bits)):
+        d, x_new, y_new = hilbert_step_exprs(k, bits, shr)
+        parts.append(
+            f"h{k} AS (SELECT {keep}, {x_new} AS __hx, {y_new} AS __hy, "
+            f"{d} AS __hd FROM h{k + 1})"
+        )
+
+    def shl(e: str, k: int) -> str:
+        return f"({e} << {k})" if k else e
+
+    z = _morton_terms("__ca", "__cb", bits, shl)
+    parts.append(
+        f"codes AS (SELECT __a, __b, __hd AS __h, "
+        f"CAST({z} AS BIGINT) AS __z, "
+        f"CAST(__cb * {1 << bits} + __ca AS BIGINT) AS __l FROM h0)"
+    )
+    parts.append(
+        "per AS (SELECT 'hilbert' AS ordering, __h AS code, __a, __b "
+        "FROM codes UNION ALL "
+        "SELECT 'linear', __l, __a, __b FROM codes UNION ALL "
+        "SELECT 'zorder', __z, __a, __b FROM codes)"
+    )
+    parts.append(
+        f"zones AS (SELECT ordering, code // {step} AS file_id, "
+        "min(__a) AS mina, max(__a) AS maxa, "
+        "min(__b) AS minb, max(__b) AS maxb, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1, 2)"
+    )
+    rows = ", ".join(
+        f"('{n}', {int(al)}, {int(ah)}, {int(bl)}, {int(bh)})"
+        for n, al, ah, bl, bh in probes
+    )
+    parts.append(
+        f"probes(probe, alo, ahi, blo, bhi) AS (VALUES {rows})"
+    )
+    hit = ("mina <= ahi AND maxa >= alo AND minb <= bhi "
+           "AND maxb >= blo")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT z.ordering, p.probe,\n"
+        "  CAST(count(*) AS BIGINT) AS files_total,\n"
+        f"  CAST(count(*) FILTER (WHERE {hit}) AS BIGINT)"
+        " AS files_scanned,\n"
+        f"  CAST(COALESCE(SUM(cnt) FILTER (WHERE {hit}), 0) AS BIGINT)"
+        " AS rows_scanned\n"
+        "FROM zones z CROSS JOIN probes p\n"
+        "GROUP BY z.ordering, p.probe"
+    )
+
+
 def hilbert_sql(
     base_cte: str,
     keep_cols: list[str],

@@ -444,3 +444,24 @@ class TestRound8Shapes:
             ._jdf.queryExecution().executedPlan().toString()
         assert "lineitem.parquet" not in plan
         assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+class TestLayoutShapes:
+    def test_pruning_report_one_scan_no_sort(self, spark):
+        # the three layout codes share ONE fact scan (explode, not
+        # three reads), file ids are equal code ranges (no ntile —
+        # no global sort anywhere), and the only hash exchanges carry
+        # model data: the <=3*n_files zone rows and the final report
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        base = orders.selectExpr(
+            "o_custkey",
+            "CAST(datediff(CAST(o_orderdate AS DATE), "
+            "DATE '1992-01-01') AS BIGINT) AS dday")
+        df = ops.pruning_report(
+            base, "o_custkey", "dday",
+            [("p", 0, 100, 0, 100)], bits=8, n_files=64,
+            a_div=64, b_div=16)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1
+        assert "Sort" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2

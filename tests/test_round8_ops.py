@@ -1589,3 +1589,110 @@ def test_hilbert_rejects_state_column_collisions(spark):
     df = spark.createDataFrame([(1, 2, 3)], "x int, y int, __hx int")
     with pytest.raises(ValueError):
         ops.hilbert_code(df, "x", "y")
+
+
+# ---- pruning_report -------------------------------------------------------
+
+
+def _py_xy2d(bits, x, y):
+    n = 1 << bits
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_pruning_report_matches_python_zone_map_replay(spark):
+    # 16x16 grid with holes; replay files/zone-maps/overlap in Python
+    bits, n_files = 4, 16
+    pts = [(a, b) for a in range(16) for b in range(16)
+           if (a * 7 + b * 3) % 5 != 0]
+    probes = [("p_a", 2, 5, 0, 15), ("p_b", 0, 15, 10, 12),
+              ("p_box", 4, 9, 4, 9), ("p_miss", 100, 200, 100, 200)]
+    df = spark.createDataFrame(pts, "a int, b int")
+    got = {(r["ordering"], r["probe"]):
+           (r["files_total"], r["files_scanned"], r["rows_scanned"])
+           for r in ops.pruning_report(
+               df, "a", "b", probes, bits=bits, n_files=n_files
+           ).collect()}
+
+    step = 4 ** bits // n_files
+    codes = {
+        "linear": lambda a, b: b * (1 << bits) + a,
+        "zorder": lambda a, b: sum(
+            (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+            for i in range(bits)),
+        "hilbert": lambda a, b: _py_xy2d(bits, a, b),
+    }
+    for ordering, fn in codes.items():
+        zones = {}
+        for a, b in pts:
+            f = fn(a, b) // step
+            mna, mxa, mnb, mxb, c = zones.get(
+                f, (10**9, -1, 10**9, -1, 0))
+            zones[f] = (min(mna, a), max(mxa, a),
+                        min(mnb, b), max(mxb, b), c + 1)
+        for name, al, ah, bl, bh in probes:
+            hits = [z for z in zones.values()
+                    if z[0] <= ah and z[1] >= al
+                    and z[2] <= bh and z[3] >= bl]
+            assert got[(ordering, name)] == (
+                len(zones), len(hits), sum(z[4] for z in hits))
+
+
+def test_pruning_report_sql_twin_matches(spark):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT range AS o_custkey, "
+        "(range * 17) % 300 AS dday FROM range(500)"
+    )
+    probes = [("q1", 0, 100, 0, 50), ("q2", 200, 400, 100, 299)]
+    sql = ops.pruning_report_sql(
+        base_cte="base AS (SELECT o_custkey, dday FROM orders)",
+        col_a="o_custkey", col_b="dday", probes=probes,
+        bits=6, n_files=16, a_div=8, b_div=8,
+    )
+    want = {(r[0], r[1]): (r[2], r[3], r[4])
+            for r in con.sql(sql).fetchall()}
+    df = spark.createDataFrame(
+        [(i, (i * 17) % 300) for i in range(500)],
+        "o_custkey long, dday long")
+    got = {(r["ordering"], r["probe"]):
+           (r["files_total"], r["files_scanned"], r["rows_scanned"])
+           for r in ops.pruning_report(
+               df, "o_custkey", "dday", probes,
+               bits=6, n_files=16, a_div=8, b_div=8).collect()}
+    assert got == want
+
+
+def test_pruning_report_full_range_probe_scans_everything(spark):
+    df = spark.createDataFrame(
+        [(i % 50, i % 31) for i in range(300)], "a int, b int")
+    rows = ops.pruning_report(
+        df, "a", "b", [("all", 0, 10**6, 0, 10**6)],
+        bits=5, n_files=8).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["files_scanned"] == r["files_total"]
+        assert r["rows_scanned"] == 300
+
+
+def test_pruning_report_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    probes = [("p", 0, 1, 0, 1)]
+    with pytest.raises(ValueError):
+        ops.pruning_report(df, "a", "b", probes, n_files=3)
+    with pytest.raises(ValueError):
+        ops.pruning_report(df, "a", "b", [])
+    with pytest.raises(ValueError):
+        ops.pruning_report(df, "a", "b", probes, bits=20)
+    with pytest.raises(ValueError):
+        ops.pruning_report(df, "a", "b", probes, a_div=0)
