@@ -1130,6 +1130,14 @@ def _q_pagerank(spark, sf):
     return ops.pagerank(edges, iterations=8)
 
 
+def _q_hits(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    edges = ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return ops.hits_scores(edges, iterations=6)
+
+
 def _q_pagerank_dangling(spark, sf):
     # Keep only even-numbered sources of the kNN graph: every odd node
     # that remains as a destination becomes a SINK, so this entry
@@ -2005,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_profile": _q_profile_orders,
             "graph_pagerank": _q_pagerank,
             "graph_pagerank_dangling": _q_pagerank_dangling,
+            "graph_hits": _q_hits,
             "nation_revenue_unpivot": _q_nation_unpivot,
             "orders_price_histogram": _q_price_histogram,
             "orders_monthly_growth": _q_monthly_growth,
@@ -2175,7 +2184,7 @@ _GATE_PRIORITY = [
     # overflow (newest addition, tri-scale parity-proven) leads round 9,
     # then the r4 staleness rotation displaced by the round-8 additions.
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
-    "orders_hilbert_layout", "orders_pruning_report",
+    "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5352,6 +5361,65 @@ SELECT node, CAST(rank_i AS BIGINT) AS rank_scaled,
        CAST(rank_i AS DOUBLE) / 1e9 AS rank
 FROM r8"""
     o["graph_pagerank"] = pr
+
+    # HITS hubs/authorities on the same kNN edges: integer micro-unit
+    # half-steps with MAX renormalization (order-free floor arithmetic,
+    # operators.graph.hits_scores). Iterative CTEs are MATERIALIZED —
+    # each sa/sh frame is referenced twice (max subquery + renorm) and
+    # un-materialized inlining is exponential in iteration count.
+    hits = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS hub_i FROM nodes)"""
+    for _i in range(6):
+        hits += f""",
+sa{_i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(sum(c.hub_i), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e2.dst AS node, h.hub_i
+    FROM edges e2 JOIN h{_i} h ON e2.src = h.node
+  ) c ON c.node = n.node
+  GROUP BY 1
+),
+a{_i + 1} AS MATERIALIZED (
+  SELECT node, CAST(s * 1000000
+         // greatest((SELECT max(s) FROM sa{_i}), 1) AS BIGINT) AS auth_i
+  FROM sa{_i}
+),
+sh{_i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(sum(c.auth_i), 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e2.src AS node, a.auth_i
+    FROM edges e2 JOIN a{_i + 1} a ON e2.dst = a.node
+  ) c ON c.node = n.node
+  GROUP BY 1
+),
+h{_i + 1} AS MATERIALIZED (
+  SELECT node, CAST(s * 1000000
+         // greatest((SELECT max(s) FROM sh{_i}), 1) AS BIGINT) AS hub_i
+  FROM sh{_i}
+)"""
+    hits += """
+SELECT a.node, a.auth_i AS authority_scaled, h.hub_i AS hub_scaled,
+       CAST(a.auth_i AS DOUBLE) / 1e6 AS authority,
+       CAST(h.hub_i AS DOUBLE) / 1e6 AS hub
+FROM a6 a JOIN h6 h ON a.node = h.node"""
+    o["graph_hits"] = hits
 
     # Dangling-mass variant: even-src kNN edges (odd destinations become
     # sinks); each iteration's leaked mass is summed over the sink set and

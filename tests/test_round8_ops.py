@@ -1696,3 +1696,53 @@ def test_pruning_report_validation(spark):
         ops.pruning_report(df, "a", "b", probes, bits=20)
     with pytest.raises(ValueError):
         ops.pruning_report(df, "a", "b", probes, a_div=0)
+
+
+# ---- hits_scores ----------------------------------------------------------
+
+
+def test_hits_matches_python_integer_replay(spark):
+    # directed star-plus-chain graph; replay the exact integer
+    # max-normalized half-steps in Python
+    edges = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5)]
+    S = 10**6
+    hub = {n: S for n in range(1, 6)}
+    outn = {}
+    inn = {}
+    for s, d in edges:
+        outn.setdefault(s, []).append(d)
+        inn.setdefault(d, []).append(s)
+    nodes = sorted({x for e in edges for x in e})
+    auth = {}
+    for _ in range(4):
+        sa = {v: sum(hub[u] for u in inn.get(v, [])) for v in nodes}
+        ma = max(max(sa.values()), 1)
+        auth = {v: sa[v] * S // ma for v in nodes}
+        sh = {u: sum(auth[v] for v in outn.get(u, [])) for u in nodes}
+        mh = max(max(sh.values()), 1)
+        hub = {u: sh[u] * S // mh for u in nodes}
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: (r["authority_scaled"], r["hub_scaled"])
+           for r in ops.hits_scores(df, iterations=4).collect()}
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+    # node 4 is the sink-authority, node 1 the hub
+    assert got[4][0] == S
+    assert got[1][1] == S
+    assert got[5][1] == 0  # no out-edges -> zero hub
+
+
+def test_hits_rejects_bad_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError):
+        ops.hits_scores(df, iterations=0)
+
+
+def test_hits_disconnected_components_normalize_globally(spark):
+    # two disjoint 2-cycles: symmetric, every node ends at max score
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src int, dst int")
+    rows = ops.hits_scores(df, iterations=3).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["authority_scaled"] == 10**6
+        assert r["hub_scaled"] == 10**6
