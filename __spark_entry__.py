@@ -663,6 +663,11 @@ def _q_dedup_jaccard(spark, sf):
                                    threshold=0.5)
 
 
+def _q_dedup_prefix_filter(spark, sf):
+    return ops.prefix_filter_pairs(_t(spark, sf, "documents"),
+                                   threshold=0.5)
+
+
 def _q_dedup_minhash(spark, sf):
     return ops.minhash_lsh_pairs(_t(spark, sf, "documents"), k=5,
                                  num_hashes=16, bands=4, threshold=0.5)
@@ -1981,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters": _q_dedup_clusters,
             "dedup_survivors": _q_dedup_survivors,
             "dedup_ngram_jaccard": _q_dedup_jaccard,
+            "dedup_prefix_filter": _q_dedup_prefix_filter,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "sim_topk_bruteforce": _q_sim_bruteforce,
@@ -2185,6 +2191,7 @@ _GATE_PRIORITY = [
     # then the r4 staleness rotation displaced by the round-8 additions.
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
+    "dedup_prefix_filter",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4807,6 +4814,48 @@ SELECT doc_id, canonical_id, fingerprint FROM (
   FROM documents
 ) WHERE doc_id != canonical_id
 """
+    # Prefix-filtered exact word-set Jaccard join (AllPairs/PPJoin):
+    # replays operators.dedup.prefix_filter_pairs — df-ascending token
+    # order, prefix length n - ceil(t*n) + 1, length filter inside the
+    # candidate join, exact verification of candidates only.
+    o["dedup_prefix_filter"] = """
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents)
+  WHERE tok != ''
+),
+freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+ordered AS (
+  SELECT t.doc_id, t.tok,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df ASC, t.tok ASC) AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN freq f ON t.tok = f.tok
+),
+prefix AS MATERIALIZED (
+  SELECT doc_id, tok, n FROM ordered
+  WHERE pos <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2
+  FROM prefix a JOIN prefix b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND CAST(b.n AS DOUBLE) >= 0.5 * CAST(a.n AS DOUBLE)
+   AND CAST(a.n AS DOUBLE) >= 0.5 * CAST(b.n AS DOUBLE)
+),
+common AS (
+  SELECT c.d1, c.d2, c.n1, c.n2, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.d1
+  JOIN tok tb ON tb.doc_id = c.d2 AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d1, d2, round(common / (n1 + n2 - common), 4) AS jaccard
+FROM common
+WHERE round(common / (n1 + n2 - common), 4) >= 0.5
+"""
+
     o["dedup_ngram_jaccard"] = (
         "WITH " + _SHINGLES_CTE
         + "SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"

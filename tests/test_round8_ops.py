@@ -1746,3 +1746,55 @@ def test_hits_disconnected_components_normalize_globally(spark):
     for r in rows:
         assert r["authority_scaled"] == 10**6
         assert r["hub_scaled"] == 10**6
+
+
+# ---- prefix_filter_pairs --------------------------------------------------
+
+
+def _brute_jaccard(docs, t):
+    sets = {d: set(x for x in s.split(" ") if x) for d, s in docs}
+    out = {}
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            c = len(sets[d1] & sets[d2])
+            u = len(sets[d1] | sets[d2])
+            if u and round(c / u, 4) >= t:
+                out[(d1, d2)] = round(c / u, 4)
+    return out
+
+
+def test_prefix_filter_is_exact_vs_brute_force(spark):
+    # no false negatives: the prefix filter must reproduce the full
+    # all-pairs Jaccard join exactly, including boundary-at-threshold
+    docs = [
+        (1, "a b c d"), (2, "a b c e"), (3, "x y z w"),
+        (4, "x y z w v u"), (5, "a b"), (6, "b a"),
+        (7, "q r s t u v w x"), (8, "unique tokens only here"),
+        (9, "a b c d e f g h"), (10, "c d e f"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in ops.prefix_filter_pairs(df, threshold=0.5).collect()}
+    assert got == _brute_jaccard(docs, 0.5)
+
+
+def test_prefix_filter_prunes_stop_token_pairs(spark):
+    # every doc shares the stop token; only the near-identical pair
+    # survives, and the prefix index never keys on 'the' for docs
+    # whose rare tokens fill the prefix
+    docs = [(i, f"the w{i} v{i} u{i}") for i in range(20)]
+    docs.append((100, "the w1 v1 u1 extra"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in ops.prefix_filter_pairs(df, threshold=0.6).collect()}
+    assert got == _brute_jaccard(docs, 0.6)
+    assert (1, 100) in got
+
+
+def test_prefix_filter_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        ops.prefix_filter_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        ops.prefix_filter_pairs(df, threshold=1.5)
