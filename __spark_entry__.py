@@ -1462,6 +1462,19 @@ def _q_pruning_report(spark, sf):
     )
 
 
+def _q_pareto_frontier(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.expr("CAST(size(array_distinct(filter(split(text, ' '), "
+               "x -> x != ''))) AS BIGINT)").alias("distinct_tokens"),
+        F.expr("CAST(greatest(0, 100000 - length(text)) AS BIGINT)")
+        .alias("brevity"),
+    )
+    return ops.skyline_2d(pts, "distinct_tokens", "brevity", "doc_id",
+                          bucket_width=32)
+
+
 def _q_skew_report(spark, sf):
     return ops.join_skew_report(_t(spark, sf, "events"), "user_id",
                                 top_n=10)
@@ -2077,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_zorder_layout": _q_zorder,
             "orders_hilbert_layout": _q_hilbert,
             "orders_pruning_report": _q_pruning_report,
+            "docs_pareto_frontier": _q_pareto_frontier,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2191,7 +2205,7 @@ _GATE_PRIORITY = [
     # then the r4 staleness rotation displaced by the round-8 additions.
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
-    "dedup_prefix_filter",
+    "dedup_prefix_filter", "docs_pareto_frontier",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6815,6 +6829,28 @@ WITH base AS (
 SELECT o_orderkey, o_custkey, dday,
        CAST({" + ".join(_zm_terms)} AS BIGINT) AS zorder
 FROM base
+"""
+
+    # Pareto frontier: the oracle verifies with an INDEPENDENT
+    # NOT-EXISTS dominance scan — the Spark side's bucket decomposition
+    # (operators.analytics.skyline_2d) is itself under test.
+    o["docs_pareto_frontier"] = """
+WITH pts AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(length(list_distinct(list_filter(string_split(text, ' '),
+              x -> x != ''))) AS BIGINT) AS distinct_tokens,
+         CAST(greatest(0, 100000 - length(text)) AS BIGINT) AS brevity
+  FROM documents
+)
+SELECT x.doc_id, x.distinct_tokens, x.brevity
+FROM pts x
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts y
+  WHERE y.distinct_tokens >= x.distinct_tokens
+    AND y.brevity >= x.brevity
+    AND (y.distinct_tokens > x.distinct_tokens
+         OR y.brevity > x.brevity)
+)
 """
 
     o["orders_pruning_report"] = ops.pruning_report_sql(

@@ -1756,3 +1756,86 @@ def market_basket_rules(
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(top_k)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline): the rows not STRICTLY
+    dominated on two maximize-criteria — ``y`` dominates ``x`` iff
+    ``y.a >= x.a AND y.b >= x.b`` with at least one strict. Rows with
+    identical (a, b) never dominate each other, so every duplicate of a
+    frontier vector survives — the result is a deterministic SET. The
+    multi-criteria selection tool for corpus curation ("no document
+    both longer-deduped AND higher-quality exists"); minimize a
+    criterion by negating it into a non-negative integer upstream.
+
+    Both criteria must be NON-NEGATIVE integers (micro-quantize floats
+    upstream — the determinism discipline shared with the stats
+    family; negative values would also break the bucket floor-division
+    equivalence between Spark's ``DIV`` and DuckDB's ``//``).
+
+    Scale shape — no global sort, no all-pairs join: rows are bucketed
+    by ``a DIV bucket_width``; any row in a HIGHER bucket has strictly
+    larger ``a``, so cross-bucket dominance reduces to comparing
+    ``b`` against the running max-``b`` of higher buckets — a
+    per-bucket aggregate (model data) with a suffix-max window,
+    broadcast back. Within-bucket dominance uses ONE keyed window
+    (partitioned by bucket): max ``b`` over same-bucket rows with
+    strictly larger ``a`` (RANGE .. 1 PRECEDING on a DESC — exact for
+    integers) and with equal ``a``. Three keyed exchanges total, each
+    on the bucket/key axis; the oracle verifies with an independent
+    NOT-EXISTS dominance scan, so the bucket decomposition itself is
+    under test.
+
+    Returns (id_col, col_a, col_b) for frontier rows.
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    a, b = F.col(col_a).cast("long"), F.col(col_b).cast("long")
+    pts = df.select(
+        F.col(id_col).alias("__id"), a.alias("__a"), b.alias("__b"),
+        F.expr(f"CAST({col_a} AS BIGINT) DIV {bucket_width}")
+        .alias("__bk"),
+    )
+    per_bucket = pts.groupBy("__bk").agg(F.max("__b").alias("__mb"))
+    w_suffix = (
+        Window.orderBy(F.col("__bk").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    # suffix max over HIGHER buckets; the window runs on the bucket
+    # aggregate only (model data — one row per non-empty bucket)
+    cross = per_bucket.select(
+        "__bk", F.max("__mb").over(w_suffix).alias("__hi")
+    )
+    w_gt = (
+        Window.partitionBy("__bk")
+        .orderBy(F.col("__a").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("__bk", "__a")
+    flagged = (
+        pts.join(F.broadcast(cross), "__bk")
+        .select(
+            "__id", "__a", "__b",
+            F.max("__b").over(w_gt).alias("__gt"),
+            F.max("__b").over(w_eq).alias("__eq"),
+            "__hi",
+        )
+    )
+    return (
+        flagged.where(
+            (F.col("__hi").isNull() | (F.col("__hi") < F.col("__b")))
+            & (F.col("__gt").isNull() | (F.col("__gt") < F.col("__b")))
+            & (F.col("__eq") == F.col("__b"))
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__a").alias(col_a),
+            F.col("__b").alias(col_b),
+        )
+    )

@@ -1798,3 +1798,61 @@ def test_prefix_filter_threshold_validation(spark):
         ops.prefix_filter_pairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         ops.prefix_filter_pairs(df, threshold=1.5)
+
+
+# ---- skyline_2d -----------------------------------------------------------
+
+
+def _brute_skyline(pts):
+    out = []
+    for i, (pid, a, b) in enumerate(pts):
+        dominated = any(
+            ya >= a and yb >= b and (ya > a or yb > b)
+            for j, (_, ya, yb) in enumerate(pts) if j != i)
+        if not dominated:
+            out.append((pid, a, b))
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force_dominance(spark):
+    # staircase + interior + duplicate frontier vectors + cross-bucket
+    pts = [(1, 10, 100), (2, 20, 90), (3, 30, 80), (4, 5, 5),
+           (5, 20, 90), (6, 25, 85), (7, 30, 80), (8, 29, 81),
+           (9, 15, 95), (10, 1, 101), (11, 2, 50), (12, 40, 1)]
+    df = spark.createDataFrame(pts, "id int, a int, b int")
+    # bucket_width=4 forces many cross-bucket dominance decisions
+    got = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in ops.skyline_2d(df, "a", "b", "id",
+                                bucket_width=4).collect())
+    assert got == _brute_skyline(pts)
+    # both copies of the duplicated frontier vector survive
+    ids = {g[0] for g in got}
+    assert {2, 5} <= ids and {3, 7} <= ids
+
+
+def test_skyline_randomized_vs_brute_force(spark):
+    # deterministic LCG fixture, several bucket widths
+    x = 1234567
+    pts = []
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 500
+        x = (x * 1103515245 + 12345) % (2**31)
+        pts.append((i, a, x % 500))
+    df = spark.createDataFrame(pts, "id int, a int, b int")
+    want = _brute_skyline(pts)
+    for w in (1, 7, 64, 100000):
+        got = sorted(
+            (r["id"], r["a"], r["b"])
+            for r in ops.skyline_2d(df, "a", "b", "id",
+                                    bucket_width=w).collect())
+        assert got == want, f"bucket_width={w}"
+
+
+def test_skyline_validation_and_single_point(spark):
+    df = spark.createDataFrame([(1, 3, 4)], "id int, a int, b int")
+    with pytest.raises(ValueError):
+        ops.skyline_2d(df, "a", "b", "id", bucket_width=0)
+    rows = ops.skyline_2d(df, "a", "b", "id").collect()
+    assert [(r["id"], r["a"], r["b"]) for r in rows] == [(1, 3, 4)]
