@@ -1462,6 +1462,11 @@ def _q_pruning_report(spark, sf):
     )
 
 
+def _q_pmi_collocations(spark, sf):
+    return ops.pmi_collocations(_t(spark, sf, "documents"),
+                                k=20, min_count=5)
+
+
 def _q_pareto_frontier(spark, sf):
     docs = _t(spark, sf, "documents")
     pts = docs.select(
@@ -2091,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_hilbert_layout": _q_hilbert,
             "orders_pruning_report": _q_pruning_report,
             "docs_pareto_frontier": _q_pareto_frontier,
+            "text_pmi_collocations": _q_pmi_collocations,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2206,6 +2212,7 @@ _GATE_PRIORITY = [
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
+    "text_pmi_collocations",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -3293,6 +3300,52 @@ SELECT doc_id, term, tf, df, tfidf,
          PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
 FROM scored QUALIFY rnk <= 3 ORDER BY doc_id, rnk
 """
+    # PMI collocations: the single fixed-order double expression is
+    # textually parallel to operators.text.pmi_collocations (the
+    # adamic-adar libm-micro discipline).
+    o["text_pmi_collocations"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+terms AS MATERIALIZED (
+  SELECT kind, term, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT 'u' AS kind, unnest(l) AS term FROM toks
+    UNION ALL
+    SELECT 'b', unnest(list_transform(generate_series(1, len(l) - 1),
+                                      i -> l[i] || ' ' || l[i+1]))
+    FROM toks
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN kind = 'u' THEN cnt END) AS BIGINT) AS n_uni,
+         CAST(sum(CASE WHEN kind = 'b' THEN cnt END) AS BIGINT) AS n_big
+  FROM terms
+),
+cab AS (
+  SELECT term AS bigram, cnt AS pair_count,
+         string_split(term, ' ')[1] AS w1,
+         string_split(term, ' ')[2] AS w2
+  FROM terms WHERE kind = 'b' AND cnt >= 5
+),
+j AS (
+  SELECT c.bigram, c.pair_count,
+         CAST(round(ln((CAST(c.pair_count AS DOUBLE)
+              * CAST(t.n_uni AS DOUBLE) * CAST(t.n_uni AS DOUBLE))
+              / (CAST(t.n_big AS DOUBLE) * CAST(u1.cnt AS DOUBLE)
+              * CAST(u2.cnt AS DOUBLE))) * 1000000.0) AS BIGINT)
+           AS pmi_micro
+  FROM cab c
+  JOIN terms u1 ON u1.kind = 'u' AND u1.term = c.w1
+  JOIN terms u2 ON u2.kind = 'u' AND u2.term = c.w2
+  CROSS JOIN tot t
+)
+SELECT bigram, pair_count, pmi_micro,
+       CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+FROM j ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
+"""
+
     o["text_top_bigrams"] = """
 WITH toks AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -577,6 +577,97 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame, k: int = 20, min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    association-strength upgrade of :func:`top_bigrams`: raw frequency
+    surfaces stop-word pairs ("of the"), PMI surfaces pairs that occur
+    together far MORE than their unigram rates predict ("los angeles") —
+    the classic phrase-mining signal (Church & Hanks 1990) used to
+    protect multi-word entities during tokenizer training and chunking.
+
+        pmi(a, b) = ln( (c_ab / M) / ((c_a / N) · (c_b / N)) )
+
+    Determinism: counts are exact ints; the PMI ratio is assembled in
+    ONE fixed-order double expression shared textually with the oracle,
+    then quantized to integer micros (round half-away) — the
+    adamic-adar/libm discipline — so ranking and output are
+    cross-engine stable.
+
+    Scale shape: ONE corpus scan — unigrams and bigrams are emitted as
+    a single kind-tagged term stream from the same token array (one
+    explode), counted by ONE map-side-combined aggregate; the
+    vocab-sized count frame is localCheckpoint'd (it feeds the totals,
+    unigram, and bigram branches — without the cut, each branch would
+    replay the corpus scan) and the final joins are keyed vocab-vs-
+    vocab, never corpus-sized. Totals ride in a ONE-ROW broadcast.
+
+    Returns (bigram, pair_count, pmi_micro, pmi), top-k by
+    (pmi_micro desc, bigram asc).
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    uni = "transform(__toks, w -> named_struct('kind', 'u', 'term', w))"
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    big = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> named_struct('kind', 'b', 'term', "
+        "concat(__toks[i-1], ' ', __toks[i]))) "
+        "ELSE array() END"
+    )
+    counts = (
+        docs.select(arr.alias("__toks"))
+        .select(F.explode(F.expr(f"concat({uni}, {big})")).alias("t"))
+        .select(F.col("t.kind").alias("kind"), F.col("t.term").alias("term"))
+        .groupBy("kind", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum(F.when(F.col("kind") == "u", F.col("cnt")))
+        .cast("long").alias("n_uni"),
+        F.sum(F.when(F.col("kind") == "b", F.col("cnt")))
+        .cast("long").alias("n_big"),
+    )
+    cab = counts.where(
+        (F.col("kind") == "b") & (F.col("cnt") >= min_count)
+    ).select(
+        F.col("term").alias("bigram"),
+        F.col("cnt").alias("pair_count"),
+        F.split(F.col("term"), " ").getItem(0).alias("__w1"),
+        F.split(F.col("term"), " ").getItem(1).alias("__w2"),
+    )
+    cw = counts.where(F.col("kind") == "u").select(
+        F.col("term").alias("__w"), F.col("cnt").alias("__cw")
+    )
+    u1 = cw.withColumnsRenamed({"__w": "__w1", "__cw": "__c1"})
+    u2 = cw.withColumnsRenamed({"__w": "__w2", "__cw": "__c2"})
+    pmi_micro = (
+        "CAST(round(ln((CAST(pair_count AS DOUBLE) "
+        "* CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) "
+        "/ (CAST(n_big AS DOUBLE) * CAST(__c1 AS DOUBLE) "
+        "* CAST(__c2 AS DOUBLE))) * 1000000.0) AS BIGINT)"
+    )
+    return (
+        cab.join(u1, "__w1").join(u2, "__w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram", "pair_count",
+            F.expr(pmi_micro).alias("pmi_micro"),
+        )
+        .withColumn(
+            "pmi", (F.col("pmi_micro").cast("double") / 1e6)
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame, eval_source: str = "wiki", n: int = 8,
 ) -> DataFrame:

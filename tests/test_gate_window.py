@@ -89,14 +89,20 @@ def test_front_50_carries_the_round8_composition():
     }
     missing = first_appearance - set(front)
     assert not missing, f"queued round-7 rows fell out: {missing}"
-    # the round-8 additions outnumber the free slots (53 never-graded for
-    # 50 slots), so the r4 staleness-rotation rows are displaced to the
-    # round-9 queue — never-graded wins the slot. They must still sit
-    # directly behind the never-graded overflow rows.
+    # the round-8 additions outnumber the free slots (never-graded > 50),
+    # so the r4 staleness-rotation rows are displaced to the round-9
+    # queue — never-graded wins the slot. The never-graded overflow must
+    # lead the queue, with the rotation rows directly behind it.
     q = list(entry_mod.queries())
-    for name in ("tpch_q20", "graph_adamic_adar", "orders_market_basket",
-                 "corpus_report", "sim_recall_at_k"):
-        assert name in q[_WINDOW:_WINDOW + 8], name
+    never_graded_overflow = (
+        "tpch_q20", "graph_adamic_adar", "orders_market_basket",
+    )
+    rotation = ("corpus_report", "sim_recall_at_k")
+    for name in never_graded_overflow:
+        assert q.index(name) >= _WINDOW, name
+    for name in rotation:
+        assert q.index(name) > max(q.index(n) for n in never_graded_overflow)
+        assert q.index(name) < _WINDOW + 14, name
 
 
 def test_gate_priority_names_are_real_and_unique():

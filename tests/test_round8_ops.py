@@ -1856,3 +1856,54 @@ def test_skyline_validation_and_single_point(spark):
         ops.skyline_2d(df, "a", "b", "id", bucket_width=0)
     rows = ops.skyline_2d(df, "a", "b", "id").collect()
     assert [(r["id"], r["a"], r["b"]) for r in rows] == [(1, 3, 4)]
+
+
+# ---- pmi_collocations -----------------------------------------------------
+
+
+def test_pmi_matches_python_replay(spark):
+    import math
+    docs = [
+        (1, "los angeles is big. the cat and the dog and the bird."),
+        (2, "los angeles has the beach and the sun and the fog."),
+        (3, "the cat saw los angeles from the hill and the valley."),
+        (4, "angeles los is reversed but los angeles is the phrase."),
+        (5, "the the the los angeles the the"),
+    ]
+    import re
+    uni, big = {}, {}
+    for _, t in docs:
+        ws = [w for w in re.split("[^a-z]+", t.lower()) if w]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            p = f"{x} {y}"
+            big[p] = big.get(p, 0) + 1
+    N = sum(uni.values())
+    M = sum(big.values())
+    want = []
+    for p, c in big.items():
+        if c < 3:
+            continue
+        w1, w2 = p.split(" ")
+        r = (float(c) * float(N) * float(N)) / (
+            float(M) * float(uni[w1]) * float(uni[w2]))
+        v = math.log(r) * 1000000.0
+        micro = math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1)
+        want.append((p, c, micro, micro / 1e6))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = [(r["bigram"], r["pair_count"], r["pmi_micro"], r["pmi"])
+           for r in ops.pmi_collocations(df, k=10, min_count=3).collect()]
+    assert got == want[:10]
+    # 'los angeles' must outrank the stop-word pairs
+    assert got[0][0] == "los angeles"
+    assert got[0][2] > 0
+
+
+def test_pmi_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "???")], "doc_id int, text string")
+    assert ops.pmi_collocations(df, k=5, min_count=1).collect() == []
+    with pytest.raises(ValueError):
+        ops.pmi_collocations(df, k=0)

@@ -743,3 +743,37 @@ def test_incremental_span_cleaning_via_foreach_batch(spark):
     # here; with many micro-batches, within-batch dups would split —
     # the corpus-side cleaning (the contract) is identical either way
     assert sorted(cleaned) == batch_result
+
+
+def test_incremental_skyline_across_micro_batches(spark):
+    """Pareto-frontier maintenance: skyline(S ∪ B) ==
+    skyline(skyline(S) ∪ B), so the foreachBatch state is only the
+    CURRENT FRONTIER (bounded model data, never the corpus) — each
+    micro-batch unions into the frontier and re-runs the bucketed
+    skyline. The final frontier must equal the one-shot batch skyline.
+    Batches are fed manually (deterministic 3-way split by id) so the
+    identity is exercised across real state hand-offs."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    x = 424242
+    pts = []
+    for i in range(300):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 400
+        x = (x * 1103515245 + 12345) % (2**31)
+        pts.append((i, a, x % 400))
+    full = spark.createDataFrame(pts, "id long, a long, b long")
+    want = sorted(map(tuple, ops.skyline_2d(
+        full, "a", "b", "id", bucket_width=16).collect()))
+
+    frontier = None
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [p for p in pts if p[0] % 3 == k], "id long, a long, b long")
+        merged = batch if frontier is None \
+            else frontier.unionByName(batch)
+        frontier = spark.createDataFrame(
+            ops.skyline_2d(merged, "a", "b", "id",
+                           bucket_width=16).collect(),
+            "id long, a long, b long")
+    assert sorted(map(tuple, frontier.collect())) == want
