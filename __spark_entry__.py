@@ -1467,6 +1467,10 @@ def _q_pmi_collocations(spark, sf):
                                 k=20, min_count=5)
 
 
+def _q_benford(spark, sf):
+    return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
+
+
 def _q_pareto_frontier(spark, sf):
     docs = _t(spark, sf, "documents")
     pts = docs.select(
@@ -2097,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_pruning_report": _q_pruning_report,
             "docs_pareto_frontier": _q_pareto_frontier,
             "text_pmi_collocations": _q_pmi_collocations,
+            "orders_benford": _q_benford,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2212,7 +2217,7 @@ _GATE_PRIORITY = [
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "orders_benford",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -3344,6 +3349,51 @@ j AS (
 SELECT bigram, pair_count, pmi_micro,
        CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
 FROM j ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
+"""
+
+    # Benford first-digit audit: integer-string first digit, ln-ratio
+    # expected shares and chi-square terms quantized to micros — the
+    # expressions are textually parallel to operators.profile.benford_report.
+    o["orders_benford"] = """
+WITH ints AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS x
+  FROM orders
+),
+obs AS (
+  SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM ints WHERE x IS NOT NULL AND x > 0 GROUP BY 1
+),
+spine AS (SELECT CAST(g AS INT) AS digit FROM generate_series(1, 9) t(g)),
+staged AS (
+  SELECT s.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(round(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0)
+              * 1000000.0) AS BIGINT) AS exp_micro
+  FROM spine s LEFT JOIN obs o USING (digit)
+),
+tot AS (
+  SELECT digit, n_obs, exp_micro,
+         CAST(sum(n_obs) OVER () AS BIGINT) AS n
+  FROM staged
+),
+terms AS (
+  SELECT digit, n_obs, exp_micro, n,
+         CAST(round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(exp_micro AS DOUBLE) / 1000000.0))
+              * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(exp_micro AS DOUBLE) / 1000000.0))
+              / nullif(CAST(n AS DOUBLE)
+              * (CAST(exp_micro AS DOUBLE) / 1000000.0), 0.0)
+              * 1000000.0) AS BIGINT) AS term_micro
+  FROM tot
+)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 6)
+         AS obs_share,
+       CAST(exp_micro AS DOUBLE) / 1e6 AS exp_share,
+       CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro,
+       CAST(CAST(sum(term_micro) OVER () AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+FROM terms ORDER BY digit
 """
 
     o["text_top_bigrams"] = """

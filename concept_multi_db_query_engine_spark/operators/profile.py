@@ -92,3 +92,97 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
         .withColumn("at_risk", F.col("class_size") < F.lit(k))
     )
+
+
+def benford_report(
+    df: DataFrame, value_col: str, int_scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit: the observed first-significant-
+    digit distribution of a positive amount column against the Benford
+    expectation ``p(d) = log10(1 + 1/d)``, plus the chi-square distance
+    — the classic fabricated-/synthetic-amounts smell test run over
+    financial columns before trusting them as training signal (Benford
+    1938; Nigrini 1996 fraud auditing).
+
+    Determinism: the value is quantized to an exact BIGINT at
+    ``int_scale`` (cents for money) and the first digit is taken from
+    the INTEGER's decimal string — integer-to-string is unambiguous on
+    every engine, unlike float formatting or ``log10`` bucketing.
+    Expected shares quantize ``ln``-ratios to integer micros (safe
+    margins: no digit lands near a .5 boundary) and the chi-square
+    terms re-quantize before the final sum, so the statistic is
+    cross-engine bit-stable.
+
+    Plan shape: ONE scan → a 9-group hash aggregate (map-side
+    combined); everything after runs on the 9-row digit frame (spine
+    join against ``sequence(1, 9)`` so zero-count digits still report,
+    unpartitioned windows for totals — model data, never the corpus).
+
+    Returns 9 rows: (digit, n_obs, obs_share, exp_share, chi2_micro,
+    chi2) — chi2 columns repeat the table-level statistic per row.
+    """
+    if int_scale < 1:
+        raise ValueError("int_scale must be >= 1")
+    from pyspark.sql import Window
+
+    obs = (
+        df.select(
+            F.expr(
+                f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+                f"* {int_scale}.0d) AS BIGINT)"
+            ).alias("__x")
+        )
+        .where("__x IS NOT NULL AND __x > 0")
+        .select(
+            F.expr(
+                "CAST(substring(CAST(__x AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+            .alias("n_obs"),
+            F.expr(
+                "CAST(round(ln(1.0d + 1.0d / CAST(digit AS DOUBLE)) "
+                "/ ln(10.0d) * 1000000.0d) AS BIGINT)"
+            ).alias("__exp_micro"),
+        )
+        .withColumn("__n", F.sum("n_obs").over(w))
+        .withColumn(
+            "__term_micro",
+            # squared diff via explicit multiplication: pow(x, 2) is not
+            # guaranteed bit-identical across libm implementations
+            F.expr(
+                "CAST(round((CAST(n_obs AS DOUBLE) - CAST(__n AS DOUBLE) "
+                "* (CAST(__exp_micro AS DOUBLE) / 1000000.0d)) "
+                "* (CAST(n_obs AS DOUBLE) - CAST(__n AS DOUBLE) "
+                "* (CAST(__exp_micro AS DOUBLE) / 1000000.0d)) "
+                "/ nullif(CAST(__n AS DOUBLE) "
+                "* (CAST(__exp_micro AS DOUBLE) / 1000000.0d), 0.0d) "
+                "* 1000000.0d) AS BIGINT)"
+            ),
+        )
+        .withColumn("__chi2_micro", F.sum("__term_micro").over(w))
+    )
+    return staged.select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "round(CAST(n_obs AS DOUBLE) "
+            "/ nullif(CAST(__n AS DOUBLE), 0.0d), 6)"
+        ).alias("obs_share"),
+        (F.col("__exp_micro").cast("double") / 1e6).alias("exp_share"),
+        F.col("__chi2_micro").alias("chi2_micro"),
+        (F.col("__chi2_micro").cast("double") / 1e6).alias("chi2"),
+    ).orderBy("digit")

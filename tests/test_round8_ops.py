@@ -1907,3 +1907,44 @@ def test_pmi_empty_and_short_docs(spark):
     assert ops.pmi_collocations(df, k=5, min_count=1).collect() == []
     with pytest.raises(ValueError):
         ops.pmi_collocations(df, k=0)
+
+
+# ---- benford_report --------------------------------------------------------
+
+
+def test_benford_matches_python_replay(spark):
+    import math
+    vals = [1.23, 12.30, 19.99, 2.50, 29.0, 311.11, 0.04, 950.0,
+            1234.56, 18.0, 0.0, -5.0, None, 777.77]
+    ints = [int(math.floor(abs(v * 100.0) + 0.5)) * (1 if v >= 0 else -1)
+            for v in vals if v is not None]
+    digits = [int(str(x)[0]) for x in ints if x > 0]
+    n = len(digits)
+    obs = {d: digits.count(d) for d in range(1, 10)}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    exp_micro = {d: micro(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+                 for d in range(1, 10)}
+    chi2_micro = sum(
+        micro((obs[d] - n * (exp_micro[d] / 1e6)) ** 2
+              / (n * (exp_micro[d] / 1e6)) * 1e6)
+        for d in range(1, 10))
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    rows = ops.benford_report(df, "amount").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert [r["n_obs"] for r in rows] == [obs[d] for d in range(1, 10)]
+    assert all(r["chi2_micro"] == chi2_micro for r in rows)
+    assert rows[0]["exp_share"] == exp_micro[1] / 1e6
+
+
+def test_benford_empty_and_validation(spark):
+    df = spark.createDataFrame([(-1.0,), (0.0,)], "amount double")
+    rows = ops.benford_report(df, "amount").collect()
+    # spine keeps all 9 digits; zero-count rows report null shares/terms
+    assert len(rows) == 9
+    assert all(r["n_obs"] == 0 for r in rows)
+    assert all(r["obs_share"] is None for r in rows)
+    with pytest.raises(ValueError):
+        ops.benford_report(df, "amount", int_scale=0)
