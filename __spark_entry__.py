@@ -1471,6 +1471,15 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_woe_iv(spark, sf):
+    return ops.woe_iv_report(
+        _t(spark, sf, "documents"),
+        ["source", "CAST(n_chars DIV 400 AS STRING)"],
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        names=["source", "chars_400"],
+    )
+
+
 def _q_pareto_frontier(spark, sf):
     docs = _t(spark, sf, "documents")
     pts = docs.select(
@@ -2102,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_pareto_frontier": _q_pareto_frontier,
             "text_pmi_collocations": _q_pmi_collocations,
             "orders_benford": _q_benford,
+            "docs_woe_iv": _q_woe_iv,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2217,7 +2227,7 @@ _GATE_PRIORITY = [
     "tpch_q20", "graph_adamic_adar", "orders_market_basket",
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
-    "text_pmi_collocations", "orders_benford",
+    "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -3349,6 +3359,67 @@ j AS (
 SELECT bigram, pair_count, pmi_micro,
        CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
 FROM j ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
+"""
+
+    # WOE/IV screening: per-feature bucket counts, window totals, the
+    # ln/term expressions textually parallel to
+    # operators.classify.woe_iv_report (libm-micro discipline).
+    o["docs_woe_iv"] = """
+WITH g1 AS (
+  SELECT CAST(source AS VARCHAR) AS bucket,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_neg
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+g2 AS (
+  SELECT CAST(n_chars // 400 AS VARCHAR) AS bucket,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_neg
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT 'source' AS feature, bucket, n_pos, n_neg,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         CAST(sum(n_neg) OVER () AS BIGINT) AS tn
+  FROM g1
+  UNION ALL
+  SELECT 'chars_400', bucket, n_pos, n_neg,
+         CAST(sum(n_pos) OVER () AS BIGINT),
+         CAST(sum(n_neg) OVER () AS BIGINT)
+  FROM g2
+),
+woe AS (
+  SELECT feature, bucket, n_pos, n_neg, tp, tn,
+         CASE WHEN tp = 0 OR tn = 0 THEN NULL ELSE
+         CAST(round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+              * CAST(tn AS DOUBLE))
+              / ((CAST(n_neg AS DOUBLE) + 0.5)
+              * CAST(tp AS DOUBLE))) * 1000000.0) AS BIGINT) END
+           AS woe_micro
+  FROM staged
+),
+terms AS (
+  SELECT feature, bucket, n_pos, n_neg, woe_micro,
+         CAST(round(((CAST(n_pos AS DOUBLE) + 0.5)
+              / nullif(CAST(tp AS DOUBLE), 0.0)
+              - (CAST(n_neg AS DOUBLE) + 0.5)
+              / nullif(CAST(tn AS DOUBLE), 0.0))
+              * (CAST(woe_micro AS DOUBLE) / 1000000.0)
+              * 1000000.0) AS BIGINT) AS iv_term
+  FROM woe
+)
+SELECT feature, bucket, n_pos, n_neg, woe_micro,
+       CAST(woe_micro AS DOUBLE) / 1e6 AS woe,
+       CAST(sum(iv_term) OVER (PARTITION BY feature) AS BIGINT) AS iv_micro,
+       CAST(CAST(sum(iv_term) OVER (PARTITION BY feature) AS BIGINT)
+            AS DOUBLE) / 1e6 AS iv
+FROM terms ORDER BY feature, bucket
 """
 
     # Benford first-digit audit: integer-string first digit, ln-ratio

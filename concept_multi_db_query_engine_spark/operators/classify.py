@@ -418,3 +418,109 @@ def feature_auc_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def woe_iv_report(
+    df: DataFrame,
+    bucket_exprs: list[str],
+    label_expr: str,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening
+    (Siddiqi 2006, credit-scorecard practice): for each candidate
+    feature, bucket the rows and measure how differently positives and
+    negatives distribute across the buckets —
+
+        woe(b)  = ln( (pos_b + 0.5)/POS  /  ((neg_b + 0.5)/NEG) )
+        IV      = sum_b (pos_b'/POS − neg_b'/NEG) · woe(b)
+
+    (0.5-smoothed counts, the standard zero-cell guard). IV < 0.02 ≈
+    useless, 0.1–0.3 medium, > 0.5 suspicious — the rank-free
+    companion to :func:`feature_auc_report` that also localizes WHICH
+    buckets carry the signal.
+
+    Determinism: bucket counts are exact longs; WOE quantizes a single
+    fixed-order ln expression to integer micros, the IV terms
+    re-quantize before the per-feature integer sum — cross-engine
+    bit-stable (the shared libm-micro discipline).
+
+    Plan shape: ONE scan + one hash aggregate per feature (map-side
+    combined; the bucket frame is vocabulary-sized, never the corpus);
+    totals and the per-feature IV come from unpartitioned /
+    feature-partitioned windows over those bucket frames.  Returns one
+    row per (feature, bucket): (feature, bucket, n_pos, n_neg,
+    woe_micro, woe, iv_micro, iv) — the iv columns repeat the
+    feature-level total per row.
+    """
+    from pyspark.sql import Window
+
+    if not bucket_exprs:
+        raise ValueError("bucket_exprs must be non-empty")
+    names = names or list(bucket_exprs)
+    if len(names) != len(bucket_exprs):
+        raise ValueError("names must align with bucket_exprs")
+    tot_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    parts = []
+    for name, bx in zip(names, bucket_exprs):
+        g = (
+            df.where(f"({bx}) IS NOT NULL AND ({label_expr}) IS NOT NULL")
+            .select(
+                F.expr(f"CAST(({bx}) AS STRING)").alias("bucket"),
+                F.expr(f"CAST(({label_expr}) AS INT)").alias("__y"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.expr("CAST(sum(CASE WHEN __y = 1 THEN 1 ELSE 0 END) "
+                       "AS BIGINT)").alias("n_pos"),
+                F.expr("CAST(sum(CASE WHEN __y = 0 THEN 1 ELSE 0 END) "
+                       "AS BIGINT)").alias("n_neg"),
+            )
+        )
+        parts.append(
+            g.select(
+                F.lit(name).alias("feature"), "bucket", "n_pos", "n_neg",
+            )
+            .withColumn("__tp", F.sum("n_pos").over(tot_w).cast("long"))
+            .withColumn("__tn", F.sum("n_neg").over(tot_w).cast("long"))
+        )
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    staged = staged.withColumn(
+        "woe_micro",
+        F.expr(
+            "CASE WHEN __tp = 0 OR __tn = 0 THEN NULL ELSE "
+            "CAST(round(ln(((CAST(n_pos AS DOUBLE) + 0.5) "
+            "* CAST(__tn AS DOUBLE)) "
+            "/ ((CAST(n_neg AS DOUBLE) + 0.5) "
+            "* CAST(__tp AS DOUBLE))) * 1000000.0) AS BIGINT) END"
+        ),
+    ).withColumn(
+        "__iv_term",
+        F.expr(
+            "CAST(round(((CAST(n_pos AS DOUBLE) + 0.5) "
+            "/ nullif(CAST(__tp AS DOUBLE), 0.0) "
+            "- (CAST(n_neg AS DOUBLE) + 0.5) "
+            "/ nullif(CAST(__tn AS DOUBLE), 0.0)) "
+            "* (CAST(woe_micro AS DOUBLE) / 1000000.0) "
+            "* 1000000.0) AS BIGINT)"
+        ),
+    )
+    iv_w = Window.partitionBy("feature").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        staged.withColumn(
+            "iv_micro", F.sum("__iv_term").over(iv_w).cast("long")
+        )
+        .select(
+            "feature", "bucket", "n_pos", "n_neg",
+            "woe_micro",
+            (F.col("woe_micro").cast("double") / 1e6).alias("woe"),
+            "iv_micro",
+            (F.col("iv_micro").cast("double") / 1e6).alias("iv"),
+        )
+        .orderBy("feature", "bucket")
+    )

@@ -1948,3 +1948,45 @@ def test_benford_empty_and_validation(spark):
     assert all(r["obs_share"] is None for r in rows)
     with pytest.raises(ValueError):
         ops.benford_report(df, "amount", int_scale=0)
+
+
+# ---- woe_iv_report ---------------------------------------------------------
+
+
+def test_woe_iv_matches_python_replay(spark):
+    import math
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0),
+            ("b", 1), ("c", 1), ("c", 1), ("c", 1), ("a", 0)]
+    df = spark.createDataFrame(rows, "grp string, y int")
+    got = ops.woe_iv_report(df, ["grp"], "y", names=["grp"]).collect()
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    tp = sum(y for _, y in rows)
+    tn = len(rows) - tp
+    per = {}
+    for b in "abc":
+        np_ = sum(1 for g, y in rows if g == b and y == 1)
+        nn = sum(1 for g, y in rows if g == b and y == 0)
+        wm = micro(math.log(((np_ + 0.5) * tn) / ((nn + 0.5) * tp)) * 1e6)
+        term = micro(((np_ + 0.5) / tp - (nn + 0.5) / tn) * (wm / 1e6) * 1e6)
+        per[b] = (np_, nn, wm, term)
+    iv_micro = sum(t for *_, t in per.values())
+    assert [(r["bucket"], r["n_pos"], r["n_neg"], r["woe_micro"],
+             r["iv_micro"]) for r in got] == [
+        (b, *per[b][:3], iv_micro) for b in "abc"]
+    # all-positive bucket has positive WOE, all-negative negative
+    woe = {r["bucket"]: r["woe"] for r in got}
+    assert woe["c"] > 0 > woe["b"]
+
+
+def test_woe_iv_degenerate_single_class(spark):
+    # no negatives at all -> WOE/IV undefined (NULL), counts still exact
+    df = spark.createDataFrame([("a", 1), ("b", 1)], "grp string, y int")
+    got = ops.woe_iv_report(df, ["grp"], "y").collect()
+    assert all(r["woe_micro"] is None and r["iv_micro"] is None
+               for r in got)
+    assert sum(r["n_pos"] for r in got) == 2
+    with pytest.raises(ValueError):
+        ops.woe_iv_report(df, [], "y")
