@@ -1471,6 +1471,14 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_kappa_lang(spark, sf):
+    pred = ops.language_id(_t(spark, sf, "documents"), keep_cols=["lang"])
+    return ops.cohens_kappa(
+        pred, "lang_pred",
+        "CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END",
+    )
+
+
 def _q_woe_iv(spark, sf):
     return ops.woe_iv_report(
         _t(spark, sf, "documents"),
@@ -2112,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pmi_collocations": _q_pmi_collocations,
             "orders_benford": _q_benford,
             "docs_woe_iv": _q_woe_iv,
+            "docs_kappa_lang": _q_kappa_lang,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2228,6 +2237,7 @@ _GATE_PRIORITY = [
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
+    "docs_kappa_lang",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4782,6 +4792,57 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Cohen's kappa between the language-ID heuristic and the declared
+    # lang collapsed to en/und; confusion cells, marginal-product pe in
+    # exact DECIMAL(38,0) (VARCHAR-parse double conversion = correctly
+    # rounded, matching Spark's BigDecimal path), ratios micro-quantized
+    # textually parallel to operators.classify.cohens_kappa.
+    o["docs_kappa_lang"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         ({en_hits})::DOUBLE AS hits,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens
+  FROM documents
+),
+pairs AS (
+  SELECT CASE WHEN round(hits / n_tokens, 4) >= 0.05
+              THEN 'en' ELSE 'und' END AS a,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS b
+  FROM t WHERE lang IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN a = b THEN cnt ELSE 0 END), 0)
+              AS BIGINT) AS n_agree
+  FROM cells
+),
+ma AS (SELECT a AS k, CAST(sum(cnt) AS BIGINT) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b AS k, CAST(sum(cnt) AS BIGINT) AS cb FROM cells GROUP BY 1),
+pe AS (
+  SELECT CAST(coalesce(sum(CAST(ca AS DECIMAL(20,0))
+              * CAST(cb AS DECIMAL(18,0))), 0) AS DECIMAL(38,0)) AS pe_num
+  FROM ma JOIN mb USING (k)
+),
+j AS (
+  SELECT n, n_agree,
+         CAST(n_agree AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0) AS po_d,
+         CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
+           / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0.0) AS pe_d
+  FROM tot CROSS JOIN pe
+)
+SELECT n, n_agree,
+       CAST(round(po_d * 1000000.0) AS BIGINT) AS po_micro,
+       CAST(round(pe_d * 1000000.0) AS BIGINT) AS pe_micro,
+       CAST(round((po_d - pe_d) / nullif(1.0 - pe_d, 0.0) * 1000000.0)
+            AS BIGINT) AS kappa_micro,
+       CAST(CAST(round((po_d - pe_d) / nullif(1.0 - pe_d, 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS kappa
+FROM j
+"""
+
     o["docs_clean_corpus"] = f"""
 WITH dd AS (
   SELECT doc_id, text FROM (

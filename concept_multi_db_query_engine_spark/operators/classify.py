@@ -524,3 +524,71 @@ def woe_iv_report(
         )
         .orderBy("feature", "bucket")
     )
+
+
+def cohens_kappa(df: DataFrame, expr_a: str, expr_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement (Cohen 1960): ``kappa = (p_o − p_e) / (1 − p_e)`` where
+    ``p_o`` is the observed agreement rate and ``p_e`` the agreement
+    expected from the marginal distributions alone.  The standard
+    check that a classifier (or a second annotator) beats
+    majority-class guessing — raw accuracy cannot tell.
+
+    Everything reduces to the confusion-cell frame (model data: one
+    row per label pair), which is localCheckpoint'd because THREE
+    branches read it (totals, row marginals, column marginals) — each
+    would otherwise replay the corpus scan.  ``p_e``'s numerator is an
+    exact DECIMAL(38,0) sum of marginal products (BIGINT would
+    overflow at ~1e11-row marginals), converted to double once,
+    correctly rounded; the ratios are fixed-order double expressions
+    micro-quantized for cross-engine stability.
+
+    Returns ONE row: (n, n_agree, po_micro, pe_micro, kappa_micro,
+    kappa).  NULL kappa when n = 0 or p_e = 1 (degenerate marginals).
+    """
+    cells = (
+        df.where(f"({expr_a}) IS NOT NULL AND ({expr_b}) IS NOT NULL")
+        .select(
+            F.expr(f"CAST(({expr_a}) AS STRING)").alias("__a"),
+            F.expr(f"CAST(({expr_b}) AS STRING)").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("cnt"))
+                  .otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias("n_agree"),
+    )
+    ma = cells.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("cnt").cast("long").alias("__ca"))
+    mb = cells.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("cnt").cast("long").alias("__cb"))
+    pe = ma.join(mb, "__k").agg(
+        F.expr(
+            "CAST(coalesce(sum(CAST(__ca AS DECIMAL(20,0)) "
+            "* CAST(__cb AS DECIMAL(18,0))), 0) AS DECIMAL(38,0))"
+        ).alias("__pe_num")
+    )
+    po_d = "CAST(n_agree AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)"
+    pe_d = ("CAST(__pe_num AS DOUBLE) / nullif(CAST(n AS DOUBLE) "
+            "* CAST(n AS DOUBLE), 0.0)")
+    return tot.crossJoin(pe).select(
+        "n", "n_agree",
+        F.expr(f"CAST(round(({po_d}) * 1000000.0) AS BIGINT)")
+        .alias("po_micro"),
+        F.expr(f"CAST(round(({pe_d}) * 1000000.0) AS BIGINT)")
+        .alias("pe_micro"),
+        F.expr(
+            f"CAST(round((({po_d}) - ({pe_d})) "
+            f"/ nullif(1.0 - ({pe_d}), 0.0) * 1000000.0) AS BIGINT)"
+        ).alias("kappa_micro"),
+        F.expr(
+            f"CAST(round((({po_d}) - ({pe_d})) "
+            f"/ nullif(1.0 - ({pe_d}), 0.0) * 1000000.0) AS BIGINT)"
+            " / 1e6"
+        ).cast("double").alias("kappa"),
+    )

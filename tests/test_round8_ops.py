@@ -1990,3 +1990,43 @@ def test_woe_iv_degenerate_single_class(spark):
     assert sum(r["n_pos"] for r in got) == 2
     with pytest.raises(ValueError):
         ops.woe_iv_report(df, [], "y")
+
+
+# ---- cohens_kappa ----------------------------------------------------------
+
+
+def test_kappa_matches_python_replay(spark):
+    import math
+    pairs = [("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"),
+             ("y", "x"), ("y", "y"), ("x", "x"), ("z", "z"),
+             ("z", "x"), (None, "x"), ("x", None)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = ops.cohens_kappa(df, "a", "b").collect()[0]
+    valid = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(valid)
+    agree = sum(1 for a, b in valid if a == b)
+    cats = {c for p in valid for c in p}
+    pe_num = sum(
+        sum(1 for a, _ in valid if a == c) *
+        sum(1 for _, b in valid if b == c) for c in cats)
+    po, pe = agree / n, pe_num / (n * n)
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    assert (r["n"], r["n_agree"]) == (n, agree)
+    assert r["po_micro"] == micro(po * 1e6)
+    assert r["pe_micro"] == micro(pe * 1e6)
+    assert r["kappa_micro"] == micro((po - pe) / (1 - pe) * 1e6)
+    assert r["kappa"] == r["kappa_micro"] / 1e6
+
+
+def test_kappa_degenerate(spark):
+    # single shared category: pe = 1 -> kappa undefined (NULL)
+    df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r = ops.cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po_micro"] == 1000000 and r["pe_micro"] == 1000000
+    assert r["kappa_micro"] is None and r["kappa"] is None
+    # empty input: one row, n = 0, everything NULL
+    r = ops.cohens_kappa(df.where("a = 'zz'"), "a", "b").collect()[0]
+    assert r["n"] == 0 and r["kappa"] is None
