@@ -1471,6 +1471,18 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_rank_rbo(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 20")
+    full = ops.topk_cosine_bruteforce(emb, queries, 10)
+    t_emb = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding"))
+    t_q = queries.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding"))
+    trunc = ops.topk_cosine_bruteforce(t_emb, t_q, 10)
+    return ops.ranking_rbo(full, trunc, k=10)
+
+
 def _q_kappa_lang(spark, sf):
     pred = ops.language_id(_t(spark, sf, "documents"), keep_cols=["lang"])
     return ops.cohens_kappa(
@@ -2121,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_benford": _q_benford,
             "docs_woe_iv": _q_woe_iv,
             "docs_kappa_lang": _q_kappa_lang,
+            "sim_rank_rbo": _q_rank_rbo,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2237,7 +2250,7 @@ _GATE_PRIORITY = [
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
-    "docs_kappa_lang",
+    "docs_kappa_lang", "sim_rank_rbo",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -3993,6 +4006,52 @@ FROM f, wt{_QR_ITERS} wt
         "USING (query_id, vec_id)) AS n_hits"
         for d in sorted(_MATRYOSHKA_DIMS)
     )
+    # RBO between the full-dim and 16-dim truncated exact rankings:
+    # the same ranking CTE shape as matryoshka, joined on (query, item)
+    # with the shared integer weight table from ops.rbo_weights (exact
+    # rational p = 9/10, no float pow on any engine).
+    _rbo_case = "CASE greatest(a.rank, b.rank) " + " ".join(
+        f"WHEN {m + 1} THEN CAST({w} AS BIGINT)"
+        for m, w in enumerate(ops.rbo_weights(10))
+    ) + " END"
+    def _rbo_rank(d: int, name: str) -> str:
+        sl = f"[1:{d}]"
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_dot_product(q.v{sl}, c.v{sl})
+          / sqrt(list_dot_product(q.v{sl}, q.v{sl})
+               * list_dot_product(c.v{sl}, c.v{sl})), 6) DESC,
+        c.vec_id ASC) AS rank
+    FROM f q JOIN f c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+  ) WHERE rank <= 10
+)"""
+
+    o["sim_rank_rbo"] = (
+        "WITH f AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + _rbo_rank(64, "rbo_a").strip()
+        + "," + _rbo_rank(16, "rbo_b").strip()
+    ) + f""",
+ov AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({_rbo_case}) AS BIGINT) AS rbo_nano
+  FROM rbo_a a JOIN rbo_b b USING (query_id, vec_id) GROUP BY 1
+),
+qs AS (
+  SELECT DISTINCT query_id FROM (
+    SELECT query_id FROM rbo_a UNION ALL SELECT query_id FROM rbo_b)
+)
+SELECT query_id,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(rbo_nano, 0) AS BIGINT) AS rbo_nano,
+       CAST(coalesce(rbo_nano, 0) AS DOUBLE) / 1000000000.0
+         * (CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE)) AS rbo
+FROM qs LEFT JOIN ov USING (query_id) ORDER BY query_id
+"""
+
     o["embeddings_matryoshka"] = _mk_ctes + f"""
 SELECT dim, n_pairs, n_hits,
        round(CAST(n_hits AS DOUBLE)

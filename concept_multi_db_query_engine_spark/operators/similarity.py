@@ -1306,3 +1306,94 @@ def ivf_tuning_curve(
     for pr in parts[1:]:
         out = out.unionByName(pr)
     return out
+
+
+def rbo_weights(
+    k: int, p_num: int = 9, p_den: int = 10, scale: int = 10**9,
+) -> list[int]:
+    """Integer truncated-RBO weight table: ``w[m-1] = sum_{d=m..k}
+    round(p^(d-1)/d * scale)`` with ``p = p_num/p_den``, computed in
+    EXACT integer arithmetic (half-away rounding via ``(2a+b)//(2b)``)
+    — no ``pow``/libm anywhere, so Spark, DuckDB, and Python replays
+    agree bit-for-bit.  Shared by :func:`ranking_rbo` and its oracle."""
+    if k < 1 or not 0 < p_num < p_den:
+        raise ValueError("need k >= 1 and 0 < p_num < p_den")
+    ws = []
+    for m in range(1, k + 1):
+        s = 0
+        for d in range(m, k + 1):
+            num = p_num ** (d - 1) * scale
+            den = p_den ** (d - 1) * d
+            s += (2 * num + den) // (2 * den)
+        ws.append(s)
+    return ws
+
+
+def ranking_rbo(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    top-k rankings per query — the top-weighted similarity measure for
+    comparing an ANN index's result lists against exact search (or any
+    two rankers): unlike recall@k it rewards agreement MORE at the top
+    of the list, with persistence ``p = p_num/p_den``.
+
+    Truncated form: ``rbo = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩
+    B_d| / d``.  An item ranked ``ra`` in A and ``rb`` in B is inside
+    both depth-``d`` prefixes for every ``d >= max(ra, rb)``, so its
+    total contribution depends only on ``max(ra, rb)`` — precomputed
+    by :func:`rbo_weights` as EXACT nano-scaled integers (p kept
+    rational; no float pow), applied as a k-branch CASE.
+
+    Plan shape: the rank frames are queries×k model data (producing
+    them is the ANN operator's job); ONE keyed equi-join on (query,
+    item) plus a per-query aggregate — broadcast-able at any corpus
+    scale.  Queries appearing in either frame with zero overlap still
+    report (rbo = 0).  Returns (query_id, n_common, rbo_nano, rbo)
+    ordered by query id.
+    """
+    ws = rbo_weights(k, p_num, p_den)
+    case = "CASE greatest(__ra, __rb) " + " ".join(
+        f"WHEN {m + 1} THEN CAST({w} AS BIGINT)" for m, w in enumerate(ws)
+    ) + " END"
+    ar = a.where(f"{rank_col} <= {k}").select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i"),
+        F.col(rank_col).alias("__ra"),
+    )
+    br = b.where(f"{rank_col} <= {k}").select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__i"),
+        F.col(rank_col).alias("__rb"),
+    )
+    overlap = (
+        ar.join(br, ["__q", "__i"])
+        .select("__q", F.expr(case).alias("__w"))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("__w").cast("long").alias("rbo_nano"),
+        )
+    )
+    qs = ar.select("__q").union(br.select("__q")).distinct()
+    return (
+        qs.join(overlap, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+            .alias("n_common"),
+            F.coalesce(F.col("rbo_nano"), F.lit(0)).cast("long")
+            .alias("rbo_nano"),
+            F.expr(
+                f"CAST(coalesce(rbo_nano, 0) AS DOUBLE) / 1000000000.0 "
+                f"* (CAST({p_den - p_num} AS DOUBLE) "
+                f"/ CAST({p_den} AS DOUBLE))"
+            ).alias("rbo"),
+        )
+        .orderBy(query_col)
+    )

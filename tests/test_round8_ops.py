@@ -2030,3 +2030,41 @@ def test_kappa_degenerate(spark):
     # empty input: one row, n = 0, everything NULL
     r = ops.cohens_kappa(df.where("a = 'zz'"), "a", "b").collect()[0]
     assert r["n"] == 0 and r["kappa"] is None
+
+
+# ---- ranking_rbo -----------------------------------------------------------
+
+
+def test_rbo_weights_exact_integers():
+    ws = ops.rbo_weights(10)
+
+    for m in range(1, 11):
+        # integer half-away rounding per term, replayed exactly
+        want = sum((2 * 9 ** (d - 1) * 10**9 + 10 ** (d - 1) * d)
+                   // (2 * 10 ** (d - 1) * d) for d in range(m, 11))
+        assert ws[m - 1] == want
+    assert ws == sorted(ws, reverse=True)
+    with pytest.raises(ValueError):
+        ops.rbo_weights(0)
+    with pytest.raises(ValueError):
+        ops.rbo_weights(5, p_num=10, p_den=10)
+
+
+def test_rbo_identical_disjoint_and_partial(spark):
+    rows_a = [(1, i, r) for r, i in enumerate([10, 11, 12], 1)]
+    a = spark.createDataFrame(rows_a, "query_id long, vec_id long, rank int")
+    # identical lists -> rbo = (1-p) * sum p^(d-1) (prefix fully shared)
+    got = ops.ranking_rbo(a, a, k=3).collect()[0]
+    ws = ops.rbo_weights(3)
+    assert got["n_common"] == 3 and got["rbo_nano"] == sum(ws)
+    assert abs(got["rbo"] - sum(ws) / 1e9 * 0.1) < 1e-12
+    # disjoint lists -> rbo = 0, query still reported
+    b = spark.createDataFrame([(1, i, r) for r, i in enumerate([7, 8, 9], 1)],
+                              "query_id long, vec_id long, rank int")
+    got = ops.ranking_rbo(a, b, k=3).collect()[0]
+    assert (got["n_common"], got["rbo_nano"], got["rbo"]) == (0, 0, 0.0)
+    # one shared item at rank 1 vs rank 3 -> weight at depth max(1,3)=3
+    c = spark.createDataFrame([(1, 99, 1), (1, 98, 2), (1, 10, 3)],
+                              "query_id long, vec_id long, rank int")
+    got = ops.ranking_rbo(a, c, k=3).collect()[0]
+    assert got["n_common"] == 1 and got["rbo_nano"] == ws[2]
