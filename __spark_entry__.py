@@ -1471,6 +1471,10 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_silhouette(spark, sf):
+    return ops.label_silhouette(_t(spark, sf, "embeddings"))
+
+
 def _q_rank_rbo(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where("vec_id < 20")
@@ -2134,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_woe_iv": _q_woe_iv,
             "docs_kappa_lang": _q_kappa_lang,
             "sim_rank_rbo": _q_rank_rbo,
+            "embeddings_silhouette": _q_silhouette,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2250,7 +2255,7 @@ _GATE_PRIORITY = [
     "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
-    "docs_kappa_lang", "sim_rank_rbo",
+    "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4014,6 +4019,62 @@ FROM f, wt{_QR_ITERS} wt
         f"WHEN {m + 1} THEN CAST({w} AS BIGINT)"
         for m, w in enumerate(ops.rbo_weights(10))
     ) + " END"
+    # Simplified (centroid) silhouette per label: micro-quantized
+    # coordinates, DECIMAL(38,0) exact centroid sums (VARCHAR-parse
+    # double conversion = correctly rounded, matching Spark BigDecimal),
+    # fixed-order distance folds (+0.0 normalizes the -0.0 first-term
+    # difference between Spark aggregate and DuckDB list_reduce);
+    # textually parallel to operators.clustering.label_silhouette.
+    o["embeddings_silhouette"] = """
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xq
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+coords AS (
+  SELECT lbl, i, CAST(sum(xq[i]) AS DECIMAL(38,0)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts, generate_series(1, 64) AS t(i) GROUP BY 1, 2
+),
+cents AS MATERIALIZED (
+  SELECT lbl,
+         list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+              / 1000000.0 ORDER BY i) AS c
+  FROM coords GROUP BY 1
+),
+dists AS (
+  SELECT p.vec_id, p.lbl AS plbl, c.lbl AS clbl,
+         sqrt(list_reduce(list_transform(generate_series(1, 64),
+              i -> (CAST(p.xq[i] AS DOUBLE) / 1000000.0 - c.c[i])
+                 * (CAST(p.xq[i] AS DOUBLE) / 1000000.0 - c.c[i])),
+              (acc, t) -> acc + t) + 0.0) AS d
+  FROM pts p CROSS JOIN cents c
+),
+scored AS (
+  SELECT vec_id, plbl AS lbl,
+         max(CASE WHEN clbl = plbl THEN d END) AS a,
+         min(CASE WHEN clbl != plbl THEN d END) AS b
+  FROM dists GROUP BY 1, 2
+),
+s AS (
+  SELECT lbl,
+         CAST(round((b - a) / nullif(greatest(a, b), 0.0)
+              * 1000000.0) AS BIGINT) AS s_micro
+  FROM scored
+)
+SELECT lbl AS label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(s_micro) AS BIGINT) AS n_scored,
+       CAST(round(CAST(CAST(sum(s_micro) AS BIGINT) AS DOUBLE)
+            / nullif(CAST(count(s_micro) AS DOUBLE), 0.0)) AS BIGINT)
+         AS mean_sil_micro,
+       CAST(CAST(round(CAST(CAST(sum(s_micro) AS BIGINT) AS DOUBLE)
+            / nullif(CAST(count(s_micro) AS DOUBLE), 0.0)) AS BIGINT)
+            AS DOUBLE) / 1e6 AS mean_sil
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
     def _rbo_rank(d: int, name: str) -> str:
         sl = f"[1:{d}]"
         return f"""

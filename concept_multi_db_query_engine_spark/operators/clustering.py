@@ -586,3 +586,128 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def label_silhouette(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Simplified silhouette per label class (Rousseeuw 1987; the
+    centroid-based O(n·k) variant, not the O(n²) pairwise one): for
+    each point, ``a`` = distance to its OWN label centroid, ``b`` =
+    distance to the nearest OTHER centroid, ``s = (b − a) /
+    max(a, b)`` — then averaged per label.  The standard "do these
+    labels actually cluster in embedding space" audit run before
+    trusting a labeled corpus (or a clustering) as training signal.
+
+    Determinism: coordinates quantize to exact micro BIGINTs at the
+    scan; centroid sums accumulate in DECIMAL(38,0) (order-free exact
+    integers) and convert to double once, correctly rounded; distances
+    are fixed-ascending-order folds of IEEE add/mul plus one sqrt
+    (sqrt IS correctly rounded everywhere, unlike ln/pow) — so every
+    silhouette value is cross-engine bit-stable, finished with the
+    usual micro quantization.
+
+    Plan shape: scan 1 feeds ONE (label, coord) hash aggregate (k·d
+    model rows, map-side combined); the k centroids ride in a ONE-ROW
+    broadcast (localCheckpoint'd — keeps the scoring plan a pure
+    narrow map); scan 2 scores every point with zero joins and zero
+    shuffles before the final k-group aggregate.  At 100 TB: two
+    corpus scans, one k·d-row shuffle, nothing else.
+
+    Returns one row per label: (label, n_points, n_scored,
+    mean_sil_micro, mean_sil), ordered by label.  ``n_scored`` drops
+    points whose s is undefined (a = b = 0, or a single label).
+    """
+    pts = embeddings.where(
+        f"{vec_col} IS NOT NULL AND {label_col} IS NOT NULL"
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__lbl"),
+        F.expr(
+            f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            "x -> CAST(round(x * 1000000.0d) AS BIGINT))"
+        ).alias("__xq"),
+    )
+    coords = (
+        pts.select("__lbl", F.posexplode("__xq").alias("__i", "__q"))
+        .groupBy("__lbl", "__i")
+        .agg(
+            F.sum("__q").cast("decimal(38,0)").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    cents = (
+        coords.groupBy("__lbl")
+        .agg(
+            F.max("__n").alias("__n"),
+            F.expr("array_sort(collect_list(struct(__i, __s)))")
+            .alias("__arr"),
+        )
+        .select(
+            "__lbl",
+            F.expr(
+                "transform(__arr, t -> CAST(t.__s AS DOUBLE) "
+                "/ CAST(__n AS DOUBLE) / 1000000.0)"
+            ).alias("__c"),
+        )
+    )
+    cents_row = cents.agg(
+        F.expr("array_sort(collect_list(struct(__lbl, __c)))")
+        .alias("__cents")
+    ).localCheckpoint(eager=True)
+
+    def dist(carr: str) -> str:
+        return (
+            f"sqrt(aggregate(zip_with(__v, {carr}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0d, "
+            "(acc, t) -> acc + t) + 0.0)"
+        )
+
+    scored = (
+        pts.crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "__v",
+            F.expr("transform(__xq, q -> CAST(q AS DOUBLE) / 1000000.0)"),
+        )
+        .withColumn(
+            "__a",
+            F.expr(
+                "CASE WHEN size(filter(__cents, s -> s.__lbl = __lbl)) "
+                f"= 1 THEN {dist('filter(__cents, s -> s.__lbl = __lbl)[0].__c')} END"
+            ),
+        )
+        .withColumn(
+            "__b",
+            F.expr(
+                "array_min(transform(filter(__cents, "
+                f"s -> s.__lbl != __lbl), s -> {dist('s.__c')}))"
+            ),
+        )
+        .withColumn(
+            "__s_micro",
+            F.expr(
+                "CAST(round((__b - __a) "
+                "/ nullif(greatest(__a, __b), 0.0) "
+                "* 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(F.col("__lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.count("__s_micro").cast("long").alias("n_scored"),
+            F.expr(
+                "CAST(round(CAST(sum(__s_micro) AS DOUBLE) "
+                "/ nullif(CAST(count(__s_micro) AS DOUBLE), 0.0)) "
+                "AS BIGINT)"
+            ).alias("mean_sil_micro"),
+        )
+        .withColumn(
+            "mean_sil", F.col("mean_sil_micro").cast("double") / 1e6
+        )
+        .orderBy("label")
+    )

@@ -2068,3 +2068,58 @@ def test_rbo_identical_disjoint_and_partial(spark):
                               "query_id long, vec_id long, rank int")
     got = ops.ranking_rbo(a, c, k=3).collect()[0]
     assert got["n_common"] == 1 and got["rbo_nano"] == ws[2]
+
+
+# ---- label_silhouette ------------------------------------------------------
+
+
+def test_silhouette_matches_python_replay(spark):
+    import math
+    pts = [
+        (0, [0.0, 0.1], 0), (1, [0.2, 0.0], 0), (2, [0.1, 0.1], 0),
+        (3, [5.0, 5.1], 1), (4, [5.2, 4.9], 1),
+        (5, [0.0, 9.9], 2), (6, [0.2, 10.1], 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in pts],
+        "vec_id long, embedding array<float>, label int")
+    got = ops.label_silhouette(df).collect()
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    # replay: quantize coords like the operator (through float32 first)
+    import numpy as np
+    q = {i: [micro(float(np.float32(x)) * 1e6) for x in v]
+         for i, v, _ in pts}
+    labels = sorted({l for *_, l in pts})
+    cents = {}
+    for l in labels:
+        mem = [q[i] for i, _, ll in pts if ll == l]
+        cents[l] = [sum(c[j] for c in mem) / len(mem) / 1e6
+                    for j in range(2)]
+    per = {l: [] for l in labels}
+    for i, _, l in pts:
+        v = [x / 1e6 for x in q[i]]
+        def d(c):
+            return math.sqrt(sum((x - y) * (x - y)
+                                 for x, y in zip(v, c)) + 0.0)
+        a = d(cents[l])
+        b = min(d(cents[o]) for o in labels if o != l)
+        per[l].append(micro((b - a) / max(a, b) * 1e6))
+    for r in got:
+        want = per[r["label"]]
+        assert r["n_points"] == r["n_scored"] == len(want)
+        assert r["mean_sil_micro"] == micro(sum(want) / len(want))
+    # well-separated clusters score high
+    assert all(r["mean_sil"] > 0.8 for r in got)
+
+
+def test_silhouette_single_label_degenerate(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0], 7), (1, [1.0, 0.0], 7)],
+        "vec_id long, embedding array<float>, label int")
+    r = ops.label_silhouette(df).collect()
+    # no other centroid exists: b is NULL, nothing scored
+    assert len(r) == 1 and r[0]["n_points"] == 2
+    assert r[0]["n_scored"] == 0 and r[0]["mean_sil"] is None
