@@ -664,8 +664,10 @@ def _q_dedup_jaccard(spark, sf):
 
 
 def _q_dedup_prefix_filter(spark, sf):
+    # 0.8 is the realistic near-dup threshold; it also exercises the
+    # prefix bound where it bites (short prefixes, tight length filter)
     return ops.prefix_filter_pairs(_t(spark, sf, "documents"),
-                                   threshold=0.5)
+                                   threshold=0.8)
 
 
 def _q_dedup_minhash(spark, sf):
@@ -5204,14 +5206,14 @@ ordered AS (
 ),
 prefix AS MATERIALIZED (
   SELECT doc_id, tok, n FROM ordered
-  WHERE pos <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+  WHERE pos <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2
   FROM prefix a JOIN prefix b
     ON a.tok = b.tok AND a.doc_id < b.doc_id
-   AND CAST(b.n AS DOUBLE) >= 0.5 * CAST(a.n AS DOUBLE)
-   AND CAST(a.n AS DOUBLE) >= 0.5 * CAST(b.n AS DOUBLE)
+   AND CAST(b.n AS DOUBLE) >= 0.8 * CAST(a.n AS DOUBLE)
+   AND CAST(a.n AS DOUBLE) >= 0.8 * CAST(b.n AS DOUBLE)
 ),
 common AS (
   SELECT c.d1, c.d2, c.n1, c.n2, CAST(count(*) AS BIGINT) AS common
@@ -5222,7 +5224,7 @@ common AS (
 )
 SELECT d1, d2, round(common / (n1 + n2 - common), 4) AS jaccard
 FROM common
-WHERE round(common / (n1 + n2 - common), 4) >= 0.5
+WHERE round(common / (n1 + n2 - common), 4) >= 0.8
 """
 
     o["dedup_ngram_jaccard"] = (

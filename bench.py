@@ -233,6 +233,18 @@ HEADLINE = [
     "embeddings_negative_samples",
     "sim_ivf_tuning",
     "dedup_span_incremental",
+    # round-8 late wave
+    "orders_hilbert_layout",
+    "orders_pruning_report",
+    "graph_hits",
+    "dedup_prefix_filter",
+    "docs_pareto_frontier",
+    "text_pmi_collocations",
+    "orders_benford",
+    "docs_woe_iv",
+    "docs_kappa_lang",
+    "sim_rank_rbo",
+    "embeddings_silhouette",
 ]
 
 

@@ -205,6 +205,20 @@ def prefix_filter_pairs(
     count). Every stage is keyed; candidate volume, not corpus², is
     the cost.
 
+    The distinct token frame is localCheckpoint'd — THREE consumers
+    read it (doc frequency, ranking, the verification array build);
+    without the cut each replays the tokenize+distinct shuffle.
+    Candidates carry the PPJoin POSITIONAL filter inside the join
+    condition (overlap upper bound from the shared token's positions),
+    and verification is ONE codegen ``array_intersect`` per surviving
+    pair against the per-doc token-array frame (broadcast when a
+    count-probe of the materialized token frame says it fits) — the
+    candidate×tokens re-expansion and its re-aggregation never
+    materialize.  On adversarially tiny vocabularies (every token a
+    stop token) candidates degrade toward all-pairs — that is the
+    RESULT's size, not the scheme's overhead; prefix filtering's bound
+    bites on Zipfian real-text vocabularies.
+
     Output: (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4 —
     byte-identical to :func:`ngram_jaccard_pairs` semantics at k=1.
     """
@@ -217,7 +231,9 @@ def prefix_filter_pairs(
         )
         .where(F.col("tok") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    small_tok = tok.count() <= 5_000_000
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("__df").asc(), F.col("tok").asc()
@@ -231,18 +247,40 @@ def prefix_filter_pairs(
             F.count(F.lit(1)).over(w_n).alias("n"),
         )
     )
+    # materialize the prefix index before self-joining it: both join
+    # sides would otherwise replay the freq join + double window (the
+    # AllPairs "build the index" step — measured 6x end-to-end at
+    # sf0.1). The frame is prefix-of-token-stream sized, far below the
+    # corpus.
     prefix = ordered.where(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "tok", "n")
+    ).select("doc_id", "tok", "pos", "n").localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: a qualifying pair needs overlap >=
+    # alpha = ceil(t/(1+t)*(n1+n2)); a shared token at positions
+    # (pa, pb) can contribute at most 1 + min(n1-pa, n2-pb) overlap,
+    # so rows violating that bound cannot witness the pair (its first
+    # shared token, if any qualifies, satisfies the bound) — exactness
+    # is preserved while the candidate stream shrinks pre-shuffle.
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n").cast("double") >= F.lit(t) * F.col("a.n"))
-            & (F.col("a.n").cast("double") >= F.lit(t) * F.col("b.n")),
+            & (F.col("a.n").cast("double") >= F.lit(t) * F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= F.ceil(
+                    F.lit(t / (1.0 + t))
+                    * (F.col("a.n") + F.col("b.n"))
+                )
+            ),
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
@@ -250,23 +288,29 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    ta, tb = tok.alias("ta"), tok.alias("tb")
-    common = (
-        cand.join(ta, F.col("d1") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("d2") == F.col("tb.doc_id"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
-        )
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # verification: intersect the per-doc token ARRAYS (one codegen
+    # array_intersect per surviving pair) instead of re-joining the
+    # token stream — the candidate×tokens expansion and its huge
+    # re-aggregation never materialize. The doc→array frame is one row
+    # per doc; both joins are keyed (AQE broadcasts when small).
+    sets = tok.groupBy("doc_id").agg(F.collect_list("tok").alias("__s"))
+    if small_tok:
+        sets = F.broadcast(sets)
     return (
-        common.select(
+        cand.join(
+            sets.select(F.col("doc_id").alias("d1"),
+                        F.col("__s").alias("__s1")), "d1")
+        .join(
+            sets.select(F.col("doc_id").alias("d2"),
+                        F.col("__s").alias("__s2")), "d2")
+        .withColumn(
+            "__common", F.size(F.array_intersect("__s1", "__s2"))
+        )
+        .select(
             "d1", "d2",
             F.round(
-                F.col("common")
-                / (F.col("n1") + F.col("n2") - F.col("common")),
+                F.col("__common")
+                / (F.col("n1") + F.col("n2") - F.col("__common")),
                 4,
             ).alias("jaccard"),
         )
