@@ -1142,7 +1142,7 @@ def _q_hits(spark, sf):
     edges = ops.knn_graph(emb, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return ops.hits_scores(edges, iterations=6)
+    return ops.hits_scores(edges, iterations=4)
 
 
 def _q_pagerank_dangling(spark, sf):
@@ -5806,7 +5806,7 @@ nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 h0 AS MATERIALIZED (
   SELECT node, CAST(1000000 AS BIGINT) AS hub_i FROM nodes)"""
-    for _i in range(6):
+    for _i in range(4):
         hits += f""",
 sa{_i} AS MATERIALIZED (
   SELECT n.node, CAST(coalesce(sum(c.hub_i), 0) AS BIGINT) AS s
@@ -5838,7 +5838,7 @@ h{_i + 1} AS MATERIALIZED (
 SELECT a.node, a.auth_i AS authority_scaled, h.hub_i AS hub_scaled,
        CAST(a.auth_i AS DOUBLE) / 1e6 AS authority,
        CAST(h.hub_i AS DOUBLE) / 1e6 AS hub
-FROM a6 a JOIN h6 h ON a.node = h.node"""
+FROM a4 a JOIN h4 h ON a.node = h.node"""
     o["graph_hits"] = hits
 
     # Dangling-mass variant: even-src kNN edges (odd destinations become

@@ -216,16 +216,18 @@ def hits_scores(
     )
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub_i"))
     auth = None
+    # Inside the loop the score frames carry ONLY nodes with incident
+    # edges: a node absent from auth/hub contributes exactly what a
+    # zero row would (the edge join drops it; the max ignores zeros,
+    # and greatest(max, 1) covers the all-zero corner), so the
+    # per-iteration zero-fill join the spec's formulation implies is
+    # deferred to ONE left join at the end — two exchanges per
+    # half-step instead of three, 12 fewer stages at 6 iterations.
     for it in range(iterations):
         s_a = (
-            nodes.join(
-                e0.join(hub, e0["e_src"] == hub["node"])
-                .select(F.col("e_dst").alias("node"),
-                        F.col("hub_i").alias("c")),
-                "node", "left",
-            )
-            .groupBy("node")
-            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s"))
+            e0.join(hub, e0["e_src"] == hub["node"])
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("hub_i").cast("long").alias("s"))
         )
         m_a = s_a.agg(
             F.greatest(F.max("s"), F.lit(1)).cast("long").alias("__ma")
@@ -235,14 +237,9 @@ def hits_scores(
             F.expr(f"s * {scale} DIV __ma").cast("long").alias("auth_i"),
         )
         s_h = (
-            nodes.join(
-                e0.join(auth, e0["e_dst"] == auth["node"])
-                .select(F.col("e_src").alias("node"),
-                        F.col("auth_i").alias("c")),
-                "node", "left",
-            )
-            .groupBy("node")
-            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s"))
+            e0.join(auth, e0["e_dst"] == auth["node"])
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum("auth_i").cast("long").alias("s"))
         )
         m_h = s_h.agg(
             F.greatest(F.max("s"), F.lit(1)).cast("long").alias("__mh")
@@ -254,12 +251,21 @@ def hits_scores(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             auth = auth.localCheckpoint(eager=False)
             hub = hub.localCheckpoint(eager=False)
-    return auth.join(hub, "node").select(
-        "node",
-        F.col("auth_i").alias("authority_scaled"),
-        F.col("hub_i").alias("hub_scaled"),
-        (F.col("auth_i").cast("double") / float(scale)).alias("authority"),
-        (F.col("hub_i").cast("double") / float(scale)).alias("hub"),
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth_i"), F.lit(0)).cast("long")
+            .alias("authority_scaled"),
+            F.coalesce(F.col("hub_i"), F.lit(0)).cast("long")
+            .alias("hub_scaled"),
+        )
+        .withColumn(
+            "authority",
+            F.col("authority_scaled").cast("double") / float(scale))
+        .withColumn(
+            "hub", F.col("hub_scaled").cast("double") / float(scale))
     )
 
 
