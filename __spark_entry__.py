@@ -1473,6 +1473,14 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_gains(spark, sf):
+    return ops.gains_table(
+        _t(spark, sf, "documents"),
+        "n_chars", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", "doc_id",
+        n_buckets=10,
+    )
+
+
 def _q_silhouette(spark, sf):
     return ops.label_silhouette(_t(spark, sf, "embeddings"))
 
@@ -2141,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_kappa_lang": _q_kappa_lang,
             "sim_rank_rbo": _q_rank_rbo,
             "embeddings_silhouette": _q_silhouette,
+            "docs_gains_table": _q_gains,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2258,6 +2267,7 @@ _GATE_PRIORITY = [
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
+    "docs_gains_table",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4914,6 +4924,52 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Gains/lift table: plain SQL ntile over (score desc, id asc) is
+    # exactly what distributed_ntile reproduces; rates micro-quantized,
+    # textually parallel to operators.classify.gains_table.
+    o["docs_gains_table"] = """
+WITH scored AS (
+  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT) AS s,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS y,
+         doc_id
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+b AS (
+  SELECT ntile(10) OVER (ORDER BY s DESC, doc_id ASC) AS bucket, y
+  FROM scored
+),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1
+),
+w AS (
+  SELECT bucket, n, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY bucket ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER () AS BIGINT) AS nt,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS pt
+  FROM g
+)
+SELECT bucket, n, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS response_rate,
+       CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            / nullif(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE), 0.0)
+            * 1000000.0) AS BIGINT) AS lift_micro,
+       CAST(CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            / nullif(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE), 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS lift,
+       CAST(round(CAST(cum_pos AS DOUBLE)
+            / nullif(CAST(pt AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+         AS cum_capture_micro,
+       CAST(CAST(round(CAST(cum_pos AS DOUBLE)
+            / nullif(CAST(pt AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS cum_capture
+FROM w ORDER BY bucket
+"""
+
     # Cohen's kappa between the language-ID heuristic and the declared
     # lang collapsed to en/und; confusion cells, marginal-product pe in
     # exact DECIMAL(38,0) (VARCHAR-parse double conversion = correctly

@@ -245,6 +245,7 @@ HEADLINE = [
     "docs_kappa_lang",
     "sim_rank_rbo",
     "embeddings_silhouette",
+    "docs_gains_table",
 ]
 
 

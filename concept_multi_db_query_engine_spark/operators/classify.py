@@ -592,3 +592,90 @@ def cohens_kappa(df: DataFrame, expr_a: str, expr_b: str) -> DataFrame:
             " / 1e6"
         ).cast("double").alias("kappa"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_expr: str,
+    label_expr: str,
+    id_expr: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative-gains / lift table: rank rows by a score, cut them
+    into ``n_buckets`` equal NTILE buckets, and report each bucket's
+    response rate, lift over the base rate, and cumulative capture of
+    all positives — the standard "is this score worth acting on"
+    report (decile analysis) for screening quality/relevance scores
+    before they gate a pipeline.  The top bucket of a useful score
+    shows lift >> 1 and the capture curve rises far above the
+    diagonal; a useless score pins every bucket's lift at ~1.
+
+    Ranking is EXACT at any scale via :func:`~concept_multi_db_query_
+    engine_spark.operators.insights.distributed_ntile` (range
+    repartition + broadcast offsets — no single-partition global
+    window), ordered by (score desc, id asc) so ties break on the
+    unique ``id_expr`` and bucketing is partitioning-independent.
+    Scores micro-quantize first; every rate is a fixed-order double
+    over exact BIGINT counts, micro-quantized — cross-engine
+    bit-stable and replayable by plain SQL ``ntile``.
+
+    Returns ``n_buckets`` rows: (bucket, n, n_pos, response_rate,
+    lift_micro, lift, cum_capture_micro, cum_capture), bucket 1 = the
+    highest scores.
+    """
+    from pyspark.sql import Window
+
+    from .insights import distributed_ntile
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = df.where(
+        f"({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL"
+    ).select(
+        F.expr(
+            f"CAST(round(CAST(({score_expr}) AS DOUBLE) * 1000000.0) "
+            "AS BIGINT)"
+        ).alias("__s"),
+        F.expr(f"CAST(({label_expr}) AS INT)").alias("__y"),
+        F.expr(f"({id_expr})").alias("__id"),
+    )
+    bucketed = distributed_ntile(
+        scored,
+        [F.col("__s").desc(), F.col("__id").asc()],
+        n_buckets,
+        out_col="bucket",
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        g.withColumn("__cum_pos", F.sum("n_pos").over(w_cum).cast("long"))
+        .withColumn("__nt", F.sum("n").over(w_tot).cast("long"))
+        .withColumn("__pt", F.sum("n_pos").over(w_tot).cast("long"))
+    )
+    lift = (
+        "CAST(round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ nullif(CAST(__pt AS DOUBLE) / CAST(__nt AS DOUBLE), 0.0) "
+        "* 1000000.0) AS BIGINT)"
+    )
+    cap = (
+        "CAST(round(CAST(__cum_pos AS DOUBLE) "
+        "/ nullif(CAST(__pt AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)"
+    )
+    return staged.select(
+        "bucket", "n", "n_pos",
+        F.expr(
+            "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("response_rate"),
+        F.expr(lift).alias("lift_micro"),
+        (F.expr(lift).cast("double") / 1e6).alias("lift"),
+        F.expr(cap).alias("cum_capture_micro"),
+        (F.expr(cap).cast("double") / 1e6).alias("cum_capture"),
+    ).orderBy("bucket")

@@ -2123,3 +2123,44 @@ def test_silhouette_single_label_degenerate(spark):
     # no other centroid exists: b is NULL, nothing scored
     assert len(r) == 1 and r[0]["n_points"] == 2
     assert r[0]["n_scored"] == 0 and r[0]["mean_sil"] is None
+
+
+# ---- gains_table -----------------------------------------------------------
+
+
+def test_gains_matches_python_replay(spark):
+    import math
+    # score correlates with label: high score -> mostly positive
+    rows = [(i, float(100 - i), 1 if i < 12 or i % 7 == 0 else 0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    got = ops.gains_table(df, "score", "y", "id", n_buckets=4).collect()
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    ranked = sorted(rows, key=lambda r: (-micro(r[1] * 1e6), r[0]))
+    n, k = len(ranked), 4
+    q, r = divmod(n, k)
+    sizes = [q + 1 if b < r else q for b in range(k)]
+    pt = sum(y for *_, y in rows)
+    start, cum = 0, 0
+    for b, r_ in enumerate(got, 1):
+        chunk = ranked[start:start + sizes[b - 1]]
+        start += sizes[b - 1]
+        npos = sum(y for *_, y in chunk)
+        cum += npos
+        assert (r_["bucket"], r_["n"], r_["n_pos"]) == (
+            b, len(chunk), npos)
+        assert r_["lift_micro"] == micro(
+            (npos / len(chunk)) / (pt / n) * 1e6)
+        assert r_["cum_capture_micro"] == micro(cum / pt * 1e6)
+    # monotone capture reaching 1.0 in the last bucket
+    assert got[-1]["cum_capture"] == 1.0
+    assert got[0]["lift"] > 1.0
+
+
+def test_gains_validation(spark):
+    df = spark.createDataFrame([(1, 1.0, 1)], "id long, score double, y int")
+    with pytest.raises(ValueError):
+        ops.gains_table(df, "score", "y", "id", n_buckets=1)
