@@ -1473,6 +1473,11 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_vocab_coverage(spark, sf):
+    # testdata vocabulary is ~31 types; budgets chosen inside the curve
+    return ops.vocab_coverage(_t(spark, sf, "documents"), ks=[5, 10, 20])
+
+
 def _q_gains(spark, sf):
     return ops.gains_table(
         _t(spark, sf, "documents"),
@@ -2150,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_rank_rbo": _q_rank_rbo,
             "embeddings_silhouette": _q_silhouette,
             "docs_gains_table": _q_gains,
+            "text_vocab_coverage": _q_vocab_coverage,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2267,7 +2273,7 @@ _GATE_PRIORITY = [
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
-    "docs_gains_table",
+    "docs_gains_table", "text_vocab_coverage",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4924,6 +4930,32 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Vocabulary coverage curve, textually parallel to
+    # operators.text.vocab_coverage.
+    o["text_vocab_coverage"] = """
+WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x != '')) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+ranked AS MATERIALIZED (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+  FROM freq
+),
+spine AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (5), (10), (20)) t(k))
+SELECT k,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN r <= k THEN cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       round(CAST(sum(CASE WHEN r <= k THEN cnt ELSE 0 END) AS DOUBLE)
+             / nullif(CAST(sum(cnt) AS DOUBLE), 0.0), 6) AS coverage
+FROM spine CROSS JOIN ranked
+GROUP BY k ORDER BY k
+"""
+
     # Gains/lift table: plain SQL ntile over (score desc, id asc) is
     # exactly what distributed_ntile reproduces; rates micro-quantized,
     # textually parallel to operators.classify.gains_table.

@@ -246,6 +246,7 @@ HEADLINE = [
     "sim_rank_rbo",
     "embeddings_silhouette",
     "docs_gains_table",
+    "text_vocab_coverage",
 ]
 
 

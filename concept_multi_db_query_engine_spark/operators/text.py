@@ -2770,3 +2770,68 @@ def grouped_hash_split(
         .when(F.col("bucket") < t_val, "val")
         .otherwise("test"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, ks: list[int] | None = None,
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, for each budget
+    in ``ks`` — the tokenizer-sizing companion to :func:`vocab_growth`
+    (Zipfian corpora cover ~90%+ with a few thousand types; where the
+    curve flattens is where growing the vocab stops paying).
+
+    ONE corpus scan into a token-frequency hash aggregate (map-side
+    combined, vocab-sized output); ranking is one window over the
+    VOCAB frame ordered (count desc, token asc) — deterministic total
+    order, never the corpus — and the per-budget coverage comes from a
+    budgets×vocab conditional aggregate over that same frame.  All
+    counts exact BIGINTs; coverage is one fixed-order double rounded
+    to 6.
+
+    Returns one row per k: (k, vocab_size, total_tokens,
+    covered_tokens, coverage), ordered by k.
+    """
+    from pyspark.sql import Window
+
+    ks = sorted(set(ks or [10, 100, 1000, 10000]))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive")
+    freq = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        "cnt", F.row_number().over(w_rank).alias("__r")
+    ).localCheckpoint(eager=True)
+    spine = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long"
+    )
+    return (
+        spine.crossJoin(ranked)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("__r") <= F.col("k"), F.col("cnt"))
+                  .otherwise(F.lit(0))).cast("long")
+            .alias("covered_tokens"),
+        )
+        .select(
+            "k", "vocab_size", "total_tokens", "covered_tokens",
+            F.expr(
+                "round(CAST(covered_tokens AS DOUBLE) "
+                "/ nullif(CAST(total_tokens AS DOUBLE), 0.0), 6)"
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -2164,3 +2164,27 @@ def test_gains_validation(spark):
     df = spark.createDataFrame([(1, 1.0, 1)], "id long, score double, y int")
     with pytest.raises(ValueError):
         ops.gains_table(df, "score", "y", "id", n_buckets=1)
+
+
+# ---- vocab_coverage --------------------------------------------------------
+
+
+def test_vocab_coverage_matches_python_replay(spark):
+    docs = [(1, "a a a b b c"), (2, "a b d"), (3, "e"), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = ops.vocab_coverage(df, ks=[1, 2, 10]).collect()
+    import re
+    from collections import Counter
+    c = Counter(w for _, t in docs
+                for w in re.split("[^a-z]+", t.lower()) if w)
+    ranked = sorted(c.items(), key=lambda x: (-x[1], x[0]))
+    total = sum(c.values())
+    for r in got:
+        covered = sum(n for _, n in ranked[:r["k"]])
+        assert (r["vocab_size"], r["total_tokens"],
+                r["covered_tokens"]) == (len(ranked), total, covered)
+        assert r["coverage"] == round(covered / total, 6)
+    assert [r["k"] for r in got] == [1, 2, 10]
+    assert got[-1]["coverage"] == 1.0
+    with pytest.raises(ValueError):
+        ops.vocab_coverage(df, ks=[0])
