@@ -777,3 +777,38 @@ def test_incremental_skyline_across_micro_batches(spark):
                            bucket_width=16).collect(),
             "id long, a long, b long")
     assert sorted(map(tuple, frontier.collect())) == want
+
+
+def test_incremental_benford_digit_state(spark):
+    """Benford monitoring over a stream: the per-digit counts are the
+    ONLY state (9 longs — algebraically mergeable across micro-batches
+    by addition), and the report math is a pure function of the merged
+    counts. Feeding three disjoint batches and merging their digit
+    counts must reproduce the one-shot batch report exactly."""
+    import math
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    vals = [round(1.01 * (1.37 ** i) % 997, 2) for i in range(120)]
+    full = spark.createDataFrame([(v,) for v in vals], "amount double")
+    want = {r["digit"]: (r["n_obs"], r["chi2_micro"])
+            for r in ops.benford_report(full, "amount").collect()}
+
+    state = {d: 0 for d in range(1, 10)}
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(v,) for i, v in enumerate(vals) if i % 3 == k],
+            "amount double")
+        for r in ops.benford_report(batch, "amount").collect():
+            state[r["digit"]] += r["n_obs"]
+    assert {d: state[d] for d in state} == {
+        d: want[d][0] for d in want}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    n = sum(state.values())
+    exp = {d: micro(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+           for d in range(1, 10)}
+    chi2 = sum(micro((state[d] - n * (exp[d] / 1e6)) ** 2
+                     / (n * (exp[d] / 1e6)) * 1e6) for d in range(1, 10))
+    assert all(want[d][1] == chi2 for d in want)
