@@ -1473,6 +1473,13 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_neyman(spark, sf):
+    return ops.neyman_allocation(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+        total_n=1000,
+    )
+
+
 def _q_vocab_coverage(spark, sf):
     # testdata vocabulary is ~31 types; budgets chosen inside the curve
     return ops.vocab_coverage(_t(spark, sf, "documents"), ks=[5, 10, 20])
@@ -2156,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_silhouette": _q_silhouette,
             "docs_gains_table": _q_gains,
             "text_vocab_coverage": _q_vocab_coverage,
+            "orders_neyman_allocation": _q_neyman,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2273,7 +2281,7 @@ _GATE_PRIORITY = [
     "dedup_prefix_filter", "docs_pareto_frontier",
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
-    "docs_gains_table", "text_vocab_coverage",
+    "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4930,6 +4938,55 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Neyman allocation: exact decimal moments, integer Hamilton
+    # apportionment; textually parallel to operators.stats.neyman_allocation.
+    o["orders_neyman_allocation"] = """
+WITH g AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS s_d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
+              * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS q_d
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+staged AS (
+  SELECT stratum, n_rows,
+         round(s_d / n_d, 6) AS mean,
+         round(sqrt((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0)), 6)
+           AS sd,
+         coalesce(CAST(round(n_d * (sqrt((q_d - s_d * s_d / n_d)
+           / nullif(n_d - 1.0, 0.0)))) AS BIGINT), 0) AS weight_int
+  FROM g
+),
+w AS (
+  SELECT stratum, n_rows, mean, sd, weight_int,
+         CAST(sum(weight_int) OVER () AS BIGINT) AS w_sum
+  FROM staged
+),
+f AS (
+  SELECT *, CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(1000 * weight_int // w_sum AS BIGINT) END AS fl
+  FROM w
+),
+r AS (
+  SELECT *,
+         CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(1000 * weight_int - fl * w_sum AS BIGINT) END AS rem,
+         CAST(1000 - sum(fl) OVER () AS BIGINT) AS leftover
+  FROM f
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+  FROM r
+)
+SELECT stratum, n_rows, mean, sd, weight_int,
+       CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) END AS alloc
+FROM rk ORDER BY stratum
+"""
+
     # Vocabulary coverage curve, textually parallel to
     # operators.text.vocab_coverage.
     o["text_vocab_coverage"] = """

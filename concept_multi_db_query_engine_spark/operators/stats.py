@@ -1532,3 +1532,106 @@ def mutual_information(
             "0.0d), 6) + 0.0d"
         ).alias("nmi"),
     ).select("n", "mi_nats", "h_x", "h_y", "nmi")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int = 1000,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split
+    a sampling budget of ``total_n`` across strata proportionally to
+    ``N_h · sd_h`` — minimum-variance estimation of the population
+    mean, the survey-sampling upgrade of proportional allocation that
+    oversamples heterogeneous strata.  Run before drawing an
+    annotation / eval sample from a mixed corpus.
+
+    ONE hash aggregation computes each stratum's exact decimal moments
+    (n, Σx, Σx²); sd is a fixed-shape double over one row (sqrt is
+    correctly rounded — the shared discipline).  Weights quantize to
+    integers, and the integer allocation is LARGEST-REMAINDER
+    (Hamilton) apportionment: floors via integer division, the
+    leftover seats to the largest remainders (ties by stratum) — all
+    windows run over the strata frame (model data), and every step is
+    exact integer arithmetic, so allocations are cross-engine
+    bit-identical and sum to exactly ``total_n``.  Single-row strata
+    (sd undefined) get weight 0.  Overflow bound: ``total_n · N_h ·
+    sd_h`` must stay under 2^63 — widen ``dec``/rescale values first
+    if a trillion-row stratum with huge spread approaches it.
+
+    Returns one row per stratum: (stratum, n_rows, mean, sd,
+    weight_int, alloc), ordered by stratum.
+    """
+    from pyspark.sql import Window
+
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    x = _m(value_col, dec)
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(x).alias("__s"),
+            F.sum(x * x).alias("__q"),
+        )
+        .select(
+            "stratum", "n_rows",
+            F.col("n_rows").cast("double").alias("__n_d"),
+            F.col("__s").cast("double").alias("__s_d"),
+            F.col("__q").cast("double").alias("__q_d"),
+        )
+    )
+    sd = ("sqrt((__q_d - __s_d * __s_d / __n_d) "
+          "/ nullif(__n_d - 1.0d, 0.0d))")
+    staged = g.select(
+        "stratum", "n_rows",
+        F.expr("round(__s_d / __n_d, 6)").alias("mean"),
+        F.expr(f"round({sd}, 6)").alias("sd"),
+        F.expr(
+            f"coalesce(CAST(round(__n_d * ({sd})) AS BIGINT), 0)"
+        ).alias("weight_int"),
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        staged.withColumn(
+            "__w_sum", F.sum("weight_int").over(w_tot).cast("long"))
+        .withColumn(
+            "__floor",
+            F.expr(
+                f"CASE WHEN __w_sum = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"CAST({total_n} * weight_int DIV __w_sum AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "__rem",
+            F.expr(
+                f"CASE WHEN __w_sum = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"CAST({total_n} * weight_int - __floor * __w_sum "
+                f"AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "__left",
+            F.lit(total_n) - F.sum("__floor").over(w_tot).cast("long"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__rem").desc(),
+                               F.col("stratum").asc())
+            ),
+        )
+    )
+    return staged.select(
+        "stratum", "n_rows", "mean", "sd", "weight_int",
+        F.expr(
+            "CASE WHEN __w_sum = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(__floor + CASE WHEN __rk <= __left THEN 1 "
+            "ELSE 0 END AS BIGINT) END"
+        ).alias("alloc"),
+    ).orderBy("stratum")

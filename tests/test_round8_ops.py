@@ -2188,3 +2188,52 @@ def test_vocab_coverage_matches_python_replay(spark):
     assert got[-1]["coverage"] == 1.0
     with pytest.raises(ValueError):
         ops.vocab_coverage(df, ks=[0])
+
+
+# ---- neyman_allocation -----------------------------------------------------
+
+
+def test_neyman_matches_python_replay(spark):
+    import math
+    rows = ([("a", float(v)) for v in (10, 12, 11, 9, 13, 10)]      # tight
+            + [("b", float(v)) for v in (5, 95, 40, 60, 10, 90)]    # wide
+            + [("c", 42.0)])                                        # n=1
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = ops.neyman_allocation(df, "s", "v", total_n=10).collect()
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    stats = {}
+    for st in "abc":
+        vs = [v for s, v in rows if s == st]
+        n = len(vs)
+        sdev = (math.sqrt(sum(x * x for x in vs)
+                          - sum(vs) ** 2 / n) / math.sqrt(n - 1)
+                if n > 1 else None)
+        w = micro(n * sdev) if sdev is not None else 0
+        stats[st] = (n, w)
+    W = sum(w for _, w in stats.values())
+    floors = {st: 10 * w // W for st, (_, w) in stats.items()}
+    rems = {st: 10 * w - floors[st] * W for st, (_, w) in stats.items()}
+    left = 10 - sum(floors.values())
+    order = sorted(stats, key=lambda st: (-rems[st], st))
+    alloc = {st: floors[st] + (1 if order.index(st) < left else 0)
+             for st in stats}
+    assert {r["stratum"]: (r["n_rows"], r["weight_int"], r["alloc"])
+            for r in got} == {
+        st: (stats[st][0], stats[st][1], alloc[st]) for st in stats}
+    assert sum(r["alloc"] for r in got) == 10
+    # wide stratum dominates the budget; singleton gets nothing
+    by = {r["stratum"]: r["alloc"] for r in got}
+    assert by["b"] > by["a"] and by["c"] == 0
+
+
+def test_neyman_degenerate(spark):
+    # every stratum a singleton: all weights 0 -> all allocations 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "s string, v double")
+    got = ops.neyman_allocation(df, "s", "v", total_n=5).collect()
+    assert all(r["alloc"] == 0 and r["sd"] is None for r in got)
+    with pytest.raises(ValueError):
+        ops.neyman_allocation(df, "s", "v", total_n=0)
