@@ -465,3 +465,53 @@ class TestLayoutShapes:
         assert plan.count("FileScan") == 1
         assert "Sort" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def final_plan(df) -> str:
+    """AQE's toString prints BOTH the final and initial plans; counting
+    operators over the whole string double-counts — slice the final."""
+    full = executed(df)
+    cut = full.find("== Initial Plan ==")
+    return full[:cut] if cut != -1 else full
+
+
+class TestRound8LateWaveShapes:
+    def test_pmi_counts_feed_three_branches_without_rescans(self, spark):
+        """pmi_collocations checkpoints the kind-tagged count frame, so
+        the FINAL plan (totals + unigram + bigram branches re-reading
+        it) contains no FileScan at all — the corpus was read exactly
+        once, inside the checkpoint job."""
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        plan = final_plan(ops.pmi_collocations(docs, k=5, min_count=2))
+        assert "FileScan" not in plan
+        assert plan.count("Scan ExistingRDD") >= 2  # counts frame reused
+
+    def test_silhouette_scoring_is_narrow_after_centroids(self, spark):
+        """label_silhouette's scoring pass: one corpus scan, the
+        centroid row arrives by broadcast, and NO exchange sits between
+        the scan and the final per-label aggregate's partial step —
+        the per-point work is a pure narrow map."""
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        plan = final_plan(ops.label_silhouette(emb))
+        assert plan.count("FileScan") == 1  # scoring scan only
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid ship
+        # whole final plan: ONE hash exchange (the k-group label
+        # aggregate) + the orderBy range exchange — the per-point
+        # scoring itself reaches the partial aggregate shuffle-free
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert plan.count("Exchange rangepartitioning") <= 1
+
+    def test_benford_single_scan_then_digit_frame(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        plan = final_plan(ops.benford_report(orders, "o_totalprice"))
+        assert plan.count("FileScan") == 1
+        # spine join against 9 rows broadcasts
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_rbo_join_is_keyed_not_cartesian(self, spark):
+        a = spark.createDataFrame(
+            [(1, i, r) for r, i in enumerate(range(10, 20), 1)],
+            "query_id long, vec_id long, rank int")
+        plan = final_plan(ops.ranking_rbo(a, a, k=10))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
