@@ -1473,6 +1473,13 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_shrunk_rates(spark, sf):
+    return ops.shrunk_rates_report(
+        _t(spark, sf, "documents"), "source",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", pseudo_n=20,
+    )
+
+
 def _q_neyman(spark, sf):
     return ops.neyman_allocation(
         _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
@@ -2164,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_gains_table": _q_gains,
             "text_vocab_coverage": _q_vocab_coverage,
             "orders_neyman_allocation": _q_neyman,
+            "docs_shrunk_rates": _q_shrunk_rates,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2282,6 +2290,7 @@ _GATE_PRIORITY = [
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
+    "docs_shrunk_rates",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4938,6 +4947,43 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Bayesian-average leaderboard, textually parallel to
+    # operators.stats.shrunk_rates_report (pseudo_n = 20).
+    o["docs_shrunk_rates"] = """
+WITH g AS (
+  SELECT CAST(source AS VARCHAR) AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT))
+              AS BIGINT) AS k
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+w AS (
+  SELECT grp, n, k,
+         CAST(sum(n) OVER () AS BIGINT) AS nt,
+         CAST(sum(k) OVER () AS BIGINT) AS kt
+  FROM g
+),
+m AS (
+  SELECT grp, n, k,
+         CAST(round(CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)
+              * 1000000.0) AS BIGINT) AS rate_micro,
+         CAST(round((CAST(k AS DOUBLE) + 20.0 * (CAST(kt AS DOUBLE)
+              / nullif(CAST(nt AS DOUBLE), 0.0)))
+              / (CAST(n AS DOUBLE) + 20.0) * 1000000.0) AS BIGINT)
+           AS bayes_micro
+  FROM w
+)
+SELECT grp AS "group", n, k, rate_micro,
+       CAST(rate_micro AS DOUBLE) / 1e6 AS rate,
+       bayes_micro,
+       CAST(bayes_micro AS DOUBLE) / 1e6 AS bayes_rate,
+       row_number() OVER (ORDER BY rate_micro DESC, grp ASC) AS rank_raw,
+       row_number() OVER (ORDER BY bayes_micro DESC, grp ASC)
+         AS rank_bayes
+FROM m ORDER BY grp
+"""
+
     # Neyman allocation: exact decimal moments, integer Hamilton
     # apportionment; textually parallel to operators.stats.neyman_allocation.
     o["orders_neyman_allocation"] = """

@@ -247,6 +247,8 @@ HEADLINE = [
     "embeddings_silhouette",
     "docs_gains_table",
     "text_vocab_coverage",
+    "orders_neyman_allocation",
+    "docs_shrunk_rates",
 ]
 
 

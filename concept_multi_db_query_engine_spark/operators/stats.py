@@ -1635,3 +1635,93 @@ def neyman_allocation(
             "ELSE 0 END AS BIGINT) END"
         ).alias("alloc"),
     ).orderBy("stratum")
+
+
+def shrunk_rates_report(
+    df: DataFrame,
+    group_col: str,
+    label_expr: str,
+    pseudo_n: int = 20,
+) -> DataFrame:
+    """Small-sample-safe rate leaderboard (Bayesian average): each
+    group's positive rate is shrunk toward the GLOBAL rate with
+    ``pseudo_n`` pseudo-observations —
+
+        bayes = (k_h + pseudo_n · p̄) / (n_h + pseudo_n)
+
+    — the standard fix for "a 2-document domain with 2 hits outranks a
+    10k-document domain at 95%": tiny groups collapse to the prior,
+    big groups keep their evidence.  Both the raw and the shrunk
+    ranking are returned so rank FLIPS (the groups the naive
+    leaderboard got wrong) are visible directly.
+
+    ONE hash aggregate to the group frame; the global rate is an
+    unpartitioned window over it (model data, never a second corpus
+    scan); ranks are deterministic windows ordered (rate desc, group
+    asc).  Rates are fixed-order doubles over exact BIGINT counts,
+    micro-quantized before ranking so order is cross-engine stable.
+
+    Returns one row per group: (group, n, k, rate_micro, rate,
+    bayes_micro, bayes_rate, rank_raw, rank_bayes), ordered by group.
+    """
+    from pyspark.sql import Window
+
+    if pseudo_n < 1:
+        raise ValueError("pseudo_n must be >= 1")
+    g = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({label_expr}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"CAST(sum(CAST(({label_expr}) AS INT)) AS BIGINT)")
+            .alias("k"),
+        )
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        g.withColumn("__nt", F.sum("n").over(w_tot).cast("long"))
+        .withColumn("__kt", F.sum("k").over(w_tot).cast("long"))
+        .withColumn(
+            "rate_micro",
+            F.expr(
+                "CAST(round(CAST(k AS DOUBLE) "
+                "/ nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "bayes_micro",
+            F.expr(
+                f"CAST(round((CAST(k AS DOUBLE) + {pseudo_n}.0d "
+                "* (CAST(__kt AS DOUBLE) "
+                "/ nullif(CAST(__nt AS DOUBLE), 0.0))) "
+                f"/ (CAST(n AS DOUBLE) + {pseudo_n}.0d) "
+                "* 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        staged.withColumn(
+            "rank_raw",
+            F.row_number().over(
+                Window.orderBy(F.col("rate_micro").desc(),
+                               F.col("group").asc())),
+        )
+        .withColumn(
+            "rank_bayes",
+            F.row_number().over(
+                Window.orderBy(F.col("bayes_micro").desc(),
+                               F.col("group").asc())),
+        )
+        .select(
+            "group", "n", "k", "rate_micro",
+            (F.col("rate_micro").cast("double") / 1e6).alias("rate"),
+            "bayes_micro",
+            (F.col("bayes_micro").cast("double") / 1e6)
+            .alias("bayes_rate"),
+            "rank_raw", "rank_bayes",
+        )
+        .orderBy("group")
+    )

@@ -2237,3 +2237,38 @@ def test_neyman_degenerate(spark):
     assert all(r["alloc"] == 0 and r["sd"] is None for r in got)
     with pytest.raises(ValueError):
         ops.neyman_allocation(df, "s", "v", total_n=0)
+
+
+# ---- shrunk_rates_report ---------------------------------------------------
+
+
+def test_shrunk_rates_matches_python_replay(spark):
+    import math
+    # tiny perfect group vs large good group: raw ranking is wrong,
+    # bayes ranking fixes it
+    rows = ([("tiny", 1)] * 2
+            + [("big", 1)] * 90 + [("big", 0)] * 10
+            + [("mid", 1)] * 5 + [("mid", 0)] * 15)
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {r["group"]: r for r in
+           ops.shrunk_rates_report(df, "g", "y", pseudo_n=20).collect()}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    nt = len(rows)
+    kt = sum(y for _, y in rows)
+    for grp in ("tiny", "big", "mid"):
+        n = sum(1 for g, _ in rows if g == grp)
+        k = sum(y for g, y in rows if g == grp)
+        r = got[grp]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["rate_micro"] == micro(k / n * 1e6)
+        assert r["bayes_micro"] == micro(
+            (k + 20.0 * (kt / nt)) / (n + 20.0) * 1e6)
+    # raw leaderboard puts the 2-row perfect group first; bayes demotes it
+    assert got["tiny"]["rank_raw"] == 1
+    assert got["big"]["rank_bayes"] == 1
+    assert got["tiny"]["rank_bayes"] > got["big"]["rank_bayes"]
+    with pytest.raises(ValueError):
+        ops.shrunk_rates_report(df, "g", "y", pseudo_n=0)
