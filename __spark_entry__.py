@@ -1473,6 +1473,14 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_scd2(spark, sf):
+    # events as the change stream: each user's event_type/value history
+    return ops.scd2_history(
+        _t(spark, sf, "events").where("event_type IS NOT NULL"),
+        ["user_id"], "ts", "event_id", ["event_type", "value"],
+    )
+
+
 def _q_shrunk_rates(spark, sf):
     return ops.shrunk_rates_report(
         _t(spark, sf, "documents"), "source",
@@ -2172,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_vocab_coverage": _q_vocab_coverage,
             "orders_neyman_allocation": _q_neyman,
             "docs_shrunk_rates": _q_shrunk_rates,
+            "events_scd2_history": _q_scd2,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2290,7 +2299,7 @@ _GATE_PRIORITY = [
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
-    "docs_shrunk_rates",
+    "docs_shrunk_rates", "events_scd2_history",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4947,6 +4956,22 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # SCD2 history: one keyed lead window, deterministic (ts, event_id)
+    # ordering; textually parallel to operators.merge.scd2_history.
+    o["events_scd2_history"] = """
+SELECT user_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) IS NULL
+         AS is_current,
+       CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS BIGINT)
+         AS version
+FROM events WHERE event_type IS NOT NULL
+"""
+
     # Bayesian-average leaderboard, textually parallel to
     # operators.stats.shrunk_rates_report (pseudo_n = 20).
     o["docs_shrunk_rates"] = """

@@ -249,6 +249,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "orders_neyman_allocation",
     "docs_shrunk_rates",
+    "events_scd2_history",
 ]
 
 

@@ -129,3 +129,57 @@ def reduce_to_state(
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream
+    (Kimball SCD2): every change row becomes a VERSIONED dimension row
+    with an effective interval — ``valid_from`` = its own timestamp,
+    ``valid_to`` = the NEXT change's timestamp for the same key (NULL
+    while current) — the standard "what did this row look like at time
+    t" table that an upsert compaction (:func:`upsert_latest_wins`)
+    throws away.
+
+    ONE keyed window (partition by key, order by (ts, tiebreak)) —
+    a single shuffle on the key, ``lead`` for the interval end, no
+    joins, no driver state; the tiebreaker makes same-timestamp change
+    ordering deterministic, so intervals are bit-identical across
+    engines and partitionings.  Point-in-time lookup is then a range
+    predicate (``valid_from <= t AND (valid_to IS NULL OR t <
+    valid_to)``) — at 100 TB pair it with partitioning on the key and
+    zone maps on ``valid_from``.
+
+    Returns (*key_cols, *attr_cols, valid_from, valid_to, is_current,
+    version) with version numbering each key's changes from 1.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    return (
+        changes.select(
+            *key_cols, *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy(*key_cols).orderBy(
+                    F.col("valid_from").asc(), F.col("__tb").asc())),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn(
+            "version",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(
+                    F.col("valid_from").asc(), F.col("__tb").asc())),
+        )
+        .drop("__tb")
+    )

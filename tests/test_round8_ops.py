@@ -2272,3 +2272,45 @@ def test_shrunk_rates_matches_python_replay(spark):
     assert got["tiny"]["rank_bayes"] > got["big"]["rank_bayes"]
     with pytest.raises(ValueError):
         ops.shrunk_rates_report(df, "g", "y", pseudo_n=0)
+
+
+# ---- scd2_history ----------------------------------------------------------
+
+
+def test_scd2_intervals_chain_and_point_in_time(spark):
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, s)
+    rows = [
+        (1, 10, t(1), "a", 1.0), (2, 10, t(5), "b", 2.0),
+        (3, 10, t(3), "c", 3.0),                       # out of order
+        (4, 20, t(2), "x", 9.0),
+        (5, 30, t(4), "y", 7.0), (6, 30, t(4), "z", 8.0),  # ts tie
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    got = ops.scd2_history(df, ["user_id"], "ts", "event_id",
+                           ["event_type", "value"]).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u in by_user:
+        h = sorted(by_user[u], key=lambda r: r["version"])
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(h, h[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert h[-1]["valid_to"] is None and h[-1]["is_current"]
+        assert [r["version"] for r in h] == list(range(1, len(h) + 1))
+    # user 10 history ordered by ts despite input order: a -> c -> b
+    assert [r["event_type"] for r in sorted(
+        by_user[10], key=lambda r: r["version"])] == ["a", "c", "b"]
+    # ts tie broken by event_id: y (5) before z (6)
+    assert [r["event_type"] for r in sorted(
+        by_user[30], key=lambda r: r["version"])] == ["y", "z"]
+    # point-in-time lookup at Jan 4: user 10 shows 'c'
+    at = [r for r in by_user[10]
+          if r["valid_from"] <= t(4)
+          and (r["valid_to"] is None or t(4) < r["valid_to"])]
+    assert len(at) == 1 and at[0]["event_type"] == "c"
+    with pytest.raises(ValueError):
+        ops.scd2_history(df, [], "ts", "event_id", ["value"])
