@@ -1473,6 +1473,13 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_quantile_normalize(spark, sf):
+    return ops.quantile_normalize(
+        _t(spark, sf, "documents"), "source", "n_chars", "doc_id",
+        n_grid=21,
+    )
+
+
 def _q_scd2(spark, sf):
     # events as the change stream: each user's event_type/value history
     return ops.scd2_history(
@@ -2181,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_neyman_allocation": _q_neyman,
             "docs_shrunk_rates": _q_shrunk_rates,
             "events_scd2_history": _q_scd2,
+            "docs_quantile_normalize": _q_quantile_normalize,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2299,7 +2307,7 @@ _GATE_PRIORITY = [
     "text_pmi_collocations", "orders_benford", "docs_woe_iv",
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
-    "docs_shrunk_rates", "events_scd2_history",
+    "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4956,6 +4964,63 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Quantile normalization: global quantile_cont grid (bit-compatible
+    # with distributed_group_quantiles), within-group percent rank,
+    # fixed-order interpolation; textually parallel to
+    # operators.stats.quantile_normalize (n_grid = 21).
+    o["docs_quantile_normalize"] = """
+WITH vals AS (
+  SELECT doc_id AS id, CAST(source AS VARCHAR) AS grp,
+         CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+grid AS (
+  SELECT list_value(
+         quantile_cont(v, 0.0),
+         quantile_cont(v, 0.05),
+         quantile_cont(v, 0.1),
+         quantile_cont(v, 0.15),
+         quantile_cont(v, 0.2),
+         quantile_cont(v, 0.25),
+         quantile_cont(v, 0.3),
+         quantile_cont(v, 0.35),
+         quantile_cont(v, 0.4),
+         quantile_cont(v, 0.45),
+         quantile_cont(v, 0.5),
+         quantile_cont(v, 0.55),
+         quantile_cont(v, 0.6),
+         quantile_cont(v, 0.65),
+         quantile_cont(v, 0.7),
+         quantile_cont(v, 0.75),
+         quantile_cont(v, 0.8),
+         quantile_cont(v, 0.85),
+         quantile_cont(v, 0.9),
+         quantile_cont(v, 0.95),
+         quantile_cont(v, 1.0)) AS g
+  FROM vals
+),
+r AS (
+  SELECT id, grp, v,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY v ASC, id ASC) AS rk,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM vals
+),
+staged AS (
+  SELECT id, grp, v,
+         (CASE WHEN n = 1 THEN 0.5 ELSE
+          CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END)
+          * 20.0 AS pos
+  FROM r
+)
+SELECT id, grp AS "group", v AS value,
+       round(g.g[CAST(floor(pos) AS INT) + 1]
+             + (g.g[least(CAST(floor(pos) AS INT) + 2, 21)]
+                - g.g[CAST(floor(pos) AS INT) + 1])
+             * (pos - floor(pos)), 6) AS qnorm
+FROM staged CROSS JOIN grid g ORDER BY id
+"""
+
     # SCD2 history: one keyed lead window, deterministic (ts, event_id)
     # ordering; textually parallel to operators.merge.scd2_history.
     o["events_scd2_history"] = """

@@ -250,6 +250,7 @@ HEADLINE = [
     "orders_neyman_allocation",
     "docs_shrunk_rates",
     "events_scd2_history",
+    "docs_quantile_normalize",
 ]
 
 

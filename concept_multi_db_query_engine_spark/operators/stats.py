@@ -1725,3 +1725,79 @@ def shrunk_rates_report(
         )
         .orderBy("group")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_grid: int = 101,
+) -> DataFrame:
+    """Cross-group quantile normalization (the microarray batch-effect
+    correction of Bolstad et al. 2003, grid form): each row's value is
+    replaced by the GLOBAL distribution's quantile at the row's
+    WITHIN-GROUP percent rank — after it, every group shares the
+    global value distribution (up to the grid resolution), so
+    downstream thresholds compare sources fairly even when one source
+    systematically runs long/short/hot/cold.
+
+    Two stages, both exact: (1) the global quantile grid —
+    ``n_grid`` exact interpolated quantiles via
+    :func:`~concept_multi_db_query_engine_spark.operators.analytics.
+    distributed_group_quantiles` (percentile_cont semantics,
+    bit-compatible with DuckDB's quantile_cont), packed into a ONE-ROW
+    broadcast array; (2) a single keyed shuffle on the group for the
+    within-group (rank, count) window, then a narrow map interpolates
+    the grid at ``p = (rank−1)/(n−1)`` (single-row groups pin
+    p = 0.5).  All arithmetic is fixed-order IEEE doubles over exact
+    ranks — cross-engine stable.
+
+    Returns (id, group, value, qnorm), qnorm rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    from .analytics import distributed_group_quantiles
+
+    if n_grid < 2:
+        raise ValueError("n_grid must be >= 2")
+    vals = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"({id_col})").alias("id"),
+        F.expr(f"CAST(({group_col}) AS STRING)").alias("group"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("value"),
+    )
+    probs = [j / (n_grid - 1) for j in range(n_grid)]
+    grid = distributed_group_quantiles(
+        vals.select(F.lit(0).alias("__g"), F.col("value").alias("__v")),
+        "__g", "__v", probs,
+    ).select(
+        F.array(*[F.col(f"q{j}") for j in range(n_grid)]).alias("__grid")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("group").orderBy(
+        F.col("value").asc(), F.col("id").asc()
+    )
+    w_n = Window.partitionBy("group")
+    ranked = vals.select(
+        "id", "group", "value",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(w_n).alias("__n"),
+    )
+    p = ("CASE WHEN __n = 1 THEN 0.5d ELSE "
+         "CAST(__r - 1 AS DOUBLE) / CAST(__n - 1 AS DOUBLE) END")
+    pos = f"(({p}) * {n_grid - 1}.0d)"
+    k = f"CAST(floor({pos}) AS INT)"
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .select(
+            "id", "group", "value",
+            F.expr(
+                f"round(element_at(__grid, ({k}) + 1) "
+                f"+ (element_at(__grid, least(({k}) + 2, {n_grid})) "
+                f"- element_at(__grid, ({k}) + 1)) "
+                f"* (({pos}) - floor({pos})), 6)"
+            ).alias("qnorm"),
+        )
+        .orderBy("id")
+    )

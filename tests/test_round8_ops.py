@@ -2314,3 +2314,57 @@ def test_scd2_intervals_chain_and_point_in_time(spark):
     assert len(at) == 1 and at[0]["event_type"] == "c"
     with pytest.raises(ValueError):
         ops.scd2_history(df, [], "ts", "event_id", ["value"])
+
+
+# ---- quantile_normalize ----------------------------------------------------
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    # group "hot" runs 10x higher than "cold"; after normalization the
+    # two distributions coincide on the shared global grid
+    rows = ([(i, "cold", float(i)) for i in range(1, 21)]
+            + [(100 + i, "hot", float(10 * i)) for i in range(1, 21)])
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = ops.quantile_normalize(df, "g", "v", "id", n_grid=11).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["group"], []).append(r["qnorm"])
+    # same group size -> same percent ranks -> identical normalized sets
+    assert sorted(by["cold"]) == sorted(by["hot"])
+    # normalized values live inside the global value range
+    lo = min(v for *_, v in rows)
+    hi = max(v for *_, v in rows)
+    assert all(lo <= q <= hi for q in by["cold"])
+
+
+def test_quantile_normalize_replay_and_edges(spark):
+    import math
+    rows = [(1, "a", 5.0), (2, "a", 1.0), (3, "a", 3.0), (4, "b", 42.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r for r in
+           ops.quantile_normalize(df, "g", "v", "id", n_grid=5).collect()}
+    vals = sorted(v for *_, v in rows)
+    G = 5
+
+    def q_cont(p):
+        pos = p * (len(vals) - 1)
+        i = int(math.floor(pos))
+        return vals[i] + (vals[min(i + 1, len(vals) - 1)] - vals[i]) \
+            * (pos - i)
+
+    grid = [q_cont(j / (G - 1)) for j in range(G)]
+
+    def norm(p):
+        pos = p * (G - 1)
+        k = int(math.floor(pos))
+        return round(grid[k] + (grid[min(k + 1, G - 1)] - grid[k])
+                     * (pos - k), 6)
+
+    # group a: ranks of 1.0,3.0,5.0 -> p = 0, .5, 1
+    assert got[2]["qnorm"] == norm(0.0)
+    assert got[3]["qnorm"] == norm(0.5)
+    assert got[1]["qnorm"] == norm(1.0)
+    # singleton group pins p = 0.5
+    assert got[4]["qnorm"] == norm(0.5)
+    with pytest.raises(ValueError):
+        ops.quantile_normalize(df, "g", "v", "id", n_grid=1)
