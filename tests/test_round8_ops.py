@@ -2368,3 +2368,74 @@ def test_quantile_normalize_replay_and_edges(spark):
     assert got[4]["qnorm"] == norm(0.5)
     with pytest.raises(ValueError):
         ops.quantile_normalize(df, "g", "v", "id", n_grid=1)
+
+
+# ---- randomized properties for the late-wave operators ---------------------
+
+
+def _lcg(seed):
+    x = seed
+    while True:
+        x = (x * 1103515245 + 12345) % (2**31)
+        yield x
+
+
+def test_property_neyman_sums_and_gains_monotone(spark):
+    g = _lcg(20240815)
+    rows = [(i, "s%d" % (next(g) % 7), float(next(g) % 10000) / 10.0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    for total in (7, 100, 999):
+        al = ops.neyman_allocation(df, "s", "v", total_n=total).collect()
+        assert sum(r["alloc"] for r in al) == total
+        assert all(r["alloc"] >= 0 for r in al)
+    labeled = df.withColumn("y", (F.col("id") % 3 == 0).cast("int"))
+    gt = ops.gains_table(labeled, "v", "y", "id", n_buckets=7).collect()
+    caps = [r["cum_capture"] for r in gt]
+    assert caps == sorted(caps) and caps[-1] == 1.0
+    assert sum(r["n_pos"] for r in gt) == sum(
+        1 for i, *_ in rows if i % 3 == 0)
+
+
+def test_property_qnorm_monotone_within_group(spark):
+    g = _lcg(77)
+    rows = [(i, "g%d" % (next(g) % 4), float(next(g) % 100000) / 7.0)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = ops.quantile_normalize(df, "s", "v", "id", n_grid=13).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["group"], []).append((r["value"], r["id"],
+                                              r["qnorm"]))
+    glob = sorted(v for _, _, v in rows)
+    for grp, vals in by.items():
+        vals.sort()
+        qs = [q for *_, q in vals]
+        assert qs == sorted(qs), grp          # rank-monotone
+        # round(. , 6) may overshoot the exact extremes by < 1e-6
+        assert all(glob[0] - 1e-6 <= q <= glob[-1] + 1e-6 for q in qs)
+
+
+def test_property_rbo_bounds_and_self_identity(spark):
+    g = _lcg(4242)
+    ws = ops.rbo_weights(8)
+    for trial in range(3):
+        ids_a = []
+        seen = set()
+        while len(ids_a) < 8:
+            c = next(g) % 40
+            if c not in seen:
+                seen.add(c)
+                ids_a.append(c)
+        a = spark.createDataFrame(
+            [(1, i, r) for r, i in enumerate(ids_a, 1)],
+            "query_id long, vec_id long, rank int")
+        self_r = ops.ranking_rbo(a, a, k=8).collect()[0]
+        assert self_r["rbo_nano"] == sum(ws)
+        # shuffled copy never beats identity
+        ids_b = list(reversed(ids_a))
+        b = spark.createDataFrame(
+            [(1, i, r) for r, i in enumerate(ids_b, 1)],
+            "query_id long, vec_id long, rank int")
+        rev = ops.ranking_rbo(a, b, k=8).collect()[0]
+        assert 0 <= rev["rbo_nano"] <= sum(ws)
