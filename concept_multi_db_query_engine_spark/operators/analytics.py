@@ -439,6 +439,7 @@ def hourly_anomaly(
 
 def distributed_group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float],
+    round_to: int | None = 4,
 ) -> DataFrame:
     """EXACT per-group linear-interpolation quantiles (SQL
     ``percentile_cont`` semantics) without ever sorting a whole group in
@@ -595,7 +596,11 @@ def distributed_group_quantiles(
     lo = F.max(F.when(F.col("__side") == 0, F.col("__v")))
     hi = F.max(F.when(F.col("__side") == 1, F.col("__v")))
     frac = F.max("__frac")
-    value = F.round(lo + (F.coalesce(hi, lo) - lo) * frac, 4)
+    # round_to=None returns the raw interpolated double (callers that
+    # feed the quantiles into FURTHER arithmetic — quantile_normalize's
+    # grid — need the unrounded value to stay quantile_cont-exact)
+    raw = lo + (F.coalesce(hi, lo) - lo) * frac
+    value = raw if round_to is None else F.round(raw, round_to)
     per_q = (
         picked.groupBy(group_col, "__q")
         .agg(value.alias("__val"))

@@ -1771,7 +1771,7 @@ def quantile_normalize(
     probs = [j / (n_grid - 1) for j in range(n_grid)]
     grid = distributed_group_quantiles(
         vals.select(F.lit(0).alias("__g"), F.col("value").alias("__v")),
-        "__g", "__v", probs,
+        "__g", "__v", probs, round_to=None,
     ).select(
         F.array(*[F.col(f"q{j}") for j in range(n_grid)]).alias("__grid")
     ).localCheckpoint(eager=True)
