@@ -1473,6 +1473,18 @@ def _q_benford(spark, sf):
     return ops.benford_report(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_ccf(spark, sf):
+    ev = _t(spark, sf, "events")
+    day = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)"
+    views = (ev.where("event_type = 'view'")
+             .groupBy(F.expr(day).alias("idx"))
+             .agg(F.count(F.lit(1)).cast("double").alias("value")))
+    purchases = (ev.where("event_type = 'purchase'")
+                 .groupBy(F.expr(day).alias("idx"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("value")))
+    return ops.cross_correlation(views, purchases, max_lag=5)
+
+
 def _q_quantile_normalize(spark, sf):
     return ops.quantile_normalize(
         _t(spark, sf, "documents"), "source", "n_chars", "doc_id",
@@ -2189,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_shrunk_rates": _q_shrunk_rates,
             "events_scd2_history": _q_scd2,
             "docs_quantile_normalize": _q_quantile_normalize,
+            "events_cross_correlation": _q_ccf,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2308,6 +2321,7 @@ _GATE_PRIORITY = [
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
+    "events_cross_correlation",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4964,6 +4978,47 @@ SELECT declared, predicted, n_docs,
             (PARTITION BY declared) AS BIGINT) AS BIGINT) AS share_ppm
 FROM cells
 """
+    # Cross-correlation function views -> purchases, decimal moments per
+    # lag, the shared _corr_expr text; textually parallel to
+    # operators.stats.cross_correlation (max_lag = 5).
+    from concept_multi_db_query_engine_spark.operators import (
+        stats as _ccf_stats,
+    )
+    _ccf_ce = _ccf_stats._corr_expr(
+        "n_d", "sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d"
+    ).replace("0.0d", "0.0")
+    o["events_cross_correlation"] = f"""
+WITH v AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS i,
+         CAST(CAST(count(*) AS DOUBLE) AS DECIMAL(12,4)) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS i,
+         CAST(CAST(count(*) AS DOUBLE) AS DECIMAL(12,4)) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+spine AS (SELECT CAST(g AS INT) AS lag FROM generate_series(-5, 5) t(g)),
+shifted AS (SELECT i - lag AS i, lag, y FROM p CROSS JOIN spine),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS sxy_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * x) AS VARCHAR)
+              AS DOUBLE) AS sxx_d,
+         CAST(CAST(sum(CAST(y AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS syy_d
+  FROM v JOIN shifted USING (i) GROUP BY 1
+)
+SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
+FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
     # Quantile normalization: global quantile_cont grid (bit-compatible
     # with distributed_group_quantiles), within-group percent rank,
     # fixed-order interpolation; textually parallel to

@@ -251,6 +251,7 @@ HEADLINE = [
     "docs_shrunk_rates",
     "events_scd2_history",
     "docs_quantile_normalize",
+    "events_cross_correlation",
 ]
 
 

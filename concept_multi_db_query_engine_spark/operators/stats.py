@@ -1801,3 +1801,78 @@ def quantile_normalize(
         )
         .orderBy("id")
     )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    idx_col: str = "idx",
+    value_col: str = "value",
+    max_lag: int = 7,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Sample cross-correlation function between two aligned series:
+    Pearson r of ``a[t]`` against ``b[t + lag]`` for every lag in
+    ``[-max_lag, +max_lag]`` — the lead/lag discovery tool (does
+    marketing spend lead revenue by 3 days? do errors lag deploys?).
+    A peak at a positive lag means ``a`` LEADS ``b`` by that many
+    steps.
+
+    Run it on PRE-AGGREGATED series (daily rollups — model data); the
+    shifted alignment is built by exploding ``b`` across the
+    (2·max_lag+1)-row lag spine (series × lags, still model-sized), so
+    ONE keyed join and ONE hash aggregate produce every lag's exact
+    decimal moments, and each r is the shared :func:`_corr_expr`
+    fixed-shape double — no per-lag passes, no ``corr()`` (whose
+    double accumulation is partition-order dependent).
+
+    Returns one row per lag: (lag, n, r), ordered by lag; lags whose
+    overlap has < 2 points or zero variance yield NULL r.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    av = a.select(
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).alias("__x"),
+    )
+    bv = b.select(
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).alias("__y"),
+    )
+    spine = a.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = bv.crossJoin(F.broadcast(spine)).select(
+        (F.col("__i") - F.col("lag")).alias("__i"), "lag", "__y"
+    )
+    x, y = _m("__x", dec), _m("__y", dec)
+    moments = (
+        av.join(shifted, "__i")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        .select(
+            "lag", "n",
+            F.col("n").cast("double").alias("n_d"),
+            *[F.col(c).cast("double").alias(f"{c}_d")
+              for c in ("sx", "sy", "sxy", "sxx", "syy")],
+        )
+    )
+    return (
+        spine.join(moments, "lag", "left")
+        .select(
+            "lag",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                _corr_expr("n_d", "sx_d", "sy_d", "sxy_d", "sxx_d",
+                           "syy_d")
+            ).alias("r"),
+        )
+        .orderBy("lag")
+    )

@@ -2439,3 +2439,51 @@ def test_property_rbo_bounds_and_self_identity(spark):
             "query_id long, vec_id long, rank int")
         rev = ops.ranking_rbo(a, b, k=8).collect()[0]
         assert 0 <= rev["rbo_nano"] <= sum(ws)
+
+
+# ---- cross_correlation -----------------------------------------------------
+
+
+def test_ccf_detects_known_lag(spark):
+    # b is a exactly shifted by +3 steps (a leads b by 3): the CCF must
+    # peak with r == 1.0 at lag = +3
+    vals = [5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 1.0, 6.0, 3.0, 10.0,
+            5.5, 8.5, 2.5, 7.5]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, value double")
+    b = spark.createDataFrame(
+        [(i + 3, v) for i, v in enumerate(vals)], "idx long, value double")
+    got = {r["lag"]: r for r in
+           ops.cross_correlation(a, b, max_lag=4).collect()}
+    assert sorted(got) == list(range(-4, 5))
+    assert got[3]["r"] == 1.0
+    assert got[3]["n"] == len(vals) - 0  # full overlap at the true lag
+    assert all(got[l]["r"] is None or got[l]["r"] < 1.0
+               for l in got if l != 3)
+
+
+def test_ccf_python_replay_and_edges(spark):
+    import math
+    xs = [(0, 1.0), (1, 4.0), (2, 2.0), (3, 8.0), (4, 5.0)]
+    ys = [(0, 2.0), (1, 3.0), (2, 7.0), (3, 1.0), (4, 6.0)]
+    a = spark.createDataFrame(xs, "idx long, value double")
+    b = spark.createDataFrame(ys, "idx long, value double")
+    got = {r["lag"]: r for r in
+           ops.cross_correlation(a, b, max_lag=2).collect()}
+    for lag in range(-2, 3):
+        pairs = [(x, dict(ys).get(i + lag))
+                 for i, x in xs if dict(ys).get(i + lag) is not None]
+        n = len(pairs)
+        if n < 2:
+            assert got[lag]["r"] is None
+            continue
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        want = round((n * sxy - sx * sy) / den, 6)
+        assert got[lag]["n"] == n and got[lag]["r"] == want
+    with pytest.raises(ValueError):
+        ops.cross_correlation(a, b, max_lag=0)
