@@ -1485,6 +1485,15 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_acf(spark, sf):
+    # autocorrelation = CCF of the series with itself: seasonality probe
+    ev = _t(spark, sf, "events")
+    day = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)"
+    daily = (ev.groupBy(F.expr(day).alias("idx"))
+             .agg(F.count(F.lit(1)).cast("double").alias("value")))
+    return ops.cross_correlation(daily, daily, max_lag=7)
+
+
 def _q_quantile_normalize(spark, sf):
     return ops.quantile_normalize(
         _t(spark, sf, "documents"), "source", "n_chars", "doc_id",
@@ -2202,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_scd2_history": _q_scd2,
             "docs_quantile_normalize": _q_quantile_normalize,
             "events_cross_correlation": _q_ccf,
+            "events_autocorrelation": _q_acf,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2321,7 +2331,7 @@ _GATE_PRIORITY = [
     "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
-    "events_cross_correlation",
+    "events_cross_correlation", "events_autocorrelation",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5002,6 +5012,33 @@ p AS (
 ),
 spine AS (SELECT CAST(g AS INT) AS lag FROM generate_series(-5, 5) t(g)),
 shifted AS (SELECT i - lag AS i, lag, y FROM p CROSS JOIN spine),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS sxy_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * x) AS VARCHAR)
+              AS DOUBLE) AS sxx_d,
+         CAST(CAST(sum(CAST(y AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS syy_d
+  FROM v JOIN shifted USING (i) GROUP BY 1
+)
+SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
+FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
+    # ACF: the CCF of the daily event-count series with itself.
+    o["events_autocorrelation"] = f"""
+WITH v AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS i,
+         CAST(CAST(count(*) AS DOUBLE) AS DECIMAL(12,4)) AS x
+  FROM events GROUP BY 1
+),
+spine AS (SELECT CAST(g AS INT) AS lag FROM generate_series(-7, 7) t(g)),
+shifted AS (SELECT i - lag AS i, lag, x AS y FROM v CROSS JOIN spine),
 m AS (
   SELECT lag, CAST(count(*) AS BIGINT) AS n,
          CAST(count(*) AS DOUBLE) AS n_d,

@@ -252,6 +252,7 @@ HEADLINE = [
     "events_scd2_history",
     "docs_quantile_normalize",
     "events_cross_correlation",
+    "events_autocorrelation",
 ]
 
 
