@@ -1485,6 +1485,20 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_expectations(spark, sf):
+    return ops.expectations_report(
+        _t(spark, sf, "orders"),
+        row_checks={
+            "totalprice_positive": "o_totalprice > 0",
+            "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+            "custkey_not_null": "o_custkey IS NOT NULL",
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        fks={"custkey_in_customer":
+             (["o_custkey"], _t(spark, sf, "customer"), ["c_custkey"])},
+    )
+
+
 def _q_acf(spark, sf):
     # autocorrelation = CCF of the series with itself: seasonality probe
     ev = _t(spark, sf, "events")
@@ -2212,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_quantile_normalize": _q_quantile_normalize,
             "events_cross_correlation": _q_ccf,
             "events_autocorrelation": _q_acf,
+            "orders_expectations": _q_expectations,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2332,6 +2347,7 @@ _GATE_PRIORITY = [
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
+    "orders_expectations",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5054,6 +5070,47 @@ m AS (
 )
 SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
 FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
+    # Expectation suite: row checks on one scan, uniqueness as
+    # sum(count-1), FK as unmatched-key count; textually parallel to
+    # operators.profile.expectations_report.
+    o["orders_expectations"] = """
+WITH rc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN coalesce(CAST((o_totalprice > 0) AS BOOLEAN),
+         false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN coalesce(CAST((o_orderstatus IN ('O', 'F', 'P'))
+         AS BOOLEAN), false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN coalesce(CAST((o_custkey IS NOT NULL)
+         AS BOOLEAN), false) THEN 0 ELSE 1 END) AS BIGINT) AS v3
+  FROM orders
+),
+uq AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) r
+    ON o.o_custkey = r.c_custkey
+  WHERE o.o_custkey IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'totalprice_positive' AS check, 'row' AS kind, n AS n_rows,
+         v1 AS n_violations, v1 = 0 AS passed FROM rc
+  UNION ALL
+  SELECT 'status_known', 'row', n, v2, v2 = 0 FROM rc
+  UNION ALL
+  SELECT 'custkey_not_null', 'row', n, v3, v3 = 0 FROM rc
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', n, v, v = 0 FROM uq
+  UNION ALL
+  SELECT 'custkey_in_customer', 'fk', n, v, v = 0 FROM fk
+) ORDER BY "check"
 """
 
     # Quantile normalization: global quantile_cont grid (bit-compatible

@@ -253,6 +253,7 @@ HEADLINE = [
     "docs_quantile_normalize",
     "events_cross_correlation",
     "events_autocorrelation",
+    "orders_expectations",
 ]
 
 

@@ -186,3 +186,87 @@ def benford_report(
         F.col("__chi2_micro").alias("chi2_micro"),
         (F.col("__chi2_micro").cast("double") / 1e6).alias("chi2"),
     ).orderBy("digit")
+
+
+def expectations_report(
+    df: DataFrame,
+    row_checks: dict[str, str],
+    unique_keys: dict[str, list[str]] | None = None,
+    fks: dict[str, tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations pattern
+    as a single report): declarative checks over a table, each
+    answered with an exact violation count —
+
+    - ``row_checks``: name → boolean SQL expr that is TRUE for VALID
+      rows (NULL counts as a violation — unknown is not valid);
+    - ``unique_keys``: name → column list that must be unique;
+    - ``fks``: name → (cols, ref_df, ref_cols) referential checks
+      (rows whose non-null key has no match in the reference).
+
+    Plan shape: ALL row checks ride ONE conditional aggregation scan;
+    each uniqueness check is one keyed aggregate (duplicates =
+    Σ(count−1) over classes, so the violation count is "rows that
+    would have to be dropped"); each FK is one LEFT ANTI join counted.
+    Everything is exact integers — the report is engine- and
+    partitioning-independent.
+
+    Returns one row per check: (check, kind, n_rows, n_violations,
+    passed), ordered by check.
+    """
+    if not row_checks and not unique_keys and not fks:
+        raise ValueError("no checks given")
+    parts = []
+    if row_checks:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for name, expr in row_checks.items():
+            aggs.append(
+                F.expr(
+                    f"CAST(sum(CASE WHEN coalesce(CAST(({expr}) AS "
+                    "BOOLEAN), false) THEN 0 ELSE 1 END) AS BIGINT)"
+                ).alias(f"__v_{len(parts) + len(aggs)}")
+            )
+        one = df.agg(*aggs)
+        for i, name in enumerate(row_checks):
+            col = one.columns[i + 1]
+            parts.append(one.select(
+                F.lit(name).alias("check"),
+                F.lit("row").alias("kind"),
+                F.col("__n").alias("n_rows"),
+                F.col(col).alias("n_violations"),
+            ))
+    for name, cols in (unique_keys or {}).items():
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+        parts.append(g.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long")
+            .alias("n_rows"),
+            F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit(name).alias("check"), F.lit("unique").alias("kind"),
+            "n_rows", "n_violations",
+        ))
+    for name, (cols, ref, ref_cols) in (fks or {}).items():
+        keyed = df.where(
+            " AND ".join(f"({c}) IS NOT NULL" for c in cols)
+        ).select(*[F.expr(c).alias(f"__k{i}")
+                   for i, c in enumerate(cols)])
+        rhs = ref.select(*[F.expr(c).alias(f"__k{i}")
+                           for i, c in enumerate(ref_cols)]).distinct()
+        cond = [f"__k{i}" for i in range(len(cols))]
+        orphans = keyed.join(rhs, cond, "left_anti")
+        parts.append(
+            keyed.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_violations")))
+            .select(
+                F.lit(name).alias("check"), F.lit("fk").alias("kind"),
+                "n_rows", "n_violations",
+            ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "passed", F.col("n_violations") == 0
+    ).orderBy("check")

@@ -2487,3 +2487,39 @@ def test_ccf_python_replay_and_edges(spark):
         assert got[lag]["n"] == n and got[lag]["r"] == want
     with pytest.raises(ValueError):
         ops.cross_correlation(a, b, max_lag=0)
+
+
+# ---- expectations_report ---------------------------------------------------
+
+
+def test_expectations_counts_each_kind(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "O", 100), (2, -5.0, "O", 100), (3, 7.0, "X", None),
+         (2, 3.0, "F", 999)],  # duplicate key 2; 999 not in ref
+        "k long, amt double, st string, fk int")
+    ref = spark.createDataFrame([(100,), (200,)], "rk int")
+    got = {r["check"]: r for r in ops.expectations_report(
+        df,
+        row_checks={"amt_pos": "amt > 0",
+                    "st_known": "st IN ('O', 'F')"},
+        unique_keys={"k_unique": ["k"]},
+        fks={"fk_ref": (["fk"], ref, ["rk"])},
+    ).collect()}
+    assert (got["amt_pos"]["n_violations"], got["amt_pos"]["passed"]) \
+        == (1, False)
+    assert got["st_known"]["n_violations"] == 1
+    assert got["k_unique"]["n_violations"] == 1      # one row to drop
+    # NULL fk rows are excluded; 999 is the single orphan
+    assert (got["fk_ref"]["n_rows"], got["fk_ref"]["n_violations"]) \
+        == (3, 1)
+    assert all(r["kind"] in ("row", "unique", "fk") for r in got.values())
+
+
+def test_expectations_null_is_violation_and_validation(spark):
+    df = spark.createDataFrame([(None,), (1.0,)], "amt double")
+    got = ops.expectations_report(
+        df, row_checks={"amt_pos": "amt > 0"}).collect()[0]
+    # NULL predicate result counts as a violation, not a pass
+    assert got["n_violations"] == 1 and not got["passed"]
+    with pytest.raises(ValueError):
+        ops.expectations_report(df, row_checks={})
