@@ -1485,6 +1485,10 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_lexical_diversity(spark, sf):
+    return ops.lexical_diversity(_t(spark, sf, "documents"))
+
+
 def _q_expectations(spark, sf):
     return ops.expectations_report(
         _t(spark, sf, "orders"),
@@ -2227,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_cross_correlation": _q_ccf,
             "events_autocorrelation": _q_acf,
             "orders_expectations": _q_expectations,
+            "docs_lexical_diversity": _q_lexical_diversity,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2347,7 +2352,7 @@ _GATE_PRIORITY = [
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
-    "orders_expectations",
+    "orders_expectations", "docs_lexical_diversity",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5070,6 +5075,31 @@ m AS (
 )
 SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
 FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
+    # Lexical diversity, textually parallel to
+    # operators.text.lexical_diversity.
+    o["docs_lexical_diversity"] = """
+WITH freq AS (
+  SELECT CAST(source AS VARCHAR) AS grp, tok,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x != '')) AS tok
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  ) GROUP BY 1, 2
+)
+SELECT grp AS "group",
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(count(*) AS DOUBLE)
+             / nullif(CAST(sum(cnt) AS DOUBLE), 0.0), 6) AS ttr,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax_types,
+       round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS hapax_share
+FROM freq GROUP BY 1 ORDER BY 1
 """
 
     # Expectation suite: row checks on one scan, uniqueness as

@@ -254,6 +254,7 @@ HEADLINE = [
     "events_cross_correlation",
     "events_autocorrelation",
     "orders_expectations",
+    "docs_lexical_diversity",
 ]
 
 

@@ -2835,3 +2835,58 @@ def vocab_coverage(
         )
         .orderBy("k")
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, group_col: str = "source",
+) -> DataFrame:
+    """Lexical diversity per group: type–token ratio and hapax share —
+    the corpus-linguistics health metrics (a template-generated or
+    heavily-duplicated source shows a collapsing TTR; a scraped-noise
+    source shows a hapax share near 1) read alongside
+    :func:`vocab_coverage` before mixing sources into a training run.
+
+    ONE corpus scan to (group, token) counts (map-side combined,
+    vocab-per-group sized), then one per-group aggregate over that
+    frame.  All counts exact BIGINTs; ratios are fixed-order doubles
+    rounded to 6.
+
+    Returns one row per group: (group, n_tokens, n_types, ttr,
+    hapax_types, hapax_share), ordered by group.
+    """
+    freq = (
+        docs.where(f"({group_col}) IS NOT NULL AND text IS NOT NULL")
+        .select(
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("group"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok"),
+        )
+        .groupBy("group", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        freq.groupBy("group")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.expr("CASE WHEN cnt = 1 THEN 1 ELSE 0 END"))
+            .cast("long").alias("hapax_types"),
+        )
+        .select(
+            "group", "n_tokens", "n_types",
+            F.expr(
+                "round(CAST(n_types AS DOUBLE) "
+                "/ nullif(CAST(n_tokens AS DOUBLE), 0.0), 6)"
+            ).alias("ttr"),
+            "hapax_types",
+            F.expr(
+                "round(CAST(hapax_types AS DOUBLE) "
+                "/ nullif(CAST(n_types AS DOUBLE), 0.0), 6)"
+            ).alias("hapax_share"),
+        )
+        .orderBy("group")
+    )

@@ -2523,3 +2523,24 @@ def test_expectations_null_is_violation_and_validation(spark):
     assert got["n_violations"] == 1 and not got["passed"]
     with pytest.raises(ValueError):
         ops.expectations_report(df, row_checks={})
+
+
+# ---- lexical_diversity -----------------------------------------------------
+
+
+def test_lexical_diversity_replay(spark):
+    docs = [(1, "s1", "a b b c c c"), (2, "s1", "a d"),
+            (3, "s2", "x x x x"), (4, "s2", None), (5, None, "y")]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    got = {r["group"]: r for r in ops.lexical_diversity(df).collect()}
+    # s1: tokens a,b,b,c,c,c,a,d -> counts a2 b2 c3 d1
+    s1 = got["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["hapax_types"]) == (8, 4, 1)
+    assert s1["ttr"] == round(4 / 8, 6)
+    assert s1["hapax_share"] == round(1 / 4, 6)
+    # s2: only doc 3 counts (doc 4 has NULL text) -> x4
+    s2 = got["s2"]
+    assert (s2["n_tokens"], s2["n_types"], s2["hapax_types"]) == (4, 1, 0)
+    assert s2["hapax_share"] == 0.0
+    # NULL source rows are excluded entirely
+    assert set(got) == {"s1", "s2"}
