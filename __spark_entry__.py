@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_burstiness(spark, sf):
+    return ops.term_burstiness(_t(spark, sf, "documents"),
+                               k=20, min_cf=10)
+
+
 def _q_lexical_diversity(spark, sf):
     return ops.lexical_diversity(_t(spark, sf, "documents"))
 
@@ -2232,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_autocorrelation": _q_acf,
             "orders_expectations": _q_expectations,
             "docs_lexical_diversity": _q_lexical_diversity,
+            "text_burstiness": _q_burstiness,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2352,7 +2358,7 @@ _GATE_PRIORITY = [
     "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
-    "orders_expectations", "docs_lexical_diversity",
+    "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5075,6 +5081,45 @@ m AS (
 )
 SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
 FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
+    # Term burstiness, textually parallel to
+    # operators.text.term_burstiness.
+    o["text_burstiness"] = """
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x != '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM pairs GROUP BY 1 HAVING count(*) >= 10
+),
+nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  WHERE text IS NOT NULL
+),
+m AS (
+  SELECT term, cf, df,
+         CAST(round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)
+              * 1000000.0) AS BIGINT) AS burst_micro,
+         CAST(round(CAST(n_docs AS DOUBLE) * (1.0 - exp(0.0
+              - CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS exp_df_micro
+  FROM stats CROSS JOIN nd
+)
+SELECT term, cf, df, burst_micro,
+       CAST(burst_micro AS DOUBLE) / 1e6 AS burst,
+       exp_df_micro,
+       CAST(round(CAST(df AS DOUBLE)
+            / nullif(CAST(exp_df_micro AS DOUBLE) / 1000000.0, 0.0)
+            * 1000000.0) AS BIGINT) AS clump_micro,
+       CAST(CAST(round(CAST(df AS DOUBLE)
+            / nullif(CAST(exp_df_micro AS DOUBLE) / 1000000.0, 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS clump
+FROM m ORDER BY burst_micro DESC, term ASC LIMIT 20
 """
 
     # Lexical diversity, textually parallel to

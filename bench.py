@@ -255,6 +255,7 @@ HEADLINE = [
     "events_autocorrelation",
     "orders_expectations",
     "docs_lexical_diversity",
+    "text_burstiness",
 ]
 
 

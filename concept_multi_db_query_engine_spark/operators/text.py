@@ -2890,3 +2890,77 @@ def lexical_diversity(
         )
         .orderBy("group")
     )
+
+
+def term_burstiness(
+    docs: DataFrame, k: int = 20, min_cf: int = 10,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): content words CLUMP — when
+    a document mentions a term once it tends to mention it again — so
+    their document frequency falls far below the Poisson prediction
+    from the collection frequency, while function words track it.
+    Reported per term: ``burst = cf / df`` (mean occurrences per
+    containing doc) and the Poisson-expected document frequency
+    ``N · (1 − e^(−cf/N))`` with the observed/expected clump ratio —
+    the signal that separates topical vocabulary from glue, used to
+    pick keyword candidates and spot template spam (anomalously bursty
+    boilerplate tokens).
+
+    ONE corpus scan: (doc, token) pairs feed a single vocab-keyed
+    aggregate computing cf (count) and df (distinct docs via exact
+    count-distinct on the pre-deduped pair frame); the doc total rides
+    a ONE-ROW broadcast.  Ratios quantize ``exp``-terms to integer
+    micros (the libm discipline).  Returns top-``k`` terms with
+    ``cf >= min_cf`` by (burst desc, term asc): (term, cf, df,
+    burst_micro, burst, exp_df_micro, clump_micro, clump).
+    """
+    if k < 1 or min_cf < 1:
+        raise ValueError("k and min_cf must be >= 1")
+    pairs = docs.where("text IS NOT NULL").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    stats = (
+        pairs.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .where(F.col("cf") >= min_cf)
+    )
+    n_docs = docs.where("text IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    exp_df = (
+        "CAST(round(CAST(__nd AS DOUBLE) * (1.0d - exp(0.0d "
+        "- CAST(cf AS DOUBLE) / CAST(__nd AS DOUBLE))) "
+        "* 1000000.0d) AS BIGINT)"
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("tok").alias("term"), "cf", "df",
+            F.expr(
+                "CAST(round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT)"
+            ).alias("burst_micro"),
+            F.expr(exp_df).alias("exp_df_micro"),
+        )
+        .withColumn("burst", F.col("burst_micro").cast("double") / 1e6)
+        .withColumn(
+            "clump_micro",
+            F.expr(
+                "CAST(round(CAST(df AS DOUBLE) "
+                "/ nullif(CAST(exp_df_micro AS DOUBLE) / 1000000.0d, "
+                "0.0d) * 1000000.0d) AS BIGINT)"
+            ),
+        )
+        .withColumn("clump", F.col("clump_micro").cast("double") / 1e6)
+        .orderBy(F.col("burst_micro").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -2544,3 +2544,33 @@ def test_lexical_diversity_replay(spark):
     assert s2["hapax_share"] == 0.0
     # NULL source rows are excluded entirely
     assert set(got) == {"s1", "s2"}
+
+
+# ---- term_burstiness -------------------------------------------------------
+
+
+def test_burstiness_separates_clumped_from_spread(spark):
+    import math
+    # "spam" appears 12x inside 2 docs (bursty); "the" once in each of
+    # 12 docs (Poisson-like glue)
+    docs = ([(1, "spam " * 6), (2, "spam " * 6)]
+            + [(10 + i, "the quiet word") for i in range(12)])
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["term"]: r for r in
+           ops.term_burstiness(df, k=10, min_cf=10).collect()}
+    assert set(got) == {"spam", "the"}  # min_cf prunes the rest
+    s, t = got["spam"], got["the"]
+    assert (s["cf"], s["df"]) == (12, 2)
+    assert (t["cf"], t["df"]) == (12, 12)
+    assert s["burst"] == 6.0 and t["burst"] == 1.0
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    n = len(docs)
+    exp_df = micro(n * (1.0 - math.exp(0.0 - 12 / n)) * 1e6)
+    assert s["exp_df_micro"] == exp_df
+    # clumped term: observed df far below the Poisson prediction
+    assert s["clump"] < 0.5 < t["clump"]
+    with pytest.raises(ValueError):
+        ops.term_burstiness(df, k=0)
