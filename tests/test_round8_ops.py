@@ -2552,13 +2552,14 @@ def test_lexical_diversity_replay(spark):
 def test_burstiness_separates_clumped_from_spread(spark):
     import math
     # "spam" appears 12x inside 2 docs (bursty); "the" once in each of
-    # 12 docs (Poisson-like glue)
+    # 12 docs (Poisson-like glue); fillers stay under min_cf
     docs = ([(1, "spam " * 6), (2, "spam " * 6)]
-            + [(10 + i, "the quiet word") for i in range(12)])
+            + [(10 + i, "the q%s w%s" % (chr(97 + i), chr(97 + i)))
+               for i in range(12)])
     df = spark.createDataFrame(docs, "doc_id int, text string")
     got = {r["term"]: r for r in
            ops.term_burstiness(df, k=10, min_cf=10).collect()}
-    assert set(got) == {"spam", "the"}  # min_cf prunes the rest
+    assert set(got) == {"spam", "the"}  # min_cf prunes the fillers
     s, t = got["spam"], got["the"]
     assert (s["cf"], s["df"]) == (12, 2)
     assert (t["cf"], t["df"]) == (12, 12)
