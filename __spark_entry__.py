@@ -1485,6 +1485,16 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_l_diversity(spark, sf):
+    # same quasi tuple as the k-anonymity audit; acctbal band is the
+    # sensitive attribute (homogeneity attack target)
+    cust = _t(spark, sf, "customer").withColumn(
+        "balance_band",
+        F.expr("CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)"))
+    return ops.l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "balance_band", l=3)
+
+
 def _q_burstiness(spark, sf):
     return ops.term_burstiness(_t(spark, sf, "documents"),
                                k=20, min_cf=10)
@@ -2238,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_expectations": _q_expectations,
             "docs_lexical_diversity": _q_lexical_diversity,
             "text_burstiness": _q_burstiness,
+            "customers_l_diversity": _q_l_diversity,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2359,6 +2370,7 @@ _GATE_PRIORITY = [
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
+    "customers_l_diversity",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5081,6 +5093,18 @@ m AS (
 )
 SELECT s.lag, CAST(coalesce(m.n, 0) AS BIGINT) AS n, {_ccf_ce} AS r
 FROM spine s LEFT JOIN m ON s.lag = m.lag ORDER BY s.lag
+"""
+
+    # l-diversity, textually parallel to
+    # operators.profile.l_diversity_report (l = 3).
+    o["customers_l_diversity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)
+         AS BIGINT)) AS BIGINT) AS n_sensitive,
+       count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)
+         AS BIGINT)) < 3 AS at_risk
+FROM customer GROUP BY 1, 2
 """
 
     # Term burstiness, textually parallel to

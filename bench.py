@@ -256,6 +256,7 @@ HEADLINE = [
     "orders_expectations",
     "docs_lexical_diversity",
     "text_burstiness",
+    "customers_l_diversity",
 ]
 
 

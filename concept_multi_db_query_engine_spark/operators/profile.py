@@ -270,3 +270,34 @@ def expectations_report(
     return out.withColumn(
         "passed", F.col("n_violations") == 0
     ).orderBy("check")
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    k-anonymity upgrade: a class of k rows is still unsafe if they all
+    share ONE sensitive value (the homogeneity attack k-anonymity
+    misses), so each quasi-identifier equivalence class must contain
+    at least ``l`` DISTINCT sensitive values.
+
+    ONE hash aggregation on the quasi tuple computing the class size
+    and the exact distinct-sensitive count (a single count-distinct —
+    Catalyst expands it to one extra keyed pass, still bounded by the
+    quasi×sensitive domain, never the corpus).  Returns one row per
+    class: (*quasi_cols, class_size, n_sensitive, at_risk).
+    """
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("long")
+            .alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < F.lit(l))
+    )

@@ -2575,3 +2575,27 @@ def test_burstiness_separates_clumped_from_spread(spark):
     assert s["clump"] < 0.5 < t["clump"]
     with pytest.raises(ValueError):
         ops.term_burstiness(df, k=0)
+
+
+# ---- l_diversity_report ----------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    rows = [
+        ("us", "auto", "low"), ("us", "auto", "low"),   # k=2 but 1 value
+        ("us", "bike", "low"), ("us", "bike", "mid"),
+        ("us", "bike", "high"),                          # 3 values: safe
+        ("de", "auto", "low"), ("de", "auto", "mid"),    # 2 values < l
+    ]
+    df = spark.createDataFrame(rows, "nat string, seg string, sens string")
+    got = {(r["nat"], r["seg"]): r for r in
+           ops.l_diversity_report(df, ["nat", "seg"], "sens", l=3)
+           .collect()}
+    assert got[("us", "auto")]["at_risk"]
+    assert got[("us", "auto")]["n_sensitive"] == 1
+    assert not got[("us", "bike")]["at_risk"]
+    assert got[("de", "auto")]["at_risk"]
+    # k-anonymity alone would pass ("us","auto") at k=2: the upgrade
+    assert got[("us", "auto")]["class_size"] == 2
+    with pytest.raises(ValueError):
+        ops.l_diversity_report(df, ["nat"], "sens", l=1)
