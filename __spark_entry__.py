@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_concurrency(spark, sf):
+    sess = ops.sessionize(_t(spark, sf, "events"), gap_minutes=30)
+    return ops.concurrency_profile(sess)
+
+
 def _q_l_diversity(spark, sf):
     # same quasi tuple as the k-anonymity audit; acctbal band is the
     # sensitive attribute (homogeneity attack target)
@@ -2249,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_lexical_diversity": _q_lexical_diversity,
             "text_burstiness": _q_burstiness,
             "customers_l_diversity": _q_l_diversity,
+            "events_concurrency": _q_concurrency,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2370,7 +2376,7 @@ _GATE_PRIORITY = [
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
-    "customers_l_diversity",
+    "customers_l_diversity", "events_concurrency",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4796,6 +4802,55 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY 1, 2
 """
+    # Concurrency profile over sessionized intervals: boundary sweep
+    # with ends-before-starts tie rule, per-day running sum plus
+    # carried opening balance; textually parallel to
+    # operators.analytics.concurrency_profile.
+    o["events_concurrency"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY 1, 2
+), ev AS (
+  SELECT s AS ts, 1 AS delta, CAST(s AS DATE) AS day FROM sess
+  UNION ALL
+  SELECT e, -1, CAST(e AS DATE) FROM sess
+), pd AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts
+  FROM ev GROUP BY 1
+), opening AS (
+  SELECT day, n_starts,
+         CAST(coalesce(sum(d) OVER (ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS open_bal
+  FROM pd
+), run AS (
+  SELECT day, CAST(max(r) AS BIGINT) AS peak_in FROM (
+    SELECT day, sum(delta) OVER (PARTITION BY day
+           ORDER BY ts ASC, delta ASC
+           ROWS UNBOUNDED PRECEDING) AS r
+    FROM ev
+  ) GROUP BY 1
+)
+SELECT o.day, o.n_starts,
+       CAST(greatest(o.open_bal + r.peak_in, o.open_bal) AS BIGINT)
+         AS peak_concurrency
+FROM opening o JOIN run r ON o.day = r.day ORDER BY o.day
+"""
+
     o["events_asof_attribution"] = """
 SELECT p.event_id, p.user_id, p.ts,
        v.event_id AS view_event_id, v.ts AS view_ts,

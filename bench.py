@@ -257,6 +257,7 @@ HEADLINE = [
     "docs_lexical_diversity",
     "text_burstiness",
     "customers_l_diversity",
+    "events_concurrency",
 ]
 
 

@@ -1844,3 +1844,67 @@ def skyline_2d(
             F.col("__b").alias(col_b),
         )
     )
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrency per day from an interval table (sessions,
+    connections, jobs): the classic boundary-sweep — every interval
+    emits a +1 at its start and a −1 at its end, and the running sum
+    over time IS the number of simultaneously active intervals — the
+    capacity-planning readout (license peaks, connection-pool sizing,
+    "how many users at once").
+
+    Tie rule: at an identical timestamp the −1 sorts BEFORE the +1, so
+    touching intervals (one ends exactly as another starts) never
+    count as concurrent.  Intervals crossing midnight contribute their
+    carry-in via a per-day opening balance computed from counts only
+    (started-before minus ended-before — two broadcast-size day
+    aggregates), so the running sum itself stays PARTITIONED BY DAY:
+    one keyed shuffle, no global ordering, exact integers throughout.
+
+    Returns one row per day: (day, n_starts, peak_concurrency).
+    """
+    b = intervals.select(
+        F.col(start_col).alias("__s"), F.col(end_col).alias("__e")
+    ).where("__s IS NOT NULL AND __e IS NOT NULL")
+    events = b.select(
+        F.col("__s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        b.select(F.col("__e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.to_date("ts"))
+    # per-day opening balance: intervals that started before the day
+    # and end on/after it — computed from the tiny day-keyed aggregate
+    # of boundary counts, never a cross join with the corpus
+    per_day_delta = events.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("__d"),
+        F.sum(F.expr("CASE WHEN delta = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_starts"),
+    )
+    w_carry = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    opening = per_day_delta.select(
+        "day", "n_starts",
+        F.coalesce(F.sum("__d").over(w_carry), F.lit(0)).cast("long")
+        .alias("__open"),
+    )
+    w_run = Window.partitionBy("day").orderBy(
+        F.col("ts").asc(), F.col("delta").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    running = events.select(
+        "day", F.sum("delta").over(w_run).cast("long").alias("__run")
+    ).groupBy("day").agg(F.max("__run").cast("long").alias("__peak_in"))
+    return (
+        opening.join(running, "day")
+        .select(
+            "day", "n_starts",
+            F.greatest(
+                F.col("__open") + F.col("__peak_in"), F.col("__open")
+            ).cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )

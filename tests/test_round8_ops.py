@@ -2599,3 +2599,40 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert got[("us", "auto")]["class_size"] == 2
     with pytest.raises(ValueError):
         ops.l_diversity_report(df, ["nat"], "sens", l=1)
+
+
+# ---- concurrency_profile ---------------------------------------------------
+
+
+def test_concurrency_sweep_and_midnight_carry(spark):
+    import datetime as dt
+    t = lambda d, h: dt.datetime(2024, 3, d, h)
+    iv = [
+        (t(1, 9), t(1, 11)),   # day1: a
+        (t(1, 10), t(1, 12)),  # overlaps a -> peak 2
+        (t(1, 12), t(1, 13)),  # touches end of b: NOT concurrent
+        (t(1, 23), t(2, 5)),   # crosses midnight -> day2 opens at 1
+        (t(2, 1), t(2, 2)),    # day2: with carry -> peak 2
+    ]
+    df = spark.createDataFrame(iv, "session_start timestamp, "
+                                   "session_end timestamp")
+    got = {str(r["day"]): r for r in
+           ops.concurrency_profile(df).collect()}
+    d1, d2 = got["2024-03-01"], got["2024-03-02"]
+    assert (d1["n_starts"], d1["peak_concurrency"]) == (4, 2)
+    assert (d2["n_starts"], d2["peak_concurrency"]) == (1, 2)
+
+
+def test_concurrency_day_with_only_ends(spark):
+    import datetime as dt
+    iv = [(dt.datetime(2024, 3, 1, 9), dt.datetime(2024, 3, 3, 9))]
+    df = spark.createDataFrame(iv, "session_start timestamp, "
+                                   "session_end timestamp")
+    got = {str(r["day"]): r for r in
+           ops.concurrency_profile(df).collect()}
+    # day 3 has only the -1 boundary; opening balance keeps the peak 1
+    assert got["2024-03-03"]["peak_concurrency"] == 1
+    assert got["2024-03-03"]["n_starts"] == 0
+    # day 2 has no boundaries at all and is absent (documented: days
+    # with zero boundary events don't report)
+    assert "2024-03-02" not in got
