@@ -1485,6 +1485,14 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_target_encode(spark, sf):
+    return ops.target_encode_loo(
+        _t(spark, sf, "documents"), "source",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", "doc_id",
+        smoothing=20,
+    )
+
+
 def _q_concurrency(spark, sf):
     sess = ops.sessionize(_t(spark, sf, "events"), gap_minutes=30)
     return ops.concurrency_profile(sess)
@@ -2255,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_burstiness": _q_burstiness,
             "customers_l_diversity": _q_l_diversity,
             "events_concurrency": _q_concurrency,
+            "docs_target_encoding": _q_target_encode,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2376,7 +2385,7 @@ _GATE_PRIORITY = [
     "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
-    "customers_l_diversity", "events_concurrency",
+    "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4802,6 +4811,39 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY 1, 2
 """
+    # LOO target encoding, textually parallel to
+    # operators.classify.target_encode_loo (smoothing = 20).
+    o["docs_target_encoding"] = """
+WITH rows_ AS (
+  SELECT doc_id AS id, CAST(source AS VARCHAR) AS category,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS y
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+),
+g AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS k
+  FROM rows_ GROUP BY 1
+),
+w AS (
+  SELECT category, n, k,
+         CAST(sum(n) OVER () AS BIGINT) AS nt,
+         CAST(sum(k) OVER () AS BIGINT) AS kt
+  FROM g
+)
+SELECT r.id, r.category, r.y,
+       CAST(round((CAST(w.k AS DOUBLE) - CAST(r.y AS DOUBLE)
+            + 20.0 * (CAST(w.kt AS DOUBLE)
+            / nullif(CAST(w.nt AS DOUBLE), 0.0)))
+            / nullif(CAST(w.n AS DOUBLE) - 1.0 + 20.0, 0.0)
+            * 1000000.0) AS BIGINT) AS enc_micro,
+       CAST(CAST(round((CAST(w.k AS DOUBLE) - CAST(r.y AS DOUBLE)
+            + 20.0 * (CAST(w.kt AS DOUBLE)
+            / nullif(CAST(w.nt AS DOUBLE), 0.0)))
+            / nullif(CAST(w.n AS DOUBLE) - 1.0 + 20.0, 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS enc
+FROM rows_ r JOIN w ON r.category = w.category ORDER BY r.id
+"""
+
     # Concurrency profile over sessionized intervals: boundary sweep
     # with ends-before-starts tie rule, per-day running sum plus
     # carried opening balance; textually parallel to

@@ -258,6 +258,7 @@ HEADLINE = [
     "text_burstiness",
     "customers_l_diversity",
     "events_concurrency",
+    "docs_target_encoding",
 ]
 
 

@@ -679,3 +679,69 @@ def gains_table(
         F.expr(cap).alias("cum_capture_micro"),
         (F.expr(cap).cast("double") / 1e6).alias("cum_capture"),
     ).orderBy("bucket")
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_expr: str,
+    id_col: str,
+    smoothing: int = 20,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    standard high-cardinality categorical feature for tabular models:
+    each row's category is replaced by the category's label mean
+    computed WITHOUT the row itself (killing the self-leakage that
+    makes naive target encoding overfit), shrunk toward the global
+    rate by ``smoothing`` pseudo-observations (rare categories
+    collapse to the prior) ::
+
+        enc = (k_g − y + m · p̄) / (n_g − 1 + m)
+
+    ONE hash aggregate to the category frame (model data) + ONE keyed
+    join back — no per-row windows, no corpus self-join; the global
+    rate rides an unpartitioned window over the category frame.  The
+    encoding is a fixed-order double over exact BIGINT counts,
+    micro-quantized — deterministic at any partitioning.
+
+    Returns (id, category, y, enc_micro, enc), ordered by id.
+    """
+    from pyspark.sql import Window
+
+    if smoothing < 1:
+        raise ValueError("smoothing must be >= 1")
+    rows = df.where(
+        f"({cat_col}) IS NOT NULL AND ({label_expr}) IS NOT NULL"
+    ).select(
+        F.expr(f"({id_col})").alias("id"),
+        F.expr(f"CAST(({cat_col}) AS STRING)").alias("category"),
+        F.expr(f"CAST(({label_expr}) AS INT)").alias("y"),
+    )
+    g = rows.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("y").cast("long").alias("__k"),
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.select(
+        "category", "__n", "__k",
+        F.sum("__n").over(w_tot).cast("long").alias("__nt"),
+        F.sum("__k").over(w_tot).cast("long").alias("__kt"),
+    )
+    enc = (
+        f"CAST(round((CAST(__k AS DOUBLE) - CAST(y AS DOUBLE) "
+        f"+ {smoothing}.0d * (CAST(__kt AS DOUBLE) "
+        "/ nullif(CAST(__nt AS DOUBLE), 0.0))) "
+        f"/ nullif(CAST(__n AS DOUBLE) - 1.0d + {smoothing}.0d, 0.0) "
+        "* 1000000.0) AS BIGINT)"
+    )
+    return (
+        rows.join(g, "category")
+        .select(
+            "id", "category", "y",
+            F.expr(enc).alias("enc_micro"),
+        )
+        .withColumn("enc", F.col("enc_micro").cast("double") / 1e6)
+        .orderBy("id")
+    )

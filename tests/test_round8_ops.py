@@ -2636,3 +2636,35 @@ def test_concurrency_day_with_only_ends(spark):
     # day 2 has no boundaries at all and is absent (documented: days
     # with zero boundary events don't report)
     assert "2024-03-02" not in got
+
+
+# ---- target_encode_loo -----------------------------------------------------
+
+
+def test_target_encode_loo_replay_and_no_self_leak(spark):
+    import math
+    rows = [(1, "a", 1), (2, "a", 1), (3, "a", 0),
+            (4, "b", 0), (5, "b", 1), (6, "c", 1)]
+    df = spark.createDataFrame(rows, "id long, cat string, y int")
+    got = {r["id"]: r for r in
+           ops.target_encode_loo(df, "cat", "y", "id",
+                                 smoothing=4).collect()}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    nt = len(rows)
+    kt = sum(y for *_, y in rows)
+    for i, c, y in rows:
+        n = sum(1 for _, cc, _ in rows if cc == c)
+        k = sum(yy for _, cc, yy in rows if cc == c)
+        want = micro((k - y + 4.0 * (kt / nt)) / (n - 1 + 4.0) * 1e6)
+        assert got[i]["enc_micro"] == want, i
+    # self-leak check: two rows of the same category with different
+    # labels get DIFFERENT encodings (naive encoding would tie them)
+    assert got[4]["enc"] != got[5]["enc"]
+    # singleton category: encoding collapses to the smoothed prior
+    assert got[6]["enc_micro"] == micro(
+        (0 + 4.0 * (kt / nt)) / (0 + 4.0) * 1e6)
+    with pytest.raises(ValueError):
+        ops.target_encode_loo(df, "cat", "y", "id", smoothing=0)
