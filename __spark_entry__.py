@@ -1485,6 +1485,13 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_wasserstein(spark, sf):
+    return ops.wasserstein_1d(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
 def _q_target_encode(spark, sf):
     return ops.target_encode_loo(
         _t(spark, sf, "documents"), "source",
@@ -2264,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customers_l_diversity": _q_l_diversity,
             "events_concurrency": _q_concurrency,
             "docs_target_encoding": _q_target_encode,
+            "orders_wasserstein": _q_wasserstein,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2386,6 +2394,7 @@ _GATE_PRIORITY = [
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
+    "orders_wasserstein",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4811,6 +4820,45 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY 1, 2
 """
+    # Exact 1-D Wasserstein distance, textually parallel to
+    # operators.stats.wasserstein_1d.
+    o["orders_wasserstein"] = """
+WITH g AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+              END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0
+              END) AS BIGINT) AS cb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb,
+         lead(v) OVER (ORDER BY v ASC) AS vn
+  FROM g
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(CAST(round(abs(CAST(cum_a AS DOUBLE)
+            / nullif(CAST(na AS DOUBLE), 0.0)
+            - CAST(cum_b AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0.0))
+            * (vn - v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS w1_nano,
+       CAST(CAST(sum(CAST(round(abs(CAST(cum_a AS DOUBLE)
+            / nullif(CAST(na AS DOUBLE), 0.0)
+            - CAST(cum_b AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0.0))
+            * (vn - v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1e9 AS w1
+FROM staged WHERE vn IS NOT NULL
+"""
+
     # LOO target encoding, textually parallel to
     # operators.classify.target_encode_loo (smoothing = 20).
     o["docs_target_encoding"] = """

@@ -259,6 +259,7 @@ HEADLINE = [
     "customers_l_diversity",
     "events_concurrency",
     "docs_target_encoding",
+    "orders_wasserstein",
 ]
 
 

@@ -1876,3 +1876,69 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    groups' value distributions: ``W1 = ∫ |CDF_a − CDF_b| dx`` — the
+    integral companion to :func:`ks_test` (which only sees the MAX gap):
+    KS answers "do they differ", W1 answers "by how much, in the
+    value's own units" — the drift magnitude monitors alert on.
+
+    ONE conditional aggregation to the distinct-value frame (counts
+    per value per group), then cumulative windows ordered by value and
+    one lead for the step width; each step term quantizes to nano
+    before the exact integer sum (the shared discipline), so the
+    distance is cross-engine bit-stable.  The ordered windows run over
+    the DISTINCT-VALUE frame — bounded by the value domain, not the
+    corpus; quantize/bucket upstream if the domain itself is huge.
+
+    Returns one row: (n_a, n_b, w1_nano, w1).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    from pyspark.sql import Window
+
+    g = (
+        df.where((in_a | in_b) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_lead = Window.orderBy(F.col("__v").asc())
+    staged = g.select(
+        "__v",
+        F.sum("ca").over(w_cum).cast("long").alias("__cum_a"),
+        F.sum("cb").over(w_cum).cast("long").alias("__cum_b"),
+        F.sum("ca").over(w_tot).cast("long").alias("__na"),
+        F.sum("cb").over(w_tot).cast("long").alias("__nb"),
+        F.lead("__v").over(w_lead).alias("__vn"),
+    )
+    term = (
+        "CAST(round(abs(CAST(__cum_a AS DOUBLE) "
+        "/ nullif(CAST(__na AS DOUBLE), 0.0) "
+        "- CAST(__cum_b AS DOUBLE) / nullif(CAST(__nb AS DOUBLE), 0.0)) "
+        "* (__vn - __v) * 1000000000.0) AS BIGINT)"
+    )
+    return staged.where("__vn IS NOT NULL").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum(F.expr(term)).cast("long").alias("w1_nano"),
+    ).select(
+        "n_a", "n_b", "w1_nano",
+        (F.col("w1_nano").cast("double") / 1e9).alias("w1"),
+    )

@@ -2668,3 +2668,39 @@ def test_target_encode_loo_replay_and_no_self_leak(spark):
         (0 + 4.0 * (kt / nt)) / (0 + 4.0) * 1e6)
     with pytest.raises(ValueError):
         ops.target_encode_loo(df, "cat", "y", "id", smoothing=0)
+
+
+# ---- wasserstein_1d --------------------------------------------------------
+
+
+def test_wasserstein_known_shift(spark):
+    # b is a + 2 exactly: W1 of a location shift equals the shift
+    a_vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = ([("a", v) for v in a_vals] + [("b", v + 2.0) for v in a_vals])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 5)
+    assert abs(r["w1"] - 2.0) < 1e-8
+    # identical distributions -> 0
+    df2 = spark.createDataFrame(
+        [("a", v) for v in a_vals] + [("b", v) for v in a_vals],
+        "g string, v double")
+    r2 = ops.wasserstein_1d(df2, "v", "g", "a", "b").collect()[0]
+    assert r2["w1_nano"] == 0 and r2["w1"] == 0.0
+
+
+def test_wasserstein_python_replay(spark):
+    import math
+    a_vals = [0.5, 1.5, 1.5, 9.0]
+    b_vals = [2.0, 2.0, 3.5]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    vs = sorted(set(a_vals + b_vals))
+    total = 0
+    for v, vn in zip(vs, vs[1:]):
+        cum_a = sum(1 for x in a_vals if x <= v) / len(a_vals)
+        cum_b = sum(1 for x in b_vals if x <= v) / len(b_vals)
+        t = abs(cum_a - cum_b) * (vn - v) * 1e9
+        total += int(math.floor(abs(t) + 0.5))
+    assert r["w1_nano"] == total
