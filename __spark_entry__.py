@@ -1485,6 +1485,14 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_table_digest(spark, sf):
+    return ops.table_digest(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)"],
+    )
+
+
 def _q_wasserstein(spark, sf):
     return ops.wasserstein_1d(
         _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
@@ -2272,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_concurrency": _q_concurrency,
             "docs_target_encoding": _q_target_encode,
             "orders_wasserstein": _q_wasserstein,
+            "orders_table_digest": _q_table_digest,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2394,7 +2403,7 @@ _GATE_PRIORITY = [
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
-    "orders_wasserstein",
+    "orders_wasserstein", "orders_table_digest",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4820,6 +4829,28 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY 1, 2
 """
+    # Order-free table digest: md5 row hash summed in DECIMAL(38,0);
+    # DuckDB's concat_ws/md5/hex-parse mirror the Spark expressions
+    # (chr(31) unit separator; from_hex via a 12-hex-digit manual parse
+    # is avoided by DuckDB's hex-literal cast).
+    o["orders_table_digest"] = """
+WITH h AS (
+  SELECT CAST(('0x' || substring(md5(concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+           coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+           coalesce(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+           coalesce(CAST(o_orderpriority AS VARCHAR), '<NULL>'),
+           coalesce(CAST(CAST(round(CAST(o_totalprice AS DOUBLE)
+             * 100.0) AS BIGINT) AS VARCHAR), '<NULL>'))), 1, 12))
+           AS BIGINT) AS v
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(coalesce(sum(CAST(v AS DECIMAL(38,0))), 0)
+            AS DECIMAL(38,0)) AS VARCHAR) AS digest
+FROM h
+"""
+
     # Exact 1-D Wasserstein distance, textually parallel to
     # operators.stats.wasserstein_1d.
     o["orders_wasserstein"] = """

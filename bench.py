@@ -260,6 +260,7 @@ HEADLINE = [
     "events_concurrency",
     "docs_target_encoding",
     "orders_wasserstein",
+    "orders_table_digest",
 ]
 
 

