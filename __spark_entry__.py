@@ -1485,6 +1485,17 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_k_core(spark, sf):
+    # 2-core of the near-dup graph: clusters with REDUNDANT duplicate
+    # evidence survive, chains of borderline single pairs peel away
+    pairs = ops.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), k=5, num_hashes=16, bands=4,
+        threshold=0.5)
+    edges = pairs.select(F.col("d1").alias("src"),
+                         F.col("d2").alias("dst"))
+    return ops.k_core(edges, k=2, rounds=8)
+
+
 def _q_table_digest(spark, sf):
     return ops.table_digest(
         _t(spark, sf, "orders"),
@@ -2281,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_target_encoding": _q_target_encode,
             "orders_wasserstein": _q_wasserstein,
             "orders_table_digest": _q_table_digest,
+            "graph_k_core": _q_k_core,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2403,7 +2415,7 @@ _GATE_PRIORITY = [
     "events_cross_correlation", "events_autocorrelation",
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
-    "orders_wasserstein", "orders_table_digest",
+    "orders_wasserstein", "orders_table_digest", "graph_k_core",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5959,6 +5971,56 @@ FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
 WHERE jac.jaccard >= 0.5
 """
     )
+    # k-core by 8 fixed peel rounds over the near-dup pair graph (the
+    # dedup_minhash_lsh pair construction as r0); textually parallel to
+    # operators.graph.k_core (k = 2).
+    _kc = (
+        "WITH " + _SHINGLES_CTE + """,
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT cand.d1, cand.d2
+  FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
+  WHERE jac.jaccard >= 0.5
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+  FROM pairs WHERE d1 != d2
+)"""
+    )
+    for _i in range(8):
+        _kc += f""",
+d{_i} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM r{_i} UNION ALL SELECT b FROM r{_i}
+  ) GROUP BY 1
+),
+k{_i} AS MATERIALIZED (SELECT node FROM d{_i} WHERE deg >= 2),
+r{_i + 1} AS MATERIALIZED (
+  SELECT a, b FROM r{_i}
+  WHERE a IN (SELECT node FROM k{_i}) AND b IN (SELECT node FROM k{_i})
+)"""
+    _kc += """
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM r8 UNION ALL SELECT b FROM r8
+) GROUP BY 1 ORDER BY node
+"""
+    o["graph_k_core"] = _kc
+
     # Incremental fuzzy dedup: the 25% batch's band rows probe the 75%
     # corpus index; exact Jaccard on candidate (new, corpus) pairs only
     o["dedup_minhash_incremental"] = """

@@ -261,6 +261,7 @@ HEADLINE = [
     "docs_target_encoding",
     "orders_wasserstein",
     "orders_table_digest",
+    "graph_k_core",
 ]
 
 

@@ -556,3 +556,68 @@ def adamic_adar_scores(
         .orderBy(F.col("aa_score").desc(), "u", "v")
         .limit(top_k)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core subgraph by fixed-round peeling (Seidman 1983): repeatedly
+    drop nodes whose degree in the REMAINING graph is below ``k`` — the
+    standard dense-substructure filter (on a similarity graph, the
+    k-core is the "everything here is mutually close" region worth
+    clustering; the shell that peels off is hub-and-spoke noise).
+
+    The graph is treated as UNDIRECTED (edges canonicalized and
+    deduplicated).  Each peel round is one degree aggregate + one
+    semi-join pair — exact integer degrees, so the surviving set after
+    any fixed number of rounds is partitioning- and engine-
+    deterministic.  ``rounds`` is FIXED (not data-adaptive): the
+    result equals the true k-core whenever the peel depth is ≤
+    ``rounds`` (kNN-style graphs peel in a handful of rounds) and is
+    the well-defined ``rounds``-step residual otherwise — fixing the
+    round count is what keeps the operator replayable by a SQL oracle
+    with the same round structure.  Lineage is cut per round
+    (``localCheckpoint``, the :func:`pagerank` discipline).
+
+    Returns the surviving nodes: (node, degree) — degree measured in
+    the final residual graph, ordered by node.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where("a != b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    # no trailing degree filter: that would be a ninth half-peel —
+    # the residual after exactly `rounds` peels is the contract
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .orderBy("node")
+    )

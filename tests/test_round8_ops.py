@@ -2737,3 +2737,38 @@ def test_table_digest_order_free_and_sensitive(spark):
     assert (d5["n_rows"], d5["digest"]) == (0, "0")
     with pytest.raises(ValueError):
         ops.table_digest(df, [])
+
+
+# ---- k_core ----------------------------------------------------------------
+
+
+def test_k_core_peels_tail_and_keeps_clique(spark):
+    # a 4-clique (degree 3 inside) with a pendant chain hanging off it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = ops.k_core(df, k=3, rounds=8).collect()
+    # chain nodes 5,6 peel (degree < 3); node 4 keeps clique degree 3
+    assert {r["node"] for r in got} == {1, 2, 3, 4}
+    assert all(r["degree"] == 3 for r in got)
+    # k=4 dissolves everything (no node has degree 4 after peeling)
+    assert ops.k_core(df, k=4, rounds=8).collect() == []
+    # duplicate + reversed edges canonicalize away
+    noisy = df.union(spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 2)], "src long, dst long"))
+    got2 = ops.k_core(noisy, k=3, rounds=8).collect()
+    assert sorted((r["node"], r["degree"]) for r in got2) == sorted(
+        (r["node"], r["degree"]) for r in got)
+    with pytest.raises(ValueError):
+        ops.k_core(df, k=0)
+
+
+def test_k_core_multi_round_cascade(spark):
+    # a chain needs MULTIPLE peel rounds: each round removes the new
+    # degree-1 endpoints only
+    chain = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    assert ops.k_core(df, k=2, rounds=8).collect() == []
+    # with too few rounds the residual is the documented partial peel
+    part = ops.k_core(df, k=2, rounds=1).collect()
+    assert {r["node"] for r in part} == set(range(2, 8))
