@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_exit_rates(spark, sf):
+    return ops.session_exit_rates(_t(spark, sf, "events"),
+                                  gap_minutes=30)
+
+
 def _q_k_core(spark, sf):
     # 2-core of the near-dup graph: clusters with REDUNDANT duplicate
     # evidence survive, chains of borderline single pairs peel away
@@ -2293,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_wasserstein": _q_wasserstein,
             "orders_table_digest": _q_table_digest,
             "graph_k_core": _q_k_core,
+            "events_exit_rates": _q_exit_rates,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2416,6 +2422,7 @@ _GATE_PRIORITY = [
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
+    "events_exit_rates",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4982,6 +4989,41 @@ SELECT o.day, o.n_starts,
        CAST(greatest(o.open_bal + r.peak_in, o.open_bal) AS BIGINT)
          AS peak_concurrency
 FROM opening o JOIN run r ON o.day = r.day ORDER BY o.day
+"""
+
+    # Session exit rates: sessionize windows plus a last-event pick,
+    # textually parallel to operators.analytics.session_exit_rates.
+    o["events_exit_rates"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), tagged AS (
+  SELECT event_type,
+         CASE WHEN row_number() OVER (
+           PARTITION BY user_id, session_seq
+           ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END
+           AS is_last
+  FROM numbered
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_last) AS BIGINT) AS n_exits,
+       CAST(round(CAST(sum(is_last) AS DOUBLE)
+            / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS exit_rate_micro,
+       CAST(CAST(round(CAST(sum(is_last) AS DOUBLE)
+            / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS exit_rate
+FROM tagged GROUP BY 1 ORDER BY 1
 """
 
     o["events_asof_attribution"] = """

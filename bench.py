@@ -262,6 +262,7 @@ HEADLINE = [
     "orders_wasserstein",
     "orders_table_digest",
     "graph_k_core",
+    "events_exit_rates",
 ]
 
 

@@ -1908,3 +1908,68 @@ def concurrency_profile(
         )
         .orderBy("day")
     )
+
+
+def session_exit_rates(
+    events: DataFrame, gap_minutes: int = 30,
+    user_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Exit analysis: for each event type, how often an event of that
+    type is the LAST event of a session — ``exit_rate = sessions ended
+    by the type / occurrences of the type`` — the product-analytics
+    read on where journeys die (a checkout step with an outsized exit
+    rate is a funnel leak; a logout with exit rate ~1 is just healthy).
+
+    Reuses :func:`sessionize`'s single user-keyed shuffle: the same
+    two windows flag session boundaries, one more row_number over the
+    SAME partitioning picks each session's last event (ts desc, id
+    desc — deterministic), so the whole operator is still ONE
+    exchange plus the final type-keyed aggregate.  Exact integer
+    counts; rates micro-quantized.
+
+    Returns one row per event type: (event_type, n_events, n_exits,
+    exit_rate_micro, exit_rate), ordered by event_type.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.timestamp_diff(
+                "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+            ) > gap_us, 1
+        ).otherwise(
+            F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "__session_seq",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_last = Window.partitionBy(user_col, "__session_seq").orderBy(
+        F.col(ts_col).desc(), F.col("event_id").desc()
+    )
+    tagged = flagged.withColumn(
+        "__is_last", (F.row_number().over(w_last) == 1).cast("int")
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__is_last").cast("long").alias("n_exits"),
+        )
+        .withColumn(
+            "exit_rate_micro",
+            F.expr(
+                "CAST(round(CAST(n_exits AS DOUBLE) "
+                "/ nullif(CAST(n_events AS DOUBLE), 0.0) "
+                "* 1000000.0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "exit_rate", F.col("exit_rate_micro").cast("double") / 1e6
+        )
+        .orderBy("event_type")
+    )

@@ -2772,3 +2772,30 @@ def test_k_core_multi_round_cascade(spark):
     # with too few rounds the residual is the documented partial peel
     part = ops.k_core(df, k=2, rounds=1).collect()
     assert {r["node"] for r in part} == set(range(2, 8))
+
+
+# ---- session_exit_rates ----------------------------------------------------
+
+
+def test_exit_rates_counts_session_enders(spark):
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    # user 1: [view, click] then (gap) [view]; user 2: [buy]
+    rows = [
+        (1, 1, t(0), "view"), (2, 1, t(5), "click"),
+        (3, 1, t(50), "view"),
+        (4, 2, t(0), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    got = {r["event_type"]: r for r in
+           ops.session_exit_rates(df, gap_minutes=30).collect()}
+    # sessions: (view,click) -> ends with click; (view) -> view;
+    # (buy) -> buy
+    assert (got["click"]["n_events"], got["click"]["n_exits"]) == (1, 1)
+    assert (got["view"]["n_events"], got["view"]["n_exits"]) == (2, 1)
+    assert got["view"]["exit_rate"] == 0.5
+    assert got["buy"]["exit_rate"] == 1.0
+    # total exits == total sessions (3)
+    assert sum(r["n_exits"] for r in got.values()) == 3
