@@ -1485,6 +1485,15 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_sliced_accuracy(spark, sf):
+    pred = ops.language_id(_t(spark, sf, "documents"),
+                           keep_cols=["lang", "source"])
+    return ops.sliced_accuracy_report(
+        pred, "source", "lang_pred",
+        "CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END",
+    )
+
+
 def _q_exit_rates(spark, sf):
     return ops.session_exit_rates(_t(spark, sf, "events"),
                                   gap_minutes=30)
@@ -2299,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_table_digest": _q_table_digest,
             "graph_k_core": _q_k_core,
             "events_exit_rates": _q_exit_rates,
+            "docs_sliced_accuracy": _q_sliced_accuracy,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2422,7 +2432,7 @@ _GATE_PRIORITY = [
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
-    "events_exit_rates",
+    "events_exit_rates", "docs_sliced_accuracy",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5678,6 +5688,44 @@ FROM w ORDER BY bucket
     # exact DECIMAL(38,0) (VARCHAR-parse double conversion = correctly
     # rounded, matching Spark's BigDecimal path), ratios micro-quantized
     # textually parallel to operators.classify.cohens_kappa.
+    # Sliced accuracy with Wilson intervals (language-ID vs declared,
+    # per source); textually parallel to
+    # operators.classify.sliced_accuracy_report (z = 1.959964).
+    _wz = "(CAST(1959964 AS DOUBLE) / 1000000.0)"
+    _wp = "(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE))"
+    _wn = "CAST(n AS DOUBLE)"
+    _wd = f"(1.0 + {_wz} * {_wz} / {_wn})"
+    _wc = f"(({_wp} + {_wz} * {_wz} / (2.0 * {_wn})) / {_wd})"
+    _wh = (f"({_wz} * sqrt({_wp} * (1.0 - {_wp}) / {_wn} "
+           f"+ {_wz} * {_wz} / (4.0 * {_wn} * {_wn})) / {_wd})")
+    o["docs_sliced_accuracy"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         ({en_hits})::DOUBLE AS hits,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT CAST(source AS VARCHAR) AS slice,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN
+           (CASE WHEN round(hits / n_tokens, 4) >= 0.05
+                 THEN 'en' ELSE 'und' END)
+           = (CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM t WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+)
+SELECT slice, n, n_correct,
+       CAST(CAST(round({_wp} * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+         AS acc,
+       CAST(CAST(round(({_wc} - {_wh}) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS wilson_lo,
+       CAST(CAST(round(({_wc} + {_wh}) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS wilson_hi
+FROM g ORDER BY slice
+"""
+
     o["docs_kappa_lang"] = f"""
 WITH t AS (
   SELECT doc_id, lang,

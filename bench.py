@@ -263,6 +263,7 @@ HEADLINE = [
     "orders_table_digest",
     "graph_k_core",
     "events_exit_rates",
+    "docs_sliced_accuracy",
 ]
 
 

@@ -745,3 +745,67 @@ def target_encode_loo(
         .withColumn("enc", F.col("enc_micro").cast("double") / 1e6)
         .orderBy("id")
     )
+
+
+def sliced_accuracy_report(
+    df: DataFrame,
+    slice_col: str,
+    pred_expr: str,
+    truth_expr: str,
+    z_micro: int = 1_959_964,
+) -> DataFrame:
+    """Per-slice accuracy with Wilson score intervals — the model-card
+    staple: a 92% overall accuracy means nothing if one slice sits at
+    60%, and small slices need intervals, not point estimates (Wilson
+    stays inside [0,1] and behaves at n small or p extreme, unlike the
+    normal approximation).
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    ONE conditional aggregation to the slice frame (exact counts);
+    the interval is a fixed-order double expression over them — sqrt
+    is correctly rounded everywhere, z arrives as integer micros, and
+    the outputs micro-quantize, so the report is cross-engine
+    bit-stable.  Returns one row per slice: (slice, n, n_correct,
+    acc, wilson_lo, wilson_hi), ordered by slice.
+    """
+    if z_micro < 1:
+        raise ValueError("z_micro must be >= 1")
+    g = (
+        df.where(
+            f"({slice_col}) IS NOT NULL AND ({pred_expr}) IS NOT NULL "
+            f"AND ({truth_expr}) IS NOT NULL"
+        )
+        .groupBy(F.expr(f"CAST(({slice_col}) AS STRING)").alias("slice"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                f"CAST(sum(CASE WHEN ({pred_expr}) = ({truth_expr}) "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_correct"),
+        )
+    )
+    z = f"(CAST({z_micro} AS DOUBLE) / 1000000.0)"
+    p = "(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE))"
+    nn = "CAST(n AS DOUBLE)"
+    denom = f"(1.0 + {z} * {z} / {nn})"
+    center = f"(({p} + {z} * {z} / (2.0 * {nn})) / {denom})"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {nn} "
+        f"+ {z} * {z} / (4.0 * {nn} * {nn})) / {denom})"
+    )
+    return g.select(
+        "slice", "n", "n_correct",
+        F.expr(
+            f"CAST(round({p} * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("acc"),
+        F.expr(
+            f"CAST(round(({center} - {half}) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("wilson_lo"),
+        F.expr(
+            f"CAST(round(({center} + {half}) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("wilson_hi"),
+    ).orderBy("slice")

@@ -2799,3 +2799,36 @@ def test_exit_rates_counts_session_enders(spark):
     assert got["buy"]["exit_rate"] == 1.0
     # total exits == total sessions (3)
     assert sum(r["n_exits"] for r in got.values()) == 3
+
+
+# ---- sliced_accuracy_report ------------------------------------------------
+
+
+def test_sliced_accuracy_wilson_replay(spark):
+    import math
+    rows = [("a", "x", "x")] * 8 + [("a", "x", "y")] * 2 \
+        + [("b", "x", "x")] * 1 + [("b", "x", "y")] * 1
+    df = spark.createDataFrame(rows, "s string, p string, t string")
+    got = {r["slice"]: r for r in
+           ops.sliced_accuracy_report(df, "s", "p", "t").collect()}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    z = 1959964 / 1e6
+    for sl, n, k in (("a", 10, 8), ("b", 2, 1)):
+        p = k / n
+        den = 1.0 + z * z / n
+        c = (p + z * z / (2.0 * n)) / den
+        h = (z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+             / den)
+        r = got[sl]
+        assert (r["n"], r["n_correct"]) == (n, k)
+        assert r["acc"] == micro(p * 1e6) / 1e6
+        assert r["wilson_lo"] == micro((c - h) * 1e6) / 1e6
+        assert r["wilson_hi"] == micro((c + h) * 1e6) / 1e6
+    # the 2-row slice's interval must be much wider than the 10-row one
+    w_a = got["a"]["wilson_hi"] - got["a"]["wilson_lo"]
+    w_b = got["b"]["wilson_hi"] - got["b"]["wilson_lo"]
+    assert w_b > w_a
+    assert 0.0 <= got["b"]["wilson_lo"] <= got["b"]["wilson_hi"] <= 1.0
