@@ -1485,6 +1485,16 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_did(spark, sf):
+    # deterministic cohort split (user parity) around the mid-month
+    # boundary: the quasi-experimental readout on event value
+    return ops.diff_in_diff(
+        _t(spark, sf, "events"), "value",
+        "pmod(user_id, 2) = 1",
+        "ts >= TIMESTAMP'2024-01-15 00:00:00'",
+    )
+
+
 def _q_sliced_accuracy(spark, sf):
     pred = ops.language_id(_t(spark, sf, "documents"),
                            keep_cols=["lang", "source"])
@@ -2309,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_k_core": _q_k_core,
             "events_exit_rates": _q_exit_rates,
             "docs_sliced_accuracy": _q_sliced_accuracy,
+            "events_diff_in_diff": _q_did,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2432,7 +2443,7 @@ _GATE_PRIORITY = [
     "orders_expectations", "docs_lexical_diversity", "text_burstiness",
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
-    "events_exit_rates", "docs_sliced_accuracy",
+    "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -7133,6 +7144,55 @@ FROM d
         "* (1.0 / nullif(CAST(n_a AS DOUBLE), 0.0) "
         "+ 1.0 / nullif(CAST(n_b AS DOUBLE), 0.0))), 0.0)"
     )
+    # Difference-in-differences: four-cell decimal moments, fixed-order
+    # estimate/SE; textually parallel to operators.stats.diff_in_diff.
+    _dd_mean = lambda c: f"(sd_{c} / nullif(nd_{c}, 0.0))"
+    _dd_var = lambda c: (f"((qd_{c} - sd_{c} * sd_{c} / nd_{c}) "
+                         f"/ nullif(nd_{c} - 1.0, 0.0) / nd_{c})")
+    _dd_did = (f"(({_dd_mean('tp')} - {_dd_mean('tb')}) "
+               f"- ({_dd_mean('cp')} - {_dd_mean('cb')}))")
+    _dd_se = (f"sqrt({_dd_var('tp')} + {_dd_var('tb')} "
+              f"+ {_dd_var('cp')} + {_dd_var('cb')})")
+    _dd_cells = {
+        "tp": "((user_id % 2) = 1) AND post",
+        "tb": "((user_id % 2) = 1) AND NOT post",
+        "cp": "((user_id % 2) = 0) AND post",
+        "cb": "((user_id % 2) = 0) AND NOT post",
+    }
+    _dd_aggs = ", ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_{c}, "
+        f"sum(CASE WHEN {cond} THEN CAST(value AS DECIMAL(12,4)) END) "
+        f"AS s_{c}, "
+        f"sum(CASE WHEN {cond} THEN CAST(value AS DECIMAL(19,4)) "
+        f"* CAST(value AS DECIMAL(12,4)) END) AS q_{c}"
+        for c, cond in _dd_cells.items()
+    )
+    _dd_dbl = ", ".join(
+        f"n_{c}, CAST(n_{c} AS DOUBLE) AS nd_{c}, "
+        f"CAST(CAST(s_{c} AS VARCHAR) AS DOUBLE) AS sd_{c}, "
+        f"CAST(CAST(q_{c} AS VARCHAR) AS DOUBLE) AS qd_{c}"
+        for c in _dd_cells
+    )
+    o["events_diff_in_diff"] = f"""
+WITH base AS (
+  SELECT user_id, value,
+         ts >= TIMESTAMP '2024-01-15 00:00:00' AS post
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT {_dd_aggs} FROM base),
+d AS (SELECT {_dd_dbl} FROM m)
+SELECT n_tb AS n_t_pre, n_tp AS n_t_post,
+       n_cb AS n_c_pre, n_cp AS n_c_post,
+       CAST(round({_dd_did} * 1000000.0) AS BIGINT) AS did_micro,
+       CAST(CAST(round({_dd_did} * 1000000.0) AS BIGINT) AS DOUBLE)
+         / 1e6 AS did,
+       CAST(round({_dd_se} * 1000000.0) AS BIGINT) AS se_micro,
+       CAST(round({_dd_did} / nullif({_dd_se}, 0.0) * 1000000.0)
+            AS BIGINT) AS z_micro
+FROM d
+"""
+
     o["events_ab_test"] = f"""
 WITH pu AS (
   SELECT user_id,

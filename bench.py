@@ -264,6 +264,7 @@ HEADLINE = [
     "graph_k_core",
     "events_exit_rates",
     "docs_sliced_accuracy",
+    "events_diff_in_diff",
 ]
 
 

@@ -1942,3 +1942,78 @@ def wasserstein_1d(
         "n_a", "n_b", "w1_nano",
         (F.col("w1_nano").cast("double") / 1e9).alias("w1"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treat_expr: str,
+    post_expr: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Difference-in-differences estimator: ``(T_post − T_pre) −
+    (C_post − C_pre)`` — the workhorse quasi-experimental effect
+    estimate when randomization wasn't available (a rollout hit one
+    group; parallel-trends assumed): the control group's before/after
+    drift is subtracted out of the treated group's change.
+
+    ONE conditional aggregation computes all four cells' exact decimal
+    moments (n, Σx, Σx²); the estimate and its large-sample standard
+    error ``sqrt(Σ var_cell/n_cell)`` are a fixed-shape double
+    projection over that single row (the :func:`welch_t_test`
+    discipline), micro-quantized.  Cells with n < 2 yield NULL se/z.
+
+    Returns one row: (n_t_pre, n_t_post, n_c_pre, n_c_post, did_micro,
+    did, se_micro, z_micro).
+    """
+    t = F.expr(f"coalesce(CAST(({treat_expr}) AS BOOLEAN), false)")
+    p = F.expr(f"coalesce(CAST(({post_expr}) AS BOOLEAN), false)")
+    x = _m(value_col, dec)
+    cells = {
+        "tp": t & p, "tb": t & ~p, "cp": ~t & p, "cb": ~t & ~p,
+    }
+    aggs = []
+    for name, cond in cells.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"n_{name}"),
+            F.sum(F.when(cond, x)).alias(f"s_{name}"),
+            F.sum(F.when(cond, x * x)).alias(f"q_{name}"),
+        ]
+    m = df.where(F.col(value_col).isNotNull()).agg(*aggs).select(
+        *[F.col(f"n_{c}") for c in cells],
+        *[F.col(f"n_{c}").cast("double").alias(f"nd_{c}")
+          for c in cells],
+        *[F.col(f"s_{c}").cast("double").alias(f"sd_{c}")
+          for c in cells],
+        *[F.col(f"q_{c}").cast("double").alias(f"qd_{c}")
+          for c in cells],
+    )
+
+    def mean(c):
+        return f"(sd_{c} / nullif(nd_{c}, 0.0))"
+
+    def sevar(c):
+        return (f"((qd_{c} - sd_{c} * sd_{c} / nd_{c}) "
+                f"/ nullif(nd_{c} - 1.0, 0.0) / nd_{c})")
+
+    did = (f"(({mean('tp')} - {mean('tb')}) "
+           f"- ({mean('cp')} - {mean('cb')}))")
+    se = (f"sqrt({sevar('tp')} + {sevar('tb')} "
+          f"+ {sevar('cp')} + {sevar('cb')})")
+    return m.select(
+        F.col("n_tb").alias("n_t_pre"),
+        F.col("n_tp").alias("n_t_post"),
+        F.col("n_cb").alias("n_c_pre"),
+        F.col("n_cp").alias("n_c_post"),
+        F.expr(f"CAST(round({did} * 1000000.0) AS BIGINT)")
+        .alias("did_micro"),
+        F.expr(f"CAST(round({did} * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("did"),
+        F.expr(f"CAST(round({se} * 1000000.0) AS BIGINT)")
+        .alias("se_micro"),
+        F.expr(
+            f"CAST(round({did} / nullif({se}, 0.0) * 1000000.0) "
+            "AS BIGINT)"
+        ).alias("z_micro"),
+    )

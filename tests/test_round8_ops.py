@@ -2832,3 +2832,43 @@ def test_sliced_accuracy_wilson_replay(spark):
     w_b = got["b"]["wilson_hi"] - got["b"]["wilson_lo"]
     assert w_b > w_a
     assert 0.0 <= got["b"]["wilson_lo"] <= got["b"]["wilson_hi"] <= 1.0
+
+
+# ---- diff_in_diff ----------------------------------------------------------
+
+
+def test_did_removes_common_trend(spark):
+    import math
+    # control drifts +10; treated drifts +10 plus a true +5 effect
+    rows = []
+    for i in range(40):
+        treat, post = i % 2 == 1, i >= 20
+        base = 100.0 + (10.0 if post else 0.0) + (i % 7) * 0.5
+        effect = 5.0 if (treat and post) else 0.0
+        rows.append((i % 2, 1 if post else 0, base + effect))
+    df = spark.createDataFrame(rows, "t int, p int, value double")
+    r = ops.diff_in_diff(df, "value", "t = 1", "p = 1").collect()[0]
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"],
+            r["n_c_post"]) == (10, 10, 10, 10)
+
+    def cell(tt, pp):
+        return [v for t, p, v in rows if (t == 1) == tt and (p == 1) == pp]
+
+    def mean(x):
+        return sum(x) / len(x)
+
+    want = (mean(cell(True, True)) - mean(cell(True, False))) \
+        - (mean(cell(False, True)) - mean(cell(False, False)))
+    assert abs(r["did"] - want) < 2e-6
+    assert r["se_micro"] is not None and r["z_micro"] is not None
+    # effect is positive and the z reflects it
+    assert r["did"] > 4.0 and r["z_micro"] > 0
+
+
+def test_did_degenerate_cell(spark):
+    # a single-row cell -> SE undefined -> NULL se/z, did still exact
+    rows = [(1, 1, 10.0), (1, 0, 4.0), (0, 1, 3.0), (0, 0, 1.0)]
+    df = spark.createDataFrame(rows, "t int, p int, value double")
+    r = ops.diff_in_diff(df, "value", "t = 1", "p = 1").collect()[0]
+    assert r["did"] == (10.0 - 4.0) - (3.0 - 1.0)
+    assert r["se_micro"] is None and r["z_micro"] is None
