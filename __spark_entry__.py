@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_diversity(spark, sf):
+    return ops.diversity_report(_t(spark, sf, "documents"),
+                                "source", "lang")
+
+
 def _q_did(spark, sf):
     # deterministic cohort split (user parity) around the mid-month
     # boundary: the quasi-experimental readout on event value
@@ -2320,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_exit_rates": _q_exit_rates,
             "docs_sliced_accuracy": _q_sliced_accuracy,
             "events_diff_in_diff": _q_did,
+            "docs_mix_diversity": _q_diversity,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2444,6 +2450,7 @@ _GATE_PRIORITY = [
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
+    "docs_mix_diversity",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5699,6 +5706,49 @@ FROM w ORDER BY bucket
     # exact DECIMAL(38,0) (VARCHAR-parse double conversion = correctly
     # rounded, matching Spark's BigDecimal path), ratios micro-quantized
     # textually parallel to operators.classify.cohens_kappa.
+    # Categorical diversity per group, textually parallel to
+    # operators.profile.diversity_report.
+    o["docs_mix_diversity"] = """
+WITH cnt AS (
+  SELECT CAST(source AS VARCHAR) AS grp, CAST(lang AS VARCHAR) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+staged AS (
+  SELECT grp, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n,
+         CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS BIGINT) AS sp_num
+  FROM cnt
+),
+terms AS (
+  SELECT grp, n, sp_num,
+         CAST(round(0.0 - (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000000.0) AS BIGINT) AS h_nano
+  FROM staged
+),
+g AS (
+  SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(h_nano) AS BIGINT) AS h,
+         CAST(sum(sp_num) AS DECIMAL(38,0)) AS spn
+  FROM terms GROUP BY 1
+)
+SELECT grp AS "group", n, k,
+       CAST(CAST(round((CAST(h AS DOUBLE) / 1000000000.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS entropy,
+       CAST(CAST(round((CAST(h AS DOUBLE) / 1000000000.0)
+            / nullif(ln(CAST(k AS DOUBLE)), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS norm_entropy,
+       CAST(CAST(round(exp(CAST(h AS DOUBLE) / 1000000000.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS effective_cats,
+       CAST(CAST(round((1.0 - CAST(CAST(spn AS VARCHAR) AS DOUBLE)
+            / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0),
+            0.0)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS simpson
+FROM g ORDER BY grp
+"""
+
     # Sliced accuracy with Wilson intervals (language-ID vs declared,
     # per source); textually parallel to
     # operators.classify.sliced_accuracy_report (z = 1.959964).

@@ -265,6 +265,7 @@ HEADLINE = [
     "events_exit_rates",
     "docs_sliced_accuracy",
     "events_diff_in_diff",
+    "docs_mix_diversity",
 ]
 
 

@@ -301,3 +301,72 @@ def l_diversity_report(
         )
         .withColumn("at_risk", F.col("n_sensitive") < F.lit(l))
     )
+
+
+def diversity_report(
+    df: DataFrame, group_col: str, cat_col: str,
+) -> DataFrame:
+    """Categorical diversity per group — the corpus-mix dashboard row:
+    Shannon entropy (plus its exp, the "effective number of
+    categories"), normalized entropy (H / ln k), and the unbiased
+    Gini–Simpson index ``1 − Σ n_c(n_c−1) / (n(n−1))`` — read before
+    training to see whether a source actually mixes languages/domains
+    or just claims to (effective_cats ≈ 1 means monoculture no matter
+    how many labels appear).
+
+    ONE scan to (group, category) counts; per-category entropy terms
+    quantize ``p·ln p`` to integer nanos before the group sum (the
+    libm discipline), Simpson is exact integer arithmetic converted
+    once.  Returns one row per group: (group, n, k, entropy,
+    norm_entropy, effective_cats, simpson), ordered by group.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.where(f"({group_col}) IS NOT NULL AND ({cat_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("group"),
+            F.expr(f"CAST(({cat_col}) AS STRING)").alias("__c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_g = Window.partitionBy("group").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = cnt.withColumn(
+        "__n", F.sum("cnt").over(w_g).cast("long")
+    ).withColumn(
+        "__h_nano",
+        F.expr(
+            "CAST(round(0.0 - (CAST(cnt AS DOUBLE) / CAST(__n AS DOUBLE))"
+            " * ln(CAST(cnt AS DOUBLE) / CAST(__n AS DOUBLE)) "
+            "* 1000000000.0) AS BIGINT)"
+        ),
+    ).withColumn(
+        "__sp_num",
+        F.expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt - 1 AS BIGINT)"),
+    )
+    g = staged.groupBy("group").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__h_nano").cast("long").alias("__h"),
+        F.expr("CAST(sum(__sp_num) AS DECIMAL(38,0))").alias("__spn"),
+    )
+    h = "(CAST(__h AS DOUBLE) / 1000000000.0)"
+    return g.select(
+        "group", "n", "k",
+        F.expr(f"CAST(round({h} * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("entropy"),
+        F.expr(
+            f"CAST(round({h} / nullif(ln(CAST(k AS DOUBLE)), 0.0) "
+            "* 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("norm_entropy"),
+        F.expr(
+            f"CAST(round(exp({h}) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("effective_cats"),
+        F.expr(
+            "CAST(round((1.0 - CAST(__spn AS DOUBLE) "
+            "/ nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), "
+            "0.0)) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("simpson"),
+    ).orderBy("group")

@@ -2872,3 +2872,39 @@ def test_did_degenerate_cell(spark):
     r = ops.diff_in_diff(df, "value", "t = 1", "p = 1").collect()[0]
     assert r["did"] == (10.0 - 4.0) - (3.0 - 1.0)
     assert r["se_micro"] is None and r["z_micro"] is None
+
+
+# ---- diversity_report ------------------------------------------------------
+
+
+def test_diversity_replay_and_extremes(spark):
+    import math
+    rows = ([("uni", "en")] * 10                       # monoculture
+            + [("bal", "en")] * 5 + [("bal", "de")] * 5  # 50/50
+            + [("tri", "en")] * 2 + [("tri", "de")] * 2
+            + [("tri", "fr")] * 2)
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["group"]: r for r in
+           ops.diversity_report(df, "source", "lang").collect()}
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    def nano(v):
+        return micro(v * 1e3 * 1e6)
+
+    # monoculture: H = 0, effective 1, simpson 0, norm NULL (ln 1 = 0)
+    u = got["uni"]
+    assert (u["entropy"], u["effective_cats"], u["simpson"]) == \
+        (0.0, 1.0, 0.0)
+    assert u["norm_entropy"] is None
+    # balanced 2-way: H = ln 2, norm 1, effective 2
+    b = got["bal"]
+    h = sum(nano(-0.5 * math.log(0.5)) for _ in range(2)) / 1e9
+    assert b["entropy"] == micro(h * 1e6) / 1e6
+    assert b["norm_entropy"] == micro(h / math.log(2) * 1e6) / 1e6
+    assert abs(b["effective_cats"] - 2.0) < 1e-5
+    # unbiased simpson for 5/5 of 10: 1 - (2*5*4)/(10*9)
+    assert b["simpson"] == micro((1 - 40 / 90) * 1e6) / 1e6
+    # balanced 3-way: effective ~3
+    assert abs(got["tri"]["effective_cats"] - 3.0) < 1e-5
