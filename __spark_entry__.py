@@ -1485,6 +1485,14 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_weighted_median(spark, sf):
+    # quantity-weighted median unit price per return flag
+    return ops.weighted_median(
+        _t(spark, sf, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity",
+    )
+
+
 def _q_diversity(spark, sf):
     return ops.diversity_report(_t(spark, sf, "documents"),
                                 "source", "lang")
@@ -2326,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_sliced_accuracy": _q_sliced_accuracy,
             "events_diff_in_diff": _q_did,
             "docs_mix_diversity": _q_diversity,
+            "lineitem_weighted_median": _q_weighted_median,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2450,7 +2459,7 @@ _GATE_PRIORITY = [
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
-    "docs_mix_diversity",
+    "docs_mix_diversity", "lineitem_weighted_median",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5706,6 +5715,33 @@ FROM w ORDER BY bucket
     # exact DECIMAL(38,0) (VARCHAR-parse double conversion = correctly
     # rounded, matching Spark's BigDecimal path), ratios micro-quantized
     # textually parallel to operators.classify.cohens_kappa.
+    # Exact lower weighted median, textually parallel to
+    # operators.stats.weighted_median.
+    o["lineitem_weighted_median"] = """
+WITH g AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(12,4))) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity >= 0 AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+),
+staged AS (
+  SELECT grp, v, n,
+         sum(w) OVER (PARTITION BY grp ORDER BY v ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY grp) AS tot,
+         CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS cnt
+  FROM g
+)
+SELECT grp AS "group", CAST(max(cnt) AS BIGINT) AS n,
+       CAST(max(tot) AS DOUBLE) AS total_weight,
+       min(v) AS weighted_median
+FROM staged WHERE cum + cum >= tot GROUP BY 1 ORDER BY 1
+"""
+
     # Categorical diversity per group, textually parallel to
     # operators.profile.diversity_report.
     o["docs_mix_diversity"] = """

@@ -266,6 +266,7 @@ HEADLINE = [
     "docs_sliced_accuracy",
     "events_diff_in_diff",
     "docs_mix_diversity",
+    "lineitem_weighted_median",
 ]
 
 

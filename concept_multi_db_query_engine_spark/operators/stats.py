@@ -2017,3 +2017,64 @@ def diff_in_diff(
             "AS BIGINT)"
         ).alias("z_micro"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    quantity-weighted price, impression-weighted latency, the
+    aggregation a plain median silently gets wrong whenever rows carry
+    different mass.
+
+    ONE hash aggregate to the (group, value) frame (weights summed in
+    exact decimal), cumulative windows ordered by value inside each
+    group, and the crossing point picked by a min over the qualifying
+    suffix (``2·cumW >= W`` compared in exact decimal — no float
+    halves).  The windows run over the distinct-value frame per group,
+    never the raw corpus.  Returns one row per group: (group, n,
+    total_weight, weighted_median), ordered by group.
+    """
+    from pyspark.sql import Window
+
+    w = _m(weight_col, dec)
+    g = (
+        df.where(
+            f"({value_col}) IS NOT NULL AND ({weight_col}) IS NOT NULL "
+            f"AND ({weight_col}) >= 0 AND ({group_col}) IS NOT NULL"
+        )
+        .groupBy(
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("group"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(w).alias("__w"),
+        )
+    )
+    w_cum = Window.partitionBy("group").orderBy(F.col("__v").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("group").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = g.select(
+        "group", "__v", "__n",
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+        F.sum("__n").over(w_tot).cast("long").alias("__cnt"),
+    )
+    return (
+        staged.where(F.expr("__cum + __cum >= __tot"))
+        .groupBy("group")
+        .agg(
+            F.max("__cnt").alias("n"),
+            F.expr("CAST(max(__tot) AS DOUBLE)").alias("total_weight"),
+            F.min("__v").alias("weighted_median"),
+        )
+        .orderBy("group")
+    )

@@ -2908,3 +2908,28 @@ def test_diversity_replay_and_extremes(spark):
     assert b["simpson"] == micro((1 - 40 / 90) * 1e6) / 1e6
     # balanced 3-way: effective ~3
     assert abs(got["tri"]["effective_cats"] - 3.0) < 1e-5
+
+
+# ---- weighted_median -------------------------------------------------------
+
+
+def test_weighted_median_vs_plain_median(spark):
+    # one heavy cheap row outweighs three light expensive ones
+    rows = [("a", 1.0, 10.0), ("a", 5.0, 1.0), ("a", 7.0, 1.0),
+            ("a", 9.0, 1.0),
+            ("b", 2.0, 1.0), ("b", 4.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {r["group"]: r for r in
+           ops.weighted_median(df, "g", "v", "w").collect()}
+    # group a: W=13, half=6.5, cum at v=1 is 10 >= 6.5 -> median 1.0
+    assert got["a"]["weighted_median"] == 1.0
+    assert got["a"]["n"] == 4 and got["a"]["total_weight"] == 13.0
+    # group b: equal weights, lower median = 2.0 (2*1 >= 2)
+    assert got["b"]["weighted_median"] == 2.0
+    # zero-weight rows don't move the crossing; negative weights drop
+    df2 = df.union(spark.createDataFrame(
+        [("a", 0.5, 0.0), ("a", 0.4, -3.0)], "g string, v double, w double"))
+    got2 = {r["group"]: r for r in
+            ops.weighted_median(df2, "g", "v", "w").collect()}
+    assert got2["a"]["weighted_median"] == 1.0
+    assert got2["a"]["total_weight"] == 13.0
