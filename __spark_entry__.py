@@ -1485,6 +1485,10 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_cramers_v(spark, sf):
+    return ops.cramers_v(_t(spark, sf, "documents"), "source", "lang")
+
+
 def _q_weighted_median(spark, sf):
     # quantity-weighted median unit price per return flag
     return ops.weighted_median(
@@ -2335,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_diff_in_diff": _q_did,
             "docs_mix_diversity": _q_diversity,
             "lineitem_weighted_median": _q_weighted_median,
+            "docs_cramers_v": _q_cramers_v,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2459,7 +2464,7 @@ _GATE_PRIORITY = [
     "customers_l_diversity", "events_concurrency", "docs_target_encoding",
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
-    "docs_mix_diversity", "lineitem_weighted_median",
+    "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -7332,11 +7337,54 @@ f AS (
                                         rc := rc, n := n))),
              t -> (CAST(t.d AS DOUBLE) * CAST(t.d AS DOUBLE))
                   / (CAST(t.n AS DOUBLE) * CAST(t.rc AS DOUBLE))),
-           (x, y) -> x + y) AS chi2_raw
+           (x, y) -> x + y)
+         + (CAST(max(n) AS DOUBLE)
+            - CAST(CAST(sum(CAST(rc AS DECIMAL(38,0))) AS VARCHAR)
+                   AS DOUBLE)
+            / CAST(max(n) AS DOUBLE)) AS chi2_raw
   FROM cells
 )
 SELECT n_rows, n_cells, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
        round(chi2_raw, 6) AS chi2
+FROM f
+"""
+
+    # Cramér's V: the chi-square chain plus one effect-size expression,
+    # textually parallel to operators.stats.cramers_v.
+    o["docs_cramers_v"] = """
+WITH obs AS (
+  SELECT source AS a, lang AS b, count(*) AS obs FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra FROM obs GROUP BY 1),
+ct AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb FROM obs GROUP BY 1),
+nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.a, o.b, nt.n,
+         o.obs * nt.n - rt.ra * ct.cb AS d,
+         rt.ra * ct.cb AS rc
+  FROM obs o JOIN rt ON o.a = rt.a JOIN ct ON o.b = ct.b CROSS JOIN nt
+),
+f AS (
+  SELECT max(n) AS n_rows, count(*) AS n_cells,
+         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(a := a, b := b, d := d,
+                                        rc := rc, n := n))),
+             t -> (CAST(t.d AS DOUBLE) * CAST(t.d AS DOUBLE))
+                  / (CAST(t.n AS DOUBLE) * CAST(t.rc AS DOUBLE))),
+           (x, y) -> x + y)
+         + (CAST(max(n) AS DOUBLE)
+            - CAST(CAST(sum(CAST(rc AS DECIMAL(38,0))) AS VARCHAR)
+                   AS DOUBLE)
+            / CAST(max(n) AS DOUBLE)) AS chi2_raw
+  FROM cells
+)
+SELECT n_rows, CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb,
+       round(chi2_raw, 6) AS chi2,
+       CAST(CAST(round(sqrt(chi2_raw / nullif(CAST(n_rows AS DOUBLE)
+            * CAST(least(ka - 1, kb - 1) AS DOUBLE), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS v
 FROM f
 """
 

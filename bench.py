@@ -267,6 +267,7 @@ HEADLINE = [
     "events_diff_in_diff",
     "docs_mix_diversity",
     "lineitem_weighted_median",
+    "docs_cramers_v",
 ]
 
 

@@ -251,6 +251,18 @@ def chi_square_independence(
 
     Returns one row: (n_rows, n_cells, dof, chi2).
     """
+    return _chi2_folded(df, col_a, col_b).select(
+        "n_rows",
+        "n_cells",
+        F.expr("(ka - 1) * (kb - 1)").alias("dof"),
+        F.expr("round(chi2_raw, 6)").alias("chi2"),
+    )
+
+
+def _chi2_folded(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Shared contingency machinery: one row with (n_rows, n_cells, ka,
+    kb, chi2_raw) — consumed by :func:`chi_square_independence` and
+    :func:`cramers_v`."""
     obs = (
         df.groupBy(
             F.col(col_a).alias("a"), F.col(col_b).alias("b")
@@ -271,7 +283,12 @@ def chi_square_independence(
             F.expr("ra * cb").alias("rc"),
         )
     )
-    folded = cells.groupBy().agg(
+    # zero-observation cells never materialize in the obs frame, but
+    # Pearson's statistic includes them: each contributes exactly its
+    # expected count e = ra*cb/n, and summing over the MISSING cells is
+    # n - sum(e over observed cells) since all e sum to n — one extra
+    # exact aggregate, no cell cross join
+    return cells.groupBy().agg(
         F.max("n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_cells"),
         F.expr("count(distinct a)").alias("ka"),
@@ -280,14 +297,33 @@ def chi_square_independence(
             "aggregate(array_sort(collect_list(struct(a, b, d, rc, n))), "
             "cast(0 AS double), (acc, t) -> acc + "
             "(cast(t.d AS double) * cast(t.d AS double)) / "
-            "(cast(t.n AS double) * cast(t.rc AS double)))"
+            "(cast(t.n AS double) * cast(t.rc AS double))) "
+            "+ (CAST(max(n) AS DOUBLE) "
+            "- CAST(sum(CAST(rc AS DECIMAL(38,0))) AS DOUBLE) "
+            "/ CAST(max(n) AS DOUBLE))"
         ).alias("chi2_raw"),
     )
-    return folded.select(
-        "n_rows",
-        "n_cells",
-        F.expr("(ka - 1) * (kb - 1)").alias("dof"),
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V — the [0, 1] EFFECT SIZE for a contingency table:
+    ``V = sqrt(chi2 / (n · min(ka−1, kb−1)))``.  The chi-square
+    statistic alone grows with n (everything is "significant" at 100 TB);
+    V answers how strongly the two categoricals are associated, on a
+    scale comparable across tables.  Shares
+    :func:`chi_square_independence`'s exact-integer cell machinery and
+    sorted fold; V micro-quantizes the one extra sqrt expression.
+
+    Returns one row: (n_rows, ka, kb, chi2, v).
+    """
+    return _chi2_folded(df, col_a, col_b).select(
+        "n_rows", "ka", "kb",
         F.expr("round(chi2_raw, 6)").alias("chi2"),
+        F.expr(
+            "CAST(round(sqrt(chi2_raw / nullif(CAST(n_rows AS DOUBLE) "
+            "* CAST(least(ka - 1, kb - 1) AS DOUBLE), 0.0)) "
+            "* 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("v"),
     )
 
 

@@ -2933,3 +2933,30 @@ def test_weighted_median_vs_plain_median(spark):
             ops.weighted_median(df2, "g", "v", "w").collect()}
     assert got2["a"]["weighted_median"] == 1.0
     assert got2["a"]["total_weight"] == 13.0
+
+
+# ---- cramers_v -------------------------------------------------------------
+
+
+def test_cramers_v_bounds(spark):
+    import math
+    # perfect association: b fully determined by a -> V = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5 + [("z", "r")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = ops.cramers_v(df, "a", "b").collect()[0]
+    assert (r["ka"], r["kb"]) == (3, 3)
+    assert abs(r["v"] - 1.0) < 1e-6
+    # independence (balanced cross): V = 0
+    rows2 = [(a, b) for a in "xy" for b in "pq" for _ in range(5)]
+    r2 = ops.cramers_v(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2["chi2"] == 0.0 and r2["v"] == 0.0
+    # replay the formula on a mixed table
+    rows3 = [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 3 \
+        + [("y", "q")] * 7
+    r3 = ops.cramers_v(
+        spark.createDataFrame(rows3, "a string, b string"), "a", "b"
+    ).collect()[0]
+    want = math.sqrt(r3["chi2"] / (18 * 1))
+    assert abs(r3["v"] - want) < 2e-6
