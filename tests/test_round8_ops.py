@@ -2960,3 +2960,57 @@ def test_cramers_v_bounds(spark):
     ).collect()[0]
     want = math.sqrt(r3["chi2"] / (18 * 1))
     assert abs(r3["v"] - want) < 2e-6
+
+
+# ---- adversarial edges for the late-wave operators --------------------------
+
+
+def test_qnorm_all_duplicate_values(spark):
+    # every value identical: all percent ranks collapse onto one grid
+    # point; qnorm equals that value for every row
+    df = spark.createDataFrame([(i, "g%d" % (i % 2), 7.5)
+                                for i in range(10)],
+                               "id long, s string, v double")
+    got = ops.quantile_normalize(df, "s", "v", "id", n_grid=5).collect()
+    assert all(r["qnorm"] == 7.5 for r in got)
+
+
+def test_gains_heavy_score_ties(spark):
+    # all scores tie: bucketing falls back to the id tiebreak, buckets
+    # stay NTILE-exact and capture still reaches 1.0
+    rows = [(i, 1.0, 1 if i % 4 == 0 else 0) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    got = ops.gains_table(df, "score", "y", "id", n_buckets=5).collect()
+    assert [r["n"] for r in got] == [5, 5, 5, 4, 4]  # NTILE sizes
+    assert got[-1]["cum_capture"] == 1.0
+    # ties broken by id asc: bucket 1 holds ids 0..4 -> 2 positives
+    assert got[0]["n_pos"] == 2
+
+
+def test_neyman_remainder_tie_break(spark):
+    # two strata with IDENTICAL weights competing for one leftover seat:
+    # the tie breaks deterministically by stratum name
+    rows = ([("a", v) for v in (1.0, 5.0, 9.0)]
+            + [("b", v) for v in (1.0, 5.0, 9.0)])
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r["stratum"]: r["alloc"] for r in
+           ops.neyman_allocation(df, "s", "v", total_n=5).collect()}
+    assert got["a"] + got["b"] == 5
+    assert got["a"] == got["b"] + 1  # 'a' wins the odd seat by name
+
+
+def test_scd2_same_ts_same_key_dense_ties(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(i, 1, t0, "v%d" % i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    h = sorted(ops.scd2_history(df, ["user_id"], "ts", "event_id",
+                                ["event_type", "value"]).collect(),
+               key=lambda r: r["version"])
+    # all five share a timestamp: versions follow event_id, intervals
+    # are zero-width except the open current one
+    assert [r["event_type"] for r in h] == [f"v{i}" for i in range(5)]
+    assert all(r["valid_from"] == t0 for r in h)
+    assert h[-1]["is_current"] and not any(r["is_current"] for r in h[:-1])
