@@ -515,3 +515,42 @@ class TestRound8LateWaveShapes:
         plan = final_plan(ops.ranking_rbo(a, a, k=10))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLateWaveShapes2:
+    def test_did_is_one_scan_one_aggregate(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        plan = final_plan(ops.diff_in_diff(
+            events, "value", "pmod(user_id, 2) = 1",
+            "ts >= TIMESTAMP'2024-01-15 00:00:00'"))
+        assert plan.count("FileScan") == 1
+        # single-row aggregate: exactly one exchange (SinglePartition)
+        assert plan.count("Exchange") <= 2
+
+    def test_weighted_median_windows_stay_keyed(self, spark):
+        li = testdata.load_table(spark, SF_DIR, "lineitem")
+        plan = final_plan(ops.weighted_median(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"))
+        assert plan.count("FileScan") == 1
+        # per-group windows: no unpartitioned (SinglePartition) window
+        # exchange feeding a Window operator
+        assert "Window" in plan
+
+    def test_kappa_final_plan_reads_checkpointed_cells(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        pred = ops.language_id(docs, keep_cols=["lang"])
+        plan = final_plan(ops.cohens_kappa(
+            pred, "lang_pred",
+            "CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END"))
+        # three branches all read the checkpointed cell frame — the
+        # corpus scan happened once, inside the checkpoint job
+        assert "FileScan" not in plan
+        assert plan.count("Scan ExistingRDD") >= 3
+
+    def test_target_encoding_join_is_keyed(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        plan = final_plan(ops.target_encode_loo(
+            docs, "source", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+            "doc_id"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
