@@ -875,3 +875,36 @@ def test_incremental_scd2_via_open_interval_state(spark):
         (r["user_id"], r["event_type"], r["value"], r["valid_from"],
          r["valid_to"], r["is_current"]) for r in final)
     assert got == want
+
+
+def test_incremental_diversity_via_count_state(spark):
+    """Corpus-mix monitoring on a stream: the ONLY state is the
+    (group, category) count frame — mergeable by addition — and the
+    diversity report is a pure function of the merged counts, so
+    feeding disjoint micro-batches and summing their count frames
+    reproduces the one-shot report exactly (entropy, effective
+    categories, and the unbiased Simpson all recompute from counts)."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    rows = [(i, "s%d" % (i % 3), "l%d" % ((i * 7) % 4))
+            for i in range(90)]
+    full = spark.createDataFrame(rows, "doc_id int, source string, "
+                                       "lang string")
+    want = sorted(map(tuple, ops.diversity_report(
+        full, "source", "lang").collect()))
+
+    state = {}
+    for k in range(3):
+        batch = [r for r in rows if r[0] % 3 == k]
+        bdf = spark.createDataFrame(batch, "doc_id int, source string, "
+                                           "lang string")
+        for r in bdf.groupBy("source", "lang").count().collect():
+            key = (r["source"], r["lang"])
+            state[key] = state.get(key, 0) + r["count"]
+    # replay the report over a frame REBUILT from the merged counts
+    rebuilt = spark.createDataFrame(
+        [(g, c) for (g, c), n in state.items() for _ in range(n)],
+        "source string, lang string")
+    got = sorted(map(tuple, ops.diversity_report(
+        rebuilt, "source", "lang").collect()))
+    assert got == want
