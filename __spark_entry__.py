@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_hard_negatives(spark, sf):
+    return ops.hard_negative_mining(_t(spark, sf, "embeddings"),
+                                    k_scan=10, k_neg=3)
+
+
 def _q_cramers_v(spark, sf):
     return ops.cramers_v(_t(spark, sf, "documents"), "source", "lang")
 
@@ -2340,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_mix_diversity": _q_diversity,
             "lineitem_weighted_median": _q_weighted_median,
             "docs_cramers_v": _q_cramers_v,
+            "embeddings_hard_negatives": _q_hard_negatives,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2465,6 +2471,7 @@ _GATE_PRIORITY = [
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
+    "embeddings_hard_negatives",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6349,6 +6356,43 @@ SELECT vec_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 5
 """
     )
+    # Hard negatives: k=10 kNN scan, wrong-label filter, per-anchor
+    # re-rank to 3; textually parallel to
+    # operators.similarity.hard_negative_mining.
+    o["embeddings_hard_negatives"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+cand AS (
+  SELECT k.vec_id AS anchor_id, la.label AS anchor_label,
+         k.neighbor_id AS neg_id, lb.label AS neg_label, k.cosine
+  FROM knn k
+  JOIN embeddings la ON la.vec_id = k.vec_id
+  JOIN embeddings lb ON lb.vec_id = k.neighbor_id
+  WHERE la.label != lb.label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, neg_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+             ORDER BY cosine DESC, neg_id ASC) AS neg_rank
+  FROM cand
+) WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank
+"""
+    )
+
     # SNN graph over the k=5 kNN edge set: pair similarity = shared
     # neighbor count (one equi-join on the neighbor), mutual = both
     # directed edges present

@@ -268,6 +268,7 @@ HEADLINE = [
     "docs_mix_diversity",
     "lineitem_weighted_median",
     "docs_cramers_v",
+    "embeddings_hard_negatives",
 ]
 
 

@@ -1397,3 +1397,61 @@ def ranking_rbo(
         )
         .orderBy(query_col)
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    k_scan: int = 10,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive training: each anchor's most
+    SIMILAR vectors that carry a DIFFERENT label — the pairs that
+    actually move a metric-learning loss (random negatives are too
+    easy; these sit right at the decision boundary).
+
+    Composition, not new machinery: the exact kNN graph scans the
+    top-``k_scan`` neighborhood (broadcast queries, partition-local
+    top-k), one keyed join attaches labels, the wrong-label filter
+    keeps the hard candidates, and a per-anchor re-rank window cuts to
+    ``k_neg``.  Exactness caveat (documented, inherent to every
+    scan-then-filter miner): an anchor whose entire ``k_scan``
+    neighborhood shares its label yields fewer than ``k_neg`` rows —
+    widen ``k_scan`` rather than falling back to a corpus scan.
+
+    Returns (anchor_id, anchor_label, neg_id, neg_label, cosine,
+    neg_rank), ordered by (anchor_id, neg_rank).
+    """
+    from pyspark.sql import Window
+
+    if k_neg < 1 or k_scan < k_neg:
+        raise ValueError("need 1 <= k_neg <= k_scan")
+    knn = knn_graph(embeddings, k=k_scan, id_col=id_col,
+                    vec_col=vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("__lid"),
+        F.col(label_col).alias("__lbl"),
+    )
+    cand = (
+        knn.join(labels.withColumnsRenamed(
+            {"__lid": id_col, "__lbl": "anchor_label"}), id_col)
+        .join(labels.withColumnsRenamed(
+            {"__lid": "neighbor_id", "__lbl": "neg_label"}),
+            "neighbor_id")
+        .where(F.col("anchor_label") != F.col("neg_label"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k_neg)
+        .select(
+            F.col(id_col).alias("anchor_id"), "anchor_label",
+            F.col("neighbor_id").alias("neg_id"), "neg_label",
+            "cosine", "neg_rank",
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

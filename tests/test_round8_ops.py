@@ -3014,3 +3014,31 @@ def test_scd2_same_ts_same_key_dense_ties(spark):
     assert [r["event_type"] for r in h] == [f"v{i}" for i in range(5)]
     assert all(r["valid_from"] == t0 for r in h)
     assert h[-1]["is_current"] and not any(r["is_current"] for r in h[:-1])
+
+
+# ---- hard_negative_mining --------------------------------------------------
+
+
+def test_hard_negatives_prefer_close_wrong_label(spark):
+    # two tight clusters; cluster A's nearest wrong-label vectors are
+    # the closest members of cluster B
+    pts = [(0, [0.0, 1.0], 0), (1, [0.1, 1.0], 0), (2, [0.2, 1.0], 0),
+           (3, [1.0, 0.3], 1), (4, [1.0, 0.2], 1), (5, [1.0, 0.0], 1)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in pts],
+        "vec_id long, embedding array<float>, label int")
+    got = ops.hard_negative_mining(df, k_scan=5, k_neg=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["anchor_id"], []).append(r)
+    for a, rs in by.items():
+        lbl = next(l for i, _, l in pts if i == a)
+        # every negative has a different label, ranked by similarity
+        assert all(r["neg_label"] != lbl for r in rs)
+        assert [r["neg_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+    # anchor 2 (edge of cluster A) should pick 3 (edge of B) first
+    assert by[2][0]["neg_id"] == 3
+    with pytest.raises(ValueError):
+        ops.hard_negative_mining(df, k_scan=2, k_neg=3)
