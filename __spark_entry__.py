@@ -1485,6 +1485,13 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_threshold_sweep(spark, sf):
+    return ops.threshold_sweep(
+        _t(spark, sf, "documents"), "n_chars",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", n_thresholds=9,
+    )
+
+
 def _q_hard_negatives(spark, sf):
     return ops.hard_negative_mining(_t(spark, sf, "embeddings"),
                                     k_scan=10, k_neg=3)
@@ -2346,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem_weighted_median": _q_weighted_median,
             "docs_cramers_v": _q_cramers_v,
             "embeddings_hard_negatives": _q_hard_negatives,
+            "docs_threshold_sweep": _q_threshold_sweep,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2471,7 +2479,7 @@ _GATE_PRIORITY = [
     "orders_wasserstein", "orders_table_digest", "graph_k_core",
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
-    "embeddings_hard_negatives",
+    "embeddings_hard_negatives", "docs_threshold_sweep",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4956,6 +4964,66 @@ SELECT CAST(max(na) AS BIGINT) AS n_a,
             * (vn - v) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
             / 1e9 AS w1
 FROM staged WHERE vn IS NOT NULL
+"""
+
+    # Threshold sweep at the 9 deciles of the micro score; textually
+    # parallel to operators.classify.threshold_sweep.
+    o["docs_threshold_sweep"] = """
+WITH scored AS (
+  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT) AS s,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+groups AS MATERIALIZED (
+  SELECT s,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM scored GROUP BY 1
+),
+grid AS (
+  SELECT list_value(
+         CAST(round(quantile_cont(v, 0.1)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.2)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.3)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.4)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.5)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.6)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.7)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.8)) AS BIGINT),
+         CAST(round(quantile_cont(v, 0.9)) AS BIGINT)) AS ts
+  FROM (SELECT CAST(s AS DOUBLE) AS v FROM scored)
+),
+tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS p, CAST(sum(n0) AS BIGINT) AS n
+  FROM groups
+),
+per_t AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN g.s >= t.threshold
+              THEN g.n1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN g.s >= t.threshold
+              THEN g.n0 ELSE 0 END) AS BIGINT) AS fp
+  FROM groups g CROSS JOIN (
+    SELECT unnest(ts) AS threshold FROM grid) t
+  GROUP BY 1
+)
+SELECT CAST(per_t.threshold AS DOUBLE) / 1e6 AS threshold,
+       CAST(tp + fp AS BIGINT) AS n_pred_pos, tp, fp,
+       CAST(tot.p - tp AS BIGINT) AS fn,
+       CAST(CAST(round((CAST(tp AS DOUBLE)
+            / nullif(CAST(tp + fp AS DOUBLE), 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS precision,
+       CAST(CAST(round((CAST(tp AS DOUBLE)
+            / nullif(CAST(tot.p AS DOUBLE), 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS recall,
+       CAST(CAST(round(2.0 * (CAST(tp AS DOUBLE)
+            / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+            * (CAST(tp AS DOUBLE) / nullif(CAST(tot.p AS DOUBLE), 0.0))
+            / nullif((CAST(tp AS DOUBLE)
+            / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+            + (CAST(tp AS DOUBLE) / nullif(CAST(tot.p AS DOUBLE), 0.0)),
+            0.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS f1
+FROM per_t CROSS JOIN tot ORDER BY threshold
 """
 
     # LOO target encoding, textually parallel to

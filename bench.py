@@ -269,6 +269,7 @@ HEADLINE = [
     "lineitem_weighted_median",
     "docs_cramers_v",
     "embeddings_hard_negatives",
+    "docs_threshold_sweep",
 ]
 
 

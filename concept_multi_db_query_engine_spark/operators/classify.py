@@ -809,3 +809,99 @@ def sliced_accuracy_report(
             "/ 1e6"
         ).cast("double").alias("wilson_hi"),
     ).orderBy("slice")
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_expr: str,
+    label_expr: str,
+    n_thresholds: int = 19,
+) -> DataFrame:
+    """Operating-point table: precision, recall, and F1 at each of
+    ``n_thresholds`` score-quantile cutoffs (predict positive when
+    ``score >= t``) — the artifact you actually read to PICK the
+    threshold after the AUC said the score works.  Quantile cutoffs
+    mean every row of the table sits at a real operating point with
+    meaningful support, not at arbitrary round numbers.
+
+    ONE scan to the micro-quantized score-group frame (exact per-score
+    label counts); thresholds come from the exact global quantile grid
+    (:func:`~concept_multi_db_query_engine_spark.operators.analytics.
+    distributed_group_quantiles`, unrounded) and ride a broadcast;
+    the groups×thresholds conditional aggregate is model-sized.  All
+    rates are fixed-order doubles over exact BIGINTs, micro-quantized.
+
+    Returns one row per DISTINCT threshold: (threshold, n_pred_pos,
+    tp, fp, fn, precision, recall, f1), ordered by threshold.
+    """
+    from .analytics import distributed_group_quantiles
+
+    if n_thresholds < 1:
+        raise ValueError("n_thresholds must be >= 1")
+    scored = df.where(
+        f"({score_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL"
+    ).select(
+        F.expr(
+            f"CAST(round(CAST(({score_expr}) AS DOUBLE) * 1000000.0) "
+            "AS BIGINT)"
+        ).alias("__s"),
+        F.expr(f"CAST(({label_expr}) AS INT)").alias("__y"),
+    )
+    groups = scored.groupBy("__s").agg(
+        F.expr("CAST(sum(CASE WHEN __y = 1 THEN 1 ELSE 0 END) "
+               "AS BIGINT)").alias("__n1"),
+        F.expr("CAST(sum(CASE WHEN __y = 0 THEN 1 ELSE 0 END) "
+               "AS BIGINT)").alias("__n0"),
+    ).localCheckpoint(eager=True)
+    probs = [i / (n_thresholds + 1) for i in range(1, n_thresholds + 1)]
+    grid = distributed_group_quantiles(
+        scored.select(F.lit(0).alias("__g"),
+                      F.col("__s").cast("double").alias("__v")),
+        "__g", "__v", probs, round_to=None,
+    ).select(
+        # thresholds round to exact BIGINT micros: the scores are micro
+        # ints, so integer comparison kills the 1-ULP interpolation
+        # divergence between engines' quantile formulas (grid steps are
+        # multiples of 1e6 — no .5 rounding boundaries exist)
+        F.expr(
+            "transform(array("
+            + ", ".join(f"q{j}" for j in range(len(probs)))
+            + "), q -> CAST(round(q) AS BIGINT))"
+        ).alias("__ts")
+    )
+    totals = groups.agg(
+        F.sum("__n1").cast("long").alias("__p"),
+        F.sum("__n0").cast("long").alias("__n"),
+    )
+    per_t = (
+        groups.crossJoin(F.broadcast(grid))
+        .select("__s", "__n1", "__n0",
+                F.explode("__ts").alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.expr("CASE WHEN __s >= threshold "
+                         "THEN __n1 ELSE 0 END"))
+            .cast("long").alias("tp"),
+            F.sum(F.expr("CASE WHEN __s >= threshold "
+                         "THEN __n0 ELSE 0 END"))
+            .cast("long").alias("fp"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    prec = "CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)"
+    rec = "CAST(tp AS DOUBLE) / nullif(CAST(__p AS DOUBLE), 0.0)"
+    return per_t.select(
+        (F.col("threshold").cast("double") / 1e6).alias("threshold"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_pred_pos"),
+        "tp", "fp",
+        (F.col("__p") - F.col("tp")).cast("long").alias("fn"),
+        F.expr(f"CAST(round(({prec}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("precision"),
+        F.expr(f"CAST(round(({rec}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("recall"),
+        F.expr(
+            f"CAST(round(2.0 * ({prec}) * ({rec}) "
+            f"/ nullif(({prec}) + ({rec}), 0.0) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("f1"),
+    ).orderBy("threshold")

@@ -3042,3 +3042,35 @@ def test_hard_negatives_prefer_close_wrong_label(spark):
     assert by[2][0]["neg_id"] == 3
     with pytest.raises(ValueError):
         ops.hard_negative_mining(df, k_scan=2, k_neg=3)
+
+
+# ---- threshold_sweep -------------------------------------------------------
+
+
+def test_threshold_sweep_replay(spark):
+    import math
+    rows = [(i, float(i), 1 if i >= 60 or i % 9 == 0 else 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    got = ops.threshold_sweep(df, "score", "y",
+                              n_thresholds=4).collect()
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    P = sum(y for *_, y in rows)
+    for r in got:
+        t = r["threshold"]
+        tp = sum(y for _, s, y in rows if micro(s * 1e6) >= micro(t * 1e6))
+        fp = sum(1 - y for _, s, y in rows
+                 if micro(s * 1e6) >= micro(t * 1e6))
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, P - tp)
+        prec, rec = tp / (tp + fp), tp / P
+        assert r["precision"] == micro(prec * 1e6) / 1e6
+        assert r["recall"] == micro(rec * 1e6) / 1e6
+        assert r["f1"] == micro(2 * prec * rec / (prec + rec) * 1e6) / 1e6
+    # recall decreases (weakly) as the threshold rises
+    recs = [r["recall"] for r in got]
+    assert recs == sorted(recs, reverse=True)
+    with pytest.raises(ValueError):
+        ops.threshold_sweep(df, "score", "y", n_thresholds=0)
