@@ -1485,6 +1485,23 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_seasonal_strength(spark, sf):
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1992-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr("month(CAST(o_orderdate AS DATE))").alias("moy"),
+        )
+        .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+             .alias("revenue"))
+    )
+    return ops.seasonal_strength(monthly, "month_idx", "moy", "revenue")
+
+
 def _q_threshold_sweep(spark, sf):
     return ops.threshold_sweep(
         _t(spark, sf, "documents"), "n_chars",
@@ -2354,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_cramers_v": _q_cramers_v,
             "embeddings_hard_negatives": _q_hard_negatives,
             "docs_threshold_sweep": _q_threshold_sweep,
+            "orders_seasonal_strength": _q_seasonal_strength,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2480,6 +2498,7 @@ _GATE_PRIORITY = [
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
+    "orders_seasonal_strength",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8580,6 +8599,87 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Seasonal/trend strength over the decomposition chain; textually
+    # parallel to operators.stats.seasonal_strength.
+    o["orders_seasonal_strength"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1992-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         month(CAST(o_orderdate AS DATE)) AS moy,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(month_idx AS DOUBLE) AS idx, moy AS season,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS value
+  FROM monthly
+),
+pairs AS (
+  SELECT (b.value - a.value) / (b.idx - a.idx) AS v
+  FROM pts a JOIN pts b ON a.idx < b.idx
+),
+sl AS (SELECT round(quantile_cont(v, 0.5), 4) AS slope FROM pairs),
+resid0 AS (
+  SELECT value - (SELECT slope FROM sl) * idx AS v FROM pts
+),
+ic AS (SELECT round(quantile_cont(v, 0.5), 4) AS icpt FROM resid0),
+det AS (
+  SELECT idx, season, value, slope, icpt,
+         value - (slope * idx + icpt) AS d
+  FROM pts, sl, ic
+),
+seas AS (
+  SELECT season, round(quantile_cont(d, 0.5), 4) AS seasonal
+  FROM det GROUP BY 1
+),
+dec AS (
+  SELECT round(slope * idx + icpt, 4) + 0.0 AS trend,
+         seasonal + 0.0 AS seasonal,
+         round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
+           AS residual
+  FROM det JOIN seas ON det.season = seas.season
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(CAST(residual AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS sr_d,
+         CAST(CAST(sum(CAST(residual AS DECIMAL(19,4))
+              * CAST(residual AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS qr_d,
+         CAST(CAST(sum(CAST(seasonal AS DECIMAL(18,4))
+              + CAST(residual AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS ss_d,
+         CAST(CAST(sum((CAST(seasonal AS DECIMAL(19,4))
+              + CAST(residual AS DECIMAL(19,4)))
+              * (CAST(seasonal AS DECIMAL(18,4))
+              + CAST(residual AS DECIMAL(18,4)))) AS VARCHAR)
+              AS DOUBLE) AS qs_d,
+         CAST(CAST(sum(CAST(trend AS DECIMAL(18,4))
+              + CAST(residual AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) AS st_d,
+         CAST(CAST(sum((CAST(trend AS DECIMAL(19,4))
+              + CAST(residual AS DECIMAL(19,4)))
+              * (CAST(trend AS DECIMAL(18,4))
+              + CAST(residual AS DECIMAL(18,4)))) AS VARCHAR)
+              AS DOUBLE) AS qt_d
+  FROM dec
+)
+SELECT n,
+       CAST(CAST(round(greatest(0.0, 1.0
+            - ((qr_d - sr_d * sr_d / n_d) / nullif(n_d - 1.0, 0.0))
+            / nullif(((qs_d - ss_d * ss_d / n_d)
+            / nullif(n_d - 1.0, 0.0)), 0.0)) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS seasonal_strength,
+       CAST(CAST(round(greatest(0.0, 1.0
+            - ((qr_d - sr_d * sr_d / n_d) / nullif(n_d - 1.0, 0.0))
+            / nullif(((qt_d - st_d * st_d / n_d)
+            / nullif(n_d - 1.0, 0.0)), 0.0)) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS trend_strength
+FROM m
 """
 
     # seasonal-naive forecast: the decomposition chain projected onto

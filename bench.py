@@ -270,6 +270,7 @@ HEADLINE = [
     "docs_cramers_v",
     "embeddings_hard_negatives",
     "docs_threshold_sweep",
+    "orders_seasonal_strength",
 ]
 
 

@@ -2114,3 +2114,63 @@ def weighted_median(
         )
         .orderBy("group")
     )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    idx_col: str,
+    season_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonality and trend STRENGTH scalars (Hyndman's FPP measures)
+    computed over :func:`seasonal_decompose`'s output::
+
+        F_s = max(0, 1 − var(residual) / var(seasonal + residual))
+        F_t = max(0, 1 − var(residual) / var(trend + residual))
+
+    — the "is this series worth a seasonal model" gate: near 0 means
+    the component is noise, near 1 means it dominates.  The decomposed
+    frame is model data (one row per period); variances come from its
+    exact decimal moments in one aggregate, the two ratios are
+    fixed-order doubles, micro-quantized.
+
+    Returns one row: (n, seasonal_strength, trend_strength).
+    """
+    d = seasonal_decompose(series, idx_col, season_col, value_col)
+    # wide decimals: trend+residual is value-scale (monthly revenue
+    # sums overflow (12,4)); (19,4) on one product side keeps DuckDB's
+    # int64 decimal storage from overflowing (the shared gotcha)
+    x = lambda c: F.col(c).cast("decimal(18,4)")
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x("residual")).alias("sr"),
+        F.sum(x("residual") * x("residual")).alias("qr"),
+        F.sum(x("seasonal") + x("residual")).alias("ss"),
+        F.sum((F.col("seasonal").cast("decimal(19,4)")
+               + F.col("residual").cast("decimal(19,4)"))
+              * (x("seasonal") + x("residual"))).alias("qs"),
+        F.sum(x("trend") + x("residual")).alias("st"),
+        F.sum((F.col("trend").cast("decimal(19,4)")
+               + F.col("residual").cast("decimal(19,4)"))
+              * (x("trend") + x("residual"))).alias("qt"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sr", "qr", "ss", "qs", "st", "qt")],
+    )
+
+    def var(q, s):
+        return f"(({q}_d - {s}_d * {s}_d / n_d) / nullif(n_d - 1.0, 0.0))"
+
+    fs = (f"greatest(0.0, 1.0 - {var('qr', 'sr')} "
+          f"/ nullif({var('qs', 'ss')}, 0.0))")
+    ft = (f"greatest(0.0, 1.0 - {var('qr', 'sr')} "
+          f"/ nullif({var('qt', 'st')}, 0.0))")
+    return m.select(
+        "n",
+        F.expr(f"CAST(round(({fs}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("seasonal_strength"),
+        F.expr(f"CAST(round(({ft}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("trend_strength"),
+    )

@@ -3074,3 +3074,24 @@ def test_threshold_sweep_replay(spark):
     assert recs == sorted(recs, reverse=True)
     with pytest.raises(ValueError):
         ops.threshold_sweep(df, "score", "y", n_thresholds=0)
+
+
+# ---- seasonal_strength -----------------------------------------------------
+
+
+def test_seasonal_strength_separates_signal_from_noise(spark):
+    # strong 4-period seasonality on a flat base: F_s high, F_t low
+    pts = [(i, i % 4, 100.0 + [0.0, 30.0, -20.0, 10.0][i % 4]
+            + (0.3 if i % 5 == 0 else -0.2)) for i in range(24)]
+    df = spark.createDataFrame(pts, "idx long, season int, value double")
+    r = ops.seasonal_strength(df, "idx", "season", "value").collect()[0]
+    assert r["n"] == 24
+    assert r["seasonal_strength"] > 0.9
+    assert r["trend_strength"] < 0.3
+    # strong linear trend, no seasonality: F_t high, F_s low
+    pts2 = [(i, i % 4, 10.0 * i + (0.4 if i % 3 == 0 else -0.1))
+            for i in range(24)]
+    df2 = spark.createDataFrame(pts2, "idx long, season int, value double")
+    r2 = ops.seasonal_strength(df2, "idx", "season", "value").collect()[0]
+    assert r2["trend_strength"] > 0.9
+    assert r2["seasonal_strength"] < 0.5
