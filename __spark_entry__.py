@@ -1485,6 +1485,10 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_triplets(spark, sf):
+    return ops.triplet_mining(_t(spark, sf, "embeddings"), k_scan=10)
+
+
 def _q_seasonal_strength(spark, sf):
     monthly = (
         _t(spark, sf, "orders")
@@ -2372,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_hard_negatives": _q_hard_negatives,
             "docs_threshold_sweep": _q_threshold_sweep,
             "orders_seasonal_strength": _q_seasonal_strength,
+            "embeddings_triplets": _q_triplets,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2498,7 +2503,7 @@ _GATE_PRIORITY = [
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
-    "orders_seasonal_strength",
+    "orders_seasonal_strength", "embeddings_triplets",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -6477,6 +6482,61 @@ FROM (
              ORDER BY cosine DESC, neg_id ASC) AS neg_rank
   FROM cand
 ) WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank
+"""
+    )
+
+    # Triplets: kNN scan, hardest positive (min cosine same label) and
+    # hardest negative (max cosine other label) per anchor; textually
+    # parallel to operators.similarity.triplet_mining.
+    o["embeddings_triplets"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT vec_id, neighbor_id, cosine FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+cand AS (
+  SELECT k.vec_id AS anchor_id, la.label AS anchor_label,
+         k.neighbor_id, lb.label AS nb_label, k.cosine
+  FROM knn k
+  JOIN embeddings la ON la.vec_id = k.vec_id
+  JOIN embeddings lb ON lb.vec_id = k.neighbor_id
+),
+pos AS (
+  SELECT anchor_id, anchor_label, neighbor_id AS pos_id,
+         cosine AS pos_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine ASC, neighbor_id ASC) AS r
+    FROM cand WHERE nb_label = anchor_label
+  ) WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id, neighbor_id AS neg_id, cosine AS neg_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS r
+    FROM cand WHERE nb_label != anchor_label
+  ) WHERE r = 1
+)
+SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_cosine,
+       n.neg_id, n.neg_cosine,
+       CAST(round((p.pos_cosine - n.neg_cosine) * 1000000.0) AS BIGINT)
+         AS margin_micro,
+       CAST(CAST(round((p.pos_cosine - n.neg_cosine) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS margin
+FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+ORDER BY p.anchor_id
 """
     )
 

@@ -271,6 +271,7 @@ HEADLINE = [
     "embeddings_hard_negatives",
     "docs_threshold_sweep",
     "orders_seasonal_strength",
+    "embeddings_triplets",
 ]
 
 

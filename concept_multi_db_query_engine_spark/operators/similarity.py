@@ -1455,3 +1455,69 @@ def hard_negative_mining(
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    k_scan: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor, hard positive, hard negative) triplets for triplet-loss
+    training: per anchor, the LEAST similar same-label neighbor in the
+    scanned neighborhood (the hard positive — easy positives teach
+    nothing) and the MOST similar different-label neighbor (the hard
+    negative), plus the margin between them (negative margin = an
+    active triplet the loss will actually pull on).
+
+    One exact kNN scan (top-``k_scan``), one keyed label join, and two
+    rank windows over the same per-anchor partitioning — no second
+    corpus pass.  Anchors whose neighborhood lacks either side are
+    dropped (widen ``k_scan`` to recover them).  Returns (anchor_id,
+    anchor_label, pos_id, pos_cosine, neg_id, neg_cosine,
+    margin_micro, margin), ordered by anchor id.
+    """
+    from pyspark.sql import Window
+
+    if k_scan < 2:
+        raise ValueError("k_scan must be >= 2")
+    knn = knn_graph(embeddings, k=k_scan, id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl"))
+    cand = (
+        knn.join(labels.withColumnsRenamed(
+            {"__lid": id_col, "__lbl": "anchor_label"}), id_col)
+        .join(labels.withColumnsRenamed(
+            {"__lid": "neighbor_id", "__lbl": "nb_label"}), "neighbor_id")
+    )
+    w_pos = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").asc())
+    w_neg = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    pos = (
+        cand.where(F.col("nb_label") == F.col("anchor_label"))
+        .withColumn("__r", F.row_number().over(w_pos))
+        .where("__r = 1")
+        .select(F.col(id_col).alias("anchor_id"), "anchor_label",
+                F.col("neighbor_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cosine"))
+    )
+    neg = (
+        cand.where(F.col("nb_label") != F.col("anchor_label"))
+        .withColumn("__r", F.row_number().over(w_neg))
+        .where("__r = 1")
+        .select(F.col(id_col).alias("anchor_id"),
+                F.col("neighbor_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cosine"))
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .withColumn(
+            "margin_micro",
+            F.expr("CAST(round((pos_cosine - neg_cosine) * 1000000.0) "
+                   "AS BIGINT)"),
+        )
+        .withColumn("margin", F.col("margin_micro").cast("double") / 1e6)
+        .orderBy("anchor_id")
+    )

@@ -3095,3 +3095,31 @@ def test_seasonal_strength_separates_signal_from_noise(spark):
     r2 = ops.seasonal_strength(df2, "idx", "season", "value").collect()[0]
     assert r2["trend_strength"] > 0.9
     assert r2["seasonal_strength"] < 0.5
+
+
+# ---- triplet_mining --------------------------------------------------------
+
+
+def test_triplet_margins_and_hardness(spark):
+    pts = [(0, [0.0, 1.0], 0), (1, [0.05, 1.0], 0), (2, [0.4, 1.0], 0),
+           (3, [1.0, 0.4], 1), (4, [1.0, 0.05], 1), (5, [1.0, 0.0], 1)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in pts],
+        "vec_id long, embedding array<float>, label int")
+    got = {r["anchor_id"]: r for r in
+           ops.triplet_mining(df, k_scan=5).collect()}
+    for a, r in got.items():
+        lbl = next(l for i, _, l in pts if i == a)
+        assert r["anchor_label"] == lbl
+        pos_lbl = next(l for i, _, l in pts if i == r["pos_id"])
+        neg_lbl = next(l for i, _, l in pts if i == r["neg_id"])
+        assert pos_lbl == lbl and neg_lbl != lbl
+        assert abs(r["margin"] - (r["pos_cosine"] - r["neg_cosine"])) \
+            < 1e-6
+    # anchor 0's hard positive is the FARTHEST same-label point (2),
+    # not the adjacent one
+    assert got[0]["pos_id"] == 2
+    # boundary anchors have the smallest margins
+    assert got[2]["margin"] < got[0]["margin"]
+    with pytest.raises(ValueError):
+        ops.triplet_mining(df, k_scan=1)
