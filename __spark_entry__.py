@@ -1485,6 +1485,10 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_cohort_ltv(spark, sf):
+    return ops.cohort_ltv(_t(spark, sf, "orders"), max_age=11)
+
+
 def _q_triplets(spark, sf):
     return ops.triplet_mining(_t(spark, sf, "embeddings"), k_scan=10)
 
@@ -2377,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_threshold_sweep": _q_threshold_sweep,
             "orders_seasonal_strength": _q_seasonal_strength,
             "embeddings_triplets": _q_triplets,
+            "orders_cohort_ltv": _q_cohort_ltv,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2503,7 +2508,7 @@ _GATE_PRIORITY = [
     "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
-    "orders_seasonal_strength", "embeddings_triplets",
+    "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8659,6 +8664,51 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Cohort LTV curve, textually parallel to
+    # operators.insights.cohort_ltv (max_age = 11).
+    o["orders_cohort_ltv"] = """
+WITH base AS (
+  SELECT o_custkey AS cust,
+         date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+tagged AS (
+  SELECT *, min(m) OVER (PARTITION BY cust) AS cohort,
+         CAST(datediff('month', min(m) OVER (PARTITION BY cust), m)
+              AS INT) AS age
+  FROM base
+),
+lim AS (SELECT * FROM tagged WHERE age <= 11),
+sizes AS (
+  SELECT cohort AS cohort_month,
+         CAST(count(DISTINCT cust) AS BIGINT) AS n_customers
+  FROM lim GROUP BY 1
+),
+rev AS (
+  SELECT cohort AS cohort_month, age,
+         CAST(sum(amt) AS DECIMAL(18,2)) AS rev
+  FROM lim GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, age, rev,
+         CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age ASC
+              ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cumrev
+  FROM rev
+)
+SELECT CAST(c.cohort_month AS DATE) AS cohort_month, c.age,
+       s.n_customers,
+       CAST(c.rev AS DOUBLE) AS revenue,
+       CAST(c.cumrev AS DOUBLE) AS cum_revenue,
+       CAST(CAST(round(CAST(c.cumrev AS DOUBLE)
+            / nullif(CAST(s.n_customers AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS ltv
+FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+ORDER BY cohort_month, age
 """
 
     # Seasonal/trend strength over the decomposition chain; textually

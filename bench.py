@@ -272,6 +272,7 @@ HEADLINE = [
     "docs_threshold_sweep",
     "orders_seasonal_strength",
     "embeddings_triplets",
+    "orders_cohort_ltv",
 ]
 
 

@@ -509,3 +509,73 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             F.col("m_q").cast("string"),
         ).alias("rfm"),
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    max_age: int = 11,
+) -> DataFrame:
+    """Cohort LTV curve: customers grouped by FIRST-purchase month, and
+    each cohort's cumulative revenue per customer tracked across the
+    months since — the monetized retention curve (does month-3 value
+    converge across cohorts? is a newer cohort tracking below an older
+    one at the same age?) that payback-period decisions read.
+
+    Plan: one window for each customer's cohort month (keyed on the
+    customer — single shuffle), one (cohort, age) revenue aggregate in
+    exact decimals, then a cumulative window over the cohort×age MODEL
+    frame; cohort size joins back from a per-cohort distinct count.
+    LTV = cumulative revenue / cohort size, micro-quantized.
+
+    Returns one row per (cohort_month, age): (cohort_month, age,
+    n_customers, revenue, cum_revenue, ltv), ages 0..``max_age``,
+    ordered by (cohort_month, age).
+    """
+    from pyspark.sql import Window
+
+    if max_age < 0:
+        raise ValueError("max_age must be >= 0")
+    w_first = Window.partitionBy(cust_col)
+    base = orders.where(
+        f"({cust_col}) IS NOT NULL AND ({ts_col}) IS NOT NULL "
+        f"AND ({amount_col}) IS NOT NULL"
+    ).select(
+        F.col(cust_col).alias("__cust"),
+        F.expr(f"date_trunc('month', CAST({ts_col} AS DATE))")
+        .alias("__m"),
+        F.expr(f"CAST({amount_col} AS DECIMAL(18,2))").alias("__amt"),
+    ).withColumn(
+        "__cohort", F.min("__m").over(
+            Window.partitionBy("__cust"))
+    ).withColumn(
+        "__age",
+        F.expr("CAST(months_between(__m, __cohort) AS INT)"),
+    ).where(F.col("__age") <= max_age)
+    sizes = base.groupBy(F.col("__cohort").alias("cohort_month")).agg(
+        F.countDistinct("__cust").cast("long").alias("n_customers"))
+    rev = base.groupBy(
+        F.col("__cohort").alias("cohort_month"),
+        F.col("__age").alias("age"),
+    ).agg(F.sum("__amt").cast("decimal(18,2)").alias("__rev"))
+    w_cum = Window.partitionBy("cohort_month").orderBy(
+        F.col("age").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        rev.withColumn(
+            "__cum", F.sum("__rev").over(w_cum).cast("decimal(18,2)"))
+        .join(sizes, "cohort_month")
+        .select(
+            F.expr("CAST(cohort_month AS DATE)").alias("cohort_month"),
+            "age", "n_customers",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("__cum").cast("double").alias("cum_revenue"),
+            F.expr(
+                "CAST(round(CAST(__cum AS DOUBLE) "
+                "/ nullif(CAST(n_customers AS DOUBLE), 0.0) "
+                "* 1000000.0) AS BIGINT) / 1e6"
+            ).cast("double").alias("ltv"),
+        )
+        .orderBy("cohort_month", "age")
+    )

@@ -3123,3 +3123,32 @@ def test_triplet_margins_and_hardness(spark):
     assert got[2]["margin"] < got[0]["margin"]
     with pytest.raises(ValueError):
         ops.triplet_mining(df, k_scan=1)
+
+
+# ---- cohort_ltv ------------------------------------------------------------
+
+
+def test_cohort_ltv_accumulates_per_customer(spark):
+    import datetime as dt
+    d = lambda m, day=1: dt.datetime(2024, m, day)
+    rows = [
+        # cohort Jan: cust 1 buys in Jan (10) and Mar (30);
+        # cust 2 buys in Jan (20)
+        (1, d(1), 10.0), (1, d(3), 30.0), (2, d(1, 15), 20.0),
+        # cohort Feb: cust 3 buys Feb (5) and Mar (5)
+        (3, d(2), 5.0), (3, d(3, 20), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    got = {(str(r["cohort_month"]), r["age"]): r
+           for r in ops.cohort_ltv(df).collect()}
+    jan, feb = "2024-01-01", "2024-02-01"
+    assert got[(jan, 0)]["revenue"] == 30.0        # 10 + 20
+    assert got[(jan, 0)]["n_customers"] == 2
+    assert got[(jan, 0)]["ltv"] == 15.0
+    assert got[(jan, 2)]["cum_revenue"] == 60.0    # +30 in Mar
+    assert got[(jan, 2)]["ltv"] == 30.0
+    assert got[(feb, 1)]["cum_revenue"] == 10.0
+    assert got[(feb, 1)]["ltv"] == 10.0
+    # no age-1 row for Jan (nobody bought in Feb): sparse ages are real
+    assert (jan, 1) not in got
