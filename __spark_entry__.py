@@ -1485,6 +1485,13 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_fd(spark, sf):
+    # does a customer's nation determine their market segment? (no —
+    # the strength quantifies how far from an FD the pair sits)
+    return ops.functional_dependency(
+        _t(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment")
+
+
 def _q_cohort_ltv(spark, sf):
     return ops.cohort_ltv(_t(spark, sf, "orders"), max_age=11)
 
@@ -2382,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_seasonal_strength": _q_seasonal_strength,
             "embeddings_triplets": _q_triplets,
             "orders_cohort_ltv": _q_cohort_ltv,
+            "customers_fd_check": _q_fd,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2509,6 +2517,7 @@ _GATE_PRIORITY = [
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
+    "customers_fd_check",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8664,6 +8673,30 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Approximate FD strength (g3), textually parallel to
+    # operators.profile.functional_dependency.
+    o["customers_fd_check"] = """
+WITH pair AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
+),
+per_det AS (
+  SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS n,
+         CAST(max(c) AS BIGINT) AS keep,
+         CAST(count(*) AS BIGINT) AS vals
+  FROM pair GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n - keep) AS BIGINT) AS n_violating_rows,
+       CAST(CAST(round((1.0 - CAST(sum(n - keep) AS DOUBLE)
+            / nullif(CAST(sum(n) AS DOUBLE), 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS fd_strength
+FROM per_det
 """
 
     # Cohort LTV curve, textually parallel to

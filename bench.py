@@ -273,6 +273,7 @@ HEADLINE = [
     "orders_seasonal_strength",
     "embeddings_triplets",
     "orders_cohort_ltv",
+    "customers_fd_check",
 ]
 
 

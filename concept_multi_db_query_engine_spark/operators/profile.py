@@ -370,3 +370,51 @@ def diversity_report(
             "0.0)) * 1000000.0) AS BIGINT) / 1e6"
         ).cast("double").alias("simpson"),
     ).orderBy("group")
+
+
+def functional_dependency(
+    df: DataFrame, det_cols: list[str], dep_col: str,
+) -> DataFrame:
+    """Approximate functional-dependency check ``det_cols → dep_col``
+    (Huhtala et al.'s TANE measure, aggregate form): how close the
+    data comes to "the determinant columns uniquely fix the dependent
+    column" — the schema-discovery / denormalization-audit question
+    (is ZIP → city actually clean? did the merge duplicate variants?).
+
+    ``g3`` strength = 1 − (minimum rows to delete for the FD to hold)
+    / n, where per determinant group the rows to delete are all but
+    the most frequent dependent value.  TWO hash aggregates, both on
+    bounded frames: (det, dep) counts, then a per-det max/sum rollup —
+    exact integers end to end.
+
+    Returns one row: (n_rows, n_groups, n_violating_groups,
+    n_violating_rows, fd_strength) — strength 1.0 means the FD holds
+    exactly.
+    """
+    if not det_cols:
+        raise ValueError("det_cols must be non-empty")
+    pair = (
+        df.where(f"({dep_col}) IS NOT NULL")
+        .groupBy(*det_cols, dep_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_det = pair.groupBy(*det_cols).agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.max("__c").cast("long").alias("__keep"),
+        F.count(F.lit(1)).cast("long").alias("__vals"),
+    )
+    return per_det.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.expr("CASE WHEN __vals > 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_violating_groups"),
+        F.sum(F.expr("__n - __keep")).cast("long")
+        .alias("n_violating_rows"),
+    ).select(
+        "n_rows", "n_groups", "n_violating_groups", "n_violating_rows",
+        F.expr(
+            "CAST(round((1.0 - CAST(n_violating_rows AS DOUBLE) "
+            "/ nullif(CAST(n_rows AS DOUBLE), 0.0)) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("fd_strength"),
+    )

@@ -3152,3 +3152,24 @@ def test_cohort_ltv_accumulates_per_customer(spark):
     assert got[(feb, 1)]["ltv"] == 10.0
     # no age-1 row for Jan (nobody bought in Feb): sparse ages are real
     assert (jan, 1) not in got
+
+
+# ---- functional_dependency -------------------------------------------------
+
+
+def test_fd_exact_partial_and_broken(spark):
+    rows = [("z1", "nyc"), ("z1", "nyc"), ("z2", "sf"),
+            ("z3", "la"), ("z3", "la"), ("z3", "oakland")]
+    df = spark.createDataFrame(rows, "zip string, city string")
+    r = ops.functional_dependency(df, ["zip"], "city").collect()[0]
+    # z3 violates: 3 rows, keep the 2-row majority -> delete 1
+    assert (r["n_rows"], r["n_groups"]) == (6, 3)
+    assert (r["n_violating_groups"], r["n_violating_rows"]) == (1, 1)
+    assert r["fd_strength"] == round(1 - 1 / 6, 6)
+    # a key column determines anything exactly
+    df2 = spark.createDataFrame(
+        [(i, "v%d" % (i % 3)) for i in range(9)], "k long, v string")
+    r2 = ops.functional_dependency(df2, ["k"], "v").collect()[0]
+    assert r2["fd_strength"] == 1.0 and r2["n_violating_rows"] == 0
+    with pytest.raises(ValueError):
+        ops.functional_dependency(df2, [], "v")
