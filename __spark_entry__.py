@@ -1485,6 +1485,19 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_inclusion(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    return ops.inclusion_dependency(
+        li, "l_orderkey", orders, "o_orderkey",
+        "lineitem_orderkey_in_orders",
+    ).unionByName(ops.inclusion_dependency(
+        orders, "o_custkey", customer, "c_custkey",
+        "orders_custkey_in_customer",
+    )).orderBy("dep")
+
+
 def _q_fd(spark, sf):
     # does a customer's nation determine their market segment? (no —
     # the strength quantifies how far from an FD the pair sits)
@@ -2390,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_triplets": _q_triplets,
             "orders_cohort_ltv": _q_cohort_ltv,
             "customers_fd_check": _q_fd,
+            "schema_inclusion_deps": _q_inclusion,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2517,7 +2531,7 @@ _GATE_PRIORITY = [
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
-    "customers_fd_check",
+    "customers_fd_check", "schema_inclusion_deps",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8673,6 +8687,36 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Inclusion dependencies, textually parallel to
+    # operators.profile.inclusion_dependency.
+    o["schema_inclusion_deps"] = """
+WITH a1 AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v
+            FROM lineitem WHERE l_orderkey IS NOT NULL),
+b1 AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+       FROM orders WHERE o_orderkey IS NOT NULL),
+a2 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+       FROM orders WHERE o_custkey IS NOT NULL),
+b2 AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+       FROM customer WHERE c_custkey IS NOT NULL),
+r1 AS (
+  SELECT 'lineitem_orderkey_in_orders' AS dep,
+         (SELECT CAST(count(*) AS BIGINT) FROM a1) AS n_distinct_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM a1
+          WHERE v IN (SELECT v FROM b1)) AS n_matched
+),
+r2 AS (
+  SELECT 'orders_custkey_in_customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM a2),
+         (SELECT CAST(count(*) AS BIGINT) FROM a2
+          WHERE v IN (SELECT v FROM b2))
+)
+SELECT dep, n_distinct_a, n_matched,
+       CAST(CAST(round(CAST(n_matched AS DOUBLE)
+            / nullif(CAST(n_distinct_a AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS containment
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) ORDER BY dep
 """
 
     # Approximate FD strength (g3), textually parallel to

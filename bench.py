@@ -274,6 +274,7 @@ HEADLINE = [
     "embeddings_triplets",
     "orders_cohort_ltv",
     "customers_fd_check",
+    "schema_inclusion_deps",
 ]
 
 

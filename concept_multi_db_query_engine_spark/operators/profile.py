@@ -418,3 +418,41 @@ def functional_dependency(
             "AS BIGINT) / 1e6"
         ).cast("double").alias("fd_strength"),
     )
+
+
+def inclusion_dependency(
+    df_a: DataFrame, col_a: str,
+    df_b: DataFrame, col_b: str,
+    name: str = "a_in_b",
+) -> DataFrame:
+    """Inclusion-dependency measure ``A ⊆ B`` — the foreign-key
+    DISCOVERY complement to :func:`expectations_report`'s FK check
+    (which assumes you already know the key): what fraction of A's
+    distinct non-null values appear in B.  Containment ~1 flags a
+    candidate FK; the direction with higher containment points at the
+    referenced side.
+
+    Distinct both sides (value-keyed aggregates), ONE left-semi join
+    for the matched count — never a row-level join of the raw tables.
+    Returns one row: (dep, n_distinct_a, n_matched, containment).
+    """
+    a = df_a.where(f"({col_a}) IS NOT NULL").select(
+        F.expr(f"CAST(({col_a}) AS STRING)").alias("__v")).distinct()
+    b = df_b.where(f"({col_b}) IS NOT NULL").select(
+        F.expr(f"CAST(({col_b}) AS STRING)").alias("__v")).distinct()
+    matched = a.join(b, "__v", "left_semi")
+    return (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_a"))
+        .crossJoin(
+            matched.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_matched")))
+        .select(
+            F.lit(name).alias("dep"),
+            "n_distinct_a", "n_matched",
+            F.expr(
+                "CAST(round(CAST(n_matched AS DOUBLE) "
+                "/ nullif(CAST(n_distinct_a AS DOUBLE), 0.0) "
+                "* 1000000.0) AS BIGINT) / 1e6"
+            ).cast("double").alias("containment"),
+        )
+    )

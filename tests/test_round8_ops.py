@@ -3173,3 +3173,22 @@ def test_fd_exact_partial_and_broken(spark):
     assert r2["fd_strength"] == 1.0 and r2["n_violating_rows"] == 0
     with pytest.raises(ValueError):
         ops.functional_dependency(df2, [], "v")
+
+
+# ---- inclusion_dependency --------------------------------------------------
+
+
+def test_inclusion_containment(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,), (3,), (None,)], "k int")
+    b = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    r = ops.inclusion_dependency(a, "k", b, "k", "a_in_b").collect()[0]
+    # distinct non-null A = {1,2,3}; matched = {1,2}
+    assert (r["n_distinct_a"], r["n_matched"]) == (3, 2)
+    assert r["containment"] == round(2 / 3, 6)
+    # reverse direction: {1,2,9} -> matched {1,2}
+    r2 = ops.inclusion_dependency(b, "k", a, "k").collect()[0]
+    assert r2["containment"] == round(2 / 3, 6)
+    # perfect FK
+    r3 = ops.inclusion_dependency(
+        a.where("k IS NOT NULL AND k < 3"), "k", b, "k").collect()[0]
+    assert r3["containment"] == 1.0
