@@ -1485,6 +1485,17 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_band_join(spark, sf):
+    part = _t(spark, sf, "part")
+    a = part.select(F.col("p_partkey").alias("id_a"),
+                    F.col("p_retailprice"))
+    b = part.select(F.col("p_partkey").alias("id_b"),
+                    F.col("p_retailprice"))
+    return ops.band_join(
+        a, b, "p_retailprice", "p_retailprice", 0.02,
+    ).where("id_a < id_b")
+
+
 def _q_inclusion(spark, sf):
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
@@ -2404,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_cohort_ltv": _q_cohort_ltv,
             "customers_fd_check": _q_fd,
             "schema_inclusion_deps": _q_inclusion,
+            "parts_price_band_join": _q_band_join,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2531,7 +2543,7 @@ _GATE_PRIORITY = [
     "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
-    "customers_fd_check", "schema_inclusion_deps",
+    "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8687,6 +8699,31 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Band join (grid decomposition), textually parallel to
+    # operators.analytics.band_join (eps = 0.02, self-join id_a < id_b).
+    o["parts_price_band_join"] = """
+WITH av AS (
+  SELECT p_partkey AS ia, CAST(p_retailprice AS DOUBLE) AS va
+  FROM part WHERE p_retailprice IS NOT NULL
+),
+bv AS (
+  SELECT p_partkey AS ib, CAST(p_retailprice AS DOUBLE) AS vb,
+         CAST(floor(CAST(p_retailprice AS DOUBLE) / 0.02) AS BIGINT)
+           AS bkt
+  FROM part WHERE p_retailprice IS NOT NULL
+),
+probes AS (
+  SELECT ia, va, CAST(floor(va / 0.02) AS BIGINT) + d.d AS bkt
+  FROM av CROSS JOIN (VALUES (-1), (0), (1)) d(d)
+)
+SELECT p.ia AS id_a, b.ib AS id_b,
+       p.va AS value_a, b.vb AS value_b,
+       round(p.va - b.vb, 6) AS diff
+FROM probes p JOIN bv b ON p.bkt = b.bkt
+WHERE abs(p.va - b.vb) <= 0.02 AND p.ia < b.ib
+ORDER BY id_a, id_b
 """
 
     # Inclusion dependencies, textually parallel to

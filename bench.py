@@ -275,6 +275,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "customers_fd_check",
     "schema_inclusion_deps",
+    "parts_price_band_join",
 ]
 
 

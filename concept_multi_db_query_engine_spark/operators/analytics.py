@@ -1973,3 +1973,62 @@ def session_exit_rates(
         )
         .orderBy("event_type")
     )
+
+
+def band_join(
+    a: DataFrame,
+    b: DataFrame,
+    col_a: str,
+    col_b: str,
+    eps: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Numeric band join: all pairs with ``|a.value − b.value| <= eps``
+    — price matching, sensor alignment, tolerance-based reconciliation
+    — WITHOUT the cross join Catalyst would otherwise plan for a pure
+    inequality condition.
+
+    Classic grid decomposition: values bucket to ``floor(v / eps)``;
+    any qualifying pair sits in the same or adjacent buckets, so the
+    LEFT side explodes to its three candidate buckets (a bounded ×3,
+    not ×|B|) and ONE equi-join on the bucket key finds every
+    candidate, verified by the exact band predicate.  Shuffle cost is
+    candidates, never |A|·|B|; skewed buckets (value hot spots) are
+    ordinary join skew, handled by AQE.
+
+    Returns (id_a, id_b, value_a, value_b, diff), ordered by
+    (id_a, id_b).
+    """
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    av = a.select(
+        F.col(id_a).alias("__ia"),
+        F.expr(f"CAST(({col_a}) AS DOUBLE)").alias("__va"),
+    ).where("__va IS NOT NULL")
+    bv = b.select(
+        F.col(id_b).alias("__ib"),
+        F.expr(f"CAST(({col_b}) AS DOUBLE)").alias("__vb"),
+    ).where("__vb IS NOT NULL").withColumn(
+        "__bkt", F.expr(f"CAST(floor(__vb / {eps!r}d) AS BIGINT)")
+    )
+    probes = av.select(
+        "__ia", "__va",
+        F.explode(
+            F.expr(
+                f"array(CAST(floor(__va / {eps!r}d) AS BIGINT) - 1, "
+                f"CAST(floor(__va / {eps!r}d) AS BIGINT), "
+                f"CAST(floor(__va / {eps!r}d) AS BIGINT) + 1)"
+            )
+        ).alias("__bkt"),
+    )
+    return (
+        probes.join(bv, "__bkt")
+        .where(F.expr(f"abs(__va - __vb) <= {eps!r}d"))
+        .select(
+            F.col("__ia").alias(id_a), F.col("__ib").alias(id_b),
+            F.col("__va").alias("value_a"), F.col("__vb").alias("value_b"),
+            F.expr("round(__va - __vb, 6)").alias("diff"),
+        )
+        .orderBy(id_a, id_b)
+    )

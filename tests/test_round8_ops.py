@@ -3192,3 +3192,32 @@ def test_inclusion_containment(spark):
     r3 = ops.inclusion_dependency(
         a.where("k IS NOT NULL AND k < 3"), "k", b, "k").collect()[0]
     assert r3["containment"] == 1.0
+
+
+# ---- band_join -------------------------------------------------------------
+
+
+def test_band_join_exact_and_no_cartesian(spark):
+    a = spark.createDataFrame(
+        [(1, 10.00), (2, 10.015), (3, 10.05), (4, 99.0)],
+        "id_a long, v double")
+    b = spark.createDataFrame(
+        [(7, 10.01), (8, 10.04), (9, 50.0)], "id_b long, v double")
+    got = {(r["id_a"], r["id_b"]): r["diff"] for r in
+           ops.band_join(a, b, "v", "v", 0.02).collect()}
+    # exact band: |diff| <= 0.02
+    want = {(ia, ib) for ia, va in [(1, 10.00), (2, 10.015),
+                                    (3, 10.05), (4, 99.0)]
+            for ib, vb in [(7, 10.01), (8, 10.04), (9, 50.0)]
+            if abs(va - vb) <= 0.02}
+    assert set(got) == want
+    assert (1, 7) in got and (3, 8) in got and (4, 9) not in got
+    # plan: keyed equi-join, no cartesian / nested-loop fallback
+    plan = ops.band_join(a, b, "v", "v", 0.02)
+    plan.collect()
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    cut = txt.find("== Initial Plan ==")
+    txt = txt[:cut] if cut != -1 else txt
+    assert "CartesianProduct" not in txt
+    with pytest.raises(ValueError):
+        ops.band_join(a, b, "v", "v", 0.0)
