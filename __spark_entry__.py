@@ -1485,6 +1485,24 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_gap_fill(spark, sf):
+    # sparse daily revenue per priority: day indexes with no orders are
+    # interpolated (every 3rd day kept to force gaps deterministically)
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+                   "DATE'1995-01-01') AS BIGINT)").alias("day"),
+        )
+        .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)").alias("revenue"))
+        .where("day % 3 = 0 AND day <= 120")
+    )
+    return ops.gap_fill_linear(daily, "o_orderpriority", "day",
+                               "revenue")
+
+
 def _q_band_join(spark, sf):
     part = _t(spark, sf, "part")
     a = part.select(F.col("p_partkey").alias("id_a"),
@@ -2416,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customers_fd_check": _q_fd,
             "schema_inclusion_deps": _q_inclusion,
             "parts_price_band_join": _q_band_join,
+            "orders_gap_fill": _q_gap_fill,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2544,6 +2563,7 @@ _GATE_PRIORITY = [
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
+    "orders_gap_fill",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8699,6 +8719,54 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Linear gap-fill, textually parallel to
+    # operators.analytics.gap_fill_linear.
+    o["orders_gap_fill"] = """
+WITH daily AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+         CAST(datediff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1, 2
+),
+obs AS (
+  SELECT grp AS "group", day AS idx, revenue AS value FROM daily
+  WHERE day % 3 = 0 AND day <= 120
+),
+spine AS (
+  SELECT "group", unnest(generate_series(lo, hi)) AS idx
+  FROM (SELECT "group", min(idx) AS lo, max(idx) AS hi
+        FROM obs GROUP BY 1)
+),
+joined AS (
+  SELECT s."group", s.idx, o.value
+  FROM spine s LEFT JOIN obs o
+    ON s."group" = o."group" AND s.idx = o.idx
+),
+staged AS (
+  SELECT "group", idx, value,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY "group"
+      ORDER BY idx ASC ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN value IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (PARTITION BY "group"
+      ORDER BY idx ASC ROWS UNBOUNDED PRECEDING) AS pi,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY "group"
+      ORDER BY idx DESC ROWS UNBOUNDED PRECEDING) AS nv,
+    last_value(CASE WHEN value IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER (PARTITION BY "group"
+      ORDER BY idx DESC ROWS UNBOUNDED PRECEDING) AS ni
+  FROM joined
+)
+SELECT "group", idx, value,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE round(pv + (nv - pv)
+                 * (CAST(idx - pi AS DOUBLE)
+                 / CAST(ni - pi AS DOUBLE)), 6) END AS filled,
+       value IS NOT NULL AS was_observed
+FROM staged ORDER BY "group", idx
 """
 
     # Band join (grid decomposition), textually parallel to

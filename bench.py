@@ -276,6 +276,7 @@ HEADLINE = [
     "customers_fd_check",
     "schema_inclusion_deps",
     "parts_price_band_join",
+    "orders_gap_fill",
 ]
 
 

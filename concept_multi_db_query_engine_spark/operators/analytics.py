@@ -2032,3 +2032,69 @@ def band_join(
         )
         .orderBy(id_a, id_b)
     )
+
+
+def gap_fill_linear(
+    series: DataFrame,
+    group_col: str,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gap-fill a per-group integer-indexed series: missing index
+    points inside each group's [min, max] range are materialized and
+    filled by LINEAR interpolation between the nearest observed
+    neighbors — the standard pre-processing before seasonal/rolling
+    analysis, where a missing period would silently shift every
+    window.
+
+    Per group: one aggregate for the index range, a ``sequence``
+    explode for the spine (bounded by the range, not the corpus), a
+    left join of observations, then two window passes (last observed
+    before / first observed after — ``last(ignorenulls)`` forward and
+    its mirror) feed one fixed-order interpolation expression.  All on
+    a single group-keyed shuffle.  Returns (group, idx, value,
+    filled, was_observed), ordered by (group, idx).
+    """
+    from pyspark.sql import Window
+
+    obs = series.where(
+        f"({group_col}) IS NOT NULL AND ({idx_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({group_col}) AS STRING)").alias("group"),
+        F.expr(f"CAST(({idx_col}) AS BIGINT)").alias("idx"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("value"),
+    )
+    spine = obs.groupBy("group").agg(
+        F.min("idx").alias("__lo"), F.max("idx").alias("__hi")
+    ).select(
+        "group", F.explode(F.expr("sequence(__lo, __hi)")).alias("idx")
+    )
+    joined = spine.join(obs, ["group", "idx"], "left")
+    w_fwd = Window.partitionBy("group").orderBy(F.col("idx").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.partitionBy("group").orderBy(F.col("idx").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        joined
+        .withColumn("__pv", F.last("value", ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "__pi",
+            F.last(F.when(F.col("value").isNotNull(), F.col("idx")),
+                   ignorenulls=True).over(w_fwd))
+        .withColumn("__nv", F.last("value", ignorenulls=True).over(w_bwd))
+        .withColumn(
+            "__ni",
+            F.last(F.when(F.col("value").isNotNull(), F.col("idx")),
+                   ignorenulls=True).over(w_bwd))
+    )
+    fill = (
+        "CASE WHEN value IS NOT NULL THEN value "
+        "ELSE round(__pv + (__nv - __pv) "
+        "* (CAST(idx - __pi AS DOUBLE) "
+        "/ CAST(__ni - __pi AS DOUBLE)), 6) END"
+    )
+    return staged.select(
+        "group", "idx", "value",
+        F.expr(fill).alias("filled"),
+        F.col("value").isNotNull().alias("was_observed"),
+    ).orderBy("group", "idx")

@@ -3221,3 +3221,23 @@ def test_band_join_exact_and_no_cartesian(spark):
     assert "CartesianProduct" not in txt
     with pytest.raises(ValueError):
         ops.band_join(a, b, "v", "v", 0.0)
+
+
+# ---- gap_fill_linear -------------------------------------------------------
+
+
+def test_gap_fill_interpolates_midpoints(spark):
+    rows = [("a", 0, 10.0), ("a", 3, 40.0), ("a", 4, 0.0),
+            ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = {(r["group"], r["idx"]): r for r in
+           ops.gap_fill_linear(df, "g", "i", "v").collect()}
+    # spine covers 0..4 for a; 1 and 2 interpolate on the 10->40 leg
+    assert len([k for k in got if k[0] == "a"]) == 5
+    assert got[("a", 1)]["filled"] == 20.0
+    assert got[("a", 2)]["filled"] == 30.0
+    assert not got[("a", 2)]["was_observed"]
+    assert got[("a", 3)]["filled"] == 40.0 and got[("a", 3)]["was_observed"]
+    # singleton group: just its own point, no fabricated range
+    assert [k for k in got if k[0] == "b"] == [("b", 5)]
+    assert got[("b", 5)]["filled"] == 1.0
