@@ -1485,6 +1485,16 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_trending(spark, sf):
+    # which part brands trend between the two halves of the shipping
+    # history (one keyed lineitem-part join feeds the key frame)
+    li = _t(spark, sf, "lineitem").join(
+        _t(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey"))
+    return ops.trending_report(
+        li, "p_brand", "l_shipdate >= TIMESTAMP'1998-01-01 00:00:00'",
+        pseudo=20, k=10)
+
+
 def _q_gap_fill(spark, sf):
     # sparse daily revenue per priority: day indexes with no orders are
     # interpolated (every 3rd day kept to force gaps deterministically)
@@ -2435,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "schema_inclusion_deps": _q_inclusion,
             "parts_price_band_join": _q_band_join,
             "orders_gap_fill": _q_gap_fill,
+            "parts_trending_brands": _q_trending,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2563,7 +2574,7 @@ _GATE_PRIORITY = [
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
-    "orders_gap_fill",
+    "orders_gap_fill", "parts_trending_brands",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -8719,6 +8730,51 @@ SELECT det.idx, det.season, det.value,
        round(value - (slope * idx + icpt) - seasonal, 4) + 0.0
          AS residual
 FROM det JOIN seas ON det.season = seas.season
+"""
+
+    # Trending brands, textually parallel to
+    # operators.analytics.trending_report (pseudo = 20, k = 10).
+    o["parts_trending_brands"] = """
+WITH g AS (
+  SELECT CAST(p_brand AS VARCHAR) AS key,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+              THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL GROUP BY 1
+),
+staged AS (
+  SELECT key, n_before, n_after,
+         CAST(sum(n_before) OVER () AS BIGINT) AS tb,
+         CAST(sum(n_after) OVER () AS BIGINT) AS ta,
+         CAST(count(*) OVER () AS BIGINT) AS k
+  FROM g
+),
+scored AS (
+  SELECT key, n_before, n_after,
+         CAST(round((((CAST(n_after AS DOUBLE)
+              + 20.0 / CAST(k AS DOUBLE))
+              / (CAST(ta AS DOUBLE) + 20.0))
+              / (((CAST(n_before AS DOUBLE) + 20.0 / CAST(k AS DOUBLE))
+              / (CAST(tb AS DOUBLE) + 20.0)))) * 1000000.0) AS BIGINT)
+           AS trend_micro
+  FROM staged
+),
+rising AS (
+  SELECT *, 'rising' AS direction FROM (
+    SELECT *, row_number() OVER (ORDER BY trend_micro DESC, key ASC)
+           AS r FROM scored) WHERE r <= 10
+),
+falling AS (
+  SELECT *, 'falling' AS direction FROM (
+    SELECT *, row_number() OVER (ORDER BY trend_micro ASC, key ASC)
+           AS r FROM scored) WHERE r <= 10
+)
+SELECT key, n_before, n_after, trend_micro,
+       CAST(trend_micro AS DOUBLE) / 1e6 AS trend, direction
+FROM (SELECT * FROM rising UNION ALL SELECT * FROM falling)
+ORDER BY direction, trend_micro DESC, key ASC
 """
 
     # Linear gap-fill, textually parallel to

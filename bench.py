@@ -277,6 +277,7 @@ HEADLINE = [
     "schema_inclusion_deps",
     "parts_price_band_join",
     "orders_gap_fill",
+    "parts_trending_brands",
 ]
 
 

@@ -2098,3 +2098,83 @@ def gap_fill_linear(
         F.expr(fill).alias("filled"),
         F.col("value").isNotNull().alias("was_observed"),
     ).orderBy("group", "idx")
+
+
+def trending_report(
+    df: DataFrame,
+    key_col: str,
+    period_expr: str,
+    pseudo: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Two-period trending keys: which keys' SHARE of activity grew
+    most from the "before" period to the "after" period (``period_expr``
+    must yield a boolean — TRUE = after).  Shares, not raw counts, so
+    overall volume growth doesn't crown everything; additive smoothing
+    (``pseudo`` pseudo-events spread over the key vocabulary) keeps
+    rare keys from posting infinite lifts.
+
+        trend = ((n_after + p/K) / (T_after + p))
+              / ((n_before + p/K) / (T_before + p))
+
+    ONE scan to the key frame (conditional counts), totals and the
+    vocabulary size from an unpartitioned window over it, one
+    fixed-order double per key micro-quantized, top-``k`` each way
+    (rising and falling) returned.  Returns (key, n_before, n_after,
+    trend_micro, trend, direction), ordered by (direction,
+    trend_micro desc).
+    """
+    from pyspark.sql import Window
+
+    if pseudo < 1 or k < 1:
+        raise ValueError("pseudo and k must be >= 1")
+    g = (
+        df.where(f"({key_col}) IS NOT NULL AND ({period_expr}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({key_col}) AS STRING)").alias("key"))
+        .agg(
+            F.expr(f"CAST(sum(CASE WHEN ({period_expr}) THEN 0 ELSE 1 "
+                   "END) AS BIGINT)").alias("n_before"),
+            F.expr(f"CAST(sum(CASE WHEN ({period_expr}) THEN 1 ELSE 0 "
+                   "END) AS BIGINT)").alias("n_after"),
+        )
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = (
+        g.withColumn("__tb", F.sum("n_before").over(w).cast("long"))
+        .withColumn("__ta", F.sum("n_after").over(w).cast("long"))
+        .withColumn("__k", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    trend = (
+        f"((CAST(n_after AS DOUBLE) + {pseudo}.0d / CAST(__k AS DOUBLE)) "
+        f"/ (CAST(__ta AS DOUBLE) + {pseudo}.0d)) "
+        f"/ (((CAST(n_before AS DOUBLE) + {pseudo}.0d "
+        f"/ CAST(__k AS DOUBLE)) / (CAST(__tb AS DOUBLE) + {pseudo}.0d)))"
+    )
+    scored = staged.withColumn(
+        "trend_micro",
+        F.expr(f"CAST(round(({trend}) * 1000000.0) AS BIGINT)"),
+    ).withColumn("trend", F.col("trend_micro").cast("double") / 1e6)
+    rising = (
+        scored.withColumn(
+            "__r", F.row_number().over(
+                Window.orderBy(F.col("trend_micro").desc(),
+                               F.col("key").asc())))
+        .where(F.col("__r") <= k)
+        .withColumn("direction", F.lit("rising"))
+    )
+    falling = (
+        scored.withColumn(
+            "__r", F.row_number().over(
+                Window.orderBy(F.col("trend_micro").asc(),
+                               F.col("key").asc())))
+        .where(F.col("__r") <= k)
+        .withColumn("direction", F.lit("falling"))
+    )
+    return (
+        rising.unionByName(falling)
+        .select("key", "n_before", "n_after", "trend_micro", "trend",
+                "direction")
+        .orderBy("direction", F.col("trend_micro").desc(),
+                 F.col("key").asc())
+    )

@@ -3241,3 +3241,34 @@ def test_gap_fill_interpolates_midpoints(spark):
     # singleton group: just its own point, no fabricated range
     assert [k for k in got if k[0] == "b"] == [("b", 5)]
     assert got[("b", 5)]["filled"] == 1.0
+
+
+# ---- trending_report -------------------------------------------------------
+
+
+def test_trending_shares_not_volume(spark):
+    import math
+    # overall volume doubles; key 'up' triples its share, 'down' halves,
+    # 'flat' tracks the total
+    rows = ([("up", 0)] * 5 + [("up", 1)] * 30
+            + [("down", 0)] * 40 + [("down", 1)] * 20
+            + [("flat", 0)] * 55 + [("flat", 1)] * 150)
+    df = spark.createDataFrame(rows, "k string, post int")
+    got = {r["key"]: r for r in ops.trending_report(
+        df, "k", "post = 1", pseudo=3, k=3).collect()
+        if r["direction"] == "rising"}
+    tb = sum(1 for _, p in rows if p == 0)
+    ta = sum(1 for _, p in rows if p == 1)
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    for key in ("up", "down", "flat"):
+        nb = sum(1 for x, p in rows if x == key and p == 0)
+        na = sum(1 for x, p in rows if x == key and p == 1)
+        want = micro(((na + 3.0 / 3) / (ta + 3.0))
+                     / ((nb + 3.0 / 3) / (tb + 3.0)) * 1e6)
+        assert got[key]["trend_micro"] == want, key
+    assert got["up"]["trend"] > got["flat"]["trend"] > got["down"]["trend"]
+    with pytest.raises(ValueError):
+        ops.trending_report(df, "k", "post = 1", pseudo=0)
