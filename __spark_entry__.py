@@ -1485,6 +1485,26 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_log_rank(spark, sf):
+    # KM subject frame (time-to-first-purchase, censored at last
+    # activity), arms split deterministically by user parity
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("p"),
+    )
+    subj = per_user.select(
+        F.timestamp_diff(
+            "MICROSECOND", F.col("f"), F.coalesce(F.col("p"), F.col("l"))
+        ).cast("double").alias("t"),
+        F.col("p").isNotNull().alias("ev"),
+        F.expr("pmod(user_id, 2) = 1").alias("arm"),
+    )
+    return ops.log_rank_test(subj, "t", "ev", "arm")
+
+
 def _q_trending(spark, sf):
     # which part brands trend between the two halves of the shipping
     # history (one keyed lineitem-part join feeds the key frame)
@@ -2446,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "parts_price_band_join": _q_band_join,
             "orders_gap_fill": _q_gap_fill,
             "parts_trending_brands": _q_trending,
+            "events_log_rank": _q_log_rank,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2574,7 +2595,7 @@ _GATE_PRIORITY = [
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
-    "orders_gap_fill", "parts_trending_brands",
+    "orders_gap_fill", "parts_trending_brands", "events_log_rank",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4872,6 +4893,70 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Log-rank test over the same subject frame, arms by user parity;
+    # textually parallel to operators.stats.log_rank_test.
+    o["events_log_rank"] = """
+WITH pu AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY 1
+),
+subj AS (
+  SELECT CAST(epoch_us(coalesce(p, l)) - epoch_us(f) AS DOUBLE) AS t,
+         p IS NOT NULL AS ev,
+         (user_id % 2) = 1 AS arm
+  FROM pu
+),
+cells AS (
+  SELECT t,
+    CAST(sum(CASE WHEN arm AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+    CAST(sum(CASE WHEN NOT arm AND ev THEN 1 ELSE 0 END) AS BIGINT)
+      AS d_b,
+    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+  FROM subj GROUP BY 1
+),
+staged AS (
+  SELECT t, d_a, d_b,
+    CAST(sum(s_a) OVER () AS BIGINT) AS ta,
+    CAST(sum(s_b) OVER () AS BIGINT) AS tb,
+    CAST(sum(s_a) OVER ()
+      - coalesce(sum(s_a) OVER (ORDER BY t ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_at,
+    CAST(sum(s_b) OVER ()
+      - coalesce(sum(s_b) OVER (ORDER BY t ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_bt
+  FROM cells
+),
+ev_times AS (SELECT * FROM staged WHERE d_a + d_b > 0),
+folded AS (
+  SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+    CAST(sum(d_a) AS BIGINT) AS o_a, CAST(sum(d_b) AS BIGINT) AS o_b,
+    CAST(sum(CAST(round((CAST(d_a + d_b AS DOUBLE)
+      * CAST(n_at AS DOUBLE) / CAST(n_at + n_bt AS DOUBLE))
+      * 1000000.0) AS BIGINT)) AS BIGINT) AS ea_micro,
+    CAST(sum(coalesce(CAST(round((CAST(d_a + d_b AS DOUBLE)
+      * (CAST(n_at AS DOUBLE) / CAST(n_at + n_bt AS DOUBLE))
+      * (1.0 - CAST(n_at AS DOUBLE) / CAST(n_at + n_bt AS DOUBLE))
+      * (CAST(n_at + n_bt AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+      / nullif(CAST(n_at + n_bt AS DOUBLE) - 1.0, 0.0))
+      * 1000000000.0) AS BIGINT), 0)) AS BIGINT) AS v_nano
+  FROM ev_times
+)
+SELECT n_a, n_b, o_a, o_b,
+       CAST(ea_micro AS DOUBLE) / 1e6 AS e_a,
+       CAST(o_a + o_b AS DOUBLE) - CAST(ea_micro AS DOUBLE) / 1e6 AS e_b,
+       CAST(CAST(round(((CAST(o_a AS DOUBLE)
+            - CAST(ea_micro AS DOUBLE) / 1000000.0)
+            * (CAST(o_a AS DOUBLE)
+            - CAST(ea_micro AS DOUBLE) / 1000000.0)
+            / nullif(CAST(v_nano AS DOUBLE) / 1000000000.0, 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS logrank_chi2
+FROM folded
+"""
+
     o["events_kaplan_meier"] = """
 WITH pu AS (
   SELECT user_id, min(ts) AS f, max(ts) AS l,

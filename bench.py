@@ -278,6 +278,7 @@ HEADLINE = [
     "parts_price_band_join",
     "orders_gap_fill",
     "parts_trending_brands",
+    "events_log_rank",
 ]
 
 

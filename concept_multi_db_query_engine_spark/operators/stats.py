@@ -2174,3 +2174,99 @@ def seasonal_strength(
         F.expr(f"CAST(round(({ft}) * 1000000.0) AS BIGINT) / 1e6")
         .cast("double").alias("trend_strength"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_expr: str,
+) -> DataFrame:
+    """Log-rank test (Mantel–Cox): do two groups share a survival
+    curve?  The censoring-aware companion to :func:`kaplan_meier` —
+    eyeballing two KM curves is not a test; this is the standard one
+    (churn experiment arms, cohort A vs B time-to-conversion).
+
+    At each distinct EVENT time, group A's observed events compare
+    against the hypergeometric expectation from the shared risk set::
+
+        E_A(t) = d_t · n_At / n_t
+        V(t)   = d_t (n_At/n_t)(1 − n_At/n_t)(n_t − d_t)/(n_t − 1)
+        chi2   = (O_A − Σ E_A)² / Σ V        (1 dof)
+
+    Shape: ONE hash aggregate to the (duration) frame with per-group
+    event/censor counts, exclusive-cumsum windows give the exact
+    integer risk sets (the KM discipline), each E/V term quantizes to
+    micro/nano integers before the exact sums, and the statistic is a
+    final fixed-order double.  Times with ``n_t <= 1`` contribute no
+    variance (standard).  Returns one row: (n_a, n_b, o_a, o_b,
+    e_a, e_b, logrank_chi2).
+    """
+    from pyspark.sql import Window
+
+    g = F.expr(f"coalesce(CAST(({group_expr}) AS BOOLEAN), false)")
+    cells = (
+        df.where(f"({duration_col}) IS NOT NULL "
+                 f"AND ({observed_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({duration_col}) AS DOUBLE)").alias("t"))
+        .agg(
+            F.sum(F.when(g & F.col(observed_col), 1).otherwise(0))
+            .cast("long").alias("d_a"),
+            F.sum(F.when(~g & F.col(observed_col), 1).otherwise(0))
+            .cast("long").alias("d_b"),
+            F.sum(F.when(g, 1).otherwise(0)).cast("long").alias("s_a"),
+            F.sum(F.when(~g, 1).otherwise(0)).cast("long").alias("s_b"),
+        )
+    )
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_ex = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    staged = (
+        cells
+        .withColumn("__ta", F.sum("s_a").over(w_tot).cast("long"))
+        .withColumn("__tb", F.sum("s_b").over(w_tot).cast("long"))
+        .withColumn(
+            "n_at",
+            (F.col("__ta") - F.coalesce(F.sum("s_a").over(w_ex),
+                                        F.lit(0))).cast("long"))
+        .withColumn(
+            "n_bt",
+            (F.col("__tb") - F.coalesce(F.sum("s_b").over(w_ex),
+                                        F.lit(0))).cast("long"))
+        .where("d_a + d_b > 0")
+    )
+    ea = ("(CAST(d_a + d_b AS DOUBLE) * CAST(n_at AS DOUBLE) "
+          "/ CAST(n_at + n_bt AS DOUBLE))")
+    vt = ("(CAST(d_a + d_b AS DOUBLE) "
+          "* (CAST(n_at AS DOUBLE) / CAST(n_at + n_bt AS DOUBLE)) "
+          "* (1.0 - CAST(n_at AS DOUBLE) / CAST(n_at + n_bt AS DOUBLE)) "
+          "* (CAST(n_at + n_bt AS DOUBLE) - CAST(d_a + d_b AS DOUBLE)) "
+          "/ nullif(CAST(n_at + n_bt AS DOUBLE) - 1.0, 0.0))")
+    folded = staged.agg(
+        F.max("__ta").alias("n_a"),
+        F.max("__tb").alias("n_b"),
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum("d_b").cast("long").alias("o_b"),
+        F.sum(F.expr(f"CAST(round(({ea}) * 1000000.0) AS BIGINT)"))
+        .cast("long").alias("__ea_micro"),
+        F.sum(F.expr(
+            f"coalesce(CAST(round(({vt}) * 1000000000.0) AS BIGINT), 0)"
+        )).cast("long").alias("__v_nano"),
+    )
+    chi2 = (
+        "((CAST(o_a AS DOUBLE) - CAST(__ea_micro AS DOUBLE) / 1000000.0) "
+        "* (CAST(o_a AS DOUBLE) - CAST(__ea_micro AS DOUBLE) / 1000000.0) "
+        "/ nullif(CAST(__v_nano AS DOUBLE) / 1000000000.0, 0.0))"
+    )
+    return folded.select(
+        "n_a", "n_b", "o_a", "o_b",
+        F.expr("CAST(__ea_micro AS DOUBLE) / 1e6").alias("e_a"),
+        F.expr(
+            "CAST(o_a + o_b AS DOUBLE) "
+            "- CAST(__ea_micro AS DOUBLE) / 1e6"
+        ).alias("e_b"),
+        F.expr(
+            f"CAST(round(({chi2}) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("logrank_chi2"),
+    )

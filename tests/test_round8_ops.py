@@ -3272,3 +3272,32 @@ def test_trending_shares_not_volume(spark):
     assert got["up"]["trend"] > got["flat"]["trend"] > got["down"]["trend"]
     with pytest.raises(ValueError):
         ops.trending_report(df, "k", "post = 1", pseudo=0)
+
+
+# ---- log_rank_test ---------------------------------------------------------
+
+
+def test_log_rank_identical_vs_separated(spark):
+    # identical survival in both arms: O ~= E, statistic ~ 0
+    rows = [(float(t), True, a) for t in (1, 2, 3, 4, 5)
+            for a in (True, False)]
+    df = spark.createDataFrame(rows, "t double, ev boolean, arm boolean")
+    r = ops.log_rank_test(df, "t", "ev", "arm").collect()[0]
+    assert (r["n_a"], r["n_b"], r["o_a"], r["o_b"]) == (5, 5, 5, 5)
+    assert abs(r["o_a"] - r["e_a"]) < 1e-4
+    assert r["logrank_chi2"] < 1e-6
+    # arm A dies much earlier than arm B: large statistic
+    rows2 = ([(float(t), True, True) for t in (1, 2, 3, 4, 5)]
+             + [(float(t), True, False) for t in (11, 12, 13, 14, 15)])
+    r2 = ops.log_rank_test(
+        spark.createDataFrame(rows2, "t double, ev boolean, arm boolean"),
+        "t", "ev", "arm").collect()[0]
+    assert r2["logrank_chi2"] > 5.0
+    assert r2["e_a"] < r2["o_a"]  # A saw more deaths than expected
+    # censored subjects thin the risk set but add no events
+    rows3 = rows + [(2.5, False, True), (2.5, False, False)]
+    r3 = ops.log_rank_test(
+        spark.createDataFrame(rows3, "t double, ev boolean, arm boolean"),
+        "t", "ev", "arm").collect()[0]
+    assert (r3["o_a"], r3["o_b"]) == (5, 5)
+    assert r3["n_a"] == 6
