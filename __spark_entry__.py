@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_growth_accounting(spark, sf):
+    return ops.growth_accounting(_t(spark, sf, "events"),
+                                 period="week")
+
+
 def _q_log_rank(spark, sf):
     # KM subject frame (time-to-first-purchase, censored at last
     # activity), arms split deterministically by user parity
@@ -2467,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_gap_fill": _q_gap_fill,
             "parts_trending_brands": _q_trending,
             "events_log_rank": _q_log_rank,
+            "events_growth_accounting": _q_growth_accounting,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2596,6 +2602,7 @@ _GATE_PRIORITY = [
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
+    "events_growth_accounting",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4893,6 +4900,47 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Growth accounting (weekly), textually parallel to
+    # operators.analytics.growth_accounting.
+    o["events_growth_accounting"] = """
+WITH cells AS (
+  SELECT DISTINCT user_id AS u,
+         date_trunc('week', CAST(ts AS DATE)) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+tagged AS (
+  SELECT u, p,
+         min(p) OVER (PARTITION BY u) AS fst,
+         lag(p) OVER (PARTITION BY u ORDER BY p ASC) AS prev,
+         lead(p) OVER (PARTITION BY u ORDER BY p ASC) AS nxt
+  FROM cells
+),
+per AS (
+  SELECT p AS period,
+    CAST(count(*) AS BIGINT) AS n_active,
+    CAST(sum(CASE WHEN p = fst THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND CAST(prev AS DATE)
+         = CAST(p AS DATE) - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained,
+    CAST(sum(CASE WHEN p != fst AND (prev IS NULL
+         OR CAST(prev AS DATE) != CAST(p AS DATE) - 7)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM tagged GROUP BY 1
+),
+churn AS (
+  SELECT CAST(CAST(p AS DATE) + 7 AS TIMESTAMP) AS period,
+    CAST(sum(CASE WHEN nxt IS NULL OR CAST(nxt AS DATE)
+         != CAST(p AS DATE) + 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_churned
+  FROM tagged GROUP BY 1
+)
+SELECT CAST(per.period AS DATE) AS period, n_active, n_new,
+       n_retained, n_resurrected,
+       CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned
+FROM per LEFT JOIN churn ON per.period = churn.period
+ORDER BY period
+"""
+
     # Log-rank test over the same subject frame, arms by user parity;
     # textually parallel to operators.stats.log_rank_test.
     o["events_log_rank"] = """

@@ -279,6 +279,7 @@ HEADLINE = [
     "orders_gap_fill",
     "parts_trending_brands",
     "events_log_rank",
+    "events_growth_accounting",
 ]
 
 

@@ -2178,3 +2178,87 @@ def trending_report(
         .orderBy("direction", F.col("trend_micro").desc(),
                  F.col("key").asc())
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Growth accounting (the MAU/WAU bridge): each period's active
+    users split into NEW (first period ever), RETAINED (also active
+    the previous period), and RESURRECTED (active before, but not the
+    previous period), plus the previous period's users who CHURNED —
+    the standard decomposition that explains *why* the active count
+    moved (retention problem vs acquisition problem look identical on
+    a MAU line).
+
+    ONE distinct over (user, period) — the exchange carries active
+    cells, not events — then per-user lag/min windows classify each
+    cell, and one period aggregate; churn counts arrive by shifting
+    each cell forward one period and anti-classifying.  Identity
+    pinned by construction: active = new + retained + resurrected.
+
+    Returns one row per period: (period, n_active, n_new, n_retained,
+    n_resurrected, n_churned), ordered by period.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        events.where(f"({user_col}) IS NOT NULL AND ({ts_col}) IS NOT NULL")
+        .select(
+            F.col(user_col).alias("__u"),
+            F.expr(f"date_trunc('{period}', CAST({ts_col} AS DATE))")
+            .alias("__p"),
+        )
+        .distinct()
+    )
+    w_u = Window.partitionBy("__u").orderBy(F.col("__p").asc())
+    tagged = (
+        cells
+        .withColumn("__first", F.min("__p").over(Window.partitionBy("__u")))
+        .withColumn("__prev", F.lag("__p").over(w_u))
+        .withColumn("__next", F.lead("__p").over(w_u))
+    )
+    # classify with exact period stepping: the previous active period
+    # is "adjacent" iff stepping THIS period back by one lands on it
+    step_back = (
+        "date_add(CAST(__p AS DATE), -7)" if period == "week"
+        else "add_months(CAST(__p AS DATE), -1)"
+    )
+    step_fwd = (
+        "date_add(CAST(__p AS DATE), 7)" if period == "week"
+        else "add_months(CAST(__p AS DATE), 1)"
+    )
+    per = tagged.groupBy(F.col("__p").alias("period")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.expr("CASE WHEN __p = __first THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_new"),
+        F.sum(F.expr(
+            f"CASE WHEN __prev IS NOT NULL AND CAST(__prev AS DATE) "
+            f"= {step_back} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_retained"),
+        F.sum(F.expr(
+            f"CASE WHEN __p != __first AND (__prev IS NULL "
+            f"OR CAST(__prev AS DATE) != {step_back}) THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_resurrected"),
+    )
+    churn = tagged.groupBy(
+        F.expr(f"CAST({step_fwd} AS TIMESTAMP)").alias("period")
+    ).agg(
+        F.sum(F.expr(
+            f"CASE WHEN __next IS NULL OR CAST(__next AS DATE) "
+            f"!= {step_fwd} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_churned"),
+    )
+    return (
+        per.join(churn, "period", "left")
+        .select(
+            F.expr("CAST(period AS DATE)").alias("period"),
+            "n_active", "n_new", "n_retained", "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long")
+            .alias("n_churned"),
+        )
+        .orderBy("period")
+    )

@@ -3301,3 +3301,34 @@ def test_log_rank_identical_vs_separated(spark):
         "t", "ev", "arm").collect()[0]
     assert (r3["o_a"], r3["o_b"]) == (5, 5)
     assert r3["n_a"] == 6
+
+
+# ---- growth_accounting -----------------------------------------------------
+
+
+def test_growth_accounting_identity_and_classes(spark):
+    import datetime as dt
+    # weeks: W1=Jan1(Mon), W2=Jan8, W3=Jan15, W4=Jan22 (2024)
+    w = lambda n, d=0: dt.datetime(2024, 1, 1 + 7 * (n - 1) + d)
+    rows = [
+        (1, w(1)), (1, w(2)),            # retained W2, churns after W2
+        (2, w(1)), (2, w(3)),            # skips W2 -> resurrected W3
+        (3, w(2)), (3, w(3)), (3, w(4)),  # new W2, retained W3,W4
+        (4, w(4)),                        # new W4
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts timestamp")
+    got = {str(r["period"]): r for r in
+           ops.growth_accounting(df, period="week").collect()}
+    for r in got.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] \
+            + r["n_resurrected"]
+    w1, w2, w3, w4 = (str(w(i).date()) for i in (1, 2, 3, 4))
+    assert (got[w1]["n_new"], got[w1]["n_active"]) == (2, 2)
+    assert (got[w2]["n_new"], got[w2]["n_retained"]) == (1, 1)
+    # user 2 churns from W1's cohort view (not active W2)
+    assert got[w2]["n_churned"] == 1
+    assert got[w3]["n_resurrected"] == 1     # user 2 returns
+    assert got[w3]["n_retained"] == 1        # user 3
+    assert got[w4]["n_new"] == 1             # user 4
+    assert got[w4]["n_churned"] == 1         # user 2 not active W4
