@@ -1485,6 +1485,14 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_neyman_sample(spark, sf):
+    orders = _t(spark, sf, "orders")
+    alloc = ops.neyman_allocation(
+        orders, "o_orderpriority", "o_totalprice", total_n=200)
+    return ops.stratified_take(orders, "o_orderpriority", alloc,
+                               "o_orderkey")
+
+
 def _q_growth_accounting(spark, sf):
     return ops.growth_accounting(_t(spark, sf, "events"),
                                  period="week")
@@ -2473,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "parts_trending_brands": _q_trending,
             "events_log_rank": _q_log_rank,
             "events_growth_accounting": _q_growth_accounting,
+            "orders_neyman_sample": _q_neyman_sample,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2602,7 +2611,7 @@ _GATE_PRIORITY = [
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
-    "events_growth_accounting",
+    "events_growth_accounting", "orders_neyman_sample",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4900,6 +4909,72 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Exact stratified sample from the Neyman plan (total_n = 200,
+    # salted-md5 order); textually parallel to
+    # operators.stats.stratified_take over neyman_allocation.
+    o["orders_neyman_sample"] = """
+WITH allocation AS (
+  SELECT * FROM (
+WITH g AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS s_d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
+              * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS q_d
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+staged AS (
+  SELECT stratum, n_rows,
+         round(s_d / n_d, 6) AS mean,
+         round(sqrt((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0)), 6)
+           AS sd,
+         coalesce(CAST(round(n_d * (sqrt((q_d - s_d * s_d / n_d)
+           / nullif(n_d - 1.0, 0.0)))) AS BIGINT), 0) AS weight_int
+  FROM g
+),
+w AS (
+  SELECT stratum, n_rows, mean, sd, weight_int,
+         CAST(sum(weight_int) OVER () AS BIGINT) AS w_sum
+  FROM staged
+),
+f AS (
+  SELECT *, CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(200 * weight_int // w_sum AS BIGINT) END AS fl
+  FROM w
+),
+r AS (
+  SELECT *,
+         CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(200 * weight_int - fl * w_sum AS BIGINT) END AS rem,
+         CAST(200 - sum(fl) OVER () AS BIGINT) AS leftover
+  FROM f
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+  FROM r
+)
+SELECT stratum, n_rows, mean, sd, weight_int,
+       CASE WHEN w_sum = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) END AS alloc
+FROM rk ORDER BY stratum
+  ) t
+),
+ranked AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS stratum,
+         o_orderkey AS id,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':take-v1') ASC,
+                    o_orderkey ASC) AS take_rank
+  FROM orders WHERE o_orderpriority IS NOT NULL
+)
+SELECT r.stratum, r.id, CAST(r.take_rank AS BIGINT) AS take_rank
+FROM ranked r JOIN allocation a ON r.stratum = a.stratum
+WHERE r.take_rank <= a.alloc
+ORDER BY r.stratum, r.take_rank
+"""
+
     # Growth accounting (weekly), textually parallel to
     # operators.analytics.growth_accounting.
     o["events_growth_accounting"] = """

@@ -280,6 +280,7 @@ HEADLINE = [
     "parts_trending_brands",
     "events_log_rank",
     "events_growth_accounting",
+    "orders_neyman_sample",
 ]
 
 

@@ -2270,3 +2270,56 @@ def log_rank_test(
             f"CAST(round(({chi2}) * 1000000.0) AS BIGINT) / 1e6"
         ).cast("double").alias("logrank_chi2"),
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    alloc: DataFrame,
+    id_col: str,
+    salt: str = "take-v1",
+) -> DataFrame:
+    """Materialize a stratified sample to EXACT per-stratum counts: the
+    allocation frame (e.g. :func:`neyman_allocation`'s output) says how
+    many rows each stratum contributes, and rows are taken in salted-
+    md5 order — a uniform random draw that is fully deterministic and
+    re-salting re-draws (the repo's hash discipline).  The follow-through
+    that turns an allocation PLAN into an actual sample with counts
+    that match it exactly (hash_split only hits proportions in
+    expectation).
+
+    One broadcast join of the tiny allocation frame + one per-stratum
+    rank window (single keyed shuffle).  Returns the sampled rows'
+    (stratum, id, take_rank), ordered by (stratum, take_rank).
+    """
+    from pyspark.sql import Window
+
+    a = alloc.select(
+        F.col("stratum").alias("__st"),
+        F.col("alloc").cast("long").alias("__alloc"),
+    )
+    ranked = (
+        df.where(f"({stratum_col}) IS NOT NULL")
+        .select(
+            F.expr(f"CAST(({stratum_col}) AS STRING)").alias("stratum"),
+            F.expr(f"({id_col})").alias("id"),
+        )
+        .withColumn(
+            "take_rank",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(
+                    F.expr(f"md5(concat(CAST(id AS STRING), ':{salt}'))")
+                    .asc(),
+                    F.col("id").asc(),
+                )
+            ),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(a), ranked["stratum"] == a["__st"]
+        )
+        .where(F.col("take_rank") <= F.col("__alloc"))
+        .select("stratum", "id", "take_rank")
+        .orderBy("stratum", "take_rank")
+    )

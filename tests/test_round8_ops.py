@@ -3332,3 +3332,29 @@ def test_growth_accounting_identity_and_classes(spark):
     assert got[w3]["n_retained"] == 1        # user 3
     assert got[w4]["n_new"] == 1             # user 4
     assert got[w4]["n_churned"] == 1         # user 2 not active W4
+
+
+# ---- stratified_take -------------------------------------------------------
+
+
+def test_stratified_take_exact_counts_and_determinism(spark):
+    rows = [(i, "s%d" % (i % 3), float(i % 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    alloc = ops.neyman_allocation(df, "s", "v", total_n=30)
+    want = {r["stratum"]: r["alloc"] for r in alloc.collect()}
+    got = ops.stratified_take(df, "s", alloc, "id").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["stratum"], []).append(r["id"])
+    # per-stratum counts match the plan EXACTLY
+    assert {k: len(v) for k, v in by.items()} == \
+        {k: v for k, v in want.items() if v > 0}
+    assert sum(len(v) for v in by.values()) == 30
+    # deterministic: same call, same rows; new salt, different draw
+    again = ops.stratified_take(df, "s", alloc, "id").collect()
+    assert sorted((r["stratum"], r["id"]) for r in again) == \
+        sorted((r["stratum"], r["id"]) for r in got)
+    resalted = ops.stratified_take(df, "s", alloc, "id",
+                                   salt="other").collect()
+    assert sorted((r["stratum"], r["id"]) for r in resalted) != \
+        sorted((r["stratum"], r["id"]) for r in got)
