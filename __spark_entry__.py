@@ -1485,6 +1485,24 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_holt(spark, sf):
+    # first 36 months of revenue (dense at every sf) -> 12-month Holt
+    monthly = (
+        _t(spark, sf, "orders")
+        .where("o_orderdate < TIMESTAMP'1998-01-01 00:00:00'")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1995-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"))
+        .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)").alias("revenue"))
+    )
+    return ops.holt_forecast(monthly, "month_idx", "revenue",
+                             alpha_pct=30, beta_pct=10, horizon=12)
+
+
 def _q_neyman_sample(spark, sf):
     orders = _t(spark, sf, "orders")
     alloc = ops.neyman_allocation(
@@ -2482,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_log_rank": _q_log_rank,
             "events_growth_accounting": _q_growth_accounting,
             "orders_neyman_sample": _q_neyman_sample,
+            "orders_holt_forecast": _q_holt,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2612,6 +2631,7 @@ _GATE_PRIORITY = [
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
     "events_growth_accounting", "orders_neyman_sample",
+    "orders_holt_forecast",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4909,6 +4929,250 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Holt linear smoothing: 35 chained integer-recurrence CTEs over
+    # the 36-month series (alpha=30%, beta=10%, half-away integer
+    # division); textually parallel to operators.stats.holt_forecast.
+    o["orders_holt_forecast"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1995-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         CAST(round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY month_idx ASC) - 1 AS pos, y
+  FROM monthly
+),
+s0 AS MATERIALIZED (
+  SELECT (SELECT y FROM ser WHERE pos = 0) AS l,
+         (SELECT y FROM ser WHERE pos = 1)
+         - (SELECT y FROM ser WHERE pos = 0) AS b
+),
+s1 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200) END) - s0.l) + 90 * s0.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200) END) - s0.l) + 90 * s0.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (s0.l + s0.b)) + 100) // 200) END) - s0.l) + 90 * s0.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s0
+),
+s2 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200) END) - s1.l) + 90 * s1.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200) END) - s1.l) + 90 * s1.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (s1.l + s1.b)) + 100) // 200) END) - s1.l) + 90 * s1.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s1
+),
+s3 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200) END) - s2.l) + 90 * s2.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200) END) - s2.l) + 90 * s2.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (s2.l + s2.b)) + 100) // 200) END) - s2.l) + 90 * s2.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s2
+),
+s4 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200) END) - s3.l) + 90 * s3.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200) END) - s3.l) + 90 * s3.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (s3.l + s3.b)) + 100) // 200) END) - s3.l) + 90 * s3.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s3
+),
+s5 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200) END) - s4.l) + 90 * s4.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200) END) - s4.l) + 90 * s4.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (s4.l + s4.b)) + 100) // 200) END) - s4.l) + 90 * s4.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s4
+),
+s6 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200) END) - s5.l) + 90 * s5.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200) END) - s5.l) + 90 * s5.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (s5.l + s5.b)) + 100) // 200) END) - s5.l) + 90 * s5.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s5
+),
+s7 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200) END) - s6.l) + 90 * s6.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200) END) - s6.l) + 90 * s6.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (s6.l + s6.b)) + 100) // 200) END) - s6.l) + 90 * s6.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s6
+),
+s8 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200) END) - s7.l) + 90 * s7.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200) END) - s7.l) + 90 * s7.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (s7.l + s7.b)) + 100) // 200) END) - s7.l) + 90 * s7.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s7
+),
+s9 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200) END) - s8.l) + 90 * s8.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200) END) - s8.l) + 90 * s8.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (s8.l + s8.b)) + 100) // 200) END) - s8.l) + 90 * s8.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s8
+),
+s10 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200) END) - s9.l) + 90 * s9.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200) END) - s9.l) + 90 * s9.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (s9.l + s9.b)) + 100) // 200) END) - s9.l) + 90 * s9.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s9
+),
+s11 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200) END) - s10.l) + 90 * s10.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200) END) - s10.l) + 90 * s10.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (s10.l + s10.b)) + 100) // 200) END) - s10.l) + 90 * s10.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s10
+),
+s12 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200) END) - s11.l) + 90 * s11.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200) END) - s11.l) + 90 * s11.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (s11.l + s11.b)) + 100) // 200) END) - s11.l) + 90 * s11.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s11
+),
+s13 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200) END) - s12.l) + 90 * s12.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200) END) - s12.l) + 90 * s12.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (s12.l + s12.b)) + 100) // 200) END) - s12.l) + 90 * s12.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s12
+),
+s14 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200) END) - s13.l) + 90 * s13.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200) END) - s13.l) + 90 * s13.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (s13.l + s13.b)) + 100) // 200) END) - s13.l) + 90 * s13.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s13
+),
+s15 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200) END) - s14.l) + 90 * s14.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200) END) - s14.l) + 90 * s14.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (s14.l + s14.b)) + 100) // 200) END) - s14.l) + 90 * s14.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s14
+),
+s16 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200) END) - s15.l) + 90 * s15.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200) END) - s15.l) + 90 * s15.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (s15.l + s15.b)) + 100) // 200) END) - s15.l) + 90 * s15.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s15
+),
+s17 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200) END) - s16.l) + 90 * s16.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200) END) - s16.l) + 90 * s16.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (s16.l + s16.b)) + 100) // 200) END) - s16.l) + 90 * s16.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s16
+),
+s18 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200) END) - s17.l) + 90 * s17.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200) END) - s17.l) + 90 * s17.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (s17.l + s17.b)) + 100) // 200) END) - s17.l) + 90 * s17.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s17
+),
+s19 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200) END) - s18.l) + 90 * s18.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200) END) - s18.l) + 90 * s18.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (s18.l + s18.b)) + 100) // 200) END) - s18.l) + 90 * s18.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s18
+),
+s20 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200) END) - s19.l) + 90 * s19.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200) END) - s19.l) + 90 * s19.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (s19.l + s19.b)) + 100) // 200) END) - s19.l) + 90 * s19.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s19
+),
+s21 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200) END) - s20.l) + 90 * s20.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200) END) - s20.l) + 90 * s20.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (s20.l + s20.b)) + 100) // 200) END) - s20.l) + 90 * s20.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s20
+),
+s22 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200) END) - s21.l) + 90 * s21.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200) END) - s21.l) + 90 * s21.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (s21.l + s21.b)) + 100) // 200) END) - s21.l) + 90 * s21.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s21
+),
+s23 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200) END) - s22.l) + 90 * s22.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200) END) - s22.l) + 90 * s22.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (s22.l + s22.b)) + 100) // 200) END) - s22.l) + 90 * s22.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s22
+),
+s24 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200) END) - s23.l) + 90 * s23.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200) END) - s23.l) + 90 * s23.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 24) + 70 * (s23.l + s23.b)) + 100) // 200) END) - s23.l) + 90 * s23.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s23
+),
+s25 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200) END) - s24.l) + 90 * s24.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200) END) - s24.l) + 90 * s24.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 25) + 70 * (s24.l + s24.b)) + 100) // 200) END) - s24.l) + 90 * s24.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s24
+),
+s26 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200) END) - s25.l) + 90 * s25.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200) END) - s25.l) + 90 * s25.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 26) + 70 * (s25.l + s25.b)) + 100) // 200) END) - s25.l) + 90 * s25.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s25
+),
+s27 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200) END) - s26.l) + 90 * s26.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200) END) - s26.l) + 90 * s26.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 27) + 70 * (s26.l + s26.b)) + 100) // 200) END) - s26.l) + 90 * s26.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s26
+),
+s28 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200) END) - s27.l) + 90 * s27.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200) END) - s27.l) + 90 * s27.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 28) + 70 * (s27.l + s27.b)) + 100) // 200) END) - s27.l) + 90 * s27.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s27
+),
+s29 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200) END) - s28.l) + 90 * s28.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200) END) - s28.l) + 90 * s28.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 29) + 70 * (s28.l + s28.b)) + 100) // 200) END) - s28.l) + 90 * s28.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s28
+),
+s30 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200) END) - s29.l) + 90 * s29.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200) END) - s29.l) + 90 * s29.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 30) + 70 * (s29.l + s29.b)) + 100) // 200) END) - s29.l) + 90 * s29.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s29
+),
+s31 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200) END) - s30.l) + 90 * s30.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200) END) - s30.l) + 90 * s30.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 31) + 70 * (s30.l + s30.b)) + 100) // 200) END) - s30.l) + 90 * s30.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s30
+),
+s32 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200) END) - s31.l) + 90 * s31.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200) END) - s31.l) + 90 * s31.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 32) + 70 * (s31.l + s31.b)) + 100) // 200) END) - s31.l) + 90 * s31.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s31
+),
+s33 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200) END) - s32.l) + 90 * s32.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200) END) - s32.l) + 90 * s32.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 33) + 70 * (s32.l + s32.b)) + 100) // 200) END) - s32.l) + 90 * s32.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s32
+),
+s34 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200) END) - s33.l) + 90 * s33.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200) END) - s33.l) + 90 * s33.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 34) + 70 * (s33.l + s33.b)) + 100) // 200) END) - s33.l) + 90 * s33.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s33
+),
+s35 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200) END) - s34.l) + 90 * s34.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200) END) - s34.l) + 90 * s34.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 35) + 70 * (s34.l + s34.b)) + 100) // 200) END) - s34.l) + 90 * s34.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM s34
+)
+SELECT h, CAST(s35.l + h * s35.b AS BIGINT) AS forecast_micro,
+       CAST(CAST(s35.l + h * s35.b AS BIGINT) AS DOUBLE) / 1e6
+         AS forecast
+FROM s35 CROSS JOIN (
+  SELECT CAST(g AS INT) AS h FROM generate_series(1, 12) t(g))
+UNION ALL
+SELECT 0, CAST(s35.l AS BIGINT),
+       CAST(CAST(s35.l AS BIGINT) AS DOUBLE) / 1e6
+FROM s35
+ORDER BY h
+"""
+
     # Exact stratified sample from the Neyman plan (total_n = 200,
     # salted-md5 order); textually parallel to
     # operators.stats.stratified_take over neyman_allocation.

@@ -281,6 +281,7 @@ HEADLINE = [
     "events_log_rank",
     "events_growth_accounting",
     "orders_neyman_sample",
+    "orders_holt_forecast",
 ]
 
 

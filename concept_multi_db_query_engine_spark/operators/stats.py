@@ -2323,3 +2323,77 @@ def stratified_take(
         .select("stratum", "id", "take_rank")
         .orderBy("stratum", "take_rank")
     )
+
+
+def _rdiv(x: int, d: int) -> int:
+    """Half-away-from-zero integer division — identical text in the SQL
+    oracles (`//` truncates toward zero there; abs keeps both aligned
+    for negatives)."""
+    ax = x if x >= 0 else -x
+    q = (2 * ax + d) // (2 * d)
+    return q if x >= 0 else -q
+
+
+def holt_forecast(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    alpha_pct: int = 30,
+    beta_pct: int = 10,
+    horizon: int = 12,
+) -> DataFrame:
+    """Holt's linear (double) exponential smoothing — the classic
+    level+trend forecaster between the naive last-value and the full
+    seasonal model::
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        ŷ_{T+h} = l_T + h·b_T
+
+    The recurrence is SEQUENTIAL by nature, so it runs driver-side
+    over the COLLECTED series — model data (one row per period; the
+    Theil-Sen "aggregated series only" contract) — in EXACT integer
+    micro-units with integer-percent smoothing weights and half-away
+    division, the :func:`~concept_multi_db_query_engine_spark.
+    operators.classify.logistic_train` discipline: every step is
+    bit-replayable by a chained-CTE SQL oracle, no float drift over
+    any number of steps.  Input must be a dense integer-indexed series
+    (gap-fill first — :func:`~concept_multi_db_query_engine_spark.
+    operators.analytics.gap_fill_linear`).
+
+    Returns ``horizon`` rows: (h, forecast_micro, forecast), plus the
+    fitted terminal state as h = 0 (level) — ordered by h.
+    """
+    if not 0 < alpha_pct <= 100 or not 0 < beta_pct <= 100:
+        raise ValueError("alpha_pct and beta_pct must be in (0, 100]")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    rows = (
+        series.where(f"({idx_col}) IS NOT NULL "
+                     f"AND ({value_col}) IS NOT NULL")
+        .select(
+            F.expr(f"CAST(({idx_col}) AS BIGINT)").alias("i"),
+            F.expr(
+                f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+                "* 1000000.0) AS BIGINT)"
+            ).alias("y"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    if len(rows) < 2:
+        raise ValueError("need at least 2 points")
+    ys = [int(r["y"]) for r in rows]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    a, b = alpha_pct, beta_pct
+    for y in ys[1:]:
+        prev = lvl
+        lvl = _rdiv(a * y + (100 - a) * (lvl + trd), 100)
+        trd = _rdiv(b * (lvl - prev) + (100 - b) * trd, 100)
+    out = [(0, lvl, lvl / 1e6)]
+    for h in range(1, horizon + 1):
+        f = lvl + h * trd
+        out.append((h, f, f / 1e6))
+    return series.sparkSession.createDataFrame(
+        out, "h int, forecast_micro long, forecast double"
+    ).orderBy("h")

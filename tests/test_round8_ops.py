@@ -3358,3 +3358,34 @@ def test_stratified_take_exact_counts_and_determinism(spark):
                                    salt="other").collect()
     assert sorted((r["stratum"], r["id"]) for r in resalted) != \
         sorted((r["stratum"], r["id"]) for r in got)
+
+
+# ---- holt_forecast ---------------------------------------------------------
+
+
+def test_holt_tracks_linear_trend_exactly_in_micro(spark):
+    # a perfectly linear series: level converges onto the line and the
+    # forecast continues it
+    pts = [(i, 100.0 + 10.0 * i) for i in range(30)]
+    df = spark.createDataFrame(pts, "idx long, v double")
+    got = {r["h"]: r for r in
+           ops.holt_forecast(df, "idx", "v", alpha_pct=50,
+                             beta_pct=50, horizon=3).collect()}
+    # python replay with the same integer recurrence
+    from concept_multi_db_query_engine_spark.operators.stats import _rdiv
+    ys = [round(v * 1e6) for _, v in pts]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        prev = lvl
+        lvl = _rdiv(50 * y + 50 * (lvl + trd), 100)
+        trd = _rdiv(50 * (lvl - prev) + 50 * trd, 100)
+    assert got[0]["forecast_micro"] == lvl
+    for h in (1, 2, 3):
+        assert got[h]["forecast_micro"] == lvl + h * trd
+    # on an exact line the one-step forecast is (numerically) the next
+    # point: trend locked to 10/step
+    assert abs(got[1]["forecast"] - (100.0 + 10.0 * 30)) < 0.01
+    with pytest.raises(ValueError):
+        ops.holt_forecast(df.limit(1), "idx", "v")
+    with pytest.raises(ValueError):
+        ops.holt_forecast(df, "idx", "v", alpha_pct=0)
