@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_truncation_energy(spark, sf):
+    return ops.truncation_energy_report(_t(spark, sf, "embeddings"),
+                                        dim=16, k=20)
+
+
 def _q_holt(spark, sf):
     # first 36 months of revenue (dense at every sf) -> 12-month Holt
     monthly = (
@@ -2501,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_growth_accounting": _q_growth_accounting,
             "orders_neyman_sample": _q_neyman_sample,
             "orders_holt_forecast": _q_holt,
+            "embeddings_truncation_energy": _q_truncation_energy,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2631,7 +2637,7 @@ _GATE_PRIORITY = [
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
     "events_growth_accounting", "orders_neyman_sample",
-    "orders_holt_forecast",
+    "orders_holt_forecast", "embeddings_truncation_energy",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4929,6 +4935,34 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Truncation energy per vector, textually parallel to
+    # operators.similarity.truncation_energy_report (dim 16, bottom 20).
+    o["embeddings_truncation_energy"] = """
+WITH s AS (
+  SELECT vec_id,
+         round(sqrt(list_reduce(list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) + 0.0), 6) AS norm_full,
+         round(sqrt(list_reduce(list_transform(
+           list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) + 0.0), 6) AS norm_prefix,
+         CAST(CAST(round(sqrt(list_reduce(list_transform(
+           list_slice(CAST(embedding AS DOUBLE[]), 1, 16),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) + 0.0)
+           / nullif(sqrt(list_reduce(list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) + 0.0), 0.0)
+           * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS retained
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT vec_id, norm_full, norm_prefix, retained
+FROM s ORDER BY retained ASC, vec_id ASC LIMIT 20
+"""
+
     # Holt linear smoothing: 35 chained integer-recurrence CTEs over
     # the 36-month series (alpha=30%, beta=10%, half-away integer
     # division); textually parallel to operators.stats.holt_forecast.

@@ -282,6 +282,7 @@ HEADLINE = [
     "events_growth_accounting",
     "orders_neyman_sample",
     "orders_holt_forecast",
+    "embeddings_truncation_energy",
 ]
 
 

@@ -1521,3 +1521,46 @@ def triplet_mining(
         .withColumn("margin", F.col("margin_micro").cast("double") / 1e6)
         .orderBy("anchor_id")
     )
+
+
+def truncation_energy_report(
+    embeddings: DataFrame,
+    dim: int = 16,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector energy retained by prefix truncation: ``|v[:d]| /
+    |v|`` — exactly the cosine between the full vector and its
+    zero-padded truncation, i.e. how much of THIS item survives a
+    matryoshka cut (the per-item view behind
+    :func:`matryoshka_recall`'s aggregate).  The bottom of the list is
+    the re-embed / keep-full-precision candidate set.
+
+    Pure narrow map (two fixed-order ascending folds + one sqrt per
+    row, no shuffle before the top-k), bottom-``k`` by retained energy
+    (ties by id).  Returns (vec_id, norm_full, norm_prefix, retained),
+    retained micro-rounded, ordered ascending.
+    """
+    if dim < 1 or k < 1:
+        raise ValueError("dim and k must be >= 1")
+    fold = (
+        "sqrt(aggregate({arr}, 0.0d, (acc, x) -> acc "
+        "+ CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) + 0.0)"
+    )
+    full = fold.format(arr=vec_col)
+    pre = fold.format(arr=f"slice({vec_col}, 1, {dim})")
+    return (
+        embeddings.where(f"{vec_col} IS NOT NULL")
+        .select(
+            F.col(id_col),
+            F.expr(f"round({full}, 6)").alias("norm_full"),
+            F.expr(f"round({pre}, 6)").alias("norm_prefix"),
+            F.expr(
+                f"CAST(round(({pre}) / nullif({full}, 0.0d) "
+                "* 1000000.0) AS BIGINT) / 1e6"
+            ).cast("double").alias("retained"),
+        )
+        .orderBy(F.col("retained").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

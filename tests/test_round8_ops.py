@@ -3389,3 +3389,25 @@ def test_holt_tracks_linear_trend_exactly_in_micro(spark):
         ops.holt_forecast(df.limit(1), "idx", "v")
     with pytest.raises(ValueError):
         ops.holt_forecast(df, "idx", "v", alpha_pct=0)
+
+
+# ---- truncation_energy_report ----------------------------------------------
+
+
+def test_truncation_energy_orders_weakest_first(spark):
+    import math
+    pts = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # all energy in the prefix
+        (1, [0.0, 0.0, 1.0, 1.0]),    # none in the prefix
+        (2, [1.0, 0.0, 1.0, 0.0]),    # half the energy
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>")
+    got = ops.truncation_energy_report(df, dim=2, k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 0]
+    assert got[0]["retained"] == 0.0
+    assert got[2]["retained"] == 1.0
+    assert abs(got[1]["retained"] - 1 / math.sqrt(2)) < 1e-6
+    with pytest.raises(ValueError):
+        ops.truncation_energy_report(df, dim=0)
