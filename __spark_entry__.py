@@ -1485,6 +1485,13 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_cohens_d(spark, sf):
+    return ops.cohens_d(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
 def _q_truncation_energy(spark, sf):
     return ops.truncation_energy_report(_t(spark, sf, "embeddings"),
                                         dim=16, k=20)
@@ -2507,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_neyman_sample": _q_neyman_sample,
             "orders_holt_forecast": _q_holt,
             "embeddings_truncation_energy": _q_truncation_energy,
+            "orders_cohens_d": _q_cohens_d,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2638,6 +2646,7 @@ _GATE_PRIORITY = [
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
     "events_growth_accounting", "orders_neyman_sample",
     "orders_holt_forecast", "embeddings_truncation_energy",
+    "orders_cohens_d",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4935,6 +4944,59 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Cohen's d / Hedges' g, textually parallel to
+    # operators.stats.cohens_d.
+    o["orders_cohens_d"] = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_b,
+    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS sa,
+    sum(CASE WHEN o_orderpriority = '5-LOW'
+        THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS sb,
+    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        THEN CAST(o_totalprice AS DECIMAL(19,4))
+        * CAST(o_totalprice AS DECIMAL(12,4)) END) AS qa,
+    sum(CASE WHEN o_orderpriority = '5-LOW'
+        THEN CAST(o_totalprice AS DECIMAL(19,4))
+        * CAST(o_totalprice AS DECIMAL(12,4)) END) AS qb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sa_d,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sb_d,
+         CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS qa_d,
+         CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS qb_d
+  FROM m
+)
+SELECT n_a, n_b,
+  round(sa_d / nullif(na_d, 0.0), 6) AS mean_a,
+  round(sb_d / nullif(nb_d, 0.0), 6) AS mean_b,
+  CAST(CAST(round(sqrt(((qa_d - sa_d * sa_d / na_d)
+       + (qb_d - sb_d * sb_d / nb_d))
+       / nullif(na_d + nb_d - 2.0, 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS pooled_sd,
+  CAST(CAST(round(((sa_d / na_d - sb_d / nb_d)
+       / nullif(sqrt(((qa_d - sa_d * sa_d / na_d)
+       + (qb_d - sb_d * sb_d / nb_d))
+       / nullif(na_d + nb_d - 2.0, 0.0)), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS d,
+  CAST(CAST(round(((sa_d / na_d - sb_d / nb_d)
+       / nullif(sqrt(((qa_d - sa_d * sa_d / na_d)
+       + (qb_d - sb_d * sb_d / nb_d))
+       / nullif(na_d + nb_d - 2.0, 0.0)), 0.0))
+       * (1.0 - 3.0 / nullif(4.0 * (na_d + nb_d - 2.0) - 1.0, 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS g
+FROM d
+"""
+
     # Truncation energy per vector, textually parallel to
     # operators.similarity.truncation_energy_report (dim 16, bottom 20).
     o["embeddings_truncation_energy"] = """

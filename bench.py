@@ -283,6 +283,7 @@ HEADLINE = [
     "orders_neyman_sample",
     "orders_holt_forecast",
     "embeddings_truncation_energy",
+    "orders_cohens_d",
 ]
 
 

@@ -2397,3 +2397,62 @@ def holt_forecast(
     return series.sparkSession.createDataFrame(
         out, "h int, forecast_micro long, forecast double"
     ).orderBy("h")
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Standardized mean difference between two groups: Cohen's d
+    (pooled-SD units) and Hedges' g (the small-sample bias correction
+    ``1 − 3/(4·df − 1)``) — the EFFECT SIZE companion to
+    :func:`welch_t_test`: at 100 TB everything is significant; d says
+    whether the difference is worth acting on (rule of thumb: 0.2
+    small, 0.5 medium, 0.8 large).
+
+    Same single conditional-aggregation scan of exact decimal moments
+    as the t-test; d and g are fixed-order double projections over the
+    one-row frame, micro-quantized.  Returns one row: (n_a, n_b,
+    mean_a, mean_b, pooled_sd, d, g).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    x = _m(value_col, dec)
+    m = df.where(
+        (in_a | in_b) & F.col(value_col).isNotNull()
+    ).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(in_a, x)).alias("sa"),
+        F.sum(F.when(in_b, x)).alias("sb"),
+        F.sum(F.when(in_a, x * x)).alias("qa"),
+        F.sum(F.when(in_b, x * x)).alias("qb"),
+    ).select(
+        "n_a", "n_b",
+        F.col("n_a").cast("double").alias("na_d"),
+        F.col("n_b").cast("double").alias("nb_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sa", "sb", "qa", "qb")],
+    )
+    ssa = "(qa_d - sa_d * sa_d / na_d)"
+    ssb = "(qb_d - sb_d * sb_d / nb_d)"
+    sp = (f"sqrt(({ssa} + {ssb}) "
+          "/ nullif(na_d + nb_d - 2.0, 0.0))")
+    d = (f"((sa_d / na_d - sb_d / nb_d) / nullif({sp}, 0.0))")
+    corr = "(1.0 - 3.0 / nullif(4.0 * (na_d + nb_d - 2.0) - 1.0, 0.0))"
+    return m.select(
+        "n_a", "n_b",
+        F.expr("round(sa_d / nullif(na_d, 0.0), 6)").alias("mean_a"),
+        F.expr("round(sb_d / nullif(nb_d, 0.0), 6)").alias("mean_b"),
+        F.expr(f"CAST(round(({sp}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("pooled_sd"),
+        F.expr(f"CAST(round(({d}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("d"),
+        F.expr(
+            f"CAST(round(({d}) * ({corr}) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("g"),
+    )

@@ -3411,3 +3411,32 @@ def test_truncation_energy_orders_weakest_first(spark):
     assert abs(got[1]["retained"] - 1 / math.sqrt(2)) < 1e-6
     with pytest.raises(ValueError):
         ops.truncation_energy_report(df, dim=0)
+
+
+# ---- cohens_d --------------------------------------------------------------
+
+
+def test_cohens_d_replay(spark):
+    import math
+    a_vals = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b_vals = [15.0, 17.0, 16.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.cohens_d(df, "v", "g", "a", "b").collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    sa, sb = sum(a_vals), sum(b_vals)
+    qa = sum(x * x for x in a_vals)
+    qb = sum(x * x for x in b_vals)
+    sp = math.sqrt(((qa - sa * sa / na) + (qb - sb * sb / nb))
+                   / (na + nb - 2))
+    d = (sa / na - sb / nb) / sp
+    g = d * (1 - 3 / (4 * (na + nb - 2) - 1))
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["pooled_sd"] == micro(sp * 1e6) / 1e6
+    assert r["d"] == micro(d * 1e6) / 1e6
+    assert r["g"] == micro(g * 1e6) / 1e6
+    assert abs(r["g"]) < abs(r["d"])  # g shrinks toward 0
