@@ -1485,6 +1485,30 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_forecast_backtest(spark, sf):
+    # train Holt on months 0..23, score months 24..35 — the backtest
+    # that closes the forecasting loop
+    monthly = (
+        _t(spark, sf, "orders")
+        .where("o_orderdate < TIMESTAMP'1998-01-01 00:00:00'")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1995-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"))
+        .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)").alias("revenue"))
+    )
+    fc = ops.holt_forecast(
+        monthly.where("month_idx < 24"), "month_idx", "revenue",
+        alpha_pct=30, beta_pct=10, horizon=12,
+    ).where("h >= 1").select(
+        (F.col("h") + 23).cast("long").alias("month_idx"), "forecast")
+    joined = monthly.where("month_idx >= 24").join(fc, "month_idx")
+    return ops.forecast_accuracy(joined, "revenue", "forecast")
+
+
 def _q_cohens_d(spark, sf):
     return ops.cohens_d(
         _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
@@ -2515,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_holt_forecast": _q_holt,
             "embeddings_truncation_energy": _q_truncation_energy,
             "orders_cohens_d": _q_cohens_d,
+            "orders_forecast_backtest": _q_forecast_backtest,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2646,7 +2671,7 @@ _GATE_PRIORITY = [
     "orders_gap_fill", "parts_trending_brands", "events_log_rank",
     "events_growth_accounting", "orders_neyman_sample",
     "orders_holt_forecast", "embeddings_truncation_energy",
-    "orders_cohens_d",
+    "orders_cohens_d", "orders_forecast_backtest",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4944,6 +4969,207 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Holt backtest: 23-step training chain over months 0..23, 12-step
+    # horizon scored against months 24..35; textually parallel to
+    # operators.stats.holt_forecast + forecast_accuracy.
+    o["orders_forecast_backtest"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1995-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS revenue
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY month_idx ASC) - 1 AS pos,
+         CAST(round(revenue * 1000000.0) AS BIGINT) AS y
+  FROM monthly WHERE month_idx < 24
+),
+b0 AS MATERIALIZED (
+  SELECT (SELECT y FROM ser WHERE pos = 0) AS l,
+         (SELECT y FROM ser WHERE pos = 1)
+         - (SELECT y FROM ser WHERE pos = 0) AS b
+),
+b1 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200) END) - b0.l) + 90 * b0.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200) END) - b0.l) + 90 * b0.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 1) + 70 * (b0.l + b0.b)) + 100) // 200) END) - b0.l) + 90 * b0.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b0
+),
+b2 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200) END) - b1.l) + 90 * b1.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200) END) - b1.l) + 90 * b1.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 2) + 70 * (b1.l + b1.b)) + 100) // 200) END) - b1.l) + 90 * b1.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b1
+),
+b3 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200) END) - b2.l) + 90 * b2.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200) END) - b2.l) + 90 * b2.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 3) + 70 * (b2.l + b2.b)) + 100) // 200) END) - b2.l) + 90 * b2.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b2
+),
+b4 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200) END) - b3.l) + 90 * b3.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200) END) - b3.l) + 90 * b3.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 4) + 70 * (b3.l + b3.b)) + 100) // 200) END) - b3.l) + 90 * b3.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b3
+),
+b5 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200) END) - b4.l) + 90 * b4.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200) END) - b4.l) + 90 * b4.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 5) + 70 * (b4.l + b4.b)) + 100) // 200) END) - b4.l) + 90 * b4.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b4
+),
+b6 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200) END) - b5.l) + 90 * b5.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200) END) - b5.l) + 90 * b5.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 6) + 70 * (b5.l + b5.b)) + 100) // 200) END) - b5.l) + 90 * b5.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b5
+),
+b7 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200) END) - b6.l) + 90 * b6.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200) END) - b6.l) + 90 * b6.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 7) + 70 * (b6.l + b6.b)) + 100) // 200) END) - b6.l) + 90 * b6.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b6
+),
+b8 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200) END) - b7.l) + 90 * b7.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200) END) - b7.l) + 90 * b7.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 8) + 70 * (b7.l + b7.b)) + 100) // 200) END) - b7.l) + 90 * b7.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b7
+),
+b9 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200) END) - b8.l) + 90 * b8.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200) END) - b8.l) + 90 * b8.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 9) + 70 * (b8.l + b8.b)) + 100) // 200) END) - b8.l) + 90 * b8.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b8
+),
+b10 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200) END) - b9.l) + 90 * b9.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200) END) - b9.l) + 90 * b9.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 10) + 70 * (b9.l + b9.b)) + 100) // 200) END) - b9.l) + 90 * b9.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b9
+),
+b11 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200) END) - b10.l) + 90 * b10.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200) END) - b10.l) + 90 * b10.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 11) + 70 * (b10.l + b10.b)) + 100) // 200) END) - b10.l) + 90 * b10.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b10
+),
+b12 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200) END) - b11.l) + 90 * b11.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200) END) - b11.l) + 90 * b11.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 12) + 70 * (b11.l + b11.b)) + 100) // 200) END) - b11.l) + 90 * b11.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b11
+),
+b13 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200) END) - b12.l) + 90 * b12.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200) END) - b12.l) + 90 * b12.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 13) + 70 * (b12.l + b12.b)) + 100) // 200) END) - b12.l) + 90 * b12.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b12
+),
+b14 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200) END) - b13.l) + 90 * b13.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200) END) - b13.l) + 90 * b13.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 14) + 70 * (b13.l + b13.b)) + 100) // 200) END) - b13.l) + 90 * b13.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b13
+),
+b15 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200) END) - b14.l) + 90 * b14.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200) END) - b14.l) + 90 * b14.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 15) + 70 * (b14.l + b14.b)) + 100) // 200) END) - b14.l) + 90 * b14.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b14
+),
+b16 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200) END) - b15.l) + 90 * b15.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200) END) - b15.l) + 90 * b15.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 16) + 70 * (b15.l + b15.b)) + 100) // 200) END) - b15.l) + 90 * b15.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b15
+),
+b17 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200) END) - b16.l) + 90 * b16.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200) END) - b16.l) + 90 * b16.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 17) + 70 * (b16.l + b16.b)) + 100) // 200) END) - b16.l) + 90 * b16.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b16
+),
+b18 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200) END) - b17.l) + 90 * b17.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200) END) - b17.l) + 90 * b17.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 18) + 70 * (b17.l + b17.b)) + 100) // 200) END) - b17.l) + 90 * b17.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b17
+),
+b19 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200) END) - b18.l) + 90 * b18.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200) END) - b18.l) + 90 * b18.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 19) + 70 * (b18.l + b18.b)) + 100) // 200) END) - b18.l) + 90 * b18.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b18
+),
+b20 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200) END) - b19.l) + 90 * b19.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200) END) - b19.l) + 90 * b19.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 20) + 70 * (b19.l + b19.b)) + 100) // 200) END) - b19.l) + 90 * b19.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b19
+),
+b21 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200) END) - b20.l) + 90 * b20.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200) END) - b20.l) + 90 * b20.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 21) + 70 * (b20.l + b20.b)) + 100) // 200) END) - b20.l) + 90 * b20.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b20
+),
+b22 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200) END) - b21.l) + 90 * b21.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200) END) - b21.l) + 90 * b21.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 22) + 70 * (b21.l + b21.b)) + 100) // 200) END) - b21.l) + 90 * b21.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b21
+),
+b23 AS MATERIALIZED (
+  SELECT CAST(CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200) END AS BIGINT) AS l,
+         CAST(CASE WHEN (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200) END) - b22.l) + 90 * b22.b) >= 0 THEN (2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200) END) - b22.l) + 90 * b22.b) + 100) // 200 ELSE -((-2 * (10 * ((CASE WHEN (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) >= 0 THEN (2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200 ELSE -((-2 * (30 * (SELECT y FROM ser WHERE pos = 23) + 70 * (b22.l + b22.b)) + 100) // 200) END) - b22.l) + 90 * b22.b) + 100) // 200) END
+              AS BIGINT) AS b
+  FROM b22
+),
+fc AS (
+  SELECT CAST(h + 23 AS BIGINT) AS month_idx,
+         CAST(CAST(b23.l + h * b23.b AS BIGINT) AS DOUBLE) / 1e6
+           AS forecast
+  FROM b23 CROSS JOIN (
+    SELECT CAST(g AS INT) AS h FROM generate_series(1, 12) t(g))
+),
+j AS (
+  SELECT m.revenue AS a, f.forecast AS f
+  FROM monthly m JOIN fc f ON m.month_idx = f.month_idx
+  WHERE m.month_idx >= 24
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(abs(a - f) * 1000000.0) AS BIGINT)) AS BIGINT)
+      AS ae,
+    CAST(sum(CAST(round((a - f) * (a - f)) AS BIGINT)) AS BIGINT) AS se,
+    CAST(sum(CAST(round(abs(a - f) / nullif(abs(a), 0.0) * 1000000.0)
+         AS BIGINT)) AS BIGINT) AS ape,
+    CAST(sum(CAST(round(2.0 * abs(a - f)
+         / nullif(abs(a) + abs(f), 0.0) * 1000000.0) AS BIGINT))
+         AS BIGINT) AS sape
+  FROM j
+)
+SELECT n,
+  CAST(CAST(round(CAST(ae AS DOUBLE) / 1000000.0
+       / nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mae,
+  CAST(CAST(round(sqrt(CAST(se AS DOUBLE)
+       / nullif(CAST(n AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS rmse,
+  CAST(CAST(round(CAST(ape AS DOUBLE) / 1000000.0
+       / nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mape,
+  CAST(CAST(round(CAST(sape AS DOUBLE) / 1000000.0
+       / nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS smape
+FROM agg
+"""
+
     # Cohen's d / Hedges' g, textually parallel to
     # operators.stats.cohens_d.
     o["orders_cohens_d"] = """

@@ -284,6 +284,7 @@ HEADLINE = [
     "orders_holt_forecast",
     "embeddings_truncation_energy",
     "orders_cohens_d",
+    "orders_forecast_backtest",
 ]
 
 

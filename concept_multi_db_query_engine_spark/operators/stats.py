@@ -2456,3 +2456,65 @@ def cohens_d(
             f"CAST(round(({d}) * ({corr}) * 1000000.0) AS BIGINT) / 1e6"
         ).cast("double").alias("g"),
     )
+
+
+def forecast_accuracy(
+    joined: DataFrame,
+    actual_col: str,
+    forecast_col: str,
+) -> DataFrame:
+    """Forecast-accuracy scorecard over a joined (actual, forecast)
+    frame: MAE, RMSE, MAPE, and SMAPE — the backtest readout that
+    closes the forecasting loop (a forecaster without one is a prior).
+
+    One aggregation: absolute/squared/percentage error terms quantize
+    per row (micro for the linear terms, unit scale for the squares so
+    1e7-scale values cannot overflow the long sum) and reduce as exact
+    integers; the final metrics are fixed-order doubles.  Returns one
+    row: (n, mae, rmse, mape, smape).
+    """
+    a = f"CAST(({actual_col}) AS DOUBLE)"
+    f_ = f"CAST(({forecast_col}) AS DOUBLE)"
+    m = joined.where(
+        f"({actual_col}) IS NOT NULL AND ({forecast_col}) IS NOT NULL"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(
+            f"CAST(round(abs({a} - {f_}) * 1000000.0) AS BIGINT)"
+        )).cast("long").alias("__ae_micro"),
+        F.sum(F.expr(
+            f"CAST(round(({a} - {f_}) * ({a} - {f_})) AS BIGINT)"
+        )).cast("long").alias("__se_unit"),
+        F.sum(F.expr(
+            f"CAST(round(abs({a} - {f_}) / nullif(abs({a}), 0.0) "
+            "* 1000000.0) AS BIGINT)"
+        )).cast("long").alias("__ape_micro"),
+        F.sum(F.expr(
+            f"CAST(round(2.0 * abs({a} - {f_}) "
+            f"/ nullif(abs({a}) + abs({f_}), 0.0) * 1000000.0) "
+            "AS BIGINT)"
+        )).cast("long").alias("__sape_micro"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            "CAST(round(CAST(__ae_micro AS DOUBLE) / 1000000.0 "
+            "/ nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("mae"),
+        F.expr(
+            "CAST(round(sqrt(CAST(__se_unit AS DOUBLE) "
+            "/ nullif(CAST(n AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("rmse"),
+        F.expr(
+            "CAST(round(CAST(__ape_micro AS DOUBLE) / 1000000.0 "
+            "/ nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("mape"),
+        F.expr(
+            "CAST(round(CAST(__sape_micro AS DOUBLE) / 1000000.0 "
+            "/ nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("smape"),
+    )

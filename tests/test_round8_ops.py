@@ -3440,3 +3440,33 @@ def test_cohens_d_replay(spark):
     assert r["d"] == micro(d * 1e6) / 1e6
     assert r["g"] == micro(g * 1e6) / 1e6
     assert abs(r["g"]) < abs(r["d"])  # g shrinks toward 0
+
+
+# ---- forecast_accuracy -----------------------------------------------------
+
+
+def test_forecast_accuracy_replay(spark):
+    import math
+    pairs = [(100.0, 90.0), (200.0, 210.0), (50.0, 50.0), (80.0, 100.0)]
+    df = spark.createDataFrame(pairs, "a double, f double")
+    r = ops.forecast_accuracy(df, "a", "f").collect()[0]
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    n = len(pairs)
+    ae = sum(micro(abs(a - f) * 1e6) for a, f in pairs)
+    se = sum(micro((a - f) ** 2) for a, f in pairs)
+    ape = sum(micro(abs(a - f) / abs(a) * 1e6) for a, f in pairs)
+    sape = sum(micro(2 * abs(a - f) / (abs(a) + abs(f)) * 1e6)
+               for a, f in pairs)
+    assert r["n"] == n
+    assert r["mae"] == micro(ae / 1e6 / n * 1e6) / 1e6
+    assert r["rmse"] == micro(math.sqrt(se / n) * 1e6) / 1e6
+    assert r["mape"] == micro(ape / 1e6 / n * 1e6) / 1e6
+    assert r["smape"] == micro(sape / 1e6 / n * 1e6) / 1e6
+    # perfect forecast scores zero everywhere
+    perfect = spark.createDataFrame([(5.0, 5.0)], "a double, f double")
+    rp = ops.forecast_accuracy(perfect, "a", "f").collect()[0]
+    assert (rp["mae"], rp["rmse"], rp["mape"], rp["smape"]) == \
+        (0.0, 0.0, 0.0, 0.0)
