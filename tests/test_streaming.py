@@ -908,3 +908,34 @@ def test_incremental_diversity_via_count_state(spark):
     got = sorted(map(tuple, ops.diversity_report(
         rebuilt, "source", "lang").collect()))
     assert got == want
+
+
+def test_incremental_growth_accounting_via_cell_state(spark):
+    """Growth accounting on a stream: state is the DISTINCT (user,
+    period) cell set — union of batches then distinct is the same set,
+    so the report is a pure function of merged state. Three disjoint
+    batches reproduce the one-shot report exactly."""
+    import datetime as dt
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    w = lambda n, d=0: dt.datetime(2024, 1, 1 + 7 * (n - 1) + d)
+    rows = [(u, w(1 + ((u * 3 + k) % 4), (u + k) % 5))
+            for u in range(20) for k in range(3)]
+    full = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    want = sorted(map(tuple, ops.growth_accounting(
+        full, period="week").collect()))
+
+    cells = set()
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 3 == k],
+            "user_id long, ts timestamp")
+        for r in batch.selectExpr(
+                "user_id", "date_trunc('week', CAST(ts AS DATE)) AS p"
+        ).distinct().collect():
+            cells.add((r["user_id"], r["p"]))
+    rebuilt = spark.createDataFrame(
+        [(u, p) for u, p in cells], "user_id long, ts timestamp")
+    got = sorted(map(tuple, ops.growth_accounting(
+        rebuilt, period="week").collect()))
+    assert got == want
