@@ -1485,6 +1485,20 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_daily_bands(spark, sf):
+    # monitoring band chart: daily p10/p50/p90 of order value over the
+    # first 60 days (exact distributed quantiles per day group)
+    daily = _t(spark, sf, "orders").select(
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+               "DATE'1995-01-01') AS BIGINT)").alias("day"),
+        F.col("o_totalprice").alias("v"),
+    ).where("day >= 0 AND day < 60")
+    q = ops.distributed_group_quantiles(daily, "day", "v",
+                                        [0.1, 0.5, 0.9])
+    return q.withColumnsRenamed(
+        {"q0": "p10", "q1": "p50", "q2": "p90"}).orderBy("day")
+
+
 def _q_forecast_backtest(spark, sf):
     # train Holt on months 0..23, score months 24..35 — the backtest
     # that closes the forecasting loop
@@ -2540,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embeddings_truncation_energy": _q_truncation_energy,
             "orders_cohens_d": _q_cohens_d,
             "orders_forecast_backtest": _q_forecast_backtest,
+            "orders_daily_quantile_bands": _q_daily_bands,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2672,6 +2687,7 @@ _GATE_PRIORITY = [
     "events_growth_accounting", "orders_neyman_sample",
     "orders_holt_forecast", "embeddings_truncation_energy",
     "orders_cohens_d", "orders_forecast_backtest",
+    "orders_daily_quantile_bands",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4969,6 +4985,21 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Daily quantile bands (exact percentile_cont semantics per day).
+    o["orders_daily_quantile_bands"] = """
+SELECT CAST(datediff('day', DATE '1995-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       round(quantile_cont(o_totalprice, 0.1), 4) AS p10,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+WHERE datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      >= 0
+  AND datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      < 60
+GROUP BY 1 ORDER BY 1
+"""
+
     # Holt backtest: 23-step training chain over months 0..23, 12-step
     # horizon scored against months 24..35; textually parallel to
     # operators.stats.holt_forecast + forecast_accuracy.

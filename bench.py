@@ -285,6 +285,7 @@ HEADLINE = [
     "embeddings_truncation_energy",
     "orders_cohens_d",
     "orders_forecast_backtest",
+    "orders_daily_quantile_bands",
 ]
 
 
