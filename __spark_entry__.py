@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_dispersion(spark, sf):
+    return ops.arrival_dispersion(_t(spark, sf, "events"),
+                                  bucket_seconds=3600)
+
+
 def _q_daily_bands(spark, sf):
     # monitoring band chart: daily p10/p50/p90 of order value over the
     # first 60 days (exact distributed quantiles per day group)
@@ -2555,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_cohens_d": _q_cohens_d,
             "orders_forecast_backtest": _q_forecast_backtest,
             "orders_daily_quantile_bands": _q_daily_bands,
+            "events_arrival_dispersion": _q_dispersion,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2687,7 +2693,7 @@ _GATE_PRIORITY = [
     "events_growth_accounting", "orders_neyman_sample",
     "orders_holt_forecast", "embeddings_truncation_energy",
     "orders_cohens_d", "orders_forecast_backtest",
-    "orders_daily_quantile_bands",
+    "orders_daily_quantile_bands", "events_arrival_dispersion",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4985,6 +4991,45 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Arrival dispersion (hourly buckets), textually parallel to
+    # operators.analytics.arrival_dispersion.
+    o["events_arrival_dispersion"] = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS bkt,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi)) AS bkt
+  FROM (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b)
+),
+full_ AS (
+  SELECT CAST(coalesce(b.c, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN b USING (bkt)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(sum(c) AS DOUBLE) AS s_d,
+         CAST(sum(c * c) AS DOUBLE) AS q_d
+  FROM full_
+)
+SELECT n_buckets,
+  CAST(CAST(round((s_d / nullif(n_d, 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mean_per_bucket,
+  CAST(CAST(round(((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS var_per_bucket,
+  CAST(CAST(round((((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0))
+       / nullif(s_d / nullif(n_d, 0.0), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS dispersion,
+  CAST(CAST(round(((((q_d - s_d * s_d / n_d)
+       / nullif(n_d - 1.0, 0.0))
+       / nullif(s_d / nullif(n_d, 0.0), 0.0)) - 1.0)
+       * sqrt((n_d - 1.0) / 2.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+       / 1e6 AS z_vs_poisson
+FROM m
+"""
+
     # Daily quantile bands (exact percentile_cont semantics per day).
     o["orders_daily_quantile_bands"] = """
 SELECT CAST(datediff('day', DATE '1995-01-01',

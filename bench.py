@@ -286,6 +286,7 @@ HEADLINE = [
     "orders_cohens_d",
     "orders_forecast_backtest",
     "orders_daily_quantile_bands",
+    "events_arrival_dispersion",
 ]
 
 

@@ -2262,3 +2262,72 @@ def growth_accounting(
         )
         .orderBy("period")
     )
+
+
+def arrival_dispersion(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Arrival burstiness: the index of dispersion (variance-to-mean
+    ratio) of per-bucket event counts — ≈1 under a Poisson process,
+    >1 bursty (campaign spikes, retry storms), <1 regular (schedulers,
+    rate limiters).  The one-number answer to "can I capacity-plan
+    this stream with Poisson math".
+
+    One bucket-count aggregate (exact integers over epoch-second
+    division — NTZ-safe), then exact decimal moments over the bucket
+    frame; the index and its large-sample z against 1 (dispersion test:
+    ``(D−1)·sqrt((n−1)/2)``) are fixed-order doubles, micro-quantized.
+    Buckets with zero events inside the observed span are materialized
+    via the spine so silence counts as regularity evidence.
+
+    Returns one row: (n_buckets, mean_per_bucket, var_per_bucket,
+    dispersion, z_vs_poisson).
+    """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    b = (
+        events.where(f"({ts_col}) IS NOT NULL")
+        .select(
+            F.expr(
+                f"CAST(floor(timestampdiff(SECOND, "
+                f"TIMESTAMP'1970-01-01 00:00:00', {ts_col}) "
+                f"/ {bucket_seconds}.0d) AS BIGINT)"
+            ).alias("__b")
+        )
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    spine = b.agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    ).select(F.explode(F.expr("sequence(__lo, __hi)")).alias("__b"))
+    full = spine.join(b, "__b", "left").select(
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("c"))
+    m = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("__s"),
+        F.sum(F.expr("c * c")).cast("long").alias("__q"),
+    ).select(
+        "n_buckets",
+        F.col("n_buckets").cast("double").alias("__n_d"),
+        F.col("__s").cast("double").alias("__s_d"),
+        F.col("__q").cast("double").alias("__q_d"),
+    )
+    mean = "(__s_d / nullif(__n_d, 0.0))"
+    var = ("((__q_d - __s_d * __s_d / __n_d) "
+           "/ nullif(__n_d - 1.0, 0.0))")
+    disp = f"(({var}) / nullif({mean}, 0.0))"
+    return m.select(
+        "n_buckets",
+        F.expr(f"CAST(round(({mean}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_per_bucket"),
+        F.expr(f"CAST(round(({var}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("var_per_bucket"),
+        F.expr(f"CAST(round(({disp}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("dispersion"),
+        F.expr(
+            f"CAST(round((({disp}) - 1.0) "
+            "* sqrt((__n_d - 1.0) / 2.0) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("z_vs_poisson"),
+    )

@@ -3470,3 +3470,29 @@ def test_forecast_accuracy_replay(spark):
     rp = ops.forecast_accuracy(perfect, "a", "f").collect()[0]
     assert (rp["mae"], rp["rmse"], rp["mape"], rp["smape"]) == \
         (0.0, 0.0, 0.0, 0.0)
+
+
+# ---- arrival_dispersion ----------------------------------------------------
+
+
+def test_dispersion_regular_vs_bursty(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # regular: exactly 4 events every hour for 24 hours -> variance 0
+    reg = [(base + dt.timedelta(hours=h, minutes=m),)
+           for h in range(24) for m in (0, 15, 30, 45)]
+    r = ops.arrival_dispersion(
+        spark.createDataFrame(reg, "ts timestamp"),
+        bucket_seconds=3600).collect()[0]
+    assert r["n_buckets"] == 24
+    assert r["mean_per_bucket"] == 4.0
+    assert r["var_per_bucket"] == 0.0 and r["dispersion"] == 0.0
+    # bursty: all 96 events inside one hour of a 24-hour span
+    burst = [(base + dt.timedelta(minutes=i % 60),) for i in range(96)]
+    burst.append((base + dt.timedelta(hours=23),))
+    r2 = ops.arrival_dispersion(
+        spark.createDataFrame(burst, "ts timestamp"),
+        bucket_seconds=3600).collect()[0]
+    # zero-count buckets materialize via the spine
+    assert r2["n_buckets"] == 24
+    assert r2["dispersion"] > 10.0 and r2["z_vs_poisson"] > 3.0
