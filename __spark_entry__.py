@@ -1485,6 +1485,13 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_abc(spark, sf):
+    # brand-level Pareto triage of lineitem revenue
+    li = _t(spark, sf, "lineitem").join(
+        _t(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey"))
+    return ops.abc_classes(li, "p_brand", "l_extendedprice")
+
+
 def _q_dispersion(spark, sf):
     return ops.arrival_dispersion(_t(spark, sf, "events"),
                                   bucket_seconds=3600)
@@ -2561,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_forecast_backtest": _q_forecast_backtest,
             "orders_daily_quantile_bands": _q_daily_bands,
             "events_arrival_dispersion": _q_dispersion,
+            "parts_abc_classes": _q_abc,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2694,6 +2702,7 @@ _GATE_PRIORITY = [
     "orders_holt_forecast", "embeddings_truncation_energy",
     "orders_cohens_d", "orders_forecast_backtest",
     "orders_daily_quantile_bands", "events_arrival_dispersion",
+    "parts_abc_classes",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -4991,6 +5000,43 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # ABC Pareto classes, textually parallel to
+    # operators.insights.abc_classes (decimal cross-multiplied bounds).
+    o["parts_abc_classes"] = """
+WITH per_key AS (
+  SELECT CAST(p_brand AS VARCHAR) AS key,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+tagged AS (
+  SELECT key, v,
+         sum(v) OVER (ORDER BY v DESC, key ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(v) OVER () AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS k
+  FROM per_key
+),
+classed AS (
+  SELECT *, CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                 WHEN cum * 20 <= tot * 19 THEN 'B'
+                 ELSE 'C' END AS abc_class
+  FROM tagged
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS value_total,
+       CAST(CAST(round(CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+            / nullif(CAST(CAST(max(tot) AS VARCHAR) AS DOUBLE), 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS value_share,
+       CAST(CAST(round(CAST(count(*) AS DOUBLE)
+            / nullif(CAST(max(k) AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS key_share
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
     # Arrival dispersion (hourly buckets), textually parallel to
     # operators.analytics.arrival_dispersion.
     o["events_arrival_dispersion"] = """

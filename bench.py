@@ -287,6 +287,7 @@ HEADLINE = [
     "orders_forecast_backtest",
     "orders_daily_quantile_bands",
     "events_arrival_dispersion",
+    "parts_abc_classes",
 ]
 
 

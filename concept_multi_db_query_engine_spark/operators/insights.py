@@ -579,3 +579,66 @@ def cohort_ltv(
         )
         .orderBy("cohort_month", "age")
     )
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """ABC (Pareto) classification: keys ranked by value, class A =
+    the head that carries the first 80% of cumulative value, B the
+    next 15%, C the tail — the inventory/catalog triage behind "our
+    top 12% of parts make 80% of revenue".
+
+    One keyed aggregate to the key frame (exact decimal totals), one
+    cumulative window ordered (value desc, key asc), then the class
+    boundaries compare EXACT DECIMALS via integer cross-multiplication
+    (``cum·5 <= total·4`` for 80%, ``cum·20 <= total·19`` for 95%) —
+    no float share ever decides a boundary.  Returns one row per
+    class: (abc_class, n_keys, value_total, value_share, key_share),
+    ordered by class.
+    """
+    from pyspark.sql import Window
+
+    per_key = (
+        df.where(f"({key_col}) IS NOT NULL AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({key_col}) AS STRING)").alias("key"))
+        .agg(F.expr(f"CAST(sum(CAST(({value_col}) AS {dec})) AS {dec})")
+             .alias("__v"))
+    )
+    w_cum = Window.orderBy(F.col("__v").desc(), F.col("key").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged = per_key.select(
+        "key", "__v",
+        F.sum("__v").over(w_cum).alias("__cum"),
+        F.sum("__v").over(w_tot).alias("__tot"),
+        F.count(F.lit(1)).over(w_tot).cast("long").alias("__k"),
+    ).withColumn(
+        "abc_class",
+        F.expr(
+            "CASE WHEN __cum * 5 <= __tot * 4 THEN 'A' "
+            "WHEN __cum * 20 <= __tot * 19 THEN 'B' ELSE 'C' END"
+        ),
+    )
+    return (
+        tagged.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.expr("CAST(sum(__v) AS DOUBLE)").alias("value_total"),
+            F.expr(
+                "CAST(round(CAST(sum(__v) AS DOUBLE) "
+                "/ nullif(CAST(max(__tot) AS DOUBLE), 0.0) "
+                "* 1000000.0) AS BIGINT) / 1e6"
+            ).cast("double").alias("value_share"),
+            F.expr(
+                "CAST(round(CAST(count(*) AS DOUBLE) "
+                "/ nullif(CAST(max(__k) AS DOUBLE), 0.0) "
+                "* 1000000.0) AS BIGINT) / 1e6"
+            ).cast("double").alias("key_share"),
+        )
+        .orderBy("abc_class")
+    )

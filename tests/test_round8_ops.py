@@ -3496,3 +3496,22 @@ def test_dispersion_regular_vs_bursty(spark):
     # zero-count buckets materialize via the spine
     assert r2["n_buckets"] == 24
     assert r2["dispersion"] > 10.0 and r2["z_vs_poisson"] > 3.0
+
+
+# ---- abc_classes -----------------------------------------------------------
+
+
+def test_abc_boundaries_exact(spark):
+    # values engineered so the 80% boundary falls exactly on a key
+    rows = [("k1", 50.0), ("k2", 30.0), ("k3", 15.0), ("k4", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["abc_class"]: r for r in
+           ops.abc_classes(df, "k", "v").collect()}
+    # cum: k1=50 (<=80 A), k2=80 (<=80 A boundary INCLUDED),
+    # k3=95 (<=95 B boundary), k4=100 (C)
+    assert got["A"]["n_keys"] == 2 and got["A"]["value_total"] == 80.0
+    assert got["B"]["n_keys"] == 1 and got["B"]["value_total"] == 15.0
+    assert got["C"]["n_keys"] == 1
+    assert got["A"]["value_share"] == 0.8
+    assert got["A"]["key_share"] == 0.5
+    assert abs(sum(r["value_share"] for r in got.values()) - 1.0) < 1e-6
