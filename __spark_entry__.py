@@ -1485,6 +1485,17 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_anomaly_leaderboard(spark, sf):
+    # daily event-type x day counts; day 29 scored vs each type's history
+    daily = (_t(spark, sf, "events")
+             .groupBy("event_type",
+                      F.expr("CAST(datediff(CAST(ts AS DATE), "
+                             "DATE'2024-01-01') AS BIGINT)").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return ops.metric_anomaly_leaderboard(
+        daily, "event_type", "d", "n", current_idx=29, k=10)
+
+
 def _q_abc(spark, sf):
     # brand-level Pareto triage of lineitem revenue
     li = _t(spark, sf, "lineitem").join(
@@ -2569,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_daily_quantile_bands": _q_daily_bands,
             "events_arrival_dispersion": _q_dispersion,
             "parts_abc_classes": _q_abc,
+            "events_anomaly_leaderboard": _q_anomaly_leaderboard,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2702,7 +2714,7 @@ _GATE_PRIORITY = [
     "orders_holt_forecast", "embeddings_truncation_energy",
     "orders_cohens_d", "orders_forecast_backtest",
     "orders_daily_quantile_bands", "events_arrival_dispersion",
-    "parts_abc_classes",
+    "parts_abc_classes", "events_anomaly_leaderboard",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5000,6 +5012,55 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Metric anomaly leaderboard (day 29 vs history), textually
+    # parallel to operators.analytics.metric_anomaly_leaderboard.
+    o["events_anomaly_leaderboard"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+    CAST(sum(CASE WHEN d < 29 THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+    sum(CASE WHEN d < 29 THEN CAST(n AS DECIMAL(18,4)) END) AS s,
+    sum(CASE WHEN d < 29 THEN CAST(n AS DECIMAL(19,4))
+        * CAST(n AS DECIMAL(18,4)) END) AS q,
+    max(CASE WHEN d = 29 THEN CAST(n AS DECIMAL(18,4)) END) AS cur
+  FROM daily
+  WHERE event_type IS NOT NULL AND d <= 29
+  GROUP BY 1
+),
+d2 AS (
+  SELECT key, n_hist,
+         CAST(n_hist AS DOUBLE) AS n_d,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d,
+         CAST(CAST(cur AS VARCHAR) AS DOUBLE) AS current_value
+  FROM g WHERE n_hist >= 2 AND cur IS NOT NULL
+),
+scored AS (
+  SELECT key, n_hist,
+         round(s_d / n_d, 6) AS mean_hist,
+         round(current_value, 6) AS current_value,
+         CAST(round(((current_value - (s_d / n_d))
+              / nullif(sqrt((q_d - s_d * s_d / n_d)
+              / nullif(n_d - 1.0, 0.0)), 0.0)) * 1000000.0) AS BIGINT)
+           AS z_micro
+  FROM d2
+)
+SELECT key, n_hist, mean_hist, current_value,
+       CAST(z_micro AS DOUBLE) / 1e6 AS z
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(z_micro) DESC, key ASC)
+         AS r
+  FROM scored WHERE z_micro IS NOT NULL
+) WHERE r <= 10
+ORDER BY abs(z_micro) DESC, key ASC
+"""
+
     # ABC Pareto classes, textually parallel to
     # operators.insights.abc_classes (decimal cross-multiplied bounds).
     o["parts_abc_classes"] = """

@@ -288,6 +288,7 @@ HEADLINE = [
     "orders_daily_quantile_bands",
     "events_arrival_dispersion",
     "parts_abc_classes",
+    "events_anomaly_leaderboard",
 ]
 
 

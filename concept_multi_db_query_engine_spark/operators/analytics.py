@@ -2331,3 +2331,76 @@ def arrival_dispersion(
             "* sqrt((__n_d - 1.0) / 2.0) * 1000000.0) AS BIGINT) / 1e6"
         ).cast("double").alias("z_vs_poisson"),
     )
+
+
+def metric_anomaly_leaderboard(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    current_idx: int,
+    k: int = 10,
+    dec: str = "decimal(18,4)",
+) -> DataFrame:
+    """Which series moved most THIS period: for every key, the current
+    period's value scored as a z against the key's OWN history — the
+    fleet-wide anomaly leaderboard (hundreds of metrics, one ranked
+    page) that a per-series alert threshold can't give you.
+
+    One conditional aggregation per key over the pre-aggregated
+    (key, idx, value) frame: history moments (idx < current) in exact
+    decimals plus the current value in the same pass — no join, no
+    second scan; z is a fixed-order double micro-quantized, top-``k``
+    by |z| (ties by key).  Keys with < 2 history points or zero
+    variance are skipped (z undefined).  Returns (key, n_hist,
+    mean_hist, current_value, z), ordered by |z| desc.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    x = F.expr(f"CAST(({value_col}) AS {dec})")
+    hist = F.expr(f"({idx_col}) < {current_idx}")
+    cur = F.expr(f"({idx_col}) = {current_idx}")
+    g = (
+        df.where(f"({key_col}) IS NOT NULL AND ({idx_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL "
+                 f"AND ({idx_col}) <= {current_idx}")
+        .groupBy(F.expr(f"CAST(({key_col}) AS STRING)").alias("key"))
+        .agg(
+            F.sum(F.when(hist, 1).otherwise(0)).cast("long")
+            .alias("n_hist"),
+            F.sum(F.when(hist, x)).alias("__s"),
+            F.sum(F.when(hist, x * x)).alias("__q"),
+            F.max(F.when(cur, x)).alias("__cur"),
+        )
+        .where("n_hist >= 2 AND __cur IS NOT NULL")
+        .select(
+            "key", "n_hist",
+            F.col("n_hist").cast("double").alias("__n_d"),
+            F.col("__s").cast("double").alias("__s_d"),
+            F.col("__q").cast("double").alias("__q_d"),
+            F.col("__cur").cast("double").alias("current_value"),
+        )
+    )
+    mean = "(__s_d / __n_d)"
+    sd = ("sqrt((__q_d - __s_d * __s_d / __n_d) "
+          "/ nullif(__n_d - 1.0, 0.0))")
+    z = f"((current_value - {mean}) / nullif({sd}, 0.0))"
+    scored = g.select(
+        "key", "n_hist",
+        F.expr(f"round({mean}, 6)").alias("mean_hist"),
+        F.expr("round(current_value, 6)").alias("current_value"),
+        F.expr(f"CAST(round(({z}) * 1000000.0) AS BIGINT)")
+        .alias("__z_micro"),
+    ).where("__z_micro IS NOT NULL")
+    return (
+        scored.withColumn(
+            "__r", F.row_number().over(
+                Window.orderBy(F.expr("abs(__z_micro)").desc(),
+                               F.col("key").asc())))
+        .where(F.col("__r") <= k)
+        .select("key", "n_hist", "mean_hist", "current_value",
+                (F.col("__z_micro").cast("double") / 1e6).alias("z"))
+        .orderBy(F.expr("abs(__z_micro)").desc(), F.col("key").asc())
+    )

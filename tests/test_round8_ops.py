@@ -3515,3 +3515,40 @@ def test_abc_boundaries_exact(spark):
     assert got["A"]["value_share"] == 0.8
     assert got["A"]["key_share"] == 0.5
     assert abs(sum(r["value_share"] for r in got.values()) - 1.0) < 1e-6
+
+
+# ---- metric_anomaly_leaderboard --------------------------------------------
+
+
+def test_anomaly_leaderboard_ranks_movers(spark):
+    import math
+    rows = []
+    for d in range(10):
+        rows += [("steady", d, 100.0), ("spiky", d, 100.0),
+                 ("drop", d, 50.0)]
+    # current period 10: spiky doubles, drop halves, steady steady
+    rows += [("steady", 10, 100.0), ("spiky", 10, 200.0),
+             ("drop", 10, 25.0)]
+    # history for all is constant -> sd 0 -> skipped... perturb
+    rows = [(k, d, v + (d % 3) * 1.0) for k, d, v in rows]
+    df = spark.createDataFrame(rows, "k string, d long, v double")
+    got = ops.metric_anomaly_leaderboard(df, "k", "d", "v",
+                                         current_idx=10, k=3).collect()
+    keys = [r["key"] for r in got]
+    assert set(keys) == {"steady", "spiky", "drop"}
+    # movers outrank the steady series; z magnitudes ordered
+    assert keys[-1] == "steady"
+    zs = [abs(r["z"]) for r in got]
+    assert zs == sorted(zs, reverse=True)
+    # replay spiky's z
+    hist = [v for k, d, v in rows if k == "spiky" and d < 10]
+    cur = [v for k, d, v in rows if k == "spiky" and d == 10][0]
+    n = len(hist)
+    mean = sum(hist) / n
+    sd = math.sqrt((sum(x * x for x in hist) - sum(hist) ** 2 / n)
+                   / (n - 1))
+    want = (cur - mean) / sd
+    spiky = next(r for r in got if r["key"] == "spiky")
+    assert abs(spiky["z"] - want) < 2e-6
+    with pytest.raises(ValueError):
+        ops.metric_anomaly_leaderboard(df, "k", "d", "v", 10, k=0)
