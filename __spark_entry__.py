@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_distinctive_terms(spark, sf):
+    return ops.distinctive_terms(_t(spark, sf, "documents"),
+                                 "source", target="src0", k=15)
+
+
 def _q_anomaly_leaderboard(spark, sf):
     # daily event-type x day counts; day 29 scored vs each type's history
     daily = (_t(spark, sf, "events")
@@ -2581,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_arrival_dispersion": _q_dispersion,
             "parts_abc_classes": _q_abc,
             "events_anomaly_leaderboard": _q_anomaly_leaderboard,
+            "docs_distinctive_terms": _q_distinctive_terms,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2715,6 +2721,7 @@ _GATE_PRIORITY = [
     "orders_cohens_d", "orders_forecast_backtest",
     "orders_daily_quantile_bands", "events_arrival_dispersion",
     "parts_abc_classes", "events_anomaly_leaderboard",
+    "docs_distinctive_terms",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5012,6 +5019,56 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Fightin' Words distinctive terms (src0 vs rest, a = 0.01);
+    # textually parallel to operators.text.distinctive_terms.
+    o["docs_distinctive_terms"] = """
+WITH counts AS (
+  SELECT tok AS term,
+    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+  FROM (
+    SELECT CAST(source AS VARCHAR) = 'src0' AS t,
+           unnest(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), x -> x != '')) AS tok
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+  ) GROUP BY 1
+),
+staged AS (
+  SELECT term, n_target, n_rest,
+         CAST(sum(n_target) OVER () AS BIGINT) AS nt,
+         CAST(sum(n_rest) OVER () AS BIGINT) AS nr,
+         CAST(count(*) OVER () AS BIGINT) AS v
+  FROM counts
+),
+scored AS (
+  SELECT term, n_target, n_rest,
+    CAST(round(((ln((CAST(n_target AS DOUBLE) + (10.0 / 1000.0))
+      / (CAST(nt AS DOUBLE) + ((10.0 / 1000.0) * CAST(v AS DOUBLE))
+      - CAST(n_target AS DOUBLE) - (10.0 / 1000.0)))
+      - ln((CAST(n_rest AS DOUBLE) + (10.0 / 1000.0))
+      / (CAST(nr AS DOUBLE) + ((10.0 / 1000.0) * CAST(v AS DOUBLE))
+      - CAST(n_rest AS DOUBLE) - (10.0 / 1000.0))))
+      / sqrt(1.0 / (CAST(n_target AS DOUBLE) + (10.0 / 1000.0))
+      + 1.0 / (CAST(n_rest AS DOUBLE) + (10.0 / 1000.0))))
+      * 1000000.0) AS BIGINT) AS z_micro
+  FROM staged
+),
+top AS (
+  SELECT *, 'target' AS side FROM (
+    SELECT *, row_number() OVER (ORDER BY z_micro DESC, term ASC) AS r
+    FROM scored) WHERE r <= 15
+),
+bot AS (
+  SELECT *, 'rest' AS side FROM (
+    SELECT *, row_number() OVER (ORDER BY z_micro ASC, term ASC) AS r
+    FROM scored) WHERE r <= 15
+)
+SELECT term, n_target, n_rest, z_micro,
+       CAST(z_micro AS DOUBLE) / 1e6 AS z, side
+FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+ORDER BY side, z_micro DESC, term ASC
+"""
+
     # Metric anomaly leaderboard (day 29 vs history), textually
     # parallel to operators.analytics.metric_anomaly_leaderboard.
     o["events_anomaly_leaderboard"] = """

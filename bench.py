@@ -289,6 +289,7 @@ HEADLINE = [
     "events_arrival_dispersion",
     "parts_abc_classes",
     "events_anomaly_leaderboard",
+    "docs_distinctive_terms",
 ]
 
 

@@ -2964,3 +2964,102 @@ def term_burstiness(
         .orderBy(F.col("burst_micro").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    target: str | None = None,
+    alpha_milli: int = 10,
+    k: int = 15,
+) -> DataFrame:
+    """Distinctive vocabulary of one group vs the rest — Monroe,
+    Colaresi & Quinn's "Fightin' Words" log-odds with a Dirichlet
+    prior: the corpus-comparison tool that beats raw TF-IDF for
+    "what does THIS source talk about that others don't", because the
+    prior shrinks rare-word noise and the z-score normalizes by
+    uncertainty::
+
+        δ_w = ln( (y_tw + a) / (n_t + A − y_tw − a) )
+            − ln( (y_rw + a) / (n_r + A − y_rw − a) )
+        z_w = δ_w / sqrt(1/(y_tw + a) + 1/(y_rw + a))
+
+    with per-word prior ``a = alpha_milli/1000`` and ``A = a·|vocab|``.
+
+    ONE corpus scan to (group side, term) counts (the target flag is
+    folded into the aggregate — no second pass), vocab-frame windows
+    for the totals, ln/sqrt terms micro-quantized.  Returns the top-k
+    most TARGET-distinctive and top-k most REST-distinctive terms:
+    (term, n_target, n_rest, z_micro, z, side), ordered by
+    (side, z_micro desc).
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or alpha_milli < 1:
+        raise ValueError("k and alpha_milli must be >= 1")
+    if target is None:
+        raise ValueError("target group value is required")
+    tflag = f"CAST(({group_col}) AS STRING) = '{target}'"
+    counts = (
+        docs.where(f"text IS NOT NULL AND ({group_col}) IS NOT NULL")
+        .select(
+            F.expr(f"({tflag})").alias("__t"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.expr("CAST(sum(CASE WHEN __t THEN 1 ELSE 0 END) "
+                   "AS BIGINT)").alias("n_target"),
+            F.expr("CAST(sum(CASE WHEN __t THEN 0 ELSE 1 END) "
+                   "AS BIGINT)").alias("n_rest"),
+        )
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    a = f"({alpha_milli}.0d / 1000.0)"
+    staged = (
+        counts
+        .withColumn("__nt", F.sum("n_target").over(w).cast("long"))
+        .withColumn("__nr", F.sum("n_rest").over(w).cast("long"))
+        .withColumn("__v", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    big_a = f"({a} * CAST(__v AS DOUBLE))"
+    delta = (
+        f"(ln((CAST(n_target AS DOUBLE) + {a}) "
+        f"/ (CAST(__nt AS DOUBLE) + {big_a} "
+        f"- CAST(n_target AS DOUBLE) - {a})) "
+        f"- ln((CAST(n_rest AS DOUBLE) + {a}) "
+        f"/ (CAST(__nr AS DOUBLE) + {big_a} "
+        f"- CAST(n_rest AS DOUBLE) - {a})))"
+    )
+    z = (f"(({delta}) / sqrt(1.0 / (CAST(n_target AS DOUBLE) + {a}) "
+         f"+ 1.0 / (CAST(n_rest AS DOUBLE) + {a})))")
+    scored = staged.withColumn(
+        "z_micro", F.expr(f"CAST(round(({z}) * 1000000.0) AS BIGINT)")
+    ).withColumn("z", F.col("z_micro").cast("double") / 1e6)
+    top = (
+        scored.withColumn(
+            "__r", F.row_number().over(
+                Window.orderBy(F.col("z_micro").desc(),
+                               F.col("term").asc())))
+        .where(F.col("__r") <= k)
+        .withColumn("side", F.lit("target"))
+    )
+    bot = (
+        scored.withColumn(
+            "__r", F.row_number().over(
+                Window.orderBy(F.col("z_micro").asc(),
+                               F.col("term").asc())))
+        .where(F.col("__r") <= k)
+        .withColumn("side", F.lit("rest"))
+    )
+    return (
+        top.unionByName(bot)
+        .select("term", "n_target", "n_rest", "z_micro", "z", "side")
+        .orderBy("side", F.col("z_micro").desc(), F.col("term").asc())
+    )

@@ -3552,3 +3552,26 @@ def test_anomaly_leaderboard_ranks_movers(spark):
     assert abs(spiky["z"] - want) < 2e-6
     with pytest.raises(ValueError):
         ops.metric_anomaly_leaderboard(df, "k", "d", "v", 10, k=0)
+
+
+# ---- distinctive_terms -----------------------------------------------------
+
+
+def test_distinctive_terms_finds_group_vocabulary(spark):
+    docs = ([(i, "a", "quantum flux common word") for i in range(10)]
+            + [(i + 100, "b", "market trade common word")
+               for i in range(10)])
+    df = spark.createDataFrame(docs, "doc_id int, source string, "
+                                     "text string")
+    got = ops.distinctive_terms(df, "source", target="a", k=2).collect()
+    tgt = [r["term"] for r in got if r["side"] == "target"]
+    rest = [r["term"] for r in got if r["side"] == "rest"]
+    assert set(tgt) == {"quantum", "flux"}
+    assert set(rest) == {"market", "trade"}
+    # shared words score near zero, never in either top list
+    assert "common" not in tgt + rest and "word" not in tgt + rest
+    # z symmetry: target words positive, rest words negative
+    assert all(r["z"] > 0 for r in got if r["side"] == "target")
+    assert all(r["z"] < 0 for r in got if r["side"] == "rest")
+    with pytest.raises(ValueError):
+        ops.distinctive_terms(df, "source")
