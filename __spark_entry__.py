@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_fulfillment_sla(spark, sf):
+    return ops.fulfillment_sla(_t(spark, sf, "orders"),
+                               _t(spark, sf, "lineitem"))
+
+
 def _q_distinctive_terms(spark, sf):
     return ops.distinctive_terms(_t(spark, sf, "documents"),
                                  "source", target="src0", k=15)
@@ -2587,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "parts_abc_classes": _q_abc,
             "events_anomaly_leaderboard": _q_anomaly_leaderboard,
             "docs_distinctive_terms": _q_distinctive_terms,
+            "orders_fulfillment_sla": _q_fulfillment_sla,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2721,7 +2727,7 @@ _GATE_PRIORITY = [
     "orders_cohens_d", "orders_forecast_backtest",
     "orders_daily_quantile_bands", "events_arrival_dispersion",
     "parts_abc_classes", "events_anomaly_leaderboard",
-    "docs_distinctive_terms",
+    "docs_distinctive_terms", "orders_fulfillment_sla",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5019,6 +5025,36 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Fulfillment SLA per priority, textually parallel to
+    # operators.insights.fulfillment_sla (7/14/30-day windows).
+    o["orders_fulfillment_sla"] = """
+WITH fs AS (
+  SELECT l_orderkey AS ok, min(l_shipdate) AS ship
+  FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(ship AS DATE)) AS lag
+  FROM orders JOIN fs ON o_orderkey = ok
+)
+SELECT priority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(CAST(round(CAST(sum(lag) AS DOUBLE)
+       / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS avg_lag_days,
+  CAST(CAST(round(CAST(sum(CASE WHEN lag <= 7 THEN 1 ELSE 0 END)
+       AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS within_7d,
+  CAST(CAST(round(CAST(sum(CASE WHEN lag <= 14 THEN 1 ELSE 0 END)
+       AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS within_14d,
+  CAST(CAST(round(CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END)
+       AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS within_30d
+FROM lagged GROUP BY 1 ORDER BY 1
+"""
+
     # Fightin' Words distinctive terms (src0 vs rest, a = 0.01);
     # textually parallel to operators.text.distinctive_terms.
     o["docs_distinctive_terms"] = """

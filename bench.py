@@ -290,6 +290,7 @@ HEADLINE = [
     "parts_abc_classes",
     "events_anomaly_leaderboard",
     "docs_distinctive_terms",
+    "orders_fulfillment_sla",
 ]
 
 

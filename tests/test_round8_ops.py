@@ -3575,3 +3575,30 @@ def test_distinctive_terms_finds_group_vocabulary(spark):
     assert all(r["z"] < 0 for r in got if r["side"] == "rest")
     with pytest.raises(ValueError):
         ops.distinctive_terms(df, "source")
+
+
+# ---- fulfillment_sla -------------------------------------------------------
+
+
+def test_fulfillment_sla_uses_first_shipment(spark):
+    import datetime as dt
+    d = lambda day: dt.datetime(2024, 1, day)
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", d(1)), (2, "1-URGENT", d(1)),
+         (3, "5-LOW", d(1))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp")
+    li = spark.createDataFrame(
+        [(1, d(3)), (1, d(20)),        # first ship day 3 (lag 2)
+         (2, d(10)),                    # lag 9
+         (3, d(25))],                   # lag 24
+        "l_orderkey long, l_shipdate timestamp")
+    got = {r["priority"]: r for r in
+           ops.fulfillment_sla(orders, li, [7, 14]).collect()}
+    u = got["1-URGENT"]
+    assert u["n_orders"] == 2
+    assert u["avg_lag_days"] == round((2 + 9) / 2, 6)
+    assert u["within_7d"] == 0.5 and u["within_14d"] == 1.0
+    lo = got["5-LOW"]
+    assert lo["within_14d"] == 0.0
+    with pytest.raises(ValueError):
+        ops.fulfillment_sla(orders, li, [0])
