@@ -1485,6 +1485,12 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_anova(spark, sf):
+    # does order value differ across priority classes at all?
+    return ops.one_way_anova(_t(spark, sf, "orders"),
+                             "o_orderpriority", "o_totalprice")
+
+
 def _q_fulfillment_sla(spark, sf):
     return ops.fulfillment_sla(_t(spark, sf, "orders"),
                                _t(spark, sf, "lineitem"))
@@ -2593,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_anomaly_leaderboard": _q_anomaly_leaderboard,
             "docs_distinctive_terms": _q_distinctive_terms,
             "orders_fulfillment_sla": _q_fulfillment_sla,
+            "orders_anova": _q_anova,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2727,7 +2734,7 @@ _GATE_PRIORITY = [
     "orders_cohens_d", "orders_forecast_backtest",
     "orders_daily_quantile_bands", "events_arrival_dispersion",
     "parts_abc_classes", "events_anomaly_leaderboard",
-    "docs_distinctive_terms", "orders_fulfillment_sla",
+    "docs_distinctive_terms", "orders_fulfillment_sla", "orders_anova",
     # --- staleness rotation: the remaining r4-graded rows ---
     "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
     # --- staleness rotation: oldest r5-graded rows ---
@@ -5025,6 +5032,44 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # One-way ANOVA, textually parallel to operators.stats.one_way_anova.
+    o["orders_anova"] = """
+WITH g AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s_g,
+         sum(CAST(o_totalprice AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q_g
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS DOUBLE) AS n_d,
+         CAST(count(*) AS DOUBLE) AS k_d,
+         CAST(CAST(sum(s_g) AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(sum(q_g) AS VARCHAR) AS DOUBLE) AS q_d,
+         CAST(CAST(sum(CAST(round(CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS sq_d
+  FROM g
+)
+SELECT n, k,
+  CAST(CAST(round(sq_d - s_d * s_d / n_d) AS BIGINT) AS DOUBLE) AS ssb,
+  CAST(CAST(round(q_d - sq_d) AS BIGINT) AS DOUBLE) AS ssw,
+  CAST(CAST(round((((sq_d - s_d * s_d / n_d)
+       / nullif(k_d - 1.0, 0.0))
+       / nullif((q_d - sq_d) / nullif(n_d - k_d, 0.0), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS f_stat,
+  CAST(CAST(round((sq_d - s_d * s_d / n_d)
+       / nullif(q_d - s_d * s_d / n_d, 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS eta_sq
+FROM m
+"""
+
     # Fulfillment SLA per priority, textually parallel to
     # operators.insights.fulfillment_sla (7/14/30-day windows).
     o["orders_fulfillment_sla"] = """

@@ -291,6 +291,7 @@ HEADLINE = [
     "events_anomaly_leaderboard",
     "docs_distinctive_terms",
     "orders_fulfillment_sla",
+    "orders_anova",
 ]
 
 

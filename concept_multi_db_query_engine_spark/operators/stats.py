@@ -2518,3 +2518,76 @@ def forecast_accuracy(
             "/ 1e6"
         ).cast("double").alias("smape"),
     )
+
+
+def one_way_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """One-way ANOVA across k groups — the k-group generalization of
+    the two-sample t-test (:func:`welch_t_test`): does ANY group mean
+    differ?  Plus eta² (the share of variance the grouping explains —
+    the effect size that keeps a 100 TB F-statistic honest)::
+
+        F = (SSB / (k−1)) / (SSW / (n−k)),   eta² = SSB / SST
+
+    ONE hash aggregation to per-group exact decimal moments (n, Σx,
+    Σx²); SSB/SSW/SST reduce over the k-row model frame via the exact
+    sums (grand totals from the same frame — no second scan), and the
+    statistics are fixed-order doubles micro-quantized.  Returns one
+    row: (n, k, ssb, ssw, f_stat, eta_sq).
+    """
+    x = _m(value_col, dec)
+    g = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum(x * x).alias("q_g"),
+        )
+    )
+    m = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr("CAST(sum(s_g) AS DOUBLE)").alias("__s_d"),
+        F.expr("CAST(sum(q_g) AS DOUBLE)").alias("__q_d"),
+        # Σ (S_g² / n_g): per-group squared-sum term, quantized per
+        # group at UNIT scale before the exact integer sum (micro
+        # scale would overflow BIGINT at these magnitudes; a 1.0
+        # quantum is vanishing relative to ~1e16 sums)
+        F.sum(F.expr(
+            "CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) "
+            "/ CAST(n_g AS DOUBLE)) AS BIGINT)"
+        )).cast("long").alias("__sq_unit"),
+    ).select(
+        "n", "k",
+        F.col("n").cast("double").alias("__n_d"),
+        F.col("k").cast("double").alias("__k_d"),
+        "__s_d", "__q_d",
+        F.expr("CAST(__sq_unit AS DOUBLE)").alias("__sq_d"),
+    )
+    ssb = "(__sq_d - __s_d * __s_d / __n_d)"
+    ssw = "(__q_d - __sq_d)"
+    sst = "(__q_d - __s_d * __s_d / __n_d)"
+    f_stat = (f"(({ssb}) / nullif(__k_d - 1.0, 0.0)) "
+              f"/ nullif(({ssw}) / nullif(__n_d - __k_d, 0.0), 0.0)")
+    return m.select(
+        "n", "k",
+        # unit-scale integers: at ~1e15 magnitudes a 6-decimal round is
+        # not representable in a double and the engines re-round to
+        # different neighbors; whole units are exact on both
+        F.expr(f"CAST(CAST(round({ssb}) AS BIGINT) AS DOUBLE)")
+        .alias("ssb"),
+        F.expr(f"CAST(CAST(round({ssw}) AS BIGINT) AS DOUBLE)")
+        .alias("ssw"),
+        F.expr(f"CAST(round(({f_stat}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("f_stat"),
+        F.expr(
+            f"CAST(round(({ssb}) / nullif({sst}, 0.0) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("eta_sq"),
+    )

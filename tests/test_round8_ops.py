@@ -3602,3 +3602,33 @@ def test_fulfillment_sla_uses_first_shipment(spark):
     assert lo["within_14d"] == 0.0
     with pytest.raises(ValueError):
         ops.fulfillment_sla(orders, li, [0])
+
+
+# ---- one_way_anova ---------------------------------------------------------
+
+
+def test_anova_replay_and_null_case(spark):
+    rows = ([("a", v) for v in (10.0, 12.0, 11.0)]
+            + [("b", v) for v in (20.0, 22.0, 21.0)]
+            + [("c", v) for v in (15.0, 15.0, 15.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.one_way_anova(df, "g", "v").collect()[0]
+    vals = [v for _, v in rows]
+    n, k = len(vals), 3
+    grand = sum(vals) / n
+    groups = {g: [v for gg, v in rows if gg == g] for g in "abc"}
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in groups.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r["n"], r["k"]) == (n, k)
+    assert abs(r["ssb"] - ssb) <= 1.0 and abs(r["ssw"] - ssw) <= 1.5
+    assert abs(r["f_stat"] - f) < 0.05
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) < 1e-3
+    # identical groups: F ~ 0
+    same = spark.createDataFrame(
+        [("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0)],
+        "g string, v double")
+    r2 = ops.one_way_anova(same, "g", "v").collect()[0]
+    assert r2["f_stat"] == 0.0 and r2["eta_sq"] == 0.0
