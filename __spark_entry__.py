@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_kruskal(spark, sf):
+    return ops.kruskal_wallis(_t(spark, sf, "orders"),
+                              "o_orderpriority", "o_totalprice")
+
+
 def _q_anova(spark, sf):
     # does order value differ across priority classes at all?
     return ops.one_way_anova(_t(spark, sf, "orders"),
@@ -2600,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_distinctive_terms": _q_distinctive_terms,
             "orders_fulfillment_sla": _q_fulfillment_sla,
             "orders_anova": _q_anova,
+            "orders_kruskal_wallis": _q_kruskal,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5032,6 +5038,66 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Kruskal-Wallis H, textually parallel to
+    # operators.stats.kruskal_wallis.
+    o["orders_kruskal_wallis"] = """
+WITH cells AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t,
+         CAST(coalesce(sum(sum(c)) OVER (ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM cells GROUP BY 1
+),
+ranked AS (
+  SELECT c.g, c.c,
+         CAST(2 * vals.before + vals.t + 1 AS BIGINT) AS r2
+  FROM cells c JOIN vals ON c.v = vals.v
+),
+grp AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * r2) AS BIGINT) AS rsum2
+  FROM ranked GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(CAST(rsum2 AS DOUBLE)
+              * CAST(rsum2 AS DOUBLE) / 4.0 / CAST(n_g AS DOUBLE))
+              AS BIGINT)) AS BIGINT) AS rr_unit
+  FROM grp
+),
+ties AS (
+  SELECT CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), 0)
+         AS DECIMAL(38,0)) AS t3
+  FROM vals
+)
+SELECT n, k,
+  CAST(CAST(round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+       + 1.0)) * CAST(rr_unit AS DOUBLE)
+       - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS h,
+  CAST(CAST(round((1.0 - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+       / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS tie_correction,
+  CAST(CAST(round(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+       + 1.0)) * CAST(rr_unit AS DOUBLE)
+       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+       / nullif(1.0 - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+       / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 0.0), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS h_corrected
+FROM m CROSS JOIN ties
+"""
+
     # One-way ANOVA, textually parallel to operators.stats.one_way_anova.
     o["orders_anova"] = """
 WITH g AS (

@@ -292,6 +292,7 @@ HEADLINE = [
     "docs_distinctive_terms",
     "orders_fulfillment_sla",
     "orders_anova",
+    "orders_kruskal_wallis",
 ]
 
 

@@ -2591,3 +2591,87 @@ def one_way_anova(
             "AS BIGINT) / 1e6"
         ).cast("double").alias("eta_sq"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H — the rank-based (distribution-free) k-group
+    test, the ANOVA to reach for when the values are skewed or
+    outlier-ridden (latencies, order values)::
+
+        H = [ 12 / (n(n+1)) · Σ_g R_g²/n_g − 3(n+1) ] / C
+        C = 1 − Σ_t (t³ − t) / (n³ − n)        (tie correction)
+
+    Everything reduces to the per-(value, group) count frame: average
+    ranks under ties are exact HALF-integers (cumulative-count windows
+    over the distinct-value frame, kept as 2×-scaled BIGINTs), so each
+    group's rank sum is an exact integer numerator and H is one
+    fixed-order double, micro-quantized.  Returns one row: (n, k, h,
+    tie_correction, h_corrected).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_val = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    vals = vals.select(
+        "v", "t",
+        F.coalesce(F.sum("t").over(w_val), F.lit(0)).cast("long")
+        .alias("__before"),
+    )
+    # avg rank of a tied block = before + (t+1)/2; kept 2x-scaled
+    ranked = cells.join(vals, "v").select(
+        "g", "c",
+        F.expr("2 * __before + t + 1").cast("long").alias("__r2"),
+        "t",
+    )
+    grp = ranked.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.expr("c * __r2")).cast("long").alias("__rsum2"),
+    )
+    m = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # Σ R_g²/n_g with R_g = rsum2/2 — quantized at unit scale per
+        # group before the exact sum (micro overflows at n ~ 1e5)
+        F.sum(F.expr(
+            "CAST(round(CAST(__rsum2 AS DOUBLE) "
+            "* CAST(__rsum2 AS DOUBLE) / 4.0 "
+            "/ CAST(n_g AS DOUBLE)) AS BIGINT)"
+        )).cast("long").alias("__rr_unit"),
+    )
+    ties = vals.agg(
+        F.expr(
+            "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), "
+            "0) AS DECIMAL(38,0))"
+        ).alias("__t3")
+    )
+    h = ("(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) "
+         "* CAST(__rr_unit AS DOUBLE) "
+         "- 3.0 * (CAST(n AS DOUBLE) + 1.0))")
+    corr = ("(1.0 - CAST(__t3 AS DOUBLE) "
+            "/ nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+            "* CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 0.0))")
+    return m.crossJoin(ties).select(
+        "n", "k",
+        F.expr(f"CAST(round(({h}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("h"),
+        F.expr(f"CAST(round(({corr}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("tie_correction"),
+        F.expr(
+            f"CAST(round(({h}) / nullif({corr}, 0.0) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("h_corrected"),
+    )

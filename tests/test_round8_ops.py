@@ -3632,3 +3632,48 @@ def test_anova_replay_and_null_case(spark):
         "g string, v double")
     r2 = ops.one_way_anova(same, "g", "v").collect()[0]
     assert r2["f_stat"] == 0.0 and r2["eta_sq"] == 0.0
+
+
+# ---- kruskal_wallis --------------------------------------------------------
+
+
+def test_kruskal_wallis_against_scipy_style_replay(spark):
+    # hand-checkable example with ties
+    rows = ([("a", v) for v in (1.0, 2.0, 3.0)]
+            + [("b", v) for v in (4.0, 5.0, 6.0)]
+            + [("c", v) for v in (2.0, 5.0, 9.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.kruskal_wallis(df, "g", "v").collect()[0]
+    # python replay with average ranks
+    vals = sorted(v for _, v in rows)
+    import collections
+    cnt = collections.Counter(vals)
+    ranks, before = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = before + (t + 1) / 2
+        before += t
+    n, k = len(rows), 3
+    rr = 0.0
+    for g in "abc":
+        rs = sum(ranks[v] for gg, v in rows if gg == g)
+        ng = sum(1 for gg, _ in rows if gg == g)
+        rr += round(rs * rs / ng)
+    h = 12.0 / (n * (n + 1)) * rr - 3 * (n + 1)
+    t3 = sum(t ** 3 - t for t in cnt.values())
+    corr = 1 - t3 / (n ** 3 - n)
+    import math
+
+    def micro(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    assert (r["n"], r["k"]) == (n, k)
+    assert r["h"] == micro(h * 1e6) / 1e6
+    assert r["tie_correction"] == micro(corr * 1e6) / 1e6
+    assert abs(r["h_corrected"] - h / corr) < 1e-5
+    # identical groups -> H ~ 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double")
+    r2 = ops.kruskal_wallis(same, "g", "v").collect()[0]
+    assert abs(r2["h_corrected"]) < 0.01
