@@ -3671,9 +3671,12 @@ def test_kruskal_wallis_against_scipy_style_replay(spark):
     assert r["h"] == micro(h * 1e6) / 1e6
     assert r["tie_correction"] == micro(corr * 1e6) / 1e6
     assert abs(r["h_corrected"] - h / corr) < 1e-5
-    # identical groups -> H ~ 0
+    # mirror-identical groups: both rank sums equal, H at its floor
+    # for this n (H is chi2(k-1)-distributed — NOT zero at tiny n)
     same = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
         "g string, v double")
     r2 = ops.kruskal_wallis(same, "g", "v").collect()[0]
-    assert abs(r2["h_corrected"]) < 0.01
+    # ranks {1.5,1.5,3.5,3.5}: R_a = R_b = 5, rr = 2*round(12.5) = 26,
+    # H = 12/20*26 - 15 = 0.6, corr = 0.8 -> 0.75
+    assert r2["h_corrected"] == 0.75
