@@ -1485,6 +1485,21 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_mann_kendall(spark, sf):
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1995-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"))
+        .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)").alias("revenue"))
+    )
+    return ops.mann_kendall(monthly, "month_idx", "revenue")
+
+
 def _q_kruskal(spark, sf):
     return ops.kruskal_wallis(_t(spark, sf, "orders"),
                               "o_orderpriority", "o_totalprice")
@@ -2606,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_fulfillment_sla": _q_fulfillment_sla,
             "orders_anova": _q_anova,
             "orders_kruskal_wallis": _q_kruskal,
+            "orders_mann_kendall": _q_mann_kendall,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5038,6 +5054,48 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Mann-Kendall trend test over monthly revenue, textually parallel
+    # to operators.stats.mann_kendall.
+    o["orders_mann_kendall"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1995-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT CAST(month_idx AS DOUBLE) AS i, revenue AS x FROM monthly
+),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM p a JOIN p b ON a.i < b.i
+),
+ties AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)
+              * (2 * t + 5)), 0) AS DECIMAL(38,0)) AS tt
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM p GROUP BY x)
+)
+SELECT n, s_stat,
+  CAST(round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+       * (2.0 * CAST(n AS DOUBLE) + 5.0)
+       - CAST(CAST(tt AS VARCHAR) AS DOUBLE)) / 18.0) AS BIGINT)
+    AS var_s,
+  CAST(CAST(round((CASE WHEN s_stat > 0
+       THEN (CAST(s_stat AS DOUBLE) - 1.0)
+            / nullif(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+            - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+            - CAST(CAST(tt AS VARCHAR) AS DOUBLE)) / 18.0), 0.0)
+       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+            / nullif(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+            - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+            - CAST(CAST(tt AS VARCHAR) AS DOUBLE)) / 18.0), 0.0)
+       ELSE 0.0 END) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS z
+FROM s CROSS JOIN ties
+"""
+
     # Kruskal-Wallis H, textually parallel to
     # operators.stats.kruskal_wallis.
     o["orders_kruskal_wallis"] = """

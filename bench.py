@@ -293,6 +293,7 @@ HEADLINE = [
     "orders_fulfillment_sla",
     "orders_anova",
     "orders_kruskal_wallis",
+    "orders_mann_kendall",
 ]
 
 

@@ -2675,3 +2675,64 @@ def kruskal_wallis(
             "AS BIGINT) / 1e6"
         ).cast("double").alias("h_corrected"),
     )
+
+
+def mann_kendall(
+    points: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test — the nonparametric companion
+    to :func:`theil_sen` (same pair frame, same "aggregated series
+    only" contract): ``S = Σ_{i<j} sign(x_j − x_i)`` counts concordant
+    minus discordant pairs, with the tie-corrected variance and normal
+    z — the standard "is this metric really trending" answer that
+    doesn't care about outliers or the trend's shape.
+
+    The pair join is O(n²) over the MODEL series (a count probe
+    refuses raw corpora, like theil_sen); S and the tie terms are
+    exact integers, z one fixed-order double micro-quantized
+    (continuity-corrected).  Returns one row: (n, s_stat, var_s, z).
+    """
+    n_probe = points.count()
+    if n_probe > max_points:
+        raise ValueError(
+            f"mann_kendall: {n_probe} points exceeds max_points="
+            f"{max_points} — aggregate the series first")
+    p = points.where(
+        f"({idx_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({idx_col}) AS DOUBLE)").alias("i"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    s = (
+        a.join(b, F.expr("a.i < b.i"))
+        .agg(
+            F.sum(F.expr("CAST(sign(b.x - a.x) AS BIGINT)"))
+            .cast("long").alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("__pairs"),
+        )
+    )
+    ties = p.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t")) \
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.expr(
+                "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) "
+                "* (t - 1) * (2 * t + 5)), 0) AS DECIMAL(38,0))"
+            ).alias("__tt"),
+        )
+    var_s = ("((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) "
+             "* (2.0 * CAST(n AS DOUBLE) + 5.0) "
+             "- CAST(__tt AS DOUBLE)) / 18.0)")
+    z = (f"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) "
+         f"/ nullif(sqrt({var_s}), 0.0) "
+         f"WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) "
+         f"/ nullif(sqrt({var_s}), 0.0) ELSE 0.0 END)")
+    return s.crossJoin(ties).select(
+        "n", "s_stat",
+        F.expr(f"CAST(round({var_s}) AS BIGINT)").alias("var_s"),
+        F.expr(f"CAST(round(({z}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("z"),
+    )

@@ -3680,3 +3680,29 @@ def test_kruskal_wallis_against_scipy_style_replay(spark):
     # ranks {1.5,1.5,3.5,3.5}: R_a = R_b = 5, rr = 2*round(12.5) = 26,
     # H = 12/20*26 - 15 = 0.6, corr = 0.8 -> 0.75
     assert r2["h_corrected"] == 0.75
+
+
+# ---- mann_kendall ----------------------------------------------------------
+
+
+def test_mann_kendall_trends_and_guard(spark):
+    import math
+    # strictly increasing: S = n(n-1)/2, strongly positive z
+    up = spark.createDataFrame([(i, float(i)) for i in range(12)],
+                               "i long, x double")
+    r = ops.mann_kendall(up, "i", "x").collect()[0]
+    n = 12
+    assert r["s_stat"] == n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert r["var_s"] == round(var)
+    want_z = (r["s_stat"] - 1.0) / math.sqrt(var)
+    assert abs(r["z"] - want_z) < 1e-5
+    assert r["z"] > 2.0
+    # alternating series: S near 0, |z| small
+    alt = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(12)], "i long, x double")
+    r2 = ops.mann_kendall(alt, "i", "x").collect()[0]
+    assert abs(r2["z"]) < 1.0
+    # guard: the O(n^2) pair join refuses raw corpora
+    with pytest.raises(ValueError):
+        ops.mann_kendall(up, "i", "x", max_points=5)
