@@ -1485,6 +1485,12 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_spearman(spark, sf):
+    # monotone association between line price and quantity
+    return ops.spearman_corr(_t(spark, sf, "lineitem"),
+                             "l_quantity", "l_extendedprice")
+
+
 def _q_mann_kendall(spark, sf):
     monthly = (
         _t(spark, sf, "orders")
@@ -2622,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_anova": _q_anova,
             "orders_kruskal_wallis": _q_kruskal,
             "orders_mann_kendall": _q_mann_kendall,
+            "lineitem_spearman": _q_spearman,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5054,6 +5061,54 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Spearman rho via tie-averaged 2x-scaled ranks; textually parallel
+    # to operators.stats.spearman_corr (shared _corr_expr text).
+    from concept_multi_db_query_engine_spark.operators import (
+        stats as _sp_stats,
+    )
+    _sp_ce = _sp_stats._corr_expr(
+        "n_d", "sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d"
+    ).replace("0.0d", "0.0")
+    o["lineitem_spearman"] = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+rx AS (
+  SELECT x, CAST(2 * coalesce(sum(t) OVER (ORDER BY x ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS BIGINT) AS r_x
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1)
+),
+ry AS (
+  SELECT y, CAST(2 * coalesce(sum(t) OVER (ORDER BY y ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS BIGINT) AS r_y
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1)
+),
+ranked AS (
+  SELECT r_x, r_y FROM base JOIN rx USING (x) JOIN ry USING (y)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(CAST(r_x AS DECIMAL(38,0))) AS VARCHAR)
+              AS DOUBLE) AS sx_d,
+         CAST(CAST(sum(CAST(r_y AS DECIMAL(38,0))) AS VARCHAR)
+              AS DOUBLE) AS sy_d,
+         CAST(CAST(sum(CAST(r_x AS DECIMAL(38,0)) * r_y) AS VARCHAR)
+              AS DOUBLE) AS sxy_d,
+         CAST(CAST(sum(CAST(r_x AS DECIMAL(38,0)) * r_x) AS VARCHAR)
+              AS DOUBLE) AS sxx_d,
+         CAST(CAST(sum(CAST(r_y AS DECIMAL(38,0)) * r_y) AS VARCHAR)
+              AS DOUBLE) AS syy_d
+  FROM ranked
+)
+SELECT n, {_sp_ce} AS rho FROM m
+"""
+
     # Mann-Kendall trend test over monthly revenue, textually parallel
     # to operators.stats.mann_kendall.
     o["orders_mann_kendall"] = """

@@ -294,6 +294,7 @@ HEADLINE = [
     "orders_anova",
     "orders_kruskal_wallis",
     "orders_mann_kendall",
+    "lineitem_spearman",
 ]
 
 

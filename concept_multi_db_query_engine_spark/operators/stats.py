@@ -2736,3 +2736,68 @@ def mann_kendall(
         F.expr(f"CAST(round(({z}) * 1000000.0) AS BIGINT) / 1e6")
         .cast("double").alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation — monotone association that ignores
+    outliers and nonlinearity (does bigger X go with bigger Y at ALL,
+    not just linearly): Pearson's r computed over tie-averaged ranks.
+
+    Ranks come from cumulative-count windows over each variable's
+    distinct-value frame (exact half-integers, kept 2×-scaled — the
+    :func:`kruskal_wallis` machinery), joined back by value (two keyed
+    joins against vocabulary-sized rank maps, never a corpus
+    self-join); the rank moments accumulate in DECIMAL(38,0) and rho
+    is the shared fixed-shape correlation expression.  Returns one
+    row: (n, rho).
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({x_col}) AS DOUBLE)").alias("x"),
+        F.expr(f"CAST(({y_col}) AS DOUBLE)").alias("y"),
+    )
+
+    def rank_map(col):
+        w = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, -1)
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+            .select(
+                col,
+                F.expr(
+                    "CAST(2 * coalesce(sum(__t) OVER (ORDER BY "
+                    f"{col} ASC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                    "1 PRECEDING), 0) + __t + 1 AS BIGINT)"
+                ).alias(f"__r_{col}"),
+            )
+        )
+
+    ranked = base.join(rank_map("x"), "x").join(rank_map("y"), "y")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.expr(f"CAST(sum(CAST({e} AS DECIMAL(38,0))) "
+                 f"AS DECIMAL(38,0))").alias(a)
+          for e, a in (("__r_x", "sx"), ("__r_y", "sy"),
+                       ("__r_x * __r_y", "sxy"),
+                       ("__r_x * __r_x", "sxx"),
+                       ("__r_y * __r_y", "syy"))],
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxy", "sxx", "syy")],
+    )
+    return m.select(
+        "n",
+        F.expr(
+            _corr_expr("n_d", "sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d")
+        ).alias("rho"),
+    )

@@ -3706,3 +3706,45 @@ def test_mann_kendall_trends_and_guard(spark):
     # guard: the O(n^2) pair join refuses raw corpora
     with pytest.raises(ValueError):
         ops.mann_kendall(up, "i", "x", max_points=5)
+
+
+# ---- spearman_corr ---------------------------------------------------------
+
+
+def test_spearman_monotone_and_ties(spark):
+    # perfectly monotone but nonlinear: rho = 1 (Pearson would be < 1)
+    rows = [(float(i), float(i ** 3)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = ops.spearman_corr(df, "x", "y").collect()[0]
+    assert r["n"] == 10 and r["rho"] == 1.0
+    # anti-monotone: rho = -1
+    df2 = spark.createDataFrame(
+        [(float(i), float(-i ** 3)) for i in range(1, 11)],
+        "x double, y double")
+    assert ops.spearman_corr(df2, "x", "y").collect()[0]["rho"] == -1.0
+    # replay with scipy-style tie-averaged ranks
+    rows3 = [(1.0, 3.0), (2.0, 3.0), (2.0, 1.0), (4.0, 5.0), (5.0, 4.0)]
+    df3 = spark.createDataFrame(rows3, "x double, y double")
+    got = ops.spearman_corr(df3, "x", "y").collect()[0]
+
+    def ranks(vals):
+        import collections
+        c = collections.Counter(vals)
+        out, before = {}, 0
+        for v in sorted(c):
+            out[v] = before + (c[v] + 1) / 2
+            before += c[v]
+        return [out[v] for v in vals]
+
+    rx = ranks([x for x, _ in rows3])
+    ry = ranks([y for _, y in rows3])
+    n = len(rows3)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    import math
+    want = round((n * sxy - sx * sy)
+                 / (math.sqrt(n * sxx - sx * sx)
+                    * math.sqrt(n * syy - sy * sy)), 6)
+    assert got["rho"] == want
