@@ -1485,6 +1485,15 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_gini(spark, sf):
+    # inequality of customer lifetime spend
+    spend = (_t(spark, sf, "orders")
+             .groupBy("o_custkey")
+             .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+                         " AS DOUBLE)").alias("spend")))
+    return ops.gini_coefficient(spend, "spend")
+
+
 def _q_spearman(spark, sf):
     # monotone association between line price and quantity
     return ops.spearman_corr(_t(spark, sf, "lineitem"),
@@ -2629,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_kruskal_wallis": _q_kruskal,
             "orders_mann_kendall": _q_mann_kendall,
             "lineitem_spearman": _q_spearman,
+            "customers_gini": _q_gini,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5061,6 +5071,45 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Gini coefficient of per-customer spend, textually parallel to
+    # operators.insights.gini_coefficient.
+    o["customers_gini"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+vals AS (
+  SELECT CAST(spend AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS t
+  FROM spend WHERE spend IS NOT NULL AND spend >= 0 GROUP BY 1
+),
+staged AS (
+  SELECT x, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY x ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS b
+  FROM vals
+),
+m AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+    CAST(sum(CAST(round(x * (CAST(t AS DOUBLE) * CAST(b AS DOUBLE)
+         + CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) + 1.0) / 2.0))
+         AS BIGINT)) AS BIGINT) AS rx_unit,
+    CAST(sum(CAST(round(x * CAST(t AS DOUBLE) * 1000000.0) AS BIGINT))
+         AS BIGINT) AS sx_micro
+  FROM staged
+)
+SELECT n,
+  round(CAST(sx_micro AS DOUBLE) / 1000000.0, 4) AS total,
+  CAST(CAST(round((2.0 * CAST(rx_unit AS DOUBLE)
+       / nullif(CAST(n AS DOUBLE)
+       * (CAST(sx_micro AS DOUBLE) / 1000000.0), 0.0)
+       - (CAST(n AS DOUBLE) + 1.0) / nullif(CAST(n AS DOUBLE), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS gini
+FROM m
+"""
+
     # Spearman rho via tie-averaged 2x-scaled ranks; textually parallel
     # to operators.stats.spearman_corr (shared _corr_expr text).
     from concept_multi_db_query_engine_spark.operators import (

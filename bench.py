@@ -295,6 +295,7 @@ HEADLINE = [
     "orders_kruskal_wallis",
     "orders_mann_kendall",
     "lineitem_spearman",
+    "customers_gini",
 ]
 
 

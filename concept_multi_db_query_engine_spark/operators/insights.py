@@ -693,3 +693,61 @@ def fulfillment_sla(
             ).cast("double").alias(f"within_{d}d")
         )
     return lagged.groupBy("priority").agg(*aggs).orderBy("priority")
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a non-negative value column — THE
+    inequality number (0 = everyone equal, →1 = one row holds
+    everything), the scalar behind the Lorenz curve that
+    :func:`revenue_concentration` draws::
+
+        G = 2·Σ_i i·x_(i) / (n·Σx) − (n+1)/n
+
+    Ties collapse exactly: a tied block of ``t`` equal values starting
+    after ``b`` rows contributes ``x·(t·b + t(t+1)/2)`` whatever order
+    the block takes, so the whole statistic computes from the
+    DISTINCT-VALUE frame (one aggregate + one cumulative window —
+    never a global per-row sort).  Per-value terms quantize at unit
+    scale (micro would overflow at rank·value ~ 1e15) before the exact
+    integer sum; G is one fixed-order double micro-quantized.
+    Returns one row: (n, total, gini).
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.where(f"({value_col}) IS NOT NULL AND ({value_col}) >= 0")
+        .groupBy(F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    w = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    staged = vals.select(
+        "x", "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+        .alias("b"),
+    )
+    m = staged.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.expr(
+            "CAST(round(x * (CAST(t AS DOUBLE) * CAST(b AS DOUBLE) "
+            "+ CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) + 1.0) / 2.0)) "
+            "AS BIGINT)"
+        )).cast("long").alias("__rx_unit"),
+        F.sum(F.expr(
+            "CAST(round(x * CAST(t AS DOUBLE) * 1000000.0) AS BIGINT)"
+        )).cast("long").alias("__sx_micro"),
+    )
+    g = ("(2.0 * CAST(__rx_unit AS DOUBLE) "
+         "/ nullif(CAST(n AS DOUBLE) "
+         "* (CAST(__sx_micro AS DOUBLE) / 1000000.0), 0.0) "
+         "- (CAST(n AS DOUBLE) + 1.0) / nullif(CAST(n AS DOUBLE), 0.0))")
+    return m.select(
+        "n",
+        F.expr(
+            "round(CAST(__sx_micro AS DOUBLE) / 1000000.0, 4)"
+        ).alias("total"),
+        F.expr(f"CAST(round(({g}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("gini"),
+    )

@@ -3748,3 +3748,29 @@ def test_spearman_monotone_and_ties(spark):
                  / (math.sqrt(n * sxx - sx * sx)
                     * math.sqrt(n * syy - sy * sy)), 6)
     assert got["rho"] == want
+
+
+# ---- gini_coefficient ------------------------------------------------------
+
+
+def test_gini_extremes_and_ties(spark):
+    # perfect equality
+    eq = spark.createDataFrame([(10.0,)] * 8, "v double")
+    r = ops.gini_coefficient(eq, "v").collect()[0]
+    assert (r["n"], r["gini"]) == (8, 0.0)
+    # one holder of everything: G = (n-1)/n
+    one = spark.createDataFrame([(0.0,)] * 7 + [(100.0,)], "v double")
+    r2 = ops.gini_coefficient(one, "v").collect()[0]
+    assert abs(r2["gini"] - 7 / 8) < 1e-5
+    # replay on a mixed set with ties
+    vals = [1.0, 1.0, 2.0, 4.0, 4.0, 8.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r3 = ops.gini_coefficient(df, "v").collect()[0]
+    xs = sorted(vals)
+    n = len(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) \
+        / (n * sum(xs)) - (n + 1) / n
+    assert abs(r3["gini"] - g) < 1e-5
+    # negatives are excluded by contract
+    neg = spark.createDataFrame([(-1.0,), (5.0,), (5.0,)], "v double")
+    assert ops.gini_coefficient(neg, "v").collect()[0]["n"] == 2
