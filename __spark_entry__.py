@@ -1485,6 +1485,21 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_durbin_watson(spark, sf):
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(months_between(date_trunc('month', "
+                "CAST(o_orderdate AS DATE)), DATE '1995-01-01') "
+                "AS BIGINT)"
+            ).alias("month_idx"))
+        .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)").alias("revenue"))
+    )
+    return ops.durbin_watson(monthly, "month_idx", "revenue")
+
+
 def _q_gini(spark, sf):
     # inequality of customer lifetime spend
     spend = (_t(spark, sf, "orders")
@@ -2639,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_mann_kendall": _q_mann_kendall,
             "lineitem_spearman": _q_spearman,
             "customers_gini": _q_gini,
+            "orders_durbin_watson": _q_durbin_watson,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5071,6 +5087,71 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Durbin-Watson over the monthly-revenue OLS residuals; textually
+    # parallel to operators.stats.durbin_watson.
+    o["orders_durbin_watson"] = """
+WITH monthly AS (
+  SELECT CAST(datediff('month', DATE '1995-01-01',
+              date_trunc('month', CAST(o_orderdate AS DATE)))
+         AS BIGINT) AS month_idx,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT CAST(month_idx AS DOUBLE) AS i, revenue AS x FROM monthly
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(CAST(i AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS si_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS sx_d,
+         CAST(CAST(sum(CAST(i AS DECIMAL(19,4))
+              * CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS six_d,
+         CAST(CAST(sum(CAST(i AS DECIMAL(19,4))
+              * CAST(i AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS sii_d
+  FROM p
+),
+model AS (
+  SELECT n,
+    CAST(round(((n_d * six_d - si_d * sx_d)
+         / nullif(n_d * sii_d - si_d * si_d, 0.0)) * 1000000.0)
+         AS BIGINT) AS sl_micro,
+    CAST(round(((sx_d - ((n_d * six_d - si_d * sx_d)
+         / nullif(n_d * sii_d - si_d * si_d, 0.0)) * si_d) / n_d)
+         * 1000000.0) AS BIGINT) AS ic_micro
+  FROM m
+),
+resid AS (
+  SELECT n, sl_micro, ic_micro, i,
+         (x - (CAST(sl_micro AS DOUBLE) / 1000000.0 * i
+          + CAST(ic_micro AS DOUBLE) / 1000000.0)) AS e,
+         lag((x - (CAST(sl_micro AS DOUBLE) / 1000000.0 * i
+          + CAST(ic_micro AS DOUBLE) / 1000000.0)))
+           OVER (ORDER BY i ASC) AS ep
+  FROM p CROSS JOIN model
+),
+agg AS (
+  SELECT max(n) AS n, max(sl_micro) AS sl, max(ic_micro) AS ic,
+    CAST(sum(CAST(round(e * e * 1000.0) AS BIGINT)) AS BIGINT) AS ss,
+    CAST(sum(CASE WHEN ep IS NULL THEN CAST(0 AS BIGINT) ELSE
+         CAST(round((e - ep) * (e - ep) * 1000.0) AS BIGINT) END)
+         AS BIGINT) AS sd
+  FROM resid
+)
+SELECT n,
+       CAST(sl AS DOUBLE) / 1e6 AS slope,
+       CAST(ic AS DOUBLE) / 1e6 AS intercept,
+       CAST(CAST(round(CAST(sd AS DOUBLE)
+            / nullif(CAST(ss AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS dw
+FROM agg
+"""
+
     # Gini coefficient of per-customer spend, textually parallel to
     # operators.insights.gini_coefficient.
     o["customers_gini"] = """

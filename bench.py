@@ -296,6 +296,7 @@ HEADLINE = [
     "orders_mann_kendall",
     "lineitem_spearman",
     "customers_gini",
+    "orders_durbin_watson",
 ]
 
 

@@ -2801,3 +2801,93 @@ def spearman_corr(
             _corr_expr("n_d", "sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d")
         ).alias("rho"),
     )
+
+
+def durbin_watson(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin–Watson autocorrelation diagnostic on the residuals of the
+    series' own least-squares line: ``DW = Σ(e_t − e_{t−1})² / Σe_t²``
+    — ~2 means independent residuals, →0 positive autocorrelation
+    (the trend line is missing structure; a forecaster would
+    underestimate uncertainty), →4 negative.
+
+    One exact decimal moment pass gives the OLS slope/intercept in
+    closed form; residuals are fixed-order doubles over the MODEL
+    series, one lag window ordered by index, and the two sums quantize
+    per-term (micro for e², the shared discipline) before exact
+    reduction.  Returns one row: (n, slope, intercept, dw).
+    """
+    from pyspark.sql import Window
+
+    p = series.where(
+        f"({idx_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({idx_col}) AS DOUBLE)").alias("i"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(i AS DECIMAL(18,4))")).alias("si"),
+        F.sum(F.expr("CAST(x AS DECIMAL(18,4))")).alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(19,4)) "
+                     "* CAST(x AS DECIMAL(18,4))")).alias("six"),
+        F.sum(F.expr("CAST(i AS DECIMAL(19,4)) "
+                     "* CAST(i AS DECIMAL(18,4))")).alias("sii"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("si", "sx", "six", "sii")],
+    )
+    slope = ("((n_d * six_d - si_d * sx_d) "
+             "/ nullif(n_d * sii_d - si_d * si_d, 0.0))")
+    icpt = f"((sx_d - ({slope}) * si_d) / n_d)"
+    model = m.select(
+        "n",
+        F.expr(f"CAST(round(({slope}) * 1000000.0) AS BIGINT)")
+        .alias("__sl_micro"),
+        F.expr(f"CAST(round(({icpt}) * 1000000.0) AS BIGINT)")
+        .alias("__ic_micro"),
+    )
+    resid = (
+        p.crossJoin(F.broadcast(model))
+        .select(
+            "n", "__sl_micro", "__ic_micro", "i",
+            F.expr(
+                "(x - (CAST(__sl_micro AS DOUBLE) / 1000000.0 * i "
+                "+ CAST(__ic_micro AS DOUBLE) / 1000000.0))"
+            ).alias("e"),
+        )
+        .withColumn(
+            "__ep",
+            F.lag("e").over(Window.orderBy(F.col("i").asc())),
+        )
+    )
+    agg = resid.agg(
+        F.max("n").alias("n"),
+        F.max("__sl_micro").alias("__sl"),
+        F.max("__ic_micro").alias("__ic"),
+        # milli scale: residuals of 1e8-scale series square to ~1e14
+        # (micro would overflow the long sum); 1e-3 quanta are ample
+        F.sum(F.expr(
+            "CAST(round(e * e * 1000.0) AS BIGINT)"
+        )).cast("long").alias("__ss_milli"),
+        F.sum(F.expr(
+            "CASE WHEN __ep IS NULL THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(round((e - __ep) * (e - __ep) * 1000.0) "
+            "AS BIGINT) END"
+        )).cast("long").alias("__sd_milli"),
+    )
+    return agg.select(
+        "n",
+        (F.col("__sl").cast("double") / 1e6).alias("slope"),
+        (F.col("__ic").cast("double") / 1e6).alias("intercept"),
+        F.expr(
+            "CAST(round(CAST(__sd_milli AS DOUBLE) "
+            "/ nullif(CAST(__ss_milli AS DOUBLE), 0.0) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("dw"),
+    )

@@ -3774,3 +3774,28 @@ def test_gini_extremes_and_ties(spark):
     # negatives are excluded by contract
     neg = spark.createDataFrame([(-1.0,), (5.0,), (5.0,)], "v double")
     assert ops.gini_coefficient(neg, "v").collect()[0]["n"] == 2
+
+
+# ---- durbin_watson ---------------------------------------------------------
+
+
+def test_durbin_watson_detects_autocorrelation(spark):
+    import math
+    # alternating residuals around a flat line: DW near 4
+    alt = spark.createDataFrame(
+        [(i, 1000.0 + (100.0 if i % 2 == 0 else -100.0))
+         for i in range(40)], "i long, x double")
+    r = ops.durbin_watson(alt, "i", "x").collect()[0]
+    assert r["dw"] > 3.5
+    # smooth slow sine around the line: positive autocorrelation, DW low
+    slow = spark.createDataFrame(
+        [(i, 1000.0 + 100.0 * math.sin(i / 8.0)) for i in range(40)],
+        "i long, x double")
+    r2 = ops.durbin_watson(slow, "i", "x").collect()[0]
+    assert r2["dw"] < 1.0
+    # the fitted line itself is recovered on clean linear data
+    lin = spark.createDataFrame(
+        [(i, 5.0 * i + 20.0) for i in range(10)], "i long, x double")
+    r3 = ops.durbin_watson(lin, "i", "x").collect()[0]
+    assert abs(r3["slope"] - 5.0) < 1e-5
+    assert abs(r3["intercept"] - 20.0) < 1e-4
