@@ -1485,6 +1485,18 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_theil(spark, sf):
+    # spend inequality decomposed across nations: how much is ACROSS
+    # vs INSIDE markets
+    spend = (_t(spark, sf, "orders")
+             .join(_t(spark, sf, "customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_custkey", "c_nationkey")
+             .agg(F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+                         " AS DOUBLE)").alias("spend")))
+    return ops.theil_index(spend, "spend", "c_nationkey")
+
+
 def _q_durbin_watson(spark, sf):
     monthly = (
         _t(spark, sf, "orders")
@@ -2655,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem_spearman": _q_spearman,
             "customers_gini": _q_gini,
             "orders_durbin_watson": _q_durbin_watson,
+            "customers_theil_index": _q_theil,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5087,6 +5100,71 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Theil T with between/within decomposition; textually parallel to
+    # operators.insights.theil_index.
+    o["customers_theil_index"] = """
+WITH spend AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS g,
+         CAST(spend AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS t
+  FROM spend WHERE spend IS NOT NULL AND spend > 0 GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(CAST(round(x * CAST(t AS DOUBLE) * 1000.0)
+              AS BIGINT)) AS BIGINT) AS sx_milli
+  FROM vals
+),
+total AS (
+  SELECT max(tot.n) AS n,
+    CAST(sum(CAST(round(CAST(t AS DOUBLE)
+         * (x / (CAST(sx_milli AS DOUBLE) / 1000.0
+            / CAST(tot.n AS DOUBLE)))
+         * ln(x / (CAST(sx_milli AS DOUBLE) / 1000.0
+            / CAST(tot.n AS DOUBLE))) * 1000000000.0) AS BIGINT))
+         AS BIGINT) AS tt_nano
+  FROM vals CROSS JOIN tot
+),
+grp AS (
+  SELECT g, CAST(sum(t) AS BIGINT) AS n_g,
+         CAST(sum(CAST(round(x * CAST(t AS DOUBLE) * 1000.0)
+              AS BIGINT)) AS BIGINT) AS sg_milli
+  FROM vals GROUP BY 1
+),
+between_ AS (
+  SELECT max(tot.n) AS n2,
+    CAST(sum(CAST(round(CAST(n_g AS DOUBLE)
+         * ((CAST(sg_milli AS DOUBLE) / 1000.0 / CAST(n_g AS DOUBLE))
+            / (CAST(sx_milli AS DOUBLE) / 1000.0
+            / CAST(tot.n AS DOUBLE)))
+         * ln((CAST(sg_milli AS DOUBLE) / 1000.0
+            / CAST(n_g AS DOUBLE))
+            / (CAST(sx_milli AS DOUBLE) / 1000.0
+            / CAST(tot.n AS DOUBLE))) * 1000000000.0) AS BIGINT))
+         AS BIGINT) AS tb_nano
+  FROM grp CROSS JOIN tot
+)
+SELECT total.n,
+  CAST(CAST(round((CAST(tt_nano AS DOUBLE) / 1000000000.0
+       / nullif(CAST(total.n AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS theil_total,
+  CAST(CAST(round((CAST(tb_nano AS DOUBLE) / 1000000000.0
+       / nullif(CAST(n2 AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS theil_between,
+  CAST(CAST(round(((CAST(tt_nano AS DOUBLE) / 1000000000.0
+       / nullif(CAST(total.n AS DOUBLE), 0.0))
+       - (CAST(tb_nano AS DOUBLE) / 1000000000.0
+       / nullif(CAST(n2 AS DOUBLE), 0.0))) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS theil_within
+FROM total CROSS JOIN between_
+"""
+
     # Durbin-Watson over the monthly-revenue OLS residuals; textually
     # parallel to operators.stats.durbin_watson.
     o["orders_durbin_watson"] = """

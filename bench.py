@@ -297,6 +297,7 @@ HEADLINE = [
     "lineitem_spearman",
     "customers_gini",
     "orders_durbin_watson",
+    "customers_theil_index",
 ]
 
 

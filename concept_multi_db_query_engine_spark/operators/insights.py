@@ -751,3 +751,88 @@ def gini_coefficient(
         F.expr(f"CAST(round(({g}) * 1000000.0) AS BIGINT) / 1e6")
         .cast("double").alias("gini"),
     )
+
+
+def theil_index(
+    df: DataFrame, value_col: str, group_col: str | None = None,
+) -> DataFrame:
+    """Theil T inequality index — the entropy-based sibling of
+    :func:`gini_coefficient` whose superpower is EXACT DECOMPOSITION:
+    with a ``group_col``, total inequality splits additively into
+    between-group and within-group components (how much of spend
+    inequality is ACROSS regions vs INSIDE them — Gini cannot say)::
+
+        T = (1/n) Σ (x_i/μ) ln(x_i/μ) = T_between + T_within
+
+    Positive values only (x = 0 contributes 0 by the standard limit).
+    One scan to the distinct-(group,) value frame; each value's
+    ``(x/μ)·ln(x/μ)`` term quantizes to nanos (ln discipline) and
+    sums exactly; μ comes from the same frame's exact sums.  Returns
+    ONE row: (n, theil_total, theil_between, theil_within) — the
+    between/within columns NULL when no group is given.
+    """
+    gexpr = (F.expr(f"CAST(({group_col}) AS STRING)") if group_col
+             else F.lit("_all"))
+    vals = (
+        df.where(f"({value_col}) IS NOT NULL AND ({value_col}) > 0")
+        .groupBy(
+            gexpr.alias("g"),
+            F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    tot = vals.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.expr(
+            "CAST(round(x * CAST(t AS DOUBLE) * 1000.0) AS BIGINT)"
+        )).cast("long").alias("__sx_milli"),
+    )
+    mu = "(CAST(__sx_milli AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE))"
+    total = vals.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr(
+            f"CAST(round(CAST(t AS DOUBLE) * (x / {mu}) "
+            f"* ln(x / {mu}) * 1000000000.0) AS BIGINT)"
+        )).cast("long").alias("__tt_nano"),
+    )
+    if group_col is None:
+        return total.select(
+            "n",
+            F.expr(
+                "CAST(round(CAST(__tt_nano AS DOUBLE) / 1000000000.0 "
+                "/ nullif(CAST(n AS DOUBLE), 0.0) * 1000000.0) "
+                "AS BIGINT) / 1e6"
+            ).cast("double").alias("theil_total"),
+            F.lit(None).cast("double").alias("theil_between"),
+            F.lit(None).cast("double").alias("theil_within"),
+        )
+    grp = vals.groupBy("g").agg(
+        F.sum("t").cast("long").alias("n_g"),
+        F.sum(F.expr(
+            "CAST(round(x * CAST(t AS DOUBLE) * 1000.0) AS BIGINT)"
+        )).cast("long").alias("__sg_milli"),
+    )
+    mug = "(CAST(__sg_milli AS DOUBLE) / 1000.0 / CAST(n_g AS DOUBLE))"
+    between = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(
+            f"CAST(round(CAST(n_g AS DOUBLE) * ({mug} / {mu}) "
+            f"* ln({mug} / {mu}) * 1000000000.0) AS BIGINT)"
+        )).cast("long").alias("__tb_nano"),
+        F.max("n").alias("__n2"),
+    )
+    t_tot = ("(CAST(__tt_nano AS DOUBLE) / 1000000000.0 "
+             "/ nullif(CAST(n AS DOUBLE), 0.0))")
+    t_bet = ("(CAST(__tb_nano AS DOUBLE) / 1000000000.0 "
+             "/ nullif(CAST(__n2 AS DOUBLE), 0.0))")
+    return total.crossJoin(between).select(
+        "n",
+        F.expr(f"CAST(round(({t_tot}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("theil_total"),
+        F.expr(f"CAST(round(({t_bet}) * 1000000.0) AS BIGINT) / 1e6")
+        .cast("double").alias("theil_between"),
+        F.expr(
+            f"CAST(round((({t_tot}) - ({t_bet})) * 1000000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("theil_within"),
+    )

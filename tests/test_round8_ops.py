@@ -3799,3 +3799,35 @@ def test_durbin_watson_detects_autocorrelation(spark):
     r3 = ops.durbin_watson(lin, "i", "x").collect()[0]
     assert abs(r3["slope"] - 5.0) < 1e-5
     assert abs(r3["intercept"] - 20.0) < 1e-4
+
+
+# ---- theil_index -----------------------------------------------------------
+
+
+def test_theil_decomposition_adds_up(spark):
+    import math
+    rows = ([("east", v) for v in (10.0, 10.0, 10.0)]
+            + [("west", v) for v in (40.0, 40.0, 40.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ops.theil_index(df, "v", "g").collect()[0]
+    # equal inside groups -> ALL inequality is between-group
+    assert r["theil_within"] == 0.0
+    vals = [v for _, v in rows]
+    mu = sum(vals) / len(vals)
+    want = sum((v / mu) * math.log(v / mu) for v in vals) / len(vals)
+    assert abs(r["theil_total"] - want) < 1e-5
+    assert abs(r["theil_between"] - want) < 1e-5
+    # within-only inequality: identical group means
+    rows2 = [("a", 10.0), ("a", 40.0), ("b", 10.0), ("b", 40.0)]
+    r2 = ops.theil_index(
+        spark.createDataFrame(rows2, "g string, v double"),
+        "v", "g").collect()[0]
+    assert abs(r2["theil_between"]) < 1e-5
+    assert r2["theil_within"] > 0.05
+    # ungrouped: between/within NULL
+    r3 = ops.theil_index(
+        spark.createDataFrame(rows2, "g string, v double"),
+        "v").collect()[0]
+    assert r3["theil_between"] is None and r3["theil_within"] is None
+    assert abs(r3["theil_total"] - (r2["theil_between"]
+                                    + r2["theil_within"])) < 1e-5
