@@ -1485,6 +1485,15 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_failures_sample(spark, sf):
+    return ops.expectation_failures_sample(
+        _t(spark, sf, "orders"),
+        {"totalprice_under_400k": "o_totalprice < 400000",
+         "priority_not_low": "o_orderpriority != '5-LOW'"},
+        "o_orderkey", k=5,
+    )
+
+
 def _q_theil(spark, sf):
     # spend inequality decomposed across nations: how much is ACROSS
     # vs INSIDE markets
@@ -2668,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customers_gini": _q_gini,
             "orders_durbin_watson": _q_durbin_watson,
             "customers_theil_index": _q_theil,
+            "orders_failures_sample": _q_failures_sample,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -5100,6 +5110,29 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Quarantine samples per failing expectation, textually parallel to
+    # operators.profile.expectation_failures_sample.
+    o["orders_failures_sample"] = """
+WITH flags AS (
+  SELECT o_orderkey AS id, 'totalprice_under_400k' AS "check",
+         NOT coalesce(CAST((o_totalprice < 400000) AS BOOLEAN), false)
+           AS bad
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'priority_not_low',
+         NOT coalesce(CAST((o_orderpriority != '5-LOW') AS BOOLEAN),
+             false)
+  FROM orders
+),
+bad AS (SELECT "check", id FROM flags WHERE bad)
+SELECT "check", id, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+  SELECT "check", id,
+         row_number() OVER (PARTITION BY "check" ORDER BY id ASC)
+           AS sample_rank
+  FROM bad
+) WHERE sample_rank <= 5 ORDER BY "check", sample_rank
+"""
+
     # Theil T with between/within decomposition; textually parallel to
     # operators.insights.theil_index.
     o["customers_theil_index"] = """

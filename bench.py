@@ -298,6 +298,7 @@ HEADLINE = [
     "customers_gini",
     "orders_durbin_watson",
     "customers_theil_index",
+    "orders_failures_sample",
 ]
 
 

@@ -456,3 +456,42 @@ def inclusion_dependency(
             ).cast("double").alias("containment"),
         )
     )
+
+
+def expectation_failures_sample(
+    df: DataFrame,
+    row_checks: dict[str, str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Show-me-examples companion to :func:`expectations_report`: for
+    each named row check, the first ``k`` VIOLATING row ids (by id
+    order) — the quarantine sample an on-call engineer opens first,
+    because a violation count without examples is a ticket nobody can
+    act on.
+
+    ONE scan: each row emits a flag per check through an exploded
+    check array (bounded ×|checks|, evaluated inline — no per-check
+    passes), violations rank per check by id, top-``k`` kept.
+    Returns (check, id, sample_rank), ordered by (check, sample_rank).
+    """
+    from pyspark.sql import Window
+
+    if not row_checks or k < 1:
+        raise ValueError("row_checks must be non-empty and k >= 1")
+    arms = ", ".join(
+        f"named_struct('check', '{name}', 'bad', "
+        f"NOT coalesce(CAST(({expr}) AS BOOLEAN), false))"
+        for name, expr in row_checks.items()
+    )
+    exploded = df.select(
+        F.expr(f"({id_col})").alias("id"),
+        F.explode(F.expr(f"array({arms})")).alias("__c"),
+    ).where("__c.bad").select("id", F.expr("__c.check").alias("check"))
+    w = Window.partitionBy("check").orderBy(F.col("id").asc())
+    return (
+        exploded.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("check", "id", "sample_rank")
+        .orderBy("check", "sample_rank")
+    )

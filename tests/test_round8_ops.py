@@ -3831,3 +3831,24 @@ def test_theil_decomposition_adds_up(spark):
     assert r3["theil_between"] is None and r3["theil_within"] is None
     assert abs(r3["theil_total"] - (r2["theil_between"]
                                     + r2["theil_within"])) < 1e-5
+
+
+# ---- expectation_failures_sample -------------------------------------------
+
+
+def test_failures_sample_first_k_per_check(spark):
+    rows = [(i, float(i), "ok" if i % 3 else "bad") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v double, st string")
+    got = ops.expectation_failures_sample(
+        df, {"v_small": "v < 10", "st_ok": "st = 'ok'"}, "id", k=3
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["check"], []).append(r["id"])
+    # v >= 10 violates v_small: first three are 10, 11, 12
+    assert by["v_small"] == [10, 11, 12]
+    # st = 'bad' at multiples of 3: 0, 3, 6
+    assert by["st_ok"] == [0, 3, 6]
+    assert all(r["sample_rank"] <= 3 for r in got)
+    with pytest.raises(ValueError):
+        ops.expectation_failures_sample(df, {}, "id")
