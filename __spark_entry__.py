@@ -2749,60 +2749,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _GATE_PRIORITY = [
-    # Round-8 window (the driver grades the FIRST 50 entries). End-of-round
-    # invariant (round-7 verdict item 1): every registry query that has no
-    # driver CORRECTNESS row in ANY prior round occupies the front of the
-    # window — enforced mechanically by
-    # tests/test_gate_window.py::test_never_graded_queries_lead_the_window,
-    # which recomputes the never-graded set from the CORRECTNESS_r*.json
-    # files on disk. Front: the 22 round-7 first-appearance rows plus
-    # every round-8 addition. Remainder of the 50: staleness rotation —
-    # the 13 remaining r4-graded rows, then the oldest r5-graded rows
-    # (each round-8 addition pushes one rotation row past slot 50;
-    # never-graded always wins the slot).
-    # --- round-7 first-appearance rows (22) ---
+    # never-driver-graded rows lead (mechanical invariant:
+    # tests/test_gate_window.py); graded staleness-rotation
+    # rows follow
     "orders_bloom_prefilter", "orders_upsert_compaction",
-    "events_sliding_distinct_kmv", "sim_topk_ivf_pq",
-    "stats_theil_sen", "orders_incremental_state",
-    "orders_seasonal_decompose", "orders_seasonal_forecast",
-    "orders_seasonal_anomaly", "events_changepoint",
-    "docs_lang_confusion", "dedup_lsh_tuning",
-    "embeddings_pca_project", "embeddings_abtt",
-    "embeddings_centroid_drift", "dedup_minhash_incremental",
-    "docs_perplexity_partition", "suppliers_fuzzy_match",
-    "docs_temperature_mix", "docs_nb_language",
+    "events_sliding_distinct_kmv", "sim_topk_ivf_pq", "stats_theil_sen",
+    "orders_incremental_state", "orders_seasonal_decompose",
+    "orders_seasonal_forecast", "orders_seasonal_anomaly",
+    "events_changepoint", "docs_lang_confusion", "dedup_lsh_tuning",
+    "embeddings_pca_project", "embeddings_abtt", "embeddings_centroid_drift",
+    "dedup_minhash_incremental", "docs_perplexity_partition",
+    "suppliers_fuzzy_match", "docs_temperature_mix", "docs_nb_language",
     "customers_k_anonymity", "events_conversion_lag",
-    # --- round-8 additions (never graded — stay inside the window) ---
     "docs_bpe_encode_large", "multimodal_png_decode",
     "multimodal_y4m_decode", "docs_quality_logistic",
     "docs_score_calibration", "events_kaplan_meier", "sim_snn_graph",
     "docs_domain_quota", "docs_boilerplate_prefixes",
     "lineitem_join_size_estimate", "events_markov_attribution",
-    "docs_bm25_topk", "docs_hybrid_rrf",
-    "docs_grouped_split", "orders_conformal_interval",
-    "dedup_span_removal", "events_position_attribution",
-    "docs_mutual_information", "embeddings_matryoshka",
-    "orders_quantile_regression", "docs_c2st_drift",
-    "docs_feature_auc", "embeddings_negative_samples",
-    "sim_ivf_tuning", "dedup_span_incremental",
-    "tpch_q2", "tpch_q11", "tpch_q21",
-    # ===== round-9 queue starts here (entry 51+) =====
-    # 51 rows are never-driver-graded but the window holds 50; the one
-    # overflow (newest addition, tri-scale parity-proven) leads round 9,
-    # then the r4 staleness rotation displaced by the round-8 additions.
-    "tpch_q20", "graph_adamic_adar", "orders_market_basket",
-    "orders_hilbert_layout", "orders_pruning_report", "graph_hits",
-    "dedup_prefix_filter", "docs_pareto_frontier",
-    "text_pmi_collocations", "orders_benford", "docs_woe_iv",
-    "docs_kappa_lang", "sim_rank_rbo", "embeddings_silhouette",
-    "docs_gains_table", "text_vocab_coverage", "orders_neyman_allocation",
-    "docs_shrunk_rates", "events_scd2_history", "docs_quantile_normalize",
-    "events_cross_correlation", "events_autocorrelation",
-    "orders_expectations", "docs_lexical_diversity", "text_burstiness",
-    "customers_l_diversity", "events_concurrency", "docs_target_encoding",
-    "orders_wasserstein", "orders_table_digest", "graph_k_core",
-    "events_exit_rates", "docs_sliced_accuracy", "events_diff_in_diff",
-    "docs_mix_diversity", "lineitem_weighted_median", "docs_cramers_v",
+    "docs_bm25_topk", "docs_hybrid_rrf", "docs_grouped_split",
+    "orders_conformal_interval", "dedup_span_removal",
+    "events_position_attribution", "docs_mutual_information",
+    "embeddings_matryoshka", "orders_quantile_regression", "docs_c2st_drift",
+    "docs_feature_auc", "embeddings_negative_samples", "sim_ivf_tuning",
+    "dedup_span_incremental", "tpch_q2", "tpch_q11", "tpch_q21", "tpch_q20",
+    "graph_adamic_adar", "orders_market_basket", "orders_hilbert_layout",
+    "orders_pruning_report", "graph_hits", "dedup_prefix_filter",
+    "docs_pareto_frontier", "text_pmi_collocations", "orders_benford",
+    "docs_woe_iv", "docs_kappa_lang", "sim_rank_rbo",
+    "embeddings_silhouette", "docs_gains_table", "text_vocab_coverage",
+    "orders_neyman_allocation", "docs_shrunk_rates", "events_scd2_history",
+    "docs_quantile_normalize", "events_cross_correlation",
+    "events_autocorrelation", "orders_expectations",
+    "docs_lexical_diversity", "text_burstiness", "customers_l_diversity",
+    "events_concurrency", "docs_target_encoding", "orders_wasserstein",
+    "orders_table_digest", "graph_k_core", "events_exit_rates",
+    "docs_sliced_accuracy", "events_diff_in_diff", "docs_mix_diversity",
+    "lineitem_weighted_median", "docs_cramers_v",
     "embeddings_hard_negatives", "docs_threshold_sweep",
     "orders_seasonal_strength", "embeddings_triplets", "orders_cohort_ltv",
     "customers_fd_check", "schema_inclusion_deps", "parts_price_band_join",
@@ -2813,25 +2795,22 @@ _GATE_PRIORITY = [
     "orders_daily_quantile_bands", "events_arrival_dispersion",
     "parts_abc_classes", "events_anomaly_leaderboard",
     "docs_distinctive_terms", "orders_fulfillment_sla", "orders_anova",
-    # --- staleness rotation: the remaining r4-graded rows ---
-    "sketch_distinct_comparison", "corpus_report", "sim_recall_at_k",
-    # --- staleness rotation: oldest r5-graded rows ---
-    "docs_chunk", "docs_hash_split", "text_contamination_check",
-    "text_repetition_score", "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
+    "orders_kruskal_wallis", "orders_mann_kendall", "lineitem_spearman",
+    "customers_gini", "orders_durbin_watson", "customers_theil_index",
+    "orders_failures_sample", "sketch_distinct_comparison", "corpus_report",
+    "sim_recall_at_k", "docs_chunk", "docs_hash_split",
+    "text_contamination_check", "text_repetition_score",
+    "customer_order_gaps", "purchase_click_attribution", "dedup_survivors",
     "order_value_quantiles_approx", "masking_role", "replica_routing",
-    "events_hourly_anomaly", "docs_weighted_sample",
-    "dedup_incremental", "dedup_repeated_passages",
-    "sim_knn_graph",
-    # remaining r5-graded rows
-    "orders_rollup", "orders_cube", "events_transitions",
-    "customer_revenue_concentration",
-    "text_pii_scrub", "docs_line_dedup",
-    "events_rolling_active_users", "orders_profile", "graph_pagerank",
-    "nation_revenue_unpivot", "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
+    "events_hourly_anomaly", "docs_weighted_sample", "dedup_incremental",
+    "dedup_repeated_passages", "sim_knn_graph", "orders_rollup",
+    "orders_cube", "events_transitions", "customer_revenue_concentration",
+    "text_pii_scrub", "docs_line_dedup", "events_rolling_active_users",
+    "orders_profile", "graph_pagerank", "nation_revenue_unpivot",
+    "orders_price_histogram", "orders_monthly_growth", "events_cooccurrence",
     "docs_feature_matrix", "customer_rfm_segments", "corpus_drift",
     "embeddings_l2_normalize", "orders_winsorize", "docs_vocab_growth",
     "events_funnel_steps", "skew_salted_join", "skew_salted_count",
-    # r6-graded rows
     "stats_ols_regression", "events_ab_test", "docs_chi_square",
     "embeddings_kmeans", "embeddings_kmeans_centroids",
     "embeddings_random_projection", "embeddings_pq_encode", "sim_topk_pq",
@@ -2845,38 +2824,34 @@ _GATE_PRIORITY = [
     "customer_revenue_deciles", "graph_pagerank_dangling",
     "text_token_stats", "text_quality_score", "text_top_bigrams",
     "text_bpe_token_stats", "text_fingerprint", "text_gopher_rules",
-    "text_language_id", "text_tfidf_top_terms",
-    "events_funnel", "events_cohort_retention", "events_hourly_rollup",
-    "filter_like", "filter_noticontains", "filter_null_ops",
-    "filter_array_contains", "filter_array_all_empty",
-    "tpch_q12", "dedup_exact", "dedup_clusters",
+    "text_language_id", "text_tfidf_top_terms", "events_funnel",
+    "events_cohort_retention", "events_hourly_rollup", "filter_like",
+    "filter_noticontains", "filter_null_ops", "filter_array_contains",
+    "filter_array_all_empty", "tpch_q12", "dedup_exact", "dedup_clusters",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    "by_ids", "federated_join", "group_by_no_agg", "order_limit_offset",
-    # r7-graded rows (freshest — rotate last)
-    "dedup_semantic", "dedup_semantic_survivors",
-    "docs_bpe_train", "docs_bpe_encode",
-    "stats_bootstrap_ci", "stats_bh_correction", "events_mad_outliers",
-    "graph_label_propagation", "docs_url_dedup", "docs_importance_weights",
-    "events_windowed_funnel", "events_heavy_hitters",
-    "docs_best_fit_pack", "embeddings_whiten", "sim_cosine_histogram",
-    "events_session_paths", "events_reservoir_sample", "events_daily_ewma",
-    "orders_zorder_layout", "events_skew_report",
-    "corpus_snapshot_diff", "docs_truncation_report",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22", "by_ids",
+    "federated_join", "group_by_no_agg", "order_limit_offset",
+    "dedup_semantic", "dedup_semantic_survivors", "docs_bpe_train",
+    "docs_bpe_encode", "stats_bootstrap_ci", "stats_bh_correction",
+    "events_mad_outliers", "graph_label_propagation", "docs_url_dedup",
+    "docs_importance_weights", "events_windowed_funnel",
+    "events_heavy_hitters", "docs_best_fit_pack", "embeddings_whiten",
+    "sim_cosine_histogram", "events_session_paths",
+    "events_reservoir_sample", "events_daily_ewma", "orders_zorder_layout",
+    "events_skew_report", "corpus_snapshot_diff", "docs_truncation_report",
     "corpus_budget_allocation", "orders_equidepth_histogram",
-    "orders_frequent_values", "docs_dup_ngram_fraction",
-    "stats_corr_matrix", "dedup_containment",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "orders_frequent_values", "docs_dup_ngram_fraction", "stats_corr_matrix",
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "customer_segments_setops", "nation_revenue_pivot",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
     "sim_knn_label_vote", "window_topk_per_group",
     "customer_revenue_deciles_approx", "docs_clean_corpus",
     "docs_stratified_sample", "events_approx_distinct_kmv",
-    "multimodal_frame_sample",
-    "events_sessionize", "events_asof_attribution", "agg_int_sum_avg",
-    "events_props_rollup", "docs_pack_sequences",
-    "embeddings_quantize_int8", "dedup_simhash", "multimodal_decode_stats",
+    "multimodal_frame_sample", "events_sessionize",
+    "events_asof_attribution", "agg_int_sum_avg", "events_props_rollup",
+    "docs_pack_sequences", "embeddings_quantize_int8", "dedup_simhash",
+    "multimodal_decode_stats",
 ]
 
 
