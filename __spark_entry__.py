@@ -5223,9 +5223,9 @@ resid AS (
 ),
 agg AS (
   SELECT max(n) AS n, max(sl_micro) AS sl, max(ic_micro) AS ic,
-    CAST(sum(CAST(round(e * e * 1000.0) AS BIGINT)) AS BIGINT) AS ss,
+    CAST(sum(CAST(round(e * e) AS BIGINT)) AS BIGINT) AS ss,
     CAST(sum(CASE WHEN ep IS NULL THEN CAST(0 AS BIGINT) ELSE
-         CAST(round((e - ep) * (e - ep) * 1000.0) AS BIGINT) END)
+         CAST(round((e - ep) * (e - ep)) AS BIGINT) END)
          AS BIGINT) AS sd
   FROM resid
 )

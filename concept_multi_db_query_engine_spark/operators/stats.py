@@ -2870,24 +2870,26 @@ def durbin_watson(
         F.max("n").alias("n"),
         F.max("__sl_micro").alias("__sl"),
         F.max("__ic_micro").alias("__ic"),
-        # milli scale: residuals of 1e8-scale series square to ~1e14
-        # (micro would overflow the long sum); 1e-3 quanta are ample
+        # unit scale: residuals of 1e8-scale series square to ~2.5e15
+        # per term (milli quanta overflowed the long sum at sf0.1);
+        # whole units are vanishing at these magnitudes and exact for
+        # small test series alike via the shared half-away rounding
         F.sum(F.expr(
-            "CAST(round(e * e * 1000.0) AS BIGINT)"
-        )).cast("long").alias("__ss_milli"),
+            "CAST(round(e * e) AS BIGINT)"
+        )).cast("long").alias("__ss_unit"),
         F.sum(F.expr(
             "CASE WHEN __ep IS NULL THEN CAST(0 AS BIGINT) ELSE "
-            "CAST(round((e - __ep) * (e - __ep) * 1000.0) "
+            "CAST(round((e - __ep) * (e - __ep)) "
             "AS BIGINT) END"
-        )).cast("long").alias("__sd_milli"),
+        )).cast("long").alias("__sd_unit"),
     )
     return agg.select(
         "n",
         (F.col("__sl").cast("double") / 1e6).alias("slope"),
         (F.col("__ic").cast("double") / 1e6).alias("intercept"),
         F.expr(
-            "CAST(round(CAST(__sd_milli AS DOUBLE) "
-            "/ nullif(CAST(__ss_milli AS DOUBLE), 0.0) * 1000000.0) "
+            "CAST(round(CAST(__sd_unit AS DOUBLE) "
+            "/ nullif(CAST(__ss_unit AS DOUBLE), 0.0) * 1000000.0) "
             "AS BIGINT) / 1e6"
         ).cast("double").alias("dw"),
     )
