@@ -554,3 +554,32 @@ class TestLateWaveShapes2:
             "doc_id"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestStatsShapes:
+    def test_anova_is_one_scan(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        plan = final_plan(ops.one_way_anova(
+            orders, "o_orderpriority", "o_totalprice"))
+        assert plan.count("FileScan") == 1
+
+    def test_cohens_d_is_one_scan(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        plan = final_plan(ops.cohens_d(
+            orders, "o_totalprice", "o_orderpriority",
+            "1-URGENT", "5-LOW"))
+        assert plan.count("FileScan") == 1
+
+    def test_spearman_joins_are_keyed(self, spark):
+        li = testdata.load_table(spark, SF_DIR, "lineitem")
+        plan = final_plan(ops.spearman_corr(
+            li, "l_quantity", "l_extendedprice"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_gini_never_sorts_the_corpus(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        plan = final_plan(ops.gini_coefficient(orders, "o_totalprice"))
+        # the only sort feeds the distinct-value window frame, after
+        # the value-keyed aggregate collapsed the corpus
+        assert plan.count("FileScan") == 1
