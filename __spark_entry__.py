@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_margin_pairs(spark, sf):
+    return ops.margin_scored_pairs(_t(spark, sf, "embeddings"),
+                                   k=8, top=20)
+
+
 def _q_failures_sample(spark, sf):
     return ops.expectation_failures_sample(
         _t(spark, sf, "orders"),
@@ -2678,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_durbin_watson": _q_durbin_watson,
             "customers_theil_index": _q_theil,
             "orders_failures_sample": _q_failures_sample,
+            "embeddings_margin_pairs": _q_margin_pairs,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2752,6 +2758,7 @@ _GATE_PRIORITY = [
     # never-driver-graded rows lead (mechanical invariant:
     # tests/test_gate_window.py); graded staleness-rotation
     # rows follow
+    "embeddings_margin_pairs",
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq", "stats_theil_sen",
     "orders_incremental_state", "orders_seasonal_decompose",
@@ -5085,6 +5092,54 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # Ratio-margin mutual-pair mining (k = 8, top 20); textually
+    # parallel to operators.similarity.margin_scored_pairs.
+    o["embeddings_margin_pairs"] = (
+        "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT vec_id AS a, neighbor_id AS b, cosine FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 8
+),
+avg_ AS (
+  SELECT a, CAST(round(avg(CAST(round(cosine * 1000000.0) AS BIGINT)))
+         AS BIGINT) AS avg_micro
+  FROM knn GROUP BY 1
+),
+mutual AS (
+  SELECT x.a, x.b, x.cosine
+  FROM knn x
+  WHERE x.a < x.b
+    AND EXISTS (SELECT 1 FROM knn y WHERE y.a = x.b AND y.b = x.a)
+),
+m AS (
+  SELECT mu.a, mu.b, mu.cosine,
+         aa.avg_micro AS ma, ab.avg_micro AS mb,
+         CAST(round(mu.cosine / nullif((CAST(aa.avg_micro AS DOUBLE)
+              / 1000000.0 + CAST(ab.avg_micro AS DOUBLE) / 1000000.0)
+              / 2.0, 0.0) * 1000000.0) AS BIGINT) AS margin_micro
+  FROM mutual mu
+  JOIN avg_ aa ON aa.a = mu.a
+  JOIN avg_ ab ON ab.a = mu.b
+)
+SELECT a AS id_a, b AS id_b, cosine,
+       CAST(ma AS DOUBLE) / 1e6 AS avg_a,
+       CAST(mb AS DOUBLE) / 1e6 AS avg_b,
+       CAST(margin_micro AS DOUBLE) / 1e6 AS margin
+FROM m ORDER BY margin_micro DESC, a ASC, b ASC LIMIT 20
+"""
+    )
+
     # Quarantine samples per failing expectation, textually parallel to
     # operators.profile.expectation_failures_sample.
     o["orders_failures_sample"] = """

@@ -299,6 +299,7 @@ HEADLINE = [
     "orders_durbin_watson",
     "customers_theil_index",
     "orders_failures_sample",
+    "embeddings_margin_pairs",
 ]
 
 

@@ -1564,3 +1564,79 @@ def truncation_energy_report(
         .orderBy(F.col("retained").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def margin_scored_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    top: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin pair mining (Artetxe & Schwenk 2019): score each
+    MUTUAL nearest-neighbor pair by its cosine relative to both
+    endpoints' neighborhood averages —
+
+        margin(a, b) = cos(a, b) / ((avgk(a) + avgk(b)) / 2)
+
+    — the criterion behind large-scale bitext/parallel-pair mining:
+    absolute cosine over-selects hubby regions; the margin keeps pairs
+    that stand OUT of their own neighborhoods.
+
+    One exact kNN scan; per-node neighborhood averages are integer-
+    micro means over the kNN frame (model data); mutuality is one
+    self-join of the edge list on the reversed key; the margin is a
+    fixed-order double micro-quantized.  Returns the ``top`` pairs
+    (id_a < id_b): (id_a, id_b, cosine, avg_a, avg_b, margin),
+    ordered by (margin desc, ids).
+    """
+    if k < 1 or top < 1:
+        raise ValueError("k and top must be >= 1")
+    knn = knn_graph(embeddings, k=k, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias("a"),
+                F.col("neighbor_id").alias("b"), "cosine") \
+        .localCheckpoint(eager=True)
+    avg = knn.groupBy("a").agg(
+        F.expr(
+            "CAST(round(avg(CAST(round(cosine * 1000000.0) AS BIGINT)))"
+            " AS BIGINT)"
+        ).alias("__avg_micro")
+    )
+    mutual = (
+        knn.alias("x")
+        .join(
+            knn.select(F.col("a").alias("b2"), F.col("b").alias("a2"))
+            .alias("y"),
+            (F.col("x.a") == F.col("y.a2"))
+            & (F.col("x.b") == F.col("y.b2")),
+            "left_semi",
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    scored = (
+        mutual
+        .join(avg.withColumnsRenamed({"a": "a", "__avg_micro": "__ma"}),
+              "a")
+        .join(avg.withColumnsRenamed({"a": "b", "__avg_micro": "__mb"}),
+              "b")
+        .withColumn(
+            "margin_micro",
+            F.expr(
+                "CAST(round(cosine / nullif((CAST(__ma AS DOUBLE) "
+                "/ 1000000.0 + CAST(__mb AS DOUBLE) / 1000000.0) "
+                "/ 2.0, 0.0) * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("margin_micro").desc(),
+                       F.col("a").asc(), F.col("b").asc())
+        .limit(top)
+        .select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+            "cosine",
+            (F.col("__ma").cast("double") / 1e6).alias("avg_a"),
+            (F.col("__mb").cast("double") / 1e6).alias("avg_b"),
+            (F.col("margin_micro").cast("double") / 1e6).alias("margin"),
+        )
+    )

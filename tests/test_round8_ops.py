@@ -3852,3 +3852,28 @@ def test_failures_sample_first_k_per_check(spark):
     assert all(r["sample_rank"] <= 3 for r in got)
     with pytest.raises(ValueError):
         ops.expectation_failures_sample(df, {}, "id")
+
+
+# ---- margin_scored_pairs ---------------------------------------------------
+
+
+def test_margin_pairs_mutual_and_standout(spark):
+    # a tight pair far from a background cloud: the pair is mutual and
+    # stands out of its neighborhood -> highest margin
+    pts = [(0, [1.0, 0.0]), (1, [0.999, 0.04]),
+           (2, [0.0, 1.0]), (3, [0.1, 0.99]), (4, [0.2, 0.98]),
+           (5, [0.3, 0.95])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>")
+    got = ops.margin_scored_pairs(df, k=2, top=10).collect()
+    assert got, "no mutual pairs found"
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert r["margin"] > 0
+    # (0, 1) is the isolated mutual pair with the standout cosine
+    assert (got[0]["id_a"], got[0]["id_b"]) == (0, 1)
+    margins = [r["margin"] for r in got]
+    assert margins == sorted(margins, reverse=True)
+    with pytest.raises(ValueError):
+        ops.margin_scored_pairs(df, k=0)
