@@ -939,3 +939,32 @@ def test_incremental_growth_accounting_via_cell_state(spark):
     got = sorted(map(tuple, ops.growth_accounting(
         rebuilt, period="week").collect()))
     assert got == want
+
+
+def test_incremental_trending_via_count_state(spark):
+    """Trending monitoring on a stream: state is the per-key
+    (n_before, n_after) count pair — mergeable by addition — and the
+    smoothed share-lift report is a pure function of the merged
+    counts. Three disjoint batches reproduce the one-shot report."""
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    rows = [("k%d" % ((i * 7) % 6), 1 if i % 2 else 0)
+            for i in range(120)]
+    full = spark.createDataFrame(rows, "k string, post int")
+    want = sorted(map(tuple, ops.trending_report(
+        full, "k", "post = 1", pseudo=6, k=3).collect()))
+
+    state = {}
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % 3 == b],
+            "k string, post int")
+        for r in batch.groupBy("k", "post").count().collect():
+            key = (r["k"], r["post"])
+            state[key] = state.get(key, 0) + r["count"]
+    rebuilt = spark.createDataFrame(
+        [(k, p) for (k, p), n in state.items() for _ in range(n)],
+        "k string, post int")
+    got = sorted(map(tuple, ops.trending_report(
+        rebuilt, "k", "post = 1", pseudo=6, k=3).collect()))
+    assert got == want
