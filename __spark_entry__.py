@@ -1485,6 +1485,11 @@ def _q_ccf(spark, sf):
     return ops.cross_correlation(views, purchases, max_lag=5)
 
 
+def _q_ab_sample_size(spark, sf):
+    # how many events per arm to detect a 2% lift in event value
+    return ops.ab_sample_size(_t(spark, sf, "events"), "value")
+
+
 def _q_margin_pairs(spark, sf):
     return ops.margin_scored_pairs(_t(spark, sf, "embeddings"),
                                    k=8, top=20)
@@ -2684,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customers_theil_index": _q_theil,
             "orders_failures_sample": _q_failures_sample,
             "embeddings_margin_pairs": _q_margin_pairs,
+            "events_ab_sample_size": _q_ab_sample_size,
             "events_skew_report": _q_skew_report,
             "corpus_snapshot_diff": _q_snapshot_diff,
             "docs_truncation_report": _q_truncation_report,
@@ -2758,7 +2764,7 @@ _GATE_PRIORITY = [
     # never-driver-graded rows lead (mechanical invariant:
     # tests/test_gate_window.py); graded staleness-rotation
     # rows follow
-    "embeddings_margin_pairs",
+    "embeddings_margin_pairs", "events_ab_sample_size",
     "orders_bloom_prefilter", "orders_upsert_compaction",
     "events_sliding_distinct_kmv", "sim_topk_ivf_pq", "stats_theil_sen",
     "orders_incremental_state", "orders_seasonal_decompose",
@@ -5092,6 +5098,39 @@ SELECT prefix, n_docs, CAST(rank AS INT) AS rank FROM (
     # Kaplan-Meier replay: same log-space product (nano-unit quantized
     # ln sums — one ln ULP absorbed by the rounding) and the same exact
     # integer risk sets; the d = n_risk "everyone dies" branch pins 0.0
+    # A/B sample-size planning from observed variance; textually
+    # parallel to operators.stats.ab_sample_size (2% MDE, 95/80).
+    o["events_ab_sample_size"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) AS VARCHAR)
+              AS DOUBLE) AS s_d,
+         CAST(CAST(sum(CAST(value AS DECIMAL(19,4))
+              * CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+           AS q_d
+  FROM events WHERE value IS NOT NULL
+)
+SELECT n,
+  round(s_d / nullif(n_d, 0.0), 6) AS mean,
+  CAST(CAST(round(sqrt((q_d - s_d * s_d / n_d)
+       / nullif(n_d - 1.0, 0.0)) * 1000000.0) AS BIGINT) AS DOUBLE)
+       / 1e6 AS sd,
+  CAST(CAST(round(((CAST(20000 AS DOUBLE) / 1000000.0)
+       * (s_d / nullif(n_d, 0.0))) * 1000000.0) AS BIGINT) AS DOUBLE)
+       / 1e6 AS mde_abs,
+  CAST(ceil(2.0 * (CAST(1959964 AS DOUBLE) / 1000000.0
+       + CAST(841621 AS DOUBLE) / 1000000.0)
+       * (CAST(1959964 AS DOUBLE) / 1000000.0
+       + CAST(841621 AS DOUBLE) / 1000000.0)
+       * ((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0))
+       / nullif(((CAST(20000 AS DOUBLE) / 1000000.0)
+       * (s_d / nullif(n_d, 0.0)))
+       * ((CAST(20000 AS DOUBLE) / 1000000.0)
+       * (s_d / nullif(n_d, 0.0))), 0.0)) AS BIGINT) AS n_per_arm
+FROM m
+"""
+
     # Ratio-margin mutual-pair mining (k = 8, top 20); textually
     # parallel to operators.similarity.margin_scored_pairs.
     o["embeddings_margin_pairs"] = (

@@ -300,6 +300,7 @@ HEADLINE = [
     "customers_theil_index",
     "orders_failures_sample",
     "embeddings_margin_pairs",
+    "events_ab_sample_size",
 ]
 
 

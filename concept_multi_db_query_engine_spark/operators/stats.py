@@ -2893,3 +2893,58 @@ def durbin_watson(
             "AS BIGINT) / 1e6"
         ).cast("double").alias("dw"),
     )
+
+
+def ab_sample_size(
+    df: DataFrame,
+    value_col: str,
+    mde_pct_micro: int = 20_000,
+    z_alpha_micro: int = 1_959_964,
+    z_beta_micro: int = 841_621,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Experiment planning: the per-arm sample size an A/B test on this
+    metric needs to detect a relative lift of ``mde_pct_micro`` (micro
+    fraction of the mean, default 2%) at the given alpha/power::
+
+        n = 2 (z_a + z_b)² σ² / δ²,   δ = mde · μ
+
+    — the "how long must this test run" answer computed from the
+    metric's OWN observed variance, which is where hand-waved test
+    plans go wrong.  ONE exact decimal moment scan; the closed form is
+    a fixed-order double micro-quantized; n rounds UP (a plan that
+    undershoots its power is no plan).  Returns one row: (n, mean,
+    sd, mde_abs, n_per_arm).
+    """
+    if mde_pct_micro < 1:
+        raise ValueError("mde_pct_micro must be >= 1")
+    x = _m(value_col, dec)
+    m = df.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        F.col("s").cast("double").alias("s_d"),
+        F.col("q").cast("double").alias("q_d"),
+    )
+    mean = "(s_d / nullif(n_d, 0.0))"
+    var = "((q_d - s_d * s_d / n_d) / nullif(n_d - 1.0, 0.0))"
+    z = (f"(CAST({z_alpha_micro} AS DOUBLE) / 1000000.0 "
+         f"+ CAST({z_beta_micro} AS DOUBLE) / 1000000.0)")
+    delta = (f"((CAST({mde_pct_micro} AS DOUBLE) / 1000000.0) "
+             f"* ({mean}))")
+    n_arm = (f"(2.0 * ({z}) * ({z}) * ({var}) "
+             f"/ nullif(({delta}) * ({delta}), 0.0))")
+    return m.select(
+        "n",
+        F.expr(f"round({mean}, 6)").alias("mean"),
+        F.expr(
+            f"CAST(round(sqrt({var}) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("sd"),
+        F.expr(
+            f"CAST(round(({delta}) * 1000000.0) AS BIGINT) / 1e6"
+        ).cast("double").alias("mde_abs"),
+        F.expr(f"CAST(ceil({n_arm}) AS BIGINT)").alias("n_per_arm"),
+    )

@@ -3877,3 +3877,26 @@ def test_margin_pairs_mutual_and_standout(spark):
     assert margins == sorted(margins, reverse=True)
     with pytest.raises(ValueError):
         ops.margin_scored_pairs(df, k=0)
+
+
+# ---- ab_sample_size --------------------------------------------------------
+
+
+def test_ab_sample_size_closed_form(spark):
+    import math
+    vals = [10.0, 12.0, 8.0, 11.0, 9.0, 10.0, 12.0, 8.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = ops.ab_sample_size(df, "v", mde_pct_micro=50_000).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    z = 1.959964 + 0.841621
+    delta = 0.05 * mean
+    want = math.ceil(2 * z * z * var / (delta * delta))
+    assert r["n_per_arm"] == want
+    assert abs(r["mean"] - mean) < 1e-6
+    # a smaller detectable lift needs (quadratically) more samples
+    r2 = ops.ab_sample_size(df, "v", mde_pct_micro=25_000).collect()[0]
+    assert 3.5 < r2["n_per_arm"] / r["n_per_arm"] < 4.5
+    with pytest.raises(ValueError):
+        ops.ab_sample_size(df, "v", mde_pct_micro=0)
