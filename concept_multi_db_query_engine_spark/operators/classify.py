@@ -344,8 +344,13 @@ def c2st_drift(
 
 def _exact_auc_frame(scored: DataFrame, score_int: str, y: str):
     """(n0, n1, auc) from integer score groups — the tie-aware
-    Mann-Whitney machinery :func:`c2st_drift` uses, shared."""
-    from pyspark.sql import Window
+    Mann-Whitney machinery :func:`c2st_drift` uses, shared.  The
+    cumulative negative counts ride
+    :func:`~..operators.stats.distributed_prefix_counts` — callers
+    quantize scores first so the distinct frame is bounded, but the
+    range-partitioned idiom keeps this safe even for wide score
+    domains (no single-task global window)."""
+    from .stats import distributed_prefix_counts
 
     groups = scored.groupBy(F.expr(score_int).alias("s")).agg(
         F.sum(F.expr(f"CASE WHEN {y} = 0 THEN 1 ELSE 0 END"))
@@ -353,12 +358,9 @@ def _exact_auc_frame(scored: DataFrame, score_int: str, y: str):
         F.sum(F.expr(f"CASE WHEN {y} = 1 THEN 1 ELSE 0 END"))
         .cast("long").alias("n1"),
     )
-    wc = Window.orderBy(F.col("s").asc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    staged = groups.select(
-        "n0", "n1",
-        F.coalesce(F.sum("n0").over(wc), F.lit(0)).cast("long")
-        .alias("cum0"),
+    cum, _ = distributed_prefix_counts(groups, "s", ["n0"])
+    staged = cum.select(
+        "n0", "n1", F.col("__before_n0").alias("cum0")
     )
     return staged.agg(
         F.sum("n0").cast("long").alias("n0"),

@@ -592,15 +592,18 @@ def abc_classes(
     next 15%, C the tail — the inventory/catalog triage behind "our
     top 12% of parts make 80% of revenue".
 
-    One keyed aggregate to the key frame (exact decimal totals), one
-    cumulative window ordered (value desc, key asc), then the class
-    boundaries compare EXACT DECIMALS via integer cross-multiplication
-    (``cum·5 <= total·4`` for 80%, ``cum·20 <= total·19`` for 95%) —
-    no float share ever decides a boundary.  Returns one row per
-    class: (abc_class, n_keys, value_total, value_share, key_share),
-    ordered by class.
+    One keyed aggregate to the key frame (exact decimal totals), then
+    :func:`~..operators.stats.distributed_prefix_counts` for the exact
+    decimal cumulative ordered (value desc, key asc) — the key frame
+    is corpus-scale (every part/customer), so the running total must
+    stay range-partitioned, never a global single-task window.  The
+    class boundaries compare EXACT DECIMALS via integer
+    cross-multiplication (``cum·5 <= total·4`` for 80%, ``cum·20 <=
+    total·19`` for 95%) — no float share ever decides a boundary.
+    Returns one row per class: (abc_class, n_keys, value_total,
+    value_share, key_share), ordered by class.
     """
-    from pyspark.sql import Window
+    from .stats import distributed_prefix_counts
 
     per_key = (
         df.where(f"({key_col}) IS NOT NULL AND ({value_col}) IS NOT NULL")
@@ -608,15 +611,18 @@ def abc_classes(
         .agg(F.expr(f"CAST(sum(CAST(({value_col}) AS {dec})) AS {dec})")
              .alias("__v"))
     )
-    w_cum = Window.orderBy(F.col("__v").desc(), F.col("key").asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    tagged = per_key.select(
+    cum, totals = distributed_prefix_counts(
+        per_key.withColumn("__one", F.lit(1).cast("long")),
+        [F.col("__v").desc(), F.col("key").asc()],
+        ["__v", "__one"],
+    )
+    tagged = cum.select(
         "key", "__v",
-        F.sum("__v").over(w_cum).alias("__cum"),
-        F.sum("__v").over(w_tot).alias("__tot"),
-        F.count(F.lit(1)).over(w_tot).cast("long").alias("__k"),
+        F.col("__cum___v").alias("__cum"),
+        F.lit(totals["__v"]).cast(
+            cum.schema["__cum___v"].dataType.simpleString()
+        ).alias("__tot"),
+        F.lit(totals["__one"]).cast("long").alias("__k"),
     ).withColumn(
         "abc_class",
         F.expr(
@@ -708,26 +714,24 @@ def gini_coefficient(
     Ties collapse exactly: a tied block of ``t`` equal values starting
     after ``b`` rows contributes ``x·(t·b + t(t+1)/2)`` whatever order
     the block takes, so the whole statistic computes from the
-    DISTINCT-VALUE frame (one aggregate + one cumulative window —
-    never a global per-row sort).  Per-value terms quantize at unit
-    scale (micro would overflow at rank·value ~ 1e15) before the exact
-    integer sum; G is one fixed-order double micro-quantized.
-    Returns one row: (n, total, gini).
+    DISTINCT-VALUE frame — and the prefix counts behind ``b`` come
+    from :func:`~..operators.stats.distributed_prefix_counts`
+    (range-partitioned offset-rank idiom), so there is no global
+    per-row sort AND no global single-task window even when the value
+    column is continuous and distinct ≈ corpus.  Per-value terms
+    quantize at unit scale (micro would overflow at rank·value ~ 1e15)
+    before the exact integer sum; G is one fixed-order double
+    micro-quantized.  Returns one row: (n, total, gini).
     """
-    from pyspark.sql import Window
+    from .stats import distributed_prefix_counts
 
     vals = (
         df.where(f"({value_col}) IS NOT NULL AND ({value_col}) >= 0")
         .groupBy(F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"))
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
-    w = Window.orderBy(F.col("x").asc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    staged = vals.select(
-        "x", "t",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
-        .alias("b"),
-    )
+    staged, _ = distributed_prefix_counts(vals, "x", ["t"])
+    staged = staged.select("x", "t", F.col("__before_t").alias("b"))
     m = staged.agg(
         F.sum("t").cast("long").alias("n"),
         F.sum(F.expr(

@@ -2782,12 +2782,16 @@ def vocab_coverage(
     curve flattens is where growing the vocab stops paying).
 
     ONE corpus scan into a token-frequency hash aggregate (map-side
-    combined, vocab-sized output); ranking is one window over the
-    VOCAB frame ordered (count desc, token asc) — deterministic total
-    order, never the corpus — and the per-budget coverage comes from a
-    budgets×vocab conditional aggregate over that same frame.  All
-    counts exact BIGINTs; coverage is one fixed-order double rounded
-    to 6.
+    combined, vocab-sized output); the full-vocab totals are a plain
+    1-row aggregate, and only the top-``max(ks)`` head is ranked — an
+    ``orderBy().limit()`` TakeOrderedAndProject (per-partition top-k,
+    ordered (count desc, token asc) for a deterministic total order)
+    followed by a row_number over the ≤max(ks)-row head.  The vocab
+    frame itself is never globally ranked: at web-corpus scale the raw
+    type vocabulary (URLs, typos, hashes) is effectively unbounded,
+    while the head the coverage curve needs is a few thousand rows.
+    All counts exact BIGINTs; coverage is one fixed-order double
+    rounded to 6.
 
     Returns one row per k: (k, vocab_size, total_tokens,
     covered_tokens, coverage), ordered by k.
@@ -2808,11 +2812,19 @@ def vocab_coverage(
         )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    totals = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    head = freq.orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    ).limit(ks[-1])
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    ranked = freq.select(
+    ranked = head.select(
         "cnt", F.row_number().over(w_rank).alias("__r")
-    ).localCheckpoint(eager=True)
+    )
     spine = docs.sparkSession.createDataFrame(
         [(int(k),) for k in ks], "k long"
     )
@@ -2820,12 +2832,11 @@ def vocab_coverage(
         spine.crossJoin(ranked)
         .groupBy("k")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("vocab_size"),
-            F.sum("cnt").cast("long").alias("total_tokens"),
             F.sum(F.when(F.col("__r") <= F.col("k"), F.col("cnt"))
                   .otherwise(F.lit(0))).cast("long")
             .alias("covered_tokens"),
         )
+        .crossJoin(F.broadcast(totals))
         .select(
             "k", "vocab_size", "total_tokens", "covered_tokens",
             F.expr(
