@@ -2479,6 +2479,77 @@ def _q_random_projection(spark, sf):
     )
 
 
+def _q_cvm(spark, sf):
+    return ops.cramer_von_mises(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderstatus",
+        "F", "O",
+    )
+
+
+def _q_energy_distance(spark, sf):
+    return ops.energy_distance(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderstatus",
+        "F", "O",
+    )
+
+
+def _q_trimmed_mean(spark, sf):
+    return ops.trimmed_mean(
+        _t(spark, sf, "lineitem"), "l_extendedprice", trim=0.1,
+    )
+
+
+def _q_hodges_lehmann(spark, sf):
+    # aggregated daily-revenue series — the estimator's documented
+    # contract (pairs ~ days², bounded by the calendar, not the corpus)
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("rev"))
+    )
+    return ops.hodges_lehmann(daily, "rev", "day")
+
+
+def _q_kendall_tau(spark, sf):
+    # bounded-grid contract: quantity 1..50 × price-10k bucket — the
+    # quantize-upstream shape the operator enforces with its probe
+    # floor() explicitly: Spark's decimal->bigint CAST truncates while
+    # DuckDB's rounds — floor is identical on both
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.expr(
+            "CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0d) "
+            "AS BIGINT)"
+        ).alias("pb"),
+    )
+    return ops.kendall_tau_b(li, "q", "pb")
+
+
+def _q_percent_rank(spark, sf):
+    return ops.rank_columns(_t(spark, sf, "lineitem"), "l_quantity")
+
+
+def _q_reading_ease(spark, sf):
+    return ops.reading_ease(_t(spark, sf, "documents"), "source")
+
+
+def _q_zipf_fit(spark, sf):
+    # testdata vocabulary is ~31 types; fit the top-20 head
+    return ops.zipf_fit(_t(spark, sf, "documents"), top_k=20)
+
+
+def _q_bbit_minhash(spark, sf):
+    return (
+        ops.bbit_minhash_pairs(
+            _t(spark, sf, "documents"), k=5, num_hashes=16, bands=4,
+            b_bits=8,
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(name) for name in _DSL
@@ -2754,6 +2825,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_span_incremental": _q_span_removal_incremental,
         }
     )
+    # round-9 additions: distribution statistics on the distributed
+    # prefix primitive, readability/Zipf text diagnostics, b-bit minhash
+    out.update(
+        {
+            "orders_cvm": _q_cvm,
+            "orders_energy_distance": _q_energy_distance,
+            "lineitem_trimmed_mean": _q_trimmed_mean,
+            "orders_hodges_lehmann": _q_hodges_lehmann,
+            "lineitem_kendall_tau": _q_kendall_tau,
+            "lineitem_percent_rank": _q_percent_rank,
+            "docs_reading_ease": _q_reading_ease,
+            "docs_zipf_fit": _q_zipf_fit,
+            "dedup_bbit_minhash": _q_bbit_minhash,
+        }
+    )
     # Gate-priority ordering: the driver's correctness gate graded exactly
     # the FIRST 50 dict entries in round 1, leaving the LLM-pipeline surface
     # unverified. Rotate the previously-unlisted queries (plus the two
@@ -2799,7 +2885,14 @@ _GATE_PRIORITY = [
     'docs_distinctive_terms', 'orders_fulfillment_sla', 'orders_anova',
     'orders_kruskal_wallis', 'orders_mann_kendall', 'lineitem_spearman',
     'customers_gini', 'orders_durbin_watson', 'customers_theil_index',
-    'orders_failures_sample', 'embeddings_margin_pairs',
+    'orders_failures_sample',
+    # round-9 additions queue directly behind the round-8 overflow so
+    # everything is driver-graded by end of round 10
+    'orders_cvm', 'orders_energy_distance', 'lineitem_trimmed_mean',
+    'orders_hodges_lehmann', 'lineitem_kendall_tau',
+    'lineitem_percent_rank', 'docs_reading_ease', 'docs_zipf_fit',
+    'dedup_bbit_minhash',
+    'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
     'sim_topk_ivf_pq', 'stats_theil_sen', 'orders_seasonal_decompose',
@@ -11669,4 +11762,403 @@ SELECT grp AS label, max(n_old) AS n_old, max(n_new) AS n_new,
          (a, b) -> a + b) + 0.0), 6) AS drift_l2
 FROM st GROUP BY 1
 """
+
+    # ---- round 9: distribution stats on the distributed-prefix
+    # primitive, readability/Zipf, b-bit minhash ----
+
+    # textually parallel to operators.stats.cramer_von_mises: per-value
+    # pair counts, cumulative CDFs, nano-quantized pooled terms
+    o["orders_cvm"] = """
+WITH g AS (
+  SELECT o_totalprice AS v,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT na, nb,
+         CAST(sum(na) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cb,
+         CAST(sum(na) OVER () AS BIGINT) AS ta,
+         CAST(sum(nb) OVER () AS BIGINT) AS tb
+  FROM g
+)
+SELECT CAST(max(ta) AS BIGINT) AS n_a,
+       CAST(max(tb) AS BIGINT) AS n_b,
+       CAST(sum(CAST(round((na + nb)
+            * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+            * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+            * 1000000000.0) AS BIGINT)) AS BIGINT) AS t_nano,
+       CAST(CAST(round((CAST(max(ta) AS DOUBLE) * CAST(max(tb) AS DOUBLE)
+            / ((CAST(max(ta) AS DOUBLE) + CAST(max(tb) AS DOUBLE))
+               * (CAST(max(ta) AS DOUBLE) + CAST(max(tb) AS DOUBLE))))
+            * CAST(CAST(sum(CAST(round((na + nb)
+                * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / 1000.0) AS BIGINT) AS DOUBLE) / 1e6 AS cvm_t
+FROM staged
+"""
+
+    # textually parallel to operators.stats.energy_distance: micro-unit
+    # values, exclusive prefix counts AND prefix value sums, exact
+    # DECIMAL(38,0) pairwise-distance identities; pa/pb/pc exceed 2^53
+    # so the oracle-side decimal->double goes through VARCHAR (DuckDB's
+    # direct cast divides an int128 mantissa and is lossy there)
+    o["orders_energy_distance"] = """
+WITH g AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS vm,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT vm, ca, cb,
+         CAST(coalesce(sum(ca) OVER (ORDER BY vm ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bca,
+         CAST(coalesce(sum(cb) OVER (ORDER BY vm ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bcb,
+         CAST(coalesce(sum(CAST(ca AS DECIMAL(38,0)) * vm)
+              OVER (ORDER BY vm ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS bsa,
+         CAST(coalesce(sum(CAST(cb AS DECIMAL(38,0)) * vm)
+              OVER (ORDER BY vm ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS bsb,
+         CAST(sum(ca) OVER () AS BIGINT) AS ta,
+         CAST(sum(cb) OVER () AS BIGINT) AS tb
+  FROM g
+),
+sums AS (
+  SELECT max(ta) AS n_a, max(tb) AS n_b,
+         CAST(sum(CAST(ca AS DECIMAL(38,0))
+              * (CAST(bca AS DECIMAL(38,0)) * vm - bsa))
+              AS DECIMAL(38,0)) AS pa,
+         CAST(sum(CAST(cb AS DECIMAL(38,0))
+              * (CAST(bcb AS DECIMAL(38,0)) * vm - bsb))
+              AS DECIMAL(38,0)) AS pb,
+         CAST(sum(CAST(ca AS DECIMAL(38,0))
+              * (CAST(bcb AS DECIMAL(38,0)) * vm - bsb)
+              + CAST(cb AS DECIMAL(38,0))
+              * (CAST(bca AS DECIMAL(38,0)) * vm - bsa))
+              AS DECIMAL(38,0)) AS pc
+  FROM staged
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST(round((CAST(CAST(pc AS VARCHAR) AS DOUBLE) / 1000000.0
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS e_cross,
+       CAST(CAST(round((2.0 * CAST(CAST(pa AS VARCHAR) AS DOUBLE)
+            / 1000000.0
+            / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS e_within_a,
+       CAST(CAST(round((2.0 * CAST(CAST(pb AS VARCHAR) AS DOUBLE)
+            / 1000000.0
+            / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS e_within_b,
+       CAST(CAST(round((2.0 * (CAST(CAST(pc AS VARCHAR) AS DOUBLE)
+            / 1000000.0
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+            - (2.0 * CAST(CAST(pa AS VARCHAR) AS DOUBLE) / 1000000.0
+               / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+            - (2.0 * CAST(CAST(pb AS VARCHAR) AS DOUBLE) / 1000000.0
+               / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS energy_d2
+FROM sums
+"""
+
+    # quantile_cont is bit-compatible with distributed_group_quantiles;
+    # cutoffs rounded to 4 (the quantile operator's convention)
+    o["lineitem_trimmed_mean"] = """
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+cuts AS (
+  SELECT round(quantile_cont(x, 0.1), 4) AS lo,
+         round(quantile_cont(x, 0.9), 4) AS hi
+  FROM v
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       max(lo) AS lo_cut,
+       max(hi) AS hi_cut,
+       CAST(CAST(round(CAST(CAST(sum(CASE WHEN x >= lo AND x <= hi
+            THEN CAST(round(x * 1000000.0) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS DOUBLE)
+            / nullif(CAST(sum(CASE WHEN x >= lo AND x <= hi THEN 1
+            ELSE 0 END) AS DOUBLE), 0.0)) AS BIGINT) AS DOUBLE) / 1e6
+         AS trimmed_mean
+FROM v CROSS JOIN cuts
+"""
+
+    # Walsh averages over the aggregated daily series (a.day <= b.day —
+    # the diagonal keeps each day's own value); pseudomedian via
+    # quantile_cont rounded to 4
+    o["orders_hodges_lehmann"] = """
+WITH daily AS MATERIALIZED (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS rev
+  FROM orders GROUP BY 1
+),
+walsh AS (
+  SELECT (a.rev + b.rev) / 2.0 AS w
+  FROM daily a JOIN daily b ON a.day <= b.day
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM daily)
+SELECT n_points,
+       CAST(n_points * (n_points + 1) // 2 AS BIGINT) AS n_pairs,
+       (SELECT round(quantile_cont(w, 0.5), 4) FROM walsh)
+         AS pseudomedian
+FROM np
+"""
+
+    # textually parallel to operators.stats.kendall_tau_b: zero-filled
+    # contingency grid, one window per axis (never global), exact
+    # DECIMAL(38,0) concordance sums
+    o["lineitem_kendall_tau"] = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0)
+              AS BIGINT) AS DOUBLE) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT xs.x, ys.y, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT x FROM cells) xs
+  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y
+),
+s1 AS (
+  SELECT x, y, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY y ORDER BY x ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cxe
+  FROM grid
+),
+s2 AS (
+  SELECT x, y, c,
+         CAST(coalesce(sum(cxe) OVER (PARTITION BY x ORDER BY y ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s_lt,
+         CAST(sum(cxe) OVER (PARTITION BY x ORDER BY y ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_le,
+         CAST(sum(cxe) OVER (PARTITION BY x) AS BIGINT) AS colx
+  FROM s1
+),
+pair AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,0)) * s_lt) AS DECIMAL(38,0))
+           AS cc,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * (colx - s_le))
+              AS DECIMAL(38,0)) AS dd
+  FROM s2
+),
+tx AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1))
+              AS DECIMAL(38,0)) AS tie_x2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1))
+              AS DECIMAL(38,0)) AS tie_y2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+SELECT n, n_cells,
+       CAST(cc AS DECIMAL(38,0)) AS concordant,
+       CAST(dd AS DECIMAL(38,0)) AS discordant,
+       CAST(CAST(round(((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+            / nullif(sqrt(
+            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+             - CAST(tie_x2 AS DOUBLE) / 2.0)
+            * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+               - CAST(tie_y2 AS DOUBLE) / 2.0)), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS tau_b
+FROM pair CROSS JOIN tx CROSS JOIN ty CROSS JOIN nc
+"""
+
+    # textually parallel to operators.stats.rank_columns
+    o["lineitem_percent_rank"] = """
+WITH vals AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+st AS (
+  SELECT value, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY value ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bef,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM vals
+)
+SELECT value, cnt,
+       CAST(bef + 1 AS BIGINT) AS rank_min,
+       CAST(CAST(round((CAST(bef AS DOUBLE)
+            + (CAST(cnt AS DOUBLE) + 1.0) / 2.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS rank_avg,
+       CAST(CAST(round(CAST(bef AS DOUBLE)
+            / nullif(CAST(n AS DOUBLE) - 1.0, 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS percent_rank,
+       CAST(CAST(round(CAST(bef + cnt AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS cume_dist
+FROM st ORDER BY value
+"""
+
+    # textually parallel to operators.text.reading_ease; per-doc FRE
+    # micro-quantized before the exact per-group sums
+    o["docs_reading_ease"] = """
+WITH per_doc AS (
+  SELECT source AS "group",
+         CAST(round(CAST(len(list_filter(string_split(text, ' '),
+              x -> x != '')) AS DOUBLE)) AS BIGINT) AS w,
+         CAST(round(CAST(greatest(len(regexp_extract_all(text,
+              '[.!?]+')), 1) AS DOUBLE)) AS BIGINT) AS s,
+         CAST(round(CAST(len(regexp_extract_all(lower(text),
+              '[aeiouy]+')) AS DOUBLE)) AS BIGINT) AS y,
+         CAST(round((206.835 - 1.015
+              * (CAST(len(list_filter(string_split(text, ' '),
+                 x -> x != '')) AS DOUBLE)
+                 / CAST(greatest(len(regexp_extract_all(text,
+                   '[.!?]+')), 1) AS DOUBLE))
+              - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                 '[aeiouy]+')) AS DOUBLE)
+                 / CAST(len(list_filter(string_split(text, ' '),
+                   x -> x != '')) AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS fre_micro
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+)
+SELECT "group",
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(round(CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS words_per_sentence,
+       CAST(CAST(round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS syllables_per_word,
+       CAST(CAST(round(CAST(CAST(sum(fre_micro) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+         AS avg_fre
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+    # textually parallel to operators.text.zipf_fit: only the top-k
+    # head is ranked; nano-quantized lns, DECIMAL(38,0) moments
+    o["docs_zipf_fit"] = """
+WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), x -> x != '')) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+head AS MATERIALIZED (
+  SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok ASC LIMIT 20
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC,
+              tok ASC) AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS lx_nano,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS ly_nano,
+         cnt
+  FROM head
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(cnt) AS BIGINT) AS total_tokens_in_head,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(CAST(sum(CAST(lx_nano AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) / 1e9 AS sx_d,
+         CAST(CAST(sum(CAST(ly_nano AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS DOUBLE) / 1e9 AS sy_d,
+         CAST(CAST(sum(CAST(lx_nano AS DECIMAL(38,0)) * ly_nano)
+              AS DECIMAL(38,0)) AS DOUBLE) / 1e18 AS sxy_d,
+         CAST(CAST(sum(CAST(lx_nano AS DECIMAL(38,0)) * lx_nano)
+              AS DECIMAL(38,0)) AS DOUBLE) / 1e18 AS sxx_d,
+         CAST(CAST(sum(CAST(ly_nano AS DECIMAL(38,0)) * ly_nano)
+              AS DECIMAL(38,0)) AS DOUBLE) / 1e18 AS syy_d
+  FROM pts
+)
+SELECT k_used, total_tokens_in_head,
+       CAST(CAST(round(((n_d * sxy_d - sx_d * sy_d)
+            / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS slope,
+       CAST(CAST(round(((sy_d - ((n_d * sxy_d - sx_d * sy_d)
+            / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)) * sx_d) / n_d)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS intercept,
+       CAST(CAST(round(((n_d * sxy_d - sx_d * sy_d)
+            * (n_d * sxy_d - sx_d * sy_d)
+            / nullif((n_d * sxx_d - sx_d * sx_d)
+                     * (n_d * syy_d - sy_d * sy_d), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS r2
+FROM m
+"""
+
+    # textually parallel to operators.dedup.bbit_minhash_pairs: same
+    # md5 minhash family as dedup_minhash_estimate, plus the b=8
+    # low-bit truncation (trailing 2 hex chars) and its debias
+    o["dedup_bbit_minhash"] = (
+        "WITH " + _SHINGLES_CTE + """,
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS MATERIALIZED (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.d1, c.d2,
+         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+              AS INT) AS matches_full,
+         CAST(sum(CASE WHEN right(sa.sig, 2) = right(sb.sig, 2)
+              THEN 1 ELSE 0 END) AS INT) AS matches_bbit
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.d1
+  JOIN sigs sb ON sb.doc_id = c.d2 AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT d1, d2, matches_full, matches_bbit,
+       round(matches_full / 16.0, 4) AS est_full,
+       round(greatest((CAST(matches_bbit AS DOUBLE) / 16.0
+             - 0.00390625) / (1.0 - 0.00390625), 0.0), 4) AS est_bbit
+FROM scored
+"""
+    )
     return o

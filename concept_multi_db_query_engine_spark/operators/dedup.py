@@ -1257,3 +1257,73 @@ def dedup_span_removal_incremental(
             ).alias("cleaned_text"),
         )
     )
+
+
+def bbit_minhash_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    b_bits: int = 8,
+    frames: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """b-bit minhash (Li & König 2010) scored next to the full-width
+    estimate on the same LSH candidates: keep only the low ``b_bits``
+    of each minhash slot (here: the trailing ``b_bits/4`` hex chars of
+    the md5 value — md5's low bits are uniform), storage shrinks
+    128/b×, and the raw collision rate is debiased by the random-match
+    floor ``C = 2^-b``::
+
+        ĵ_b = (p_match − C) / (1 − C)
+
+    This is THE storage trick for planet-scale near-dup sketches: at
+    b=8 a 16-hash signature is 16 bytes instead of 256, so the
+    signature table for 10¹⁰ documents fits where the full one would
+    not.  The operator returns both estimators per candidate pair so
+    the truncation's cost is measurable on real data (ĵ_b is noisier —
+    variance grows as matches get rarer — which is exactly what the
+    side-by-side shows).
+
+    Same scale shape as :func:`minhash_estimate_pairs`: banded LSH
+    candidates only (never all-pairs), per-pair work O(num_hashes).
+    All hashing is md5 (DuckDB-replayable bit-for-bit).  Returns
+    (d1, d2, matches_full, matches_bbit, est_full, est_bbit),
+    one row per LSH candidate pair.
+    """
+    if b_bits % 4 != 0 or not 4 <= b_bits <= 64:
+        raise ValueError("b_bits must be a multiple of 4 in [4, 64]")
+    hex_chars = b_bits // 4
+    _, sigs = frames if frames is not None else minhash_frames(
+        docs, k, num_hashes)
+    candidates = _lsh_candidates(sigs, num_hashes, bands)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    full = sum(
+        (F.col(f"a.sig{s}") == F.col(f"b.sig{s}")).cast("int")
+        for s in range(num_hashes)
+    )
+    bbit = sum(
+        (F.expr(f"right(a.sig{s}, {hex_chars})")
+         == F.expr(f"right(b.sig{s}, {hex_chars})")).cast("int")
+        for s in range(num_hashes)
+    )
+    c_floor = 1.0 / (2 ** b_bits)
+    return (
+        candidates.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, F.col("d2") == F.col("b.doc_id"))
+        .select(
+            "d1", "d2",
+            full.cast("int").alias("matches_full"),
+            bbit.cast("int").alias("matches_bbit"),
+        )
+        .select(
+            "d1", "d2", "matches_full", "matches_bbit",
+            F.round(F.col("matches_full") / float(num_hashes), 4)
+            .alias("est_full"),
+            F.expr(
+                f"round(greatest((CAST(matches_bbit AS DOUBLE) "
+                f"/ {float(num_hashes)!r} - {c_floor!r}) "
+                f"/ (1.0d - {c_floor!r}), 0.0d), 4)"
+            ).alias("est_bbit"),
+        )
+    )

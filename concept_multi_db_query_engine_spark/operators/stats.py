@@ -3053,3 +3053,453 @@ def ab_sample_size(
         ).cast("double").alias("mde_abs"),
         F.expr(f"CAST(ceil({n_arm}) AS BIGINT)").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: distribution statistics on the distributed-prefix primitive
+# ---------------------------------------------------------------------------
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the INTEGRATED companion
+    to :func:`ks_test` (max CDF gap) and :func:`wasserstein_1d` (CDF
+    area in value units): ``T = (n_a·n_b/N²) · Σ_pooled (F_A − F_B)²``
+    weights every pooled observation's squared CDF gap, so it sees
+    distributional differences KS's single supremum misses (two
+    crossings that cancel at the max but not in the integral).
+
+    Shape: one shuffle to per-distinct-value pair counts, exact
+    cumulative counts via :func:`distributed_prefix_counts` (range-
+    partitioned — no single-task window even for continuous values),
+    each pooled term quantized to nano before the exact integer sum
+    (the :func:`wasserstein_1d` discipline).  Returns one row:
+    (n_a, n_b, t_nano, cvm_t).
+    """
+    cum, n_a, n_b = _cumulative_pair_counts(
+        df, value_col, group_col, group_a, group_b
+    )
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("long").alias("t_nano"),
+            F.lit(None).cast("double").alias("cvm_t"),
+        )
+    term = (
+        f"CAST(round((na + nb) "
+        f"* (CAST(ca AS DOUBLE) / {n_a}.0d "
+        f"- CAST(cb AS DOUBLE) / {n_b}.0d) "
+        f"* (CAST(ca AS DOUBLE) / {n_a}.0d "
+        f"- CAST(cb AS DOUBLE) / {n_b}.0d) "
+        "* 1000000000.0d) AS BIGINT)"
+    )
+    scale = (
+        f"(CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE) "
+        f"/ (CAST({n_a + n_b} AS DOUBLE) "
+        f"* CAST({n_a + n_b} AS DOUBLE)))"
+    )
+    return cum.agg(
+        F.sum(F.expr(term)).cast("long").alias("t_nano")
+    ).select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        "t_nano",
+        F.expr(
+            f"CAST(round({scale} * CAST(t_nano AS DOUBLE) / 1000.0) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("cvm_t"),
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D energy distance between two groups' distributions::
+
+        D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+
+    (Székely & Rizzo's V-statistic form, n² pairs per term) — zero iff
+    the distributions are equal, in the value's own units like
+    :func:`wasserstein_1d` but sensitive to ALL moments.  The naive
+    computation is three all-pairs joins; the sorted identity
+    ``Σ_{i<j}|x_i−x_j| = Σ_v c_v·(B_v·v − S_v)`` (B/S = exclusive
+    prefix count/sum) collapses each term to ONE pass over the
+    distinct-value frame, with the prefix counts AND prefix value sums
+    from a single :func:`distributed_prefix_counts` call — exact
+    micro-unit integer arithmetic in DECIMAL(38,0) end-to-end; doubles
+    appear only in the final three divisions.
+
+    Returns one row: (n_a, n_b, e_cross, e_within_a, e_within_b,
+    energy_d2).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    g = (
+        df.where((in_a | in_b) & F.col(value_col).isNotNull())
+        .groupBy(
+            F.expr(
+                f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT)"
+            ).alias("vm")
+        )
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+        .select(
+            "vm", "ca", "cb",
+            F.expr("CAST(ca AS DECIMAL(38,0)) * vm").alias("sa"),
+            F.expr("CAST(cb AS DECIMAL(38,0)) * vm").alias("sb"),
+        )
+    )
+    cum, totals = distributed_prefix_counts(
+        g, "vm", ["ca", "cb", "sa", "sb"]
+    )
+    n_a, n_b = totals["ca"], totals["cb"]
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("double").alias("e_cross"),
+            F.lit(None).cast("double").alias("e_within_a"),
+            F.lit(None).cast("double").alias("e_within_b"),
+            F.lit(None).cast("double").alias("energy_d2"),
+        )
+    sums = cum.agg(
+        F.expr(
+            "CAST(sum(CAST(ca AS DECIMAL(38,0)) "
+            "* (CAST(__before_ca AS DECIMAL(38,0)) * vm "
+            "- __before_sa)) AS DECIMAL(38,0))"
+        ).alias("pa"),
+        F.expr(
+            "CAST(sum(CAST(cb AS DECIMAL(38,0)) "
+            "* (CAST(__before_cb AS DECIMAL(38,0)) * vm "
+            "- __before_sb)) AS DECIMAL(38,0))"
+        ).alias("pb"),
+        F.expr(
+            "CAST(sum(CAST(ca AS DECIMAL(38,0)) "
+            "* (CAST(__before_cb AS DECIMAL(38,0)) * vm "
+            "- __before_sb) "
+            "+ CAST(cb AS DECIMAL(38,0)) "
+            "* (CAST(__before_ca AS DECIMAL(38,0)) * vm "
+            "- __before_sa)) AS DECIMAL(38,0))"
+        ).alias("pc"),
+    )
+    # micro units back to value units; V-statistic denominators n²
+    e_cross = (
+        f"(CAST(pc AS DOUBLE) / 1000000.0d "
+        f"/ (CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE)))"
+    )
+    e_a = (
+        f"(2.0d * CAST(pa AS DOUBLE) / 1000000.0d "
+        f"/ (CAST({n_a} AS DOUBLE) * CAST({n_a} AS DOUBLE)))"
+    )
+    e_b = (
+        f"(2.0d * CAST(pb AS DOUBLE) / 1000000.0d "
+        f"/ (CAST({n_b} AS DOUBLE) * CAST({n_b} AS DOUBLE)))"
+    )
+    return sums.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.expr(
+            f"CAST(round({e_cross} * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("e_cross"),
+        F.expr(
+            f"CAST(round({e_a} * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("e_within_a"),
+        F.expr(
+            f"CAST(round({e_b} * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("e_within_b"),
+        F.expr(
+            f"CAST(round((2.0d * {e_cross} - {e_a} - {e_b}) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("energy_d2"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean: the mean of the values inside the exact
+    [trim, 1−trim] quantile interval — the robust center that keeps
+    more efficiency than the median when tails are merely heavy, not
+    wild (Tukey's recommendation for reporting latencies/prices).
+
+    Both cutoffs are EXACT linear-interpolation quantiles from ONE
+    ``analytics.distributed_group_quantiles`` pass (constant group —
+    the :func:`mad_outliers` machinery, parallel at any scale); the
+    kept-values mean is one exact decimal aggregate under the broadcast
+    cutoffs.  Values equal to a cutoff are kept (closed interval), so
+    the result is deterministic under ties.  Returns one row:
+    (n, n_kept, lo_cut, hi_cut, trimmed_mean).
+    """
+    from .analytics import distributed_group_quantiles
+
+    if not 0.0 < trim < 0.5:
+        raise ValueError("trim must be in (0, 0.5)")
+    vals = df.where(f"({value_col}) IS NOT NULL").select(
+        F.lit(0).alias("__g"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("__v"),
+    )
+    cuts = distributed_group_quantiles(
+        vals, "__g", "__v", [trim, 1.0 - trim]
+    ).select(F.col("q0").alias("__lo"), F.col("q1").alias("__hi"))
+    kept = vals.crossJoin(F.broadcast(cuts))
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(
+            "CASE WHEN __v >= __lo AND __v <= __hi THEN 1 ELSE 0 END"
+        )).cast("long").alias("n_kept"),
+        F.max("__lo").alias("lo_cut"),
+        F.max("__hi").alias("hi_cut"),
+        # micro-quantized per kept value, exact integer sum, one final
+        # division — the shared cross-engine discipline
+        F.sum(F.expr(
+            "CASE WHEN __v >= __lo AND __v <= __hi "
+            "THEN CAST(round(__v * 1000000.0d) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )).alias("__s_micro"),
+    ).select(
+        "n", "n_kept", "lo_cut", "hi_cut",
+        F.expr(
+            "CAST(round(CAST(__s_micro AS DOUBLE) "
+            "/ nullif(CAST(n_kept AS DOUBLE), 0.0d)) AS BIGINT) / 1e6"
+        ).cast("double").alias("trimmed_mean"),
+    )
+
+
+def hodges_lehmann(
+    points: DataFrame,
+    value_col: str,
+    id_col: str,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Hodges–Lehmann pseudomedian: the median of all pairwise Walsh
+    averages ``(x_i + x_j)/2`` over ``i <= j`` — the location estimator
+    behind the Wilcoxon signed-rank test: ~95% Gaussian efficiency yet
+    a 29% breakdown point, the robust center to report when the
+    distribution is skewed but the median wastes too much data.
+
+    O(n²) pairs is the estimator's contract — the :func:`theil_sen`
+    discipline applies verbatim: run it on AGGREGATED series, and a
+    count probe raises loudly before the pair join is built when the
+    input exceeds ``max_points``.  Pairs come from an id-ordered
+    self-join (``id_i <= id_j`` — the diagonal keeps each point's own
+    value, the standard pseudomedian); the median is an EXACT
+    interpolation quantile via ``distributed_group_quantiles``.
+    Returns one row: (n_points, n_pairs, pseudomedian).
+    """
+    from .analytics import distributed_group_quantiles
+
+    pts = points.where(
+        f"({value_col}) IS NOT NULL AND ({id_col}) IS NOT NULL"
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("__x"),
+    ).localCheckpoint(eager=True)
+    n_probe = pts.count()
+    if n_probe > max_points:
+        raise ValueError(
+            f"hodges_lehmann: {n_probe} points exceed max_points="
+            f"{max_points}; the Walsh-average frame would hold "
+            f"~{n_probe * (n_probe + 1) // 2:,} rows. Aggregate the "
+            "series first or raise max_points deliberately."
+        )
+    a, b = pts.alias("a"), pts.alias("b")
+    walsh = a.join(
+        b, F.col("a.__id") <= F.col("b.__id"), "inner"
+    ).select(
+        F.lit(0).alias("__g"),
+        ((F.col("a.__x") + F.col("b.__x")) / F.lit(2.0)).alias("__v"),
+    )
+    med = distributed_group_quantiles(walsh, "__g", "__v", [0.5])
+    return med.select(
+        F.lit(n_probe).cast("long").alias("n_points"),
+        F.lit(n_probe * (n_probe + 1) // 2).cast("long")
+        .alias("n_pairs"),
+        F.col("q0").alias("pseudomedian"),
+    )
+
+
+def rank_columns(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Per-distinct-value global rank columns — ``rank()`` (min rank),
+    tie-averaged rank, ``percent_rank`` and ``cume_dist`` with their
+    exact SQL semantics, computed WITHOUT any global window: the
+    distinct-value frame rides :func:`distributed_prefix_counts`, so
+    this is the rank map a scale-safe ``ORDER BY``-window replacement
+    joins back by value.  Double rank values quantize to micro before
+    the final projection (cross-engine bit-stability).
+
+    Returns one row per distinct value, ordered by value:
+    (value, cnt, rank_min, rank_avg, percent_rank, cume_dist).
+    """
+    vals = (
+        df.where(f"({value_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("value")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cum, totals = distributed_prefix_counts(vals, "value", ["cnt"])
+    n = totals["cnt"]
+    return cum.select(
+        "value", "cnt",
+        (F.col("__before_cnt") + F.lit(1)).cast("long")
+        .alias("rank_min"),
+        F.expr(
+            "CAST(round((CAST(__before_cnt AS DOUBLE) "
+            "+ (CAST(cnt AS DOUBLE) + 1.0d) / 2.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("rank_avg"),
+        F.expr(
+            f"CAST(round(CAST(__before_cnt AS DOUBLE) "
+            f"/ nullif(CAST({n} AS DOUBLE) - 1.0d, 0.0d) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("percent_rank"),
+        F.expr(
+            f"CAST(round(CAST(__cum_cnt AS DOUBLE) "
+            f"/ CAST({n} AS DOUBLE) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("cume_dist"),
+    ).orderBy("value")
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 250_000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with full tie correction — the
+    concordance-based sibling of :func:`spearman_corr` (τ counts
+    agreeing pair ORDERINGS; ρ correlates ranks), preferred when the
+    data are ordinal or the pair-level interpretation matters::
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+
+    Naively O(n²) pairs; here everything reduces to the (x, y)
+    CONTINGENCY grid: C and D are grid sums of each cell's count times
+    the strictly-lower-left / lower-right cumulative — two windows,
+    each PARTITIONED by one grid axis (never global, never the
+    corpus), over a zero-filled |X|·|Y| grid.  Exact integer arithmetic
+    in DECIMAL(38,0) through C, D, and the tie terms; τ is one final
+    double, micro-quantized.
+
+    Bounded-domain contract, ENFORCED: the grid must hold at most
+    ``max_cells`` cells (a count probe on the two marginals raises
+    loudly first — the :func:`theil_sen` discipline).  Quantize or
+    bucket continuous columns upstream; τ on deciles/integer scores is
+    the standard large-scale shape.  Returns one row: (n, n_cells,
+    concordant, discordant, tau_b).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({x_col}) AS DOUBLE)").alias("x"),
+            F.expr(f"CAST(({y_col}) AS DOUBLE)").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    marg = cells.agg(
+        F.countDistinct("x").alias("dx"),
+        F.countDistinct("y").alias("dy"),
+    ).collect()[0]
+    if marg["dx"] * marg["dy"] > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: grid {marg['dx']}x{marg['dy']} exceeds "
+            f"max_cells={max_cells}; quantize/bucket the columns "
+            "upstream (deciles, integer scores) or raise max_cells "
+            "deliberately."
+        )
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["x", "y"], "left")
+        .select(
+            "x", "y",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w_cx = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1)
+    staged = grid.withColumn(
+        "cxe", F.coalesce(F.sum("c").over(w_cx), F.lit(0)).cast("long")
+    )
+    w_lt = Window.partitionBy("x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_le = Window.partitionBy("x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_colx = Window.partitionBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = (
+        staged
+        .withColumn("s_lt", F.coalesce(F.sum("cxe").over(w_lt),
+                                       F.lit(0)).cast("long"))
+        .withColumn("s_le", F.sum("cxe").over(w_le).cast("long"))
+        .withColumn("colx", F.sum("cxe").over(w_colx).cast("long"))
+        .withColumn("s_gt", (F.col("colx") - F.col("s_le"))
+                    .cast("long"))
+    )
+    pair_sums = staged.agg(
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(38,0)) * s_lt) "
+            "AS DECIMAL(38,0))"
+        ).alias("cc"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(38,0)) * s_gt) "
+            "AS DECIMAL(38,0))"
+        ).alias("dd"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t")) \
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) "
+                "AS DECIMAL(38,0))"
+            ).alias("tie_x2"),
+        )
+    ty = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t")) \
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)) "
+                "AS DECIMAL(38,0))"
+            ).alias("tie_y2"),
+        )
+    n_cells = cells.count()
+    tau = (
+        "((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) "
+        "/ nullif(sqrt("
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0d) / 2.0d "
+        "- CAST(tie_x2 AS DOUBLE) / 2.0d) "
+        "* (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0d) / 2.0d "
+        "- CAST(tie_y2 AS DOUBLE) / 2.0d)), 0.0d))"
+    )
+    return pair_sums.crossJoin(tx).crossJoin(ty).select(
+        "n",
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.col("cc").cast("decimal(38,0)").alias("concordant"),
+        F.col("dd").cast("decimal(38,0)").alias("discordant"),
+        F.expr(
+            f"CAST(round(({tau}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("tau_b"),
+    )
