@@ -2540,6 +2540,39 @@ def _q_zipf_fit(spark, sf):
     return ops.zipf_fit(_t(spark, sf, "documents"), top_k=20)
 
 
+def _q_anderson_darling(spark, sf):
+    return ops.anderson_darling_2s(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderstatus",
+        "F", "O",
+    )
+
+
+def _q_page_hinkley(spark, sf):
+    # aggregated daily order counts — the series contract; delta=0
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.page_hinkley(daily, "idx", "cnt")
+
+
+def _q_isotonic(spark, sf):
+    # score in [0,1]: normalized doc length; label: english — the
+    # calibration_report pairing, isotonic-fitted
+    docs = _t(spark, sf, "documents")
+    return ops.isotonic_calibration(
+        docs,
+        "least(CAST(n_chars AS DOUBLE) / 2000.0d, 1.0d)",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        n_buckets=10,
+    )
+
+
 def _q_bbit_minhash(spark, sf):
     return (
         ops.bbit_minhash_pairs(
@@ -2838,6 +2871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_reading_ease": _q_reading_ease,
             "docs_zipf_fit": _q_zipf_fit,
             "dedup_bbit_minhash": _q_bbit_minhash,
+            "orders_anderson_darling": _q_anderson_darling,
+            "orders_page_hinkley": _q_page_hinkley,
+            "docs_isotonic_calibration": _q_isotonic,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2891,7 +2927,8 @@ _GATE_PRIORITY = [
     'orders_cvm', 'orders_energy_distance', 'lineitem_trimmed_mean',
     'orders_hodges_lehmann', 'lineitem_kendall_tau',
     'lineitem_percent_rank', 'docs_reading_ease', 'docs_zipf_fit',
-    'dedup_bbit_minhash',
+    'dedup_bbit_minhash', 'orders_anderson_darling',
+    'orders_page_hinkley', 'docs_isotonic_calibration',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -12120,6 +12157,144 @@ SELECT k_used, total_tokens_in_head,
                      * (n_d * syy_d - sy_d * sy_d), 0.0))
             * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS r2
 FROM m
+"""
+
+    # textually parallel to operators.stats.anderson_darling_2s:
+    # 2x-scaled midrank integers, nano-quantized tail-weighted terms
+    o["orders_anderson_darling"] = """
+WITH g AS (
+  SELECT o_totalprice AS v,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT na, nb,
+         CAST(2 * (sum(na) OVER (ORDER BY v ASC ROWS UNBOUNDED
+              PRECEDING) - na) + na AS BIGINT) AS m2a,
+         CAST(2 * (sum(nb) OVER (ORDER BY v ASC ROWS UNBOUNDED
+              PRECEDING) - nb) + nb AS BIGINT) AS m2b,
+         CAST(2 * (sum(na + nb) OVER (ORDER BY v ASC ROWS UNBOUNDED
+              PRECEDING) - na - nb) + na + nb AS BIGINT) AS b2,
+         CAST(sum(na) OVER () AS BIGINT) AS ta,
+         CAST(sum(nb) OVER () AS BIGINT) AS tb
+  FROM g
+)
+SELECT CAST(max(ta) AS BIGINT) AS n_a,
+       CAST(max(tb) AS BIGINT) AS n_b,
+       CAST(CAST(round(((CAST(max(ta) + max(tb) AS DOUBLE) - 1.0)
+            / CAST(max(ta) + max(tb) AS DOUBLE))
+            * CAST(CAST(sum(CASE WHEN (CAST(b2 AS DOUBLE)
+                * (2.0 * CAST(ta + tb AS DOUBLE) - CAST(b2 AS DOUBLE))
+                - CAST(ta + tb AS DOUBLE) * CAST(na + nb AS DOUBLE))
+                <= 0.0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((CAST(na + nb AS DOUBLE)
+                / CAST(ta + tb AS DOUBLE))
+                * ((CAST(ta + tb AS DOUBLE) * CAST(m2a AS DOUBLE)
+                    - CAST(ta AS DOUBLE) * CAST(b2 AS DOUBLE))
+                   * (CAST(ta + tb AS DOUBLE) * CAST(m2a AS DOUBLE)
+                      - CAST(ta AS DOUBLE) * CAST(b2 AS DOUBLE))
+                   / CAST(ta AS DOUBLE)
+                   + (CAST(ta + tb AS DOUBLE) * CAST(m2b AS DOUBLE)
+                      - CAST(tb AS DOUBLE) * CAST(b2 AS DOUBLE))
+                   * (CAST(ta + tb AS DOUBLE) * CAST(m2b AS DOUBLE)
+                      - CAST(tb AS DOUBLE) * CAST(b2 AS DOUBLE))
+                   / CAST(tb AS DOUBLE))
+                / (CAST(b2 AS DOUBLE)
+                   * (2.0 * CAST(ta + tb AS DOUBLE)
+                      - CAST(b2 AS DOUBLE))
+                   - CAST(ta + tb AS DOUBLE)
+                     * CAST(na + nb AS DOUBLE))
+                * 1000000000.0) AS BIGINT) END) AS BIGINT) AS DOUBLE)
+            / 1000.0) AS BIGINT) AS DOUBLE) / 1e6 AS a2_akn
+FROM staged
+"""
+
+    # textually parallel to operators.stats.page_hinkley over the
+    # aggregated daily series; micro-quantized running-mean deviations
+    o["orders_page_hinkley"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+staged AS (
+  SELECT idx,
+         CAST(round(x * 1000000.0) AS BIGINT)
+         - CAST(round(CAST(CAST(sum(CAST(round(x * 1000000.0)
+             AS BIGINT)) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+             PRECEDING) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+             PRECEDING) AS DOUBLE)) AS BIGINT)
+         - CAST(round(0.0 * 1000000.0) AS BIGINT) AS dev
+  FROM daily
+),
+m AS (
+  SELECT idx,
+         CAST(sum(dev) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS mm
+  FROM staged
+),
+ph AS (
+  SELECT idx,
+         CAST(mm - min(mm) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS ph
+  FROM m
+),
+top AS (SELECT ph, idx FROM ph ORDER BY ph DESC, idx ASC LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_periods,
+       ph AS ph_micro,
+       CAST(ph AS DOUBLE) / 1e6 AS ph_stat,
+       idx AS peak_idx
+FROM top
+"""
+
+    # textually parallel to operators.stats.isotonic_calibration: the
+    # minimax identity over the bounded bucket-pair frame
+    o["docs_isotonic_calibration"] = """
+WITH b AS MATERIALIZED (
+  SELECT least(CAST(floor(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0)
+              * 10) AS INT), 9) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT bucket, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY bucket ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS cw,
+         CAST(sum(n_pos) OVER (ORDER BY bucket ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS cy
+  FROM b
+),
+pairs AS (
+  SELECT lo.bucket AS j, hi.bucket AS k,
+         CAST(round(CAST(hi.cy - (lo.cy - lo.n_pos) AS DOUBLE)
+              / CAST(hi.cw - (lo.cw - lo.n) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS a_micro
+  FROM pre lo JOIN pre hi ON lo.bucket <= hi.bucket
+),
+mins AS (
+  SELECT i.bucket AS i, p.j, min(p.a_micro) AS min_k
+  FROM pairs p JOIN b i ON p.k >= i.bucket AND p.j <= i.bucket
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, CAST(max(min_k) AS BIGINT) AS iso_micro
+        FROM mins GROUP BY 1)
+SELECT b.bucket, b.n, b.n_pos,
+       CAST(CAST(round(CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS raw_rate,
+       CAST(iso_micro AS DOUBLE) / 1e6 AS iso_rate
+FROM b JOIN iso ON b.bucket = iso.i
+ORDER BY b.bucket
 """
 
     # textually parallel to operators.dedup.bbit_minhash_pairs: same

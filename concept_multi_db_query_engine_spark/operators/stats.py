@@ -3503,3 +3503,240 @@ def kendall_tau_b(
             f"CAST(round(({tau}) * 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("tau_b"),
     )
+
+
+def anderson_darling_2s(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz–Stephens 1987
+    A²_akN, k = 2, tie-corrected via midranks) — the tail-weighted
+    member of the distribution-test family: KS sees the max CDF gap,
+    :func:`cramer_von_mises` the mean-square gap, AD up-weights the
+    TAILS by 1/(H(1−H)) — the test to reach for when the risk lives in
+    the extremes (latency tails, price outliers)::
+
+        A² = (N−1)/N · Σ_i (1/n_i) Σ_j  l_j/N ·
+             (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·l_j/4)
+
+    With 2×-scaled midrank integers (``M2 = 2·before_i + l_ij``,
+    ``B2 = 2·before + l_j``) every factor is an exact BIGINT::
+
+        term_j = l_j/N · (N·M2_ij − n_i·B2_j)² / (B2_j(2N−B2_j) − N·l_j)
+
+    Shape: one shuffle to per-distinct-value pair counts, exact prefix
+    counts via :func:`distributed_prefix_counts` (no single-task
+    window), each term nano-quantized before the exact sum.  Values
+    where the denominator vanishes (a tie block spanning an entire
+    tail) contribute zero, per Scholz–Stephens.  A² near (k−1) = 1 is
+    the null expectation.  Returns one row: (n_a, n_b, a2_akn).
+    """
+    cum, n_a, n_b = _cumulative_pair_counts(
+        df, value_col, group_col, group_a, group_b
+    )
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("double").alias("a2_akn"),
+        )
+    n = n_a + n_b
+    staged = cum.select(
+        "na", "nb",
+        (F.lit(2) * (F.col("ca") - F.col("na")) + F.col("na"))
+        .cast("long").alias("m2a"),
+        (F.lit(2) * (F.col("cb") - F.col("nb")) + F.col("nb"))
+        .cast("long").alias("m2b"),
+        (F.lit(2) * (F.col("ca") + F.col("cb") - F.col("na")
+                     - F.col("nb")) + F.col("na") + F.col("nb"))
+        .cast("long").alias("b2"),
+    )
+    denom = (
+        f"(CAST(b2 AS DOUBLE) * ({2 * n}.0d - CAST(b2 AS DOUBLE)) "
+        f"- {n}.0d * CAST(na + nb AS DOUBLE))"
+    )
+    term_a = (
+        f"({n}.0d * CAST(m2a AS DOUBLE) "
+        f"- {n_a}.0d * CAST(b2 AS DOUBLE))"
+    )
+    term_b = (
+        f"({n}.0d * CAST(m2b AS DOUBLE) "
+        f"- {n_b}.0d * CAST(b2 AS DOUBLE))"
+    )
+    contrib = (
+        f"CASE WHEN ({denom}) <= 0.0d THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(round((CAST(na + nb AS DOUBLE) / {n}.0d) "
+        f"* (({term_a}) * ({term_a}) / {n_a}.0d "
+        f"+ ({term_b}) * ({term_b}) / {n_b}.0d) "
+        f"/ ({denom}) * 1000000000.0d) AS BIGINT) END"
+    )
+    return staged.agg(
+        F.sum(F.expr(contrib)).cast("long").alias("__s_nano")
+    ).select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.expr(
+            f"CAST(round(({n - 1}.0d / {n}.0d) "
+            "* CAST(__s_nano AS DOUBLE) / 1000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("a2_akn"),
+    )
+
+
+def page_hinkley(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    delta: float = 0.0,
+) -> DataFrame:
+    """Page–Hinkley sequential drift statistic over an aggregated
+    series — the online-monitoring companion to the retrospective
+    :func:`changepoint_mean_shift`: accumulate each period's deviation
+    from the RUNNING mean (minus a slack ``delta``), and the statistic
+    is how far that accumulator has climbed above its own historical
+    minimum::
+
+        m_T = Σ_{t≤T} (x_t − x̄_t − δ),   PH = max_T (m_T − min_{t≤T} m_t)
+
+    Input is one row per period (the :func:`changepoint_mean_shift` /
+    :func:`durbin_watson` series contract — the ordered windows run
+    over the aggregated model frame, bounded by the time domain, never
+    the corpus).  Each deviation is micro-quantized from exact decimal
+    prefix means before the integer cumulative, so argmax ties break
+    deterministically (earliest index).  Returns one row: (n_periods,
+    ph_micro, ph_stat, peak_idx).
+    """
+    from pyspark.sql import Window
+
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
+    ).where(F.col("idx").isNotNull() & F.col("x").isNotNull())
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        pts
+        .withColumn("__s", F.sum(
+            F.expr("CAST(round(x * 1000000.0d) AS BIGINT)")).over(w)
+            .cast("long"))
+        .withColumn("__t", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "__dev",
+            F.expr(
+                "CAST(round(x * 1000000.0d) AS BIGINT) "
+                "- CAST(round(CAST(__s AS DOUBLE) "
+                "/ CAST(__t AS DOUBLE)) AS BIGINT) "
+                f"- CAST(round({delta!r} * 1000000.0d) AS BIGINT)"
+            ).cast("long"),
+        )
+        .withColumn("__m", F.sum("__dev").over(w).cast("long"))
+        .withColumn("__mmin", F.min("__m").over(w).cast("long"))
+        .withColumn("__ph", (F.col("__m") - F.col("__mmin"))
+                    .cast("long"))
+    )
+    top = staged.orderBy(
+        F.col("__ph").desc(), F.col("idx").asc()
+    ).limit(1)
+    n_frame = pts.agg(F.count(F.lit(1)).cast("long").alias("n_periods"))
+    return n_frame.crossJoin(F.broadcast(top.select(
+        F.col("__ph").alias("ph_micro"),
+        (F.col("__ph").cast("double") / 1e6).alias("ph_stat"),
+        F.col("idx").alias("peak_idx"),
+    )))
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_expr: str,
+    label_expr: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve over score
+    buckets — the non-parametric companion to
+    :func:`~..operators.classify.calibration_report`: raw per-bucket
+    rates can zig-zag from noise; the isotonic fit is the closest
+    monotone curve in weighted least squares, which is what a
+    probability calibrator actually deploys.  Scores are bucketed on a
+    fixed [0, 1] grid (``floor(score·B)``, top-clamped).
+
+    Instead of the sequential PAVA pool-adjacent loop, the fit uses
+    the exact minimax identity — ``f_i = max_{j≤i} min_{k≥i} A(j,k)``
+    with ``A(j,k)`` the weighted mean of buckets j..k — over the
+    bounded B×B(×B) bucket-pair frame: two partitioned windows over
+    prefix sums, never anything corpus-sized past the first aggregate
+    (the grid is at most ``n_buckets²`` rows; one corpus scan total).
+    Rates micro-quantized (exact integer ratios compared AFTER a
+    shared quantization, so the argmax/argmin are engine-stable).
+
+    Returns one row per non-empty bucket, ordered: (bucket, n, n_pos,
+    raw_rate, iso_rate) with iso_rate monotone non-decreasing.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    b = (
+        df.where(f"({score_expr}) IS NOT NULL "
+                 f"AND ({label_expr}) IS NOT NULL")
+        .select(
+            F.expr(
+                f"least(CAST(floor(CAST(({score_expr}) AS DOUBLE) "
+                f"* {n_buckets}) AS INT), {n_buckets - 1})"
+            ).alias("bucket"),
+            F.expr(f"CAST(({label_expr}) AS INT)").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
+    pre = b.select(
+        "bucket", "n", "n_pos",
+        F.sum("n").over(w_cum).cast("long").alias("cw"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cw") - F.col("n")).alias("cw_lo"),
+        (F.col("cy") - F.col("n_pos")).alias("cy_lo"),
+    )
+    hi = pre.select(
+        F.col("bucket").alias("k"),
+        F.col("cw").alias("cw_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j", "k",
+        F.expr(
+            "CAST(round(CAST(cy_hi - cy_lo AS DOUBLE) "
+            "/ CAST(cw_hi - cw_lo AS DOUBLE) * 1000000.0d) AS BIGINT)"
+        ).alias("a_micro"),
+    )
+    # f_i = max_{j<=i} min_{k>=i} A(j,k): expand over i via the bucket
+    # spine (bounded: at most B^2 pair rows x B spine rows)
+    spine = b.select(F.col("bucket").alias("i"))
+    mins = (
+        pairs.join(spine, F.col("k") >= F.col("i"))
+        .where(F.col("j") <= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.min("a_micro").alias("min_k"))
+        .groupBy("i")
+        .agg(F.max("min_k").alias("iso_micro"))
+    )
+    return (
+        b.join(mins, b["bucket"] == mins["i"])
+        .select(
+            "bucket", "n", "n_pos",
+            F.expr(
+                "CAST(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("raw_rate"),
+            (F.col("iso_micro").cast("double") / 1e6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -217,3 +217,78 @@ class TestBbitMinhash:
                                    "doc_id long, text string")
         with pytest.raises(ValueError):
             ops.bbit_minhash_pairs(df, b_bits=3)
+
+
+class TestAndersonDarling:
+    def test_identical_point_masses_zero_contributions(self, spark):
+        # one shared distinct value → every denominator vanishes → 0
+        rows = [("a", 1.0)] * 6 + [("b", 1.0)] * 4
+        df = spark.createDataFrame(rows, "g string, v double")
+        row = ops.anderson_darling_2s(df, "v", "g", "a", "b").collect()[0]
+        assert row["a2_akn"] == 0.0
+
+    def test_disjoint_supports_score_high(self, spark):
+        rows = [("a", float(v)) for v in range(20)] + \
+               [("b", float(v + 100)) for v in range(20)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        row = ops.anderson_darling_2s(df, "v", "g", "a", "b").collect()[0]
+        # far above the null expectation of ~1
+        assert row["a2_akn"] > 5.0
+
+    def test_empty_group_yields_null(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        row = ops.anderson_darling_2s(df, "v", "g", "a", "b").collect()[0]
+        assert row["n_b"] == 0 and row["a2_akn"] is None
+
+
+class TestPageHinkley:
+    def test_flat_series_is_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(30)], "idx int, v double"
+        )
+        row = ops.page_hinkley(df, "idx", "v").collect()[0]
+        assert row["ph_micro"] == 0
+
+    def test_level_shift_peaks_after_shift(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10.0 if i >= 20 else 1.0) for i in range(40)],
+            "idx int, v double",
+        )
+        row = ops.page_hinkley(df, "idx", "v").collect()[0]
+        assert row["ph_stat"] > 0
+        assert row["peak_idx"] >= 20
+        assert row["n_periods"] == 40
+
+
+class TestIsotonicCalibration:
+    def test_output_is_monotone_and_weighted_mean_preserving(self, spark):
+        import random
+        random.seed(11)
+        rows = [(random.random(),) for _ in range(500)]
+        rows = [(s, 1 if random.random() < 0.2 + 0.6 * s else 0)
+                for (s,) in rows]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = ops.isotonic_calibration(df, "s", "y", n_buckets=10) \
+            .collect()
+        rates = [r["iso_rate"] for r in out]
+        assert rates == sorted(rates)
+        # total weighted iso mass ≈ total positives (PAVA preserves the
+        # weighted mean up to the micro quantization per bucket)
+        iso_mass = sum(r["iso_rate"] * r["n"] for r in out)
+        pos = sum(r["n_pos"] for r in out)
+        assert abs(iso_mass - pos) < 0.01 * pos + 1.0
+
+    def test_already_monotone_rates_unchanged(self, spark):
+        # buckets 0 and 9 only, rates 0.2 then 0.8 — already isotonic
+        rows = [(0.05, 1 if i < 4 else 0) for i in range(20)] + \
+               [(0.95, 1 if i < 16 else 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = {r["bucket"]: r for r in
+               ops.isotonic_calibration(df, "s", "y", 10).collect()}
+        assert out[0]["iso_rate"] == out[0]["raw_rate"] == 0.2
+        assert out[9]["iso_rate"] == out[9]["raw_rate"] == 0.8
+
+    def test_bucket_count_validated(self, spark):
+        df = spark.createDataFrame([(0.5, 1)], "s double, y int")
+        with pytest.raises(ValueError):
+            ops.isotonic_calibration(df, "s", "y", n_buckets=1)
