@@ -301,6 +301,25 @@ HEADLINE = [
     "orders_failures_sample",
     "embeddings_margin_pairs",
     "events_ab_sample_size",
+    # round-8 rows previously missing from the bench
+    "customers_k_anonymity",
+    "events_conversion_lag",
+    "embeddings_centroid_drift",
+    "orders_seasonal_anomaly",
+    # round-9 wave: distribution stats on the distributed-prefix
+    # primitive, readability/Zipf, b-bit minhash, drift, calibration
+    "orders_cvm",
+    "orders_energy_distance",
+    "lineitem_trimmed_mean",
+    "orders_hodges_lehmann",
+    "lineitem_kendall_tau",
+    "lineitem_percent_rank",
+    "docs_reading_ease",
+    "docs_zipf_fit",
+    "dedup_bbit_minhash",
+    "orders_anderson_darling",
+    "orders_page_hinkley",
+    "docs_isotonic_calibration",
 ]
 
 
