@@ -20,7 +20,11 @@ from .corpus import (
     run_clean_documents_batch,
     score_document_stream,
 )
-from .windows import run_windowed_aggregation_batch, windowed_event_counts
+from .windows import (
+    page_hinkley_stream,
+    run_windowed_aggregation_batch,
+    windowed_event_counts,
+)
 
 __all__ = [
     "clean_document_stream",
@@ -28,5 +32,6 @@ __all__ = [
     "score_document_stream",
     "run_clean_documents_batch",
     "run_windowed_aggregation_batch",
+    "page_hinkley_stream",
     "windowed_event_counts",
 ]

@@ -302,3 +302,88 @@ def purchase_click_pairs(
         ),
         "inner",
     ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+
+
+def page_hinkley_stream(
+    series: DataFrame,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    value_col: str = "x",
+    delta: float = 0.0,
+):
+    """Streaming twin of ``operators.stats.page_hinkley`` — the drift
+    statistic is sequential BY CONSTRUCTION (one pass, O(1) state:
+    running sum, accumulator, accumulator-min, peak), so it maps onto
+    ``applyInPandasWithState`` with no approximation: per series key
+    the state is exactly the batch recurrence's carry, micro-batches
+    fold in event order (rows sorted by ``idx_col`` within each batch;
+    the feed must deliver non-decreasing ``idx`` ACROSS batches per
+    key — the replayed-aggregate shape, same contract as the batch
+    operator's ordered window).  Quantization matches the batch twin
+    bit-for-bit: half-away-from-zero micro rounding (``floor(|v|·s +
+    .5)``, never Python's banker's round) on each value and on each
+    running-mean division.
+
+    Emits one row per key per micro-batch with the running
+    (n_periods, ph_micro, ph_stat, peak_idx) — the latest row per key
+    equals the batch operator's one-row result on the same series.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_periods", T.LongType()),
+        T.StructField("ph_micro", T.LongType()),
+        T.StructField("ph_stat", T.DoubleType()),
+        T.StructField("peak_idx", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("m", T.LongType()),
+        T.StructField("mn", T.LongType()),
+        T.StructField("ph", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        d_micro = half_away(delta * 1000000.0)
+        if state.exists:
+            n, s, m, mn, ph, peak = state.get
+        else:
+            n, s, m, mn, ph, peak = 0, 0, 0, None, -1, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(idx_col)
+            for idx, x in zip(pdf[idx_col], pdf[value_col]):
+                xm = half_away(float(x) * 1000000.0)
+                n += 1
+                s += xm
+                dev = xm - half_away(s / n) - d_micro
+                m += dev
+                mn = m if mn is None else min(mn, m)
+                if m - mn > ph:
+                    ph = m - mn
+                    peak = int(idx)
+        state.update((n, s, m, mn, ph, peak))
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_periods": [n],
+            "ph_micro": [max(ph, 0)],
+            "ph_stat": [max(ph, 0) / 1e6],
+            "peak_idx": [peak],
+        })
+
+    return (
+        series.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -968,3 +968,65 @@ def test_incremental_trending_via_count_state(spark):
     got = sorted(map(tuple, ops.trending_report(
         rebuilt, "k", "post = 1", pseudo=6, k=3).collect()))
     assert got == want
+
+
+def test_page_hinkley_stream_matches_batch_across_micro_batches(spark):
+    """The streaming PH twin's O(1) per-key state replayed over TWO
+    ordered micro-batches must land exactly on the batch operator's
+    one-shot statistic (same micro quantization, same earliest-index
+    peak tie-break)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    daily = (
+        testdata.load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series_key"),
+            F.expr("datediff(CAST(o_orderdate AS DATE), "
+                   "DATE '1992-01-01')").cast("long").alias("idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    cut = 1200
+    d = tempfile.mkdtemp(prefix="stream-ph-")
+    early, late = os.path.join(d, "a"), os.path.join(d, "b")
+    daily.where(F.col("idx") < cut).coalesce(1) \
+        .write.parquet(early)
+    daily.where(F.col("idx") >= cut).coalesce(1) \
+        .write.parquet(late)
+    # the file source orders batches by modification time: make the
+    # early-idx file strictly older so event order holds across batches
+    now = _time.time()
+    for root, base in ((early, now - 120), (late, now)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (base, base))
+    src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.page_hinkley_stream(src)
+    sw.run_stream_to_memory(plan, "ph_stream", output_mode="update")
+    got = {
+        r["series_key"]: (r["n_periods"], r["ph_micro"], r["peak_idx"])
+        for r in spark.sql(
+            """
+            SELECT series_key, n_periods, ph_micro, peak_idx FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY series_key ORDER BY n_periods DESC) AS rn
+              FROM ph_stream
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    for key in got:
+        want = ops.page_hinkley(
+            daily.where(F.col("series_key") == key), "idx", "x"
+        ).collect()[0]
+        assert got[key] == (
+            want["n_periods"], want["ph_micro"], want["peak_idx"]
+        ), key
