@@ -2573,6 +2573,24 @@ def _q_isotonic(spark, sf):
     )
 
 
+def _q_simpson(spark, sf):
+    # pooled vs per-region urgent-order high-value rates — the
+    # aggregation-trap screen over a segmented population
+    return ops.simpson_paradox(
+        _t(spark, sf, "orders"),
+        "o_orderstatus",
+        "o_orderpriority = '1-URGENT'",
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END",
+    )
+
+
+def _q_ks_leaderboard(spark, sf):
+    return ops.ks_drift_leaderboard(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderpriority",
+        k=5,
+    )
+
+
 def _q_bbit_minhash(spark, sf):
     return (
         ops.bbit_minhash_pairs(
@@ -2874,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_anderson_darling": _q_anderson_darling,
             "orders_page_hinkley": _q_page_hinkley,
             "docs_isotonic_calibration": _q_isotonic,
+            "orders_simpson_paradox": _q_simpson,
+            "orders_ks_drift_leaderboard": _q_ks_leaderboard,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2929,6 +2949,7 @@ _GATE_PRIORITY = [
     'lineitem_percent_rank', 'docs_reading_ease', 'docs_zipf_fit',
     'dedup_bbit_minhash', 'orders_anderson_darling',
     'orders_page_hinkley', 'docs_isotonic_calibration',
+    'orders_simpson_paradox', 'orders_ks_drift_leaderboard',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -12295,6 +12316,110 @@ SELECT b.bucket, b.n, b.n_pos,
        CAST(iso_micro AS DOUBLE) / 1e6 AS iso_rate
 FROM b JOIN iso ON b.bucket = iso.i
 ORDER BY b.bucket
+"""
+
+    # textually parallel to operators.stats.simpson_paradox
+    o["orders_simpson_paradox"] = """
+WITH cells AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS "group",
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+              ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+              ELSE 1 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+              AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_t,
+         CAST(sum(CASE WHEN o_orderpriority != '1-URGENT'
+              AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_c
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_t) AS BIGINT) AS tn_t,
+         CAST(sum(n_c) AS BIGINT) AS tn_c,
+         CAST(sum(k_t) AS BIGINT) AS tk_t,
+         CAST(sum(k_c) AS BIGINT) AS tk_c
+  FROM cells
+),
+staged AS (
+  SELECT "group", n_t, n_c,
+         CAST(round(CAST(k_t AS DOUBLE)
+              / nullif(CAST(n_t AS DOUBLE), 0.0) * 1000000.0)
+              AS BIGINT) AS rt,
+         CAST(round(CAST(k_c AS DOUBLE)
+              / nullif(CAST(n_c AS DOUBLE), 0.0) * 1000000.0)
+              AS BIGINT) AS rc,
+         CAST(round(CAST(tk_t AS DOUBLE)
+              / nullif(CAST(tn_t AS DOUBLE), 0.0) * 1000000.0)
+              AS BIGINT) AS ot,
+         CAST(round(CAST(tk_c AS DOUBLE)
+              / nullif(CAST(tn_c AS DOUBLE), 0.0) * 1000000.0)
+              AS BIGINT) AS oc
+  FROM cells CROSS JOIN tot
+)
+SELECT "group",
+       n_t AS n_treat, n_c AS n_ctrl,
+       CAST(rt AS DOUBLE) / 1e6 AS rate_treat,
+       CAST(rc AS DOUBLE) / 1e6 AS rate_ctrl,
+       CAST(rt - rc AS DOUBLE) / 1e6 AS diff,
+       CAST(ot - oc AS DOUBLE) / 1e6 AS overall_diff,
+       ((rt - rc) * (ot - oc) < 0
+        AND rt IS NOT NULL AND rc IS NOT NULL) AS reversed
+FROM staged ORDER BY "group"
+"""
+
+    # textually parallel to operators.stats.ks_drift_leaderboard:
+    # group-vs-rest KS with the two-endpoint evaluation per cell
+    o["orders_ks_drift_leaderboard"] = """
+WITH cells AS MATERIALIZED (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS ct,
+         CAST(sum(sum(c)) OVER (ORDER BY v ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS cum_t,
+         CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+  FROM cells GROUP BY v
+),
+staged AS (
+  SELECT c.g, c.c, va.ct, va.cum_t, va.n,
+         CAST(sum(c.c) OVER (PARTITION BY c.g ORDER BY c.v ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+         CAST(sum(c.c) OVER (PARTITION BY c.g) AS BIGINT) AS n_g
+  FROM cells c JOIN vals va ON c.v = va.v
+),
+per_group AS (
+  SELECT g AS "group",
+         max(n_g) AS n_group,
+         CAST(max(n) - max(n_g) AS BIGINT) AS n_rest,
+         CAST(max(greatest(
+           abs(cum_g * (n - n_g) - (cum_t - cum_g) * n_g),
+           abs((cum_g - c) * (n - n_g)
+               - ((cum_t - ct) - (cum_g - c)) * n_g)
+         )) AS BIGINT) AS d_num
+  FROM staged GROUP BY g
+)
+SELECT "group",
+       CAST(n_group AS BIGINT) AS n_group,
+       n_rest, d_num,
+       CAST(CAST(round(CAST(d_num AS DOUBLE)
+            / nullif(CAST(n_group AS DOUBLE)
+                     * CAST(n_rest AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS d_stat,
+       CAST(row_number() OVER (
+         ORDER BY CAST(CAST(round(CAST(d_num AS DOUBLE)
+           / nullif(CAST(n_group AS DOUBLE)
+                    * CAST(n_rest AS DOUBLE), 0.0) * 1000000.0)
+           AS BIGINT) AS DOUBLE) / 1e6 DESC, "group" ASC) AS INT)
+         AS rank
+FROM per_group
+QUALIFY rank <= 5
 """
 
     # textually parallel to operators.dedup.bbit_minhash_pairs: same

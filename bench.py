@@ -320,6 +320,8 @@ HEADLINE = [
     "orders_anderson_darling",
     "orders_page_hinkley",
     "docs_isotonic_calibration",
+    "orders_simpson_paradox",
+    "orders_ks_drift_leaderboard",
 ]
 
 

@@ -3740,3 +3740,161 @@ def isotonic_calibration(
         )
         .orderBy("bucket")
     )
+
+
+def simpson_paradox(
+    df: DataFrame,
+    group_col: str,
+    treat_expr: str,
+    outcome_expr: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: the pooled treated-vs-control rate
+    difference next to every subgroup's own difference, with a flag
+    where the subgroup REVERSES the pooled sign — the classic
+    aggregation trap (a rollout that wins overall but loses in every
+    region, because exposure is confounded with the region mix).  Run
+    it before trusting any pooled A/B read across a segmented
+    population.
+
+    ONE conditional aggregation to the (group) frame computes all four
+    cells per group; the pooled cells are an exact second aggregate of
+    the same frame broadcast back (never a second corpus scan).  Rates
+    micro-quantized from exact BIGINT counts; a reversal requires both
+    differences non-zero after quantization.  Returns one row per
+    group, ordered: (group, n_treat, n_ctrl, rate_treat, rate_ctrl,
+    diff, overall_diff, reversed).
+    """
+    t = F.expr(f"coalesce(CAST(({treat_expr}) AS BOOLEAN), false)")
+    y = F.expr(f"CAST(({outcome_expr}) AS INT)")
+    cells = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({outcome_expr}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("group"))
+        .agg(
+            F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_t"),
+            F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_c"),
+            F.sum(F.when(t, y).otherwise(0)).cast("long").alias("k_t"),
+            F.sum(F.when(~t, y).otherwise(0)).cast("long").alias("k_c"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_t").cast("long").alias("tn_t"),
+        F.sum("n_c").cast("long").alias("tn_c"),
+        F.sum("k_t").cast("long").alias("tk_t"),
+        F.sum("k_c").cast("long").alias("tk_c"),
+    )
+    rate = (
+        "CAST(round(CAST({k} AS DOUBLE) "
+        "/ nullif(CAST({n} AS DOUBLE), 0.0d) * 1000000.0d) AS BIGINT)"
+    )
+    staged = cells.crossJoin(F.broadcast(tot)).select(
+        "group", "n_t", "n_c",
+        F.expr(rate.format(k="k_t", n="n_t")).alias("__rt"),
+        F.expr(rate.format(k="k_c", n="n_c")).alias("__rc"),
+        F.expr(rate.format(k="tk_t", n="tn_t")).alias("__ot"),
+        F.expr(rate.format(k="tk_c", n="tn_c")).alias("__oc"),
+    )
+    return staged.select(
+        "group",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        (F.col("__rt").cast("double") / 1e6).alias("rate_treat"),
+        (F.col("__rc").cast("double") / 1e6).alias("rate_ctrl"),
+        ((F.col("__rt") - F.col("__rc")).cast("double") / 1e6)
+        .alias("diff"),
+        ((F.col("__ot") - F.col("__oc")).cast("double") / 1e6)
+        .alias("overall_diff"),
+        F.expr(
+            "(__rt - __rc) * (__ot - __oc) < 0 "
+            "AND __rt IS NOT NULL AND __rc IS NOT NULL"
+        ).alias("reversed"),
+    ).orderBy("group")
+
+
+def ks_drift_leaderboard(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Which SEGMENT'S value distribution sits farthest from everyone
+    else's: per group, the exact two-sample KS distance between the
+    group and the rest of the corpus, ranked — the segment-level drift
+    leaderboard that one pooled :func:`ks_test` can't give you (a
+    fleet-wide drift number hides WHICH cohort moved).
+
+    Shape: one shuffle to per-(group, value) counts; the GLOBAL
+    per-value cumulative rides :func:`distributed_prefix_counts` (no
+    single-task window even for continuous values) and joins back by
+    value; each group's own cumulative is a window PARTITIONED by
+    group.  Between a group's own value points its CDF is flat while
+    the rest's climbs, so the supremum over each flat run sits at the
+    run's endpoints — per (group, value) cell the numerator is
+    evaluated twice, AT the point and JUST BELOW it (group cum minus
+    this cell; total cum minus this value's total), which covers every
+    rest-only point exactly.  The D numerator ``|cum_g·n_rest −
+    cum_rest·n_g|`` is an exact integer (the :func:`ks_test`
+    discipline — overflow-safe through ~3e9 rows per side); only the
+    final division is a double.  Top-k via the rank-filter shape
+    Catalyst rewrites to a TakeOrderedAndProject.  Returns ≤ k rows:
+    (group, n_group, n_rest, d_num, d_stat, rank).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("g"),
+            F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("ct"))
+    cum_tot, totals = distributed_prefix_counts(vals, "v", ["ct"])
+    n = totals["ct"]
+    w_g = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_grp = Window.partitionBy("g")
+    at_point = (
+        f"abs(cum_g * ({n} - n_g) - (cum_t - cum_g) * n_g)"
+    )
+    below_point = (
+        f"abs((cum_g - c) * ({n} - n_g) "
+        f"- ((cum_t - ct) - (cum_g - c)) * n_g)"
+    )
+    staged = (
+        cells.join(
+            cum_tot.select(
+                "v", "ct", F.col("__cum_ct").alias("cum_t")
+            ),
+            "v",
+        )
+        .withColumn("cum_g", F.sum("c").over(w_g).cast("long"))
+        .withColumn("n_g", F.sum("c").over(w_grp).cast("long"))
+        .withColumn(
+            "d_num",
+            F.expr(f"greatest({at_point}, {below_point})")
+            .cast("long"),
+        )
+    )
+    per_group = staged.groupBy("g").agg(
+        F.max("n_g").alias("n_group"),
+        F.max("d_num").alias("d_num"),
+    ).select(
+        F.col("g").alias("group"),
+        "n_group",
+        (F.lit(n) - F.col("n_group")).cast("long").alias("n_rest"),
+        "d_num",
+        F.expr(
+            f"CAST(round(CAST(d_num AS DOUBLE) / nullif("
+            f"CAST(n_group AS DOUBLE) * (CAST({n} AS DOUBLE) "
+            f"- CAST(n_group AS DOUBLE)), 0.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("d_stat"),
+    )
+    w_rank = Window.orderBy(F.col("d_stat").desc(), F.col("group").asc())
+    return (
+        per_group.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+    )

@@ -292,3 +292,53 @@ class TestIsotonicCalibration:
         df = spark.createDataFrame([(0.5, 1)], "s double, y int")
         with pytest.raises(ValueError):
             ops.isotonic_calibration(df, "s", "y", n_buckets=1)
+
+
+class TestSimpsonParadox:
+    def test_classic_reversal_detected(self, spark):
+        # the kidney-stone classic: treatment better WITHIN both
+        # severity groups, worse pooled (confounded exposure mix)
+        rows = (
+            [("mild", True, 1)] * 81 + [("mild", True, 0)] * 6
+            + [("mild", False, 1)] * 234 + [("mild", False, 0)] * 36
+            + [("severe", True, 1)] * 192 + [("severe", True, 0)] * 71
+            + [("severe", False, 1)] * 55 + [("severe", False, 0)] * 25
+        )
+        df = spark.createDataFrame(rows, "g string, t boolean, y int")
+        out = {r["group"]: r for r in
+               ops.simpson_paradox(df, "g", "t", "y").collect()}
+        assert out["mild"]["diff"] > 0 and out["severe"]["diff"] > 0
+        assert out["mild"]["overall_diff"] < 0
+        assert out["mild"]["reversed"] and out["severe"]["reversed"]
+
+    def test_no_reversal_flag_when_consistent(self, spark):
+        rows = [("a", True, 1)] * 6 + [("a", True, 0)] * 4 + \
+               [("a", False, 1)] * 3 + [("a", False, 0)] * 7
+        df = spark.createDataFrame(rows, "g string, t boolean, y int")
+        out = ops.simpson_paradox(df, "g", "t", "y").collect()[0]
+        assert out["diff"] > 0 and not out["reversed"]
+
+
+class TestKsDriftLeaderboard:
+    def test_shifted_group_leads(self, spark):
+        import random
+        random.seed(9)
+        rows = [("base", round(random.gauss(0, 1), 2)) for _ in range(300)]
+        rows += [("same", round(random.gauss(0, 1), 2)) for _ in range(300)]
+        rows += [("shifted", round(random.gauss(4, 1), 2))
+                 for _ in range(300)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ops.ks_drift_leaderboard(df, "v", "g", k=3).collect()
+        assert out[0]["group"] == "shifted" and out[0]["rank"] == 1
+        assert out[0]["d_stat"] > 0.9
+
+    def test_rest_only_points_are_covered(self, spark):
+        # group "a" has ONE point at 0; the rest spreads 1..9 — the max
+        # gap sits strictly between a's points (F_a flat at 1, F_rest
+        # climbing), which the two-endpoint evaluation must capture
+        rows = [("a", 0.0)] + [("b", float(v)) for v in range(1, 10)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in
+               ops.ks_drift_leaderboard(df, "v", "g", k=5).collect()}
+        # D for "a" vs rest: F_a jumps to 1 at 0 while F_rest = 0 → D = 1
+        assert out["a"]["d_stat"] == 1.0
