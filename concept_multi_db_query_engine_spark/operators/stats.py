@@ -1494,6 +1494,13 @@ def kaplan_meier(
     (``d = n``, ln(0) undefined) pins survival to exactly 0.0 from
     that point on via a cumulative flag instead of producing -inf.
 
+    Without a ``group_col`` there is no partitioning key, so (round 9)
+    both cumulative passes route through
+    :func:`distributed_prefix_counts` instead of un-partitioned
+    windows — the distinct-duration frame can approach corpus size for
+    seconds-granularity durations, and a single-task window would not
+    survive scale.
+
     Returns one row per (group,) EVENT time: (group?, t, n_risk,
     d_events, survival), survival rounded 6.
     """
@@ -1509,39 +1516,59 @@ def kaplan_meier(
             F.count(F.lit(1)).cast("long").alias("all_at_t"),
         )
     )
-    w_all = Window.partitionBy(*gcols).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    lnq_expr = (
+        "CASE WHEN d = n_risk THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(round(ln(1.0d - CAST(d AS DOUBLE) "
+        "/ CAST(n_risk AS DOUBLE)) * 1000000000.0d) AS BIGINT) END"
     )
-    w_prev = (
-        Window.partitionBy(*gcols).orderBy(F.col("t").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy(*gcols).orderBy(F.col("t").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    staged = cells.select(
-        *gcols, "t", "d",
-        (F.sum("all_at_t").over(w_all)
-         - F.coalesce(F.sum("all_at_t").over(w_prev), F.lit(0)))
+    if gcols:
+        w_all = Window.partitionBy(*gcols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_prev = (
+            Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = cells.select(
+            *gcols, "t", "d",
+            (F.sum("all_at_t").over(w_all)
+             - F.coalesce(F.sum("all_at_t").over(w_prev), F.lit(0)))
+            .cast("long").alias("n_risk"),
+        ).withColumn("__lnq", F.expr(lnq_expr)).withColumn(
+            "__dead", F.expr("CAST(d = n_risk AS INT)")
+        )
+        out = staged.select(
+            *gcols, "t", "n_risk", F.col("d").alias("d_events"),
+            F.when(
+                F.max("__dead").over(w_cum) == 1, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.exp(F.sum("__lnq").over(w_cum).cast("double")
+                          / F.lit(1000000000.0)), 6) + F.lit(0.0)
+            ).alias("survival"),
+            F.col("d").alias("__d"),
+        )
+        return out.where(F.col("__d") > 0).drop("__d")
+    cum1, totals = distributed_prefix_counts(cells, "t", ["all_at_t"])
+    staged = cum1.select(
+        "t", "d",
+        (F.lit(totals["all_at_t"]) - F.col("__before_all_at_t"))
         .cast("long").alias("n_risk"),
-    ).withColumn(
-        "__lnq",
-        F.expr(
-            "CASE WHEN d = n_risk THEN CAST(0 AS BIGINT) "
-            "ELSE CAST(round(ln(1.0d - CAST(d AS DOUBLE) "
-            "/ CAST(n_risk AS DOUBLE)) * 1000000000.0d) AS BIGINT) END"
-        ),
-    ).withColumn(
-        "__dead", F.expr("CAST(d = n_risk AS INT)")
+    ).withColumn("__lnq", F.expr(lnq_expr)).withColumn(
+        "__dead", F.expr("CAST(CAST(d = n_risk AS INT) AS BIGINT)")
     )
-    out = staged.select(
-        *gcols, "t", "n_risk", F.col("d").alias("d_events"),
+    cum2, _ = distributed_prefix_counts(staged, "t", ["__lnq", "__dead"])
+    out = cum2.select(
+        "t", "n_risk", F.col("d").alias("d_events"),
         F.when(
-            F.max("__dead").over(w_cum) == 1, F.lit(0.0)
+            F.col("__cum___dead") > 0, F.lit(0.0)
         ).otherwise(
             F.round(
-                F.exp(F.sum("__lnq").over(w_cum).cast("double")
+                F.exp(F.col("__cum___lnq").cast("double")
                       / F.lit(1000000000.0)), 6) + F.lit(0.0)
         ).alias("survival"),
         F.col("d").alias("__d"),

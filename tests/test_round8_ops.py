@@ -630,9 +630,16 @@ def test_kaplan_meier_single_shuffle_per_group_plan(spark):
     )
     plan = ops.kaplan_meier(df, "t", "ev") \
         ._jdf.queryExecution().executedPlan().toString()
-    # the subject->cell agg plus the single-partition window path: no
-    # joins, no extra fact-table exchanges
-    assert "Join" not in plan
+    # round 9: the ungrouped path runs through the distributed-prefix
+    # primitive — the only joins are the BROADCAST of the O(partitions)
+    # offset rows back onto the checkpointed duration frame; the corpus
+    # never joins or re-exchanges, and no un-partitioned window remains
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") <= 2
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: *(0123456789)").strip()
+        assert not (s.startswith("Window [") and s.count("], [") < 2), line
 
 
 # ---- snn_graph (round-8 wave) -------------------------------------------------
