@@ -2591,6 +2591,55 @@ def _q_ks_leaderboard(spark, sf):
     )
 
 
+def _km_subjects(spark, sf):
+    # the events_kaplan_meier subject derivation, shared with the
+    # Nelson-Aalen twin: time-to-first-purchase per user in exact
+    # microseconds, right-censored at last activity
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.max("ts").alias("l"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("p"),
+    )
+    return per_user.select(
+        F.timestamp_diff(
+            "MICROSECOND", F.col("f"), F.coalesce(F.col("p"), F.col("l"))
+        ).cast("double").alias("t"),
+        F.col("p").isNotNull().alias("ev"),
+    )
+
+
+def _q_nelson_aalen(spark, sf):
+    return ops.nelson_aalen(_km_subjects(spark, sf), "t", "ev")
+
+
+def _q_uplift(spark, sf):
+    return ops.uplift_deciles(
+        _t(spark, sf, "orders"),
+        "CAST(o_totalprice AS DOUBLE)",
+        "o_orderpriority = '1-URGENT'",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+        "o_orderkey",
+        n_buckets=5,
+    )
+
+
+def _q_propensity_ate(spark, sf):
+    return ops.propensity_strata_ate(
+        _t(spark, sf, "orders"),
+        "CAST(o_totalprice AS DOUBLE) / 600000.0d",
+        "o_orderpriority = '1-URGENT'",
+        "CASE WHEN o_orderstatus = 'F' THEN 1.0d ELSE 0.0d END",
+        "o_orderkey",
+        n_strata=5,
+    )
+
+
+def _q_cross_source_dup(spark, sf):
+    return ops.cross_source_duplication(_t(spark, sf, "documents"))
+
+
 def _q_bbit_minhash(spark, sf):
     return (
         ops.bbit_minhash_pairs(
@@ -2894,6 +2943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_isotonic_calibration": _q_isotonic,
             "orders_simpson_paradox": _q_simpson,
             "orders_ks_drift_leaderboard": _q_ks_leaderboard,
+            "events_nelson_aalen": _q_nelson_aalen,
+            "orders_uplift_deciles": _q_uplift,
+            "orders_propensity_ate": _q_propensity_ate,
+            "dedup_cross_source": _q_cross_source_dup,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -2950,6 +3003,8 @@ _GATE_PRIORITY = [
     'dedup_bbit_minhash', 'orders_anderson_darling',
     'orders_page_hinkley', 'docs_isotonic_calibration',
     'orders_simpson_paradox', 'orders_ks_drift_leaderboard',
+    'events_nelson_aalen', 'orders_uplift_deciles',
+    'orders_propensity_ate', 'dedup_cross_source',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -12420,6 +12475,167 @@ SELECT "group",
          AS rank
 FROM per_group
 QUALIFY rank <= 5
+"""
+
+    # textually parallel to operators.stats.nelson_aalen over the
+    # events_kaplan_meier subject frame; nano hazard increments
+    o["events_nelson_aalen"] = """
+WITH pu AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY 1
+),
+subj AS (
+  SELECT CAST(epoch_us(coalesce(p, l)) - epoch_us(f) AS DOUBLE) AS t,
+         p IS NOT NULL AS ev
+  FROM pu
+),
+cells AS (
+  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS a
+  FROM subj GROUP BY 1
+),
+staged AS (
+  SELECT t, d,
+    CAST(sum(a) OVER ()
+         - coalesce(sum(a) OVER (ORDER BY t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n_risk
+  FROM cells
+),
+hz AS (
+  SELECT t, d, n_risk,
+    CAST(sum(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         * 1000000000.0) AS BIGINT)) OVER (ORDER BY t ASC
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch
+  FROM staged
+)
+SELECT t, n_risk, d AS d_events,
+       CAST(CAST(round(CAST(ch AS DOUBLE) / 1000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS cum_hazard,
+       round(exp(-CAST(ch AS DOUBLE) / 1000000000.0), 6) + 0.0
+         AS survival_fh
+FROM hz WHERE d > 0
+"""
+
+    # textually parallel to operators.stats.uplift_deciles: plain SQL
+    # ntile over (score desc, id asc) is exactly distributed_ntile
+    o["orders_uplift_deciles"] = """
+WITH scored AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS s,
+         (o_orderpriority = '1-URGENT') AS t,
+         CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT)
+           AS y,
+         o_orderkey AS id
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+b AS (
+  SELECT ntile(5) OVER (ORDER BY s DESC, id ASC) AS bucket, t, y
+  FROM scored
+),
+g AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS k_t,
+         CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS k_c
+  FROM b GROUP BY 1
+),
+st AS (
+  SELECT bucket, n_t, n_c, k_t, k_c,
+         CAST(sum(k_t) OVER w AS BIGINT) AS ckt,
+         CAST(sum(k_c) OVER w AS BIGINT) AS ckc,
+         CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+         CAST(sum(n_c) OVER w AS BIGINT) AS cnc
+  FROM g
+  WINDOW w AS (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket,
+       n_t AS n_treat, n_c AS n_ctrl,
+       CAST(CAST(round(CAST(k_t AS DOUBLE)
+            / nullif(CAST(n_t AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS rate_treat,
+       CAST(CAST(round(CAST(k_c AS DOUBLE)
+            / nullif(CAST(n_c AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS rate_ctrl,
+       CAST(CAST(round(CAST(k_t AS DOUBLE)
+            / nullif(CAST(n_t AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            - CAST(round(CAST(k_c AS DOUBLE)
+            / nullif(CAST(n_c AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS uplift,
+       CAST(CAST(round((CAST(ckt AS DOUBLE) - CAST(ckc AS DOUBLE)
+            * CAST(cnt AS DOUBLE) / nullif(CAST(cnc AS DOUBLE), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS qini_cum
+FROM st ORDER BY bucket
+"""
+
+    # textually parallel to operators.stats.propensity_strata_ate
+    o["orders_propensity_ate"] = """
+WITH scored AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) / 600000.0
+              * 1000000.0) AS BIGINT) AS s,
+         (o_orderpriority = '1-URGENT') AS t,
+         CAST(round(CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0
+              ELSE 0.0 END AS DOUBLE) * 1000000.0) AS BIGINT) AS y,
+         o_orderkey AS id
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+b AS (
+  SELECT ntile(5) OVER (ORDER BY s ASC, id ASC) AS stratum, t, y
+  FROM scored
+),
+g AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS s_t,
+         CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS s_c
+  FROM b GROUP BY 1
+)
+SELECT CAST(sum(n_t + n_c) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t + n_c ELSE 0
+            END) AS BIGINT) AS n_used,
+       CAST(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS strata_used,
+       CAST(CAST(round(CAST(CAST(sum(CASE WHEN n_t > 0 AND n_c > 0
+            THEN (n_t + n_c)
+              * (CAST(round(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                 AS BIGINT)
+                 - CAST(round(CAST(s_c AS DOUBLE)
+                   / CAST(n_c AS DOUBLE)) AS BIGINT))
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS DOUBLE)
+            / nullif(CAST(sum(CASE WHEN n_t > 0 AND n_c > 0
+              THEN n_t + n_c ELSE 0 END) AS DOUBLE), 0.0)) AS BIGINT)
+            AS DOUBLE) / 1e6 AS ate
+FROM g
+"""
+
+    # textually parallel to operators.dedup.cross_source_duplication
+    o["dedup_cross_source"] = """
+WITH per_fp AS MATERIALIZED (
+  SELECT md5(text) AS fp, source AS src,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CASE WHEN a.src = b.src
+              THEN CAST(a.n * (a.n - 1) // 2 AS BIGINT)
+              ELSE CAST(a.n * b.n AS BIGINT) END AS p
+  FROM per_fp a JOIN per_fp b
+    ON a.fp = b.fp AND a.src <= b.src
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints,
+       CAST(sum(p) AS BIGINT) AS dup_doc_pairs
+FROM pairs
+GROUP BY 1, 2
+HAVING CAST(sum(p) AS BIGINT) > 0
+ORDER BY 1, 2
 """
 
     # textually parallel to operators.dedup.bbit_minhash_pairs: same

@@ -322,6 +322,10 @@ HEADLINE = [
     "docs_isotonic_calibration",
     "orders_simpson_paradox",
     "orders_ks_drift_leaderboard",
+    "events_nelson_aalen",
+    "orders_uplift_deciles",
+    "orders_propensity_ate",
+    "dedup_cross_source",
 ]
 
 

@@ -1327,3 +1327,59 @@ def bbit_minhash_pairs(
             ).alias("est_bbit"),
         )
     )
+
+
+def cross_source_duplication(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which sources copy from which: exact-duplicate document PAIRS
+    counted per (source_a, source_b) — the corpus-provenance matrix a
+    training-mix builder reads before weighting sources ("crawl B is
+    60% re-hosted crawl A").  Within-source duplication lands on the
+    diagonal (source_a = source_b).
+
+    Scale shape: one md5-fingerprint aggregation to the (fingerprint,
+    source) frame (the :func:`exact_duplicates` key), then a
+    fingerprint-KEYED self-join of that small per-source count frame —
+    pair counts come from ``n_a·n_b`` (or ``n·(n−1)/2`` on the
+    diagonal), never by exploding document pairs, so a fingerprint
+    shared by thousands of docs costs one multiplication.  Returns one
+    row per source pair with any sharing: (source_a, source_b,
+    shared_fingerprints, dup_doc_pairs), ordered.
+    """
+    per_fp = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(
+            F.md5(F.col(text_col)).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a, b = per_fp.alias("a"), per_fp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.src") <= F.col("b.src")),
+    ).select(
+        F.col("a.src").alias("source_a"),
+        F.col("b.src").alias("source_b"),
+        F.when(
+            F.col("a.src") == F.col("b.src"),
+            (F.col("a.n") * (F.col("a.n") - 1) / F.lit(2))
+            .cast("long"),
+        ).otherwise(
+            (F.col("a.n") * F.col("b.n")).cast("long")
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_fingerprints"),
+            F.sum("p").cast("long").alias("dup_doc_pairs"),
+        )
+        .where(F.col("dup_doc_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    )

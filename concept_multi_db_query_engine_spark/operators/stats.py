@@ -3925,3 +3925,265 @@ def ks_drift_leaderboard(
         per_group.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator ``H(t) = Σ_{t_i≤t}
+    d_i/n_i`` with the Fleming–Harrington survival ``exp(−H)`` — the
+    additive companion to :func:`kaplan_meier`: hazard INCREMENTS are
+    what rate-monitoring alerts on ("churn hazard doubled this week"),
+    and the FH survival is the better small-risk-set estimator.
+
+    Same distributed shape as KM: one hash aggregation to (group,
+    duration) cells; grouped cumulatives ride group-partitioned
+    windows, and the ungrouped path rides
+    :func:`distributed_prefix_counts` (no single-task window — the
+    distinct-duration frame can approach corpus size).  Each hazard
+    increment ``d/n`` quantizes to nano before the exact cumulative
+    sum.  Returns one row per (group,) EVENT time: (group?, t, n_risk,
+    d_events, cum_hazard, survival_fh), rounded 6.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    cells = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(*gcols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.when(F.col(observed_col), 1).otherwise(0))
+            .cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("all_at_t"),
+        )
+    )
+    hz_expr = (
+        "CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) "
+        "* 1000000000.0d) AS BIGINT)"
+    )
+    if gcols:
+        w_all = Window.partitionBy(*gcols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_prev = (
+            Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy(*gcols).orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = cells.select(
+            *gcols, "t", "d",
+            (F.sum("all_at_t").over(w_all)
+             - F.coalesce(F.sum("all_at_t").over(w_prev), F.lit(0)))
+            .cast("long").alias("n_risk"),
+        ).withColumn("__hz", F.expr(hz_expr))
+        out = staged.select(
+            *gcols, "t", "n_risk", F.col("d").alias("d_events"),
+            F.sum("__hz").over(w_cum).cast("long").alias("__ch"),
+            F.col("d").alias("__d"),
+        )
+    else:
+        cum1, totals = distributed_prefix_counts(
+            cells, "t", ["all_at_t"]
+        )
+        staged = cum1.select(
+            "t", "d",
+            (F.lit(totals["all_at_t"]) - F.col("__before_all_at_t"))
+            .cast("long").alias("n_risk"),
+        ).withColumn("__hz", F.expr(hz_expr))
+        cum2, _ = distributed_prefix_counts(staged, "t", ["__hz"])
+        out = cum2.select(
+            "t", "n_risk", F.col("d").alias("d_events"),
+            F.col("__cum___hz").alias("__ch"),
+            F.col("d").alias("__d"),
+        )
+    return (
+        out.where(F.col("__d") > 0)
+        .select(
+            *gcols, "t", "n_risk", "d_events",
+            F.expr(
+                "CAST(round(CAST(__ch AS DOUBLE) / 1000.0d) "
+                "AS BIGINT) / 1e6"
+            ).cast("double").alias("cum_hazard"),
+            F.expr(
+                "round(exp(-CAST(__ch AS DOUBLE) / 1000000000.0d), 6) "
+                "+ 0.0d"
+            ).alias("survival_fh"),
+        )
+    )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    score_expr: str,
+    treat_expr: str,
+    outcome_expr: str,
+    id_expr: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Uplift-model evaluation by score decile: per bucket the treated
+    and control response rates, their difference (the uplift the model
+    promised for that slice), and the cumulative Qini-style
+    incremental conversions ``Q(b) = cum_kt − cum_kc·cum_nt/cum_nc`` —
+    the targeting curve that tells you where to STOP treating (the
+    bucket where uplift goes flat or negative).  The causal sibling of
+    :func:`~..operators.classify.gains_table`.
+
+    Buckets come from ``insights.distributed_ntile`` over (score desc,
+    id asc) — exact NTILE, no global window; everything after is one
+    conditional aggregate per bucket plus bounded (``n_buckets``-row)
+    cumulative windows.  Rates micro-quantized.  Returns one row per
+    bucket, bucket 1 = highest scores: (bucket, n_treat, n_ctrl,
+    rate_treat, rate_ctrl, uplift, qini_cum).
+    """
+    from pyspark.sql import Window
+
+    from .insights import distributed_ntile
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = df.where(
+        f"({score_expr}) IS NOT NULL AND ({outcome_expr}) IS NOT NULL"
+    ).select(
+        F.expr(
+            f"CAST(round(CAST(({score_expr}) AS DOUBLE) * 1000000.0d) "
+            "AS BIGINT)"
+        ).alias("__s"),
+        F.expr(f"coalesce(CAST(({treat_expr}) AS BOOLEAN), false)")
+        .alias("__t"),
+        F.expr(f"CAST(({outcome_expr}) AS INT)").alias("__y"),
+        F.expr(f"({id_expr})").alias("__id"),
+    )
+    bucketed = distributed_ntile(
+        scored,
+        [F.col("__s").desc(), F.col("__id").asc()],
+        n_buckets,
+        out_col="bucket",
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long")
+        .alias("n_t"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("k_t"),
+        F.sum(F.when(~F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("k_c"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
+    staged = (
+        g.withColumn("ckt", F.sum("k_t").over(w_cum).cast("long"))
+        .withColumn("ckc", F.sum("k_c").over(w_cum).cast("long"))
+        .withColumn("cnt", F.sum("n_t").over(w_cum).cast("long"))
+        .withColumn("cnc", F.sum("n_c").over(w_cum).cast("long"))
+    )
+    rate = (
+        "CAST(round(CAST({k} AS DOUBLE) "
+        "/ nullif(CAST({n} AS DOUBLE), 0.0d) * 1000000.0d) AS BIGINT)"
+    )
+    return staged.select(
+        "bucket",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        (F.expr(rate.format(k="k_t", n="n_t")).cast("double") / 1e6)
+        .alias("rate_treat"),
+        (F.expr(rate.format(k="k_c", n="n_c")).cast("double") / 1e6)
+        .alias("rate_ctrl"),
+        ((F.expr(rate.format(k="k_t", n="n_t"))
+          - F.expr(rate.format(k="k_c", n="n_c"))).cast("double")
+         / 1e6).alias("uplift"),
+        F.expr(
+            "CAST(round((CAST(ckt AS DOUBLE) - CAST(ckc AS DOUBLE) "
+            "* CAST(cnt AS DOUBLE) / nullif(CAST(cnc AS DOUBLE), "
+            "0.0d)) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("qini_cum"),
+    ).orderBy("bucket")
+
+
+def propensity_strata_ate(
+    df: DataFrame,
+    score_expr: str,
+    treat_expr: str,
+    outcome_expr: str,
+    id_expr: str,
+    n_strata: int = 5,
+) -> DataFrame:
+    """Propensity-score stratification ATE (Rosenbaum & Rubin 1984):
+    bucket the population into propensity strata, take each stratum's
+    treated-minus-control outcome difference, and weight by stratum
+    size — the simple, auditable causal estimate when randomization
+    wasn't available and :func:`diff_in_diff`'s before/after structure
+    doesn't exist.  Strata missing an arm are dropped (standard
+    practice) and reported.
+
+    Strata come from ``insights.distributed_ntile`` over (score asc,
+    id asc) — exact, no global window; the estimate is one bounded
+    aggregate over the ``n_strata``-row frame, micro-quantized exact
+    arithmetic.  Returns one row: (n_total, n_used, strata_used, ate).
+    """
+    from .insights import distributed_ntile
+
+    if n_strata < 2:
+        raise ValueError("n_strata must be >= 2")
+    scored = df.where(
+        f"({score_expr}) IS NOT NULL AND ({outcome_expr}) IS NOT NULL"
+    ).select(
+        F.expr(
+            f"CAST(round(CAST(({score_expr}) AS DOUBLE) * 1000000.0d) "
+            "AS BIGINT)"
+        ).alias("__s"),
+        F.expr(f"coalesce(CAST(({treat_expr}) AS BOOLEAN), false)")
+        .alias("__t"),
+        F.expr(
+            f"CAST(round(CAST(({outcome_expr}) AS DOUBLE) "
+            "* 1000000.0d) AS BIGINT)"
+        ).alias("__y"),
+        F.expr(f"({id_expr})").alias("__id"),
+    )
+    strata = distributed_ntile(
+        scored,
+        [F.col("__s").asc(), F.col("__id").asc()],
+        n_strata,
+        out_col="stratum",
+    )
+    g = strata.groupBy("stratum").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long")
+        .alias("n_t"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("s_t"),
+        F.sum(F.when(~F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("s_c"),
+    )
+    diff = (
+        "(CAST(round(CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)) "
+        "AS BIGINT) "
+        "- CAST(round(CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) "
+        "AS BIGINT))"
+    )
+    return g.agg(
+        F.sum(F.expr("n_t + n_c")).cast("long").alias("n_total"),
+        F.sum(F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0 THEN n_t + n_c ELSE 0 END"
+        )).cast("long").alias("n_used"),
+        F.sum(F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END"
+        )).cast("long").alias("strata_used"),
+        F.sum(F.expr(
+            f"CASE WHEN n_t > 0 AND n_c > 0 "
+            f"THEN (n_t + n_c) * {diff} ELSE CAST(0 AS BIGINT) END"
+        )).cast("long").alias("__w_micro"),
+    ).select(
+        "n_total", "n_used", "strata_used",
+        F.expr(
+            "CAST(round(CAST(__w_micro AS DOUBLE) "
+            "/ nullif(CAST(n_used AS DOUBLE), 0.0d)) AS BIGINT) / 1e6"
+        ).cast("double").alias("ate"),
+    )

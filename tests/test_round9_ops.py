@@ -342,3 +342,92 @@ class TestKsDriftLeaderboard:
                ops.ks_drift_leaderboard(df, "v", "g", k=5).collect()}
         # D for "a" vs rest: F_a jumps to 1 at 0 while F_rest = 0 → D = 1
         assert out["a"]["d_stat"] == 1.0
+
+
+class TestNelsonAalen:
+    def test_ungrouped_equals_constant_group(self, spark):
+        rows = [(i % 12 + 1, i % 3 != 0) for i in range(150)]
+        df = spark.createDataFrame(rows, "dur int, obs boolean")
+        a = sorted(tuple(r) for r in
+                   ops.nelson_aalen(df, "dur", "obs").collect())
+        b = sorted(tuple(r)[1:] for r in ops.nelson_aalen(
+            df.withColumn("k", F.lit("x")), "dur", "obs", "k"
+        ).collect())
+        assert a == b
+
+    def test_hazard_is_monotone_and_fh_bounds_km(self, spark):
+        rows = [(i % 8 + 1, True) for i in range(100)]
+        df = spark.createDataFrame(rows, "dur int, obs boolean")
+        na = ops.nelson_aalen(df, "dur", "obs").orderBy("t").collect()
+        hz = [r["cum_hazard"] for r in na]
+        assert hz == sorted(hz)
+        km = {r["t"]: r["survival"] for r in
+              ops.kaplan_meier(df, "dur", "obs").collect()}
+        # Fleming-Harrington >= Kaplan-Meier pointwise (standard bound)
+        for r in na:
+            assert r["survival_fh"] >= km[r["t"]] - 1e-6
+
+
+class TestUpliftDeciles:
+    def test_final_qini_matches_global_lift(self, spark):
+        import random
+        random.seed(13)
+        rows = [(random.random(), i % 2 == 0, 0, i) for i in range(400)]
+        rows = [(s, t, 1 if random.random() < (0.6 * s if t else 0.2)
+                 else 0, i) for s, t, _, i in rows]
+        df = spark.createDataFrame(rows, "s double, t boolean, y int, "
+                                         "id long")
+        out = ops.uplift_deciles(df, "s", "t", "y", "id", 5).collect()
+        kt = sum(y for _, t, y, _ in rows if t)
+        kc = sum(y for _, t, y, _ in rows if not t)
+        nt = sum(1 for _, t, _, _ in rows if t)
+        nc = len(rows) - nt
+        assert abs(out[-1]["qini_cum"] - (kt - kc * nt / nc)) < 1e-3
+        assert sum(r["n_treat"] + r["n_ctrl"] for r in out) == 400
+
+    def test_bucket_count_validated(self, spark):
+        df = spark.createDataFrame([(0.5, True, 1, 1)],
+                                   "s double, t boolean, y int, id int")
+        with pytest.raises(ValueError):
+            ops.uplift_deciles(df, "s", "t", "y", "id", n_buckets=1)
+
+
+class TestPropensityStrataAte:
+    def test_constant_effect_recovered(self, spark):
+        rows = [(float(i % 97) / 97, i % 2 == 0,
+                 3.5 if i % 2 == 0 else 1.5, i) for i in range(300)]
+        df = spark.createDataFrame(rows, "s double, t boolean, "
+                                         "y double, id long")
+        r = ops.propensity_strata_ate(df, "s", "t", "y", "id").collect()[0]
+        assert r["ate"] == 2.0
+        assert r["strata_used"] == 5 and r["n_used"] == 300
+
+    def test_single_arm_strata_dropped(self, spark):
+        # treatment concentrated in the top scores: only the one mixed
+        # stratum (i 60..79 — 10 control, 10 treated) can contribute;
+        # the pure-control bottom and pure-treated top strata drop out
+        rows = [(float(i) / 100, i >= 70, 1.0 if i >= 70 else 0.0, i)
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "s double, t boolean, "
+                                         "y double, id long")
+        r = ops.propensity_strata_ate(
+            df, "s", "t", "y", "id", n_strata=5).collect()[0]
+        assert r["strata_used"] == 1
+        assert r["n_used"] == 20
+        assert r["ate"] == 1.0
+
+
+class TestCrossSourceDuplication:
+    def test_pair_counting_via_products(self, spark):
+        docs = [(1, "x", "A"), (2, "x", "A"), (3, "x", "B"),
+                (4, "y", "B"), (5, "y", "C"), (6, "z", "C")]
+        df = spark.createDataFrame(docs,
+                                   "doc_id long, text string, "
+                                   "source string")
+        out = {(r["source_a"], r["source_b"]):
+               (r["shared_fingerprints"], r["dup_doc_pairs"])
+               for r in ops.cross_source_duplication(df).collect()}
+        assert out[("A", "A")] == (1, 1)
+        assert out[("A", "B")] == (1, 2)
+        assert out[("B", "C")] == (1, 1)
+        assert ("C", "C") not in out
