@@ -2640,6 +2640,14 @@ def _q_cross_source_dup(spark, sf):
     return ops.cross_source_duplication(_t(spark, sf, "documents"))
 
 
+def _q_wav_decode(spark, sf):
+    # RIFF/PCM codec gate: stdlib-generated WAVs with analytic ground
+    # truth (square wave: mean |amp| IS the amplitude) — the real
+    # dependency-free parser must reproduce the generator's parameters
+    media = multimodal.synthetic_wav_table(spark, _PNG_FIXTURE_N)
+    return multimodal.audio_decode_stats(media)
+
+
 def _q_bbit_minhash(spark, sf):
     return (
         ops.bbit_minhash_pairs(
@@ -2947,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_uplift_deciles": _q_uplift,
             "orders_propensity_ate": _q_propensity_ate,
             "dedup_cross_source": _q_cross_source_dup,
+            "multimodal_wav_decode": _q_wav_decode,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -3005,6 +3014,7 @@ _GATE_PRIORITY = [
     'orders_simpson_paradox', 'orders_ks_drift_leaderboard',
     'events_nelson_aalen', 'orders_uplift_deciles',
     'orders_propensity_ate', 'dedup_cross_source',
+    'multimodal_wav_decode',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -4333,6 +4343,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
 FROM (VALUES {_y4m_rows})
   AS t(doc_id, width, height, n_frames, fps_num, fps_den, mean_luma,
        is_valid)
+"""
+    # WAV audio decode: analytic oracle from the square-wave fixture
+    # parameters (|sample| is the amplitude at every sample, duration
+    # an exact integer ratio) — the Spark side must parse the actual
+    # RIFF/PCM payload to reproduce it
+    _wav_rows = ", ".join(
+        f"({i}, {ch}, {rate}, {bits}, {ns}, {dur}, {amp!r}, TRUE)"
+        for i, ch, rate, bits, ns, dur, amp, _ in
+        multimodal.wav_decode_expected(_PNG_FIXTURE_N)
+    )
+    o["multimodal_wav_decode"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(channels AS INT) AS channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(bits AS INT) AS bits,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(mean_abs_amp AS DOUBLE) AS mean_abs_amp, is_valid
+FROM (VALUES {_wav_rows})
+  AS t(doc_id, channels, sample_rate, bits, n_samples, duration_us,
+       mean_abs_amp, is_valid)
 """
     # Logistic classifier replay: the full 24-iteration GD recurrence as
     # CTEs — per-iteration (residual rows, quantized BIGINT gradient

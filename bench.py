@@ -326,6 +326,7 @@ HEADLINE = [
     "orders_uplift_deciles",
     "orders_propensity_ate",
     "dedup_cross_source",
+    "multimodal_wav_decode",
 ]
 
 

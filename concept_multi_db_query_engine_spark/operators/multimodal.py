@@ -432,3 +432,148 @@ def y4m_decode_expected(n: int) -> list[tuple]:
         mean = sum(range(v, v + k)) * (w * h) / (k * w * h)
         out.append((i, w, h, k, 25, 1, mean, True))
     return out
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits int, "
+    "n_samples long, duration_us long, mean_abs_amp double, "
+    "is_valid boolean"
+)
+
+
+def _parse_wav(raw: bytes):
+    """Pure-Python RIFF/WAVE PCM parse → (channels, sample_rate, bits,
+    [int16 samples interleaved]).  Raises ValueError on malformed or
+    non-PCM input.  Stdlib struct only — no codec dependency, the
+    :func:`_parse_y4m` discipline applied to audio."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        tag = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[:2 * n])
+    return channels, rate, bits, samples
+
+
+def audio_decode_stats(media: DataFrame) -> DataFrame:
+    """Per-audio decode statistics from a REAL dependency-free PCM WAV
+    parse: channels, sample rate, bit depth, per-channel sample count,
+    exact duration in microseconds (``n_samples·1e6 DIV rate`` —
+    integer, engine-stable), and the mean absolute amplitude over all
+    samples.  Non-WAV or non-PCM blobs report ``is_valid = false`` —
+    never a crash, never a fake number (the :func:`video_decode_stats`
+    contract).
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` narrow map; decode
+    parallelism = input partitions.
+    """
+
+    def _one(blob) -> tuple:
+        if blob is None:
+            return 0, 0, 0, 0, 0, 0.0, False
+        try:
+            ch, rate, bits, samples = _parse_wav(bytes(blob))
+        except Exception:  # malformed RIFF: struct.error included
+            return 0, 0, 0, 0, 0, 0.0, False
+        n_per_ch = len(samples) // ch if ch else 0
+        dur = (n_per_ch * 1_000_000) // rate if rate else 0
+        mean_abs = (
+            sum(abs(s) for s in samples) / len(samples)
+            if samples else 0.0
+        )
+        return ch, rate, bits, n_per_ch, dur, mean_abs, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = pdf["media"].map(_one)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "channels": stats.map(lambda s: s[0]),
+                "sample_rate": stats.map(lambda s: s[1]),
+                "bits": stats.map(lambda s: s[2]),
+                "n_samples": stats.map(lambda s: s[3]),
+                "duration_us": stats.map(lambda s: s[4]),
+                "mean_abs_amp": stats.map(lambda s: s[5]),
+                "is_valid": stats.map(lambda s: s[6]),
+            })
+
+    return media.select("doc_id", "media").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA)
+
+
+def synthetic_wav(i: int) -> bytes:
+    """A deterministic, VALID 16-bit PCM WAV built with stdlib only: a
+    constant-amplitude square wave whose parameters derive from ``i``,
+    so every statistic is analytic — ``mean_abs_amp`` is exactly the
+    amplitude, duration is ``n/rate`` — and the real parser gets ORACLE
+    evidence, not just a unit test."""
+    import struct
+
+    ch, rate, n, amp = synthetic_wav_params(i)
+    frames = bytearray()
+    for t in range(n):
+        s = amp if (t // 4) % 2 == 0 else -amp
+        frames += struct.pack("<h", s) * ch
+    data = bytes(frames)
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synthetic_wav_params(i: int) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, samples_per_channel, amplitude) for
+    :func:`synthetic_wav`'s clip i — the analytic ground truth."""
+    return (
+        1 + (i % 2),
+        8000 + 4000 * (i % 3),
+        64 + 8 * (i % 5),
+        100 + (i * 53) % 900,
+    )
+
+
+def synthetic_wav_table(spark, n: int) -> DataFrame:
+    """MEDIA_SCHEMA fixture of ``n`` :func:`synthetic_wav` blobs (the
+    :func:`synthetic_png_table` pattern — fixture-only; at 100 TB blobs
+    arrive in parquet pages)."""
+    rows = []
+    for i in range(n):
+        rows.append((i, bytearray(synthetic_wav(i)), 0, 0, "audio/wav"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def wav_decode_expected(n: int) -> list[tuple]:
+    """Expected :func:`audio_decode_stats` rows over
+    :func:`synthetic_wav_table` — analytic (square wave: mean |amp| is
+    the amplitude exactly).  Drives both the pytest assertion and the
+    generated DuckDB VALUES oracle."""
+    out = []
+    for i in range(n):
+        ch, rate, nspc, amp = synthetic_wav_params(i)
+        out.append((
+            i, ch, rate, 16, nspc,
+            (nspc * 1_000_000) // rate, float(amp), True,
+        ))
+    return out

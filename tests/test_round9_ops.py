@@ -431,3 +431,31 @@ class TestCrossSourceDuplication:
         assert out[("A", "B")] == (1, 2)
         assert out[("B", "C")] == (1, 1)
         assert ("C", "C") not in out
+
+
+class TestWavDecode:
+    def test_fixture_roundtrip_is_analytic(self, spark):
+        from concept_multi_db_query_engine_spark.operators import (
+            multimodal,
+        )
+
+        media = multimodal.synthetic_wav_table(spark, 12)
+        got = sorted(
+            tuple(r) for r in
+            multimodal.audio_decode_stats(media).collect()
+        )
+        want = sorted(multimodal.wav_decode_expected(12))
+        assert got == want
+
+    def test_garbage_blob_is_invalid_not_a_crash(self, spark):
+        from concept_multi_db_query_engine_spark.operators import (
+            multimodal,
+        )
+
+        rows = [(1, bytearray(b"RIFFxxxxWAVEtruncated"), 0, 0, "x"),
+                (2, bytearray(b"not audio at all"), 0, 0, "x"),
+                (3, None, 0, 0, "x")]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {r["doc_id"]: r["is_valid"] for r in
+               multimodal.audio_decode_stats(df).collect()}
+        assert out == {1: False, 2: False, 3: False}
