@@ -219,3 +219,48 @@ class TestTopKRewriteHolds:
         docs = testdata.load_table(spark, SF_DIR, "documents")
         plan = executed(ops.vocab_coverage(docs, ks=[10, 100]))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWave23NoSingleTaskWindows(TestNoSingleTaskWindows):
+    """The round-9 waves built ON the primitive must stay clean too."""
+
+    def test_cramer_von_mises(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        self._assert_clean(ops.cramer_von_mises(
+            orders, "o_totalprice", "o_orderstatus", "F", "O"))
+
+    def test_energy_distance(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        self._assert_clean(ops.energy_distance(
+            orders, "o_totalprice", "o_orderstatus", "F", "O"))
+
+    def test_anderson_darling(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        self._assert_clean(ops.anderson_darling_2s(
+            orders, "o_totalprice", "o_orderstatus", "F", "O"))
+
+    def test_nelson_aalen_ungrouped(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = orders.select(
+            (F.col("o_orderkey") % 40).alias("dur"),
+            (F.col("o_orderkey") % 3 != 0).alias("obs"),
+        )
+        self._assert_clean(ops.nelson_aalen(df, "dur", "obs"))
+
+    def test_kaplan_meier_ungrouped(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = orders.select(
+            (F.col("o_orderkey") % 40).alias("dur"),
+            (F.col("o_orderkey") % 3 != 0).alias("obs"),
+        )
+        self._assert_clean(ops.kaplan_meier(df, "dur", "obs"))
+
+    def test_ks_drift_leaderboard_topk_rewrites(self, spark):
+        # group-partitioned cumulatives + primitive for the global one;
+        # the final rank-filter must keep the TakeOrdered rewrite
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        df = ops.ks_drift_leaderboard(
+            orders, "o_totalprice", "o_orderpriority", k=3)
+        plan = executed(df)
+        assert ("TakeOrderedAndProject" in plan
+                or "WindowGroupLimit" in plan), plan
