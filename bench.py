@@ -378,11 +378,15 @@ def main() -> None:
                 ops.minhash_estimate_pairs(docs, k=5, num_hashes=16,
                                            bands=4, min_estimate=0.5,
                                            frames=(sh, sigs)))
+            timings["dedup_bbit_minhash"] = _time_noop(
+                ops.bbit_minhash_pairs(docs, k=5, num_hashes=16,
+                                       bands=4, b_bits=8,
+                                       frames=(sh, sigs)))
             sh.unpersist()
             sigs.unpersist()
             spark.catalog.clearCache()
             continue
-        if name == "dedup_minhash_estimate":
+        if name in ("dedup_minhash_estimate", "dedup_bbit_minhash"):
             continue  # timed alongside dedup_minhash_lsh above
         if name == "graph_pagerank":
             # pagerank does its heavy lifting (edge materialization + the
