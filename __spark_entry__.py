@@ -2640,6 +2640,41 @@ def _q_cross_source_dup(spark, sf):
     return ops.cross_source_duplication(_t(spark, sf, "documents"))
 
 
+def _q_poisson_rate(spark, sf):
+    return ops.poisson_rate_test(
+        _t(spark, sf, "lineitem"), "l_returnflag", "A", "R",
+        "l_quantity", "1.0d",
+    )
+
+
+def _q_sprt(spark, sf):
+    # daily purchase-conversion series: successes = purchase events,
+    # trials = all events that day; H0 p=0.05 vs H1 p=0.15
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            )).alias("s"),
+            F.count(F.lit(1)).alias("t"),
+        )
+        .select(
+            F.expr("datediff(day, DATE '1995-01-01')").cast("long")
+            .alias("idx"),
+            "s", "t",
+        )
+    )
+    return ops.sprt_test(daily, "idx", "s", "t", p0=0.05, p1=0.15)
+
+
+def _q_mmd_drift(spark, sf):
+    return ops.mmd_rff(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderstatus",
+        "F", "O",
+    )
+
+
 def _q_wav_decode(spark, sf):
     # RIFF/PCM codec gate: stdlib-generated WAVs with analytic ground
     # truth (square wave: mean |amp| IS the amplitude) — the real
@@ -2956,6 +2991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_propensity_ate": _q_propensity_ate,
             "dedup_cross_source": _q_cross_source_dup,
             "multimodal_wav_decode": _q_wav_decode,
+            "lineitem_poisson_rate": _q_poisson_rate,
+            "events_sprt": _q_sprt,
+            "orders_mmd_drift": _q_mmd_drift,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -3014,7 +3052,8 @@ _GATE_PRIORITY = [
     'orders_simpson_paradox', 'orders_ks_drift_leaderboard',
     'events_nelson_aalen', 'orders_uplift_deciles',
     'orders_propensity_ate', 'dedup_cross_source',
-    'multimodal_wav_decode',
+    'multimodal_wav_decode', 'lineitem_poisson_rate', 'events_sprt',
+    'orders_mmd_drift',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -4344,6 +4383,162 @@ FROM (VALUES {_y4m_rows})
   AS t(doc_id, width, height, n_frames, fps_num, fps_den, mean_luma,
        is_valid)
 """
+    # textually parallel to operators.stats.poisson_rate_test
+    o["lineitem_poisson_rate"] = """
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN l_returnflag = 'A'
+              THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS k_a,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+              THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS k_b,
+         CAST(sum(CASE WHEN l_returnflag = 'A'
+              THEN CAST(round(1.0 * 1000000.0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ea_u,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+              THEN CAST(round(1.0 * 1000000.0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS eb_u
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+)
+SELECT k_a, k_b,
+       CAST(ea_u AS DOUBLE) / 1e6 AS exposure_a,
+       CAST(eb_u AS DOUBLE) / 1e6 AS exposure_b,
+       CAST(CAST(round((CAST(k_a AS DOUBLE)
+            / nullif(CAST(ea_u AS DOUBLE) / 1000000.0, 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS rate_a,
+       CAST(CAST(round((CAST(k_b AS DOUBLE)
+            / nullif(CAST(eb_u AS DOUBLE) / 1000000.0, 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS rate_b,
+       CAST(CAST(round((CAST(k_a AS DOUBLE)
+            / nullif(CAST(ea_u AS DOUBLE) / 1000000.0, 0.0))
+            / nullif(CAST(k_b AS DOUBLE)
+            / nullif(CAST(eb_u AS DOUBLE) / 1000000.0, 0.0), 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS rate_ratio,
+       CAST(CAST(round(((CAST(k_a AS DOUBLE)
+            - CAST(k_a + k_b AS DOUBLE)
+              * (CAST(ea_u AS DOUBLE)
+                 / nullif(CAST(ea_u AS DOUBLE)
+                          + CAST(eb_u AS DOUBLE), 0.0)))
+            / nullif(sqrt(CAST(k_a + k_b AS DOUBLE)
+              * (CAST(ea_u AS DOUBLE)
+                 / nullif(CAST(ea_u AS DOUBLE)
+                          + CAST(eb_u AS DOUBLE), 0.0))
+              * (1.0 - (CAST(ea_u AS DOUBLE)
+                 / nullif(CAST(ea_u AS DOUBLE)
+                          + CAST(eb_u AS DOUBLE), 0.0)))), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS z
+FROM m
+"""
+
+    # textually parallel to operators.stats.sprt_test; the nano LLR
+    # weights and thresholds are the SAME Python-computed constants
+    import math as _math
+
+    _sprt_ws = round(_math.log(0.15 / 0.05) * 1e9)
+    _sprt_wf = round(_math.log(0.85 / 0.95) * 1e9)
+    _sprt_up = round(_math.log(0.8 / 0.05) * 1e9)
+    _sprt_lo = round(_math.log(0.2 / 0.95) * 1e9)
+    o["events_sprt"] = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS idx,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS t
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT idx,
+         CAST(s * CAST({_sprt_ws} AS BIGINT)
+              + (t - s) * CAST({_sprt_wf} AS BIGINT) AS BIGINT)
+           AS llr_c
+  FROM daily
+),
+cum AS (
+  SELECT idx,
+         CAST(sum(llr_c) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS llr
+  FROM cells
+),
+first_cross AS (
+  SELECT idx, llr FROM cum
+  WHERE llr >= {_sprt_up} OR llr <= {_sprt_lo}
+  ORDER BY idx ASC LIMIT 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_periods,
+       CAST((SELECT CAST(sum(llr_c) AS BIGINT) FROM cells) AS DOUBLE)
+         / 1e9 AS llr_final,
+       coalesce((SELECT CASE WHEN llr >= {_sprt_up}
+                 THEN 'accept_h1' ELSE 'accept_h0' END
+                 FROM first_cross), 'continue') AS decision,
+       (SELECT idx FROM first_cross) AS crossing_idx
+"""
+
+    # textually parallel to operators.stats.mmd_rff: the bandwidth CTE
+    # replays the driver-side moment pass (VARCHAR-routed decimal ->
+    # double, half-away micro rounding) so sigma lands on the exact
+    # literal the Spark side embeds; per-row cos terms micro-quantized
+    _mmd_w = (-1.534121, -0.887147, -0.488776, -0.157311,
+              0.157311, 0.488776, 0.887147, 1.534121)
+    _mmd_b = tuple(round(2.0 * 3.141592653589793 * j / 8.0, 6)
+                   for j in range(8))
+    _mmd_feats = ",\n         ".join(
+        f"CAST(sum(CASE WHEN a THEN CAST(round(cos(round({_mmd_w[j]!r}"
+        f" * x / sg.sigma + {_mmd_b[j]!r}, 6)) * 1000000.0) AS BIGINT)"
+        f" ELSE 0 END) AS BIGINT) AS za{j},\n         "
+        f"CAST(sum(CASE WHEN a THEN 0 ELSE CAST(round(cos(round("
+        f"{_mmd_w[j]!r} * x / sg.sigma + {_mmd_b[j]!r}, 6)) "
+        f"* 1000000.0) AS BIGINT) END) AS BIGINT) AS zb{j}"
+        for j in range(8)
+    )
+    _mmd_diff = " + ".join(
+        f"(CAST(za{j} AS DOUBLE) / 1000000.0"
+        f" / nullif(CAST(n_a AS DOUBLE), 0.0)"
+        f" - CAST(zb{j} AS DOUBLE) / 1000000.0"
+        f" / nullif(CAST(n_b AS DOUBLE), 0.0))"
+        f" * (CAST(za{j} AS DOUBLE) / 1000000.0"
+        f" / nullif(CAST(n_a AS DOUBLE), 0.0)"
+        f" - CAST(zb{j} AS DOUBLE) / 1000000.0"
+        f" / nullif(CAST(n_b AS DOUBLE), 0.0))"
+        for j in range(8)
+    )
+    o["orders_mmd_drift"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT (o_orderstatus = 'F') AS a,
+         CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sx_u,
+         CAST(sum(CAST(CAST(round(x) AS BIGINT) AS DECIMAL(38,0))
+              * CAST(round(x) AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+  FROM base
+),
+sg AS (
+  SELECT CAST(CAST(round(sqrt(greatest(
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - ((CAST(sx_u AS DOUBLE) / 1e6) / CAST(n AS DOUBLE))
+             * ((CAST(sx_u AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)),
+           1e-12)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS sigma
+  FROM mom
+),
+feats AS (
+  SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         max(sg.sigma) AS sigma,
+         {_mmd_feats}
+  FROM base CROSS JOIN sg
+)
+SELECT n_a, n_b, sigma,
+       CAST(CAST(round((2.0 / 8.0) * ({_mmd_diff}) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS mmd2
+FROM feats
+"""
+
     # WAV audio decode: analytic oracle from the square-wave fixture
     # parameters (|sample| is the amplitude at every sample, duration
     # an exact integer ratio) — the Spark side must parse the actual

@@ -327,6 +327,9 @@ HEADLINE = [
     "orders_propensity_ate",
     "dedup_cross_source",
     "multimodal_wav_decode",
+    "lineitem_poisson_rate",
+    "events_sprt",
+    "orders_mmd_drift",
 ]
 
 

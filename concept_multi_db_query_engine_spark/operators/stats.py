@@ -4187,3 +4187,269 @@ def propensity_strata_ate(
             "/ nullif(CAST(n_used AS DOUBLE), 0.0d)) AS BIGINT) / 1e6"
         ).cast("double").alias("ate"),
     )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    events_expr: str,
+    exposure_expr: str,
+) -> DataFrame:
+    """Two-group Poisson rate-ratio test with unequal exposures — the
+    count-data companion to :func:`ab_test` (which compares binomial
+    proportions): error/defect/arrival RATES per unit of exposure
+    (machine-hours, sessions, GB scanned).  Uses the standard
+    conditional binomial form: given ``k = k_a + k_b`` total events,
+    under H0 the A-share is ``Bin(k, e_a/(e_a+e_b))``, so::
+
+        z = (k_a − k·p) / sqrt(k·p·(1−p)),   p = e_a/(e_a+e_b)
+
+    ONE conditional aggregation computes both groups' exact event and
+    exposure sums (events BIGINT; exposures micro-quantized BIGINT);
+    the rate ratio and z are one fixed-order double projection,
+    micro-quantized.  Returns one row: (k_a, k_b, exposure_a,
+    exposure_b, rate_a, rate_b, rate_ratio, z).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    k = F.expr(f"CAST(({events_expr}) AS BIGINT)")
+    e = F.expr(
+        f"CAST(round(CAST(({exposure_expr}) AS DOUBLE) * 1000000.0d) "
+        "AS BIGINT)"
+    )
+    m = df.where(
+        (in_a | in_b)
+        & F.expr(f"({events_expr}) IS NOT NULL "
+                 f"AND ({exposure_expr}) IS NOT NULL")
+    ).agg(
+        F.sum(F.when(in_a, k).otherwise(0)).cast("long").alias("k_a"),
+        F.sum(F.when(in_b, k).otherwise(0)).cast("long").alias("k_b"),
+        F.sum(F.when(in_a, e).otherwise(0)).cast("long").alias("ea_u"),
+        F.sum(F.when(in_b, e).otherwise(0)).cast("long").alias("eb_u"),
+    )
+    p = ("(CAST(ea_u AS DOUBLE) "
+         "/ nullif(CAST(ea_u AS DOUBLE) + CAST(eb_u AS DOUBLE), 0.0d))")
+    z = (f"((CAST(k_a AS DOUBLE) "
+         f"- CAST(k_a + k_b AS DOUBLE) * ({p})) "
+         f"/ nullif(sqrt(CAST(k_a + k_b AS DOUBLE) * ({p}) "
+         f"* (1.0d - ({p}))), 0.0d))")
+    rate = ("(CAST({k} AS DOUBLE) "
+            "/ nullif(CAST({e} AS DOUBLE) / 1000000.0d, 0.0d))")
+    ra = rate.format(k="k_a", e="ea_u")
+    rb = rate.format(k="k_b", e="eb_u")
+    return m.select(
+        "k_a", "k_b",
+        (F.col("ea_u").cast("double") / 1e6).alias("exposure_a"),
+        (F.col("eb_u").cast("double") / 1e6).alias("exposure_b"),
+        F.expr(
+            f"CAST(round(({ra}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("rate_a"),
+        F.expr(
+            f"CAST(round(({rb}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("rate_b"),
+        F.expr(
+            f"CAST(round(({ra}) / nullif({rb}, 0.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("rate_ratio"),
+        F.expr(
+            f"CAST(round(({z}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("z"),
+    )
+
+
+def sprt_test(
+    series: DataFrame,
+    idx_col: str,
+    successes_expr: str,
+    trials_expr: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test over an ordered series
+    of (successes, trials) — the ALWAYS-VALID alternative to a
+    fixed-horizon :func:`ab_test`: the cumulative log-likelihood ratio
+    crosses ``ln((1−β)/α)`` → accept H1 (p = p1), crosses
+    ``ln(β/(1−α))`` → accept H0 (p = p0), else keep sampling.  Run it
+    on an experiment's per-period conversion series and read off the
+    EARLIEST decision point — the sample-size win SPRT exists for.
+
+    Shape: one aggregate to the per-index frame, then the cumulative
+    LLR rides :func:`distributed_prefix_counts` (no single-task window
+    even for fine-grained indexes); per-index LLR contributions are
+    nano-quantized integers, so the crossing index is engine-stable.
+    Returns one row: (n_periods, llr_final, decision, crossing_idx) —
+    decision 'accept_h1' / 'accept_h0' / 'continue', crossing_idx NULL
+    while 'continue'.
+    """
+    import math
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0 < alpha < 1 and 0 < beta < 1):
+        raise ValueError("alpha/beta must be in (0, 1)")
+    w_s = round(math.log(p1 / p0) * 1e9)
+    w_f = round(math.log((1 - p1) / (1 - p0)) * 1e9)
+    up = round(math.log((1 - beta) / alpha) * 1e9)
+    lo = round(math.log(beta / (1 - alpha)) * 1e9)
+    cells = (
+        series.where(f"({idx_col}) IS NOT NULL "
+                     f"AND ({successes_expr}) IS NOT NULL "
+                     f"AND ({trials_expr}) IS NOT NULL")
+        .groupBy(F.col(idx_col).alias("idx"))
+        .agg(
+            F.expr(f"CAST(sum({successes_expr}) AS BIGINT)").alias("s"),
+            F.expr(f"CAST(sum({trials_expr}) AS BIGINT)").alias("t"),
+        )
+        .select(
+            "idx",
+            F.expr(f"s * CAST({w_s} AS BIGINT) "
+                   f"+ (t - s) * CAST({w_f} AS BIGINT)")
+            .cast("long").alias("llr_c"),
+        )
+    )
+    cum, totals = distributed_prefix_counts(cells, "idx", ["llr_c"])
+    crossings = cum.select(
+        "idx",
+        F.col("__cum_llr_c").alias("llr"),
+    ).where(f"llr >= {up} OR llr <= {lo}")
+    first = crossings.orderBy(F.col("idx").asc()).limit(1)
+    n_frame = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods")
+    )
+    final_llr = totals["llr_c"]
+    decided = first.select(
+        F.col("idx").alias("crossing_idx"),
+        F.expr(
+            f"CASE WHEN llr >= {up} THEN 'accept_h1' "
+            "ELSE 'accept_h0' END"
+        ).alias("decision"),
+    )
+    # 1 row left-joined against the 0-or-1-row earliest crossing
+    return (
+        n_frame.join(F.broadcast(decided), F.lit(True), "left")
+        .select(
+            "n_periods",
+            F.lit(final_llr / 1e9).cast("double").alias("llr_final"),
+            F.coalesce(F.col("decision"), F.lit("continue"))
+            .alias("decision"),
+            "crossing_idx",
+        )
+    )
+
+
+# Deterministic random-Fourier-feature grid for mmd_rff: 8 standard
+# normal quantiles at probs (j+.5)/8 (Rahimi & Recht 2007 use random
+# draws; a quantile grid is the deterministic, engine-replayable
+# stand-in) and evenly spaced phases over [0, 2pi).
+_MMD_W = (-1.534121, -0.887147, -0.488776, -0.157311,
+          0.157311, 0.488776, 0.887147, 1.534121)
+_MMD_B = tuple(round(2.0 * 3.141592653589793 * j / 8.0, 6)
+               for j in range(8))
+
+
+def mmd_rff(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Kernel two-sample MMD² between two groups' 1-D distributions,
+    approximated with a deterministic random-Fourier-feature grid
+    (Gretton et al. 2012; Rahimi & Recht 2007): each value maps to 8
+    features ``z_j(x) = sqrt(2/D)·cos(w_j·x/σ + b_j)`` with the
+    bandwidth σ = the pooled standard deviation (one exact-moment
+    pass), and ``MMD² = ‖mean_A z − mean_B z‖²``.  The Gaussian-kernel
+    member of the drift family (PSI/KS/CvM/AD/W1/energy) — smooth,
+    bounded, robust to outliers because cos is.
+
+    Two passes total: pooled moments (exact decimals), then one
+    conditional aggregation where each per-row cos term quantizes to
+    micro before the exact per-feature sums.  MMD² is a fixed-order
+    double over the 16 feature means.  Returns one row: (n_a, n_b,
+    sigma, mmd2).
+    """
+    import math
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    x = F.expr(f"CAST(({value_col}) AS DOUBLE)")
+    base = df.where(
+        (in_a | in_b) & F.col(value_col).isNotNull()
+    ).select(in_a.alias("__a"), x.alias("__x"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(
+            "CAST(round(__x * 1000000.0d) AS BIGINT)"
+        )).alias("sx_u"),
+        F.expr(
+            "CAST(sum(CAST(CAST(round(__x) AS BIGINT) "
+            "AS DECIMAL(38,0)) * CAST(round(__x) AS BIGINT)) "
+            "AS DECIMAL(38,0))"
+        ).alias("sxx_unit"),
+    ).collect()[0]
+    n = mom["n"]
+    if n < 2:
+        return df.sparkSession.createDataFrame(
+            [(0, 0)], "n_a long, n_b long"
+        ).select(
+            "n_a", "n_b",
+            F.lit(None).cast("double").alias("sigma"),
+            F.lit(None).cast("double").alias("mmd2"),
+        )
+    mean = (mom["sx_u"] / 1e6) / n
+    var = max(
+        float(mom["sxx_unit"]) / n - mean * mean, 1e-12
+    )
+    # unit-quantized second moment: at price magnitudes the micro
+    # product overflows; whole units are exact enough for a BANDWIDTH.
+    # Half-away micro rounding (floor(x+.5), NOT Python's banker's
+    # round) so the SQL replay's round() lands on the same literal.
+    sigma = math.floor(math.sqrt(var) * 1e6 + 0.5) / 1e6
+    feats = []
+    for j in range(8):
+        arg = (
+            f"round({_MMD_W[j]!r}d * __x / {sigma!r}d "
+            f"+ {_MMD_B[j]!r}d, 6)"
+        )
+        feats.append(
+            f"CAST(round(cos({arg}) * 1000000.0d) AS BIGINT)"
+        )
+    aggs = []
+    for j, fexpr in enumerate(feats):
+        aggs.append(F.sum(F.when(F.col("__a"), F.expr(fexpr))
+                          .otherwise(0)).cast("long").alias(f"za{j}"))
+        aggs.append(F.sum(F.when(~F.col("__a"), F.expr(fexpr))
+                          .otherwise(0)).cast("long").alias(f"zb{j}"))
+    m = base.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        *aggs,
+    )
+    # sqrt(2/D) scaling folds into the squared-difference sum: 2/D
+    diff_sq = " + ".join(
+        f"(CAST(za{j} AS DOUBLE) / 1000000.0d "
+        f"/ nullif(CAST(n_a AS DOUBLE), 0.0d) "
+        f"- CAST(zb{j} AS DOUBLE) / 1000000.0d "
+        f"/ nullif(CAST(n_b AS DOUBLE), 0.0d)) "
+        f"* (CAST(za{j} AS DOUBLE) / 1000000.0d "
+        f"/ nullif(CAST(n_a AS DOUBLE), 0.0d) "
+        f"- CAST(zb{j} AS DOUBLE) / 1000000.0d "
+        f"/ nullif(CAST(n_b AS DOUBLE), 0.0d))"
+        for j in range(8)
+    )
+    return m.select(
+        "n_a", "n_b",
+        F.lit(sigma).cast("double").alias("sigma"),
+        F.expr(
+            f"CAST(round((2.0d / 8.0d) * ({diff_sq}) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("mmd2"),
+    )
+

@@ -459,3 +459,65 @@ class TestWavDecode:
         out = {r["doc_id"]: r["is_valid"] for r in
                multimodal.audio_decode_stats(df).collect()}
         assert out == {1: False, 2: False, 3: False}
+
+
+class TestPoissonRateTest:
+    def test_equal_rates_z_near_zero(self, spark):
+        rows = [("a", 5, 100.0)] * 10 + [("b", 10, 200.0)] * 10
+        df = spark.createDataFrame(rows, "g string, k int, e double")
+        r = ops.poisson_rate_test(df, "g", "a", "b", "k", "e") \
+            .collect()[0]
+        assert r["rate_ratio"] == 1.0
+        assert abs(r["z"]) < 1e-6
+
+    def test_exposure_adjustment(self, spark):
+        # same event counts, 4x the exposure on B: rate ratio = 4
+        rows = [("a", 8, 10.0), ("b", 8, 40.0)]
+        df = spark.createDataFrame(rows, "g string, k int, e double")
+        r = ops.poisson_rate_test(df, "g", "a", "b", "k", "e") \
+            .collect()[0]
+        assert r["rate_ratio"] == 4.0 and r["z"] > 2.0
+
+
+class TestSprt:
+    def test_strong_effect_accepts_h1_early(self, spark):
+        ser = [(i, 9, 10) for i in range(30)]
+        df = spark.createDataFrame(ser, "idx int, s int, t int")
+        r = ops.sprt_test(df, "idx", "s", "t", 0.3, 0.6).collect()[0]
+        assert r["decision"] == "accept_h1"
+        assert r["crossing_idx"] < 5
+
+    def test_null_effect_accepts_h0(self, spark):
+        ser = [(i, 3, 10) for i in range(30)]
+        df = spark.createDataFrame(ser, "idx int, s int, t int")
+        r = ops.sprt_test(df, "idx", "s", "t", 0.3, 0.6).collect()[0]
+        assert r["decision"] == "accept_h0"
+
+    def test_params_validated(self, spark):
+        df = spark.createDataFrame([(1, 1, 2)], "idx int, s int, t int")
+        with pytest.raises(ValueError):
+            ops.sprt_test(df, "idx", "s", "t", 0.3, 0.3)
+        with pytest.raises(ValueError):
+            ops.sprt_test(df, "idx", "s", "t", 0.3, 0.6, alpha=1.5)
+
+
+class TestMmdRff:
+    def test_shift_separates_from_null(self, spark):
+        import random
+        random.seed(19)
+        same = [("a", random.gauss(5, 1)) for _ in range(250)] + \
+               [("b", random.gauss(5, 1)) for _ in range(250)]
+        shifted = [("a", random.gauss(5, 1)) for _ in range(250)] + \
+                  [("b", random.gauss(9, 1)) for _ in range(250)]
+        d_same = ops.mmd_rff(
+            spark.createDataFrame(same, "g string, v double"),
+            "v", "g", "a", "b").collect()[0]["mmd2"]
+        d_shift = ops.mmd_rff(
+            spark.createDataFrame(shifted, "g string, v double"),
+            "v", "g", "a", "b").collect()[0]["mmd2"]
+        assert d_shift > 10 * max(d_same, 1e-6)
+
+    def test_degenerate_input_yields_nulls(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        r = ops.mmd_rff(df, "v", "g", "a", "b").collect()[0]
+        assert r["mmd2"] is None
