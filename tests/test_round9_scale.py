@@ -264,3 +264,20 @@ class TestWave23NoSingleTaskWindows(TestNoSingleTaskWindows):
         plan = executed(df)
         assert ("TakeOrderedAndProject" in plan
                 or "WindowGroupLimit" in plan), plan
+
+    def test_sprt_cumulative_is_distributed(self, spark):
+        events = testdata.load_table(spark, SF_DIR, "events")
+        daily = events.groupBy(
+            F.expr("CAST(ts AS DATE)").alias("day")
+        ).agg(
+            F.sum(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            )).alias("s"),
+            F.count(F.lit(1)).alias("t"),
+        ).select(
+            F.expr("datediff(day, DATE '1995-01-01')").cast("long")
+            .alias("idx"),
+            "s", "t",
+        )
+        self._assert_clean(ops.sprt_test(
+            daily, "idx", "s", "t", p0=0.05, p1=0.15))
