@@ -415,7 +415,15 @@ class TestRound8Shapes:
         )
         plan = ops.kaplan_meier(subj, "t", "ev") \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan
+        # round 9: the ungrouped path rides the distributed-prefix
+        # primitive — only BROADCASTS of the O(partitions) offset rows
+        # join back; no corpus-side shuffle join, no global window
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: *(0123456789)").strip()
+            assert not (s.startswith("Window [")
+                        and s.count("], [") < 2), line
 
     def test_q21_scans_the_lineitem_orders_join_once(self, spark):
         # the decorrelated Q21 derives the culprit supplier AND its
