@@ -22,6 +22,7 @@ from .corpus import (
 )
 from .windows import (
     page_hinkley_stream,
+    sprt_stream,
     run_windowed_aggregation_batch,
     windowed_event_counts,
 )
@@ -33,5 +34,6 @@ __all__ = [
     "run_clean_documents_batch",
     "run_windowed_aggregation_batch",
     "page_hinkley_stream",
+    "sprt_stream",
     "windowed_event_counts",
 ]

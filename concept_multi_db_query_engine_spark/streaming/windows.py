@@ -387,3 +387,87 @@ def page_hinkley_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sprt_stream(
+    series: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    successes_col: str = "s",
+    trials_col: str = "t",
+):
+    """Streaming twin of ``operators.stats.sprt_test`` — Wald's SPRT is
+    the canonical ONLINE test (its whole point is deciding mid-stream),
+    so the state is just the cumulative nano-quantized LLR plus the
+    first crossing, per series key.  Micro-batches fold in event order
+    (rows sorted by ``idx_col`` within a batch; the feed must deliver
+    non-decreasing ``idx`` across batches per key — the
+    :func:`page_hinkley_stream` contract).  The nano LLR weights are
+    the SAME Python constants the batch operator derives, so the
+    crossing index and decision match it exactly.
+
+    Emits one row per key per micro-batch:
+    (series_key, n_periods, llr_final, decision, crossing_idx).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0 < alpha < 1 and 0 < beta < 1):
+        raise ValueError("alpha/beta must be in (0, 1)")
+    w_s = round(math.log(p1 / p0) * 1e9)
+    w_f = round(math.log((1 - p1) / (1 - p0)) * 1e9)
+    up = round(math.log((1 - beta) / alpha) * 1e9)
+    lo = round(math.log(beta / (1 - alpha)) * 1e9)
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_periods", T.LongType()),
+        T.StructField("llr_final", T.DoubleType()),
+        T.StructField("decision", T.StringType()),
+        T.StructField("crossing_idx", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("llr", T.LongType()),
+        T.StructField("cross", T.LongType()),
+        T.StructField("dec", T.StringType()),
+    ])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, llr, cross, dec = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(idx_col)
+            for idx, s, t in zip(pdf[idx_col], pdf[successes_col],
+                                 pdf[trials_col]):
+                n += 1
+                llr += int(s) * w_s + (int(t) - int(s)) * w_f
+                if cross is None and (llr >= up or llr <= lo):
+                    cross = int(idx)
+                    dec = "accept_h1" if llr >= up else "accept_h0"
+        state.update((n, llr, cross, dec))
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_periods": [n],
+            "llr_final": [llr / 1e9],
+            "decision": [dec or "continue"],
+            "crossing_idx": [cross],
+        })
+
+    return (
+        series.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

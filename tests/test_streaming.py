@@ -1030,3 +1030,66 @@ def test_page_hinkley_stream_matches_batch_across_micro_batches(spark):
         assert got[key] == (
             want["n_periods"], want["ph_micro"], want["peak_idx"]
         ), key
+
+
+def test_sprt_stream_matches_batch_across_micro_batches(spark):
+    """Wald-SPRT streaming twin: the per-key cumulative LLR, decision,
+    and earliest crossing replayed over two ordered micro-batches must
+    equal the batch operator on the same per-key series."""
+    import os
+    import tempfile
+    import time as _time
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    daily = (
+        testdata.load_table(spark, SF_DIR, "events")
+        .groupBy(
+            F.col("event_type").alias("series_key"),
+            F.expr("datediff(CAST(ts AS DATE), DATE '1995-01-01')")
+            .cast("long").alias("idx"),
+        )
+        .agg(
+            F.sum(F.expr("CASE WHEN value > 50 THEN 1 ELSE 0 END"))
+            .cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cut = 1300
+    d = tempfile.mkdtemp(prefix="stream-sprt-")
+    early, late = os.path.join(d, "a"), os.path.join(d, "b")
+    daily.where(F.col("idx") < cut).coalesce(1).write.parquet(early)
+    daily.where(F.col("idx") >= cut).coalesce(1).write.parquet(late)
+    now = _time.time()
+    for root, base in ((early, now - 120), (late, now)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (base, base))
+    src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.sprt_stream(src, p0=0.3, p1=0.5)
+    sw.run_stream_to_memory(plan, "sprt_stream_t", output_mode="update")
+    got = {
+        r["series_key"]: (r["n_periods"], r["decision"],
+                          r["crossing_idx"])
+        for r in spark.sql(
+            """
+            SELECT series_key, n_periods, decision, crossing_idx FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY series_key ORDER BY n_periods DESC) AS rn
+              FROM sprt_stream_t
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    for key in got:
+        want = ops.sprt_test(
+            daily.where(F.col("series_key") == key),
+            "idx", "s", "t", p0=0.3, p1=0.5,
+        ).collect()[0]
+        assert got[key] == (
+            want["n_periods"], want["decision"], want["crossing_idx"]
+        ), key
