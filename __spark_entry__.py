@@ -666,8 +666,10 @@ def _q_dedup_jaccard(spark, sf):
 def _q_dedup_prefix_filter(spark, sf):
     # 0.8 is the realistic near-dup threshold; it also exercises the
     # prefix bound where it bites (short prefixes, tight length filter)
+    # deterministic row order: the gate canon must not depend on
+    # partition arrival (the orders_incremental_state lesson)
     return ops.prefix_filter_pairs(_t(spark, sf, "documents"),
-                                   threshold=0.8)
+                                   threshold=0.8).orderBy("d1", "d2")
 
 
 def _q_dedup_minhash(spark, sf):
@@ -1142,7 +1144,7 @@ def _q_hits(spark, sf):
     edges = ops.knn_graph(emb, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return ops.hits_scores(edges, iterations=4)
+    return ops.hits_scores(edges, iterations=4).orderBy("node")
 
 
 def _q_pagerank_dangling(spark, sf):
@@ -1461,7 +1463,7 @@ def _q_pruning_report(spark, sf):
     return ops.pruning_report(
         base, "o_custkey", "dday", _PRUNE_PROBES,
         bits=8, n_files=64, a_div=64, b_div=16,
-    )
+    ).orderBy("ordering", "probe")
 
 
 def _q_pmi_collocations(spark, sf):
@@ -1889,7 +1891,8 @@ def _q_l_diversity(spark, sf):
         "balance_band",
         F.expr("CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)"))
     return ops.l_diversity_report(
-        cust, ["c_nationkey", "c_mktsegment"], "balance_band", l=3)
+        cust, ["c_nationkey", "c_mktsegment"], "balance_band", l=3
+    ).orderBy("c_nationkey", "c_mktsegment")
 
 
 def _q_burstiness(spark, sf):
