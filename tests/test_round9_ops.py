@@ -10,7 +10,6 @@ closed-form cases."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F

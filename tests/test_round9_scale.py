@@ -19,7 +19,6 @@ Two layers:
 
 from __future__ import annotations
 
-import re
 from decimal import Decimal
 
 import pytest
