@@ -2678,6 +2678,27 @@ def _q_mmd_drift(spark, sf):
     )
 
 
+def _q_cuped(spark, sf):
+    # pre-experiment covariate = the customer's account balance; the
+    # CUPED identity needs no per-row adjustment pass
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "inner"
+    )
+    return ops.cuped_adjusted_effect(
+        joined, "o_totalprice", "c_acctbal",
+        "o_orderpriority = '1-URGENT'",
+    )
+
+
+def _q_ab_proportion(spark, sf):
+    return ops.ab_sample_size_proportion(
+        _t(spark, sf, "orders"),
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+    )
+
+
 def _q_wav_decode(spark, sf):
     # RIFF/PCM codec gate: stdlib-generated WAVs with analytic ground
     # truth (square wave: mean |amp| IS the amplitude) — the real
@@ -2997,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem_poisson_rate": _q_poisson_rate,
             "events_sprt": _q_sprt,
             "orders_mmd_drift": _q_mmd_drift,
+            "orders_cuped": _q_cuped,
+            "orders_ab_proportion_plan": _q_ab_proportion,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -3056,7 +3079,7 @@ _GATE_PRIORITY = [
     'events_nelson_aalen', 'orders_uplift_deciles',
     'orders_propensity_ate', 'dedup_cross_source',
     'multimodal_wav_decode', 'lineitem_poisson_rate', 'events_sprt',
-    'orders_mmd_drift',
+    'orders_mmd_drift', 'orders_cuped', 'orders_ab_proportion_plan',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -4540,6 +4563,99 @@ SELECT n_a, n_b, sigma,
        CAST(CAST(round((2.0 / 8.0) * ({_mmd_diff}) * 1000000.0)
             AS BIGINT) AS DOUBLE) / 1e6 AS mmd2
 FROM feats
+"""
+
+    # textually parallel to operators.stats.cuped_adjusted_effect:
+    # exact DECIMAL(12,4) moments, fixed-shape double projection
+    o["orders_cuped"] = """
+WITH j AS (
+  SELECT CAST(o_totalprice AS DECIMAL(12,4)) AS y,
+         CAST(c_acctbal AS DECIMAL(12,4)) AS x,
+         (o_orderpriority = '1-URGENT') AS t
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+         CAST(CAST(sum(CASE WHEN t THEN y END) AS VARCHAR)
+              AS DOUBLE) AS syt_d,
+         CAST(CAST(sum(CASE WHEN NOT t THEN y END) AS VARCHAR)
+              AS DOUBLE) AS syc_d,
+         CAST(CAST(sum(CASE WHEN t THEN x END) AS VARCHAR)
+              AS DOUBLE) AS sxt_d,
+         CAST(CAST(sum(CASE WHEN NOT t THEN x END) AS VARCHAR)
+              AS DOUBLE) AS sxc_d,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * x) AS VARCHAR)
+              AS DOUBLE) AS sxx_d,
+         CAST(CAST(sum(CAST(x AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS sxy_d,
+         CAST(CAST(sum(CAST(y AS DECIMAL(19,4)) * y) AS VARCHAR)
+              AS DOUBLE) AS syy_d,
+         CAST(count(*) AS DOUBLE) AS n_d
+  FROM j
+)
+SELECT n_t AS n_treat, n_c AS n_ctrl,
+       CAST(CAST(round(((n_d * sxy_d - sx_d * sy_d)
+            / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS theta,
+       CAST(CAST(round((syt_d / nullif(CAST(n_t AS DOUBLE), 0.0)
+            - syc_d / nullif(CAST(n_c AS DOUBLE), 0.0)) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS effect_raw,
+       CAST(CAST(round(((syt_d / nullif(CAST(n_t AS DOUBLE), 0.0)
+            - syc_d / nullif(CAST(n_c AS DOUBLE), 0.0))
+            - ((n_d * sxy_d - sx_d * sy_d)
+               / nullif(n_d * sxx_d - sx_d * sx_d, 0.0))
+              * (sxt_d / nullif(CAST(n_t AS DOUBLE), 0.0)
+                 - sxc_d / nullif(CAST(n_c AS DOUBLE), 0.0)))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS effect_cuped,
+       CAST(CAST(round(((n_d * sxy_d - sx_d * sy_d)
+            * (n_d * sxy_d - sx_d * sy_d)
+            / nullif((n_d * sxx_d - sx_d * sx_d)
+                     * (n_d * syy_d - sy_d * sy_d), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS var_reduction
+FROM m
+"""
+
+    # textually parallel to operators.stats.ab_sample_size_proportion
+    o["orders_ab_proportion_plan"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+              END AS INT)) AS BIGINT) AS k
+  FROM orders WHERE o_orderstatus IS NOT NULL
+)
+SELECT n,
+       CAST(CAST(round((CAST(k AS DOUBLE)
+            / nullif(CAST(n AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS base_rate,
+       CAST(CAST(round(((CAST(k AS DOUBLE)
+            / nullif(CAST(n AS DOUBLE), 0.0))
+            * (1.0 + CAST(100000 AS DOUBLE) / 1000000.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS target_rate,
+       CAST(ceil((CAST(1959964 AS DOUBLE) / 1000000.0
+            + CAST(841621 AS DOUBLE) / 1000000.0)
+            * (CAST(1959964 AS DOUBLE) / 1000000.0
+               + CAST(841621 AS DOUBLE) / 1000000.0)
+            * ((CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))
+               * (1.0 - (CAST(k AS DOUBLE)
+                  / nullif(CAST(n AS DOUBLE), 0.0)))
+               + ((CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))
+                  * (1.0 + CAST(100000 AS DOUBLE) / 1000000.0))
+               * (1.0 - ((CAST(k AS DOUBLE)
+                  / nullif(CAST(n AS DOUBLE), 0.0))
+                  * (1.0 + CAST(100000 AS DOUBLE) / 1000000.0))))
+            / nullif((((CAST(k AS DOUBLE)
+               / nullif(CAST(n AS DOUBLE), 0.0))
+               * (1.0 + CAST(100000 AS DOUBLE) / 1000000.0))
+               - (CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)))
+               * (((CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))
+               * (1.0 + CAST(100000 AS DOUBLE) / 1000000.0))
+               - (CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))),
+               0.0)) AS BIGINT) AS n_per_arm
+FROM m
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture

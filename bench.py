@@ -330,6 +330,8 @@ HEADLINE = [
     "lineitem_poisson_rate",
     "events_sprt",
     "orders_mmd_drift",
+    "orders_cuped",
+    "orders_ab_proportion_plan",
 ]
 
 

@@ -4453,3 +4453,128 @@ def mmd_rff(
         ).cast("double").alias("mmd2"),
     )
 
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    metric_expr: str,
+    covariate_expr: str,
+    treat_expr: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): use a
+    PRE-EXPERIMENT covariate X (last month's spend, baseline activity)
+    to shrink the metric's variance before comparing arms::
+
+        θ  = cov(Y, X) / var(X)          (pooled)
+        Y' = Y − θ·(X − E[X]),  effect = E[Y'|T] − E[Y'|C]
+
+    The workhorse that cuts experiment runtimes ~proportionally to
+    corr(Y, X)² — reported here as ``var_reduction``.
+
+    ONE conditional aggregation computes every pooled and per-arm
+    exact decimal moment (n, ΣX, ΣY, ΣXY, ΣXX, ΣYY per arm); θ, the
+    adjusted effect, and the variance-reduction ratio are a
+    fixed-shape double projection over that single row,
+    micro-quantized.  The adjusted effect equals the raw effect minus
+    ``θ·(E[X|T] − E[X|C])`` — algebraically identical to adjusting
+    every row, with no second scan.  Returns one row: (n_treat,
+    n_ctrl, theta, effect_raw, effect_cuped, var_reduction).
+    """
+    t = F.expr(f"coalesce(CAST(({treat_expr}) AS BOOLEAN), false)")
+    y = _m(metric_expr, dec)
+    x = _m(covariate_expr, dec)
+    m = df.where(
+        f"({metric_expr}) IS NOT NULL AND ({covariate_expr}) IS NOT NULL"
+    ).agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(t, y)).alias("syt"),
+        F.sum(F.when(~t, y)).alias("syc"),
+        F.sum(F.when(t, x)).alias("sxt"),
+        F.sum(F.when(~t, x)).alias("sxc"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    ).select(
+        "n_t", "n_c",
+        (F.col("n_t") + F.col("n_c")).cast("double").alias("n_d"),
+        F.col("n_t").cast("double").alias("nt_d"),
+        F.col("n_c").cast("double").alias("nc_d"),
+        *[F.col(c).cast("double").alias(f"{c}_d")
+          for c in ("syt", "syc", "sxt", "sxc", "sx", "sy", "sxx",
+                    "sxy", "syy")],
+    )
+    theta = ("((n_d * sxy_d - sx_d * sy_d) "
+             "/ nullif(n_d * sxx_d - sx_d * sx_d, 0.0d))")
+    raw = ("(syt_d / nullif(nt_d, 0.0d) - syc_d / nullif(nc_d, 0.0d))")
+    xdiff = ("(sxt_d / nullif(nt_d, 0.0d) "
+             "- sxc_d / nullif(nc_d, 0.0d))")
+    # var reduction = corr(Y,X)^2 (the CUPED identity)
+    corr2 = ("((n_d * sxy_d - sx_d * sy_d) "
+             "* (n_d * sxy_d - sx_d * sy_d) "
+             "/ nullif((n_d * sxx_d - sx_d * sx_d) "
+             "* (n_d * syy_d - sy_d * sy_d), 0.0d))")
+    return m.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.expr(
+            f"CAST(round(({theta}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("theta"),
+        F.expr(
+            f"CAST(round(({raw}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("effect_raw"),
+        F.expr(
+            f"CAST(round((({raw}) - ({theta}) * ({xdiff})) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("effect_cuped"),
+        F.expr(
+            f"CAST(round(({corr2}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("var_reduction"),
+    )
+
+
+def ab_sample_size_proportion(
+    df: DataFrame,
+    success_expr: str,
+    mde_pct_micro: int = 100_000,
+    z_alpha_micro: int = 1_959_964,
+    z_beta_micro: int = 841_621,
+) -> DataFrame:
+    """A/B sample-size planner for PROPORTIONS — the conversion-rate
+    sibling of :func:`ab_sample_size` (which plans for means): from the
+    observed base rate p̂, the per-arm n to detect a relative lift of
+    ``mde_pct_micro`` (micro-units, 100_000 = +10%) at the given
+    normal quantiles (defaults: α = .05 two-sided, power = .8)::
+
+        n = (z_α + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₂ − p₁)²
+
+    ONE exact-count aggregate; the plan is a fixed-order double
+    projection, micro-quantized.  Returns one row: (n, base_rate,
+    target_rate, n_per_arm).
+    """
+    m = df.where(f"({success_expr}) IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(sum(CAST(({success_expr}) AS INT)) AS BIGINT)")
+        .alias("k"),
+    )
+    p1 = "(CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0d))"
+    p2 = (f"({p1} * (1.0d + CAST({mde_pct_micro} AS DOUBLE) "
+          "/ 1000000.0d))")
+    z = (f"(CAST({z_alpha_micro} AS DOUBLE) / 1000000.0d "
+         f"+ CAST({z_beta_micro} AS DOUBLE) / 1000000.0d)")
+    n_arm = (f"(({z}) * ({z}) * ({p1} * (1.0d - {p1}) "
+             f"+ ({p2}) * (1.0d - ({p2}))) "
+             f"/ nullif((({p2}) - {p1}) * (({p2}) - {p1}), 0.0d))")
+    return m.select(
+        "n",
+        F.expr(
+            f"CAST(round({p1} * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("base_rate"),
+        F.expr(
+            f"CAST(round(({p2}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("target_rate"),
+        F.expr(f"CAST(ceil({n_arm}) AS BIGINT)").alias("n_per_arm"),
+    )

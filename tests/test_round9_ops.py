@@ -520,3 +520,56 @@ class TestMmdRff:
         df = spark.createDataFrame([("a", 1.0)], "g string, v double")
         r = ops.mmd_rff(df, "v", "g", "a", "b").collect()[0]
         assert r["mmd2"] is None
+
+
+class TestCuped:
+    def test_covariate_imbalance_removed(self, spark):
+        import random
+        random.seed(29)
+        # true effect 3.0; treated arm accidentally drew higher-X users
+        rows = []
+        for i in range(800):
+            t = i % 2 == 0
+            x = random.gauss(55 if t else 45, 8)
+            y = 0.8 * x + random.gauss(0, 4) + (3.0 if t else 0.0)
+            rows.append((round(y, 4), round(x, 4), t))
+        df = spark.createDataFrame(rows, "y double, x double, t boolean")
+        r = ops.cuped_adjusted_effect(df, "y", "x", "t").collect()[0]
+        # the raw read absorbs the 0.8*10 imbalance (~+8); CUPED strips
+        # it back toward the true 3.0
+        assert abs(r["effect_raw"] - 11.0) < 2.0
+        assert abs(r["effect_cuped"] - 3.0) < 1.5
+        assert r["var_reduction"] > 0.5
+
+    def test_uncorrelated_covariate_changes_nothing_much(self, spark):
+        import random
+        random.seed(37)
+        rows = [(round(random.gauss(10, 2), 4),
+                 round(random.gauss(0, 1), 4), i % 2 == 0)
+                for i in range(600)]
+        df = spark.createDataFrame(rows, "y double, x double, t boolean")
+        r = ops.cuped_adjusted_effect(df, "y", "x", "t").collect()[0]
+        assert r["var_reduction"] < 0.05
+        assert abs(r["effect_cuped"] - r["effect_raw"]) < 0.5
+
+
+class TestAbSampleSizeProportion:
+    def test_textbook_case(self, spark):
+        # p=0.2, +10% relative -> p2=0.22: n = z^2*(p1q1+p2q2)/0.02^2
+        import math
+        rows = [(1,)] * 200 + [(0,)] * 800
+        df = spark.createDataFrame(rows, "s int")
+        r = ops.ab_sample_size_proportion(df, "s").collect()[0]
+        z = 1.959964 + 0.841621
+        want = math.ceil(z * z * (0.2 * 0.8 + 0.22 * 0.78) / 0.02 ** 2)
+        assert r["n_per_arm"] == want
+        assert r["base_rate"] == 0.2 and r["target_rate"] == 0.22
+
+    def test_smaller_mde_needs_more_samples(self, spark):
+        rows = [(1,)] * 100 + [(0,)] * 900
+        df = spark.createDataFrame(rows, "s int")
+        big = ops.ab_sample_size_proportion(
+            df, "s", mde_pct_micro=200_000).collect()[0]["n_per_arm"]
+        small = ops.ab_sample_size_proportion(
+            df, "s", mde_pct_micro=50_000).collect()[0]["n_per_arm"]
+        assert small > 10 * big
