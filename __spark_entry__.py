@@ -2699,6 +2699,21 @@ def _q_ab_proportion(spark, sf):
     )
 
 
+def _q_brown_forsythe(spark, sf):
+    return ops.brown_forsythe(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_srm(spark, sf):
+    # declared design 50/50 F vs O; the real table also holds P rows,
+    # which surface as the unexpected-arm NULL row (they ARE the SRM)
+    return ops.srm_check(
+        _t(spark, sf, "orders"), "o_orderstatus",
+        {"F": 0.5, "O": 0.5},
+    )
+
+
 def _q_wav_decode(spark, sf):
     # RIFF/PCM codec gate: stdlib-generated WAVs with analytic ground
     # truth (square wave: mean |amp| IS the amplitude) — the real
@@ -3020,6 +3035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_mmd_drift": _q_mmd_drift,
             "orders_cuped": _q_cuped,
             "orders_ab_proportion_plan": _q_ab_proportion,
+            "orders_brown_forsythe": _q_brown_forsythe,
+            "orders_srm_check": _q_srm,
         }
     )
     # Gate-priority ordering: the driver's correctness gate graded exactly
@@ -3080,6 +3097,7 @@ _GATE_PRIORITY = [
     'orders_propensity_ate', 'dedup_cross_source',
     'multimodal_wav_decode', 'lineitem_poisson_rate', 'events_sprt',
     'orders_mmd_drift', 'orders_cuped', 'orders_ab_proportion_plan',
+    'orders_brown_forsythe', 'orders_srm_check',
     'embeddings_margin_pairs',
     'events_ab_sample_size', 'orders_bloom_prefilter',
     'orders_upsert_compaction', 'events_sliding_distinct_kmv',
@@ -4656,6 +4674,102 @@ SELECT n,
                - (CAST(k AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0))),
                0.0)) AS BIGINT) AS n_per_arm
 FROM m
+"""
+
+    # textually parallel to operators.stats.brown_forsythe: per-group
+    # quantile_cont medians (rounded 4, the dgq convention), micro-
+    # quantized absolute deviations, then the ANOVA oracle shape
+    o["orders_brown_forsythe"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+med AS (
+  SELECT grp, round(quantile_cont(v, 0.5), 4) AS m
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT base.grp,
+         CAST(CAST(CAST(round(abs(v - m) * 1000000.0) AS BIGINT)
+              AS DOUBLE) / 1e6 AS DECIMAL(12,4)) AS z
+  FROM base JOIN med ON base.grp = med.grp
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         sum(z) AS s_g,
+         sum(CAST(z AS DECIMAL(19,4)) * z) AS q_g
+  FROM dev GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS DOUBLE) AS n_d,
+         CAST(count(*) AS DOUBLE) AS k_d,
+         CAST(CAST(sum(s_g) AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(sum(q_g) AS VARCHAR) AS DOUBLE) AS q_d,
+         CAST(CAST(sum(CAST(round(CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS sq_d
+  FROM g
+)
+SELECT n, k,
+  CAST(CAST(round(sq_d - s_d * s_d / n_d) AS BIGINT) AS DOUBLE) AS ssb,
+  CAST(CAST(round(q_d - sq_d) AS BIGINT) AS DOUBLE) AS ssw,
+  CAST(CAST(round((((sq_d - s_d * s_d / n_d)
+       / nullif(k_d - 1.0, 0.0))
+       / nullif((q_d - sq_d) / nullif(n_d - k_d, 0.0), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS f_stat,
+  CAST(CAST(round((sq_d - s_d * s_d / n_d)
+       / nullif(q_d - s_d * s_d / n_d, 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS eta_sq
+FROM m
+"""
+
+    # textually parallel to operators.stats.srm_check (design 50/50
+    # F/O; the table's P rows surface as the NULL-expectation arm)
+    o["orders_srm_check"] = """
+WITH counts AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS arm,
+         CAST(count(*) AS BIGINT) AS n_observed
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_observed) AS BIGINT) AS n FROM counts),
+staged AS (
+  SELECT arm, n_observed,
+         CASE WHEN arm = 'F' THEN 0.5 WHEN arm = 'O' THEN 0.5
+              ELSE CAST(NULL AS DOUBLE) END AS expected_share,
+         n
+  FROM counts CROSS JOIN tot
+),
+chi AS (
+  SELECT CAST(sum(CASE WHEN expected_share IS NULL
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((CAST(n_observed AS DOUBLE)
+                - expected_share * CAST(n AS DOUBLE))
+                * (CAST(n_observed AS DOUBLE)
+                   - expected_share * CAST(n AS DOUBLE))
+                / nullif(expected_share * CAST(n AS DOUBLE), 0.0)
+                * 1000000.0) AS BIGINT) END) AS BIGINT) AS chi_micro,
+         CAST(sum(CASE WHEN expected_share IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS k_known
+  FROM staged
+)
+SELECT arm, n_observed, expected_share,
+       CAST(CAST(round(expected_share * CAST(n AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS n_expected,
+       CAST(CAST(round((CAST(n_observed AS DOUBLE)
+            - expected_share * CAST(n AS DOUBLE))
+            / nullif(sqrt(expected_share * CAST(n AS DOUBLE)
+              * (1.0 - expected_share)), 0.0) * 1000000.0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS residual_z,
+       CAST(chi_micro AS DOUBLE) / 1e6 AS chi2_total,
+       CAST(k_known - 1 AS BIGINT) AS df_total
+FROM staged CROSS JOIN chi
+ORDER BY arm
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture

@@ -332,6 +332,8 @@ HEADLINE = [
     "orders_mmd_drift",
     "orders_cuped",
     "orders_ab_proportion_plan",
+    "orders_brown_forsythe",
+    "orders_srm_check",
 ]
 
 

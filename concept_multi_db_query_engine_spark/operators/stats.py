@@ -4578,3 +4578,127 @@ def ab_sample_size_proportion(
         ).cast("double").alias("target_rate"),
         F.expr(f"CAST(ceil({n_arm}) AS BIGINT)").alias("n_per_arm"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe test for equality of VARIANCES across k groups —
+    Levene's test with median centers (the robust variant): the
+    homoscedasticity check to run before trusting :func:`one_way_anova`
+    (whose F assumes equal variances) on skewed money/latency columns.
+    The statistic is literally a one-way ANOVA F over the absolute
+    deviations ``z = |x − median_g|``.
+
+    Per-group medians are EXACT interpolation quantiles via
+    ``analytics.distributed_group_quantiles`` (parallel at any scale),
+    broadcast back onto the fact frame; the deviations then flow
+    through the exact-decimal ANOVA moment pass (micro-quantized
+    deviations — the shared discipline).  Returns one row: (n, k, ssb,
+    ssw, f_stat, eta_sq) — the :func:`one_way_anova` output shape over
+    the deviation frame.
+    """
+    from .analytics import distributed_group_quantiles
+
+    base = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({group_col}) AS STRING)").alias("__g"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("__v"),
+    )
+    med = distributed_group_quantiles(base, "__g", "__v", [0.5]) \
+        .select(F.col("__g"), F.col("q0").alias("__med"))
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.expr(
+            "CAST(CAST(round(abs(__v - __med) * 1000000.0d) AS BIGINT)"
+            " AS DOUBLE) / 1e6"
+        ).alias("__z"),
+    )
+    return one_way_anova(dev, "__g", "__z")
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_shares: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019): the FIRST
+    thing to read on any experiment dashboard — a chi-square of the
+    observed arm counts against the design's expected shares.  An SRM
+    (z far from 0, here |z| of the per-arm standardized residual and
+    the pooled chi²) means the assignment/logging pipeline is broken
+    and every downstream metric read is invalid.
+
+    ONE exact-count aggregate over the assignment frame; per-arm
+    expected counts and residuals are a fixed-order double projection
+    over the k-row arm frame (expected shares broadcast as literals),
+    micro-quantized.  Arms observed but not in ``expected_shares`` get
+    NULL expectations (they ARE the mismatch).  Returns one row per
+    arm plus the pooled statistic columns repeated: (arm, n_observed,
+    expected_share, n_expected, residual_z, chi2_total, df_total),
+    ordered by arm.
+    """
+    if not expected_shares:
+        raise ValueError("expected_shares must be non-empty")
+    total_share = sum(expected_shares.values())
+    if not 0.999999 <= total_share <= 1.000001:
+        raise ValueError(
+            f"expected_shares must sum to 1 (got {total_share})"
+        )
+    counts = (
+        df.where(f"({arm_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({arm_col}) AS STRING)").alias("arm"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_observed"))
+    )
+    share_map = F.create_map(
+        *[F.lit(v) for kv in expected_shares.items() for v in kv]
+    )
+    tot = counts.agg(F.sum("n_observed").cast("long").alias("__n"))
+    staged = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_share",
+        F.element_at(share_map, F.col("arm")).cast("double"),
+    ).withColumn(
+        "n_expected",
+        F.expr(
+            "CAST(round(expected_share * CAST(__n AS DOUBLE) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double"),
+    ).withColumn(
+        "residual_z",
+        F.expr(
+            "CAST(round((CAST(n_observed AS DOUBLE) "
+            "- expected_share * CAST(__n AS DOUBLE)) "
+            "/ nullif(sqrt(expected_share * CAST(__n AS DOUBLE) "
+            "* (1.0d - expected_share)), 0.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double"),
+    )
+    chi = staged.agg(
+        F.sum(F.expr(
+            "CASE WHEN expected_share IS NULL THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(round((CAST(n_observed AS DOUBLE) "
+            "- expected_share * CAST(__n AS DOUBLE)) "
+            "* (CAST(n_observed AS DOUBLE) "
+            "- expected_share * CAST(__n AS DOUBLE)) "
+            "/ nullif(expected_share * CAST(__n AS DOUBLE), 0.0d) "
+            "* 1000000.0d) AS BIGINT) END"
+        )).cast("long").alias("__chi_micro"),
+        F.sum(F.expr(
+            "CASE WHEN expected_share IS NULL THEN 0 ELSE 1 END"
+        )).cast("long").alias("__k_known"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(chi))
+        .select(
+            "arm", "n_observed", "expected_share", "n_expected",
+            "residual_z",
+            (F.col("__chi_micro").cast("double") / 1e6)
+            .alias("chi2_total"),
+            (F.col("__k_known") - F.lit(1)).cast("long")
+            .alias("df_total"),
+        )
+        .orderBy("arm")
+    )

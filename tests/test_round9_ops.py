@@ -573,3 +573,52 @@ class TestAbSampleSizeProportion:
         small = ops.ab_sample_size_proportion(
             df, "s", mde_pct_micro=50_000).collect()[0]["n_per_arm"]
         assert small > 10 * big
+
+
+class TestBrownForsythe:
+    def test_unequal_variances_flagged(self, spark):
+        import random
+        random.seed(43)
+        rows = [("tight", round(random.gauss(10, 1), 4))
+                for _ in range(200)]
+        rows += [("wide", round(random.gauss(10, 6), 4))
+                 for _ in range(200)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.brown_forsythe(df, "g", "v").collect()[0]
+        assert r["f_stat"] > 50.0 and r["k"] == 2
+
+    def test_equal_variances_small_f(self, spark):
+        import random
+        random.seed(47)
+        rows = [(g, round(random.gauss(0, 2), 4))
+                for g in ("a", "b") for _ in range(200)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.brown_forsythe(df, "g", "v").collect()[0]
+        assert r["f_stat"] < 4.0
+
+
+class TestSrmCheck:
+    def test_balanced_split_passes(self, spark):
+        rows = [("t",)] * 500 + [("c",)] * 500
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in
+               ops.srm_check(df, "arm", {"t": 0.5, "c": 0.5}).collect()}
+        assert out["t"]["residual_z"] == 0.0
+        assert out["t"]["chi2_total"] == 0.0
+        assert out["t"]["df_total"] == 1
+
+    def test_mismatch_and_unexpected_arm(self, spark):
+        rows = [("t",)] * 600 + [("c",)] * 390 + [("zzz",)] * 10
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in
+               ops.srm_check(df, "arm", {"t": 0.5, "c": 0.5}).collect()}
+        assert out["t"]["residual_z"] > 3.0
+        assert out["zzz"]["expected_share"] is None
+        assert out["zzz"]["residual_z"] is None
+
+    def test_shares_validated(self, spark):
+        df = spark.createDataFrame([("t",)], "arm string")
+        with pytest.raises(ValueError):
+            ops.srm_check(df, "arm", {"t": 0.6, "c": 0.6})
+        with pytest.raises(ValueError):
+            ops.srm_check(df, "arm", {})
