@@ -320,7 +320,7 @@ def test_masked_sql_only_intent_reproduces_builder_masking(ch_engine, duck):
 # SQL on DuckDB — the CH twin of the pg/trino random-DSL fuzzes.
 # ---------------------------------------------------------------------------
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 
 from concept_multi_db_query_engine_spark import testdata as td
 from concept_multi_db_query_engine_spark.sources import (
@@ -380,7 +380,15 @@ def test_random_dsl_ch_execution_parity(ch_testdata_engine, duck_testdata,
     sql_res = eng.query({**defn, "executeMode": "sql-only"})
     assert sql_res["meta"]["dialect"] == "clickhouse"
     translated = ch_to_duckdb(sql_res["sql"])
-    cur = duck_testdata.execute(translated, sql_res["params"])
+    try:
+        cur = duck_testdata.execute(translated, sql_res["params"])
+    except duckdb.InvalidInputException as exc:
+        # DuckDB 1.0's LIKE-prefix range pushdown increments the
+        # pattern prefix's last BYTE; invalid-UTF-8 landings error in
+        # the ORACLE on patterns the engine executes fine — harness
+        # limitation, not engine behavior under test.
+        assume("Invalid unicode" not in str(exc))
+        raise
     cols = [d[0] for d in cur.description]
     via_ch = sorted(
         tuple(_canon_val(v) for v in row) for row in cur.fetchall()

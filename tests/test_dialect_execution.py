@@ -314,7 +314,7 @@ def test_dsl_pg_sql_executes_on_duckdb(pg_testdata_engine, duck_testdata,
 # operator/group/join/agg combinations nobody hand-picked.
 # ---------------------------------------------------------------------------
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 
 from tests.test_builder_fuzz import _any_defn
 
@@ -332,7 +332,15 @@ def test_random_dsl_pg_execution_parity(pg_testdata_engine, duck_testdata,
         return  # validation-rejected shapes are covered by the compile fuzz
     sql_res = eng.query({**defn, "executeMode": "sql-only"})
     assert sql_res["meta"]["dialect"] == "postgres"
-    cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    try:
+        cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    except duckdb.InvalidInputException as exc:
+        # DuckDB 1.0's LIKE-prefix range pushdown increments the
+        # pattern prefix's last BYTE; invalid-UTF-8 landings error in
+        # the ORACLE on patterns the engine executes fine — harness
+        # limitation, not engine behavior under test.
+        assume("Invalid unicode" not in str(exc))
+        raise
     cols = [d[0] for d in cur.description]
     via_pg = sorted(
         tuple(_canon_val(v) for v in row) for row in cur.fetchall()

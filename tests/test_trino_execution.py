@@ -384,7 +384,7 @@ def test_null_fk_does_not_poison_not_in(duck):
 # twin of the pg fuzz in test_dialect_execution.py.
 # ---------------------------------------------------------------------------
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 
 from concept_multi_db_query_engine_spark import testdata as td
 from concept_multi_db_query_engine_spark.sources import (
@@ -444,7 +444,16 @@ def test_random_dsl_trino_execution_parity(trino_testdata_engine,
         return
     sql_res = eng.query({**defn, "executeMode": "sql-only"})
     assert sql_res["meta"]["dialect"] == "trino"
-    cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    try:
+        cur = duck_testdata.execute(sql_res["sql"], sql_res["params"])
+    except duckdb.InvalidInputException as exc:
+        # DuckDB 1.0's LIKE-prefix range pushdown increments the
+        # pattern prefix's last BYTE; when that lands on an invalid
+        # UTF-8 sequence (0x7f -> 0x80, 0xBF -> 0xC0, ...) the ORACLE
+        # errors on a pattern the engine itself executes fine — an
+        # oracle-harness limitation, not engine behavior under test.
+        assume("Invalid unicode" not in str(exc))
+        raise
     cols = [d[0] for d in cur.description]
     via_trino = sorted(
         tuple(_canon_val(v) for v in row) for row in cur.fetchall()
