@@ -471,3 +471,264 @@ def sprt_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cuped_monitor_stream(
+    assignments: DataFrame,
+    key_col: str = "series_key",
+    metric_col: str = "y",
+    covariate_col: str = "x",
+    treat_col: str = "t",
+):
+    """Streaming twin of ``operators.stats.cuped_adjusted_effect`` — the
+    always-on experiment monitor the batch operator implies: CUPED's
+    entire input is eleven algebraic moments (per-arm counts and sums,
+    pooled cross-moments), so the per-experiment state is exactly those
+    sums and every micro-batch folds in O(rows).  Arrival order is
+    irrelevant (sums commute) — unlike the PH/SPRT twins no ordered-feed
+    contract is needed.
+
+    Bit-equality with the batch operator comes from mirroring its
+    numeric path: each metric/covariate value is quantized to the same
+    DECIMAL(12,4) lattice (scale-4 integers, HALF_UP = half-away, the
+    Spark decimal-cast rule), moment sums are exact integers carried as
+    STRINGS in the state (x·x of a 12,4 decimal overflows int64; Python
+    ints are unbounded, the string column just serializes them), and
+    the final (theta, effects, var_reduction) projection re-evaluates
+    the batch operator's fixed-order IEEE double expressions with the
+    same micro rounding.
+
+    Emits one row per key per micro-batch: (series_key, n_treat,
+    n_ctrl, theta, effect_raw, effect_cuped, var_reduction) — the
+    latest row per key equals the batch operator's one-row result on
+    the same assignment frame.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_treat", T.LongType()),
+        T.StructField("n_ctrl", T.LongType()),
+        T.StructField("theta", T.DoubleType()),
+        T.StructField("effect_raw", T.DoubleType()),
+        T.StructField("effect_cuped", T.DoubleType()),
+        T.StructField("var_reduction", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_t", T.LongType()),
+        T.StructField("n_c", T.LongType()),
+        T.StructField("sums", T.StringType()),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        if state.exists:
+            n_t, n_c, blob = state.get
+            syt, syc, sxt, sxc, sx, sy, sxx, sxy, syy = (
+                int(p) for p in blob.split(",")
+            )
+        else:
+            n_t = n_c = 0
+            syt = syc = sxt = sxc = sx = sy = sxx = sxy = syy = 0
+        for pdf in pdfs:
+            for yv, xv, tv in zip(
+                pdf[metric_col], pdf[covariate_col], pdf[treat_col]
+            ):
+                if yv is None or xv is None or (
+                    isinstance(yv, float) and math.isnan(yv)
+                ) or (isinstance(xv, float) and math.isnan(xv)):
+                    continue
+                yq = half_away(float(yv) * 10000.0)
+                xq = half_away(float(xv) * 10000.0)
+                t = bool(tv) if tv is not None else False
+                if t:
+                    n_t += 1
+                    syt += yq
+                    sxt += xq
+                else:
+                    n_c += 1
+                    syc += yq
+                    sxc += xq
+                sx += xq
+                sy += yq
+                sxx += xq * xq
+                sxy += xq * yq
+                syy += yq * yq
+        state.update((n_t, n_c, ",".join(
+            str(v) for v in (syt, syc, sxt, sxc, sx, sy, sxx, sxy, syy)
+        )))
+        # the batch operator's double projection, re-evaluated in the
+        # same operation order over the same correctly-rounded casts
+        n_d = float(n_t + n_c)
+        nt_d, nc_d = float(n_t), float(n_c)
+        syt_d, syc_d = syt / 1e4, syc / 1e4
+        sxt_d, sxc_d = sxt / 1e4, sxc / 1e4
+        sx_d, sy_d = sx / 1e4, sy / 1e4
+        sxx_d, sxy_d, syy_d = sxx / 1e8, sxy / 1e8, syy / 1e8
+
+        def q6(v):
+            return None if v is None else half_away(v * 1000000.0) / 1e6
+
+        den_t = n_d * sxx_d - sx_d * sx_d
+        theta = (
+            None if den_t == 0.0
+            else (n_d * sxy_d - sx_d * sy_d) / den_t
+        )
+        raw = (
+            None if (nt_d == 0.0 or nc_d == 0.0)
+            else syt_d / nt_d - syc_d / nc_d
+        )
+        xdiff = (
+            None if (nt_d == 0.0 or nc_d == 0.0)
+            else sxt_d / nt_d - sxc_d / nc_d
+        )
+        den_c = den_t * (n_d * syy_d - sy_d * sy_d)
+        corr2 = (
+            None if den_c == 0.0
+            else (n_d * sxy_d - sx_d * sy_d)
+            * (n_d * sxy_d - sx_d * sy_d) / den_c
+        )
+        cuped = (
+            None if (raw is None or theta is None or xdiff is None)
+            else raw - theta * xdiff
+        )
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_treat": [n_t],
+            "n_ctrl": [n_c],
+            "theta": [q6(theta)],
+            "effect_raw": [q6(raw)],
+            "effect_cuped": [q6(cuped)],
+            "var_reduction": [q6(corr2)],
+        })
+
+    return (
+        assignments.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def srm_monitor_stream(
+    assignments: DataFrame,
+    expected_shares: dict,
+    key_col: str = "series_key",
+    arm_col: str = "arm",
+):
+    """Streaming twin of ``operators.stats.srm_check`` — sample-ratio
+    mismatch is THE metric to watch live (an SRM invalidates the
+    experiment the moment it appears, waiting for the nightly batch
+    wastes a day of traffic).  Per-experiment state is just the
+    observed count per arm, carried as parallel (arms, counts) arrays;
+    counts commute so there is no ordered-feed contract.
+
+    Every micro-batch re-emits the batch operator's full per-arm
+    report — (arm, n_observed, expected_share, n_expected, residual_z,
+    chi2_total, df_total), arm-ordered — recomputed from the updated
+    counts with the batch twin's exact double path (fixed-order
+    expressions, micro rounding, NULL expectations for arms outside
+    the declared design: they ARE the mismatch).  The latest emission
+    per key equals ``srm_check`` on all rows seen so far.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not expected_shares:
+        raise ValueError("expected_shares must be non-empty")
+    total_share = sum(expected_shares.values())
+    if not 0.999999 <= total_share <= 1.000001:
+        raise ValueError(
+            f"expected_shares must sum to 1 (got {total_share})"
+        )
+    shares = dict(expected_shares)
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("arm", T.StringType()),
+        T.StructField("n_observed", T.LongType()),
+        T.StructField("expected_share", T.DoubleType()),
+        T.StructField("n_expected", T.DoubleType()),
+        T.StructField("residual_z", T.DoubleType()),
+        T.StructField("chi2_total", T.DoubleType()),
+        T.StructField("df_total", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("arms", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        counts: dict = {}
+        if state.exists:
+            arms, ns = state.get
+            counts = dict(zip(list(arms), [int(n) for n in ns]))
+        for pdf in pdfs:
+            for arm in pdf[arm_col]:
+                if arm is None:
+                    continue
+                a = str(arm)
+                counts[a] = counts.get(a, 0) + 1
+        items = sorted(counts.items())
+        state.update((
+            [a for a, _ in items], [n for _, n in items],
+        ))
+        n_d = float(sum(counts.values()))
+        chi_micro = 0
+        k_known = 0
+        rows = []
+        for a, n_obs in items:
+            share = shares.get(a)
+            if share is None:
+                rows.append((a, n_obs, None, None, None))
+                continue
+            share = float(share)
+            k_known += 1
+            n_exp = half_away(share * n_d * 1000000.0) / 1e6
+            den = math.sqrt(share * n_d * (1.0 - share))
+            rz = (
+                None if den == 0.0
+                else half_away(
+                    (float(n_obs) - share * n_d) / den * 1000000.0
+                ) / 1e6
+            )
+            if share * n_d != 0.0:
+                chi_micro += half_away(
+                    (float(n_obs) - share * n_d)
+                    * (float(n_obs) - share * n_d)
+                    / (share * n_d) * 1000000.0
+                )
+            rows.append((a, n_obs, share, n_exp, rz))
+        chi2 = chi_micro / 1e6
+        df_total = k_known - 1
+        yield pd.DataFrame({
+            "series_key": [str(key[0])] * len(rows),
+            "arm": [r[0] for r in rows],
+            "n_observed": [r[1] for r in rows],
+            "expected_share": [r[2] for r in rows],
+            "n_expected": [r[3] for r in rows],
+            "residual_z": [r[4] for r in rows],
+            "chi2_total": [chi2] * len(rows),
+            "df_total": [df_total] * len(rows),
+        })
+
+    return (
+        assignments.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

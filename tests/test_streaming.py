@@ -1093,3 +1093,126 @@ def test_sprt_stream_matches_batch_across_micro_batches(spark):
         assert got[key] == (
             want["n_periods"], want["decision"], want["crossing_idx"]
         ), key
+
+
+def test_cuped_monitor_stream_matches_batch_across_micro_batches(spark):
+    """CUPED streaming twin: the eleven-moment state folded over two
+    micro-batches must land bit-exactly on the batch operator's one-row
+    (theta, effects, var_reduction) over the same assignment frame —
+    sums commute, so no ordered-feed contract applies."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    cust = testdata.load_table(spark, SF_DIR, "customer") \
+        .select("c_custkey", "c_acctbal")
+    frame = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("o_orderstatus").alias("series_key"),
+            F.col("o_totalprice").cast("double").alias("y"),
+            F.col("c_acctbal").cast("double").alias("x"),
+            F.expr("o_orderpriority = '1-URGENT'").alias("t"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = tempfile.mkdtemp(prefix="stream-cuped-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.cuped_monitor_stream(src)
+    sw.run_stream_to_memory(plan, "cuped_stream_t", output_mode="update")
+    got = {
+        r["series_key"]: (
+            r["n_treat"], r["n_ctrl"], r["theta"], r["effect_raw"],
+            r["effect_cuped"], r["var_reduction"],
+        )
+        for r in spark.sql(
+            """
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY series_key
+                ORDER BY n_treat + n_ctrl DESC) AS rn
+              FROM cuped_stream_t
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert len(got) >= 2
+    for key in got:
+        want = ops.cuped_adjusted_effect(
+            frame.where(F.col("series_key") == key),
+            "y", "x", "t",
+        ).collect()[0]
+        assert got[key] == (
+            want["n_treat"], want["n_ctrl"], want["theta"],
+            want["effect_raw"], want["effect_cuped"],
+            want["var_reduction"],
+        ), key
+
+
+def test_srm_monitor_stream_matches_batch_across_micro_batches(spark):
+    """SRM streaming twin: per-arm counts folded over two micro-batches
+    must re-emit exactly the batch srm_check report — including the
+    NULL-expectation row for the arm outside the declared design."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    frame = orders.select(
+        F.lit("exp1").alias("series_key"),
+        F.col("o_orderstatus").alias("arm"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="stream-srm-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    shares = {"F": 0.5, "O": 0.5}
+    plan = sw.srm_monitor_stream(src, shares)
+    sw.run_stream_to_memory(plan, "srm_stream_t", output_mode="update")
+    latest = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT *, max(n_observed) OVER (PARTITION BY arm) AS mx,
+                 row_number() OVER (
+                   PARTITION BY arm ORDER BY n_observed DESC) AS rn
+          FROM srm_stream_t
+        ) WHERE rn = 1
+        ORDER BY arm
+        """
+    ).collect()
+    # the per-arm "latest" rows all come from the final micro-batch
+    # (every emission rewrites every arm), so totals are consistent
+    got = [
+        (r["arm"], r["n_observed"], r["expected_share"],
+         r["n_expected"], r["residual_z"], r["chi2_total"],
+         r["df_total"])
+        for r in latest
+    ]
+    want = [
+        (r["arm"], r["n_observed"], r["expected_share"],
+         r["n_expected"], r["residual_z"], r["chi2_total"],
+         r["df_total"])
+        for r in ops.srm_check(
+            frame, "arm", shares
+        ).collect()
+    ]
+    assert got == want
