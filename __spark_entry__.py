@@ -2742,6 +2742,45 @@ def _q_bbit_minhash(spark, sf):
     )
 
 
+# ---- round-10 wave: distribution-shape, post-hoc, and agreement stats
+
+
+def _q_jarque_bera(spark, sf):
+    return ops.jarque_bera(_t(spark, sf, "orders"), "o_totalprice")
+
+
+def _q_welch_anova(spark, sf):
+    return ops.welch_anova(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_tukey_hsd(spark, sf):
+    return ops.tukey_hsd(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_partial_correlation(spark, sf):
+    # is price <-> discount association real once quantity is held
+    # fixed? (extendedprice is quantity-driven by construction)
+    return ops.partial_correlation(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+
+
+def _q_point_biserial(spark, sf):
+    return ops.point_biserial(
+        _t(spark, sf, "orders"),
+        "o_orderpriority = '1-URGENT'", "o_totalprice",
+    )
+
+
+def _q_grubbs(spark, sf):
+    return ops.grubbs_test(_t(spark, sf, "orders"), "o_totalprice")
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3095,6 +3134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_ab_proportion_plan": _q_ab_proportion,
             "orders_brown_forsythe": _q_brown_forsythe,
             "orders_srm_check": _q_srm,
+            "orders_jarque_bera": _q_jarque_bera,
+            "orders_welch_anova": _q_welch_anova,
+            "orders_tukey_hsd": _q_tukey_hsd,
+            "lineitem_partial_correlation": _q_partial_correlation,
+            "orders_point_biserial": _q_point_biserial,
+            "orders_grubbs": _q_grubbs,
         }
     )
     for name in _ORDER_PIN:
@@ -4758,6 +4803,289 @@ SELECT arm, n_observed, expected_share,
        CAST(k_known - 1 AS BIGINT) AS df_total
 FROM staged CROSS JOIN chi
 ORDER BY arm
+"""
+
+    # round-10 wave: distribution shape / post-hoc / agreement stats.
+    # Shared discipline: exact integer or decimal moments (DECIMAL(38,0)
+    # rendered through VARCHAR — the string parse is correctly rounded
+    # where the engines' direct int128→double casts are not), then the
+    # IDENTICAL fixed-order double expression text as the Spark side,
+    # micro-quantized.
+    o["orders_jarque_bera"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0))
+           AS s2,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq * xq)
+              AS DECIMAL(38,0)) AS s3,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq * xq * xq)
+              AS DECIMAL(38,0)) AS s4
+  FROM (SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+               AS BIGINT) AS xq
+        FROM orders WHERE o_totalprice IS NOT NULL)
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1_d,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2_d,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3_d,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4_d
+  FROM m
+), c AS (
+  SELECT n, n_d,
+         (s1_d / n_d) AS mu, s1_d, s2_d, s3_d, s4_d
+  FROM d
+), cm AS (
+  SELECT n, n_d,
+         (s2_d / n_d - mu * mu) AS m2,
+         (s3_d / n_d - 3.0 * mu * (s2_d / n_d)
+          + 2.0 * mu * mu * mu) AS m3,
+         (s4_d / n_d - 4.0 * mu * (s3_d / n_d)
+          + 6.0 * mu * mu * (s2_d / n_d)
+          - 3.0 * mu * mu * mu * mu) AS m4
+  FROM c
+), st AS (
+  SELECT n, n_d,
+         (m3 / nullif(sqrt(m2) * m2, 0.0)) AS skew,
+         (m4 / nullif(m2 * m2, 0.0) - 3.0) AS exk
+  FROM cm
+)
+SELECT n,
+  CAST(CAST(round(skew * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS skewness,
+  CAST(CAST(round(exk * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS ex_kurtosis,
+  CAST(CAST(round((n_d / 6.0 * (skew * skew + exk * exk / 4.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS jb_stat
+FROM st
+"""
+
+    o["orders_welch_anova"] = """
+WITH g AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s_g,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q_g
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), gg AS (
+  SELECT n_g, CAST(n_g AS DOUBLE) AS ng_d,
+         CAST(CAST(s_g AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(q_g AS VARCHAR) AS DOUBLE) AS q_d
+  FROM g
+), g2 AS (
+  SELECT *, s_d / ng_d AS mean_g,
+         (q_d - s_d * s_d / ng_d) / (ng_d - 1.0) AS var_g
+  FROM gg
+), g3 AS (
+  SELECT *, ng_d / var_g AS w_g FROM g2
+  WHERE n_g >= 2 AND var_g > 0.0
+), s1 AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(w_g * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS w_p,
+         CAST(sum(CAST(round(w_g * mean_g * 1000000000000.0)
+              AS BIGINT)) AS BIGINT) AS wm_p
+  FROM g3
+), sc AS (
+  SELECT n, k, CAST(k AS DOUBLE) AS k_d,
+         CAST(w_p AS DOUBLE) / 1e12 AS w_tot,
+         (CAST(wm_p AS DOUBLE) / 1e12)
+           / (CAST(w_p AS DOUBLE) / 1e12) AS mw
+  FROM s1
+), s2 AS (
+  SELECT CAST(sum(CAST(round(w_g * (mean_g - mw) * (mean_g - mw)
+              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS a_p,
+         CAST(sum(CAST(round((1.0 - w_g / w_tot)
+              * (1.0 - w_g / w_tot) / (ng_d - 1.0)
+              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS l_p
+  FROM g3 CROSS JOIN sc
+)
+SELECT n, k,
+  CAST(CAST(round(((CAST(a_p AS DOUBLE) / 1e12) / (k_d - 1.0))
+       / (1.0 + 2.0 * (k_d - 2.0) * (CAST(l_p AS DOUBLE) / 1e12)
+          / (k_d * k_d - 1.0)) * 1000000.0) AS BIGINT) AS DOUBLE)
+    / 1e6 AS f_stat,
+  CAST(k - 1 AS BIGINT) AS df1,
+  CAST(CAST(round(((k_d * k_d - 1.0)
+       / (3.0 * (CAST(l_p AS DOUBLE) / 1e12))) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS df2
+FROM s2 CROSS JOIN sc
+"""
+
+    o["orders_tukey_hsd"] = """
+WITH g AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s_g,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q_g
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT (CAST(CAST(sum(q_g) AS VARCHAR) AS DOUBLE)
+          - CAST(sum(CAST(round(CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              / CAST(n_g AS DOUBLE)) AS BIGINT)) AS DOUBLE))
+         / (CAST(sum(n_g) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+           AS msw
+  FROM g
+), means AS (
+  SELECT g, n_g,
+         CAST(CAST(s_g AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE)
+           AS m_g
+  FROM g
+)
+SELECT a.g AS group_a, b.g AS group_b,
+  CAST(CAST(round(a.m_g * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS mean_a,
+  CAST(CAST(round(b.m_g * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS mean_b,
+  CAST(CAST(round((a.m_g - b.m_g) * 1000000.0) AS BIGINT) AS DOUBLE)
+    / 1e6 AS mean_diff,
+  CAST(CAST(round((abs(a.m_g - b.m_g) / sqrt(msw / 2.0
+       * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS q_stat
+FROM means a JOIN means b ON a.g < b.g CROSS JOIN tot
+ORDER BY group_a, group_b
+"""
+
+    o["lineitem_partial_correlation"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS sx,
+         sum(CAST(l_discount AS DECIMAL(12,4))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(12,4))) AS sz,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(12,4))) AS sxx,
+         sum(CAST(CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS syy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS szz,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS sxy,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS sxz,
+         sum(CAST(CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS syz
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_quantity IS NOT NULL
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS sz_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d,
+         CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS szz_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d,
+         CAST(CAST(sxz AS VARCHAR) AS DOUBLE) AS sxz_d,
+         CAST(CAST(syz AS VARCHAR) AS DOUBLE) AS syz_d
+  FROM m
+), r AS (
+  SELECT n,
+    ((n_d * sxy_d - sx_d * sy_d)
+     / nullif(sqrt(n_d * sxx_d - sx_d * sx_d)
+       * sqrt(n_d * syy_d - sy_d * sy_d), 0.0)) AS rxy,
+    ((n_d * sxz_d - sx_d * sz_d)
+     / nullif(sqrt(n_d * sxx_d - sx_d * sx_d)
+       * sqrt(n_d * szz_d - sz_d * sz_d), 0.0)) AS rxz,
+    ((n_d * syz_d - sy_d * sz_d)
+     / nullif(sqrt(n_d * syy_d - sy_d * sy_d)
+       * sqrt(n_d * szz_d - sz_d * sz_d), 0.0)) AS ryz
+  FROM d
+)
+SELECT n,
+  CAST(CAST(round(rxy * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS r_xy,
+  CAST(CAST(round(rxz * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS r_xz,
+  CAST(CAST(round(ryz * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS r_yz,
+  CAST(CAST(round(((rxy - rxz * ryz)
+       / nullif(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS partial_r
+FROM r
+"""
+
+    o["orders_point_biserial"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS s1,
+         sum(CASE WHEN NOT coalesce(o_orderpriority = '1-URGENT',
+                                    FALSE)
+                  THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS s0,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q
+  FROM orders WHERE o_totalprice IS NOT NULL
+), d AS (
+  SELECT n, n1,
+         CAST(n AS DOUBLE) AS n_d, CAST(n1 AS DOUBLE) AS n1_d,
+         CAST(n - n1 AS DOUBLE) AS n0_d,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1_d,
+         CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s0_d,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d
+  FROM m
+)
+SELECT n, n1 AS n_pos,
+  CAST(CAST(round((s1_d / nullif(n1_d, 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mean_pos,
+  CAST(CAST(round((s0_d / nullif(n0_d, 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mean_neg,
+  CAST(CAST(round((((s1_d / nullif(n1_d, 0.0))
+       - (s0_d / nullif(n0_d, 0.0)))
+       / nullif(sqrt(q_d / n_d - (s_d / n_d) * (s_d / n_d)), 0.0)
+       * sqrt(n1_d * n0_d / (n_d * n_d))) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS r_pb
+FROM d
+"""
+
+    o["orders_grubbs"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q,
+         min(CAST(o_totalprice AS DECIMAL(12,4))) AS mn,
+         max(CAST(o_totalprice AS DECIMAL(12,4))) AS mx
+  FROM orders WHERE o_totalprice IS NOT NULL
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d,
+         CAST(mn AS DOUBLE) AS mn_d, CAST(mx AS DOUBLE) AS mx_d
+  FROM m
+)
+SELECT n,
+  CAST(CAST(round((s_d / n_d) * 1000000.0) AS BIGINT) AS DOUBLE)
+    / 1e6 AS mean,
+  CAST(CAST(round(sqrt((q_d - s_d * s_d / n_d)
+       / nullif(n_d - 1.0, 0.0)) * 1000000.0) AS BIGINT) AS DOUBLE)
+    / 1e6 AS sd,
+  CAST(CAST(round((greatest((s_d / n_d) - mn_d, mx_d - (s_d / n_d))
+       / nullif(sqrt((q_d - s_d * s_d / n_d)
+                / nullif(n_d - 1.0, 0.0)), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS g_stat,
+  CAST((CASE WHEN mx_d - (s_d / n_d) >= (s_d / n_d) - mn_d
+        THEN mx_d ELSE mn_d END) AS DOUBLE) AS suspect_value
+FROM d
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture

@@ -4702,3 +4702,419 @@ def srm_check(
         )
         .orderBy("arm")
     )
+
+
+def _big_d(expr: str) -> str:
+    """DECIMAL(38,0) → DOUBLE through an exact string render: both
+    engines' direct decimal→double casts are NOT guaranteed correctly
+    rounded above 2⁵³ (Java BigDecimal.doubleValue; DuckDB's int128
+    scaled-mantissa divide), but decimal→string is exact and
+    string→double IS correctly rounded on both — so the round trip
+    lands on the identical double.  Use for every high moment the
+    :func:`jarque_bera` family accumulates."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Jarque–Bera normality test from exact integer raw moments::
+
+        S = m₃/m₂^1.5,  K = m₄/m₂² − 3,  JB = n/6·(S² + K²/4)
+
+    The cheapest distribution-shape gate there is — one scan, four
+    sums — and the right first check before trusting z-based rules
+    (3-sigma outliers, control limits) on money columns.
+
+    Values quantize to a CENTS lattice (scale-2 BIGINT — xq⁴ of a
+    micro lattice would pass 10³⁸); Σxq..Σxq⁴ accumulate as exact
+    DECIMAL(38,0), convert to doubles through the string render
+    (:func:`_big_d`), and the central-moment expansion runs as one
+    fixed-order double expression, micro-quantized.  Returns one row:
+    (n, skewness, ex_kurtosis, jb_stat).
+    """
+    xq = f"CAST(round(CAST(({value_col}) AS DOUBLE) * 100.0d) AS BIGINT)"
+    m = df.where(f"({value_col}) IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(sum(CAST({xq} AS DECIMAL(38,0))) "
+               "AS DECIMAL(38,0))").alias("s1"),
+        F.expr(f"CAST(sum(CAST({xq} AS DECIMAL(38,0)) * ({xq})) "
+               "AS DECIMAL(38,0))").alias("s2"),
+        F.expr(f"CAST(sum(CAST({xq} AS DECIMAL(38,0)) * ({xq}) "
+               f"* ({xq})) AS DECIMAL(38,0))").alias("s3"),
+        F.expr(f"CAST(sum(CAST({xq} AS DECIMAL(38,0)) * ({xq}) "
+               f"* ({xq}) * ({xq})) AS DECIMAL(38,0))").alias("s4"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr(_big_d("s1")).alias("s1_d"),
+        F.expr(_big_d("s2")).alias("s2_d"),
+        F.expr(_big_d("s3")).alias("s3_d"),
+        F.expr(_big_d("s4")).alias("s4_d"),
+    )
+    mu = "(s1_d / n_d)"
+    m2 = f"(s2_d / n_d - {mu} * {mu})"
+    m3 = (f"(s3_d / n_d - 3.0d * {mu} * (s2_d / n_d) "
+          f"+ 2.0d * {mu} * {mu} * {mu})")
+    m4 = (f"(s4_d / n_d - 4.0d * {mu} * (s3_d / n_d) "
+          f"+ 6.0d * {mu} * {mu} * (s2_d / n_d) "
+          f"- 3.0d * {mu} * {mu} * {mu} * {mu})")
+    skew = f"(({m3}) / nullif(sqrt({m2}) * ({m2}), 0.0d))"
+    exk = f"(({m4}) / nullif(({m2}) * ({m2}), 0.0d) - 3.0d)"
+    jb = (f"(n_d / 6.0d * (({skew}) * ({skew}) "
+          f"+ ({exk}) * ({exk}) / 4.0d))")
+    return m.select(
+        "n",
+        F.expr(f"CAST(round(({skew}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("skewness"),
+        F.expr(f"CAST(round(({exk}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("ex_kurtosis"),
+        F.expr(f"CAST(round(({jb}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("jb_stat"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) — the k-group
+    test to reach for when :func:`brown_forsythe` REJECTS equal
+    variances and the classic :func:`one_way_anova` F is invalid::
+
+        w_g = n_g/s²_g,  F* = Σw(m_g − m̄_w)²/(k−1) / (1 + 2(k−2)Λ/(k²−1))
+        Λ   = Σ (1 − w/W)²/(n_g − 1) · 3/(k²−1)⁻¹-ish (df₂ = (k²−1)/3Λ)
+
+    ONE hash aggregation to per-group exact decimal moments; the
+    cross-group reductions quantize each group's summand on a fixed
+    PICO lattice (1e-12) and sum exact BIGINTs — deterministic on any
+    partition order, identical text in the oracle.  Groups with n < 2
+    or zero variance are excluded (their weight is undefined).
+    Returns one row: (n, k, f_stat, df1, df2).
+    """
+    x = _m(value_col, dec)
+    g = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum(x * x).alias("q_g"),
+        )
+        .select(
+            "n_g",
+            F.col("n_g").cast("double").alias("ng_d"),
+            F.expr("CAST(s_g AS DOUBLE)").alias("s_d"),
+            F.expr("CAST(q_g AS DOUBLE)").alias("q_d"),
+        )
+        .withColumn("mean_g", F.expr("s_d / ng_d"))
+        .withColumn(
+            "var_g",
+            F.expr("(q_d - s_d * s_d / ng_d) / (ng_d - 1.0d)"),
+        )
+        .where("n_g >= 2 AND var_g > 0.0d")
+        .withColumn("w_g", F.expr("ng_d / var_g"))
+    )
+    # stage 1: exact pico-lattice sums of w and w·mean
+    s1 = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(
+            "CAST(round(w_g * 1000000000000.0d) AS BIGINT)"
+        )).cast("long").alias("w_p"),
+        F.sum(F.expr(
+            "CAST(round(w_g * mean_g * 1000000000000.0d) AS BIGINT)"
+        )).cast("long").alias("wm_p"),
+    )
+    row = s1.collect()[0]
+    n_tot, k = int(row["n"] or 0), int(row["k"] or 0)
+    if k < 2 or not row["w_p"]:
+        return df.sparkSession.createDataFrame(
+            [(n_tot, k)], "n long, k long"
+        ).select(
+            "n", "k",
+            F.lit(None).cast("double").alias("f_stat"),
+            F.lit(max(k - 1, 0)).cast("long").alias("df1"),
+            F.lit(None).cast("double").alias("df2"),
+        )
+    w_tot = int(row["w_p"]) / 1e12
+    mw = (int(row["wm_p"]) / 1e12) / w_tot
+    # stage 2: exact pico sums of the two Welch summands, the weighted
+    # between-group term and the Λ correction, with mw/W as literals
+    s2 = g.agg(
+        F.sum(F.expr(
+            f"CAST(round(w_g * (mean_g - {mw!r}) * (mean_g - {mw!r}) "
+            "* 1000000000000.0d) AS BIGINT)"
+        )).cast("long").alias("a_p"),
+        F.sum(F.expr(
+            f"CAST(round((1.0d - w_g / {w_tot!r}) "
+            f"* (1.0d - w_g / {w_tot!r}) / (ng_d - 1.0d) "
+            "* 1000000000000.0d) AS BIGINT)"
+        )).cast("long").alias("l_p"),
+    ).select(
+        F.lit(n_tot).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr("CAST(a_p AS DOUBLE) / 1e12").alias("a_d"),
+        F.expr("CAST(l_p AS DOUBLE) / 1e12").alias("lam_d"),
+    )
+    k_d = float(k)
+    fstar = (
+        f"((a_d / ({k_d!r} - 1.0d)) "
+        f"/ (1.0d + 2.0d * ({k_d!r} - 2.0d) * lam_d "
+        f"/ ({k_d!r} * {k_d!r} - 1.0d)))"
+    )
+    df2 = (f"(({k_d!r} * {k_d!r} - 1.0d) / (3.0d * lam_d))")
+    return s2.select(
+        "n", "k",
+        F.expr(f"CAST(round(({fstar}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("f_stat"),
+        F.lit(k - 1).cast("long").alias("df1"),
+        F.expr(f"CAST(round(({df2}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("df2"),
+    )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Tukey HSD pairwise comparisons after a significant
+    :func:`one_way_anova`: for every group pair the studentized-range
+    statistic::
+
+        q_ij = |m_i − m_j| / sqrt(MSW/2 · (1/n_i + 1/n_j))
+
+    ONE aggregation to per-group exact decimal moments; MSW reduces
+    with the unit-lattice exact-sum discipline the ANOVA itself uses;
+    the pair frame is the k-row model frame self-joined (k², tiny —
+    never the fact table).  Returns (group_a, group_b, mean_a, mean_b,
+    mean_diff, q_stat) ordered by (group_a, group_b).
+    """
+    x = _m(value_col, dec)
+    g = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum(x * x).alias("q_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr("CAST(sum(q_g) AS DOUBLE)").alias("q_d"),
+        F.sum(F.expr(
+            "CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) "
+            "/ CAST(n_g AS DOUBLE)) AS BIGINT)"
+        )).cast("long").alias("sq_unit"),
+    ).select(
+        "n", "k",
+        F.expr(
+            "(q_d - CAST(sq_unit AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+        ).alias("msw"),
+    )
+    means = g.select(
+        "g", "n_g",
+        F.expr("CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)").alias("m_g"),
+    )
+    a, b = means.alias("a"), means.alias("b")
+    pairs = a.join(b, F.col("a.g") < F.col("b.g")) \
+        .crossJoin(F.broadcast(tot))
+    qstat = (
+        "abs(a.m_g - b.m_g) / sqrt(msw / 2.0d "
+        "* (1.0d / CAST(a.n_g AS DOUBLE) + 1.0d / CAST(b.n_g AS DOUBLE)))"
+    )
+    return pairs.select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.expr("CAST(round(a.m_g * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_a"),
+        F.expr("CAST(round(b.m_g * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_b"),
+        F.expr(
+            "CAST(round((a.m_g - b.m_g) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("mean_diff"),
+        F.expr(f"CAST(round(({qstat}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("q_stat"),
+    ).orderBy("group_a", "group_b")
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """First-order partial correlation — the X↔Y association with the
+    confounder Z regressed out of both sides::
+
+        r_xy.z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    The confounding check every observational metric read needs (is
+    price↔discount real, or do both just follow quantity?).  ONE
+    aggregation to the nine exact decimal cross-moments; the three
+    Pearson r's and the partial are one fixed-order double projection,
+    micro-quantized.  Returns one row: (n, r_xy, r_xz, r_yz,
+    partial_r).
+    """
+    x, y, z = _m(x_col, dec), _m(y_col, dec), _m(z_col, dec)
+    m = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL "
+        f"AND ({z_col}) IS NOT NULL"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.expr(f"CAST({c} AS DOUBLE)").alias(f"{c}_d")
+          for c in ("sx", "sy", "sz", "sxx", "syy", "szz",
+                    "sxy", "sxz", "syz")],
+    )
+
+    def _r(sa, sb, sab, saa, sbb):
+        return (
+            f"((n_d * {sab} - {sa} * {sb}) "
+            f"/ nullif(sqrt(n_d * {saa} - {sa} * {sa}) "
+            f"* sqrt(n_d * {sbb} - {sb} * {sb}), 0.0d))"
+        )
+
+    rxy = _r("sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d")
+    rxz = _r("sx_d", "sz_d", "sxz_d", "sxx_d", "szz_d")
+    ryz = _r("sy_d", "sz_d", "syz_d", "syy_d", "szz_d")
+    pr = (
+        f"((({rxy}) - ({rxz}) * ({ryz})) "
+        f"/ nullif(sqrt((1.0d - ({rxz}) * ({rxz})) "
+        f"* (1.0d - ({ryz}) * ({ryz}))), 0.0d))"
+    )
+    return m.select(
+        "n",
+        *[
+            F.expr(f"CAST(round(({e}) * 1000000.0d) AS BIGINT) / 1e6")
+            .cast("double").alias(name)
+            for e, name in
+            ((rxy, "r_xy"), (rxz, "r_xz"), (ryz, "r_yz"),
+             (pr, "partial_r"))
+        ],
+    )
+
+
+def point_biserial(
+    df: DataFrame,
+    flag_expr: str,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Point-biserial correlation — Pearson r between a BINARY flag and
+    a continuous metric, in its textbook two-group form::
+
+        r_pb = (m₁ − m₀)/σ_n · sqrt(n₁·n₀/n²)
+
+    The effect-size twin of :func:`welch_t_test` (monotone in t):
+    answers "how much of the metric's spread does membership explain"
+    — on a 100 TB table everything is significant, r_pb says whether
+    it matters.  ONE aggregation to exact decimal conditional moments;
+    fixed-order double projection, micro-quantized.  Returns one row:
+    (n, n_pos, mean_pos, mean_neg, r_pb).
+    """
+    t = F.expr(f"coalesce(CAST(({flag_expr}) AS BOOLEAN), false)")
+    v = _m(value_col, dec)
+    m = df.where(f"({value_col}) IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(t, v)).alias("s1"),
+        F.sum(F.when(~t, v)).alias("s0"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    ).select(
+        "n", "n1",
+        F.col("n").cast("double").alias("n_d"),
+        F.col("n1").cast("double").alias("n1_d"),
+        (F.col("n") - F.col("n1")).cast("double").alias("n0_d"),
+        F.expr("CAST(s1 AS DOUBLE)").alias("s1_d"),
+        F.expr("CAST(s0 AS DOUBLE)").alias("s0_d"),
+        F.expr("CAST(s AS DOUBLE)").alias("s_d"),
+        F.expr("CAST(q AS DOUBLE)").alias("q_d"),
+    )
+    m1 = "(s1_d / nullif(n1_d, 0.0d))"
+    m0 = "(s0_d / nullif(n0_d, 0.0d))"
+    sd_n = "sqrt(q_d / n_d - (s_d / n_d) * (s_d / n_d))"
+    rpb = (
+        f"((({m1}) - ({m0})) / nullif({sd_n}, 0.0d) "
+        f"* sqrt(n1_d * n0_d / (n_d * n_d)))"
+    )
+    return m.select(
+        "n",
+        F.col("n1").alias("n_pos"),
+        F.expr(f"CAST(round(({m1}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_pos"),
+        F.expr(f"CAST(round(({m0}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_neg"),
+        F.expr(f"CAST(round(({rpb}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("r_pb"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test — is the single most
+    extreme value an outlier?::
+
+        G = max(x̄ − min x, max x − x̄) / s
+
+    The one-outlier complement to the bulk :func:`events_mad_outliers`
+    rule: G against its critical value decides whether the worst point
+    is noise or a data-quality incident.  ONE aggregation — the max
+    deviation needs only (min, max, mean), never a deviation scan.
+    Returns one row: (n, mean, sd, g_stat, suspect_value).
+    """
+    v = _m(value_col, dec)
+    m = df.where(f"({value_col}) IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr("CAST(s AS DOUBLE)").alias("s_d"),
+        F.expr("CAST(q AS DOUBLE)").alias("q_d"),
+        F.expr("CAST(mn AS DOUBLE)").alias("mn_d"),
+        F.expr("CAST(mx AS DOUBLE)").alias("mx_d"),
+    )
+    mean = "(s_d / n_d)"
+    sd = ("sqrt((q_d - s_d * s_d / n_d) "
+          "/ nullif(n_d - 1.0d, 0.0d))")
+    g = (f"(greatest({mean} - mn_d, mx_d - {mean}) "
+         f"/ nullif({sd}, 0.0d))")
+    suspect = (f"(CASE WHEN mx_d - {mean} >= {mean} - mn_d "
+               "THEN mx_d ELSE mn_d END)")
+    return m.select(
+        "n",
+        F.expr(f"CAST(round(({mean}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean"),
+        F.expr(f"CAST(round(({sd}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("sd"),
+        F.expr(f"CAST(round(({g}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("g_stat"),
+        F.expr(f"CAST(({suspect}) AS DOUBLE)").alias("suspect_value"),
+    )
