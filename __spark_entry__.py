@@ -2781,6 +2781,60 @@ def _q_grubbs(spark, sf):
     return ops.grubbs_test(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def _q_mcnemar(spark, sf):
+    # two paired quality heuristics over the SAME orders: "big ticket"
+    # vs "high priority" — only the discordant cells matter
+    return ops.mcnemar_test(
+        _t(spark, sf, "orders"),
+        "o_totalprice > 150000",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    )
+
+
+def _q_cochran_armitage(spark, sf):
+    # is the F-status rate monotone in the priority tier (1..5)?
+    return ops.cochran_armitage(
+        _t(spark, sf, "orders"),
+        "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)",
+        "o_orderstatus = 'F'",
+    )
+
+
+def _q_mantel_haenszel(spark, sf):
+    # segment->solvency odds ratio controlled for nation strata
+    return ops.mantel_haenszel(
+        _t(spark, sf, "customer"), "c_nationkey",
+        "c_mktsegment = 'BUILDING'", "c_acctbal > 0",
+    )
+
+
+def _q_mood_median(spark, sf):
+    return ops.mood_median_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_cronbach(spark, sf):
+    return ops.cronbach_alpha(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+
+
+def _q_cusum(spark, sf):
+    # same aggregated daily series contract as the PH/changepoint ops
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.cusum_control(daily, "idx", "cnt")
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3140,6 +3194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem_partial_correlation": _q_partial_correlation,
             "orders_point_biserial": _q_point_biserial,
             "orders_grubbs": _q_grubbs,
+            "orders_mcnemar": _q_mcnemar,
+            "orders_cochran_armitage": _q_cochran_armitage,
+            "customers_mantel_haenszel": _q_mantel_haenszel,
+            "orders_mood_median": _q_mood_median,
+            "lineitem_cronbach_alpha": _q_cronbach,
+            "orders_cusum_control": _q_cusum,
         }
     )
     for name in _ORDER_PIN:
@@ -5086,6 +5146,273 @@ SELECT n,
   CAST((CASE WHEN mx_d - (s_d / n_d) >= (s_d / n_d) - mn_d
         THEN mx_d ELSE mn_d END) AS DOUBLE) AS suspect_value
 FROM d
+"""
+
+    o["orders_mcnemar"] = """
+WITH f AS (
+  SELECT coalesce(o_totalprice > 150000, FALSE) AS a,
+         coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE)
+           AS b
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01
+  FROM f
+)
+SELECT n, n10 AS n_10, n01 AS n_01,
+  CAST(CAST(round(((abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+       - 1.0) * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+       - 1.0) / nullif(CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE),
+       0.0)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS mcnemar_chi2,
+  CAST(CAST(round((CAST(n10 AS DOUBLE)
+       / nullif(CAST(n01 AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS discordant_ratio
+FROM m
+"""
+
+    o["orders_cochran_armitage"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_orderstatus = 'F' AS INT)) AS BIGINT)
+           AS ksum,
+         CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+              AS BIGINT) AS sns,
+         CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+              * CAST(o_orderstatus = 'F' AS INT)) AS BIGINT) AS sks,
+         CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+              * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+              AS BIGINT) AS snss
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+), big AS (
+  SELECT n, ksum,
+         CAST(CAST(n AS DECIMAL(38,0)) * sks
+              - CAST(ksum AS DECIMAL(38,0)) * sns
+              AS DECIMAL(38,0)) AS a_big,
+         CAST(CAST(n AS DECIMAL(38,0)) * snss
+              - CAST(sns AS DECIMAL(38,0)) * sns
+              AS DECIMAL(38,0)) AS inner_big
+  FROM m
+)
+SELECT n, ksum AS k_success,
+  CAST(CAST(round((CAST(CAST(a_big AS VARCHAR) AS DOUBLE)
+       / nullif(sqrt((CAST(ksum AS DOUBLE)
+         * (CAST(n AS DOUBLE) - CAST(ksum AS DOUBLE)))
+         * CAST(CAST(inner_big AS VARCHAR) AS DOUBLE)
+         / CAST(n AS DOUBLE)), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS z_stat
+FROM big
+"""
+
+    o["customers_mantel_haenszel"] = """
+WITH g AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS st,
+         CAST(sum(CASE WHEN coalesce(c_mktsegment = 'BUILDING',
+                  FALSE) AND coalesce(c_acctbal > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN coalesce(c_mktsegment = 'BUILDING',
+                  FALSE) AND NOT coalesce(c_acctbal > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT coalesce(c_mktsegment = 'BUILDING',
+                  FALSE) AND coalesce(c_acctbal > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT coalesce(c_mktsegment = 'BUILDING',
+                  FALSE) AND NOT coalesce(c_acctbal > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM customer WHERE c_nationkey IS NOT NULL
+  GROUP BY 1
+), gg AS (
+  SELECT a, b, c, d,
+         CAST(a AS DOUBLE) AS a_d, CAST(b AS DOUBLE) AS b_d,
+         CAST(c AS DOUBLE) AS c_d, CAST(d AS DOUBLE) AS d_d,
+         CAST(a + b + c + d AS BIGINT) AS n_s,
+         CAST(a + b + c + d AS DOUBLE) AS n_d
+  FROM g WHERE a + b + c + d >= 2
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_s) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS a_tot,
+         CAST(sum(CAST(round(a_d * d_d / n_d * 1000000.0) AS BIGINT))
+              AS BIGINT) AS ad_p,
+         CAST(sum(CAST(round(b_d * c_d / n_d * 1000000.0) AS BIGINT))
+              AS BIGINT) AS bc_p,
+         CAST(sum(CAST(round((a_d + b_d) * (a_d + c_d) / n_d
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS e_p,
+         CAST(sum(CAST(round((a_d + b_d) * (c_d + d_d) * (a_d + c_d)
+              * (b_d + d_d) / (n_d * n_d * (n_d - 1.0))
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS v_p
+  FROM gg
+)
+SELECT k AS k_strata, n,
+  CAST(CAST(round(((CAST(ad_p AS DOUBLE) / 1e6)
+       / nullif(CAST(bc_p AS DOUBLE) / 1e6, 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS or_mh,
+  CAST(CAST(round(((abs(CAST(a_tot AS DOUBLE)
+       - CAST(e_p AS DOUBLE) / 1e6) - 0.5)
+       * (abs(CAST(a_tot AS DOUBLE) - CAST(e_p AS DOUBLE) / 1e6)
+          - 0.5) / nullif(CAST(v_p AS DOUBLE) / 1e6, 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS cmh_chi2
+FROM m
+"""
+
+    o["orders_mood_median"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+med AS (SELECT round(quantile_cont(v, 0.5), 4) AS med FROM base),
+counts AS (
+  SELECT g,
+         CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+           AS gt,
+         CAST(sum(CASE WHEN v <= med THEN 1 ELSE 0 END) AS BIGINT)
+           AS le,
+         max(med) AS med
+  FROM base CROSS JOIN med GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(gt + le) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(gt) AS BIGINT) AS gt_tot,
+         CAST(sum(le) AS BIGINT) AS le_tot,
+         max(med) AS med_t
+  FROM counts
+),
+chi AS (
+  SELECT CAST(sum(
+           CAST(round((CAST(gt AS DOUBLE)
+             - (CAST(gt + le AS DOUBLE) * CAST(gt_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+             * (CAST(gt AS DOUBLE)
+             - (CAST(gt + le AS DOUBLE) * CAST(gt_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+             / nullif((CAST(gt + le AS DOUBLE)
+               * CAST(gt_tot AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)
+             * 1000000.0) AS BIGINT)
+           + CAST(round((CAST(le AS DOUBLE)
+             - (CAST(gt + le AS DOUBLE) * CAST(le_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+             * (CAST(le AS DOUBLE)
+             - (CAST(gt + le AS DOUBLE) * CAST(le_tot AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+             / nullif((CAST(gt + le AS DOUBLE)
+               * CAST(le_tot AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS chi_p,
+         max(n) AS n, max(k) AS k, max(med_t) AS med
+  FROM counts CROSS JOIN tot
+)
+SELECT n, k, CAST(med AS DOUBLE) AS grand_median,
+       CAST(chi_p AS DOUBLE) / 1e6 AS chi2,
+       CAST(k - 1 AS BIGINT) AS df
+FROM chi
+"""
+
+    o["lineitem_cronbach_alpha"] = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(12,4))) AS s0,
+         sum(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS q0,
+         sum(CAST(l_discount AS DECIMAL(12,4))) AS s1,
+         sum(CAST(CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS q1,
+         sum(CAST(l_tax AS DECIMAL(12,4))) AS s2,
+         sum(CAST(CAST(l_tax AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_tax AS DECIMAL(12,4))) AS q2,
+         sum(CAST(l_quantity AS DECIMAL(12,4))
+             + CAST(l_discount AS DECIMAL(12,4))
+             + CAST(l_tax AS DECIMAL(12,4))) AS st,
+         sum(CAST((CAST(l_quantity AS DECIMAL(12,4))
+                   + CAST(l_discount AS DECIMAL(12,4))
+                   + CAST(l_tax AS DECIMAL(12,4))) AS DECIMAL(19,4))
+             * (CAST(l_quantity AS DECIMAL(12,4))
+                + CAST(l_discount AS DECIMAL(12,4))
+                + CAST(l_tax AS DECIMAL(12,4)))) AS qt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s0_d,
+         CAST(CAST(q0 AS VARCHAR) AS DOUBLE) AS q0_d,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1_d,
+         CAST(CAST(q1 AS VARCHAR) AS DOUBLE) AS q1_d,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2_d,
+         CAST(CAST(q2 AS VARCHAR) AS DOUBLE) AS q2_d,
+         CAST(CAST(st AS VARCHAR) AS DOUBLE) AS st_d,
+         CAST(CAST(qt AS VARCHAR) AS DOUBLE) AS qt_d
+  FROM m
+)
+SELECT n, CAST(3 AS BIGINT) AS k_items,
+  CAST(CAST(round((3.0 / (3.0 - 1.0)
+       * (1.0 - (((q0_d - s0_d * s0_d / n_d) / (n_d - 1.0))
+          + ((q1_d - s1_d * s1_d / n_d) / (n_d - 1.0))
+          + ((q2_d - s2_d * s2_d / n_d) / (n_d - 1.0)))
+          / nullif(((qt_d - st_d * st_d / n_d) / (n_d - 1.0)),
+                   0.0))) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS alpha,
+  CAST(CAST(round(((qt_d - st_d * st_d / n_d) / (n_d - 1.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS var_total
+FROM d
+"""
+
+    o["orders_cusum_control"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_periods,
+         CAST(round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+              AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)
+           AS mu_q
+  FROM daily
+),
+staged AS (
+  SELECT idx,
+         CAST(round(x * 1000000.0) AS BIGINT) - mu_q
+           - CAST(0 AS BIGINT) AS dp,
+         mu_q - CAST(round(x * 1000000.0) AS BIGINT)
+           - CAST(0 AS BIGINT) AS dn
+  FROM daily CROSS JOIN mu
+),
+pre AS (
+  SELECT idx,
+         CAST(sum(dp) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS pp,
+         CAST(sum(dn) OVER (ORDER BY idx ASC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS pn
+  FROM staged
+),
+cs AS (
+  SELECT idx,
+         CAST(pp - least(min(pp) OVER (ORDER BY idx ASC ROWS
+              UNBOUNDED PRECEDING), CAST(0 AS BIGINT)) AS BIGINT)
+           AS cp,
+         CAST(pn - least(min(pn) OVER (ORDER BY idx ASC ROWS
+              UNBOUNDED PRECEDING), CAST(0 AS BIGINT)) AS BIGINT)
+           AS cn
+  FROM pre
+),
+tp AS (SELECT cp, idx FROM cs ORDER BY cp DESC, idx ASC LIMIT 1),
+tn AS (SELECT cn, idx FROM cs ORDER BY cn DESC, idx ASC LIMIT 1)
+SELECT mu.n_periods,
+       CAST(mu.mu_q AS DOUBLE) / 1e6 AS mu,
+       CAST(greatest(tp.cp, CAST(0 AS BIGINT)) AS DOUBLE) / 1e6
+         AS cusum_pos_max,
+       CAST(greatest(tn.cn, CAST(0 AS BIGINT)) AS DOUBLE) / 1e6
+         AS cusum_neg_max,
+       CAST(tp.idx AS BIGINT) AS pos_peak_idx,
+       CAST(tn.idx AS BIGINT) AS neg_peak_idx
+FROM mu CROSS JOIN tp CROSS JOIN tn
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture

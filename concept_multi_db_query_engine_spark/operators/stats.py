@@ -5118,3 +5118,411 @@ def grubbs_test(
         .cast("double").alias("g_stat"),
         F.expr(f"CAST(({suspect}) AS DOUBLE)").alias("suspect_value"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a_expr: str,
+    flag_b_expr: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did classifier/rule
+    B change the positives of rule A on the SAME rows?  Only the
+    discordant cells matter::
+
+        χ² = (|n₁₀ − n₀₁| − 1)² / (n₁₀ + n₀₁)     (continuity-corrected)
+
+    The right significance gate when comparing two quality heuristics
+    or two model versions scored over one corpus (a two-proportion z
+    test would wrongly treat the samples as independent).  ONE exact
+    count aggregation; the statistic is a fixed-order double over the
+    2×2 cells, micro-quantized.  Returns one row: (n, n_10, n_01,
+    mcnemar_chi2, discordant_ratio).
+    """
+    a = F.expr(f"coalesce(CAST(({flag_a_expr}) AS BOOLEAN), false)")
+    b = F.expr(f"coalesce(CAST(({flag_b_expr}) AS BOOLEAN), false)")
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+    )
+    chi = (
+        "((abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0d) "
+        "* (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0d) "
+        "/ nullif(CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE), 0.0d))"
+    )
+    ratio = ("(CAST(n10 AS DOUBLE) "
+             "/ nullif(CAST(n01 AS DOUBLE), 0.0d))")
+    return m.select(
+        "n",
+        F.col("n10").alias("n_10"),
+        F.col("n01").alias("n_01"),
+        F.expr(f"CAST(round(({chi}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mcnemar_chi2"),
+        F.expr(f"CAST(round(({ratio}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("discordant_ratio"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_expr: str,
+    success_expr: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test — is a binary rate MONOTONE in an
+    ordered factor (does failure rate climb with priority tier)?
+    Strictly more powerful than the omnibus chi-square when the
+    alternative is ordered.  With integer scores sᵢ the whole z
+    reduces to exact integer sums::
+
+        z = (N·Σsᵢkᵢ − K·Σsᵢnᵢ)
+            / sqrt(K(N−K)(N·Σnᵢsᵢ² − (Σnᵢsᵢ)²) / N)
+
+    ONE aggregation over the fact table (the per-group frame never
+    materializes); the two big integers ride DECIMAL(38,0) and convert
+    through the exact string render.  Returns one row: (n, k_success,
+    z_stat).
+    """
+    s = f"CAST(({score_expr}) AS BIGINT)"
+    k = f"CAST(CAST(({success_expr}) AS BOOLEAN) AS INT)"
+    m = df.where(
+        f"({score_expr}) IS NOT NULL AND ({success_expr}) IS NOT NULL"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(sum({k}) AS BIGINT)").alias("ksum"),
+        F.expr(f"CAST(sum({s}) AS BIGINT)").alias("sns"),
+        F.expr(f"CAST(sum(({s}) * ({k})) AS BIGINT)").alias("sks"),
+        F.expr(f"CAST(sum(({s}) * ({s})) AS BIGINT)").alias("snss"),
+    ).select(
+        "n", F.col("ksum").alias("k_success"),
+        # both terms are DECIMAL(38,0) × BIGINT (never decimal×decimal
+        # — a 38×38 product overflows DuckDB's precision derivation)
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sks "
+            "- CAST(ksum AS DECIMAL(38,0)) * sns AS DECIMAL(38,0))"
+        ).alias("a_big"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * snss "
+            "- CAST(sns AS DECIMAL(38,0)) * sns AS DECIMAL(38,0))"
+        ).alias("inner_big"),
+    )
+    # K(N−K) stays in doubles (overflow-free at any N); the big inner
+    # term rides the exact string render
+    kn = ("(CAST(k_success AS DOUBLE) "
+          "* (CAST(n AS DOUBLE) - CAST(k_success AS DOUBLE)))")
+    z = (f"({_big_d('a_big')} "
+         f"/ nullif(sqrt({kn} * {_big_d('inner_big')} "
+         "/ CAST(n AS DOUBLE)), 0.0d))")
+    return m.select(
+        "n", "k_success",
+        F.expr(f"CAST(round(({z}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("z_stat"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_expr: str,
+    outcome_expr: str,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 analysis — the pooled
+    exposure→outcome odds ratio that CONTROLS for a confounding
+    stratum (the formal fix for the :func:`simpson_paradox` report)::
+
+        OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+        CMH   = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ
+
+    ONE aggregation to per-stratum exact 2×2 counts (k rows); the
+    cross-stratum reductions quantize each stratum's summand on the
+    micro lattice and sum exact BIGINTs.  Returns one row:
+    (k_strata, n, or_mh, cmh_chi2).
+    """
+    e = F.expr(f"coalesce(CAST(({exposed_expr}) AS BOOLEAN), false)")
+    y = F.expr(f"coalesce(CAST(({outcome_expr}) AS BOOLEAN), false)")
+    g = (
+        df.where(f"({stratum_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({stratum_col}) AS STRING)").alias("st"))
+        .agg(
+            F.sum(F.when(e & y, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(e & ~y, 1).otherwise(0)).cast("long")
+            .alias("b"),
+            F.sum(F.when(~e & y, 1).otherwise(0)).cast("long")
+            .alias("c"),
+            F.sum(F.when(~e & ~y, 1).otherwise(0)).cast("long")
+            .alias("d"),
+        )
+        .withColumn("nn", F.expr("a + b + c + d"))
+        .where("nn >= 2")
+        .select(
+            "a", "b", "c", "d",
+            F.col("a").cast("double").alias("a_d"),
+            F.col("b").cast("double").alias("b_d"),
+            F.col("c").cast("double").alias("c_d"),
+            F.col("d").cast("double").alias("d_d"),
+            F.col("nn").cast("long").alias("n_s"),
+            F.col("nn").cast("double").alias("n_d"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("a_tot"),
+        F.sum(F.expr(
+            "CAST(round(a_d * d_d / n_d * 1000000.0d) AS BIGINT)"
+        )).cast("long").alias("ad_p"),
+        F.sum(F.expr(
+            "CAST(round(b_d * c_d / n_d * 1000000.0d) AS BIGINT)"
+        )).cast("long").alias("bc_p"),
+        F.sum(F.expr(
+            "CAST(round((a_d + b_d) * (a_d + c_d) / n_d "
+            "* 1000000.0d) AS BIGINT)"
+        )).cast("long").alias("e_p"),
+        F.sum(F.expr(
+            "CAST(round((a_d + b_d) * (c_d + d_d) * (a_d + c_d) "
+            "* (b_d + d_d) / (n_d * n_d * (n_d - 1.0d)) "
+            "* 1000000.0d) AS BIGINT)"
+        )).cast("long").alias("v_p"),
+    )
+    or_mh = ("((CAST(ad_p AS DOUBLE) / 1e6) "
+             "/ nullif(CAST(bc_p AS DOUBLE) / 1e6, 0.0d))")
+    cmh = (
+        "((abs(CAST(a_tot AS DOUBLE) - CAST(e_p AS DOUBLE) / 1e6) "
+        "- 0.5d) * (abs(CAST(a_tot AS DOUBLE) "
+        "- CAST(e_p AS DOUBLE) / 1e6) - 0.5d) "
+        "/ nullif(CAST(v_p AS DOUBLE) / 1e6, 0.0d))"
+    )
+    return m.select(
+        F.col("k").alias("k_strata"), "n",
+        F.expr(f"CAST(round(({or_mh}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("or_mh"),
+        F.expr(f"CAST(round(({cmh}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("cmh_chi2"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — do k groups share a common median?  The
+    coarsest, most outlier-immune k-group location test: classify
+    every value as above / not-above the GRAND median and chi-square
+    the resulting 2×k table.  The robust sanity check to run alongside
+    :func:`kruskal_wallis` when the tails are wild enough to distrust
+    even rank sums.
+
+    The grand median is the exact distributed interpolation quantile
+    (:func:`~..operators.analytics.distributed_group_quantiles` — no
+    single-task sort), broadcast back; counts are exact; the 2×k
+    chi-square quantizes per-cell summands on the micro lattice and
+    exact-sums them.  Returns one row: (n, k, grand_median, chi2, df).
+    """
+    from .analytics import distributed_group_quantiles
+
+    base = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({group_col}) AS STRING)").alias("g"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+        F.lit("all").alias("__all"),
+    )
+    med = distributed_group_quantiles(base, "__all", "v", [0.5]) \
+        .select(F.col("q0").alias("med"))
+    counts = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.expr("CASE WHEN v > med THEN 1 ELSE 0 END"))
+            .cast("long").alias("gt"),
+            F.sum(F.expr("CASE WHEN v <= med THEN 1 ELSE 0 END"))
+            .cast("long").alias("le"),
+            F.max("med").alias("med"),
+        )
+    )
+    tot = counts.agg(
+        F.sum(F.expr("gt + le")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("gt").cast("long").alias("gt_tot"),
+        F.sum("le").cast("long").alias("le_tot"),
+        F.max("med").alias("med_t"),
+    )
+    cell = (
+        "CAST(round((CAST({o} AS DOUBLE) - {e}) "
+        "* (CAST({o} AS DOUBLE) - {e}) / nullif({e}, 0.0d) "
+        "* 1000000.0d) AS BIGINT)"
+    )
+    e_gt = ("(CAST(gt + le AS DOUBLE) * CAST(gt_tot AS DOUBLE) "
+            "/ CAST(n AS DOUBLE))")
+    e_le = ("(CAST(gt + le AS DOUBLE) * CAST(le_tot AS DOUBLE) "
+            "/ CAST(n AS DOUBLE))")
+    chi = (
+        counts.drop("med").crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(cell.format(o="gt", e=e_gt))
+                  + F.expr(cell.format(o="le", e=e_le)))
+            .cast("long").alias("chi_p"),
+            F.max("n").alias("n"), F.max("k").alias("k"),
+            F.max("med_t").alias("med"),
+        )
+    )
+    return chi.select(
+        "n", "k",
+        F.col("med").cast("double").alias("grand_median"),
+        F.expr("CAST(chi_p AS DOUBLE) / 1e6").alias("chi2"),
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    dec: str = _DEC,
+) -> DataFrame:
+    """Cronbach's α — internal-consistency reliability of a k-item
+    scale (do the items move together enough to justify summing them
+    into one score?)::
+
+        α = k/(k−1) · (1 − Σ var(itemᵢ) / var(Σ items))
+
+    The composite-metric sanity check before shipping any "quality =
+    weighted sum of signals" column.  ONE aggregation computes every
+    per-item and total exact decimal moment; α is a fixed-order double
+    projection with the item variances summed in declaration order
+    (text-identical in the oracle).  Returns one row: (n, k_items,
+    alpha, var_total).
+    """
+    if len(item_cols) < 2:
+        raise ValueError("need at least 2 items")
+    items = [_m(c, dec) for c in item_cols]
+    total = items[0]
+    for it in items[1:]:
+        total = total + it
+    not_null = " AND ".join(f"({c}) IS NOT NULL" for c in item_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, it in enumerate(items):
+        aggs.append(F.sum(it).alias(f"s{i}"))
+        aggs.append(F.sum(it * it).alias(f"q{i}"))
+    aggs.append(F.sum(total).alias("st"))
+    aggs.append(F.sum(total * total).alias("qt"))
+    m = df.where(not_null).agg(*aggs)
+    sel = ["n", F.col("n").cast("double").alias("n_d")]
+    for i in range(len(items)):
+        sel.append(F.expr(f"CAST(s{i} AS DOUBLE)").alias(f"s{i}_d"))
+        sel.append(F.expr(f"CAST(q{i} AS DOUBLE)").alias(f"q{i}_d"))
+    sel.append(F.expr("CAST(st AS DOUBLE)").alias("st_d"))
+    sel.append(F.expr("CAST(qt AS DOUBLE)").alias("qt_d"))
+    m = m.select(*sel)
+    var_i = " + ".join(
+        f"((q{i}_d - s{i}_d * s{i}_d / n_d) / (n_d - 1.0d))"
+        for i in range(len(items))
+    )
+    var_t = "((qt_d - st_d * st_d / n_d) / (n_d - 1.0d))"
+    k = float(len(items))
+    alpha = (f"({k!r} / ({k!r} - 1.0d) "
+             f"* (1.0d - ({var_i}) / nullif({var_t}, 0.0d)))")
+    return m.select(
+        "n",
+        F.lit(len(items)).cast("long").alias("k_items"),
+        F.expr(f"CAST(round(({alpha}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("alpha"),
+        F.expr(f"CAST(round(({var_t}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("var_total"),
+    )
+
+
+def cusum_control(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    k_slack: float = 0.0,
+) -> DataFrame:
+    """Two-sided CUSUM control statistic over an aggregated series —
+    the classic "small persistent shift" detector that complements
+    :func:`page_hinkley` (PH tracks drift from the RUNNING mean; CUSUM
+    tracks drift from the series' GLOBAL level, the retrospective
+    control-chart form).  The textbook recurrence ``C⁺ᵢ = max(0, C⁺ᵢ₋₁
+    + xᵢ − μ₀ − k)`` is exactly a prefix sum minus its running
+    minimum, so the whole statistic is two cumulative windows — no
+    iteration::
+
+        C⁺ᵢ = Pᵢ − min_{j≤i} Pⱼ,  P = Σ (x − μ₀ − k)     (and mirrored)
+
+    Input is one row per period (the :func:`page_hinkley` series
+    contract — bounded by the time domain).  Deviations quantize to
+    the micro lattice against the micro-quantized global mean, so the
+    cumulatives are exact integers and peak ties break on earliest
+    index.  Returns one row: (n_periods, mu, cusum_pos_max,
+    cusum_neg_max, pos_peak_idx, neg_peak_idx).
+    """
+    from pyspark.sql import Window
+
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
+    ).where(F.col("idx").isNotNull() & F.col("x").isNotNull())
+    # explicit exact-sum/count mean (avg() internals differ per engine)
+    mu = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.expr(
+            "CAST(round(CAST(sum(CAST(round(x * 1000000.0d) "
+            "AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("mu_q"),
+    )
+    kq = int(round(k_slack * 1e6))
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        pts.crossJoin(F.broadcast(mu))
+        .withColumn(
+            "__dp",
+            F.expr(
+                "CAST(round(x * 1000000.0d) AS BIGINT) - mu_q "
+                f"- CAST({kq} AS BIGINT)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "__dn",
+            F.expr(
+                "mu_q - CAST(round(x * 1000000.0d) AS BIGINT) "
+                f"- CAST({kq} AS BIGINT)"
+            ).cast("long"),
+        )
+        .withColumn("__pp", F.sum("__dp").over(w).cast("long"))
+        .withColumn("__pn", F.sum("__dn").over(w).cast("long"))
+        .withColumn(
+            "__cp",
+            (F.col("__pp")
+             - F.least(F.min("__pp").over(w), F.lit(0).cast("long")))
+            .cast("long"),
+        )
+        .withColumn(
+            "__cn",
+            (F.col("__pn")
+             - F.least(F.min("__pn").over(w), F.lit(0).cast("long")))
+            .cast("long"),
+        )
+    )
+    top_p = staged.orderBy(
+        F.col("__cp").desc(), F.col("idx").asc()
+    ).limit(1).select(
+        F.col("__cp").alias("cp_max"), F.col("idx").alias("cp_idx"),
+    )
+    top_n = staged.orderBy(
+        F.col("__cn").desc(), F.col("idx").asc()
+    ).limit(1).select(
+        F.col("__cn").alias("cn_max"), F.col("idx").alias("cn_idx"),
+    )
+    return (
+        mu.crossJoin(F.broadcast(top_p)).crossJoin(F.broadcast(top_n))
+        .select(
+            "n_periods",
+            F.expr("CAST(mu_q AS DOUBLE) / 1e6").alias("mu"),
+            F.expr("CAST(greatest(cp_max, CAST(0 AS BIGINT)) "
+                   "AS DOUBLE) / 1e6").alias("cusum_pos_max"),
+            F.expr("CAST(greatest(cn_max, CAST(0 AS BIGINT)) "
+                   "AS DOUBLE) / 1e6").alias("cusum_neg_max"),
+            F.col("cp_idx").cast("long").alias("pos_peak_idx"),
+            F.col("cn_idx").cast("long").alias("neg_peak_idx"),
+        )
+    )
