@@ -2835,6 +2835,63 @@ def _q_cusum(spark, sf):
     return ops.cusum_control(daily, "idx", "cnt")
 
 
+def _q_holm(spark, sf):
+    # FWER twin of stats_bh_correction over the same per-priority
+    # welch z sweep
+    return ops.holm_adjust(
+        ops.welch_z_many(_t(spark, sf, "orders"),
+                         "o_orderpriority", "o_totalprice"),
+        "p_value", key_col="o_orderpriority",
+    )
+
+
+def _q_breusch_pagan(spark, sf):
+    # price variance grows with quantity by construction — the
+    # heteroscedasticity the test exists to flag
+    return ops.breusch_pagan(
+        _t(spark, sf, "lineitem"), "l_quantity", "l_extendedprice",
+    )
+
+
+def _q_cooks_distance(spark, sf):
+    pts = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+               "DATE '1992-01-01') AS DOUBLE)").alias("xday"),
+        "o_totalprice",
+    )
+    return ops.cooks_distance(
+        pts, "o_orderkey", "xday", "o_totalprice", top_k=20,
+    )
+
+
+def _q_vif(spark, sf):
+    return ops.vif_report(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+def _q_ljung_box(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.ljung_box(daily, "idx", "cnt", max_lag=10)
+
+
+def _q_permutation_test(spark, sf):
+    return ops.permutation_test_mean(
+        _t(spark, sf, "orders"), "o_totalprice",
+        "o_orderpriority = '1-URGENT'", "o_orderkey", n_perm=48,
+    )
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3200,6 +3257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_mood_median": _q_mood_median,
             "lineitem_cronbach_alpha": _q_cronbach,
             "orders_cusum_control": _q_cusum,
+            "orders_holm_correction": _q_holm,
+            "lineitem_breusch_pagan": _q_breusch_pagan,
+            "orders_cooks_distance": _q_cooks_distance,
+            "lineitem_vif": _q_vif,
+            "orders_ljung_box": _q_ljung_box,
+            "orders_permutation_test": _q_permutation_test,
         }
     )
     for name in _ORDER_PIN:
@@ -5413,6 +5476,360 @@ SELECT mu.n_periods,
        CAST(tp.idx AS BIGINT) AS pos_peak_idx,
        CAST(tn.idx AS BIGINT) AS neg_peak_idx
 FROM mu CROSS JOIN tp CROSS JOIN tn
+"""
+
+    o["lineitem_breusch_pagan"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS xd,
+         CAST(l_extendedprice AS DOUBLE) AS yd,
+         CAST(l_quantity AS DECIMAL(12,4)) AS x,
+         CAST(l_extendedprice AS DECIMAL(12,4)) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(19,4)) * x) AS sxx,
+         sum(CAST(x AS DECIMAL(19,4)) * y) AS sxy
+  FROM base
+), m1 AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d
+  FROM m0
+), m2 AS (
+  SELECT n, n_d, sx_d, sy_d,
+         CAST(round((n_d * sxy_d - sx_d * sy_d)
+              / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)
+              * 1000000.0) AS BIGINT) AS b_q
+  FROM m1
+), m AS (
+  SELECT n, n_d, b_q,
+         CAST(round((sy_d - CAST(b_q AS DOUBLE) / 1e6 * sx_d)
+              / n_d * 1000000.0) AS BIGINT) AS a_q
+  FROM m2
+), aux0 AS (
+  SELECT n, n_d, b_q, a_q,
+         CAST(round((yd - (CAST(a_q AS DOUBLE) / 1e6
+              + CAST(b_q AS DOUBLE) / 1e6 * xd)) * 100.0) AS BIGINT)
+           AS eq,
+         CAST(round(xd * 100.0) AS BIGINT) AS xq
+  FROM base CROSS JOIN m
+), aux1 AS (
+  SELECT n, n_d, b_q, a_q,
+         CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS u1,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0))
+           AS u2,
+         CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq) AS DECIMAL(38,0))
+           AS v1,
+         CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq * eq * eq)
+              AS DECIMAL(38,0)) AS v2,
+         CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq * xq)
+              AS DECIMAL(38,0)) AS uv
+  FROM aux0 GROUP BY 1, 2, 3, 4
+), aux AS (
+  SELECT n, n_d, b_q, a_q,
+         CAST(CAST(u1 AS VARCHAR) AS DOUBLE) AS u1_d,
+         CAST(CAST(u2 AS VARCHAR) AS DOUBLE) AS u2_d,
+         CAST(CAST(v1 AS VARCHAR) AS DOUBLE) AS v1_d,
+         CAST(CAST(v2 AS VARCHAR) AS DOUBLE) AS v2_d,
+         CAST(CAST(uv AS VARCHAR) AS DOUBLE) AS uv_d
+  FROM aux1
+)
+SELECT n,
+  CAST(b_q AS DOUBLE) / 1e6 AS slope,
+  CAST(a_q AS DOUBLE) / 1e6 AS intercept,
+  CAST(CAST(round(n_d * ((n_d * uv_d - u1_d * v1_d)
+       * (n_d * uv_d - u1_d * v1_d)
+       / nullif((n_d * u2_d - u1_d * u1_d)
+         * (n_d * v2_d - v1_d * v1_d), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS lm_stat,
+  CAST(CAST(round(((n_d * uv_d - u1_d * v1_d)
+       * (n_d * uv_d - u1_d * v1_d)
+       / nullif((n_d * u2_d - u1_d * u1_d)
+         * (n_d * v2_d - v1_d * v1_d), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS r2_aux
+FROM aux
+"""
+
+    o["orders_cooks_distance"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS DOUBLE) AS xd,
+         CAST(o_totalprice AS DOUBLE) AS yd,
+         CAST(CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS DOUBLE) AS DECIMAL(12,4))
+           AS x,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+), m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(19,4)) * x) AS sxx,
+         sum(CAST(x AS DECIMAL(19,4)) * y) AS sxy,
+         sum(CAST(y AS DECIMAL(19,4)) * y) AS syy
+  FROM base
+), m1 AS (
+  SELECT CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d
+  FROM m0
+), m2 AS (
+  SELECT *,
+         CAST(round((n_d * sxy_d - sx_d * sy_d)
+              / nullif(n_d * sxx_d - sx_d * sx_d, 0.0)
+              * 1000000.0) AS BIGINT) AS b_q
+  FROM m1
+), m3 AS (
+  SELECT n_d, sx_d, sxx_d, sy_d, sxy_d, syy_d, b_q,
+         CAST(round((sy_d - CAST(b_q AS DOUBLE) / 1e6 * sx_d)
+              / n_d * 1000000.0) AS BIGINT) AS a_q
+  FROM m2
+), m AS (
+  SELECT n_d, sx_d, sxx_d, b_q, a_q,
+         ((syy_d - 2.0 * (CAST(b_q AS DOUBLE) / 1e6) * sxy_d
+           - 2.0 * (CAST(a_q AS DOUBLE) / 1e6) * sy_d
+           + 2.0 * (CAST(b_q AS DOUBLE) / 1e6)
+             * (CAST(a_q AS DOUBLE) / 1e6) * sx_d
+           + (CAST(b_q AS DOUBLE) / 1e6) * (CAST(b_q AS DOUBLE) / 1e6)
+             * sxx_d
+           + n_d * (CAST(a_q AS DOUBLE) / 1e6)
+             * (CAST(a_q AS DOUBLE) / 1e6))
+          / (n_d - 2.0)) AS s2
+  FROM m3
+), scored AS (
+  SELECT id, xd AS x, yd AS y,
+    CAST(round((yd - (CAST(a_q AS DOUBLE) / 1e6
+         + CAST(b_q AS DOUBLE) / 1e6 * xd)) * 1000000.0) AS BIGINT)
+      AS res_q,
+    CAST(round((1.0 / n_d + (xd - sx_d / n_d) * (xd - sx_d / n_d)
+         / nullif(sxx_d - sx_d * sx_d / n_d, 0.0)) * 1000000000.0)
+         AS BIGINT) AS lev_q,
+    CAST(round(((yd - (CAST(a_q AS DOUBLE) / 1e6
+         + CAST(b_q AS DOUBLE) / 1e6 * xd))
+         * (yd - (CAST(a_q AS DOUBLE) / 1e6
+           + CAST(b_q AS DOUBLE) / 1e6 * xd))
+         * (1.0 / n_d + (xd - sx_d / n_d) * (xd - sx_d / n_d)
+           / nullif(sxx_d - sx_d * sx_d / n_d, 0.0))
+         / nullif(2.0 * s2
+           * (1.0 - (1.0 / n_d + (xd - sx_d / n_d) * (xd - sx_d / n_d)
+             / nullif(sxx_d - sx_d * sx_d / n_d, 0.0)))
+           * (1.0 - (1.0 / n_d + (xd - sx_d / n_d) * (xd - sx_d / n_d)
+             / nullif(sxx_d - sx_d * sx_d / n_d, 0.0))), 0.0))
+         * 1000000000.0) AS BIGINT) AS cd_q
+  FROM base CROSS JOIN m
+)
+SELECT id, x, y,
+       CAST(res_q AS DOUBLE) / 1e6 AS residual,
+       CAST(lev_q AS DOUBLE) / 1e9 AS leverage,
+       CAST(cd_q AS DOUBLE) / 1e9 AS cooks_d
+FROM scored
+ORDER BY cooks_d DESC, id ASC
+LIMIT 20
+"""
+
+    _vif_m = """
+WITH m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(12,4))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS sy,
+         sum(CAST(l_discount AS DECIMAL(12,4))) AS sz,
+         sum(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(12,4))) AS syy,
+         sum(CAST(CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS szz,
+         sum(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(12,4))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS sxz,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(l_discount AS DECIMAL(12,4))) AS syz
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), d AS (
+  SELECT CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS sz_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d,
+         CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS szz_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d,
+         CAST(CAST(sxz AS VARCHAR) AS DOUBLE) AS sxz_d,
+         CAST(CAST(syz AS VARCHAR) AS DOUBLE) AS syz_d
+  FROM m0
+), r AS (
+  SELECT
+    ((n_d * sxy_d - sx_d * sy_d)
+     / nullif(sqrt(n_d * sxx_d - sx_d * sx_d)
+       * sqrt(n_d * syy_d - sy_d * sy_d), 0.0)) AS r12,
+    ((n_d * sxz_d - sx_d * sz_d)
+     / nullif(sqrt(n_d * sxx_d - sx_d * sx_d)
+       * sqrt(n_d * szz_d - sz_d * sz_d), 0.0)) AS r13,
+    ((n_d * syz_d - sy_d * sz_d)
+     / nullif(sqrt(n_d * syy_d - sy_d * sy_d)
+       * sqrt(n_d * szz_d - sz_d * sz_d), 0.0)) AS r23
+  FROM d
+)
+"""
+    _vif_row = """
+SELECT '{name}' AS feature,
+  CAST(CAST(round((((({ra}) * ({ra}) + ({rb}) * ({rb})
+       - 2.0 * ({ra}) * ({rb}) * ({rc}))
+       / nullif(1.0 - ({rc}) * ({rc}), 0.0))) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS r_squared,
+  CAST(CAST(round((1.0 / nullif(1.0 - (((({ra}) * ({ra})
+       + ({rb}) * ({rb}) - 2.0 * ({ra}) * ({rb}) * ({rc}))
+       / nullif(1.0 - ({rc}) * ({rc}), 0.0))), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS vif
+FROM r
+"""
+    o["lineitem_vif"] = (
+        _vif_m
+        + _vif_row.format(name="l_quantity", ra="r12", rb="r13",
+                          rc="r23")
+        + " UNION ALL "
+        + _vif_row.format(name="l_extendedprice", ra="r12", rb="r23",
+                          rc="r13")
+        + " UNION ALL "
+        + _vif_row.format(name="l_discount", ra="r13", rb="r23",
+                          rc="r12")
+        + " ORDER BY feature"
+    )
+
+    o["orders_ljung_box"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS xq
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT idx, xq,
+         CAST(row_number() OVER (ORDER BY idx) AS BIGINT) AS rn
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS s,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0))
+           AS q2
+  FROM pts
+),
+lags AS (
+  SELECT CAST(b.rn - a.rn AS BIGINT) AS lag,
+         CAST(sum(CAST(a.xq AS DECIMAL(38,0)) * b.xq)
+              AS DECIMAL(38,0)) AS c_k,
+         CAST(sum(a.xq) AS BIGINT) AS h_k,
+         CAST(sum(b.xq) AS BIGINT) AS t_k
+  FROM pts a JOIN pts b
+    ON b.rn - a.rn >= 1 AND b.rn - a.rn <= 10
+  GROUP BY 1
+),
+big AS (
+  SELECT lag, n,
+    CAST(CAST(n * n AS BIGINT) * c_k
+         - CAST(n * s AS DECIMAL(38,0)) * (h_k + t_k)
+         + CAST(s AS DECIMAL(38,0)) * s * (n - lag)
+         AS DECIMAL(38,0)) AS num,
+    CAST(CAST(n * n AS BIGINT) * q2
+         - CAST(n AS DECIMAL(38,0)) * s * s
+         AS DECIMAL(38,0)) AS den
+  FROM lags CROSS JOIN tot
+),
+rk AS (
+  SELECT lag, n,
+         (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          / nullif(CAST(CAST(den AS VARCHAR) AS DOUBLE), 0.0)) AS r_k
+  FROM big
+),
+cum AS (
+  SELECT lag, n, r_k,
+         CAST(sum(CAST(round(r_k * r_k
+              / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+              * 1000000000.0) AS BIGINT))
+              OVER (ORDER BY lag ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c9
+  FROM rk
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+  CAST(CAST(round(r_k * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS r_k,
+  CAST(CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+       * (CAST(c9 AS DOUBLE) / 1e9) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS q_stat,
+  CAST(lag AS BIGINT) AS df
+FROM cum ORDER BY lag
+"""
+
+    o["orders_permutation_test"] = """
+WITH reps AS (SELECT unnest(range(0, 48)) AS b),
+h AS (
+  SELECT r.b,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+             || ':perm:' || CAST(r.b // 8 AS VARCHAR)),
+             (r.b % 8) * 4 + 1, 4))::BIGINT % 2 AS bit,
+         CAST(o.o_totalprice AS DECIMAL(12,4)) AS v,
+         coalesce(o.o_orderpriority = '1-URGENT', FALSE) AS g
+  FROM orders o CROSS JOIN reps r
+  WHERE o.o_totalprice IS NOT NULL),
+rep AS (
+  SELECT b,
+         sum(CASE WHEN bit = 1 THEN v END) AS sb,
+         CAST(sum(bit) AS BIGINT) AS cb
+  FROM h GROUP BY b),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS sv,
+         sum(CASE WHEN coalesce(o_orderpriority = '1-URGENT', FALSE)
+             THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS sg,
+         CAST(sum(CASE WHEN coalesce(o_orderpriority = '1-URGENT',
+              FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS ng
+  FROM orders WHERE o_totalprice IS NOT NULL),
+td AS (
+  SELECT n, ng, CAST(n AS DOUBLE) AS n_d,
+         CAST(ng AS DOUBLE) AS ng_d,
+         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sv_d,
+         CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sg_d
+  FROM tot),
+obs AS (
+  SELECT *,
+         (sg_d / nullif(ng_d, 0.0)
+          - (sv_d - sg_d) / nullif(n_d - ng_d, 0.0)) AS od,
+         CAST(round(abs(sg_d / nullif(ng_d, 0.0)
+              - (sv_d - sg_d) / nullif(n_d - ng_d, 0.0))
+              * 1000000.0) AS BIGINT) AS oq
+  FROM td),
+ext AS (
+  SELECT CAST(sum(CASE WHEN CAST(round(abs(
+           CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+           / nullif(CAST(cb AS DOUBLE), 0.0)
+           - (sv_d - CAST(CAST(sb AS VARCHAR) AS DOUBLE))
+           / nullif(n_d - CAST(cb AS DOUBLE), 0.0)) * 1000000.0)
+           AS BIGINT) >= oq THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM rep CROSS JOIN obs)
+SELECT obs.n,
+  CAST(CAST(round(obs.od * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS obs_diff,
+  ext.n_extreme,
+  CAST(48 AS BIGINT) AS n_perm,
+  CAST(CAST(round((CAST(ext.n_extreme AS DOUBLE) + 1.0)
+       / (CAST(48 AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS p_value
+FROM obs CROSS JOIN ext
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture
@@ -11314,6 +11731,50 @@ SELECT o_orderpriority, n, mean, z, p_value, p_rank,
        CASE WHEN p_value IS NULL THEN NULL
             ELSE qv <= 0.05 END AS significant_bh
 FROM qq
+"""
+
+    # Holm step-DOWN FWER twin of the BH oracle above: identical
+    # welch_z_many sweep, running MAX of min(1, p·(m−rank+1))
+    o["orders_holm_correction"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS {dc})) AS sx,
+         sum({_w('o_totalprice')} * {_w('o_totalprice')}) AS sxx
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx,
+             sum(sxx) AS tsxx FROM g),
+b AS (SELECT grp, n, sx, sxx, tn - n AS rn, tsx - sx AS rsx,
+             tsxx - sxx AS rsxx FROM g, t),
+d AS (SELECT grp, n, rn,
+        CAST(n AS DOUBLE) AS n_d, CAST(rn AS DOUBLE) AS rn_d,
+        CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+        CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+        CAST(CAST(rsx AS VARCHAR) AS DOUBLE) AS rsx_d,
+        CAST(CAST(rsxx AS VARCHAR) AS DOUBLE) AS rsxx_d
+      FROM b),
+z AS (SELECT grp, n, round(sx_d / n_d, 6) AS mean, {_zv} AS zval FROM d),
+p AS (SELECT grp AS o_orderpriority, n, mean, round(zval, 6) AS z,
+        CASE WHEN zval IS NULL THEN NULL
+             ELSE least(1.0, round({_pv}, 8)) END AS p_value
+      FROM z),
+r AS (SELECT *,
+        CAST(row_number() OVER
+          (ORDER BY p_value ASC NULLS LAST, o_orderpriority ASC) AS INT)
+          AS p_rank,
+        count(p_value) OVER () AS m FROM p),
+h AS (SELECT *, CASE WHEN p_value IS NULL THEN NULL
+        ELSE least(1.0, p_value
+          * (CAST(m AS DOUBLE) - CAST(p_rank AS DOUBLE) + 1.0)) END
+        AS hr FROM r),
+hh AS (SELECT *, round(max(hr) OVER
+        (ORDER BY p_rank ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8)
+        AS hv FROM h)
+SELECT o_orderpriority, n, mean, z, p_value, p_rank,
+       CASE WHEN p_value IS NULL THEN NULL ELSE hv END AS p_holm,
+       CASE WHEN p_value IS NULL THEN NULL
+            ELSE hv <= 0.05 END AS significant_holm
+FROM hh
 """
 
     # top-k session paths (gap sessionization + ordered type sequences)

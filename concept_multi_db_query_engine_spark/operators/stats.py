@@ -5526,3 +5526,551 @@ def cusum_control(
             F.col("cn_idx").cast("long").alias("neg_peak_idx"),
         )
     )
+
+
+def holm_adjust(
+    results: DataFrame,
+    p_col: str = "p_value",
+    key_col: str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm–Bonferroni step-DOWN adjustment — the family-wise-error
+    companion to :func:`bh_adjust` (which controls FDR): when a false
+    positive is expensive (shipping a config change per significant
+    segment), FWER is the right guarantee and Holm dominates plain
+    Bonferroni at no cost::
+
+        p̃_(i) = max_{j≤i} min(1, p_(j)·(m − j + 1))
+
+    Same small-frame contract as :func:`bh_adjust` (one row per
+    hypothesis — the deliberate bounded-window exception); ties break
+    on ``key_col``; NULL p-values sort last and stay NULL.  Adds
+    (p_rank, p_holm, significant_holm).
+    """
+    from pyspark.sql import Window
+
+    key = key_col or p_col
+    order = [F.col(p_col).asc_nulls_last(), F.col(key).asc()]
+    w_rank = Window.orderBy(*order)
+    ranked = results.withColumn(
+        "__m",
+        F.count(F.when(F.col(p_col).isNotNull(), 1))
+        .over(w_rank.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)),
+    ).withColumn("__rk", F.row_number().over(w_rank))
+    raw = (
+        f"CASE WHEN {p_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"ELSE least(1.0d, {p_col} "
+        "* (CAST(__m AS DOUBLE) - CAST(__rk AS DOUBLE) + 1.0d)) END"
+    )
+    adjusted = ranked.withColumn("__hr", F.expr(raw)).withColumn(
+        "p_holm",
+        F.expr("round(max(__hr) OVER (ORDER BY __rk ASC "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8)"),
+    )
+    return adjusted.select(
+        *[c for c in results.columns],
+        F.col("__rk").alias("p_rank"),
+        F.when(F.col(p_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("p_holm")).alias("p_holm"),
+        F.when(F.col(p_col).isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("p_holm") <= alpha).alias("significant_holm"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test for the simple OLS fit —
+    does the residual VARIANCE move with x?  If it does,
+    :func:`ols_fit`'s standard errors are fiction and money/latency
+    regressions need robust errors::
+
+        LM = n · R²(e² ~ x)
+
+    Stage 1 reduces the fact table to the exact-decimal OLS moment row
+    (one scan, :func:`ols_fit` shape) and micro-quantizes (slope,
+    intercept) IN SQL; stage 2 broadcasts that one row back, forms
+    each residual on a cents lattice (e² and e²·x stay inside
+    DECIMAL(38,0) where a micro lattice would overflow), and reduces
+    the auxiliary regression's five exact sums.  LM and the aux R² are
+    fixed-order doubles over string-rendered bigints.  Returns one
+    row: (n, slope, intercept, lm_stat, r2_aux).
+    """
+    base = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({x_col}) AS DOUBLE)").alias("xd"),
+        F.expr(f"CAST(({y_col}) AS DOUBLE)").alias("yd"),
+        _m(x_col).alias("x"),
+        _m(y_col).alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.expr(f"CAST({c} AS DOUBLE)").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxx", "sxy")],
+    ).select(
+        "n", "n_d",
+        F.expr(
+            "CAST(round((n_d * sxy_d - sx_d * sy_d) "
+            "/ nullif(n_d * sxx_d - sx_d * sx_d, 0.0d) "
+            "* 1000000.0d) AS BIGINT)"
+        ).alias("b_q"),
+        "sx_d", "sy_d", "sxx_d", "sxy_d",
+    ).select(
+        "n", "n_d", "b_q", "sx_d", "sy_d",
+        F.expr(
+            "CAST(round((sy_d - CAST(b_q AS DOUBLE) / 1e6 * sx_d) "
+            "/ n_d * 1000000.0d) AS BIGINT)"
+        ).alias("a_q"),
+    )
+    # stage 2: residuals on a cents lattice against the broadcast model
+    aux = (
+        base.crossJoin(F.broadcast(m))
+        .select(
+            "n", "n_d", "b_q", "a_q",
+            F.expr(
+                "CAST(round((yd - (CAST(a_q AS DOUBLE) / 1e6 "
+                "+ CAST(b_q AS DOUBLE) / 1e6 * xd)) * 100.0d) "
+                "AS BIGINT)"
+            ).alias("eq"),
+            F.expr("CAST(round(xd * 100.0d) AS BIGINT)").alias("xq"),
+        )
+        .groupBy("n", "n_d", "b_q", "a_q")
+        .agg(
+            F.expr("CAST(sum(CAST(xq AS DECIMAL(38,0))) "
+                   "AS DECIMAL(38,0))").alias("u1"),
+            F.expr("CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) "
+                   "AS DECIMAL(38,0))").alias("u2"),
+            F.expr("CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq) "
+                   "AS DECIMAL(38,0))").alias("v1"),
+            F.expr("CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq * eq "
+                   "* eq) AS DECIMAL(38,0))").alias("v2"),
+            F.expr("CAST(sum(CAST(eq AS DECIMAL(38,0)) * eq * xq) "
+                   "AS DECIMAL(38,0))").alias("uv"),
+        )
+        .select(
+            "n", "n_d", "b_q", "a_q",
+            F.expr(_big_d("u1")).alias("u1_d"),
+            F.expr(_big_d("u2")).alias("u2_d"),
+            F.expr(_big_d("v1")).alias("v1_d"),
+            F.expr(_big_d("v2")).alias("v2_d"),
+            F.expr(_big_d("uv")).alias("uv_d"),
+        )
+    )
+    r2 = (
+        "((n_d * uv_d - u1_d * v1_d) * (n_d * uv_d - u1_d * v1_d) "
+        "/ nullif((n_d * u2_d - u1_d * u1_d) "
+        "* (n_d * v2_d - v1_d * v1_d), 0.0d))"
+    )
+    return aux.select(
+        "n",
+        F.expr("CAST(b_q AS DOUBLE) / 1e6").alias("slope"),
+        F.expr("CAST(a_q AS DOUBLE) / 1e6").alias("intercept"),
+        F.expr(
+            f"CAST(round(n_d * ({r2}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("lm_stat"),
+        F.expr(f"CAST(round(({r2}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("r2_aux"),
+    )
+
+
+def cooks_distance(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cook's distance for the simple OLS fit — which individual rows
+    BEND the regression line?  The influence audit that catches the
+    one corrupted record quietly steering a revenue model::
+
+        h_i = 1/n + (x_i − x̄)²/Sxx
+        D_i = e_i²·h_i / (p·s²·(1 − h_i)²),  p = 2
+
+    Stage 1 reduces to the exact OLS moment row (micro-quantized
+    slope/intercept IN SQL — no driver state); stage 2 broadcasts it
+    and scores every row with fixed-order doubles; only the top-k by
+    (D desc, id asc) survive.  Returns (id, x, y, residual, leverage,
+    cooks_d) — k rows.
+    """
+    base = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL"
+    ).select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CAST(({x_col}) AS DOUBLE)").alias("xd"),
+        F.expr(f"CAST(({y_col}) AS DOUBLE)").alias("yd"),
+        _m(x_col).alias("x"),
+        _m(y_col).alias("y"),
+    )
+    # s² comes from the quantized-(a, b) residual identity
+    # SSE = Σ(y − a − bx)² expanded over the exact moments, so the
+    # per-row residuals and the variance share the SAME (a_q, b_q)
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        F.col("n").cast("double").alias("n_d"),
+        *[F.expr(f"CAST({c} AS DOUBLE)").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxx", "sxy", "syy")],
+    ).select(
+        "n_d", "sx_d", "sxx_d", "sy_d", "sxy_d", "syy_d",
+        F.expr(
+            "CAST(round((n_d * sxy_d - sx_d * sy_d) "
+            "/ nullif(n_d * sxx_d - sx_d * sx_d, 0.0d) "
+            "* 1000000.0d) AS BIGINT)"
+        ).alias("b_q"),
+    ).select(
+        "n_d", "sx_d", "sxx_d", "sy_d", "sxy_d", "syy_d", "b_q",
+        F.expr(
+            "CAST(round((sy_d - CAST(b_q AS DOUBLE) / 1e6 * sx_d) "
+            "/ n_d * 1000000.0d) AS BIGINT)"
+        ).alias("a_q"),
+    ).select(
+        "n_d", "sx_d", "sxx_d", "b_q", "a_q",
+        # SSE = Σ(y − a − bx)² expanded over the exact moments with
+        # the SAME quantized (a_q, b_q) the per-row residuals use
+        F.expr(
+            "((syy_d - 2.0d * (CAST(b_q AS DOUBLE) / 1e6) * sxy_d "
+            "- 2.0d * (CAST(a_q AS DOUBLE) / 1e6) * sy_d "
+            "+ 2.0d * (CAST(b_q AS DOUBLE) / 1e6) "
+            "* (CAST(a_q AS DOUBLE) / 1e6) * sx_d "
+            "+ (CAST(b_q AS DOUBLE) / 1e6) * (CAST(b_q AS DOUBLE) "
+            "/ 1e6) * sxx_d "
+            "+ n_d * (CAST(a_q AS DOUBLE) / 1e6) "
+            "* (CAST(a_q AS DOUBLE) / 1e6)) "
+            "/ (n_d - 2.0d))"
+        ).alias("s2"),
+    )
+    h = ("(1.0d / n_d + (xd - sx_d / n_d) * (xd - sx_d / n_d) "
+         "/ nullif(sxx_d - sx_d * sx_d / n_d, 0.0d))")
+    e = ("(yd - (CAST(a_q AS DOUBLE) / 1e6 "
+         "+ CAST(b_q AS DOUBLE) / 1e6 * xd))")
+    cd = (f"(({e}) * ({e}) * ({h}) "
+          f"/ nullif(2.0d * s2 * (1.0d - ({h})) * (1.0d - ({h})), "
+          "0.0d))")
+    return (
+        base.crossJoin(F.broadcast(m))
+        .select(
+            "id",
+            F.col("xd").alias("x"),
+            F.col("yd").alias("y"),
+            F.expr(f"CAST(round(({e}) * 1000000.0d) AS BIGINT) / 1e6")
+            .cast("double").alias("residual"),
+            F.expr(f"CAST(round(({h}) * 1000000000.0d) AS BIGINT) "
+                   "/ 1e9")
+            .cast("double").alias("leverage"),
+            F.expr(f"CAST(round(({cd}) * 1000000000.0d) AS BIGINT) "
+                   "/ 1e9")
+            .cast("double").alias("cooks_d"),
+        )
+        .orderBy(F.col("cooks_d").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def vif_report(
+    df: DataFrame,
+    cols: list[str],
+    dec: str = _DEC,
+) -> DataFrame:
+    """Variance-inflation factors for a THREE-feature design — the
+    multicollinearity check before trusting any multi-feature
+    regression's coefficients: VIF_j = 1/(1 − R²_j) where R²_j
+    regresses feature j on the other two (closed form from the three
+    pairwise correlations — no matrix solve)::
+
+        R²_1 = (r₁₂² + r₁₃² − 2·r₁₂·r₁₃·r₂₃) / (1 − r₂₃²)
+
+    ONE aggregation to the nine exact decimal cross-moments (the
+    :func:`partial_correlation` shape); the three VIFs are a fixed
+    projection.  Returns (feature, r_squared, vif) — 3 rows ordered by
+    feature.
+    """
+    if len(cols) != 3:
+        raise ValueError("vif_report is specified for exactly 3 cols")
+    c1, c2, c3 = cols
+    x, y, z = _m(c1, dec), _m(c2, dec), _m(c3, dec)
+    m = df.where(
+        " AND ".join(f"({c}) IS NOT NULL" for c in cols)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.expr(f"CAST({c} AS DOUBLE)").alias(f"{c}_d")
+          for c in ("sx", "sy", "sz", "sxx", "syy", "szz",
+                    "sxy", "sxz", "syz")],
+    )
+
+    def _r(sa, sb, sab, saa, sbb):
+        return (
+            f"((n_d * {sab} - {sa} * {sb}) "
+            f"/ nullif(sqrt(n_d * {saa} - {sa} * {sa}) "
+            f"* sqrt(n_d * {sbb} - {sb} * {sb}), 0.0d))"
+        )
+
+    r12 = _r("sx_d", "sy_d", "sxy_d", "sxx_d", "syy_d")
+    r13 = _r("sx_d", "sz_d", "sxz_d", "sxx_d", "szz_d")
+    r23 = _r("sy_d", "sz_d", "syz_d", "syy_d", "szz_d")
+
+    def _r2(ra, rb, rc):
+        # feature regressed on the other two: ra/rb link it to them,
+        # rc links the two regressors to each other
+        return (
+            f"((({ra}) * ({ra}) + ({rb}) * ({rb}) "
+            f"- 2.0d * ({ra}) * ({rb}) * ({rc})) "
+            f"/ nullif(1.0d - ({rc}) * ({rc}), 0.0d))"
+        )
+
+    parts = [
+        (c1, _r2(r12, r13, r23)),
+        (c2, _r2(r12, r23, r13)),
+        (c3, _r2(r13, r23, r12)),
+    ]
+    frames = []
+    for name, r2 in parts:
+        frames.append(m.select(
+            F.lit(name).alias("feature"),
+            F.expr(
+                f"CAST(round(({r2}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("r_squared"),
+            F.expr(
+                f"CAST(round((1.0d / nullif(1.0d - ({r2}), 0.0d)) "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("vif"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("feature")
+
+
+def ljung_box(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Ljung–Box portmanteau test over an aggregated series — is there
+    ANY autocorrelation left in the first m lags?::
+
+        Q_m = n(n+2) Σ_{k≤m} r_k²/(n−k)
+
+    The residual-whiteness gate after a seasonal fit, and the formal
+    companion to the raw :func:`autocorrelation` profile.  Input is
+    one row per period (the :func:`page_hinkley` series contract).
+    Values quantize to the micro lattice; each lag's centered
+    cross-product reduces to EXACT integers via the n²-scaled
+    expansion ``n²·Σxy − n·S·(H+T) + (n−k)·S²`` (DECIMAL(38,0),
+    BIGINT×decimal sub-products only), so every r_k is a ratio of two
+    exactly-summed integers — no pre-centering float pass.  The lag
+    join is ONE range self-join grouped by offset.  Returns one row
+    per lag: (lag, r_k, q_stat, df) ordered by lag.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+               "* 1000000.0d) AS BIGINT)").alias("xq"),
+    ).where(F.col("idx").isNotNull() & F.col("xq").isNotNull())
+    # densify: the series contract allows calendar gaps; ranks make
+    # lag-k mean "k periods later" (bounded global window — the series
+    # frame is aggregated, never the fact table)
+    pts = pts.withColumn(
+        "rn", F.row_number().over(Window.orderBy("idx")).cast("long")
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(xq) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) "
+               "AS DECIMAL(38,0))").alias("q2"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    lags = (
+        a.join(
+            b,
+            (F.col("b.rn") - F.col("a.rn") >= 1)
+            & (F.col("b.rn") - F.col("a.rn") <= max_lag),
+        )
+        .groupBy((F.col("b.rn") - F.col("a.rn")).alias("lag"))
+        .agg(
+            F.expr("CAST(sum(CAST(a.xq AS DECIMAL(38,0)) * b.xq) "
+                   "AS DECIMAL(38,0))").alias("c_k"),
+            F.expr("CAST(sum(a.xq) AS BIGINT)").alias("h_k"),
+            F.expr("CAST(sum(b.xq) AS BIGINT)").alias("t_k"),
+        )
+    )
+    big = (
+        lags.crossJoin(F.broadcast(tot))
+        .select(
+            "lag", "n",
+            F.expr(
+                "CAST(CAST(n * n AS BIGINT) * c_k "
+                "- CAST(n * s AS DECIMAL(38,0)) * (h_k + t_k) "
+                "+ CAST(s AS DECIMAL(38,0)) * s * (n - lag) "
+                "AS DECIMAL(38,0))"
+            ).alias("num"),
+            F.expr(
+                "CAST(CAST(n * n AS BIGINT) * q2 "
+                "- CAST(n AS DECIMAL(38,0)) * s * s "
+                "AS DECIMAL(38,0))"
+            ).alias("den"),
+        )
+        .select(
+            "lag", "n",
+            F.expr(
+                f"({_big_d('num')} / nullif({_big_d('den')}, 0.0d))"
+            ).alias("r_k"),
+        )
+        .withColumn(
+            "__sq_nano",
+            F.expr(
+                "CAST(round(r_k * r_k "
+                "/ (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) "
+                "* 1000000000.0d) AS BIGINT)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "__cum",
+            F.sum("__sq_nano").over(
+                Window.orderBy("lag")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+    )
+    return big.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.expr("CAST(round(r_k * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("r_k"),
+        F.expr(
+            "CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) "
+            "+ 2.0d) * (CAST(__cum AS DOUBLE) / 1e9) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("q_stat"),
+        F.col("lag").cast("long").alias("df"),
+    ).orderBy("lag")
+
+
+def permutation_test_mean(
+    df: DataFrame,
+    value_col: str,
+    group_expr: str,
+    id_col: str,
+    n_perm: int = 48,
+    salt: str = "perm",
+    dec: str = _DEC,
+) -> DataFrame:
+    """Deterministic permutation (randomization) test for a two-group
+    mean difference — the assumption-free alternative to
+    :func:`welch_t_test` when distributions are too wild for t: how
+    often does a RANDOM relabeling beat the observed gap?  RNG is the
+    repo's md5 lane discipline (the :func:`bootstrap_mean_ci`
+    amortization: one md5 per (row, block) → 8 independent sign bits),
+    so every engine replays the identical permutations.
+
+    ONE scan: each row emits its n_perm assignment bits as one array;
+    a single aggregation reduces the observed group sums AND every
+    replicate's (Σ₁, n₁) — map-side combined, no row explosion.  Each
+    replicate's |mean gap| compares against the observed gap on the
+    micro lattice (both sides quantized — no boundary jitter); the
+    p-value uses the add-one permutation convention.  Returns one row:
+    (n, obs_diff, n_extreme, n_perm, p_value).
+    """
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    n_blocks = (n_perm + 7) // 8
+    lanes = (
+        "transform(sequence(0, 7), l -> "
+        "CAST(conv(substring(h, l * 4 + 1, 4), 16, 10) AS BIGINT) % 2)"
+    )
+    blocks = (
+        f"transform(sequence(0, {n_blocks - 1}), k -> "
+        f"md5(concat(CAST({id_col} AS STRING), ':{salt}:', "
+        f"CAST(k AS STRING))))"
+    )
+    staged = df.where(f"({value_col}) IS NOT NULL").select(
+        F.expr(
+            f"slice(flatten(transform({blocks}, h -> {lanes})), "
+            f"1, {n_perm})"
+        ).alias("__bits"),
+        _m(value_col, dec).alias("__v"),
+        F.expr(f"coalesce(CAST(({group_expr}) AS BOOLEAN), false)")
+        .alias("__g"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("sv"),
+        F.sum(F.when(F.col("__g"), F.col("__v"))).alias("sg"),
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("long")
+        .alias("ng"),
+    ]
+    for b in range(n_perm):
+        bit = F.col("__bits")[b]
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("__v"))).alias(f"s{b}")
+        )
+        aggs.append(
+            F.sum(bit.cast("long")).cast("long").alias(f"c{b}")
+        )
+    m = staged.agg(*aggs)
+    sel = [
+        "n", "ng",
+        F.col("n").cast("double").alias("n_d"),
+        F.col("ng").cast("double").alias("ng_d"),
+        F.expr("CAST(sv AS DOUBLE)").alias("sv_d"),
+        F.expr("CAST(sg AS DOUBLE)").alias("sg_d"),
+    ]
+    for b in range(n_perm):
+        sel.append(F.expr(f"CAST(s{b} AS DOUBLE)").alias(f"s{b}_d"))
+        sel.append(F.col(f"c{b}").cast("double").alias(f"c{b}_d"))
+    m = m.select(*sel)
+    obs = (
+        "(sg_d / nullif(ng_d, 0.0d) "
+        "- (sv_d - sg_d) / nullif(n_d - ng_d, 0.0d))"
+    )
+    obs_q = f"CAST(round(abs({obs}) * 1000000.0d) AS BIGINT)"
+    extreme_terms = []
+    for b in range(n_perm):
+        d = (
+            f"(s{b}_d / nullif(c{b}_d, 0.0d) "
+            f"- (sv_d - s{b}_d) / nullif(n_d - c{b}_d, 0.0d))"
+        )
+        extreme_terms.append(
+            f"(CASE WHEN CAST(round(abs({d}) * 1000000.0d) AS BIGINT) "
+            f">= {obs_q} THEN 1 ELSE 0 END)"
+        )
+    n_extreme = " + ".join(extreme_terms)
+    return m.select(
+        "n",
+        F.expr(f"CAST(round(({obs}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("obs_diff"),
+        F.expr(f"CAST(({n_extreme}) AS BIGINT)").alias("n_extreme"),
+        F.lit(n_perm).cast("long").alias("n_perm"),
+        F.expr(
+            f"CAST(round((CAST(({n_extreme}) AS DOUBLE) + 1.0d) "
+            f"/ (CAST({n_perm} AS DOUBLE) + 1.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("p_value"),
+    )
