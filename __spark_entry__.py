@@ -2892,6 +2892,30 @@ def _q_permutation_test(spark, sf):
     )
 
 
+def _knn_edges(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+
+
+def _q_assortativity(spark, sf):
+    return ops.degree_assortativity(_knn_edges(spark, sf))
+
+
+def _q_connected_components(spark, sf):
+    return ops.connected_components(_knn_edges(spark, sf)).orderBy(
+        "node"
+    )
+
+
+def _q_two_stage_topk(spark, sf):
+    return ops.two_stage_topk(
+        _t(spark, sf, "embeddings"), k=10, prefix_dim=16,
+        shortlist=50, n_queries=20,
+    ).orderBy("query_id", "rank")
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3263,6 +3287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem_vif": _q_vif,
             "orders_ljung_box": _q_ljung_box,
             "orders_permutation_test": _q_permutation_test,
+            "graph_assortativity": _q_assortativity,
+            "graph_connected_components": _q_connected_components,
+            "sim_topk_two_stage": _q_two_stage_topk,
         }
     )
     for name in _ORDER_PIN:
@@ -5831,6 +5858,138 @@ SELECT obs.n,
        AS DOUBLE) / 1e6 AS p_value
 FROM obs CROSS JOIN ext
 """
+
+    # kNN-graph edge derivation shared with the graph_triangles oracle
+    _KNN_UND = """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+)
+"""
+
+    o["graph_assortativity"] = (
+        "WITH " + _COS_NORM_CTE + _KNN_UND + """
+, deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT unnest([a, b]) AS node FROM und) GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+pairs AS (
+  SELECT da.deg AS dj, db.deg AS dk
+  FROM und JOIN deg da ON und.a = da.node
+           JOIN deg db ON und.b = db.node
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CAST(dj AS DECIMAL(38,0)) + dk) AS DECIMAL(38,0))
+           AS sj,
+         CAST(sum(CAST(2 AS DECIMAL(38,0)) * dj * dk)
+              AS DECIMAL(38,0)) AS sjk,
+         CAST(sum(CAST(dj AS DECIMAL(38,0)) * dj
+              + CAST(dk AS DECIMAL(38,0)) * dk) AS DECIMAL(38,0))
+           AS sjj
+  FROM pairs
+),
+d AS (
+  SELECT n_nodes, n_edges,
+         CAST(2 * n_edges AS DOUBLE) AS m_d,
+         CAST(CAST(sj AS VARCHAR) AS DOUBLE) AS sj_d,
+         CAST(CAST(sjk AS VARCHAR) AS DOUBLE) AS sjk_d,
+         CAST(CAST(sjj AS VARCHAR) AS DOUBLE) AS sjj_d
+  FROM nn CROSS JOIN m
+)
+SELECT n_nodes, n_edges,
+  CAST(CAST(round(((m_d * sjk_d - sj_d * sj_d)
+       / nullif(m_d * sjj_d - sj_d * sj_d, 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS assortativity
+FROM d
+"""
+    )
+
+    # min-label fixpoint == smallest reachable id: the recursive
+    # closure (node, reachable) reduced by min — exact on the bounded
+    # sf0.01 kNN graph the gate grades
+    o["graph_connected_components"] = (
+        "WITH RECURSIVE " + _COS_NORM_CTE.lstrip() + _KNN_UND + """
+, bi AS (
+  SELECT a AS u, b AS w FROM und
+  UNION ALL
+  SELECT b AS u, a AS w FROM und
+),
+reach(u, w) AS (
+  SELECT u, w FROM bi
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN bi e ON r.w = e.u
+),
+lab AS (
+  SELECT u AS node, least(u, min(w)) AS component
+  FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS component_size
+  FROM lab GROUP BY 1
+)
+SELECT node, lab.component, component_size
+FROM lab JOIN sizes ON lab.component = sizes.component
+ORDER BY node
+"""
+    )
+
+    o["sim_topk_two_stage"] = (
+        "WITH " + _COS_NORM_CTE + """
+, tr AS (
+  SELECT vec_id, list_slice(v, 1, 16) AS v,
+         list_dot_product(list_slice(v, 1, 16),
+                          list_slice(v, 1, 16)) AS norm2
+  FROM e
+),
+scored_t AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.norm2 * c.norm2), 6)
+           AS cosine
+  FROM tr q JOIN tr c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM scored_t
+  ) WHERE r <= 50
+),
+rer AS (
+  SELECT c.query_id, c.vec_id,
+         round((list_dot_product(qe.v, ce.v) + 0.0)
+               / sqrt(qe.norm2 * ce.norm2), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM rer
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+    )
 
     # WAV audio decode: analytic oracle from the square-wave fixture
     # parameters (|sample| is the amplitude at every sample, duration

@@ -621,3 +621,154 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .orderBy("node")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — do high-degree
+    nodes link to other high-degree nodes?  Positive on social-style
+    graphs, negative on hub-and-spoke similarity graphs; the one-number
+    topology summary that tells you whether LSH buckets are chaining
+    into hubs (a near-dup quality smell) before you pay for clustering.
+
+    The coefficient is the Pearson correlation of the degree pairs
+    over every directed realization of each undirected edge.  One
+    degree aggregation, one edge→degree join per endpoint, then EXACT
+    integer sums (Σj, Σj², Σjk over 2m pairs — symmetric, so the two
+    directions collapse into doubled sums) in DECIMAL(38,0); the
+    correlation is one fixed-order double projection over the string-
+    rendered totals.  Returns one row: (n_nodes, n_edges,
+    assortativity).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    pairs = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("dj")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("dk")), "b")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        # each undirected edge contributes BOTH (j,k) and (k,j):
+        # Σj over directed pairs = Σ(dj + dk), Σjk = 2·Σ dj·dk,
+        # Σj² = Σ(dj² + dk²)
+        F.expr("CAST(sum(CAST(dj AS DECIMAL(38,0)) + dk) "
+               "AS DECIMAL(38,0))").alias("sj"),
+        F.expr("CAST(sum(CAST(2 AS DECIMAL(38,0)) * dj * dk) "
+               "AS DECIMAL(38,0))").alias("sjk"),
+        F.expr("CAST(sum(CAST(dj AS DECIMAL(38,0)) * dj "
+               "+ CAST(dk AS DECIMAL(38,0)) * dk) AS DECIMAL(38,0))")
+        .alias("sjj"),
+    )
+    r = (
+        "((m_d * sjk_d - sj_d * sj_d) "
+        "/ nullif(m_d * sjj_d - sj_d * sj_d, 0.0d))"
+    )
+    return (
+        nn.crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes", "n_edges",
+            F.expr("CAST(2 * n_edges AS DOUBLE)").alias("m_d"),
+            F.expr("CAST(CAST(sj AS STRING) AS DOUBLE)").alias("sj_d"),
+            F.expr("CAST(CAST(sjk AS STRING) AS DOUBLE)")
+            .alias("sjk_d"),
+            F.expr("CAST(CAST(sjj AS STRING) AS DOUBLE)")
+            .alias("sjj_d"),
+        )
+        .select(
+            "n_nodes", "n_edges",
+            F.expr(
+                f"CAST(round(({r}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("assortativity"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Connected components by synchronous min-label propagation —
+    every node's label converges to the SMALLEST node id reachable
+    from it, which is a canonical, partition-order-independent
+    component id (the :func:`label_propagation` determinism contract,
+    with min instead of plurality so there is a true fixpoint and no
+    oscillation).  The undirected dedup/linkage complement to
+    ``dedup.duplicate_clusters`` for arbitrary edge lists.
+
+    Each round is one edge-list join against the label vector plus a
+    min aggregation; the loop stops when a bounded driver-side count
+    says no label changed (convergence needs diameter-many rounds; at
+    100 TB the same loop runs with the alternating large-star/small-
+    star optimization — the per-round shape is already that of
+    Kiveris et al.'s hash-min).  Lineage is cut every
+    ``checkpoint_every`` rounds.  Returns (node, component) plus
+    component sizes via (node, component, component_size).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    und = edges.select(src.alias("u"), dst.alias("w")).union(
+        edges.select(dst.alias("u"), src.alias("w"))
+    ).where(F.col("u") != F.col("w")).distinct() \
+        .localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["w"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            nodes.join(labels, "node")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        labels.select("node", F.col("label").alias("component"))
+        .join(sizes, "component")
+        .select("node", "component", "component_size")
+    )

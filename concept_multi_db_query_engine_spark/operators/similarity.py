@@ -1640,3 +1640,80 @@ def margin_scored_pairs(
             (F.col("margin_micro").cast("double") / 1e6).alias("margin"),
         )
     )
+
+
+def two_stage_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage matryoshka retrieval — the production ANN serving
+    shape that :func:`matryoshka_recall` measures: stage 1 shortlists
+    ``shortlist`` candidates per query with the CHEAP truncated-prefix
+    cosine (``prefix_dim`` of the full dims — 4× less compute and
+    memory bandwidth at 16/64), stage 2 reranks only the shortlist
+    with the full-dimension cosine and keeps the top ``k``.
+
+    Stage 1 is :func:`topk_cosine_bruteforce` over a narrow slice
+    projection (broadcast queries, partition-local top-k — the
+    corpus-scan stage an IVF index would replace at scale); stage 2 is
+    a candidates-only join (n_queries × shortlist rows — tiny) scored
+    with a JVM ``aggregate(zip_with(...))`` dot product, no Python.
+    Returns (query_id, vec_id, cosine, rank) — full-precision cosine,
+    rank ≤ k, ties (cosine desc, vec_id asc).
+    """
+    from pyspark.sql import Window
+
+    if shortlist < k:
+        raise ValueError("shortlist must be >= k")
+    queries = embeddings.where(F.col(id_col) < n_queries)
+    t_emb = embeddings.select(
+        F.col(id_col),
+        F.expr(f"slice({vec_col}, 1, {prefix_dim})").alias(vec_col),
+    )
+    t_q = queries.select(
+        F.col(id_col),
+        F.expr(f"slice({vec_col}, 1, {prefix_dim})").alias(vec_col),
+    )
+    cands = topk_cosine_bruteforce(
+        t_emb, t_q, shortlist, id_col, vec_col
+    ).select("query_id", "vec_id")
+    dv = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    full = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.expr(dv).alias("__v"),
+        F.expr(
+            f"aggregate(zip_with({dv}, {dv}, (x, y) -> x * y), "
+            "0.0d, (acc, v) -> acc + v)"
+        ).alias("__n2"),
+    )
+    scored = (
+        cands
+        .join(full.select(F.col("__id").alias("query_id"),
+                          F.col("__v").alias("__qv"),
+                          F.col("__n2").alias("__qn")), "query_id")
+        .join(full.select(F.col("__id").alias("vec_id"),
+                          F.col("__v").alias("__cv"),
+                          F.col("__n2").alias("__cn")), "vec_id")
+        .select(
+            "query_id", "vec_id",
+            # + 0.0 maps a -0.0 fold result onto +0.0 (the documented
+            # Spark-fold vs DuckDB-list_dot_product -0.0 divergence)
+            F.expr(
+                "round((aggregate(zip_with(__qv, __cv, "
+                "(x, y) -> x * y), 0.0d, (acc, v) -> acc + v) + 0.0d) "
+                "/ sqrt(__qn * __cn), 6)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
