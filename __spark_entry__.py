@@ -2916,6 +2916,23 @@ def _q_two_stage_topk(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def _q_blocking_quality(spark, sf):
+    return ops.blocking_quality(
+        _t(spark, sf, "documents"), k=5, num_hashes=16, bands=4,
+        threshold=0.5,
+    )
+
+
+def _q_distinct_ngrams(spark, sf):
+    return ops.distinct_ngram_diversity(
+        _t(spark, sf, "documents"), max_n=3,
+    )
+
+
+def _q_rake_keywords(spark, sf):
+    return ops.rake_keywords(_t(spark, sf, "documents"), k=20)
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3290,6 +3307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_assortativity": _q_assortativity,
             "graph_connected_components": _q_connected_components,
             "sim_topk_two_stage": _q_two_stage_topk,
+            "dedup_blocking_quality": _q_blocking_quality,
+            "docs_distinct_ngrams": _q_distinct_ngrams,
+            "docs_rake_keywords": _q_rake_keywords,
         }
     )
     for name in _ORDER_PIN:
@@ -5990,6 +6010,133 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ORDER BY query_id, rank
 """
     )
+
+    # empirical blocking quality: truth = the _SHINGLES_CTE exact-
+    # jaccard pairs, candidates = the dedup_minhash_lsh banded buckets
+    o["dedup_blocking_quality"] = (
+        "WITH " + _SHINGLES_CTE + """,
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+truth AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM sigs),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+       FROM cand JOIN truth USING (d1, d2))
+SELECT n_docs,
+  CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS total_pairs,
+  n_candidates, n_truth, n_hits,
+  CAST(CAST(round((1.0 - CAST(n_candidates AS DOUBLE)
+       / nullif(CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS reduction_ratio,
+  CAST(CAST(round(CAST(n_hits AS DOUBLE)
+       / nullif(CAST(n_truth AS DOUBLE), 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS pair_completeness
+FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh
+"""
+    )
+
+    o["docs_distinct_ngrams"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+stream AS (
+  SELECT 1 AS n, unnest(list_transform(
+           generate_series(1, len(l)), i -> l[i])) AS g
+  FROM toks WHERE len(l) >= 1
+  UNION ALL
+  SELECT 2 AS n, unnest(list_transform(
+           generate_series(1, len(l) - 1),
+           i -> l[i] || ' ' || l[i+1])) AS g
+  FROM toks WHERE len(l) >= 2
+  UNION ALL
+  SELECT 3 AS n, unnest(list_transform(
+           generate_series(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+  FROM toks WHERE len(l) >= 3
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       CAST(CAST(round(CAST(count(DISTINCT g) AS DOUBLE)
+            / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
+            AS BIGINT) AS DOUBLE) / 1e6 AS distinct_ratio
+FROM stream GROUP BY 1 ORDER BY n
+"""
+
+    o["docs_rake_keywords"] = """
+WITH toks0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i AS pos, l[i] AS tok,
+         l[i] IN ('the', 'a', 'is', 'of', 'and') AS is_stop
+  FROM toks0, unnest(generate_series(1, len(l))) AS u(i)
+),
+runs AS (
+  SELECT doc_id, pos, tok,
+         sum(CAST(is_stop AS INT)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM toks
+  QUALIFY NOT is_stop
+),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY 1, 2
+),
+members AS (
+  SELECT r.tok, p.plen, p.phrase
+  FROM runs r JOIN phrases p
+    ON r.doc_id = p.doc_id AND r.phrase_id = p.phrase_id
+),
+word_stats AS (
+  SELECT tok,
+         CAST(round(CAST(sum(plen) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS wscore_q
+  FROM members GROUP BY 1
+),
+scored AS (
+  SELECT phrase,
+         CAST(sum(wscore_q) AS BIGINT) AS score_sum_q
+  FROM members JOIN word_stats USING (tok)
+  GROUP BY 1
+),
+occ AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY 1
+)
+SELECT phrase, n_occurrences,
+  CAST(CAST(round(CAST(score_sum_q AS DOUBLE)
+       / CAST(n_occurrences AS DOUBLE) / 1e6 * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS score
+FROM scored JOIN occ USING (phrase)
+ORDER BY score DESC, phrase ASC
+LIMIT 20
+"""
 
     # WAV audio decode: analytic oracle from the square-wave fixture
     # parameters (|sample| is the amplitude at every sample, duration

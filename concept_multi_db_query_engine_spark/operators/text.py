@@ -3248,3 +3248,153 @@ def zipf_fit(
             f"CAST(round(({r2}) * 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("r2"),
     )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    max_n: int = 3,
+) -> DataFrame:
+    """Corpus-level distinct-n diversity — the fraction of all word
+    n-grams that are UNIQUE strings, for n = 1..max_n (the distinct-1/
+    2/3 metrics generation-quality work reports): a collapsing ratio
+    at n=3 is the classic symptom of a template-flooded or
+    self-repetitive corpus before any model sees it.
+
+    ONE corpus scan: every n-gram kind is emitted from the same token
+    array as a kind-tagged stream (the PMI shape), one aggregation
+    counts totals and approx-free exact distincts per kind.  Returns
+    one row per n: (n, total_ngrams, distinct_ngrams, distinct_ratio)
+    ordered by n.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    grams = []
+    for n in range(1, max_n + 1):
+        # sequence(1, 0) is DESCENDING in Spark — guard short docs
+        grams.append(
+            f"IF(size(__toks) >= {n}, "
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'g', "
+            f"concat_ws(' ', slice(__toks, i, {n})))), "
+            "CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>))"
+        )
+    stream = (
+        docs.select(arr.alias("__toks"))
+        .select(F.explode(F.expr(
+            "concat(" + ", ".join(grams) + ")"
+        )).alias("kg"))
+        .select(F.col("kg.n").alias("n"), F.col("kg.g").alias("g"))
+    )
+    return (
+        stream.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "total_ngrams", "distinct_ngrams",
+            F.expr(
+                "CAST(round(CAST(distinct_ngrams AS DOUBLE) "
+                "/ nullif(CAST(total_ngrams AS DOUBLE), 0.0d) "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("distinct_ratio"),
+        )
+        .orderBy("n")
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    candidate phrases are maximal stopword-free token runs; each
+    word's score is degree/frequency (degree = Σ lengths of the
+    phrases it appears in), a phrase scores the sum of its member
+    words, and the corpus's top-k distinct phrases win.  The cheap,
+    language-light keyword surfacer for corpus exploration dashboards
+    (the shared :data:`STOPWORDS` set, mirrored in the oracle).
+
+    Shape: one scan → posexplode of the token array, phrase ids from a
+    per-document running stopword count (window bounded by document
+    length, partitioned by doc), two exact-count aggregations for word
+    stats, one join back for phrase scores (micro-quantized word
+    scores exact-summed — deterministic on any partition order).
+    Returns (phrase, n_occurrences, score) — top-k by (score desc,
+    phrase asc).
+    """
+    from pyspark.sql import Window
+
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = (
+        docs.select(F.col("doc_id"), arr.alias("__toks"))
+        .select("doc_id", F.posexplode("__toks").alias("pos", "tok"))
+        .withColumn("is_stop", F.expr(f"tok IN ({stop_set})"))
+        .withColumn(
+            "phrase_id",
+            F.sum(F.expr("CAST(is_stop AS INT)")).over(
+                Window.partitionBy("doc_id").orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(~F.col("is_stop"))
+    )
+    phrases = (
+        toks.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(sort_array("
+                "collect_list(struct(pos, tok))), s -> s.tok))"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+    )
+    members = (
+        toks.join(phrases, ["doc_id", "phrase_id"])
+        .select("tok", "plen", "phrase")
+    )
+    word_stats = members.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    ).select(
+        "tok",
+        F.expr(
+            "CAST(round(CAST(degree AS DOUBLE) "
+            "/ CAST(freq AS DOUBLE) * 1000000.0d) AS BIGINT)"
+        ).alias("wscore_q"),
+    )
+    scored = (
+        members.join(word_stats, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT)").alias("n_tokens_total"),
+            F.sum("wscore_q").cast("long").alias("score_sum_q"),
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase", "n_occurrences",
+            # identical phrase text ⇒ identical member word scores, so
+            # the per-OCCURRENCE score is the summed score divided by
+            # the occurrence count — exact integer division avoided by
+            # scoring one occurrence: score_sum/occurrences
+            F.expr(
+                "CAST(round(CAST(score_sum_q AS DOUBLE) "
+                "/ CAST(n_occurrences AS DOUBLE) / 1e6 "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(k)
+    )
