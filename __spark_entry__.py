@@ -2933,6 +2933,46 @@ def _q_rake_keywords(spark, sf):
     return ops.rake_keywords(_t(spark, sf, "documents"), k=20)
 
 
+def _q_hurst(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.hurst_exponent(daily, "idx", "cnt")
+
+
+def _q_granger(spark, sf):
+    # does yesterday's click volume improve today's purchase forecast?
+    ev = _t(spark, sf, "events")
+    daily = (
+        ev.where("event_type IN ('click', 'purchase')")
+        .groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            )).cast("double").alias("y"),
+            F.sum(F.expr(
+                "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+            )).cast("double").alias("x"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # bounded series window (one row per day) builds the lag frame
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y_lag"),
+        F.lag("x", 1).over(w).alias("x_lag"),
+    )
+    return ops.granger_causality(pairs, "y", "y_lag", "x_lag")
+
+
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
 # partition counts, order-sensitive compare — .claude/skills/verify/
 # det_sweep.py) found these 52 already-green queries return value-
@@ -3310,6 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_blocking_quality": _q_blocking_quality,
             "docs_distinct_ngrams": _q_distinct_ngrams,
             "docs_rake_keywords": _q_rake_keywords,
+            "orders_hurst_exponent": _q_hurst,
+            "events_granger_causality": _q_granger,
         }
     )
     for name in _ORDER_PIN:
@@ -6136,6 +6178,178 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    o["orders_hurst_exponent"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS xq
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT xq,
+         CAST(row_number() OVER (ORDER BY idx) - 1 AS BIGINT) AS rn
+  FROM daily
+),
+ws AS (SELECT unnest([8, 16, 32, 64]) AS w),
+blk AS (
+  SELECT w, CAST(rn // w AS BIGINT) AS b,
+         CAST(rn % w AS BIGINT) + 1 AS t, xq
+  FROM pts CROSS JOIN ws
+),
+sizes AS (
+  SELECT w, b, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(xq) AS BIGINT) AS sb,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0))
+           AS qb
+  FROM blk GROUP BY 1, 2
+  HAVING count(*) = w
+),
+zw AS (
+  SELECT blk.w, blk.b, sizes.sb, sizes.qb,
+         CAST(blk.w AS BIGINT)
+           * CAST(sum(xq) OVER (PARTITION BY blk.w, blk.b ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - t * sizes.sb AS z
+  FROM blk JOIN sizes ON blk.w = sizes.w AND blk.b = sizes.b
+),
+blocks AS (
+  SELECT w, b,
+         (CAST(max(z) - min(z) AS DOUBLE) / CAST(w AS DOUBLE) / 1e6)
+           AS r_b,
+         (sqrt((CAST(CAST(max(qb) AS VARCHAR) AS DOUBLE)
+            / CAST(w AS DOUBLE)
+            - (CAST(max(sb) AS DOUBLE) / CAST(w AS DOUBLE))
+            * (CAST(max(sb) AS DOUBLE) / CAST(w AS DOUBLE)))) / 1e6)
+           AS s_b
+  FROM zw GROUP BY 1, 2
+),
+rs AS (
+  SELECT w AS block_w,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(CAST(round(CAST(sum(CAST(round(r_b / s_b * 1000000.0)
+              AS BIGINT)) AS DOUBLE) / 1e6
+              / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+              AS DOUBLE) / 1e6 AS mean_rs
+  FROM blocks WHERE s_b > 0.0 GROUP BY 1
+),
+pts4 AS (
+  SELECT block_w, n_blocks, mean_rs,
+         CAST(round(ln(CAST(block_w AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS lx_q,
+         CAST(round(ln(mean_rs) * 1000000.0) AS BIGINT) AS ly_q
+  FROM rs WHERE mean_rs > 0.0
+),
+fit AS (
+  SELECT CAST(round((CAST(count(*) AS DOUBLE)
+           * CAST(sum(lx_q * ly_q) AS DOUBLE)
+           - CAST(sum(lx_q) AS DOUBLE) * CAST(sum(ly_q) AS DOUBLE))
+           / nullif(CAST(count(*) AS DOUBLE)
+             * CAST(sum(lx_q * lx_q) AS DOUBLE)
+             - CAST(sum(lx_q) AS DOUBLE) * CAST(sum(lx_q) AS DOUBLE),
+             0.0) * 1000000.0) AS BIGINT) AS h_q
+  FROM pts4
+)
+SELECT CAST(block_w AS BIGINT) AS block_w, n_blocks, mean_rs,
+       CAST(h_q AS DOUBLE) / 1e6 AS hurst
+FROM rs CROSS JOIN fit
+ORDER BY block_w
+"""
+
+    o["events_granger_causality"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS DOUBLE) AS y,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+pairs AS (
+  SELECT y, lag(y, 1) OVER (ORDER BY day) AS y_lag,
+         lag(x, 1) OVER (ORDER BY day) AS x_lag
+  FROM daily
+),
+base AS (
+  SELECT CAST(round(y * 1000000.0) AS BIGINT) AS yq,
+         CAST(round(y_lag * 1000000.0) AS BIGINT) AS aq,
+         CAST(round(x_lag * 1000000.0) AS BIGINT) AS bq
+  FROM pairs
+  WHERE y IS NOT NULL AND y_lag IS NOT NULL AND x_lag IS NOT NULL
+),
+m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(aq) AS BIGINT) AS sa,
+         CAST(sum(bq) AS BIGINT) AS sb,
+         CAST(sum(CAST(yq AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0))
+           AS syy,
+         CAST(sum(CAST(aq AS DECIMAL(38,0)) * aq) AS DECIMAL(38,0))
+           AS saa,
+         CAST(sum(CAST(bq AS DECIMAL(38,0)) * bq) AS DECIMAL(38,0))
+           AS sbb,
+         CAST(sum(CAST(yq AS DECIMAL(38,0)) * aq) AS DECIMAL(38,0))
+           AS sya,
+         CAST(sum(CAST(yq AS DECIMAL(38,0)) * bq) AS DECIMAL(38,0))
+           AS syb,
+         CAST(sum(CAST(aq AS DECIMAL(38,0)) * bq) AS DECIMAL(38,0))
+           AS sab
+  FROM base
+),
+m AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(sy AS DOUBLE) / 1e6 AS sy_d,
+         CAST(sa AS DOUBLE) / 1e6 AS sa_d,
+         CAST(sb AS DOUBLE) / 1e6 AS sb_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12 AS syy_d,
+         CAST(CAST(saa AS VARCHAR) AS DOUBLE) / 1e12 AS saa_d,
+         CAST(CAST(sbb AS VARCHAR) AS DOUBLE) / 1e12 AS sbb_d,
+         CAST(CAST(sya AS VARCHAR) AS DOUBLE) / 1e12 AS sya_d,
+         CAST(CAST(syb AS VARCHAR) AS DOUBLE) / 1e12 AS syb_d,
+         CAST(CAST(sab AS VARCHAR) AS DOUBLE) / 1e12 AS sab_d
+  FROM m0
+),
+calc AS (
+  SELECT n, n_d, syy_d, sy_d, sya_d, syb_d,
+    (syy_d - sy_d * sy_d / n_d
+     - (((n_d * sya_d - sa_d * sy_d)
+        / nullif(n_d * saa_d - sa_d * sa_d, 0.0)))
+       * (((n_d * sya_d - sa_d * sy_d)
+          / nullif(n_d * saa_d - sa_d * sa_d, 0.0)))
+       * (saa_d - sa_d * sa_d / n_d)) AS rss_r,
+    (n_d * (saa_d * sbb_d - sab_d * sab_d)
+     - sa_d * (sa_d * sbb_d - sab_d * sb_d)
+     + sb_d * (sa_d * sab_d - saa_d * sb_d)) AS det,
+    (sy_d * (saa_d * sbb_d - sab_d * sab_d)
+     - sa_d * (sya_d * sbb_d - sab_d * syb_d)
+     + sb_d * (sya_d * sab_d - saa_d * syb_d)) AS det0,
+    (n_d * (sya_d * sbb_d - sab_d * syb_d)
+     - sy_d * (sa_d * sbb_d - sab_d * sb_d)
+     + sb_d * (sa_d * syb_d - sya_d * sb_d)) AS det1,
+    (n_d * (saa_d * syb_d - sya_d * sab_d)
+     - sa_d * (sa_d * syb_d - sya_d * sb_d)
+     + sy_d * (sa_d * sab_d - saa_d * sb_d)) AS det2
+  FROM m
+),
+rss AS (
+  SELECT n, n_d, rss_r,
+    (syy_d - (det0 / nullif(det, 0.0)) * sy_d
+     - (det1 / nullif(det, 0.0)) * sya_d
+     - (det2 / nullif(det, 0.0)) * syb_d) AS rss_u
+  FROM calc
+)
+SELECT n,
+  CAST(CAST(round(((rss_r - rss_u)
+       / nullif(rss_u / (n_d - 3.0), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS f_stat,
+  CAST(CAST(round(rss_r * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS rss_restricted,
+  CAST(CAST(round(rss_u * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS rss_unrestricted
+FROM rss
 """
 
     # WAV audio decode: analytic oracle from the square-wave fixture

@@ -6074,3 +6074,241 @@ def permutation_test_mean(
             "AS BIGINT) / 1e6"
         ).cast("double").alias("p_value"),
     )
+
+
+def hurst_exponent(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over an
+    aggregated series — long-range dependence in one number: H ≈ 0.5
+    is memoryless, H > 0.5 persistent (trends feed themselves, common
+    in demand series), H < 0.5 mean-reverting.  The check that decides
+    whether a simple seasonal-naive forecast can work at all.
+
+    For each block size w the ranked series splits into ⌊n/w⌋ full
+    blocks; inside a block the cumulative mean-deviations Z_t scale to
+    EXACT integers via ``w·Z_t = w·P_t − t·S_b`` (P = running sum, S_b
+    = block sum — micro lattice, no float pre-centering), so the range
+    R is exact; S is the block's population σ from exact moments.
+    Per-w mean R/S quantizes block summands micro and exact-sums
+    (partition-order free); H is the OLS slope of ln(mean R/S) on
+    ln(w) over the |block_sizes| model points.  All per-block windows
+    are partitioned by block id — bounded by w, never the series.
+    Returns one row per w: (block_w, n_blocks, mean_rs, hurst) with
+    the slope repeated.
+    """
+    from pyspark.sql import Window
+
+    ws = sorted(set(int(w) for w in block_sizes))
+    if any(w < 4 for w in ws) or len(ws) < 2:
+        raise ValueError("need >= 2 block sizes, each >= 4")
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+               "* 1000000.0d) AS BIGINT)").alias("xq"),
+    ).where(F.col("idx").isNotNull() & F.col("xq").isNotNull())
+    pts = pts.withColumn(
+        "rn",
+        (F.row_number().over(Window.orderBy("idx")) - 1).cast("long"),
+    ).localCheckpoint(eager=True)
+    per_w = []
+    for w in ws:
+        blk = (
+            pts.withColumn("b", F.expr(f"CAST(rn DIV {w} AS BIGINT)"))
+            .withColumn("t", F.expr(f"CAST(rn % {w} AS BIGINT) + 1"))
+        )
+        sizes = blk.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("xq").cast("long").alias("sb"),
+            F.expr("CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) "
+                   "AS DECIMAL(38,0))").alias("qb"),
+        ).where(F.col("cnt") == w)
+        wjoin = blk.join(sizes, "b")
+        zw = wjoin.withColumn(
+            "pt",
+            F.sum("xq").over(
+                Window.partitionBy("b").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        ).withColumn(
+            "zw",
+            F.expr(f"CAST({w} AS BIGINT) * pt - t * sb").cast("long"),
+        )
+        blocks = zw.groupBy("b").agg(
+            F.max("zw").alias("zmax"),
+            F.min("zw").alias("zmin"),
+            F.max("sb").alias("sb"),
+            F.max("qb").alias("qb"),
+        ).select(
+            "b",
+            # R = (max wZ − min wZ)/w, back to value units (/1e6)
+            F.expr(
+                f"(CAST(zmax - zmin AS DOUBLE) / {float(w)!r} / 1e6)"
+            ).alias("r_b"),
+            # population σ from exact moments, value units
+            F.expr(
+                f"(sqrt(({_big_d('qb')} / {float(w)!r} "
+                f"- (CAST(sb AS DOUBLE) / {float(w)!r}) "
+                f"* (CAST(sb AS DOUBLE) / {float(w)!r})) ) / 1e6)"
+            ).alias("s_b"),
+        ).where(F.col("s_b") > 0.0)
+        per_w.append(
+            blocks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum(F.expr(
+                    "CAST(round(r_b / s_b * 1000000.0d) AS BIGINT)"
+                )).cast("long").alias("rs_p"),
+            ).select(
+                F.lit(w).cast("long").alias("block_w"),
+                "n_blocks",
+                F.expr(
+                    "CAST(round(CAST(rs_p AS DOUBLE) / 1e6 "
+                    "/ CAST(n_blocks AS DOUBLE) * 1000000.0d) "
+                    "AS BIGINT) / 1e6"
+                ).cast("double").alias("mean_rs"),
+            )
+        )
+    rs = per_w[0]
+    for p in per_w[1:]:
+        rs = rs.unionByName(p)
+    # the model frame is |block_sizes| rows — exact micro-lattice sums
+    # make the tiny OLS partition-order free
+    pts4 = rs.select(
+        "block_w", "n_blocks", "mean_rs",
+        F.expr(
+            "CAST(round(ln(CAST(block_w AS DOUBLE)) * 1000000.0d) "
+            "AS BIGINT)"
+        ).alias("lx_q"),
+        F.expr(
+            "CAST(round(ln(mean_rs) * 1000000.0d) AS BIGINT)"
+        ).alias("ly_q"),
+    ).where(F.col("mean_rs") > 0.0)
+    fit = pts4.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("lx_q").cast("long").alias("sx"),
+        F.sum("ly_q").cast("long").alias("sy"),
+        F.sum(F.expr("lx_q * lx_q")).cast("long").alias("sxx"),
+        F.sum(F.expr("lx_q * ly_q")).cast("long").alias("sxy"),
+    ).select(
+        F.expr(
+            "CAST(round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "/ nullif(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0d) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("hurst"),
+    )
+    return rs.crossJoin(F.broadcast(fit)).select(
+        "block_w", "n_blocks", "mean_rs", "hurst",
+    ).orderBy("block_w")
+
+
+def granger_causality(
+    pairs: DataFrame,
+    y_col: str,
+    ylag_col: str,
+    xlag_col: str,
+) -> DataFrame:
+    """Lag-1 Granger causality — does yesterday's X improve today's Y
+    forecast beyond yesterday's Y?::
+
+        restricted:    y_t ~ 1 + y_{t−1}           (RSS_r)
+        unrestricted:  y_t ~ 1 + y_{t−1} + x_{t−1} (RSS_u)
+        F = (RSS_r − RSS_u) / (RSS_u / (n − 3))
+
+    The cross-series dependency screen for metric dashboards (does
+    signup volume lead purchase volume?).  Input is the LAGGED pair
+    frame (one row per period with y, y_lag, x_lag — built by the
+    caller's bounded series window).  ONE aggregation to the nine
+    exact micro-lattice integer cross-moments in DECIMAL(38,0); the
+    3×3 normal equations solve by Cramer's rule as one fixed-order
+    double projection (string-rendered sums), no iteration.  Returns
+    one row: (n, f_stat, rss_restricted, rss_unrestricted).
+    """
+    q = "CAST(round(CAST(({c}) AS DOUBLE) * 1000000.0d) AS BIGINT)"
+    base = pairs.where(
+        f"({y_col}) IS NOT NULL AND ({ylag_col}) IS NOT NULL "
+        f"AND ({xlag_col}) IS NOT NULL"
+    ).select(
+        F.expr(q.format(c=y_col)).alias("yq"),
+        F.expr(q.format(c=ylag_col)).alias("aq"),
+        F.expr(q.format(c=xlag_col)).alias("bq"),
+    )
+    d38 = "CAST(sum(CAST({a} AS DECIMAL(38,0)) * {b}) AS DECIMAL(38,0))"
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(yq) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(aq) AS BIGINT)").alias("sa"),
+        F.expr("CAST(sum(bq) AS BIGINT)").alias("sb"),
+        F.expr(d38.format(a="yq", b="yq")).alias("syy"),
+        F.expr(d38.format(a="aq", b="aq")).alias("saa"),
+        F.expr(d38.format(a="bq", b="bq")).alias("sbb"),
+        F.expr(d38.format(a="yq", b="aq")).alias("sya"),
+        F.expr(d38.format(a="yq", b="bq")).alias("syb"),
+        F.expr(d38.format(a="aq", b="bq")).alias("sab"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr("CAST(sy AS DOUBLE) / 1e6").alias("sy_d"),
+        F.expr("CAST(sa AS DOUBLE) / 1e6").alias("sa_d"),
+        F.expr("CAST(sb AS DOUBLE) / 1e6").alias("sb_d"),
+        F.expr(f"{_big_d('syy')} / 1e12").alias("syy_d"),
+        F.expr(f"{_big_d('saa')} / 1e12").alias("saa_d"),
+        F.expr(f"{_big_d('sbb')} / 1e12").alias("sbb_d"),
+        F.expr(f"{_big_d('sya')} / 1e12").alias("sya_d"),
+        F.expr(f"{_big_d('syb')} / 1e12").alias("syb_d"),
+        F.expr(f"{_big_d('sab')} / 1e12").alias("sab_d"),
+    )
+    # restricted 2-param closed form
+    b_r = ("((n_d * sya_d - sa_d * sy_d) "
+           "/ nullif(n_d * saa_d - sa_d * sa_d, 0.0d))")
+    rss_r = (
+        f"(syy_d - sy_d * sy_d / n_d "
+        f"- ({b_r}) * ({b_r}) "
+        "* (saa_d - sa_d * sa_d / n_d))"
+    )
+    # unrestricted 3×3 via Cramer on the normal equations
+    det = (
+        "(n_d * (saa_d * sbb_d - sab_d * sab_d) "
+        "- sa_d * (sa_d * sbb_d - sab_d * sb_d) "
+        "+ sb_d * (sa_d * sab_d - saa_d * sb_d))"
+    )
+    det0 = (
+        "(sy_d * (saa_d * sbb_d - sab_d * sab_d) "
+        "- sa_d * (sya_d * sbb_d - sab_d * syb_d) "
+        "+ sb_d * (sya_d * sab_d - saa_d * syb_d))"
+    )
+    det1 = (
+        "(n_d * (sya_d * sbb_d - sab_d * syb_d) "
+        "- sy_d * (sa_d * sbb_d - sab_d * sb_d) "
+        "+ sb_d * (sa_d * syb_d - sya_d * sb_d))"
+    )
+    det2 = (
+        "(n_d * (saa_d * syb_d - sya_d * sab_d) "
+        "- sa_d * (sa_d * syb_d - sya_d * sb_d) "
+        "+ sy_d * (sa_d * sab_d - saa_d * sb_d))"
+    )
+    rss_u = (
+        f"(syy_d - (({det0}) / nullif({det}, 0.0d)) * sy_d "
+        f"- (({det1}) / nullif({det}, 0.0d)) * sya_d "
+        f"- (({det2}) / nullif({det}, 0.0d)) * syb_d)"
+    )
+    f_stat = (
+        f"((({rss_r}) - ({rss_u})) "
+        f"/ nullif(({rss_u}) / (n_d - 3.0d), 0.0d))"
+    )
+    return m.select(
+        "n",
+        F.expr(
+            f"CAST(round(({f_stat}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("f_stat"),
+        F.expr(
+            f"CAST(round(({rss_r}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("rss_restricted"),
+        F.expr(
+            f"CAST(round(({rss_u}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("rss_unrestricted"),
+    )
