@@ -5161,8 +5161,9 @@ SELECT a.g AS group_a, b.g AS group_b,
     AS mean_b,
   CAST(CAST(round((a.m_g - b.m_g) * 1000000.0) AS BIGINT) AS DOUBLE)
     / 1e6 AS mean_diff,
-  CAST(CAST(round((abs(a.m_g - b.m_g) / sqrt(msw / 2.0
-       * (1.0 / CAST(a.n_g AS DOUBLE) + 1.0 / CAST(b.n_g AS DOUBLE))))
+  CAST(CAST(round((abs(a.m_g - b.m_g) / nullif(sqrt(msw / 2.0
+       * (1.0 / CAST(a.n_g AS DOUBLE)
+       + 1.0 / CAST(b.n_g AS DOUBLE))), 0.0))
        * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS q_stat
 FROM means a JOIN means b ON a.g < b.g CROSS JOIN tot
 ORDER BY group_a, group_b
@@ -6342,13 +6343,10 @@ rss AS (
   FROM calc
 )
 SELECT n,
-  CAST(CAST(round(((rss_r - rss_u)
-       / nullif(rss_u / (n_d - 3.0), 0.0)) * 1000000.0) AS BIGINT)
-       AS DOUBLE) / 1e6 AS f_stat,
-  CAST(CAST(round(rss_r * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
-    AS rss_restricted,
-  CAST(CAST(round(rss_u * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
-    AS rss_unrestricted
+  round(((rss_r - rss_u) / nullif(rss_u / (n_d - 3.0), 0.0)), 6)
+    AS f_stat,
+  round(rss_r, 6) AS rss_restricted,
+  round(rss_u, 6) AS rss_unrestricted
 FROM rss
 """
 

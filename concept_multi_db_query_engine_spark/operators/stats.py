@@ -4930,8 +4930,9 @@ def tukey_hsd(
     pairs = a.join(b, F.col("a.g") < F.col("b.g")) \
         .crossJoin(F.broadcast(tot))
     qstat = (
-        "abs(a.m_g - b.m_g) / sqrt(msw / 2.0d "
-        "* (1.0d / CAST(a.n_g AS DOUBLE) + 1.0d / CAST(b.n_g AS DOUBLE)))"
+        "abs(a.m_g - b.m_g) / nullif(sqrt(msw / 2.0d "
+        "* (1.0d / CAST(a.n_g AS DOUBLE) "
+        "+ 1.0d / CAST(b.n_g AS DOUBLE))), 0.0d)"
     )
     return pairs.select(
         F.col("a.g").alias("group_a"),
@@ -6300,15 +6301,13 @@ def granger_causality(
         f"((({rss_r}) - ({rss_u})) "
         f"/ nullif(({rss_u}) / (n_d - 3.0d), 0.0d))"
     )
+    # round(x, 6), not the micro-BIGINT lattice: a near-perfect fit
+    # legitimately sends F → 1e15+, which overflows round(F·1e6)
     return m.select(
         "n",
-        F.expr(
-            f"CAST(round(({f_stat}) * 1000000.0d) AS BIGINT) / 1e6"
-        ).cast("double").alias("f_stat"),
-        F.expr(
-            f"CAST(round(({rss_r}) * 1000000.0d) AS BIGINT) / 1e6"
-        ).cast("double").alias("rss_restricted"),
-        F.expr(
-            f"CAST(round(({rss_u}) * 1000000.0d) AS BIGINT) / 1e6"
-        ).cast("double").alias("rss_unrestricted"),
+        F.expr(f"round(({f_stat}), 6)").cast("double").alias("f_stat"),
+        F.expr(f"round(({rss_r}), 6)").cast("double")
+        .alias("rss_restricted"),
+        F.expr(f"round(({rss_u}), 6)").cast("double")
+        .alias("rss_unrestricted"),
     )

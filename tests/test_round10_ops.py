@@ -1,0 +1,346 @@
+"""Dedicated edge-case tests for the round-10 operator wave:
+distribution shape (Jarque-Bera, Grubbs), heteroscedastic/post-hoc
+k-group tests (Welch ANOVA, Tukey HSD, Mood's median), paired and
+stratified categorical tests (McNemar, Cochran-Armitage,
+Mantel-Haenszel), agreement/reliability (Cronbach α, point-biserial,
+partial correlation), regression diagnostics (Breusch-Pagan, Cook's
+distance, VIF), multiple testing (Holm), resampling (permutation
+test), control charts (CUSUM), time series (Ljung-Box, Hurst,
+Granger), graph topology (assortativity, connected components),
+two-stage retrieval, blocking quality, and text diversity/RAKE.
+Closed-form known cases + guard rails; oracle parity lives in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from concept_multi_db_query_engine_spark import operators as ops
+
+
+class TestShapeStats:
+    def test_jarque_bera_symmetric_two_point(self, spark):
+        # x ∈ {−1, 1} equally: skew 0, kurtosis 1 → excess −2,
+        # JB = n/6 · (0 + 4/4) = n/6
+        rows = [(-1.0,)] * 30 + [(1.0,)] * 30
+        df = spark.createDataFrame(rows, "v double")
+        r = ops.jarque_bera(df, "v").collect()[0]
+        assert r["n"] == 60
+        assert r["skewness"] == 0.0
+        assert r["ex_kurtosis"] == -2.0
+        assert r["jb_stat"] == 10.0
+
+    def test_grubbs_flags_the_planted_outlier(self, spark):
+        vals = [float(v) for v in range(20)] + [500.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = ops.grubbs_test(df, "v").collect()[0]
+        assert r["suspect_value"] == 500.0
+        assert r["g_stat"] > 4.0
+
+
+class TestKGroup:
+    def test_welch_anova_equal_groups_f_zero(self, spark):
+        rows = [(g, float(v)) for g in ("a", "b", "c")
+                for v in (1.0, 2.0, 3.0, 4.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.welch_anova(df, "g", "v").collect()[0]
+        assert r["k"] == 3 and r["f_stat"] == 0.0
+
+    def test_welch_anova_degenerate_returns_nulls(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        r = ops.welch_anova(df, "g", "v").collect()[0]
+        assert r["f_stat"] is None
+
+    def test_tukey_pairs_and_symmetric_diff(self, spark):
+        # values scaled up so the unit-lattice MSW quantization keeps
+        # within-group variance visible (the production magnitudes)
+        rows = [("a", 100.0), ("a", 200.0), ("b", 500.0), ("b", 600.0),
+                ("c", 100.0), ("c", 200.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ops.tukey_hsd(df, "g", "v").collect()
+        assert [(r["group_a"], r["group_b"]) for r in out] == [
+            ("a", "b"), ("a", "c"), ("b", "c")]
+        ab = out[0]
+        assert ab["mean_diff"] == -400.0
+        ac = out[1]
+        assert ac["mean_diff"] == 0.0 and ac["q_stat"] == 0.0
+
+    def test_tukey_zero_msw_yields_null_q(self, spark):
+        # all within-group variance vanishes → q undefined, never a
+        # divide-by-zero error (ANSI mode)
+        rows = [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = ops.tukey_hsd(df, "g", "v").collect()
+        assert out[0]["q_stat"] is None
+
+    def test_mood_median_balanced(self, spark):
+        # both groups straddle the grand median identically → chi² 0
+        rows = [(g, v) for g in ("a", "b")
+                for v in (1.0, 2.0, 3.0, 4.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.mood_median_test(df, "g", "v").collect()[0]
+        assert r["chi2"] == 0.0 and r["df"] == 1
+        assert r["grand_median"] == 2.5
+
+
+class TestPairedAndStratified:
+    def test_mcnemar_discordant_cells(self, spark):
+        rows = (
+            [(True, True)] * 10 + [(True, False)] * 6
+            + [(False, True)] * 2 + [(False, False)] * 10
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        r = ops.mcnemar_test(df, "a", "b").collect()[0]
+        assert (r["n_10"], r["n_01"]) == (6, 2)
+        assert r["mcnemar_chi2"] == 1.125  # (|6−2|−1)²/8
+        assert r["discordant_ratio"] == 3.0
+
+    def test_cochran_armitage_perfect_trend(self, spark):
+        # success rate strictly increases with the score
+        rows = []
+        for s, p in ((1, 1), (2, 5), (3, 9)):
+            rows += [(s, 1)] * p + [(s, 0)] * (10 - p)
+        df = spark.createDataFrame(rows, "s long, k int")
+        r = ops.cochran_armitage(df, "s", "k = 1").collect()[0]
+        assert r["n"] == 30 and r["k_success"] == 15
+        assert r["z_stat"] > 3.0
+
+    def test_mantel_haenszel_null_association(self, spark):
+        # within each stratum exposure is independent of outcome
+        rows = []
+        for st in ("s1", "s2"):
+            for e in (True, False):
+                for y in (True, False):
+                    rows += [(st, e, y)] * 5
+        df = spark.createDataFrame(
+            rows, "st string, e boolean, y boolean"
+        )
+        r = ops.mantel_haenszel(df, "st", "e", "y").collect()[0]
+        assert r["k_strata"] == 2
+        assert r["or_mh"] == 1.0
+
+
+class TestAgreement:
+    def test_cronbach_alpha_perfectly_parallel_items(self, spark):
+        # three identical items → α = 1
+        rows = [(float(v), float(v), float(v)) for v in range(1, 9)]
+        df = spark.createDataFrame(rows, "i1 double, i2 double, i3 double")
+        r = ops.cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]
+        assert r["alpha"] == 1.0
+
+    def test_cronbach_needs_two_items(self, spark):
+        df = spark.createDataFrame([(1.0,)], "i1 double")
+        with pytest.raises(ValueError):
+            ops.cronbach_alpha(df, ["i1"])
+
+    def test_point_biserial_perfect_separation(self, spark):
+        rows = [(True, 10.0)] * 5 + [(False, 0.0)] * 5
+        df = spark.createDataFrame(rows, "t boolean, v double")
+        r = ops.point_biserial(df, "t", "v").collect()[0]
+        assert r["mean_pos"] == 10.0 and r["mean_neg"] == 0.0
+        assert r["r_pb"] == 1.0
+
+    def test_partial_correlation_removes_confounder(self, spark):
+        # x and y both equal z (+tiny jitter-free): r_xy = 1 but the
+        # confounder-adjusted partial is undefined-ish; use x=z, y=−z
+        rows = [(float(v), float(-v), float(v)) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        r = ops.partial_correlation(df, "x", "y", "z").collect()[0]
+        assert r["r_xy"] == -1.0 and r["r_xz"] == 1.0
+
+
+class TestRegressionDiagnostics:
+    def test_breusch_pagan_perfect_line_degenerates_to_null(self, spark):
+        # exact line y = 2x + 1: zero residual variance → the aux R²
+        # (and hence LM) is undefined, surfaced as NULL not a crash
+        rows = [(float(v), 2.0 * v + 1.0) for v in range(1, 21)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ops.breusch_pagan(df, "x", "y").collect()[0]
+        assert r["slope"] == 2.0 and r["intercept"] == 1.0
+        assert r["lm_stat"] is None
+
+    def test_breusch_pagan_flags_fanning_residuals(self, spark):
+        # |residual| grows with x (deterministic fan) → LM well above 0
+        rows = []
+        for v in range(1, 41):
+            e = (1.0 if v % 2 == 0 else -1.0) * v * 10.0
+            rows.append((float(v), 5.0 * v + e))
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ops.breusch_pagan(df, "x", "y").collect()[0]
+        assert r["lm_stat"] is not None and r["lm_stat"] > 5.0
+        assert 0.0 <= r["r2_aux"] <= 1.0
+
+    def test_cooks_distance_flags_the_lever_point(self, spark):
+        rows = [(i, float(i), float(i)) for i in range(1, 20)]
+        rows.append((99, 40.0, -100.0))  # far-x, far-off-line point
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        out = ops.cooks_distance(df, "id", "x", "y", top_k=3).collect()
+        assert out[0]["id"] == 99
+        assert out[0]["cooks_d"] > out[1]["cooks_d"]
+
+    def test_vif_independent_features_near_one(self, spark):
+        # orthogonal-ish features: VIF ≈ 1
+        rows = [(float(i % 3), float(i % 5), float(i % 7))
+                for i in range(105)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = ops.vif_report(df, ["a", "b", "c"]).collect()
+        assert len(out) == 3
+        for r in out:
+            assert 0.99 <= r["vif"] <= 1.05
+
+    def test_vif_requires_three(self, spark):
+        df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+        with pytest.raises(ValueError):
+            ops.vif_report(df, ["a", "b"])
+
+
+class TestMultipleTestingAndResampling:
+    def test_holm_monotone_and_capped(self, spark):
+        rows = [("h1", 0.001), ("h2", 0.02), ("h3", 0.04),
+                ("h4", 0.9)]
+        df = spark.createDataFrame(rows, "h string, p_value double")
+        out = {r["h"]: r for r in
+               ops.holm_adjust(df, "p_value", key_col="h").collect()}
+        assert out["h1"]["p_holm"] == pytest.approx(0.004)
+        assert out["h2"]["p_holm"] == pytest.approx(0.06)
+        # step-down monotonicity
+        assert out["h3"]["p_holm"] >= out["h2"]["p_holm"]
+        assert out["h4"]["p_holm"] <= 1.0
+        assert out["h1"]["significant_holm"] is True
+        assert out["h2"]["significant_holm"] is False
+
+    def test_permutation_test_null_is_insignificant(self, spark):
+        # consecutive pairs share a value, so the group means are
+        # IDENTICAL — obs_diff 0 → every permutation is >= extreme
+        rows = [(i, float((i // 2) % 10), i % 2 == 0)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v double, g boolean")
+        r = ops.permutation_test_mean(
+            df, "v", "g", "id", n_perm=48
+        ).collect()[0]
+        assert r["n"] == 200 and r["n_perm"] == 48
+        assert r["obs_diff"] == 0.0
+        assert r["p_value"] == 1.0
+
+    def test_permutation_test_strong_effect(self, spark):
+        rows = [(i, 100.0 if i < 100 else 0.0, i < 100)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v double, g boolean")
+        r = ops.permutation_test_mean(
+            df, "v", "g", "id", n_perm=48
+        ).collect()[0]
+        assert r["obs_diff"] == 100.0
+        assert r["n_extreme"] == 0
+        assert r["p_value"] == pytest.approx(1.0 / 49.0, abs=1e-6)
+
+
+class TestControlAndSeries:
+    def test_cusum_detects_level_shift(self, spark):
+        vals = [10.0] * 30 + [20.0] * 30
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, x double"
+        )
+        r = ops.cusum_control(df, "idx", "x").collect()[0]
+        assert r["n_periods"] == 60 and r["mu"] == 15.0
+        # positive drift accumulates after the shift at idx 30
+        assert r["cusum_pos_max"] == 150.0
+        assert r["pos_peak_idx"] == 59
+
+    def test_ljung_box_alternating_series_lag1_negative(self, spark):
+        vals = [float(1 if i % 2 == 0 else -1) for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, x double"
+        )
+        out = {r["lag"]: r for r in
+               ops.ljung_box(df, "idx", "x", max_lag=3).collect()}
+        assert out[1]["r_k"] < -0.9
+        assert out[2]["r_k"] > 0.9
+        assert out[3]["q_stat"] >= out[1]["q_stat"]
+
+    def test_hurst_bounds_and_shape(self, spark):
+        # deterministic trending series → strongly persistent (H high)
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(256)], "idx long, x double"
+        )
+        out = ops.hurst_exponent(df, "idx", "x").collect()
+        assert [r["block_w"] for r in out] == [8, 16, 32, 64]
+        assert out[0]["hurst"] > 0.9
+
+    def test_granger_self_driving_series(self, spark):
+        # y_t = y_{t−1} + x_{t−1} exactly → unrestricted RSS ~ 0
+        ys, xs = [1.0], [float(i % 4 + 1) for i in range(60)]
+        for t in range(1, 60):
+            ys.append(ys[t - 1] * 0.5 + xs[t - 1])
+        rows = [
+            (ys[t], ys[t - 1], xs[t - 1]) for t in range(1, 60)
+        ]
+        df = spark.createDataFrame(rows, "y double, ylag double, xlag double")
+        r = ops.granger_causality(df, "y", "ylag", "xlag").collect()[0]
+        assert r["rss_unrestricted"] < 0.001
+        assert r["f_stat"] > 100.0
+
+
+class TestGraphAndRetrieval:
+    def test_assortativity_star_is_negative(self, spark):
+        edges = [(0, i) for i in range(1, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = ops.degree_assortativity(df).collect()[0]
+        assert r["n_nodes"] == 8 and r["n_edges"] == 7
+        assert r["assortativity"] == -1.0
+
+    def test_connected_components_two_islands(self, spark):
+        edges = [(1, 2), (2, 3), (10, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: (r["component"], r["component_size"])
+               for r in ops.connected_components(df).collect()}
+        assert out[1] == (1, 3) and out[3] == (1, 3)
+        assert out[10] == (10, 2) and out[11] == (10, 2)
+
+    def test_two_stage_requires_shortlist_ge_k(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            ops.two_stage_topk(df, k=10, shortlist=5)
+
+
+class TestTextAndDedup:
+    def test_distinct_ngrams_repeated_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, "x y x y")], "doc_id long, text string"
+        )
+        out = {r["n"]: r for r in
+               ops.distinct_ngram_diversity(df, max_n=2).collect()}
+        assert out[1]["total_ngrams"] == 8
+        assert out[1]["distinct_ngrams"] == 2
+        assert out[2]["total_ngrams"] == 6
+        assert out[2]["distinct_ngrams"] == 2  # 'x y' and 'y x'
+
+    def test_rake_prefers_long_phrases(self, spark):
+        df = spark.createDataFrame(
+            [(1, "deep learning of the deep learning pipeline"),
+             (2, "pipeline is deep learning")],
+            "doc_id long, text string",
+        )
+        out = ops.rake_keywords(df, k=3).collect()
+        # the longest stopword-free run scores highest
+        assert out[0]["phrase"] == "deep learning pipeline"
+
+    def test_blocking_quality_bounds(self, spark):
+        rows = [
+            (i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(4)
+        ] + [
+            (10 + i, f"unique{i} words{i} here{i} now{i} later{i} "
+                     f"again{i} more{i} stuff{i}")
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = ops.blocking_quality(df).collect()[0]
+        assert r["n_docs"] == 8
+        assert r["total_pairs"] == 28
+        # the four identical docs are true dups and must all be caught
+        assert r["n_truth"] == 6 and r["n_hits"] == 6
+        assert r["pair_completeness"] == 1.0
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
