@@ -334,6 +334,35 @@ HEADLINE = [
     "orders_ab_proportion_plan",
     "orders_brown_forsythe",
     "orders_srm_check",
+    # round-10 wave: distribution shape, post-hoc / paired / stratified
+    # tests, regression diagnostics, resampling, control charts, time
+    # series, graph topology, two-stage retrieval, blocking quality
+    "orders_jarque_bera",
+    "orders_welch_anova",
+    "orders_tukey_hsd",
+    "lineitem_partial_correlation",
+    "orders_point_biserial",
+    "orders_grubbs",
+    "orders_mcnemar",
+    "orders_cochran_armitage",
+    "customers_mantel_haenszel",
+    "orders_mood_median",
+    "lineitem_cronbach_alpha",
+    "orders_cusum_control",
+    "orders_holm_correction",
+    "lineitem_breusch_pagan",
+    "orders_cooks_distance",
+    "lineitem_vif",
+    "orders_ljung_box",
+    "orders_permutation_test",
+    "graph_assortativity",
+    "graph_connected_components",
+    "sim_topk_two_stage",
+    "dedup_blocking_quality",
+    "docs_distinct_ngrams",
+    "docs_rake_keywords",
+    "orders_hurst_exponent",
+    "events_granger_causality",
 ]
 
 
