@@ -732,3 +732,97 @@ def srm_monitor_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cusum_stream(
+    series: DataFrame,
+    mu: float,
+    k_slack: float = 0.0,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    value_col: str = "x",
+):
+    """Streaming twin of ``operators.stats.cusum_control`` for a KNOWN
+    target level μ₀ — the live two-sided CUSUM chart (the batch
+    operator estimates μ₀ from the full series retrospectively; the
+    monitor is deployed against the design target, which is how CUSUM
+    is actually run).  O(1) state per key: the two prefix sums and
+    their running minima plus the peak statistics — the
+    :func:`page_hinkley_stream` recurrence applied twice.  The feed
+    must deliver non-decreasing ``idx`` across batches per key (the
+    PH/SPRT ordered-feed contract).
+
+    Emits one row per key per micro-batch with the running
+    (n_periods, cusum_pos_max, cusum_neg_max, pos_peak_idx,
+    neg_peak_idx) — the latest row per key equals the batch operator
+    on the same series when the batch's estimated μ equals ``mu``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_periods", T.LongType()),
+        T.StructField("cusum_pos_max", T.DoubleType()),
+        T.StructField("cusum_neg_max", T.DoubleType()),
+        T.StructField("pos_peak_idx", T.LongType()),
+        T.StructField("neg_peak_idx", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("pp", T.LongType()),
+        T.StructField("pn", T.LongType()),
+        T.StructField("mnp", T.LongType()),
+        T.StructField("mnn", T.LongType()),
+        T.StructField("cpmax", T.LongType()),
+        T.StructField("cnmax", T.LongType()),
+        T.StructField("cpidx", T.LongType()),
+        T.StructField("cnidx", T.LongType()),
+    ])
+    mu_q = int(round(mu * 1e6))
+    kq = int(round(k_slack * 1e6))
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        if state.exists:
+            n, pp, pn, mnp, mnn, cpmax, cnmax, cpidx, cnidx = state.get
+        else:
+            n, pp, pn, mnp, mnn = 0, 0, 0, 0, 0
+            cpmax, cnmax, cpidx, cnidx = 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(idx_col)
+            for idx, x in zip(pdf[idx_col], pdf[value_col]):
+                xq = half_away(float(x) * 1000000.0)
+                n += 1
+                pp += xq - mu_q - kq
+                pn += mu_q - xq - kq
+                cp = pp - min(mnp, 0)
+                cn = pn - min(mnn, 0)
+                if cp > cpmax:
+                    cpmax, cpidx = cp, int(idx)
+                if cn > cnmax:
+                    cnmax, cnidx = cn, int(idx)
+                mnp = min(mnp, pp)
+                mnn = min(mnn, pn)
+        state.update((n, pp, pn, mnp, mnn, cpmax, cnmax, cpidx, cnidx))
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_periods": [n],
+            "cusum_pos_max": [max(cpmax, 0) / 1e6],
+            "cusum_neg_max": [max(cnmax, 0) / 1e6],
+            "pos_peak_idx": [cpidx],
+            "neg_peak_idx": [cnidx],
+        })
+
+    return (
+        series.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
