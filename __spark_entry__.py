@@ -2946,6 +2946,59 @@ def _q_hurst(spark, sf):
     return ops.hurst_exponent(daily, "idx", "cnt")
 
 
+def _q_lin_ccc(spark, sf):
+    # agreement between gross and net line price — CCC penalizes the
+    # systematic discount shift that Pearson r is blind to
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("gross"),
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)")
+        .alias("net"),
+    )
+    return ops.lin_ccc(li, "gross", "net")
+
+
+def _q_bland_altman(spark, sf):
+    # two token-count methods over the SAME docs: whitespace split vs
+    # alpha tokenization — the method-comparison shape
+    docs = _t(spark, sf, "documents").select(
+        F.expr("CAST(size(split(text, ' ')) AS DOUBLE)").alias("ws"),
+        F.expr(
+            "CAST(size(filter(split(lower(text), '[^a-z]+'), "
+            "x -> x != '')) AS DOUBLE)"
+        ).alias("alpha"),
+    )
+    return ops.bland_altman(docs, "ws", "alpha")
+
+
+def _q_shewhart(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+        .select(
+            F.expr("CAST(idx DIV 7 AS STRING)").alias("week"), "cnt",
+        )
+    )
+    return ops.shewhart_xbar_r(daily, "week", "cnt", subgroup_size=7)
+
+
+def _q_bollinger(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.bollinger_bands(daily, "idx", "cnt", window=20, k=2.0)
+
+
 def _q_granger(spark, sf):
     # does yesterday's click volume improve today's purchase forecast?
     ev = _t(spark, sf, "events")
@@ -3352,6 +3405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_rake_keywords": _q_rake_keywords,
             "orders_hurst_exponent": _q_hurst,
             "events_granger_causality": _q_granger,
+            "lineitem_lin_ccc": _q_lin_ccc,
+            "docs_bland_altman": _q_bland_altman,
+            "orders_shewhart_xbar": _q_shewhart,
+            "orders_bollinger_bands": _q_bollinger,
         }
     )
     for name in _ORDER_PIN:
@@ -6179,6 +6236,193 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    o["lineitem_lin_ccc"] = """
+WITH base AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS gross,
+         CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(gross AS DECIMAL(12,4))) AS sx,
+         sum(CAST(net AS DECIMAL(12,4))) AS sy,
+         sum(CAST(CAST(gross AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(gross AS DECIMAL(12,4))) AS sxx,
+         sum(CAST(CAST(net AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(net AS DECIMAL(12,4))) AS syy,
+         sum(CAST(CAST(gross AS DECIMAL(12,4)) AS DECIMAL(19,4))
+             * CAST(net AS DECIMAL(12,4))) AS sxy
+  FROM base WHERE gross IS NOT NULL AND net IS NOT NULL
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d
+  FROM m
+), c AS (
+  SELECT n,
+    (sxx_d / n_d - (sx_d / n_d) * (sx_d / n_d)) AS vx,
+    (syy_d / n_d - (sy_d / n_d) * (sy_d / n_d)) AS vy,
+    (sxy_d / n_d - (sx_d / n_d) * (sy_d / n_d)) AS cxy,
+    ((sx_d / n_d) - (sy_d / n_d)) AS dm
+  FROM d
+)
+SELECT n,
+  CAST(CAST(round((cxy / nullif(sqrt(vx) * sqrt(vy), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS pearson_r,
+  CAST(CAST(round((2.0 * cxy / nullif(vx + vy + dm * dm, 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS ccc,
+  CAST(CAST(round(dm * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS location_shift
+FROM c
+"""
+
+    o["docs_bland_altman"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(round((CAST(len(string_split(text, ' ')) AS DOUBLE)
+           - CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x != '')) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS dq
+  FROM documents
+), m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dq) AS BIGINT) AS s,
+         CAST(sum(CAST(dq AS DECIMAL(38,0)) * dq) AS DECIMAL(38,0))
+           AS q
+  FROM base
+), m1 AS (
+  SELECT n, CAST(n AS DOUBLE) AS n_d,
+         CAST(s AS DOUBLE) AS s_d,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d
+  FROM m0
+), m2 AS (
+  SELECT n, n_d,
+         CAST(round(s_d / n_d) AS BIGINT) AS mean_q,
+         CAST(round(sqrt((q_d - s_d * s_d / n_d)
+              / nullif(n_d - 1.0, 0.0))) AS BIGINT) AS sd_q
+  FROM m1
+), m AS (
+  SELECT n, n_d, mean_q, sd_q,
+         mean_q - CAST(round(1.959964 * CAST(sd_q AS DOUBLE))
+              AS BIGINT) AS lo_q,
+         mean_q + CAST(round(1.959964 * CAST(sd_q AS DOUBLE))
+              AS BIGINT) AS hi_q
+  FROM m2
+), counts AS (
+  SELECT CAST(sum(CASE WHEN dq < lo_q OR dq > hi_q THEN 1 ELSE 0
+              END) AS BIGINT) AS n_outside,
+         max(n) AS n, max(n_d) AS n_d, max(mean_q) AS mean_q,
+         max(sd_q) AS sd_q, max(lo_q) AS lo_q, max(hi_q) AS hi_q
+  FROM base CROSS JOIN m
+)
+SELECT n,
+  CAST(mean_q AS DOUBLE) / 1e6 AS mean_diff,
+  CAST(sd_q AS DOUBLE) / 1e6 AS sd_diff,
+  CAST(lo_q AS DOUBLE) / 1e6 AS loa_lo,
+  CAST(hi_q AS DOUBLE) / 1e6 AS loa_hi,
+  n_outside,
+  CAST(CAST(round(CAST(n_outside AS DOUBLE) / n_d * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS pct_outside
+FROM counts
+"""
+
+    o["orders_shewhart_xbar"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM orders GROUP BY 1
+),
+g0 AS (
+  SELECT CAST(idx // 7 AS VARCHAR) AS subgroup,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(cnt * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS s_q,
+         CAST(min(CAST(round(cnt * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS mn_q,
+         CAST(max(CAST(round(cnt * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS mx_q
+  FROM daily GROUP BY 1
+  HAVING count(*) = 7
+),
+g AS (
+  SELECT subgroup, n,
+         CAST(round(CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE))
+              AS BIGINT) AS xbar_q,
+         CAST(mx_q - mn_q AS BIGINT) AS r_q
+  FROM g0
+),
+center AS (
+  SELECT CAST(round(CAST(sum(xbar_q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS gx_q,
+         CAST(round(CAST(sum(r_q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS rb_q
+  FROM g
+),
+lim AS (
+  SELECT g.subgroup, g.n,
+    CAST(xbar_q AS DOUBLE) / 1e6 AS xbar,
+    CAST(r_q AS DOUBLE) / 1e6 AS r,
+    CAST(CAST(round((CAST(gx_q AS DOUBLE) + 0.419
+         * CAST(rb_q AS DOUBLE)) / 1e6 * 1000000.0) AS BIGINT)
+         AS DOUBLE) / 1e6 AS xbar_ucl,
+    CAST(CAST(round((CAST(gx_q AS DOUBLE) - 0.419
+         * CAST(rb_q AS DOUBLE)) / 1e6 * 1000000.0) AS BIGINT)
+         AS DOUBLE) / 1e6 AS xbar_lcl,
+    CAST(CAST(round(1.924 * CAST(rb_q AS DOUBLE) / 1e6 * 1000000.0)
+         AS BIGINT) AS DOUBLE) / 1e6 AS r_ucl,
+    CAST(CAST(round(0.076 * CAST(rb_q AS DOUBLE) / 1e6 * 1000000.0)
+         AS BIGINT) AS DOUBLE) / 1e6 AS r_lcl
+  FROM g CROSS JOIN center
+)
+SELECT subgroup, n, xbar, r, xbar_ucl, xbar_lcl, r_ucl, r_lcl,
+       (xbar > xbar_ucl OR xbar < xbar_lcl) AS ooc_mean,
+       (r > r_ucl OR r < r_lcl) AS ooc_range
+FROM lim ORDER BY subgroup
+"""
+
+    o["orders_bollinger_bands"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS v,
+         CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS xq
+  FROM orders GROUP BY 1
+),
+staged AS (
+  SELECT idx, v,
+         CAST(count(*) OVER w AS BIGINT) AS cnt,
+         CAST(sum(xq) OVER w AS BIGINT) AS s,
+         CAST(sum(CAST(xq AS DECIMAL(38,0)) * xq) OVER w
+              AS DECIMAL(38,0)) AS q
+  FROM daily
+  WINDOW w AS (ORDER BY idx ASC
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+calc AS (
+  SELECT idx, v,
+         (CAST(s AS DOUBLE) / 20.0 / 1e6) AS mean,
+         (sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20.0)
+            / (20.0 - 1.0)) / 1e6) AS sd
+  FROM staged WHERE cnt = 20
+)
+SELECT idx, v AS value,
+  CAST(CAST(round(mean * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS sma,
+  CAST(CAST(round((mean - 2.0 * sd) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS band_lo,
+  CAST(CAST(round((mean + 2.0 * sd) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS band_hi,
+  (v < CAST(round((mean - 2.0 * sd) * 1000000.0) AS BIGINT) / 1e6
+   OR v > CAST(round((mean + 2.0 * sd) * 1000000.0) AS BIGINT) / 1e6)
+    AS breach
+FROM calc ORDER BY idx
 """
 
     o["orders_hurst_exponent"] = """

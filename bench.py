@@ -363,6 +363,10 @@ HEADLINE = [
     "docs_rake_keywords",
     "orders_hurst_exponent",
     "events_granger_causality",
+    "lineitem_lin_ccc",
+    "docs_bland_altman",
+    "orders_shewhart_xbar",
+    "orders_bollinger_bands",
 ]
 
 

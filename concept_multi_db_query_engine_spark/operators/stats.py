@@ -6311,3 +6311,321 @@ def granger_causality(
         F.expr(f"round(({rss_u}), 6)").cast("double")
         .alias("rss_unrestricted"),
     )
+
+
+def lin_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — agreement between
+    two MEASUREMENTS of the same quantity (new scorer vs old scorer,
+    cheap sensor vs reference), which Pearson r alone overstates: r
+    ignores scale and location bias, CCC penalizes both::
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+
+    ONE aggregation to exact decimal cross-moments (population-n
+    denominators, Lin 1989); CCC and r are one fixed-order double
+    projection, micro-quantized.  Returns one row: (n, pearson_r,
+    ccc, location_shift).
+    """
+    x, y = _m(x_col, dec), _m(y_col, dec)
+    m = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[F.expr(f"CAST({c} AS DOUBLE)").alias(f"{c}_d")
+          for c in ("sx", "sy", "sxx", "syy", "sxy")],
+    )
+    vx = "(sxx_d / n_d - (sx_d / n_d) * (sx_d / n_d))"
+    vy = "(syy_d / n_d - (sy_d / n_d) * (sy_d / n_d))"
+    cxy = "(sxy_d / n_d - (sx_d / n_d) * (sy_d / n_d))"
+    dm = "((sx_d / n_d) - (sy_d / n_d))"
+    r = f"(({cxy}) / nullif(sqrt({vx}) * sqrt({vy}), 0.0d))"
+    ccc = (f"(2.0d * ({cxy}) "
+           f"/ nullif(({vx}) + ({vy}) + ({dm}) * ({dm}), 0.0d))")
+    return m.select(
+        "n",
+        F.expr(f"CAST(round(({r}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("pearson_r"),
+        F.expr(f"CAST(round(({ccc}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("ccc"),
+        F.expr(f"CAST(round(({dm}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("location_shift"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Bland–Altman limits of agreement — the method-comparison plot's
+    numbers: the mean of the paired differences, its SD, the ±z·SD
+    limits, and how many pairs fall OUTSIDE them (the rows a "the two
+    scorers agree" claim has to explain).  The clinical-statistics
+    standard that transfers directly to comparing two quality scorers
+    over one corpus.
+
+    Stage 1 reduces the differences to exact decimal moments and
+    micro-quantizes (mean, sd) IN SQL; stage 2 broadcasts that row and
+    counts pairs outside [lo, hi] with exact integer comparisons on
+    the micro lattice — deterministic at the boundary.  Returns one
+    row: (n, mean_diff, sd_diff, loa_lo, loa_hi, n_outside,
+    pct_outside).
+    """
+    base = df.where(
+        f"({x_col}) IS NOT NULL AND ({y_col}) IS NOT NULL"
+    ).select(
+        F.expr(
+            f"CAST(round((CAST(({x_col}) AS DOUBLE) "
+            f"- CAST(({y_col}) AS DOUBLE)) * 1000000.0d) AS BIGINT)"
+        ).alias("dq"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(dq) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(CAST(dq AS DECIMAL(38,0)) * dq) "
+               "AS DECIMAL(38,0))").alias("q"),
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr("CAST(s AS DOUBLE)").alias("s_d"),
+        F.expr(_big_d("q")).alias("q_d"),
+    ).select(
+        "n", "n_d",
+        F.expr("CAST(round(s_d / n_d) AS BIGINT)").alias("mean_q"),
+        F.expr(
+            "CAST(round(sqrt((q_d - s_d * s_d / n_d) "
+            "/ nullif(n_d - 1.0d, 0.0d))) AS BIGINT)"
+        ).alias("sd_q"),
+    ).select(
+        "n", "n_d", "mean_q", "sd_q",
+        F.expr(
+            f"mean_q - CAST(round({z_crit!r} "
+            "* CAST(sd_q AS DOUBLE)) AS BIGINT)"
+        ).alias("lo_q"),
+        F.expr(
+            f"mean_q + CAST(round({z_crit!r} "
+            "* CAST(sd_q AS DOUBLE)) AS BIGINT)"
+        ).alias("hi_q"),
+    )
+    counts = (
+        base.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN dq < lo_q OR dq > hi_q THEN 1 ELSE 0 END"
+            )).cast("long").alias("n_outside"),
+            F.max("n").alias("n"), F.max("n_d").alias("n_d"),
+            F.max("mean_q").alias("mean_q"),
+            F.max("sd_q").alias("sd_q"),
+            F.max("lo_q").alias("lo_q"), F.max("hi_q").alias("hi_q"),
+        )
+    )
+    return counts.select(
+        "n",
+        F.expr("CAST(mean_q AS DOUBLE) / 1e6").alias("mean_diff"),
+        F.expr("CAST(sd_q AS DOUBLE) / 1e6").alias("sd_diff"),
+        F.expr("CAST(lo_q AS DOUBLE) / 1e6").alias("loa_lo"),
+        F.expr("CAST(hi_q AS DOUBLE) / 1e6").alias("loa_hi"),
+        "n_outside",
+        F.expr(
+            "CAST(round(CAST(n_outside AS DOUBLE) / n_d "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("pct_outside"),
+    )
+
+
+# public X̄-R control-chart constants (subgroup size → A2, D3, D4;
+# Montgomery, "Statistical Quality Control", appendix VI)
+_XBAR_A2 = {2: 1.880, 3: 1.023, 4: 0.729, 5: 0.577, 6: 0.483,
+            7: 0.419, 8: 0.373, 9: 0.337, 10: 0.308}
+_XBAR_D3 = {2: 0.0, 3: 0.0, 4: 0.0, 5: 0.0, 6: 0.0,
+            7: 0.076, 8: 0.136, 9: 0.184, 10: 0.223}
+_XBAR_D4 = {2: 3.267, 3: 2.574, 4: 2.282, 5: 2.114, 6: 2.004,
+            7: 1.924, 8: 1.864, 9: 1.816, 10: 1.777}
+
+
+def shewhart_xbar_r(
+    df: DataFrame,
+    subgroup_col: str,
+    value_col: str,
+    subgroup_size: int,
+) -> DataFrame:
+    """Shewhart X̄-R control chart over fixed-size subgroups — the
+    classic SPC pair: the X̄ chart flags level shifts, the R chart
+    flags dispersion blow-ups, with limits from the published A2/D3/D4
+    range-based constants (subgroup sizes 2-10).  Only COMPLETE
+    subgroups chart (the standard practice — a short subgroup has a
+    different sampling distribution).
+
+    One aggregation to per-subgroup exact micro sums (mean, min, max);
+    center lines reduce with micro-quantized summand sums (partition-
+    order free); limits and out-of-control flags are fixed-order
+    doubles.  Returns one row per complete subgroup: (subgroup, n,
+    xbar, r, xbar_ucl, xbar_lcl, r_ucl, r_lcl, ooc_mean, ooc_range)
+    ordered by subgroup.
+    """
+    if subgroup_size not in _XBAR_A2:
+        raise ValueError("subgroup_size must be in 2..10")
+    a2 = _XBAR_A2[subgroup_size]
+    d3 = _XBAR_D3[subgroup_size]
+    d4 = _XBAR_D4[subgroup_size]
+    g = (
+        df.where(f"({subgroup_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({subgroup_col}) AS STRING)")
+                 .alias("subgroup"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                f"CAST(sum(CAST(round(CAST(({value_col}) AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT)) AS BIGINT)"
+            ).alias("s_q"),
+            F.expr(
+                f"CAST(min(CAST(round(CAST(({value_col}) AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT)) AS BIGINT)"
+            ).alias("mn_q"),
+            F.expr(
+                f"CAST(max(CAST(round(CAST(({value_col}) AS DOUBLE) "
+                "* 1000000.0d) AS BIGINT)) AS BIGINT)"
+            ).alias("mx_q"),
+        )
+        .where(F.col("n") == subgroup_size)
+        .select(
+            "subgroup", "n",
+            F.expr(
+                "CAST(round(CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE)) "
+                "AS BIGINT)"
+            ).alias("xbar_q"),
+            F.expr("CAST(mx_q - mn_q AS BIGINT)").alias("r_q"),
+        )
+    )
+    center = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr("CAST(sum(xbar_q) AS BIGINT)").alias("sx_q"),
+        F.expr("CAST(sum(r_q) AS BIGINT)").alias("sr_q"),
+    ).select(
+        F.expr(
+            "CAST(round(CAST(sx_q AS DOUBLE) / CAST(k AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("gx_q"),
+        F.expr(
+            "CAST(round(CAST(sr_q AS DOUBLE) / CAST(k AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("rb_q"),
+    )
+    lim = (
+        f"(CAST(gx_q AS DOUBLE) {{sign}} {a2!r} "
+        "* CAST(rb_q AS DOUBLE)) / 1e6"
+    )
+    return (
+        g.crossJoin(F.broadcast(center))
+        .select(
+            "subgroup", "n",
+            F.expr("CAST(xbar_q AS DOUBLE) / 1e6").alias("xbar"),
+            F.expr("CAST(r_q AS DOUBLE) / 1e6").alias("r"),
+            F.expr(
+                f"CAST(round({lim.format(sign='+')} * 1000000.0d) "
+                "AS BIGINT) / 1e6"
+            ).cast("double").alias("xbar_ucl"),
+            F.expr(
+                f"CAST(round({lim.format(sign='-')} * 1000000.0d) "
+                "AS BIGINT) / 1e6"
+            ).cast("double").alias("xbar_lcl"),
+            F.expr(
+                f"CAST(round({d4!r} * CAST(rb_q AS DOUBLE) / 1e6 "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("r_ucl"),
+            F.expr(
+                f"CAST(round({d3!r} * CAST(rb_q AS DOUBLE) / 1e6 "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("r_lcl"),
+        )
+        .withColumn(
+            "ooc_mean",
+            F.expr("xbar > xbar_ucl OR xbar < xbar_lcl"),
+        )
+        .withColumn(
+            "ooc_range",
+            F.expr("r > r_ucl OR r < r_lcl"),
+        )
+        .orderBy("subgroup")
+    )
+
+
+def bollinger_bands(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    window: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands over an aggregated series — the rolling-window
+    mean ± k·σ envelope, with breach flags: the continuous-monitoring
+    sibling of the fixed-limit :func:`shewhart_xbar_r` (limits adapt
+    to the local level, so slow drifts don't poison them).
+
+    Input is one row per period (the :func:`page_hinkley` series
+    contract — the ordered window runs over the bounded aggregated
+    frame, never the corpus).  Micro-lattice integer window sums make
+    mean and σ exact-deterministic; only FULL windows emit.  Returns
+    (idx, value, sma, band_lo, band_hi, breach) ordered by idx.
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+        F.expr(f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+               "* 1000000.0d) AS BIGINT)").alias("xq"),
+    ).where(F.col("idx").isNotNull() & F.col("xq").isNotNull())
+    w = Window.orderBy("idx").rowsBetween(-(window - 1), 0)
+    staged = (
+        pts
+        .withColumn("__cnt", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("__s", F.sum("xq").over(w).cast("long"))
+        .withColumn(
+            "__q",
+            F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).over(w),
+        )
+        .where(F.col("__cnt") == window)
+    )
+    n_d = float(window)
+    mean = f"(CAST(__s AS DOUBLE) / {n_d!r} / 1e6)"
+    sd = (
+        f"(sqrt(({_big_d('__q')} - CAST(__s AS DOUBLE) "
+        f"* CAST(__s AS DOUBLE) / {n_d!r}) "
+        f"/ ({n_d!r} - 1.0d)) / 1e6)"
+    )
+    return staged.select(
+        "idx",
+        F.col("v").alias("value"),
+        F.expr(f"CAST(round(({mean}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("sma"),
+        F.expr(
+            f"CAST(round((({mean}) - {k!r} * ({sd})) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("band_lo"),
+        F.expr(
+            f"CAST(round((({mean}) + {k!r} * ({sd})) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("band_hi"),
+        F.expr(
+            f"(v < CAST(round((({mean}) - {k!r} * ({sd})) "
+            "* 1000000.0d) AS BIGINT) / 1e6 "
+            f"OR v > CAST(round((({mean}) + {k!r} * ({sd})) "
+            "* 1000000.0d) AS BIGINT) / 1e6)"
+        ).alias("breach"),
+    ).orderBy("idx")

@@ -344,3 +344,63 @@ class TestTextAndDedup:
         assert r["n_truth"] == 6 and r["n_hits"] == 6
         assert r["pair_completeness"] == 1.0
         assert 0.0 <= r["reduction_ratio"] <= 1.0
+
+
+class TestAgreementAndCharts:
+    def test_lin_ccc_perfect_agreement(self, spark):
+        rows = [(float(v), float(v)) for v in range(1, 30)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ops.lin_ccc(df, "x", "y").collect()[0]
+        assert r["pearson_r"] == 1.0 and r["ccc"] == 1.0
+        assert r["location_shift"] == 0.0
+
+    def test_lin_ccc_shift_penalized(self, spark):
+        # y = x + 100: r stays 1, CCC drops well below 1
+        rows = [(float(v), float(v) + 100.0) for v in range(1, 30)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ops.lin_ccc(df, "x", "y").collect()[0]
+        assert r["pearson_r"] == 1.0
+        assert r["ccc"] < 0.05
+        assert r["location_shift"] == -100.0
+
+    def test_bland_altman_constant_bias(self, spark):
+        rows = [(float(v), float(v) - 3.0) for v in range(1, 41)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ops.bland_altman(df, "x", "y").collect()[0]
+        assert r["mean_diff"] == 3.0 and r["sd_diff"] == 0.0
+        assert r["loa_lo"] == 3.0 and r["loa_hi"] == 3.0
+        assert r["n_outside"] == 0
+
+    def test_shewhart_complete_subgroups_only(self, spark):
+        rows = []
+        for g in range(6):
+            for i in range(5):
+                rows.append((f"g{g}", 10.0 + (i % 3)))
+        rows.append(("short", 99.0))  # incomplete subgroup drops
+        df = spark.createDataFrame(rows, "sg string, v double")
+        out = ops.shewhart_xbar_r(df, "sg", "v", subgroup_size=5) \
+            .collect()
+        assert len(out) == 6
+        assert all(not r["ooc_mean"] and not r["ooc_range"]
+                   for r in out)
+
+    def test_shewhart_size_validated(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "sg string, v double")
+        with pytest.raises(ValueError):
+            ops.shewhart_xbar_r(df, "sg", "v", subgroup_size=50)
+
+    def test_bollinger_flat_series_never_breaches(self, spark):
+        df = spark.createDataFrame(
+            [(i, 7.0) for i in range(40)], "idx long, v double"
+        )
+        out = ops.bollinger_bands(df, "idx", "v", window=20).collect()
+        assert len(out) == 21  # rows 19..39 have full windows
+        assert all(r["sma"] == 7.0 and not r["breach"] for r in out)
+
+    def test_bollinger_spike_breaches(self, spark):
+        vals = [10.0] * 39 + [1000.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, v double"
+        )
+        out = ops.bollinger_bands(df, "idx", "v", window=20).collect()
+        assert out[-1]["value"] == 1000.0 and out[-1]["breach"]
