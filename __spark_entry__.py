@@ -2946,6 +2946,19 @@ def _q_hurst(spark, sf):
     return ops.hurst_exponent(daily, "idx", "cnt")
 
 
+def _q_resource_allocation(spark, sf):
+    return ops.resource_allocation_scores(_knn_edges(spark, sf))
+
+
+def _q_jonckheere(spark, sf):
+    # is totalprice stochastically ordered along the priority tier?
+    return ops.jonckheere_terpstra(
+        _t(spark, sf, "orders"),
+        "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)",
+        "o_totalprice",
+    )
+
+
 def _q_lin_ccc(spark, sf):
     # agreement between gross and net line price — CCC penalizes the
     # systematic discount shift that Pearson r is blind to
@@ -3409,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_bland_altman": _q_bland_altman,
             "orders_shewhart_xbar": _q_shewhart,
             "orders_bollinger_bands": _q_bollinger,
+            "graph_resource_allocation": _q_resource_allocation,
+            "orders_jonckheere_terpstra": _q_jonckheere,
         }
     )
     for name in _ORDER_PIN:
@@ -6236,6 +6251,124 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    # 1/deg sibling of graph_adamic_adar — same wedge pipeline
+    o["graph_resource_allocation"] = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst AS a, src AS b FROM edges
+  ) WHERE a != b
+),
+deg AS (
+  SELECT a AS w, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 1024
+),
+adj AS (
+  SELECT u.a AS w, u.b AS nbr,
+         CAST(round(1000000.0 / CAST(d.deg AS DOUBLE), 0) AS BIGINT)
+           AS ra_micro
+  FROM und u JOIN deg d ON u.a = d.w
+),
+pairs AS (
+  SELECT l.nbr AS u, r.nbr AS v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(l.ra_micro) AS BIGINT) AS sum_micro
+  FROM adj l JOIN adj r ON l.w = r.w AND l.nbr < r.nbr
+  GROUP BY 1, 2
+)
+SELECT p.u, p.v, p.common_neighbors,
+       CAST(p.sum_micro AS DOUBLE) / 1000000.0 AS ra_score
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und x WHERE x.a = p.u AND x.b = p.v)
+ORDER BY ra_score DESC, u, v LIMIT 100
+"""
+
+    # Jonckheere-Terpstra: the prefix-counts collapse replayed with
+    # per-group cumulative windows; null moments are exact integer
+    # literals computed from the same group sizes on both engines
+    o["orders_jonckheere_terpstra"] = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS vq
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+vals AS (
+  SELECT vq,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT vq, c0, c1, c2, c3, c4,
+         CAST(coalesce(sum(c0) OVER w, 0) AS BIGINT) AS b0,
+         CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS b1,
+         CAST(coalesce(sum(c2) OVER w, 0) AS BIGINT) AS b2,
+         CAST(coalesce(sum(c3) OVER w, 0) AS BIGINT) AS b3
+  FROM vals
+  WINDOW w AS (ORDER BY vq ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3,
+         CAST(sum(c4) AS BIGINT) AS n4
+  FROM vals
+),
+jt AS (
+  SELECT CAST(sum(CAST(2 AS DECIMAL(38,0))
+           * (c1 * (b0) + c2 * (b0 + b1) + c3 * (b0 + b1 + b2)
+              + c4 * (b0 + b1 + b2 + b3))
+           + (c0 * c1 + c0 * c2 + c0 * c3 + c0 * c4
+              + c1 * c2 + c1 * c3 + c1 * c4
+              + c2 * c3 + c2 * c4 + c3 * c4)) AS DECIMAL(38,0)) AS jt2
+  FROM cum
+),
+mom AS (
+  SELECT n0 + n1 + n2 + n3 + n4 AS n,
+         CAST((n0 + n1 + n2 + n3 + n4) AS DOUBLE)
+           * CAST((n0 + n1 + n2 + n3 + n4) AS DOUBLE)
+           - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+              + CAST(n2 AS DOUBLE) * n2 + CAST(n3 AS DOUBLE) * n3
+              + CAST(n4 AS DOUBLE) * n4) AS e2,
+         CAST((n0 + n1 + n2 + n3 + n4) AS DOUBLE)
+           * CAST((n0 + n1 + n2 + n3 + n4) AS DOUBLE)
+           * (2.0 * CAST((n0 + n1 + n2 + n3 + n4) AS DOUBLE) + 3.0)
+           - (CAST(n0 AS DOUBLE) * n0 * (2.0 * n0 + 3.0)
+              + CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+              + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0)
+              + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3.0)
+              + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0)) AS var72
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+  CAST(CAST(jt2 AS VARCHAR) AS DOUBLE) / 2.0 AS jt_stat,
+  CAST(CAST(round(((CAST(CAST(jt2 AS VARCHAR) AS DOUBLE) / 2.0
+       - e2 / 4.0) / nullif(sqrt(var72 / 72.0), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS z_stat
+FROM jt CROSS JOIN mom
 """
 
     o["lineitem_lin_ccc"] = """

@@ -367,6 +367,8 @@ HEADLINE = [
     "docs_bland_altman",
     "orders_shewhart_xbar",
     "orders_bollinger_bands",
+    "graph_resource_allocation",
+    "orders_jonckheere_terpstra",
 ]
 
 

@@ -772,3 +772,56 @@ def connected_components(
         .join(sizes, "component")
         .select("node", "component", "component_size")
     )
+
+
+def resource_allocation_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 100,
+    max_degree: int = 1024,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    the :func:`adamic_adar_scores` sibling with the harsher hub
+    penalty ``RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)`` (1/deg instead of
+    1/ln deg), which consistently wins on dense similarity graphs
+    where hubs are mostly template noise.  Same wedge pipeline, same
+    micro-unit determinism contract, same max_degree hub cut; deg ≥ 2
+    only (a single-neighbor node forms no wedge).  Returns the top_k
+    non-adjacent candidate pairs: (u, v, common_neighbors, ra_score).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    und = edges.select(src.alias("a"), dst.alias("b")).union(
+        edges.select(dst.alias("a"), src.alias("b"))
+    ).where(F.col("a") != F.col("b")).distinct() \
+        .localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("a").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).where((F.col("deg") >= 2) & (F.col("deg") <= max_degree))
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("nbr")) \
+        .join(deg, "w") \
+        .withColumn(
+            "__ra_micro",
+            F.round(F.lit(1000000.0)
+                    / F.col("deg").cast("double"), 0).cast("long"),
+        )
+    left = adj.select("w", F.col("nbr").alias("u"), "__ra_micro")
+    right = adj.select("w", F.col("nbr").alias("v"))
+    wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("__ra_micro").cast("long").alias("__sum_micro"),
+    )
+    linked = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).where(F.col("u") < F.col("v"))
+    return (
+        pairs.join(linked, ["u", "v"], "left_anti")
+        .select(
+            "u", "v", "common_neighbors",
+            (F.col("__sum_micro").cast("double") / F.lit(1000000.0))
+            .alias("ra_score"),
+        )
+        .orderBy(F.col("ra_score").desc(), "u", "v")
+        .limit(top_k)
+    )

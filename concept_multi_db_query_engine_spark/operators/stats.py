@@ -6629,3 +6629,86 @@ def bollinger_bands(
             "* 1000000.0d) AS BIGINT) / 1e6)"
         ).alias("breach"),
     ).orderBy("idx")
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_score_expr: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test — are the group
+    distributions stochastically ORDERED along the factor (tier 1 <
+    tier 2 < … )?  Strictly more powerful than Kruskal-Wallis when the
+    alternative is monotone, and the continuous-value companion to the
+    binary :func:`cochran_armitage` trend test::
+
+        JT = Σ_{g<h} U_gh,   U_gh = #{x_i < x_j} + ½·ties
+
+    Distributed via the house rank primitive: one aggregation to the
+    distinct-value frame with per-group counts, ONE
+    :func:`distributed_prefix_counts` pass for every group's exclusive
+    below-v count (no un-partitioned window, no pair join — the same
+    collapse that makes :func:`energy_distance` one-pass), then the
+    doubled statistic ``2·JT = Σ_v (2·Σ_h c_h·before_{g<h} +
+    Σ_{g<h} c_g c_h)`` sums exact integers in DECIMAL(38,0).  The
+    group-score list is a bounded collect (k ≤ dozens).  z uses the
+    standard no-tie null moments (ties make it conservative —
+    documented contract).  Returns one row: (n, k, jt_stat, z_stat).
+    """
+    base = df.where(
+        f"({group_score_expr}) IS NOT NULL "
+        f"AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({group_score_expr}) AS BIGINT)").alias("g"),
+        F.expr(
+            f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+            "* 1000000.0d) AS BIGINT)"
+        ).alias("vq"),
+    )
+    scores = sorted(
+        r["g"] for r in base.select("g").distinct().collect()
+    )
+    k = len(scores)
+    if k < 2:
+        raise ValueError("need >= 2 ordered groups")
+    vals = base.groupBy("vq").agg(*[
+        F.sum(F.when(F.col("g") == s, 1).otherwise(0)).cast("long")
+        .alias(f"c{i}")
+        for i, s in enumerate(scores)
+    ])
+    cum, totals = distributed_prefix_counts(
+        vals, "vq", [f"c{i}" for i in range(k)]
+    )
+    lt = " + ".join(
+        f"c{h} * ({' + '.join(f'__before_c{g}' for g in range(h))})"
+        for h in range(1, k)
+    )
+    tie = " + ".join(
+        f"c{g} * c{h}"
+        for g in range(k) for h in range(g + 1, k)
+    )
+    jt2 = cum.agg(
+        F.expr(
+            f"CAST(sum(CAST(2 AS DECIMAL(38,0)) * ({lt}) + ({tie})) "
+            "AS DECIMAL(38,0))"
+        ).alias("jt2"),
+    )
+    n_g = [int(totals[f"c{i}"]) for i in range(k)]
+    n = sum(n_g)
+    sum_sq = sum(v * v for v in n_g)
+    # exact integer null moments, stamped as literals on both engines
+    e2 = n * n - sum_sq  # = 4·E[JT] → compare against 2·JT doubled
+    var72 = n * n * (2 * n + 3) - sum(
+        v * v * (2 * v + 3) for v in n_g
+    )
+    z = (
+        f"(({_big_d('jt2')} / 2.0d - {float(e2)!r} / 4.0d) "
+        f"/ nullif(sqrt({float(var72)!r} / 72.0d), 0.0d))"
+    )
+    return jt2.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr(f"{_big_d('jt2')} / 2.0d").alias("jt_stat"),
+        F.expr(f"CAST(round(({z}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("z_stat"),
+    )

@@ -404,3 +404,40 @@ class TestAgreementAndCharts:
         )
         out = ops.bollinger_bands(df, "idx", "v", window=20).collect()
         assert out[-1]["value"] == 1000.0 and out[-1]["breach"]
+
+
+class TestOrderedAndLinkPrediction:
+    def test_jonckheere_monotone_groups(self, spark):
+        # tier means strictly increase → strongly positive z
+        rows = []
+        for s in (1, 2, 3):
+            rows += [(s, float(10 * s + d)) for d in range(10)]
+        df = spark.createDataFrame(rows, "s long, v double")
+        r = ops.jonckheere_terpstra(df, "s", "v").collect()[0]
+        assert r["n"] == 30 and r["k"] == 3
+        # every cross-tier pair is concordant: JT = 3 * 100
+        assert r["jt_stat"] == 300.0
+        assert r["z_stat"] > 3.0
+
+    def test_jonckheere_ties_count_half(self, spark):
+        rows = [(1, 5.0), (1, 5.0), (2, 5.0), (2, 5.0)]
+        df = spark.createDataFrame(rows, "s long, v double")
+        r = ops.jonckheere_terpstra(df, "s", "v").collect()[0]
+        # all four cross pairs are ties → JT = 0.5 * 4 = 2
+        assert r["jt_stat"] == 2.0
+
+    def test_jonckheere_needs_two_groups(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "s long, v double")
+        with pytest.raises(ValueError):
+            ops.jonckheere_terpstra(df, "s", "v")
+
+    def test_resource_allocation_path_graph(self, spark):
+        # path 1-2-3: only candidate pair is (1,3) via w=2 (deg 2)
+        edges = [(1, 2), (2, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = ops.resource_allocation_scores(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["u"], r["v"]) == (1, 3)
+        assert r["common_neighbors"] == 1
+        assert r["ra_score"] == 0.5  # 1/deg(2) = 1/2
