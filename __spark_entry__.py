@@ -2950,6 +2950,50 @@ def _q_resource_allocation(spark, sf):
     return ops.resource_allocation_scores(_knn_edges(spark, sf))
 
 
+def _q_fellegi_sunter(spark, sf):
+    # labeled linkage sample: the fuzzy-match candidates between the
+    # supplier master and its deterministic dirty feed (suffix typos;
+    # every 4th nation perturbed) — truth = same suppkey; fields =
+    # name-within-1-edit, nation equality, phone equality
+    sup = _t(spark, sf, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("r_id"),
+        F.expr(
+            "CASE WHEN s_suppkey % 3 = 0 THEN "
+            "concat(substr(s_name, 1, length(s_name) - 1), 'X') "
+            "WHEN s_suppkey % 3 = 1 THEN concat(s_name, 'Q') "
+            "ELSE s_name END"
+        ).alias("r_name"),
+        F.expr(
+            "CASE WHEN s_suppkey % 4 = 0 "
+            "THEN CAST((s_nationkey + 1) % 25 AS BIGINT) "
+            "ELSE CAST(s_nationkey AS BIGINT) END"
+        ).alias("r_nation"),
+        F.expr(
+            "CASE WHEN s_suppkey % 5 = 0 "
+            "THEN CAST(s_acctbal + 10.0 AS DOUBLE) "
+            "ELSE CAST(s_acctbal AS DOUBLE) END"
+        ).alias("r_bal"),
+    )
+    left = sup.select(
+        F.col("s_suppkey").alias("l_id"),
+        F.col("s_name").alias("l_name"),
+        F.col("s_nationkey").cast("long").alias("l_nation"),
+        F.col("s_acctbal").cast("double").alias("l_bal"),
+        F.expr("substr(s_name, 10, 8)").alias("bk"),
+    )
+    right = dirty.withColumn("bk", F.expr("substr(r_name, 10, 8)"))
+    cands = left.join(right, "bk")
+    return ops.fellegi_sunter_weights(
+        cands, "l_id = r_id",
+        {
+            "name_edit1": "levenshtein(l_name, r_name) <= 1",
+            "nation_eq": "l_nation = r_nation",
+            "bal_eq": "l_bal = r_bal",
+        },
+    )
+
+
 def _q_jonckheere(spark, sf):
     # is totalprice stochastically ordered along the priority tier?
     return ops.jonckheere_terpstra(
@@ -3424,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_bollinger_bands": _q_bollinger,
             "graph_resource_allocation": _q_resource_allocation,
             "orders_jonckheere_terpstra": _q_jonckheere,
+            "suppliers_fellegi_sunter": _q_fellegi_sunter,
         }
     )
     for name in _ORDER_PIN:
@@ -6251,6 +6296,81 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    o["suppliers_fellegi_sunter"] = """
+WITH dirty AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS r_id,
+         CASE WHEN s_suppkey % 3 = 0 THEN
+                concat(substr(s_name, 1, length(s_name) - 1), 'X')
+              WHEN s_suppkey % 3 = 1 THEN concat(s_name, 'Q')
+              ELSE s_name END AS r_name,
+         CASE WHEN s_suppkey % 4 = 0
+              THEN CAST((s_nationkey + 1) % 25 AS BIGINT)
+              ELSE CAST(s_nationkey AS BIGINT) END AS r_nation,
+         CASE WHEN s_suppkey % 5 = 0
+              THEN CAST(s_acctbal + 10.0 AS DOUBLE)
+              ELSE CAST(s_acctbal AS DOUBLE) END AS r_bal
+  FROM supplier
+),
+l AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS l_id, s_name AS l_name,
+         CAST(s_nationkey AS BIGINT) AS l_nation,
+         CAST(s_acctbal AS DOUBLE) AS l_bal,
+         substr(s_name, 10, 8) AS bk
+  FROM supplier
+),
+r AS (SELECT *, substr(r_name, 10, 8) AS bk FROM dirty),
+cands AS (
+  SELECT l_id = r_id AS is_m,
+         coalesce(levenshtein(l_name, r_name) <= 1, FALSE) AS f_name,
+         coalesce(l_nation = r_nation, FALSE) AS f_nation,
+         coalesce(l_bal = r_bal, FALSE) AS f_bal
+  FROM l JOIN r USING (bk)
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN is_m THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         CAST(sum(CASE WHEN NOT is_m THEN 1 ELSE 0 END) AS BIGINT)
+           AS nu,
+         CAST(sum(CASE WHEN is_m AND f_name THEN 1 ELSE 0 END)
+              AS BIGINT) AS am0,
+         CAST(sum(CASE WHEN NOT is_m AND f_name THEN 1 ELSE 0 END)
+              AS BIGINT) AS au0,
+         CAST(sum(CASE WHEN is_m AND f_nation THEN 1 ELSE 0 END)
+              AS BIGINT) AS am1,
+         CAST(sum(CASE WHEN NOT is_m AND f_nation THEN 1 ELSE 0 END)
+              AS BIGINT) AS au1,
+         CAST(sum(CASE WHEN is_m AND f_bal THEN 1 ELSE 0 END)
+              AS BIGINT) AS am2,
+         CAST(sum(CASE WHEN NOT is_m AND f_bal THEN 1 ELSE 0 END)
+              AS BIGINT) AS au2
+  FROM cands
+),
+fields AS (
+  SELECT 'bal_eq' AS field, am2 AS am, au2 AS au, nm, nu FROM tot
+  UNION ALL
+  SELECT 'name_edit1', am0, au0, nm, nu FROM tot
+  UNION ALL
+  SELECT 'nation_eq', am1, au1, nm, nu FROM tot
+),
+calc AS (
+  SELECT field, nm AS n_match, nu AS n_nonmatch,
+         ((CAST(am AS DOUBLE) + 1.0) / (CAST(nm AS DOUBLE) + 2.0))
+           AS m_p,
+         ((CAST(au AS DOUBLE) + 1.0) / (CAST(nu AS DOUBLE) + 2.0))
+           AS u_p
+  FROM fields
+)
+SELECT field, n_match, n_nonmatch,
+  CAST(CAST(round(m_p * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS m_prob,
+  CAST(CAST(round(u_p * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS u_prob,
+  CAST(CAST(round((ln(m_p / u_p) / ln(2.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS weight_agree,
+  CAST(CAST(round((ln((1.0 - m_p) / (1.0 - u_p)) / ln(2.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS weight_disagree
+FROM calc ORDER BY field
 """
 
     # 1/deg sibling of graph_adamic_adar — same wedge pipeline

@@ -369,6 +369,7 @@ HEADLINE = [
     "orders_bollinger_bands",
     "graph_resource_allocation",
     "orders_jonckheere_terpstra",
+    "suppliers_fellegi_sunter",
 ]
 
 

@@ -1442,3 +1442,79 @@ def blocking_quality(
             ).cast("double").alias("pair_completeness"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    match_expr: str,
+    field_exprs: dict,
+) -> DataFrame:
+    """Fellegi–Sunter match/unmatch weights from a LABELED candidate-
+    pair frame — the probabilistic record-linkage scoring layer on top
+    of :func:`fuzzy_join_blocked`: for every comparison field, the
+    agreement probability among true matches (m) and among non-matches
+    (u), and the log₂ likelihood-ratio weights a linkage rule sums::
+
+        w_agree = log₂(m/u),   w_disagree = log₂((1−m)/(1−u))
+
+    Estimated on a labeled sample (the training step of every FS
+    pipeline — at 100 TB the labeled slice is the only supervised
+    piece; the weights then score unlabeled candidates at full scale).
+    Laplace add-one smoothing keeps both weights finite when a field
+    is perfectly discriminating on the sample.  ONE exact-count
+    aggregation over the candidate frame; probabilities and weights
+    are fixed-order doubles, micro-quantized.  Returns one row per
+    field: (field, n_match, n_nonmatch, m_prob, u_prob, weight_agree,
+    weight_disagree) ordered by field.
+    """
+    if not field_exprs:
+        raise ValueError("field_exprs must be non-empty")
+    is_m = F.expr(f"coalesce(CAST(({match_expr}) AS BOOLEAN), false)")
+    aggs = [
+        F.sum(F.when(is_m, 1).otherwise(0)).cast("long").alias("nm"),
+        F.sum(F.when(~is_m, 1).otherwise(0)).cast("long").alias("nu"),
+    ]
+    names = sorted(field_exprs)
+    for i, name in enumerate(names):
+        agree = F.expr(
+            f"coalesce(CAST(({field_exprs[name]}) AS BOOLEAN), false)"
+        )
+        aggs.append(
+            F.sum(F.when(is_m & agree, 1).otherwise(0)).cast("long")
+            .alias(f"am{i}")
+        )
+        aggs.append(
+            F.sum(F.when(~is_m & agree, 1).otherwise(0)).cast("long")
+            .alias(f"au{i}")
+        )
+    tot = pairs.agg(*aggs)
+    frames = []
+    for i, name in enumerate(names):
+        m_p = (f"((CAST(am{i} AS DOUBLE) + 1.0d) "
+               "/ (CAST(nm AS DOUBLE) + 2.0d))")
+        u_p = (f"((CAST(au{i} AS DOUBLE) + 1.0d) "
+               "/ (CAST(nu AS DOUBLE) + 2.0d))")
+        w_a = f"(ln(({m_p}) / ({u_p})) / ln(2.0d))"
+        w_d = (f"(ln((1.0d - ({m_p})) / (1.0d - ({u_p}))) "
+               "/ ln(2.0d))")
+        frames.append(tot.select(
+            F.lit(name).alias("field"),
+            F.col("nm").alias("n_match"),
+            F.col("nu").alias("n_nonmatch"),
+            F.expr(
+                f"CAST(round(({m_p}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("m_prob"),
+            F.expr(
+                f"CAST(round(({u_p}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("u_prob"),
+            F.expr(
+                f"CAST(round(({w_a}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("weight_agree"),
+            F.expr(
+                f"CAST(round(({w_d}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("weight_disagree"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("field")

@@ -441,3 +441,31 @@ class TestOrderedAndLinkPrediction:
         assert (r["u"], r["v"]) == (1, 3)
         assert r["common_neighbors"] == 1
         assert r["ra_score"] == 0.5  # 1/deg(2) = 1/2
+
+
+class TestRecordLinkage:
+    def test_fellegi_sunter_discriminating_field(self, spark):
+        # field A agrees on every match and never on non-matches;
+        # field B agrees everywhere (uninformative)
+        rows = (
+            [(True, True, True)] * 20
+            + [(False, False, True)] * 80
+        )
+        df = spark.createDataFrame(
+            rows, "is_m boolean, fa boolean, fb boolean"
+        )
+        out = {r["field"]: r for r in ops.fellegi_sunter_weights(
+            df, "is_m", {"fa": "fa", "fb": "fb"}
+        ).collect()}
+        a, b = out["fa"], out["fb"]
+        assert a["n_match"] == 20 and a["n_nonmatch"] == 80
+        # Laplace: m = 21/22, u = 1/82 → strongly positive weight
+        assert a["weight_agree"] > 5.0
+        assert a["weight_disagree"] < -3.0
+        # uninformative field: m ≈ u → weights near zero
+        assert abs(b["weight_agree"]) < 0.1
+
+    def test_fellegi_sunter_needs_fields(self, spark):
+        df = spark.createDataFrame([(True,)], "is_m boolean")
+        with pytest.raises(ValueError):
+            ops.fellegi_sunter_weights(df, "is_m", {})
