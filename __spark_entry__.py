@@ -5986,31 +5986,34 @@ FROM cum ORDER BY lag
 WITH reps AS (SELECT unnest(range(0, 48)) AS b),
 h AS (
   SELECT r.b,
-         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
-             || ':perm:' || CAST(r.b // 8 AS VARCHAR)),
-             (r.b % 8) * 4 + 1, 4))::BIGINT % 2 AS bit,
-         CAST(o.o_totalprice AS DECIMAL(12,4)) AS v,
+         CAST((('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+             || ':perm'), 1, 12))::BIGINT >> (47 - r.b)) & 1
+           AS INT) AS bit,
+         CAST(round(CAST(o.o_totalprice AS DOUBLE) * 10000.0)
+              AS BIGINT) AS v,
          coalesce(o.o_orderpriority = '1-URGENT', FALSE) AS g
   FROM orders o CROSS JOIN reps r
   WHERE o.o_totalprice IS NOT NULL),
 rep AS (
   SELECT b,
-         sum(CASE WHEN bit = 1 THEN v END) AS sb,
+         CAST(sum(CASE WHEN bit = 1 THEN v END) AS BIGINT) AS sb,
          CAST(sum(bit) AS BIGINT) AS cb
   FROM h GROUP BY b),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS sv,
-         sum(CASE WHEN coalesce(o_orderpriority = '1-URGENT', FALSE)
-             THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS sg,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE)
+              * 10000.0) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CASE WHEN coalesce(o_orderpriority = '1-URGENT',
+              FALSE) THEN CAST(round(CAST(o_totalprice AS DOUBLE)
+              * 10000.0) AS BIGINT) END) AS BIGINT) AS sg,
          CAST(sum(CASE WHEN coalesce(o_orderpriority = '1-URGENT',
               FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS ng
   FROM orders WHERE o_totalprice IS NOT NULL),
 td AS (
   SELECT n, ng, CAST(n AS DOUBLE) AS n_d,
          CAST(ng AS DOUBLE) AS ng_d,
-         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sv_d,
-         CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sg_d
+         CAST(sv AS DOUBLE) / 1e4 AS sv_d,
+         CAST(sg AS DOUBLE) / 1e4 AS sg_d
   FROM tot),
 obs AS (
   SELECT *,
@@ -6022,9 +6025,9 @@ obs AS (
   FROM td),
 ext AS (
   SELECT CAST(sum(CASE WHEN CAST(round(abs(
-           CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+           CAST(sb AS DOUBLE) / 1e4
            / nullif(CAST(cb AS DOUBLE), 0.0)
-           - (sv_d - CAST(CAST(sb AS VARCHAR) AS DOUBLE))
+           - (sv_d - CAST(sb AS DOUBLE) / 1e4)
            / nullif(n_d - CAST(cb AS DOUBLE), 0.0)) * 1000000.0)
            AS BIGINT) >= oq THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
   FROM rep CROSS JOIN obs)
