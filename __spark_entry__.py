@@ -2732,6 +2732,14 @@ def _q_wav_decode(spark, sf):
     return multimodal.audio_decode_stats(media)
 
 
+def _q_bmp_decode(spark, sf):
+    # raw-pixel-array codec gate: stdlib-generated 24-bit BMPs (solid
+    # gray, widths cycling every 4-byte stride-padding class) — the
+    # real parser must reproduce dims, byte count, and the exact mean
+    media = multimodal.synthetic_bmp_table(spark, _PNG_FIXTURE_N)
+    return multimodal.bmp_decode_stats(media)
+
+
 def _q_bbit_minhash(spark, sf):
     return (
         ops.bbit_minhash_pairs(
@@ -3429,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_propensity_ate": _q_propensity_ate,
             "dedup_cross_source": _q_cross_source_dup,
             "multimodal_wav_decode": _q_wav_decode,
+            "multimodal_bmp_decode": _q_bmp_decode,
             "lineitem_poisson_rate": _q_poisson_rate,
             "events_sprt": _q_sprt,
             "orders_mmd_drift": _q_mmd_drift,
@@ -6870,6 +6879,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM (VALUES {_wav_rows})
   AS t(doc_id, channels, sample_rate, bits, n_samples, duration_us,
        mean_abs_amp, is_valid)
+"""
+
+    # BMP raw-pixel codec gate: analytic oracle from the solid-gray
+    # fixture parameters — the Spark side must parse the actual
+    # BITMAPINFOHEADER + padded bottom-up pixel array to reproduce it
+    _bmp_rows = ", ".join(
+        f"({i}, {w}, {h}, {bpp}, {nb}, {mp!r}, TRUE)"
+        for i, w, h, bpp, nb, mp, _ in
+        multimodal.bmp_decode_expected(_PNG_FIXTURE_N)
+    )
+    o["multimodal_bmp_decode"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(bpp AS INT) AS bpp,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(mean_pixel AS DOUBLE) AS mean_pixel, is_valid
+FROM (VALUES {_bmp_rows})
+  AS t(doc_id, width, height, bpp, n_bytes, mean_pixel, is_valid)
 """
     # Logistic classifier replay: the full 24-iteration GD recurrence as
     # CTEs — per-iteration (residual rows, quantized BIGINT gradient

@@ -370,6 +370,7 @@ HEADLINE = [
     "graph_resource_allocation",
     "orders_jonckheere_terpstra",
     "suppliers_fellegi_sunter",
+    "multimodal_bmp_decode",
 ]
 
 

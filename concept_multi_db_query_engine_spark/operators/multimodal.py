@@ -577,3 +577,135 @@ def wav_decode_expected(n: int) -> list[tuple]:
             (nspc * 1_000_000) // rate, float(amp), True,
         ))
     return out
+
+
+BMP_STATS_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, n_bytes long, "
+    "mean_pixel double, is_valid boolean"
+)
+
+
+def _parse_bmp(raw: bytes):
+    """Pure-Python uncompressed 24-bit BMP parse → (width, height,
+    bpp, [gray values]) where gray = the exact integer mean of each
+    pixel's (b, g, r) — stdlib struct only, the :func:`_parse_wav`
+    discipline applied to images (BITMAPFILEHEADER + BITMAPINFOHEADER
+    + bottom-up rows padded to 4 bytes).  Raises ValueError on
+    malformed, compressed, or non-24-bit input."""
+    import struct
+
+    if len(raw) < 54 or raw[0:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack("<I", raw[10:14])
+    hdr_size, w, h, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", raw[14:34]
+    )
+    if hdr_size < 40 or comp != 0 or bpp != 24 or planes != 1:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate dimensions")
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * rows > len(raw):
+        raise ValueError("truncated pixel array")
+    grays = []
+    for r in range(rows):
+        base = off + r * stride
+        for c in range(w):
+            b = raw[base + c * 3]
+            g = raw[base + c * 3 + 1]
+            rr = raw[base + c * 3 + 2]
+            grays.append((b + g + rr) // 3)
+    return w, rows, bpp, grays
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """Per-image decode statistics from a REAL dependency-free BMP
+    parse — the third dependency-free codec gate (PNG needs zlib from
+    the stdlib, Y4M and WAV are container parses; BMP exercises raw
+    pixel-array geometry: bottom-up rows, 4-byte stride padding).
+    Reports (width, height, bpp, n_bytes, mean_pixel = mean of the
+    per-pixel integer gray) — malformed/compressed/NULL blobs report
+    ``is_valid = false``, never a crash, never a fake number.
+
+    ONE Arrow-batched ``mapInPandas`` narrow map; decode parallelism =
+    input partitions (the :func:`audio_decode_stats` shape).
+    """
+
+    def _one(blob) -> tuple:
+        if blob is None:
+            return 0, 0, 0, 0, 0.0, False
+        raw = bytes(blob)
+        try:
+            w, h, bpp, grays = _parse_bmp(raw)
+        except Exception:
+            return 0, 0, 0, len(raw), 0.0, False
+        mean_px = sum(grays) / len(grays) if grays else 0.0
+        return w, h, bpp, len(raw), mean_px, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = pdf["media"].map(_one)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": stats.map(lambda s: s[0]),
+                "height": stats.map(lambda s: s[1]),
+                "bpp": stats.map(lambda s: s[2]),
+                "n_bytes": stats.map(lambda s: s[3]),
+                "mean_pixel": stats.map(lambda s: s[4]),
+                "is_valid": stats.map(lambda s: s[5]),
+            })
+
+    return media.select("doc_id", "media").mapInPandas(
+        batches, schema=BMP_STATS_SCHEMA)
+
+
+def synthetic_bmp_params(i: int) -> tuple[int, int, int]:
+    """(width, height, solid gray value) for :func:`synthetic_bmp`'s
+    image i — width chosen to EXERCISE the stride-padding branch
+    (w % 4 varies), the analytic ground truth."""
+    return 5 + (i % 4), 3 + (i % 3), (i * 41) % 256
+
+
+def synthetic_bmp(i: int) -> bytes:
+    """A deterministic, VALID uncompressed 24-bit BMP built with
+    stdlib only: solid color (v, v, v) at w × h — mean_pixel is
+    exactly v, so the real parser gets ORACLE evidence including the
+    row-stride geometry (widths cycle through every padding class)."""
+    import struct
+
+    w, h, v = synthetic_bmp_params(i)
+    stride = ((w * 3 + 3) // 4) * 4
+    row = bytes([v, v, v] * w) + b"\x00" * (stride - w * 3)
+    pixels = row * h
+    off = 14 + 40
+    size = off + len(pixels)
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + pixels
+
+
+def synthetic_bmp_table(spark, n: int) -> DataFrame:
+    """MEDIA_SCHEMA fixture of ``n`` :func:`synthetic_bmp` blobs (the
+    :func:`synthetic_wav_table` pattern — fixture-only)."""
+    rows = []
+    for i in range(n):
+        w, h, _ = synthetic_bmp_params(i)
+        rows.append((i, bytearray(synthetic_bmp(i)), w, h, "image/bmp"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def bmp_decode_expected(n: int) -> list[tuple]:
+    """Expected :func:`bmp_decode_stats` rows over
+    :func:`synthetic_bmp_table` — analytic (solid gray: mean_pixel is
+    v exactly; n_bytes from the header arithmetic).  Drives the pytest
+    assertion and the generated DuckDB VALUES oracle."""
+    out = []
+    for i in range(n):
+        w, h, v = synthetic_bmp_params(i)
+        stride = ((w * 3 + 3) // 4) * 4
+        out.append((i, w, h, 24, 54 + stride * h, float(v), True))
+    return out

@@ -469,3 +469,34 @@ class TestRecordLinkage:
         df = spark.createDataFrame([(True,)], "is_m boolean")
         with pytest.raises(ValueError):
             ops.fellegi_sunter_weights(df, "is_m", {})
+
+
+class TestBmpCodec:
+    def test_bmp_decode_matches_analytic_truth(self, spark):
+        from concept_multi_db_query_engine_spark.operators import (
+            multimodal as mm,
+        )
+
+        media = mm.synthetic_bmp_table(spark, 12)
+        got = sorted(
+            tuple(r) for r in mm.bmp_decode_stats(media).collect()
+        )
+        want = sorted(mm.bmp_decode_expected(12))
+        assert got == want
+
+    def test_bmp_decode_rejects_garbage(self, spark):
+        from concept_multi_db_query_engine_spark.operators import (
+            multimodal as mm,
+        )
+
+        rows = [
+            (0, bytearray(b"NOTABMP" * 10), 0, 0, "image/bmp"),
+            (1, None, 0, 0, "image/bmp"),
+            (2, bytearray(mm.synthetic_png(3)), 0, 0, "image/png"),
+        ]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = {r["doc_id"]: r for r in
+               mm.bmp_decode_stats(media).collect()}
+        assert not out[0]["is_valid"]
+        assert not out[1]["is_valid"]
+        assert not out[2]["is_valid"]
