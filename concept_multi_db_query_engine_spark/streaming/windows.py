@@ -826,3 +826,92 @@ def cusum_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def bollinger_stream(
+    series: DataFrame,
+    window: int = 20,
+    k: float = 2.0,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    value_col: str = "x",
+):
+    """Streaming twin of ``operators.stats.bollinger_bands`` — the live
+    adaptive-envelope monitor: per series key the state is a ring
+    buffer of the last ``window`` micro-quantized values, so each
+    arriving period emits its own (sma, band_lo, band_hi, breach) row
+    exactly as the batch operator computes it (full windows only).
+    Ordered-feed contract (the PH/SPRT twins' rule): non-decreasing
+    ``idx`` across batches per key.
+
+    The mean and σ replay the batch operator's fixed-order double
+    expressions over the exact integer window sums, so the union of
+    all emissions equals the batch output row-for-row.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("sma", T.DoubleType()),
+        T.StructField("band_lo", T.DoubleType()),
+        T.StructField("band_hi", T.DoubleType()),
+        T.StructField("breach", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("buf", T.ArrayType(T.LongType())),
+    ])
+    n_d = float(window)
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(idx_col)
+            for idx, x in zip(pdf[idx_col], pdf[value_col]):
+                xq = half_away(float(x) * 1000000.0)
+                buf.append(xq)
+                if len(buf) > window:
+                    buf.pop(0)
+                if len(buf) < window:
+                    continue
+                s = sum(buf)
+                q = sum(v * v for v in buf)
+                # the batch operator's expression tree, term for term
+                mean = (s / n_d) / 1e6
+                sd = math.sqrt(
+                    (float(q) - float(s) * float(s) / n_d)
+                    / (n_d - 1.0)
+                ) / 1e6
+                sma = half_away(mean * 1000000.0) / 1e6
+                lo = half_away((mean - k * sd) * 1000000.0) / 1e6
+                hi = half_away((mean + k * sd) * 1000000.0) / 1e6
+                v_d = float(x)
+                rows.append((
+                    str(key[0]), int(idx), v_d, sma, lo, hi,
+                    bool(v_d < lo or v_d > hi),
+                ))
+        state.update(([int(v) for v in buf],))
+        yield pd.DataFrame(
+            rows,
+            columns=["series_key", "idx", "value", "sma",
+                     "band_lo", "band_hi", "breach"],
+        )
+
+    return (
+        series.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

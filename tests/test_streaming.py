@@ -1281,3 +1281,53 @@ def test_cusum_stream_matches_batch_across_micro_batches(spark):
     assert got["cusum_neg_max"] == w["cusum_neg_max"]
     assert got["pos_peak_idx"] == w["pos_peak_idx"]
     assert got["neg_peak_idx"] == w["neg_peak_idx"]
+
+
+def test_bollinger_stream_matches_batch_across_micro_batches(spark):
+    """Bollinger streaming twin: the ring-buffer state replayed over
+    two ordered micro-batches must emit exactly the batch operator's
+    per-period rows (full windows only), including the windows that
+    STRADDLE the batch boundary."""
+    import os
+    import tempfile
+    import time as _time
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    daily = (
+        testdata.load_table(spark, SF_DIR, "orders")
+        .groupBy(F.expr("datediff(CAST(o_orderdate AS DATE), "
+                        "DATE '1992-01-01')").cast("long").alias("idx"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .select(F.lit("orders").alias("series_key"), "idx", "x")
+        .localCheckpoint(eager=True)
+    )
+    cut = 1200
+    d = tempfile.mkdtemp(prefix="stream-boll-")
+    early, late = os.path.join(d, "a"), os.path.join(d, "b")
+    daily.where(F.col("idx") < cut).coalesce(1).write.parquet(early)
+    daily.where(F.col("idx") >= cut).coalesce(1).write.parquet(late)
+    now = _time.time()
+    for root, base in ((early, now - 120), (late, now)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (base, base))
+    src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.bollinger_stream(src, window=20, k=2.0)
+    sw.run_stream_to_memory(plan, "boll_stream_t", output_mode="update")
+    got = sorted(
+        (r["idx"], r["value"], r["sma"], r["band_lo"], r["band_hi"],
+         r["breach"])
+        for r in spark.sql("SELECT * FROM boll_stream_t").collect()
+    )
+    want = sorted(
+        (r["idx"], r["value"], r["sma"], r["band_lo"], r["band_hi"],
+         r["breach"])
+        for r in ops.bollinger_bands(
+            daily, "idx", "x", window=20, k=2.0
+        ).collect()
+    )
+    assert len(got) == len(want) and got == want
