@@ -2958,6 +2958,16 @@ def _q_resource_allocation(spark, sf):
     return ops.resource_allocation_scores(_knn_edges(spark, sf))
 
 
+def _q_dunns_test(spark, sf):
+    return ops.dunns_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_intrinsic_dim(spark, sf):
+    return ops.intrinsic_dimension_two_nn(_t(spark, sf, "embeddings"))
+
+
 def _q_fellegi_sunter(spark, sf):
     # labeled linkage sample: the fuzzy-match candidates between the
     # supplier master and its deterministic dirty feed (suffix typos;
@@ -3478,6 +3488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "graph_resource_allocation": _q_resource_allocation,
             "orders_jonckheere_terpstra": _q_jonckheere,
             "suppliers_fellegi_sunter": _q_fellegi_sunter,
+            "orders_dunns_test": _q_dunns_test,
+            "embeddings_intrinsic_dim": _q_intrinsic_dim,
         }
     )
     for name in _ORDER_PIN:
@@ -6308,6 +6320,100 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    # Dunn's post-hoc: the kruskal_wallis oracle's rank machinery,
+    # reduced to per-group mean ranks and the pairwise z grid
+    o["orders_dunns_test"] = """
+WITH cells AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+vals AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS t,
+         CAST(coalesce(sum(sum(c)) OVER (ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM cells GROUP BY 1
+),
+ranked AS (
+  SELECT c.g, c.c,
+         CAST(2 * vals.before + vals.t + 1 AS BIGINT) AS r2
+  FROM cells c JOIN vals ON c.v = vals.v
+),
+grp AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * r2) AS BIGINT) AS rsum2
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM grp),
+ties AS (
+  SELECT CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), 0)
+         AS DECIMAL(38,0)) AS t3
+  FROM vals
+),
+means AS (
+  SELECT g, n_g,
+         (CAST(rsum2 AS DOUBLE) / 2.0 / CAST(n_g AS DOUBLE)) AS mr
+  FROM grp
+)
+SELECT a.g AS group_a, b.g AS group_b,
+  CAST(CAST(round(a.mr * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS mean_rank_a,
+  CAST(CAST(round(b.mr * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS mean_rank_b,
+  CAST(CAST(round(((a.mr - b.mr)
+       / nullif(sqrt(((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+         / 12.0 - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+         / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+         * (1.0 / CAST(a.n_g AS DOUBLE)
+            + 1.0 / CAST(b.n_g AS DOUBLE)))), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS z_stat
+FROM means a JOIN means b ON a.g < b.g
+CROSS JOIN tot CROSS JOIN ties
+ORDER BY group_a, group_b
+"""
+
+    # two-NN intrinsic dimension over the exact top-2 cosine scan
+    o["embeddings_intrinsic_dim"] = "WITH " + _COS_NORM_CTE + """
+, scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / sqrt(a.norm2 * b.norm2), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+top2 AS (
+  SELECT vec_id, cosine, rank FROM (
+    SELECT vec_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 2
+),
+pair AS (
+  SELECT (1.0 - max(CASE WHEN rank = 1 THEN cosine END)) AS d1,
+         (1.0 - max(CASE WHEN rank = 2 THEN cosine END)) AS d2
+  FROM top2 GROUP BY vec_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(CASE WHEN d1 > 0.0 AND d2 >= d1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_used,
+         CAST(sum(CASE WHEN d1 > 0.0 AND d2 >= d1
+              THEN CAST(round(ln(d2 / d1) * 1000000000.0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lg_n
+  FROM pair
+)
+SELECT n_points, n_used,
+  CAST(CAST(round(CAST(n_used AS DOUBLE)
+       / nullif(CAST(lg_n AS DOUBLE) / 1e9, 0.0) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS id_mle
+FROM m
 """
 
     o["suppliers_fellegi_sunter"] = """

@@ -371,6 +371,8 @@ HEADLINE = [
     "orders_jonckheere_terpstra",
     "suppliers_fellegi_sunter",
     "multimodal_bmp_decode",
+    "orders_dunns_test",
+    "embeddings_intrinsic_dim",
 ]
 
 

@@ -6734,3 +6734,87 @@ def jonckheere_terpstra(
         F.expr(f"CAST(round(({z}) * 1000000.0d) AS BIGINT) / 1e6")
         .cast("double").alias("z_stat"),
     )
+
+
+def dunns_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after a significant
+    :func:`kruskal_wallis` — WHICH groups differ, on the same global
+    tie-averaged ranks (Dunn 1964)::
+
+        z_gh = (R̄_g − R̄_h) / sqrt([n(n+1)/12 − Σ(t³−t)/(12(n−1))]
+                                    · (1/n_g + 1/n_h))
+
+    The rank-based twin of :func:`tukey_hsd` (pair the p-values with
+    :func:`holm_adjust` for the family-wise read).  Identical rank
+    machinery to Kruskal-Wallis: per-(value, group) counts, exclusive
+    prefix counts from :func:`distributed_prefix_counts` (never a
+    global single-task window), 2×-scaled exact integer rank sums;
+    the k-row group frame self-joins for the pairs.  Returns
+    (group_a, group_b, mean_rank_a, mean_rank_b, z_stat) ordered by
+    (group_a, group_b).
+    """
+    cells = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(
+            F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+            F.expr(f"CAST(({group_col}) AS STRING)").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    vals, _ = distributed_prefix_counts(vals, "v", ["t"])
+    vals = vals.select("v", "t", F.col("__before_t").alias("__before"))
+    ranked = cells.join(vals, "v").select(
+        "g", "c",
+        F.expr("2 * __before + t + 1").cast("long").alias("__r2"),
+    )
+    grp = ranked.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.expr("c * __r2")).cast("long").alias("__rsum2"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+    )
+    ties = vals.agg(
+        F.expr(
+            "CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * t * t - t), "
+            "0) AS DECIMAL(38,0))"
+        ).alias("t3"),
+    )
+    means = grp.select(
+        "g", "n_g",
+        F.expr(
+            "(CAST(__rsum2 AS DOUBLE) / 2.0d / CAST(n_g AS DOUBLE))"
+        ).alias("mr"),
+    )
+    a, b = means.alias("a"), means.alias("b")
+    var = (
+        "((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0d) / 12.0d "
+        f"- {_big_d('t3')} "
+        "/ (12.0d * (CAST(n AS DOUBLE) - 1.0d))) "
+        "* (1.0d / CAST(a.n_g AS DOUBLE) "
+        "+ 1.0d / CAST(b.n_g AS DOUBLE)))"
+    )
+    z = f"((a.mr - b.mr) / nullif(sqrt({var}), 0.0d))"
+    return (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("a.g").alias("group_a"),
+            F.col("b.g").alias("group_b"),
+            F.expr("CAST(round(a.mr * 1000000.0d) AS BIGINT) / 1e6")
+            .cast("double").alias("mean_rank_a"),
+            F.expr("CAST(round(b.mr * 1000000.0d) AS BIGINT) / 1e6")
+            .cast("double").alias("mean_rank_b"),
+            F.expr(
+                f"CAST(round(({z}) * 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("z_stat"),
+        )
+        .orderBy("group_a", "group_b")
+    )

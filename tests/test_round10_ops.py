@@ -500,3 +500,50 @@ class TestBmpCodec:
         assert not out[0]["is_valid"]
         assert not out[1]["is_valid"]
         assert not out[2]["is_valid"]
+
+
+class TestDunnAndIntrinsicDim:
+    def test_dunns_separated_groups(self, spark):
+        rows = ([("a", float(v)) for v in range(10)]
+                + [("b", float(v) + 100.0) for v in range(10)]
+                + [("c", float(v) + 200.0) for v in range(10)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r["group_a"], r["group_b"]): r
+               for r in ops.dunns_test(df, "g", "v").collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        # fully separated ranks: a < b < c → strongly negative z
+        assert out[("a", "b")]["z_stat"] < -2.0
+        assert out[("a", "c")]["z_stat"] < out[("a", "b")]["z_stat"]
+        assert out[("a", "b")]["mean_rank_a"] == 5.5
+
+    def test_intrinsic_dim_line_is_low(self, spark):
+        # points on a 1-D ray through 8-D space: ID should be small
+        rows = [
+            (i, [float(i + 1) * c for c in
+                 (1.0, 2.0, 0.5, 1.5, 0.25, 3.0, 0.75, 2.5)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        r = ops.intrinsic_dimension_two_nn(df).collect()[0]
+        # colinear vectors have cosine 1 → all points are duplicates
+        # at the 1e-6 rounding, so none are usable
+        assert r["n_points"] == 40 and r["n_used"] == 0
+        assert r["id_mle"] is None
+
+    def test_intrinsic_dim_spread_cloud(self, spark):
+        # deterministic pseudo-random cloud: ID finite and positive
+        import hashlib
+
+        def vec(i):
+            h = hashlib.md5(f"v{i}".encode()).digest()
+            return [((b / 255.0) - 0.5) for b in h[:8]]
+
+        rows = [(i, vec(i)) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        r = ops.intrinsic_dimension_two_nn(df).collect()[0]
+        assert r["n_used"] == 60
+        assert r["id_mle"] is not None and r["id_mle"] > 0.5
