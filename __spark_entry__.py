@@ -2958,6 +2958,55 @@ def _q_resource_allocation(spark, sf):
     return ops.resource_allocation_scores(_knn_edges(spark, sf))
 
 
+def _q_grouping_sets(spark, sf):
+    # the general GROUPING SETS lattice (rollup/cube's parent form):
+    # per-(priority, status), per-priority, per-status, and grand
+    # totals in ONE pass — Catalyst expands to a single Expand node
+    orders = _t(spark, sf, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+                    AS DOUBLE) AS revenue,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st
+        FROM __gs_orders
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus),
+          (o_orderpriority), (o_orderstatus), ()
+        )
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+    """)
+
+
+def _q_sample_entropy(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    # tolerance = 3 daily-count units (integer-valued series)
+    return ops.sample_entropy(daily, "idx", "cnt", r_tol=3.0)
+
+
+def _q_runs_test(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    return ops.runs_test(daily, "idx", "cnt")
+
+
 def _q_dunns_test(spark, sf):
     return ops.dunns_test(
         _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
@@ -3490,6 +3539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "suppliers_fellegi_sunter": _q_fellegi_sunter,
             "orders_dunns_test": _q_dunns_test,
             "embeddings_intrinsic_dim": _q_intrinsic_dim,
+            "orders_grouping_sets": _q_grouping_sets,
+            "orders_sample_entropy": _q_sample_entropy,
+            "orders_runs_test": _q_runs_test,
         }
     )
     for name in _ORDER_PIN:
@@ -6320,6 +6372,97 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    o["orders_grouping_sets"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS INT) AS g_st
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus),
+  (o_orderpriority), (o_orderstatus), ()
+)
+ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+"""
+
+    o["orders_sample_entropy"] = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS xq
+  FROM orders GROUP BY 1
+),
+tpl AS (
+  SELECT CAST(row_number() OVER (ORDER BY idx) AS BIGINT) AS rn,
+         xq, lead(xq, 1) OVER (ORDER BY idx) AS xq1
+  FROM daily
+  QUALIFY xq1 IS NOT NULL
+),
+pairs AS (
+  SELECT CASE WHEN abs(a.xq - b.xq) <= 3000000 THEN 1 ELSE 0 END
+           AS m1,
+         CASE WHEN abs(a.xq - b.xq) <= 3000000
+              AND abs(a.xq1 - b.xq1) <= 3000000 THEN 1 ELSE 0 END
+           AS m2
+  FROM tpl a JOIN tpl b ON a.rn < b.rn
+),
+m AS (
+  SELECT CAST(sum(m1) AS BIGINT) AS b_pairs,
+         CAST(sum(m2) AS BIGINT) AS a_pairs
+  FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_periods,
+       b_pairs, a_pairs,
+  CAST(CAST(round(-ln(CAST(a_pairs AS DOUBLE)
+       / nullif(CAST(b_pairs AS DOUBLE), 0.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS samp_en
+FROM m
+"""
+
+    o["orders_runs_test"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM orders GROUP BY 1
+),
+med AS (SELECT round(quantile_cont(v, 0.5), 4) AS med FROM daily),
+signs AS (
+  SELECT idx, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE v != med
+),
+flagged AS (
+  SELECT s,
+         CASE WHEN lag(s, 1) OVER (ORDER BY idx) IS NULL
+              OR lag(s, 1) OVER (ORDER BY idx) != s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+m AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n_pos,
+         CAST(sum(1 - s) AS BIGINT) AS n_neg,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM flagged
+)
+SELECT n_pos, n_neg, n_runs,
+  CAST(CAST(round(((CAST(n_runs AS DOUBLE)
+       - (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+          / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0))
+       / nullif(sqrt((((2.0 * CAST(n_pos AS DOUBLE)
+         * CAST(n_neg AS DOUBLE) / (CAST(n_pos AS DOUBLE)
+           + CAST(n_neg AS DOUBLE)) + 1.0) - 1.0)
+         * ((2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+           / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0)
+           - 2.0) / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)
+             - 1.0))), 0.0)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS z_stat
+FROM m
 """
 
     # Dunn's post-hoc: the kruskal_wallis oracle's rank machinery,

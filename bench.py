@@ -373,6 +373,9 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "orders_dunns_test",
     "embeddings_intrinsic_dim",
+    "orders_grouping_sets",
+    "orders_sample_entropy",
+    "orders_runs_test",
 ]
 
 

@@ -6818,3 +6818,139 @@ def dunns_test(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def sample_entropy(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    r_tol: float,
+    max_points: int = 20000,
+) -> DataFrame:
+    """Sample entropy SampEn(m=1, r) over an aggregated series — the
+    regularity measure (Richman & Moorman 2000): how often do pairs of
+    periods that match within tolerance ``r`` at length 1 STILL match
+    at length 2?  Low SampEn = repetitive/templated dynamics, high =
+    irregular::
+
+        SampEn = −ln(A/B),  B = #{|xᵢ−xⱼ| ≤ r},  A = adds xᵢ₊₁,xⱼ₊₁
+
+    The estimator is all-pairs BY DEFINITION (the
+    :func:`hodges_lehmann` contract): a ``max_points`` count probe
+    raises loudly before the self-join materializes — the series
+    contract already bounds input to the aggregated time domain.
+    Comparisons run on the exact micro lattice (|Δ| ≤ r decided on
+    integers — no float boundary jitter); counts are exact.  Returns
+    one row: (n_periods, b_pairs, a_pairs, samp_en).
+    """
+    from pyspark.sql import Window
+
+    n = series.count()
+    if n > max_points:
+        raise ValueError(
+            f"sample_entropy is O(n²) by definition: {n} points "
+            f"> max_points={max_points}; aggregate coarser first"
+        )
+    rq = int(round(r_tol * 1e6))
+    pts = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+               "* 1000000.0d) AS BIGINT)").alias("xq"),
+    ).where(F.col("idx").isNotNull() & F.col("xq").isNotNull())
+    # the bounded series window (page_hinkley contract) builds the
+    # length-2 templates
+    w = Window.orderBy("idx")
+    tpl = pts.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        "xq",
+        F.lead("xq", 1).over(w).alias("xq1"),
+    ).where(F.col("xq1").isNotNull()).localCheckpoint(eager=True)
+    a_, b_ = tpl.alias("a"), tpl.alias("b")
+    pairs = a_.join(b_, F.col("a.rn") < F.col("b.rn")).select(
+        F.expr(f"CASE WHEN abs(a.xq - b.xq) <= {rq} "
+               "THEN 1 ELSE 0 END").alias("m1"),
+        F.expr(f"CASE WHEN abs(a.xq - b.xq) <= {rq} "
+               f"AND abs(a.xq1 - b.xq1) <= {rq} "
+               "THEN 1 ELSE 0 END").alias("m2"),
+    )
+    m = pairs.agg(
+        F.sum("m1").cast("long").alias("b_pairs"),
+        F.sum("m2").cast("long").alias("a_pairs"),
+    )
+    return m.select(
+        F.lit(n).cast("long").alias("n_periods"),
+        "b_pairs", "a_pairs",
+        F.expr(
+            "CAST(round(-ln(CAST(a_pairs AS DOUBLE) "
+            "/ nullif(CAST(b_pairs AS DOUBLE), 0.0d)) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("samp_en"),
+    )
+
+
+def runs_test(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test around the series median — is the
+    sign pattern of deviations RANDOM, or does it cluster (trend /
+    regime persistence) or alternate (over-correction)?::
+
+        z = (R − E[R]) / sqrt(Var[R]),
+        E[R] = 2·n₊·n₋/n + 1
+
+    The cheapest independence check on a monitored series, reading
+    only signs — immune to any monotone transform of the values.
+    Median = the exact distributed interpolation quantile; values
+    equal to the median drop (the standard convention); the run count
+    is one bounded-series lag comparison.  Returns one row:
+    (n_pos, n_neg, n_runs, z_stat).
+    """
+    from pyspark.sql import Window
+
+    from .analytics import distributed_group_quantiles
+
+    base = series.select(
+        F.col(idx_col).alias("idx"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+        F.lit("all").alias("__all"),
+    ).where(F.col("idx").isNotNull() & F.col("v").isNotNull())
+    med = distributed_group_quantiles(base, "__all", "v", [0.5]) \
+        .select(F.col("q0").alias("med"))
+    signs = (
+        base.crossJoin(F.broadcast(med))
+        .where(F.col("v") != F.col("med"))
+        .select(
+            "idx",
+            F.expr("CASE WHEN v > med THEN 1 ELSE 0 END").alias("s"),
+        )
+    )
+    w = Window.orderBy("idx")
+    flagged = signs.select(
+        "s",
+        F.when(F.lag("s", 1).over(w).isNull()
+               | (F.lag("s", 1).over(w) != F.col("s")), 1)
+        .otherwise(0).alias("new_run"),
+    )
+    m = flagged.agg(
+        F.sum("s").cast("long").alias("n_pos"),
+        F.sum(F.expr("1 - s")).cast("long").alias("n_neg"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    ).select(
+        "n_pos", "n_neg", "n_runs",
+        F.col("n_pos").cast("double").alias("p_d"),
+        F.col("n_neg").cast("double").alias("m_d"),
+        F.col("n_runs").cast("double").alias("r_d"),
+    )
+    er = "(2.0d * p_d * m_d / (p_d + m_d) + 1.0d)"
+    vr = (
+        f"((({er}) - 1.0d) * (({er}) - 2.0d) / (p_d + m_d - 1.0d))"
+    )
+    return m.select(
+        "n_pos", "n_neg", "n_runs",
+        F.expr(
+            f"CAST(round(((r_d - ({er})) / nullif(sqrt({vr}), 0.0d)) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("z_stat"),
+    )

@@ -547,3 +547,42 @@ class TestDunnAndIntrinsicDim:
         r = ops.intrinsic_dimension_two_nn(df).collect()[0]
         assert r["n_used"] == 60
         assert r["id_mle"] is not None and r["id_mle"] > 0.5
+
+
+class TestSeriesRegularity:
+    def test_sample_entropy_constant_series_is_zero(self, spark):
+        # constant series: every pair matches at both lengths → A=B,
+        # SampEn = -ln(1) = 0
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(30)], "idx long, v double"
+        )
+        r = ops.sample_entropy(df, "idx", "v", r_tol=0.5).collect()[0]
+        assert r["a_pairs"] == r["b_pairs"] > 0
+        assert r["samp_en"] == 0.0
+
+    def test_sample_entropy_guard_rails(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "idx long, v double"
+        )
+        with pytest.raises(ValueError):
+            ops.sample_entropy(df, "idx", "v", r_tol=1.0, max_points=10)
+
+    def test_runs_test_alternating_is_positive(self, spark):
+        # strict alternation around the median → max runs → z >> 0
+        vals = [10.0 if i % 2 == 0 else 0.0 for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, v double"
+        )
+        r = ops.runs_test(df, "idx", "v").collect()[0]
+        assert r["n_pos"] == 20 and r["n_neg"] == 20
+        assert r["n_runs"] == 40
+        assert r["z_stat"] > 5.0
+
+    def test_runs_test_blocked_is_negative(self, spark):
+        vals = [0.0] * 20 + [10.0] * 20
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, v double"
+        )
+        r = ops.runs_test(df, "idx", "v").collect()[0]
+        assert r["n_runs"] == 2
+        assert r["z_stat"] < -5.0
