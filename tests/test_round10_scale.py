@@ -159,3 +159,29 @@ class TestSeriesContractOpsStayBounded:
             "only the bounded series row_number may be global:\n"
             + "\n".join(bad)
         )
+
+
+class TestLateWavePlanShapes:
+    def test_dunns_rank_windows_are_pid_partitioned(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        plan = executed(ops.dunns_test(
+            orders, "o_orderpriority", "o_totalprice"))
+        bad = unpartitioned_window_lines(plan)
+        assert not bad, "\n".join(bad)
+
+    def test_grouping_sets_single_expand_no_window(self, spark):
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["orders_grouping_sets"](
+            spark, SF_DIR)
+        plan = executed(df)
+        assert plan.count("Expand") >= 1
+        assert not unpartitioned_window_lines(plan)
+
+    def test_fellegi_sunter_single_aggregation(self, spark):
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["suppliers_fellegi_sunter"](
+            spark, SF_DIR)
+        plan = executed(df)
+        assert not unpartitioned_window_lines(plan)
