@@ -2958,6 +2958,93 @@ def _q_resource_allocation(spark, sf):
     return ops.resource_allocation_scores(_knn_edges(spark, sf))
 
 
+def _q_bartlett(spark, sf):
+    return ops.bartlett_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _q_levene(spark, sf):
+    return ops.levene_test(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+    )
+
+
+def _week_day_counts(spark, sf):
+    # blocked design over the SEQUENCE of active days (rank-based, so
+    # blocks stay complete at every scale — calendar gaps at small sf
+    # would otherwise leave no complete week): block = run of 7
+    # consecutive active days, treatment = position within the run
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(o_orderdate AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.expr("datediff(day, DATE '1992-01-01')").alias("idx"),
+            "cnt",
+        )
+    )
+    # bounded series window (page_hinkley contract)
+    return daily.select(
+        (F.row_number().over(Window.orderBy("idx")) - 1)
+        .cast("long").alias("rn"),
+        "cnt",
+    ).select(
+        F.expr("CAST(rn DIV 7 AS STRING)").alias("week"),
+        F.expr("CAST(rn % 7 AS STRING)").alias("weekday"),
+        "cnt",
+    )
+
+
+def _q_friedman(spark, sf):
+    return ops.friedman_test(
+        _week_day_counts(spark, sf), "week", "weekday", "cnt",
+    )
+
+
+def _q_kendalls_w(spark, sf):
+    return ops.kendalls_w(
+        _week_day_counts(spark, sf), "week", "weekday", "cnt",
+    )
+
+
+def _q_cochran_q(spark, sf):
+    # three paired quality rules applied to the SAME documents
+    return ops.cochran_q(
+        _t(spark, sf, "documents"),
+        [
+            "length(text) > 400",
+            "text LIKE '% the %'",
+            "lang = 'en'",
+        ],
+    )
+
+
+def _q_fleiss_kappa(spark, sf):
+    # three deterministic "raters" labeling every doc en/other: the
+    # lang column, a stopword heuristic, and an article heuristic
+    docs = _t(spark, sf, "documents")
+    r1 = docs.select(
+        F.col("doc_id").alias("s"),
+        F.expr("CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END")
+        .alias("c"),
+    )
+    r2 = docs.select(
+        F.col("doc_id").alias("s"),
+        F.expr("CASE WHEN text LIKE '% the %' THEN 'en' "
+               "ELSE 'other' END").alias("c"),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("s"),
+        F.expr("CASE WHEN text LIKE '% of %' OR text LIKE '% a %' "
+               "THEN 'en' ELSE 'other' END").alias("c"),
+    )
+    votes = r1.unionByName(r2).unionByName(r3)
+    return ops.fleiss_kappa(votes, "s", "c", n_raters=3)
+
+
 def _q_grouping_sets(spark, sf):
     # the general GROUPING SETS lattice (rollup/cube's parent form):
     # per-(priority, status), per-priority, per-status, and grand
@@ -3542,6 +3629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_grouping_sets": _q_grouping_sets,
             "orders_sample_entropy": _q_sample_entropy,
             "orders_runs_test": _q_runs_test,
+            "orders_bartlett": _q_bartlett,
+            "orders_levene": _q_levene,
+            "orders_friedman": _q_friedman,
+            "orders_kendalls_w": _q_kendalls_w,
+            "docs_cochran_q": _q_cochran_q,
+            "docs_fleiss_kappa": _q_fleiss_kappa,
         }
     )
     for name in _ORDER_PIN:
@@ -6372,6 +6465,296 @@ SELECT phrase, n_occurrences,
 FROM scored JOIN occ USING (phrase)
 ORDER BY score DESC, phrase ASC
 LIMIT 20
+"""
+
+    o["orders_bartlett"] = """
+WITH g AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(count(*) AS BIGINT) AS n_g,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS s_g,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,4))
+             AS DECIMAL(19,4))
+             * CAST(o_totalprice AS DECIMAL(12,4))) AS q_g
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), gg AS (
+  SELECT n_g, CAST(n_g AS DOUBLE) AS ng_d,
+         CAST(CAST(s_g AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(q_g AS VARCHAR) AS DOUBLE) AS q_d
+  FROM g
+), g2 AS (
+  SELECT n_g, ng_d,
+         (q_d - s_d * s_d / ng_d) / (ng_d - 1.0) AS var_g
+  FROM gg
+), g3 AS (
+  SELECT * FROM g2 WHERE n_g >= 2 AND var_g > 0.0
+), m0 AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round((ng_d - 1.0) * var_g) AS BIGINT))
+              AS BIGINT) AS num_unit,
+         CAST(sum(CAST(round((ng_d - 1.0) * ln(var_g)
+              * 1000000000.0) AS BIGINT)) AS BIGINT) AS lnsum_n,
+         CAST(sum(CAST(round(1.0 / (ng_d - 1.0) * 1000000000.0)
+              AS BIGINT)) AS BIGINT) AS inv_n
+  FROM g3
+), m AS (
+  SELECT n, k, CAST(n AS DOUBLE) AS n_d, CAST(k AS DOUBLE) AS k_d,
+         CAST(num_unit AS DOUBLE) AS num_d,
+         CAST(lnsum_n AS DOUBLE) / 1e9 AS lnsum_d,
+         CAST(inv_n AS DOUBLE) / 1e9 AS inv_d
+  FROM m0
+)
+SELECT n, k,
+  CAST(CAST(round((num_d / (n_d - k_d)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS pooled_var,
+  CAST(CAST(round((((n_d - k_d) * ln((num_d / (n_d - k_d)))
+       - lnsum_d)
+       / ((1.0 + (inv_d - 1.0 / (n_d - k_d)) / (3.0 * (k_d - 1.0)))))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS bartlett_stat
+FROM m
+"""
+
+    o["orders_levene"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+means AS (
+  SELECT grp,
+         CAST(round(CAST(sum(CAST(round(v * 1000000.0) AS BIGINT))
+              AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT) AS mq
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT base.grp,
+         CAST(CAST(abs(CAST(round(v * 1000000.0) AS BIGINT) - mq)
+              AS DOUBLE) / 1e6 AS DECIMAL(12,4)) AS z
+  FROM base JOIN means ON base.grp = means.grp
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         sum(z) AS s_g,
+         sum(CAST(z AS DECIMAL(19,4)) * z) AS q_g
+  FROM dev GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS DOUBLE) AS n_d,
+         CAST(count(*) AS DOUBLE) AS k_d,
+         CAST(CAST(sum(s_g) AS VARCHAR) AS DOUBLE) AS s_d,
+         CAST(CAST(sum(q_g) AS VARCHAR) AS DOUBLE) AS q_d,
+         CAST(CAST(sum(CAST(round(CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+              / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS sq_d
+  FROM g
+)
+SELECT n, k,
+  CAST(CAST(round(sq_d - s_d * s_d / n_d) AS BIGINT) AS DOUBLE) AS ssb,
+  CAST(CAST(round(q_d - sq_d) AS BIGINT) AS DOUBLE) AS ssw,
+  CAST(CAST(round((((sq_d - s_d * s_d / n_d)
+       / nullif(k_d - 1.0, 0.0))
+       / nullif((q_d - sq_d) / nullif(n_d - k_d, 0.0), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS f_stat,
+  CAST(CAST(round((sq_d - s_d * s_d / n_d)
+       / nullif(q_d - s_d * s_d / n_d, 0.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS eta_sq
+FROM m
+"""
+
+    _friedman_ctes = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01',
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY idx) - 1 AS BIGINT) AS rn,
+         cnt
+  FROM daily
+),
+base AS (
+  SELECT CAST(rn // 7 AS VARCHAR) AS blk,
+         CAST(rn % 7 AS VARCHAR) AS t,
+         CAST(round(cnt * 1000000.0) AS BIGINT) AS vq
+  FROM seq
+),
+cells AS (
+  SELECT blk, t, CAST(min(vq) AS BIGINT) AS vq
+  FROM base GROUP BY 1, 2
+),
+sizes AS (
+  SELECT blk FROM cells GROUP BY 1 HAVING count(*) = 7
+),
+full_c AS (SELECT cells.* FROM cells JOIN sizes USING (blk)),
+grpv AS (
+  SELECT blk, vq, CAST(count(*) AS BIGINT) AS tt,
+         CAST(coalesce(sum(count(*)) OVER (PARTITION BY blk
+              ORDER BY vq ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+  FROM full_c GROUP BY 1, 2
+),
+ranked AS (
+  SELECT f.blk, f.t,
+         CAST(2 * g.before + g.tt + 1 AS BIGINT) AS r2
+  FROM full_c f JOIN grpv g ON f.blk = g.blk AND f.vq = g.vq
+),
+bcount AS (SELECT CAST(count(*) AS BIGINT) AS b FROM sizes),
+ties AS (
+  SELECT CAST(coalesce(sum(CAST(tt AS DECIMAL(38,0)) * tt * tt - tt),
+         0) AS DECIMAL(38,0)) AS t3
+  FROM grpv
+),
+rj AS (
+  SELECT t, CAST(sum(r2) AS BIGINT) AS rsum2 FROM ranked GROUP BY 1
+)
+"""
+    o["orders_friedman"] = _friedman_ctes + """
+, m AS (
+  SELECT CAST(sum(CAST(round(CAST(rsum2 AS DOUBLE)
+              * CAST(rsum2 AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT)
+           AS rr_unit
+  FROM rj
+)
+SELECT b AS b_blocks, CAST(7 AS BIGINT) AS k,
+  CAST(CAST(round((12.0 / (CAST(b AS DOUBLE) * 7.0 * (7.0 + 1.0))
+       * CAST(rr_unit AS DOUBLE)
+       - 3.0 * CAST(b AS DOUBLE) * (7.0 + 1.0)) * 1000000.0)
+       AS BIGINT) AS DOUBLE) / 1e6 AS chi2_f,
+  CAST(CAST(round((1.0 - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+       / (CAST(b AS DOUBLE) * 7.0 * (7.0 * 7.0 - 1.0)))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS tie_correction,
+  CAST(CAST(round(((12.0 / (CAST(b AS DOUBLE) * 7.0 * (7.0 + 1.0))
+       * CAST(rr_unit AS DOUBLE)
+       - 3.0 * CAST(b AS DOUBLE) * (7.0 + 1.0))
+       / nullif((1.0 - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+         / (CAST(b AS DOUBLE) * 7.0 * (7.0 * 7.0 - 1.0))), 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS chi2_corrected
+FROM m CROSS JOIN bcount CROSS JOIN ties
+"""
+
+    o["orders_kendalls_w"] = _friedman_ctes + """
+, m AS (
+  SELECT CAST(sum(CAST(round((CAST(rsum2 AS DOUBLE) / 2.0
+              - (CAST(b AS DOUBLE) * (7.0 + 1.0) / 2.0))
+              * (CAST(rsum2 AS DOUBLE) / 2.0
+              - (CAST(b AS DOUBLE) * (7.0 + 1.0) / 2.0))
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS s_p
+  FROM rj CROSS JOIN bcount
+)
+SELECT b AS b_blocks, CAST(7 AS BIGINT) AS k,
+  CAST(CAST(round((12.0 * (CAST(s_p AS DOUBLE) / 1e6)
+       / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * 7.0
+          * (7.0 * 7.0 - 1.0)
+          - CAST(b AS DOUBLE) * CAST(CAST(t3 AS VARCHAR) AS DOUBLE)))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS w_stat,
+  CAST(CAST(round((CAST(b AS DOUBLE) * (7.0 - 1.0)
+       * (12.0 * (CAST(s_p AS DOUBLE) / 1e6)
+       / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE) * 7.0
+          * (7.0 * 7.0 - 1.0)
+          - CAST(b AS DOUBLE)
+            * CAST(CAST(t3 AS VARCHAR) AS DOUBLE))))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+FROM m CROSS JOIN bcount CROSS JOIN ties
+"""
+
+    o["docs_cochran_q"] = """
+WITH f AS (
+  SELECT CAST(coalesce(length(text) > 400, FALSE) AS INT) AS f0,
+         CAST(coalesce(text LIKE '% the %', FALSE) AS INT) AS f1,
+         CAST(coalesce(lang = 'en', FALSE) AS INT) AS f2
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f0 + f1 + f2) AS BIGINT) AS t_tot,
+         CAST(sum((f0 + f1 + f2) * (f0 + f1 + f2)) AS BIGINT)
+           AS r2_tot,
+         CAST(sum(f0) AS BIGINT) AS c0,
+         CAST(sum(f1) AS BIGINT) AS c1,
+         CAST(sum(f2) AS BIGINT) AS c2
+  FROM f
+)
+SELECT n, CAST(3 AS BIGINT) AS k,
+  CAST(CAST(round((3.0 * (3.0 - 1.0)
+       * ((CAST(c0 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0)
+          * (CAST(c0 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0)
+          + (CAST(c1 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0)
+          * (CAST(c1 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0)
+          + (CAST(c2 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0)
+          * (CAST(c2 AS DOUBLE) - CAST(t_tot AS DOUBLE) / 3.0))
+       / nullif(3.0 * CAST(t_tot AS DOUBLE)
+         - CAST(r2_tot AS DOUBLE), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS q_stat,
+  c0, c1, c2
+FROM m
+"""
+
+    o["docs_fleiss_kappa"] = """
+WITH votes AS (
+  SELECT CAST(doc_id AS VARCHAR) AS s,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS c
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS s,
+         CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS s,
+         CASE WHEN text LIKE '% of %' OR text LIKE '% a %'
+              THEN 'en' ELSE 'other' END
+  FROM documents
+),
+counts AS (
+  SELECT s, c, CAST(count(*) AS BIGINT) AS n_ic
+  FROM votes GROUP BY 1, 2
+),
+sizes AS (
+  SELECT s FROM counts GROUP BY 1 HAVING sum(n_ic) = 3
+),
+full_c AS (SELECT counts.* FROM counts JOIN sizes USING (s)),
+per_subj AS (
+  SELECT CAST(round((CAST(sum(n_ic * n_ic) AS DOUBLE) - 3.0)
+              / (3.0 * (3.0 - 1.0)) * 1000000000.0) AS BIGINT)
+           AS pi_n
+  FROM full_c GROUP BY s
+),
+agg1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subj,
+         CAST(sum(pi_n) AS BIGINT) AS pi_sum_n
+  FROM per_subj
+),
+cat AS (
+  SELECT c, CAST(sum(n_ic) AS BIGINT) AS n_c FROM full_c GROUP BY 1
+),
+agg2 AS (
+  SELECT CAST(sum(CAST(round((CAST(n_c AS DOUBLE)
+              / (CAST(n_subj AS DOUBLE) * 3.0))
+              * (CAST(n_c AS DOUBLE) / (CAST(n_subj AS DOUBLE) * 3.0))
+              * 1000000000.0) AS BIGINT)) AS BIGINT) AS pe_n
+  FROM cat CROSS JOIN agg1
+),
+m AS (
+  SELECT n_subj,
+         (CAST(pi_sum_n AS DOUBLE) / 1e9 / CAST(n_subj AS DOUBLE))
+           AS p_bar_d,
+         (CAST(pe_n AS DOUBLE) / 1e9) AS p_e_d
+  FROM agg1 CROSS JOIN agg2
+)
+SELECT n_subj AS n_subjects, CAST(3 AS BIGINT) AS n_raters,
+  CAST(CAST(round(p_bar_d * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS p_bar,
+  CAST(CAST(round(p_e_d * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS p_e,
+  CAST(CAST(round(((p_bar_d - p_e_d) / nullif(1.0 - p_e_d, 0.0))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS kappa
+FROM m
 """
 
     o["orders_grouping_sets"] = """

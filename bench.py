@@ -376,6 +376,12 @@ HEADLINE = [
     "orders_grouping_sets",
     "orders_sample_entropy",
     "orders_runs_test",
+    "orders_bartlett",
+    "orders_levene",
+    "orders_friedman",
+    "orders_kendalls_w",
+    "docs_cochran_q",
+    "docs_fleiss_kappa",
 ]
 
 

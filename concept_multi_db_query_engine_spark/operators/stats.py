@@ -6954,3 +6954,430 @@ def runs_test(
             "* 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("z_stat"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dec: str = _DEC,
+) -> DataFrame:
+    """Bartlett's test for equality of variances — the high-power
+    normal-theory sibling of :func:`brown_forsythe` (use Bartlett when
+    :func:`jarque_bera` clears the groups, Brown-Forsythe when it
+    doesn't)::
+
+        M = (N−k)·ln(s²_p) − Σ(n_g−1)·ln(s²_g)
+        C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)),   T = M/C
+
+    ONE aggregation to per-group exact decimal moments; the pooled-
+    variance numerator reduces with the :func:`one_way_anova`
+    unit-lattice discipline, and the cross-group ln/(1/(n−1)) terms
+    quantize per group on the nano lattice before exact BIGINT sums —
+    partition-order free.  Groups with n < 2 or zero variance are
+    excluded.  Returns one row: (n, k, pooled_var, bartlett_stat).
+    """
+    x = _m(value_col, dec)
+    g = (
+        df.where(f"({group_col}) IS NOT NULL "
+                 f"AND ({value_col}) IS NOT NULL")
+        .groupBy(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum(x * x).alias("q_g"),
+        )
+        .select(
+            "n_g",
+            F.col("n_g").cast("double").alias("ng_d"),
+            F.expr("CAST(s_g AS DOUBLE)").alias("s_d"),
+            F.expr("CAST(q_g AS DOUBLE)").alias("q_d"),
+        )
+        .withColumn(
+            "var_g",
+            F.expr("(q_d - s_d * s_d / ng_d) / (ng_d - 1.0d)"),
+        )
+        .where("n_g >= 2 AND var_g > 0.0d")
+    )
+    m = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        # Σ(n_g−1)s²_g on the unit lattice (magnitudes ~1e15)
+        F.sum(F.expr(
+            "CAST(round((ng_d - 1.0d) * var_g) AS BIGINT)"
+        )).cast("long").alias("num_unit"),
+        F.sum(F.expr(
+            "CAST(round((ng_d - 1.0d) * ln(var_g) * 1000000000.0d) "
+            "AS BIGINT)"
+        )).cast("long").alias("lnsum_n"),
+        F.sum(F.expr(
+            "CAST(round(1.0d / (ng_d - 1.0d) * 1000000000.0d) "
+            "AS BIGINT)"
+        )).cast("long").alias("inv_n"),
+    ).select(
+        "n", "k",
+        F.col("n").cast("double").alias("n_d"),
+        F.col("k").cast("double").alias("k_d"),
+        F.expr("CAST(num_unit AS DOUBLE)").alias("num_d"),
+        F.expr("CAST(lnsum_n AS DOUBLE) / 1e9").alias("lnsum_d"),
+        F.expr("CAST(inv_n AS DOUBLE) / 1e9").alias("inv_d"),
+    )
+    sp2 = "(num_d / (n_d - k_d))"
+    big_m = f"((n_d - k_d) * ln({sp2}) - lnsum_d)"
+    c = (f"(1.0d + (inv_d - 1.0d / (n_d - k_d)) "
+         f"/ (3.0d * (k_d - 1.0d)))")
+    return m.select(
+        "n", "k",
+        F.expr(f"CAST(round(({sp2}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("pooled_var"),
+        F.expr(
+            f"CAST(round((({big_m}) / ({c})) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("bartlett_stat"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Levene's original variance-equality test (MEAN centers) — the
+    middle option between Bartlett (normal theory, most power) and
+    :func:`brown_forsythe` (median centers, most robust): the ANOVA F
+    over the absolute deviations ``z = |x − x̄_g|``.
+
+    Per-group means come from ONE exact-decimal moment pass
+    (micro-quantized — no distributed-quantile machinery needed, the
+    one structural difference from Brown-Forsythe), broadcast back;
+    the deviations then flow through the shared exact-decimal ANOVA
+    moment pass.  Returns the :func:`one_way_anova` shape over the
+    deviation frame: (n, k, ssb, ssw, f_stat, eta_sq).
+    """
+    base = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({group_col}) AS STRING)").alias("__g"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("__v"),
+    )
+    means = base.groupBy("__g").agg(
+        F.expr(
+            "CAST(round(CAST(sum(CAST(round(__v * 1000000.0d) "
+            "AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("__mq"),
+    )
+    dev = base.join(F.broadcast(means), "__g").select(
+        "__g",
+        F.expr(
+            "CAST(CAST(abs(CAST(round(__v * 1000000.0d) AS BIGINT) "
+            "- __mq) AS DOUBLE) / 1e6 AS DECIMAL(12,4))"
+        ).alias("__z"),
+    )
+    return one_way_anova(dev, "__g", "__z")
+
+
+def _friedman_ranks(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+):
+    """Shared rank machinery for :func:`friedman_test` /
+    :func:`kendalls_w`: within-block tie-averaged ranks (2×-scaled
+    exact integers) over COMPLETE blocks only.  The per-block window
+    is bounded by k treatments — never the fact table.  Returns
+    (ranked frame with (t, r2), b_blocks, k, tie sum Σ(t³−t))."""
+    from pyspark.sql import Window
+
+    base = df.where(
+        f"({block_col}) IS NOT NULL AND ({treatment_col}) IS NOT NULL "
+        f"AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"CAST(({block_col}) AS STRING)").alias("blk"),
+        F.expr(f"CAST(({treatment_col}) AS STRING)").alias("t"),
+        F.expr(f"CAST(round(CAST(({value_col}) AS DOUBLE) "
+               "* 1000000.0d) AS BIGINT)").alias("vq"),
+    )
+    # one value per (block, treatment): deterministic min if dupes
+    cells = base.groupBy("blk", "t").agg(F.min("vq").alias("vq"))
+    k_row = cells.groupBy("t").count().select("t")
+    k = k_row.count()
+    sizes = cells.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).where(F.col("cnt") == k).select("blk")
+    full = cells.join(sizes, "blk")
+    # tie-averaged rank within block, 2×-scaled: 2·before + t + 1
+    w = Window.partitionBy("blk")
+    grpv = full.groupBy("blk", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("tt")
+    )
+    grpv = grpv.withColumn(
+        "before",
+        F.coalesce(
+            F.sum("tt").over(
+                Window.partitionBy("blk").orderBy("vq")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ), F.lit(0)
+        ).cast("long"),
+    )
+    ranked = full.join(grpv, ["blk", "vq"]).select(
+        "blk", "t",
+        F.expr("2 * before + tt + 1").cast("long").alias("r2"),
+        "tt",
+    )
+    b = sizes.count()
+    ties = grpv.agg(
+        F.expr(
+            "CAST(coalesce(sum(CAST(tt AS DECIMAL(38,0)) * tt * tt "
+            "- tt), 0) AS DECIMAL(38,0))"
+        ).alias("t3"),
+    )
+    return ranked, b, k, ties
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman's test — the BLOCKED rank ANOVA: do k treatments
+    differ when every block (week, user, machine) sees all k?  The
+    non-parametric twin of a two-way ANOVA without interactions, and
+    the right k-group test when blocks carry their own level (weekday
+    effects inside weeks)::
+
+        χ²_F = 12/(b·k(k+1)) · Σ_j R_j² − 3·b(k+1)    (÷ tie factor)
+
+    Within-block tie-averaged ranks are exact 2×-scaled integers over
+    a window bounded by k (never the fact table); complete blocks
+    only; the tie correction divides by ``1 − Σ(t³−t)/(b·k(k²−1))``.
+    Returns one row: (b_blocks, k, chi2_f, tie_correction,
+    chi2_corrected).
+    """
+    ranked, b, k, ties = _friedman_ranks(
+        df, block_col, treatment_col, value_col
+    )
+    if b == 0 or k < 2:
+        raise ValueError("need >= 1 complete block and >= 2 treatments")
+    rj = ranked.groupBy("t").agg(
+        F.sum("r2").cast("long").alias("rsum2")
+    )
+    m = rj.agg(
+        F.sum(F.expr(
+            "CAST(round(CAST(rsum2 AS DOUBLE) * CAST(rsum2 AS DOUBLE) "
+            "/ 4.0d) AS BIGINT)"
+        )).cast("long").alias("rr_unit"),
+    ).crossJoin(F.broadcast(ties))
+    b_d, k_d = float(b), float(k)
+    chi = (
+        f"(12.0d / ({b_d!r} * {k_d!r} * ({k_d!r} + 1.0d)) "
+        "* CAST(rr_unit AS DOUBLE) "
+        f"- 3.0d * {b_d!r} * ({k_d!r} + 1.0d))"
+    )
+    corr = (
+        f"(1.0d - {_big_d('t3')} "
+        f"/ ({b_d!r} * {k_d!r} * ({k_d!r} * {k_d!r} - 1.0d)))"
+    )
+    return m.select(
+        F.lit(b).cast("long").alias("b_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr(f"CAST(round(({chi}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("chi2_f"),
+        F.expr(f"CAST(round(({corr}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("tie_correction"),
+        F.expr(
+            f"CAST(round((({chi}) / nullif({corr}, 0.0d)) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("chi2_corrected"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — HOW MUCH do the blocks
+    agree on the treatment ordering (0 = none, 1 = every block ranks
+    identically)?  The effect size behind :func:`friedman_test` (W =
+    χ²_F/(b(k−1))), reported with the tie-corrected denominator::
+
+        W = 12·S / (b²k(k²−1) − b·Σ(t³−t)),  S = Σ_j (R_j − R̄)²
+
+    Same exact blocked-rank machinery; S reduces on the unit lattice
+    over the k-row treatment frame.  Returns one row: (b_blocks, k,
+    w_stat, chi2).
+    """
+    ranked, b, k, ties = _friedman_ranks(
+        df, block_col, treatment_col, value_col
+    )
+    if b == 0 or k < 2:
+        raise ValueError("need >= 1 complete block and >= 2 treatments")
+    rj = ranked.groupBy("t").agg(
+        F.sum("r2").cast("long").alias("rsum2")
+    )
+    b_d, k_d = float(b), float(k)
+    rbar = f"({b_d!r} * ({k_d!r} + 1.0d) / 2.0d)"
+    m = rj.agg(
+        F.sum(F.expr(
+            f"CAST(round((CAST(rsum2 AS DOUBLE) / 2.0d - {rbar}) "
+            f"* (CAST(rsum2 AS DOUBLE) / 2.0d - {rbar}) "
+            "* 1000000.0d) AS BIGINT)"
+        )).cast("long").alias("s_p"),
+    ).crossJoin(F.broadcast(ties))
+    w_expr = (
+        "(12.0d * (CAST(s_p AS DOUBLE) / 1e6) "
+        f"/ ({b_d!r} * {b_d!r} * {k_d!r} "
+        f"* ({k_d!r} * {k_d!r} - 1.0d) "
+        f"- {b_d!r} * {_big_d('t3')}))"
+    )
+    return m.select(
+        F.lit(b).cast("long").alias("b_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr(
+            f"CAST(round(({w_expr}) * 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("w_stat"),
+        F.expr(
+            f"CAST(round(({b_d!r} * ({k_d!r} - 1.0d) * ({w_expr})) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("chi2"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    flag_exprs: list[str],
+) -> DataFrame:
+    """Cochran's Q — do k PAIRED binary treatments (k quality rules
+    applied to the same rows) have equal pass rates?  The k-treatment
+    generalization of :func:`mcnemar_test`::
+
+        Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − Σ_i R_i²)
+
+    (C_j = per-treatment pass totals, R_i = per-row pass count, T =
+    ΣR).  ONE exact-count aggregation — the per-row pass count is a
+    fixed expression over the k flags, so no reshaping pass.  Returns
+    one row: (n, k, q_stat) plus the per-treatment totals as
+    c_0..c_{k-1}.
+    """
+    k = len(flag_exprs)
+    if k < 2:
+        raise ValueError("need >= 2 paired flags")
+    flags = [
+        f"CAST(coalesce(CAST(({e}) AS BOOLEAN), false) AS INT)"
+        for e in flag_exprs
+    ]
+    row_sum = " + ".join(flags)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(sum({row_sum}) AS BIGINT)").alias("t_tot"),
+        F.expr(
+            f"CAST(sum(({row_sum}) * ({row_sum})) AS BIGINT)"
+        ).alias("r2_tot"),
+    ]
+    for j, f_ in enumerate(flags):
+        aggs.append(F.expr(f"CAST(sum({f_}) AS BIGINT)").alias(f"c{j}"))
+    m = df.agg(*aggs)
+    k_d = float(k)
+    dev = " + ".join(
+        f"(CAST(c{j} AS DOUBLE) - CAST(t_tot AS DOUBLE) / {k_d!r}) "
+        f"* (CAST(c{j} AS DOUBLE) - CAST(t_tot AS DOUBLE) / {k_d!r})"
+        for j in range(k)
+    )
+    q = (
+        f"({k_d!r} * ({k_d!r} - 1.0d) * ({dev}) "
+        f"/ nullif({k_d!r} * CAST(t_tot AS DOUBLE) "
+        "- CAST(r2_tot AS DOUBLE), 0.0d))"
+    )
+    return m.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.expr(f"CAST(round(({q}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("q_stat"),
+        *[F.col(f"c{j}") for j in range(k)],
+    )
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    subject_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' κ — chance-corrected agreement among m RATERS assigning
+    categorical labels to the same subjects (the multi-rater
+    generalization of Cohen's κ): the labeling-quality gate when
+    several heuristics/annotators vote on every document::
+
+        P_i = (Σ_c n_ic² − m) / (m(m−1)),   κ = (P̄ − P_e)/(1 − P_e)
+
+    Input is the VOTES frame (subject, category) with exactly
+    ``n_raters`` rows per subject (subjects with a different count are
+    excluded — the complete-block rule).  Exact integer category
+    counts; per-subject P_i reduces on the nano lattice; P_e comes
+    from the exact pooled category proportions.  Returns one row:
+    (n_subjects, n_raters, p_bar, p_e, kappa).
+    """
+    if n_raters < 2:
+        raise ValueError("need >= 2 raters")
+    base = votes.select(
+        F.expr(f"CAST(({subject_col}) AS STRING)").alias("s"),
+        F.expr(f"CAST(({category_col}) AS STRING)").alias("c"),
+    )
+    counts = base.groupBy("s", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ic")
+    )
+    sizes = counts.groupBy("s").agg(
+        F.sum("n_ic").cast("long").alias("m")
+    ).where(F.col("m") == n_raters).select("s")
+    full = counts.join(sizes, "s")
+    m_d = float(n_raters)
+    per_subj = full.groupBy("s").agg(
+        F.expr("CAST(sum(n_ic * n_ic) AS BIGINT)").alias("sq"),
+    ).select(
+        F.expr(
+            f"CAST(round((CAST(sq AS DOUBLE) - {m_d!r}) "
+            f"/ ({m_d!r} * ({m_d!r} - 1.0d)) * 1000000000.0d) "
+            "AS BIGINT)"
+        ).alias("pi_n"),
+    )
+    agg1 = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.sum("pi_n").cast("long").alias("pi_sum_n"),
+    )
+    cat = full.groupBy("c").agg(
+        F.sum("n_ic").cast("long").alias("n_c")
+    )
+    agg2 = cat.crossJoin(F.broadcast(agg1)).agg(
+        F.sum(F.expr(
+            "CAST(round((CAST(n_c AS DOUBLE) "
+            f"/ (CAST(n_subj AS DOUBLE) * {m_d!r})) "
+            "* (CAST(n_c AS DOUBLE) "
+            f"/ (CAST(n_subj AS DOUBLE) * {m_d!r})) "
+            "* 1000000000.0d) AS BIGINT)"
+        )).cast("long").alias("pe_n"),
+    )
+    m = agg1.crossJoin(F.broadcast(agg2)).select(
+        "n_subj",
+        F.expr(
+            "(CAST(pi_sum_n AS DOUBLE) / 1e9 "
+            "/ CAST(n_subj AS DOUBLE))"
+        ).alias("p_bar_d"),
+        F.expr("(CAST(pe_n AS DOUBLE) / 1e9)").alias("p_e_d"),
+    )
+    return m.select(
+        F.col("n_subj").alias("n_subjects"),
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        F.expr("CAST(round(p_bar_d * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("p_bar"),
+        F.expr("CAST(round(p_e_d * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("p_e"),
+        F.expr(
+            "CAST(round(((p_bar_d - p_e_d) "
+            "/ nullif(1.0d - p_e_d, 0.0d)) * 1000000.0d) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("kappa"),
+    )

@@ -586,3 +586,86 @@ class TestSeriesRegularity:
         r = ops.runs_test(df, "idx", "v").collect()[0]
         assert r["n_runs"] == 2
         assert r["z_stat"] < -5.0
+
+
+class TestVarianceAndBlockedTests:
+    def test_bartlett_equal_variances_near_zero(self, spark):
+        rows = [(g, float(v) * 100) for g in ("a", "b", "c")
+                for v in range(1, 21)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.bartlett_test(df, "g", "v").collect()[0]
+        assert r["k"] == 3
+        assert abs(r["bartlett_stat"]) < 0.01
+
+    def test_bartlett_unequal_variances_large(self, spark):
+        rows = ([("a", float(v)) for v in range(1, 21)]
+                + [("b", float(v) * 50) for v in range(1, 21)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.bartlett_test(df, "g", "v").collect()[0]
+        assert r["bartlett_stat"] > 30.0
+
+    def test_levene_matches_anova_shape(self, spark):
+        rows = [(g, float(v) * 100) for g in ("a", "b")
+                for v in (1, 2, 3, 4, 5)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ops.levene_test(df, "g", "v").collect()[0]
+        assert r["k"] == 2 and r["f_stat"] == 0.0
+
+    def test_friedman_identical_treatment_order(self, spark):
+        # every block ranks treatments identically → max chi2, W = 1
+        rows = [(f"b{b}", f"t{t}", float(t * 10 + 1))
+                for b in range(8) for t in range(4)]
+        df = spark.createDataFrame(rows, "blk string, t string, v double")
+        fr = ops.friedman_test(df, "blk", "t", "v").collect()[0]
+        assert fr["b_blocks"] == 8 and fr["k"] == 4
+        # chi2 = b(k-1) at perfect concordance
+        assert fr["chi2_f"] == 24.0
+        w = ops.kendalls_w(df, "blk", "t", "v").collect()[0]
+        assert w["w_stat"] == 1.0
+
+    def test_friedman_incomplete_blocks_dropped(self, spark):
+        rows = [(f"b{b}", f"t{t}", float(b + t))
+                for b in range(5) for t in range(3)]
+        rows.append(("short", "t0", 1.0))
+        df = spark.createDataFrame(rows, "blk string, t string, v double")
+        fr = ops.friedman_test(df, "blk", "t", "v").collect()[0]
+        assert fr["b_blocks"] == 5
+
+    def test_cochran_q_concordant_rows_degenerate_null(self, spark):
+        # every row is all-pass or all-fail: the within-row variance
+        # term k·T − ΣR² is exactly 0 — Q is 0/0, surfaced as NULL
+        rows = [(i % 2 == 0,) * 3 for i in range(40)]
+        df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+        r = ops.cochran_q(df, ["a", "b", "c"]).collect()[0]
+        assert r["q_stat"] is None
+        assert r["c0"] == r["c1"] == r["c2"] == 20
+
+    def test_cochran_q_balanced_discordance_zero(self, spark):
+        # equal column totals with discordant rows → Q exactly 0
+        rows = ([(True, False, False)] * 10
+                + [(False, True, False)] * 10
+                + [(False, False, True)] * 10)
+        df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+        r = ops.cochran_q(df, ["a", "b", "c"]).collect()[0]
+        assert r["q_stat"] == 0.0
+
+    def test_cochran_q_one_dominant_rule_large(self, spark):
+        rows = ([(True, False, False)] * 30
+                + [(True, True, True)] * 5)
+        df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+        r = ops.cochran_q(df, ["a", "b", "c"]).collect()[0]
+        assert r["q_stat"] > 30.0
+
+    def test_fleiss_kappa_perfect_agreement(self, spark):
+        rows = [(i, "en" if i % 3 else "other") for i in range(30)
+                for _ in range(3)]
+        df = spark.createDataFrame(rows, "s long, c string")
+        r = ops.fleiss_kappa(df, "s", "c", n_raters=3).collect()[0]
+        assert r["n_subjects"] == 30
+        assert r["p_bar"] == 1.0 and r["kappa"] == 1.0
+
+    def test_fleiss_kappa_incomplete_subjects_dropped(self, spark):
+        rows = [(1, "en"), (1, "en"), (1, "en"), (2, "en")]
+        df = spark.createDataFrame(rows, "s long, c string")
+        r = ops.fleiss_kappa(df, "s", "c", n_raters=3).collect()[0]
+        assert r["n_subjects"] == 1
