@@ -3045,6 +3045,20 @@ def _q_fleiss_kappa(spark, sf):
     return ops.fleiss_kappa(votes, "s", "c", n_raters=3)
 
 
+def _q_page_trend(spark, sf):
+    # ordered alternative over the blocked weekday design (treatment
+    # scores = within-run day positions 0..6, mapped to 1..7 weights)
+    return ops.page_trend_test(
+        _week_day_counts(spark, sf), "week", "weekday", "cnt",
+    )
+
+
+def _q_pot_gpd(spark, sf):
+    return ops.pot_gpd_fit(
+        _t(spark, sf, "orders"), "o_totalprice", threshold_q=0.95,
+    )
+
+
 def _q_grouping_sets(spark, sf):
     # the general GROUPING SETS lattice (rollup/cube's parent form):
     # per-(priority, status), per-priority, per-status, and grand
@@ -3635,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_kendalls_w": _q_kendalls_w,
             "docs_cochran_q": _q_cochran_q,
             "docs_fleiss_kappa": _q_fleiss_kappa,
+            "orders_page_trend": _q_page_trend,
+            "orders_pot_gpd": _q_pot_gpd,
         }
     )
     for name in _ORDER_PIN:
@@ -6663,6 +6679,64 @@ SELECT b AS b_blocks, CAST(7 AS BIGINT) AS k,
             * CAST(CAST(t3 AS VARCHAR) AS DOUBLE))))
        * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
 FROM m CROSS JOIN bcount CROSS JOIN ties
+"""
+
+    o["orders_page_trend"] = _friedman_ctes + """
+, m AS (
+  SELECT CAST(sum((CAST(t AS BIGINT) + 1) * rsum2) AS BIGINT) AS l2
+  FROM rj
+)
+SELECT b AS b_blocks, CAST(7 AS BIGINT) AS k,
+  CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+  CAST(CAST(round(((CAST(l2 AS DOUBLE) / 2.0
+       - (CAST(b AS DOUBLE) * 7.0 * (7.0 + 1.0) * (7.0 + 1.0) / 4.0))
+       / nullif(sqrt((CAST(b AS DOUBLE) * 7.0 * 7.0 * (7.0 + 1.0)
+         * (7.0 * 7.0 - 1.0) / 144.0)), 0.0)) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS z_stat
+FROM m CROSS JOIN bcount
+"""
+
+    o["orders_pot_gpd"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+thr AS (SELECT round(quantile_cont(v, 0.95), 4) AS u FROM base),
+exc AS (
+  SELECT CAST(round((v - u) * 1000000.0) AS BIGINT) AS yq, u
+  FROM base CROSS JOIN thr
+  WHERE v > u
+),
+m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exceed,
+         CAST(sum(yq) AS BIGINT) AS s,
+         CAST(sum(CAST(yq AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0))
+           AS q,
+         max(u) AS u
+  FROM exc
+),
+m AS (
+  SELECT n_exceed, u,
+         CAST(n_exceed AS DOUBLE) AS n_d,
+         CAST(s AS DOUBLE) AS s_d,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS q_d
+  FROM m0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+  n_exceed,
+  CAST(u AS DOUBLE) AS threshold,
+  CAST(CAST(round((s_d / n_d / 1e6) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS mean_excess,
+  CAST(CAST(round(((1.0 - ((s_d / n_d / 1e6) * (s_d / n_d / 1e6)
+       / nullif(((q_d - s_d * s_d / n_d) / (n_d - 1.0) / 1e12),
+                0.0))) / 2.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+    / 1e6 AS xi_hat,
+  CAST(CAST(round(((s_d / n_d / 1e6) * (((s_d / n_d / 1e6)
+       * (s_d / n_d / 1e6)
+       / nullif(((q_d - s_d * s_d / n_d) / (n_d - 1.0) / 1e12),
+                0.0)) + 1.0) / 2.0) * 1000000.0) AS BIGINT)
+       AS DOUBLE) / 1e6 AS beta_hat
+FROM m
 """
 
     o["docs_cochran_q"] = """

@@ -382,6 +382,8 @@ HEADLINE = [
     "orders_kendalls_w",
     "docs_cochran_q",
     "docs_fleiss_kappa",
+    "orders_page_trend",
+    "orders_pot_gpd",
 ]
 
 

@@ -7381,3 +7381,133 @@ def fleiss_kappa(
             "/ 1e6"
         ).cast("double").alias("kappa"),
     )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative refinement of
+    :func:`friedman_test` (exactly as :func:`jonckheere_terpstra`
+    refines Kruskal-Wallis): are the treatments MONOTONE in their
+    declared order, judged within blocks?::
+
+        L = Σ_j j·R_j,   z = (L − b·k(k+1)²/4)
+                              / sqrt(b·k²(k+1)(k²−1)/144)
+
+    Treatments must be INTEGER scores (1..k order); same exact blocked
+    rank machinery (complete blocks, 2×-scaled tie-averaged ranks).
+    Returns one row: (b_blocks, k, l_stat, z_stat).
+    """
+    ranked, b, k, _ = _friedman_ranks(
+        df, block_col, treatment_col, value_col
+    )
+    if b == 0 or k < 2:
+        raise ValueError("need >= 1 complete block and >= 2 treatments")
+    # map the treatments' integer scores onto 1..k in score order (the
+    # classical L assumes consecutive weights; a bounded k-row collect,
+    # the jonckheere_terpstra discipline)
+    rj = ranked.groupBy("t").agg(
+        F.sum("r2").cast("long").alias("rsum2")
+    ).select(F.expr("CAST(t AS BIGINT)").alias("score"), "rsum2")
+    order = {
+        s: j + 1
+        for j, s in enumerate(sorted(
+            r["score"] for r in rj.select("score").distinct().collect()
+        ))
+    }
+    j_case = "CASE " + " ".join(
+        f"WHEN score = {s} THEN {j}" for s, j in order.items()
+    ) + " END"
+    m = rj.agg(
+        # 2L = Σ j · rsum2 (exact integer)
+        F.sum(F.expr(f"({j_case}) * rsum2")).cast("long").alias("l2"),
+    )
+    b_d, k_d = float(b), float(k)
+    e_l = f"({b_d!r} * {k_d!r} * ({k_d!r} + 1.0d) * ({k_d!r} + 1.0d) / 4.0d)"
+    v_l = (f"({b_d!r} * {k_d!r} * {k_d!r} * ({k_d!r} + 1.0d) "
+           f"* ({k_d!r} * {k_d!r} - 1.0d) / 144.0d)")
+    return m.select(
+        F.lit(b).cast("long").alias("b_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        F.expr("CAST(l2 AS DOUBLE) / 2.0d").alias("l_stat"),
+        F.expr(
+            f"CAST(round(((CAST(l2 AS DOUBLE) / 2.0d - {e_l}) "
+            f"/ nullif(sqrt({v_l}), 0.0d)) * 1000000.0d) AS BIGINT) "
+            "/ 1e6"
+        ).cast("double").alias("z_stat"),
+    )
+
+
+def pot_gpd_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold_q: float = 0.95,
+) -> DataFrame:
+    """Peaks-over-threshold generalized-Pareto tail fit by the method
+    of moments — the extreme-value read on a money/latency column:
+    exceedances over a high quantile follow a GPD (Pickands 1975),
+    whose shape ξ says whether the tail is bounded (ξ < 0),
+    exponential (ξ ≈ 0), or heavy/power-law (ξ > 0)::
+
+        ξ̂ = (1 − m²/s²)/2,   β̂ = m·(m²/s² + 1)/2      (m, s² of y−u)
+
+    The threshold is the exact distributed interpolation quantile
+    (:func:`~..operators.analytics.distributed_group_quantiles`);
+    exceedance moments are exact micro-lattice integer sums.  Returns
+    one row: (n, n_exceed, threshold, mean_excess, xi_hat, beta_hat).
+    """
+    from .analytics import distributed_group_quantiles
+
+    if not 0.5 < threshold_q < 1.0:
+        raise ValueError("threshold_q must be in (0.5, 1)")
+    base = df.where(f"({value_col}) IS NOT NULL").select(
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+        F.lit("all").alias("__all"),
+    )
+    thr = distributed_group_quantiles(
+        base, "__all", "v", [threshold_q]
+    ).select(F.col("q0").alias("u"))
+    exc = (
+        base.crossJoin(F.broadcast(thr))
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.expr(
+                "CAST(round((v - u) * 1000000.0d) AS BIGINT)"
+            ).alias("yq"),
+            "u",
+        )
+    )
+    n_tot = base.count()
+    m = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.expr("CAST(sum(yq) AS BIGINT)").alias("s"),
+        F.expr("CAST(sum(CAST(yq AS DECIMAL(38,0)) * yq) "
+               "AS DECIMAL(38,0))").alias("q"),
+        F.max("u").alias("u"),
+    ).select(
+        "n_exceed", "u",
+        F.col("n_exceed").cast("double").alias("n_d"),
+        F.expr("CAST(s AS DOUBLE)").alias("s_d"),
+        F.expr(_big_d("q")).alias("q_d"),
+    )
+    mean = "(s_d / n_d / 1e6)"
+    var = ("((q_d - s_d * s_d / n_d) / (n_d - 1.0d) / 1e12)")
+    ratio = f"(({mean}) * ({mean}) / nullif({var}, 0.0d))"
+    return m.select(
+        F.lit(n_tot).cast("long").alias("n"),
+        "n_exceed",
+        F.col("u").cast("double").alias("threshold"),
+        F.expr(f"CAST(round(({mean}) * 1000000.0d) AS BIGINT) / 1e6")
+        .cast("double").alias("mean_excess"),
+        F.expr(
+            f"CAST(round(((1.0d - ({ratio})) / 2.0d) * 1000000.0d) "
+            "AS BIGINT) / 1e6"
+        ).cast("double").alias("xi_hat"),
+        F.expr(
+            f"CAST(round((({mean}) * (({ratio}) + 1.0d) / 2.0d) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("beta_hat"),
+    )

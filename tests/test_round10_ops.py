@@ -669,3 +669,48 @@ class TestVarianceAndBlockedTests:
         df = spark.createDataFrame(rows, "s long, c string")
         r = ops.fleiss_kappa(df, "s", "c", n_raters=3).collect()[0]
         assert r["n_subjects"] == 1
+
+
+class TestTrendAndTail:
+    def test_page_perfect_monotone_blocks(self, spark):
+        # every block ranks treatments in score order → L is maximal
+        # = b·Σ j² and z strongly positive
+        rows = [(f"b{b}", str(t), float(t * 10))
+                for b in range(10) for t in range(1, 5)]
+        df = spark.createDataFrame(rows, "blk string, t string, v double")
+        r = ops.page_trend_test(df, "blk", "t", "v").collect()[0]
+        assert r["b_blocks"] == 10 and r["k"] == 4
+        assert r["l_stat"] == 10.0 * (1 + 4 + 9 + 16)
+        assert r["z_stat"] > 4.0
+
+    def test_page_reversed_is_negative(self, spark):
+        rows = [(f"b{b}", str(t), float(-t * 10))
+                for b in range(10) for t in range(1, 5)]
+        df = spark.createDataFrame(rows, "blk string, t string, v double")
+        r = ops.page_trend_test(df, "blk", "t", "v").collect()[0]
+        assert r["z_stat"] < -4.0
+
+    def test_pot_exponential_tail_xi_near_zero(self, spark):
+        # deterministic exponential-ish tail via inverse-CDF on an
+        # md5 grid: GPD shape should land near 0
+        import hashlib
+        import math as _m
+
+        vals = []
+        for i in range(4000):
+            u = int(hashlib.md5(f"p{i}".encode()).hexdigest()[:6],
+                    16) / float(0xFFFFFF)
+            u = min(max(u, 1e-6), 1 - 1e-6)
+            vals.append(100.0 - 10.0 * _m.log(1.0 - u))
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = ops.pot_gpd_fit(df, "v", threshold_q=0.9).collect()[0]
+        assert r["n"] == 4000
+        assert r["n_exceed"] >= 350
+        assert abs(r["xi_hat"]) < 0.25
+        # exponential: beta ≈ the true scale 10
+        assert 7.0 < r["beta_hat"] < 13.0
+
+    def test_pot_threshold_bounds(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            ops.pot_gpd_fit(df, "v", threshold_q=0.4)
