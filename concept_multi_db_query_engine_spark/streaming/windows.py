@@ -915,3 +915,104 @@ def bollinger_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def shewhart_stream(
+    series: DataFrame,
+    subgroup_size: int,
+    gx: float,
+    rb: float,
+    key_col: str = "series_key",
+    idx_col: str = "idx",
+    value_col: str = "x",
+):
+    """Streaming twin of ``operators.stats.shewhart_xbar_r`` for
+    ESTABLISHED control limits — phase II of SPC practice: the batch
+    operator estimates the center lines (x̄̄, R̄) from a reference
+    window; the deployed chart then monitors live subgroups against
+    those FROZEN limits.  State per key is the current partial
+    subgroup (micro values); each completed subgroup emits its
+    (xbar, r, ooc flags) row with the batch operator's exact limit
+    expressions.  Ordered-feed contract as with the PH/SPRT twins.
+
+    Emits one row per COMPLETED subgroup:
+    (series_key, subgroup_idx, n, xbar, r, xbar_ucl, xbar_lcl,
+    r_ucl, r_lcl, ooc_mean, ooc_range).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.stats import _XBAR_A2, _XBAR_D3, _XBAR_D4
+
+    if subgroup_size not in _XBAR_A2:
+        raise ValueError("subgroup_size must be in 2..10")
+    a2 = _XBAR_A2[subgroup_size]
+    d3 = _XBAR_D3[subgroup_size]
+    d4 = _XBAR_D4[subgroup_size]
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("subgroup_idx", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("xbar", T.DoubleType()),
+        T.StructField("r", T.DoubleType()),
+        T.StructField("xbar_ucl", T.DoubleType()),
+        T.StructField("xbar_lcl", T.DoubleType()),
+        T.StructField("r_ucl", T.DoubleType()),
+        T.StructField("r_lcl", T.DoubleType()),
+        T.StructField("ooc_mean", T.BooleanType()),
+        T.StructField("ooc_range", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("buf", T.ArrayType(T.LongType())),
+        T.StructField("done", T.LongType()),
+    ])
+    gx_q = int(round(gx * 1e6))
+    rb_q = int(round(rb * 1e6))
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        buf, done = (list(state.get[0]), int(state.get[1])) \
+            if state.exists else ([], 0)
+        # the batch operator's exact limit expressions, frozen inputs
+        ucl = half_away((gx_q + a2 * rb_q) / 1e6 * 1e6) / 1e6
+        lcl = half_away((gx_q - a2 * rb_q) / 1e6 * 1e6) / 1e6
+        rucl = half_away(d4 * rb_q / 1e6 * 1e6) / 1e6
+        rlcl = half_away(d3 * rb_q / 1e6 * 1e6) / 1e6
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(idx_col)
+            for x in pdf[value_col]:
+                buf.append(half_away(float(x) * 1000000.0))
+                if len(buf) == subgroup_size:
+                    s = sum(buf)
+                    xbar = half_away(
+                        s / float(subgroup_size)
+                    ) / 1e6
+                    r = (max(buf) - min(buf)) / 1e6
+                    rows.append((
+                        str(key[0]), done, subgroup_size,
+                        xbar, r, ucl, lcl, rucl, rlcl,
+                        bool(xbar > ucl or xbar < lcl),
+                        bool(r > rucl or r < rlcl),
+                    ))
+                    buf, done = [], done + 1
+        state.update(([int(v) for v in buf], done))
+        yield pd.DataFrame(
+            rows,
+            columns=["series_key", "subgroup_idx", "n", "xbar", "r",
+                     "xbar_ucl", "xbar_lcl", "r_ucl", "r_lcl",
+                     "ooc_mean", "ooc_range"],
+        )
+
+    return (
+        series.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

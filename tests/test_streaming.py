@@ -1331,3 +1331,70 @@ def test_bollinger_stream_matches_batch_across_micro_batches(spark):
         ).collect()
     )
     assert len(got) == len(want) and got == want
+
+
+def test_shewhart_stream_matches_batch_with_frozen_limits(spark):
+    """Shewhart phase-II twin: subgroups completed across two ordered
+    micro-batches must reproduce the batch chart's per-subgroup
+    (xbar, r, limits, flags) when the stream monitors against the
+    batch-estimated center lines."""
+    import math
+    import os
+    import tempfile
+    import time as _time
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    def half_away(v):
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    rng_vals = [float((i * 37) % 90 + 10) for i in range(70)]
+    sub = 5
+    rows = [(f"{i // sub:04d}", i, v) for i, v in enumerate(rng_vals)]
+    frame = spark.createDataFrame(rows, "sg string, idx long, x double")
+    batch = {
+        r["subgroup"]: r
+        for r in ops.shewhart_xbar_r(frame, "sg", "x", sub).collect()
+    }
+    # the batch op's center lines, recomputed with its exact lattice
+    xbars, ranges = [], []
+    for g in sorted({r[0] for r in rows}):
+        vals = [half_away(v * 1e6) for s, _, v in rows if s == g]
+        xbars.append(half_away(sum(vals) / float(sub)))
+        ranges.append(max(vals) - min(vals))
+    gx_q = half_away(sum(xbars) / float(len(xbars)))
+    rb_q = half_away(sum(ranges) / float(len(ranges)))
+    d = tempfile.mkdtemp(prefix="stream-shew-")
+    early, late = os.path.join(d, "a"), os.path.join(d, "b")
+    stream_rows = frame.select(
+        F.lit("s1").alias("series_key"), "idx", "x"
+    ).localCheckpoint(eager=True)
+    stream_rows.where("idx < 33").coalesce(1).write.parquet(early)
+    stream_rows.where("idx >= 33").coalesce(1).write.parquet(late)
+    now = _time.time()
+    for root, base in ((early, now - 120), (late, now)):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (base, base))
+    src = (
+        spark.readStream.schema(stream_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.shewhart_stream(
+        src, subgroup_size=sub, gx=gx_q / 1e6, rb=rb_q / 1e6,
+    )
+    sw.run_stream_to_memory(plan, "shew_stream_t", output_mode="update")
+    got = {
+        r["subgroup_idx"]: r
+        for r in spark.sql("SELECT * FROM shew_stream_t").collect()
+    }
+    assert len(got) == len(batch) == 14
+    for j, g in enumerate(sorted(batch)):
+        b = batch[g]
+        s = got[j]
+        assert s["xbar"] == b["xbar"] and s["r"] == b["r"], g
+        assert s["xbar_ucl"] == b["xbar_ucl"], g
+        assert s["xbar_lcl"] == b["xbar_lcl"], g
+        assert s["r_ucl"] == b["r_ucl"] and s["r_lcl"] == b["r_lcl"], g
+        assert s["ooc_mean"] == b["ooc_mean"], g
+        assert s["ooc_range"] == b["ooc_range"], g
