@@ -15367,7 +15367,8 @@ FROM np
 
     # textually parallel to operators.stats.kendall_tau_b: zero-filled
     # contingency grid, one window per axis (never global), exact
-    # DECIMAL(38,0) concordance sums
+    # DECIMAL(38,0) internal concordance sums; outputs cast to BIGINT
+    # (C, D <= n(n-1)/2 fits int64 for n <= 4.29e9 — operator probes)
     o["lineitem_kendall_tau"] = """
 WITH cells AS MATERIALIZED (
   SELECT CAST(l_quantity AS DOUBLE) AS x,
@@ -15422,8 +15423,8 @@ ty AS (
 ),
 nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells)
 SELECT n, n_cells,
-       CAST(cc AS DECIMAL(38,0)) AS concordant,
-       CAST(dd AS DECIMAL(38,0)) AS discordant,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
        CAST(CAST(round(((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
             / nullif(sqrt(
             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0

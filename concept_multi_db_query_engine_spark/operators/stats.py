@@ -3449,6 +3449,7 @@ def kendall_tau_b(
     marg = cells.agg(
         F.countDistinct("x").alias("dx"),
         F.countDistinct("y").alias("dy"),
+        F.sum("c").cast("long").alias("n_total"),
     ).collect()[0]
     if marg["dx"] * marg["dy"] > max_cells:
         raise ValueError(
@@ -3456,6 +3457,17 @@ def kendall_tau_b(
             f"max_cells={max_cells}; quantize/bucket the columns "
             "upstream (deciles, integer scores) or raise max_cells "
             "deliberately."
+        )
+    # concordant/discordant are emitted as BIGINT (the registry-wide
+    # output-type convention: {BIGINT, DOUBLE, VARCHAR, BOOLEAN, DATE,
+    # TIMESTAMP} only — DECIMAL outputs render differently between the
+    # driver's Spark and DuckDB hash canons). C, D <= n(n-1)/2 fits
+    # int64 while n < 2^32.5 ~ 4.29e9 rows; probe loudly past that.
+    if (marg["n_total"] or 0) > 4_294_967_295:
+        raise ValueError(
+            f"kendall_tau_b: n={marg['n_total']} rows — n(n-1)/2 "
+            "would overflow the BIGINT concordant/discordant outputs "
+            "(limit n <= 4.29e9); pre-aggregate or sample upstream."
         )
     xs = cells.select("x").distinct()
     ys = cells.select("y").distinct()
@@ -3524,8 +3536,8 @@ def kendall_tau_b(
     return pair_sums.crossJoin(tx).crossJoin(ty).select(
         "n",
         F.lit(n_cells).cast("long").alias("n_cells"),
-        F.col("cc").cast("decimal(38,0)").alias("concordant"),
-        F.col("dd").cast("decimal(38,0)").alias("discordant"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
         F.expr(
             f"CAST(round(({tau}) * 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("tau_b"),
