@@ -5397,34 +5397,38 @@ WITH g AS (
 ), s1 AS (
   SELECT CAST(sum(n_g) AS BIGINT) AS n,
          CAST(count(*) AS BIGINT) AS k,
-         CAST(sum(CAST(round(w_g * 1000000000000.0) AS BIGINT))
-              AS BIGINT) AS w_p,
+         CAST(sum(CAST(round(w_g * 1000000000000.0) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS w_p,
          CAST(sum(CAST(round(w_g * mean_g * 1000000000000.0)
-              AS BIGINT)) AS BIGINT) AS wm_p
+              AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wm_p
   FROM g3
 ), sc AS (
   SELECT n, k, CAST(k AS DOUBLE) AS k_d,
-         CAST(w_p AS DOUBLE) / 1e12 AS w_tot,
-         (CAST(wm_p AS DOUBLE) / 1e12)
-           / (CAST(w_p AS DOUBLE) / 1e12) AS mw
+         CAST(CAST(w_p AS VARCHAR) AS DOUBLE) / 1e12 AS w_tot,
+         (CAST(CAST(wm_p AS VARCHAR) AS DOUBLE) / 1e12)
+           / (CAST(CAST(w_p AS VARCHAR) AS DOUBLE) / 1e12) AS mw
   FROM s1
 ), s2 AS (
   SELECT CAST(sum(CAST(round(w_g * (mean_g - mw) * (mean_g - mw)
-              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS a_p,
+              * 1000000000000.0) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS a_p,
          CAST(sum(CAST(round((1.0 - w_g / w_tot)
               * (1.0 - w_g / w_tot) / (ng_d - 1.0)
-              * 1000000000000.0) AS BIGINT)) AS BIGINT) AS l_p
+              * 1000000000000.0) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS l_p
   FROM g3 CROSS JOIN sc
 )
 SELECT n, k,
-  CAST(CAST(round(((CAST(a_p AS DOUBLE) / 1e12) / (k_d - 1.0))
-       / (1.0 + 2.0 * (k_d - 2.0) * (CAST(l_p AS DOUBLE) / 1e12)
+  CAST(CAST(round(((CAST(CAST(a_p AS VARCHAR) AS DOUBLE) / 1e12)
+       / (k_d - 1.0))
+       / (1.0 + 2.0 * (k_d - 2.0)
+          * (CAST(CAST(l_p AS VARCHAR) AS DOUBLE) / 1e12)
           / (k_d * k_d - 1.0)) * 1000000.0) AS BIGINT) AS DOUBLE)
     / 1e6 AS f_stat,
   CAST(k - 1 AS BIGINT) AS df1,
   CAST(CAST(round(((k_d * k_d - 1.0)
-       / (3.0 * (CAST(l_p AS DOUBLE) / 1e12))) * 1000000.0)
-       AS BIGINT) AS DOUBLE) / 1e6 AS df2
+       / (3.0 * (CAST(CAST(l_p AS VARCHAR) AS DOUBLE) / 1e12)))
+       * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS df2
 FROM s2 CROSS JOIN sc
 """
 

@@ -723,7 +723,10 @@ def connected_components(
     says no label changed (convergence needs diameter-many rounds; at
     100 TB the same loop runs with the alternating large-star/small-
     star optimization — the per-round shape is already that of
-    Kiveris et al.'s hash-min).  Lineage is cut every
+    Kiveris et al.'s hash-min).  If the graph diameter exceeds
+    ``max_iterations`` the loop raises LOUDLY instead of returning
+    silently-split components (non-convergence is indistinguishable
+    from correct output by inspection).  Lineage is cut every
     ``checkpoint_every`` rounds.  Returns (node, component) plus
     component sizes via (node, component, component_size).
     """
@@ -764,6 +767,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise ValueError(
+            f"connected_components: labels still changing after "
+            f"max_iterations={max_iterations} rounds — graph diameter "
+            "exceeds the iteration budget and components would be "
+            "SILENTLY split into multiple labels; raise max_iterations "
+            "(convergence needs ~diameter rounds) or pre-contract the "
+            "graph (large-star/small-star)."
+        )
     sizes = labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("component_size")
     )

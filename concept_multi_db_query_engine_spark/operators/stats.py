@@ -4648,10 +4648,12 @@ def srm_check(
     expected counts and residuals are a fixed-order double projection
     over the k-row arm frame (expected shares broadcast as literals),
     micro-quantized.  Arms observed but not in ``expected_shares`` get
-    NULL expectations (they ARE the mismatch).  Returns one row per
-    arm plus the pooled statistic columns repeated: (arm, n_observed,
-    expected_share, n_expected, residual_z, chi2_total, df_total),
-    ordered by arm.
+    NULL expectations (they ARE the mismatch); if NO observed arm is
+    in the design (k_known = 0) the pooled chi2_total/df_total are
+    NULL too — a 0.0/-1 pair would read as a clean result.  Returns
+    one row per arm plus the pooled statistic columns repeated: (arm,
+    n_observed, expected_share, n_expected, residual_z, chi2_total,
+    df_total), ordered by arm.
     """
     if not expected_shares:
         raise ValueError("expected_shares must be non-empty")
@@ -4707,10 +4709,14 @@ def srm_check(
         .select(
             "arm", "n_observed", "expected_share", "n_expected",
             "residual_z",
-            (F.col("__chi_micro").cast("double") / 1e6)
-            .alias("chi2_total"),
-            (F.col("__k_known") - F.lit(1)).cast("long")
-            .alias("df_total"),
+            F.expr(
+                "CASE WHEN __k_known = 0 THEN NULL "
+                "ELSE CAST(__chi_micro AS DOUBLE) / 1e6 END"
+            ).cast("double").alias("chi2_total"),
+            F.expr(
+                "CASE WHEN __k_known = 0 THEN NULL "
+                "ELSE __k_known - 1 END"
+            ).cast("long").alias("df_total"),
         )
         .orderBy("arm")
     )
@@ -4743,8 +4749,11 @@ def jarque_bera(
     micro lattice would pass 10³⁸); Σxq..Σxq⁴ accumulate as exact
     DECIMAL(38,0), convert to doubles through the string render
     (:func:`_big_d`), and the central-moment expansion runs as one
-    fixed-order double expression, micro-quantized.  Returns one row:
-    (n, skewness, ex_kurtosis, jb_stat).
+    fixed-order double expression, micro-quantized.  The 38-digit
+    envelope (n·max|xq|⁴ < 10³⁸, i.e. |value| ≲ 10⁷ at n = 10⁹ —
+    non-ANSI Spark would return silent NULLs past it) is ENFORCED by
+    an in-plan ``assert_true`` that raises loudly instead.  Returns
+    one row: (n, skewness, ex_kurtosis, jb_stat).
     """
     xq = f"CAST(round(CAST(({value_col}) AS DOUBLE) * 100.0d) AS BIGINT)"
     m = df.where(f"({value_col}) IS NOT NULL").agg(
@@ -4757,6 +4766,7 @@ def jarque_bera(
                f"* ({xq})) AS DECIMAL(38,0))").alias("s3"),
         F.expr(f"CAST(sum(CAST({xq} AS DECIMAL(38,0)) * ({xq}) "
                f"* ({xq}) * ({xq})) AS DECIMAL(38,0))").alias("s4"),
+        F.expr(f"CAST(max(abs({xq})) AS DOUBLE)").alias("xq_max_d"),
     ).select(
         "n",
         F.col("n").cast("double").alias("n_d"),
@@ -4764,7 +4774,15 @@ def jarque_bera(
         F.expr(_big_d("s2")).alias("s2_d"),
         F.expr(_big_d("s3")).alias("s3_d"),
         F.expr(_big_d("s4")).alias("s4_d"),
-    )
+        "xq_max_d",
+    ).where(F.expr(
+        # overflow guard: the fourth raw-moment sum must stay inside
+        # DECIMAL(38,0); raise loudly rather than emit silent NULLs
+        "assert_true(coalesce(n_d * pow(xq_max_d, 4.0d) < 1e38, true), "
+        "'jarque_bera: n * max|value*100|^4 exceeds the DECIMAL(38,0) "
+        "envelope (~|value| <= 1e7 at n = 1e9) — the fourth-moment sum "
+        "would silently NULL; rescale or pre-trim the column') IS NULL"
+    ))
     mu = "(s1_d / n_d)"
     m2 = f"(s2_d / n_d - {mu} * {mu})"
     m3 = (f"(s3_d / n_d - 3.0d * {mu} * (s2_d / n_d) "
@@ -4802,8 +4820,12 @@ def welch_anova(
 
     ONE hash aggregation to per-group exact decimal moments; the
     cross-group reductions quantize each group's summand on a fixed
-    PICO lattice (1e-12) and sum exact BIGINTs — deterministic on any
-    partition order, identical text in the oracle.  Groups with n < 2
+    PICO lattice (1e-12) and sum exact DECIMAL(38,0)s — deterministic
+    on any partition order, identical text in the oracle.  DECIMAL
+    (not BIGINT) accumulation matters: w_g = n_g/var_g is unbounded
+    (n_g = 1e6 at var 0.01 is w_g = 1e8, pico 1e20), and a BIGINT
+    lattice would silently saturate at Long.MaxValue in non-ANSI
+    Spark, corrupting f_stat/df2 with no error.  Groups with n < 2
     or zero variance are excluded (their weight is undefined).
     Returns one row: (n, k, f_stat, df1, df2).
     """
@@ -4835,12 +4857,14 @@ def welch_anova(
     s1 = g.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(F.expr(
-            "CAST(round(w_g * 1000000000000.0d) AS BIGINT)"
-        )).cast("long").alias("w_p"),
-        F.sum(F.expr(
-            "CAST(round(w_g * mean_g * 1000000000000.0d) AS BIGINT)"
-        )).cast("long").alias("wm_p"),
+        F.expr(
+            "CAST(sum(CAST(round(w_g * 1000000000000.0d) "
+            "AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("w_p"),
+        F.expr(
+            "CAST(sum(CAST(round(w_g * mean_g * 1000000000000.0d) "
+            "AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("wm_p"),
     )
     row = s1.collect()[0]
     n_tot, k = int(row["n"] or 0), int(row["k"] or 0)
@@ -4858,20 +4882,22 @@ def welch_anova(
     # stage 2: exact pico sums of the two Welch summands, the weighted
     # between-group term and the Λ correction, with mw/W as literals
     s2 = g.agg(
-        F.sum(F.expr(
-            f"CAST(round(w_g * (mean_g - {mw!r}) * (mean_g - {mw!r}) "
-            "* 1000000000000.0d) AS BIGINT)"
-        )).cast("long").alias("a_p"),
-        F.sum(F.expr(
-            f"CAST(round((1.0d - w_g / {w_tot!r}) "
+        F.expr(
+            f"CAST(sum(CAST(round(w_g * (mean_g - {mw!r}) "
+            f"* (mean_g - {mw!r}) * 1000000000000.0d) "
+            "AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("a_p"),
+        F.expr(
+            f"CAST(sum(CAST(round((1.0d - w_g / {w_tot!r}) "
             f"* (1.0d - w_g / {w_tot!r}) / (ng_d - 1.0d) "
-            "* 1000000000000.0d) AS BIGINT)"
-        )).cast("long").alias("l_p"),
+            "* 1000000000000.0d) AS DECIMAL(38,0))) "
+            "AS DECIMAL(38,0))"
+        ).alias("l_p"),
     ).select(
         F.lit(n_tot).cast("long").alias("n"),
         F.lit(k).cast("long").alias("k"),
-        F.expr("CAST(a_p AS DOUBLE) / 1e12").alias("a_d"),
-        F.expr("CAST(l_p AS DOUBLE) / 1e12").alias("lam_d"),
+        F.expr(f"{_big_d('a_p')} / 1e12").alias("a_d"),
+        F.expr(f"{_big_d('l_p')} / 1e12").alias("lam_d"),
     )
     k_d = float(k)
     fstar = (
@@ -6669,6 +6695,7 @@ def jonckheere_terpstra(
     df: DataFrame,
     group_score_expr: str,
     value_col: str,
+    max_groups: int = 100,
 ) -> DataFrame:
     """Jonckheere–Terpstra ordered-alternative test — are the group
     distributions stochastically ORDERED along the factor (tier 1 <
@@ -6685,7 +6712,11 @@ def jonckheere_terpstra(
     collapse that makes :func:`energy_distance` one-pass), then the
     doubled statistic ``2·JT = Σ_v (2·Σ_h c_h·before_{g<h} +
     Σ_{g<h} c_g c_h)`` sums exact integers in DECIMAL(38,0).  The
-    group-score list is a bounded collect (k ≤ dozens).  z uses the
+    group-score list is a bounded collect (k ≤ dozens), ENFORCED by a
+    ``max_groups`` probe (the :func:`kendall_tau_b` ``max_cells``
+    discipline): a continuous ``group_score_expr`` would otherwise be
+    an unbounded driver collect and a thousand-column aggregate at
+    100× scale — it raises loudly instead.  z uses the
     standard no-tie null moments (ties make it conservative —
     documented contract).  Returns one row: (n, k, jt_stat, z_stat).
     """
@@ -6699,9 +6730,20 @@ def jonckheere_terpstra(
             "* 1000000.0d) AS BIGINT)"
         ).alias("vq"),
     )
-    scores = sorted(
-        r["g"] for r in base.select("g").distinct().collect()
+    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
+    # to one job; one extra row is enough to prove the contract broken
+    score_rows = (
+        base.select("g").distinct().limit(max_groups + 1).collect()
     )
+    if len(score_rows) > max_groups:
+        raise ValueError(
+            f"jonckheere_terpstra: > max_groups={max_groups} distinct "
+            f"group scores from ({group_score_expr}) — the per-score "
+            "aggregate columns and driver collect are bounded by "
+            "contract to k <= dozens; quantize/bucket the expression "
+            "(tiers, deciles) or raise max_groups deliberately."
+        )
+    scores = sorted(r["g"] for r in score_rows)
     k = len(scores)
     if k < 2:
         raise ValueError("need >= 2 ordered groups")
@@ -7400,6 +7442,7 @@ def page_trend_test(
     block_col: str,
     treatment_col: str,
     value_col: str,
+    max_treatments: int = 100,
 ) -> DataFrame:
     """Page's L trend test — the ORDERED-alternative refinement of
     :func:`friedman_test` (exactly as :func:`jonckheere_terpstra`
@@ -7411,6 +7454,10 @@ def page_trend_test(
 
     Treatments must be INTEGER scores (1..k order); same exact blocked
     rank machinery (complete blocks, 2×-scaled tie-averaged ranks).
+    The treatment-score collect and the k-arm CASE are bounded by a
+    ``max_treatments`` probe (the :func:`kendall_tau_b` ``max_cells``
+    discipline) — a continuous treatment expression raises loudly
+    instead of becoming an unbounded driver collect at 100× scale.
     Returns one row: (b_blocks, k, l_stat, z_stat).
     """
     ranked, b, k, _ = _friedman_ranks(
@@ -7418,6 +7465,14 @@ def page_trend_test(
     )
     if b == 0 or k < 2:
         raise ValueError("need >= 1 complete block and >= 2 treatments")
+    if k > max_treatments:
+        raise ValueError(
+            f"page_trend_test: k={k} distinct treatments "
+            f"> max_treatments={max_treatments} — the score collect "
+            "and k-arm CASE are bounded by contract to k <= dozens; "
+            "quantize the treatment column or raise max_treatments "
+            "deliberately."
+        )
     # map the treatments' integer scores onto 1..k in score order (the
     # classical L assumes consecutive weights; a bounded k-row collect,
     # the jonckheere_terpstra discipline)

@@ -712,8 +712,11 @@ def srm_monitor_stream(
                     / (share * n_d) * 1000000.0
                 )
             rows.append((a, n_obs, share, n_exp, rz))
-        chi2 = chi_micro / 1e6
-        df_total = k_known - 1
+        # no observed arm in the declared design: chi2 0.0 with df -1
+        # would read as a clean result — emit NULL, the batch
+        # srm_check's k_known = 0 convention
+        chi2 = chi_micro / 1e6 if k_known > 0 else None
+        df_total = k_known - 1 if k_known > 0 else None
         yield pd.DataFrame({
             "series_key": [str(key[0])] * len(rows),
             "arm": [r[0] for r in rows],

@@ -297,6 +297,14 @@ class TestGraphAndRetrieval:
         assert out[1] == (1, 3) and out[3] == (1, 3)
         assert out[10] == (10, 2) and out[11] == (10, 2)
 
+    def test_connected_components_raises_on_non_convergence(self, spark):
+        # a length-6 path needs more than 2 min-propagation rounds;
+        # silently-split components must be an error, not an answer
+        edges = [(i, i + 1) for i in range(6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(ValueError, match="max_iterations"):
+            ops.connected_components(df, max_iterations=2)
+
     def test_two_stage_requires_shortlist_ge_k(self, spark):
         df = spark.createDataFrame(
             [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
@@ -430,6 +438,22 @@ class TestOrderedAndLinkPrediction:
         df = spark.createDataFrame([(1, 1.0)], "s long, v double")
         with pytest.raises(ValueError):
             ops.jonckheere_terpstra(df, "s", "v")
+
+    def test_jonckheere_guards_continuous_scores(self, spark):
+        # a continuous group expression would be an unbounded driver
+        # collect and a per-score aggregate column — must raise loudly
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "s long, v double"
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            ops.jonckheere_terpstra(df, "s", "v", max_groups=10)
+
+    def test_page_trend_guards_continuous_treatments(self, spark):
+        rows = [(b, t, float(b * 100 + t))
+                for b in range(3) for t in range(20)]
+        df = spark.createDataFrame(rows, "blk long, t long, v double")
+        with pytest.raises(ValueError, match="max_treatments"):
+            ops.page_trend_test(df, "blk", "t", "v", max_treatments=10)
 
     def test_resource_allocation_path_graph(self, spark):
         # path 1-2-3: only candidate pair is (1,3) via w=2 (deg 2)

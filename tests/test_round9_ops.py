@@ -622,3 +622,14 @@ class TestSrmCheck:
             ops.srm_check(df, "arm", {"t": 0.6, "c": 0.6})
         with pytest.raises(ValueError):
             ops.srm_check(df, "arm", {})
+
+    def test_all_arms_outside_design_emit_null_pooled(self, spark):
+        # k_known = 0: chi2 0.0 with df -1 would read as a clean
+        # result — the pooled columns must be NULL instead
+        rows = [("x",)] * 5 + [("y",)] * 5
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in
+               ops.srm_check(df, "arm", {"t": 0.5, "c": 0.5}).collect()}
+        assert out["x"]["expected_share"] is None
+        assert out["x"]["chi2_total"] is None
+        assert out["x"]["df_total"] is None

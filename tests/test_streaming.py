@@ -1218,6 +1218,36 @@ def test_srm_monitor_stream_matches_batch_across_micro_batches(spark):
     assert got == want
 
 
+def test_srm_monitor_stream_nulls_pooled_when_no_known_arm(spark):
+    """k_known = 0 (every observed arm outside the declared design):
+    the pooled chi2/df must be NULL, matching the batch srm_check —
+    a 0.0/-1 pair would read as a clean result."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream-srm0-")
+    frame = spark.createDataFrame(
+        [("exp1", "x", 1), ("exp1", "y", 2), ("exp1", "x", 3)],
+        "series_key string, arm string, k long",
+    )
+    frame.coalesce(1).write.parquet(os.path.join(d, "a"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.srm_monitor_stream(src, {"t": 0.5, "c": 0.5})
+    sw.run_stream_to_memory(plan, "srm_stream_t0", output_mode="update")
+    rows = spark.sql(
+        "SELECT * FROM srm_stream_t0 ORDER BY arm"
+    ).collect()
+    assert [r["arm"] for r in rows] == ["x", "y"]
+    for r in rows:
+        assert r["expected_share"] is None
+        assert r["chi2_total"] is None
+        assert r["df_total"] is None
+
+
 def test_cusum_stream_matches_batch_across_micro_batches(spark):
     """CUSUM streaming twin: the O(1) prefix/min/peak state replayed
     over two ordered micro-batches must equal the batch operator when
