@@ -2937,6 +2937,12 @@ def _q_distinct_ngrams(spark, sf):
     )
 
 
+def _q_distinct_ngrams_approx(spark, sf):
+    return ops.distinct_ngram_diversity_approx(
+        _t(spark, sf, "documents"), max_n=3, k=256,
+    )
+
+
 def _q_rake_keywords(spark, sf):
     return ops.rake_keywords(_t(spark, sf, "documents"), k=20)
 
@@ -3628,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_topk_two_stage": _q_two_stage_topk,
             "dedup_blocking_quality": _q_blocking_quality,
             "docs_distinct_ngrams": _q_distinct_ngrams,
+            "docs_distinct_ngrams_approx": _q_distinct_ngrams_approx,
             "docs_rake_keywords": _q_rake_keywords,
             "orders_hurst_exponent": _q_hurst,
             "events_granger_causality": _q_granger,
@@ -6428,6 +6435,58 @@ SELECT CAST(n AS BIGINT) AS n,
             / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
             AS BIGINT) AS DOUBLE) / 1e6 AS distinct_ratio
 FROM stream GROUP BY 1 ORDER BY n
+"""
+
+    # textually parallel to operators.text.distinct_ngram_diversity_
+    # approx: same kind-tagged stream, KMV over deterministic md5
+    # 60-bit hashes (the sketches.approx_distinct_kmv construction)
+    o["docs_distinct_ngrams_approx"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+stream AS MATERIALIZED (
+  SELECT 1 AS n, unnest(list_transform(
+           generate_series(1, len(l)), i -> l[i])) AS g
+  FROM toks WHERE len(l) >= 1
+  UNION ALL
+  SELECT 2 AS n, unnest(list_transform(
+           generate_series(1, len(l) - 1),
+           i -> l[i] || ' ' || l[i+1])) AS g
+  FROM toks WHERE len(l) >= 2
+  UNION ALL
+  SELECT 3 AS n, unnest(list_transform(
+           generate_series(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+  FROM toks WHERE len(l) >= 3
+),
+totals AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams
+  FROM stream GROUP BY n
+),
+hashes AS (
+  SELECT DISTINCT n,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT)
+           / CAST(1152921504606846976 AS DOUBLE) AS h
+  FROM stream
+),
+kmin AS (
+  SELECT n, h,
+         row_number() OVER (PARTITION BY n ORDER BY h ASC) AS rk
+  FROM hashes
+),
+est AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS k_used,
+         CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(CAST(255 AS DOUBLE) / max(h), 4) END
+           AS distinct_est
+  FROM kmin WHERE rk <= 256 GROUP BY n
+)
+SELECT CAST(t.n AS BIGINT) AS n, t.total_ngrams, e.k_used,
+       CAST(e.distinct_est AS DOUBLE) AS distinct_est
+FROM totals t JOIN est e ON t.n = e.n
+ORDER BY n
 """
 
     o["docs_rake_keywords"] = """

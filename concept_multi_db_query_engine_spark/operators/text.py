@@ -3250,6 +3250,34 @@ def zipf_fit(
     )
 
 
+def _ngram_kind_stream(docs: DataFrame, max_n: int) -> DataFrame:
+    """Shared kind-tagged n-gram stream for the distinct-n family:
+    one corpus scan, every n = 1..max_n emitted from the same token
+    array (the PMI shape).  Returns (n, g)."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    grams = []
+    for n in range(1, max_n + 1):
+        # sequence(1, 0) is DESCENDING in Spark — guard short docs
+        grams.append(
+            f"IF(size(__toks) >= {n}, "
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> named_struct('n', {n}, 'g', "
+            f"concat_ws(' ', slice(__toks, i, {n})))), "
+            "CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>))"
+        )
+    return (
+        docs.select(arr.alias("__toks"))
+        .select(F.explode(F.expr(
+            "concat(" + ", ".join(grams) + ")"
+        )).alias("kg"))
+        .select(F.col("kg.n").alias("n"), F.col("kg.g").alias("g"))
+    )
+
+
 def distinct_ngram_diversity(
     docs: DataFrame,
     max_n: int = 3,
@@ -3266,28 +3294,7 @@ def distinct_ngram_diversity(
     one row per n: (n, total_ngrams, distinct_ngrams, distinct_ratio)
     ordered by n.
     """
-    if max_n < 1:
-        raise ValueError("max_n must be >= 1")
-    arr = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
-    )
-    grams = []
-    for n in range(1, max_n + 1):
-        # sequence(1, 0) is DESCENDING in Spark — guard short docs
-        grams.append(
-            f"IF(size(__toks) >= {n}, "
-            f"transform(sequence(1, size(__toks) - {n} + 1), "
-            f"i -> named_struct('n', {n}, 'g', "
-            f"concat_ws(' ', slice(__toks, i, {n})))), "
-            "CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>))"
-        )
-    stream = (
-        docs.select(arr.alias("__toks"))
-        .select(F.explode(F.expr(
-            "concat(" + ", ".join(grams) + ")"
-        )).alias("kg"))
-        .select(F.col("kg.n").alias("n"), F.col("kg.g").alias("g"))
-    )
+    stream = _ngram_kind_stream(docs, max_n)
     return (
         stream.groupBy("n")
         .agg(
@@ -3302,6 +3309,76 @@ def distinct_ngram_diversity(
                 "/ nullif(CAST(total_ngrams AS DOUBLE), 0.0d) "
                 "* 1000000.0d) AS BIGINT) / 1e6"
             ).cast("double").alias("distinct_ratio"),
+        )
+        .orderBy("n")
+    )
+
+
+def distinct_ngram_diversity_approx(
+    docs: DataFrame,
+    max_n: int = 3,
+    k: int = 256,
+) -> DataFrame:
+    """KMV sketch twin of :func:`distinct_ngram_diversity` — the
+    100 TB path: the exact version's ``countDistinct`` must shuffle
+    every distinct n-gram STRING (trigrams of a 100 TB corpus are
+    themselves terabytes); this twin reduces each n to at most ``k``
+    8-byte hashes (Bar-Yossef et al. 2002 k-minimum-values: |D| ≈
+    (k−1)/m_k, relative error ~1/√(k−2)), mergeable across partitions
+    and days.  Deterministic md5-derived hashing (the
+    ``sketches.approx_distinct_kmv`` construction) keeps the estimate
+    value-checkable against a DuckDB oracle — not just
+    tolerance-tested.
+
+    Shape: the shared kind-tagged stream → per-(n, hash) distinct
+    (map-side partial) → TWO-LEVEL per-n top-k: level 1 keeps each
+    (n, hash-bucket)'s k smallest over 64 deterministic buckets (the
+    union of per-bucket top-k always contains the global top-k, so
+    the result is bit-identical), level 2 merges the ≤ 64·k survivors
+    per n — a single-task window over the FULL hash frame would be
+    the one-reducer-per-n bottleneck this twin exists to avoid.  When
+    a kind has fewer than k distinct n-grams the sketch IS the set
+    and the estimate switches to the exact ``k_used`` (standard KMV
+    practice).  Returns one row per n: (n, total_ngrams, k_used,
+    distinct_est) ordered by n.
+    """
+    from pyspark.sql import Window
+
+    from .sketches import _uniform_hash
+
+    if k < 8:
+        raise ValueError("k must be >= 8 for a usable KMV estimate")
+    stream = _ngram_kind_stream(docs, max_n)
+    totals = stream.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+    )
+    hashes = stream.select(
+        "n", _uniform_hash(F.col("g")).alias("h")
+    ).distinct()
+    lvl1 = hashes.withColumn(
+        "bkt", F.pmod(F.xxhash64("h"), F.lit(64))
+    ).withColumn(
+        "rk1",
+        F.row_number().over(Window.partitionBy("n", "bkt").orderBy("h")),
+    ).where(F.col("rk1") <= k)
+    w = Window.partitionBy("n").orderBy("h")
+    kmin = lvl1.withColumn("rk", F.row_number().over(w)) \
+        .where(F.col("rk") <= k)
+    est = kmin.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("max_h"),
+    ).select(
+        "n", "k_used",
+        F.expr(
+            f"CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE) "
+            f"ELSE round(CAST({k} - 1 AS DOUBLE) / max_h, 4) END"
+        ).cast("double").alias("distinct_est"),
+    )
+    return (
+        totals.join(est, "n")
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "total_ngrams", "k_used", "distinct_est",
         )
         .orderBy("n")
     )

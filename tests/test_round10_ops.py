@@ -325,6 +325,39 @@ class TestTextAndDedup:
         assert out[2]["total_ngrams"] == 6
         assert out[2]["distinct_ngrams"] == 2  # 'x y' and 'y x'
 
+    def test_distinct_ngrams_approx_tracks_exact(self, spark):
+        # 600 distinct unigrams >> k=64: KMV estimate within the
+        # ~1/sqrt(k-2) relative-error envelope (3 sigma ~ 38%);
+        # small kinds (< k distinct) return the exact count
+        # tokenizer is [a-z]-only: build 600 unique letter words
+        def word(i):
+            return "a" * (i % 25 + 1) + "b" * (i // 25 + 1)
+        docs = spark.createDataFrame(
+            [(i, f"{word(i)} {word(i)} common") for i in range(600)],
+            "doc_id long, text string",
+        )
+        ex = {r["n"]: r for r in
+              ops.distinct_ngram_diversity(docs, max_n=2).collect()}
+        ap = {r["n"]: r for r in
+              ops.distinct_ngram_diversity_approx(
+                  docs, max_n=2, k=64).collect()}
+        assert ap[1]["total_ngrams"] == ex[1]["total_ngrams"]
+        exact1 = ex[1]["distinct_ngrams"]
+        assert ap[1]["k_used"] == 64
+        assert abs(ap[1]["distinct_est"] - exact1) / exact1 < 0.40
+        # bigrams: 'wN wN', 'wN common' per doc -> 1200 distinct > k;
+        # swap to a tiny corpus to hit the exact-k_used branch
+        small = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        ap_small = {r["n"]: r for r in
+                    ops.distinct_ngram_diversity_approx(
+                        small, max_n=2, k=64).collect()}
+        assert ap_small[1]["k_used"] == 3
+        assert ap_small[1]["distinct_est"] == 3.0
+        with pytest.raises(ValueError, match="k must be"):
+            ops.distinct_ngram_diversity_approx(small, k=4)
+
     def test_rake_prefers_long_phrases(self, spark):
         df = spark.createDataFrame(
             [(1, "deep learning of the deep learning pipeline"),
