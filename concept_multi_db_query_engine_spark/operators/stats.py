@@ -4467,6 +4467,41 @@ def mmd_rff(
 
 
 
+def mmd_reference_features(
+    df: DataFrame,
+    value_col: str,
+    sigma: float,
+) -> DataFrame:
+    """Reference-side RFF feature sums for the MMD drift monitor —
+    the deployment step between :func:`mmd_rff` (the retrospective
+    two-sample test, which also calibrates σ) and
+    ``streaming.windows.mmd_monitor_stream`` (the live twin): freeze
+    σ, aggregate the training window's 8 exact micro-quantized
+    feature sums ONCE, and hand them to the monitor as literals.
+    Identical per-row expression text to :func:`mmd_rff`'s group-A
+    branch, so the monitor's mmd2 against a replayed group B matches
+    the batch test bit-for-bit.  Returns one row: (n_ref, z0..z7).
+    """
+    if not sigma or sigma <= 0:
+        raise ValueError("sigma must be positive (freeze it from "
+                         "mmd_rff's calibration output)")
+    base = df.where(f"({value_col}) IS NOT NULL").select(
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("__x")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_ref")]
+    for j in range(8):
+        arg = (
+            f"round({_MMD_W[j]!r}d * __x / {sigma!r}d "
+            f"+ {_MMD_B[j]!r}d, 6)"
+        )
+        aggs.append(
+            F.sum(F.expr(
+                f"CAST(round(cos({arg}) * 1000000.0d) AS BIGINT)"
+            )).cast("long").alias(f"z{j}")
+        )
+    return base.agg(*aggs)
+
+
 def cuped_adjusted_effect(
     df: DataFrame,
     metric_expr: str,

@@ -737,6 +737,206 @@ def srm_monitor_stream(
     )
 
 
+def psi_monitor_stream(
+    live: DataFrame,
+    reference_bins: dict,
+    bin_width: float,
+    key_col: str = "series_key",
+    value_col: str = "x",
+):
+    """Streaming twin of ``operators.stats.psi_drift`` — the live
+    drift gate between a FROZEN training snapshot and an arriving
+    feed: ``reference_bins`` is the training side's exact per-bin
+    integer counts (``{floor(v/bin_width): count}``, the bounded
+    deployment artifact — the ``expected_shares`` contract of
+    :func:`srm_monitor_stream`), the state is the live side's per-bin
+    exact counts, and every micro-batch re-emits the full PSI report.
+    Order-independent by construction (bin counts are a mergeable
+    sum — no ordered-feed contract needed, unlike the PH/SPRT twins).
+
+    Quantization matches the batch operator bit-for-bit: identical
+    IEEE binning (``floor(v / w)``), identical p_A/p_B division
+    order, the same SORTED-BIN LEFT FOLD of the PSI terms with
+    empty-on-either-side bins excluded, and half-away round-6 on the
+    final statistic.  Emits one row per key per micro-batch:
+    (series_key, n_a, n_b, n_bins, n_skipped_bins, psi).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if not reference_bins:
+        raise ValueError("reference_bins must be non-empty")
+    ref = {int(b): int(c) for b, c in reference_bins.items()}
+    n_a = sum(ref.values())
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("n_bins", T.LongType()),
+        T.StructField("n_skipped_bins", T.LongType()),
+        T.StructField("psi", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("bins", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        counts: dict = {}
+        if state.exists:
+            bs, cs = state.get
+            counts = dict(zip([int(b) for b in bs],
+                              [int(c) for c in cs]))
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                b = int(math.floor(float(v) / bin_width))
+                counts[b] = counts.get(b, 0) + 1
+        items = sorted(counts.items())
+        state.update((
+            [b for b, _ in items], [c for _, c in items],
+        ))
+        n_b = sum(counts.values())
+        all_bins = sorted(set(ref) | set(counts))
+        skipped = 0
+        acc = 0.0
+        for b in all_bins:
+            ca, cb = ref.get(b, 0), counts.get(b, 0)
+            if ca == 0 or cb == 0:
+                skipped += 1
+                acc = acc + 0.0
+                continue
+            pa = float(ca) / float(n_a)
+            pb = float(cb) / float(n_b)
+            acc = acc + (pa - pb) * math.log(pa / pb)
+        psi = half_away((acc + 0.0) * 1e6) / 1e6
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "n_bins": [len(all_bins)],
+            "n_skipped_bins": [skipped],
+            "psi": [psi],
+        })
+
+    return (
+        live.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def mmd_monitor_stream(
+    live: DataFrame,
+    sigma: float,
+    ref_features: dict,
+    key_col: str = "series_key",
+    value_col: str = "x",
+):
+    """Streaming twin of ``operators.stats.mmd_rff`` — the smooth
+    kernel member of the drift-monitor family, deployed phase-II
+    style: σ and the reference window's 8 exact micro feature sums
+    are FROZEN at deployment (``ref_features`` = one collected row of
+    ``operators.stats.mmd_reference_features``: n_ref + z0..z7); the
+    state is the live side's 8 running feature sums — O(1), exact
+    integers, mergeable and order-independent (no ordered-feed
+    contract).  Each micro-batch re-emits ``MMD² = (2/D)·‖mean_ref z
+    − mean_live z‖²`` with the batch operator's exact expression
+    shape: per-row cos terms micro-quantized after the arg's round-6
+    pre-quantization (so every engine sees the same double), exact
+    BIGINT sums, fixed-order double combine, micro-rounded output.
+
+    Emits one row per key per micro-batch:
+    (series_key, n_a, n_b, sigma, mmd2).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.stats import _MMD_B, _MMD_W
+
+    if not sigma or sigma <= 0:
+        raise ValueError("sigma must be positive (freeze it from "
+                         "mmd_rff's calibration output)")
+    n_ref = int(ref_features["n_ref"])
+    if n_ref <= 0:
+        raise ValueError("ref_features must cover a non-empty window")
+    za = [int(ref_features[f"z{j}"]) for j in range(8)]
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("sigma", T.DoubleType()),
+        T.StructField("mmd2", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("zs", T.ArrayType(T.LongType())),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def half_away(v):
+            return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+        if state.exists:
+            n, zs = int(state.get[0]), [int(z) for z in state.get[1]]
+        else:
+            n, zs = 0, [0] * 8
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                x = float(v)
+                n += 1
+                for j in range(8):
+                    # round-6 pre-quantization of the arg, then micro
+                    # cos — the batch feature expression verbatim
+                    arg = half_away(
+                        (_MMD_W[j] * x / sigma + _MMD_B[j]) * 1e6
+                    ) / 1e6
+                    zs[j] += half_away(math.cos(arg) * 1e6)
+        state.update((n, zs))
+        if n == 0:
+            mmd2 = None
+        else:
+            diff_sq = 0.0
+            for j in range(8):
+                d = (za[j] / 1e6 / float(n_ref)
+                     - zs[j] / 1e6 / float(n))
+                diff_sq = diff_sq + d * d
+            mmd2 = half_away((2.0 / 8.0) * diff_sq * 1e6) / 1e6
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_a": [n_ref],
+            "n_b": [n],
+            "sigma": [sigma],
+            "mmd2": [mmd2],
+        })
+
+    return (
+        live.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def cusum_stream(
     series: DataFrame,
     mu: float,

@@ -1248,6 +1248,98 @@ def test_srm_monitor_stream_nulls_pooled_when_no_known_arm(spark):
         assert r["df_total"] is None
 
 
+def test_psi_monitor_stream_matches_batch_across_micro_batches(spark):
+    """PSI streaming twin: live bin counts folded over two
+    micro-batches against a frozen reference snapshot must re-emit
+    exactly the batch psi_drift report (same binning, same sorted-bin
+    fold, same round-6)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    df_a = orders.where("o_orderstatus = 'F'")
+    df_b = orders.where("o_orderstatus = 'O'")
+    width = 10000.0
+    want = ops.psi_drift(df_a, df_b, "o_totalprice", width).collect()[0]
+    # the frozen deployment artifact: the reference side's exact bins,
+    # computed with the batch operator's own binning expression
+    ref_bins = {
+        r["bin"]: r["c"]
+        for r in df_a.where("o_totalprice IS NOT NULL").select(
+            F.expr(f"CAST(floor(CAST(o_totalprice AS DOUBLE) "
+                   f"/ {width!r}d) AS BIGINT)").alias("bin")
+        ).groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    frame = df_b.select(
+        F.lit("m1").alias("series_key"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="stream-psi-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.psi_monitor_stream(src, ref_bins, width)
+    sw.run_stream_to_memory(plan, "psi_stream_t", output_mode="update")
+    got = spark.sql(
+        "SELECT * FROM psi_stream_t ORDER BY n_b DESC LIMIT 1"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"])
+    assert got["n_bins"] == want["n_bins"]
+    assert got["n_skipped_bins"] == want["n_skipped_bins"]
+    assert got["psi"] == want["psi"]
+
+
+def test_mmd_monitor_stream_matches_batch_across_micro_batches(spark):
+    """MMD streaming twin: the live side's 8 exact RFF feature sums
+    folded over two micro-batches against frozen (sigma, reference
+    feature sums) must re-emit exactly the batch mmd_rff statistic."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    want = ops.mmd_rff(
+        orders, "o_totalprice", "o_orderstatus", "F", "O"
+    ).collect()[0]
+    sigma = want["sigma"]
+    ref = ops.mmd_reference_features(
+        orders.where("o_orderstatus = 'F'"), "o_totalprice", sigma
+    ).collect()[0].asDict()
+    frame = orders.where("o_orderstatus = 'O'").select(
+        F.lit("m1").alias("series_key"),
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="stream-mmd-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.mmd_monitor_stream(src, sigma, ref)
+    sw.run_stream_to_memory(plan, "mmd_stream_t", output_mode="update")
+    got = spark.sql(
+        "SELECT * FROM mmd_stream_t ORDER BY n_b DESC LIMIT 1"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (want["n_a"], want["n_b"])
+    assert got["sigma"] == want["sigma"]
+    assert got["mmd2"] == want["mmd2"]
+
+
 def test_cusum_stream_matches_batch_across_micro_batches(spark):
     """CUSUM streaming twin: the O(1) prefix/min/peak state replayed
     over two ordered micro-batches must equal the batch operator when
