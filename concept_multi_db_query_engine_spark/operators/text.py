@@ -3331,14 +3331,15 @@ def distinct_ngram_diversity_approx(
     tolerance-tested.
 
     Shape: the shared kind-tagged stream → per-(n, hash) distinct
-    (map-side partial) → TWO-LEVEL per-n top-k: level 1 keeps each
-    (n, hash-bucket)'s k smallest over 64 deterministic buckets (the
-    union of per-bucket top-k always contains the global top-k, so
-    the result is bit-identical), level 2 merges the ≤ 64·k survivors
-    per n — a single-task window over the FULL hash frame would be
-    the one-reducer-per-n bottleneck this twin exists to avoid.  When
-    a kind has fewer than k distinct n-grams the sketch IS the set
-    and the estimate switches to the exact ``k_used`` (standard KMV
+    (map-side partial) → per-n k smallest via ``row_number ≤ k``,
+    which Catalyst compiles to a two-level ``WindowGroupLimit``
+    (PARTIAL mode keeps each map task's k smallest per n BEFORE the
+    exchange — pinned in ``tests/test_round11_scale.py``), so the
+    per-n reducer receives ≤ k·n_tasks hashes, never the full
+    distinct-hash frame — the one-reducer-per-n bottleneck this twin
+    exists to avoid is optimized away declaratively.  When a kind has
+    fewer than k distinct n-grams the sketch IS the set and the
+    estimate switches to the exact ``k_used`` (standard KMV
     practice).  Returns one row per n: (n, total_ngrams, k_used,
     distinct_est) ordered by n.
     """
@@ -3355,14 +3356,8 @@ def distinct_ngram_diversity_approx(
     hashes = stream.select(
         "n", _uniform_hash(F.col("g")).alias("h")
     ).distinct()
-    lvl1 = hashes.withColumn(
-        "bkt", F.pmod(F.xxhash64("h"), F.lit(64))
-    ).withColumn(
-        "rk1",
-        F.row_number().over(Window.partitionBy("n", "bkt").orderBy("h")),
-    ).where(F.col("rk1") <= k)
     w = Window.partitionBy("n").orderBy("h")
-    kmin = lvl1.withColumn("rk", F.row_number().over(w)) \
+    kmin = hashes.withColumn("rk", F.row_number().over(w)) \
         .where(F.col("rk") <= k)
     est = kmin.groupBy("n").agg(
         F.count(F.lit(1)).cast("long").alias("k_used"),
