@@ -360,6 +360,7 @@ HEADLINE = [
     "sim_topk_two_stage",
     "dedup_blocking_quality",
     "docs_distinct_ngrams",
+    "docs_distinct_ngrams_approx",
     "docs_rake_keywords",
     "orders_hurst_exponent",
     "events_granger_causality",
