@@ -2947,6 +2947,26 @@ def _q_rake_keywords(spark, sf):
     return ops.rake_keywords(_t(spark, sf, "documents"), k=20)
 
 
+def _q_vocab_richness(spark, sf):
+    # trigram species: the word-level vocabulary of the synthetic
+    # corpus is tiny (31 types, f1 = 0 — Chao1 degenerates), trigrams
+    # exercise the bias-corrected estimator for real
+    return ops.vocab_richness(_t(spark, sf, "documents"), ngram_n=3)
+
+
+def _q_ranking_eval(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ops.ann_ranking_eval(emb, queries, k=10, bits=4)
+
+
+def _q_bradley_terry(spark, sf):
+    return ops.bradley_terry(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+        iterations=25,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3658,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_fleiss_kappa": _q_fleiss_kappa,
             "orders_page_trend": _q_page_trend,
             "orders_pot_gpd": _q_pot_gpd,
+            "docs_vocab_richness": _q_vocab_richness,
+            "sim_ranking_eval": _q_ranking_eval,
+            "orders_bradley_terry": _q_bradley_terry,
         }
     )
     for name in _ORDER_PIN:
@@ -6435,6 +6458,152 @@ SELECT CAST(n AS BIGINT) AS n,
             / nullif(CAST(count(*) AS DOUBLE), 0.0) * 1000000.0)
             AS BIGINT) AS DOUBLE) / 1e6 AS distinct_ratio
 FROM stream GROUP BY 1 ORDER BY n
+"""
+
+    # textually parallel to operators.text.vocab_richness: Chao1
+    # bias-corrected richness + Good-Turing coverage from the
+    # singleton/doubleton counts of the token-frequency table
+    o["docs_vocab_richness"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x != '') AS l
+  FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(l) - 2),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+    FROM toks WHERE len(l) >= 3
+  ) GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS types,
+         CAST(sum(cnt) AS BIGINT) AS tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f1,
+         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f2
+  FROM freq
+)
+SELECT types, tokens, f1, f2,
+       CAST(CAST(round((CAST(types AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+            / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS chao1_types,
+       CAST(CAST(round((1.0 - CAST(f1 AS DOUBLE)
+            / nullif(CAST(tokens AS DOUBLE), 0.0))
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS gt_coverage,
+       CAST(CAST(round(CAST(f1 AS DOUBLE)
+            / nullif(CAST(tokens AS DOUBLE), 0.0)
+            * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS unseen_mass
+FROM m
+"""
+
+    # textually parallel to operators.stats.bradley_terry: the MW
+    # offset-rank identity gives every ordered-pair win count from one
+    # cumulative pass; the MM fixed point is replayed as a recursive
+    # CTE with the exact float op order of the driver-side fit
+    _bt_groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                  "5-LOW"]
+    _bt_k = len(_bt_groups)
+    _bt_c = ",\n         ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{g}' THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS c{i + 1}"
+        for i, g in enumerate(_bt_groups)
+    )
+    _bt_m = ", ".join(
+        f"sum(c{i + 1}) OVER w AS m{i + 1}" for i in range(_bt_k)
+    )
+    _bt_w = ",\n    ".join(
+        f"CAST(CAST(sum(CAST(c{i + 1} AS HUGEINT) "
+        f"* (2 * m{j + 1} - c{j + 1})) AS HUGEINT) AS DOUBLE) "
+        f"AS w{i + 1}{j + 1}"
+        for i in range(_bt_k) for j in range(_bt_k) if i != j
+    )
+    _bt_n = ", ".join(
+        f"CAST(sum(c{i + 1}) AS BIGINT) AS n{i + 1}"
+        for i in range(_bt_k)
+    )
+    _bt_ndbl = ", ".join(
+        f"CAST(n{i + 1} AS DOUBLE) AS d{i + 1}" for i in range(_bt_k)
+    )
+
+    def _bt_fold(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    _bt_q = []
+    for i in range(_bt_k):
+        js = [j for j in range(_bt_k) if j != i]
+        wsum = _bt_fold([f"w{i + 1}{j + 1}" for j in js])
+        den = _bt_fold(
+            [f"((d{i + 1} * d{j + 1}) / (p{i + 1} + p{j + 1}))"
+             for j in js]
+        )
+        _bt_q.append(f"({wsum} / 2.0) / {den} AS q{i + 1}")
+    _bt_qs = ",\n        ".join(_bt_q)
+    _bt_s = _bt_fold([f"q{i + 1}" for i in range(_bt_k)])
+    _bt_seed = ", ".join(
+        f"1.0::DOUBLE AS p{i + 1}" for i in range(_bt_k)
+    )
+    _bt_norm = ", ".join(
+        f"q{i + 1} / s AS p{i + 1}" for i in range(_bt_k)
+    )
+    _bt_ntot = _bt_fold([f"n{i + 1}" for i in range(_bt_k)])
+    _bt_rows = []
+    for i in range(_bt_k):
+        js = [j for j in range(_bt_k) if j != i]
+        wsum = _bt_fold([f"w{i + 1}{j + 1}" for j in js])
+        _bt_rows.append(
+            f"SELECT '{_bt_groups[i]}' AS grp, n{i + 1} AS n,\n"
+            f"       round({wsum} / 2.0, 6)::DOUBLE AS wins,\n"
+            f"       round(({wsum} / 2.0) / (d{i + 1} "
+            f"* (CAST({_bt_ntot} AS DOUBLE) - d{i + 1})), 6)::DOUBLE "
+            f"AS win_rate,\n"
+            f"       round(p{i + 1}, 6)::DOUBLE AS bt_strength "
+            f"FROM fin"
+        )
+    _bt_union = "\nUNION ALL\n".join(_bt_rows)
+    o["orders_bradley_terry"] = f"""
+WITH RECURSIVE g AS (
+  SELECT o_totalprice AS v,
+         {_bt_c}
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+pc AS (
+  SELECT *, {_bt_m}
+  FROM g WINDOW w AS (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+),
+mat AS (
+  SELECT
+    {_bt_w},
+    {_bt_n}
+  FROM pc
+),
+matd AS (SELECT *, {_bt_ndbl} FROM mat),
+bt AS (
+  SELECT 0 AS it, {_bt_seed}
+  UNION ALL
+  SELECT it + 1, {_bt_norm} FROM (
+    SELECT it, {", ".join(f"q{i + 1}" for i in range(_bt_k))},
+           {_bt_s} AS s
+    FROM (
+      SELECT bt.it AS it,
+        {_bt_qs}
+      FROM bt, matd
+      WHERE bt.it < 25
+    )
+  )
+),
+fin AS (SELECT * FROM bt, matd WHERE it = 25)
+SELECT * FROM (
+{_bt_union}
+) ORDER BY grp
 """
 
     # textually parallel to operators.text.distinct_ngram_diversity_
@@ -11910,6 +12079,70 @@ SELECT ne.query_id, ne.n_exact,
        coalesce(nh.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(nh.n_hits, 0) / ne.n_exact, 6)::DOUBLE AS recall
 FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
+"""
+    )
+    # textually parallel to operators.similarity.ann_ranking_eval:
+    # graded relevance 11-rank from the exact ranking, nano-quantized
+    # DCG discount literals (identical to the Spark plan's), exact
+    # BIGINT DCG sums — no float summation order anywhere
+    import math
+
+    _rank_disc_nano = [int(round(1e9 / math.log2(i + 1)))
+                       for i in range(1, 11)]
+    _rank_idcg_nano = sum((11 - i) * _rank_disc_nano[i - 1]
+                          for i in range(1, 11))
+    o["sim_ranking_eval"] = (
+        "WITH " + _COS_NORM_CTE + f"""
+, ex AS (
+  SELECT query_id, vec_id, 11 - rank AS rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                            / sqrt(q.norm2 * c.norm2), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM e q JOIN e c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+), b AS (
+  SELECT *,
+    ((CASE WHEN v[1] > 0.0 THEN 1 ELSE 0 END) * 8 +
+     (CASE WHEN v[2] > 0.0 THEN 1 ELSE 0 END) * 4 +
+     (CASE WHEN v[3] > 0.0 THEN 1 ELSE 0 END) * 2 +
+     (CASE WHEN v[4] > 0.0 THEN 1 ELSE 0 END)) AS bucket
+  FROM e
+), ap AS (
+  SELECT query_id, vec_id, rank AS pos FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                            / sqrt(q.norm2 * c.norm2), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+), j AS (
+  SELECT ap.query_id, ap.pos, coalesce(ex.rel, 0) AS rel
+  FROM ap LEFT JOIN ex
+    ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+), pq AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         CAST(sum(rel * ({_rank_disc_nano!r}[CAST(pos AS INT)]))
+           AS BIGINT) AS dcg_nano,
+         min(CASE WHEN rel > 0 THEN pos END) AS first_hit
+  FROM j GROUP BY 1
+), spine AS (SELECT DISTINCT query_id FROM ex)
+SELECT s.query_id,
+       coalesce(pq.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(pq.dcg_nano, 0)::DOUBLE
+             / {float(_rank_idcg_nano)!r}, 6)::DOUBLE AS ndcg,
+       (CASE WHEN pq.first_hit IS NULL THEN 0.0
+             ELSE round(1.0 / pq.first_hit::DOUBLE, 6)
+        END)::DOUBLE AS mrr,
+       round(coalesce(pq.n_hits, 0)::DOUBLE / 10.0, 6)::DOUBLE
+         AS precision_at_k
+FROM spine s LEFT JOIN pq ON s.query_id = pq.query_id
 """
     )
     o["sim_topk_ivf"] = (

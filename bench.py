@@ -385,6 +385,9 @@ HEADLINE = [
     "docs_fleiss_kappa",
     "orders_page_trend",
     "orders_pot_gpd",
+    "docs_vocab_richness",
+    "sim_ranking_eval",
+    "orders_bradley_terry",
 ]
 
 
@@ -565,6 +568,9 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         timings[name] = _time_noop(df)
         spark.catalog.clearCache()
+        # progress marker so a killed/stalled run still shows where it
+        # was (stdout stays the one-JSON-line contract)
+        print(f"[bench] {name} {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters: the driver archives only the TAIL of this line, so

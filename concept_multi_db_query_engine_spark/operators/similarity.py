@@ -1774,3 +1774,83 @@ def intrinsic_dimension_two_nn(
             "* 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("id_mle"),
     )
+
+
+def ann_ranking_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graded ranking quality of the sign-LSH index against the exact
+    brute-force ranking: NDCG@k, MRR, and precision@k per query — the
+    standard retrieval-eval triple (recall@k alone treats rank 1 and
+    rank k the same; NDCG is what catches an index that finds the
+    right neighbors in the wrong order).  Completes the calibration
+    kit next to :func:`ann_recall_at_k` and :func:`ivf_tuning_curve`.
+
+    Relevance is graded from the exact ranking (rel = k+1-rank, so the
+    true nearest neighbor carries gain k), and every DCG discount
+    1/log2(pos+1) enters as a PRE-QUANTIZED nano-scaled integer
+    literal baked into the plan — the per-query DCG is then an exact
+    BIGINT sum (order-free, overflow-safe: k * k * 1e9 << 2^63), so
+    the metric is bit-reproducible on any engine and value-checkable
+    against a SQL oracle; no float summation order leaks in.
+
+    Scale shape: the exact leg is the broadcast-query BLAS matmul of
+    :func:`topk_cosine_bruteforce` (partition-local top-k, shuffle
+    bounded at k x partitions x |queries|); the approx leg is the
+    bucket join of :func:`topk_cosine_lsh`; the eval itself is one
+    k*|queries|-row join + groupBy — negligible.  At billion-vector
+    scale run on a sampled query set, exactly as recall is measured.
+    Output: (query_id, n_hits, ndcg, mrr, precision_at_k).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    exact = topk_cosine_bruteforce(
+        embeddings, queries, k, id_col, vec_col
+    ).select(
+        "query_id", "vec_id",
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"),
+    )
+    approx = topk_cosine_lsh(
+        embeddings, queries, k, bits, id_col, vec_col
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("pos"))
+    # nano-quantized DCG discounts, one literal per position: the ONLY
+    # irrational in the metric is frozen here, identically for any
+    # engine that replays these literals
+    disc_nano = [int(round(1e9 / math.log2(i + 1))) for i in range(1, k + 1)]
+    idcg_nano = sum((k + 1 - i) * disc_nano[i - 1] for i in range(1, k + 1))
+    disc_arr = "array(" + ", ".join(f"{d}L" for d in disc_nano) + ")"
+    j = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id", "pos", F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long").alias("n_hits"),
+        F.sum(F.expr(f"rel * element_at({disc_arr}, CAST(pos AS INT))"))
+        .cast("long").alias("dcg_nano"),
+        F.min(F.when(F.col("rel") > 0, F.col("pos"))).alias("first_hit"),
+    )
+    spine = exact.select("query_id").distinct()
+    return spine.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double")
+            / F.lit(float(idcg_nano)), 6,
+        ).cast("double").alias("ndcg"),
+        F.when(
+            F.col("first_hit").isNull(), F.lit(0.0)
+        ).otherwise(
+            F.round(F.lit(1.0) / F.col("first_hit").cast("double"), 6)
+        ).cast("double").alias("mrr"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(k)), 6,
+        ).cast("double").alias("precision_at_k"),
+    )

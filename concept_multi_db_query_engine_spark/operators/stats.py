@@ -7613,3 +7613,141 @@ def pot_gpd_fit(
             "* 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("beta_hat"),
     )
+
+
+def bradley_terry(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    iterations: int = 25,
+    max_groups: int = 24,
+) -> DataFrame:
+    """Bradley–Terry preference strengths over k groups from ALL
+    pairwise value comparisons — the model behind preference-data
+    curation for RLHF reward training ("which source wins head-to-head,
+    and by how much"), fit by the classic MM algorithm (Hunter 2004)
+    with ties split as half-wins (the Mann–Whitney convention).
+
+    The O(n²) pairwise tournament is never materialized: the full
+    k×k win matrix comes from the :func:`distributed_prefix_counts`
+    offset-rank primitive —
+
+        2·W[i→j] = Σ_v  c_i(v) · (2·cum_j(v) − c_j(v))
+
+    over the per-distinct-value group counts (one scan, one bounded
+    shuffle, exact DECIMAL(38,0) sums — the :func:`mann_whitney_u`
+    identity applied to every ordered pair at once).  The MM fixed-
+    point runs driver-side on the collected k×k matrix — k is loudly
+    bounded by ``max_groups`` (the :func:`kendall_tau_b` ``max_cells``
+    discipline), so the driver transfer is k² numbers, never data.
+    Every float the fit touches is IEEE-deterministic and order-pinned
+    (left-folded sums in ascending group order, doubles from exact
+    integer sums), so the whole fit is value-checkable against a SQL
+    oracle that replays the same recursion.
+
+    Returns one row per group ordered by group key:
+    (grp, n, wins, win_rate, bt_strength) — ``wins`` counts ties as
+    0.5, ``win_rate`` = wins / (n_i·(N−n_i)), ``bt_strength`` the
+    normalized MM strength (Σ = 1).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    base = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL"
+    ).select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).alias("v"),
+    )
+    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
+    # to one job; one extra row is enough to prove the contract broken
+    g_rows = base.select("g").distinct().limit(max_groups + 1).collect()
+    if len(g_rows) > max_groups:
+        raise ValueError(
+            f"bradley_terry: > max_groups={max_groups} distinct "
+            f"values in {group_col!r} — a continuous column here "
+            "means a k²-column aggregate and an unbounded driver "
+            "matrix at scale. Bucket the column first or raise "
+            "max_groups deliberately."
+        )
+    groups = sorted(r["g"] for r in g_rows)
+    k = len(groups)
+    if k < 2:
+        raise ValueError("bradley_terry needs >= 2 groups")
+    cells = base.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == F.lit(g), 1).otherwise(0))
+            .cast("long").alias(f"c{i}")
+            for i, g in enumerate(groups)
+        ]
+    )
+    cum, totals = distributed_prefix_counts(
+        cells, "v", [f"c{i}" for i in range(k)]
+    )
+    n_by_g = [int(totals[f"c{i}"]) for i in range(k)]
+    w2 = cum.agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(c{i} AS DECIMAL(38,0)) "
+                    f"* (2 * __cum_c{j} - c{j})"
+                )
+            ).cast("decimal(38,0)").alias(f"w2_{i}_{j}")
+            for i in range(k)
+            for j in range(k)
+            if i != j
+        ]
+    ).collect()[0]
+    # ---- driver-side MM fixed point over the k×k exact matrix ----
+    # every op below is a plain IEEE double op in a pinned order; the
+    # oracle replays the identical recursion
+    wm = [
+        [
+            0.0 if i == j else float(w2[f"w2_{i}_{j}"])
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    nd = [float(n) for n in n_by_g]
+    p = [1.0] * k
+    for _ in range(iterations):
+        newp = []
+        for i in range(k):
+            w2sum = 0.0
+            denom = 0.0
+            for j in range(k):
+                if j == i:
+                    continue
+                w2sum = w2sum + wm[i][j]
+                denom = denom + ((nd[i] * nd[j]) / (p[i] + p[j]))
+            newp.append((w2sum / 2.0) / denom if denom > 0.0 else 0.0)
+        s = 0.0
+        for x in newp:
+            s = s + x
+        p = [x / s for x in newp] if s > 0.0 else newp
+    rows = []
+    n_total = sum(n_by_g)
+    for i in range(k):
+        w2sum = 0.0
+        for j in range(k):
+            if j != i:
+                w2sum = w2sum + wm[i][j]
+        wins = w2sum / 2.0
+        comps = nd[i] * (float(n_total) - nd[i])
+        rows.append(
+            (groups[i], n_by_g[i], wins,
+             (wins / comps) if comps > 0.0 else None, p[i])
+        )
+    out = df.sparkSession.createDataFrame(
+        rows,
+        "grp string, n long, wins double, win_rate double, "
+        "bt_strength double",
+    )
+    # rounding happens JVM-side (HALF_UP, the house canon) — never in
+    # Python, whose round() is banker's
+    return out.select(
+        "grp", "n",
+        F.round(F.col("wins"), 6).cast("double").alias("wins"),
+        F.round(F.col("win_rate"), 6).cast("double").alias("win_rate"),
+        F.round(F.col("bt_strength"), 6).cast("double")
+        .alias("bt_strength"),
+    ).orderBy("grp")

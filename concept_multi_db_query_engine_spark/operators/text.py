@@ -3470,3 +3470,85 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(k)
     )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Chao1 species-richness estimate plus Good-Turing coverage of
+    the corpus n-gram vocabulary — "how much vocabulary is still
+    uncrawled": n-gram types are species, and the singleton/doubleton
+    counts (f1, f2) are sufficient statistics for both estimators.
+    Reference behavior class: corpus-diversity reporting over the
+    documents table (README.md:104's analytics surface), extended to
+    the training-data curation metrics the brief calls for.
+
+    * ``chao1_types`` = D + f1·(f1−1) / (2·(f2+1)) — the bias-
+      corrected Chao1 lower bound on total n-gram vocabulary size
+      (safe at f2 = 0).
+    * ``gt_coverage`` = 1 − f1/N — Good-Turing sample coverage: the
+      probability the NEXT n-gram drawn is an already-seen type.
+      Coverage stalling under growing N is the classic "crawl is
+      saturating" signal; ``unseen_mass`` = f1/N is its complement,
+      the expected rate of novel types.
+
+    ``ngram_n`` sets the species granularity: 1 = word types (small
+    natural-language vocabularies saturate fast — f1 → 0), 3 =
+    trigram phrases (the usual choice for "is this corpus still
+    producing novel text" monitoring).
+
+    Scale shape: ONE corpus scan → n-gram-frequency aggregate
+    (map-side-combined shuffle on the gram string, the same shape as
+    :func:`distinct_ngram_diversity`'s stream), then a 4-counter
+    aggregate over the type table (at 100 TB the type table is the
+    big-but-partitioned frame — no windows, no collect, no UDFs).
+    Returns one row: (types, tokens, f1, f2, chao1_types,
+    gt_coverage, unseen_mass).
+    """
+    if ngram_n < 1:
+        raise ValueError("ngram_n must be >= 1")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    n = ngram_n
+    gram_expr = (
+        f"IF(size(__toks) >= {n}, "
+        f"transform(sequence(1, size(__toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))), "
+        "CAST(array() AS ARRAY<STRING>))"
+    )
+    freq = (
+        docs.select(arr.alias("__toks"))
+        .select(F.explode(F.expr(gram_expr)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum("cnt").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"),
+    )
+    return m.select(
+        "types", "tokens", "f1", "f2",
+        F.expr(
+            "CAST(round((CAST(types AS DOUBLE) "
+            "+ CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0d) "
+            "/ (2.0d * (CAST(f2 AS DOUBLE) + 1.0d))) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("chao1_types"),
+        F.expr(
+            "CAST(round((1.0d - CAST(f1 AS DOUBLE) "
+            "/ nullif(CAST(tokens AS DOUBLE), 0.0d)) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("gt_coverage"),
+        F.expr(
+            "CAST(round(CAST(f1 AS DOUBLE) "
+            "/ nullif(CAST(tokens AS DOUBLE), 0.0d) "
+            "* 1000000.0d) AS BIGINT) / 1e6"
+        ).cast("double").alias("unseen_mass"),
+    )

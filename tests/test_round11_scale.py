@@ -41,3 +41,83 @@ class TestKmvNgramTwoLevelTopK:
         assert "WindowGroupLimit" in plan, plan
         assert ", Partial" in plan, plan
         assert ", Final" in plan, plan
+
+
+class TestVocabRichnessScale:
+    def test_two_aggregates_no_window_no_collect(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        df = ops.vocab_richness(docs)
+        plan = executed(df)
+        assert not unpartitioned_window_lines(plan)
+        # the token-frequency stage must map-side combine: a partial
+        # HashAggregate below the token-key exchange
+        assert "partial_count" in plan or "Partial" in plan, plan
+
+
+class TestBradleyTerryScale:
+    def test_win_matrix_leg_has_no_pair_join_no_global_window(
+        self, spark
+    ):
+        # bradley_terry() runs its heavy legs eagerly (bounded driver
+        # collects), so pin the W2 leg's plan by rebuilding it the way
+        # the operator does: per-value pivot -> offset-rank prefix
+        # counts -> one k^2-column aggregate
+        from pyspark.sql import functions as F
+
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        groups = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+        cells = orders.groupBy(
+            F.col("o_totalprice").alias("v")
+        ).agg(
+            *[
+                F.sum(
+                    F.when(F.col("o_orderpriority") == g, 1).otherwise(0)
+                ).cast("long").alias(f"c{i}")
+                for i, g in enumerate(groups)
+            ]
+        )
+        cum, _ = ops.distributed_prefix_counts(
+            cells, "v", [f"c{i}" for i in range(len(groups))]
+        )
+        w2 = cum.agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CAST(c{i} AS DECIMAL(38,0)) "
+                        f"* (2 * __cum_c{j} - c{j})"
+                    )
+                ).alias(f"w2_{i}_{j}")
+                for i in range(len(groups))
+                for j in range(len(groups))
+                if i != j
+            ]
+        )
+        plan = executed(w2)
+        # within-partition running sums only — the offset-rank shape
+        assert not unpartitioned_window_lines(plan)
+        # the n^2 tournament is algebraic: no pair join of any kind
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_returns_k_rows_and_is_deterministic(self, spark):
+        orders = testdata.load_table(spark, SF_DIR, "orders")
+        a = ops.bradley_terry(
+            orders, "o_orderpriority", "o_totalprice", iterations=5
+        ).collect()
+        b = ops.bradley_terry(
+            orders, "o_orderpriority", "o_totalprice", iterations=5
+        ).collect()
+        assert a == b and len(a) == 5
+
+
+class TestRankingEvalScale:
+    def test_query_side_broadcast(self, spark):
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        queries = emb.where("vec_id < 3")
+        df = ops.ann_ranking_eval(emb, queries, k=5, bits=4)
+        plan = executed(df)
+        # the LSH candidate join must broadcast the (tiny) query side,
+        # never shuffle the corpus by bucket
+        assert "BroadcastHashJoin" in plan, plan
+        assert not unpartitioned_window_lines(plan)
