@@ -1219,3 +1219,107 @@ def shewhart_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def kmv_distinct_stream(
+    live: DataFrame,
+    k: int = 256,
+    key_col: str = "series_key",
+    value_col: str = "v",
+):
+    """Streaming twin of ``operators.sketches.approx_distinct_kmv`` —
+    live distinct-diversity monitoring on the ingest feed ("is this
+    crawl stream still producing novel keys/n-grams") with BOUNDED
+    state: the k smallest 60-bit md5 hashes seen so far (the KMV
+    sketch — Bar-Yossef et al. 2002), merged per micro-batch.  The
+    state is O(k) doubles per key regardless of stream length, and
+    KMV merge = union-then-keep-k-smallest, so the same sketch also
+    unions across days/sources — the property HLL++ has, kept here in
+    a form every engine reproduces bit-for-bit.
+
+    Hashing matches the batch operator exactly (int(md5[:15], 16) →
+    correctly-rounded double → ÷2^60 power-of-two scale, zero extra
+    rounding), the estimate is the same ``(k-1)/max_h`` with
+    half-away round-4, and ``k_used < k`` degrades to the exact
+    distinct count — so each micro-batch emission equals the batch
+    sketch run over everything ingested so far (pinned in tests).
+
+    ``value_col`` must already be STRING — the md5 canon is defined
+    on the engine's string rendering, and streaming Python must not
+    re-implement Spark's number→string casts (format them upstream
+    with the same expression the batch query uses).  Emits one row
+    per key per micro-batch: (series_key, n_rows, k_used,
+    approx_distinct, max_h).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("k_used", T.LongType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+        T.StructField("max_h", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("hashes", T.ArrayType(T.DoubleType())),
+        T.StructField("n_rows", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        def half_away(v, scale):
+            q = v * scale
+            return (int(math.floor(abs(q) + 0.5))
+                    * (1 if q >= 0 else -1)) / scale
+
+        hashes: list = []
+        n_rows = 0
+        if state.exists:
+            hs, n0 = state.get
+            hashes = [float(h) for h in hs]
+            n_rows = int(n0)
+        seen = set(hashes)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                n_rows += 1
+                h = float(
+                    int(hashlib.md5(str(v).encode()).hexdigest()[:15],
+                        16)
+                ) / float(1 << 60)
+                if h not in seen:
+                    seen.add(h)
+                    hashes.append(h)
+        # keep-k-smallest: the whole KMV merge rule
+        hashes.sort()
+        del hashes[k:]
+        state.update((hashes, n_rows))
+        k_used = len(hashes)
+        max_h = hashes[-1] if hashes else None
+        est = (
+            half_away(float(k - 1) / max_h, 1e4)
+            if max_h else None
+        )
+        yield pd.DataFrame({
+            "series_key": [str(key[0])],
+            "n_rows": [n_rows],
+            "k_used": [k_used],
+            "approx_distinct": [est],
+            "max_h": [half_away(max_h, 1e6) if max_h else None],
+        })
+
+    return (
+        live.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

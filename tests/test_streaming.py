@@ -1520,3 +1520,73 @@ def test_shewhart_stream_matches_batch_with_frozen_limits(spark):
         assert s["r_ucl"] == b["r_ucl"] and s["r_lcl"] == b["r_lcl"], g
         assert s["ooc_mean"] == b["ooc_mean"], g
         assert s["ooc_range"] == b["ooc_range"], g
+
+
+def test_kmv_distinct_stream_matches_batch_across_micro_batches(spark):
+    """KMV streaming twin: the k smallest md5 hashes merged over two
+    micro-batches must re-emit exactly the batch approx_distinct_kmv
+    sketch over everything ingested — same hash, same (k-1)/max_h,
+    same round-4/round-6 canon (the sketch state is O(k) and the
+    merge rule is union-then-keep-k-smallest)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    # pre-cast to STRING once so batch and stream hash the identical
+    # rendering (the twin's documented value_col contract)
+    frame = orders.select(
+        F.lit("m1").alias("series_key"),
+        F.concat(F.lit("cust"), F.col("o_custkey").cast("string"))
+        .alias("v"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=True)
+    want = ops.approx_distinct_kmv(frame, "v", k=64).collect()[0]
+    d = tempfile.mkdtemp(prefix="stream-kmv-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.kmv_distinct_stream(src, k=64)
+    sw.run_stream_to_memory(plan, "kmv_stream_t", output_mode="update")
+    got = spark.sql(
+        "SELECT * FROM kmv_stream_t ORDER BY n_rows DESC LIMIT 1"
+    ).collect()[0]
+    assert got["k_used"] == want["k_used"] == 64
+    assert got["approx_distinct"] == want["approx_distinct"]
+    assert got["max_h"] == want["max_h"]
+
+
+def test_kmv_distinct_stream_exact_below_k(spark):
+    """k_used < k degrades to the exact distinct count — the standard
+    KMV contract, preserved by the twin."""
+    import os
+    import tempfile
+
+    rows = [("m1", f"val{i % 7}", i) for i in range(40)]
+    frame = spark.createDataFrame(
+        rows, "series_key string, v string, k long"
+    )
+    d = tempfile.mkdtemp(prefix="stream-kmv2-")
+    frame.where("k % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where("k % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.kmv_distinct_stream(src, k=64)
+    sw.run_stream_to_memory(plan, "kmv_stream_t2", output_mode="update")
+    got = spark.sql(
+        "SELECT * FROM kmv_stream_t2 ORDER BY n_rows DESC LIMIT 1"
+    ).collect()[0]
+    assert got["n_rows"] == 40
+    assert got["k_used"] == 7
