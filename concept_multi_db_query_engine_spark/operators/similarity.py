@@ -305,9 +305,13 @@ def ann_recall_at_k(
     brute-force side is the expensive leg — at billion-vector scale run
     this on a sampled query set, which is exactly how recall is measured
     in practice."""
+    # PIN the brute-force leg: it is referenced twice below (n_exact
+    # and the semi-join), and without a checkpoint each reference
+    # re-runs the full BLAS scan — the dominant cost at scale. The
+    # pinned frame is k x |queries| rows.
     exact = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
     approx = topk_cosine_lsh(
         embeddings, queries, k, bits, id_col, vec_col
     ).select("query_id", "vec_id")
@@ -1118,9 +1122,13 @@ def matryoshka_recall(
     if not dims:
         raise ValueError("dims must be non-empty")
     queries = embeddings.where(F.col(id_col) < n_queries)
+    # PIN the full-width truth leg: it is referenced three times PER
+    # TESTED DIM below (semi-join + n_pairs agg + cross), and each
+    # un-pinned reference re-runs the full-width BLAS scan — at scale
+    # that multiplies the most expensive leg by 3x|dims|.
     truth = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
     parts = []
     for d in sorted(set(dims)):
         t_emb = embeddings.select(
@@ -1271,9 +1279,11 @@ def ivf_tuning_curve(
     if not n_probes:
         raise ValueError("n_probes must be non-empty")
     queries = embeddings.where(F.col(id_col) < n_queries)
+    # PIN the truth leg (3 references per tested n_probe — the
+    # matryoshka_recall discipline).
     truth = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
     n_cells = embeddings.select(
         F.countDistinct(F.col(cluster_col)).cast("long").alias("nc"))
     parts = []
@@ -1811,12 +1821,15 @@ def ann_ranking_eval(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    # PIN the brute-force leg (referenced by the relevance join AND
+    # the query spine — the ann_recall_at_k discipline): k x |queries|
+    # rows, one BLAS scan instead of two.
     exact = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
     ).select(
         "query_id", "vec_id",
         (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"),
-    )
+    ).localCheckpoint(eager=True)
     approx = topk_cosine_lsh(
         embeddings, queries, k, bits, id_col, vec_col
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("pos"))

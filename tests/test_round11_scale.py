@@ -121,3 +121,30 @@ class TestRankingEvalScale:
         # never shuffle the corpus by bucket
         assert "BroadcastHashJoin" in plan, plan
         assert not unpartitioned_window_lines(plan)
+
+
+class TestBruteForceLegPinnedOnce:
+    def test_recall_and_ranking_eval_run_one_blas_scan(self, spark):
+        # the exact top-k leg is localCheckpoint'ed inside the eval
+        # operators, so the EXECUTED plan of the returned frame must
+        # contain NO MapInPandas at all — the BLAS leg ran exactly
+        # once, at pin time, not once per downstream reference
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        q = emb.where("vec_id < 3")
+        for df in (
+            ops.ann_recall_at_k(emb, q, k=5, bits=4),
+            ops.ann_ranking_eval(emb, q, k=5, bits=4),
+        ):
+            plan = executed(df)
+            assert "MapInPandas" not in plan, plan
+
+    def test_matryoshka_truth_leg_pinned(self, spark):
+        # truth is referenced 3x per tested dim; pinned, the executed
+        # plan re-runs the brute-force leg only for the per-dim
+        # truncated scans (one MapInPandas each), never for truth
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        df = ops.matryoshka_recall(emb, dims=[8, 16], k=5, n_queries=3)
+        # AQE's toString duplicates subtrees into an "== Initial Plan =="
+        # section — count only the final executed section
+        plan = executed(df).split("== Initial Plan ==")[0]
+        assert plan.count("MapInPandas") <= 2, plan
