@@ -1066,9 +1066,14 @@ def snn_graph(
     union trick: no extra join.  Returns (a, b, shared, mutual) for
     pairs with ``shared >= min_shared``, a < b.
     """
+    # PIN the edge frame: it is referenced three times below (both
+    # sides of the neighbor self-join + the directed-hit union), and
+    # the typical input is knn_graph's BLAS leg — un-pinned, every
+    # reference re-runs it. Lazy checkpoint: materialized once on
+    # first use, shared by all three references (n·k rows).
     e = edges.select(
         F.col(id_col).alias("src"), F.col(neighbor_col).alias("nbr")
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         e.alias("x").join(e.alias("y"), "nbr")
         .where(F.col("x.src") < F.col("y.src"))
