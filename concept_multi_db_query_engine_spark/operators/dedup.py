@@ -448,6 +448,10 @@ def minhash_estimate_pairs(
     modes in the same session; defaults to computing them here."""
     _, sigs = frames if frames is not None else minhash_frames(
         docs, k, num_hashes)
+    if frames is None:
+        # PIN the self-computed signature frame (3 references below —
+        # the minhash_lsh_pairs discipline).
+        sigs = sigs.localCheckpoint(eager=False)
     candidates = _lsh_candidates(sigs, num_hashes, bands)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -488,6 +492,14 @@ def minhash_lsh_pairs(
     """
     sh, sigs = frames if frames is not None else minhash_frames(
         docs, k, num_hashes)
+    if frames is None:
+        # PIN the self-computed signature frame: it is referenced three
+        # times below (candidates + both size sides) and each un-pinned
+        # reference re-runs the shingle scan + 16 min-aggregates — the
+        # stage the docstring calls dominant. n_docs x ~20 longs, one
+        # lazy materialization. Injected frames keep the caller's own
+        # persistence policy untouched.
+        sigs = sigs.localCheckpoint(eager=False)
     candidates = _lsh_candidates(sigs, num_hashes, bands)
     # Exact-Jaccard verification on CANDIDATES ONLY — this is the whole point
     # of LSH. (Running the full inverted-index jaccard and intersecting with
@@ -1302,6 +1314,10 @@ def bbit_minhash_pairs(
     hex_chars = b_bits // 4
     _, sigs = frames if frames is not None else minhash_frames(
         docs, k, num_hashes)
+    if frames is None:
+        # PIN the self-computed signature frame (3 references below —
+        # the minhash_lsh_pairs discipline).
+        sigs = sigs.localCheckpoint(eager=False)
     candidates = _lsh_candidates(sigs, num_hashes, bands)
     a = sigs.alias("a")
     b = sigs.alias("b")
