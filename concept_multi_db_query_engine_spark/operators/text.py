@@ -2655,15 +2655,21 @@ def bm25_topk(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
         .alias("term"),
     ).where(F.col("term") != "")
+    # PIN the two tiny aggregates referenced twice each (dl: stats agg
+    # + the score join; tf: the df_ agg + the score join) — un-pinned,
+    # each reference re-ran the full corpus tokenize+explode: 4 corpus
+    # scans per query instead of 2 (the minhash-signature pin class)
     dl = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("dl"))
+        F.count(F.lit(1)).cast("long").alias("dl")) \
+        .localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("tot_len"),
     )
     qt = toks.where(F.col("term").isin(terms))
     tf = qt.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
+        F.count(F.lit(1)).cast("long").alias("tf")) \
+        .localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
