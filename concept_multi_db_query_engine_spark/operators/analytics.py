@@ -388,13 +388,16 @@ def hourly_anomaly(
     so the window stage parallelizes across types and the state per task
     is ``trail`` rows.
     """
+    # PIN the hourly counts (referenced by the grid derivation AND the
+    # densify join — tiny: hours x types rows; un-pinned, each
+    # reference re-scanned the events table)
     observed = (
         events.groupBy(
             F.date_trunc("hour", F.col(ts_col)).alias("hour"),
             F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ).localCheckpoint(eager=False)
     grid = (
         observed.groupBy("event_type")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))

@@ -528,7 +528,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, min_len: int = 3) -> DataFrame:
         )
         .where(F.length("term") >= min_len)
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # PIN tf (referenced by the df_ aggregation AND the score join —
+    # the bm25_topk discipline): un-pinned, each reference re-ran the
+    # corpus tokenize+explode+groupBy
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
