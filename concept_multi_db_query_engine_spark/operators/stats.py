@@ -2765,6 +2765,10 @@ def kruskal_wallis(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # PIN the small multi-referenced aggregates (plan-audit class):
+    # cells feeds the value histogram AND the rank join; grp feeds the
+    # total AND the means
+    cells = cells.localCheckpoint(eager=False)
     vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
     vals, _ = distributed_prefix_counts(vals, "v", ["t"])
     vals = vals.select("v", "t", F.col("__before_t").alias("__before"))
@@ -3731,7 +3735,7 @@ def isotonic_calibration(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("y").cast("long").alias("n_pos"),
         )
-    )
+    ).localCheckpoint(eager=False)
     w_cum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0)
     pre = b.select(
@@ -3816,6 +3820,7 @@ def simpson_paradox(
             F.sum(F.when(~t, y).otherwise(0)).cast("long").alias("k_c"),
         )
     )
+    cells = cells.localCheckpoint(eager=False)
     tot = cells.agg(
         F.sum("n_t").cast("long").alias("tn_t"),
         F.sum("n_c").cast("long").alias("tn_c"),
@@ -4701,7 +4706,7 @@ def srm_check(
         df.where(f"({arm_col}) IS NOT NULL")
         .groupBy(F.expr(f"CAST(({arm_col}) AS STRING)").alias("arm"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_observed"))
-    )
+    ).localCheckpoint(eager=False)
     share_map = F.create_map(
         *[F.lit(v) for kv in expected_shares.items() for v in kv]
     )
@@ -4979,7 +4984,7 @@ def tukey_hsd(
             F.sum(x).alias("s_g"),
             F.sum(x * x).alias("q_g"),
         )
-    )
+    ).localCheckpoint(eager=False)
     tot = g.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -6865,7 +6870,7 @@ def dunns_test(
     grp = ranked.groupBy("g").agg(
         F.sum("c").cast("long").alias("n_g"),
         F.sum(F.expr("c * __r2")).cast("long").alias("__rsum2"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("n_g").cast("long").alias("n"),
     )
@@ -7189,7 +7194,10 @@ def _friedman_ranks(
                "* 1000000.0d) AS BIGINT)").alias("vq"),
     )
     # one value per (block, treatment): deterministic min if dupes
-    cells = base.groupBy("blk", "t").agg(F.min("vq").alias("vq"))
+    # PIN the per-cell frame: it feeds the k-probe action, the block
+    # sizes, and the rank join — blocks x k rows, one materialization
+    cells = base.groupBy("blk", "t").agg(F.min("vq").alias("vq")) \
+        .localCheckpoint(eager=False)
     k_row = cells.groupBy("t").count().select("t")
     k = k_row.count()
     sizes = cells.groupBy("blk").agg(
@@ -7422,7 +7430,11 @@ def fleiss_kappa(
     sizes = counts.groupBy("s").agg(
         F.sum("n_ic").cast("long").alias("m")
     ).where(F.col("m") == n_raters).select("s")
-    full = counts.join(sizes, "s")
+    # PIN the complete-block frame (referenced by the per-subject AND
+    # the per-category aggregations) and the one-row agg1 below — the
+    # multi-reference plan-audit class: un-pinned, this operator
+    # re-scanned its votes derivation up to 18x
+    full = counts.join(sizes, "s").localCheckpoint(eager=False)
     m_d = float(n_raters)
     per_subj = full.groupBy("s").agg(
         F.expr("CAST(sum(n_ic * n_ic) AS BIGINT)").alias("sq"),
@@ -7436,7 +7448,7 @@ def fleiss_kappa(
     agg1 = per_subj.agg(
         F.count(F.lit(1)).cast("long").alias("n_subj"),
         F.sum("pi_n").cast("long").alias("pi_sum_n"),
-    )
+    ).localCheckpoint(eager=False)
     cat = full.groupBy("c").agg(
         F.sum("n_ic").cast("long").alias("n_c")
     )
