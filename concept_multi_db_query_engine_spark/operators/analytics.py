@@ -1007,13 +1007,17 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
             .groupBy("user_id")
             .agg(F.min("ts").alias(f"t_{i}"))
         )
-        running = running.join(nxt, "user_id", "left")
+        # PIN each level: running is referenced twice per step (the
+        # step join + the carry left-join), so un-pinned the chain
+        # re-expands 2^k-fold — 22 event scans for a 4-step funnel
+        running = running.join(nxt, "user_id", "left") \
+            .localCheckpoint(eager=False)
     counts = running.agg(
         *[
             F.count(F.col(f"t_{i}")).alias(f"n_{i}")
             for i in range(len(steps))
         ]
-    )
+    ).localCheckpoint(eager=False)  # one row, read by every union arm
     rows = None
     for i, st in enumerate(steps):
         base = counts.select(

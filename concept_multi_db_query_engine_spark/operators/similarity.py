@@ -109,6 +109,93 @@ def topk_cosine_bruteforce(
     )
 
 
+def _ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    max_probe: int,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+) -> DataFrame:
+    """Shared IVF candidate generator: exact cosines of every corpus
+    vector in each query's ``max_probe`` nearest cells, tagged with
+    ``crank`` — the probe rank of the cell that admitted the
+    candidate.  ``where(crank <= p)`` reproduces the exact p-probe
+    candidate set for any p <= max_probe, which is what lets
+    :func:`ivf_tuning_curve` build the index ONCE and sweep probe
+    settings by filter (it used to rebuild centroids + assignment per
+    tested p — 15 corpus scans for a 3-point curve)."""
+    dot_cv = (
+        "aggregate(zip_with(v, cv, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    norm_cv = (
+        "aggregate(cv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    )
+
+    # PIN the centroid table (tiny: cells x dim) — it is referenced by
+    # BOTH the corpus assignment and the query probes, and un-pinned
+    # each reference re-ran the centroid aggregation over the corpus
+    centroids = (
+        embeddings.select(
+            F.col(cluster_col).alias("cid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cx")
+        )
+        .groupBy("cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc")
+        )
+        .select("cid", F.expr("transform(pc, p -> p.cx)").alias("cv"))
+    ).localCheckpoint(eager=False)
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            "vid", "v", "norm2", "cid",
+            (
+                F.expr(dot_cv)
+                / F.sqrt(F.col("norm2") * F.expr(norm_cv))
+            ).alias("ccos"),
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n)
+        )
+
+    corpus = nearest_cells(_with_norm(embeddings, id_col, vec_col), 1).select(
+        F.col("vid").alias("c_vid"), F.col("v").alias("c_v"),
+        F.col("norm2").alias("c_norm2"), "cid",
+    )
+    probes = nearest_cells(_with_norm(queries, id_col, vec_col), max_probe)
+    return (
+        corpus.join(F.broadcast(probes), "cid")
+        .where(F.col("vid") != F.col("c_vid"))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("c_vid").alias("vec_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, c_v, (x, y) -> "
+                    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+                )
+                / F.sqrt(F.col("norm2") * F.col("c_norm2")),
+                6,
+            ).alias("cosine"),
+            "crank",
+        )
+    )
+
+
 def topk_cosine_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -134,73 +221,9 @@ def topk_cosine_ivf(
     the standard ANN layout for billion-vector corpora (IVF-Flat).
     Output: (query_id, vec_id, cosine, rank).
     """
-    dot_cv = (
-        "aggregate(zip_with(v, cv, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-    )
-    norm_cv = (
-        "aggregate(cv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
-    )
-
-    centroids = (
-        embeddings.select(
-            F.col(cluster_col).alias("cid"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        )
-        .groupBy("cid", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("cx")
-        )
-        .groupBy("cid")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc")
-        )
-        .select("cid", F.expr("transform(pc, p -> p.cx)").alias("cv"))
-    )
-
-    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
-        """(vid, v, norm2, cid, rank) for the n nearest centroids."""
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            "vid", "v", "norm2", "cid",
-            (
-                F.expr(dot_cv)
-                / F.sqrt(F.col("norm2") * F.expr(norm_cv))
-            ).alias("ccos"),
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("ccos").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= n)
-        )
-
-    corpus = nearest_cells(_with_norm(embeddings, id_col, vec_col), 1).select(
-        F.col("vid").alias("c_vid"), F.col("v").alias("c_v"),
-        F.col("norm2").alias("c_norm2"), "cid",
-    )
-    probes = nearest_cells(_with_norm(queries, id_col, vec_col), n_probe)
-
-    scored = (
-        corpus.join(F.broadcast(probes), "cid")
-        .where(F.col("vid") != F.col("c_vid"))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("c_vid").alias("vec_id"),
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(v, c_v, (x, y) -> "
-                    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
-                )
-                / F.sqrt(F.col("norm2") * F.col("c_norm2")),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    scored = _ivf_candidates(
+        embeddings, queries, n_probe, id_col, vec_col, cluster_col
+    ).drop("crank")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -1291,12 +1314,23 @@ def ivf_tuning_curve(
     ).select("query_id", "vec_id").localCheckpoint(eager=True)
     n_cells = embeddings.select(
         F.countDistinct(F.col(cluster_col)).cast("long").alias("nc"))
+    # build the index ONCE at the largest probe setting; each tested p
+    # is a crank filter over the pinned candidate frame (bounded:
+    # |queries| x max_probe cells' members)
+    cands = _ivf_candidates(
+        embeddings, queries, max(n_probes), id_col, vec_col, cluster_col
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     parts = []
     for p in sorted(set(n_probes)):
-        got = topk_cosine_ivf(
-            embeddings, queries, k, n_probe=p,
-            id_col=id_col, vec_col=vec_col, cluster_col=cluster_col,
-        ).select("query_id", "vec_id")
+        got = (
+            cands.where(F.col("crank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
         hits = truth.join(got, ["query_id", "vec_id"], "left_semi")
         parts.append(
             truth.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
