@@ -1420,6 +1420,11 @@ def ranking_rbo(
         F.col(query_col).alias("__q"), F.col(id_col).alias("__i"),
         F.col(rank_col).alias("__rb"),
     )
+    # PIN both rank frames: each is referenced twice (the overlap join
+    # + the query spine), and the typical inputs are brute-force ANN
+    # legs — queries x k rows, one lazy materialization each
+    ar = ar.localCheckpoint(eager=False)
+    br = br.localCheckpoint(eager=False)
     overlap = (
         ar.join(br, ["__q", "__i"])
         .select("__q", F.expr(case).alias("__w"))
@@ -1539,6 +1544,9 @@ def triplet_mining(
             {"__lid": id_col, "__lbl": "anchor_label"}), id_col)
         .join(labels.withColumnsRenamed(
             {"__lid": "neighbor_id", "__lbl": "nb_label"}), "neighbor_id")
+        # PIN: referenced by BOTH the positive and negative branches —
+        # un-pinned, each branch re-ran the kNN BLAS leg (n x k rows)
+        .localCheckpoint(eager=False)
     )
     w_pos = Window.partitionBy(id_col).orderBy(
         F.col("cosine").asc(), F.col("neighbor_id").asc())
