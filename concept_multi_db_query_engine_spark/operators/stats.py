@@ -263,11 +263,13 @@ def _chi2_folded(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Shared contingency machinery: one row with (n_rows, n_cells, ka,
     kb, chi2_raw) — consumed by :func:`chi_square_independence` and
     :func:`cramers_v`."""
+    # PIN the cell frame: ka x kb rows referenced four times (row/col/
+    # grand totals + the cells join) — un-pinned, four corpus scans
     obs = (
         df.groupBy(
             F.col(col_a).alias("a"), F.col(col_b).alias("b")
         ).agg(F.count(F.lit(1)).alias("obs"))
-    )
+    ).localCheckpoint(eager=False)
     row_tot = obs.groupBy("a").agg(F.sum("obs").alias("ra"))
     col_tot = obs.groupBy("b").agg(F.sum("obs").alias("cb"))
     n_tot = obs.agg(F.sum("obs").alias("n"))
@@ -5539,7 +5541,8 @@ def cusum_control(
     pts = series.select(
         F.col(idx_col).alias("idx"),
         F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("x"),
-    ).where(F.col("idx").isNotNull() & F.col("x").isNotNull())
+    ).where(F.col("idx").isNotNull() & F.col("x").isNotNull()) \
+        .localCheckpoint(eager=False)  # referenced by mu AND staged
     # explicit exact-sum/count mean (avg() internals differ per engine)
     mu = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n_periods"),

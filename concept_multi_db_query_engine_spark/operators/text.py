@@ -1203,7 +1203,7 @@ def token_jsd_drift(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
-    )
+    ).localCheckpoint(eager=False)  # vocab rows; tots + packed refs
     tots = comb.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
