@@ -892,7 +892,10 @@ def event_cooccurrence(events: DataFrame) -> DataFrame:
     fixed-order double expression over exact longs, so both engines
     compute identical values.
     """
-    baskets = events.select("user_id", "event_type").distinct()
+    # users x |event_types| rows, referenced four times (user count +
+    # both self-join sides + per-type counts) — pin once
+    baskets = events.select("user_id", "event_type").distinct() \
+        .localCheckpoint(eager=False)
     n_users = baskets.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("n_users")
     )

@@ -1510,7 +1510,8 @@ def fellegi_sunter_weights(
             F.sum(F.when(~is_m & agree, 1).otherwise(0)).cast("long")
             .alias(f"au{i}")
         )
-    tot = pairs.agg(*aggs)
+    # one row, read once per field by the union arms below
+    tot = pairs.agg(*aggs).localCheckpoint(eager=False)
     frames = []
     for i, name in enumerate(names):
         m_p = (f"((CAST(am{i} AS DOUBLE) + 1.0d) "
