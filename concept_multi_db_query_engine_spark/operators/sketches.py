@@ -148,8 +148,15 @@ def kmv_set_resemblance(
             .limit(k)
         )
 
-    sa, sb = _sketch(df_a), _sketch(df_b)
-    m = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    # PIN all three <= k-row sketch frames: sa/sb feed the union AND
+    # the semi-joins, m feeds the semi-join chain AND its own stats —
+    # un-pinned, each reference re-scanned the corpus side (6 scans)
+    sa, sb = (
+        _sketch(df_a).localCheckpoint(eager=False),
+        _sketch(df_b).localCheckpoint(eager=False),
+    )
+    m = sa.unionByName(sb).distinct().orderBy("h").limit(k) \
+        .localCheckpoint(eager=False)
     both = m.join(sa, "h", "semi").join(sb, "h", "semi")
     stats_m = m.agg(
         F.count(F.lit(1)).alias("k_used"), F.max("h").alias("max_h")
