@@ -148,3 +148,50 @@ class TestBruteForceLegPinnedOnce:
         # section — count only the final executed section
         plan = executed(df).split("== Initial Plan ==")[0]
         assert plan.count("MapInPandas") <= 2, plan
+
+
+class TestScanBudgets:
+    # regression lock for the round-11 multi-reference audit: each
+    # fixed query's FINAL executed plan must stay within its scan
+    # budget (pinned legs scan at checkpoint time, exactly once —
+    # repeated "Scan parquet" nodes mean a pin was dropped)
+    BUDGETS = {
+        "events_funnel_steps": 1,
+        "sim_ivf_tuning": 3,
+        "sim_rank_rbo": 1,
+        "embeddings_triplets": 1,
+        "docs_fleiss_kappa": 1,
+        "orders_friedman": 1,
+        "docs_chi_square": 1,
+        "docs_cramers_v": 1,
+        "orders_cusum_control": 2,
+        "events_kmv_resemblance": 1,
+        "events_cooccurrence": 1,
+        "suppliers_fellegi_sunter": 2,
+        "docs_bm25_topk": 1,
+        "text_tfidf_top_terms": 1,
+        "events_hourly_anomaly": 2,
+        "orders_tukey_hsd": 1,
+        "orders_dunns_test": 1,
+        "orders_srm_check": 1,
+        "docs_isotonic_calibration": 1,
+        "orders_simpson_paradox": 1,
+        "docs_token_jsd_drift": 2,
+    }
+
+    def test_fixed_queries_stay_within_scan_budget(self, spark):
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        over = []
+        for name, budget in self.BUDGETS.items():
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            plan = (
+                df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+            n = plan.count("Scan parquet")
+            if n > budget:
+                over.append((name, n, budget))
+        assert not over, over
