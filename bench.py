@@ -1,11 +1,28 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"queries": {...wall...}, "queries_cpu": {...cpu...}, "sf": ...,
+ "cpu_value": total_cpu_sec, "metric": ..., "value": total_wall_sec}
 
 Each query is materialized through the noop sink — full plan execution
 (scan → shuffle → aggregate) without driver-collect overhead distorting the
 measurement.
+
+Two numbers per row:
+
+- **wall** — elapsed seconds. Sensitive to co-tenant CPU steal on this
+  host (documented ±30% across machine states in rounds 10-11).
+- **cpu** — process CPU seconds actually consumed: the local-mode JVM's
+  utime+stime from /proc (all 32 executor threads live in that one
+  process) plus the Python driver's process_time. Steal-invariant —
+  a co-tenant burst inflates wall but not cpu — so round-over-round
+  regression calls should cite the cpu column.
+
+Timing attribution: queries whose operators execute Spark jobs at
+CONSTRUCTION time (eager localCheckpoint pins, driver-side model fits)
+are auto-detected via the status-tracker job counter and reported as
+construction + min-of-2 action — the pinned legs are timed exactly once,
+cold. Purely lazy queries keep the historical min-of-2 action timing.
 """
 
 from __future__ import annotations
@@ -391,6 +408,32 @@ HEADLINE = [
 ]
 
 
+class _CpuClock:
+    """Cumulative process-CPU seconds: local-mode JVM (utime+stime from
+    /proc — one process holds every executor thread) + the Python driver.
+    Steal-invariant: co-tenant load inflates wall time, not this."""
+
+    def __init__(self, spark) -> None:
+        self._pid = None
+        self._tck = 100.0
+        try:
+            self._pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+            self._tck = float(os.sysconf("SC_CLK_TCK"))
+            self.now()  # probe /proc once; disable on any failure
+        except Exception:
+            self._pid = None
+
+    def now(self) -> float:
+        py = time.process_time()
+        if self._pid is None:
+            return py
+        with open(f"/proc/{self._pid}/stat") as f:
+            # field 2 (comm) may contain spaces/parens; utime/stime are
+            # fields 14/15 → idx 11/12 after the closing paren
+            parts = f.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / self._tck + py
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -399,19 +442,53 @@ def main() -> None:
     queries = entry_mod.queries()
     # JVM/codegen warmup on the smallest table
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # pre-warm the parquet schema memo for every table: the FIRST
+    # schema-inferring read of a path runs a 1-task footer job, which would
+    # otherwise be billed to (and mis-flag as construction-eager) whichever
+    # query touches that table first
+    from concept_multi_db_query_engine_spark import testdata as _td
 
-    def _time_noop(df) -> float:
-        # two executions, report the min: the host shows multi-second CPU
-        # steal from co-tenants, so a single sample can be 4x off; min-of-2
-        # measures the engine's steady-state plan, not the neighbors
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        return round(best, 4)
+    for _t in ("region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings"):
+        _td.load_table(spark, sf_dir, _t)
+
+    clock = _CpuClock(spark)
+    tracker = spark.sparkContext.statusTracker()
+
+    def _max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
+
+    def _record(name: str, wall: float, cpu: float) -> None:
+        timings[name] = round(wall, 4)
+        cpu_timings[name] = round(cpu, 4)
+        # progress marker so a killed/stalled run still shows where it
+        # was (stdout stays the one-JSON-line contract)
+        print(f"[bench] {name} {wall:.3f}s cpu={cpu:.3f}s", file=sys.stderr)
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _timed(fn) -> tuple[float, float]:
+        w0, c0 = time.perf_counter(), clock.now()
+        fn()
+        return time.perf_counter() - w0, clock.now() - c0
+
+    def _min2(df) -> tuple[float, float]:
+        # two executions, report the min of each column: the host shows
+        # multi-second CPU steal from co-tenants, so a single wall sample
+        # can be 4x off; min-of-2 measures the engine's steady-state plan,
+        # not the neighbors
+        walls, cpus_ = [], []
+        for _ in range(2):
+            w, c = _timed(lambda: _noop(df))
+            walls.append(w)
+            cpus_.append(c)
+        return min(walls), min(cpus_)
+
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
             # The two minhash scoring modes share their signature stage
@@ -427,22 +504,24 @@ def main() -> None:
             docs = td.load_table(spark, sf_dir, "documents")
             sh, sigs = ops.minhash_frames(docs, k=5, num_hashes=16)
             sh, sigs = sh.persist(), sigs.persist()
-            start = time.perf_counter()
-            sigs.write.format("noop").mode("overwrite").save()
-            sh.count()
-            timings["dedup_minhash_shared_sigs"] = round(
-                time.perf_counter() - start, 4)
-            timings["dedup_minhash_lsh"] = _time_noop(
+
+            def _shared() -> None:
+                _noop(sigs)
+                sh.count()
+
+            w, c = _timed(_shared)
+            _record("dedup_minhash_shared_sigs", w, c)
+            _record("dedup_minhash_lsh", *_min2(
                 ops.minhash_lsh_pairs(docs, k=5, num_hashes=16, bands=4,
-                                      threshold=0.5, frames=(sh, sigs)))
-            timings["dedup_minhash_estimate"] = _time_noop(
+                                      threshold=0.5, frames=(sh, sigs))))
+            _record("dedup_minhash_estimate", *_min2(
                 ops.minhash_estimate_pairs(docs, k=5, num_hashes=16,
                                            bands=4, min_estimate=0.5,
-                                           frames=(sh, sigs)))
-            timings["dedup_bbit_minhash"] = _time_noop(
+                                           frames=(sh, sigs))))
+            _record("dedup_bbit_minhash", *_min2(
                 ops.bbit_minhash_pairs(docs, k=5, num_hashes=16,
                                        bands=4, b_bits=8,
-                                       frames=(sh, sigs)))
+                                       frames=(sh, sigs))))
             sh.unpersist()
             sigs.unpersist()
             spark.catalog.clearCache()
@@ -466,10 +545,11 @@ def main() -> None:
                 SF.col("vec_id").alias("src"),
                 SF.col("neighbor_id").alias("dst"),
             ).localCheckpoint(eager=True)
-            start = time.perf_counter()
-            pr = ops.pagerank(edges, iterations=8)
-            pr.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                _noop(ops.pagerank(edges, iterations=8))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
         if name == "graph_pagerank_dangling":
@@ -484,11 +564,12 @@ def main() -> None:
                 SF.col("vec_id").alias("src"),
                 SF.col("neighbor_id").alias("dst"),
             ).where(SF.col("src") % 2 == 0).localCheckpoint(eager=True)
-            start = time.perf_counter()
-            pr = ops.pagerank(edges, iterations=6,
-                              redistribute_dangling=True)
-            pr.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                _noop(ops.pagerank(edges, iterations=6,
+                                   redistribute_dangling=True))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
         if name == "dedup_semantic_survivors":
@@ -503,14 +584,15 @@ def main() -> None:
             pairs = ops.semantic_dedup_pairs(
                 emb, k=8, iterations=3, threshold=0.3
             ).select("d1", "d2").localCheckpoint(eager=True)
-            start = time.perf_counter()
-            dropped = ops.duplicate_clusters(pairs).where(
-                "doc_id != cluster_id"
-            ).select(SF.col("doc_id").alias("vec_id"))
-            emb.select("vec_id", "label").join(
-                dropped, "vec_id", "left_anti"
-            ).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                dropped = ops.duplicate_clusters(pairs).where(
+                    "doc_id != cluster_id"
+                ).select(SF.col("doc_id").alias("vec_id"))
+                _noop(emb.select("vec_id", "label").join(
+                    dropped, "vec_id", "left_anti"))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
         if name == "docs_bpe_train":
@@ -521,10 +603,11 @@ def main() -> None:
             from concept_multi_db_query_engine_spark import testdata as td
 
             docs = td.load_table(spark, sf_dir, "documents")
-            start = time.perf_counter()
-            m = ops.bpe_train_merges(docs, n_merges=8)
-            m.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                _noop(ops.bpe_train_merges(docs, n_merges=8))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
         if name == "graph_label_propagation":
@@ -541,10 +624,11 @@ def main() -> None:
                 SF.col("vec_id").alias("src"),
                 SF.col("neighbor_id").alias("dst"),
             ).localCheckpoint(eager=True)
-            start = time.perf_counter()
-            lp = ops.label_propagation(edges, iterations=4)
-            lp.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                _noop(ops.label_propagation(edges, iterations=4))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
         if name == "graph_personalized_pagerank":
@@ -559,18 +643,31 @@ def main() -> None:
                 SF.col("vec_id").alias("src"),
                 SF.col("neighbor_id").alias("dst"),
             ).localCheckpoint(eager=True)
-            start = time.perf_counter()
-            ppr = ops.personalized_pagerank(edges, [0, 1, 2], iterations=8)
-            ppr.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+
+            def _run() -> None:
+                _noop(ops.personalized_pagerank(edges, [0, 1, 2],
+                                                iterations=8))
+
+            _record(name, *_timed(_run))
             spark.catalog.clearCache()
             continue
+        # Generic row. Operators that execute Spark jobs at CONSTRUCTION
+        # time (eager localCheckpoint pins, driver-side model fits) do
+        # their dominant work before any noop action — detected via the
+        # status-tracker job counter and billed: construction once (cold)
+        # + min-of-2 action. Purely lazy plans keep min-of-2 action only.
+        j0 = _max_job_id()
+        w0, c0 = time.perf_counter(), clock.now()
         df = queries[name](spark, sf_dir)
-        timings[name] = _time_noop(df)
+        cons_w = time.perf_counter() - w0
+        cons_c = clock.now() - c0
+        construction_ran_jobs = _max_job_id() > j0
+        act_w, act_c = _min2(df)
+        if construction_ran_jobs:
+            _record(name, cons_w + act_w, cons_c + act_c)
+        else:
+            _record(name, act_w, act_c)
         spark.catalog.clearCache()
-        # progress marker so a killed/stalled run still shows where it
-        # was (stdout stays the one-JSON-line contract)
-        print(f"[bench] {name} {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters: the driver archives only the TAIL of this line, so
@@ -580,9 +677,12 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "queries_cpu": cpu_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "unit": "sec",
+                "cpu_metric": "headline-suite process-CPU time (JVM+py)",
+                "cpu_value": round(sum(cpu_timings.values()), 4),
                 "metric": "headline-suite wall time",
                 "value": round(sum(timings.values()), 4),
             }

@@ -15,6 +15,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .errors import EXECUTOR_MISSING, ConnectionError, ErrorItem
 
+# process-level memo of inferred parquet schemas, keyed by path. The first
+# read of a path infers the schema from file footers (a 1-task Spark job +
+# footer I/O); every later read passes the cached StructType explicitly —
+# zero jobs, zero footer reads. At cluster scale this removes a per-read
+# fixed cost on hot tables (directory listing is already amortized by
+# Spark's shared FileStatusCache); it also keeps bench.py's
+# construction-job eagerness detection exact. Assumes a path's schema is
+# stable within one driver process — true for immutable lake snapshots.
+_PARQUET_SCHEMA_CACHE: dict[str, Any] = {}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the process-level inferred-schema memo."""
+    schema = _PARQUET_SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 class Source:
     """One logical database. Subclasses map physical table names to lazy
@@ -51,7 +71,7 @@ class ParquetSource(Source):
 
     def df(self, spark: SparkSession, physical_name: str) -> DataFrame:
         stem = self.aliases.get(physical_name, physical_name)
-        df = spark.read.parquet(f"{self.directory}/{stem}.parquet")
+        df = read_parquet(spark, f"{self.directory}/{stem}.parquet")
         # post sees the REQUESTED name (not the aliased stem) so derived
         # views (e.g. doc_terms over documents) can attach their projection
         return self.post(physical_name, df) if self.post else df

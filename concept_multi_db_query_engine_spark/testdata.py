@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import MultiDb
-from .sources import ParquetSource, SourceRegistry
+from .sources import ParquetSource, SourceRegistry, read_parquet
 
 # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long (with the
 # legacy conf) and we convert to micros — integer `div` so no double rounding
@@ -49,7 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with schema normalization applied."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_table(
-        name, spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        name, read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
     )
 
 
