@@ -44,8 +44,17 @@ def approx_distinct_kmv(df: DataFrame, column: str, k: int = 256) -> DataFrame:
     Returns one row: (approx_distinct, k_used, max_h). When the true
     distinct count is below ``k``, k_used < k and the caller can read the
     exact count off k_used directly (the estimate degrades; standard KMV
-    practice is to use k_used when k_used < k)."""
-    hashes = df.select(_uniform_hash(F.col(column)).alias("h")).distinct()
+    practice is to use k_used when k_used < k).
+
+    NULLs are excluded BEFORE hashing — md5(NULL) is a NULL hash that
+    would survive distinct() and occupy a k-min slot (Spark sorts NULLS
+    FIRST ascending), silently inflating k_used by one; filtering keeps
+    the sketch aligned with COUNT(DISTINCT ...) semantics and with the
+    streaming twin (``kmv_distinct_stream``), which skips NULLs."""
+    hashes = (
+        df.where(F.col(column).isNotNull())
+        .select(_uniform_hash(F.col(column)).alias("h")).distinct()
+    )
     kmin = hashes.orderBy("h").limit(k)
     return kmin.agg(
         F.round(F.lit(k - 1) / F.max("h"), 4).alias("approx_distinct"),
@@ -62,7 +71,8 @@ def kmv_oracle_sql(table: str, column: str, k: int = 256) -> str:
         f"AS UBIGINT) / CAST(1152921504606846976 AS DOUBLE)"
     )
     return f"""
-WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}
+                WHERE {column} IS NOT NULL),
 kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
 SELECT round({k - 1} / max(h), 4) AS approx_distinct,
        count(*) AS k_used,
@@ -112,7 +122,8 @@ def kmv_vs_exact_oracle_sql(table: str, column: str, k: int = 256) -> str:
         f"AS UBIGINT) / CAST(1152921504606846976 AS DOUBLE)"
     )
     return f"""
-WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}),
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM {table}
+                WHERE {column} IS NOT NULL),
 kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
 SELECT (SELECT count(DISTINCT {column}) FROM {table}) AS exact,
        (SELECT round({k - 1} / max(h), 4) FROM kmin) AS kmv_estimate
@@ -141,8 +152,12 @@ def kmv_set_resemblance(
     """
 
     def _sketch(df: DataFrame) -> DataFrame:
+        # NULLs out before hashing — same rationale as
+        # :func:`approx_distinct_kmv` (a NULL hash sorts first and
+        # would steal a k-min slot)
         return (
-            df.select(_uniform_hash(F.col(column)).alias("h"))
+            df.where(F.col(column).isNotNull())
+            .select(_uniform_hash(F.col(column)).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)
@@ -194,11 +209,13 @@ def kmv_resemblance_oracle_sql(
     return f"""
 WITH sa AS (
   SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
-                 WHERE {table_a_where}) ORDER BY h LIMIT {k}
+                 WHERE ({table_a_where}) AND {column} IS NOT NULL)
+  ORDER BY h LIMIT {k}
 ),
 sb AS (
   SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
-                 WHERE {table_b_where}) ORDER BY h LIMIT {k}
+                 WHERE ({table_b_where}) AND {column} IS NOT NULL)
+  ORDER BY h LIMIT {k}
 ),
 m AS (
   SELECT h FROM (SELECT DISTINCT h FROM (

@@ -6837,6 +6837,7 @@ def dunns_test(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    max_groups: int = 100,
 ) -> DataFrame:
     """Dunn's post-hoc pairwise comparisons after a significant
     :func:`kruskal_wallis` — WHICH groups differ, on the same global
@@ -6853,7 +6854,27 @@ def dunns_test(
     the k-row group frame self-joins for the pairs.  Returns
     (group_a, group_b, mean_rank_a, mean_rank_b, z_stat) ordered by
     (group_a, group_b).
+
+    The k² pairwise output only makes sense for a handful of named
+    treatments, so ``max_groups`` is probed loudly (the
+    :func:`jonckheere_terpstra` / :func:`bradley_terry` house pattern):
+    a continuous group column raises instead of silently exploding
+    into an enormous pairwise frame.
     """
+    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
+    # scan itself — one extra row is enough to prove the overflow
+    g_probe = (
+        df.where(f"({group_col}) IS NOT NULL")
+        .select(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+        .distinct().limit(max_groups + 1).collect()
+    )
+    if len(g_probe) > max_groups:
+        raise ValueError(
+            f"dunns_test: > max_groups={max_groups} distinct "
+            f"values in {group_col!r}; post-hoc pairwise comparisons "
+            "need a small set of named treatments — bucket the column "
+            "first (tiers, deciles) or raise max_groups deliberately."
+        )
     cells = (
         df.where(f"({group_col}) IS NOT NULL "
                  f"AND ({value_col}) IS NOT NULL")

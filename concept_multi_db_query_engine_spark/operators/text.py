@@ -3340,18 +3340,24 @@ def distinct_ngram_diversity_approx(
     value-checkable against a DuckDB oracle — not just
     tolerance-tested.
 
-    Shape: the shared kind-tagged stream → per-(n, hash) distinct
-    (map-side partial) → per-n k smallest via ``row_number ≤ k``,
-    which Catalyst compiles to a two-level ``WindowGroupLimit``
-    (PARTIAL mode keeps each map task's k smallest per n BEFORE the
-    exchange — pinned in ``tests/test_round11_scale.py``), so the
-    per-n reducer receives ≤ k·n_tasks hashes, never the full
-    distinct-hash frame — the one-reducer-per-n bottleneck this twin
-    exists to avoid is optimized away declaratively.  When a kind has
-    fewer than k distinct n-grams the sketch IS the set and the
-    estimate switches to the exact ``k_used`` (standard KMV
-    practice).  Returns one row per n: (n, total_ngrams, k_used,
-    distinct_est) ordered by n.
+    Shape: the shared kind-tagged stream → per-n k smallest DISTINCT
+    hashes via ``dense_rank ≤ k`` directly on the raw hash stream —
+    dense_rank (not row_number) because it ranks distinct hash
+    values, so duplicate occurrences can't crowd real candidates out
+    of a task's k-minima.  Catalyst compiles the filter to a
+    two-level ``WindowGroupLimit`` (PARTIAL mode keeps each map
+    task's k smallest distinct hashes BEFORE the exchange — pinned in
+    ``tests/test_round11_scale.py``), so no corpus-sized frame ever
+    crosses the wire: the only full-width exchange the round-10
+    version had — the ``(n, hash)`` pre-distinct, which shuffled
+    every distinct hash once — is gone; dedup now runs on the ≤
+    k·n_tasks survivors (plus their in-task duplicate occurrences —
+    expected ~total/|D| each, negligible for diverse corpora; a
+    degenerate <k-distinct corpus degrades to the old linear narrow
+    exchange, never worse).  When a kind has fewer than k distinct
+    n-grams the sketch IS the set and the estimate switches to the
+    exact ``k_used`` (standard KMV practice).  Returns one row per n:
+    (n, total_ngrams, k_used, distinct_est) ordered by n.
     """
     from pyspark.sql import Window
 
@@ -3365,10 +3371,14 @@ def distinct_ngram_diversity_approx(
     )
     hashes = stream.select(
         "n", _uniform_hash(F.col("g")).alias("h")
-    ).distinct()
+    )
     w = Window.partitionBy("n").orderBy("h")
-    kmin = hashes.withColumn("rk", F.row_number().over(w)) \
+    kmin = (
+        hashes.withColumn("rk", F.dense_rank().over(w))
         .where(F.col("rk") <= k)
+        .select("n", "h")
+        .distinct()
+    )
     est = kmin.groupBy("n").agg(
         F.count(F.lit(1)).cast("long").alias("k_used"),
         F.max("h").alias("max_h"),

@@ -481,6 +481,15 @@ class TestOrderedAndLinkPrediction:
         with pytest.raises(ValueError, match="max_groups"):
             ops.jonckheere_terpstra(df, "s", "v", max_groups=10)
 
+    def test_dunns_guards_continuous_groups(self, spark):
+        # a continuous group column would silently explode into a k²
+        # pairwise frame — must raise loudly like its siblings
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "g long, v double"
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            ops.dunns_test(df, "g", "v", max_groups=10)
+
     def test_page_trend_guards_continuous_treatments(self, spark):
         rows = [(b, t, float(b * 100 + t))
                 for b in range(3) for t in range(20)]

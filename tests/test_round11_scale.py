@@ -41,6 +41,20 @@ class TestKmvNgramTwoLevelTopK:
         assert "WindowGroupLimit" in plan, plan
         assert ", Partial" in plan, plan
         assert ", Final" in plan, plan
+        # round 12: the filter ranks with dense_rank DIRECTLY on the raw
+        # hash stream — the round-11 (n, hash) pre-distinct, whose
+        # exchange shuffled every distinct hash once, is gone; dedup now
+        # runs after the partial top-k, on <= k * n_tasks survivors
+        assert "dense_rank" in plan, plan
+        # and the Partial pass must sit DIRECTLY on the scan side: no
+        # Exchange between it and the parquet scan below it (the final
+        # executed section is the text before AQE's "== Initial Plan ==")
+        lines = plan.split("== Initial Plan ==")[0].splitlines()
+        start = next(i for i, ln in enumerate(lines) if ", Partial" in ln)
+        for ln in lines[start + 1:]:
+            if "Scan parquet" in ln:
+                break
+            assert "Exchange" not in ln, ln
 
 
 class TestVocabRichnessScale:

@@ -82,6 +82,30 @@ def test_kmv_small_domain_uses_k_used(spark):
     assert row["k_used"] == 7  # exact distinct count, below k
 
 
+def test_kmv_ignores_nulls(spark):
+    # NULL used to hash to a NULL row that survived distinct() and,
+    # sorting NULLS FIRST, stole a k-min slot — inflating k_used by 1
+    # and breaking alignment with COUNT(DISTINCT ...) and with the
+    # streaming twin (which skips NULLs)
+    rows = [(None,)] * 5 + [(f"v{i}",) for i in range(9)]
+    df = spark.createDataFrame(rows, "v string")
+    row = ops.approx_distinct_kmv(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 9
+    clean = ops.approx_distinct_kmv(
+        df.where("v IS NOT NULL"), "v", k=256
+    ).collect()[0]
+    assert row == clean
+
+
+def test_kmv_resemblance_ignores_nulls(spark):
+    rows = [(None, 0)] * 3 + [(f"v{i}", i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "v string, side int")
+    a, b = df.where("side = 0"), df.where("side = 1")
+    got = ops.kmv_set_resemblance(a, b, "v", k=64).collect()[0]
+    # sides are disjoint non-null sets of 5 each: union exact = 10
+    assert got["k_used"] == 10 and got["n_both"] == 0
+
+
 def test_sketch_comparison_shapes(spark):
     df = spark.range(2000).select((F.col("id") % 300).alias("v"))
     row = ops.distinct_sketch_comparison(df, "v", k=128).collect()[0]
