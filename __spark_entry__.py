@@ -12089,8 +12089,13 @@ FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
 
     _rank_disc_nano = [int(round(1e9 / math.log2(i + 1)))
                        for i in range(1, 11)]
-    _rank_idcg_nano = sum((11 - i) * _rank_disc_nano[i - 1]
-                          for i in range(1, 11))
+    # per-query ideal: IDCG(n) = n-th prefix sum of the nano lattice
+    # (the operator's round-12 per-query-ideal NDCG convention)
+    _rank_idcg_prefix: list = []
+    _acc = 0
+    for _i in range(1, 11):
+        _acc += (11 - _i) * _rank_disc_nano[_i - 1]
+        _rank_idcg_prefix.append(_acc)
     o["sim_ranking_eval"] = (
         "WITH " + _COS_NORM_CTE + f"""
 , ex AS (
@@ -12132,11 +12137,12 @@ FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
            AS BIGINT) AS dcg_nano,
          min(CASE WHEN rel > 0 THEN pos END) AS first_hit
   FROM j GROUP BY 1
-), spine AS (SELECT DISTINCT query_id FROM ex)
+), spine AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
 SELECT s.query_id,
        coalesce(pq.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(pq.dcg_nano, 0)::DOUBLE
-             / {float(_rank_idcg_nano)!r}, 6)::DOUBLE AS ndcg,
+             / CAST({_rank_idcg_prefix!r}[CAST(s.n_exact AS INT)]
+                    AS DOUBLE), 6)::DOUBLE AS ndcg,
        (CASE WHEN pq.first_hit IS NULL THEN 0.0
              ELSE round(1.0 / pq.first_hit::DOUBLE, 6)
         END)::DOUBLE AS mrr,

@@ -653,7 +653,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # + pair join — measured 33 s vs 4 s at sf0.1 for the survivors
     # composition, and unboundedly worse at 100 TB). One eager
     # materialization, every round after reads the stored blocks —
-    # the graph.connected_components discipline.
+    # the graph.connected_components discipline. Caveat: localCheckpoint
+    # data is non-replicated executor-local storage; on a real cluster,
+    # executor loss mid-loop loses the pinned partitions — for multi-hour
+    # 100 TB runs swap in persist(DISK_ONLY_2) or a reliable checkpoint
+    # dir (the loop itself is storage-agnostic).
     sym = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)

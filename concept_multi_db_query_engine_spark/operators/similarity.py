@@ -316,6 +316,7 @@ def ann_recall_at_k(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = True,
 ) -> DataFrame:
     """Recall@k of the sign-LSH index against the exact brute-force
     baseline — the standard calibration step before committing an ANN
@@ -327,14 +328,27 @@ def ann_recall_at_k(
     so the whole metric is value-checkable against a SQL oracle. The
     brute-force side is the expensive leg — at billion-vector scale run
     this on a sampled query set, which is exactly how recall is measured
-    in practice."""
+    in practice.
+
+    ``pin=True`` (default) materializes the exact leg eagerly at call
+    time — construction launches Spark jobs; ``pin=False`` keeps the
+    returned plan fully lazy for callers that only compose plans (the
+    checkpoint then materializes during the first action, still exactly
+    once).  Caveat either way: ``localCheckpoint`` data is
+    non-replicated executor-local storage — on a real cluster, losing
+    an executor mid-job loses the pinned partitions (only reliable
+    checkpoints recompute from lineage).  That is an acceptable trade
+    for these bounded eval frames (k × |queries| rows, cheap to re-run
+    on failure); for pins feeding multi-hour jobs prefer
+    ``persist(StorageLevel.DISK_ONLY_2)`` or a reliable checkpoint
+    directory."""
     # PIN the brute-force leg: it is referenced twice below (n_exact
     # and the semi-join), and without a checkpoint each reference
     # re-runs the full BLAS scan — the dominant cost at scale. The
     # pinned frame is k x |queries| rows.
     exact = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    ).select("query_id", "vec_id").localCheckpoint(eager=pin)
     approx = topk_cosine_lsh(
         embeddings, queries, k, bits, id_col, vec_col
     ).select("query_id", "vec_id")
@@ -1131,6 +1145,7 @@ def matryoshka_recall(
     n_queries: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = True,
 ) -> DataFrame:
     """Matryoshka truncation quality (Kusupati et al. 2022): how much
     nearest-neighbor structure survives when vectors are cut to their
@@ -1146,6 +1161,11 @@ def matryoshka_recall(
     brute-force legs run on the sampled query set, which is exactly
     how recall is measured in practice.  Returns one row per dim:
     (dim, n_pairs, n_hits, recall_at_k).
+
+    ``pin`` follows the :func:`ann_recall_at_k` contract: True (default)
+    materializes the truth leg eagerly at call time, False keeps the
+    plan lazy (pin lands on first action) — see that docstring for the
+    localCheckpoint executor-loss caveat.
     """
     if not dims:
         raise ValueError("dims must be non-empty")
@@ -1156,7 +1176,7 @@ def matryoshka_recall(
     # that multiplies the most expensive leg by 3x|dims|.
     truth = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    ).select("query_id", "vec_id").localCheckpoint(eager=pin)
     parts = []
     for d in sorted(set(dims)):
         t_emb = embeddings.select(
@@ -1290,6 +1310,7 @@ def ivf_tuning_curve(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    pin: bool = True,
 ) -> DataFrame:
     """Recall-vs-cost curve for the IVF index — the planner table read
     before committing an ``n_probe`` at scale (the ANN twin of the
@@ -1303,6 +1324,11 @@ def ivf_tuning_curve(
     cosine ranks), so the whole curve is SQL-replayable.  Returns one
     row per n_probe: (n_probe, n_pairs, n_hits, recall_at_k,
     nominal_scan_fraction).
+
+    ``pin`` follows the :func:`ann_recall_at_k` contract: True (default)
+    materializes the truth leg eagerly at call time, False keeps the
+    plan lazy (pin lands on first action) — see that docstring for the
+    localCheckpoint executor-loss caveat.
     """
     if not n_probes:
         raise ValueError("n_probes must be non-empty")
@@ -1311,7 +1337,7 @@ def ivf_tuning_curve(
     # matryoshka_recall discipline).
     truth = topk_cosine_bruteforce(
         embeddings, queries, k, id_col, vec_col
-    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    ).select("query_id", "vec_id").localCheckpoint(eager=pin)
     n_cells = embeddings.select(
         F.countDistinct(F.col(cluster_col)).cast("long").alias("nc"))
     # build the index ONCE at the largest probe setting; each tested p
@@ -1840,6 +1866,7 @@ def ann_ranking_eval(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = True,
 ) -> DataFrame:
     """Graded ranking quality of the sign-LSH index against the exact
     brute-force ranking: NDCG@k, MRR, and precision@k per query — the
@@ -1854,7 +1881,12 @@ def ann_ranking_eval(
     literal baked into the plan — the per-query DCG is then an exact
     BIGINT sum (order-free, overflow-safe: k * k * 1e9 << 2^63), so
     the metric is bit-reproducible on any engine and value-checkable
-    against a SQL oracle; no float summation order leaks in.
+    against a SQL oracle; no float summation order leaks in.  The
+    ideal DCG is PER QUERY, from the exact leg's actual depth
+    (n_exact = min(k, corpus−1)): IDCG(n) is the n-th prefix sum of
+    the same nano lattice, so a query whose corpus holds fewer than
+    k+1 vectors can still reach ndcg = 1.0 for a perfect index —
+    standard per-query-ideal NDCG, not a fixed-denominator variant.
 
     Scale shape: the exact leg is the broadcast-query BLAS matmul of
     :func:`topk_cosine_bruteforce` (partition-local top-k, shuffle
@@ -1863,6 +1895,11 @@ def ann_ranking_eval(
     k*|queries|-row join + groupBy — negligible.  At billion-vector
     scale run on a sampled query set, exactly as recall is measured.
     Output: (query_id, n_hits, ndcg, mrr, precision_at_k).
+
+    ``pin`` follows the :func:`ann_recall_at_k` contract: True (default)
+    materializes the exact leg eagerly at call time, False keeps the
+    plan lazy (pin lands on first action) — see that docstring for the
+    localCheckpoint executor-loss caveat.
     """
     import math
 
@@ -1876,7 +1913,7 @@ def ann_ranking_eval(
     ).select(
         "query_id", "vec_id",
         (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=pin)
     approx = topk_cosine_lsh(
         embeddings, queries, k, bits, id_col, vec_col
     ).select("query_id", "vec_id", F.col("rank").cast("long").alias("pos"))
@@ -1884,8 +1921,13 @@ def ann_ranking_eval(
     # irrational in the metric is frozen here, identically for any
     # engine that replays these literals
     disc_nano = [int(round(1e9 / math.log2(i + 1))) for i in range(1, k + 1)]
-    idcg_nano = sum((k + 1 - i) * disc_nano[i - 1] for i in range(1, k + 1))
+    idcg_prefix: list[int] = []
+    acc = 0
+    for i in range(1, k + 1):
+        acc += (k + 1 - i) * disc_nano[i - 1]
+        idcg_prefix.append(acc)
     disc_arr = "array(" + ", ".join(f"{d}L" for d in disc_nano) + ")"
+    idcg_arr = "array(" + ", ".join(f"{v}L" for v in idcg_prefix) + ")"
     j = approx.join(exact, ["query_id", "vec_id"], "left").select(
         "query_id", "pos", F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
     )
@@ -1896,13 +1938,17 @@ def ann_ranking_eval(
         .cast("long").alias("dcg_nano"),
         F.min(F.when(F.col("rel") > 0, F.col("pos"))).alias("first_hit"),
     )
-    spine = exact.select("query_id").distinct()
+    spine = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("__n_exact")
+    )
     return spine.join(per_q, "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         F.round(
             F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double")
-            / F.lit(float(idcg_nano)), 6,
+            / F.expr(
+                f"CAST(element_at({idcg_arr}, __n_exact) AS DOUBLE)"
+            ), 6,
         ).cast("double").alias("ndcg"),
         F.when(
             F.col("first_hit").isNull(), F.lit(0.0)
