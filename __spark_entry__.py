@@ -2967,6 +2967,26 @@ def _q_bradley_terry(spark, sf):
     )
 
 
+def _q_dsir_resample(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ops.dsir_resample(
+        docs, docs.where("lang = 'en'"), n_sample=50, n_buckets=256,
+    )
+
+
+def _q_elo_ratings(spark, sf):
+    return ops.elo_preference_ratings(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+        "o_orderkey", n_matches=512,
+    )
+
+
+def _q_doremi_mixture(spark, sf):
+    return ops.doremi_mixture_weights(
+        _t(spark, sf, "documents"), iterations=8, eta_milli=500,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3681,6 +3701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_vocab_richness": _q_vocab_richness,
             "sim_ranking_eval": _q_ranking_eval,
             "orders_bradley_terry": _q_bradley_terry,
+            "docs_dsir_resample": _q_dsir_resample,
+            "orders_elo_ratings": _q_elo_ratings,
+            "docs_doremi_mixture": _q_doremi_mixture,
         }
     )
     for name in _ORDER_PIN:
@@ -16299,4 +16322,223 @@ SELECT d1, d2, matches_full, matches_bbit,
 FROM scored
 """
     )
+
+    # textually parallel to operators.text.dsir_resample: hashed
+    # unigram+bigram buckets (md5 60-bit mod 256), add-one-smoothed
+    # target/source log-ratios micro-quantized model-side, exact BIGINT
+    # per-doc weight sums, Gumbel-top-k from the md5-uniform of doc_id
+    _dsir_u = (
+        "((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), "
+        "1, 15)) AS UBIGINT)::DOUBLE + 1.0) "
+        "/ 1152921504606846976.0)"
+    )
+    o["docs_dsir_resample"] = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+fe AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(t) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS f
+  FROM tk
+),
+fb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS UBIGINT) % 256 AS b
+  FROM fe
+),
+tb AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb
+       WHERE lang = 'en' GROUP BY 1),
+sb AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM fb GROUP BY 1),
+tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tb),
+st AS (SELECT CAST(sum(cs) AS BIGINT) AS ns FROM sb),
+model AS MATERIALIZED (
+  SELECT sp.b,
+    CAST(round((ln(CAST(coalesce(tb.ct, 0) + 1 AS DOUBLE)
+                   / CAST(tt.nt + 256 AS DOUBLE))
+              - ln(CAST(coalesce(sb.cs, 0) + 1 AS DOUBLE)
+                   / CAST(st.ns + 256 AS DOUBLE)))
+         * 1000000.0) AS BIGINT) AS lr_micro
+  FROM (SELECT unnest(range(0, 256)) AS b) sp
+  LEFT JOIN tb ON tb.b = sp.b LEFT JOIN sb ON sb.b = sp.b
+  CROSS JOIN tt CROSS JOIN st
+),
+db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+       FROM fb GROUP BY 1, 2),
+wts AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_features,
+         CAST(sum(n * lr_micro) AS BIGINT) AS lw
+  FROM db JOIN model ON model.b = db.b GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_features, lw,
+         lw + CAST(round(-ln(-ln({_dsir_u})) * 1000000.0) AS BIGINT)
+           AS key
+  FROM wts
+)
+SELECT doc_id, n_features,
+       round(lw::DOUBLE / 1e6, 6)::DOUBLE AS log_weight,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+            AS BIGINT) AS sample_rank
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+
+    # textually parallel to operators.stats.elo_preference_ratings:
+    # consecutive pairs of the first 513 rows by (o_orderkey, g, v),
+    # Bradley-Terry-link Elo updates on the integer micro lattice,
+    # replayed by a recursive CTE (one iteration per match — the
+    # docs_quality_logistic fixed-order-IEEE replay precedent)
+    _elo_gs = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+               "5-LOW"]
+    _elo_ra = ("CASE g1 " + " ".join(
+        f"WHEN '{g}' THEN r{i}" for i, g in enumerate(_elo_gs)
+    ) + " END")
+    _elo_rb = ("CASE g2 " + " ".join(
+        f"WHEN '{g}' THEN r{i}" for i, g in enumerate(_elo_gs)
+    ) + " END")
+    _elo_upd = ",\n    ".join(
+        f"r{i} + (CASE WHEN g1 = '{g}' THEN d "
+        f"WHEN g2 = '{g}' THEN -d ELSE 0 END) AS r{i},\n    "
+        f"p{i} + (CASE WHEN g1 = '{g}' OR g2 = '{g}' THEN 1 ELSE 0 END)"
+        f" AS p{i},\n    "
+        f"w{i} + (CASE WHEN g1 = '{g}' THEN s2 "
+        f"WHEN g2 = '{g}' THEN 2 - s2 ELSE 0 END) AS w{i}"
+        for i, g in enumerate(_elo_gs)
+    )
+    _elo_init = ", ".join(
+        f"CAST(1500000000 AS BIGINT) AS r{i}, "
+        f"CAST(0 AS BIGINT) AS p{i}, CAST(0 AS BIGINT) AS w{i}"
+        for i in range(len(_elo_gs))
+    )
+    _elo_fin = "\n  UNION ALL\n".join(
+        f"  SELECT '{g}' AS grp, p{i} AS n_played, "
+        f"w{i}::DOUBLE / 2.0 AS wins, r{i}::DOUBLE / 1e6 AS rating "
+        f"FROM last"
+        for i, g in enumerate(_elo_gs)
+    )
+    o["orders_elo_ratings"] = f"""
+WITH RECURSIVE lim AS MATERIALIZED (
+  SELECT g, v, row_number() OVER (ORDER BY o, g, v) AS rn
+  FROM (
+    SELECT o_orderkey AS o, CAST(o_orderpriority AS VARCHAR) AS g,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      AND o_orderkey IS NOT NULL
+    ORDER BY 1, 2, 3 LIMIT 513
+  )
+),
+m AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY a.rn) AS mid,
+         a.g AS g1, b.g AS g2,
+         CAST(CASE WHEN a.v > b.v THEN 2 WHEN a.v = b.v THEN 1
+              ELSE 0 END AS BIGINT) AS s2
+  FROM lim a JOIN lim b ON b.rn = a.rn + 1
+  WHERE a.g != b.g
+),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS step, {_elo_init}
+  UNION ALL
+  SELECT step + 1,
+    {_elo_upd}
+  FROM (
+    SELECT x.*, CAST(round((32.0 * (s2 / 2.0
+             - (ra::DOUBLE / (ra + rb)::DOUBLE))) * 1000000.0)
+           AS BIGINT) AS d
+    FROM (
+      SELECT rec.*, m.g1, m.g2, m.s2,
+             {_elo_ra} AS ra, {_elo_rb} AS rb
+      FROM rec JOIN m ON m.mid = rec.step + 1
+    ) x
+  )
+),
+last AS (SELECT * FROM rec ORDER BY step DESC LIMIT 1)
+SELECT * FROM (
+{_elo_fin}
+) ORDER BY grp
+"""
+
+    # textually parallel to operators.text.doremi_mixture_weights:
+    # per-(domain, token) counts, micro-quantized corpus log-probs,
+    # clamped excess cross-entropy, then T chained materialized CTEs
+    # replaying the rational multiplicative-weights recursion with the
+    # identical round-6 lattice and ascending-domain left folds
+    _dm_chain = ""
+    _dm_prev = "s0"
+    for _t_ in range(1, 9):
+        _dm_chain += f""",
+m{_t_} AS MATERIALIZED (
+  SELECT d, e, round(m * e, 6) AS m, acc FROM {_dm_prev}
+),
+w{_t_} AS MATERIALIZED (
+  SELECT d, e, m,
+         round(acc + round(m / (SELECT list_reduce(
+                 list(m ORDER BY d), (a, b) -> a + b) FROM m{_t_}),
+               6), 6) AS acc
+  FROM m{_t_}
+)"""
+        _dm_prev = f"w{_t_}"
+    o["docs_doremi_mixture"] = f"""
+WITH dt AS MATERIALIZED (
+  SELECT CAST(source AS VARCHAR) AS d,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS t
+  FROM documents
+),
+dtc AS MATERIALIZED (
+  SELECT d, t, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1, 2
+),
+ctt AS MATERIALIZED (
+  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM dtc GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ctt),
+lp AS MATERIALIZED (
+  SELECT t, CAST(round(ln(ct::DOUBLE / n::DOUBLE) * 1000000.0)
+              AS BIGINT) AS lp_micro, ct, n
+  FROM ctt CROSS JOIN tot
+),
+per_d AS (
+  SELECT d, CAST(sum(c) AS BIGINT) AS tokens,
+         CAST(sum(c * lp_micro) AS BIGINT) AS slp
+  FROM dtc JOIN lp USING (t) GROUP BY 1
+),
+ndo AS (
+  SELECT CAST(source AS VARCHAR) AS d,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+corp AS (
+  SELECT CAST(sum(ct * lp_micro) AS BIGINT) AS slp_all,
+         max(n) AS n_all
+  FROM lp
+),
+stg AS MATERIALIZED (
+  SELECT d, n_docs, tokens, ce_micro,
+         greatest(ce_micro - ce_all, CAST(0 AS BIGINT)) AS ex_micro,
+         CAST(round((1.0 + 0.5 * (greatest(ce_micro - ce_all,
+                CAST(0 AS BIGINT))::DOUBLE / 1e6)) * 1000000.0)
+           AS BIGINT) AS e_micro
+  FROM (
+    SELECT d, n_docs, tokens,
+           CAST(round(-(slp::DOUBLE / tokens::DOUBLE)) AS BIGINT)
+             AS ce_micro,
+           CAST(round(-(slp_all::DOUBLE / n_all::DOUBLE)) AS BIGINT)
+             AS ce_all
+    FROM per_d JOIN ndo USING (d) CROSS JOIN corp
+  )
+),
+s0 AS (
+  SELECT d, e_micro::DOUBLE / 1e6 AS e, 1.0 AS m, 0.0 AS acc FROM stg
+){_dm_chain}
+SELECT stg.d AS source, stg.n_docs, stg.tokens,
+       (stg.ce_micro::DOUBLE / 1e6)::DOUBLE AS cross_entropy,
+       (stg.ex_micro::DOUBLE / 1e6)::DOUBLE AS excess_loss,
+       round(w8.acc / 8.0, 6)::DOUBLE AS doremi_weight
+FROM w8 JOIN stg ON stg.d = w8.d
+ORDER BY source
+"""
     return o

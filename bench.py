@@ -405,6 +405,11 @@ HEADLINE = [
     "docs_vocab_richness",
     "sim_ranking_eval",
     "orders_bradley_terry",
+    # round-12 wave: curation ops — DSIR resampling, online preference
+    # ratings, DoReMi-lite mixture weights
+    "docs_dsir_resample",
+    "orders_elo_ratings",
+    "docs_doremi_mixture",
 ]
 
 

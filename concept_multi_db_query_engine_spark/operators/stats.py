@@ -7787,3 +7787,104 @@ def bradley_terry(
         F.round(F.col("bt_strength"), 6).cast("double")
         .alias("bt_strength"),
     ).orderBy("grp")
+
+
+def elo_preference_ratings(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    n_matches: int = 512,
+    k_factor_milli: int = 32000,
+    init_rating_micro: int = 1_500_000_000,
+    max_groups: int = 24,
+) -> DataFrame:
+    """Online (Elo-style) preference ratings — the sequential twin of
+    :func:`bradley_terry`: arrivals ordered by ``order_col`` are paired
+    consecutively (row i vs row i+1, same-group pairs skipped), the
+    higher ``value_col`` wins (ties score ½), and each group's rating
+    updates after every match
+
+        p = r_a / (r_a + r_b)            (the Bradley–Terry link —
+                                          division is IEEE-exact,
+                                          unlike Elo's 10^x logistic)
+        r_a += K·(s − p);  r_b −= K·(s − p)
+
+    so the output tracks WHERE the preference data is drifting, match
+    by match, instead of the batch MM fit's equilibrium.  Ratings live
+    on an exact integer micro lattice (init 1500.000000); each delta
+    is one correctly-rounded double expression half-away-quantized to
+    micros, so the entire replay is bit-reproducible and
+    SQL-replayable (a recursive-CTE oracle replays the identical
+    recursion — the docs_quality_logistic precedent).
+
+    Elo is intrinsically sequential, so the replay is bounded and
+    loud: the first ``n_matches``+1 rows by (order_col, group, value)
+    are taken via TakeOrderedAndProject (per-partition top-k heaps —
+    never a global sort) and replayed driver-side; ``max_groups``
+    bounds the rating table (the :func:`bradley_terry` probe).  At
+    production scale the input is a bounded human-preference match
+    log, not a corpus — for corpus-equilibrium strengths use
+    :func:`bradley_terry`, which is one distributed scan at any size.
+    The streaming twin (``streaming.windows.elo_rating_stream``)
+    applies the same quantized updates per micro-batch with O(k)
+    state.  Returns one row per group ordered by group key:
+    (grp, n_played, wins, rating).
+    """
+    if not 1 <= n_matches <= 100_000:
+        raise ValueError("n_matches must be in [1, 100000] — the replay "
+                         "is sequential and driver-side by design")
+    base = df.where(
+        f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL "
+        f"AND ({order_col}) IS NOT NULL"
+    ).select(
+        F.expr(f"({order_col})").alias("o"),
+        F.col(group_col).cast("string").alias("g"),
+        F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
+    )
+    g_rows = base.select("g").distinct().limit(max_groups + 1).collect()
+    if len(g_rows) > max_groups:
+        raise ValueError(
+            f"elo_preference_ratings: > max_groups={max_groups} distinct "
+            f"values in {group_col!r} — bucket the column first or raise "
+            "max_groups deliberately."
+        )
+    groups = sorted(r["g"] for r in g_rows)
+    if len(groups) < 2:
+        raise ValueError("elo_preference_ratings needs >= 2 groups")
+    rows = (
+        base.orderBy("o", "g", "v").limit(n_matches + 1).collect()
+    )
+    # ---- driver-side sequential replay on the integer micro lattice:
+    # every float op below is one correctly-rounded IEEE expression in
+    # a pinned order, textually parallel to the SQL oracle's recursion
+    import math
+
+    kf = float(k_factor_milli) / 1000.0
+    r = {g: int(init_rating_micro) for g in groups}
+    played = {g: 0 for g in groups}
+    wins2 = {g: 0 for g in groups}  # half-units: exact integers
+    for a, b in zip(rows, rows[1:]):
+        if a["g"] == b["g"]:
+            continue
+        s2 = 2 if a["v"] > b["v"] else (1 if a["v"] == b["v"] else 0)
+        ra, rb = r[a["g"]], r[b["g"]]
+        p = float(ra) / float(ra + rb)
+        t = kf * (s2 / 2.0 - p) * 1000000.0
+        delta = int(math.floor(abs(t) + 0.5)) * (1 if t >= 0 else -1)
+        r[a["g"]] = ra + delta
+        r[b["g"]] = rb - delta
+        played[a["g"]] += 1
+        played[b["g"]] += 1
+        wins2[a["g"]] += s2
+        wins2[b["g"]] += 2 - s2
+    out = df.sparkSession.createDataFrame(
+        [(g, played[g], wins2[g], r[g]) for g in groups],
+        "grp string, n_played long, wins2 long, r_micro long",
+    )
+    return out.select(
+        "grp",
+        "n_played",
+        F.expr("CAST(wins2 AS DOUBLE) / 2.0d").alias("wins"),
+        F.expr("CAST(r_micro AS DOUBLE) / 1e6").alias("rating"),
+    ).orderBy("grp")

@@ -3572,3 +3572,298 @@ def vocab_richness(
             "* 1000000.0d) AS BIGINT) / 1e6"
         ).cast("double").alias("unseen_mass"),
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    n_sample: int = 100,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR data selection, full pipeline (Xie et al. 2023,
+    arXiv:2302.03169): hashed n-gram features → target/source
+    likelihood-ratio log-weights → Gumbel-top-k resampling — the
+    standard domain-targeting curation step ("pick the n_sample raw
+    documents that look most like the target domain", sampled
+    proportional to importance weight, without replacement).  The
+    sibling :func:`importance_weights` stops at per-document unigram
+    scores; this operator is the paper's actual selection mechanic:
+
+    - features are unigrams + bigrams hashed into ``n_buckets``
+      buckets (md5 → 60-bit → mod B, the house deterministic hash);
+    - each bucket's log-ratio is ``ln(((ct+1)/(Nt+B)) /
+      ((cs+1)/(Ns+B)))`` (add-one smoothed bucket models), quantized
+      to micro units once, model-side;
+    - a document's log importance weight is the exact BIGINT sum of
+      ``count(doc, bucket) * lr_micro(bucket)`` over its buckets;
+    - Gumbel-top-k: key = log_weight + Gumbel(md5-uniform(doc_id))
+      realizes weighted sampling WITHOUT replacement deterministically
+      (Efraimidis–Spirakis / Gumbel-max), so the selection is
+      reproducible and SQL-replayable.
+
+    Scale shape: two bucket-count aggregations (B-row model frames,
+    broadcast), one explode → broadcast-join → per-doc BIGINT sum over
+    the corpus (a single doc-keyed shuffle), and a
+    TakeOrderedAndProject top-``n_sample`` — no all-pairs anything,
+    no driver collect.  Documents with zero features never enter the
+    tournament (a DSIR weight needs at least one n-gram).  Returns
+    the selected rows (doc_id, n_features, log_weight, sample_rank)
+    ordered by sample_rank.
+    """
+    if n_sample < 1:
+        raise ValueError("n_sample must be >= 1")
+    if not 8 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [8, 65536] — the model "
+                         "frames are broadcast at B rows")
+
+    toks = (
+        f"filter(split({text_col}, ' '), x -> x != '')"
+    )
+    feats = (
+        f"concat({toks}, CASE WHEN size({toks}) < 2 "
+        f"THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', "
+        f"element_at({toks}, i + 1))) END)"
+    )
+    bucket = (
+        "pmod(CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT), "
+        f"{n_buckets})"
+    )
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(F.expr(feats)).alias("f"))
+            .select(F.expr(bucket).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    # PIN the two <= B-row bucket-count frames: each feeds BOTH its
+    # totals aggregate and the model join — un-pinned, each reference
+    # re-scans its corpus side (5 scans total; pinned: 3)
+    tb = _buckets(target).withColumnRenamed("c", "ct") \
+        .localCheckpoint(eager=False)
+    sb = _buckets(source if source is not None else docs) \
+        .withColumnRenamed("c", "cs").localCheckpoint(eager=False)
+    t_tot = tb.agg(F.sum("ct").cast("long").alias("nt"))
+    s_tot = sb.agg(F.sum("cs").cast("long").alias("ns"))
+    # B-row model frame: every bucket 0..B-1 (unseen buckets smooth to
+    # count 0), log-ratio micro-quantized ONCE here, model-side
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("b"))
+    model = (
+        spine.join(tb, "b", "left").join(sb, "b", "left")
+        .crossJoin(F.broadcast(t_tot)).crossJoin(F.broadcast(s_tot))
+        .select(
+            "b",
+            F.expr(
+                "CAST(round((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) "
+                f"/ CAST(nt + {n_buckets} AS DOUBLE)) "
+                "- ln(CAST(coalesce(cs, 0) + 1 AS DOUBLE) "
+                f"/ CAST(ns + {n_buckets} AS DOUBLE))) "
+                "* 1000000.0d) AS BIGINT)"
+            ).alias("lr_micro"),
+        )
+    )
+    doc_buckets = (
+        docs.select(F.col(id_col), F.explode(F.expr(feats)).alias("f"))
+        .select(id_col, F.expr(bucket).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    weights = (
+        doc_buckets.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_features"),
+            F.sum(F.expr("n * lr_micro")).cast("long").alias("lw_micro"),
+        )
+    )
+    # Gumbel-top-k key: md5-uniform u in (0,1] from the doc id alone,
+    # g = -ln(-ln(u)); adding g to the log-weight and taking the top
+    # n_sample is exactly weight-proportional sampling w/o replacement
+    u = (
+        f"((CAST(conv(substring(md5(concat('dsir:', "
+        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS DOUBLE) + 1.0d)"
+        f" / {float(1 << 60)!r}d)"
+    )
+    keyed = weights.select(
+        id_col, "n_features",
+        F.expr("CAST(lw_micro AS DOUBLE) / 1e6").alias("log_weight"),
+        F.expr(
+            f"lw_micro + CAST(round(-ln(-ln({u})) * 1000000.0d) "
+            "AS BIGINT)"
+        ).alias("__key"),
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    picked = (
+        keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(n_sample)
+        .withColumn("sample_rank", F.row_number().over(w))
+    )
+    return picked.select(
+        id_col,
+        "n_features",
+        F.round(F.col("log_weight"), 6).cast("double").alias("log_weight"),
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    ).orderBy("sample_rank")
+
+
+def doremi_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    iterations: int = 8,
+    eta_milli: int = 500,
+    max_domains: int = 100,
+) -> DataFrame:
+    """DoReMi-lite domain mixture weights (Xie et al. 2023, DoReMi,
+    arXiv:2305.10429, reduced to its reweighting core): domains whose
+    text the corpus-wide model predicts POORLY (positive excess loss)
+    get up-weighted by iterated multiplicative-weights steps, and the
+    output mixture is the AVERAGE of the iterates — the paper's
+    readout.  The excess-loss proxy here is per-domain unigram
+    cross-entropy under the corpus model minus the corpus-wide
+    cross-entropy (clamped at 0), the cheap stand-in for the paper's
+    proxy-vs-reference LM losses; swap in real per-doc loss columns at
+    production and everything downstream is unchanged.
+
+    The update uses the rational multiplicative-weights step
+    ``m ← m · (1 + η·excess)`` (the polynomial-weights variant of
+    DoReMi's exponentiated gradient — first-order identical for small
+    η·ℓ) precisely because it is division/multiplication/addition
+    only: every float op is one correctly-rounded IEEE expression on a
+    micro lattice, so the T-step replay is bit-reproducible and
+    SQL-replayable with chained materialized CTEs (the BPE/markov
+    oracle precedent).  No libm ``exp`` whose last-ulp behavior
+    differs across engines ever enters the value path.
+
+    Scale shape: ONE token-explode aggregation to per-(domain, token)
+    counts (map-side combined), corpus counts derived from that frame
+    (no re-scan), per-domain BIGINT dot products against the
+    micro-quantized corpus log-probs; the k-domain frame is collected
+    behind a loud ``max_domains`` probe and the T-step descent replays
+    driver-side over k doubles — model data, never rows.  Returns one
+    row per domain ordered by domain:
+    (source, n_docs, tokens, cross_entropy, excess_loss,
+    doremi_weight) — ``doremi_weight`` sums to ~1.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    d_rows = (
+        docs.select(F.col(source_col).cast("string").alias("d"))
+        .where("d IS NOT NULL")
+        .distinct().limit(max_domains + 1).collect()
+    )
+    if len(d_rows) > max_domains:
+        raise ValueError(
+            f"doremi_mixture_weights: > max_domains={max_domains} "
+            f"distinct values in {source_col!r} — a mixture needs a "
+            "bounded set of named domains; bucket the column first or "
+            "raise max_domains deliberately."
+        )
+    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    dt = (
+        docs.select(
+            F.col(source_col).cast("string").alias("d"),
+            F.explode(F.expr(toks)).alias("t"),
+        )
+        .groupBy("d", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)  # feeds corpus counts AND the join
+    ct = dt.groupBy("t").agg(F.sum("c").cast("long").alias("ct"))
+    tot = ct.agg(F.sum("ct").cast("long").alias("n"))
+    lp = ct.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.expr(
+            "CAST(round(ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* 1000000.0d) AS BIGINT)"
+        ).alias("lp_micro"),
+        "ct", "n",
+    ).localCheckpoint(eager=False)  # vocab rows; domain AND corpus legs
+    per_d = (
+        dt.join(lp.select("t", "lp_micro"), "t")
+        .groupBy("d")
+        .agg(
+            F.sum("c").cast("long").alias("tokens"),
+            F.sum(F.expr("c * lp_micro")).cast("long").alias("slp"),
+        )
+    )
+    nd = docs.where(f"({source_col}) IS NOT NULL").groupBy(
+        F.col(source_col).cast("string").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    corp = lp.agg(
+        F.sum(F.expr("ct * lp_micro")).cast("long").alias("slp_all"),
+        F.max("n").alias("n_all"),
+    )
+    # per-domain cross-entropy and clamped excess, micro-nat lattice;
+    # the MW factor e = 1 + eta * excess is rational — quantized ONCE
+    eta = float(eta_milli) / 1000.0
+    staged = (
+        per_d.join(nd, "d")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "d", "n_docs", "tokens",
+            F.expr(
+                "CAST(round(-(CAST(slp AS DOUBLE) "
+                "/ CAST(tokens AS DOUBLE))) AS BIGINT)"
+            ).alias("ce_micro"),
+            F.expr(
+                "CAST(round(-(CAST(slp_all AS DOUBLE) "
+                "/ CAST(n_all AS DOUBLE))) AS BIGINT)"
+            ).alias("ce_all_micro"),
+        )
+        .select(
+            "d", "n_docs", "tokens", "ce_micro",
+            F.expr(
+                "greatest(ce_micro - ce_all_micro, CAST(0 AS BIGINT))"
+            ).alias("ex_micro"),
+        )
+        .select(
+            "d", "n_docs", "tokens", "ce_micro", "ex_micro",
+            F.expr(
+                "CAST(round((1.0d + "
+                f"{eta!r}d * (CAST(ex_micro AS DOUBLE) / 1e6)) "
+                "* 1000000.0d) AS BIGINT)"
+            ).alias("e_micro"),
+        )
+    )
+    collected = sorted(staged.collect(), key=lambda rw: rw["d"])
+    import math
+
+    def _r6(x: float) -> float:
+        q = x * 1000000.0
+        return (int(math.floor(abs(q) + 0.5))
+                * (1 if q >= 0 else -1)) / 1000000.0
+
+    names = [rw["d"] for rw in collected]
+    e = [float(rw["e_micro"]) / 1e6 for rw in collected]
+    m = [1.0] * len(names)
+    acc = [0.0] * len(names)
+    for _ in range(iterations):
+        m = [_r6(m[i] * e[i]) for i in range(len(names))]
+        s = 0.0
+        for x in m:  # left fold in ascending domain order
+            s = s + x
+        w = [_r6(m[i] / s) for i in range(len(names))]
+        acc = [_r6(acc[i] + w[i]) for i in range(len(names))]
+    wbar = [_r6(acc[i] / float(iterations)) for i in range(len(names))]
+    out = docs.sparkSession.createDataFrame(
+        [
+            (rw["d"], rw["n_docs"], rw["tokens"], rw["ce_micro"],
+             rw["ex_micro"], wbar[i])
+            for i, rw in enumerate(collected)
+        ],
+        "source string, n_docs long, tokens long, ce_micro long, "
+        "ex_micro long, doremi_weight double",
+    )
+    return out.select(
+        "source", "n_docs", "tokens",
+        F.expr("CAST(ce_micro AS DOUBLE) / 1e6").alias("cross_entropy"),
+        F.expr("CAST(ex_micro AS DOUBLE) / 1e6").alias("excess_loss"),
+        F.col("doremi_weight").cast("double"),
+    ).orderBy("source")

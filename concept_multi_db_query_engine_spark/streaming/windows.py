@@ -1323,3 +1323,131 @@ def kmv_distinct_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def elo_rating_stream(
+    live: DataFrame,
+    k_factor_milli: int = 32000,
+    init_rating_micro: int = 1_500_000_000,
+    key_col: str = "series_key",
+    order_col: str = "o",
+    group_col: str = "g",
+    value_col: str = "v",
+):
+    """Streaming twin of ``operators.stats.elo_preference_ratings`` —
+    live preference-rating tracking over an ordered match feed with
+    O(k) state per series: the integer-micro rating table plus the
+    carried-over last row (so consecutive pairs form ACROSS
+    micro-batch boundaries exactly as the batch replay forms them).
+
+    The update arithmetic is byte-identical to the batch operator:
+    Bradley-Terry link p = ra/(ra+rb) (IEEE division), one
+    correctly-rounded double expression per match half-away-quantized
+    to micros — so after any prefix of an ordered feed the emission
+    equals the batch replay over everything ingested (pinned in
+    tests).  The feed contract is the usual sequential-twin one: rows
+    must arrive in (order_col) order across batches (each batch is
+    additionally sorted on (order_col, group, value) defensively);
+    out-of-order arrivals change which pairs meet, exactly as they
+    would for any online rating system.  Emits one row per group per
+    micro-batch: (series_key, grp, n_played, wins, rating).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("series_key", T.StringType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("n_played", T.LongType()),
+        T.StructField("wins", T.DoubleType()),
+        T.StructField("rating", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("groups", T.ArrayType(T.StringType())),
+        T.StructField("r", T.ArrayType(T.LongType())),
+        T.StructField("played", T.ArrayType(T.LongType())),
+        T.StructField("wins2", T.ArrayType(T.LongType())),
+        T.StructField("has_carry", T.BooleanType()),
+        T.StructField("carry_g", T.StringType()),
+        T.StructField("carry_v", T.DoubleType()),
+    ])
+    kf = float(k_factor_milli) / 1000.0
+    init = int(init_rating_micro)
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        groups: list = []
+        r: list = []
+        played: list = []
+        wins2: list = []
+        carry = None
+        if state.exists:
+            gs, rs, ps, ws, hc, cg, cv = state.get
+            groups = [str(x) for x in gs]
+            r = [int(x) for x in rs]
+            played = [int(x) for x in ps]
+            wins2 = [int(x) for x in ws]
+            if hc:
+                carry = (str(cg), float(cv))
+        idx = {g: i for i, g in enumerate(groups)}
+
+        def ensure(g):
+            if g not in idx:
+                idx[g] = len(groups)
+                groups.append(g)
+                r.append(init)
+                played.append(0)
+                wins2.append(0)
+            return idx[g]
+
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[order_col, group_col, value_col]].dropna()
+            rows.extend(
+                (row[0], str(row[1]), float(row[2]))
+                for row in sub.itertuples(index=False)
+            )
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        for o_, g_, v_ in rows:
+            ensure(g_)
+            if carry is not None:
+                g1, v1 = carry
+                if g1 != g_:
+                    s2 = 2 if v1 > v_ else (1 if v1 == v_ else 0)
+                    ia, ib = idx[g1], idx[g_]
+                    ra, rb = r[ia], r[ib]
+                    p = float(ra) / float(ra + rb)
+                    t = kf * (s2 / 2.0 - p) * 1000000.0
+                    delta = (int(math.floor(abs(t) + 0.5))
+                             * (1 if t >= 0 else -1))
+                    r[ia] = ra + delta
+                    r[ib] = rb - delta
+                    played[ia] += 1
+                    played[ib] += 1
+                    wins2[ia] += s2
+                    wins2[ib] += 2 - s2
+            carry = (g_, v_)
+        state.update((
+            groups, r, played, wins2,
+            carry is not None,
+            carry[0] if carry is not None else None,
+            carry[1] if carry is not None else None,
+        ))
+        order = sorted(range(len(groups)), key=lambda i: groups[i])
+        yield pd.DataFrame({
+            "series_key": [str(key[0])] * len(groups),
+            "grp": [groups[i] for i in order],
+            "n_played": [played[i] for i in order],
+            "wins": [wins2[i] / 2.0 for i in order],
+            "rating": [r[i] / 1e6 for i in order],
+        })
+
+    return (
+        live.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -165,10 +165,16 @@ class TestBruteForceLegPinnedOnce:
 
 
 class TestScanBudgets:
-    # regression lock for the round-11 multi-reference audit: each
-    # fixed query's FINAL executed plan must stay within its scan
-    # budget (pinned legs scan at checkpoint time, exactly once —
-    # repeated "Scan parquet" nodes mean a pin was dropped)
+    # regression lock for the round-11 multi-reference audit, extended
+    # in round 12 to the FULL registry: tests/scan_budgets.json freezes
+    # every gate row's "Scan parquet" count (generated by
+    # tests/gen_scan_budgets.py at sf0.001); a multi-reference
+    # regression anywhere now fails here instead of waiting for the
+    # next manual sweep. Budgets are ceilings — improvements pass;
+    # regenerate the JSON to ratchet down (or after an INTENTIONAL
+    # plan-shape change, loudly, in its own commit).
+    # The hand-audited rows below OVERRIDE the generated table (they
+    # are the authoritative bounds from the round-11 audit).
     BUDGETS = {
         "events_funnel_steps": 1,
         "sim_ivf_tuning": 3,
@@ -193,12 +199,24 @@ class TestScanBudgets:
         "docs_token_jsd_drift": 2,
     }
 
-    def test_fixed_queries_stay_within_scan_budget(self, spark):
+    def test_full_registry_stays_within_scan_budgets(self, spark):
+        import json
+        import os
+
         import __spark_entry__ as entry
 
+        path = os.path.join(os.path.dirname(__file__), "scan_budgets.json")
+        with open(path) as f:
+            generated = json.load(f)
         qs = entry.queries()
+        missing = sorted(set(qs) - set(generated))
+        assert not missing, (
+            f"new queries without a scan budget {missing}: run "
+            "`python tests/gen_scan_budgets.py " + " ".join(missing) + "`"
+        )
         over = []
-        for name, budget in self.BUDGETS.items():
+        for name in sorted(qs):
+            budget = min(self.BUDGETS.get(name, 10 ** 9), generated[name])
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             plan = (
@@ -208,4 +226,9 @@ class TestScanBudgets:
             n = plan.count("Scan parquet")
             if n > budget:
                 over.append((name, n, budget))
-        assert not over, over
+            spark.catalog.clearCache()
+        assert not over, (
+            f"{over} — a query's executed plan re-scans its source more "
+            "often than its frozen budget; if the plan change is "
+            "intentional, regenerate with tests/gen_scan_budgets.py"
+        )

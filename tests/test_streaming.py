@@ -1590,3 +1590,59 @@ def test_kmv_distinct_stream_exact_below_k(spark):
     ).collect()[0]
     assert got["n_rows"] == 40
     assert got["k_used"] == 7
+
+
+def test_elo_rating_stream_matches_batch_across_micro_batches(spark):
+    """Elo streaming twin: sequential rating updates carried across
+    two micro-batches (including the pair that straddles the batch
+    boundary) must re-emit exactly the batch elo_preference_ratings
+    replay over everything ingested — same integer-micro lattice,
+    same Bradley-Terry-link update, same (order, group, value) pair
+    derivation."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    orders = testdata.load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    want = {
+        r["grp"]: r
+        for r in ops.elo_preference_ratings(
+            orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+            n_matches=int(n) + 1,
+        ).collect()
+    }
+    frame = orders.select(
+        F.lit("m1").alias("series_key"),
+        F.col("o_orderkey").alias("o"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    mid = frame.agg(F.expr("percentile_approx(o, 0.5)")).collect()[0][0]
+    d = tempfile.mkdtemp(prefix="stream-elo-")
+    # split by ORDER (not parity): the feed contract is ordered arrival
+    frame.where(F.col("o") <= mid).coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    frame.where(F.col("o") > mid).coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.elo_rating_stream(src)
+    sw.run_stream_to_memory(plan, "elo_stream_t", output_mode="update")
+    got = {
+        r["grp"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "grp ORDER BY n_played DESC) AS __rk FROM elo_stream_t) "
+            "WHERE __rk = 1"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["n_played"] == want[g]["n_played"], g
+        assert got[g]["wins"] == want[g]["wins"], g
+        assert got[g]["rating"] == want[g]["rating"], g
