@@ -2987,6 +2987,12 @@ def _q_doremi_mixture(spark, sf):
     )
 
 
+def _q_kcenter_sample(spark, sf):
+    return ops.kcenter_diversity_sample(
+        _t(spark, sf, "embeddings"), n_sample=8,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3704,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_dsir_resample": _q_dsir_resample,
             "orders_elo_ratings": _q_elo_ratings,
             "docs_doremi_mixture": _q_doremi_mixture,
+            "sim_kcenter_sample": _q_kcenter_sample,
         }
     )
     for name in _ORDER_PIN:
@@ -16541,4 +16548,41 @@ SELECT stg.d AS source, stg.n_docs, stg.tokens,
 FROM w8 JOIN stg ON stg.d = w8.d
 ORDER BY source
 """
+
+    # textually parallel to operators.similarity.kcenter_diversity_
+    # sample: greedy farthest-point traversal seeded at the lowest id,
+    # incremental least(mind, d) maintenance, 1 - round6(cos) lattice,
+    # (mind DESC, vec_id ASC) argmax — one materialized CTE pair per
+    # round
+    _kc = (
+        "c1 AS MATERIALIZED (SELECT vec_id, v, norm2, "
+        "CAST(NULL AS DOUBLE) AS mind FROM e "
+        "ORDER BY vec_id ASC LIMIT 1)"
+    )
+    for _i in range(1, 8):
+        _src = f"d{_i - 1}" if _i > 1 else "e"
+        _d = ("1.0 - round(list_dot_product(d.v, c.v) "
+              "/ sqrt(d.norm2 * c.norm2), 6)")
+        _mind = f"least(d.mind, {_d})" if _i > 1 else f"({_d})"
+        _kc += f""",
+d{_i} AS MATERIALIZED (
+  SELECT d.vec_id, d.v, d.norm2, {_mind} AS mind
+  FROM {_src} d CROSS JOIN c{_i} c
+),
+c{_i + 1} AS MATERIALIZED (
+  SELECT vec_id, v, norm2, mind FROM d{_i}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+    _kc_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, CAST({_i} AS BIGINT) AS sel_rank, "
+        f"mind AS min_dist FROM c{_i}"
+        for _i in range(1, 9)
+    )
+    o["sim_kcenter_sample"] = (
+        "WITH " + _COS_NORM_CTE + ",\n" + _kc + f"""
+SELECT * FROM (
+{_kc_union}
+) ORDER BY sel_rank
+"""
+    )
     return o

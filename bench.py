@@ -410,6 +410,7 @@ HEADLINE = [
     "docs_dsir_resample",
     "orders_elo_ratings",
     "docs_doremi_mixture",
+    "sim_kcenter_sample",
 ]
 
 

@@ -1960,3 +1960,78 @@ def ann_ranking_eval(
             / F.lit(float(k)), 6,
         ).cast("double").alias("precision_at_k"),
     )
+
+
+def kcenter_diversity_sample(
+    embeddings: DataFrame,
+    n_sample: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 64,
+) -> DataFrame:
+    """Diversity-maximizing selection by greedy k-center (farthest-point
+    traversal, the classic 2-approximation to the k-center objective —
+    Gonzalez 1985): starting from the lowest-id vector, repeatedly pick
+    the point FARTHEST (cosine dissimilarity) from everything selected
+    so far.  The curation primitive dedup can't provide: dedup removes
+    redundancy pairwise, k-center picks the subset that COVERS the
+    embedding space — seed sets, eval panels, annotation batches,
+    cluster-free coreset skeletons.
+
+    Incremental distance maintenance keeps this one-scan-per-round over
+    a PINNED frame, never the parquet: round r updates
+    ``mind ← least(mind, d(x, c_r))`` against only the newest center
+    (broadcast as a plan literal — k × dim doubles), localCheckpoints
+    the (id, v, norm2, mind) frame, and takes the argmax via
+    TakeOrderedAndProject.  The corpus is scanned ONCE, at round 1; the
+    driver transfer is one row per round.  Distances are
+    ``1 − round₆(cos)`` (the :func:`knn_graph` lattice) and ties break
+    on ascending id, so the whole traversal is deterministic and
+    SQL-replayable by chained materialized CTEs.  At billion-vector
+    scale run on a pre-sampled pool (standard coreset practice) —
+    ``max_sample`` bounds the rounds loudly.  Returns one row per
+    selected center: (vec_id, sel_rank, min_dist) — ``min_dist`` is the
+    coverage radius at selection time (NULL for the seed), a built-in
+    diminishing-returns curve for choosing the sample size.
+    """
+    if not 1 <= n_sample <= max_sample:
+        raise ValueError(
+            f"n_sample must be in [1, {max_sample}] — each round is one "
+            "pass + a pinned frame; raise max_sample deliberately."
+        )
+    base = _with_norm(embeddings, id_col, vec_col)
+    seed = base.orderBy(F.col("vid").asc()).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_diversity_sample: empty input")
+    picked = [(seed[0]["vid"], [float(x) for x in seed[0]["v"]],
+               float(seed[0]["norm2"]), None)]
+    frame = base
+    for r in range(1, n_sample):
+        _, cv, cn, _m = picked[-1]
+        cv_lit = "array(" + ", ".join(f"{x!r}d" for x in cv) + ")"
+        d_expr = (
+            "(1.0d - round(aggregate(zip_with(v, " + cv_lit + ", "
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, z) -> acc + z) / sqrt(norm2 * {cn!r}d), 6))"
+        )
+        mind = d_expr if r == 1 else f"least(mind, {d_expr})"
+        frame = frame.select(
+            "vid", "v", "norm2", F.expr(mind).alias("mind")
+        ).localCheckpoint(eager=False)
+        pick = frame.orderBy(
+            F.col("mind").desc(), F.col("vid").asc()
+        ).limit(1).collect()[0]
+        if float(pick["mind"]) <= 0.0:
+            raise ValueError(
+                "kcenter_diversity_sample: coverage radius hit 0 — "
+                f"fewer than {n_sample} distinct vectors; lower n_sample."
+            )
+        picked.append((pick["vid"], [float(x) for x in pick["v"]],
+                       float(pick["norm2"]), float(pick["mind"])))
+    out = embeddings.sparkSession.createDataFrame(
+        [(int(p[0]), i + 1, p[3]) for i, p in enumerate(picked)],
+        f"{id_col} long, sel_rank long, min_dist double",
+    )
+    return out.select(
+        id_col, "sel_rank", F.col("min_dist").cast("double")
+    ).orderBy("sel_rank")

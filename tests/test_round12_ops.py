@@ -121,3 +121,31 @@ class TestDoremiMixture:
         docs = spark.createDataFrame(rows, "source string, text string")
         with pytest.raises(ValueError, match="max_domains"):
             ops.doremi_mixture_weights(docs, max_domains=10)
+
+
+class TestKcenterDiversity:
+    def test_traversal_picks_extremes_first(self, spark):
+        # two tight clusters on opposite axes + one outlier: the seed
+        # is id 0 (cluster A); pick 2 must come from the farthest
+        # group, and radii must be non-increasing
+        rows = [(i, [1.0, 0.0, 0.0]) for i in range(5)]
+        rows += [(10 + i, [0.0, 1.0, 0.0]) for i in range(5)]
+        rows += [(99, [0.0, 0.0, 1.0])]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = ops.kcenter_diversity_sample(emb, n_sample=3).collect()
+        assert out[0]["vec_id"] == 0 and out[0]["min_dist"] is None
+        assert out[1]["vec_id"] in (10, 11, 12, 13, 14, 99)
+        assert out[1]["min_dist"] == 1.0  # orthogonal: 1 - cos(90°)
+        assert out[2]["min_dist"] <= out[1]["min_dist"]
+
+    def test_deterministic_and_degenerate_raises(self, spark):
+        rows = [(i, [1.0, 0.0]) for i in range(3)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="coverage radius"):
+            ops.kcenter_diversity_sample(emb, n_sample=2)
+        with pytest.raises(ValueError, match="n_sample"):
+            ops.kcenter_diversity_sample(emb, n_sample=0)
