@@ -140,3 +140,24 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 10_000
     assert after.agg({"id": "sum"}).collect()[0][0] == checksum
+
+
+def test_read_parquet_schema_memo(spark, tmp_path):
+    """The process-level schema memo: the first read of a path infers
+    (and caches) the schema; later reads pass it explicitly — zero
+    inference jobs — and return identical schemas and rows."""
+    from concept_multi_db_query_engine_spark import sources as src
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    first = src.read_parquet(spark, p)
+    assert p in src._PARQUET_SCHEMA_CACHE
+    tracker = spark.sparkContext.statusTracker()
+    ids = tracker.getJobIdsForGroup(None)
+    before = max(ids) if ids else -1
+    again = src.read_parquet(spark, p)
+    ids = tracker.getJobIdsForGroup(None)
+    assert (max(ids) if ids else -1) == before  # no inference job
+    assert again.schema == first.schema
+    assert sorted(r["v"] for r in again.collect()) == \
+        sorted(r["v"] for r in first.collect())
