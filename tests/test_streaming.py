@@ -1646,3 +1646,35 @@ def test_elo_rating_stream_matches_batch_across_micro_batches(spark):
         assert got[g]["n_played"] == want[g]["n_played"], g
         assert got[g]["wins"] == want[g]["wins"], g
         assert got[g]["rating"] == want[g]["rating"], g
+
+
+def test_importance_weights_scores_a_stream_with_frozen_models(spark):
+    """importance_weights' documented streaming posture: fit both
+    unigram models on BATCH frames (model fitting collects), then
+    score a readStream frame — the scoring leg is a pure narrow map,
+    so per-doc stream scores must equal the batch run."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = testdata.load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text")
+    target = testdata.load_table(spark, SF_DIR, "documents") \
+        .where("lang = 'en'").select("doc_id", "text")
+    want = {
+        r["doc_id"]: r["avg_log_ratio"]
+        for r in ops.importance_weights(
+            docs, target, top_n=50, source=docs).collect()
+    }
+    d = tempfile.mkdtemp(prefix="stream-dsir-")
+    docs.write.parquet(os.path.join(d, "a"))
+    src = spark.readStream.schema(docs.schema) \
+        .parquet(os.path.join(d, "*"))
+    plan = ops.importance_weights(src, target, top_n=50, source=docs)
+    sw.run_stream_to_memory(plan, "dsir_stream_t", output_mode="append")
+    got = {
+        r["doc_id"]: r["avg_log_ratio"]
+        for r in spark.sql("SELECT * FROM dsir_stream_t").collect()
+    }
+    assert got == want
