@@ -2299,9 +2299,14 @@ def perplexity_partition(
     """
     from .analytics import distributed_group_quantiles
 
+    # PIN the scored frame (one narrow row per doc): it feeds BOTH the
+    # tertile-edge quantiles and the bucketing — un-pinned, each
+    # reference re-ran the stupid-backoff scorer (a map over the full
+    # token stream against the broadcast model maps, the dominant CPU
+    # here — measured 2 scoring scans at sf0.1 before this)
     scored = bigram_logprob_score(
         docs, corpus, top_unigrams, top_bigrams, alpha, id_col, text_col
-    )
+    ).select("n_tokens", "bits_per_token").localCheckpoint(eager=False)
     vals = scored.select(
         F.lit(0).alias("__g"),
         F.col("bits_per_token").alias("__v"),
@@ -2317,23 +2322,21 @@ def perplexity_partition(
         ).alias("bucket"),
         "n_tokens", "bits_per_token",
     )
-    tot = bucketed.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("__t")
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("bits_per_token").alias("lo_bits"),
+        F.max("bits_per_token").alias("hi_bits"),
+    ).localCheckpoint(eager=False)  # 3 rows; feeds the total AND output
+    # total derived from the 3-row bucket frame — NOT from a second
+    # pass over the bucketed corpus
+    tot = per_bucket.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("__t")
     )
-    return (
-        bucketed.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("bits_per_token").alias("lo_bits"),
-            F.max("bits_per_token").alias("hi_bits"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket", "n_docs", "n_tokens",
-            F.expr("n_docs * 1000000 DIV __t").alias("share_ppm"),
-            "lo_bits", "hi_bits",
-        )
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_docs", "n_tokens",
+        F.expr("n_docs * 1000000 DIV __t").alias("share_ppm"),
+        "lo_bits", "hi_bits",
     )
 
 
@@ -3622,21 +3625,32 @@ def dsir_resample(
     toks = (
         f"filter(split({text_col}, ' '), x -> x != '')"
     )
+    # tokenize ONCE into a materialized column before the bigram
+    # lambda: element_at(split(...), i) inside a transform() re-runs
+    # the split per produced element (higher-order lambdas re-evaluate
+    # captured expressions per invocation — measured 15 s CPU at sf0.1
+    # before this, quadratic in document length)
     feats = (
-        f"concat({toks}, CASE WHEN size({toks}) < 2 "
-        f"THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', "
-        f"element_at({toks}, i + 1))) END)"
+        "concat(__t, CASE WHEN size(__t) < 2 "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(1, size(__t) - 1), "
+        "i -> concat(element_at(__t, i), ' ', "
+        "element_at(__t, i + 1))) END)"
     )
     bucket = (
         "pmod(CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT), "
         f"{n_buckets})"
     )
 
+    def _features(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.select(*keep, F.expr(toks).alias("__t"))
+            .select(*keep, F.explode(F.expr(feats)).alias("f"))
+        )
+
     def _buckets(df: DataFrame) -> DataFrame:
         return (
-            df.select(F.explode(F.expr(feats)).alias("f"))
+            _features(df)
             .select(F.expr(bucket).alias("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -3670,7 +3684,7 @@ def dsir_resample(
         )
     )
     doc_buckets = (
-        docs.select(F.col(id_col), F.explode(F.expr(feats)).alias("f"))
+        _features(docs, id_col)
         .select(id_col, F.expr(bucket).alias("b"))
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
