@@ -93,6 +93,20 @@ class TestEloPreferenceRatings:
         with pytest.raises(ValueError, match="n_matches"):
             ops.elo_preference_ratings(df, "g", "v", "o", n_matches=0)
 
+    def test_rating_mass_conserved_exactly(self, spark):
+        # deltas are symmetric integers on the micro lattice, so total
+        # rating mass is conserved EXACTLY: sum(rating) == k * 1500
+        from concept_multi_db_query_engine_spark import testdata as td
+
+        orders = td.load_table(
+            spark, "/root/testdata/sf0.001", "orders")
+        out = ops.elo_preference_ratings(
+            orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+            n_matches=400,
+        ).collect()
+        micros = [int(round(r["rating"] * 1e6)) for r in out]
+        assert sum(micros) == len(out) * 1_500_000_000
+
 
 class TestDoremiMixture:
     def test_uniform_corpus_gives_uniform_weights(self, spark):
