@@ -163,3 +163,29 @@ class TestKcenterDiversity:
             ops.kcenter_diversity_sample(emb, n_sample=2)
         with pytest.raises(ValueError, match="n_sample"):
             ops.kcenter_diversity_sample(emb, n_sample=0)
+
+class TestPartitionInvariance:
+    def test_dsir_and_doremi_partition_invariant(self, spark):
+        # every weight is an exact BIGINT sum of micro-quantized terms,
+        # so repartitioning must not move a single output bit
+        from concept_multi_db_query_engine_spark import testdata as td
+
+        docs = td.load_table(spark, "/root/testdata/sf0.001", "documents")
+        tgt = docs.where("lang = 'en'")
+        a = ops.dsir_resample(docs, tgt, n_sample=20,
+                              n_buckets=128).collect()
+        b = ops.dsir_resample(docs.repartition(7), tgt.repartition(3),
+                              n_sample=20, n_buckets=128).collect()
+        assert a == b
+        c = ops.doremi_mixture_weights(docs).collect()
+        d = ops.doremi_mixture_weights(docs.repartition(11)).collect()
+        assert c == d
+
+    def test_kcenter_partition_invariant(self, spark):
+        from concept_multi_db_query_engine_spark import testdata as td
+
+        emb = td.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = ops.kcenter_diversity_sample(emb, n_sample=5).collect()
+        b = ops.kcenter_diversity_sample(
+            emb.repartition(9), n_sample=5).collect()
+        assert a == b
