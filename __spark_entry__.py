@@ -6427,12 +6427,14 @@ ORDER BY query_id, rank
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigs AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM sh CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigs GROUP BY 1, 2
 ),
 cand AS (
@@ -11670,12 +11672,14 @@ WHERE round(common / (n1 + n2 - common), 4) >= 0.8
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigs AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM sh CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigs GROUP BY 1, 2
 ),
 cand AS (
@@ -11696,12 +11700,14 @@ WHERE jac.jaccard >= 0.5
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigs AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM sh CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigs GROUP BY 1, 2
 ),
 cand AS (
@@ -11758,22 +11764,26 @@ shn AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigc AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM shc CROSS JOIN seeds GROUP BY 1, 2
 ),
 sign_ AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM shn CROSS JOIN seeds GROUP BY 1, 2
 ),
 bandc AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigc GROUP BY 1, 2
 ),
 bandn AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sign_ GROUP BY 1, 2
 ),
 cand AS (
@@ -11805,12 +11815,14 @@ WHERE round(CAST(cm AS DOUBLE) / (szn.n + szc.n - cm), 4) >= 0.5
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigs AS (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM sh CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigs GROUP BY 1, 2
 ),
 cand AS (
@@ -16292,18 +16304,21 @@ ORDER BY 1, 2
 
     # textually parallel to operators.dedup.bbit_minhash_pairs: same
     # md5 minhash family as dedup_minhash_estimate, plus the b=8
-    # low-bit truncation (trailing 2 hex chars) and its debias
+    # low-bit truncation (sig mod 256 on the 48-bit lattice) and its
+    # debias
     o["dedup_bbit_minhash"] = (
         "WITH " + _SHINGLES_CTE + """,
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
 sigs AS MATERIALIZED (
   SELECT doc_id, seed,
-         min(md5(seed::VARCHAR || ':' || shingle)) AS sig
+         min((CAST(('0x' || substr(md5('mh1:' || shingle), 1, 12)) AS BIGINT)
+              + seed * CAST(('0x' || substr(md5('mh2:' || shingle), 1, 12))
+                            AS BIGINT)) % 281474976710597) AS sig
   FROM sh CROSS JOIN seeds GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bucket
   FROM sigs GROUP BY 1, 2
 ),
 cand AS (
@@ -16315,7 +16330,7 @@ scored AS (
   SELECT c.d1, c.d2,
          CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
               AS INT) AS matches_full,
-         CAST(sum(CASE WHEN right(sa.sig, 2) = right(sb.sig, 2)
+         CAST(sum(CASE WHEN sa.sig % 256 = sb.sig % 256
               THEN 1 ELSE 0 END) AS INT) AS matches_bbit
   FROM cand c
   JOIN sigs sa ON sa.doc_id = c.d1

