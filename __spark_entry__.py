@@ -2993,6 +2993,13 @@ def _q_kcenter_sample(spark, sf):
     )
 
 
+def _q_epoch_allocation(spark, sf):
+    return ops.epoch_allocation(
+        _t(spark, sf, "documents"), budget_ratio_pct=250,
+        decay_quarters=2, max_epochs=8,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3711,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders_elo_ratings": _q_elo_ratings,
             "docs_doremi_mixture": _q_doremi_mixture,
             "sim_kcenter_sample": _q_kcenter_sample,
+            "docs_epoch_allocation": _q_epoch_allocation,
         }
     )
     for name in _ORDER_PIN:
@@ -16600,4 +16608,39 @@ SELECT * FROM (
 ) ORDER BY sel_rank
 """
     )
+
+    # textually parallel to operators.text.epoch_allocation: epoch-level
+    # waterfill over the k x 8 chunk frame, decay 1/2 on the exact
+    # 2^7 integer lattice
+    o["docs_epoch_allocation"] = """
+WITH per AS (
+  SELECT CAST(source AS VARCHAR) AS source,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  x -> x != ''))) AS BIGINT) AS u
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(u) AS BIGINT) AS t FROM per),
+chunks AS (
+  SELECT source, u, (t * 250) // 100 AS b, e
+  FROM per CROSS JOIN tot
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS e)
+),
+alloc AS (
+  SELECT source, u, e,
+         GREATEST(CAST(0 AS BIGINT), LEAST(u,
+           b - coalesce(SUM(u) OVER (ORDER BY e ASC, source ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)))) AS drawn
+  FROM chunks
+)
+SELECT source,
+       CAST(max(u) AS BIGINT) AS unique_tokens,
+       CAST(sum(drawn) AS BIGINT) AS tokens_drawn,
+       (CAST(round(CAST(sum(drawn) AS DOUBLE) / CAST(max(u) AS DOUBLE)
+          * 1000000.0) AS BIGINT) / 1e6)::DOUBLE AS epochs,
+       (CAST(round(CAST(sum(drawn * CAST(pow(1, e - 1) AS BIGINT)
+          * CAST(pow(2, 8 - e) AS BIGINT)) AS DOUBLE) / 128.0
+          * 1000000.0) AS BIGINT) / 1e6)::DOUBLE AS effective_tokens
+FROM alloc GROUP BY 1 ORDER BY source
+"""
     return o

@@ -411,6 +411,7 @@ HEADLINE = [
     "orders_elo_ratings",
     "docs_doremi_mixture",
     "sim_kcenter_sample",
+    "docs_epoch_allocation",
 ]
 
 

@@ -3881,3 +3881,119 @@ def doremi_mixture_weights(
         F.expr("CAST(ex_micro AS DOUBLE) / 1e6").alias("excess_loss"),
         F.col("doremi_weight").cast("double"),
     ).orderBy("source")
+
+
+def epoch_allocation(
+    docs: DataFrame,
+    budget_ratio_pct: int = 250,
+    decay_quarters: int = 2,
+    max_epochs: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained epoch allocation: given a token budget of
+    ``budget_ratio_pct``% of the corpus, how many times should each
+    source be repeated?  Repeating data has geometrically diminishing
+    value (the Scaling Data-Constrained LMs finding — Muennighoff et
+    al. 2023, arXiv:2305.16264 — here simplified to an explicit
+    geometric discount: epoch e of a source is worth
+    ``decay^(e-1)`` fresh tokens per token).  The greedy-optimal
+    schedule under a uniform discount is epoch-LEVEL order: every
+    source's first epoch (ratio 1) before any second epoch (ratio
+    decay), ties within a level broken by ascending source, the
+    boundary source taking the fractional remainder — a marginal-value
+    waterfill, computed entirely declaratively.
+
+    ``decay`` is restricted to the quarter grid {0.25, 0.5, 0.75}
+    (``decay_quarters``/4) so every per-epoch value is an EXACT
+    integer on the ``4^(max_epochs-1)`` lattice
+    (``drawn · 3^(e-1) · 4^(max_epochs-e)`` — dyadic arithmetic, no
+    rounding anywhere), making the whole allocation bit-reproducible
+    and SQL-replayable.
+
+    Scale shape: ONE token-count aggregation over the corpus
+    (map-side combined BIGINT sums); everything after runs on the
+    k-source frame — the budget walk is a prefix sum over the
+    k × max_epochs chunk frame ordered by (epoch, source), the
+    documented small-frame exception.  No driver collect at all.
+    Returns one row per source ordered by source:
+    (source, unique_tokens, tokens_drawn, epochs, effective_tokens) —
+    ``epochs`` = drawn/unique (fractional at the boundary),
+    ``effective_tokens`` the discounted fresh-token value of the
+    draw; Σ tokens_drawn = min(budget, max_epochs × corpus).
+    """
+    if decay_quarters not in (1, 2, 3):
+        raise ValueError("decay_quarters must be 1, 2 or 3 "
+                         "(decay = 0.25 / 0.5 / 0.75)")
+    if not 1 <= max_epochs <= 12:
+        raise ValueError("max_epochs must be in [1, 12] — the chunk "
+                         "frame is k * max_epochs rows and the exact "
+                         "value lattice is 4^(max_epochs-1)")
+    if budget_ratio_pct < 1:
+        raise ValueError("budget_ratio_pct must be >= 1")
+    nt = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) "
+        "AS BIGINT)"
+    )
+    per = (
+        docs.where(f"({source_col}) IS NOT NULL")
+        .select(F.col(source_col).cast("string").alias("source"),
+                nt.alias("__nt"))
+        .groupBy("source")
+        .agg(F.sum("__nt").cast("long").alias("unique_tokens"))
+    ).localCheckpoint(eager=False)  # k rows; feeds the total AND chunks
+    tot = per.agg(
+        F.sum("unique_tokens").cast("long").alias("__T"))
+    # budget in exact integer tokens, then the epoch-level waterfill:
+    # chunk (source, e) costs unique_tokens and is worth
+    # decay^(e-1) * drawn; prefix order (e, source)
+    chunks = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "unique_tokens",
+            F.expr(f"(__T * {int(budget_ratio_pct)}) DIV 100")
+            .alias("__B"),
+            F.explode(F.expr(f"sequence(1, {max_epochs})")).alias("e"),
+        )
+    )
+    # value lattice: decay^(e-1) = num^(e-1) * base^(max_epochs-e)
+    # / base^(max_epochs-1), with (num, base) = (1,4) for 1/4,
+    # (1,2) for 1/2, (3,4) for 3/4 — every term an exact integer
+    num = {1: 1, 2: 1, 3: 3}[decay_quarters]
+    base = {1: 4, 2: 2, 3: 4}[decay_quarters]
+    scale = base ** (max_epochs - 1)
+    alloc = chunks.select(
+        "source", "unique_tokens", "e",
+        F.expr(
+            "GREATEST(CAST(0 AS BIGINT), LEAST(unique_tokens, "
+            "__B - coalesce(SUM(unique_tokens) OVER ("
+            "ORDER BY e ASC, source ASC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))))"
+        ).alias("__drawn"),
+    )
+    eff = (
+        f"__drawn * CAST(pow({num}, e - 1) AS BIGINT) "
+        f"* CAST(pow({base}, {max_epochs} - e) AS BIGINT)"
+    )
+    out = (
+        alloc.groupBy("source")
+        .agg(
+            F.max("unique_tokens").alias("unique_tokens"),
+            F.sum("__drawn").cast("long").alias("tokens_drawn"),
+            F.sum(F.expr(eff)).cast("long").alias("__eff_scaled"),
+        )
+        .select(
+            "source", "unique_tokens", "tokens_drawn",
+            F.expr(
+                "CAST(round(CAST(tokens_drawn AS DOUBLE) "
+                "/ CAST(unique_tokens AS DOUBLE) * 1000000.0d) "
+                "AS BIGINT) / 1e6"
+            ).cast("double").alias("epochs"),
+            F.expr(
+                f"CAST(round(CAST(__eff_scaled AS DOUBLE) / {scale}.0d "
+                "* 1000000.0d) AS BIGINT) / 1e6"
+            ).cast("double").alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+    return out

@@ -189,3 +189,45 @@ class TestPartitionInvariance:
         b = ops.kcenter_diversity_sample(
             emb.repartition(9), n_sample=5).collect()
         assert a == b
+
+
+class TestEpochAllocation:
+    def test_waterfill_fills_epoch_levels_in_order(self, spark):
+        rows = [("a", "w " * 10), ("b", "w " * 10)]
+        docs = spark.createDataFrame(rows, "source string, text string")
+        # budget = 300% of 20 tokens = 60 = 3 full epochs for both
+        out = {r["source"]: r for r in ops.epoch_allocation(
+            docs, budget_ratio_pct=300, decay_quarters=2).collect()}
+        for s in ("a", "b"):
+            assert out[s]["tokens_drawn"] == 30
+            assert out[s]["epochs"] == 3.0
+            # 10 * (1 + 1/2 + 1/4) = 17.5 effective
+            assert out[s]["effective_tokens"] == 17.5
+
+    def test_boundary_source_takes_fraction(self, spark):
+        rows = [("a", "w " * 10), ("b", "w " * 10)]
+        docs = spark.createDataFrame(rows, "source string, text string")
+        # budget = 125% of 20 = 25: both full epoch 1 (20), then 'a'
+        # gets 5 of its second epoch, 'b' none
+        out = {r["source"]: r for r in ops.epoch_allocation(
+            docs, budget_ratio_pct=125, decay_quarters=2).collect()}
+        assert out["a"]["tokens_drawn"] == 15
+        assert out["b"]["tokens_drawn"] == 10
+        assert out["a"]["epochs"] == 1.5
+        assert out["a"]["effective_tokens"] == 12.5  # 10 + 5/2
+        assert out["b"]["effective_tokens"] == 10.0
+
+    def test_max_epochs_caps_the_draw(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "w " * 10)], "source string, text string")
+        out = ops.epoch_allocation(
+            docs, budget_ratio_pct=10_000, max_epochs=2).collect()[0]
+        assert out["tokens_drawn"] == 20  # 2 epochs, budget unused
+
+    def test_guards(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "w")], "source string, text string")
+        with pytest.raises(ValueError, match="decay_quarters"):
+            ops.epoch_allocation(docs, decay_quarters=4)
+        with pytest.raises(ValueError, match="max_epochs"):
+            ops.epoch_allocation(docs, max_epochs=0)
