@@ -3311,8 +3311,8 @@ def _q_granger(spark, sf):
 
 
 # The round-9 fleet-wide determinism sweep (two masters × two shuffle-
-# partition counts, order-sensitive compare — .claude/skills/verify/
-# det_sweep.py) found these 52 already-green queries return value-
+# partition counts, order-sensitive compare) found these 52
+# already-green queries return value-
 # identical rows in partition-dependent ORDER. The driver canon is
 # order-insensitive (52 greens prove it), but pinning is free hardening
 # against any future canon change or re-grade rotation: a generic final
@@ -16358,9 +16358,9 @@ FROM scored
     # target/source log-ratios micro-quantized model-side, exact BIGINT
     # per-doc weight sums, Gumbel-top-k from the md5-uniform of doc_id
     _dsir_u = (
-        "((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), "
-        "1, 15)) AS UBIGINT)::DOUBLE + 1.0) "
-        "/ 1152921504606846976.0)"
+        "least(((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS "
+        "VARCHAR)), 1, 15)) AS UBIGINT)::DOUBLE + 1.0) "
+        "/ 1152921504606846976.0), 0.9999999999999999)"
     )
     o["docs_dsir_resample"] = f"""
 WITH tk AS MATERIALIZED (
@@ -16459,6 +16459,7 @@ WITH RECURSIVE lim AS MATERIALIZED (
     FROM orders
     WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
       AND o_orderkey IS NOT NULL
+      AND NOT isnan(CAST(o_totalprice AS DOUBLE))
     ORDER BY 1, 2, 3 LIMIT 513
   )
 ),

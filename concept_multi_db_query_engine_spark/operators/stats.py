@@ -7834,9 +7834,14 @@ def elo_preference_ratings(
     if not 1 <= n_matches <= 100_000:
         raise ValueError("n_matches must be in [1, 100000] — the replay "
                          "is sequential and driver-side by design")
+    # NaN values are excluded along with NULLs: the streaming twin's
+    # Arrow->pandas conversion maps NULL to NaN, so pandas dropna cannot
+    # distinguish them — the batch filter matches the stream's drop so
+    # the pinned stream==batch equality holds on feeds carrying NaN
     base = df.where(
         f"({group_col}) IS NOT NULL AND ({value_col}) IS NOT NULL "
-        f"AND ({order_col}) IS NOT NULL"
+        f"AND ({order_col}) IS NOT NULL "
+        f"AND NOT isnan(CAST(({value_col}) AS DOUBLE))"
     ).select(
         F.expr(f"({order_col})").alias("o"),
         F.col(group_col).cast("string").alias("g"),

@@ -3700,10 +3700,15 @@ def dsir_resample(
     # Gumbel-top-k key: md5-uniform u in (0,1] from the doc id alone,
     # g = -ln(-ln(u)); adding g to the log-weight and taking the top
     # n_sample is exactly weight-proportional sampling w/o replacement
+    # clamp u strictly below 1.0: for h within ~128 of 2^60 the double
+    # (h+1)/2^60 rounds to exactly 1.0 and -ln(-ln(1.0)) = +inf, where
+    # Spark's BIGINT cast saturates but DuckDB errors — the clamp (the
+    # largest double < 1, identical literal in the oracle) removes the
+    # divergence with zero effect on any other hash value
     u = (
-        f"((CAST(conv(substring(md5(concat('dsir:', "
+        f"least(((CAST(conv(substring(md5(concat('dsir:', "
         f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS DOUBLE) + 1.0d)"
-        f" / {float(1 << 60)!r}d)"
+        f" / {float(1 << 60)!r}d), 0.9999999999999999d)"
     )
     keyed = weights.select(
         id_col, "n_features",

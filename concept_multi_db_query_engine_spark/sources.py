@@ -15,25 +15,70 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .errors import EXECUTOR_MISSING, ConnectionError, ErrorItem
 
-# process-level memo of inferred parquet schemas, keyed by path. The first
-# read of a path infers the schema from file footers (a 1-task Spark job +
-# footer I/O); every later read passes the cached StructType explicitly —
-# zero jobs, zero footer reads. At cluster scale this removes a per-read
-# fixed cost on hot tables (directory listing is already amortized by
-# Spark's shared FileStatusCache); it also keeps bench.py's
-# construction-job eagerness detection exact. Assumes a path's schema is
-# stable within one driver process — true for immutable lake snapshots.
-_PARQUET_SCHEMA_CACHE: dict[str, Any] = {}
+# process-level memo of inferred parquet schemas, keyed by (path,
+# mtime/size fingerprint). The first read of a path infers the schema from
+# file footers (a 1-task Spark job + footer I/O); every later read passes
+# the cached StructType explicitly — zero jobs, zero footer reads. At
+# cluster scale this removes a per-read fixed cost on hot tables (directory
+# listing is already amortized by Spark's shared FileStatusCache); it also
+# keeps bench.py's construction-job eagerness detection exact. The
+# fingerprint in the key makes in-process overwrites / schema evolution
+# invalidate the memo instead of null-filling through a stale StructType.
+_PARQUET_SCHEMA_CACHE: dict[tuple, Any] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """Cheap local-FS change detector for the schema memo: the path's
+    own (mtime_ns, size) plus, for a directory, the (name, mtime_ns,
+    size) of each direct entry — a parquet dir overwrite replaces part
+    files under new UUID names, so any rewrite or schema evolution
+    changes the tuple and the stale StructType is never replayed
+    (silently null-filling renamed columns). Non-local paths (s3://,
+    hdfs://) stat-fail and return a no-memo marker."""
+    import os
+
+    try:
+        st = os.stat(path)
+        fp: tuple = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            entries = tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(path), key=lambda e: e.name)
+            )
+            fp = fp + (hash(entries),)
+        return fp
+    except OSError:
+        return ("no-memo",)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read with the process-level inferred-schema memo."""
-    schema = _PARQUET_SCHEMA_CACHE.get(path)
+    """Parquet read with the process-level inferred-schema memo, keyed
+    by (path, mtime/size fingerprint) so in-process overwrites or
+    schema evolution invalidate the memo instead of silently reading
+    through a stale StructType."""
+    fp = _path_fingerprint(path)
+    if fp == ("no-memo",):
+        return spark.read.parquet(path)
+    key = (path, fp)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _PARQUET_SCHEMA_CACHE[path] = df.schema
+        # one live generation per path: drop fingerprints of prior
+        # generations so the memo stays O(paths), not O(overwrites)
+        for k in [k for k in _PARQUET_SCHEMA_CACHE if k[0] == path]:
+            del _PARQUET_SCHEMA_CACHE[k]
+        _PARQUET_SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+def invalidate_schema_cache(path: str | None = None) -> None:
+    """Drop the parquet schema memo for ``path`` (or everything)."""
+    if path is None:
+        _PARQUET_SCHEMA_CACHE.clear()
+        return
+    for k in [k for k in _PARQUET_SCHEMA_CACHE if k[0] == path]:
+        del _PARQUET_SCHEMA_CACHE[k]
 
 
 class Source:

@@ -151,7 +151,7 @@ def test_read_parquet_schema_memo(spark, tmp_path):
     p = str(tmp_path / "memo.parquet")
     spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
     first = src.read_parquet(spark, p)
-    assert p in src._PARQUET_SCHEMA_CACHE
+    assert any(k[0] == p for k in src._PARQUET_SCHEMA_CACHE)
     tracker = spark.sparkContext.statusTracker()
     ids = tracker.getJobIdsForGroup(None)
     before = max(ids) if ids else -1
@@ -161,3 +161,24 @@ def test_read_parquet_schema_memo(spark, tmp_path):
     assert again.schema == first.schema
     assert sorted(r["v"] for r in again.collect()) == \
         sorted(r["v"] for r in first.collect())
+
+
+def test_read_parquet_schema_memo_invalidates_on_overwrite(spark, tmp_path):
+    """Overwriting a path (here with a RENAMED column) within one driver
+    process must invalidate the memo: the second read sees the new
+    schema instead of null-filling through the stale StructType."""
+    from concept_multi_db_query_engine_spark import sources as src
+
+    p = str(tmp_path / "evolving.parquet")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    first = src.read_parquet(spark, p)
+    assert set(first.columns) == {"id", "v"}
+    assert first.count() == 10
+    spark.range(5).selectExpr("id", "id * 3 AS w").write.mode(
+        "overwrite").parquet(p)
+    second = src.read_parquet(spark, p)
+    assert set(second.columns) == {"id", "w"}  # not a stale null-filled v
+    assert sorted(r["w"] for r in second.collect()) == [0, 3, 6, 9, 12]
+    # explicit invalidation hook is also exposed
+    src.invalidate_schema_cache(p)
+    assert not any(k[0] == p for k in src._PARQUET_SCHEMA_CACHE)

@@ -1648,6 +1648,63 @@ def test_elo_rating_stream_matches_batch_across_micro_batches(spark):
         assert got[g]["rating"] == want[g]["rating"], g
 
 
+def test_elo_rating_stream_matches_batch_on_nan_values(spark):
+    """NaN alignment (round-12 ADVICE): the stream's Arrow->pandas
+    conversion maps NULL to NaN, so pandas dropna removes NaN-valued
+    rows — the batch operator's filter excludes NaN too (NOT isnan),
+    and the pinned stream==batch equality must hold on a feed that
+    carries a NaN value."""
+    import math
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    rows = [
+        ("m1", 1, "a", 10.0), ("m1", 2, "b", 5.0),
+        ("m1", 3, "a", float("nan")),  # dropped identically both paths
+        ("m1", 4, "b", 7.0), ("m1", 5, "a", 2.0),
+        ("m1", 6, "b", 9.0), ("m1", 7, "a", 11.0),
+        ("m1", 8, "b", 1.0),
+    ]
+    frame = spark.createDataFrame(
+        rows, "series_key string, o long, g string, v double")
+    want = {
+        r["grp"]: r
+        for r in ops.elo_preference_ratings(
+            frame, "g", "v", "o", n_matches=100,
+        ).collect()
+    }
+    # the NaN row must not have been paired: 7 surviving rows -> 6
+    # consecutive pairs, one of which (o=2,o=4: both 'b') is same-group
+    # skipped -> 5 matches -> 10 group-participations
+    assert sum(r["n_played"] for r in want.values()) == 10
+    assert not any(math.isnan(r["rating"]) for r in want.values())
+    d = tempfile.mkdtemp(prefix="stream-elo-nan-")
+    frame.where("o <= 4").coalesce(1).write.parquet(os.path.join(d, "a"))
+    frame.where("o > 4").coalesce(1).write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.elo_rating_stream(src)
+    sw.run_stream_to_memory(plan, "elo_stream_nan_t", output_mode="update")
+    got = {
+        r["grp"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "grp ORDER BY n_played DESC) AS __rk FROM elo_stream_nan_t) "
+            "WHERE __rk = 1"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["n_played"] == want[g]["n_played"], g
+        assert got[g]["wins"] == want[g]["wins"], g
+        assert got[g]["rating"] == want[g]["rating"], g
+
+
 def test_importance_weights_scores_a_stream_with_frozen_models(spark):
     """importance_weights' documented streaming posture: fit both
     unigram models on BATCH frames (model fitting collects), then
