@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"queries": {...wall...}, "queries_cpu": {...cpu...}, "sf": ...,
+{"queries": {...wall...}, "queries_cpu": {...cpu...},
+ "queries_construction": {...}, "queries_construction_cpu": {...},
+ "construction_eager": [...], "sf": ...,
  "cpu_value": total_cpu_sec, "metric": ..., "value": total_wall_sec}
 
 Each query is materialized through the noop sink — full plan execution
@@ -12,17 +14,34 @@ Two numbers per row:
 
 - **wall** — elapsed seconds. Sensitive to co-tenant CPU steal on this
   host (documented ±30% across machine states in rounds 10-11).
-- **cpu** — process CPU seconds actually consumed: the local-mode JVM's
-  utime+stime from /proc (all 32 executor threads live in that one
-  process) plus the Python driver's process_time. Steal-invariant —
-  a co-tenant burst inflates wall but not cpu — so round-over-round
-  regression calls should cite the cpu column.
+- **cpu** — CPU seconds attributable to THIS row: executor task-thread
+  CPU (executorCpuTime) summed over the stages of the jobs submitted
+  under the row's own job group, plus the Python driver's process_time
+  delta. Job-group scoping (round-12 verdict item) keeps JVM GC /
+  compiler threads and heap pressure from 200 prior rows out of a
+  row's bill — the round-12 /proc whole-process clock billed one
+  in-suite row 2.5x its steady CPU that way. Steal-invariant, so
+  round-over-round regression calls should cite this column. Falls
+  back to the /proc whole-process clock (flagged in ``cpu_metric``)
+  if the status-store py4j path is unavailable.
 
 Timing attribution: queries whose operators execute Spark jobs at
 CONSTRUCTION time (eager localCheckpoint pins, driver-side model fits)
-are auto-detected via the status-tracker job counter and reported as
+are auto-detected via the construction job group and reported as
 construction + min-of-2 action — the pinned legs are timed exactly once,
 cold. Purely lazy queries keep the historical min-of-2 action timing.
+Both legs are also emitted separately (``queries_construction`` /
+``queries_construction_cpu``, 0.0 for lazy rows) with the
+``construction_eager`` name list, so same-billing round-over-round
+comparison (action-only columns) is a one-liner instead of forensics.
+
+Long rows (first action sample > 5 s) are single-sample — EXCEPT when
+the co-tenant detector says the machine was busy during the sample
+(external non-idle CPU, measured from /proc/stat minus this process
+tree's own CPU, above 15% of capacity): then the row is re-sampled once
+and the min kept, bounded at 6 re-samples per suite. This replaces the
+round-12 "single sample, hope the machine was idle" posture that made
+the suite's heaviest row its least reliable number.
 """
 
 from __future__ import annotations
@@ -442,6 +461,109 @@ class _CpuClock:
         return (int(parts[11]) + int(parts[12])) / self._tck + py
 
 
+def _machine_busy_seconds() -> float:
+    """All-CPU non-idle jiffies from /proc/stat line 1, in seconds.
+    Deltas of this minus this process tree's own CPU = co-tenant CPU."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return (sum(vals) - idle) / float(os.sysconf("SC_CLK_TCK"))
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+class _ScopedCpu:
+    """Per-phase measurement scoped to a unique Spark job group.
+
+    ``measure(fn)`` runs ``fn`` under a fresh job group and returns
+    ``(wall, cpu, ran_jobs, ext_frac, result)``:
+
+    - cpu  = executorCpuTime (task threads only, ns→s) summed over the
+      deduped stages of the group's jobs + the Python driver's
+      process_time delta — other rows' GC debt and concurrent JVM
+      housekeeping are not billed to this row;
+    - ran_jobs — whether ``fn`` submitted any Spark job (the
+      construction-eagerness detector, now group-exact instead of the
+      round-12 max-job-id compare);
+    - ext_frac — co-tenant CPU during the phase as a fraction of total
+      machine capacity (machine non-idle minus this process tree),
+      the steal detector for the >5 s re-sample rule.
+
+    Falls back to whole-process /proc deltas if any py4j surface is
+    missing (``self.scoped`` goes False; ``cpu_metric`` reports it).
+    """
+
+    def __init__(self, spark) -> None:
+        self._sc = spark.sparkContext
+        self._tracker = self._sc.statusTracker()
+        self._fallback = _CpuClock(spark)
+        self._n = 0
+        self._ncpu = float(os.cpu_count() or 1)
+        self.scoped = True
+        try:
+            jsc = self._sc._jsc.sc()
+            self._bus = jsc.listenerBus()
+            self._store = jsc.statusStore()
+            gw = self._sc._gateway
+            self._empty_list = gw.jvm.java.util.ArrayList()
+            self._empty_quantiles = gw.new_array(gw.jvm.double, 0)
+            self._bus.waitUntilEmpty()
+            # signature probe on a nonexistent stage id: wrong py4j
+            # signature raises here (clean upfront fallback), a missing
+            # stage just yields an empty Seq
+            self._store.stageData(2147483000, False, self._empty_list,
+                                  False, self._empty_quantiles)
+        except Exception:
+            self.scoped = False
+
+    def _group_stage_cpu_s(self, group: str) -> float:
+        self._bus.waitUntilEmpty()
+        seen: set[int] = set()
+        total_ns = 0
+        for jid in self._tracker.getJobIdsForGroup(group):
+            info = self._tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                sid = int(sid)
+                if sid in seen:
+                    continue  # skipped stages are shared across jobs
+                seen.add(sid)
+                seq = self._store.stageData(
+                    sid, False, self._empty_list, False,
+                    self._empty_quantiles)
+                for i in range(seq.size()):
+                    total_ns += seq.apply(i).executorCpuTime()
+        return total_ns / 1e9
+
+    def measure(self, fn):
+        self._n += 1
+        group = f"bench-{self._n}"
+        self._sc.setJobGroup(group, group)
+        busy0 = _machine_busy_seconds()
+        own0 = self._fallback.now()
+        py0 = time.process_time()
+        w0 = time.perf_counter()
+        try:
+            result = fn()
+        finally:
+            self._sc.setLocalProperty("spark.jobGroup.id", None)
+        wall = time.perf_counter() - w0
+        own_delta = self._fallback.now() - own0
+        ext = max(0.0, (_machine_busy_seconds() - busy0) - own_delta)
+        ext_frac = ext / (self._ncpu * wall) if wall > 0 else 0.0
+        ran_jobs = bool(self._tracker.getJobIdsForGroup(group))
+        if self.scoped:
+            try:
+                cpu = (self._group_stage_cpu_s(group)
+                       + (time.process_time() - py0))
+                return wall, cpu, ran_jobs, ext_frac, result
+            except Exception:
+                self.scoped = False
+        return wall, own_delta, ran_jobs, ext_frac, result
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -460,84 +582,112 @@ def main() -> None:
                "lineitem", "events", "documents", "embeddings"):
         _td.load_table(spark, sf_dir, _t)
 
-    clock = _CpuClock(spark)
-    tracker = spark.sparkContext.statusTracker()
-
-    def _max_job_id() -> int:
-        ids = tracker.getJobIdsForGroup(None)
-        return max(ids) if ids else -1
+    scoped = _ScopedCpu(spark)
 
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
+    cons_wall: dict[str, float] = {}
+    cons_cpu: dict[str, float] = {}
+    construction_eager: list[str] = []
+    resampled: list[str] = []
+    # the steal detector re-samples at most this many >5 s rows per
+    # suite, so a busy co-tenant cannot double the suite's wall time
+    resamples_left = 6
 
-    def _emit() -> None:
+    def _emit(partial: bool = False) -> None:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        payload: dict = {
+            "queries": timings,
+            "queries_cpu": cpu_timings,
+            "queries_construction": cons_wall,
+            "queries_construction_cpu": cons_cpu,
+            "construction_eager": sorted(construction_eager),
+            "resampled": sorted(resampled),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "unit": "sec",
+            "cpu_metric": (
+                "job-group-scoped executor task CPU + py driver"
+                if scoped.scoped
+                else "whole-process CPU (JVM+py; scoped path unavailable)"
+            ),
+            "cpu_value": round(sum(cpu_timings.values()), 4),
+        }
+        if partial:
+            # near the tail so the flag survives head truncation: a
+            # SIGTERM'd run must never read as a (fast) full suite
+            payload["partial"] = True
         # Key order matters: the driver archives only the TAIL of this
         # line, so the headline totals ("value"/"metric") go LAST — a
         # truncated head loses individual per-query rows, never totals.
-        print(
-            json.dumps(
-                {
-                    "queries": timings,
-                    "queries_cpu": cpu_timings,
-                    "sf": float(sf)
-                    if sf.replace(".", "").isdigit() else sf,
-                    "n_queries": len(timings),
-                    "unit": "sec",
-                    "cpu_metric":
-                        "headline-suite process-CPU time (JVM+py)",
-                    "cpu_value": round(sum(cpu_timings.values()), 4),
-                    "metric": "headline-suite wall time",
-                    "value": round(sum(timings.values()), 4),
-                }
-            ),
-            flush=True,
-        )
+        payload["metric"] = "headline-suite wall time"
+        payload["value"] = round(sum(timings.values()), 4)
+        print(json.dumps(payload), flush=True)
 
     def _on_term(signum, frame) -> None:
         # an external timeout must not cost the whole run: emit the
-        # rows that completed and exit cleanly
+        # rows that completed (flagged partial) and exit cleanly
         print(f"[bench] SIGTERM after {len(timings)} rows - emitting "
               "partial suite", file=sys.stderr)
-        _emit()
+        _emit(partial=True)
         os._exit(0)
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    def _record(name: str, wall: float, cpu: float) -> None:
+    def _record(name: str, wall: float, cpu: float,
+                cw: float = 0.0, cc: float = 0.0) -> None:
         timings[name] = round(wall, 4)
         cpu_timings[name] = round(cpu, 4)
+        cons_wall[name] = round(cw, 4)
+        cons_cpu[name] = round(cc, 4)
         # progress marker so a killed/stalled run still shows where it
         # was (stdout stays the one-JSON-line contract)
-        print(f"[bench] {name} {wall:.3f}s cpu={cpu:.3f}s", file=sys.stderr)
+        print(f"[bench] {name} {wall:.3f}s cpu={cpu:.3f}s"
+              + (f" cons={cw:.3f}s" if cw else ""), file=sys.stderr)
 
     def _noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def _timed(fn) -> tuple[float, float]:
-        w0, c0 = time.perf_counter(), clock.now()
-        fn()
-        return time.perf_counter() - w0, clock.now() - c0
+    def _action(df, single: bool) -> tuple[float, float, bool]:
+        """Action-leg sampling: min-of-2 for short rows (steal absorbs
+        into the min), single sample for >5 s rows UNLESS the co-tenant
+        detector saw external CPU above 15% of machine capacity during
+        the sample — then one re-sample, min kept (round-12 verdict:
+        the heaviest row must not be the least reliable number)."""
+        nonlocal resamples_left
+        w1, c1, _, ext1, _ = scoped.measure(lambda: _noop(df))
+        if single:
+            return w1, c1, False
+        if w1 <= 5.0:
+            w2, c2, _, _, _ = scoped.measure(lambda: _noop(df))
+            return min(w1, w2), min(c1, c2), False
+        if ext1 > 0.15 and resamples_left > 0:
+            resamples_left -= 1
+            print(f"[bench] co-tenant busy (ext={ext1:.0%}) during a "
+                  f">5s row - re-sampling once", file=sys.stderr)
+            w2, c2, _, _, _ = scoped.measure(lambda: _noop(df))
+            return min(w1, w2), min(c1, c2), True
+        return w1, c1, False
 
-    def _min2(df) -> tuple[float, float]:
-        # two executions, report the min of each column: the host shows
-        # multi-second CPU steal from co-tenants, so a single wall sample
-        # can be 4x off; min-of-2 measures the engine's steady-state plan,
-        # not the neighbors. Rows whose FIRST sample exceeds 5 s keep that
-        # single sample: steal distorts long rows proportionally less, the
-        # CPU column bounds them anyway, and re-running the suite's
-        # heaviest rows doubles exactly the wall time that risks an
-        # external timeout.
-        w, c = _timed(lambda: _noop(df))
-        if w > 5.0:
-            return w, c
-        w2, c2 = _timed(lambda: _noop(df))
-        return min(w, w2), min(c, c2)
+    def _run_row(name: str, build, single_action: bool = False) -> None:
+        """Generic row: construction under its own job group (eagerness
+        = that group ran jobs; billed once, cold, and emitted separately
+        in the queries_construction maps), then the action leg."""
+        cw, cc, cons_jobs, _, df = scoped.measure(build)
+        aw, ac, was_resampled = _action(df, single_action)
+        if was_resampled:
+            resampled.append(name)
+        if cons_jobs:
+            construction_eager.append(name)
+            _record(name, cw + aw, cc + ac, cw, cc)
+        else:
+            _record(name, aw, ac)
+        spark.catalog.clearCache()
 
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
             # The two minhash scoring modes share their signature stage
-            # (shingle scan + 16 min-aggregates) — in one session a user
+            # (shingle scan + min-aggregates) — in one session a user
             # computes it once (operators.minhash_frames) and runs both
             # modes over it, so the bench does the same: the shared stage
             # is timed ONCE as its own row, and each mode's row then
@@ -554,33 +704,34 @@ def main() -> None:
                 _noop(sigs)
                 sh.count()
 
-            w, c = _timed(_shared)
+            w, c, _, _, _ = scoped.measure(_shared)
             _record("dedup_minhash_shared_sigs", w, c)
-            _record("dedup_minhash_lsh", *_min2(
-                ops.minhash_lsh_pairs(docs, k=5, num_hashes=16, bands=4,
-                                      threshold=0.5, frames=(sh, sigs))))
-            _record("dedup_minhash_estimate", *_min2(
-                ops.minhash_estimate_pairs(docs, k=5, num_hashes=16,
-                                           bands=4, min_estimate=0.5,
-                                           frames=(sh, sigs))))
-            _record("dedup_bbit_minhash", *_min2(
-                ops.bbit_minhash_pairs(docs, k=5, num_hashes=16,
-                                       bands=4, b_bits=8,
-                                       frames=(sh, sigs))))
+            _run_row("dedup_minhash_lsh", lambda: ops.minhash_lsh_pairs(
+                docs, k=5, num_hashes=16, bands=4,
+                threshold=0.5, frames=(sh, sigs)))
+            _run_row("dedup_minhash_estimate",
+                     lambda: ops.minhash_estimate_pairs(
+                         docs, k=5, num_hashes=16, bands=4,
+                         min_estimate=0.5, frames=(sh, sigs)))
+            _run_row("dedup_bbit_minhash", lambda: ops.bbit_minhash_pairs(
+                docs, k=5, num_hashes=16, bands=4, b_bits=8,
+                frames=(sh, sigs)))
             sh.unpersist()
             sigs.unpersist()
             spark.catalog.clearCache()
             continue
         if name in ("dedup_minhash_estimate", "dedup_bbit_minhash"):
             continue  # timed alongside dedup_minhash_lsh above
-        if name == "graph_pagerank":
-            # pagerank does its heavy lifting (edge materialization + the
-            # iteration checkpoints) at CONSTRUCTION time, so the generic
-            # noop-write timing of the returned frame measures almost
-            # nothing. The k-NN edge build is already benched as
-            # sim_knn_graph, so the honest non-double-counting row is:
-            # materialize the edges outside the timer, then time pagerank
-            # construction + first action over the ready graph.
+        if name in ("graph_pagerank", "graph_pagerank_dangling",
+                    "graph_label_propagation",
+                    "graph_personalized_pagerank"):
+            # iterative graph ops do their heavy lifting (iteration
+            # checkpoints) at CONSTRUCTION time and keep localCheckpoint
+            # state, so a min-of-2 action would measure the cached second
+            # run. The k-NN edge build is already benched as
+            # sim_knn_graph, so the honest non-double-counting shape is:
+            # edges materialized OUTSIDE any job group (unbilled), then
+            # construction + one action sample via the generic splitter.
             from concept_multi_db_query_engine_spark import operators as ops
             from concept_multi_db_query_engine_spark import testdata as td
             from pyspark.sql import functions as SF
@@ -589,33 +740,24 @@ def main() -> None:
             edges = ops.knn_graph(emb, k=5).select(
                 SF.col("vec_id").alias("src"),
                 SF.col("neighbor_id").alias("dst"),
-            ).localCheckpoint(eager=True)
-
-            def _run() -> None:
-                _noop(ops.pagerank(edges, iterations=8))
-
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
-            continue
-        if name == "graph_pagerank_dangling":
-            # same construction-time-iteration shape as graph_pagerank;
-            # even-src edges so the dangling redistribution actually runs
-            from concept_multi_db_query_engine_spark import operators as ops
-            from concept_multi_db_query_engine_spark import testdata as td
-            from pyspark.sql import functions as SF
-
-            emb = td.load_table(spark, sf_dir, "embeddings")
-            edges = ops.knn_graph(emb, k=5).select(
-                SF.col("vec_id").alias("src"),
-                SF.col("neighbor_id").alias("dst"),
-            ).where(SF.col("src") % 2 == 0).localCheckpoint(eager=True)
-
-            def _run() -> None:
-                _noop(ops.pagerank(edges, iterations=6,
-                                   redistribute_dangling=True))
-
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
+            )
+            if name == "graph_pagerank_dangling":
+                # even-src edges so dangling redistribution actually runs
+                edges = edges.where(SF.col("src") % 2 == 0)
+            edges = edges.localCheckpoint(eager=True)
+            build = {
+                "graph_pagerank":
+                    lambda: ops.pagerank(edges, iterations=8),
+                "graph_pagerank_dangling":
+                    lambda: ops.pagerank(edges, iterations=6,
+                                         redistribute_dangling=True),
+                "graph_label_propagation":
+                    lambda: ops.label_propagation(edges, iterations=4),
+                "graph_personalized_pagerank":
+                    lambda: ops.personalized_pagerank(edges, [0, 1, 2],
+                                                      iterations=8),
+            }[name]
+            _run_row(name, build, single_action=True)
             continue
         if name == "dedup_semantic_survivors":
             # pairs are already benched as dedup_semantic; this row
@@ -630,89 +772,29 @@ def main() -> None:
                 emb, k=8, iterations=3, threshold=0.3
             ).select("d1", "d2").localCheckpoint(eager=True)
 
-            def _run() -> None:
+            def _build_survivors():
                 dropped = ops.duplicate_clusters(pairs).where(
                     "doc_id != cluster_id"
                 ).select(SF.col("doc_id").alias("vec_id"))
-                _noop(emb.select("vec_id", "label").join(
-                    dropped, "vec_id", "left_anti"))
+                return emb.select("vec_id", "label").join(
+                    dropped, "vec_id", "left_anti")
 
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
+            _run_row(name, _build_survivors, single_action=True)
             continue
         if name == "docs_bpe_train":
             # training runs its per-round collects at CONSTRUCTION time
             # (the returned frame is just the tiny merge table), so the
-            # honest row times construction + first action, one sample
+            # honest row is construction + one action sample
             from concept_multi_db_query_engine_spark import operators as ops
             from concept_multi_db_query_engine_spark import testdata as td
 
             docs = td.load_table(spark, sf_dir, "documents")
-
-            def _run() -> None:
-                _noop(ops.bpe_train_merges(docs, n_merges=8))
-
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
+            _run_row(name, lambda: ops.bpe_train_merges(docs, n_merges=8),
+                     single_action=True)
             continue
-        if name == "graph_label_propagation":
-            # iterative op with localCheckpoint state: a min-of-2 noop
-            # timing would measure the cached second run. Same honest
-            # shape as the pagerank rows: ready edges outside the timer,
-            # construction + first action inside, single sample.
-            from concept_multi_db_query_engine_spark import operators as ops
-            from concept_multi_db_query_engine_spark import testdata as td
-            from pyspark.sql import functions as SF
-
-            emb = td.load_table(spark, sf_dir, "embeddings")
-            edges = ops.knn_graph(emb, k=5).select(
-                SF.col("vec_id").alias("src"),
-                SF.col("neighbor_id").alias("dst"),
-            ).localCheckpoint(eager=True)
-
-            def _run() -> None:
-                _noop(ops.label_propagation(edges, iterations=4))
-
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
-            continue
-        if name == "graph_personalized_pagerank":
-            # same construction-time-iteration shape as graph_pagerank:
-            # time PPR construction + first action over ready edges
-            from concept_multi_db_query_engine_spark import operators as ops
-            from concept_multi_db_query_engine_spark import testdata as td
-            from pyspark.sql import functions as SF
-
-            emb = td.load_table(spark, sf_dir, "embeddings")
-            edges = ops.knn_graph(emb, k=5).select(
-                SF.col("vec_id").alias("src"),
-                SF.col("neighbor_id").alias("dst"),
-            ).localCheckpoint(eager=True)
-
-            def _run() -> None:
-                _noop(ops.personalized_pagerank(edges, [0, 1, 2],
-                                                iterations=8))
-
-            _record(name, *_timed(_run))
-            spark.catalog.clearCache()
-            continue
-        # Generic row. Operators that execute Spark jobs at CONSTRUCTION
-        # time (eager localCheckpoint pins, driver-side model fits) do
-        # their dominant work before any noop action — detected via the
-        # status-tracker job counter and billed: construction once (cold)
-        # + min-of-2 action. Purely lazy plans keep min-of-2 action only.
-        j0 = _max_job_id()
-        w0, c0 = time.perf_counter(), clock.now()
-        df = queries[name](spark, sf_dir)
-        cons_w = time.perf_counter() - w0
-        cons_c = clock.now() - c0
-        construction_ran_jobs = _max_job_id() > j0
-        act_w, act_c = _min2(df)
-        if construction_ran_jobs:
-            _record(name, cons_w + act_w, cons_c + act_c)
-        else:
-            _record(name, act_w, act_c)
-        spark.catalog.clearCache()
+        # Generic row: construction split + eagerness detection + action
+        # sampling all live in _run_row.
+        _run_row(name, lambda: queries[name](spark, sf_dir))
 
     _emit()
 
