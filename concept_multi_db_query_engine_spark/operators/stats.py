@@ -6739,6 +6739,7 @@ def jonckheere_terpstra(
     group_score_expr: str,
     value_col: str,
     max_groups: int = 100,
+    known_groups: list | None = None,
 ) -> DataFrame:
     """Jonckheere–Terpstra ordered-alternative test — are the group
     distributions stochastically ORDERED along the factor (tier 1 <
@@ -6762,6 +6763,13 @@ def jonckheere_terpstra(
     100× scale — it raises loudly instead.  z uses the
     standard no-tie null moments (ties make it conservative —
     documented contract).  Returns one row: (n, k, jt_stat, z_stat).
+
+    PROBE COST: the ``max_groups`` guard runs one distinct+limit scan
+    of the group expression per invocation — a real per-call tax at
+    100 TB.  Callers that already know the group scores (a dimension
+    table, an enum column) pass ``known_groups`` and the probe never
+    runs; the list is trusted as COMPLETE — rows whose score is not
+    in it are silently excluded from the statistic.
     """
     base = df.where(
         f"({group_score_expr}) IS NOT NULL "
@@ -6773,20 +6781,30 @@ def jonckheere_terpstra(
             "* 1000000.0d) AS BIGINT)"
         ).alias("vq"),
     )
-    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
-    # to one job; one extra row is enough to prove the contract broken
-    score_rows = (
-        base.select("g").distinct().limit(max_groups + 1).collect()
-    )
-    if len(score_rows) > max_groups:
-        raise ValueError(
-            f"jonckheere_terpstra: > max_groups={max_groups} distinct "
-            f"group scores from ({group_score_expr}) — the per-score "
-            "aggregate columns and driver collect are bounded by "
-            "contract to k <= dozens; quantize/bucket the expression "
-            "(tiers, deciles) or raise max_groups deliberately."
+    if known_groups is not None:
+        scores = sorted({int(v) for v in known_groups})
+        if len(scores) > max_groups:
+            raise ValueError(
+                f"jonckheere_terpstra: known_groups has "
+                f"{len(scores)} entries > max_groups={max_groups}"
+            )
+    else:
+        # limit(max_groups+1) bounds BOTH the driver transfer and the
+        # probe to one job; one extra row proves the contract broken
+        score_rows = (
+            base.select("g").distinct().limit(max_groups + 1).collect()
         )
-    scores = sorted(r["g"] for r in score_rows)
+        if len(score_rows) > max_groups:
+            raise ValueError(
+                f"jonckheere_terpstra: > max_groups={max_groups} "
+                f"distinct group scores from ({group_score_expr}) — "
+                "the per-score aggregate columns and driver collect "
+                "are bounded by contract to k <= dozens; "
+                "quantize/bucket the expression (tiers, deciles), "
+                "raise max_groups deliberately, or pass known_groups "
+                "to skip the probe scan."
+            )
+        scores = sorted(r["g"] for r in score_rows)
     k = len(scores)
     if k < 2:
         raise ValueError("need >= 2 ordered groups")
@@ -6838,6 +6856,7 @@ def dunns_test(
     group_col: str,
     value_col: str,
     max_groups: int = 100,
+    known_groups: list | None = None,
 ) -> DataFrame:
     """Dunn's post-hoc pairwise comparisons after a significant
     :func:`kruskal_wallis` — WHICH groups differ, on the same global
@@ -6860,21 +6879,38 @@ def dunns_test(
     :func:`jonckheere_terpstra` / :func:`bradley_terry` house pattern):
     a continuous group column raises instead of silently exploding
     into an enormous pairwise frame.
+
+    PROBE COST: the guard runs one distinct+limit scan of the group
+    column per invocation — a real per-call tax at 100 TB.  Dunn's
+    machinery derives the group frame distributedly, so the probe is
+    PURELY a guard here: callers that already know the cardinality
+    pass ``known_groups`` (only its length is used — a trust
+    declaration) and the probe scan never runs.
     """
-    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
-    # scan itself — one extra row is enough to prove the overflow
-    g_probe = (
-        df.where(f"({group_col}) IS NOT NULL")
-        .select(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
-        .distinct().limit(max_groups + 1).collect()
-    )
-    if len(g_probe) > max_groups:
-        raise ValueError(
-            f"dunns_test: > max_groups={max_groups} distinct "
-            f"values in {group_col!r}; post-hoc pairwise comparisons "
-            "need a small set of named treatments — bucket the column "
-            "first (tiers, deciles) or raise max_groups deliberately."
+    if known_groups is not None:
+        if len(set(known_groups)) > max_groups:
+            raise ValueError(
+                f"dunns_test: known_groups has "
+                f"{len(set(known_groups))} entries "
+                f"> max_groups={max_groups}"
+            )
+    else:
+        # limit(max_groups+1) bounds BOTH the driver transfer and the
+        # probe scan itself — one extra row proves the overflow
+        g_probe = (
+            df.where(f"({group_col}) IS NOT NULL")
+            .select(F.expr(f"CAST(({group_col}) AS STRING)").alias("g"))
+            .distinct().limit(max_groups + 1).collect()
         )
+        if len(g_probe) > max_groups:
+            raise ValueError(
+                f"dunns_test: > max_groups={max_groups} distinct "
+                f"values in {group_col!r}; post-hoc pairwise "
+                "comparisons need a small set of named treatments — "
+                "bucket the column first (tiers, deciles), raise "
+                "max_groups deliberately, or pass known_groups to "
+                "skip the probe scan."
+            )
     cells = (
         df.where(f"({group_col}) IS NOT NULL "
                  f"AND ({value_col}) IS NOT NULL")
@@ -7657,6 +7693,7 @@ def bradley_terry(
     value_col: str,
     iterations: int = 25,
     max_groups: int = 24,
+    known_groups: list | None = None,
 ) -> DataFrame:
     """Bradley–Terry preference strengths over k groups from ALL
     pairwise value comparisons — the model behind preference-data
@@ -7685,6 +7722,12 @@ def bradley_terry(
     (grp, n, wins, win_rate, bt_strength) — ``wins`` counts ties as
     0.5, ``win_rate`` = wins / (n_i·(N−n_i)), ``bt_strength`` the
     normalized MM strength (Σ = 1).
+
+    PROBE COST: the ``max_groups`` guard runs one distinct+limit scan
+    of the group column per invocation — a real per-call tax at
+    100 TB.  Callers that already know the groups pass
+    ``known_groups`` and the probe never runs; the list is trusted as
+    COMPLETE — rows from unlisted groups are silently excluded.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -7694,18 +7737,28 @@ def bradley_terry(
         F.col(group_col).cast("string").alias("g"),
         F.col(value_col).alias("v"),
     )
-    # limit(max_groups+1) bounds BOTH the driver transfer and the probe
-    # to one job; one extra row is enough to prove the contract broken
-    g_rows = base.select("g").distinct().limit(max_groups + 1).collect()
-    if len(g_rows) > max_groups:
-        raise ValueError(
-            f"bradley_terry: > max_groups={max_groups} distinct "
-            f"values in {group_col!r} — a continuous column here "
-            "means a k²-column aggregate and an unbounded driver "
-            "matrix at scale. Bucket the column first or raise "
-            "max_groups deliberately."
-        )
-    groups = sorted(r["g"] for r in g_rows)
+    if known_groups is not None:
+        groups = sorted({str(v) for v in known_groups})
+        if len(groups) > max_groups:
+            raise ValueError(
+                f"bradley_terry: known_groups has {len(groups)} "
+                f"entries > max_groups={max_groups}"
+            )
+    else:
+        # limit(max_groups+1) bounds BOTH the driver transfer and the
+        # probe to one job; one extra row proves the contract broken
+        g_rows = base.select("g").distinct().limit(
+            max_groups + 1).collect()
+        if len(g_rows) > max_groups:
+            raise ValueError(
+                f"bradley_terry: > max_groups={max_groups} distinct "
+                f"values in {group_col!r} — a continuous column here "
+                "means a k²-column aggregate and an unbounded driver "
+                "matrix at scale. Bucket the column first, raise "
+                "max_groups deliberately, or pass known_groups to "
+                "skip the probe scan."
+            )
+        groups = sorted(r["g"] for r in g_rows)
     k = len(groups)
     if k < 2:
         raise ValueError("bradley_terry needs >= 2 groups")
@@ -7798,6 +7851,7 @@ def elo_preference_ratings(
     k_factor_milli: int = 32000,
     init_rating_micro: int = 1_500_000_000,
     max_groups: int = 24,
+    known_groups: list | None = None,
 ) -> DataFrame:
     """Online (Elo-style) preference ratings — the sequential twin of
     :func:`bradley_terry`: arrivals ordered by ``order_col`` are paired
@@ -7830,6 +7884,12 @@ def elo_preference_ratings(
     applies the same quantized updates per micro-batch with O(k)
     state.  Returns one row per group ordered by group key:
     (grp, n_played, wins, rating).
+
+    PROBE COST: the ``max_groups`` guard runs one distinct+limit scan
+    of the group column per invocation.  Callers that already know the
+    competitors pass ``known_groups`` and the probe never runs; the
+    list is trusted as COMPLETE — a replayed match naming an unlisted
+    group raises KeyError rather than rating silently.
     """
     if not 1 <= n_matches <= 100_000:
         raise ValueError("n_matches must be in [1, 100000] — the replay "
@@ -7847,14 +7907,24 @@ def elo_preference_ratings(
         F.col(group_col).cast("string").alias("g"),
         F.expr(f"CAST(({value_col}) AS DOUBLE)").alias("v"),
     )
-    g_rows = base.select("g").distinct().limit(max_groups + 1).collect()
-    if len(g_rows) > max_groups:
-        raise ValueError(
-            f"elo_preference_ratings: > max_groups={max_groups} distinct "
-            f"values in {group_col!r} — bucket the column first or raise "
-            "max_groups deliberately."
-        )
-    groups = sorted(r["g"] for r in g_rows)
+    if known_groups is not None:
+        groups = sorted({str(v) for v in known_groups})
+        if len(groups) > max_groups:
+            raise ValueError(
+                f"elo_preference_ratings: known_groups has "
+                f"{len(groups)} entries > max_groups={max_groups}"
+            )
+    else:
+        g_rows = base.select("g").distinct().limit(
+            max_groups + 1).collect()
+        if len(g_rows) > max_groups:
+            raise ValueError(
+                f"elo_preference_ratings: > max_groups={max_groups} "
+                f"distinct values in {group_col!r} — bucket the column "
+                "first, raise max_groups deliberately, or pass "
+                "known_groups to skip the probe scan."
+            )
+        groups = sorted(r["g"] for r in g_rows)
     if len(groups) < 2:
         raise ValueError("elo_preference_ratings needs >= 2 groups")
     rows = (

@@ -3739,6 +3739,7 @@ def doremi_mixture_weights(
     iterations: int = 8,
     eta_milli: int = 500,
     max_domains: int = 100,
+    known_domains: list | None = None,
 ) -> DataFrame:
     """DoReMi-lite domain mixture weights (Xie et al. 2023, DoReMi,
     arXiv:2305.10429, reduced to its reweighting core): domains whose
@@ -3770,21 +3771,37 @@ def doremi_mixture_weights(
     row per domain ordered by domain:
     (source, n_docs, tokens, cross_entropy, excess_loss,
     doremi_weight) — ``doremi_weight`` sums to ~1.
+
+    PROBE COST: the ``max_domains`` guard runs one distinct+limit scan
+    of the source column per invocation — a real per-call tax at
+    100 TB.  The domain frame itself is derived distributedly, so the
+    probe is purely a guard: callers that already know the domain set
+    pass ``known_domains`` (only its length is used — a trust
+    declaration) and the probe scan never runs.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    d_rows = (
-        docs.select(F.col(source_col).cast("string").alias("d"))
-        .where("d IS NOT NULL")
-        .distinct().limit(max_domains + 1).collect()
-    )
-    if len(d_rows) > max_domains:
-        raise ValueError(
-            f"doremi_mixture_weights: > max_domains={max_domains} "
-            f"distinct values in {source_col!r} — a mixture needs a "
-            "bounded set of named domains; bucket the column first or "
-            "raise max_domains deliberately."
+    if known_domains is not None:
+        if len(set(known_domains)) > max_domains:
+            raise ValueError(
+                f"doremi_mixture_weights: known_domains has "
+                f"{len(set(known_domains))} entries "
+                f"> max_domains={max_domains}"
+            )
+    else:
+        d_rows = (
+            docs.select(F.col(source_col).cast("string").alias("d"))
+            .where("d IS NOT NULL")
+            .distinct().limit(max_domains + 1).collect()
         )
+        if len(d_rows) > max_domains:
+            raise ValueError(
+                f"doremi_mixture_weights: > max_domains={max_domains} "
+                f"distinct values in {source_col!r} — a mixture needs "
+                "a bounded set of named domains; bucket the column "
+                "first, raise max_domains deliberately, or pass "
+                "known_domains to skip the probe scan."
+            )
     toks = f"filter(split({text_col}, ' '), x -> x != '')"
     dt = (
         docs.select(
