@@ -3000,6 +3000,26 @@ def _q_epoch_allocation(spark, sf):
     )
 
 
+def _q_embedding_decontamination(spark, sf):
+    # the semantic twin of text_contamination_check: the id-split
+    # mirrors its source-based eval-set derivation
+    emb = _t(spark, sf, "embeddings")
+    return ops.embedding_decontamination(
+        emb.where("vec_id % 37 != 0"), emb.where("vec_id % 37 = 0"),
+        threshold=0.3,
+    )
+
+
+def _q_tokenizer_fertility(spark, sf):
+    return ops.tokenizer_fertility_ab(_t(spark, sf, "documents"))
+
+
+def _q_suffix_dup_stats(spark, sf):
+    return ops.suffix_duplicate_stats(
+        _t(spark, sf, "documents"), k_cap=16, site_min_words=8,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3719,6 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_doremi_mixture": _q_doremi_mixture,
             "sim_kcenter_sample": _q_kcenter_sample,
             "docs_epoch_allocation": _q_epoch_allocation,
+            "sim_embedding_decontamination": _q_embedding_decontamination,
+            "docs_tokenizer_fertility": _q_tokenizer_fertility,
+            "docs_suffix_dup_stats": _q_suffix_dup_stats,
         }
     )
     for name in _ORDER_PIN:
@@ -16643,5 +16666,106 @@ SELECT source,
           * CAST(pow(2, 8 - e) AS BIGINT)) AS DOUBLE) / 128.0
           * 1000000.0) AS BIGINT) / 1e6)::DOUBLE AS effective_tokens
 FROM alloc GROUP BY 1 ORDER BY source
+"""
+
+    # textually parallel to operators.similarity.embedding_decontamination:
+    # eval split by vec_id % 37, rounded cosine vs every eval vector,
+    # max per corpus vector with smallest-eval-id tie-break, threshold 0.3
+    o["sim_embedding_decontamination"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS norm2
+  FROM embeddings
+),
+ev AS (SELECT * FROM e WHERE vec_id % 37 = 0 AND norm2 > 0),
+co AS (SELECT * FROM e WHERE vec_id % 37 <> 0 AND norm2 > 0),
+sims AS (
+  SELECT co.vec_id, ev.vec_id AS eval_id,
+         round(list_dot_product(co.v, ev.v)
+               / sqrt(co.norm2 * ev.norm2), 6) AS cosine
+  FROM co CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, eval_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM sims
+)
+SELECT vec_id, eval_id, cosine FROM best
+WHERE rn = 1 AND cosine >= 0.3 ORDER BY vec_id
+"""
+
+    # textually parallel to operators.text.tokenizer_fertility_ab:
+    # one scan, whitespace + GPT-2-pretokenizer counts per source
+    # (strlen = DuckDB's byte length, Spark's octet_length)
+    o["docs_tokenizer_fertility"] = f"""
+WITH t AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS b,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x != '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '{bpe_sql}'))
+              AS BIGINT) AS tb
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(b) AS BIGINT) AS total_bytes,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(tb) AS BIGINT) AS tokens_bpe,
+       round(CAST(sum(tb) AS DOUBLE)
+             / nullif(CAST(sum(w) AS BIGINT), 0), 6) AS bpe_per_word,
+       round(CAST(sum(w) AS DOUBLE) * 100.0
+             / nullif(CAST(sum(b) AS BIGINT), 0), 6) AS ws_per_100b,
+       round(CAST(sum(tb) AS DOUBLE) * 100.0
+             / nullif(CAST(sum(b) AS BIGINT), 0), 6) AS bpe_per_100b
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+    # textually parallel to operators.dedup.suffix_duplicate_stats:
+    # word-anchored suffixes capped at 16 words, the suffix-array LCP
+    # identity via one sorted window per source (the oracle can afford
+    # the single window; the operator range-partitions + stitches)
+    o["docs_suffix_dup_stats"] = """
+WITH wds AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL
+),
+suf AS (
+  SELECT source, doc_id, i.i AS pos, w[i.i:i.i+15] AS s
+  FROM wds CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM wds) + 1)) AS i) i
+  WHERE len(w) >= 1 AND i.i <= len(w)
+),
+lagged AS (
+  SELECT source, s,
+         lag(s) OVER (PARTITION BY source
+                      ORDER BY s, doc_id, pos) AS ps
+  FROM suf
+),
+lcps AS (
+  SELECT source,
+         CASE WHEN ps IS NULL THEN NULL
+              WHEN list_position(eqv, 0) > 0
+              THEN CAST(list_position(eqv, 0) - 1 AS BIGINT)
+              ELSE CAST(least(len(s), len(ps)) AS BIGINT) END AS lcp
+  FROM (
+    SELECT source, s, ps,
+           list_transform(list_zip(s, ps),
+             p -> CASE WHEN p[1] IS NULL OR p[2] IS NULL THEN NULL
+                       WHEN p[1] = p[2] THEN 1 ELSE 0 END) AS eqv
+    FROM lagged)
+)
+SELECT source,
+       count(*)::BIGINT AS n_positions,
+       CAST(max(coalesce(lcp, 0)) AS BIGINT) AS longest_dup_words,
+       CAST(sum(CASE WHEN lcp >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_sites
+FROM lcps GROUP BY 1 ORDER BY 1
 """
     return o

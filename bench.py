@@ -432,6 +432,11 @@ HEADLINE = [
     "docs_doremi_mixture",
     "sim_kcenter_sample",
     "docs_epoch_allocation",
+    # round-13 wave: embedding-space decontamination, tokenizer
+    # fertility A/B, suffix-array longest-duplicate stats
+    "sim_embedding_decontamination",
+    "docs_tokenizer_fertility",
+    "docs_suffix_dup_stats",
 ]
 
 

@@ -1564,3 +1564,151 @@ def fellegi_sunter_weights(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("field")
+
+
+def suffix_duplicate_stats(
+    docs: DataFrame,
+    k_cap: int = 32,
+    site_min_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Suffix-array-style longest-duplicate-substring stats per source —
+    the open-ended companion to the fixed-n :func:`repeated_passages`
+    family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, whose suffix-array pass
+    this reproduces at word granularity): instead of asking "how many
+    8-grams repeat", it finds the LONGEST repeated word sequence and
+    how many near-duplicate sites exist, per source, with no n chosen
+    in advance.
+
+    Method (the suffix-array LCP identity): every word position emits
+    its suffix (capped at ``k_cap`` words); after sorting all suffixes,
+    the longest common prefix of ANY two suffixes is attained by some
+    ADJACENT pair in sorted order — so one sort + one lag pass finds
+    the exact maximum (capped at ``k_cap``) and counts every adjacent
+    pair sharing >= ``site_min_words`` words (``dup_sites``: repeated-
+    passage sites, within or across docs of the same source).
+
+    Scale shape: suffixes are range-repartitioned on the sort key, so
+    the "sort" is Spark's distributed range sort — the adjacent-pair
+    lag runs per partition id (parallel, never a per-source
+    single-task window), and the <= 2 x partitions boundary rows are
+    collected (bounded, loud) to stitch the cross-partition adjacent
+    pairs; their contributions re-enter distributedly via a tiny
+    union, so the result is EXACTLY the single-window answer at any
+    partition count (pinned in tests). At 10^10 docs this is one
+    corpus-sized shuffle — the same cost profile as the suffix-array
+    dedup it mirrors.
+
+    Returns one row per source ordered by source:
+    (source, n_positions, longest_dup_words, dup_sites).
+    """
+    spark = docs.sparkSession
+    words = docs.where(
+        f"({text_col}) IS NOT NULL AND ({source_col}) IS NOT NULL "
+        f"AND ({id_col}) IS NOT NULL"
+    ).select(
+        F.col(source_col).cast("string").alias("src"),
+        F.col(id_col).cast("long").alias("did"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+        .alias("w"),
+    ).where("size(w) >= 1")
+    suf = words.select(
+        "src", "did",
+        F.expr("explode(sequence(1, size(w)))").alias("pos"),
+        "w",
+    ).select(
+        "src", "did", "pos",
+        F.expr(f"slice(w, pos, {int(k_cap)})").alias("s"),
+    )
+    n_parts = int(num_partitions
+                  or spark.sparkContext.defaultParallelism)
+    rp = suf.repartitionByRange(
+        n_parts, "src", "s", "did", "pos"
+    ).withColumn("pid", F.spark_partition_id())
+    # within-partition adjacency: a range partition holds a contiguous
+    # slice of the global order, so per-pid lag recovers every adjacent
+    # pair except the <= n_parts-1 pairs that straddle partitions
+    wnd = Window.partitionBy("pid").orderBy("src", "s", "did", "pos")
+    eq_lambda = (
+        "zip_with(s, ps, (x, y) -> CASE WHEN x IS NULL OR y IS NULL "
+        "THEN CAST(NULL AS INT) WHEN x = y THEN 1 ELSE 0 END)"
+    )
+    lcp_case = (
+        "CASE WHEN ps IS NULL OR psrc IS NULL OR psrc != src "
+        "THEN CAST(NULL AS BIGINT) "
+        "WHEN array_position(eqv, 0) > 0 "
+        "THEN CAST(array_position(eqv, 0) - 1 AS BIGINT) "
+        "ELSE CAST(least(size(s), size(ps)) AS BIGINT) END"
+    )
+    pairs = (
+        rp.select(
+            "pid", "src", "did", "pos", "s",
+            F.lag("s").over(wnd).alias("ps"),
+            F.lag("src").over(wnd).alias("psrc"),
+        )
+        .withColumn("eqv", F.expr(eq_lambda))
+        .withColumn("lcp", F.expr(lcp_case))
+    )
+    dist = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.max(F.coalesce(F.col("lcp"), F.lit(0)))
+        .cast("long").alias("mx"),
+        F.sum(F.when(F.col("lcp") >= int(site_min_words), 1)
+              .otherwise(0)).cast("long").alias("sites"),
+    )
+    # boundary stitch: first+last row per partition (<= 2 x n_parts,
+    # bounded and loud), paired across consecutive NON-EMPTY pids
+    bnd_w_desc = Window.partitionBy("pid").orderBy(
+        F.col("src").desc(), F.col("s").desc(),
+        F.col("did").desc(), F.col("pos").desc())
+    bnd = (
+        rp.select(
+            "pid", "src", "did", "pos", "s",
+            F.row_number().over(wnd).alias("ra"),
+            F.row_number().over(bnd_w_desc).alias("rd"),
+        )
+        .where("ra = 1 OR rd = 1")
+        .collect()
+    )
+    by_pid: dict[int, dict[str, object]] = {}
+    for r in bnd:
+        slot = by_pid.setdefault(int(r["pid"]), {})
+        if r["ra"] == 1:
+            slot["first"] = r
+        if r["rd"] == 1:
+            slot["last"] = r
+
+    def _cp(a: list, b: list) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    extra: list[tuple[str, int]] = []
+    pids = sorted(by_pid)
+    for p, q in zip(pids, pids[1:]):
+        a = by_pid[p].get("last") or by_pid[p].get("first")
+        b = by_pid[q].get("first") or by_pid[q].get("last")
+        if a is None or b is None or a["src"] != b["src"]:
+            continue
+        extra.append((a["src"], _cp(list(a["s"]), list(b["s"]))))
+    extra_df = spark.createDataFrame(
+        [(s, 0, lcp, 1 if lcp >= int(site_min_words) else 0)
+         for s, lcp in extra],
+        "src string, n_positions long, mx long, sites long",
+    )
+    merged = dist.unionByName(extra_df).groupBy("src").agg(
+        F.sum("n_positions").cast("long").alias("n_positions"),
+        F.max("mx").cast("long").alias("longest_dup_words"),
+        F.sum("sites").cast("long").alias("dup_sites"),
+    )
+    return merged.select(
+        F.col("src").alias("source"),
+        "n_positions", "longest_dup_words", "dup_sites",
+    ).orderBy("source")

@@ -2035,3 +2035,82 @@ def kcenter_diversity_sample(
     return out.select(
         id_col, "sel_rank", F.col("min_dist").cast("double")
     ).orderBy("sel_rank")
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC twin of the
+    8-gram ``text.contamination_check``: corpus items whose embedding
+    is cosine-close to ANY eval-set embedding are flagged as probable
+    benchmark leakage.  Paraphrased leakage evades exact n-gram
+    checks by construction (reworded questions share no 8-gram); in
+    embedding space the paraphrase and its source are near-neighbors,
+    so the two checks together cover both the verbatim and the
+    reworded channel.
+
+    Scale shape (the :func:`topk_cosine_bruteforce` broadcast
+    pattern): the eval matrix — benchmarks are thousands of rows, not
+    corpora — is broadcast once; every corpus partition computes one
+    partition-rows × eval BLAS block, keeps each row's MAX cosine and
+    arg-max eval id, and emits ONLY rows at/above the threshold.  One
+    corpus scan, no shuffle (the output is the tiny flagged set) —
+    at 10¹⁰ docs this is embarrassingly parallel.  For eval sets too
+    large to broadcast, pre-bucket both sides with the existing LSH
+    machinery (:func:`topk_cosine_lsh`) and run this per bucket.
+    Zero-norm vectors on either side are excluded (cosine undefined).
+    Cosines are rounded to 6 decimals (house determinism contract).
+    Returns (vec_id, eval_id, cosine) ordered by vec_id — eval_id is
+    the smallest id among tied-max eval neighbors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    e_rows = _with_norm(eval_set, id_col, vec_col).where(
+        "norm2 > 0").collect()
+    if not e_rows:
+        raise ValueError("embedding_decontamination: empty eval set")
+    e_ids = np.array([r["vid"] for r in e_rows], dtype=np.int64)
+    e_mat = np.array([r["v"] for r in e_rows], dtype=np.float64)
+    e_norms = np.sqrt((e_mat * e_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((e_ids, e_mat, e_norms))
+    thr = float(threshold)
+
+    src = _with_norm(corpus, id_col, vec_col).where("norm2 > 0").select(
+        "vid", "v")
+
+    def part(batches):
+        ids_e, mat_e, norms_e = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+            # eval × partition-rows similarity block (house pattern)
+            sims = np.round(
+                (mat_e @ c_mat.T) / np.outer(norms_e, c_norms), 6)
+            best = sims.max(axis=0)
+            keep = np.nonzero(best >= thr)[0]
+            if len(keep) == 0:
+                continue
+            # arg-max with smallest-eval-id tie-break, column by column
+            arg = np.empty(len(keep), dtype=np.int64)
+            for j, ci in enumerate(keep):
+                col = sims[:, ci]
+                tied = np.nonzero(col == best[ci])[0]
+                arg[j] = ids_e[tied].min()
+            yield pd.DataFrame({
+                "vec_id": c_ids[keep],
+                "eval_id": arg,
+                "cosine": best[keep],
+            })
+
+    return src.mapInPandas(
+        part, schema="vec_id long, eval_id long, cosine double"
+    ).orderBy("vec_id")

@@ -4019,3 +4019,58 @@ def epoch_allocation(
         .orderBy("source")
     )
     return out
+
+
+def tokenizer_fertility_ab(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility A/B report — tokens-per-word and
+    tokens-per-100-bytes per source for two tokenizers over ONE corpus
+    scan: A = whitespace words, B = the GPT-2-style pretokenizer split
+    (``BPE_ISH_PATTERN``, the same regex :func:`bpe_token_stats`
+    budgets with).  Fertility (tokens per word) is the standard
+    tokenizer-efficiency read for corpus planning: a source whose
+    B-fertility is high (code, non-Latin scripts, dense punctuation)
+    costs proportionally more context window per word, which shifts
+    both the token budget (:func:`budget_allocation`) and the mixture
+    weights (:func:`doremi_mixture_weights`) — this report is the
+    per-source input those decisions need.
+
+    Scale shape: fully declarative — per-doc counts are JVM-side
+    regexp/split expressions, then one map-side-combined groupBy on
+    the source column.  No UDF, no collect, no second scan.  Returns
+    one row per source ordered by source:
+    (source, n_docs, total_bytes, words, tokens_bpe,
+    bpe_per_word, ws_per_100b, bpe_per_100b) — ratios rounded to 6.
+    """
+    t = f"({text_col})"
+    words = f"size(filter(split({t}, ' '), x -> x != ''))"
+    # the pattern contains a quote char, so it binds via F.lit (the
+    # bpe_token_stats convention), not an inline SQL literal
+    bpe = F.size(F.regexp_extract_all(
+        F.expr(t), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    per_doc = docs.where(
+        f"{t} IS NOT NULL AND ({source_col}) IS NOT NULL"
+    ).select(
+        F.col(source_col).alias("source"),
+        F.expr(f"CAST(octet_length({t}) AS BIGINT)").alias("b"),
+        F.expr(f"CAST({words} AS BIGINT)").alias("w"),
+        bpe.cast("long").alias("t_bpe"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("total_bytes"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("t_bpe").cast("long").alias("tokens_bpe"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_bytes", "words", "tokens_bpe",
+        F.expr("round(CAST(tokens_bpe AS DOUBLE) / nullif(words, 0), 6)")
+        .alias("bpe_per_word"),
+        F.expr("round(CAST(words AS DOUBLE) * 100.0d "
+               "/ nullif(total_bytes, 0), 6)").alias("ws_per_100b"),
+        F.expr("round(CAST(tokens_bpe AS DOUBLE) * 100.0d "
+               "/ nullif(total_bytes, 0), 6)").alias("bpe_per_100b"),
+    ).orderBy("source")

