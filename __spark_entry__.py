@@ -3020,6 +3020,20 @@ def _q_suffix_dup_stats(spark, sf):
     )
 
 
+def _q_suffix_dup_passages(spark, sf):
+    return ops.suffix_duplicate_passages(
+        _t(spark, sf, "documents"), k_cap=16, min_words=8, top_n=5,
+    )
+
+
+def _q_embedding_decontamination_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ops.embedding_decontamination_lsh(
+        emb.where("vec_id % 37 != 0"), emb.where("vec_id % 37 = 0"),
+        threshold=0.3, bits=3,
+    )
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3742,6 +3756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_embedding_decontamination": _q_embedding_decontamination,
             "docs_tokenizer_fertility": _q_tokenizer_fertility,
             "docs_suffix_dup_stats": _q_suffix_dup_stats,
+            "docs_suffix_dup_passages": _q_suffix_dup_passages,
+            "sim_embedding_decontamination_lsh":
+                _q_embedding_decontamination_lsh,
         }
     )
     for name in _ORDER_PIN:
@@ -16767,5 +16784,96 @@ SELECT source,
        CAST(sum(CASE WHEN lcp >= 8 THEN 1 ELSE 0 END) AS BIGINT)
          AS dup_sites
 FROM lcps GROUP BY 1 ORDER BY 1
+"""
+
+    # textually parallel to operators.dedup.suffix_duplicate_passages:
+    # same suffix LCP machinery, thresholded sites grouped by their
+    # shared passage, top-5 per source by (length, sites, passage)
+    o["docs_suffix_dup_passages"] = """
+WITH wds AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL
+),
+suf AS (
+  SELECT source, doc_id, i.i AS pos, w[i.i:i.i+15] AS s
+  FROM wds CROSS JOIN
+    (SELECT unnest(range(1,
+       (SELECT CAST(max(len(w)) AS BIGINT) FROM wds) + 1)) AS i) i
+  WHERE len(w) >= 1 AND i.i <= len(w)
+),
+lagged AS (
+  SELECT source, s,
+         lag(s) OVER (PARTITION BY source
+                      ORDER BY s, doc_id, pos) AS ps
+  FROM suf
+),
+lcps AS (
+  SELECT source, s,
+         CASE WHEN ps IS NULL THEN NULL
+              WHEN list_position(eqv, 0) > 0
+              THEN CAST(list_position(eqv, 0) - 1 AS BIGINT)
+              ELSE CAST(least(len(s), len(ps)) AS BIGINT) END AS lcp
+  FROM (
+    SELECT source, s, ps,
+           list_transform(list_zip(s, ps),
+             p -> CASE WHEN p[1] IS NULL OR p[2] IS NULL THEN NULL
+                       WHEN p[1] = p[2] THEN 1 ELSE 0 END) AS eqv
+    FROM lagged)
+),
+grouped AS (
+  SELECT source,
+         array_to_string(s[1:CAST(lcp AS BIGINT)], ' ') AS passage,
+         lcp AS dup_len_words,
+         count(*)::BIGINT AS n_sites
+  FROM lcps WHERE lcp >= 8
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY dup_len_words DESC, n_sites DESC, passage ASC)
+           AS rank
+  FROM grouped
+)
+SELECT source, passage, dup_len_words, n_sites,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+    # textually parallel to
+    # operators.similarity.embedding_decontamination_lsh: sign bucket
+    # over the first 3 coordinates (MSB-first, the Spark aggregate's
+    # acc*2 fold), bucket-equality join, max-cosine per corpus vector
+    o["sim_embedding_decontamination_lsh"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS norm2
+  FROM embeddings
+),
+b AS (
+  SELECT *,
+         (CASE WHEN v[1] > 0.0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[2] > 0.0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] > 0.0 THEN 1 ELSE 0 END) AS bucket
+  FROM e WHERE norm2 > 0
+),
+ev AS (SELECT * FROM b WHERE vec_id % 37 = 0),
+co AS (SELECT * FROM b WHERE vec_id % 37 <> 0),
+sims AS (
+  SELECT co.vec_id, ev.vec_id AS eval_id,
+         round(list_dot_product(co.v, ev.v)
+               / sqrt(co.norm2 * ev.norm2), 6) AS cosine
+  FROM co JOIN ev ON co.bucket = ev.bucket
+),
+best AS (
+  SELECT vec_id, eval_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM sims WHERE cosine >= 0.3
+)
+SELECT vec_id, eval_id, cosine FROM best
+WHERE rn = 1 ORDER BY vec_id
 """
     return o

@@ -437,6 +437,8 @@ HEADLINE = [
     "sim_embedding_decontamination",
     "docs_tokenizer_fertility",
     "docs_suffix_dup_stats",
+    "docs_suffix_dup_passages",
+    "sim_embedding_decontamination_lsh",
 ]
 
 

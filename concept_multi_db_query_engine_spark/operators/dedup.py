@@ -1566,45 +1566,27 @@ def fellegi_sunter_weights(
     return out.orderBy("field")
 
 
-def suffix_duplicate_stats(
+def _suffix_adjacent_pairs(
     docs: DataFrame,
-    k_cap: int = 32,
-    site_min_words: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    source_col: str = "source",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Suffix-array-style longest-duplicate-substring stats per source —
-    the open-ended companion to the fixed-n :func:`repeated_passages`
-    family (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better", arXiv:2107.06499, whose suffix-array pass
-    this reproduces at word granularity): instead of asking "how many
-    8-grams repeat", it finds the LONGEST repeated word sequence and
-    how many near-duplicate sites exist, per source, with no n chosen
-    in advance.
+    k_cap: int,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    num_partitions: int | None,
+):
+    """Shared suffix-array adjacency builder for
+    :func:`suffix_duplicate_stats` / :func:`suffix_duplicate_passages`.
 
-    Method (the suffix-array LCP identity): every word position emits
-    its suffix (capped at ``k_cap`` words); after sorting all suffixes,
-    the longest common prefix of ANY two suffixes is attained by some
-    ADJACENT pair in sorted order — so one sort + one lag pass finds
-    the exact maximum (capped at ``k_cap``) and counts every adjacent
-    pair sharing >= ``site_min_words`` words (``dup_sites``: repeated-
-    passage sites, within or across docs of the same source).
-
-    Scale shape: suffixes are range-repartitioned on the sort key, so
-    the "sort" is Spark's distributed range sort — the adjacent-pair
-    lag runs per partition id (parallel, never a per-source
-    single-task window), and the <= 2 x partitions boundary rows are
-    collected (bounded, loud) to stitch the cross-partition adjacent
-    pairs; their contributions re-enter distributedly via a tiny
-    union, so the result is EXACTLY the single-window answer at any
-    partition count (pinned in tests). At 10^10 docs this is one
-    corpus-sized shuffle — the same cost profile as the suffix-array
-    dedup it mirrors.
-
-    Returns one row per source ordered by source:
-    (source, n_positions, longest_dup_words, dup_sites).
+    Emits every word position's suffix (capped at ``k_cap`` words),
+    range-repartitions on the sort key (Spark's distributed range
+    sort), and computes each within-partition adjacent pair's LCP via
+    a per-partition-id lag window — parallel, never a per-source
+    single-task window.  Returns ``(pairs, extras)``: the pairs frame
+    (src, s, lcp — lcp NULL on partition-first rows and source
+    boundaries) and the <= n_parts-1 cross-partition adjacent pairs
+    stitched from the collected partition-boundary rows (bounded,
+    loud), as (src, lcp, prefix_words) Python tuples so callers can
+    re-inject them distributedly via a tiny union.
     """
     spark = docs.sparkSession
     words = docs.where(
@@ -1653,13 +1635,6 @@ def suffix_duplicate_stats(
         .withColumn("eqv", F.expr(eq_lambda))
         .withColumn("lcp", F.expr(lcp_case))
     )
-    dist = pairs.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("n_positions"),
-        F.max(F.coalesce(F.col("lcp"), F.lit(0)))
-        .cast("long").alias("mx"),
-        F.sum(F.when(F.col("lcp") >= int(site_min_words), 1)
-              .otherwise(0)).cast("long").alias("sites"),
-    )
     # boundary stitch: first+last row per partition (<= 2 x n_parts,
     # bounded and loud), paired across consecutive NON-EMPTY pids
     bnd_w_desc = Window.partitionBy("pid").orderBy(
@@ -1690,17 +1665,67 @@ def suffix_duplicate_stats(
             n += 1
         return n
 
-    extra: list[tuple[str, int]] = []
+    extras: list[tuple[str, int, list]] = []
     pids = sorted(by_pid)
     for p, q in zip(pids, pids[1:]):
         a = by_pid[p].get("last") or by_pid[p].get("first")
         b = by_pid[q].get("first") or by_pid[q].get("last")
         if a is None or b is None or a["src"] != b["src"]:
             continue
-        extra.append((a["src"], _cp(list(a["s"]), list(b["s"]))))
+        a_words = list(a["s"])
+        lcp = _cp(a_words, list(b["s"]))
+        extras.append((a["src"], lcp, a_words[:lcp]))
+    return pairs, extras
+
+
+def suffix_duplicate_stats(
+    docs: DataFrame,
+    k_cap: int = 32,
+    site_min_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Suffix-array-style longest-duplicate-substring stats per source —
+    the open-ended companion to the fixed-n :func:`repeated_passages`
+    family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, whose suffix-array pass
+    this reproduces at word granularity): instead of asking "how many
+    8-grams repeat", it finds the LONGEST repeated word sequence and
+    how many near-duplicate sites exist, per source, with no n chosen
+    in advance.
+
+    Method (the suffix-array LCP identity): every word position emits
+    its suffix (capped at ``k_cap`` words); after sorting all suffixes,
+    the longest common prefix of ANY two suffixes is attained by some
+    ADJACENT pair in sorted order — so one sort + one lag pass finds
+    the exact maximum (capped at ``k_cap``) and counts every adjacent
+    pair sharing >= ``site_min_words`` words (``dup_sites``: repeated-
+    passage sites, within or across docs of the same source).
+
+    Scale shape: see :func:`_suffix_adjacent_pairs` — distributed
+    range sort, per-partition lag, bounded boundary stitch; the result
+    is EXACTLY the single-window answer at any partition count (pinned
+    in tests).  At 10^10 docs this is one corpus-sized shuffle — the
+    same cost profile as the suffix-array dedup it mirrors.
+
+    Returns one row per source ordered by source:
+    (source, n_positions, longest_dup_words, dup_sites).
+    """
+    spark = docs.sparkSession
+    pairs, extras = _suffix_adjacent_pairs(
+        docs, k_cap, id_col, text_col, source_col, num_partitions)
+    dist = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+        F.max(F.coalesce(F.col("lcp"), F.lit(0)))
+        .cast("long").alias("mx"),
+        F.sum(F.when(F.col("lcp") >= int(site_min_words), 1)
+              .otherwise(0)).cast("long").alias("sites"),
+    )
     extra_df = spark.createDataFrame(
         [(s, 0, lcp, 1 if lcp >= int(site_min_words) else 0)
-         for s, lcp in extra],
+         for s, lcp, _w in extras],
         "src string, n_positions long, mx long, sites long",
     )
     merged = dist.unionByName(extra_df).groupBy("src").agg(
@@ -1712,3 +1737,63 @@ def suffix_duplicate_stats(
         F.col("src").alias("source"),
         "n_positions", "longest_dup_words", "dup_sites",
     ).orderBy("source")
+
+
+def suffix_duplicate_passages(
+    docs: DataFrame,
+    k_cap: int = 16,
+    min_words: int = 8,
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The ACTIONABLE companion of :func:`suffix_duplicate_stats`: the
+    top-``top_n`` longest duplicated passages per source — the actual
+    text a curator would grep for, strip as boilerplate, or feed to
+    :func:`dedup_span_removal`.  A "site" is one adjacent suffix pair
+    (sorted order) sharing >= ``min_words`` leading words; the passage
+    is those shared words, so nested repeats at different lengths
+    surface as separate rows (each the exact prefix its sites share).
+
+    Scale shape: identical to the stats twin (distributed range sort,
+    per-partition lag, bounded boundary stitch) plus one aggregation
+    keyed on the ALREADY-THRESHOLDED duplicate passages — the window
+    rank runs over that small survivor frame, partitioned by source.
+    Partition-count invariant (same stitch argument; pinned in tests).
+
+    Returns up to ``top_n`` rows per source ordered by
+    (source, rank): (source, passage, dup_len_words, n_sites, rank) —
+    ranked by length desc, sites desc, passage asc.
+    """
+    spark = docs.sparkSession
+    pairs, extras = _suffix_adjacent_pairs(
+        docs, k_cap, id_col, text_col, source_col, num_partitions)
+    hits = pairs.where(F.col("lcp") >= int(min_words)).select(
+        "src",
+        F.expr("concat_ws(' ', slice(s, 1, CAST(lcp AS INT)))")
+        .alias("passage"),
+        F.col("lcp").alias("dup_len_words"),
+    )
+    extra_df = spark.createDataFrame(
+        [(s, " ".join(w), lcp) for s, lcp, w in extras
+         if lcp >= int(min_words)],
+        "src string, passage string, dup_len_words long",
+    )
+    grouped = hits.unionByName(extra_df).groupBy(
+        "src", "passage", "dup_len_words"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sites"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("dup_len_words").desc(), F.col("n_sites").desc(),
+        F.col("passage").asc())
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_n))
+        .select(
+            F.col("src").alias("source"), "passage",
+            "dup_len_words", F.col("n_sites"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )

@@ -233,6 +233,37 @@ def topk_cosine_ivf(
     )
 
 
+def _sign_bucket_sql(bits: int, hyperplanes: list[list[float]] | None
+                     ) -> str:
+    """Sign-LSH bucket expression over a vector column ``v``: the
+    default signs the first ``bits`` coordinates; with ``hyperplanes``
+    each bit is the sign of one projection, coefficient literals baked
+    into codegen (no shuffle, no per-row hashing; the deterministic
+    matrix regenerates from its salt on any engine)."""
+    if hyperplanes is None:
+        return (
+            f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> "
+            "acc * 2 + CASE WHEN CAST(v[i] AS DOUBLE) > 0.0 THEN 1 "
+            "ELSE 0 END)"
+        )
+    if len(hyperplanes) != bits:
+        raise ValueError("need one hyperplane per bit")
+    in_dim = len(hyperplanes[0])
+    parts = []
+    for j, row in enumerate(hyperplanes):
+        lits = ", ".join(f"{c!r}d" for c in row)
+        proj = (
+            f"aggregate(sequence(1, {in_dim}), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + element_at(array({lits}), i) * "
+            f"CAST(element_at(v, i) AS DOUBLE))"
+        )
+        parts.append(
+            f"(CASE WHEN {proj} > 0.0d THEN {1 << (bits - 1 - j)} "
+            f"ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -257,29 +288,7 @@ def topk_cosine_lsh(
     2^bits buckets → the pair join shrinks by ~2^bits; recall is tunable
     via bits (fewer bits = more candidates = higher recall). Output:
     (query_id, vec_id, cosine, rank)."""
-    if hyperplanes is None:
-        bucket_sql = (
-            f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> "
-            "acc * 2 + CASE WHEN CAST(v[i] AS DOUBLE) > 0.0 THEN 1 "
-            "ELSE 0 END)"
-        )
-    else:
-        if len(hyperplanes) != bits:
-            raise ValueError("need one hyperplane per bit")
-        in_dim = len(hyperplanes[0])
-        parts = []
-        for j, row in enumerate(hyperplanes):
-            lits = ", ".join(f"{c!r}d" for c in row)
-            proj = (
-                f"aggregate(sequence(1, {in_dim}), CAST(0.0 AS DOUBLE), "
-                f"(acc, i) -> acc + element_at(array({lits}), i) * "
-                f"CAST(element_at(v, i) AS DOUBLE))"
-            )
-            parts.append(
-                f"(CASE WHEN {proj} > 0.0d THEN {1 << (bits - 1 - j)} "
-                f"ELSE 0 END)"
-            )
-        bucket_sql = " + ".join(parts)
+    bucket_sql = _sign_bucket_sql(bits, hyperplanes)
 
     def bucketed(df: DataFrame) -> DataFrame:
         return df.withColumn("bucket", F.expr(bucket_sql))
@@ -2114,3 +2123,54 @@ def embedding_decontamination(
     return src.mapInPandas(
         part, schema="vec_id long, eval_id long, cosine double"
     ).orderBy("vec_id")
+
+
+def embedding_decontamination_lsh(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hyperplanes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Sign-LSH-bucketed :func:`embedding_decontamination` — the scale
+    path for eval sets too large to broadcast: both sides bucket by
+    the shared sign hash (:func:`topk_cosine_lsh`'s families), the
+    join runs bucket-co-located (2^bits-way shrinkage, one shuffle on
+    the bucket key), and each corpus vector keeps its max-cosine eval
+    neighbor at/above the threshold.
+
+    APPROXIMATE by design: a contaminated pair is only seen if it
+    shares the bucket — per-bit collision probability for angle θ is
+    1−θ/π, so recall falls as bits grow (the :func:`lsh_tuning_curve`
+    trade); run multiple hyperplane families and union for recall, or
+    the exact broadcast twin when the eval set fits.  Zero-norm
+    vectors excluded; cosine rounded to 6 (house contract).
+    Returns (vec_id, eval_id, cosine) ordered by vec_id.
+    """
+    bucket_sql = _sign_bucket_sql(bits, hyperplanes)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return _with_norm(df, id_col, vec_col).where(
+            "norm2 > 0").withColumn("bucket", F.expr(bucket_sql))
+
+    c = bucketed(corpus).alias("c")
+    e = bucketed(eval_set).alias("e")
+    scored = c.join(e, F.col("c.bucket") == F.col("e.bucket")).select(
+        F.col("c.vid").alias("vec_id"),
+        F.col("e.vid").alias("eval_id"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(c.v, e.v, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+            ) / F.sqrt(F.col("c.norm2") * F.col("e.norm2")), 6
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= float(threshold))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").drop("rn").orderBy("vec_id")
+    )

@@ -6,6 +6,9 @@ from __future__ import annotations
 import pytest
 
 from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark import testdata
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _jobs_during(spark, fn):
@@ -238,3 +241,84 @@ class TestSuffixDuplicateStats:
         out = ops.suffix_duplicate_stats(
             docs, k_cap=6, site_min_words=3).collect()[0]
         assert out["longest_dup_words"] == 6  # capped, true answer 29
+
+
+class TestSuffixDuplicatePassages:
+    def test_returns_the_actual_passage(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "s", "the quick brown fox jumps over x"),
+             (2, "s", "pad pad the quick brown fox jumps"),
+             (3, "s", "unrelated words only here now")],
+            "doc_id long, source string, text string")
+        out = ops.suffix_duplicate_passages(
+            docs, k_cap=16, min_words=5, top_n=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["passage"] == "the quick brown fox jumps"
+        assert r["dup_len_words"] == 5
+        assert r["n_sites"] == 1
+        assert r["rank"] == 1
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        rng = random.Random(13)
+        vocab = ["t%d" % i for i in range(8)]
+        rows = [(i, "s%d" % (i % 2),
+                 " ".join(rng.choice(vocab) for _ in range(18)))
+                for i in range(30)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        a = ops.suffix_duplicate_passages(
+            docs, k_cap=8, min_words=3, top_n=5,
+            num_partitions=1).collect()
+        b = ops.suffix_duplicate_passages(
+            docs, k_cap=8, min_words=3, top_n=5,
+            num_partitions=9).collect()
+        assert a == b
+
+    def test_nested_repeats_surface_separately(self, spark):
+        # three copies of an 8-word passage; two also share a 9th word,
+        # so the 9-word prefix appears as its own (longer) row
+        docs = spark.createDataFrame(
+            [(1, "s", "a b c d e f g h x"),
+             (2, "s", "a b c d e f g h x"),
+             (3, "s", "a b c d e f g h y")],
+            "doc_id long, source string, text string")
+        out = {(r["passage"], r["dup_len_words"]): r["n_sites"]
+               for r in ops.suffix_duplicate_passages(
+                   docs, k_cap=16, min_words=8, top_n=10).collect()}
+        assert out[("a b c d e f g h x", 9)] == 1
+        assert out[("a b c d e f g h", 8)] == 1
+
+
+class TestEmbeddingDecontaminationLsh:
+    def test_same_bucket_duplicate_is_flagged(self, spark):
+        rows = [
+            (100, [1.0, 1.0, 1.0, 0.0]),
+            (10, [2.0, 2.0, 2.0, 0.0]),    # same bucket, cosine 1.0
+            (11, [-1.0, 1.0, 1.0, 0.0]),   # different bucket: missed
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = ops.embedding_decontamination_lsh(
+            emb.where("vec_id < 100"), emb.where("vec_id >= 100"),
+            threshold=0.5, bits=3,
+        ).collect()
+        assert [(r["vec_id"], r["eval_id"], r["cosine"])
+                for r in out] == [(10, 100, 1.0)]
+
+    def test_recall_vs_exact_twin_on_shared_buckets(self, spark):
+        # every LSH hit must also be an exact-twin hit with the same
+        # cosine (LSH only MISSES, never invents)
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        corpus, ev = emb.where("vec_id % 37 != 0"), \
+            emb.where("vec_id % 37 = 0")
+        exact = {r["vec_id"]: r for r in ops.embedding_decontamination(
+            corpus, ev, threshold=0.3).collect()}
+        lsh = ops.embedding_decontamination_lsh(
+            corpus, ev, threshold=0.3, bits=3).collect()
+        assert len(lsh) > 0
+        for r in lsh:
+            assert r["vec_id"] in exact
+            assert r["cosine"] <= exact[r["vec_id"]]["cosine"]
