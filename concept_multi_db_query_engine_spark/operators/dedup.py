@@ -1608,9 +1608,15 @@ def _suffix_adjacent_pairs(
     )
     n_parts = int(num_partitions
                   or spark.sparkContext.defaultParallelism)
+    # the boundary collect below executes the range sort; pinning the
+    # sorted frame makes the caller's aggregation read the pin instead
+    # of sorting the corpus a SECOND time (the pin is the suffix frame
+    # — k_cap-word slices — so it trades memory/disk for one corpus
+    # sort, the right trade at any scale where the sort dominates)
     rp = suf.repartitionByRange(
         n_parts, "src", "s", "did", "pos"
-    ).withColumn("pid", F.spark_partition_id())
+    ).withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True)
     # within-partition adjacency: a range partition holds a contiguous
     # slice of the global order, so per-pid lag recovers every adjacent
     # pair except the <= n_parts-1 pairs that straddle partitions
