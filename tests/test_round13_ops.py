@@ -322,3 +322,35 @@ class TestEmbeddingDecontaminationLsh:
         for r in lsh:
             assert r["vec_id"] in exact
             assert r["cosine"] <= exact[r["vec_id"]]["cosine"]
+
+
+class TestBenchScopedCpu:
+    def test_scoped_measure_attributes_jobs_and_cpu(self, spark):
+        """The round-13 bench core: job-group-scoped measurement
+        reports ran_jobs for an action, no jobs for a lazy build, and
+        a positive scoped CPU that includes executor task time."""
+        import bench
+
+        scoped = bench._ScopedCpu(spark)
+        assert scoped.scoped  # the py4j status-store path must exist
+
+        def run_job():
+            return spark.range(2_000_000).selectExpr(
+                "id % 13 AS k").groupBy("k").count().collect()
+
+        wall, cpu, ran_jobs, ext_frac, rows = scoped.measure(run_job)
+        assert ran_jobs and len(rows) == 13
+        assert wall > 0 and cpu > 0
+        assert 0.0 <= ext_frac
+        # a purely-lazy construction runs no jobs and bills ~no CPU
+        w2, c2, ran2, _, df = scoped.measure(
+            lambda: spark.range(10).selectExpr("id * 2 AS v"))
+        assert not ran2
+        assert c2 < cpu
+
+    def test_machine_busy_clock_monotone(self):
+        import bench
+
+        a = bench._machine_busy_seconds()
+        b = bench._machine_busy_seconds()
+        assert b >= a >= 0.0
