@@ -603,6 +603,10 @@ def main() -> None:
 
     def _emit(partial: bool = False) -> None:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        cons_total = round(sum(cons_wall.values()), 4)
+        cons_cpu_total = round(sum(cons_cpu.values()), 4)
+        cpu_total = round(sum(cpu_timings.values()), 4)
+        wall_total = round(sum(timings.values()), 4)
         payload: dict = {
             "queries": timings,
             "queries_cpu": cpu_timings,
@@ -618,17 +622,27 @@ def main() -> None:
                 if scoped.scoped
                 else "whole-process CPU (JVM+py; scoped path unavailable)"
             ),
-            "cpu_value": round(sum(cpu_timings.values()), 4),
+            # compact split totals near the tail: the driver archives
+            # only the LAST ~2000 chars of this line, so the same-
+            # billing round-over-round numbers must live here, not
+            # only in the (head-truncated) per-row maps
+            "n_construction_eager": len(construction_eager),
+            "n_resampled": len(resampled),
+            "construction_wall": cons_total,
+            "construction_cpu": cons_cpu_total,
+            "action_wall": round(wall_total - cons_total, 4),
+            "action_cpu": round(cpu_total - cons_cpu_total, 4),
         }
         if partial:
             # near the tail so the flag survives head truncation: a
             # SIGTERM'd run must never read as a (fast) full suite
             payload["partial"] = True
-        # Key order matters: the driver archives only the TAIL of this
-        # line, so the headline totals ("value"/"metric") go LAST — a
-        # truncated head loses individual per-query rows, never totals.
+        # Key order matters: the headline totals ("value"/"metric")
+        # go LAST — a truncated head loses individual per-query rows,
+        # never totals.
+        payload["cpu_value"] = cpu_total
         payload["metric"] = "headline-suite wall time"
-        payload["value"] = round(sum(timings.values()), 4)
+        payload["value"] = wall_total
         print(json.dumps(payload), flush=True)
 
     def _on_term(signum, frame) -> None:
