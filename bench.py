@@ -590,6 +590,10 @@ def main() -> None:
         _td.load_table(spark, sf_dir, _t)
 
     scoped = _ScopedCpu(spark)
+    try:
+        _load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        _load1 = -1.0
 
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
@@ -628,6 +632,7 @@ def main() -> None:
             # only in the (head-truncated) per-row maps
             "n_construction_eager": len(construction_eager),
             "n_resampled": len(resampled),
+            "load1_at_start": _load1,
             "construction_wall": cons_total,
             "construction_cpu": cons_cpu_total,
             "action_wall": round(wall_total - cons_total, 4),
