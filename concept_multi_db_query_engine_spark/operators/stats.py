@@ -4303,6 +4303,11 @@ def sprt_test(
     Returns one row: (n_periods, llr_final, decision, crossing_idx) —
     decision 'accept_h1' / 'accept_h0' / 'continue', crossing_idx NULL
     while 'continue'.
+
+    Construction is billed eager in the bench: the prefix-count
+    pass materializes its partition boundaries at construction (see
+    :func:`_friedman_ranks` for the cost-note convention).  Not a
+    cardinality probe; nothing to pre-declare.
     """
     import math
 
@@ -6203,6 +6208,12 @@ def hurst_exponent(
     are partitioned by block id — bounded by w, never the series.
     Returns one row per w: (block_w, n_blocks, mean_rs, hurst) with
     the slope repeated.
+
+    CONSTRUCTION COST (billed as construction-eager in the bench):
+    the global row_number order pin is an eager localCheckpoint — one
+    series scan at construction; every per-w pass then reads the pin
+    instead of re-sorting.  Not a cardinality probe; there is nothing
+    a caller could pre-declare to skip it.
     """
     from pyspark.sql import Window
 
@@ -7238,10 +7249,20 @@ def _friedman_ranks(
     value_col: str,
 ):
     """Shared rank machinery for :func:`friedman_test` /
-    :func:`kendalls_w`: within-block tie-averaged ranks (2×-scaled
-    exact integers) over COMPLETE blocks only.  The per-block window
-    is bounded by k treatments — never the fact table.  Returns
-    (ranked frame with (t, r2), b_blocks, k, tie sum Σ(t³−t))."""
+    :func:`kendalls_w` / :func:`page_trend_test`: within-block
+    tie-averaged ranks (2×-scaled exact integers) over COMPLETE
+    blocks only.  The per-block window is bounded by k treatments —
+    never the fact table.  Returns
+    (ranked frame with (t, r2), b_blocks, k, tie sum Σ(t³−t)).
+
+    CONSTRUCTION COST (billed as construction-eager in the bench):
+    the closed-form statistics need k and b driver-side, so
+    construction runs two count jobs — the k count materializes the
+    pinned per-cell frame (THE one fact-table scan), the b count then
+    reads the pin.  Unlike the ``known_groups`` family this cannot be
+    skipped by declaration: b is data-dependent (complete blocks
+    only), and the pin already bounds the cost to one fact scan +
+    two cheap counts over blocks×k rows."""
     from pyspark.sql import Window
 
     base = df.where(
