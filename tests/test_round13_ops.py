@@ -354,3 +354,142 @@ class TestBenchScopedCpu:
         a = bench._machine_busy_seconds()
         b = bench._machine_busy_seconds()
         assert b >= a >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-Python references (the stats-family discipline: every
+# operator is checked against a from-scratch implementation on randomized
+# inputs, not only against hand-picked cases and the DuckDB oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def _ref_suffix_stats(rows, k_cap, min_words):
+    """From-scratch suffix-array LCP reference: full sort per source,
+    adjacent common-prefix lengths, max + thresholded site count."""
+    from collections import defaultdict
+
+    suf = defaultdict(list)
+    for doc_id, source, text in rows:
+        words = [w for w in text.split(" ") if w != ""]
+        for pos in range(len(words)):
+            suf[source].append(
+                (tuple(words[pos:pos + k_cap]), doc_id, pos + 1))
+    out = {}
+    for source, entries in suf.items():
+        entries.sort()
+        longest, sites = 0, 0
+        for (a, _, _), (b, _, _) in zip(entries, entries[1:]):
+            n = 0
+            for x, y in zip(a, b):
+                if x != y:
+                    break
+                n += 1
+            longest = max(longest, n)
+            if n >= min_words:
+                sites += 1
+        out[source] = (len(entries), longest, sites)
+    return out
+
+
+class TestSuffixStatsReference:
+    def test_matches_pure_python_on_random_corpora(self, spark):
+        import random
+
+        for seed, n_docs, vlen in ((3, 25, 6), (11, 40, 4), (29, 15, 10)):
+            rng = random.Random(seed)
+            vocab = ["w%d" % i for i in range(vlen)]
+            rows = [(i, "s%d" % (i % 3),
+                     " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(1, 25))))
+                    for i in range(n_docs)]
+            docs = spark.createDataFrame(
+                rows, "doc_id long, source string, text string")
+            got = {r["source"]: (r["n_positions"], r["longest_dup_words"],
+                                 r["dup_sites"])
+                   for r in ops.suffix_duplicate_stats(
+                       docs, k_cap=8, site_min_words=3).collect()}
+            want = _ref_suffix_stats(rows, k_cap=8, min_words=3)
+            assert got == want, f"seed={seed}"
+
+
+def _ref_decontamination(rows, eval_ids, threshold):
+    import numpy as np
+
+    ev = [(i, np.array(v, dtype=np.float64)) for i, v in rows
+          if i in eval_ids and float(np.dot(np.array(v, dtype=np.float64),
+                                            np.array(v, dtype=np.float64))) > 0]
+    out = {}
+    for i, v in rows:
+        if i in eval_ids:
+            continue
+        c = np.array(v, dtype=np.float64)
+        n2 = float(np.dot(c, c))
+        if n2 <= 0:
+            continue
+        best, best_id = None, None
+        for eid, e in ev:
+            cos = round(float(np.dot(e, c))
+                        / (float(np.sqrt(np.dot(e, e))) * float(np.sqrt(n2))), 6)
+            if best is None or cos > best or (cos == best and eid < best_id):
+                best, best_id = cos, eid
+        if best is not None and best >= threshold:
+            out[i] = (best_id, best)
+    return out
+
+
+class TestDecontaminationReference:
+    def test_matches_pure_numpy_on_random_vectors(self, spark):
+        import random
+
+        rng = random.Random(17)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(60)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        eval_ids = {i for i in range(60) if i % 7 == 0}
+        got = {r["vec_id"]: (r["eval_id"], r["cosine"])
+               for r in ops.embedding_decontamination(
+                   emb.where("vec_id % 7 != 0"),
+                   emb.where("vec_id % 7 = 0"),
+                   threshold=0.5).collect()}
+        want = _ref_decontamination(
+            [(i, v) for i, v in rows], eval_ids, 0.5)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+class TestFertilityReference:
+    def test_matches_pure_python_regex(self, spark):
+        import random
+        import re
+
+        from concept_multi_db_query_engine_spark.operators.text import (
+            BPE_ISH_PATTERN,
+        )
+
+        rng = random.Random(5)
+        frags = ["hello", "don't", "a1b2", "...", "x", "  ", "UPPER",
+                 "mid-dash", "42", "end."]
+        rows = [(i, "s%d" % (i % 2),
+                 " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12))))
+                for i in range(30)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        got = {r["source"]: r
+               for r in ops.tokenizer_fertility_ab(docs).collect()}
+        pat = re.compile(BPE_ISH_PATTERN)
+        agg = {}
+        for _, src, text in rows:
+            b = len(text.encode())
+            w = len([x for x in text.split(" ") if x != ""])
+            t = len(pat.findall(text))
+            n, tb, tw, tt = agg.get(src, (0, 0, 0, 0))
+            agg[src] = (n + 1, tb + b, tw + w, tt + t)
+        for src, (n, tb, tw, tt) in agg.items():
+            r = got[src]
+            assert r["n_docs"] == n
+            assert r["total_bytes"] == tb
+            assert r["words"] == tw
+            assert r["tokens_bpe"] == tt, src
