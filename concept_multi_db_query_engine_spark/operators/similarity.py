@@ -2076,6 +2076,25 @@ def embedding_decontamination(
     Returns (vec_id, eval_id, cosine) ordered by vec_id — eval_id is
     the smallest id among tied-max eval neighbors.
     """
+    return _decontamination_scores(
+        corpus, eval_set, threshold, id_col, vec_col
+    ).orderBy("vec_id")
+
+
+def _decontamination_scores(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Unordered decontamination core shared by the batch operator and
+    the streaming twin (``streaming.windows.decontamination_stream``):
+    broadcast eval matrix, per-partition BLAS block, max-cosine +
+    smallest tied eval id, thresholded emit. A pure narrow map — no
+    shuffle, no state — so the identical plan scores a readStream
+    frame (sorting is the only batch-side extra, unsupported in
+    append-mode streams)."""
     import numpy as np
     import pandas as pd
 
@@ -2122,7 +2141,7 @@ def embedding_decontamination(
 
     return src.mapInPandas(
         part, schema="vec_id long, eval_id long, cosine double"
-    ).orderBy("vec_id")
+    )
 
 
 def embedding_decontamination_lsh(

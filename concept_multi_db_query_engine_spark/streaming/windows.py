@@ -1451,3 +1451,75 @@ def elo_rating_stream(
             "update", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decontamination_stream(
+    live: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming twin of
+    ``operators.similarity.embedding_decontamination`` — screen an
+    incoming embedding feed against a FROZEN eval set live, flagging
+    probable benchmark leakage before it lands in the corpus.  The
+    eval matrix comes from a BATCH frame (collecting model data is a
+    batch job, the ``importance_weights`` frozen-model posture); the
+    scoring leg is the exact shared narrow map
+    (``_decontamination_scores``: broadcast matrix, Arrow BLAS block,
+    max-cosine + smallest tied eval id, thresholded emit), so per-row
+    stream emissions equal the batch run minus only the batch-side
+    deterministic sort (pinned in tests).  Stateless append-mode
+    plan: works with any source/sink, no watermark needed.
+    """
+    from ..operators.similarity import _decontamination_scores
+
+    return _decontamination_scores(
+        live, eval_set, threshold, id_col, vec_col)
+
+
+def tokenizer_fertility_stream(
+    live: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Streaming twin of ``operators.text.tokenizer_fertility_ab`` —
+    running per-source fertility over a document feed (update mode):
+    the same per-doc JVM expressions (bytes, whitespace words, GPT-2
+    pretokenizer tokens) feed a streaming groupBy, and the derived
+    ratios are recomputed per emission from the EXACT integer
+    running sums — so after any prefix of the feed the emission
+    equals the batch operator over everything ingested (pinned in
+    tests).  One stateful aggregation keyed by source: O(sources)
+    state.
+    """
+    from ..operators.text import BPE_ISH_PATTERN
+
+    t = f"({text_col})"
+    words = f"size(filter(split({t}, ' '), x -> x != ''))"
+    bpe = F.size(F.regexp_extract_all(
+        F.expr(t), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    per_doc = live.where(
+        f"{t} IS NOT NULL AND ({source_col}) IS NOT NULL"
+    ).select(
+        F.col(source_col).alias("source"),
+        F.expr(f"CAST(octet_length({t}) AS BIGINT)").alias("b"),
+        F.expr(f"CAST({words} AS BIGINT)").alias("w"),
+        bpe.cast("long").alias("t_bpe"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("total_bytes"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("t_bpe").cast("long").alias("tokens_bpe"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_bytes", "words", "tokens_bpe",
+        F.expr("round(CAST(tokens_bpe AS DOUBLE) / nullif(words, 0), 6)")
+        .alias("bpe_per_word"),
+        F.expr("round(CAST(words AS DOUBLE) * 100.0d "
+               "/ nullif(total_bytes, 0), 6)").alias("ws_per_100b"),
+        F.expr("round(CAST(tokens_bpe AS DOUBLE) * 100.0d "
+               "/ nullif(total_bytes, 0), 6)").alias("bpe_per_100b"),
+    )

@@ -1735,3 +1735,80 @@ def test_importance_weights_scores_a_stream_with_frozen_models(spark):
         for r in spark.sql("SELECT * FROM dsir_stream_t").collect()
     }
     assert got == want
+
+
+def test_decontamination_stream_matches_batch(spark):
+    """Round-13 twin: the frozen-eval decontamination narrow map must
+    flag a streamed corpus to the exact batch rows (the shared core
+    is stateless, so the union of micro-batch emissions == batch
+    output minus only the deterministic sort)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    emb = testdata.load_table(spark, SF_DIR, "embeddings")
+    corpus, ev = emb.where("vec_id % 37 != 0"), emb.where("vec_id % 37 = 0")
+    want = sorted(
+        (r["vec_id"], r["eval_id"], r["cosine"])
+        for r in ops.embedding_decontamination(
+            corpus, ev, threshold=0.3).collect()
+    )
+    assert len(want) > 0
+    d = tempfile.mkdtemp(prefix="stream-decon-")
+    corpus.where("vec_id % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    corpus.where("vec_id % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.decontamination_stream(src, ev, threshold=0.3)
+    sw.run_stream_to_memory(plan, "decon_stream_t", output_mode="append")
+    got = sorted(
+        (r["vec_id"], r["eval_id"], r["cosine"])
+        for r in spark.sql("SELECT * FROM decon_stream_t").collect()
+    )
+    assert got == want
+
+
+def test_tokenizer_fertility_stream_matches_batch(spark):
+    """Round-13 twin: running per-source fertility in update mode —
+    the last emission per source equals the batch report over
+    everything ingested (ratios recomputed per emission from exact
+    integer running sums)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = testdata.load_table(spark, SF_DIR, "documents")
+    want = {r["source"]: r
+            for r in ops.tokenizer_fertility_ab(docs).collect()}
+    d = tempfile.mkdtemp(prefix="stream-fert-")
+    docs.where("doc_id % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    docs.where("doc_id % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.tokenizer_fertility_stream(src)
+    sw.run_stream_to_memory(plan, "fert_stream_t", output_mode="update")
+    got = {
+        r["source"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "source ORDER BY n_docs DESC) AS __rk FROM fert_stream_t) "
+            "WHERE __rk = 1"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        for c in ("n_docs", "total_bytes", "words", "tokens_bpe",
+                  "bpe_per_word", "ws_per_100b", "bpe_per_100b"):
+            assert got[s][c] == want[s][c], (s, c)
