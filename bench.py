@@ -443,29 +443,56 @@ HEADLINE = [
 
 
 class _CpuClock:
-    """Cumulative process-CPU seconds: local-mode JVM (utime+stime from
-    /proc — one process holds every executor thread) + the Python driver.
+    """Cumulative CPU seconds for THIS process tree: the Python driver,
+    the local-mode JVM, and every live /proc descendant — critically the
+    pyspark.daemon worker processes that run mapInPandas/applyInPandas
+    rows, which the old JVM-only read missed, so a long Arrow-UDF row
+    saw its own workers as co-tenant steal in the ext_frac detector and
+    burned the re-sample budget on itself. Reaped dead workers are
+    covered by each survivor's cutime/cstime (only *waited-for dead*
+    children count there, so live descendants are never double-billed).
     Steal-invariant: co-tenant load inflates wall time, not this."""
 
     def __init__(self, spark) -> None:
-        self._pid = None
+        self._root = os.getpid()
         self._tck = 100.0
+        self._ok = True
         try:
-            self._pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
             self._tck = float(os.sysconf("SC_CLK_TCK"))
             self.now()  # probe /proc once; disable on any failure
         except Exception:
-            self._pid = None
+            self._ok = False
 
     def now(self) -> float:
-        py = time.process_time()
-        if self._pid is None:
-            return py
-        with open(f"/proc/{self._pid}/stat") as f:
-            # field 2 (comm) may contain spaces/parens; utime/stime are
-            # fields 14/15 → idx 11/12 after the closing paren
-            parts = f.read().rsplit(") ", 1)[1].split()
-        return (int(parts[11]) + int(parts[12])) / self._tck + py
+        if not self._ok:
+            return time.process_time()
+        procs: dict = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    # field 2 (comm) may contain spaces/parens; split
+                    # after the closing paren: ppid at idx 1, utime/
+                    # stime/cutime/cstime at idx 11/12/13/14
+                    rest = f.read().rsplit(") ", 1)[1].split()
+                procs[int(d)] = (int(rest[1]),
+                                 int(rest[11]) + int(rest[12])
+                                 + int(rest[13]) + int(rest[14]))
+            except (OSError, IndexError, ValueError):
+                continue  # raced a process exit
+        kids: dict = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0, [self._root], set()
+        while stack:
+            pid = stack.pop()
+            if pid in seen or pid not in procs:
+                continue
+            seen.add(pid)
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, ()))
+        return total / self._tck
 
 
 def _machine_busy_seconds() -> float:
@@ -695,10 +722,16 @@ def main() -> None:
             return min(w1, w2), min(c1, c2), True
         return w1, c1, False
 
-    def _run_row(name: str, build, single_action: bool = False) -> None:
+    def _run_row(name: str, build, single_action: bool = False,
+                 clear_cache: bool = True) -> None:
         """Generic row: construction under its own job group (eagerness
         = that group ran jobs; billed once, cold, and emitted separately
-        in the queries_construction maps), then the action leg."""
+        in the queries_construction maps), then the action leg.
+        ``clear_cache=False`` is for rows that intentionally share
+        persisted frames with sibling rows (the minhash trio): clearing
+        between them would evict the shared signature frames and bill
+        their recomputation to BOTH later rows, double-counting work
+        already billed as dedup_minhash_shared_sigs."""
         cw, cc, cons_jobs, _, df = scoped.measure(build)
         aw, ac, was_resampled = _action(df, single_action)
         if was_resampled:
@@ -708,7 +741,8 @@ def main() -> None:
             _record(name, cw + aw, cc + ac, cw, cc)
         else:
             _record(name, aw, ac)
-        spark.catalog.clearCache()
+        if clear_cache:
+            spark.catalog.clearCache()
 
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
@@ -734,14 +768,15 @@ def main() -> None:
             _record("dedup_minhash_shared_sigs", w, c)
             _run_row("dedup_minhash_lsh", lambda: ops.minhash_lsh_pairs(
                 docs, k=5, num_hashes=16, bands=4,
-                threshold=0.5, frames=(sh, sigs)))
+                threshold=0.5, frames=(sh, sigs)), clear_cache=False)
             _run_row("dedup_minhash_estimate",
                      lambda: ops.minhash_estimate_pairs(
                          docs, k=5, num_hashes=16, bands=4,
-                         min_estimate=0.5, frames=(sh, sigs)))
+                         min_estimate=0.5, frames=(sh, sigs)),
+                     clear_cache=False)
             _run_row("dedup_bbit_minhash", lambda: ops.bbit_minhash_pairs(
                 docs, k=5, num_hashes=16, bands=4, b_bits=8,
-                frames=(sh, sigs)))
+                frames=(sh, sigs)), clear_cache=False)
             sh.unpersist()
             sigs.unpersist()
             spark.catalog.clearCache()

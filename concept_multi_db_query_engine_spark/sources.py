@@ -27,25 +27,44 @@ from .errors import EXECUTOR_MISSING, ConnectionError, ErrorItem
 _PARQUET_SCHEMA_CACHE: dict[tuple, Any] = {}
 
 
+# past this many stat calls the fingerprint walk costs more than the
+# footer job it saves; huge trees simply skip the memo (safe: every
+# read re-infers, nothing stale can replay)
+_FP_MAX_ENTRIES = 4096
+
+
 def _path_fingerprint(path: str) -> tuple:
     """Cheap local-FS change detector for the schema memo: the path's
-    own (mtime_ns, size) plus, for a directory, the (name, mtime_ns,
-    size) of each direct entry — a parquet dir overwrite replaces part
-    files under new UUID names, so any rewrite or schema evolution
-    changes the tuple and the stale StructType is never replayed
-    (silently null-filling renamed columns). Non-local paths (s3://,
-    hdfs://) stat-fail and return a no-memo marker."""
+    own (mtime_ns, size) plus, for a directory, the (relative path,
+    name, mtime_ns, size) of every entry found by a FULL recursive
+    walk — a parquet dir overwrite replaces part files under new UUID
+    names at ANY depth (multi-level partitioned layouts rewrite only
+    a=1/b=2/part-*.parquet, leaving the top-level mtimes untouched),
+    so any rewrite or schema evolution changes the tuple and the stale
+    StructType is never replayed (silently null-filling renamed
+    columns). The walk is bounded: past _FP_MAX_ENTRIES stats the memo
+    is disabled for that path (correct, just unmemoized) rather than
+    keyed on a truncated — and therefore stale-replayable — view.
+    Non-local paths (s3://, hdfs://) stat-fail and return the same
+    no-memo marker."""
     import os
 
     try:
         st = os.stat(path)
         fp: tuple = (st.st_mtime_ns, st.st_size)
         if os.path.isdir(path):
-            entries = tuple(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in sorted(os.scandir(path), key=lambda e: e.name)
-            )
-            fp = fp + (hash(entries),)
+            entries = []
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                files.sort()
+                rel = os.path.relpath(root, path)
+                for name in dirs + files:
+                    if len(entries) >= _FP_MAX_ENTRIES:
+                        return ("no-memo",)
+                    est = os.stat(os.path.join(root, name))
+                    entries.append((rel, name, est.st_mtime_ns,
+                                    est.st_size))
+            fp = fp + (hash(tuple(entries)),)
         return fp
     except OSError:
         return ("no-memo",)

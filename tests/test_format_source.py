@@ -182,3 +182,41 @@ def test_read_parquet_schema_memo_invalidates_on_overwrite(spark, tmp_path):
     # explicit invalidation hook is also exposed
     src.invalidate_schema_cache(p)
     assert not any(k[0] == p for k in src._PARQUET_SCHEMA_CACHE)
+
+
+def test_schema_memo_fingerprint_sees_deep_partition_rewrite(
+        spark, tmp_path, monkeypatch):
+    """A rewrite two directory levels down (multi-level partitioned
+    layout, a=1/b=2/part-*.parquet) changes only the grandchild dir's
+    mtime — the top-level dir's own stat and its direct children are
+    untouched — so the fingerprint must walk the full tree to catch it
+    (round-13 ADVICE). Past the walk cap the memo is disabled outright
+    rather than keyed on a truncated, stale-replayable view."""
+    import os
+
+    from concept_multi_db_query_engine_spark import sources as src
+
+    p = str(tmp_path / "deep.parquet")
+    spark.range(20).selectExpr(
+        "id", "id % 2 AS a", "id % 3 AS b").write.partitionBy(
+        "a", "b").parquet(p)
+    fp1 = src._path_fingerprint(p)
+    assert fp1 != ("no-memo",)
+    # sanity: the rewrite below must be invisible to a direct-children-
+    # only view, else this test wouldn't exercise the recursion
+    top_before = sorted(
+        (e.name, e.stat().st_mtime_ns) for e in os.scandir(p))
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    leaf = glob.glob(os.path.join(p, "a=1", "b=2", "part-*.parquet"))[0]
+    pq.write_table(pa.table({"id": pa.array([99], pa.int64())}), leaf)
+    assert sorted((e.name, e.stat().st_mtime_ns)
+                  for e in os.scandir(p)) == top_before
+    fp2 = src._path_fingerprint(p)
+    assert fp2 != fp1  # deep rewrite invalidates the memo key
+    # bounded walk: a tree past the stat cap opts out of the memo
+    monkeypatch.setattr(src, "_FP_MAX_ENTRIES", 2)
+    assert src._path_fingerprint(p) == ("no-memo",)

@@ -178,12 +178,19 @@ class TestTokenizerFertility:
         assert b["ws_per_100b"] == pytest.approx(
             round(2 * 100.0 / 4, 6))
 
-    def test_single_scan(self, spark):
-        docs = spark.createDataFrame(
-            [(1, "s", "x y z")], "doc_id long, source string, text string")
+    def test_single_scan(self, spark, tmp_path):
+        """The docstring's one-scan claim, asserted for real (the old
+        `or True` assertion was vacuous — round-13 ADVICE): the report
+        reads its parquet source exactly once, with the whole A/B
+        comparison folded into one map-side-combined aggregate."""
+        p = str(tmp_path / "fert_docs.parquet")
+        spark.createDataFrame(
+            [(1, "s", "x y z"), (2, "t", "hello world")],
+            "doc_id long, source string, text string").write.parquet(p)
+        docs = spark.read.parquet(p)
         plan = ops.tokenizer_fertility_ab(
             docs)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" in plan or True  # plan materializes fine
+        assert plan.count("Scan parquet") == 1
 
 
 class TestSuffixDuplicateStats:
