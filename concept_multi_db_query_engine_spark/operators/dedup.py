@@ -1573,6 +1573,7 @@ def _suffix_adjacent_pairs(
     text_col: str,
     source_col: str,
     num_partitions: int | None,
+    pin: bool = True,
 ):
     """Shared suffix-array adjacency builder for
     :func:`suffix_duplicate_stats` / :func:`suffix_duplicate_passages`.
@@ -1608,15 +1609,27 @@ def _suffix_adjacent_pairs(
     )
     n_parts = int(num_partitions
                   or spark.sparkContext.defaultParallelism)
-    # the boundary collect below executes the range sort; pinning the
-    # sorted frame makes the caller's aggregation read the pin instead
-    # of sorting the corpus a SECOND time (the pin is the suffix frame
-    # — k_cap-word slices — so it trades memory/disk for one corpus
-    # sort, the right trade at any scale where the sort dominates)
+    # the boundary collect below executes the range sort; with
+    # ``pin=True`` the sorted frame is localCheckpoint-pinned so the
+    # caller's aggregation reads the pin instead of sorting the corpus
+    # a SECOND time. The pin is the SUFFIX frame — every word position
+    # carries its k_cap-word slice, so its storage footprint is ~k_cap
+    # x the corpus token count (k_cap=32 => a 100 TB text corpus pins
+    # multiple PB of cluster disk). The right trade wherever the sort
+    # dominates and the disk exists; ``pin=False`` trades the second
+    # sort for zero pinned storage — at the 100 TB end sort-twice may
+    # be the only feasible plan, and the result is identical either
+    # way (partition-invariance is pinned in tests under both modes).
+    # pin=False leans on the re-executed range sort reproducing the
+    # SAME partition boundaries the stitch saw (Spark's range sampler
+    # is seed-deterministic per input split, and these inputs are
+    # deterministic scans) - nondeterministic upstream frames should
+    # keep pin=True.
     rp = suf.repartitionByRange(
         n_parts, "src", "s", "did", "pos"
-    ).withColumn("pid", F.spark_partition_id()).localCheckpoint(
-        eager=True)
+    ).withColumn("pid", F.spark_partition_id())
+    if pin:
+        rp = rp.localCheckpoint(eager=True)
     # within-partition adjacency: a range partition holds a contiguous
     # slice of the global order, so per-pid lag recovers every adjacent
     # pair except the <= n_parts-1 pairs that straddle partitions
@@ -1692,6 +1705,7 @@ def suffix_duplicate_stats(
     text_col: str = "text",
     source_col: str = "source",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Suffix-array-style longest-duplicate-substring stats per source —
     the open-ended companion to the fixed-n :func:`repeated_passages`
@@ -1715,13 +1729,19 @@ def suffix_duplicate_stats(
     is EXACTLY the single-window answer at any partition count (pinned
     in tests).  At 10^10 docs this is one corpus-sized shuffle — the
     same cost profile as the suffix-array dedup it mirrors.
+    ``pin=True`` localCheckpoints the sorted suffix frame so the
+    corpus sorts ONCE — at ~``k_cap`` x the corpus token count of
+    cluster storage (k_cap=32 on 100 TB of text is a multi-PB disk
+    commitment); ``pin=False`` sorts twice and pins nothing, the
+    feasible plan when that disk does not exist.
 
     Returns one row per source ordered by source:
     (source, n_positions, longest_dup_words, dup_sites).
     """
     spark = docs.sparkSession
     pairs, extras = _suffix_adjacent_pairs(
-        docs, k_cap, id_col, text_col, source_col, num_partitions)
+        docs, k_cap, id_col, text_col, source_col, num_partitions,
+        pin=pin)
     dist = pairs.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("n_positions"),
         F.max(F.coalesce(F.col("lcp"), F.lit(0)))
@@ -1754,6 +1774,7 @@ def suffix_duplicate_passages(
     text_col: str = "text",
     source_col: str = "source",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """The ACTIONABLE companion of :func:`suffix_duplicate_stats`: the
     top-``top_n`` longest duplicated passages per source — the actual
@@ -1768,6 +1789,9 @@ def suffix_duplicate_passages(
     keyed on the ALREADY-THRESHOLDED duplicate passages — the window
     rank runs over that small survivor frame, partitioned by source.
     Partition-count invariant (same stitch argument; pinned in tests).
+    ``pin`` as in the stats twin: True sorts the corpus once at a
+    ~``k_cap`` x token-count storage cost (here k_cap=16 — still a
+    PB-scale pin on a 100 TB corpus); False sorts twice, pins nothing.
 
     Returns up to ``top_n`` rows per source ordered by
     (source, rank): (source, passage, dup_len_words, n_sites, rank) —
@@ -1775,7 +1799,8 @@ def suffix_duplicate_passages(
     """
     spark = docs.sparkSession
     pairs, extras = _suffix_adjacent_pairs(
-        docs, k_cap, id_col, text_col, source_col, num_partitions)
+        docs, k_cap, id_col, text_col, source_col, num_partitions,
+        pin=pin)
     hits = pairs.where(F.col("lcp") >= int(min_words)).select(
         "src",
         F.expr("concat_ws(' ', slice(s, 1, CAST(lcp AS INT)))")

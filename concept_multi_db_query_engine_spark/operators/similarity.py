@@ -2152,27 +2152,73 @@ def embedding_decontamination_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hyperplanes: list[list[float]] | None = None,
+    families: int = 1,
+    in_dim: int | None = None,
+    salt: str = "decon-lsh",
 ) -> DataFrame:
     """Sign-LSH-bucketed :func:`embedding_decontamination` — the scale
     path for eval sets too large to broadcast: both sides bucket by
-    the shared sign hash (:func:`topk_cosine_lsh`'s families), the
+    the shared sign hash (:func:`topk_cosine_lsh`'s construction), the
     join runs bucket-co-located (2^bits-way shrinkage, one shuffle on
     the bucket key), and each corpus vector keeps its max-cosine eval
     neighbor at/above the threshold.
 
     APPROXIMATE by design: a contaminated pair is only seen if it
-    shares the bucket — per-bit collision probability for angle θ is
-    1−θ/π, so recall falls as bits grow (the :func:`lsh_tuning_curve`
-    trade); run multiple hyperplane families and union for recall, or
-    the exact broadcast twin when the eval set fits.  Zero-norm
-    vectors excluded; cosine rounded to 6 (house contract).
+    shares a bucket — per-bit collision probability for angle θ is
+    1−θ/π, so single-family recall falls as bits grow (the
+    :func:`lsh_tuning_curve` trade).
+
+    PARALLELISM CEILING: the shuffle join has exactly
+    ``families × 2^bits`` distinct keys, which caps join parallelism
+    AND makes each bucket's candidate set ~n²/(2^bits) per family —
+    ``bits=4`` is 16 tasks, a straggler factory on a skewed embedding
+    distribution at design scale.  Size ``bits ≈ log2(4 × cluster
+    cores)`` so every core gets ~4 buckets, then recover the recall
+    the extra bits cost with ``families``: R independent salted
+    Rademacher hyperplane families (the standard multi-probe LSH
+    construction, same deterministic md5 lattice as
+    :func:`random_projection_signs`) are UNIONED — a pair is a
+    candidate if it collides in ANY family, so miss probability
+    multiplies across families, (1 − p^bits)^R, while distinct join
+    keys (and tasks) grow R×.  Recall and parallelism stop fighting
+    over the one ``bits`` knob.
+
+    Family 0 is always the base bucketing (``hyperplanes`` if given,
+    else sign-of-first-``bits``-coordinates), so ``families=R`` is a
+    strict candidate superset of ``families=1`` — recall is monotone
+    in R.  Families ≥ 1 need ``in_dim`` (the embedding width) unless
+    ``hyperplanes`` supplies it.  A pair colliding in several
+    families is scored once per collision and deduped by the final
+    max-cosine window (≤ R× bounded rescoring, no correctness
+    effect).  The exact broadcast twin remains the right call when
+    the eval set fits driver memory.  Zero-norm vectors excluded;
+    cosine rounded to 6 (house contract).
     Returns (vec_id, eval_id, cosine) ordered by vec_id.
     """
-    bucket_sql = _sign_bucket_sql(bits, hyperplanes)
+    if families < 1:
+        raise ValueError("families must be >= 1")
+    if families > 1 and in_dim is None:
+        if hyperplanes is not None:
+            in_dim = len(hyperplanes[0])
+        else:
+            raise ValueError(
+                "families > 1 needs in_dim (the embedding width) to "
+                "derive the salted hyperplane families")
+    bucket_sqls = [_sign_bucket_sql(bits, hyperplanes)]
+    for fam in range(1, families):
+        bucket_sqls.append(_sign_bucket_sql(bits, random_projection_signs(
+            bits, in_dim, f"{salt}:{fam}")))
 
     def bucketed(df: DataFrame) -> DataFrame:
-        return _with_norm(df, id_col, vec_col).where(
-            "norm2 > 0").withColumn("bucket", F.expr(bucket_sql))
+        base = _with_norm(df, id_col, vec_col).where("norm2 > 0")
+        if len(bucket_sqls) == 1:
+            return base.withColumn("bucket", F.expr(bucket_sqls[0]))
+        # family f's keys live in their own slice of the key space so
+        # one explode + one equi-join covers the union of R families
+        keys = ", ".join(f"(({sql}) + {fam * (1 << bits)})"
+                         for fam, sql in enumerate(bucket_sqls))
+        return base.withColumn(
+            "bucket", F.explode(F.expr(f"array({keys})")))
 
     c = bucketed(corpus).alias("c")
     e = bucketed(eval_set).alias("e")

@@ -240,6 +240,13 @@ class TestSuffixDuplicateStats:
         c = ops.suffix_duplicate_stats(
             docs, k_cap=8, site_min_words=3, num_partitions=17).collect()
         assert a == b == c
+        # pin=False (sort-twice, zero pinned storage — the 100-TB
+        # plan) must give the identical answer at a partition count
+        # where the stitch actually fires
+        d = ops.suffix_duplicate_stats(
+            docs, k_cap=8, site_min_words=3, num_partitions=17,
+            pin=False).collect()
+        assert d == a
 
     def test_kcap_caps_the_max(self, spark):
         docs = spark.createDataFrame(
@@ -283,6 +290,10 @@ class TestSuffixDuplicatePassages:
             docs, k_cap=8, min_words=3, top_n=5,
             num_partitions=9).collect()
         assert a == b
+        c = ops.suffix_duplicate_passages(
+            docs, k_cap=8, min_words=3, top_n=5,
+            num_partitions=9, pin=False).collect()
+        assert c == a
 
     def test_nested_repeats_surface_separately(self, spark):
         # three copies of an 8-word passage; two also share a 9th word,
@@ -329,6 +340,53 @@ class TestEmbeddingDecontaminationLsh:
         for r in lsh:
             assert r["vec_id"] in exact
             assert r["cosine"] <= exact[r["vec_id"]]["cosine"]
+
+    def test_multi_family_union_recall_monotone(self, spark):
+        """The round-13 verdict's scale fix: R salted hyperplane
+        families unioned. Family 0 is the base bucketing, so the
+        R-family candidate set is a strict superset — every 1-family
+        hit survives with an equal-or-better cosine, the hit set only
+        grows, and every hit is still a subset of the exact twin."""
+        emb = testdata.load_table(spark, SF_DIR, "embeddings")
+        corpus, ev = emb.where("vec_id % 37 != 0"), \
+            emb.where("vec_id % 37 = 0")
+        exact = {r["vec_id"]: r for r in ops.embedding_decontamination(
+            corpus, ev, threshold=0.3).collect()}
+        one = {r["vec_id"]: r for r in ops.embedding_decontamination_lsh(
+            corpus, ev, threshold=0.3, bits=3).collect()}
+        three = {r["vec_id"]: r
+                 for r in ops.embedding_decontamination_lsh(
+                     corpus, ev, threshold=0.3, bits=3, families=3,
+                     in_dim=64).collect()}
+        assert set(one) <= set(three)          # union only adds hits
+        assert set(three) <= set(exact)        # never invents a pair
+        for vid, r in three.items():
+            assert r["cosine"] <= exact[vid]["cosine"]
+            if vid in one:
+                assert r["cosine"] >= one[vid]["cosine"]
+        # on this data the extra families must actually recover recall
+        # the 3-bit single family missed (recall strictly improves)
+        assert len(three) > len(one)
+
+    def test_families_validation_and_hyperplane_inference(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, -1.0]), (2, [1.0, -1.0])],
+            "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="in_dim"):
+            ops.embedding_decontamination_lsh(
+                emb.where("vec_id = 1"), emb.where("vec_id = 2"),
+                families=2)
+        with pytest.raises(ValueError, match="families"):
+            ops.embedding_decontamination_lsh(
+                emb.where("vec_id = 1"), emb.where("vec_id = 2"),
+                families=0)
+        # explicit hyperplanes carry their own width — in_dim inferred
+        out = ops.embedding_decontamination_lsh(
+            emb.where("vec_id = 1"), emb.where("vec_id = 2"),
+            threshold=0.9, bits=2, families=2,
+            hyperplanes=[[1.0, 0.0], [0.0, 1.0]]).collect()
+        assert [(r["vec_id"], r["eval_id"], r["cosine"])
+                for r in out] == [(1, 2, 1.0)]
 
 
 class TestBenchScopedCpu:
