@@ -3034,6 +3034,90 @@ def _q_embedding_decontamination_lsh(spark, sf):
     )
 
 
+# ---- round-14 post-training (SFT / preference) wave ----
+# Conversations are derived deterministically from documents: each doc
+# is one conversation, its text cut into 8-word turns with alternating
+# user/assistant roles — a derivation both engines replay exactly
+# (slice/list_slice clamp identically; the integer division is guarded
+# nonnegative on both sides).
+_SFT_TURN_WORDS = 8
+
+
+def _sft_turns(spark, sf):
+    k = _SFT_TURN_WORDS
+    return _t(spark, sf, "documents").where("text IS NOT NULL").select(
+        F.col("doc_id").alias("conv_id"),
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "conv_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, CAST((size(w) - 1) / {k} AS INT)), "
+            f"i -> concat_ws(' ', slice(w, i * {k} + 1, {k})))"
+        )).alias("turn_idx", "text"),
+    ).withColumn("role", F.expr(
+        "CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END"))
+
+
+def _q_sft_turn_dedup(spark, sf):
+    return ops.conversation_turn_dedup(_sft_turns(spark, sf))
+
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 16
+
+
+def _q_sft_pack(spark, sf):
+    return ops.pack_conversations(
+        _sft_turns(spark, sf), budget_tokens=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS)
+
+
+_FT_BUCKETS, _FT_LR, _FT_ITERS, _FT_SALT = 32, 0.5, 12, "ftlid"
+_FT_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+
+def _q_hashed_ngram_lid(spark, sf):
+    frame, feats = ops.hashed_ngram_features(
+        _t(spark, sf, "documents").where("lang IS NOT NULL"),
+        n_buckets=_FT_BUCKETS, salt=_FT_SALT)
+    w = ops.logistic_train(frame, feats, _FT_LABEL,
+                           lr=_FT_LR, iterations=_FT_ITERS)
+    return ops.logistic_score(frame, w, feats, _FT_LABEL)
+
+
+def _q_prefs_margin(spark, sf):
+    # preference pairs derived from adjacent docs within a source:
+    # reward = n_chars (exact integers), chosen = the larger (current
+    # doc on ties) — a deterministic pseudo-labeling both engines
+    # replay, feeding the report's margin/verbosity metrics
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents").where(
+        "text IS NOT NULL AND source IS NOT NULL "
+        "AND n_chars IS NOT NULL")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    lagged = (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)")
+            .alias("toks"))
+        .withColumn("p_chars", F.lag("n_chars").over(w))
+        .withColumn("p_toks", F.lag("toks").over(w))
+        .where("p_toks IS NOT NULL")
+    )
+    pairs = lagged.select(
+        F.col("source").alias("domain"),
+        F.expr("CASE WHEN n_chars >= p_chars THEN toks ELSE p_toks END")
+        .alias("chosen_tokens"),
+        F.expr("CASE WHEN n_chars >= p_chars THEN p_toks ELSE toks END")
+        .alias("rejected_tokens"),
+        F.expr("CAST(greatest(n_chars, p_chars) AS DOUBLE)")
+        .alias("chosen_reward"),
+        F.expr("CAST(least(n_chars, p_chars) AS DOUBLE)")
+        .alias("rejected_reward"),
+    )
+    return ops.preference_pair_report(pairs)
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3759,6 +3843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docs_suffix_dup_passages": _q_suffix_dup_passages,
             "sim_embedding_decontamination_lsh":
                 _q_embedding_decontamination_lsh,
+            "sft_turn_dedup": _q_sft_turn_dedup,
+            "sft_pack_conversations": _q_sft_pack,
+            "docs_hashed_ngram_lid": _q_hashed_ngram_lid,
+            "prefs_margin_report": _q_prefs_margin,
         }
     )
     for name in _ORDER_PIN:
@@ -16875,5 +16963,193 @@ best AS (
 )
 SELECT vec_id, eval_id, cosine FROM best
 WHERE rn = 1 ORDER BY vec_id
+"""
+    # ---- round-14 post-training (SFT / preference) wave ----
+    # Shared conversation derivation: each doc is one conversation cut
+    # into 8-word turns, roles alternating user/assistant — the exact
+    # twin of the Spark _sft_turns helper (list_slice clamps like
+    # slice; // is guarded nonnegative so both divisions truncate the
+    # same way; string_split('') == split('') == ['']).
+    _sft_turns_cte = """turns AS MATERIALIZED (
+  SELECT doc_id AS conv_id, i AS turn_idx,
+         CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+           AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+       unnest(generate_series(0, (len(w) - 1) // 8)) AS t(i)
+)"""
+
+    o["sft_turn_dedup"] = f"""
+WITH {_sft_turns_cte},
+tf AS (
+  SELECT conv_id, turn_idx, role, md5(text) AS fingerprint
+  FROM turns WHERE text IS NOT NULL AND role = 'assistant'
+),
+r AS (
+  SELECT conv_id, turn_idx, role, fingerprint,
+         row_number() OVER wf AS rn,
+         first_value(conv_id) OVER wf AS canon_conv,
+         first_value(turn_idx) OVER wf AS canon_turn,
+         CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+           AS n_copies
+  FROM tf
+  WINDOW wf AS (PARTITION BY fingerprint ORDER BY conv_id, turn_idx)
+)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx, role, fingerprint,
+       CAST(canon_conv AS BIGINT) AS canon_conv,
+       CAST(canon_turn AS BIGINT) AS canon_turn, n_copies
+FROM r WHERE rn > 1 ORDER BY conv_id, turn_idx
+"""
+
+    # Greedy atomic packing replayed as a recursive CTE — one step per
+    # within-shard rank, the docs_quality_logistic / Elo sequential-
+    # replay precedent: state (bin, running) advances exactly like the
+    # operator's per-shard Python loop.
+    o["sft_pack_conversations"] = f"""
+WITH RECURSIVE {_sft_turns_cte},
+conv AS MATERIALIZED (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN role = 'assistant'
+                  THEN len(string_split(text, ' ')) ELSE 0 END)
+              AS BIGINT) AS n_trainable_tokens,
+         CAST(conv_id % {_PACK_SHARDS} AS BIGINT) AS shard
+  FROM turns WHERE text IS NOT NULL GROUP BY conv_id
+),
+rk AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                                    ORDER BY conv_id) AS BIGINT) AS r
+  FROM conv
+),
+pack AS (
+  SELECT shard, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS bin,
+         CAST(0 AS BIGINT) AS running
+  FROM (SELECT DISTINCT shard FROM rk)
+  UNION ALL
+  SELECT c.shard, c.r,
+         CASE WHEN p.running > 0
+                   AND p.running + c.n_tokens > {_PACK_BUDGET}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.running > 0
+                   AND p.running + c.n_tokens > {_PACK_BUDGET}
+              THEN c.n_tokens ELSE p.running + c.n_tokens END
+  FROM pack p JOIN rk c ON c.shard = p.shard AND c.r = p.r + 1
+)
+SELECT c.conv_id, c.shard, c.n_turns, c.n_tokens,
+       c.n_trainable_tokens, p.bin
+FROM rk c JOIN pack p ON p.shard = c.shard AND p.r = c.r
+ORDER BY c.conv_id
+"""
+
+    # fastText-style hashed n-gram classifier: the histogram features
+    # replay via the shared md5 60-bit lattice, then the exact _lr-
+    # style GD recurrence (quantized BIGINT gradient sums, fixed-order
+    # IEEE weight updates) at d = _FT_BUCKETS.
+    _ft_d = _FT_BUCKETS
+
+    def _ft_z(prefix: str = "wt", feat: str = "f.f") -> str:
+        z = f"{prefix}.w0"
+        for j in range(1, _ft_d + 1):
+            z = f"({z} + {prefix}.w{j} * {feat}{j - 1})"
+        return z
+
+    def _ft_sig(z: str) -> str:
+        return f"(0.5 + ({z}) / (2.0 * (1.0 + abs({z}))))"
+
+    _ft_feats = ", ".join(
+        f"CAST(len(list_filter(h, x -> x = {j})) AS DOUBLE) * 10.0 "
+        f"/ CAST(len(h) AS DOUBLE) AS f{j}"
+        for j in range(_ft_d)
+    )
+    _ft = f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, y, {_ft_feats}
+  FROM (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           list_transform(g, s ->
+             CAST(('0x' || substr(md5(s || ':{_FT_SALT}'), 1, 15))
+                  AS BIGINT) % {_ft_d}) AS h
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 2 THEN list_concat(w,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]))
+             ELSE w END AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL)
+    )
+  )
+),
+wt0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(_ft_d + 1))})"""
+    for _i in range(_FT_ITERS):
+        _sig = _ft_sig(_ft_z())
+        _ft += f""",
+r{_i} AS MATERIALIZED (
+  SELECT {", ".join(f"f.f{i}" for i in range(_ft_d))},
+         (CAST(f.y AS DOUBLE) - {_sig}) AS resid
+  FROM f, wt{_i} wt
+),
+g{_i} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(resid * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
+    {", ".join(
+        "CAST(sum(CAST(round((resid * f" + str(i)
+        + ") * 1000000.0) AS BIGINT)) AS BIGINT) AS s" + str(i + 1)
+        for i in range(_ft_d))}
+  FROM r{_i}
+),
+wt{_i + 1} AS (
+  SELECT {", ".join(
+        f"wt.w{j} + {_FT_LR!r} * ((CAST(g.s{j} AS DOUBLE) / 1000000.0)"
+        f" / g.n) AS w{j}" for j in range(_ft_d + 1))}
+  FROM wt{_i} wt, g{_i} g
+)"""
+    _ft_sig_final = _ft_sig(_ft_z())
+    o["docs_hashed_ngram_lid"] = _ft + f"""
+SELECT f.doc_id, round({_ft_sig_final}, 6) + 0.0 AS score,
+       {_ft_sig_final} > 0.5 AS predicted, CAST(f.y AS BIGINT) AS label
+FROM f, wt{_FT_ITERS} wt
+"""
+
+    # Preference-pair per-domain health report: the pair derivation
+    # (adjacent docs within source, chosen = larger n_chars, current
+    # doc on ties) and the report's exact integer means, both replayed.
+    o["prefs_margin_report"] = """
+WITH l AS MATERIALIZED (
+  SELECT source, doc_id, n_chars, toks,
+         lag(n_chars) OVER wsrc AS p_chars,
+         lag(toks) OVER wsrc AS p_toks
+  FROM (SELECT source, doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+          AND n_chars IS NOT NULL)
+  WINDOW wsrc AS (PARTITION BY source ORDER BY doc_id)
+),
+pr AS (
+  SELECT source AS domain,
+         CASE WHEN n_chars >= p_chars THEN toks ELSE p_toks END AS ct,
+         CASE WHEN n_chars >= p_chars THEN p_toks ELSE toks END AS rt,
+         CAST(round(CAST(greatest(n_chars, p_chars) AS DOUBLE)
+                    * 1000000.0) AS BIGINT)
+         - CAST(round(CAST(least(n_chars, p_chars) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS m
+  FROM l WHERE p_toks IS NOT NULL
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_pairs,
+  round((CAST(sum(m) AS DOUBLE) / 1000000.0)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_margin,
+  round(CAST(sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_margin_nonpos,
+  round(CAST(sum(ct) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_chosen_tokens,
+  round(CAST(sum(rt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_rejected_tokens,
+  round(CAST(sum(CASE WHEN ct > rt THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS frac_chosen_longer
+FROM pr GROUP BY domain ORDER BY domain
 """
     return o

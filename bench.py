@@ -439,6 +439,12 @@ HEADLINE = [
     "docs_suffix_dup_stats",
     "docs_suffix_dup_passages",
     "sim_embedding_decontamination_lsh",
+    # round-14 wave: post-training curation — turn dedup, atomic SFT
+    # packing, hashed n-gram classifier, preference-pair health report
+    "sft_turn_dedup",
+    "sft_pack_conversations",
+    "docs_hashed_ngram_lid",
+    "prefs_margin_report",
 ]
 
 

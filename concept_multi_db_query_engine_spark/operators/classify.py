@@ -224,6 +224,77 @@ DOC_FEATURES = [
 ]
 
 
+def hashed_ngram_features(
+    docs: DataFrame,
+    n_buckets: int = 16,
+    salt: str = "ftlid",
+    text_col: str = "text",
+    include_bigrams: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """fastText-style hashed n-gram featurization (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification"): every word
+    unigram (and bigram) hashes into one of ``n_buckets`` buckets via
+    the deterministic md5 60-bit lattice, and each document's feature
+    vector is its normalized bucket histogram — the scalable
+    MODEL-BASED language/quality-ID front end that replaces hand-picked
+    token features (:data:`DOC_FEATURES`) with the full n-gram
+    distribution at a fixed dimensionality.
+
+    Feed the returned ``(frame, feature_exprs)`` straight into
+    :func:`logistic_train` / :func:`logistic_score`: the histogram is
+    materialized ONCE as an array column (``__ft_cnt``) so each
+    feature expression is an O(1) ``element_at`` — per-iteration cost
+    is independent of document length (the higher-order-lambda
+    re-evaluation trap is avoided by construction).  Feature j is
+    ``count_j * 10 / total_ngrams`` — one correctly-rounded division,
+    exact cross-engine.  The empty-bigram edge (1-word docs) is
+    CASE-guarded because Spark's ``sequence(1, 0)`` is descending
+    while DuckDB's ``generate_series(1, 0)`` is empty.
+
+    A pure narrow map: no shuffle, scan-bound, stream-safe.  Bigger
+    ``n_buckets`` trades plan width (d weight literals per GD
+    iteration) for less hash aliasing — 2^4..2^8 is the practical
+    band for the algebraic-sigmoid GD here.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    b = int(n_buckets)
+    # the word array is materialized as its own column FIRST: Spark
+    # re-evaluates captured expressions inside higher-order lambdas per
+    # produced element, so element_at(split(text), i) in the bigram
+    # builder would re-split the document per bigram (quadratic — the
+    # round-12 pmi lesson)
+    grams = ("""CASE WHEN size(__ft_w) >= 2 THEN concat(
+        __ft_w,
+        transform(sequence(1, size(__ft_w) - 1),
+                  i -> concat(element_at(__ft_w, i), ' ',
+                              element_at(__ft_w, i + 1))))
+        ELSE __ft_w END""" if include_bigrams else "__ft_w")
+    hashed = (
+        f"transform(__ft_g, g -> CAST(conv(substring(md5(concat(g, "
+        f"':{salt}')), 1, 15), 16, 10) AS BIGINT) % {b})"
+    )
+    hist = (
+        f"transform(sequence(0, {b - 1}), "
+        f"j -> CAST(size(filter(__ft_h, x -> x = CAST(j AS BIGINT))) "
+        f"AS BIGINT))"
+    )
+    frame = docs.where(f"({text_col}) IS NOT NULL").withColumn(
+        "__ft_w", F.expr(f"split({text_col}, ' ')")
+    ).withColumn(
+        "__ft_g", F.expr(grams)
+    ).withColumn("__ft_h", F.expr(hashed)).withColumn(
+        "__ft_n", F.expr("CAST(size(__ft_h) AS BIGINT)")
+    ).withColumn("__ft_cnt", F.expr(hist)).drop(
+        "__ft_w", "__ft_g", "__ft_h")
+    feats = [
+        f"(CAST(element_at(__ft_cnt, {j + 1}) AS DOUBLE) * 10.0d "
+        f"/ CAST(__ft_n AS DOUBLE))"
+        for j in range(b)
+    ]
+    return frame, feats
+
+
 def quantile_regression_train(
     df: DataFrame,
     feature_exprs: list[str],

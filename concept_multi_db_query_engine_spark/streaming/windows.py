@@ -1523,3 +1523,56 @@ def tokenizer_fertility_stream(
         F.expr("round(CAST(tokens_bpe AS DOUBLE) * 100.0d "
                "/ nullif(total_bytes, 0), 6)").alias("bpe_per_100b"),
     )
+
+
+def hashed_ngram_score_stream(
+    live: DataFrame,
+    weights: list[float],
+    n_buckets: int = 32,
+    salt: str = "ftlid",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_expr: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of the hashed n-gram classifier scoring leg
+    (``operators.classify.hashed_ngram_features`` +
+    ``logistic_score``) — gate a live document feed with a FROZEN
+    weight vector (training is a batch job, the frozen-model posture
+    of ``decontamination_stream``).  Featurization and scoring are
+    both pure narrow maps (the histogram is JVM array expressions,
+    the weights are literals), so per-row stream emissions equal the
+    batch scorer exactly (pinned in tests).  Stateless append mode:
+    any source/sink, no watermark.
+    """
+    from ..operators.classify import hashed_ngram_features, logistic_score
+
+    frame, feats = hashed_ngram_features(
+        live, n_buckets=n_buckets, salt=salt, text_col=text_col)
+    return logistic_score(
+        frame, weights, feats, label_expr=label_expr, id_col=id_col,
+        threshold=threshold)
+
+
+def prefs_margin_stream(
+    pairs: DataFrame,
+    domain_col: str = "domain",
+    chosen_tokens_col: str = "chosen_tokens",
+    rejected_tokens_col: str = "rejected_tokens",
+    chosen_reward_col: str = "chosen_reward",
+    rejected_reward_col: str = "rejected_reward",
+) -> DataFrame:
+    """Streaming twin of ``operators.sft.preference_pair_report`` —
+    running per-domain preference-pair health over a live annotation
+    feed (update mode): the shared aggregation core keeps exact
+    integer running sums (quantized reward margins, BIGINT token
+    counts) keyed by domain, and every ratio is recomputed per
+    emission — so after any prefix of the feed the latest emission
+    per domain equals the batch report over everything ingested
+    (pinned in tests).  O(domains) state.
+    """
+    from ..operators.sft import _preference_pair_agg
+
+    return _preference_pair_agg(
+        pairs, domain_col, chosen_tokens_col, rejected_tokens_col,
+        chosen_reward_col, rejected_reward_col)

@@ -1812,3 +1812,93 @@ def test_tokenizer_fertility_stream_matches_batch(spark):
         for c in ("n_docs", "total_bytes", "words", "tokens_bpe",
                   "bpe_per_word", "ws_per_100b", "bpe_per_100b"):
             assert got[s][c] == want[s][c], (s, c)
+
+
+def test_hashed_ngram_score_stream_matches_batch(spark):
+    """Round-14 twin: frozen-weights hashed n-gram scoring is a pure
+    narrow map, so the union of append-mode emissions over a streamed
+    corpus equals the batch scorer row-for-row."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+
+    docs = testdata.load_table(spark, SF_DIR, "documents") \
+        .where("lang IS NOT NULL")
+    frame, feats = ops.hashed_ngram_features(
+        docs, n_buckets=16, salt="st14")
+    w = ops.logistic_train(
+        frame, feats, "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        lr=0.5, iterations=4)
+    want = sorted(
+        (r["doc_id"], r["score"], r["predicted"])
+        for r in ops.logistic_score(frame, w, feats).collect()
+    )
+    d = tempfile.mkdtemp(prefix="stream-ftlid-")
+    docs.where("doc_id % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    docs.where("doc_id % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.hashed_ngram_score_stream(
+        src, w, n_buckets=16, salt="st14")
+    sw.run_stream_to_memory(plan, "ftlid_stream_t", output_mode="append")
+    got = sorted(
+        (r["doc_id"], r["score"], r["predicted"])
+        for r in spark.sql("SELECT * FROM ftlid_stream_t").collect()
+    )
+    assert got == want
+
+
+def test_prefs_margin_stream_matches_batch(spark):
+    """Round-14 twin: running per-domain preference health in update
+    mode — the last emission per domain equals the batch report over
+    everything ingested (ratios recomputed per emission from exact
+    integer running sums)."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    docs = testdata.load_table(spark, SF_DIR, "documents")
+    pairs = docs.where("text IS NOT NULL AND n_chars IS NOT NULL").select(
+        F.col("source").alias("domain"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)")
+        .alias("chosen_tokens"),
+        F.expr("CAST(n_chars % 37 AS BIGINT)").alias("rejected_tokens"),
+        F.expr("CAST(n_chars AS DOUBLE)").alias("chosen_reward"),
+        F.expr("CAST(n_chars % 251 AS DOUBLE)").alias("rejected_reward"),
+    )
+    want = {r["domain"]: r
+            for r in ops.preference_pair_report(pairs).collect()}
+    d = tempfile.mkdtemp(prefix="stream-prefs-")
+    sub_a = pairs.where("chosen_tokens % 2 = 0")
+    sub_b = pairs.where("chosen_tokens % 2 = 1")
+    sub_a.coalesce(1).write.parquet(os.path.join(d, "a"))
+    sub_b.coalesce(1).write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.prefs_margin_stream(src)
+    sw.run_stream_to_memory(plan, "prefs_stream_t", output_mode="update")
+    got = {
+        r["domain"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "domain ORDER BY n_pairs DESC) AS __rk FROM prefs_stream_t) "
+            "WHERE __rk = 1"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for dom in want:
+        for c in ("n_pairs", "mean_margin", "frac_margin_nonpos",
+                  "mean_chosen_tokens", "mean_rejected_tokens",
+                  "frac_chosen_longer"):
+            assert got[dom][c] == want[dom][c], (dom, c)
