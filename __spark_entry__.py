@@ -3118,6 +3118,21 @@ def _q_prefs_margin(spark, sf):
     return ops.preference_pair_report(pairs)
 
 
+def _q_best_of_n(spark, sf):
+    # rejection-sampling derivation: 5 consecutive docs form one
+    # prompt's candidate set, reward = n_chars (exact integers cast
+    # to double), tokens = whitespace words — both engines replay it
+    docs = _t(spark, sf, "documents").where(
+        "text IS NOT NULL AND n_chars IS NOT NULL")
+    cands = docs.select(
+        F.expr("CAST(doc_id DIV 5 AS BIGINT)").alias("prompt_id"),
+        F.expr("CAST(doc_id % 5 AS BIGINT)").alias("candidate_id"),
+        F.expr("CAST(n_chars AS DOUBLE)").alias("reward"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("toks"),
+    )
+    return ops.best_of_n_selection(cands, tokens_col="toks")
+
+
 def _q_hurst(spark, sf):
     daily = (
         _t(spark, sf, "orders")
@@ -3847,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sft_pack_conversations": _q_sft_pack,
             "docs_hashed_ngram_lid": _q_hashed_ngram_lid,
             "prefs_margin_report": _q_prefs_margin,
+            "prefs_best_of_n": _q_best_of_n,
         }
     )
     for name in _ORDER_PIN:
@@ -17151,5 +17167,30 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_pairs,
   round(CAST(sum(CASE WHEN ct > rt THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(count(*) AS DOUBLE), 6) AS frac_chosen_longer
 FROM pr GROUP BY domain ORDER BY domain
+"""
+    # Best-of-n rejection-sampling selection: one window pass per
+    # prompt group (rank + runner-up + count), winner rows only.
+    o["prefs_best_of_n"] = """
+WITH c AS MATERIALIZED (
+  SELECT CAST(doc_id // 5 AS BIGINT) AS prompt_id,
+         CAST(doc_id % 5 AS BIGINT) AS cand,
+         CAST(n_chars AS DOUBLE) AS r,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+rk AS (
+  SELECT prompt_id, cand, r, tok,
+         row_number() OVER wp AS rn,
+         lead(r) OVER wp AS second_r,
+         CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+           AS n_candidates
+  FROM c
+  WINDOW wp AS (PARTITION BY prompt_id ORDER BY r DESC, cand ASC)
+)
+SELECT prompt_id, cand AS best_candidate, r AS best_reward,
+       second_r AS second_reward,
+       round(r - second_r, 6) AS reward_gap, n_candidates,
+       tok AS best_tokens
+FROM rk WHERE rn = 1 ORDER BY prompt_id
 """
     return o

@@ -71,28 +71,39 @@ def logistic_train(
     rounded division); ``label_expr`` must evaluate to 0/1.  Rows where
     any feature or the label is NULL are excluded (both engines).
 
+    The label and every feature are projected to plain columns in ONE
+    projection BEFORE the null filter and the checkpoint: a WHERE with
+    d feature null-checks over derived expressions re-evaluates each
+    expression per check (no cross-predicate subexpression
+    elimination), which for array-pipeline features like the hashed
+    n-gram histogram multiplied a 4 s featurization into 134 s at
+    sf0.1.  Projecting first evaluates each feature exactly once;
+    storing-then-reading the double is value-identity, so weights are
+    bit-unchanged.
+
     Scale: driver traffic is ``iterations`` × (d+2) integers; each
     iteration is one scan + one map-side-combined aggregate. Returns
     [bias, w_1, …, w_d].
     """
-    base = df.where(
-        " AND ".join(
-            [f"({label_expr}) IS NOT NULL"]
-            + [f"({fx}) IS NOT NULL" for fx in feature_exprs]
-        )
+    d = len(feature_exprs)
+    cols = [f"__f{j}" for j in range(1, d + 1)]
+    proj = df.select(
+        F.expr(f"CAST(({label_expr}) AS DOUBLE)").alias("__y"),
+        *[F.expr(fx).alias(c)
+          for c, fx in zip(cols, feature_exprs)],
+    )
+    base = proj.where(
+        " AND ".join(["__y IS NOT NULL"]
+                     + [f"{c} IS NOT NULL" for c in cols])
     ).localCheckpoint(eager=True)
-    w = [0.0] * (len(feature_exprs) + 1)
+    w = [0.0] * (d + 1)
     for _ in range(iterations):
-        z = _dot_sql(w, feature_exprs)
-        resid = f"(CAST(({label_expr}) AS DOUBLE) - {_sigmoid_sql(z)})"
+        z = _dot_sql(w, cols)
+        resid = f"(__y - {_sigmoid_sql(z)})"
         # residual computed ONCE per row, then short quantized sums —
         # keeps plan size linear in d instead of d × |fold| (and is the
         # exact shape the SQL oracle replays)
-        staged = base.select(
-            F.expr(resid).alias("__r"),
-            *[F.expr(fx).alias(f"__f{j}")
-              for j, fx in enumerate(feature_exprs, start=1)],
-        )
+        staged = base.select(F.expr(resid).alias("__r"), *cols)
         aggs = [F.count(F.lit(1)).cast("long").alias("n")]
         aggs.append(
             F.expr(f"sum(CAST(round(__r * {_Q}.0d) AS BIGINT))")
@@ -110,8 +121,9 @@ def logistic_train(
         if n == 0:
             raise ValueError("logistic_train: no usable rows")
         for j in range(len(w)):
-            s = int(row[f"s{j}"])
-            w[j] = w[j] + lr * ((s / float(_Q)) / n)
+            sj = int(row[f"s{j}"])
+            w[j] = w[j] + lr * ((sj / float(_Q)) / n)
+    base.unpersist()
     return w
 
 
@@ -274,10 +286,15 @@ def hashed_ngram_features(
         f"transform(__ft_g, g -> CAST(conv(substring(md5(concat(g, "
         f"':{salt}')), 1, 15), 16, 10) AS BIGINT) % {b})"
     )
+    # single-pass fold: the hash array is the aggregate's input, so it
+    # is evaluated exactly once per row no matter how a later plan
+    # collapse duplicates references to the histogram (a per-bucket
+    # filter(h, x -> x = j) would rescan — and re-hash — B times when
+    # subexpression elimination is unavailable)
     hist = (
-        f"transform(sequence(0, {b - 1}), "
-        f"j -> CAST(size(filter(__ft_h, x -> x = CAST(j AS BIGINT))) "
-        f"AS BIGINT))"
+        f"aggregate(__ft_h, array_repeat(CAST(0 AS BIGINT), {b}), "
+        f"(acc, x) -> transform(acc, (v, i) -> "
+        f"IF(i = CAST(x AS INT), v + 1L, v)))"
     )
     frame = docs.where(f"({text_col}) IS NOT NULL").withColumn(
         "__ft_w", F.expr(f"split({text_col}, ' ')")

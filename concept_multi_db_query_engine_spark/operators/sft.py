@@ -247,3 +247,67 @@ def _preference_pair_agg(
             "AS DOUBLE) / CAST(count(1) AS DOUBLE), 6)"
         ).alias("frac_chosen_longer"),
     )
+
+
+def best_of_n_selection(
+    candidates: DataFrame,
+    prompt_col: str = "prompt_id",
+    candidate_col: str = "candidate_id",
+    reward_col: str = "reward",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Rejection-sampling (best-of-n) selection — the reducer that
+    turns n sampled completions per prompt into the one kept for SFT
+    (the RLHF "rejection sampling" / RAFT data-generation step): per
+    prompt the highest-reward candidate wins, ties break on the
+    smallest candidate id (deterministic, no RNG), and the row carries
+    the selection-quality evidence a curator filters on — the margin
+    over the runner-up (``reward_gap``: a near-zero gap means the
+    reward model could not separate the candidates, the pairs a human
+    should re-check) and the candidate count actually sampled.
+
+    ONE window shuffle keyed on the prompt (rank + runner-up lookup in
+    the same pass), output is one row per prompt — at 10^9 prompts
+    this is a single hash-partitioned pass, no driver state.  Rewards
+    pass through exactly (max/lead of stored doubles); only the
+    derived gap is round-6 (house contract).  NULL rewards are
+    excluded before ranking (an unscored candidate can neither win nor
+    be the runner-up).
+
+    Returns (prompt_id, best_candidate, best_reward, second_reward,
+    reward_gap, n_candidates[, best_tokens]) ordered by prompt_id —
+    ``second_reward``/``reward_gap`` are NULL for single-candidate
+    prompts.
+    """
+    cols = [
+        F.col(prompt_col).cast("long").alias("prompt_id"),
+        F.col(candidate_col).cast("long").alias("cand"),
+        F.col(reward_col).cast("double").alias("r"),
+    ]
+    if tokens_col is not None:
+        cols.append(F.expr(f"CAST({tokens_col} AS BIGINT)").alias("tok"))
+    base = candidates.where(
+        f"({prompt_col}) IS NOT NULL AND ({candidate_col}) IS NOT NULL "
+        f"AND ({reward_col}) IS NOT NULL"
+    ).select(*cols)
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("r").desc(), F.col("cand").asc())
+    wall = Window.partitionBy("prompt_id")
+    ranked = base.select(
+        "prompt_id",
+        F.row_number().over(w).alias("__rn"),
+        F.col("cand").alias("best_candidate"),
+        F.col("r").alias("best_reward"),
+        F.lead("r").over(w).alias("second_reward"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_candidates"),
+        *([F.col("tok").alias("best_tokens")]
+          if tokens_col is not None else []),
+    )
+    out = ranked.where("__rn = 1").drop("__rn").withColumn(
+        "reward_gap",
+        F.expr("round(best_reward - second_reward, 6)"))
+    keep = ["prompt_id", "best_candidate", "best_reward",
+            "second_reward", "reward_gap", "n_candidates"]
+    if tokens_col is not None:
+        keep.append("best_tokens")
+    return out.select(*keep).orderBy("prompt_id")

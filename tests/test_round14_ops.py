@@ -233,3 +233,49 @@ class TestPreferencePairReport:
                 round(sum(x[0] for x in lst) / n, 6))
             assert got[d]["frac_chosen_longer"] == pytest.approx(
                 round(sum(1 for x in lst if x[0] > x[1]) / n, 6))
+
+
+class TestBestOfNSelection:
+    def test_hand_case(self, spark):
+        cands = spark.createDataFrame(
+            [(1, 0, 2.0, 10), (1, 1, 5.0, 20), (1, 2, 5.0, 30),
+             (2, 0, 1.0, 7),
+             (3, 0, None, 9), (3, 1, 0.5, 11)],
+            "prompt_id long, candidate_id long, reward double, "
+            "toks long")
+        out = {r["prompt_id"]: r for r in ops.best_of_n_selection(
+            cands, tokens_col="toks").collect()}
+        # tie at reward 5.0 -> smallest candidate id wins
+        assert out[1]["best_candidate"] == 1
+        assert out[1]["best_reward"] == 5.0
+        assert out[1]["second_reward"] == 5.0
+        assert out[1]["reward_gap"] == 0.0
+        assert out[1]["n_candidates"] == 3
+        assert out[1]["best_tokens"] == 20
+        # single candidate: no runner-up
+        assert out[2]["second_reward"] is None
+        assert out[2]["reward_gap"] is None
+        assert out[2]["n_candidates"] == 1
+        # NULL reward excluded from ranking AND the count
+        assert out[3]["best_candidate"] == 1
+        assert out[3]["n_candidates"] == 1
+
+    def test_python_reference(self, spark):
+        rng = random.Random(9)
+        rows = [(p, c, round(rng.uniform(0, 3), 3))
+                for p in range(40) for c in range(rng.randint(1, 6))]
+        cands = spark.createDataFrame(
+            rows, "prompt_id long, candidate_id long, reward double")
+        got = [(r["prompt_id"], r["best_candidate"], r["best_reward"],
+                r["second_reward"], r["n_candidates"])
+               for r in ops.best_of_n_selection(cands).collect()]
+        want = []
+        by_p: dict[int, list] = {}
+        for p, c, r in rows:
+            by_p.setdefault(p, []).append((-r, c))
+        for p in sorted(by_p):
+            lst = sorted(by_p[p])
+            want.append((p, lst[0][1], -lst[0][0],
+                         -lst[1][0] if len(lst) > 1 else None,
+                         len(lst)))
+        assert got == want
