@@ -1576,3 +1576,48 @@ def prefs_margin_stream(
     return _preference_pair_agg(
         pairs, domain_col, chosen_tokens_col, rejected_tokens_col,
         chosen_reward_col, rejected_reward_col)
+
+
+def sft_turn_admission_stream(
+    live: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    roles: tuple[str, ...] = ("assistant",),
+    watermark: str | None = None,
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.sft.conversation_turn_dedup`` —
+    the ADMISSION side: a live SFT ingestion feed (annotation tool,
+    synthetic-generation pipeline) admits each loss-bearing turn's
+    fingerprint ONCE, so boilerplate replies never accumulate in the
+    corpus in the first place.  The batch operator lists the rejects
+    after the fact; this keeps them out live — the same complement
+    the corpus-ingestion twin (``streaming.corpus``) implements for
+    whole documents, reusing its state posture: with a ``watermark``
+    state is bounded via ``dropDuplicatesWithinWatermark`` (the
+    production shape — a replay outside the watermark may re-emit and
+    downstream storage dedups idempotently); without one, exact
+    unbounded-state dedup for bounded backfills/tests.  First arrival
+    per fingerprint wins (micro-batch order), so the pinned
+    batch-equality invariant is the admitted FINGERPRINT SET: it
+    equals the batch-distinct assistant-turn fingerprints, and every
+    batch-flagged duplicate's canonical is admitted exactly once.
+
+    Emits (conv_id, turn_idx, role, fingerprint).
+    """
+    gated = live.where(
+        F.col(text_col).isNotNull() & F.col(role_col).isin(*roles)
+    ).select(
+        F.col(conv_col).cast("long").alias("conv_id"),
+        F.col(turn_col).cast("long").alias("turn_idx"),
+        F.col(role_col).cast("string").alias("role"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        *([F.col(ts_col)] if watermark is not None else []),
+    )
+    if watermark is not None:
+        return gated.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["fingerprint"]) \
+            .drop(ts_col)
+    return gated.dropDuplicates(["fingerprint"])

@@ -1902,3 +1902,53 @@ def test_prefs_margin_stream_matches_batch(spark):
                   "mean_chosen_tokens", "mean_rejected_tokens",
                   "frac_chosen_longer"):
             assert got[dom][c] == want[dom][c], (dom, c)
+
+
+def test_sft_turn_admission_stream_matches_batch(spark):
+    """Round-14 twin: the live admission set (one emission per unique
+    assistant-turn fingerprint) equals the batch-distinct fingerprint
+    set, and every duplicate the batch operator flags has its
+    canonical admitted exactly once."""
+    import os
+    import tempfile
+
+    from concept_multi_db_query_engine_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    docs = testdata.load_table(spark, SF_DIR, "documents")
+    turns = docs.where("text IS NOT NULL").select(
+        F.col("doc_id").alias("conv_id"),
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "conv_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, CAST((size(w) - 1) / 8 AS INT)), "
+            "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))"
+        )).alias("turn_idx", "text"),
+    ).withColumn("role", F.expr(
+        "CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END"))
+    want_fps = {
+        r["f"] for r in turns.where("role = 'assistant'")
+        .select(F.md5("text").alias("f")).distinct().collect()
+    }
+    flagged = {r["fingerprint"]
+               for r in ops.conversation_turn_dedup(turns).collect()}
+    assert flagged  # the corpus genuinely has duplicate turns
+    d = tempfile.mkdtemp(prefix="stream-sftadm-")
+    turns.where("conv_id % 2 = 0").coalesce(1) \
+        .write.parquet(os.path.join(d, "a"))
+    turns.where("conv_id % 2 = 1").coalesce(1) \
+        .write.parquet(os.path.join(d, "b"))
+    src = (
+        spark.readStream.schema(turns.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    plan = sw.sft_turn_admission_stream(src)
+    sw.run_stream_to_memory(plan, "sftadm_stream_t",
+                            output_mode="append")
+    admitted = [r["fingerprint"] for r in spark.sql(
+        "SELECT fingerprint FROM sftadm_stream_t").collect()]
+    assert len(admitted) == len(set(admitted))  # one emission each
+    assert set(admitted) == want_fps
+    assert flagged <= set(admitted)  # every dup's canonical admitted
