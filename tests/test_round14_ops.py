@@ -12,6 +12,9 @@ import random
 import pytest
 
 from concept_multi_db_query_engine_spark import operators as ops
+from concept_multi_db_query_engine_spark import testdata
+
+SF_DIR = "/root/testdata/sf0.001"
 
 TURN_SCHEMA = "conv_id long, turn_idx long, role string, text string"
 
@@ -279,3 +282,89 @@ class TestBestOfNSelection:
                          -lst[1][0] if len(lst) > 1 else None,
                          len(lst)))
         assert got == want
+
+
+class TestWaveInvariantsOnTestdata:
+    """Real-data invariants at sf0.001 — properties that must hold for
+    ANY corpus, checked on the driver's own turn/pair derivations."""
+
+    def _turns(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        return docs.where("text IS NOT NULL").select(
+            F.col("doc_id").alias("conv_id"),
+            F.expr("split(text, ' ')").alias("w"),
+        ).select(
+            "conv_id",
+            F.posexplode(F.expr(
+                "transform(sequence(0, CAST((size(w) - 1) / 8 AS INT)), "
+                "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))"
+            )).alias("turn_idx", "text"),
+        ).withColumn("role", F.expr(
+            "CASE WHEN turn_idx % 2 = 0 THEN 'user' "
+            "ELSE 'assistant' END"))
+
+    def test_pack_bins_respect_budget_and_are_contiguous(self, spark):
+        out = ops.pack_conversations(
+            self._turns(spark), budget_tokens=256, n_shards=16
+        ).collect()
+        by_bin: dict[tuple, list] = {}
+        for r in out:
+            assert r["shard"] == r["conv_id"] % 16
+            assert 0 < r["n_trainable_tokens"] <= r["n_tokens"]
+            by_bin.setdefault((r["shard"], r["bin"]), []).append(
+                r["n_tokens"])
+        # a bin over budget can only be a single oversized conversation
+        for toks in by_bin.values():
+            assert sum(toks) <= 256 or len(toks) == 1
+        # bins are contiguous 0..max per shard
+        for shard in {s for s, _ in by_bin}:
+            bins = sorted(b for s, b in by_bin if s == shard)
+            assert bins == list(range(len(bins)))
+
+    def test_turn_dedup_copy_accounting(self, spark):
+        turns = self._turns(spark)
+        dups = ops.conversation_turn_dedup(turns).collect()
+        assert dups  # the synthetic corpus genuinely repeats turns
+        # per fingerprint: exactly n_copies - 1 duplicate rows, all
+        # pointing at one canonical that is NOT itself listed
+        by_fp: dict[str, list] = {}
+        for r in dups:
+            by_fp.setdefault(r["fingerprint"], []).append(r)
+        for fp, rows in by_fp.items():
+            n_copies = {r["n_copies"] for r in rows}
+            assert len(n_copies) == 1
+            assert len(rows) == n_copies.pop() - 1
+            canon = {(r["canon_conv"], r["canon_turn"]) for r in rows}
+            assert len(canon) == 1
+            assert canon.pop() not in {
+                (r["conv_id"], r["turn_idx"]) for r in rows}
+
+    def test_best_of_n_winner_dominates_group(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = testdata.load_table(spark, SF_DIR, "documents").where(
+            "text IS NOT NULL AND n_chars IS NOT NULL")
+        cands = docs.select(
+            F.expr("CAST(doc_id DIV 5 AS BIGINT)").alias("prompt_id"),
+            F.expr("CAST(doc_id % 5 AS BIGINT)").alias("candidate_id"),
+            F.expr("CAST(n_chars AS DOUBLE)").alias("reward"),
+        )
+        out = {r["prompt_id"]: r
+               for r in ops.best_of_n_selection(cands).collect()}
+        groups: dict[int, list] = {}
+        for r in cands.collect():
+            groups.setdefault(r["prompt_id"], []).append(
+                (r["reward"], r["candidate_id"]))
+        assert set(out) == set(groups)
+        for p, lst in groups.items():
+            r = out[p]
+            assert r["n_candidates"] == len(lst)
+            assert r["best_reward"] == max(x[0] for x in lst)
+            # the winner is the smallest id among reward-tied maxima
+            assert r["best_candidate"] == min(
+                c for v, c in lst if v == r["best_reward"])
+            if len(lst) > 1:
+                assert r["reward_gap"] is not None
+                assert r["reward_gap"] >= 0.0
