@@ -368,3 +368,67 @@ class TestWaveInvariantsOnTestdata:
             if len(lst) > 1:
                 assert r["reward_gap"] is not None
                 assert r["reward_gap"] >= 0.0
+
+
+class TestWavePlanShapes:
+    """Executed-plan locks for the wave: partitioned windows only, one
+    Arrow stage in the packer, narrow-map scoring."""
+
+    def _executed(self, df) -> str:
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan ==")[0]
+
+    def _no_global_window(self, plan: str) -> None:
+        import re
+
+        bad = [ln for ln in plan.splitlines()
+               if re.search(r"Window .*\[\], \[", ln)
+               or "No Partition Defined" in ln]
+        assert not bad, "un-partitioned Window nodes:\n" + "\n".join(bad)
+
+    def _turns(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = testdata.load_table(spark, SF_DIR, "documents")
+        return docs.where("text IS NOT NULL").select(
+            F.col("doc_id").alias("conv_id"),
+            F.posexplode(F.expr(
+                "transform(sequence(0, CAST((size(split(text, ' ')) - 1)"
+                " / 8 AS INT)), i -> concat_ws(' ', "
+                "slice(split(text, ' '), i * 8 + 1, 8)))"
+            )).alias("turn_idx", "text"),
+        ).withColumn("role", F.expr(
+            "CASE WHEN turn_idx % 2 = 0 THEN 'user' "
+            "ELSE 'assistant' END"))
+
+    def test_turn_dedup_windows_are_fingerprint_partitioned(self, spark):
+        plan = self._executed(
+            ops.conversation_turn_dedup(self._turns(spark)))
+        self._no_global_window(plan)
+
+    def test_pack_runs_exactly_one_arrow_stage(self, spark):
+        plan = self._executed(ops.pack_conversations(
+            self._turns(spark), budget_tokens=256, n_shards=16))
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        self._no_global_window(plan)
+
+    def test_best_of_n_window_is_prompt_partitioned(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = testdata.load_table(spark, SF_DIR, "documents").where(
+            "text IS NOT NULL AND n_chars IS NOT NULL")
+        cands = docs.select(
+            F.expr("CAST(doc_id DIV 5 AS BIGINT)").alias("prompt_id"),
+            F.expr("CAST(doc_id % 5 AS BIGINT)").alias("candidate_id"),
+            F.expr("CAST(n_chars AS DOUBLE)").alias("reward"))
+        plan = self._executed(ops.best_of_n_selection(cands))
+        self._no_global_window(plan)
+
+    def test_hashed_ngram_scoring_is_a_narrow_map(self, spark):
+        docs = testdata.load_table(spark, SF_DIR, "documents").where(
+            "lang IS NOT NULL")
+        frame, feats = ops.hashed_ngram_features(docs, n_buckets=8)
+        w = [0.01] * (len(feats) + 1)  # frozen weights: no training
+        plan = self._executed(ops.logistic_score(frame, w, feats))
+        assert "Exchange" not in plan  # zero shuffles end to end
