@@ -97,32 +97,39 @@ def logistic_train(
                      + [f"{c} IS NOT NULL" for c in cols])
     ).localCheckpoint(eager=True)
     w = [0.0] * (d + 1)
-    for _ in range(iterations):
-        z = _dot_sql(w, cols)
-        resid = f"(__y - {_sigmoid_sql(z)})"
-        # residual computed ONCE per row, then short quantized sums —
-        # keeps plan size linear in d instead of d × |fold| (and is the
-        # exact shape the SQL oracle replays)
-        staged = base.select(F.expr(resid).alias("__r"), *cols)
-        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-        aggs.append(
-            F.expr(f"sum(CAST(round(__r * {_Q}.0d) AS BIGINT))")
-            .alias("s0")
-        )
-        for j in range(1, len(feature_exprs) + 1):
+    # AQE off for the loop only: each iteration is a fixed-shape global
+    # aggregate (one exchange, one final partition) where AQE's
+    # query-stage materialization just doubles the per-iteration driver
+    # jobs — see _fastiter for the measurement; values are unaffected.
+    from ._fastiter import model_fit_iterations
+
+    with model_fit_iterations(df.sparkSession):
+        for _ in range(iterations):
+            z = _dot_sql(w, cols)
+            resid = f"(__y - {_sigmoid_sql(z)})"
+            # residual computed ONCE per row, then short quantized sums —
+            # keeps plan size linear in d instead of d × |fold| (and is
+            # the exact shape the SQL oracle replays)
+            staged = base.select(F.expr(resid).alias("__r"), *cols)
+            aggs = [F.count(F.lit(1)).cast("long").alias("n")]
             aggs.append(
-                F.expr(
-                    f"sum(CAST(round((__r * __f{j}) * {_Q}.0d) "
-                    f"AS BIGINT))"
-                ).alias(f"s{j}")
+                F.expr(f"sum(CAST(round(__r * {_Q}.0d) AS BIGINT))")
+                .alias("s0")
             )
-        row = staged.agg(*aggs).collect()[0]
-        n = int(row["n"])
-        if n == 0:
-            raise ValueError("logistic_train: no usable rows")
-        for j in range(len(w)):
-            sj = int(row[f"s{j}"])
-            w[j] = w[j] + lr * ((sj / float(_Q)) / n)
+            for j in range(1, len(feature_exprs) + 1):
+                aggs.append(
+                    F.expr(
+                        f"sum(CAST(round((__r * __f{j}) * {_Q}.0d) "
+                        f"AS BIGINT))"
+                    ).alias(f"s{j}")
+                )
+            row = staged.agg(*aggs).collect()[0]
+            n = int(row["n"])
+            if n == 0:
+                raise ValueError("logistic_train: no usable rows")
+            for j in range(len(w)):
+                sj = int(row[f"s{j}"])
+                w[j] = w[j] + lr * ((sj / float(_Q)) / n)
     base.unpersist()
     return w
 
@@ -343,34 +350,40 @@ def quantile_regression_train(
         )
     ).localCheckpoint(eager=True)
     w = [0.0] * (len(feature_exprs) + 1)
-    for _ in range(iterations):
-        z = _dot_sql(w, feature_exprs)
-        grad = (
-            f"(CAST({tau!r} AS DOUBLE) - CASE WHEN "
-            f"CAST(({target_expr}) AS DOUBLE) < {z} THEN 1.0d "
-            "ELSE 0.0d END)"
-        )
-        staged = base.select(
-            F.expr(grad).alias("__g"),
-            *[F.expr(fx).alias(f"__f{j}")
-              for j, fx in enumerate(feature_exprs, start=1)],
-        )
-        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-        aggs.append(
-            F.expr(f"sum(CAST(round(__g * {_Q}.0d) AS BIGINT))")
-            .alias("s0"))
-        for j in range(1, len(feature_exprs) + 1):
+    # AQE off for the loop only (the logistic_train rationale — see
+    # _fastiter): fixed-shape per-iteration aggregate, values unaffected.
+    from ._fastiter import model_fit_iterations
+
+    with model_fit_iterations(df.sparkSession):
+        for _ in range(iterations):
+            z = _dot_sql(w, feature_exprs)
+            grad = (
+                f"(CAST({tau!r} AS DOUBLE) - CASE WHEN "
+                f"CAST(({target_expr}) AS DOUBLE) < {z} THEN 1.0d "
+                "ELSE 0.0d END)"
+            )
+            staged = base.select(
+                F.expr(grad).alias("__g"),
+                *[F.expr(fx).alias(f"__f{j}")
+                  for j, fx in enumerate(feature_exprs, start=1)],
+            )
+            aggs = [F.count(F.lit(1)).cast("long").alias("n")]
             aggs.append(
-                F.expr(
-                    f"sum(CAST(round((__g * __f{j}) * {_Q}.0d) "
-                    "AS BIGINT))"
-                ).alias(f"s{j}"))
-        row = staged.agg(*aggs).collect()[0]
-        n = int(row["n"])
-        if n == 0:
-            raise ValueError("quantile_regression_train: no usable rows")
-        for j in range(len(w)):
-            w[j] = w[j] + lr * ((int(row[f"s{j}"]) / float(_Q)) / n)
+                F.expr(f"sum(CAST(round(__g * {_Q}.0d) AS BIGINT))")
+                .alias("s0"))
+            for j in range(1, len(feature_exprs) + 1):
+                aggs.append(
+                    F.expr(
+                        f"sum(CAST(round((__g * __f{j}) * {_Q}.0d) "
+                        "AS BIGINT))"
+                    ).alias(f"s{j}"))
+            row = staged.agg(*aggs).collect()[0]
+            n = int(row["n"])
+            if n == 0:
+                raise ValueError(
+                    "quantile_regression_train: no usable rows")
+            for j in range(len(w)):
+                w[j] = w[j] + lr * ((int(row[f"s{j}"]) / float(_Q)) / n)
     return w
 
 
