@@ -837,7 +837,14 @@ _LR_RATE = 1.0
 
 def _lr_projected(spark, sf):
     docs = _t(spark, sf, "documents")
-    return docs.where("text IS NOT NULL AND lang IS NOT NULL").select(
+    # fan out the raw rows BEFORE tokenization: the 30 filter() passes
+    # over the token array dominate this frame's cost and would
+    # otherwise run at the scan's parallelism (values are untouched —
+    # training sums are exact integers, scoring is per-row)
+    return ops.fan_out(
+        docs.where("text IS NOT NULL AND lang IS NOT NULL")
+        .select("doc_id", "lang", "text")
+    ).select(
         "doc_id", "lang", F.expr("split(text, ' ')").alias("__toks")
     ).select(
         "doc_id", "lang",

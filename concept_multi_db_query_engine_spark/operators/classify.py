@@ -85,9 +85,15 @@ def logistic_train(
     iteration is one scan + one map-side-combined aggregate. Returns
     [bias, w_1, …, w_d].
     """
+    from ._scaleout import fan_out
+
     d = len(feature_exprs)
     cols = [f"__f{j}" for j in range(1, d + 1)]
-    proj = df.select(
+    # fan_out so the pinned frame (and with it every iteration's scan)
+    # has at least session parallelism; callers whose featurization is
+    # itself expensive should fan out BELOW it — this probe then sees
+    # the exchange and backs off
+    proj = fan_out(df).select(
         F.expr(f"CAST(({label_expr}) AS DOUBLE)").alias("__y"),
         *[F.expr(fx).alias(c)
           for c, fx in zip(cols, feature_exprs)],
@@ -303,7 +309,14 @@ def hashed_ngram_features(
         f"(acc, x) -> transform(acc, (v, i) -> "
         f"IF(i = CAST(x AS INT), v + 1L, v)))"
     )
-    frame = docs.where(f"({text_col}) IS NOT NULL").withColumn(
+    # fan out BEFORE the featurization lambdas: the md5-per-gram hash
+    # and the O(grams x buckets) histogram fold are the dominant
+    # per-row cost and would otherwise run at the scan's parallelism
+    # (one task on a single-row-group file); no-op on streams, on
+    # already-shuffled inputs, and at cluster scale
+    from ._scaleout import fan_out
+
+    frame = fan_out(docs.where(f"({text_col}) IS NOT NULL")).withColumn(
         "__ft_w", F.expr(f"split({text_col}, ' ')")
     ).withColumn(
         "__ft_g", F.expr(grams)
@@ -343,6 +356,9 @@ def quantile_regression_train(
     """
     if not 0 < tau < 1:
         raise ValueError("tau must be in (0, 1)")
+    from ._scaleout import fan_out
+
+    df = fan_out(df)  # logistic_train rationale: parallel iterations
     base = df.where(
         " AND ".join(
             [f"({target_expr}) IS NOT NULL"]

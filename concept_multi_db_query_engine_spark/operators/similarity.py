@@ -872,15 +872,47 @@ def pca_power_iteration(
     """
     if dim < 2 or iterations < 1:
         raise ValueError("need dim >= 2 and iterations >= 1")
+    v, _, _ = _pca_model(embeddings, dim, iterations, vec_col)
+    return v
+
+
+def _pca_model(
+    embeddings: DataFrame,
+    dim: int,
+    iterations: int,
+    vec_col: str,
+) -> tuple[list[float], dict[int, int], int]:
+    """Shared model pass for :func:`pca_power_iteration` and
+    :func:`abtt_transform`: returns (component, coordinate sums, n).
+
+    Plan shape: the quantized vectors are projected, fanned out to the
+    session parallelism (the Gram explode is the dominant per-row cost
+    and would otherwise run at the scan's task count) and checkpointed
+    ONCE, so the Gram pass, the coordinate sums and the count all read
+    the narrow pinned frame instead of re-scanning the source.  The
+    Gram explode emits only the UPPER TRIANGLE (j >= i): q_i*q_j is
+    symmetric, so the lower half is mirrored driver-side from the same
+    exact decimal sums — identical collected values, half the exploded
+    rows.  All sums are exact DECIMAL — placement-invariant, so the
+    fan-out cannot change a single bit of the model.
+    """
+    from ._scaleout import fan_out
+
     q = F.expr(
         f"transform({vec_col}, x -> "
         "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT))"
     )
-    pairs = embeddings.select(q.alias("q")).select(
+    qf = fan_out(embeddings.select(q.alias("q"))) \
+        .localCheckpoint(eager=True)
+    # slice is 1-based: 0-based element i sits at position i+1, so the
+    # inner lambda sees x_j for j = i..size-1 with jj the 0-based
+    # offset (j = i + jj)
+    pairs = qf.select(
         F.explode(
             F.expr(
-                "flatten(transform(q, (xi, i) -> transform(q, (xj, j) -> "
-                "struct(i AS i, j AS j, "
+                "flatten(transform(q, (xi, i) -> "
+                "transform(slice(q, i + 1, size(q) - i), (xj, jj) -> "
+                "struct(i AS i, i + jj AS j, "
                 "CAST(xi AS DECIMAL(19,0)) * CAST(xj AS DECIMAL(19,0)) "
                 "AS v))))"
             )
@@ -888,19 +920,26 @@ def pca_power_iteration(
     )
     gram = pairs.groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j")) \
         .agg(F.sum("p.v").cast("decimal(38,0)").alias("s"))
-    sums = embeddings.select(q.alias("q")).select(
+    sums = qf.select(
         F.posexplode("q").alias("i", "val")
     ).groupBy("i").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
-    n = embeddings.count()
+    n = qf.count()
     if n == 0:
         raise ValueError("pca_power_iteration: empty corpus")
-    s_ij = {(int(r["i"]), int(r["j"])): int(r["s"])
+    s_up = {(int(r["i"]), int(r["j"])): int(r["s"])
             for r in gram.collect()}
     s_i = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    qf.unpersist()
+
+    def s_ij(i: int, j: int) -> int:
+        # upper-triangle storage, symmetric read-out; .get(.., 0)
+        # tolerates vectors shorter than dim (missing coordinates
+        # contribute nothing rather than KeyError)
+        return s_up.get((i, j) if i <= j else (j, i), 0)
+
     # exact integer scatter matrix, then one correctly-rounded float
-    # conversion per element; .get(.., 0) tolerates vectors shorter than
-    # dim (the missing coordinates contribute nothing rather than KeyError)
-    c = [[float(n * s_ij.get((i, j), 0) - s_i.get(i, 0) * s_i.get(j, 0))
+    # conversion per element
+    c = [[float(n * s_ij(i, j) - s_i.get(i, 0) * s_i.get(j, 0))
           for j in range(dim)] for i in range(dim)]
     v = [1.0] * dim
     for _ in range(iterations):
@@ -925,7 +964,7 @@ def pca_power_iteration(
     best = max(range(dim), key=lambda i: (abs(v[i]), -i))
     if v[best] < 0:
         v = [-x for x in v]
-    return v
+    return v, s_i, n
 
 
 def pca_project_top(
@@ -980,17 +1019,11 @@ def abtt_transform(
     back with ``split`` + ``CAST`` downstream.  Returns
     (id, abtt_q_csv).
     """
-    comp = pca_power_iteration(embeddings, dim, iterations,
-                               id_col, vec_col)
-    q = F.expr(
-        f"transform({vec_col}, x -> "
-        "CAST(round(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT))"
-    )
-    sums = embeddings.select(q.alias("q")).select(
-        F.posexplode("q").alias("i", "val")
-    ).groupBy("i").agg(F.sum("val").cast("decimal(38,0)").alias("s"))
-    n = embeddings.count()
-    s_i = {int(r["i"]): int(r["s"]) for r in sums.collect()}
+    # one shared model pass: the component, the exact coordinate sums
+    # and the count all come from the same pinned quantized frame (the
+    # old code re-scanned the source twice to recompute sums/n the
+    # power iteration had already collected)
+    comp, s_i, n = _pca_model(embeddings, dim, iterations, vec_col)
     mu = [float(s_i[i]) / n for i in range(dim)]
     mu_lit = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in mu)
     v_lit = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in comp)

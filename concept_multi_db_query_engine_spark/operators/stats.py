@@ -1097,16 +1097,26 @@ def bootstrap_mean_ci(
     )
     blocks = (
         f"transform(sequence(0, {n_blocks - 1}), k -> "
-        f"md5(concat(CAST({id_col} AS STRING), ':{salt}:', "
-        f"CAST(k AS STRING))))"
+        "md5(concat(CAST(__bid AS STRING), ':{salt}:', "
+        "CAST(k AS STRING))))".replace("{salt}", salt)
     )
-    staged = df.select(
+    # Project to the two working columns FIRST, then fan out: the md5
+    # lane ladder is the operator's dominant cost and would otherwise
+    # run at the scan's parallelism (ONE task on a single-row-group
+    # file); the exchange moves only (id, value) pairs.  Every
+    # downstream sum is LONG/DECIMAL — placement-invariant.
+    from ._scaleout import fan_out
+
+    base = fan_out(df.select(
+        F.col(id_col).alias("__bid"), F.col(value_col).alias("__v")
+    ))
+    staged = base.select(
         F.expr(
             f"slice(flatten(transform({blocks}, h -> "
             f"transform({lanes}, u -> CAST(({w_case}) AS INT)))), "
             f"1, {n_replicates})"
         ).alias("__ws"),
-        F.col(value_col).alias("__v"),
+        F.col("__v"),
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
