@@ -1216,8 +1216,15 @@ def theil_sen(
              / (F.col("b.__x") - F.col("a.__x"))).alias("__v"),
         )
     )
+    # PIN the one-row slope: it is referenced by the residual frame
+    # (which the intercept quantile's range-sampler and checkpoint each
+    # execute once) and by the final select — un-pinned, every one of
+    # those references re-ran the slope quantile's whole consumption
+    # pipeline (counts, rank routing, tag join, interpolation).  A
+    # 1-row localCheckpoint makes it run exactly once, at any scale.
     slope = distributed_group_quantiles(pairs, "__g", "__v", [0.5]) \
-        .select(F.col("q0").alias("__slope"))
+        .select(F.col("q0").alias("__slope")) \
+        .localCheckpoint(eager=True)
     resid = pts.crossJoin(F.broadcast(slope)).select(
         F.lit(0).alias("__g"),
         (F.col("__y") - F.col("__slope") * F.col("__x")).alias("__v"),
@@ -1227,6 +1234,10 @@ def theil_sen(
     n_pts = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     n_prs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
+        # PIN the one-row result: callers (seasonal decompose/forecast/
+        # anomaly/strength) reference the line from several plan
+        # branches AND their final frames — un-pinned, each execution
+        # re-ran both quantile pipelines and the O(n²) pair count.
         n_pts.crossJoin(F.broadcast(n_prs))
         .crossJoin(F.broadcast(slope))
         .crossJoin(F.broadcast(intercept))
@@ -1235,6 +1246,7 @@ def theil_sen(
             F.col("__slope").alias("slope"),
             F.col("__icpt").alias("intercept"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1276,11 +1288,16 @@ def seasonal_decompose(
         (F.col("value") - (F.col("slope") * F.col("idx") + F.col("icpt")))
         .alias("__det"),
     )
+    # PIN the seasonal profile (bounded: one row per season bucket, ≤
+    # the cycle period by contract): the returned frame joins it while
+    # also carrying slope/icpt columns — un-pinned, the action re-ran
+    # the per-season quantile machinery end to end.
     seas = distributed_group_quantiles(
         det.select(F.col("season").alias("__g"),
                    F.col("__det").alias("__v")),
         "__g", "__v", [0.5],
-    ).select(F.col("__g").alias("season"), F.col("q0").alias("seasonal"))
+    ).select(F.col("__g").alias("season"), F.col("q0").alias("seasonal")) \
+        .localCheckpoint(eager=True)
     # + 0.0 maps -0.0 -> 0.0 so both engines render zero identically
     return det.join(seas, "season").select(
         "idx", "season", "value",
@@ -1419,11 +1436,14 @@ def _group_medians(
     shared by decompose and forecast."""
     from .analytics import distributed_group_quantiles
 
+    # pinned for the same reason as decompose's profile: one row per
+    # season bucket, referenced by the forecast's broadcast join
     return distributed_group_quantiles(
         df.select(F.col(group_col).alias("__g"),
                   F.col(value_col).alias("__v")),
         "__g", "__v", [0.5],
-    ).select(F.col("__g").alias(group_col), F.col("q0").alias(out_col))
+    ).select(F.col("__g").alias(group_col), F.col("q0").alias(out_col)) \
+        .localCheckpoint(eager=True)
 
 
 def seasonal_anomaly(
