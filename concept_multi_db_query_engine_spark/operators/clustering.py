@@ -59,15 +59,20 @@ def _assign_frame(emb: DataFrame, cent_frame: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of a quantized (vid, q) frame under a
     (cid, cq) centroid frame: centroids pack into ONE broadcast row and
     the argmin over k is a per-row codegen expression — a stateless
-    narrow map, valid on batch and on streams."""
+    narrow map, valid on batch and on streams.  Any columns beyond
+    (vid, q) pass through untouched, so a caller can carry payload
+    (raw vectors, norms) through the assignment without a second join
+    back on vid."""
     one = cent_frame.groupBy().agg(
         F.expr("array_sort(collect_list(struct(cid, cq)))").alias("cs")
     )
+    extra = [c for c in emb.columns if c not in ("vid", "q")]
     return (
         emb.join(F.broadcast(one))
         .select(
             "vid",
             "q",
+            *extra,
             F.expr(
                 "array_min(transform(cs, c -> struct("
                 "aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)),"
@@ -77,6 +82,7 @@ def _assign_frame(emb: DataFrame, cent_frame: DataFrame) -> DataFrame:
         )
         .select(
             "vid", "q",
+            *extra,
             F.col("m.cid").alias("cid"),
             F.col("m.dist2").alias("dist2"),
         )
@@ -410,16 +416,56 @@ def semantic_dedup_pairs(
     """
     from .similarity import _with_norm
 
-    assign = kmeans_assign(
-        embeddings, k, iterations, id_col, vec_col
-    ).select(F.col(id_col).alias("vid"), "cluster")
-    src = assign.join(_with_norm(embeddings, id_col, vec_col), "vid")
+    # Frozen-model assignment as a NARROW MAP carrying the payload:
+    # train the codebook once (kmeans_fit pins the quantized frame),
+    # then tag each (vid, v, norm2) row with its cluster via the
+    # broadcast argmin — the old shape assigned first and joined the
+    # norms back on vid, which shuffled the corpus twice more (once
+    # per self-join side). Same centroids, same argmin on the same
+    # quantized coordinates → identical clusters.
+    cents = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    src = _assign_frame(
+        _with_norm(embeddings, id_col, vec_col)
+        .withColumn("q", _quantize("v")),
+        cents,
+    ).select("vid", F.col("cid").alias("cluster"), "v", "norm2")
+    # Salt the within-cluster self-join: its only equi-key is the
+    # cluster id, so join parallelism is capped at k — fine at corpus
+    # scale where k grows with n, but k << cores leaves most of the
+    # machine idle on the O(n²/k) cosine folds. Deterministic salt
+    # (vid mod S) on the left, S-way replicated right, S sized from
+    # the session's parallelism so the salt DISAPPEARS (S = 1, no
+    # replication branch) once k alone saturates the cluster — the
+    # scale-adaptive knob the optimization guide's skew section
+    # prescribes. Each (d1, d2) pair still meets exactly once: the
+    # left row's salt selects exactly one of the S right replicas.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    s_buckets = max(1, (2 * par + k - 1) // k)
     b = src.select(
         F.col("vid").alias("vid2"),
         F.col("cluster").alias("cluster2"),
         F.col("v").alias("v2"),
         F.col("norm2").alias("n2b"),
     )
+    if s_buckets > 1:
+        a = src.withColumn(
+            "__salt", F.pmod(F.col("vid"), F.lit(s_buckets))
+        )
+        b = b.withColumn(
+            "__rs",
+            F.explode(F.expr(f"sequence(0, {s_buckets - 1})")),
+        )
+        pair_cond = (
+            (F.col("cluster") == F.col("cluster2"))
+            & (F.col("__salt") == F.col("__rs"))
+            & (F.col("vid") < F.col("vid2"))
+        )
+    else:
+        a = src
+        pair_cond = (
+            (F.col("cluster") == F.col("cluster2"))
+            & (F.col("vid") < F.col("vid2"))
+        )
     dot = (
         "aggregate(zip_with(v, v2, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -427,11 +473,7 @@ def semantic_dedup_pairs(
     )
     cos = f"round({dot} / sqrt(norm2 * n2b), 6)"
     return (
-        src.join(
-            b,
-            (F.col("cluster") == F.col("cluster2"))
-            & (F.col("vid") < F.col("vid2")),
-        )
+        a.join(b, pair_cond)
         .select(
             "cluster",
             F.col("vid").alias("d1"),
