@@ -757,6 +757,17 @@ def connected_components(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
+        # convergence probe every OTHER round (the duplicate_clusters
+        # cadence): any non-trivial component needs >= 2 rounds, each
+        # probe is a driver-side job, and one extra no-op propagation
+        # round is cheaper than a probe per round. Labels at the
+        # fixpoint are stable (min-propagation is idempotent), so the
+        # delayed probe cannot change a single label. The LAST round
+        # always probes, so the loud non-convergence raise below keeps
+        # its exact max_iterations semantics.
+        if it % 2 == 0 and it != max_iterations - 1:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

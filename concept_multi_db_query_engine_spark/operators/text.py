@@ -1364,10 +1364,17 @@ def bigram_logprob_score(
     # unigram counts are additionally persisted — they are both collected
     # (top-N) and summed (N), and the sum over per-token counts equals the
     # total token count, so no separate size() pass is needed at all.
+    from ._scaleout import fan_out
+
+    # fan out BEFORE tokenizing: the split/filter and the two explodes
+    # below otherwise run at the scan's parallelism (one task on a
+    # single-row-group file); counts are exact integers, so placement
+    # cannot move a value
     toks = (
-        train.select(
+        fan_out(train.select(F.col(text_col).alias("__t")))
+        .select(
             F.expr(
-                f"filter(split({text_col}, ' '), x -> x != '')"
+                "filter(split(__t, ' '), x -> x != '')"
             ).alias("l")
         )
     ).persist()
@@ -1413,7 +1420,10 @@ def bigram_logprob_score(
             args.append(F.lit(v).cast(vtype))
         return F.create_map(*args)
 
-    staged = docs.select(
+    # scoring is a heavy per-row fold (pair build + sort + map lookups)
+    # — fan out the two working columns so it parallelizes on
+    # single-row-group inputs; per-row map, placement-invariant
+    staged = fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.expr(
             f"filter(split({text_col}, ' '), x -> x != '')"
@@ -2101,8 +2111,9 @@ def bpe_encode_stats(
       (exactly what a left-to-right string ``replace`` does), with a
       symbol-set skip so absent rules cost one set probe.  Plan size
       is constant in vocab; a 30k-merge real tokenizer compiles to the
-      same single narrow stage as a 64-merge fixture.  Still zero
-      shuffles, still stream-safe.
+      same single narrow stage as a 64-merge fixture.  No keyed
+      shuffle on either path (the scale-adaptive fan-out may insert
+      one round-robin repartition on small inputs), still stream-safe.
 
     Documents are wrapped character-wise (``⟨c⟩`` per non-space
     character on the expression path, a per-word symbol list on the
@@ -2116,6 +2127,13 @@ def bpe_encode_stats(
             rules.append((m["lhs"], m["rhs"]))
         except (TypeError, KeyError, IndexError):
             rules.append((m[0], m[1]))
+    from ._scaleout import fan_out
+
+    # encoding is a heavy per-row chain (one replace per merge rule, or
+    # the Arrow scan) — fan out the two working columns so it
+    # parallelizes on single-row-group inputs; per-row narrow map on
+    # both paths, placement-invariant, no-op on streams
+    docs = fan_out(docs.select(id_col, text_col))
     if len(rules) > expr_path_max_merges:
         return _bpe_encode_stats_arrow(docs, rules, id_col, text_col)
     # the empty-text guard matters: sequence(1, 0) is DESCENDING in
