@@ -2112,8 +2112,10 @@ def bpe_encode_stats(
       symbol-set skip so absent rules cost one set probe.  Plan size
       is constant in vocab; a 30k-merge real tokenizer compiles to the
       same single narrow stage as a 64-merge fixture.  No keyed
-      shuffle on either path (the scale-adaptive fan-out may insert
-      one round-robin repartition on small inputs), still stream-safe.
+      shuffle on either path (the expression path's scale-adaptive
+      fan-out may insert one round-robin repartition on small inputs;
+      the Arrow path stays at scan parallelism so its per-task word
+      cache is built once), still stream-safe.
 
     Documents are wrapped character-wise (``⟨c⟩`` per non-space
     character on the expression path, a per-word symbol list on the
@@ -2129,13 +2131,20 @@ def bpe_encode_stats(
             rules.append((m[0], m[1]))
     from ._scaleout import fan_out
 
-    # encoding is a heavy per-row chain (one replace per merge rule, or
-    # the Arrow scan) — fan out the two working columns so it
-    # parallelizes on single-row-group inputs; per-row narrow map on
-    # both paths, placement-invariant, no-op on streams
-    docs = fan_out(docs.select(id_col, text_col))
     if len(rules) > expr_path_max_merges:
-        return _bpe_encode_stats_arrow(docs, rules, id_col, text_col)
+        # do NOT fan out the Arrow path: its per-TASK word-memoization
+        # cache turns the Zipfian corpus into one encode per distinct
+        # word — splitting a small input into P tasks rebuilds that
+        # cache P times (measured 0.3 s -> 9 s at sf0.1/32 cores), the
+        # exact inverse of the fan-out trade
+        return _bpe_encode_stats_arrow(
+            docs.select(id_col, text_col), rules, id_col, text_col
+        )
+    # encoding on the expression path is a heavy per-row chain (one
+    # replace per merge rule) with no cross-row state — fan out the two
+    # working columns so it parallelizes on single-row-group inputs;
+    # per-row narrow map, placement-invariant, no-op on streams
+    docs = fan_out(docs.select(id_col, text_col))
     # the empty-text guard matters: sequence(1, 0) is DESCENDING in
     # Spark ([1, 0], not []), which would fabricate two ⟨⟩ symbols
     wrap = (

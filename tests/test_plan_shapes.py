@@ -375,20 +375,15 @@ class TestRound8Shapes:
         assert plan.count("FileScan") == 1
 
     def test_bpe_encode_arrow_path_is_shuffle_free(self, spark):
-        # >100 merges routes through mapInPandas; still a narrow map.
-        # The only exchange allowed is the scale-adaptive fan-out's
-        # round-robin repartition (parallelizes the per-word merge scan
-        # on single-row-group inputs); no keyed shuffle may appear.
+        # >100 merges routes through mapInPandas; still a narrow map
+        # with NO exchange at all — the Arrow path must stay at scan
+        # parallelism so its per-task word-memoization cache is built
+        # once, not once per fan-out partition.
         docs = testdata.load_table(spark, SF_DIR, "documents")
         rules = [(a, b) for a in "etaoinshrdlu" for b in "etaoinshrdlu"]
         df = ops.bpe_encode_stats(docs, rules[:120])
         full = executed(df)
-        # AQE's finalized string repeats the plan under "== Initial
-        # Plan ==" — count exchanges in the final-plan section only
-        final = full.split("== Initial Plan ==")[0]
-        shuffles = [ln for ln in final.splitlines() if "Exchange" in ln]
-        assert all("RoundRobinPartitioning" in ln for ln in shuffles), shuffles
-        assert len(shuffles) <= 1, shuffles
+        assert "Exchange" not in full
         assert "MapInPandas" in full
 
     def test_domain_quota_prunes_before_its_single_shuffle(self, spark):
