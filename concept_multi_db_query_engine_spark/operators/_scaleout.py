@@ -61,3 +61,29 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if current >= target:
         return df
     return df.repartition(target)
+
+
+# Per-iteration loop frames: a driver-side model-fit loop issues one
+# tiny job per iteration over a pinned frame, and every task in that
+# job carries a fixed cost (task dispatch, codegen instantiation,
+# block read, metrics) that the micro-benchmarked ~40-100 ms/task CPU
+# floor makes visible when partitions hold only a few thousand rows.
+# 32 partitions of a 150k-row feature frame tripled a 16-iteration
+# fit's CPU (91 s vs 30 s) for a ~1.5 s wall win; ~32k rows/task kept
+# the wall win AND the single-partition CPU. The cap is row-driven, so
+# at corpus scale (rows >> tasks*32k) it never shrinks cluster
+# parallelism — only small pinned frames coalesce.
+LOOP_ROWS_PER_TASK = 32768
+
+
+def loop_width(pinned: DataFrame, n_rows: int,
+               rows_per_task: int = LOOP_ROWS_PER_TASK) -> DataFrame:
+    """Bound a pinned fit-loop frame's per-iteration task count by its
+    known row count: coalesce (narrow, block-merging — no shuffle, no
+    re-materialization) to ceil(n_rows / rows_per_task) partitions when
+    that is below the pinned width; identity otherwise."""
+    cur = pinned.rdd.getNumPartitions()
+    want = max(1, min(cur, -(-n_rows // rows_per_task)))
+    if want >= cur:
+        return pinned
+    return pinned.coalesce(want)

@@ -98,10 +98,18 @@ def logistic_train(
         *[F.expr(fx).alias(c)
           for c, fx in zip(cols, feature_exprs)],
     )
-    base = proj.where(
+    pinned = proj.where(
         " AND ".join(["__y IS NOT NULL"]
                      + [f"{c} IS NOT NULL" for c in cols])
     ).localCheckpoint(eager=True)
+    # the loop pays a fixed per-task cost EVERY iteration — bound its
+    # task count by the (now known) row count; identity at corpus scale
+    from ._scaleout import loop_width
+
+    n_rows = pinned.count()
+    if n_rows == 0:
+        raise ValueError("logistic_train: no usable rows")
+    base = loop_width(pinned, n_rows)
     w = [0.0] * (d + 1)
     # AQE off for the loop only: each iteration is a fixed-shape global
     # aggregate (one exchange, one final partition) where AQE's
@@ -136,7 +144,7 @@ def logistic_train(
             for j in range(len(w)):
                 sj = int(row[f"s{j}"])
                 w[j] = w[j] + lr * ((sj / float(_Q)) / n)
-    base.unpersist()
+    pinned.unpersist()
     return w
 
 
@@ -359,12 +367,20 @@ def quantile_regression_train(
     from ._scaleout import fan_out
 
     df = fan_out(df)  # logistic_train rationale: parallel iterations
-    base = df.where(
+    pinned = df.where(
         " AND ".join(
             [f"({target_expr}) IS NOT NULL"]
             + [f"({fx}) IS NOT NULL" for fx in feature_exprs]
         )
     ).localCheckpoint(eager=True)
+    # bound the loop's per-iteration task count by the known row count
+    # (fixed per-task cost x iterations; identity at corpus scale)
+    from ._scaleout import loop_width
+
+    n_rows = pinned.count()
+    if n_rows == 0:
+        raise ValueError("quantile_regression_train: no usable rows")
+    base = loop_width(pinned, n_rows)
     w = [0.0] * (len(feature_exprs) + 1)
     # AQE off for the loop only (the logistic_train rationale — see
     # _fastiter): fixed-shape per-iteration aggregate, values unaffected.
