@@ -27,13 +27,29 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def model_fit_iterations(spark):
+def model_fit_iterations(spark, shuffle_partitions: int | None = None):
     """Disable AQE for the duration of a driver-side fit loop, restoring
-    the caller's setting on exit (exception-safe)."""
+    the caller's setting on exit (exception-safe).
+
+    ``shuffle_partitions``: optional reduce-side partition count for the
+    loop's exchanges.  Only pass it when the loop's shuffled frames are
+    MODEL-sized by construction (k centroids, k·d dimension sums — never
+    corpus-sized at any scale): with AQE off the session default would
+    spray those few rows over dozens of near-empty reduce tasks, paying
+    the per-task floor each iteration.  Map-side parallelism (scans,
+    partial aggregation) is unaffected — this bounds only where the
+    already-tiny reduce rows land.  Values cannot move: partitioning
+    never changes exact integer aggregates."""
     key = "spark.sql.adaptive.enabled"
+    pkey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key, "true")
+    old_p = spark.conf.get(pkey, None) if shuffle_partitions else None
     spark.conf.set(key, "false")
+    if shuffle_partitions:
+        spark.conf.set(pkey, str(shuffle_partitions))
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        if shuffle_partitions and old_p is not None:
+            spark.conf.set(pkey, old_p)

@@ -518,41 +518,74 @@ def feature_auc_report(
     (an AUC ≈ 0.5 feature carries no marginal ranking signal; one far
     from 0.5 in either direction does).
 
-    One scan per feature through the shared integer Mann-Whitney
-    machinery (:func:`c2st_drift`'s AUC — round-6 score groups, exact
-    BIGINT numerators); features evaluate independently so Catalyst
-    unions the per-feature frames.  Returns one row per feature:
-    (feature, n_neg, n_pos, auc, abs_signal = |auc − 0.5|), auc
-    rounded 6.
+    ONE scan for every feature: all features evaluate in a single
+    projection, a ``stack`` unpivot reshapes to (feature_idx, value,
+    label) rows, and the shared integer Mann-Whitney machinery
+    (:func:`c2st_drift`'s AUC — round-6 score groups, exact BIGINT
+    numerators) runs ONCE over (feature_idx, score) groups ordered by
+    (feature_idx, score).  The within-feature exclusive prefix is the
+    global prefix minus the feature's own minimum prefix (= the total
+    negatives of all earlier features) — an exact BIGINT offset, so
+    every per-feature AUC is bit-identical to the one-scan-per-feature
+    shape this replaced (which cost N corpus scans + N window passes
+    for N features).  Returns one row per feature: (feature, n_neg,
+    n_pos, auc, abs_signal = |auc − 0.5|), auc rounded 6.
     """
+    from .stats import distributed_prefix_counts
+
     if not feature_exprs:
         raise ValueError("feature_exprs must be non-empty")
     names = names or list(feature_exprs)
     if len(names) != len(feature_exprs):
         raise ValueError("names must align with feature_exprs")
-    parts = []
-    for name, fx in zip(names, feature_exprs):
-        scored = df.where(
-            f"({fx}) IS NOT NULL AND ({label_expr}) IS NOT NULL"
-        ).select(
-            F.expr(f"round(CAST(({fx}) AS DOUBLE), 6)").alias("__v"),
-            F.expr(f"CAST(({label_expr}) AS INT)").alias("__y"),
-        )
-        parts.append(
-            _exact_auc_frame(
-                scored, f"CAST(round(__v * {_Q}.0d) AS BIGINT)", "__y"
-            ).select(
-                F.lit(name).alias("feature"),
-                F.col("n0").alias("n_neg"),
-                F.col("n1").alias("n_pos"),
-                "auc",
-                F.expr("round(abs(auc - 0.5d), 6)").alias("abs_signal"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    nf = len(feature_exprs)
+    proj = df.where(f"({label_expr}) IS NOT NULL").select(
+        F.expr(f"CAST(({label_expr}) AS INT)").alias("__y"),
+        *[
+            F.expr(f"round(CAST(({fx}) AS DOUBLE), 6)").alias(f"__f{i}")
+            for i, fx in enumerate(feature_exprs)
+        ],
+    )
+    stack_args = ", ".join(f"{i}, __f{i}" for i in range(nf))
+    long_rows = proj.select(
+        "__y",
+        F.expr(f"stack({nf}, {stack_args}) AS (__fi, __v)"),
+    ).where("__v IS NOT NULL")
+    groups = long_rows.groupBy(
+        F.col("__fi"),
+        F.expr(f"CAST(round(__v * {_Q}.0d) AS BIGINT)").alias("s"),
+    ).agg(
+        F.sum(F.expr("CASE WHEN __y = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN __y = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n1"),
+    )
+    cum, _ = distributed_prefix_counts(
+        groups, [F.col("__fi").asc(), F.col("s").asc()], ["n0"]
+    )
+    per = cum.groupBy("__fi").agg(
+        F.sum("n0").cast("long").alias("n0"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.min("__before_n0").cast("long").alias("__off"),
+        F.sum(F.expr("n1 * (2 * __before_n0 + n0)"))
+        .cast("long").alias("__numer_g"),
+    ).select(
+        "__fi",
+        F.col("n0").alias("n_neg"),
+        F.col("n1").alias("n_pos"),
+        F.expr(
+            "round(CAST((__numer_g - 2 * __off * n1) AS DOUBLE) "
+            "/ nullif(2.0d * CAST(n0 AS DOUBLE) "
+            "* CAST(n1 AS DOUBLE), 0.0d), 6)"
+        ).alias("auc"),
+    ).withColumn("abs_signal", F.expr("round(abs(auc - 0.5d), 6)"))
+    names_df = df.sparkSession.createDataFrame(
+        [(i, nm) for i, nm in enumerate(names)],
+        "__fi INT, feature STRING",
+    )
+    return names_df.join(per, "__fi", "left").select(
+        "feature", "n_neg", "n_pos", "auc", "abs_signal"
+    )
 
 
 def woe_iv_report(

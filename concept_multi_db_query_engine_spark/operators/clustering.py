@@ -91,7 +91,18 @@ def _assign_frame(emb: DataFrame, cent_frame: DataFrame) -> DataFrame:
 
 def _fit_loop(emb: DataFrame, k: int, iterations: int) -> DataFrame:
     """Lloyd training loop over a checkpointed quantized frame; returns
-    the final (cid, cq) centroid frame."""
+    the final (cid, cq) centroid frame.
+
+    The per-iteration ``localCheckpoint`` (needed: ``cents`` is
+    referenced twice per iteration, so an uncut lineage grows
+    exponentially) resolves the plan to an RDD, which kicks off the
+    iteration's broadcast/shuffle-stage jobs at BUILD time; running the
+    loop under :func:`._fastiter.model_fit_iterations` (AQE off for the
+    loop only — physical-plan-only, values identical) halves those
+    per-iteration driver jobs, the same fixed per-iteration cost the GD
+    trainers shed.  The centroid frames are k rows, so nothing here
+    depends on a runtime size estimate."""
+    from ._fastiter import model_fit_iterations
     # k seed centroids: global bottom-k by id (planned as
     # TakeOrderedAndProject — a TopK, not a full sort), then cid 0..k-1
     # by id order via a sorted-array posexplode of the k-row frame — the
@@ -108,24 +119,31 @@ def _fit_loop(emb: DataFrame, k: int, iterations: int) -> DataFrame:
             F.col("t.q").alias("cq"),
         )
     )
-    for _ in range(iterations):
-        assigned = _assign_frame(emb, cents)
-        dim_sums = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-        )
-        new_cents = dim_sums.groupBy("cid").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, s, c))), "
-                "t -> t.s DIV t.c)"
-            ).alias("ncq")
-        )
-        cents = (
-            cents.join(new_cents, "cid", "left")
-            .select("cid", F.coalesce("ncq", "cq").alias("cq"))
-            .localCheckpoint(eager=False)
-        )
+    # shuffle_partitions=1: every in-loop exchange carries at most k·d
+    # rows (dimension sums / centroid joins) regardless of corpus size —
+    # the corpus-side work is map-side partial aggregation at scan
+    # parallelism, which this does not touch
+    with model_fit_iterations(emb.sparkSession, shuffle_partitions=1):
+        for _ in range(iterations):
+            assigned = _assign_frame(emb, cents)
+            dim_sums = (
+                assigned.select(
+                    "cid", F.posexplode("q").alias("pos", "val")
+                )
+                .groupBy("cid", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            )
+            new_cents = dim_sums.groupBy("cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, s, c))), "
+                    "t -> t.s DIV t.c)"
+                ).alias("ncq")
+            )
+            cents = (
+                cents.join(new_cents, "cid", "left")
+                .select("cid", F.coalesce("ncq", "cq").alias("cq"))
+                .localCheckpoint(eager=False)
+            )
     return cents
 
 
@@ -223,6 +241,71 @@ def kmeans_centroids(
     )
 
 
+def _pq_pin(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """The PQ family's shared quantized pin: (vid, q) with the FULL
+    vector quantized once and ``localCheckpoint``-pinned — one parquet
+    scan and one driver barrier feed every subspace, where the old
+    shape paid one scan + one eager pin PER subspace.  Quantization is
+    elementwise, so ``slice(quantize(v)) == quantize(slice(v))`` and
+    every downstream value is bit-identical to the per-slice path."""
+    return embeddings.select(
+        F.col(id_col).alias("vid"), _quantize(vec_col).alias("q")
+    ).localCheckpoint(eager=True)
+
+
+def _pq_models(
+    emb_q: DataFrame, dim: int, m: int, k: int, iterations: int
+) -> list[DataFrame]:
+    """m per-subspace codebooks fit from slice pins derived off the
+    shared quantized pin.  The slice pins are LAZY checkpoints: they
+    materialize from the parent's local blocks inside the first action
+    (never a parquet re-scan, never a driver barrier) and keep each
+    fit loop's per-iteration reads narrow — the loop touches sub-dim
+    arrays, not the full vector."""
+    sub = dim // m
+    models = []
+    for s in range(m):
+        sliceq = emb_q.select(
+            "vid", F.slice(F.col("q"), s * sub + 1, sub).alias("q")
+        ).localCheckpoint(eager=False)
+        models.append(_fit_loop(sliceq, k, iterations))
+    return models
+
+
+def _pq_assign_all(
+    emb_q: DataFrame, models: list[DataFrame], dim: int, m: int
+) -> DataFrame:
+    """All-subspace assignment in ONE narrow pass over the shared pin:
+    each codebook packs into a one-row broadcast (the
+    :func:`_assign_frame` construction), and each subspace's argmin is
+    a per-row codegen expression over ``slice(q, ...)``.  Returns
+    (vid, m0..m{m-1}) with ``m{s}`` a (dist2, cid) struct — zero
+    exchanges, zero unions on the corpus side."""
+    sub = dim // m
+    row = emb_q
+    for s, model in enumerate(models):
+        packed = model.groupBy().agg(
+            F.expr("array_sort(collect_list(struct(cid, cq)))")
+            .alias(f"cs{s}")
+        )
+        row = row.join(F.broadcast(packed))
+    return row.select(
+        "vid",
+        *[
+            F.expr(
+                f"array_min(transform(cs{s}, c -> struct("
+                f"aggregate(zip_with(slice(q, {s * sub + 1}, {sub}), c.cq,"
+                " (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
+                "c.cid AS cid)))"
+            ).alias(f"m{s}")
+            for s in range(m)
+        ],
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     dim: int,
@@ -233,58 +316,46 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` subvectors,
-    train an independent ``k``-code codebook per subspace with
-    :func:`kmeans_assign`, and emit each vector's code word — the
-    compression layout behind billion-vector ANN indexes (an IVF-PQ
-    index stores these m·log2(k)-bit codes instead of the raw floats,
-    a 64-byte 64-dim float vector becoming m bytes).
+    train an independent ``k``-code codebook per subspace, and emit
+    each vector's code word — the compression layout behind
+    billion-vector ANN indexes (an IVF-PQ index stores these
+    m·log2(k)-bit codes instead of the raw floats, a 64-byte 64-dim
+    float vector becoming m bytes).
 
     Returns (id, codes array<bigint> of length m ordered by subspace,
     recon_err_scaled) — ``recon_err_scaled`` the exact integer total
     squared quantization error in micro-unit² (the sum of the m
     subspace distances, since subspaces are orthogonal coordinates).
+    One output row per input row (ids are assumed unique, as in any
+    vector index).
 
-    Scale shape: m independent kmeans runs over sliced projections
-    (each inherits kmeans' narrow-map assignment / k·d-row update
-    shuffles), then ONE union + map-side-combined groupBy on the id —
-    not m-1 joins.  Training scans the corpus m·(iterations+1) times;
-    production PQ fits codebooks on a sample and encodes the rest with
-    a frozen model — pass a deterministic sample (e.g. a
-    ``text.hash_split`` bucket) as ``embeddings`` to reproduce that,
-    or keep the full corpus for the exact-replay contract here.
+    Scale shape: the corpus is scanned ONCE and quantized into a
+    shared pin (:func:`_pq_pin`); the m codebooks fit over lazy slice
+    pins of it (:func:`_pq_models` — k·d-row update shuffles, no
+    per-subspace corpus scan), and encoding is a SINGLE narrow map
+    over the pin with all m broadcast codebooks
+    (:func:`_pq_assign_all`) — no union, no groupBy, zero exchanges
+    on the corpus side.  The old shape paid m corpus scans + m eager
+    pins + an m-way union into a corpus-wide groupBy.  Training still
+    reads the pin m·(iterations+1) times; production PQ fits
+    codebooks on a sample and encodes the rest with a frozen model —
+    pass a deterministic sample (e.g. a ``text.hash_split`` bucket)
+    as ``embeddings`` to reproduce that, or keep the full corpus for
+    the exact-replay contract here.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    parts = []
+    emb_q = _pq_pin(embeddings, id_col, vec_col)
+    models = _pq_models(emb_q, dim, m, k, iterations)
+    enc = _pq_assign_all(emb_q, models, dim, m)
+    err = None
     for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
-        )
-        a = kmeans_assign(
-            sliced, k=k, iterations=iterations,
-            id_col=id_col, vec_col="subv",
-        )
-        parts.append(
-            a.select(
-                F.col(id_col).alias("vid"),
-                F.lit(s).alias("s"),
-                "cluster",
-                "dist2_scaled",
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u.groupBy("vid").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, cluster))), "
-            "t -> t.cluster)"
-        ).alias("codes"),
-        F.sum("dist2_scaled").alias("recon_err_scaled"),
-    ).select(
-        F.col("vid").alias(id_col), "codes", "recon_err_scaled"
+        d = F.col(f"m{s}.dist2")
+        err = d if err is None else err + d
+    return enc.select(
+        F.col("vid").alias(id_col),
+        F.array(*[F.col(f"m{s}.cid") for s in range(m)]).alias("codes"),
+        err.cast("long").alias("recon_err_scaled"),
     )
 
 
@@ -307,13 +378,17 @@ def pq_topk(
     m table lookups summed.  This is why PQ scales: scoring never touches
     the original vectors.
 
-    Scale shape: codes come from :func:`kmeans_fit`/:func:`kmeans_encode`
-    per subspace (narrow maps + k·d-row updates); the distance tables are
-    |queries|·m·k rows built by broadcasting the k-row codebooks against
-    the (small, as in ``topk_cosine_bruteforce``) query side; scoring is
-    a broadcast join of the tables onto the exploded (vid, subspace,
-    code) corpus with a map-side-combined sum per (query, vector) — all
-    integers, so the ADC ranking (ties broken by vec_id) is exact and
+    Scale shape: the corpus is scanned ONCE into the shared quantized
+    pin (:func:`_pq_pin`); per-subspace codebooks fit over lazy slice
+    pins of it (:func:`_pq_models`), the (vid, subspace, code) frame is
+    ONE narrow pass over the pin (all m broadcast argmins at once, then
+    a narrow posexplode — no per-subspace corpus scan, no m-way union);
+    the distance tables are |queries|·m·k rows built by broadcasting
+    the k-row codebooks against the (small, as in
+    ``topk_cosine_bruteforce``) query side; scoring is a broadcast join
+    of the tables onto the (vid, subspace, code) rows with a
+    map-side-combined sum per (query, vector) — all integers, so the
+    ADC ranking (ties broken by vec_id) is exact and
     engine-independent.  Returns (query_id, vec_id, adc_dist2, rank);
     a query matches its own code word at its reconstruction distance
     (filter ``query_id != vec_id`` downstream for kNN semantics).
@@ -326,24 +401,16 @@ def pq_topk(
     # the query frame keys by query_id_col when present (a frame keyed
     # "query_id" must not be read through the corpus' id_col)
     q_in = query_id_col if query_id_col in queries.columns else id_col
-    code_parts, table_parts = [], []
-    for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
-        )
-        model = kmeans_fit(
-            sliced, k=k, iterations=iterations,
-            id_col=id_col, vec_col="subv",
-        )
-        enc = kmeans_encode(sliced, model, id_col=id_col, vec_col="subv")
-        code_parts.append(
-            enc.select(
-                F.col(id_col).alias("vid"),
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-            )
-        )
+    emb_q = _pq_pin(embeddings, id_col, vec_col)
+    models = _pq_models(emb_q, dim, m, k, iterations)
+    codes = _pq_assign_all(emb_q, models, dim, m).select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.col(f"m{s}.cid") for s in range(m)])
+        ).alias("s", "code"),
+    )
+    table_parts = []
+    for s, model in enumerate(models):
         qsub = queries.select(
             F.col(q_in).alias("qid"),
             _quantize(
@@ -361,9 +428,6 @@ def pq_topk(
                 ).alias("d"),
             )
         )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
     tables = table_parts[0]
     for p in table_parts[1:]:
         tables = tables.unionByName(p)
@@ -507,16 +571,20 @@ def ivf_pq_topk(
     touched at search time.
 
     Scale shape, piece by piece:
-    * coarse training/encoding inherit :func:`kmeans_fit` /
-      :func:`kmeans_encode` (narrow-map assignment, k·d-row update
-      shuffles);
+    * ONE corpus scan feeds everything: the shared quantized pin
+      (:func:`_pq_pin`) seeds the coarse fit, the corpus cell
+      assignment, the m per-subspace codebook fits (lazy slice pins,
+      :func:`_pq_models`), and the code frame — the old shape paid a
+      parquet scan + eager pin per subspace plus two more for the
+      coarse quantizer;
     * the query→cell probe ranks the ``n_cells``-row centroid frame
       per query (broadcast; queries are the small side, as in
       ``topk_cosine_bruteforce``);
     * the candidate set is ONE hash join of the corpus cell assignment
       against the probed (query, cell) pairs — candidate volume is
       ~``n_probe/n_cells`` of |corpus| per query, the IVF contract;
-    * ADC scoring joins candidates to their m code rows and the
+    * ADC scoring joins candidates to their m code rows (one narrow
+      pass over the pin + posexplode, :func:`_pq_assign_all`) and the
       broadcast |queries|·m·k distance tables, then one
       map-side-combined sum per (query, vector).
     Exact integer arithmetic end to end (micro-unit quantization), so
@@ -533,13 +601,13 @@ def ivf_pq_topk(
     # the query frame keys by query_id_col when present (a frame keyed
     # "query_id" must not be read through the corpus' id_col)
     q_in = query_id_col if query_id_col in queries.columns else id_col
-    # coarse quantizer: train on the corpus, encode corpus + probe queries
-    coarse = kmeans_fit(
-        embeddings, k=n_cells, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=True)
-    cells = kmeans_encode(embeddings, coarse, id_col, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    # coarse quantizer: train + encode the corpus off the shared pin
+    emb_q = _pq_pin(embeddings, id_col, vec_col)
+    coarse = _fit_loop(emb_q, n_cells, iterations).localCheckpoint(
+        eager=True
+    )
+    cells = _assign_frame(emb_q, coarse).select(
+        "vid", F.col("cid").alias("cell")
     )
     qq = queries.select(
         F.col(q_in).alias("qid"), _quantize(vec_col).alias("q")
@@ -560,25 +628,17 @@ def ivf_pq_topk(
         .select("qid", F.col("cid").alias("cell"))
     )
     cands = probed.join(cells, "cell").select("qid", "vid")
-    # per-subspace PQ codebooks, codes, and query ADC tables
-    code_parts, table_parts = [], []
-    for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("subv"),
-        )
-        model = kmeans_fit(
-            sliced, k=k, iterations=iterations,
-            id_col=id_col, vec_col="subv",
-        )
-        enc = kmeans_encode(sliced, model, id_col=id_col, vec_col="subv")
-        code_parts.append(
-            enc.select(
-                F.col(id_col).alias("vid"),
-                F.lit(s).alias("s"),
-                F.col("cluster").alias("code"),
-            )
-        )
+    # per-subspace PQ codebooks (lazy slice pins off the shared pin),
+    # codes in one narrow pass, and query ADC tables
+    models = _pq_models(emb_q, dim, m, k, iterations)
+    codes = _pq_assign_all(emb_q, models, dim, m).select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.col(f"m{s}.cid") for s in range(m)])
+        ).alias("s", "code"),
+    )
+    table_parts = []
+    for s, model in enumerate(models):
         qsub = queries.select(
             F.col(q_in).alias("qid"),
             _quantize(
@@ -596,9 +656,6 @@ def ivf_pq_topk(
                 ).alias("d"),
             )
         )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
     tables = table_parts[0]
     for p in table_parts[1:]:
         tables = tables.unionByName(p)
