@@ -3293,7 +3293,17 @@ def zipf_fit(
 def _ngram_kind_stream(docs: DataFrame, max_n: int) -> DataFrame:
     """Shared kind-tagged n-gram stream for the distinct-n family:
     one corpus scan, every n = 1..max_n emitted from the same token
-    array (the PMI shape).  Returns (n, g)."""
+    array (the PMI shape).  Returns (n, g).
+
+    The tokenized projection is fanned out BEFORE the explode (the
+    ``_scaleout.fan_out`` discipline: project to the one working
+    column first so the exchange carries token arrays, not payload
+    rows; a no-op once the scan alone splits into >= cores tasks) —
+    the n-gram window/concat explode and every downstream hash are
+    the compute-heavy part, and a single-row-group input would
+    otherwise run them on one task."""
+    from ._scaleout import fan_out
+
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
     arr = F.filter(
@@ -3310,7 +3320,7 @@ def _ngram_kind_stream(docs: DataFrame, max_n: int) -> DataFrame:
             "CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>))"
         )
     return (
-        docs.select(arr.alias("__toks"))
+        fan_out(docs.select(arr.alias("__toks")))
         .select(F.explode(F.expr(
             "concat(" + ", ".join(grams) + ")"
         )).alias("kg"))

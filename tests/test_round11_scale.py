@@ -46,15 +46,21 @@ class TestKmvNgramTwoLevelTopK:
         # exchange shuffled every distinct hash once, is gone; dedup now
         # runs after the partial top-k, on <= k * n_tasks survivors
         assert "dense_rank" in plan, plan
-        # and the Partial pass must sit DIRECTLY on the scan side: no
-        # Exchange between it and the parquet scan below it (the final
-        # executed section is the text before AQE's "== Initial Plan ==")
+        # and the Partial pass must sit on the scan side with no KEYED
+        # exchange below it (the round-11 (n, hash) pre-distinct shuffle
+        # must stay gone).  The fan-out's RoundRobinPartitioning is the
+        # one allowed exchange: it is the scale-adaptive parallelism
+        # repartition of the tokenized projection, not a corpus-keyed
+        # shuffle, and it must be shared (ReusedExchange) rather than
+        # executed once per branch.  (Final executed section = the text
+        # before AQE's "== Initial Plan ==".)
         lines = plan.split("== Initial Plan ==")[0].splitlines()
         start = next(i for i, ln in enumerate(lines) if ", Partial" in ln)
         for ln in lines[start + 1:]:
             if "Scan parquet" in ln:
                 break
-            assert "Exchange" not in ln, ln
+            if "Exchange" in ln:
+                assert "RoundRobinPartitioning" in ln, ln
 
 
 class TestVocabRichnessScale:
