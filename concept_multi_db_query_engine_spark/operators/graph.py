@@ -583,6 +583,15 @@ def k_core(
     with the same round structure.  Lineage is cut per round
     (``localCheckpoint``, the :func:`pagerank` discipline).
 
+    Early exit at the fixpoint: peeling only REMOVES edges, so an
+    unchanged edge COUNT after a round means the surviving set is
+    unchanged, every remaining round is a no-op, and the
+    ``rounds``-step residual is already in hand — the loop breaks
+    without changing the contract or the values.  The probe is one
+    count job over the round's already-materialized checkpoint
+    (kNN-style graphs peel to their core in 2–3 rounds, so the
+    default 8 skips most of its per-round driver jobs).
+
     Returns the surviving nodes: (node, degree) — degree measured in
     the final residual graph, ordered by node.
     """
@@ -598,6 +607,7 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     cur = und
+    prev_edges = cur.count()
     for _ in range(rounds):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -612,6 +622,10 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        n_edges = cur.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
     # no trailing degree filter: that would be a ninth half-peel —
     # the residual after exactly `rounds` peels is the contract
     return (

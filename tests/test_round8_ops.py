@@ -2781,6 +2781,26 @@ def test_k_core_multi_round_cascade(spark):
     assert {r["node"] for r in part} == set(range(2, 8))
 
 
+def test_k_core_fixpoint_early_exit_matches_full_rounds(spark):
+    # the loop exits as soon as a round removes no edge (peeling only
+    # removes, so an unchanged edge count IS the fixpoint); the
+    # rounds-step residual must be identical for any rounds budget past
+    # convergence — here the graph converges in 1 round, so rounds=2
+    # and rounds=25 must agree exactly
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(
+        (r["node"], r["degree"])
+        for r in ops.k_core(df, k=3, rounds=2).collect()
+    )
+    slow = sorted(
+        (r["node"], r["degree"])
+        for r in ops.k_core(df, k=3, rounds=25).collect()
+    )
+    assert fast == slow == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+
 # ---- session_exit_rates ----------------------------------------------------
 
 
