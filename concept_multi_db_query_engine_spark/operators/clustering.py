@@ -255,54 +255,168 @@ def _pq_pin(
     ).localCheckpoint(eager=True)
 
 
-def _pq_models(
+def _pq_dist2(q_expr: str, cq_expr: str) -> str:
+    """Exact integer squared distance between two quantized arrays —
+    the one fold every PQ path shares."""
+    return (
+        f"aggregate(zip_with({q_expr}, {cq_expr},"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_fit_all(
     emb_q: DataFrame, dim: int, m: int, k: int, iterations: int
-) -> list[DataFrame]:
-    """m per-subspace codebooks fit from slice pins derived off the
-    shared quantized pin.  The slice pins are LAZY checkpoints: they
-    materialize from the parent's local blocks inside the first action
-    (never a parquet re-scan, never a driver barrier) and keep each
-    fit loop's per-iteration reads narrow — the loop touches sub-dim
-    arrays, not the full vector."""
+) -> DataFrame:
+    """All m per-subspace codebooks in ONE fused Lloyd loop over the
+    shared quantized pin; returns the combined (s, cid, cq) codebook
+    frame (m·k rows).
+
+    Fusing is a pure batching of the m independent recurrences: every
+    subspace's assignment, dimension sums, and centroid update are the
+    same exact integer expressions the per-subspace loop evaluates, so
+    each codebook is bit-identical — but one iteration is now ONE
+    broadcast of the m·k-row codebook + ONE shuffle of the m·k·(dim/m)
+    dimension-sum rows + ONE checkpoint, where the sequential fits paid
+    each of those PER SUBSPACE (m× the driver jobs for the same work).
+    The seed rows (bottom-k by vid) do not depend on the vector values
+    at all, so they too are computed once and sliced per subspace.
+    Runs under the AQE-off / 1-partition-shuffle fit context of
+    :func:`_fit_loop` — in-loop exchanges carry at most m·k·d rows at
+    any corpus scale."""
+    from ._fastiter import model_fit_iterations
+
     sub = dim // m
-    models = []
-    for s in range(m):
-        sliceq = emb_q.select(
-            "vid", F.slice(F.col("q"), s * sub + 1, sub).alias("q")
-        ).localCheckpoint(eager=False)
-        models.append(_fit_loop(sliceq, k, iterations))
-    return models
+    seeds = (
+        emb_q.orderBy("vid")
+        .limit(k)
+        .groupBy()
+        .agg(F.expr("array_sort(collect_list(struct(vid, q)))").alias("a"))
+        .select(F.posexplode("a").alias("cid", "t"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("t.q").alias("q"),
+        )
+    )
+    cents = seeds.select(
+        "cid",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct("
+                f"CAST(s AS INT) AS s, "
+                f"slice(q, s * {sub} + 1, {sub}) AS cq))"
+            )
+        ).alias("sc"),
+    ).select(F.col("sc.s").alias("s"), "cid", F.col("sc.cq").alias("cq"))
+    with model_fit_iterations(emb_q.sparkSession, shuffle_partitions=1):
+        for _ in range(iterations):
+            one = cents.groupBy().agg(
+                F.expr("array_sort(collect_list(struct(s, cid, cq)))")
+                .alias("css")
+            )
+            assigned = (
+                emb_q.join(F.broadcast(one))
+                .select(
+                    "q",
+                    F.explode(
+                        F.expr(
+                            f"transform(sequence(0, {m - 1}), s -> struct("
+                            "CAST(s AS INT) AS s, "
+                            "array_min(transform(filter(css, c -> c.s = s),"
+                            " c -> struct("
+                            + _pq_dist2(f"slice(q, s * {sub} + 1, {sub})",
+                                        "c.cq")
+                            + " AS dist2, c.cid AS cid))).cid AS cid))"
+                        )
+                    ).alias("sa"),
+                )
+                .select(
+                    F.col("sa.s").alias("s"),
+                    F.col("sa.cid").alias("cid"),
+                    "q",
+                )
+            )
+            dim_sums = (
+                assigned.select(
+                    "s", "cid",
+                    F.posexplode(
+                        F.expr(f"slice(q, s * {sub} + 1, {sub})")
+                    ).alias("pos", "val"),
+                )
+                .groupBy("s", "cid", "pos")
+                .agg(
+                    F.sum("val").alias("sm"),
+                    F.count(F.lit(1)).alias("c"),
+                )
+            )
+            new_cents = dim_sums.groupBy("s", "cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, sm, c))),"
+                    " t -> t.sm DIV t.c)"
+                ).alias("ncq")
+            )
+            cents = (
+                cents.join(new_cents, ["s", "cid"], "left")
+                .select("s", "cid", F.coalesce("ncq", "cq").alias("cq"))
+                .localCheckpoint(eager=False)
+            )
+    return cents
 
 
 def _pq_assign_all(
-    emb_q: DataFrame, models: list[DataFrame], dim: int, m: int
+    emb_q: DataFrame, cents: DataFrame, dim: int, m: int
 ) -> DataFrame:
     """All-subspace assignment in ONE narrow pass over the shared pin:
-    each codebook packs into a one-row broadcast (the
-    :func:`_assign_frame` construction), and each subspace's argmin is
-    a per-row codegen expression over ``slice(q, ...)``.  Returns
-    (vid, m0..m{m-1}) with ``m{s}`` a (dist2, cid) struct — zero
-    exchanges, zero unions on the corpus side."""
+    the combined (s, cid, cq) codebook packs into a single one-row
+    broadcast, and each subspace's argmin is a per-row codegen
+    expression over ``slice(q, ...)`` against its ``filter(css, ...)``
+    slice.  Returns (vid, m0..m{m-1}) with ``m{s}`` a (dist2, cid)
+    struct — one broadcast, zero exchanges, zero unions on the corpus
+    side."""
     sub = dim // m
-    row = emb_q
-    for s, model in enumerate(models):
-        packed = model.groupBy().agg(
-            F.expr("array_sort(collect_list(struct(cid, cq)))")
-            .alias(f"cs{s}")
-        )
-        row = row.join(F.broadcast(packed))
-    return row.select(
+    one = cents.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(s, cid, cq)))").alias("css")
+    )
+    return emb_q.join(F.broadcast(one)).select(
         "vid",
         *[
             F.expr(
-                f"array_min(transform(cs{s}, c -> struct("
-                f"aggregate(zip_with(slice(q, {s * sub + 1}, {sub}), c.cq,"
-                " (a, b) -> (a - b) * (a - b)),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
-                "c.cid AS cid)))"
+                f"array_min(transform(filter(css, c -> c.s = {s}),"
+                " c -> struct("
+                + _pq_dist2(f"slice(q, {s * sub + 1}, {sub})", "c.cq")
+                + " AS dist2, c.cid AS cid)))"
             ).alias(f"m{s}")
             for s in range(m)
         ],
+    )
+
+
+def _pq_tables(
+    queries: DataFrame, cents: DataFrame, q_in: str,
+    vec_col: str, dim: int, m: int,
+) -> DataFrame:
+    """Per-query ADC distance tables — |queries|·m·k rows from ONE
+    broadcast of the combined codebook exploded against the (small)
+    query side; quantize-then-slice equals the old slice-then-quantize
+    per subspace, so every distance is the same exact integer."""
+    sub = dim // m
+    one = cents.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(s, cid, cq)))").alias("css")
+    )
+    return (
+        queries.select(
+            F.col(q_in).alias("qid"), _quantize(vec_col).alias("qq")
+        )
+        .join(F.broadcast(one))
+        .select("qid", "qq", F.explode("css").alias("c"))
+        .select(
+            "qid",
+            F.col("c.s").alias("ts"),
+            F.col("c.cid").alias("cid"),
+            F.expr(
+                _pq_dist2(f"slice(qq, c.s * {sub} + 1, {sub})", "c.cq")
+            ).alias("d"),
+        )
     )
 
 
@@ -331,8 +445,9 @@ def pq_encode(
 
     Scale shape: the corpus is scanned ONCE and quantized into a
     shared pin (:func:`_pq_pin`); the m codebooks fit over lazy slice
-    pins of it (:func:`_pq_models` — k·d-row update shuffles, no
-    per-subspace corpus scan), and encoding is a SINGLE narrow map
+    (:func:`_pq_fit_all` — ONE fused Lloyd loop: one codebook
+    broadcast + one m·k·d-row shuffle per iteration for ALL m
+    subspaces), and encoding is a SINGLE narrow map
     over the pin with all m broadcast codebooks
     (:func:`_pq_assign_all`) — no union, no groupBy, zero exchanges
     on the corpus side.  The old shape paid m corpus scans + m eager
@@ -346,8 +461,8 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     emb_q = _pq_pin(embeddings, id_col, vec_col)
-    models = _pq_models(emb_q, dim, m, k, iterations)
-    enc = _pq_assign_all(emb_q, models, dim, m)
+    cents = _pq_fit_all(emb_q, dim, m, k, iterations)
+    enc = _pq_assign_all(emb_q, cents, dim, m)
     err = None
     for s in range(m):
         d = F.col(f"m{s}.dist2")
@@ -379,8 +494,8 @@ def pq_topk(
     the original vectors.
 
     Scale shape: the corpus is scanned ONCE into the shared quantized
-    pin (:func:`_pq_pin`); per-subspace codebooks fit over lazy slice
-    pins of it (:func:`_pq_models`), the (vid, subspace, code) frame is
+    pin (:func:`_pq_pin`); the m codebooks fit in ONE fused Lloyd loop
+    (:func:`_pq_fit_all`), the (vid, subspace, code) frame is
     ONE narrow pass over the pin (all m broadcast argmins at once, then
     a narrow posexplode — no per-subspace corpus scan, no m-way union);
     the distance tables are |queries|·m·k rows built by broadcasting
@@ -397,40 +512,18 @@ def pq_topk(
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     # the query frame keys by query_id_col when present (a frame keyed
     # "query_id" must not be read through the corpus' id_col)
     q_in = query_id_col if query_id_col in queries.columns else id_col
     emb_q = _pq_pin(embeddings, id_col, vec_col)
-    models = _pq_models(emb_q, dim, m, k, iterations)
-    codes = _pq_assign_all(emb_q, models, dim, m).select(
+    cents = _pq_fit_all(emb_q, dim, m, k, iterations)
+    codes = _pq_assign_all(emb_q, cents, dim, m).select(
         "vid",
         F.posexplode(
             F.array(*[F.col(f"m{s}.cid") for s in range(m)])
         ).alias("s", "code"),
     )
-    table_parts = []
-    for s, model in enumerate(models):
-        qsub = queries.select(
-            F.col(q_in).alias("qid"),
-            _quantize(
-                f"slice({vec_col}, {s * sub + 1}, {sub})"
-            ).alias("qq"),
-        )
-        table_parts.append(
-            qsub.crossJoin(F.broadcast(model)).select(
-                "qid",
-                F.lit(s).alias("ts"),
-                F.col("cid"),
-                F.expr(
-                    "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)),"
-                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-                ).alias("d"),
-            )
-        )
-    tables = table_parts[0]
-    for p in table_parts[1:]:
-        tables = tables.unionByName(p)
+    tables = _pq_tables(queries, cents, q_in, vec_col, dim, m)
     scored = (
         codes.join(
             F.broadcast(tables),
@@ -573,8 +666,8 @@ def ivf_pq_topk(
     Scale shape, piece by piece:
     * ONE corpus scan feeds everything: the shared quantized pin
       (:func:`_pq_pin`) seeds the coarse fit, the corpus cell
-      assignment, the m per-subspace codebook fits (lazy slice pins,
-      :func:`_pq_models`), and the code frame — the old shape paid a
+      assignment, the m per-subspace codebook fits (ONE fused Lloyd loop,
+      :func:`_pq_fit_all`), and the code frame — the old shape paid a
       parquet scan + eager pin per subspace plus two more for the
       coarse quantizer;
     * the query→cell probe ranks the ``n_cells``-row centroid frame
@@ -597,7 +690,6 @@ def ivf_pq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if not 1 <= n_probe <= n_cells:
         raise ValueError("need 1 <= n_probe <= n_cells")
-    sub = dim // m
     # the query frame keys by query_id_col when present (a frame keyed
     # "query_id" must not be read through the corpus' id_col)
     q_in = query_id_col if query_id_col in queries.columns else id_col
@@ -628,38 +720,16 @@ def ivf_pq_topk(
         .select("qid", F.col("cid").alias("cell"))
     )
     cands = probed.join(cells, "cell").select("qid", "vid")
-    # per-subspace PQ codebooks (lazy slice pins off the shared pin),
-    # codes in one narrow pass, and query ADC tables
-    models = _pq_models(emb_q, dim, m, k, iterations)
-    codes = _pq_assign_all(emb_q, models, dim, m).select(
+    # fused per-subspace PQ codebooks off the shared pin, codes in one
+    # narrow pass, and query ADC tables from one codebook broadcast
+    cents = _pq_fit_all(emb_q, dim, m, k, iterations)
+    codes = _pq_assign_all(emb_q, cents, dim, m).select(
         "vid",
         F.posexplode(
             F.array(*[F.col(f"m{s}.cid") for s in range(m)])
         ).alias("s", "code"),
     )
-    table_parts = []
-    for s, model in enumerate(models):
-        qsub = queries.select(
-            F.col(q_in).alias("qid"),
-            _quantize(
-                f"slice({vec_col}, {s * sub + 1}, {sub})"
-            ).alias("qq"),
-        )
-        table_parts.append(
-            qsub.crossJoin(F.broadcast(model)).select(
-                "qid",
-                F.lit(s).alias("ts"),
-                F.col("cid"),
-                F.expr(
-                    "aggregate(zip_with(qq, cq, (a, b) -> (a - b) * (a - b)),"
-                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-                ).alias("d"),
-            )
-        )
-    tables = table_parts[0]
-    for p in table_parts[1:]:
-        tables = tables.unionByName(p)
-    tables = tables.select(
+    tables = _pq_tables(queries, cents, q_in, vec_col, dim, m).select(
         F.col("qid").alias("tqid"), "ts", "cid", "d"
     )
     scored = (
