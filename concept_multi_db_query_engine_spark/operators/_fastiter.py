@@ -43,7 +43,11 @@ def model_fit_iterations(spark, shuffle_partitions: int | None = None):
     key = "spark.sql.adaptive.enabled"
     pkey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key, "true")
-    old_p = spark.conf.get(pkey, None) if shuffle_partitions else None
+    # conf.get(pkey) with no default returns the session's EFFECTIVE value
+    # (falling back to the 200 default) even when never explicitly set;
+    # conf.get(pkey, None) returns None in that case, which previously
+    # skipped the restore and leaked partitions=1 session-wide.
+    old_p = spark.conf.get(pkey) if shuffle_partitions else None
     spark.conf.set(key, "false")
     if shuffle_partitions:
         spark.conf.set(pkey, str(shuffle_partitions))
@@ -51,5 +55,8 @@ def model_fit_iterations(spark, shuffle_partitions: int | None = None):
         yield
     finally:
         spark.conf.set(key, old)
-        if shuffle_partitions and old_p is not None:
-            spark.conf.set(pkey, old_p)
+        if shuffle_partitions:
+            if old_p is not None:
+                spark.conf.set(pkey, old_p)
+            else:
+                spark.conf.unset(pkey)

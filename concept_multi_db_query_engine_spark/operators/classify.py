@@ -72,14 +72,15 @@ def logistic_train(
     any feature or the label is NULL are excluded (both engines).
 
     The label and every feature are projected to plain columns in ONE
-    projection BEFORE the null filter and the checkpoint: a WHERE with
-    d feature null-checks over derived expressions re-evaluates each
-    expression per check (no cross-predicate subexpression
-    elimination), which for array-pipeline features like the hashed
-    n-gram histogram multiplied a 4 s featurization into 134 s at
-    sf0.1.  Projecting first evaluates each feature exactly once;
-    storing-then-reading the double is value-identity, so weights are
-    bit-unchanged.
+    projection, that projection is CHECKPOINTED, and only then is the
+    null filter applied: a WHERE with d feature null-checks over
+    derived expressions re-evaluates each expression per check (filter
+    pushdown substitutes aliases with no cost guard, and there is no
+    cross-predicate subexpression elimination), which for
+    array-pipeline features like the hashed n-gram histogram
+    multiplied a 0.5 s featurization into ~11 s at sf0.1.  The
+    checkpoint is the pushdown barrier; storing-then-reading the
+    double is value-identity, so weights are bit-unchanged.
 
     Scale: driver traffic is ``iterations`` × (d+2) integers; each
     iteration is one scan + one map-side-combined aggregate. Returns
@@ -98,10 +99,20 @@ def logistic_train(
         *[F.expr(fx).alias(c)
           for c, fx in zip(cols, feature_exprs)],
     )
-    pinned = proj.where(
+    # Checkpoint BEFORE the null filter: a WHERE over the projected
+    # aliases is pushed back through every Project by the optimizer
+    # (alias substitution has no expression-cost guard), so each of the
+    # d+1 null checks re-evaluates its full feature pipeline — for
+    # HOF-heavy features (hashed n-gram fold, token filters) that
+    # multiplied this one pass ~20x (measured 10.7 s vs 0.5 s at
+    # sf0.1).  The checkpoint is a pushdown barrier: the filter then
+    # reads plain stored doubles.  Same rows survive, so weights are
+    # bit-identical; the extra storage is the (rare) all-null rows.
+    mat = proj.localCheckpoint(eager=True)
+    pinned = mat.where(
         " AND ".join(["__y IS NOT NULL"]
                      + [f"{c} IS NOT NULL" for c in cols])
-    ).localCheckpoint(eager=True)
+    )
     # the loop pays a fixed per-task cost EVERY iteration — bound its
     # task count by the (now known) row count; identity at corpus scale
     from ._scaleout import loop_width
@@ -144,7 +155,7 @@ def logistic_train(
             for j in range(len(w)):
                 sj = int(row[f"s{j}"])
                 w[j] = w[j] + lr * ((sj / float(_Q)) / n)
-    pinned.unpersist()
+    mat.unpersist()
     return w
 
 
@@ -366,13 +377,23 @@ def quantile_regression_train(
         raise ValueError("tau must be in (0, 1)")
     from ._scaleout import fan_out
 
-    df = fan_out(df)  # logistic_train rationale: parallel iterations
-    pinned = df.where(
-        " AND ".join(
-            [f"({target_expr}) IS NOT NULL"]
-            + [f"({fx}) IS NOT NULL" for fx in feature_exprs]
-        )
-    ).localCheckpoint(eager=True)
+    d = len(feature_exprs)
+    cols = [f"__f{j}" for j in range(1, d + 1)]
+    # project target + features ONCE, checkpoint, then null-filter on
+    # the stored columns (the logistic_train discipline: the checkpoint
+    # is a filter-pushdown barrier, and the loop below reads plain
+    # doubles instead of re-evaluating every feature expression each
+    # iteration).  Stored double == computed double, so weights are
+    # bit-identical.
+    proj = fan_out(df).select(
+        F.expr(f"CAST(({target_expr}) AS DOUBLE)").alias("__t"),
+        *[F.expr(fx).alias(c) for c, fx in zip(cols, feature_exprs)],
+    )
+    mat = proj.localCheckpoint(eager=True)
+    pinned = mat.where(
+        " AND ".join(["__t IS NOT NULL"]
+                     + [f"{c} IS NOT NULL" for c in cols])
+    )
     # bound the loop's per-iteration task count by the known row count
     # (fixed per-task cost x iterations; identity at corpus scale)
     from ._scaleout import loop_width
@@ -388,17 +409,13 @@ def quantile_regression_train(
 
     with model_fit_iterations(df.sparkSession):
         for _ in range(iterations):
-            z = _dot_sql(w, feature_exprs)
+            z = _dot_sql(w, cols)
             grad = (
                 f"(CAST({tau!r} AS DOUBLE) - CASE WHEN "
-                f"CAST(({target_expr}) AS DOUBLE) < {z} THEN 1.0d "
+                f"__t < {z} THEN 1.0d "
                 "ELSE 0.0d END)"
             )
-            staged = base.select(
-                F.expr(grad).alias("__g"),
-                *[F.expr(fx).alias(f"__f{j}")
-                  for j, fx in enumerate(feature_exprs, start=1)],
-            )
+            staged = base.select(F.expr(grad).alias("__g"), *cols)
             aggs = [F.count(F.lit(1)).cast("long").alias("n")]
             aggs.append(
                 F.expr(f"sum(CAST(round(__g * {_Q}.0d) AS BIGINT))")
@@ -416,6 +433,7 @@ def quantile_regression_train(
                     "quantile_regression_train: no usable rows")
             for j in range(len(w)):
                 w[j] = w[j] + lr * ((int(row[f"s{j}"]) / float(_Q)) / n)
+    mat.unpersist()
     return w
 
 
@@ -583,8 +601,15 @@ def feature_auc_report(
         [(i, nm) for i, nm in enumerate(names)],
         "__fi INT, feature STRING",
     )
+    # coalesce the joined counts: a feature with zero usable values has
+    # no `per` row, and the pre-r14 per-feature aggregate contract was
+    # n_neg = n_pos = 0 (auc/abs_signal stay NULL) in that degenerate
+    # case, not NULL counts
     return names_df.join(per, "__fi", "left").select(
-        "feature", "n_neg", "n_pos", "auc", "abs_signal"
+        "feature",
+        F.coalesce(F.col("n_neg"), F.lit(0).cast("long")).alias("n_neg"),
+        F.coalesce(F.col("n_pos"), F.lit(0).cast("long")).alias("n_pos"),
+        "auc", "abs_signal",
     )
 
 

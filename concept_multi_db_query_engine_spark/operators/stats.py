@@ -44,6 +44,33 @@ from pyspark.sql import functions as F
 # 38 when raising it (p<=19 with scale 4 is safe).
 _DEC = "decimal(12,4)"
 
+# Loud-validation escape hatch for the ``known_groups`` fast paths:
+# when True, every operator that accepts a caller-declared group enum
+# runs one bounded probe and raises if rows outside the declared enum
+# exist (or, for dunns_test, if the true cardinality exceeds the
+# declared trust), instead of silently excluding them.  Off by
+# default — the entry's TPC-H priority enum is complete by public
+# spec (TPC-H §4.2.3) and oracle-exact at two SFs; the flag exists so
+# non-spec callers can opt into the loud path without paying the
+# probe scan in the spec-complete case.
+VALIDATE_KNOWN_GROUPS = False
+
+
+def _assert_known_groups_complete(base, col, allowed, fn: str) -> None:
+    """When :data:`VALIDATE_KNOWN_GROUPS` is set, raise if ``base``
+    holds any row whose ``col`` value is outside ``allowed`` (one
+    limit(1)-bounded job; a no-op otherwise)."""
+    if not VALIDATE_KNOWN_GROUPS:
+        return
+    extra = base.where(~F.col(col).isin(list(allowed))).limit(1).count()
+    if extra:
+        raise ValueError(
+            f"{fn}: known_groups is incomplete — rows with group "
+            "values outside the declared enum exist and would be "
+            "silently excluded; fix the enum or drop known_groups "
+            "to use the probed path"
+        )
+
 
 def _m(col: str, dec: str = _DEC):
     return F.col(col).cast(dec)
@@ -6829,6 +6856,8 @@ def jonckheere_terpstra(
                 f"jonckheere_terpstra: known_groups has "
                 f"{len(scores)} entries > max_groups={max_groups}"
             )
+        _assert_known_groups_complete(
+            base, "g", scores, "jonckheere_terpstra")
     else:
         # limit(max_groups+1) bounds BOTH the driver transfer and the
         # probe to one job; one extra row proves the contract broken
@@ -6935,6 +6964,10 @@ def dunns_test(
                 f"{len(set(known_groups))} entries "
                 f"> max_groups={max_groups}"
             )
+        _assert_known_groups_complete(
+            df.where(f"({group_col}) IS NOT NULL")
+            .select(F.expr(f"CAST(({group_col}) AS STRING)").alias("g")),
+            "g", sorted({str(v) for v in known_groups}), "dunns_test")
     else:
         # limit(max_groups+1) bounds BOTH the driver transfer and the
         # probe scan itself — one extra row proves the overflow
@@ -7795,6 +7828,7 @@ def bradley_terry(
                 f"bradley_terry: known_groups has {len(groups)} "
                 f"entries > max_groups={max_groups}"
             )
+        _assert_known_groups_complete(base, "g", groups, "bradley_terry")
     else:
         # limit(max_groups+1) bounds BOTH the driver transfer and the
         # probe to one job; one extra row proves the contract broken
@@ -7965,6 +7999,8 @@ def elo_preference_ratings(
                 f"elo_preference_ratings: known_groups has "
                 f"{len(groups)} entries > max_groups={max_groups}"
             )
+        _assert_known_groups_complete(
+            base, "g", groups, "elo_preference_ratings")
     else:
         g_rows = base.select("g").distinct().limit(
             max_groups + 1).collect()

@@ -61,6 +61,12 @@ class TestKmvNgramTwoLevelTopK:
                 break
             if "Exchange" in ln:
                 assert "RoundRobinPartitioning" in ln, ln
+        # the shared fan-out exchange must actually be SHARED: the
+        # executed section needs a ReusedExchange (a regression to
+        # per-branch re-execution would keep the RoundRobin lines but
+        # run the tokenized projection once per aggregate branch)
+        executed_section = plan.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in executed_section, plan
 
 
 class TestVocabRichnessScale:
