@@ -440,9 +440,20 @@ def hourly_anomaly(
     )
 
 
+# Small-frame fast path ceiling for distributed_group_quantiles: when a
+# caller PROVES its input is at most this many rows, the exact quantile
+# is one `percentile` aggregation (a single partial-aggregated exchange)
+# instead of the 5-stage rank-routing machinery.  4M doubles is ~32 MB
+# in one aggregation buffer — comfortably single-task territory; the
+# threshold compares against a caller-supplied bound, so the corpus-
+# scale plan is untouched wherever no bound exists (or it is larger).
+SMALL_FRAME_MAX_ROWS = 4_000_000
+
+
 def distributed_group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float],
     round_to: int | None = 4,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """EXACT per-group linear-interpolation quantiles (SQL
     ``percentile_cont`` semantics) without ever sorting a whole group in
@@ -483,8 +494,55 @@ def distributed_group_quantiles(
     partitions once (MEMORY_AND_DISK on executors) and both jobs read the
     same physical data. Trade-off: a lost executor fails the query loudly
     (no lineage to rebuild from) instead of risking silent re-bucketing.
+
+    ``max_rows`` — small-frame fast path.  When the caller PROVES an
+    upper bound on the input row count (a count probe it already ran, or
+    an arithmetic consequence of one — e.g. Theil–Sen's n·(n−1)/2 pair
+    bound from its counted point frame) AND the bound is at most
+    :data:`SMALL_FRAME_MAX_ROWS`, the quantiles come from ONE
+    ``sort_array(collect_list(...))`` aggregation: a single partial-
+    aggregated exchange instead of checkpoint + counts + routing + rank
+    tag + pick (≈8 AQE stages).  The interpolation applies the
+    IDENTICAL ``lo + (coalesce(hi, lo) − lo)·frac`` expression tree as
+    the slow path (NOT Spark's ``percentile`` aggregate, whose
+    ``(1−frac)·lo + frac·hi`` form differs by an ULP on some inputs),
+    so values are bit-identical for the null-free inputs the bound
+    contract requires (the rank-routing path ranks NULLs first as NaN
+    while ``collect_list`` drops them — callers passing ``max_rows``
+    must have null-filtered ``value_col``, which every wired call site
+    does).  With ``max_rows=None`` (default) or a bound above the
+    ceiling the corpus-scale plan is byte-for-byte unchanged.
     """
     from pyspark.sql import types as T
+
+    if max_rows is not None and max_rows <= SMALL_FRAME_MAX_ROWS:
+        # NOT Spark's `percentile` aggregate: its interpolation is
+        # (1-frac)*lo + frac*hi, which differs from the machinery's
+        # lo + (hi-lo)*frac by an ULP on some inputs (measured).  Sort
+        # the group's values into one array and apply the IDENTICAL
+        # expression tree the slow path aggregates, so both paths are
+        # bit-exact for any input.
+        picked = df.groupBy(group_col).agg(
+            F.sort_array(
+                F.collect_list(F.col(value_col).cast("double"))
+            ).alias("__arr")
+        )
+        n_d = F.size("__arr").cast("double")
+        outs = []
+        for i, p in enumerate(probs):
+            pos = F.lit(float(p)) * (n_d - 1)
+            lo_i = F.floor(pos).cast("long")
+            frac = pos - F.floor(pos)
+            lo = F.element_at("__arr", (lo_i + 1).cast("int"))
+            hi = F.when(
+                frac > 0, F.element_at("__arr", (lo_i + 2).cast("int"))
+            )
+            raw = lo + (F.coalesce(hi, lo) - lo) * frac
+            outs.append(
+                (raw if round_to is None else F.round(raw, round_to))
+                .alias(f"q{i}")
+            )
+        return picked.select(group_col, *outs)
 
     sort_exprs = [F.col(group_col).asc(), F.col(value_col).asc()]
     tagged = (

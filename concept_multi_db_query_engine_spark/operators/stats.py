@@ -1249,15 +1249,22 @@ def theil_sen(
     # those references re-ran the slope quantile's whole consumption
     # pipeline (counts, rank routing, tag join, interpolation).  A
     # 1-row localCheckpoint makes it run exactly once, at any scale.
-    slope = distributed_group_quantiles(pairs, "__g", "__v", [0.5]) \
-        .select(F.col("q0").alias("__slope")) \
+    # the count probe above PROVES the pair/residual row bounds, so both
+    # medians ride the small-frame percentile fast path whenever the
+    # bound fits (raising max_points past the ceiling automatically
+    # falls back to the rank-routing machinery)
+    slope = distributed_group_quantiles(
+        pairs, "__g", "__v", [0.5],
+        max_rows=n_probe * (n_probe - 1) // 2,
+    ).select(F.col("q0").alias("__slope")) \
         .localCheckpoint(eager=True)
     resid = pts.crossJoin(F.broadcast(slope)).select(
         F.lit(0).alias("__g"),
         (F.col("__y") - F.col("__slope") * F.col("__x")).alias("__v"),
     )
-    intercept = distributed_group_quantiles(resid, "__g", "__v", [0.5]) \
-        .select(F.col("q0").alias("__icpt"))
+    intercept = distributed_group_quantiles(
+        resid, "__g", "__v", [0.5], max_rows=n_probe,
+    ).select(F.col("q0").alias("__icpt"))
     n_pts = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     n_prs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
@@ -1307,6 +1314,11 @@ def seasonal_decompose(
         F.col(value_col).cast("double").alias("value"),
     ).where(F.col("idx").isNotNull() & F.col("value").isNotNull()) \
         .localCheckpoint(eager=True)
+    # count the pinned series once (cheap: already materialized): the
+    # detrended frame has exactly one row per point, so the bound routes
+    # the per-season medians onto the small-frame percentile fast path
+    # whenever the series fits
+    n_pts = pts.count()
     line = theil_sen(pts, "idx", "idx", "value").select(
         "slope", F.col("intercept").alias("icpt")
     )
@@ -1322,7 +1334,7 @@ def seasonal_decompose(
     seas = distributed_group_quantiles(
         det.select(F.col("season").alias("__g"),
                    F.col("__det").alias("__v")),
-        "__g", "__v", [0.5],
+        "__g", "__v", [0.5], max_rows=n_pts,
     ).select(F.col("__g").alias("season"), F.col("q0").alias("seasonal")) \
         .localCheckpoint(eager=True)
     # + 0.0 maps -0.0 -> 0.0 so both engines render zero identically
@@ -1418,6 +1430,9 @@ def seasonal_forecast(
         F.col(value_col).cast("double").alias("value"),
     ).where(F.col("idx").isNotNull() & F.col("value").isNotNull()) \
         .localCheckpoint(eager=True)
+    # counted-once bound (pinned frame): routes the per-season medians
+    # onto the small-frame percentile fast path whenever the series fits
+    n_pts = pts.count()
     line = theil_sen(pts, "idx", "idx", "value").select(
         "slope", F.col("intercept").alias("icpt")
     )
@@ -1426,7 +1441,8 @@ def seasonal_forecast(
         (F.col("value") - (F.col("slope") * F.col("idx") + F.col("icpt")))
         .alias("__det"),
     )
-    seas = _group_medians(det, "season", "__det", "seasonal")
+    seas = _group_medians(det, "season", "__det", "seasonal",
+                          max_rows=n_pts)
     future = (
         pts.agg(F.max("idx").cast("long").alias("__mx"))
         .select(
@@ -1457,10 +1473,12 @@ def seasonal_forecast(
 
 
 def _group_medians(
-    df: DataFrame, group_col: str, value_col: str, out_col: str
+    df: DataFrame, group_col: str, value_col: str, out_col: str,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Per-group exact median (round-4) — the seasonal-profile reduction
-    shared by decompose and forecast."""
+    shared by decompose and forecast.  ``max_rows`` forwards a caller-
+    proven row bound to the small-frame fast path."""
     from .analytics import distributed_group_quantiles
 
     # pinned for the same reason as decompose's profile: one row per
@@ -1468,7 +1486,7 @@ def _group_medians(
     return distributed_group_quantiles(
         df.select(F.col(group_col).alias("__g"),
                   F.col(value_col).alias("__v")),
-        "__g", "__v", [0.5],
+        "__g", "__v", [0.5], max_rows=max_rows,
     ).select(F.col("__g").alias(group_col), F.col("q0").alias(out_col)) \
         .localCheckpoint(eager=True)
 
@@ -1498,10 +1516,14 @@ def seasonal_anomaly(
         .localCheckpoint(eager=True)
     from .analytics import distributed_group_quantiles
 
+    # counted-once bound (pinned decomposition, one row per period;
+    # residuals are non-null fixed-shape arithmetic): both medians ride
+    # the small-frame percentile fast path whenever the series fits
+    n_dec = dec.count()
     med = distributed_group_quantiles(
         dec.select(F.lit("all").alias("__g"),
                    F.col("residual").alias("__v")),
-        "__g", "__v", [0.5],
+        "__g", "__v", [0.5], max_rows=n_dec,
     ).select(F.col("q0").alias("__med"))
     absdev = dec.crossJoin(F.broadcast(med)).select(
         "idx", "season", "value", "trend", "seasonal", "residual",
@@ -1512,7 +1534,7 @@ def seasonal_anomaly(
     mad = distributed_group_quantiles(
         absdev.select(F.lit("all").alias("__g"),
                       F.col("__ad").alias("__v")),
-        "__g", "__v", [0.5],
+        "__g", "__v", [0.5], max_rows=n_dec,
     ).select(F.col("q0").alias("__mad"))
     return absdev.crossJoin(F.broadcast(mad)).select(
         "idx", "season", "value", "trend", "seasonal", "residual",
@@ -3416,7 +3438,12 @@ def hodges_lehmann(
         F.lit(0).alias("__g"),
         ((F.col("a.__x") + F.col("b.__x")) / F.lit(2.0)).alias("__v"),
     )
-    med = distributed_group_quantiles(walsh, "__g", "__v", [0.5])
+    # the count probe above PROVES the Walsh-frame bound — the median
+    # rides the small-frame percentile fast path whenever it fits
+    med = distributed_group_quantiles(
+        walsh, "__g", "__v", [0.5],
+        max_rows=n_probe * (n_probe + 1) // 2,
+    )
     return med.select(
         F.lit(n_probe).cast("long").alias("n_points"),
         F.lit(n_probe * (n_probe + 1) // 2).cast("long")

@@ -148,3 +148,53 @@ class TestFeatureAucDegenerate:
         assert out["f_null"]["auc"] is None
         assert out["f_ok"]["n_neg"] == 1
         assert out["f_ok"]["n_pos"] == 2
+
+
+class TestQuantileSmallFrameFastPath:
+    def _frame(self, spark, seed=7):
+        import random
+
+        rnd = random.Random(seed)
+        rows = [(g, round(rnd.uniform(-50, 50), 6))
+                for g in ("a", "b", "c") for _ in range(rnd.randint(37, 211))]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_fast_path_matches_machinery_exactly(self, spark):
+        # same groups, same probs: the percentile fast path must agree
+        # with the rank-routing machinery to the last bit (identical
+        # pos = p*(n-1) floor/ceil interpolation)
+        df = self._frame(spark)
+        probs = [0.1, 0.5, 0.9, 0.99]
+        slow = {r["g"]: tuple(r[f"q{i}"] for i in range(len(probs)))
+                for r in ops.distributed_group_quantiles(
+                    df, "g", "v", probs).collect()}
+        fast = {r["g"]: tuple(r[f"q{i}"] for i in range(len(probs)))
+                for r in ops.distributed_group_quantiles(
+                    df, "g", "v", probs, max_rows=1000).collect()}
+        assert slow == fast
+
+    def test_fast_path_matches_unrounded(self, spark):
+        df = self._frame(spark, seed=13)
+        slow = {r["g"]: r["q0"] for r in ops.distributed_group_quantiles(
+            df, "g", "v", [0.37], round_to=None).collect()}
+        fast = {r["g"]: r["q0"] for r in ops.distributed_group_quantiles(
+            df, "g", "v", [0.37], round_to=None, max_rows=1000).collect()}
+        assert slow == fast  # bit-exact, unrounded doubles
+
+    def test_fast_path_plan_has_no_python_boundary(self, spark):
+        df = self._frame(spark)
+        fast = ops.distributed_group_quantiles(
+            df, "g", "v", [0.5], max_rows=1000)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "mapInPandas" not in plan
+
+    def test_bound_above_ceiling_keeps_machinery(self, spark):
+        from concept_multi_db_query_engine_spark.operators import analytics
+
+        df = self._frame(spark)
+        slow = ops.distributed_group_quantiles(
+            df, "g", "v", [0.5],
+            max_rows=analytics.SMALL_FRAME_MAX_ROWS + 1)
+        plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan or "mapInPandas" in plan
