@@ -420,6 +420,37 @@ def _pq_tables(
     )
 
 
+def _pq_table_maps(
+    queries: DataFrame, cents: DataFrame, q_in: str,
+    vec_col: str, dim: int, m: int,
+) -> DataFrame:
+    """One row per query: the ADC distance table folded into a MAP
+    keyed ``s·65536 + cid`` (every (s, cid) the codebook holds — a
+    candidate's code is always a codebook cid, so lookups never miss).
+    Lets scoring compute a candidate's full ADC sum INLINE from its
+    m-code array instead of joining m exploded code rows against m·k
+    table rows and re-aggregating per (query, vector)."""
+    return _pq_tables(queries, cents, q_in, vec_col, dim, m) \
+        .groupBy("qid").agg(
+            F.map_from_entries(F.collect_list(F.struct(
+                (F.col("ts").cast("bigint") * 65536
+                 + F.col("cid").cast("bigint")).alias("key"),
+                F.col("d").alias("value"),
+            ))).alias("__tab")
+        )
+
+
+def _pq_adc_expr(m: int) -> str:
+    """Inline ADC sum: m exact-integer map lookups folded in subspace
+    order (BIGINT addition — order-free, so it equals the old
+    ``sum(d)`` over joined rows bit-for-bit)."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) -> "
+        "acc + element_at(__tab, CAST(s AS BIGINT) * 65536 + "
+        "CAST(element_at(__codes, s + 1) AS BIGINT)))"
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     dim: int,
@@ -517,20 +548,17 @@ def pq_topk(
     q_in = query_id_col if query_id_col in queries.columns else id_col
     emb_q = _pq_pin(embeddings, id_col, vec_col)
     cents = _pq_fit_all(emb_q, dim, m, k, iterations)
+    # inline ADC: one code ARRAY per vid crossed with the broadcast
+    # per-query table MAP, the m lookups summed in a codegen fold — no
+    # posexplode, no m-way join blowup, no (qid, vid) re-aggregation
+    # exchange (the old shape's only non-broadcast shuffle here)
     codes = _pq_assign_all(emb_q, cents, dim, m).select(
         "vid",
-        F.posexplode(
-            F.array(*[F.col(f"m{s}.cid") for s in range(m)])
-        ).alias("s", "code"),
+        F.array(*[F.col(f"m{s}.cid") for s in range(m)]).alias("__codes"),
     )
-    tables = _pq_tables(queries, cents, q_in, vec_col, dim, m)
-    scored = (
-        codes.join(
-            F.broadcast(tables),
-            (codes["s"] == tables["ts"]) & (codes["code"] == tables["cid"]),
-        )
-        .groupBy("qid", "vid")
-        .agg(F.sum("d").alias("adc_dist2"))
+    tabs = _pq_table_maps(queries, cents, q_in, vec_col, dim, m)
+    scored = codes.crossJoin(F.broadcast(tabs)).select(
+        "qid", "vid", F.expr(_pq_adc_expr(m)).alias("adc_dist2"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("adc_dist2").asc(), F.col("vid").asc()
@@ -721,26 +749,22 @@ def ivf_pq_topk(
     )
     cands = probed.join(cells, "cell").select("qid", "vid")
     # fused per-subspace PQ codebooks off the shared pin, codes in one
-    # narrow pass, and query ADC tables from one codebook broadcast
+    # narrow pass; ADC is INLINE — each candidate joins its m-code
+    # array (one keyed join on vid) and the broadcast per-query table
+    # map, and the m lookups sum in a codegen fold.  The old shape
+    # exploded codes to m rows, multiplied them through a 3-condition
+    # broadcast join against the m·k table rows, and re-aggregated per
+    # (qid, vid) — an extra exchange of |cands|·m rows, both removed.
     cents = _pq_fit_all(emb_q, dim, m, k, iterations)
     codes = _pq_assign_all(emb_q, cents, dim, m).select(
         "vid",
-        F.posexplode(
-            F.array(*[F.col(f"m{s}.cid") for s in range(m)])
-        ).alias("s", "code"),
+        F.array(*[F.col(f"m{s}.cid") for s in range(m)]).alias("__codes"),
     )
-    tables = _pq_tables(queries, cents, q_in, vec_col, dim, m).select(
-        F.col("qid").alias("tqid"), "ts", "cid", "d"
-    )
+    tabs = _pq_table_maps(queries, cents, q_in, vec_col, dim, m)
     scored = (
         cands.join(codes, "vid")
-        .join(
-            F.broadcast(tables),
-            (F.col("s") == F.col("ts")) & (F.col("code") == F.col("cid"))
-            & (F.col("qid") == F.col("tqid")),
-        )
-        .groupBy("qid", "vid")
-        .agg(F.sum("d").alias("adc_dist2"))
+        .join(F.broadcast(tabs), "qid")
+        .select("qid", "vid", F.expr(_pq_adc_expr(m)).alias("adc_dist2"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("adc_dist2").asc(), F.col("vid").asc()
