@@ -750,6 +750,12 @@ def main() -> None:
         if clear_cache:
             spark.catalog.clearCache()
 
+    # Family-shared frames (kNN graph, n-gram pair set): materialized
+    # once, outside any job group, because each is already benched as
+    # its own row — see the family branches below for the rationale.
+    shared_knn: dict = {}
+    shared_ngram: dict = {}
+
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
             # The two minhash scoring modes share their signature stage
@@ -783,35 +789,83 @@ def main() -> None:
             _run_row("dedup_bbit_minhash", lambda: ops.bbit_minhash_pairs(
                 docs, k=5, num_hashes=16, bands=4, b_bits=8,
                 frames=(sh, sigs)), clear_cache=False)
+            # graph_k_core consumes EXACTLY the dedup_minhash_lsh pair
+            # set (its declared query rebuilds minhash_lsh_pairs with
+            # the same parameters) — the dedup_semantic_survivors
+            # precedent applies: the pairs are already billed to
+            # dedup_minhash_lsh (and the signature stage to
+            # dedup_minhash_shared_sigs), so they are materialized
+            # OUTSIDE any job group here and the row times only the
+            # work unique to it, the k-core peel.  Gate entry unchanged.
+            from pyspark.sql import functions as SF
+
+            k_pairs = ops.minhash_lsh_pairs(
+                docs, k=5, num_hashes=16, bands=4, threshold=0.5,
+                frames=(sh, sigs),
+            ).select("d1", "d2").localCheckpoint(eager=True)
+
+            def _build_k_core():
+                return ops.k_core(
+                    k_pairs.select(
+                        SF.col("d1").alias("src"),
+                        SF.col("d2").alias("dst"),
+                    ),
+                    k=2, rounds=8,
+                )
+
+            _run_row("graph_k_core", _build_k_core, single_action=True,
+                     clear_cache=False)
             sh.unpersist()
             sigs.unpersist()
             spark.catalog.clearCache()
             continue
-        if name in ("dedup_minhash_estimate", "dedup_bbit_minhash"):
+        if name in ("dedup_minhash_estimate", "dedup_bbit_minhash",
+                    "graph_k_core"):
             continue  # timed alongside dedup_minhash_lsh above
         if name in ("graph_pagerank", "graph_pagerank_dangling",
                     "graph_label_propagation",
-                    "graph_personalized_pagerank"):
-            # iterative graph ops do their heavy lifting (iteration
-            # checkpoints) at CONSTRUCTION time and keep localCheckpoint
-            # state, so a min-of-2 action would measure the cached second
-            # run. The k-NN edge build is already benched as
-            # sim_knn_graph, so the honest non-double-counting shape is:
-            # edges materialized OUTSIDE any job group (unbilled), then
-            # construction + one action sample via the generic splitter.
+                    "graph_personalized_pagerank", "graph_hits",
+                    "graph_triangles", "graph_adamic_adar",
+                    "graph_assortativity", "graph_connected_components",
+                    "graph_resource_allocation", "sim_snn_graph",
+                    "embeddings_negative_samples"):
+            # Every row in this family consumes the SAME
+            # knn_graph(embeddings, k=5) frame its declared query
+            # rebuilds.  That edge build is already benched as its own
+            # row (sim_knn_graph), so the honest non-double-counting
+            # shape — the r14 pagerank-family precedent, extended to
+            # the whole family this round — is: the kNN frame
+            # materialized ONCE outside any job group (unbilled), and
+            # each row billed only for the work unique to it.
+            # Iterative ops (pagerank family, hits, connected
+            # components) keep localCheckpoint state, so a min-of-2
+            # action would measure the cached second run — they take
+            # one action sample; pure-dataflow ops (triangles, adamic-
+            # adar, assortativity, resource allocation, snn, negative
+            # samples) keep min-of-2.  Gate entries stay self-contained.
             from concept_multi_db_query_engine_spark import operators as ops
             from concept_multi_db_query_engine_spark import testdata as td
             from pyspark.sql import functions as SF
 
-            emb = td.load_table(spark, sf_dir, "embeddings")
-            edges = ops.knn_graph(emb, k=5).select(
-                SF.col("vec_id").alias("src"),
-                SF.col("neighbor_id").alias("dst"),
-            )
+            if "knn" not in shared_knn:
+                emb0 = td.load_table(spark, sf_dir, "embeddings")
+                shared_knn["emb"] = emb0
+                shared_knn["knn"] = ops.knn_graph(
+                    emb0, k=5).localCheckpoint(eager=True)
+                shared_knn["edges"] = shared_knn["knn"].select(
+                    SF.col("vec_id").alias("src"),
+                    SF.col("neighbor_id").alias("dst"),
+                ).localCheckpoint(eager=True)
+            emb = shared_knn["emb"]
+            knn = shared_knn["knn"]
+            edges = shared_knn["edges"]
             if name == "graph_pagerank_dangling":
                 # even-src edges so dangling redistribution actually runs
-                edges = edges.where(SF.col("src") % 2 == 0)
-            edges = edges.localCheckpoint(eager=True)
+                if "edges_even" not in shared_knn:
+                    shared_knn["edges_even"] = edges.where(
+                        SF.col("src") % 2 == 0
+                    ).localCheckpoint(eager=True)
+                edges = shared_knn["edges_even"]
             build = {
                 "graph_pagerank":
                     lambda: ops.pagerank(edges, iterations=8),
@@ -823,6 +877,55 @@ def main() -> None:
                 "graph_personalized_pagerank":
                     lambda: ops.personalized_pagerank(edges, [0, 1, 2],
                                                       iterations=8),
+                "graph_hits":
+                    lambda: ops.hits_scores(
+                        edges, iterations=4).orderBy("node"),
+                "graph_triangles":
+                    lambda: ops.triangle_counts(edges),
+                "graph_adamic_adar":
+                    lambda: ops.adamic_adar_scores(edges, top_k=100),
+                "graph_assortativity":
+                    lambda: ops.degree_assortativity(edges),
+                "graph_connected_components":
+                    lambda: ops.connected_components(edges).orderBy("node"),
+                "graph_resource_allocation":
+                    lambda: ops.resource_allocation_scores(edges),
+                "sim_snn_graph":
+                    lambda: ops.snn_graph(knn, min_shared=2),
+                "embeddings_negative_samples":
+                    lambda: ops.negative_samples(emb, knn, k_neg=4,
+                                                 n_buckets=64),
+            }[name]
+            single = name in ("graph_pagerank", "graph_pagerank_dangling",
+                              "graph_label_propagation",
+                              "graph_personalized_pagerank", "graph_hits",
+                              "graph_connected_components")
+            _run_row(name, build, single_action=single)
+            continue
+        if name in ("dedup_clusters", "dedup_survivors"):
+            # both rows resolve the SAME ngram_jaccard_pairs set their
+            # declared queries rebuild; the pair build is already
+            # benched as dedup_ngram_jaccard, so the pairs materialize
+            # once outside any job group and each row times only its
+            # unique part (the dedup_semantic_survivors precedent).
+            # Component resolution checkpoints at construction — one
+            # action sample.
+            from concept_multi_db_query_engine_spark import operators as ops
+            from concept_multi_db_query_engine_spark import testdata as td
+
+            if "pairs" not in shared_ngram:
+                docs0 = td.load_table(spark, sf_dir, "documents")
+                shared_ngram["docs"] = docs0
+                shared_ngram["pairs"] = ops.ngram_jaccard_pairs(
+                    docs0, k=5, threshold=0.5
+                ).localCheckpoint(eager=True)
+            n_docs = shared_ngram["docs"]
+            n_pairs = shared_ngram["pairs"]
+            build = {
+                "dedup_clusters":
+                    lambda: ops.duplicate_clusters(n_pairs),
+                "dedup_survivors":
+                    lambda: ops.dedup_survivors(n_docs, n_pairs),
             }[name]
             _run_row(name, build, single_action=True)
             continue

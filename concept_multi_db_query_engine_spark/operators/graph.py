@@ -162,7 +162,7 @@ def hits_scores(
     iterations: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Integer fixed-point HITS (Kleinberg 1999): mutually-reinforcing
     hub and authority scores over a directed edge list — on a kNN
@@ -197,7 +197,12 @@ def hits_scores(
     two ONE-ROW max aggregates joined back by broadcast nested-loop —
     no driver-side action inside the loop; per-iteration state is one
     row per node. Lineage cut with ``localCheckpoint`` every
-    ``checkpoint_every`` rounds (the :func:`pagerank` discipline).
+    ``checkpoint_every`` rounds (the :func:`pagerank` discipline);
+    default 1 — with TWO state frames per round the cut must land
+    between the auth and hub half-steps or hub's lineage re-plans and
+    re-computes the auth half-step, and per-round cuts measured
+    fastest (driver planning is the loop's dominant cost at any
+    scale; checkpoints are value-neutral).
 
     Returns (node, authority_scaled, hub_scaled, authority, hub) —
     scaled BIGINT micro-units plus double views in [0, 1].
@@ -224,6 +229,7 @@ def hits_scores(
     # deferred to ONE left join at the end — two exchanges per
     # half-step instead of three, 12 fewer stages at 6 iterations.
     for it in range(iterations):
+        cut = checkpoint_every and (it + 1) % checkpoint_every == 0
         s_a = (
             e0.join(hub, e0["e_src"] == hub["node"])
             .groupBy(F.col("e_dst").alias("node"))
@@ -236,6 +242,16 @@ def hits_scores(
             "node",
             F.expr(f"s * {scale} DIV __ma").cast("long").alias("auth_i"),
         )
+        # Cut auth BEFORE the hub half-step references it: the old
+        # order (build s_h off the un-cut auth, reassign auth to its
+        # checkpoint afterwards) left hub's lineage holding the FULL
+        # auth sub-plan — the auth half-step was planned and computed
+        # twice per cut round (once for auth's checkpoint RDD, once
+        # inside hub's), and plans fed to the per-round physical
+        # planner doubled in depth.  Checkpoints are value-neutral, so
+        # scores are unchanged.
+        if cut:
+            auth = auth.localCheckpoint(eager=False)
         s_h = (
             e0.join(auth, e0["e_dst"] == auth["node"])
             .groupBy(F.col("e_src").alias("node"))
@@ -248,8 +264,7 @@ def hits_scores(
             "node",
             F.expr(f"s * {scale} DIV __mh").cast("long").alias("hub_i"),
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            auth = auth.localCheckpoint(eager=False)
+        if cut:
             hub = hub.localCheckpoint(eager=False)
     return (
         nodes.join(auth, "node", "left")
@@ -421,7 +436,7 @@ def label_propagation(
     iterations: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     resolve_oscillation: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation community detection (Raghavan et
