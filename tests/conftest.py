@@ -13,6 +13,28 @@ from concept_multi_db_query_engine_spark.session import get_spark  # noqa: E402
 
 from tests import fixtures  # noqa: E402
 
+# The `slow` tier is data-driven: tests/slow_tests.txt lists the exact
+# node ids of the heavyweight end-to-end/scale/fuzz tests (measured
+# >= ~3 s each on an idle machine).  A collection hook applies the
+# marker so parametrized functions (e.g. test_parity[...]) can have
+# only their slow PARAMETERS tiered out, keeping the cheap parameters
+# in the default run.  pytest.ini deselects `slow` by default; run the
+# full suite with `-m ""`.
+_SLOW_IDS = frozenset(
+    ln.strip()
+    for ln in (Path(__file__).resolve().parent / "slow_tests.txt")
+    .read_text()
+    .splitlines()
+    if ln.strip() and not ln.lstrip().startswith("#")
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid
+        if nid in _SLOW_IDS or f"tests/{nid}" in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
