@@ -755,6 +755,7 @@ def main() -> None:
     # its own row — see the family branches below for the rationale.
     shared_knn: dict = {}
     shared_ngram: dict = {}
+    shared_lr: dict = {}
 
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
@@ -950,6 +951,20 @@ def main() -> None:
                     dropped, "vec_id", "left_anti")
 
             _run_row(name, _build_survivors, single_action=True)
+            continue
+        if name == "docs_score_calibration":
+            # the scored frame IS the docs_quality_logistic row (the
+            # declared query literally wraps it), already benched in
+            # full — this row times only the calibration report over
+            # it (the dedup_semantic_survivors precedent).
+            from concept_multi_db_query_engine_spark import operators as ops
+
+            if "scored" not in shared_lr:
+                shared_lr["scored"] = queries["docs_quality_logistic"](
+                    spark, sf_dir).localCheckpoint(eager=True)
+            lr_scored = shared_lr["scored"]
+            _run_row(name,
+                     lambda: ops.calibration_report(lr_scored, n_bins=10))
             continue
         if name == "docs_bpe_train":
             # training runs its per-round collects at CONSTRUCTION time
